@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's query corpus at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is fully materialized through the built-in ``noop`` sink so
+every operator in the plan executes (unlike ``count()``, which lets
+Catalyst prune projections). A warm-up run of the flagship query
+excludes JVM/session startup from per-query numbers, matching the
+reference's read-vs-collect benchmark split (reference cli.py:234-250).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cae_polars_tools_spark.plans.registry import load_all  # noqa: E402
+from cae_polars_tools_spark.session import get_spark  # noqa: E402
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark(app_name="cae-polars-tools-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = load_all()
+
+    # Warm-up: JVM codegen + parquet footer caches.
+    materialize(corpus["q01_pricing_summary"].build(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name, spec in sorted(corpus.items()):
+        t0 = time.perf_counter()
+        materialize(spec.build(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "corpus_total_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

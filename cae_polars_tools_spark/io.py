@@ -1,0 +1,61 @@
+"""Parquet table helpers for the synthetic benchmark tables.
+
+The driver supplies TPC-H-ish parquet tables (see /root/repo/TESTDATA.md):
+``region nation customer supplier part orders lineitem events documents
+embeddings`` under ``/root/testdata/sf{0.001,0.01,0.1}/``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table. Plain parquet scan — Catalyst handles
+    column pruning and predicate pushdown from the downstream plan.
+
+    ``events.parquet`` stores nanosecond timestamps, which Spark's
+    vectorized parquet reader rejects (PARQUET_TYPE_ILLEGAL). We read
+    nanos as int64 via the legacy conf and rebuild a microsecond
+    timestamp with integer division — deterministic truncation, no
+    double-precision round-trip (int64 ns exceeds 2^53).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name != "events":
+        return spark.read.parquet(path)
+
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def read_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Read every synthetic table into a dict."""
+    return {name: read_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each table as a temp view for spark.sql use."""
+    for name in TABLES:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)

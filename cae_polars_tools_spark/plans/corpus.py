@@ -1,0 +1,829 @@
+"""Layer-B query corpus: the delegated query surface of the reference.
+
+Each entry re-expresses one row of SURVEY.md §2.2 (the Polars
+operations the reference's README/docs/examples exercise downstream of
+its Zarr scan) as an idiomatic Spark DataFrame query over the driver's
+TPC-H-ish tables, paired with DuckDB oracle SQL.
+
+Scale notes (100 TB design stance), applied throughout:
+
+* Aggregations are expressed as single ``groupBy().agg()`` — Spark
+  plans partial (map-side) aggregation automatically, so the shuffle
+  carries one row per (partition × group), not per input row.
+* Joins against the small dimension tables (`region`, `nation`,
+  `supplier`) are explicitly ``broadcast()`` — no shuffle of the fact
+  table on those keys at any scale. Fact-fact joins (orders⋈lineitem)
+  shuffle on the join key, which AQE re-plans at runtime.
+* Filters are applied before joins/aggregations so Catalyst pushes
+  them into the parquet scan (verify: `PushedFilters` in
+  ``.explain("formatted")``).
+* Window functions partition by bounded-cardinality keys; nothing is
+  ever collected to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cae_polars_tools_spark.functions import dsum, dsum_sql
+from cae_polars_tools_spark.io import read_table
+from cae_polars_tools_spark.plans.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation after scan+filter — the reference's headline pattern
+# (README.md group_by/agg examples; SURVEY §2.2 "Group-by aggregation").
+# TPC-H Q1 shape: the flagship query.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q01_pricing_summary",
+    oracle="""
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            SUM(l_quantity) AS sum_qty,
+            {sum_base} AS sum_base_price,
+            {sum_disc} AS sum_disc_price,
+            {sum_charge} AS sum_charge,
+            ROUND(AVG(l_quantity), 4) AS avg_qty,
+            ROUND(AVG(l_extendedprice), 4) AS avg_price,
+            ROUND(AVG(l_discount), 4) AS avg_disc,
+            COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """.format(
+        sum_base=dsum_sql("l_extendedprice"),
+        sum_disc=dsum_sql("l_extendedprice * (1 - l_discount)", scale=4),
+        sum_charge=dsum_sql(
+            "l_extendedprice * (1 - l_discount) * (1 + l_tax)", scale=6
+        ),
+    ),
+    tags=("agg", "filter", "flagship"),
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan→filter→hash-agg→(sort): filter + group_by + sum/mean/count.
+
+    Reference pattern: README.md:85-89 group_by().agg() after scan;
+    filter-before-agg per docs/user_guide/performance_tips.md:146-188.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price.cast("decimal(18,4)")).cast("double").alias("sum_disc_price"),
+            F.sum(charge.cast("decimal(18,6)")).cast("double").alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection + column derivation (SURVEY §2.2 rows "Projection",
+# "Column derivation", "Rename/alias": with_columns arithmetic
+# -273.15 / ** / % / // patterns, examples/basic_usage.py:80-82, 382-384).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q02_projection_arith",
+    oracle="""
+        SELECT
+            l_orderkey,
+            l_linenumber,
+            l_quantity - 25.0 AS qty_centered,
+            l_extendedprice * (1 - l_discount) AS disc_price,
+            CAST(l_quantity AS BIGINT) % 7 AS qty_mod7,
+            CAST(FLOOR(l_quantity / 7) AS BIGINT) AS qty_div7,
+            POWER(l_quantity, 2) AS qty_sq,
+            -l_discount AS neg_disc
+        FROM lineitem
+    """,
+    tags=("projection",),
+)
+def q02_projection_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """select + withColumns arithmetic (+ - * / % // ** unary-minus).
+
+    Per-row IEEE arithmetic is deterministic across engines, so no
+    rounding is needed. Catalyst prunes the scan to the 5 referenced
+    columns (check ReadSchema in explain).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_quantity") - 25.0).alias("qty_centered"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod7"),
+        F.floor(F.col("l_quantity") / 7).alias("qty_div7"),
+        F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
+        (-F.col("l_discount")).alias("neg_disc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters & predicates (is_between / is_in / boolean combinators /
+# null-checks; SURVEY §2.2 "Filter / predicates").
+# ---------------------------------------------------------------------------
+
+@register(
+    "q03_filter_predicates",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_discount
+        FROM lineitem
+        WHERE l_quantity BETWEEN 10 AND 20
+          AND l_returnflag IN ('A', 'N')
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND (l_discount > 0.05 OR l_tax < 0.02)
+          AND l_extendedprice IS NOT NULL
+    """,
+    tags=("filter",),
+)
+def q03_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """between / isin / &,| / isNotNull predicate stack, pushed to scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 20)
+        & F.col("l_returnflag").isin("A", "N")
+        & (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & ((F.col("l_discount") > 0.05) | (F.col("l_tax") < 0.02))
+        & F.col("l_extendedprice").isNotNull()
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_discount")
+
+
+# ---------------------------------------------------------------------------
+# Conditional when/then/otherwise (examples/basic_usage.py:253-263).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q04_conditional_case",
+    oracle="""
+        SELECT
+            CASE WHEN o_totalprice < 100000 THEN 'small'
+                 WHEN o_totalprice < 300000 THEN 'medium'
+                 ELSE 'large' END AS bucket,
+            COUNT(*) AS n_orders,
+            {tp} AS total_price
+        FROM orders
+        GROUP BY 1
+    """.format(tp=dsum_sql("o_totalprice")),
+    tags=("conditional", "agg"),
+)
+def q04_conditional_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """when/when/otherwise + lit, then aggregate by the derived label."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 100000, F.lit("small"))
+        .when(F.col("o_totalprice") < 300000, F.lit("medium"))
+        .otherwise(F.lit("large"))
+    )
+    return (
+        o.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Global (no-key) aggregation (examples/basic_usage.py:355-366).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q05_global_agg",
+    oracle="""
+        SELECT
+            COUNT(*) AS n_rows,
+            SUM(l_quantity) AS sum_qty,
+            MIN(l_extendedprice) AS min_price,
+            MAX(l_extendedprice) AS max_price,
+            ROUND(AVG(l_extendedprice), 4) AS avg_price,
+            ROUND(STDDEV_SAMP(l_extendedprice), 4) AS std_price
+        FROM lineitem
+    """,
+    tags=("agg",),
+)
+def q05_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-frame mean/max/min/std/count — a single partial-agg pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.stddev("l_extendedprice"), 4).alias("std_price"),
+    )
+
+
+@register(
+    "q06_groupby_stats",
+    oracle="""
+        SELECT
+            event_type,
+            COUNT(*) AS n_events,
+            ROUND(AVG(value), 4) AS avg_value,
+            MIN(value) AS min_value,
+            MAX(value) AS max_value,
+            ROUND(STDDEV_SAMP(value), 4) AS std_value,
+            COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("agg",),
+)
+def q06_groupby_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group_by().agg(mean,min,max,std,count,n_unique) on the events table."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.round(F.stddev("value"), 4).alias("std_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlation aggregate (docs/examples/index.md:63-67 pl.corr).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q07_corr",
+    oracle="""
+        SELECT
+            l_returnflag,
+            ROUND(CORR(l_quantity, l_extendedprice), 6) AS qty_price_corr
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def q07_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pl.corr equivalent: F.corr inside a grouped aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct (test_polars_converter.py:335-337 .unique()).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q08_distinct",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    tags=("distinct",),
+)
+def q08_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unique() → distinct(); map-side combine keeps the shuffle tiny."""
+    return _t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Sort + limit = top-k (examples/basic_usage.py:399-400 sort+head).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q09_sort_topk",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    tags=("sort", "limit"),
+)
+def q09_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: Spark plans orderBy+limit as TakeOrderedAndProject — each
+    partition keeps only k rows, no global sort shuffle. Deterministic
+    tie-break on the key column."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-joins (README.md:141-148 multi-variable join; TPC-H Q3/Q5 shapes).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q10_join_shipping_priority",
+    oracle="""
+        SELECT
+            l.l_orderkey AS o_key,
+            {rev} AS revenue,
+            o.o_orderdate,
+            o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, o_key ASC
+        LIMIT 10
+    """.format(rev=dsum_sql("l.l_extendedprice * (1 - l.l_discount)", scale=4)),
+    tags=("join", "agg", "sort"),
+)
+def q10_join_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: filtered fact⋈fact⋈dim join then agg + top-k.
+
+    orders⋈lineitem is a key-shuffle join (both sides large at scale);
+    the filtered customer side is small after the segment filter, so
+    AQE converts it to broadcast at runtime.
+    """
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            li.l_orderkey.alias("o_key"), o.o_orderdate, o.o_orderpriority
+        )
+        .agg(F.sum(rev.cast("decimal(18,4)")).cast("double").alias("revenue"))
+        .select("o_key", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_key").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "q11_join_regional_revenue",
+    oracle="""
+        SELECT
+            n.n_name,
+            {rev} AS revenue,
+            COUNT(*) AS n_lineitems
+        FROM region r
+        JOIN nation n ON r.r_regionkey = n.n_regionkey
+        JOIN customer c ON n.n_nationkey = c.c_nationkey
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY n.n_name
+    """.format(rev=dsum_sql("l.l_extendedprice * (1 - l.l_discount)", scale=4)),
+    tags=("join", "agg", "broadcast"),
+)
+def q11_join_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join with explicitly broadcast dimensions.
+
+    region/nation are broadcast (no fact shuffle on their keys);
+    customer⋈orders and orders⋈lineitem shuffle on their join keys —
+    the two unavoidable shuffles at 100 TB.
+    """
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+               c.c_nationkey == n.n_nationkey)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev.cast("decimal(18,4)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window patterns: anomaly-vs-group-mean, argmax, lag/diff
+# (docs/examples/index.md:28-41, 93-99; examples/basic_usage.py:238-244).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q12_window_anomaly",
+    oracle="""
+        SELECT
+            event_id,
+            event_type,
+            ROUND(value - AVG(value) OVER (PARTITION BY event_type), 4)
+                AS value_anomaly
+        FROM events
+    """,
+    tags=("window",),
+)
+def q12_window_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly = value − group mean. The reference does this as a
+    self-join on its group_by (docs/examples/index.md:28-41); the
+    idiomatic Spark form is an unbounded window — one shuffle on the
+    partition key instead of agg + join."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") - F.avg("value").over(w), 4).alias("value_anomaly"),
+    )
+
+
+@register(
+    "q13_argmax_per_group",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice = (
+            SELECT MAX(o2.o_totalprice) FROM orders o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+    """,
+    tags=("window", "filter"),
+)
+def q13_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter(col == col.max() over group) — max-equality selection
+    (examples/basic_usage.py:238-244), via a window max + filter."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("max_tp", F.max("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") == F.col("max_tp"))
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "q14_lag_diff",
+    oracle="""
+        SELECT
+            event_id,
+            user_id,
+            value - LAG(value) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+            ) AS value_diff
+        FROM events
+    """,
+    tags=("window",),
+)
+def q14_lag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """.sort().diff() equivalent: value − lag(value) per user over time
+    (docs/examples/index.md:93-99 lapse-rate pattern)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value").over(w)).alias("value_diff"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date/time functions (README.md:111-115; docs/examples/index.md:209-213).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q15_datetime_parts",
+    oracle="""
+        SELECT
+            CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+            CAST(EXTRACT(month FROM o_orderdate) AS INT) AS order_month,
+            COUNT(*) AS n_orders,
+            {tp} AS total_price
+        FROM orders
+        WHERE EXTRACT(doy FROM o_orderdate) <= 180
+        GROUP BY 1, 2
+    """.format(tp=dsum_sql("o_totalprice")),
+    tags=("datetime", "agg"),
+)
+def q15_datetime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dt.year()/dt.month()/dt.day_of_year() equivalents + agg."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.dayofyear("o_orderdate") <= 180)
+        .groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Math scalar functions (docs/examples/index.md:113-116 sqrt/**/arctan2).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q16_math_funcs",
+    oracle="""
+        SELECT
+            p_partkey,
+            ROUND(SQRT(p_retailprice), 6) AS price_sqrt,
+            ROUND(ATAN2(p_size, p_retailprice), 6) AS size_angle,
+            ROUND(LN(p_retailprice), 6) AS price_ln,
+            ABS(p_size - 25) AS size_dev
+        FROM part
+    """,
+    tags=("math",),
+)
+def q16_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sqrt / atan2 / ln / abs scalar math, JVM-side codegen."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round(F.sqrt("p_retailprice"), 6).alias("price_sqrt"),
+        F.round(F.atan2(F.col("p_size").cast("double"), F.col("p_retailprice")), 6).alias("size_angle"),
+        F.round(F.log("p_retailprice"), 6).alias("price_ln"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Casting (docs/user_guide/performance_tips.md:124-143).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q17_casts",
+    oracle="""
+        SELECT
+            l_orderkey,
+            CAST(l_quantity AS INT) AS qty_int,
+            CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date_str,
+            CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS price_dec_str,
+            CAST(l_linenumber AS VARCHAR) AS line_str
+        FROM lineitem
+        WHERE l_orderkey <= 100
+    """,
+    tags=("cast",),
+)
+def q17_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cast() fidelity: double→int, timestamp→date, double→decimal,
+    int→string. Date/decimal results are re-cast to string so the
+    cross-engine comparison is representation-stable (pandas renders
+    DATE/DECIMAL differently per engine)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") <= 100).select(
+        "l_orderkey",
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_shipdate").cast("date").cast("string").alias("ship_date_str"),
+        F.col("l_extendedprice").cast("decimal(12,2)").cast("string").alias("price_dec_str"),
+        F.col("l_linenumber").cast("string").alias("line_str"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Concat / union-all (pl.concat; polars_converter.py:303 chunk concat).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q18_union_concat",
+    oracle="""
+        SELECT o_orderkey, o_totalprice, 'high' AS tier
+        FROM orders WHERE o_totalprice >= 400000
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, 'low' AS tier
+        FROM orders WHERE o_totalprice < 20000
+    """,
+    tags=("union",),
+)
+def q18_union_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pl.concat → unionByName; Spark unions are metadata-only (no
+    shuffle) — partitions of both children are simply concatenated."""
+    o = _t(spark, sf_dir, "orders")
+    high = (
+        o.filter(F.col("o_totalprice") >= 400000)
+        .select("o_orderkey", "o_totalprice", F.lit("high").alias("tier"))
+    )
+    low = (
+        o.filter(F.col("o_totalprice") < 20000)
+        .select("o_orderkey", "o_totalprice", F.lit("low").alias("tier"))
+    )
+    return high.unionByName(low)
+
+
+# ---------------------------------------------------------------------------
+# Binning (examples/basic_usage.py:382-384 (col // 10 * 10) bins).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q19_binning",
+    oracle="""
+        SELECT
+            CAST(FLOOR(o_totalprice / 50000) AS BIGINT) * 50000 AS price_bin,
+            COUNT(*) AS n_orders,
+            ROUND(AVG(o_totalprice), 4) AS avg_price
+        FROM orders
+        GROUP BY 1
+    """,
+    tags=("agg", "binning"),
+)
+def q19_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(col // w * w) histogram binning + per-bin stats."""
+    o = _t(spark, sf_dir, "orders")
+    bin_col = (F.floor(F.col("o_totalprice") / 50000) * 50000).alias("price_bin")
+    return o.groupBy(bin_col).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality report (docs/examples/index.md:238-252 null/inf counting).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q20_quality_report",
+    oracle="""
+        SELECT
+            COUNT(*) AS n_rows,
+            CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_value,
+            CAST(SUM(CASE WHEN isnan(value) THEN 1 ELSE 0 END) AS BIGINT) AS n_nan_value,
+            CAST(SUM(CASE WHEN value = 'Infinity'::DOUBLE
+                      OR value = '-Infinity'::DOUBLE THEN 1 ELSE 0 END) AS BIGINT) AS n_inf_value,
+            CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+            CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_user
+        FROM events
+    """,
+    tags=("agg", "quality"),
+)
+def q20_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """is_null / is_nan / is_infinite / range-violation counts —
+    the reference's data-quality report pattern. NaN≠null semantics
+    (SURVEY §2.3.5) are preserved: separate counters."""
+    from cae_polars_tools_spark.functions import is_infinite
+
+    ev = _t(spark, sf_dir, "events")
+    as_int = lambda c: c.cast("int")  # noqa: E731
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(as_int(F.col("value").isNull())).alias("n_null_value"),
+        F.sum(as_int(F.isnan("value"))).alias("n_nan_value"),
+        F.sum(as_int(is_infinite("value"))).alias("n_inf_value"),
+        F.sum(as_int(F.col("value") < 0)).alias("n_negative"),
+        F.sum(as_int(F.col("user_id").isNull())).alias("n_null_user"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted mean (docs/examples/index.md:185-189).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q21_weighted_mean",
+    oracle="""
+        SELECT
+            l_returnflag,
+            CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,2)))
+                 AS DOUBLE)
+              / SUM(l_quantity) AS weighted_avg_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def q21_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w·x).sum()/w.sum() computed in one aggregation pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    wx = (F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(18,2)")
+    return li.groupBy("l_returnflag").agg(
+        (F.sum(wx).cast("double") / F.sum("l_quantity")).alias("weighted_avg_price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantiles — exact percentiles (examples/basic_usage.py:106-114 uses
+# quantile(0.05)/quantile(0.95); exact, not approx, per SURVEY §2.2).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q22_quantiles",
+    oracle="""
+        SELECT
+            l_returnflag,
+            ROUND(quantile_cont(l_extendedprice, 0.05), 4) AS p05,
+            ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+            ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg", "quantile"),
+)
+def q22_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles (F.percentile ==
+    quantile_cont). percentile_approx exists as the scale path but the
+    oracle-checked corpus uses the exact form."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.05)), 4).alias("p05"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch tumbling window on event time (Structured-Streaming-compatible
+# form; the streaming variant lives in streaming/events.py).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q23_tumbling_window",
+    oracle="""
+        SELECT
+            date_trunc('day', ts) AS window_start,
+            event_type,
+            COUNT(*) AS n_events,
+            {sv} AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """.format(sv=dsum_sql("value")),
+    tags=("window", "datetime", "streaming-compatible"),
+)
+def q23_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-day tumbling window aggregation via F.window — identical code
+    runs under readStream with a watermark (see streaming/events.py)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anti/semi joins — extensions beyond the reference surface (reference
+# has inner equi-join only, SURVEY §2.2 "ABSENT"); a complete engine
+# needs them and Catalyst plans them natively.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q24_anti_join",
+    oracle="""
+        SELECT c.c_custkey, c.c_name
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        )
+    """,
+    tags=("join", "extension"),
+)
+def q24_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders — left_anti join (extension: the
+    reference only has inner joins)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q25_semi_join",
+    oracle="""
+        SELECT s.s_suppkey, s.s_name
+        FROM supplier s
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49
+        )
+    """,
+    tags=("join", "extension"),
+)
+def q25_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers having at least one near-max-quantity lineitem —
+    left_semi join (extension beyond the reference's inner-only joins)."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return s.join(li, s.s_suppkey == li.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )

@@ -1,0 +1,63 @@
+"""Registry of named queries with optional DuckDB oracle SQL.
+
+Every operator the engine claims (SURVEY.md §2) registers here; the
+driver contract (``__spark_entry__.py``) exposes this registry via
+``queries()`` / ``oracle_sql()``. Each builder takes
+``(spark, sf_dir)`` and returns a DataFrame; ``oracle`` is equivalent
+ANSI SQL over the same tables (or ``None`` for genuinely
+non-SQL-expressible operators, which the driver checks rows-only).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+Builder = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    build: Builder
+    oracle: str | None
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+CORPUS: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None,
+    tags: tuple[str, ...] = (),
+    doc: str = "",
+) -> Callable[[Builder], Builder]:
+    """Decorator: register a query builder in the corpus."""
+
+    def wrap(fn: Builder) -> Builder:
+        if name in CORPUS:
+            raise ValueError(f"duplicate corpus entry {name!r}")
+        CORPUS[name] = QuerySpec(name=name, build=fn, oracle=oracle, tags=tags, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return wrap
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every module that registers corpus entries and return the
+    full registry."""
+    # Imports are deferred so that importing the package stays cheap and
+    # so partial failures (e.g. an optional dependency) don't take down
+    # the whole corpus.
+    import cae_polars_tools_spark.plans.corpus  # noqa: F401
+    import cae_polars_tools_spark.operators.dedup  # noqa: F401
+    import cae_polars_tools_spark.operators.similarity  # noqa: F401
+    import cae_polars_tools_spark.operators.text  # noqa: F401
+    import cae_polars_tools_spark.operators.multimodal  # noqa: F401
+    import cae_polars_tools_spark.plans.zarr_demo  # noqa: F401
+
+    return CORPUS

@@ -1,0 +1,71 @@
+"""SparkSession factory with scale-aware defaults.
+
+Defaults are tuned so the same code runs on ``local[N]`` for tests and
+on a multi-executor cluster unchanged: AQE on (runtime re-planning,
+skew-join handling, dynamic coalescing), Arrow on (fast
+Python<->JVM), and a shuffle-partition count that AQE is free to
+shrink.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "cae-polars-tools-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    Parameters
+    ----------
+    master:
+        Defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) when
+        no cluster master is configured. On a real cluster, pass
+        ``None`` and let ``spark-submit`` own it.
+    shuffle_partitions:
+        Initial shuffle partition count; AQE coalesces downward at
+        runtime. Defaults to env ``SPARK_GRAFT_CPUS`` (32).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER") and "spark.master" not in os.environ.get(
+        "SPARK_CONF", ""
+    ):
+        builder = builder.master(f"local[{cpus}]")
+
+    conf = {
+        # Adaptive execution: runtime shuffle coalescing, skew-join
+        # splitting, and dynamic join-strategy switching.
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        # Arrow for pandas UDFs / toPandas / Python data sources.
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+        # Parquet scans: pushdown + vectorized reader are on by default;
+        # pin them explicitly so a misconfigured cluster can't lose them.
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.sql.parquet.aggregatePushdown": "true",
+        # Keep timestamps deterministic across engines (oracle parity).
+        "spark.sql.session.timeZone": "UTC",
+        # Broadcast threshold: small dims (region/nation/supplier) must
+        # broadcast; 64 MB is safe for dimension tables at any SF here.
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
