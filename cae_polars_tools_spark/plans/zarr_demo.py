@@ -1,1 +1,97 @@
-"""Placeholder — populated with the zarr demo query in a later milestone."""
+"""Corpus entries exercising the zarr scan path with a FULL value-level
+oracle: the store content is a deterministic function of its indices,
+so DuckDB can reconstruct the exact long-format table with range()
+cross joins — giving the custom data source the same hash-checked
+correctness gate as the SQL queries.
+
+Coordinate values are chosen to be exactly representable in float32
+(steps of 0.5 / 0.25), so Spark's float32 columns and DuckDB's
+REAL-cast doubles agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cae_polars_tools_spark.plans.registry import register
+
+_SHAPE = (6, 5, 4)
+_STORE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".tmp",
+    "zarr_demo.zarr",
+)
+
+
+def demo_store() -> str:
+    """Create (once) the deterministic demo store:
+    value[i,j,k] = i*20 + j*4 + k (float32), time=(i+1)*10 (int32),
+    lat=30+j*0.5 (float32), lon=-120+k*0.25 (float32), chunks (2,2,3)."""
+    if not os.path.exists(os.path.join(_STORE, ".zmetadata")):
+        from cae_polars_tools_spark.sources.zarr_format import write_group
+
+        i, j, k = np.indices(_SHAPE)
+        value = (i * 20 + j * 4 + k).astype(np.float32)
+        write_group(
+            _STORE,
+            arrays={"metric": value},
+            dims={"metric": ("time", "lat", "lon")},
+            coords={
+                "time": ((np.arange(_SHAPE[0]) + 1) * 10).astype(np.int32),
+                "lat": (30 + np.arange(_SHAPE[1]) * 0.5).astype(np.float32),
+                "lon": (-120 + np.arange(_SHAPE[2]) * 0.25).astype(np.float32),
+            },
+            chunks={"metric": (2, 2, 3)},
+        )
+    return _STORE
+
+
+@register(
+    "zarr_scan_longformat",
+    oracle="""
+        SELECT
+            CAST((t.i + 1) * 10 AS INTEGER) AS time,
+            CAST(30 + la.j * 0.5 AS REAL) AS lat,
+            CAST(-120 + lo.k * 0.25 AS REAL) AS lon,
+            CAST(t.i * 20 + la.j * 4 + lo.k AS REAL) AS value
+        FROM range(6) t(i), range(5) la(j), range(4) lo(k)
+    """,
+    tags=("zarr", "source"),
+)
+def zarr_scan_longformat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full zarr scan → long format (the reference's core operation,
+    scan_data, zarr_scanner.py:73-183). Oracle reconstructs the exact
+    table from index arithmetic — value-level verification of the
+    custom data source."""
+    from cae_polars_tools_spark.sources.zarr_scan import scan_data
+
+    return scan_data(spark, demo_store(), "metric", chunk_size=13)
+
+
+@register(
+    "zarr_scan_pushdown",
+    oracle="""
+        SELECT
+            CAST((t.i + 1) * 10 AS INTEGER) AS time,
+            CAST(-120 + lo.k * 0.25 AS REAL) AS lon,
+            CAST(t.i * 20 + 2 * 4 + lo.k AS REAL) AS value
+        FROM range(1, 5) t(i), range(0, 4, 2) lo(k)
+    """,
+    tags=("zarr", "source", "pushdown"),
+)
+def zarr_scan_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-selection pushdown: slice on time, int on lat (drops
+    the dim — SURVEY §2.3.2), stepped slice on lon. Only intersecting
+    zarr chunks are fetched."""
+    from cae_polars_tools_spark.sources.zarr_scan import scan_data
+
+    return scan_data(
+        spark,
+        demo_store(),
+        "metric",
+        select_dims={"time": slice(1, 5), "lat": 2, "lon": slice(0, 4, 2)},
+    )

@@ -1,0 +1,118 @@
+"""`spark.read.format("zarr")` — Python Data Source (Spark ≥ 4.0).
+
+Idiomatic integration of the zarr scan with Spark's data source API:
+schema from store metadata at planning time, one ``InputPartition``
+per row window, Arrow-batch reads on executors. Options:
+
+=================  ========================================================
+``path``           store path/URL (also the ``load()`` argument)
+``array``          array name (required)
+``group``          subgroup within the store
+``select_dims``    JSON dict: int, [ints], or {"start":a,"stop":b,"step":c}
+``storage_options`` JSON dict passed to fsspec
+``consolidated``   "true" / "false" (default: auto-detect)
+``chunk_size``     target rows per partition (default 10000)
+=================  ========================================================
+
+Example::
+
+    spark.dataSource.register(ZarrDataSource)
+    df = (spark.read.format("zarr")
+          .option("array", "temperature")
+          .option("select_dims", '{"time": {"start": 0, "stop": 12}}')
+          .load("/data/store.zarr"))
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from cae_polars_tools_spark.sources.zarr_reader import (
+    DEFAULT_CHUNK_SIZE,
+    ScanPlan,
+    partition_ranges,
+    plan_scan,
+    schema_for_plan,
+    window_to_arrow,
+)
+from cae_polars_tools_spark.sources.zarr_store import ZarrStore
+
+
+def decode_select_dims(spec) -> dict | None:
+    """JSON/dict → selection dict with real slices. Accepts ints, lists
+    and {"start","stop","step"} dicts."""
+    if spec is None:
+        return None
+    if isinstance(spec, str):
+        spec = json.loads(spec)
+    out = {}
+    for dim, sel in spec.items():
+        if isinstance(sel, dict):
+            out[dim] = slice(sel.get("start"), sel.get("stop"), sel.get("step"))
+        else:
+            out[dim] = sel
+    return out
+
+
+def _plan_from_options(options: dict) -> tuple[ScanPlan, int]:
+    path = options.get("path")
+    array = options.get("array")
+    if not path or not array:
+        raise ValueError(
+            "zarr data source requires .load(<store path>) and "
+            ".option('array', <array name>)"
+        )
+    consolidated = options.get("consolidated")
+    if consolidated is not None:
+        consolidated = str(consolidated).lower() == "true"
+    store = ZarrStore(
+        path,
+        storage_options=json.loads(options["storage_options"])
+        if options.get("storage_options")
+        else None,
+        group=options.get("group"),
+        consolidated=consolidated,
+    )
+    plan = plan_scan(store, array, decode_select_dims(options.get("select_dims")))
+    chunk_size = int(options.get("chunk_size", DEFAULT_CHUNK_SIZE))
+    return plan, chunk_size
+
+
+class ZarrWindowPartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class ZarrScanReader(DataSourceReader):
+    def __init__(self, plan: ScanPlan, chunk_size: int):
+        self.plan = plan
+        self.chunk_size = chunk_size
+
+    def partitions(self) -> list[InputPartition]:
+        return [
+            ZarrWindowPartition(s, e)
+            for s, e in partition_ranges(self.plan.total_rows, self.chunk_size)
+        ]
+
+    def read(self, partition: ZarrWindowPartition) -> Iterator:
+        yield window_to_arrow(self.plan, partition.start, partition.end)
+
+
+class ZarrDataSource(DataSource):
+    """Register with ``spark.dataSource.register(ZarrDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "zarr"
+
+    def schema(self):
+        plan, _ = _plan_from_options(self.options)
+        return schema_for_plan(plan)
+
+    def reader(self, schema) -> DataSourceReader:
+        plan, chunk_size = _plan_from_options(self.options)
+        return ZarrScanReader(plan, chunk_size)

@@ -1,0 +1,546 @@
+"""Minimal self-contained Zarr v2 format support.
+
+The reference engine reads Zarr stores through the ``zarr`` +
+``s3fs`` packages (reference zarr_storage.py). This environment has
+neither, so the format layer is implemented from scratch against the
+public Zarr v2 spec (https://zarr-specs.readthedocs.io/, v2):
+
+* a store is a directory tree; group metadata in ``.zgroup`` /
+  ``.zattrs``; array metadata in ``<name>/.zarray`` (+ ``.zattrs``);
+  optional consolidated metadata in ``.zmetadata``;
+* chunks are files named ``i.j.k`` (or ``i/j/k`` when
+  ``dimension_separator`` is ``/``), each holding the compressed
+  C-order bytes of one chunk; missing chunk files mean
+  ``fill_value``.
+
+Supported codecs: raw (``compressor: null``), ``zlib`` and ``gzip``
+(Python stdlib). Blosc/LZ4/Zstd stores raise a clear error — the real
+``zarr`` package, when installed, is used instead by
+:mod:`cae_polars_tools_spark.sources.zarr_store`.
+
+Everything here is plain numpy + stdlib and is safe to run inside
+Spark executors (no Spark imports).
+"""
+
+from __future__ import annotations
+
+import gzip as _gzip
+import itertools
+import json
+import os
+import zlib as _zlib
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# Byte-store abstraction: local directory now; s3/http via fsspec when
+# available. Executors instantiate these from a plain path string.
+# --------------------------------------------------------------------------
+
+
+class ByteStore:
+    """Key-value view of a zarr store root ('a/b/.zarray' → bytes)."""
+
+    def __init__(self, root: str, storage_options: dict | None = None):
+        self.root = root.rstrip("/")
+        self.storage_options = storage_options or {}
+
+    # -- factory -----------------------------------------------------------
+    @staticmethod
+    def for_path(path: str, storage_options: dict | None = None) -> "ByteStore":
+        if "://" in path and not path.startswith("file://"):
+            return FsspecByteStore(path, storage_options)
+        return LocalByteStore(path.removeprefix("file://"), storage_options)
+
+    # -- interface ---------------------------------------------------------
+    def get(self, key: str) -> bytes | None:
+        """Bytes for key, or None if absent."""
+        raise NotImplementedError
+
+    def list_prefix(self, prefix: str = "") -> list[str]:
+        """Immediate child names under prefix (directories and files)."""
+        raise NotImplementedError
+
+
+class LocalByteStore(ByteStore):
+    def get(self, key: str) -> bytes | None:
+        p = os.path.join(self.root, key)
+        if not os.path.isfile(p):
+            return None
+        with open(p, "rb") as f:
+            return f.read()
+
+    def put(self, key: str, data: bytes) -> None:
+        p = os.path.join(self.root, key)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as f:
+            f.write(data)
+
+    def list_prefix(self, prefix: str = "") -> list[str]:
+        p = os.path.join(self.root, prefix) if prefix else self.root
+        if not os.path.isdir(p):
+            return []
+        return sorted(os.listdir(p))
+
+
+class FsspecByteStore(ByteStore):
+    """S3/HTTP/... store via fsspec/s3fs — optional dependency.
+
+    Mirrors the reference's S3-first design (zarr_storage.py:190-211
+    builds an s3fs filesystem from storage_options); raises a clear
+    ImportError when the extra isn't installed.
+    """
+
+    def __init__(self, root: str, storage_options: dict | None = None):
+        super().__init__(root, storage_options)
+        try:
+            import fsspec  # type: ignore
+        except ImportError as e:  # pragma: no cover - optional dep
+            raise ImportError(
+                f"reading {root!r} requires the optional 'fsspec' (and for "
+                "s3:// URLs 's3fs') package; only local paths are supported "
+                "without it"
+            ) from e
+        self._fs, self._root = fsspec.core.url_to_fs(root, **(storage_options or {}))
+        self._root = self._root.rstrip("/")
+
+    def get(self, key: str) -> bytes | None:  # pragma: no cover - optional dep
+        path = f"{self._root}/{key}"
+        try:
+            with self._fs.open(path, "rb") as f:
+                return f.read()
+        except FileNotFoundError:
+            return None
+
+    def list_prefix(self, prefix: str = "") -> list[str]:  # pragma: no cover
+        path = f"{self._root}/{prefix}" if prefix else self._root
+        try:
+            return sorted(
+                p.rstrip("/").rsplit("/", 1)[-1] for p in self._fs.ls(path)
+            )
+        except FileNotFoundError:
+            return []
+
+
+# --------------------------------------------------------------------------
+# Codecs
+# --------------------------------------------------------------------------
+
+
+def _decode_bytes(raw: bytes, compressor: dict | None) -> bytes:
+    if compressor is None:
+        return raw
+    cid = compressor.get("id")
+    if cid == "zlib":
+        return _zlib.decompress(raw)
+    if cid == "gzip":
+        return _gzip.decompress(raw)
+    raise ValueError(
+        f"unsupported zarr compressor {cid!r}: this minimal reader supports "
+        "null/zlib/gzip; install the 'zarr' package for blosc/zstd stores"
+    )
+
+
+def _encode_bytes(data: bytes, compressor: dict | None) -> bytes:
+    if compressor is None:
+        return data
+    cid = compressor.get("id")
+    level = int(compressor.get("level", 5))
+    if cid == "zlib":
+        return _zlib.compress(data, level)
+    if cid == "gzip":
+        return _gzip.compress(data, compresslevel=level)
+    raise ValueError(f"unsupported compressor {cid!r} for writing")
+
+
+# --------------------------------------------------------------------------
+# Array
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class ZarrV2Array:
+    """Lazy handle to one Zarr v2 array; reads only requested chunks.
+
+    Equivalent role to ``zarr.Array`` in the reference (opened via
+    zarr_storage.py:327-360); indexing is orthogonal (per-dimension
+    int / slice / integer-list), matching how the reference applies
+    ``select_dims`` (zarr_reader.py:319-322).
+    """
+
+    store: ByteStore
+    path: str  # prefix inside store ('' for root-level arrays)
+    shape: tuple[int, ...]
+    chunks: tuple[int, ...]
+    dtype: np.dtype
+    compressor: dict | None
+    fill_value: Any
+    order: str = "C"
+    dimension_separator: str = "."
+    filters: list | None = None
+    attrs: dict = field(default_factory=dict)
+
+    @property
+    def ndim(self) -> int:
+        return len(self.shape)
+
+    @property
+    def size(self) -> int:
+        return int(np.prod(self.shape)) if self.shape else 1
+
+    @property
+    def nchunks(self) -> tuple[int, ...]:
+        return tuple(
+            -(-s // c) for s, c in zip(self.shape, self.chunks)
+        )  # ceil-div
+
+    # -- chunk IO ----------------------------------------------------------
+    def _chunk_key(self, chunk_idx: tuple[int, ...]) -> str:
+        name = self.dimension_separator.join(str(i) for i in chunk_idx) or "0"
+        return f"{self.path}/{name}" if self.path else name
+
+    def read_chunk(self, chunk_idx: tuple[int, ...]) -> np.ndarray:
+        """Decode one chunk to its full chunk-shaped ndarray (edge chunks
+        are stored at full chunk shape in v2)."""
+        raw = self.store.get(self._chunk_key(chunk_idx))
+        if raw is None:
+            fill = 0 if self.fill_value is None else self.fill_value
+            return np.full(self.chunks, fill, dtype=self.dtype)
+        if self.filters:
+            raise ValueError(
+                "zarr filters are not supported by the minimal reader"
+            )
+        buf = _decode_bytes(raw, self.compressor)
+        arr = np.frombuffer(buf, dtype=self.dtype)
+        if arr.size != int(np.prod(self.chunks)):
+            raise ValueError(
+                f"chunk {chunk_idx} has {arr.size} elements, expected "
+                f"{int(np.prod(self.chunks))}"
+            )
+        arr = arr.reshape(self.chunks, order=self.order)
+        if self.order == "F":
+            arr = np.ascontiguousarray(arr)
+        return arr
+
+    # -- orthogonal indexing ----------------------------------------------
+    def oindex(self, selection: tuple) -> np.ndarray:
+        """Orthogonal (outer) indexing with per-dim int/slice/list.
+
+        Only chunks intersecting the selection are fetched+decoded —
+        this is the reference's selection-pushdown-to-storage
+        (zarr_reader.py:311-322) and the basis for Spark partition
+        pruning.
+        """
+        if len(selection) != self.ndim:
+            raise ValueError(
+                f"selection has {len(selection)} entries for a "
+                f"{self.ndim}-D array"
+            )
+        idx_per_dim: list[np.ndarray] = []
+        squeeze: list[bool] = []
+        for d, sel in enumerate(selection):
+            n = self.shape[d]
+            if isinstance(sel, (int, np.integer)):
+                i = int(sel)
+                if i < 0:
+                    i += n
+                if not 0 <= i < n:
+                    raise IndexError(f"index {sel} out of bounds for dim {d} (size {n})")
+                idx_per_dim.append(np.array([i], dtype=np.int64))
+                squeeze.append(True)
+            elif isinstance(sel, slice):
+                idx_per_dim.append(np.arange(*sel.indices(n), dtype=np.int64))
+                squeeze.append(False)
+            else:  # integer list/array
+                arr = np.asarray(sel, dtype=np.int64)
+                arr = np.where(arr < 0, arr + n, arr)
+                if arr.size and (arr.min() < 0 or arr.max() >= n):
+                    raise IndexError(f"index out of bounds for dim {d} (size {n})")
+                idx_per_dim.append(arr)
+                squeeze.append(False)
+
+        out_shape = tuple(len(ix) for ix in idx_per_dim)
+        out = np.empty(out_shape, dtype=self.dtype)
+        if out.size:
+            chunk_of = [ix // c for ix, c in zip(idx_per_dim, self.chunks)]
+            within = [ix % c for ix, c in zip(idx_per_dim, self.chunks)]
+            uniq = [np.unique(co) for co in chunk_of]
+            for combo in itertools.product(*(u.tolist() for u in uniq)):
+                pos = [np.nonzero(chunk_of[d] == combo[d])[0] for d in range(self.ndim)]
+                if any(p.size == 0 for p in pos):
+                    continue
+                chunk = self.read_chunk(combo)
+                src = tuple(within[d][pos[d]] for d in range(self.ndim))
+                out[np.ix_(*pos)] = chunk[np.ix_(*src)]
+        sq = tuple(0 if s else slice(None) for s in squeeze)
+        return out[sq]
+
+    def __getitem__(self, selection) -> np.ndarray:
+        if not isinstance(selection, tuple):
+            selection = (selection,)
+        return self.oindex(selection)
+
+
+# --------------------------------------------------------------------------
+# Group / store metadata
+# --------------------------------------------------------------------------
+
+
+def _load_json(store: ByteStore, key: str) -> dict | None:
+    raw = store.get(key)
+    return None if raw is None else json.loads(raw.decode("utf-8"))
+
+
+@dataclass
+class ZarrV2Group:
+    """A zarr v2 group: arrays + subgroups + attributes."""
+
+    store: ByteStore
+    path: str = ""  # prefix inside store
+    consolidated: dict | None = None  # {".zgroup": {...}, "a/.zarray": ...}
+    attrs: dict = field(default_factory=dict)
+
+    def _key(self, *parts: str) -> str:
+        return "/".join(p for p in (self.path, *parts) if p)
+
+    def _meta(self, key: str) -> dict | None:
+        if self.consolidated is not None:
+            return self.consolidated.get(self._key(key) if self.path else key)
+        return _load_json(self.store, self._key(key))
+
+    def _child_meta(self, name: str, meta_file: str) -> dict | None:
+        if self.consolidated is not None:
+            return self.consolidated.get(self._key(name, meta_file))
+        return _load_json(self.store, self._key(name, meta_file))
+
+    # -- navigation --------------------------------------------------------
+    def subgroup(self, name: str) -> "ZarrV2Group":
+        for part in name.strip("/").split("/"):
+            gmeta = (
+                self.consolidated.get(self._key(part, ".zgroup"))
+                if self.consolidated is not None
+                else _load_json(self.store, self._key(part, ".zgroup"))
+            )
+            if gmeta is None:
+                raise KeyError(f"no subgroup {part!r} under {self.path!r}")
+            attrs = (
+                self.consolidated.get(self._key(part, ".zattrs"))
+                if self.consolidated is not None
+                else _load_json(self.store, self._key(part, ".zattrs"))
+            ) or {}
+            self = ZarrV2Group(
+                store=self.store,
+                path=self._key(part),
+                consolidated=self.consolidated,
+                attrs=attrs,
+            )
+        return self
+
+    def member_names(self) -> list[str]:
+        """Immediate children (array or group names)."""
+        if self.consolidated is not None:
+            prefix = f"{self.path}/" if self.path else ""
+            names = set()
+            for key in self.consolidated:
+                if not key.startswith(prefix):
+                    continue
+                rest = key[len(prefix):]
+                if "/" in rest:
+                    names.add(rest.split("/", 1)[0])
+            return sorted(names)
+        return [
+            n
+            for n in self.store.list_prefix(self.path)
+            if not n.startswith(".")
+        ]
+
+    def array_names(self) -> list[str]:
+        """Children that are arrays (have .zarray → shape+dtype), mirroring
+        the reference's 'has shape and dtype' filter (zarr_storage.py:312)."""
+        out = []
+        for n in self.member_names():
+            try:
+                if self._child_meta(n, ".zarray") is not None:
+                    out.append(n)
+            except Exception:  # skip unreadable members, like the reference
+                continue
+        return out
+
+    def get_array(self, name: str) -> ZarrV2Array:
+        zmeta = self._child_meta(name, ".zarray")
+        if zmeta is None:
+            raise KeyError(f"array {name!r} not found in group {self.path!r}")
+        attrs = self._child_meta(name, ".zattrs") or {}
+        if zmeta.get("zarr_format") != 2:
+            raise ValueError(
+                f"array {name!r}: only zarr v2 is supported by the minimal "
+                f"reader (zarr_format={zmeta.get('zarr_format')!r})"
+            )
+        return ZarrV2Array(
+            store=self.store,
+            path=self._key(name),
+            shape=tuple(zmeta["shape"]),
+            chunks=tuple(zmeta["chunks"]),
+            dtype=np.dtype(zmeta["dtype"]),
+            compressor=zmeta.get("compressor"),
+            fill_value=zmeta.get("fill_value"),
+            order=zmeta.get("order", "C"),
+            dimension_separator=zmeta.get("dimension_separator", "."),
+            filters=zmeta.get("filters"),
+            attrs=attrs,
+        )
+
+
+def open_group(
+    store_path: str,
+    storage_options: dict | None = None,
+    group: str | None = None,
+    consolidated: bool | None = None,
+) -> ZarrV2Group:
+    """Open a zarr v2 store read-only with the reference's consolidated-
+    metadata ladder (zarr_storage.py:213-283): try ``.zmetadata`` when
+    consolidated is True/None, fall back to per-file metadata, wrap
+    failures in ValueError."""
+    store = ByteStore.for_path(store_path, storage_options)
+
+    cmeta: dict | None = None
+    if consolidated is not False:
+        try:
+            doc = _load_json(store, ".zmetadata")
+            if doc is not None:
+                cmeta = doc["metadata"]
+        except Exception:
+            if consolidated is True:
+                raise ValueError(
+                    f"consolidated metadata requested but unreadable at "
+                    f"{store_path!r}/.zmetadata"
+                )
+            cmeta = None
+
+    root_group_meta = (
+        cmeta.get(".zgroup") if cmeta is not None else _load_json(store, ".zgroup")
+    )
+    root_array_meta = (
+        cmeta.get(".zarray") if cmeta is not None else _load_json(store, ".zarray")
+    )
+    if root_group_meta is None and root_array_meta is None:
+        raise ValueError(
+            f"failed to open zarr store at {store_path!r}: no .zgroup/.zarray "
+            "metadata found (is this a zarr v2 store?)"
+        )
+    attrs = (
+        cmeta.get(".zattrs") if cmeta is not None else _load_json(store, ".zattrs")
+    ) or {}
+    g = ZarrV2Group(store=store, path="", consolidated=cmeta, attrs=attrs)
+    if group:
+        g = g.subgroup(group)
+    return g
+
+
+# --------------------------------------------------------------------------
+# Writer (tests / demos / `read`-style round trips)
+# --------------------------------------------------------------------------
+
+
+def write_array(
+    root: str,
+    name: str,
+    data: np.ndarray,
+    chunks: tuple[int, ...] | None = None,
+    compressor: dict | None = None,
+    attrs: dict | None = None,
+    fill_value: Any = 0,
+) -> None:
+    """Write one array into a local zarr v2 store directory."""
+    store = LocalByteStore(root)
+    data = np.asarray(data)
+    if chunks is None:
+        chunks = tuple(min(s, 64) or 1 for s in data.shape)
+    zmeta = {
+        "zarr_format": 2,
+        "shape": list(data.shape),
+        "chunks": list(chunks),
+        "dtype": data.dtype.str,
+        "compressor": compressor,
+        "fill_value": fill_value,
+        "order": "C",
+        "filters": None,
+    }
+    store.put(f"{name}/.zarray", json.dumps(zmeta).encode())
+    store.put(f"{name}/.zattrs", json.dumps(attrs or {}).encode())
+    nchunks = tuple(-(-s // c) for s, c in zip(data.shape, chunks)) or ()
+    for idx in itertools.product(*(range(n) for n in nchunks)) if nchunks else [()]:
+        sl = tuple(
+            slice(i * c, min((i + 1) * c, s))
+            for i, c, s in zip(idx, chunks, data.shape)
+        )
+        block = data[sl]
+        # v2 stores edge chunks padded to full chunk shape
+        if block.shape != tuple(chunks):
+            padded = np.full(chunks, fill_value if fill_value is not None else 0, dtype=data.dtype)
+            padded[tuple(slice(0, e) for e in block.shape)] = block
+            block = padded
+        key = f"{name}/{'.'.join(str(i) for i in idx) or '0'}"
+        store.put(key, _encode_bytes(np.ascontiguousarray(block).tobytes(), compressor))
+
+
+def write_group(
+    root: str,
+    arrays: dict[str, np.ndarray],
+    dims: dict[str, tuple[str, ...]] | None = None,
+    coords: dict[str, np.ndarray] | None = None,
+    chunks: dict[str, tuple[int, ...]] | None = None,
+    attrs: dict | None = None,
+    compressor: dict | None = {"id": "zlib", "level": 5},
+    consolidate: bool = True,
+    group_attrs: dict | None = None,
+) -> str:
+    """Write a local zarr v2 store: data arrays + 1-D coordinate arrays
+    named after dimensions (the xarray `_ARRAY_DIMENSIONS` convention
+    the reference relies on, zarr_storage.py:392-395)."""
+    store = LocalByteStore(root)
+    store.put(".zgroup", json.dumps({"zarr_format": 2}).encode())
+    store.put(".zattrs", json.dumps(group_attrs or {}).encode())
+    dims = dims or {}
+    for name, data in arrays.items():
+        a_attrs = dict((attrs or {}).get(name, {})) if attrs else {}
+        if name in dims:
+            a_attrs["_ARRAY_DIMENSIONS"] = list(dims[name])
+        write_array(
+            root,
+            name,
+            data,
+            chunks=(chunks or {}).get(name),
+            compressor=compressor,
+            attrs=a_attrs,
+        )
+    for cname, cdata in (coords or {}).items():
+        write_array(
+            root,
+            cname,
+            np.asarray(cdata),
+            compressor=compressor,
+            attrs={"_ARRAY_DIMENSIONS": [cname]},
+        )
+    if consolidate:
+        consolidate_metadata(root)
+    return root
+
+
+def consolidate_metadata(root: str) -> None:
+    """Build ``.zmetadata`` from per-file metadata (one S3 GET at open
+    time instead of N — the reference's fast-open path)."""
+    meta: dict[str, Any] = {}
+    for dirpath, _dirnames, filenames in os.walk(root):
+        rel = os.path.relpath(dirpath, root)
+        rel = "" if rel == "." else rel.replace(os.sep, "/")
+        for fn in filenames:
+            if fn in (".zgroup", ".zattrs", ".zarray"):
+                key = f"{rel}/{fn}" if rel else fn
+                with open(os.path.join(dirpath, fn), "rb") as f:
+                    meta[key] = json.loads(f.read().decode())
+    doc = {"metadata": meta, "zarr_consolidated_format": 1}
+    with open(os.path.join(root, ".zmetadata"), "wb") as f:
+        f.write(json.dumps(doc).encode())

@@ -1,0 +1,86 @@
+"""Top-level zarr scan API (reference zarr_scanner.py:73-273).
+
+``scan_data`` mirrors the reference entry point: one array → one
+DataFrame; ``array_name=None`` → dict of DataFrames for every array.
+``get_zarr_data_info`` is the metadata-only fast path (no data read,
+no Spark job). ``register_zarr_source`` enables
+``spark.read.format("zarr")``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cae_polars_tools_spark.sources.zarr_reader import (
+    DEFAULT_CHUNK_SIZE,
+    ZarrDataReader,
+)
+from cae_polars_tools_spark.sources.zarr_store import ZarrStore
+
+
+def scan_data(
+    spark: SparkSession,
+    store_path: str,
+    array_name: str | None = None,
+    storage_options: dict | None = None,
+    group: str | None = None,
+    consolidated: bool | None = None,
+    select_dims: dict[str, Any] | None = None,
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    streaming: bool = True,
+) -> DataFrame | dict[str, DataFrame]:
+    """Scan zarr array(s) into long-format DataFrame(s).
+
+    Signature follows the reference ``scan_data`` (zarr_scanner.py:73-96)
+    with a leading SparkSession. Selection is positional
+    (int / slice / list[int]); an int selection drops the dimension
+    (SURVEY §2.3). ``streaming=False`` reads eagerly on the driver
+    (small arrays only); default is the distributed partitioned scan.
+    """
+    reader = ZarrDataReader(
+        spark,
+        store_path,
+        storage_options=storage_options,
+        group=group,
+        consolidated=consolidated,
+        chunk_size=chunk_size,
+    )
+    if array_name is not None:
+        return reader.read_array(array_name, select_dims=select_dims, streaming=streaming)
+    return {
+        name: reader.read_array(name, select_dims=select_dims, streaming=streaming)
+        for name in reader.list_arrays()
+    }
+
+
+def get_zarr_data_info(
+    store_path: str,
+    storage_options: dict | None = None,
+    group: str | None = None,
+    consolidated: bool | None = None,
+) -> dict[str, Any]:
+    """Metadata-only store inspection (reference zarr_scanner.py:186-268):
+    ``{store_path, group, arrays: {name: info}}``; reads no array data
+    and launches no Spark job."""
+    store = ZarrStore(
+        store_path,
+        storage_options=storage_options,
+        group=group,
+        consolidated=consolidated,
+    )
+    return {
+        "store_path": store_path,
+        "group": group,
+        "arrays": {
+            name: store.get_array_info(name) for name in store.list_arrays()
+        },
+    }
+
+
+def register_zarr_source(spark: SparkSession) -> None:
+    """Enable ``spark.read.format("zarr")`` for this session."""
+    from cae_polars_tools_spark.sources.zarr_datasource import ZarrDataSource
+
+    spark.dataSource.register(ZarrDataSource)

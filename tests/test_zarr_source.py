@@ -1,0 +1,396 @@
+"""Layer-A semantics tests — ports of the reference's oracle checks
+(SURVEY.md §5) against REAL local zarr v2 stores (no mocks)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from cae_polars_tools_spark.sources.zarr_format import write_group
+from cae_polars_tools_spark.sources.zarr_reader import ZarrDataReader
+from cae_polars_tools_spark.sources.zarr_scan import (
+    get_zarr_data_info,
+    register_zarr_source,
+    scan_data,
+)
+
+
+@pytest.fixture(scope="module")
+def climate_store(tmp_path_factory):
+    """Reference conftest-style fixture: temperature/precipitation
+    float32 (12,10,15) with dims time/lat/lon, coords time int32
+    arange(12), lat float32 linspace(30,50,10), lon float32
+    linspace(-120,-100,15) (reference conftest.py:17-49)."""
+    root = str(tmp_path_factory.mktemp("stores") / "climate.zarr")
+    rng = np.random.default_rng(42)
+    temp = (15 + 10 * rng.standard_normal((12, 10, 15))).astype(np.float32)
+    precip = rng.gamma(2.0, 2.0, (12, 10, 15)).astype(np.float32)
+    write_group(
+        root,
+        arrays={"temperature": temp, "precipitation": precip},
+        dims={
+            "temperature": ("time", "lat", "lon"),
+            "precipitation": ("time", "lat", "lon"),
+        },
+        coords={
+            "time": np.arange(12, dtype=np.int32),
+            "lat": np.linspace(30, 50, 10, dtype=np.float32),
+            "lon": np.linspace(-120, -100, 15, dtype=np.float32),
+        },
+        chunks={"temperature": (6, 5, 8), "precipitation": (6, 5, 8)},
+        attrs={"temperature": {"units": "celsius"}},
+    )
+    return root, temp, precip
+
+
+def sorted_rows(df):
+    return df.orderBy(*df.columns).collect()
+
+
+# -- long-format output model ------------------------------------------------
+
+
+def test_scan_long_format(spark, climate_store):
+    root, temp, _ = climate_store
+    df = scan_data(spark, root, "temperature")
+    assert df.columns == ["time", "lat", "lon", "value"]
+    assert df.count() == 12 * 10 * 15
+
+
+def test_exact_expansion_order_and_values(spark, climate_store):
+    """2-D grid value order oracle (test_polars_converter.py:130-151) —
+    every (coord…, value) combination present with C-order pairing."""
+    root, temp, _ = climate_store
+    df = scan_data(spark, root, "temperature").toPandas()
+    time = np.arange(12, dtype=np.int32)
+    lat = np.linspace(30, 50, 10, dtype=np.float32)
+    lon = np.linspace(-120, -100, 15, dtype=np.float32)
+    # reconstruct expected long format in C order
+    exp_time = np.repeat(time, 10 * 15)
+    exp_lat = np.tile(np.repeat(lat, 15), 12)
+    exp_lon = np.tile(lon, 12 * 10)
+    got = df.sort_values(["time", "lat", "lon"]).reset_index(drop=True)
+    exp = (
+        np.stack([exp_time, exp_lat, exp_lon], axis=1),
+        temp.ravel(),
+    )
+    order = np.lexsort((exp_lon, exp_lat, exp_time))
+    assert np.array_equal(got["time"].to_numpy(), exp_time[order])
+    assert np.allclose(got["lat"].to_numpy(), exp_lat[order])
+    assert np.allclose(got["lon"].to_numpy(), exp_lon[order])
+    assert np.allclose(got["value"].to_numpy(), exp[1][order])
+
+
+# -- dtype preservation (test_polars_converter.py:198-215) -------------------
+
+
+@pytest.mark.parametrize(
+    "np_dtype,spark_type",
+    [
+        (np.int32, "int"),
+        (np.int64, "bigint"),
+        (np.float32, "float"),
+        (np.float64, "double"),
+        (np.int16, "smallint"),
+        (np.uint8, "smallint"),  # documented widening
+        (np.uint32, "bigint"),  # documented widening
+    ],
+)
+def test_dtype_preservation(spark, tmp_path, np_dtype, spark_type):
+    root = str(tmp_path / "dt.zarr")
+    data = np.arange(24, dtype=np_dtype).reshape(4, 6)
+    write_group(root, arrays={"a": data}, dims={"a": ("x", "y")})
+    df = scan_data(spark, root, "a")
+    assert dict(df.dtypes)["value"] == spark_type
+    total = df.count()
+    assert total == 24
+
+
+def test_coord_dtype_preserved(spark, climate_store):
+    root, _, _ = climate_store
+    df = scan_data(spark, root, "temperature")
+    dtypes = dict(df.dtypes)
+    assert dtypes == {
+        "time": "int",  # int32 coord preserved
+        "lat": "float",  # float32 coord preserved
+        "lon": "float",
+        "value": "float",
+    }
+
+
+# -- selection semantics (SURVEY §2.3) --------------------------------------
+
+
+def test_int_selection_drops_dimension(spark, climate_store):
+    """test_coordinate_processor.py:136-149: int → dim dropped."""
+    root, temp, _ = climate_store
+    df = scan_data(spark, root, "temperature", select_dims={"time": 5})
+    assert df.columns == ["lat", "lon", "value"]
+    assert df.count() == 10 * 15
+    got = (
+        df.toPandas().sort_values(["lat", "lon"]).reset_index(drop=True)
+    )
+    assert np.allclose(got["value"].to_numpy(), temp[5].ravel())
+
+
+def test_slice_and_list_selection(spark, climate_store):
+    root, temp, _ = climate_store
+    df = scan_data(
+        spark,
+        root,
+        "temperature",
+        select_dims={"time": slice(0, 6), "lat": [0, 3, 7], "lon": slice(2, 10, 2)},
+    )
+    assert df.columns == ["time", "lat", "lon", "value"]
+    assert df.count() == 6 * 3 * 4
+    sub = temp[0:6][:, [0, 3, 7]][:, :, 2:10:2]
+    got = df.toPandas().sort_values(["time", "lat", "lon"]).reset_index(drop=True)
+    lat = np.linspace(30, 50, 10, dtype=np.float32)[[0, 3, 7]]
+    lon = np.linspace(-120, -100, 15, dtype=np.float32)[2:10:2]
+    exp_vals = sub.ravel()
+    exp_time = np.repeat(np.arange(6, dtype=np.int32), 3 * 4)
+    exp_lat = np.tile(np.repeat(lat, 4), 6)
+    exp_lon = np.tile(lon, 6 * 3)
+    order = np.lexsort((exp_lon, exp_lat, exp_time))
+    assert np.allclose(got["value"].to_numpy(), exp_vals[order])
+
+
+def test_unknown_selector_selects_all(spark, climate_store):
+    """coordinate_processor.py:209-211: unknown type → slice(None)."""
+    root, _, _ = climate_store
+    df = scan_data(spark, root, "temperature", select_dims={"time": "not-a-sel"})
+    assert df.count() == 12 * 10 * 15
+
+
+def test_selection_prunes_reads(spark, climate_store):
+    """Selection pushdown: a single-chunk selection must not read all
+    chunks. Verified behaviorally: value correctness on a store where
+    we can count — here we just assert the selected scan result is
+    exact (pruning is structural: oindex only touches needed chunks)."""
+    root, temp, _ = climate_store
+    df = scan_data(
+        spark, root, "temperature", select_dims={"time": slice(0, 3), "lat": 0}
+    )
+    assert df.columns == ["time", "lon", "value"]
+    got = df.toPandas().sort_values(["time", "lon"]).reset_index(drop=True)
+    assert np.allclose(
+        got["value"].to_numpy(),
+        temp[0:3, 0, :].ravel(),
+    )
+
+
+# -- missing coords / NaN / empty / scalar ----------------------------------
+
+
+def test_missing_coords_fall_back_to_indices(spark, tmp_path):
+    """test_polars_converter.py:84-102: no coord arrays → int64 indices."""
+    root = str(tmp_path / "nocoord.zarr")
+    data = np.arange(12, dtype=np.float64).reshape(3, 4)
+    write_group(root, arrays={"a": data}, dims={"a": ("x", "y")})
+    df = scan_data(spark, root, "a")
+    assert dict(df.dtypes) == {"x": "bigint", "y": "bigint", "value": "double"}
+    got = df.toPandas().sort_values(["x", "y"]).reset_index(drop=True)
+    assert got["x"].tolist() == [0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2]
+    assert got["y"].tolist() == [0, 1, 2, 3] * 3
+    assert np.allclose(got["value"], data.ravel())
+
+
+def test_unnamed_dims_get_default_names(spark, tmp_path):
+    """zarr_reader.py:302-305: no _ARRAY_DIMENSIONS → dim_0..dim_{n-1}."""
+    root = str(tmp_path / "nodims.zarr")
+    write_group(root, arrays={"a": np.ones((2, 2), dtype=np.float32)})
+    df = scan_data(spark, root, "a")
+    assert df.columns == ["dim_0", "dim_1", "value"]
+
+
+def test_nan_inf_passthrough(spark, tmp_path):
+    """test_polars_converter.py:153-168: NaN/±Inf preserved as floats,
+    NOT converted to null (SURVEY §2.3.5)."""
+    root = str(tmp_path / "naninf.zarr")
+    data = np.array([1.0, np.nan, np.inf, -np.inf], dtype=np.float64)
+    write_group(root, arrays={"a": data}, dims={"a": ("x",)})
+    df = scan_data(spark, root, "a")
+    from pyspark.sql import functions as F
+
+    agg = df.agg(
+        F.sum(F.isnan("value").cast("int")).alias("nans"),
+        F.sum((F.abs("value") == float("inf")).cast("int")).alias("infs"),
+        F.sum(F.col("value").isNull().cast("int")).alias("nulls"),
+    ).collect()[0]
+    assert agg["nans"] == 1
+    assert agg["infs"] == 2
+    assert agg["nulls"] == 0
+
+
+def test_empty_array(spark, tmp_path):
+    """polars_converter.py:300-301: empty → 0-row frame, correct cols."""
+    root = str(tmp_path / "empty.zarr")
+    write_group(
+        root,
+        arrays={"a": np.empty((0, 4), dtype=np.float32)},
+        dims={"a": ("x", "y")},
+    )
+    df = scan_data(spark, root, "a")
+    assert df.columns == ["x", "y", "value"]
+    assert df.count() == 0
+
+
+def test_scalar_array(spark, tmp_path):
+    """test_polars_converter.py:217-229: 0-D → single-row {value} frame."""
+    root = str(tmp_path / "scalar.zarr")
+    write_group(root, arrays={"a": np.array(42.5, dtype=np.float64)})
+    df = scan_data(spark, root, "a")
+    assert df.columns == ["value"]
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["value"] == 42.5
+
+
+def test_1d_array(spark, tmp_path):
+    root = str(tmp_path / "one.zarr")
+    write_group(
+        root,
+        arrays={"a": np.array([5, 6, 7], dtype=np.int64)},
+        dims={"a": ("x",)},
+        coords={"x": np.array([10, 20, 30], dtype=np.int64)},
+    )
+    df = scan_data(spark, root, "a")
+    got = df.toPandas().sort_values("x").reset_index(drop=True)
+    assert got["x"].tolist() == [10, 20, 30]
+    assert got["value"].tolist() == [5, 6, 7]
+
+
+# -- streaming ≡ non-streaming / chunk-size invariance ----------------------
+
+
+def test_streaming_equals_eager(spark, climate_store):
+    """test_polars_converter.py:291-313: partitioned read ≡ driver-eager
+    read after sort."""
+    root, _, _ = climate_store
+    a = scan_data(spark, root, "temperature", streaming=True).toPandas()
+    b = scan_data(spark, root, "temperature", streaming=False).toPandas()
+    key = ["time", "lat", "lon"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert np.allclose(a["value"], b["value"])
+    assert (a[key].to_numpy() == b[key].to_numpy()).all()
+
+
+@pytest.mark.parametrize("chunk_size", [7, 100, 10_000])
+def test_chunk_size_invariance(spark, climate_store, chunk_size):
+    """test_polars_converter.py:275-289: result independent of window
+    size (= Spark partition count)."""
+    root, temp, _ = climate_store
+    df = scan_data(spark, root, "temperature", chunk_size=chunk_size)
+    got = df.toPandas().sort_values(["time", "lat", "lon"]).reset_index(drop=True)
+    assert len(got) == temp.size
+    assert np.isclose(got["value"].sum(), float(temp.sum(dtype=np.float64)), rtol=1e-6)
+
+
+# -- multi-array / join (README.md:141-148) ---------------------------------
+
+
+def test_read_multiple_arrays_and_join(spark, climate_store):
+    root, temp, precip = climate_store
+    reader = ZarrDataReader(spark, root)
+    frames = reader.read_multiple_arrays(["temperature", "precipitation"])
+    t = frames["temperature"].withColumnRenamed("value", "t")
+    p = frames["precipitation"].withColumnRenamed("value", "p")
+    joined = t.join(p, on=["time", "lat", "lon"], how="inner")
+    assert joined.count() == 12 * 10 * 15
+
+
+# -- metadata / info / errors -----------------------------------------------
+
+
+def test_get_zarr_data_info(climate_store):
+    root, _, _ = climate_store
+    info = get_zarr_data_info(root)
+    assert info["store_path"] == root
+    names = set(info["arrays"])
+    # coordinate arrays are themselves arrays, like the reference
+    assert {"temperature", "precipitation", "time", "lat", "lon"} <= names
+    t = info["arrays"]["temperature"]
+    assert t["shape"] == (12, 10, 15)
+    assert t["chunks"] == (6, 5, 8)
+    assert t["dimensions"] == ["time", "lat", "lon"]
+    assert t["dtype"] == "float32"
+    assert t["attributes"]["units"] == "celsius"
+
+
+def test_missing_array_raises_keyerror(spark, climate_store):
+    """test_zarr_storage.py:178-189 error contract."""
+    root, _, _ = climate_store
+    with pytest.raises(KeyError):
+        ZarrDataReader(spark, root).store.get_array("nope")
+
+
+def test_bad_store_raises_valueerror(spark, tmp_path):
+    """test_zarr_storage.py:116-126: open failure wraps in ValueError."""
+    with pytest.raises(ValueError):
+        ZarrDataReader(spark, str(tmp_path / "missing.zarr")).list_arrays()
+
+
+def test_consolidated_fallback(spark, tmp_path):
+    """test_zarr_storage.py:100-114: store without .zmetadata opens via
+    the fallback ladder."""
+    import os
+
+    root = str(tmp_path / "noconsol.zarr")
+    write_group(
+        root,
+        arrays={"a": np.arange(6, dtype=np.int32).reshape(2, 3)},
+        dims={"a": ("x", "y")},
+        consolidate=False,
+    )
+    assert not os.path.exists(os.path.join(root, ".zmetadata"))
+    df = scan_data(spark, root, "a")
+    assert df.count() == 6
+
+
+def test_group_navigation(spark, tmp_path):
+    """Hierarchical groups via group= (zarr_storage.py:276-278)."""
+    import json
+    import os
+
+    root = str(tmp_path / "grouped.zarr")
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+    sub = os.path.join(root, "model1")
+    os.makedirs(sub, exist_ok=True)
+    with open(os.path.join(sub, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+    write_group(sub, arrays={"a": np.ones((2, 2), dtype=np.float32)}, consolidate=False)
+    df = scan_data(spark, root, "a", group="model1")
+    assert df.count() == 4
+
+
+# -- spark.read.format("zarr") ----------------------------------------------
+
+
+def test_datasource_format(spark, climate_store):
+    root, temp, _ = climate_store
+    register_zarr_source(spark)
+    df = (
+        spark.read.format("zarr")
+        .option("array", "temperature")
+        .option("select_dims", '{"time": {"start": 0, "stop": 3}}')
+        .load(root)
+    )
+    assert df.columns == ["time", "lat", "lon", "value"]
+    assert df.count() == 3 * 10 * 15
+    got = df.toPandas().sort_values(["time", "lat", "lon"]).reset_index(drop=True)
+    assert np.allclose(got["value"].to_numpy().sum(), temp[:3].sum(dtype=np.float64), rtol=1e-6)
+
+
+def test_datasource_int_selection(spark, climate_store):
+    root, temp, _ = climate_store
+    register_zarr_source(spark)
+    df = (
+        spark.read.format("zarr")
+        .option("array", "temperature")
+        .option("select_dims", '{"lat": 2}')
+        .load(root)
+    )
+    assert df.columns == ["time", "lon", "value"]
+    assert df.count() == 12 * 15
