@@ -1,0 +1,267 @@
+"""Command-line interface: ``info`` / ``read`` / ``benchmark``.
+
+Mirrors the reference CLI's shape (reference cli.py:347-453 —
+argparse subcommands, storage-options parsing as JSON or k=v pairs,
+errors to stderr with exit 1) with two deliberate improvements:
+
+* ``--select-dims`` supports slices from the CLI via ``dim=start:stop``
+  / ``dim=start:stop:step`` syntax (the reference's literal-eval parser
+  could not express slices, reference cli.py:334-337);
+* ``benchmark`` reports the reference's metric set (read seconds =
+  DataFrame creation, collect seconds = materialization, total, rows,
+  estimated MB; reference cli.py:234-250).
+
+Usage::
+
+    python -m cae_polars_tools_spark.cli info  /path/store.zarr
+    python -m cae_polars_tools_spark.cli read  /path/store.zarr temperature \
+        --select-dims 'time=0:12,lat=3' -o out.parquet
+    python -m cae_polars_tools_spark.cli benchmark /path/store.zarr
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import json
+import sys
+import time
+from typing import Any
+
+
+# ---------------------------------------------------------------------------
+# Option parsers (reference cli.py:257-344)
+# ---------------------------------------------------------------------------
+
+
+def parse_storage_options(text: str | None) -> dict | None:
+    """JSON dict, or comma-separated ``k=v`` pairs (reference
+    cli.py:257-300). Values 'true'/'false' become booleans."""
+    if not text:
+        return None
+    try:
+        out = json.loads(text)
+        if not isinstance(out, dict):
+            raise ValueError("storage options JSON must be an object")
+        return out
+    except json.JSONDecodeError:
+        pass
+    out: dict[str, Any] = {}
+    for pair in text.split(","):
+        if "=" not in pair:
+            raise ValueError(
+                f"invalid storage option {pair!r}: expected JSON or k=v pairs"
+            )
+        k, v = pair.split("=", 1)
+        v = v.strip()
+        if v.lower() in ("true", "false"):
+            out[k.strip()] = v.lower() == "true"
+        else:
+            out[k.strip()] = v
+    return out
+
+
+def parse_select_dims(text: str | None) -> dict | None:
+    """Selection parser: JSON/python-literal dict, or comma-separated
+    ``dim=spec`` entries where spec is an int, ``[i,j,k]``, or a slice
+    ``start:stop[:step]`` (empty endpoints allowed, e.g. ``time=:12``)."""
+    if not text:
+        return None
+    # whole-string literal dict (reference used ast.literal_eval)
+    try:
+        val = ast.literal_eval(text)
+        if isinstance(val, dict):
+            return val
+    except (ValueError, SyntaxError):
+        pass
+    out: dict[str, Any] = {}
+    depth = 0
+    entries: list[str] = []
+    cur = ""
+    for ch in text:
+        if ch == "," and depth == 0:
+            entries.append(cur)
+            cur = ""
+            continue
+        if ch in "[(":
+            depth += 1
+        elif ch in "])":
+            depth -= 1
+        cur += ch
+    if cur:
+        entries.append(cur)
+    for entry in entries:
+        if "=" not in entry:
+            raise ValueError(f"invalid select-dims entry {entry!r}")
+        dim, spec = entry.split("=", 1)
+        dim, spec = dim.strip(), spec.strip()
+        if ":" in spec:
+            parts = spec.split(":")
+            if len(parts) > 3:
+                raise ValueError(f"invalid slice {spec!r}")
+            nums = [int(p) if p else None for p in parts]
+            nums += [None] * (3 - len(nums))
+            out[dim] = slice(*nums)
+        else:
+            out[dim] = ast.literal_eval(spec)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Commands
+# ---------------------------------------------------------------------------
+
+
+def info_command(args) -> int:
+    """Metadata-only inspection → JSON (reference cli.py:42-96)."""
+    from cae_polars_tools_spark.sources.zarr_scan import get_zarr_data_info
+
+    info = get_zarr_data_info(
+        args.store_path,
+        storage_options=parse_storage_options(args.storage_options),
+        group=args.group,
+        consolidated=args.consolidated,
+    )
+    text = json.dumps(info, indent=2, default=str)
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(text)
+        print(f"Info written to {args.output}")
+    else:
+        print(text)
+    return 0
+
+
+def _session():
+    from cae_polars_tools_spark.session import get_spark
+
+    spark = get_spark(app_name="cae-polars-tools-spark-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def read_command(args) -> int:
+    """Scan an array and sink to Parquet (reference cli.py:99-169);
+    default output ``{array}.parquet``."""
+    from cae_polars_tools_spark.sources.zarr_scan import scan_data
+
+    spark = _session()
+    df = scan_data(
+        spark,
+        args.store_path,
+        args.array_name,
+        storage_options=parse_storage_options(args.storage_options),
+        group=args.group,
+        select_dims=parse_select_dims(args.select_dims),
+        chunk_size=args.chunk_size,
+        streaming=not args.no_streaming,
+    )
+    output = args.output or f"{args.array_name}.parquet"
+    df.write.mode("overwrite").parquet(output)
+    n = spark.read.parquet(output).count()
+    print(f"Wrote {n} rows x {len(df.columns)} columns to {output}")
+    print(f"Columns: {df.columns}")
+    return 0
+
+
+def benchmark_command(args) -> int:
+    """Time DataFrame creation vs materialization (reference
+    cli.py:172-254). Defaults to the first array when none given."""
+    from cae_polars_tools_spark.sources.zarr_scan import scan_data
+    from cae_polars_tools_spark.sources.zarr_store import ZarrStore
+
+    spark = _session()
+    storage_options = parse_storage_options(args.storage_options)
+    store = ZarrStore(args.store_path, storage_options=storage_options, group=args.group)
+    arrays = store.list_arrays()
+    if not arrays:
+        print("No arrays found in store", file=sys.stderr)
+        return 1
+    name = args.array_name or arrays[0]
+    info = store.get_array_info(name)
+
+    t0 = time.perf_counter()
+    df = scan_data(
+        spark,
+        args.store_path,
+        name,
+        storage_options=storage_options,
+        group=args.group,
+        streaming=not args.no_streaming,
+    )
+    read_s = time.perf_counter() - t0
+
+    t1 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    collect_s = time.perf_counter() - t1
+
+    est_mb = info["size_bytes"] / 1e6
+    print(f"Array: {name}  shape={info['shape']}  dtype={info['dtype']}")
+    print(f"Read (DataFrame creation): {read_s:.4f} s")
+    print(f"Collect (materialization): {collect_s:.4f} s")
+    print(f"Total: {read_s + collect_s:.4f} s")
+    print(f"Estimated data size: {est_mb:.2f} MB")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# Parser / main (reference cli.py:347-453)
+# ---------------------------------------------------------------------------
+
+
+def create_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="cae-polars-tools-spark",
+        description="PySpark-native zarr analytics engine CLI",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument("store_path", help="zarr store path or URL")
+        sp.add_argument("--group", default=None, help="subgroup within the store")
+        sp.add_argument(
+            "--storage-options",
+            default=None,
+            help='fsspec options as JSON or k=v,k=v (e.g. \'{"anon": true}\')',
+        )
+
+    sp = sub.add_parser("info", help="store metadata as JSON (no data read)")
+    common(sp)
+    sp.add_argument("--consolidated", action="store_true", default=None)
+    sp.add_argument("-o", "--output", default=None, help="write JSON here")
+    sp.set_defaults(func=info_command)
+
+    sp = sub.add_parser("read", help="scan an array and write Parquet")
+    common(sp)
+    sp.add_argument("array_name", help="array to read")
+    sp.add_argument(
+        "--select-dims",
+        default=None,
+        help="dimension selection: 'time=0:12,lat=3,lon=[0,2,4]' or a dict literal",
+    )
+    sp.add_argument("--chunk-size", type=int, default=10_000)
+    sp.add_argument("--no-streaming", action="store_true")
+    sp.add_argument("-o", "--output", default=None, help="parquet output path")
+    sp.set_defaults(func=read_command)
+
+    sp = sub.add_parser("benchmark", help="time read vs materialization")
+    common(sp)
+    sp.add_argument("--array-name", default=None)
+    sp.add_argument("--no-streaming", action="store_true")
+    sp.set_defaults(func=benchmark_command)
+
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = create_parser()
+    args = parser.parse_args(argv)
+    try:
+        return args.func(args)
+    except Exception as e:  # errors to stderr, exit 1 (reference cli.py:94-96)
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,111 @@
+"""CLI contracts (reference test_cli.py: parser + per-command paths)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from cae_polars_tools_spark.cli import (
+    main,
+    parse_select_dims,
+    parse_storage_options,
+)
+from cae_polars_tools_spark.sources.zarr_format import write_group
+
+
+# -- option parsing (reference test_cli.py:55-113) --------------------------
+
+
+def test_storage_options_json():
+    assert parse_storage_options('{"anon": true, "key": "k"}') == {
+        "anon": True,
+        "key": "k",
+    }
+
+
+def test_storage_options_kv():
+    assert parse_storage_options("anon=true,key=abc") == {"anon": True, "key": "abc"}
+
+
+def test_storage_options_invalid():
+    with pytest.raises(ValueError):
+        parse_storage_options("not valid at all")
+
+
+def test_storage_options_empty():
+    assert parse_storage_options(None) is None
+    assert parse_storage_options("") is None
+
+
+def test_select_dims_literal_dict():
+    assert parse_select_dims("{'time': 5, 'lat': [1, 2]}") == {
+        "time": 5,
+        "lat": [1, 2],
+    }
+
+
+def test_select_dims_kv_with_slices():
+    out = parse_select_dims("time=0:12,lat=3,lon=[0,2,4],lev=::2")
+    assert out == {
+        "time": slice(0, 12, None),
+        "lat": 3,
+        "lon": [0, 2, 4],
+        "lev": slice(None, None, 2),
+    }
+
+
+def test_select_dims_invalid():
+    with pytest.raises(ValueError):
+        parse_select_dims("time 0:12")
+
+
+# -- commands ----------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def store(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cli") / "s.zarr")
+    write_group(
+        root,
+        arrays={"a": np.arange(12, dtype=np.float32).reshape(3, 4)},
+        dims={"a": ("x", "y")},
+        coords={"x": np.array([10, 20, 30], dtype=np.int64)},
+    )
+    return root
+
+
+def test_info_command(store, capsys):
+    assert main(["info", store]) == 0
+    doc = json.loads(capsys.readouterr().out)
+    assert doc["store_path"] == store
+    assert doc["arrays"]["a"]["shape"] == [3, 4] or doc["arrays"]["a"]["shape"] == (3, 4)
+
+
+def test_info_command_output_file(store, tmp_path, capsys):
+    out = str(tmp_path / "info.json")
+    assert main(["info", store, "-o", out]) == 0
+    assert json.loads(open(out).read())["arrays"]["a"]["dtype"] == "float32"
+
+
+def test_read_command(store, tmp_path, spark, capsys):
+    out = str(tmp_path / "a.parquet")
+    assert main(["read", store, "a", "--select-dims", "x=0:2", "-o", out]) == 0
+    msg = capsys.readouterr().out
+    assert "8 rows" in msg
+    assert spark.read.parquet(out).count() == 8
+
+
+def test_benchmark_command(store, spark, capsys):
+    assert main(["benchmark", store, "--array-name", "a"]) == 0
+    out = capsys.readouterr().out
+    assert "Read (DataFrame creation):" in out
+    assert "Collect (materialization):" in out
+    assert "Total:" in out
+
+
+def test_error_exit_code(capsys):
+    assert main(["info", "/no/such/store.zarr"]) == 1
+    assert "Error:" in capsys.readouterr().err
