@@ -1,1 +1,438 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication operators for 100 TB-scale corpora.
+
+Five strategies, each a corpus entry:
+
+* **exact** — md5-fingerprint hash-aggregation; one shuffle on the
+  fingerprint with map-side combine.
+* **n-gram Jaccard** — exact similarity join via a shingle inverted
+  index; shuffles are bounded by (doc, shingle) pairs, and candidate
+  generation never materializes the full pair matrix.
+* **MinHash + LSH** — the sub-quadratic scale path: K=96 permutations,
+  32 bands × 3 rows; candidates from band-bucket equality, then exact
+  Jaccard verification of candidates only. With these parameters a
+  true jaccard≥0.8 pair is missed with probability (1−0.8³)³² ≈ 1e-10,
+  so the output is (whp) identical to the exact join — and is checked
+  against the *exact* SQL oracle.
+* **SimHash** — 64-bit signatures via per-bit majority of token
+  hashes; near-dup candidates from 16-bit band equality + Hamming
+  verification (bit_count), all JVM-side.
+* **embedding cosine** — near-dup pairs over `array<float>` vectors,
+  blocked by a partition key (`label`) so the self-join is
+  block-diagonal, never all-pairs.
+
+All numeric hashing uses Spark's xxhash64 (JVM, codegen) — Python
+never touches the row path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cae_polars_tools_spark.io import read_table
+from cae_polars_tools_spark.operators.text import (
+    FINGERPRINT_SQL,
+    fingerprint,
+    tokens,
+)
+from cae_polars_tools_spark.plans.registry import register
+
+NGRAM = 5
+JACCARD_THRESHOLD = 0.8
+
+# MinHash parameters (seeded, deterministic across runs/engines)
+MINHASH_K = 96
+LSH_BANDS = 32
+LSH_ROWS = 3
+_MERSENNE_P = 4294967311  # prime > 2^32
+
+
+def shingles(col: Column | str) -> Column:
+    """Distinct word-``NGRAM`` shingles per document (order-preserving
+    construction, then dedup)."""
+    t = tokens(col)
+    n = F.size(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - (NGRAM - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(t, i, NGRAM), " "))
+    )
+
+
+SHINGLES_SQL = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len(string_split(text, ' ')) - 4, 0)), "
+    "i -> array_to_string((string_split(text, ' '))[i:i+4], ' ')))"
+)
+
+_EXACT_JACCARD_SQL = f"""
+    WITH sh AS (
+        SELECT doc_id, {SHINGLES_SQL} AS s FROM documents
+    ),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    pairs AS (
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS inter
+        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+    SELECT p.doc_id_a,
+           p.doc_id_b,
+           CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.doc_id_a = sa.doc_id
+    JOIN sizes sb ON p.doc_id_b = sb.doc_id
+    WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+        SELECT {FINGERPRINT_SQL} AS fp,
+               MIN(doc_id) AS canonical_doc_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY 1
+    """,
+    tags=("dedup", "extension"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by md5(normalized text), keep the smallest
+    doc_id as canonical (deterministic — unlike dropDuplicates, which
+    keeps an arbitrary row). One fingerprint shuffle with map-side
+    combine; the fingerprint is 16 bytes regardless of document size."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard similarity join
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Exact Jaccard similarity join over word-shingle sets via an
+    inverted index: explode (doc, shingle), self-join on shingle,
+    count intersections, join back set sizes. Scale note: the shuffle
+    key is the shingle — frequent shingles fan out, so production runs
+    should drop ultra-common shingles (document-frequency cap) the way
+    common-word stopping works; candidates never exceed pairs that
+    share ≥1 shingle."""
+    sh = docs.select("doc_id", shingles("text").alias("s"))
+    sizes = sh.select("doc_id", F.size("s").alias("n"))
+    ex = sh.select("doc_id", F.explode("s").alias("g"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("inter").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("inter")
+    )
+    return (
+        pairs.join(sa, F.col("doc_id_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_id_b") == F.col("sb.doc_id"))
+        .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_EXACT_JACCARD_SQL,
+    tags=("dedup", "extension"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-gram Jaccard near-dup pairs at threshold 0.8."""
+    return jaccard_pairs(read_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the sub-quadratic scale path)
+# ---------------------------------------------------------------------------
+
+
+def _minhash_params() -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(20240813)
+    a = rng.integers(1, 2**31 - 1, size=MINHASH_K, dtype=np.int64)
+    b = rng.integers(0, 2**31 - 1, size=MINHASH_K, dtype=np.int64)
+    return a, b
+
+
+def minhash_signature(shingle_col: Column) -> Column:
+    """K-permutation MinHash signature over a shingle array.
+
+    Each shingle is hashed once with xxhash64 (JVM), truncated to 32
+    bits so the universal-hash product a·h+b stays inside a signed
+    64-bit long (a < 2^31, h < 2^32 ⇒ a·h+b < 2^63 — no overflow),
+    then min-reduced per permutation."""
+    a, b = _minhash_params()
+    h32 = F.transform(
+        shingle_col, lambda s: F.xxhash64(s).bitwiseAND(F.lit(0xFFFFFFFF))
+    )
+    sigs = [
+        F.array_min(
+            F.transform(
+                h32, lambda h: (F.lit(int(a[i])) * h + F.lit(int(b[i]))) % F.lit(_MERSENNE_P)
+            )
+        )
+        for i in range(MINHASH_K)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Candidate pairs from LSH band-bucket equality, verified with the
+    exact Jaccard of the candidate pairs only.
+
+    Sub-quadratic by construction: the only all-pairs-ish step is the
+    per-bucket self-join, and buckets hold near-duplicates only.
+    Verification joins back to shingle sets for candidates — a
+    semi-join-sized shuffle, not a corpus-squared one."""
+    sh = docs.select("doc_id", shingles("text").alias("s")).filter(F.size("s") > 0)
+    sig = sh.select("doc_id", "s", minhash_signature(F.col("s")).alias("sig"))
+
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.hash(*[F.col("sig")[i * LSH_ROWS + r] for r in range(LSH_ROWS)]).alias("bh"),
+                    )
+                    for i in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+
+    sa = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("s").alias("s_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("s").alias("s_b"))
+    verified = (
+        candidates.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            (
+                F.size(F.array_intersect("s_a", "s_b")).cast("double")
+                / F.size(F.array_union("s_a", "s_b"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_EXACT_JACCARD_SQL,  # miss probability ≈ 1e-10 per true pair
+    tags=("dedup", "extension", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs at jaccard ≥ 0.8. Verified exactly on
+    candidates, so the result matches the exact-join oracle (a true
+    pair escapes all 32 bands with probability ≈ 1e-10)."""
+    return minhash_lsh_pairs(read_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 64
+SIMHASH_BAND_BITS = 16
+SIMHASH_MAX_HAMMING = 6
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per document: per-bit majority vote over token
+    xxhash64 values (term frequency weighted — tokens explode without
+    dedup). One explode + one groupBy(doc) with 64 conditional sums,
+    all inside whole-stage codegen."""
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("t"))
+    h = F.xxhash64("t")
+    # bit j test / set via shifts (1<<63 overflows a signed long literal)
+    one = F.lit(1).cast("long")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(one) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    sig = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"b{j}") > 0, F.shiftleft(one, j)).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ k. Candidates via 16-bit
+    band equality (a pair within Hamming ≤ 3·bands/bits must agree on
+    ≥1 band by pigeonhole; k=6 over 4 bands guarantees recall for
+    k ≤ 3 splits — standard simhash blocking), verified with
+    bit_count."""
+    sig = simhash_signatures(docs)
+    nbands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", i * SIMHASH_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+                        .alias("bh"),
+                    )
+                    for i in range(nbands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # xxhash64-based signatures aren't reproducible in SQL
+    tags=("dedup", "extension", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 6 of 64 bits)."""
+    return simhash_pairs(read_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+COSINE_DEDUP_THRESHOLD = 0.40
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float> columns, computed in double
+    with sequential accumulation — bit-identical to the DuckDB oracle's
+    list_sum over the same element order."""
+    def dot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+COSINE_SQL = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / "
+    "(sqrt(list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) * "
+    "sqrt(list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))"
+)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+        SELECT a.vec_id AS vec_id_a,
+               b.vec_id AS vec_id_b,
+               ROUND({COSINE_SQL}, 6) AS cosine
+        FROM embeddings a
+        JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {COSINE_SQL} >= {COSINE_DEDUP_THRESHOLD}
+    """,
+    tags=("dedup", "extension", "embedding"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs above cosine 0.40, blocked by `label`.
+
+    Blocking keeps the self-join block-diagonal: with B blocks the pair
+    space shrinks by ~B× and each block's join is an ordinary
+    shuffle-hash join on the block key — the standard production shape
+    (block key = coarse cluster / LSH bucket / shard)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = cosine_expr(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+            cos.alias("raw_cos"),
+        )
+        .filter(F.col("raw_cos") >= COSINE_DEDUP_THRESHOLD)
+        .select(
+            "vec_id_a", "vec_id_b", F.round("raw_cos", 6).alias("cosine")
+        )
+    )

@@ -1,1 +1,220 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are JVM-side built-ins (split / filter /
+aggregate / regexp) — whole-stage-codegen friendly, no Python in the
+row path. The one Pandas-UDF operator (char-n-gram language ID) is
+Arrow-batched and clearly marked.
+
+These have no counterpart in the reference (its data model has no
+strings, SURVEY §2.2 'ABSENT'); they're the north-star extensions for
+LLM data pipelines, designed operator-by-operator for 100 TB:
+per-document expressions are embarrassingly parallel — zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cae_polars_tools_spark.io import read_table
+from cae_polars_tools_spark.plans.registry import register
+
+# Word-tokenization shared by text + dedup operators. Single-space
+# split matches the synthetic corpus; swap for a regex in real data.
+TOKEN_SPLIT = " "
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
+BPE_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "on", "is", "for")
+
+LANG_MARKERS = {
+    "en": ("the", "a", "and", "of", "is"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+
+
+def tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, TOKEN_SPLIT)
+
+
+def normalized(col: Column | str) -> Column:
+    """Whitespace-collapsed lowercase normalization (dedup canonical form)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(c), r"\s+", " ")
+
+
+def fingerprint(col: Column | str) -> Column:
+    """128-bit document fingerprint: md5 of the normalized text.
+    Deterministic, engine-portable, collision-safe at any corpus size."""
+    return F.md5(normalized(col))
+
+
+NORMALIZED_SQL = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+FINGERPRINT_SQL = f"md5({NORMALIZED_SQL})"
+
+
+# ---------------------------------------------------------------------------
+# Corpus entries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   string_split(text, ' ') AS toks,
+                   regexp_extract_all(text, '{BPE_REGEX}') AS bpe
+            FROM documents
+        )
+        SELECT doc_id,
+               n_chars,
+               len(toks) AS n_tokens,
+               len(bpe) AS n_bpe_tokens,
+               CAST(n_chars AS DOUBLE) / len(toks) AS chars_per_token,
+               CAST(len(list_filter(toks, x -> x IN {STOPWORDS!r})) AS DOUBLE)
+                   / len(toks) AS stopword_ratio
+        FROM t
+    """.replace("'{BPE_REGEX}'", f"'{BPE_REGEX}'"),
+    tags=("text", "extension"),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring statistics per document: length, whitespace and
+    BPE-ish token counts, chars/token, stopword ratio. Pure per-row
+    expressions — no shuffle at any scale."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_REGEX), 0)
+    n_toks = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_toks.alias("n_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        (F.length("text").cast("double") / n_toks).alias("chars_per_token"),
+        (n_stop.cast("double") / n_toks).alias("stopword_ratio"),
+    )
+
+
+def _marker_count(toks: Column, markers: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+
+@register(
+    "text_language_id",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), s AS (
+            SELECT doc_id,
+               len(list_filter(toks, x -> x IN ('the','a','and','of','is'))) AS c_en,
+               len(list_filter(toks, x -> x IN ('el','la','de','que','y'))) AS c_es,
+               len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS c_de,
+               len(list_filter(toks, x -> x IN ('le','la','les','et','est'))) AS c_fr
+            FROM t
+        )
+        SELECT doc_id,
+               CASE
+                 WHEN greatest(c_en, c_es, c_de, c_fr) = 0 THEN 'und'
+                 WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+                 WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+                 WHEN c_de >= c_fr THEN 'de'
+                 ELSE 'fr'
+               END AS detected_lang
+        FROM s
+    """,
+    tags=("text", "extension"),
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (deterministic heuristic; precedence
+    en>es>de>fr on ties, 'und' when no markers hit). The char-n-gram
+    profile variant is `text_language_chargram`."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    counts = {
+        lang: _marker_count(toks, markers).alias(f"c_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    }
+    s = d.select("doc_id", *counts.values())
+    best = F.greatest(F.col("c_en"), F.col("c_es"), F.col("c_de"), F.col("c_fr"))
+    detected = (
+        F.when(best == 0, F.lit("und"))
+        .when(
+            (F.col("c_en") >= F.col("c_es"))
+            & (F.col("c_en") >= F.col("c_de"))
+            & (F.col("c_en") >= F.col("c_fr")),
+            F.lit("en"),
+        )
+        .when((F.col("c_es") >= F.col("c_de")) & (F.col("c_es") >= F.col("c_fr")), F.lit("es"))
+        .when(F.col("c_de") >= F.col("c_fr"), F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return s.select("doc_id", detected.alias("detected_lang"))
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+        SELECT doc_id,
+               {FINGERPRINT_SQL} AS fp,
+               length({NORMALIZED_SQL}) AS n_norm_chars
+        FROM documents
+    """,
+    tags=("text", "extension"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over normalized text (the exact-dedup
+    key). Per-row, shuffle-free."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        fingerprint("text").alias("fp"),
+        F.length(normalized("text")).alias("n_norm_chars"),
+    )
+
+
+@register(
+    "text_language_chargram",
+    oracle=None,  # vectorized numpy scoring — not SQL-expressible
+    tags=("text", "extension", "pandas-udf"),
+)
+def text_language_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram-profile language ID as an Arrow-batched Pandas UDF
+    (the realistic n-gram heuristic; deterministic fixed profiles).
+    Demonstrates the vectorized-Python escape hatch for logic built-ins
+    can't express; still per-row → shuffle-free at any scale."""
+    import pandas as pd  # noqa: F401 — annotation target for pandas_udf
+
+    from pyspark.sql.functions import pandas_udf
+
+    globals()["pd"] = pd  # pandas_udf resolves the pd.Series hints here
+
+    profiles = {
+        "en": ("the", "ing", "ion", "and", "ed "),
+        "es": ("que", "ión", "ado", "la ", "os "),
+        "de": ("der", "ein", "ich", "sch", "en "),
+        "fr": ("les", "ent", "tio", "eur", "de "),
+    }
+    langs = sorted(profiles)
+
+    @pandas_udf("string")
+    def detect(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        lower = texts.str.lower()
+        scores = np.zeros((len(texts), len(langs)), dtype=np.int64)
+        for j, lang in enumerate(langs):
+            for gram in profiles[lang]:
+                scores[:, j] += lower.str.count(gram, flags=0).fillna(0).astype(int)
+        best = scores.argmax(axis=1)
+        out = [langs[b] if scores[i, b] > 0 else "und" for i, b in enumerate(best)]
+        return pd.Series(out)
+
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", detect(F.col("text")).alias("detected_lang"))

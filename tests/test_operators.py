@@ -1,0 +1,136 @@
+"""Semantic tests for the training-data pipeline operators — the
+properties the SQL oracle can't express (LSH recall, simhash metric
+behavior, decoder seam)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark):
+    data = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 1
+        (3, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+        (4, "completely different content about spark query engines and data"),
+        (5, "totally unrelated words forming another document for testing here"),
+    ]
+    return spark.createDataFrame(data, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups_exact_copies(spark):
+    from cae_polars_tools_spark.operators.text import fingerprint
+
+    d = _docs(spark).select("doc_id", fingerprint("text").alias("fp"))
+    groups = d.groupBy("fp").agg(
+        F.min("doc_id").alias("canon"), F.count(F.lit(1)).alias("n")
+    )
+    rows = {r["canon"]: r["n"] for r in groups.collect()}
+    assert rows[1] == 2  # docs 1 and 3 collapse
+    assert rows[2] == 1 and rows[4] == 1 and rows[5] == 1
+
+
+def test_jaccard_pairs_finds_near_dup(spark):
+    from cae_polars_tools_spark.operators.dedup import jaccard_pairs
+
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in jaccard_pairs(_docs(spark), threshold=0.5).collect()
+    }
+    assert pairs[(1, 3)] == 1.0  # exact dup
+    assert 0.5 <= pairs[(1, 2)] < 1.0  # near dup
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_matches_exact_join(spark, sf_small):
+    """LSH (candidates + exact verify) ≡ exact similarity join on the
+    synthetic corpus — recall check for the banding parameters."""
+    from cae_polars_tools_spark.io import read_table
+    from cae_polars_tools_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_pairs,
+    )
+
+    docs = read_table(spark, sf_small, "documents")
+    exact = {
+        (r["doc_id_a"], r["doc_id_b"]) for r in jaccard_pairs(docs).collect()
+    }
+    lsh = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    assert lsh == exact
+    assert len(exact) > 0  # the corpus contains planted near-dups
+
+
+def test_simhash_properties(spark):
+    from cae_polars_tools_spark.operators.dedup import (
+        simhash_pairs,
+        simhash_signatures,
+    )
+
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_signatures(_docs(spark)).collect()
+    }
+    assert sigs[1] == sigs[3]  # identical docs → identical signature
+    ham12 = bin((sigs[1] ^ sigs[2]) & (2**64 - 1)).count("1")
+    ham14 = bin((sigs[1] ^ sigs[4]) & (2**64 - 1)).count("1")
+    assert ham12 < ham14  # near-dup closer than unrelated
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"]): r["hamming"]
+        for r in simhash_pairs(_docs(spark), max_hamming=8).collect()
+    }
+    assert pairs[(1, 3)] == 0
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, sf_small):
+    """Bucketed ANN recall@5 against exact brute force — documents the
+    speed/recall trade; bound asserted loosely (single-probe LSH)."""
+    from cae_polars_tools_spark.io import read_table
+    from cae_polars_tools_spark.operators.similarity import (
+        bruteforce_topk,
+        lsh_topk,
+    )
+
+    e = read_table(spark, sf_small, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in bruteforce_topk(e, q).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"]) for r in lsh_topk(e, q).collect()
+    }
+    assert len(exact) == 50  # 10 queries × 5
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2  # 8-table OR-amplified LSH on random 64-d vectors
+
+
+def test_multimodal_decoder_seam(spark):
+    """Custom decode_fn flows through; default stub for real media
+    raises NotImplementedError."""
+    from cae_polars_tools_spark.operators.multimodal import (
+        decode_image,
+        extract_features,
+        with_payload,
+    )
+
+    assets = with_payload(_docs(spark))
+    feats = extract_features(
+        assets, decode_fn=lambda b: {"n_bytes": len(b) * 2, "first_byte": 7}
+    ).collect()
+    assert all(r["first_byte"] == 7 for r in feats)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_multimodal_payload_schema(spark):
+    from cae_polars_tools_spark.operators.multimodal import with_payload
+
+    assets = with_payload(_docs(spark))
+    assert dict(assets.dtypes)["payload"] == "binary"
+    assert "struct<modality:string,mime:string,n_bytes:bigint>" == dict(assets.dtypes)["meta"]
+    row = assets.filter(F.col("doc_id") == 1).collect()[0]
+    assert row["meta"]["n_bytes"] == len(row["payload"])
