@@ -787,6 +787,67 @@ def q23_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register(
+    "q26_sessionization",
+    oracle="""
+        WITH g AS (
+            SELECT user_id,
+                   epoch_us(ts) AS t,
+                   CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                             > 30 * 60 * 1000000
+                          OR LAG(epoch_us(ts)) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+            SELECT user_id, t,
+                   CAST(SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY t
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS session_idx
+            FROM g
+        )
+        SELECT user_id,
+               session_idx,
+               COUNT(*) AS n_events,
+               MIN(t) AS session_start_us,
+               MAX(t) AS session_end_us,
+               (MAX(t) - MIN(t)) / 1000000 AS duration_s
+        FROM s
+        GROUP BY user_id, session_idx
+    """,
+    tags=("window", "sessionization", "extension"),
+)
+def q26_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap sessionization (30-min inactivity gap): lag → session
+    flag → running sum → per-session aggregate. Two window passes over
+    one user-partitioned shuffle, then a hash agg — the classic
+    sessionization plan. The streaming counterpart (explicit state via
+    applyInPandasWithState) lives in streaming/events.py; timestamps
+    are compared as integer microseconds for cross-engine exactness."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros("ts")
+    gap_us = 30 * 60 * 1_000_000
+    new_session = (
+        (t - F.lag(t).over(w) > gap_us) | F.lag(t).over(w).isNull()
+    ).cast("int")
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = ev.select(
+        "user_id", t.alias("t"), new_session.alias("new_session")
+    ).withColumn("session_idx", F.sum("new_session").over(wsum))
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("t").alias("session_start_us"),
+        F.max("t").alias("session_end_us"),
+        ((F.max("t") - F.min("t")) / 1_000_000).alias("duration_s"),
+    )
+
+
+@register(
     "q24_anti_join",
     oracle="""
         SELECT c.c_custkey, c.c_name

@@ -60,6 +60,11 @@ def get_spark(
         "spark.sql.parquet.aggregatePushdown": "true",
         # Keep timestamps deterministic across engines (oracle parity).
         "spark.sql.session.timeZone": "UTC",
+        # Spark 4.1's checkpoint file-checksum writer deadlocks the
+        # state-store commit of applyInPandasWithState on local
+        # filesystems; corruption detection matters on object stores,
+        # not local checkpoints.
+        "spark.sql.streaming.checkpoint.fileChecksum.enabled": "false",
         # Broadcast threshold: small dims (region/nation/supplier) must
         # broadcast; 64 MB is safe for dimension tables at any SF here.
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),

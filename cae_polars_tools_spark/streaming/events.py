@@ -1,0 +1,199 @@
+"""Structured Streaming over the events stream.
+
+The reference has no true streaming (its "streaming" is chunked batch
+conversion — SURVEY §2.4); this module is the north-star extension:
+the same windowed aggregation the batch corpus runs
+(``q23_tumbling_window``) executed incrementally with
+``readStream`` + event-time watermark, plus a custom stateful
+operator (gap sessionization) via ``applyInPandasWithState``.
+
+Design: transformations are written once against a DataFrame and work
+identically in batch and streaming (the Structured Streaming
+contract), so correctness of the streaming path is tested by
+equivalence to the oracle-checked batch query.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SESSION_GAP_MIN = 30
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # nanos-as-long (see io.read_table)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def windowed_counts(events: DataFrame, watermark: str | None = None) -> DataFrame:
+    """1-day tumbling-window counts/sums per event type — the exact
+    transformation of batch query ``q23_tumbling_window``; pass a
+    watermark for incremental execution with bounded state."""
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table. The parquet stores
+    nanosecond timestamps, which Spark reads as int64 under the
+    ``nanosAsLong`` conf — reconstructed to a microsecond timestamp
+    exactly like the batch reader (io.read_table)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_windowed_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "windowed_events",
+) -> DataFrame:
+    """Run the windowed aggregation over the file stream with
+    Trigger.AvailableNow (process everything, then stop) into a memory
+    sink; returns the result table. Complete output mode keeps windows
+    queryable; in production this would be ``append`` + a real sink."""
+    stream = windowed_counts(stream_events(spark, sf_dir), watermark="1 hour")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(checkpoint_dir, query_name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: gap sessionization (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+SESSION_STATE_SCHEMA = "session_start long, session_end long, n_events long"
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start_us long, session_end_us long, n_events long"
+)
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_minutes: int = SESSION_GAP_MIN,
+    watermark: str = "1 hour",
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming gap sessionization with explicit state: per user,
+    events within ``gap_minutes`` of the previous one extend the
+    session; a completed session is emitted when a later event opens a
+    new one. With ``timeout_ms`` set, a processing-time timeout also
+    flushes idle sessions — for always-on pipelines only: pending
+    timeouts keep empty micro-batches firing, so a
+    ``Trigger.AvailableNow`` drain (and hence any run-to-completion
+    test) must use the default NoTimeout.
+
+    This is the `applyInPandasWithState` pattern for operators Spark
+    has no builtin for — state is one tiny tuple per user (bounded),
+    batches arrive Arrow-vectorized."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, end, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start_us": [start],
+                    "session_end_us": [end],
+                    "n_events": [n],
+                }
+            )
+            return
+        ts_us = []
+        for pdf in pdfs:
+            ts_us.extend(
+                (pdf["ts"].astype("int64") // 1000).tolist()
+            )
+        ts_us.sort()
+        if state.exists:
+            start, end, n = state.get
+        else:
+            start, end, n = ts_us[0], ts_us[0], 0
+        out = []
+        for t in ts_us:
+            if t - end > gap_us:
+                out.append((user_id, start, end, n))
+                start, end, n = t, t, 1
+            else:
+                end = t
+                n += 1
+        state.update((start, end, n))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        if out:
+            import pandas as pd
+
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "user_id",
+                    "session_start_us",
+                    "session_end_us",
+                    "n_events",
+                ],
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if timeout_ms is not None
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )

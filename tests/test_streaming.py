@@ -1,0 +1,90 @@
+"""Structured Streaming tests: the streaming windowed aggregation must
+equal the oracle-checked batch query, and the custom stateful
+sessionization operator must match the batch sessionization corpus
+entry (restricted to flushed sessions)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def test_streaming_windowed_counts_equals_batch(spark, sf_small, tmp_path):
+    from cae_polars_tools_spark.plans.registry import load_all
+    from cae_polars_tools_spark.streaming.events import run_windowed_stream
+
+    got = run_windowed_stream(
+        spark, sf_small, str(tmp_path / "ckpt"), query_name="t_windowed"
+    ).toPandas()
+    batch = load_all()["q23_tumbling_window"].build(spark, sf_small).toPandas()
+
+    key = ["window_start", "event_type"]
+    got = got.sort_values(key).reset_index(drop=True)
+    batch = batch.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, batch, check_like=True)
+
+
+def test_streaming_sessionization_matches_batch(spark, sf_small, tmp_path):
+    """Run the stateful sessionizer with availableNow over the events
+    file; every session it FLUSHES (a later event opened a new session
+    for that user) must appear in the batch sessionization result with
+    identical boundaries and counts."""
+    from cae_polars_tools_spark.plans.registry import load_all
+    from cae_polars_tools_spark.streaming.events import (
+        sessionize_stream,
+        stream_events,
+    )
+
+    sessions = sessionize_stream(stream_events(spark, sf_small))
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("t_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sessions"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    flushed = spark.table("t_sessions").toPandas()
+
+    batch = (
+        load_all()["q26_sessionization"]
+        .build(spark, sf_small)
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+        .toPandas()
+    )
+    batch_keys = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in batch.itertuples()
+    }
+    assert len(flushed) > 0  # users with >1 session exist in the data
+    for r in flushed.itertuples():
+        assert (
+            r.user_id,
+            r.session_start_us,
+            r.session_end_us,
+            r.n_events,
+        ) in batch_keys
+
+
+def test_windowed_counts_batch_streaming_same_code(spark, sf_small):
+    """The shared transformation applied to a batch frame reproduces
+    q23 — one definition, two execution modes."""
+    from cae_polars_tools_spark.io import read_table
+    from cae_polars_tools_spark.plans.registry import load_all
+    from cae_polars_tools_spark.streaming.events import windowed_counts
+
+    a = (
+        windowed_counts(read_table(spark, sf_small, "events"))
+        .toPandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    b = (
+        load_all()["q23_tumbling_window"]
+        .build(spark, sf_small)
+        .toPandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_like=True)
