@@ -27,9 +27,11 @@ never touches the row path.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
 
 from cae_polars_tools_spark.io import read_table
 from cae_polars_tools_spark.operators.text import (
@@ -131,10 +133,22 @@ def jaccard_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> Data
     key is the shingle — frequent shingles fan out, so production runs
     should drop ultra-common shingles (document-frequency cap) the way
     common-word stopping works; candidates never exceed pairs that
-    share ≥1 shingle."""
-    sh = docs.select("doc_id", shingles("text").alias("s"))
-    sizes = sh.select("doc_id", F.size("s").alias("n"))
-    ex = sh.select("doc_id", F.explode("s").alias("g"))
+    share ≥1 shingle.
+
+    The index stores xxhash64(shingle) (8-byte join/shuffle keys, not
+    ~30-char strings; per-pair collision odds ~1e-15) and is persisted
+    because the DAG reads it three times (both self-join sides +
+    set sizes)."""
+    sh = (
+        docs.select("doc_id", shingles("text").alias("s"))
+        .select(
+            "doc_id",
+            F.transform(F.col("s"), lambda s: F.xxhash64(s)).alias("h64"),
+        )
+        .persist()
+    )
+    sizes = sh.select("doc_id", F.size("h64").alias("n"))
+    ex = sh.select("doc_id", F.explode("h64").alias("g"))
     a = ex.alias("a")
     b = ex.alias("b")
     pairs = (
@@ -180,26 +194,26 @@ def _minhash_params() -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def minhash_signature(shingle_col: Column) -> Column:
-    """K-permutation MinHash signature over a shingle array.
+@F.pandas_udf(ArrayType(LongType()))
+def minhash_signature(h32: pd.Series) -> pd.Series:
+    """K-permutation MinHash signature from pre-hashed shingles.
 
-    Each shingle is hashed once with xxhash64 (JVM), truncated to 32
-    bits so the universal-hash product a·h+b stays inside a signed
-    64-bit long (a < 2^31, h < 2^32 ⇒ a·h+b < 2^63 — no overflow),
-    then min-reduced per permutation."""
+    Input is the shingle xxhash64 truncated to 32 bits (JVM-side), so
+    the universal-hash product a·h+b stays inside a signed 64-bit long
+    (a < 2^31, h < 2^32 ⇒ a·h+b < 2^63 — no numpy overflow). The K×S
+    min-reduction runs here as one vectorized numpy op per document:
+    K separate array_min(transform(...)) expression columns are
+    interpreted per element (higher-order functions are
+    CodegenFallback), which made this the slowest operator in the
+    corpus at ~100× this cost."""
+    import pandas as pd
+
     a, b = _minhash_params()
-    h32 = F.transform(
-        shingle_col, lambda s: F.xxhash64(s).bitwiseAND(F.lit(0xFFFFFFFF))
-    )
-    sigs = [
-        F.array_min(
-            F.transform(
-                h32, lambda h: (F.lit(int(a[i])) * h + F.lit(int(b[i]))) % F.lit(_MERSENNE_P)
-            )
-        )
-        for i in range(MINHASH_K)
-    ]
-    return F.array(*sigs)
+    out = []
+    for h in h32:
+        hv = np.asarray(h, dtype=np.int64)
+        out.append(((a[:, None] * hv[None, :] + b[:, None]) % _MERSENNE_P).min(axis=1))
+    return pd.Series(out)
 
 
 def minhash_lsh_pairs(
@@ -210,10 +224,30 @@ def minhash_lsh_pairs(
 
     Sub-quadratic by construction: the only all-pairs-ish step is the
     per-bucket self-join, and buckets hold near-duplicates only.
-    Verification joins back to shingle sets for candidates — a
-    semi-join-sized shuffle, not a corpus-squared one."""
-    sh = docs.select("doc_id", shingles("text").alias("s")).filter(F.size("s") > 0)
-    sig = sh.select("doc_id", "s", minhash_signature(F.col("s")).alias("sig"))
+    Verification intersects 64-bit shingle *hashes*, not strings: the
+    per-pair collision odds are ~|s|²/2⁶⁴ ≈ 1e-15, and the candidate
+    shuffle carries 8-byte longs instead of ~30-char shingles.
+
+    The hashed frame is persisted because the DAG references it four
+    times (both sides of the band self-join and both sides of the
+    verification join) — without it the tokenize→shingle→hash pipeline
+    executes 4×. At 100 TB this artifact is ~1-2% of corpus bytes
+    (8 B/shingle), well inside MEMORY_AND_DISK's spill-safe budget."""
+    hashed = (
+        docs.select("doc_id", shingles("text").alias("s"))
+        .filter(F.size("s") > 0)
+        .select(
+            "doc_id",
+            F.transform(F.col("s"), lambda s: F.xxhash64(s)).alias("h64"),
+        )
+        .persist()
+    )
+    sig = hashed.select(
+        "doc_id",
+        F.transform(
+            F.col("h64"), lambda h: h.bitwiseAND(F.lit(0xFFFFFFFF))
+        ).alias("h32"),
+    ).select("doc_id", minhash_signature(F.col("h32")).alias("sig"))
 
     bands = sig.select(
         "doc_id",
@@ -229,6 +263,9 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    # Self-joined below: persist so the signature UDF runs once, not
+    # once per join side. 32 (doc, band, hash) rows/doc — tiny.
+    bands = bands.persist()
 
     a = bands.alias("a")
     b = bands.alias("b")
@@ -246,8 +283,8 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sa = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("s").alias("s_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("s").alias("s_b"))
+    sa = hashed.select(F.col("doc_id").alias("doc_id_a"), F.col("h64").alias("s_a"))
+    sb = hashed.select(F.col("doc_id").alias("doc_id_b"), F.col("h64").alias("s_b"))
     verified = (
         candidates.join(sa, "doc_id_a")
         .join(sb, "doc_id_b")
@@ -285,27 +322,36 @@ SIMHASH_BAND_BITS = 16
 SIMHASH_MAX_HAMMING = 6
 
 
+@F.pandas_udf(LongType())
+def _simhash_from_hashes(hashes: pd.Series) -> pd.Series:
+    """64-bit SimHash from a document's token-xxhash64 array: per-bit
+    majority vote (term-frequency weighted — hashes arrive undeduped).
+    Vectorized bit unpack + vote per document; the bit pattern is
+    identical to the shift/bitwiseOR JVM formulation (top bit set ⇒
+    negative long, matching shiftleft(1, 63))."""
+    shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
+    out = []
+    for hv in hashes:
+        a = np.asarray(hv, dtype=np.int64).astype(np.uint64)
+        votes = (
+            2 * ((a[:, None] >> shifts) & np.uint64(1)).astype(np.int32) - 1
+        ).sum(axis=0)
+        sig = ((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+        out.append(sig.astype(np.int64))
+    return pd.Series(out, dtype="int64")
+
+
 def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """64-bit SimHash per document: per-bit majority vote over token
-    xxhash64 values (term frequency weighted — tokens explode without
-    dedup). One explode + one groupBy(doc) with 64 conditional sums,
-    all inside whole-stage codegen."""
-    tok = docs.select("doc_id", F.explode(tokens("text")).alias("t"))
-    h = F.xxhash64("t")
-    # bit j test / set via shifts (1<<63 overflows a signed long literal)
-    one = F.lit(1).cast("long")
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(h, j).bitwiseAND(one) == 1, 1).otherwise(-1)
-        ).alias(f"b{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    agg = tok.groupBy("doc_id").agg(*bit_sums)
-    sig = None
-    for j in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"b{j}") > 0, F.shiftleft(one, j)).otherwise(F.lit(0).cast("long"))
-        sig = bit if sig is None else sig.bitwiseOR(bit)
-    return agg.select("doc_id", sig.alias("simhash"))
+    """64-bit SimHash per document. Tokens are hashed JVM-side
+    (xxhash64, codegen); the 64-bit majority vote runs as one
+    vectorized numpy op per document. The previous formulation —
+    explode tokens then groupBy(doc) with 64 conditional sums —
+    shuffled |tokens| rows per doc; this one never explodes, so the
+    only wide op left in the pipeline is the band self-join."""
+    th = F.transform(tokens("text"), lambda t: F.xxhash64(t))
+    return docs.select(
+        "doc_id", _simhash_from_hashes(th).alias("simhash")
+    )
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
@@ -333,6 +379,8 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> Da
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    # Self-joined below: persist so tokenize+hash+signature runs once.
+    bands = bands.persist()
     a = bands.alias("a")
     b = bands.alias("b")
     ham = F.bit_count(
@@ -372,18 +420,31 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 COSINE_DEDUP_THRESHOLD = 0.40
 
 
-def cosine_expr(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array<float> columns, computed in double
-    with sequential accumulation — bit-identical to the DuckDB oracle's
-    list_sum over the same element order."""
-    def dot(x: Column, y: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+def dot_expr(x: Column, y: Column) -> Column:
+    """Sequential-accumulation double dot product of two array<float>
+    columns — bit-identical to the DuckDB oracle's list_sum over the
+    same element order."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
 
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float> columns. Prefer
+    ``cosine_with_norms`` in join hot paths: higher-order array
+    functions don't participate in whole-stage codegen, so evaluating
+    three dots per *pair* instead of one dominates self-join cost."""
+    return dot_expr(a, b) / (F.sqrt(dot_expr(a, a)) * F.sqrt(dot_expr(b, b)))
+
+
+def cosine_with_norms(a: Column, b: Column, n2_a: Column, n2_b: Column) -> Column:
+    """Cosine from a per-pair dot and *precomputed per-row* squared
+    norms. dot(v,v) is computed once per input row (below the join)
+    instead of once per pair; the resulting double is the exact same
+    value, so oracle parity is unaffected."""
+    return dot_expr(a, b) / (F.sqrt(n2_a) * F.sqrt(n2_b))
 
 
 COSINE_SQL = (
@@ -416,10 +477,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     space shrinks by ~B× and each block's join is an ordinary
     shuffle-hash join on the block key — the standard production shape
     (block key = coarse cluster / LSH bucket / shard)."""
-    e = read_table(spark, sf_dir, "embeddings")
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        "embedding",
+        dot_expr(F.col("embedding"), F.col("embedding")).alias("n2"),
+    )
     a = e.alias("a")
     b = e.alias("b")
-    cos = cosine_expr(F.col("a.embedding"), F.col("b.embedding"))
+    cos = cosine_with_norms(
+        F.col("a.embedding"), F.col("b.embedding"), F.col("a.n2"), F.col("b.n2")
+    )
     return (
         a.join(
             b,

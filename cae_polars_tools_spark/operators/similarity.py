@@ -16,12 +16,18 @@ Two paths:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
 
 from cae_polars_tools_spark.io import read_table
-from cae_polars_tools_spark.operators.dedup import COSINE_SQL, cosine_expr
+from cae_polars_tools_spark.operators.dedup import (
+    COSINE_SQL,
+    cosine_with_norms,
+    dot_expr,
+)
 from cae_polars_tools_spark.plans.registry import register
 
 TOPK = 5
@@ -33,14 +39,22 @@ def bruteforce_topk(
     embeddings: DataFrame, queries: DataFrame, k: int = TOPK
 ) -> DataFrame:
     """Exact cosine top-k: broadcast queries × map over candidates →
-    per-query window. Ties broken by candidate id for determinism."""
+    per-query window. Ties broken by candidate id for determinism.
+    Squared norms are computed once per input row below the join, so
+    each of the |q|·|c| pairs evaluates a single dot product."""
     q = queries.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        dot_expr(F.col("embedding"), F.col("embedding")).alias("q_n2"),
     )
     c = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        dot_expr(F.col("embedding"), F.col("embedding")).alias("c_n2"),
     )
-    cos = cosine_expr(F.col("q_emb"), F.col("c_emb"))
+    cos = cosine_with_norms(
+        F.col("q_emb"), F.col("c_emb"), F.col("q_n2"), F.col("c_n2")
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", cos.alias("raw_cos"))
@@ -99,53 +113,72 @@ def _planes() -> np.ndarray:
     return rng.standard_normal((LSH_TABLES * LSH_PLANES_PER_TABLE, EMBED_DIM))
 
 
-def lsh_buckets(col) -> F.Column:
-    """Array of per-table (table, bucket) structs: bucket bit p is set
+@F.pandas_udf(ArrayType(LongType()))
+def lsh_buckets(emb: pd.Series) -> pd.Series:
+    """Per-table LSH bucket ids (index = table): bucket bit p is set
     iff v · plane_{t,p} > 0. Random-hyperplane (sign) LSH with
     AND-amplification inside a table (6 planes → 64 buckets) and
     OR-amplification across 8 tables — the standard recall/cost dial.
-    Pure JVM expressions (aggregate over zip_with), codegen-friendly."""
-    planes = _planes()
-    tables = []
-    for t in range(LSH_TABLES):
-        bucket = F.lit(0).cast("long")
-        for p in range(LSH_PLANES_PER_TABLE):
-            plane_vec = planes[t * LSH_PLANES_PER_TABLE + p]
-            plane = F.array(*[F.lit(float(x)) for x in plane_vec])
-            dot = F.aggregate(
-                F.zip_with(col, plane, lambda a, b: a.cast("double") * b),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            bucket = bucket.bitwiseOR(
-                F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
-            )
-        tables.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
-    return F.array(*tables)
+
+    One numpy matmul per Arrow batch: (batch × dim) @ (dim × 48) →
+    sign bits → per-table bucket ints. The expression-tree equivalent
+    (48 dot products as aggregate-over-zip_with with literal plane
+    arrays) is a ~3000-node plan that Catalyst analyzes slowly and
+    evaluates interpreted per element."""
+    import pandas as pd
+
+    planes = _planes()  # (tables*planes, dim)
+    M = np.stack(emb.to_numpy()).astype(np.float64)  # (n, dim)
+    bits = (M @ planes.T > 0).astype(np.int64)  # (n, tables*planes)
+    weights = 1 << np.arange(LSH_PLANES_PER_TABLE, dtype=np.int64)
+    buckets = bits.reshape(len(M), LSH_TABLES, LSH_PLANES_PER_TABLE) @ weights
+    return pd.Series(list(buckets))
 
 
 def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = TOPK) -> DataFrame:
     """ANN top-k over candidates sharing ≥1 LSH table bucket with the
     query. Scale shape: (table, bucket) is the join key, so per-query
     work is the union of its 8 bucket populations — a tunable fraction
-    of the corpus, never all of it. Recall vs brute force is measured
-    in tests; raise LSH_TABLES (or add multi-probe) to buy recall."""
+    of the corpus, never all of it. Candidate ids are deduplicated
+    *before* embeddings are re-attached, so multi-table collisions
+    never shuffle vector payloads twice. Recall vs brute force is
+    measured in tests; raise LSH_TABLES (or add multi-probe) to buy
+    recall."""
+    with_n2 = embeddings.select(
+        "vec_id",
+        "embedding",
+        dot_expr(F.col("embedding"), F.col("embedding")).alias("n2"),
+    )
     c = embeddings.select(
         F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
-        F.explode(lsh_buckets(F.col("embedding"))).alias("tb"),
+        F.posexplode(lsh_buckets(F.col("embedding"))).alias("table", "bucket"),
     )
     q = queries.select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.explode(lsh_buckets(F.col("embedding"))).alias("tb"),
+        F.posexplode(lsh_buckets(F.col("embedding"))).alias("table", "bucket"),
     )
-    cos = cosine_expr(F.col("q_emb"), F.col("c_emb"))
-    scored = (
-        c.join(F.broadcast(q), on="tb")
+    candidates = (
+        c.join(F.broadcast(q), on=["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "q_emb", "c_emb")
+        .select("query_id", "neighbor_id")
         .distinct()  # a pair may collide in several tables
+    )
+    qe = with_n2.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("n2").alias("q_n2"),
+    )
+    ce = with_n2.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("n2").alias("c_n2"),
+    )
+    cos = cosine_with_norms(
+        F.col("q_emb"), F.col("c_emb"), F.col("q_n2"), F.col("c_n2")
+    )
+    scored = (
+        candidates.join(F.broadcast(qe), "query_id")
+        .join(ce, "neighbor_id")
         .select("query_id", "neighbor_id", cos.alias("raw_cos"))
     )
     w = Window.partitionBy("query_id").orderBy(
