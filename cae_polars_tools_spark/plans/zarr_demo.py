@@ -72,6 +72,80 @@ def zarr_scan_longformat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan_data(spark, demo_store(), "metric", chunk_size=13)
 
 
+_JOIN_SHAPE = (4, 3, 3)
+_JOIN_STORE = os.path.join(os.path.dirname(_STORE), "zarr_join_demo.zarr")
+
+
+def join_demo_store() -> str:
+    """Create (once) a two-variable store for the multi-array join demo:
+    tasmax[i,j,k] = 20 + 2i + j + k, tasmin[i,j,k] = 5 + i + 2j − k
+    (float32-exact ints), shared dims time/lat/lon."""
+    if not os.path.exists(os.path.join(_JOIN_STORE, ".zmetadata")):
+        from cae_polars_tools_spark.sources.zarr_format import write_group
+
+        i, j, k = np.indices(_JOIN_SHAPE)
+        write_group(
+            _JOIN_STORE,
+            arrays={
+                "tasmax": (20 + i * 2 + j + k).astype(np.float32),
+                "tasmin": (5 + i + j * 2 - k).astype(np.float32),
+            },
+            dims={
+                "tasmax": ("time", "lat", "lon"),
+                "tasmin": ("time", "lat", "lon"),
+            },
+            coords={
+                "time": np.arange(_JOIN_SHAPE[0], dtype=np.int32),
+                "lat": (30 + np.arange(_JOIN_SHAPE[1]) * 0.5).astype(np.float32),
+                "lon": (-120 + np.arange(_JOIN_SHAPE[2]) * 0.25).astype(np.float32),
+            },
+            chunks={"tasmax": (2, 2, 2), "tasmin": (2, 2, 2)},
+        )
+    return _JOIN_STORE
+
+
+@register(
+    "zarr_multi_array_join",
+    oracle="""
+        SELECT
+            CAST(t.i AS INTEGER) AS time,
+            CAST(30 + la.j * 0.5 AS REAL) AS lat,
+            CAST(-120 + lo.k * 0.25 AS REAL) AS lon,
+            CAST(20 + t.i * 2 + la.j + lo.k AS REAL) AS value,
+            CAST(5 + t.i + la.j * 2 - lo.k AS REAL) AS value_min,
+            CAST((20 + t.i * 2 + la.j + lo.k)
+               - (5 + t.i + la.j * 2 - lo.k) AS REAL) AS value_range
+        FROM range(4) t(i), range(3) la(j), range(3) lo(k)
+    """,
+    tags=("zarr", "source", "join"),
+)
+def zarr_multi_array_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-variable read + equi-join on coordinate columns — the
+    reference's read_multiple_arrays (zarr_reader.py:329-384) and its
+    README tasmax⋈tasmin join with a ``_min`` suffix (README.md:141-148).
+    ``scan_data`` with no array name returns every array; the join is a
+    stock Catalyst equi-join on the shared dims (broadcast here; at
+    scale both sides are chunk-partitioned on the same grid)."""
+    from pyspark.sql import functions as F
+
+    from cae_polars_tools_spark.sources.zarr_scan import scan_data
+
+    frames = scan_data(spark, join_demo_store())
+    joined = frames["tasmax"].join(
+        frames["tasmin"].withColumnRenamed("value", "value_min"),
+        on=["time", "lat", "lon"],
+        how="inner",
+    )
+    return joined.select(
+        "time",
+        "lat",
+        "lon",
+        "value",
+        "value_min",
+        (F.col("value") - F.col("value_min")).alias("value_range"),
+    )
+
+
 @register(
     "zarr_scan_pushdown",
     oracle="""
