@@ -205,3 +205,139 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-5 for the demo query set."""
     e = read_table(spark, sf_dir, "embeddings")
     return lsh_topk(e, e.filter(F.col("vec_id") < N_QUERIES))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse k-means quantizer + cluster probing
+# ---------------------------------------------------------------------------
+
+IVF_CENTROIDS = 16
+IVF_NPROBE = 6
+IVF_ITERS = 2
+
+
+def _assign_udf(centroids: np.ndarray):
+    """Pandas UDF mapping an embedding to its nearest centroid id by
+    cosine (centroids are L2-normalized once, driver-side). The
+    centroid matrix rides to executors inside the serialized closure —
+    it is nprobe-lists × dim floats, kilobytes at any corpus size."""
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @F.pandas_udf(LongType())
+    def assign(emb: pd.Series) -> pd.Series:
+        M = np.stack(emb.to_numpy()).astype(np.float64)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        return pd.Series((M @ cn.T).argmax(axis=1).astype(np.int64))
+
+    return assign
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = IVF_CENTROIDS,
+    n_iters: int = IVF_ITERS,
+) -> np.ndarray:
+    """Distributed Lloyd iterations for the coarse quantizer.
+
+    Init is deterministic (the ``n_centroids`` lowest vec_ids); each
+    iteration is one Spark pass — assign (vectorized UDF) →
+    posexplode → per-(cluster, dim) sum/count — so the driver only
+    ever holds the (C × dim) centroid matrix. At 100 TB you would
+    train on a sample; the shape of the update pass is unchanged."""
+    dim = len(embeddings.select("embedding").first()[0])
+    init = (
+        embeddings.orderBy("vec_id")
+        .limit(n_centroids)
+        .select("embedding")
+        .toPandas()["embedding"]
+    )
+    c = np.stack(init.to_numpy()).astype(np.float64)
+    for _ in range(n_iters):
+        assign = _assign_udf(c)
+        stats = (
+            embeddings.select(
+                assign(F.col("embedding")).alias("cl"),
+                F.posexplode("embedding").alias("pos", "v"),
+            )
+            .groupBy("cl", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .toPandas()
+            .sort_values(["cl", "pos"])
+        )
+        nxt = c.copy()  # empty clusters keep their old centroid
+        for cl, grp in stats.groupby("cl"):
+            nxt[int(cl)] = grp["s"].to_numpy() / grp["n"].to_numpy()
+        c = nxt
+    assert c.shape == (n_centroids, dim)
+    return c
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = TOPK,
+    n_centroids: int = IVF_CENTROIDS,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF ANN: candidates come from the ``nprobe`` centroid lists
+    nearest to each query, then exact cosine + top-k window.
+
+    Scale shape: the corpus is hash-partitioned by cluster id exactly
+    once (the inverted file); each query probes nprobe/n_centroids of
+    the corpus. Recall vs brute force is measured in tests — raise
+    ``nprobe`` to buy recall, ``n_centroids`` to buy selectivity."""
+    centroids = train_ivf_centroids(embeddings, n_centroids)
+    assign = _assign_udf(centroids)
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def probe(emb: pd.Series) -> pd.Series:
+        M = np.stack(emb.to_numpy()).astype(np.float64)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        order = np.argsort(-(M @ cn.T), axis=1)[:, :nprobe].astype(np.int64)
+        return pd.Series(list(order))
+
+    cand = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        dot_expr(F.col("embedding"), F.col("embedding")).alias("c_n2"),
+        assign(F.col("embedding")).alias("cl"),
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        dot_expr(F.col("embedding"), F.col("embedding")).alias("q_n2"),
+        F.explode(probe(F.col("embedding"))).alias("cl"),
+    )
+    cos = cosine_with_norms(
+        F.col("q_emb"), F.col("c_emb"), F.col("q_n2"), F.col("c_n2")
+    )
+    scored = (
+        cand.join(F.broadcast(q), on="cl")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("raw_cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("raw_cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("raw_cos", 6).alias("cosine"),
+        )
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=None,  # cluster membership depends on the trained quantizer
+    tags=("similarity", "extension", "ivf"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 for the demo query set."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return ivf_topk(e, e.filter(F.col("vec_id") < N_QUERIES))

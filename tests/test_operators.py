@@ -134,3 +134,44 @@ def test_multimodal_payload_schema(spark):
     assert "struct<modality:string,mime:string,n_bytes:bigint>" == dict(assets.dtypes)["meta"]
     row = assets.filter(F.col("doc_id") == 1).collect()[0]
     assert row["meta"]["n_bytes"] == len(row["payload"])
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark, sf_small):
+    """IVF ANN recall@5 against exact brute force. With nprobe=6 of 16
+    lists each query scans ~3/8 of the corpus; on near-orthogonal
+    random vectors the cluster structure is weak, so the floor is
+    loose — the assertion documents the trade, not a tuning target."""
+    from cae_polars_tools_spark.io import read_table
+    from cae_polars_tools_spark.operators.similarity import (
+        bruteforce_topk,
+        ivf_topk,
+    )
+
+    e = read_table(spark, sf_small, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in bruteforce_topk(e, q).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"]) for r in ivf_topk(e, q).collect()
+    }
+    assert len(exact) == 50
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2
+
+
+def test_ivf_centroids_shape_and_determinism(spark, sf_small):
+    from cae_polars_tools_spark.io import read_table
+    from cae_polars_tools_spark.operators.similarity import (
+        IVF_CENTROIDS,
+        train_ivf_centroids,
+    )
+
+    e = read_table(spark, sf_small, "embeddings")
+    c1 = train_ivf_centroids(e)
+    c2 = train_ivf_centroids(e)
+    assert c1.shape == (IVF_CENTROIDS, 64)
+    import numpy as np
+
+    np.testing.assert_allclose(c1, c2, rtol=1e-12)
