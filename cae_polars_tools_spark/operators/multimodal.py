@@ -98,6 +98,131 @@ def extract_features(
     )
 
 
+# --------------------------------------------------------------------------
+# Resize (image) and frame sampling (video) — same mapInPandas shape
+# --------------------------------------------------------------------------
+
+RESIZE_W = 8
+RESIZE_H = 4
+FRAME_BYTES = 32
+FRAME_STEP = 2
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Decode → resample → re-encode. STUB (no imaging library here);
+    pass ``resize_fn=`` to :func:`resize_assets`."""
+    raise NotImplementedError(
+        "image resizing requires an imaging library not present in this "
+        "environment; pass resize_fn= to resize_assets()"
+    )
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in: truncate/zero-pad the payload to exactly
+    width×height bytes (a 1-byte-per-pixel 'thumbnail')."""
+    n = width * height
+    return payload[:n].ljust(n, b"\x00")
+
+
+def resize_assets(
+    assets: DataFrame,
+    width: int = RESIZE_W,
+    height: int = RESIZE_H,
+    resize_fn: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Batch resize over binary payloads via ``mapInPandas``: payload
+    in, fixed-size payload out, meta updated with width/height. Bytes
+    never leave their partition; output rows are O(width·height)."""
+    fn = resize_fn or fake_resize
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": [fn(p, width, height) for p in pdf["payload"]],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return assets.mapInPandas(
+        gen, schema="doc_id long, payload binary, width int, height int"
+    )
+
+
+def sample_frames(
+    assets: DataFrame,
+    frame_bytes: int = FRAME_BYTES,
+    step: int = FRAME_STEP,
+    split_fn: Callable[[bytes], list[bytes]] | None = None,
+) -> DataFrame:
+    """Frame sampling for video-ish payloads: one input row fans out to
+    one output row per kept frame (every ``step``-th). ``split_fn``
+    turns container bytes into frame bytes; the default deterministic
+    splitter chunks the payload into fixed-size windows, standing in
+    for a real demuxer at the marked seam.
+
+    Scale shape: fan-out happens inside ``mapInPandas`` on the
+    partition that already holds the bytes — no shuffle, no driver
+    involvement, output bounded by len(payload)/step per row."""
+
+    def default_split(payload: bytes) -> list[bytes]:
+        return [
+            payload[i : i + frame_bytes]
+            for i in range(0, len(payload), frame_bytes)
+        ]
+
+    fn = split_fn or default_split
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = fn(payload)
+                for idx in range(0, len(frames), step):
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(idx)
+                    out["frame"].append(frames[idx])
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        gen, schema="doc_id long, frame_idx long, frame binary"
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+        WITH idx AS (
+            SELECT doc_id,
+                   text,
+                   unnest(range(0, CAST(ceil(length(text) / {FRAME_BYTES}.0)
+                                        AS BIGINT))) AS frame_idx
+            FROM documents
+        )
+        SELECT doc_id,
+               frame_idx,
+               CAST(substr(text, CAST(frame_idx * {FRAME_BYTES} + 1 AS BIGINT),
+                           {FRAME_BYTES}) AS BLOB) AS frame
+        FROM idx
+        WHERE frame_idx % {FRAME_STEP} = 0
+    """,
+    tags=("multimodal", "extension", "pandas-udf"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling end-to-end on the documents-as-payloads table.
+    The corpus text is pure ASCII, so the oracle reconstructs each
+    sampled frame with character slicing — value-level verification of
+    the fan-out plumbing (row per frame, byte-exact frames)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return sample_frames(with_payload(docs))
+
+
 @register(
     "multimodal_features",
     oracle="""

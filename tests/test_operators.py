@@ -175,3 +175,37 @@ def test_ivf_centroids_shape_and_determinism(spark, sf_small):
     import numpy as np
 
     np.testing.assert_allclose(c1, c2, rtol=1e-12)
+
+
+def test_resize_assets_deterministic_thumbnail(spark):
+    from cae_polars_tools_spark.operators.multimodal import (
+        RESIZE_H,
+        RESIZE_W,
+        resize_assets,
+        resize_image,
+        with_payload,
+    )
+
+    out = resize_assets(with_payload(_docs(spark))).collect()
+    assert all(len(r["payload"]) == RESIZE_W * RESIZE_H for r in out)
+    assert all(r["width"] == RESIZE_W and r["height"] == RESIZE_H for r in out)
+    with pytest.raises(NotImplementedError):
+        resize_image(b"\x89PNG", 8, 8)
+
+
+def test_sample_frames_fanout_and_bytes(spark):
+    from cae_polars_tools_spark.operators.multimodal import (
+        FRAME_BYTES,
+        FRAME_STEP,
+        sample_frames,
+        with_payload,
+    )
+
+    docs = _docs(spark)
+    out = sample_frames(with_payload(docs)).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in out:
+        assert r["frame_idx"] % FRAME_STEP == 0
+        start = r["frame_idx"] * FRAME_BYTES
+        expect = texts[r["doc_id"]].encode()[start : start + FRAME_BYTES]
+        assert bytes(r["frame"]) == expect
