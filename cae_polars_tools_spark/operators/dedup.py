@@ -62,6 +62,20 @@ def shingles(col: Column | str) -> Column:
     )
 
 
+def hashed_shingles(col: Column | str) -> Column:
+    """Distinct 64-bit shingle ids: xxhash64 over each ``NGRAM``-token
+    window directly (xxhash64 hashes arrays natively), skipping the
+    string join entirely. Tokens contain no separator characters, so
+    window-set distinctness and therefore every Jaccard value is
+    identical to the string-shingle form — only the ids differ."""
+    t = tokens(col)
+    n = F.size(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - (NGRAM - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.xxhash64(F.slice(t, i, NGRAM)))
+    )
+
+
 SHINGLES_SQL = (
     "list_distinct(list_transform("
     "generate_series(1, greatest(len(string_split(text, ' ')) - 4, 0)), "
@@ -139,14 +153,7 @@ def jaccard_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> Data
     ~30-char strings; per-pair collision odds ~1e-15) and is persisted
     because the DAG reads it three times (both self-join sides +
     set sizes)."""
-    sh = (
-        docs.select("doc_id", shingles("text").alias("s"))
-        .select(
-            "doc_id",
-            F.transform(F.col("s"), lambda s: F.xxhash64(s)).alias("h64"),
-        )
-        .persist()
-    )
+    sh = docs.select("doc_id", hashed_shingles("text").alias("h64")).persist()
     sizes = sh.select("doc_id", F.size("h64").alias("n"))
     ex = sh.select("doc_id", F.explode("h64").alias("g"))
     a = ex.alias("a")
@@ -234,12 +241,8 @@ def minhash_lsh_pairs(
     executes 4×. At 100 TB this artifact is ~1-2% of corpus bytes
     (8 B/shingle), well inside MEMORY_AND_DISK's spill-safe budget."""
     hashed = (
-        docs.select("doc_id", shingles("text").alias("s"))
-        .filter(F.size("s") > 0)
-        .select(
-            "doc_id",
-            F.transform(F.col("s"), lambda s: F.xxhash64(s)).alias("h64"),
-        )
+        docs.select("doc_id", hashed_shingles("text").alias("h64"))
+        .filter(F.size("h64") > 0)
         .persist()
     )
     sig = hashed.select(
