@@ -72,6 +72,35 @@ def zarr_scan_longformat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan_data(spark, demo_store(), "metric", chunk_size=13)
 
 
+@register(
+    "zarr_filter_pushdown",
+    oracle="""
+        SELECT
+            CAST((t.i + 1) * 10 AS INTEGER) AS time,
+            CAST(30 + la.j * 0.5 AS REAL) AS lat,
+            CAST(-120 + lo.k * 0.25 AS REAL) AS lon,
+            CAST(t.i * 20 + la.j * 4 + lo.k AS REAL) AS value
+        FROM range(2, 6) t(i), range(5) la(j), range(3) lo(k)
+    """,
+    tags=("zarr", "source", "pushdown"),
+)
+def zarr_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE-clause pushdown through the data source: Catalyst hands
+    the coordinate predicates to ``ZarrScanReader.pushFilters``, which
+    turns them into positional selections — the scan fetches only
+    intersecting zarr chunks and Spark re-evaluates nothing. Same
+    result as ``select_dims``, driven from plain SQL/DataFrame filters."""
+    from cae_polars_tools_spark.sources.zarr_scan import register_zarr_source
+
+    register_zarr_source(spark)
+    return (
+        spark.read.format("zarr")
+        .option("array", "metric")
+        .load(demo_store())
+        .filter("time >= 30 AND lon <= -119.5")
+    )
+
+
 _JOIN_SHAPE = (4, 3, 3)
 _JOIN_STORE = os.path.join(os.path.dirname(_STORE), "zarr_join_demo.zarr")
 

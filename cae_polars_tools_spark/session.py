@@ -53,6 +53,9 @@ def get_spark(
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
         # Arrow for pandas UDFs / toPandas / Python data sources.
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Let the zarr data source consume coordinate predicates
+        # (ZarrScanReader.pushFilters → chunk pruning at the store).
+        "spark.sql.python.filterPushdown.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
         # Parquet scans: pushdown + vectorized reader are on by default;
         # pin them explicitly so a misconfigured cluster can't lose them.

@@ -92,6 +92,63 @@ class ZarrScanReader(DataSourceReader):
         self.plan = plan
         self.chunk_size = chunk_size
 
+    def pushFilters(self, filters):
+        """Prune the scan from WHERE clauses on coordinate columns.
+
+        A predicate on a coordinate column is exactly a positional
+        selection (the column's values ARE the 1-D coordinate array),
+        so supported comparisons are translated to index subsets and
+        composed into the plan — the executors then fetch only zarr
+        chunks that intersect the surviving positions, and the filter
+        is fully consumed (not re-evaluated by Spark). Filters on
+        ``value``, on oversized (executor-loaded) coordinates, or of
+        unsupported shapes are yielded back for post-scan evaluation.
+        """
+        import numpy as np
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            IsNotNull,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        from cae_polars_tools_spark.sources.zarr_reader import refine_plan
+
+        masks: dict[str, np.ndarray] = {}
+        for f in filters:
+            attr = getattr(f, "attribute", ())
+            dim = attr[0] if len(attr) == 1 else None
+            if dim not in self.plan.sel_dims:
+                yield f
+                continue
+            if isinstance(f, IsNotNull):
+                continue  # coordinates are never null — fully satisfied
+            vals = self.plan.coord_values(dim)
+            if vals is None:  # oversized coord: not resident on driver
+                yield f
+                continue
+            if isinstance(f, EqualTo):
+                m = vals == f.value
+            elif isinstance(f, GreaterThan):
+                m = vals > f.value
+            elif isinstance(f, GreaterThanOrEqual):
+                m = vals >= f.value
+            elif isinstance(f, LessThan):
+                m = vals < f.value
+            elif isinstance(f, LessThanOrEqual):
+                m = vals <= f.value
+            elif isinstance(f, In):
+                m = np.isin(vals, list(f.value))
+            else:
+                yield f
+                continue
+            masks[dim] = masks[dim] & m if dim in masks else m
+        if masks:
+            self.plan = refine_plan(self.plan, masks)
+
     def partitions(self) -> list[InputPartition]:
         return [
             ZarrWindowPartition(s, e)

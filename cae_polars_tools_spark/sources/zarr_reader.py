@@ -101,6 +101,20 @@ class ScanPlan:
     def total_rows(self) -> int:
         return int(np.prod(self.sel_shape)) if self.sel_shape else 1
 
+    def coord_values(self, dim: str) -> np.ndarray | None:
+        """Selected coordinate values for a surviving dim as held on the
+        driver: the embedded array, synthesized integer indices when the
+        store has no coordinate, or None when the coordinate is
+        oversized (executor-loaded) and not resident here."""
+        cv = self.sel_coords.get(dim)
+        if isinstance(cv, str) and cv == "load":
+            return None
+        if cv is None:
+            return np.arange(
+                self.sel_shape[self.sel_dims.index(dim)], dtype=np.int64
+            )
+        return cv
+
 
 def plan_scan(
     store: ZarrStore,
@@ -149,6 +163,42 @@ def plan_scan(
         sel_coords=coords_out,
         value_dtype=str(arr.dtype),
         coord_dtypes=coord_dtypes,
+    )
+
+
+def refine_plan(plan: ScanPlan, masks: dict[str, np.ndarray]) -> ScanPlan:
+    """Compose per-dim boolean masks (over the *currently selected*
+    positions) into the plan: selection entries become the surviving
+    position subsets, shapes and embedded coordinate arrays shrink to
+    match. Used by data-source filter pushdown; pure metadata — no I/O."""
+    sel_by_dim = dict(zip(plan.dims_in, plan.selection))
+    sel_shape = dict(zip(plan.sel_dims, plan.sel_shape))
+    sel_coords = dict(plan.sel_coords)
+    for dim, mask in masks.items():
+        mask = np.asarray(mask, dtype=bool)
+        e = sel_by_dim[dim]
+        if isinstance(e, tuple):
+            pos = np.arange(e[1], e[2], e[3], dtype=np.int64)
+        else:  # list (int selections drop the dim, so can't appear here)
+            pos = np.asarray(e, dtype=np.int64)
+        kept = pos[mask]
+        cv = sel_coords.get(dim)
+        if isinstance(cv, np.ndarray):
+            sel_coords[dim] = cv[mask]
+        elif cv is None:
+            # Missing coordinate → the column holds synthesized indices
+            # 0..n-1 over the pre-refinement selection. Those values
+            # were what Spark filtered on, so materialize the kept ones
+            # (a fresh arange would renumber and violate the consumed
+            # predicate).
+            sel_coords[dim] = np.arange(sel_shape[dim], dtype=np.int64)[mask]
+        sel_by_dim[dim] = [int(i) for i in kept]
+        sel_shape[dim] = len(kept)
+    return dataclasses.replace(
+        plan,
+        selection=[sel_by_dim[d] for d in plan.dims_in],
+        sel_shape=tuple(sel_shape[d] for d in plan.sel_dims),
+        sel_coords=sel_coords,
     )
 
 

@@ -394,3 +394,88 @@ def test_datasource_int_selection(spark, climate_store):
     )
     assert df.columns == ["time", "lon", "value"]
     assert df.count() == 12 * 15
+
+
+# -- data-source filter pushdown ---------------------------------------------
+
+
+def test_datasource_filter_pushdown_values(spark, climate_store):
+    """WHERE on coordinate columns must produce exactly the post-scan
+    filter result while the scan itself prunes to the selected
+    positions (chunk pruning at the storage layer)."""
+    root, temp, _ = climate_store
+    register_zarr_source(spark)
+    base = (
+        spark.read.format("zarr").option("array", "temperature").load(root)
+    )
+    cond = "time >= 6 AND lat < 40.0 AND lon = -120.0"
+    got = (
+        base.filter(cond)
+        .toPandas()
+        .sort_values(["time", "lat", "lon"])
+        .reset_index(drop=True)
+    )
+    # oracle: numpy slicing of the source array
+    lats = np.linspace(30, 50, 10, dtype=np.float32)
+    keep_lat = np.where(lats < 40.0)[0]
+    expect = temp[6:, keep_lat, 0]
+    assert len(got) == expect.size
+    assert np.allclose(
+        got["value"].to_numpy().sum(), expect.sum(dtype=np.float64), rtol=1e-6
+    )
+    # the consumed filters must not change values: time column intact
+    assert set(got["time"]) == set(range(6, 12))
+
+
+def test_push_filters_prunes_plan_and_consumes(climate_store):
+    from pyspark.sql.datasource import EqualTo, GreaterThan, IsNotNull
+
+    from cae_polars_tools_spark.sources.zarr_datasource import (
+        ZarrScanReader,
+        _plan_from_options,
+    )
+
+    root, _, _ = climate_store
+    plan, chunk = _plan_from_options({"path": root, "array": "temperature"})
+    reader = ZarrScanReader(plan, chunk)
+    leftover = list(
+        reader.pushFilters(
+            [
+                GreaterThan(("time",), 5),
+                EqualTo(("lon",), -120.0),
+                IsNotNull(("lat",)),
+                EqualTo(("value",), 1.0),  # not a coordinate → kept
+            ]
+        )
+    )
+    assert [type(f).__name__ for f in leftover] == ["EqualTo"]
+    assert leftover[0].attribute == ("value",)
+    assert reader.plan.sel_shape == (6, 10, 1)
+    assert reader.plan.total_rows == 60
+
+
+def test_push_filters_missing_coord_keeps_index_values(spark, tmp_path):
+    """Refining a dim with no stored coordinate must keep the original
+    synthesized index values, not renumber them."""
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    from cae_polars_tools_spark.sources.zarr_datasource import (
+        ZarrScanReader,
+        _plan_from_options,
+    )
+    from cae_polars_tools_spark.sources.zarr_reader import read_window
+
+    root = str(tmp_path / "nocoord.zarr")
+    write_group(
+        root,
+        arrays={"a": np.arange(8, dtype=np.float64)},
+        dims={"a": ("x",)},
+        coords={},
+        chunks={"a": (3,)},
+    )
+    plan, chunk = _plan_from_options({"path": root, "array": "a"})
+    reader = ZarrScanReader(plan, chunk)
+    assert list(reader.pushFilters([GreaterThanOrEqual(("x",), 5)])) == []
+    cols = read_window(reader.plan, 0, reader.plan.total_rows)
+    assert cols["x"].tolist() == [5, 6, 7]
+    assert cols["value"].tolist() == [5.0, 6.0, 7.0]
