@@ -244,7 +244,6 @@ def train_ivf_centroids(
     posexplode → per-(cluster, dim) sum/count — so the driver only
     ever holds the (C × dim) centroid matrix. At 100 TB you would
     train on a sample; the shape of the update pass is unchanged."""
-    dim = len(embeddings.select("embedding").first()[0])
     init = (
         embeddings.orderBy("vec_id")
         .limit(n_centroids)
@@ -252,6 +251,7 @@ def train_ivf_centroids(
         .toPandas()["embedding"]
     )
     c = np.stack(init.to_numpy()).astype(np.float64)
+    dim = c.shape[1]
     for _ in range(n_iters):
         assign = _assign_udf(c)
         stats = (
