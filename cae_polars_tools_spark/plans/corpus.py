@@ -894,3 +894,91 @@ def q25_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(li, s.s_suppkey == li.l_suppkey, "left_semi").select(
         "s_suppkey", "s_name"
     )
+
+
+@register(
+    "q27_sliding_window",
+    oracle="""
+        WITH w AS (
+            SELECT event_type,
+                   value,
+                   date_trunc('day', ts) - INTERVAL (k) DAY AS window_start
+            FROM events, unnest([0, 1]) AS u(k)
+        )
+        SELECT window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               {sv} AS sum_value
+        FROM w
+        GROUP BY 1, 2
+    """.format(sv=dsum_sql("value")),
+    tags=("window", "datetime", "streaming-compatible"),
+)
+def q27_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-day windows sliding by 1 day: every event lands in exactly two
+    windows (F.window duration/slide form — runs unchanged under
+    readStream). The oracle fans each event into its two window starts
+    with unnest."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 days", "1 day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q28_sql_interface",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               {tp} AS total_price
+        FROM orders
+        WHERE o_orderdate >= DATE '1995-01-01'
+        GROUP BY o_orderpriority
+    """.format(tp=dsum_sql("o_totalprice")),
+    tags=("sql", "extension"),
+)
+def q28_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql string interface over registered temp views — free
+    with Catalyst (the reference has no SQL parser, SURVEY §2.2
+    'ABSENT'); identical plan to the DataFrame form."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders
+        WHERE o_orderdate >= DATE '1995-01-01'
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "q29_approx_aggregates",
+    oracle=None,  # approximate by design (HLL++ / KLL sketches)
+    tags=("agg", "approx", "scale-path"),
+)
+def q29_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-based scale path for q08/q22-style questions:
+    approx_count_distinct (HLL++) and percentile_approx, both
+    single-pass, fixed-memory, and mergeable across partitions — what
+    production uses at 100 TB when exactness isn't required. No SQL
+    oracle (approximate by design); the exact corpus twins carry the
+    correctness gate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_p50"),
+    )
