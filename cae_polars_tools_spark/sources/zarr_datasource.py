@@ -152,7 +152,9 @@ class ZarrScanReader(DataSourceReader):
     def partitions(self) -> list[InputPartition]:
         return [
             ZarrWindowPartition(s, e)
-            for s, e in partition_ranges(self.plan.total_rows, self.chunk_size)
+            for s, e in partition_ranges(
+                self.plan.total_rows, self.chunk_size, self.plan.row_align
+            )
         ]
 
     def read(self, partition: ZarrWindowPartition) -> Iterator:

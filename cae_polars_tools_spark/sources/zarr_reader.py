@@ -96,6 +96,11 @@ class ScanPlan:
     sel_coords: dict[str, Any]
     value_dtype: str  # numpy dtype string of the array
     coord_dtypes: dict[str, str]  # numpy dtype string per surviving dim
+    # Partition windows are rounded up to a multiple of this row count
+    # so partition boundaries coincide with zarr chunk boundaries along
+    # dim 0 — without it, adjacent partitions both fetch+decompress the
+    # storage chunk that straddles their boundary.
+    row_align: int = 1
 
     @property
     def total_rows(self) -> int:
@@ -150,6 +155,18 @@ def plan_scan(
             coords_out[dim] = np.asarray(cv)
             coord_dtypes[dim] = str(cv.dtype)
 
+    # Align partition windows to whole dim-0 positions (`inner` rows),
+    # and to whole dim-0 *storage chunks* when the dim-0 selection is a
+    # unit-step slice (positions map to contiguous chunk runs).
+    row_align = 1
+    if sel_shape:
+        inner = int(np.prod(sel_shape[1:])) if len(sel_shape) > 1 else 1
+        row_align = inner
+        first_in_idx = dims.index(sel_dims[0])
+        e0 = encoded[first_in_idx]
+        if isinstance(e0, tuple) and e0[3] == 1:
+            row_align = inner * int(arr.chunks[first_in_idx])
+
     return ScanPlan(
         store_path=store.store_path,
         storage_options=dict(store.storage_options),
@@ -163,6 +180,7 @@ def plan_scan(
         sel_coords=coords_out,
         value_dtype=str(arr.dtype),
         coord_dtypes=coord_dtypes,
+        row_align=row_align,
     )
 
 
@@ -194,11 +212,16 @@ def refine_plan(plan: ScanPlan, masks: dict[str, np.ndarray]) -> ScanPlan:
             sel_coords[dim] = np.arange(sel_shape[dim], dtype=np.int64)[mask]
         sel_by_dim[dim] = [int(i) for i in kept]
         sel_shape[dim] = len(kept)
+    new_shape = tuple(sel_shape[d] for d in plan.sel_dims)
+    # Refined dim-0 selections are position lists (no longer chunk-run
+    # slices), so fall back to whole-dim-0-position window alignment.
+    inner = int(np.prod(new_shape[1:])) if len(new_shape) > 1 else 1
     return dataclasses.replace(
         plan,
         selection=[sel_by_dim[d] for d in plan.dims_in],
-        sel_shape=tuple(sel_shape[d] for d in plan.sel_dims),
+        sel_shape=new_shape,
         sel_coords=sel_coords,
+        row_align=inner if new_shape else 1,
     )
 
 
@@ -219,13 +242,17 @@ def schema_for_plan(plan: ScanPlan):
 
 
 def partition_ranges(
-    total_rows: int, chunk_size: int = DEFAULT_CHUNK_SIZE
+    total_rows: int, chunk_size: int = DEFAULT_CHUNK_SIZE, align: int = 1
 ) -> list[tuple[int, int]]:
     """Split [0, total_rows) into row windows: one Spark partition each.
-    Window size is chunk_size, grown to cap the partition count."""
+    Window size is chunk_size, grown to cap the partition count, then
+    rounded up to a multiple of ``align`` so partition boundaries land
+    on zarr chunk boundaries (no chunk is fetched by two partitions)."""
     if total_rows <= 0:
         return [(0, 0)]
     window = max(int(chunk_size), math.ceil(total_rows / MAX_PARTITIONS), 1)
+    if align > 1:
+        window = math.ceil(window / align) * align
     return [(s, min(s + window, total_rows)) for s in range(0, total_rows, window)]
 
 
@@ -386,7 +413,7 @@ def distributed_scan(spark, plan: ScanPlan, schema, chunk_size: int):
     """One Spark partition per row window; partitions read + expand
     independently (this IS the reference's streaming conversion mapped
     onto Spark's execution model)."""
-    ranges = partition_ranges(plan.total_rows, chunk_size)
+    ranges = partition_ranges(plan.total_rows, chunk_size, plan.row_align)
     n = len(ranges)
 
     def gen(batch_iter) -> Iterator:

@@ -479,3 +479,29 @@ def test_push_filters_missing_coord_keeps_index_values(spark, tmp_path):
     cols = read_window(reader.plan, 0, reader.plan.total_rows)
     assert cols["x"].tolist() == [5, 6, 7]
     assert cols["value"].tolist() == [5.0, 6.0, 7.0]
+
+
+def test_partition_ranges_alignment():
+    from cae_polars_tools_spark.sources.zarr_reader import partition_ranges
+
+    # window rounds up from chunk_size to the next multiple of align
+    assert partition_ranges(100, 10, align=15) == [
+        (0, 15), (15, 30), (30, 45), (45, 60), (60, 75), (75, 90), (90, 100)
+    ]
+    # align=1 keeps the raw chunk_size behavior
+    assert partition_ranges(25, 10) == [(0, 10), (10, 20), (20, 25)]
+
+
+def test_plan_row_align_matches_chunk_slab(climate_store):
+    """Unit-step dim-0 slice → align = dim0 chunk × inner rows, so no
+    storage chunk is read by two partitions; stepped slice → align =
+    inner only (whole dim-0 positions)."""
+    from cae_polars_tools_spark.sources.zarr_reader import plan_scan
+    from cae_polars_tools_spark.sources.zarr_store import ZarrStore
+
+    root, _, _ = climate_store
+    store = ZarrStore(root)
+    plan = plan_scan(store, "temperature")  # shape (12,10,15), chunks (6,5,8)
+    assert plan.row_align == 6 * 10 * 15
+    plan2 = plan_scan(store, "temperature", {"time": slice(0, 12, 2)})
+    assert plan2.row_align == 10 * 15
