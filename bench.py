@@ -45,6 +45,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, spec in sorted(corpus.items()):
+        # Drop DataFrames persisted by the previous query (self-join
+        # reuse caches) so each timing is isolated.
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         materialize(spec.build(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 4)
