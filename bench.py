@@ -40,8 +40,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     corpus = load_all()
 
-    # Warm-up: JVM codegen + parquet footer caches.
+    # Warm-up: JVM codegen + parquet footer caches, plus the Python
+    # worker pools both UDF-bearing plans (pandas UDF) and the zarr
+    # Python Data Source (plan/partition/read workers) spin up on
+    # first use — session bring-up cost, not per-query cost, matching
+    # the reference's read-vs-collect benchmark split.
     materialize(corpus["q01_pricing_summary"].build(spark, sf_dir))
+    materialize(corpus["zarr_filter_pushdown"].build(spark, sf_dir))
+    materialize(corpus["text_language_chargram"].build(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name, spec in sorted(corpus.items()):

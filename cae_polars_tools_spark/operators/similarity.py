@@ -213,7 +213,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IVF_CENTROIDS = 16
 IVF_NPROBE = 6
-IVF_ITERS = 2
+IVF_ITERS = 8
+IVF_TRAIN_SAMPLE = 16384
 
 
 def _assign_udf(centroids: np.ndarray):
@@ -232,42 +233,69 @@ def _assign_udf(centroids: np.ndarray):
     return assign
 
 
+def _lloyd_refine_distributed(embeddings: DataFrame, c: np.ndarray) -> np.ndarray:
+    """One distributed Lloyd iteration over the FULL corpus: assign
+    (vectorized UDF) → posexplode → per-(cluster, dim) sum/count.
+    The driver only ever holds the (C × dim) centroid matrix; the
+    shuffle key is (cluster, dim) — C·dim cells regardless of corpus
+    size, so the reduce side is trivially small at any scale."""
+    assign = _assign_udf(c)
+    stats = (
+        embeddings.select(
+            assign(F.col("embedding")).alias("cl"),
+            F.posexplode("embedding").alias("pos", "v"),
+        )
+        .groupBy("cl", "pos")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .toPandas()
+        .sort_values(["cl", "pos"])
+    )
+    nxt = c.copy()  # empty clusters keep their old centroid
+    for cl, grp in stats.groupby("cl"):
+        nxt[int(cl)] = grp["s"].to_numpy() / grp["n"].to_numpy()
+    return nxt
+
+
 def train_ivf_centroids(
     embeddings: DataFrame,
     n_centroids: int = IVF_CENTROIDS,
     n_iters: int = IVF_ITERS,
+    sample_size: int = IVF_TRAIN_SAMPLE,
+    distributed_iters: int = 0,
 ) -> np.ndarray:
-    """Distributed Lloyd iterations for the coarse quantizer.
+    """Coarse-quantizer training: local Lloyd on a bounded,
+    deterministic sample (the ``sample_size`` lowest vec_ids — one
+    top-k Spark pass), the standard IVF recipe (FAISS trains its
+    quantizer on a sample for the same reason): centroid quality needs
+    O(centroids × oversampling) points, not the corpus. The sample is
+    ≤ ``sample_size`` × dim floats on the driver at any corpus size,
+    and local iterations are free — no per-iteration Spark job, no
+    64×-row posexplode shuffle.
 
-    Init is deterministic (the ``n_centroids`` lowest vec_ids); each
-    iteration is one Spark pass — assign (vectorized UDF) →
-    posexplode → per-(cluster, dim) sum/count — so the driver only
-    ever holds the (C × dim) centroid matrix. At 100 TB you would
-    train on a sample; the shape of the update pass is unchanged."""
-    init = (
+    ``distributed_iters`` optionally appends full-corpus Lloyd passes
+    (``_lloyd_refine_distributed``) for exact convergence on the whole
+    dataset; assignments by cosine, matching ``_assign_udf``."""
+    sample = (
         embeddings.orderBy("vec_id")
-        .limit(n_centroids)
+        .limit(max(sample_size, n_centroids))
         .select("embedding")
         .toPandas()["embedding"]
     )
-    c = np.stack(init.to_numpy()).astype(np.float64)
+    M = np.stack(sample.to_numpy()).astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    c = M[:n_centroids].copy()  # deterministic init: lowest vec_ids
     dim = c.shape[1]
     for _ in range(n_iters):
-        assign = _assign_udf(c)
-        stats = (
-            embeddings.select(
-                assign(F.col("embedding")).alias("cl"),
-                F.posexplode("embedding").alias("pos", "v"),
-            )
-            .groupBy("cl", "pos")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
-            .toPandas()
-            .sort_values(["cl", "pos"])
-        )
+        cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+        cl = (Mn @ cn.T).argmax(axis=1)
         nxt = c.copy()  # empty clusters keep their old centroid
-        for cl, grp in stats.groupby("cl"):
-            nxt[int(cl)] = grp["s"].to_numpy() / grp["n"].to_numpy()
+        for i in range(n_centroids):
+            members = M[cl == i]
+            if len(members):
+                nxt[i] = members.mean(axis=0)
         c = nxt
+    for _ in range(distributed_iters):
+        c = _lloyd_refine_distributed(embeddings, c)
     assert c.shape == (n_centroids, dim)
     return c
 
