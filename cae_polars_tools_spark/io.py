@@ -50,6 +50,34 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a scan up to the session's parallelism —
+    but ONLY if the scan yields fewer partitions than cores.
+
+    Why: parquet splitting is row-group-granular, so a small input (one
+    file, one row group — exactly the shape of a dim-table or a
+    small-SF test table) scans as ONE task no matter how many cores
+    exist, and every downstream narrow op (tokenize, shingle, pandas
+    UDF) runs single-threaded. For CPU-heavy per-row operators the
+    repartition shuffle (bytes ≈ input size, which is small precisely
+    when this fires) buys back full parallelism.
+
+    At real scale this is a no-op by construction: a 100 TB table scans
+    as ~10⁵ row-group splits ≥ parallelism, so no exchange is added to
+    the plan. Decision rule (measured at sf0.1 on local[32]): spread
+    when per-row compute dominates — shingling/tokenizing (4× faster),
+    pandas-UDF scoring, blocked self-joins; do NOT spread cheap-per-row
+    plans — a 600k-row groupBy got 3× slower (the extra exchange costs
+    more than the single-task map side), and md5-fingerprint /
+    persisted-LSH-bucket pipelines regressed ~2×.
+    """
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def read_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Read every synthetic table into a dict."""
     return {name: read_table(spark, sf_dir, name) for name in TABLES}

@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
-from cae_polars_tools_spark.io import read_table
+from cae_polars_tools_spark.io import read_table, spread
 from cae_polars_tools_spark.operators.text import (
     FINGERPRINT_SQL,
     fingerprint,
@@ -186,7 +186,7 @@ def jaccard_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> Data
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 5-gram Jaccard near-dup pairs at threshold 0.8."""
-    return jaccard_pairs(read_table(spark, sf_dir, "documents"))
+    return jaccard_pairs(spread(read_table(spark, sf_dir, "documents")))
 
 
 # ---------------------------------------------------------------------------
@@ -313,7 +313,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs at jaccard ≥ 0.8. Verified exactly on
     candidates, so the result matches the exact-join oracle (a true
     pair escapes all 32 bands with probability ≈ 1e-10)."""
-    return minhash_lsh_pairs(read_table(spark, sf_dir, "documents"))
+    return minhash_lsh_pairs(spread(read_table(spark, sf_dir, "documents")))
 
 
 # ---------------------------------------------------------------------------
@@ -413,7 +413,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> Da
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 6 of 64 bits)."""
-    return simhash_pairs(read_table(spark, sf_dir, "documents"))
+    return simhash_pairs(spread(read_table(spark, sf_dir, "documents")))
 
 
 # ---------------------------------------------------------------------------
@@ -480,7 +480,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     space shrinks by ~B× and each block's join is an ordinary
     shuffle-hash join on the block key — the standard production shape
     (block key = coarse cluster / LSH bucket / shard)."""
-    e = read_table(spark, sf_dir, "embeddings").select(
+    e = spread(read_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         "label",
         "embedding",

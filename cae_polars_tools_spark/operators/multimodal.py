@@ -27,7 +27,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cae_polars_tools_spark.io import read_table
+from cae_polars_tools_spark.io import read_table, spread
 from cae_polars_tools_spark.plans.registry import register
 
 
@@ -219,7 +219,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     The corpus text is pure ASCII, so the oracle reconstructs each
     sampled frame with character slicing — value-level verification of
     the fan-out plumbing (row per frame, byte-exact frames)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread(read_table(spark, sf_dir, "documents"))
     return sample_frames(with_payload(docs))
 
 
@@ -239,5 +239,5 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch 'decode'+feature step in mapInPandas. The oracle verifies
     the full plumbing value-for-value (byte length + first byte are
     decoder-independent)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread(read_table(spark, sf_dir, "documents"))
     return extract_features(with_payload(docs))

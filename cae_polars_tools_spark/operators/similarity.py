@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
-from cae_polars_tools_spark.io import read_table
+from cae_polars_tools_spark.io import read_table, spread
 from cae_polars_tools_spark.operators.dedup import (
     COSINE_SQL,
     cosine_with_norms,
@@ -95,7 +95,7 @@ def bruteforce_topk(
 )
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for the demo query set (vec_id<10)."""
-    e = read_table(spark, sf_dir, "embeddings")
+    e = spread(read_table(spark, sf_dir, "embeddings"))
     return bruteforce_topk(e, e.filter(F.col("vec_id") < N_QUERIES))
 
 
@@ -367,5 +367,5 @@ def ivf_topk(
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5 for the demo query set."""
-    e = read_table(spark, sf_dir, "embeddings")
+    e = spread(read_table(spark, sf_dir, "embeddings"))
     return ivf_topk(e, e.filter(F.col("vec_id") < N_QUERIES))

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cae_polars_tools_spark.io import read_table
+from cae_polars_tools_spark.io import read_table, spread
 from cae_polars_tools_spark.plans.registry import register
 
 # Word-tokenization shared by text + dedup operators. Single-space
@@ -85,7 +85,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring statistics per document: length, whitespace and
     BPE-ish token counts, chars/token, stopword ratio. Pure per-row
     expressions — no shuffle at any scale."""
-    d = read_table(spark, sf_dir, "documents")
+    d = spread(read_table(spark, sf_dir, "documents"))
     toks = tokens("text")
     bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_REGEX), 0)
     n_toks = F.size(toks)
@@ -135,7 +135,7 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID (deterministic heuristic; precedence
     en>es>de>fr on ties, 'und' when no markers hit). The char-n-gram
     profile variant is `text_language_chargram`."""
-    d = read_table(spark, sf_dir, "documents")
+    d = spread(read_table(spark, sf_dir, "documents"))
     toks = tokens("text")
     counts = {
         lang: _marker_count(toks, markers).alias(f"c_{lang}")
@@ -216,5 +216,5 @@ def text_language_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = [langs[b] if scores[i, b] > 0 else "und" for i, b in enumerate(best)]
         return pd.Series(out)
 
-    d = read_table(spark, sf_dir, "documents")
+    d = spread(read_table(spark, sf_dir, "documents"))
     return d.select("doc_id", detect(F.col("text")).alias("detected_lang"))
