@@ -48,7 +48,6 @@ JACCARD_THRESHOLD = 0.8
 MINHASH_K = 96
 LSH_BANDS = 32
 LSH_ROWS = 3
-_MERSENNE_P = 4294967311  # prime > 2^32
 
 
 def shingles(col: Column | str) -> Column:
@@ -195,31 +194,42 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_params() -> tuple[np.ndarray, np.ndarray]:
+    """K multiply-shift hash functions: odd 64-bit multipliers + 64-bit
+    offsets (Dietzfelbinger et al. multiply-shift family). Seeded, so
+    signatures are deterministic across runs/engines."""
     rng = np.random.default_rng(20240813)
-    a = rng.integers(1, 2**31 - 1, size=MINHASH_K, dtype=np.int64)
-    b = rng.integers(0, 2**31 - 1, size=MINHASH_K, dtype=np.int64)
+    a = (rng.integers(0, 2**63, size=MINHASH_K, dtype=np.int64).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.integers(0, 2**63, size=MINHASH_K, dtype=np.int64).astype(np.uint64)
     return a, b
 
 
-@F.pandas_udf(ArrayType(LongType()))
-def minhash_signature(h32: pd.Series) -> pd.Series:
-    """K-permutation MinHash signature from pre-hashed shingles.
+_MINHASH_EMPTY = (1 << 32) - 1  # empty doc ⇒ all-MAX signature
 
-    Input is the shingle xxhash64 truncated to 32 bits (JVM-side), so
-    the universal-hash product a·h+b stays inside a signed 64-bit long
-    (a < 2^31, h < 2^32 ⇒ a·h+b < 2^63 — no numpy overflow). The K×S
-    min-reduction runs here as one vectorized numpy op per document:
-    K separate array_min(transform(...)) expression columns are
-    interpreted per element (higher-order functions are
-    CodegenFallback), which made this the slowest operator in the
-    corpus at ~100× this cost."""
+
+@F.pandas_udf(ArrayType(LongType()))
+def minhash_signature(h64: pd.Series) -> pd.Series:
+    """K-permutation MinHash signature from 64-bit shingle hashes.
+
+    Permutation hash = multiply-shift ((a·h + b) mod 2⁶⁴) >> 32 with
+    odd a — a universal family that needs no modular division (~2×
+    faster than the Mersenne-prime mod form) and consumes the full
+    64-bit shingle ids directly. The K×S product runs as one vectorized
+    numpy op per document; uint64 wraparound is the intended mod-2⁶⁴.
+    (K separate array_min(transform(...)) expression columns would be
+    interpreted per element — higher-order functions are
+    CodegenFallback — measured ~100× this cost.)"""
     import pandas as pd
 
     a, b = _minhash_params()
     out = []
-    for h in h32:
-        hv = np.asarray(h, dtype=np.int64)
-        out.append(((a[:, None] * hv[None, :] + b[:, None]) % _MERSENNE_P).min(axis=1))
+    for h in h64:
+        hv = np.asarray(h, dtype=np.int64).view(np.uint64)
+        if hv.size == 0:
+            out.append(np.full(MINHASH_K, _MINHASH_EMPTY, dtype=np.int64))
+            continue
+        m = a[:, None] * hv[None, :]
+        m += b[:, None]
+        out.append((m >> np.uint64(32)).min(axis=1).astype(np.int64))
     return pd.Series(out)
 
 
@@ -245,12 +255,7 @@ def minhash_lsh_pairs(
         .filter(F.size("h64") > 0)
         .persist()
     )
-    sig = hashed.select(
-        "doc_id",
-        F.transform(
-            F.col("h64"), lambda h: h.bitwiseAND(F.lit(0xFFFFFFFF))
-        ).alias("h32"),
-    ).select("doc_id", minhash_signature(F.col("h32")).alias("sig"))
+    sig = hashed.select("doc_id", minhash_signature(F.col("h64")).alias("sig"))
 
     bands = sig.select(
         "doc_id",
