@@ -1,0 +1,136 @@
+"""Temporal operators: as-of join.
+
+The reference has no temporal joins (SURVEY.md §2.2 "ABSENT": only
+inner equi-join), but a training-data pipeline over event streams
+needs point-in-time correctness ("the most recent feature value at or
+before this label's timestamp"). Spark has no native as-of join, so
+this implements one as a composition of built-in operators — the
+union + carry-forward-window merge:
+
+1. Tag left rows ``_side=1`` and right rows ``_side=0``; union them on
+   a common schema (each side padded with typed nulls for the other
+   side's columns).
+2. One window pass per key, ordered by ``(on, _side)``, carries the
+   last non-null right attributes forward
+   (``last(..., ignorenulls=True)`` over an unbounded-preceding
+   frame).
+3. Keep only left rows: each now holds the right row with the
+   greatest ``on`` ≤ its own (ties included, because right sorts
+   before left at equal ``on``) — exactly DuckDB/pandas ``ASOF JOIN``
+   / ``merge_asof`` backward semantics, as a LEFT join (no match ⇒
+   nulls).
+
+Scale shape: ONE shuffle per side (the window's hash partitioning on
+the key) and a per-key sort — identical cost to a sort-merge join,
+with no range-explosion risk at any skew, unlike the
+``l.ts BETWEEN r.ts AND r.ts + tol`` range-join formulation whose
+candidate fan-out is unbounded. Per-key state during the scan is one
+row of carried attributes.
+
+Determinism: if the right side has several rows at the same
+``(by, on)`` the carried winner is tie-ambiguous; pre-aggregate the
+right side to unique ``(by, on)`` (the corpus entry uses
+``max_by(·, event_id)``) the same way DuckDB's ASOF demands a unique
+ordering key for reproducible output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cae_polars_tools_spark.io import read_table
+from cae_polars_tools_spark.plans.registry import register
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str, by: str) -> DataFrame:
+    """Backward as-of LEFT join: for each left row, attach the right
+    row of the same ``by`` key with the greatest ``on`` value ≤ the
+    left row's (equal values match). Right columns other than
+    ``on``/``by`` are carried through under their own names — rename
+    before calling on collision; the matched right ``on`` value is
+    returned as ``matched_<on>``.
+    """
+    matched = f"matched_{on}"
+    l_other = [c for c in left.columns if c not in (on, by)]
+    r_other = [c for c in right.columns if c not in (on, by)]
+    r = right.withColumn(matched, F.col(on))
+    r_carry = r_other + [matched]
+    r_types = dict(r.dtypes)
+    l_types = dict(left.dtypes)
+
+    lu = left.select(
+        by,
+        on,
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in l_other],
+        *[F.lit(None).cast(r_types[c]).alias(c) for c in r_carry],
+    )
+    ru = r.select(
+        by,
+        on,
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(l_types[c]).alias(c) for c in l_other],
+        *[F.col(c) for c in r_carry],
+    )
+    w = (
+        Window.partitionBy(by)
+        .orderBy(on, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        lu.unionByName(ru)
+        .select(
+            by,
+            on,
+            "_side",
+            *l_other,
+            *[F.last(c, ignorenulls=True).over(w).alias(c) for c in r_carry],
+        )
+        .filter(F.col("_side") == 1)
+        .drop("_side")
+    )
+
+
+@register(
+    "q30_asof_join",
+    oracle="""
+        WITH l AS (
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+            FROM events WHERE event_type = 'purchase'
+        ), r AS (
+            SELECT user_id, epoch_us(ts) AS ts_us,
+                   MAX(event_id) AS prior_event_id,
+                   max_by(value, event_id) AS prior_value
+            FROM events WHERE event_type = 'click' GROUP BY 1, 2
+        )
+        SELECT l.event_id, l.user_id, l.ts_us, l.value,
+               r.prior_event_id, r.prior_value,
+               r.ts_us AS matched_ts_us
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+    """,
+    tags=("temporal", "extension", "asof-join"),
+)
+def q30_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time attribution: each purchase event joined to the
+    same user's most recent click at or before it (nulls when none).
+    Timestamps compared as epoch microseconds in both engines, and the
+    right side is pre-aggregated to unique (user, ts) with
+    ``max_by(·, event_id)`` so the as-of winner is deterministic.
+    Oracle: DuckDB's native ASOF LEFT JOIN."""
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us", "value"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts_us")
+        .agg(
+            F.max("event_id").alias("prior_event_id"),
+            F.max_by("value", "event_id").alias("prior_value"),
+        )
+    )
+    return asof_join(left, right, on="ts_us", by="user_id")

@@ -209,3 +209,27 @@ def test_sample_frames_fanout_and_bytes(spark):
         start = r["frame_idx"] * FRAME_BYTES
         expect = texts[r["doc_id"]].encode()[start : start + FRAME_BYTES]
         assert bytes(r["frame"]) == expect
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: greatest right ts <= left ts per key; equal ts
+    matches; no prior right row => nulls; right attrs carried by name."""
+    from cae_polars_tools_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u1", 10), (2, "u1", 25), (3, "u1", 5), (4, "u2", 50)],
+        "event_id long, user_id string, ts_us long",
+    )
+    right = spark.createDataFrame(
+        [("u1", 10, 100.0), ("u1", 20, 200.0), ("u3", 1, 999.0)],
+        "user_id string, ts_us long, feat double",
+    )
+    rows = {
+        r["event_id"]: r
+        for r in asof_join(left, right, on="ts_us", by="user_id").collect()
+    }
+    assert rows[1]["matched_ts_us"] == 10 and rows[1]["feat"] == 100.0  # tie
+    assert rows[2]["matched_ts_us"] == 20 and rows[2]["feat"] == 200.0
+    assert rows[3]["matched_ts_us"] is None and rows[3]["feat"] is None
+    assert rows[4]["matched_ts_us"] is None  # key with no right rows
+    assert len(rows) == 4  # left join: every left row exactly once
