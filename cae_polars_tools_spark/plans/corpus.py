@@ -982,3 +982,60 @@ def q29_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_p50"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets (rollup / cube) — extensions beyond the reference
+# surface (SURVEY §2.2 "ABSENT": no grouping sets of any kind); both
+# plan as a single expanded hash aggregate in Catalyst (one shuffle,
+# map-side partials per grouping set), not one job per set.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q31_rollup",
+    oracle="""
+        SELECT l_returnflag,
+               l_linestatus,
+               GROUPING(l_returnflag, l_linestatus) AS gid,
+               COUNT(*) AS n_rows,
+               {sq} AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """.format(sq=dsum_sql("l_quantity")),
+    tags=("agg", "grouping-sets", "extension"),
+)
+def q31_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals: (flag, status), (flag), and grand total
+    in ONE aggregation pass. grouping_id() disambiguates subtotal rows
+    from genuine null keys; Spark's bit order matches DuckDB's
+    GROUPING(a, b)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity").alias("sum_qty"),
+    ).select("l_returnflag", "l_linestatus", "gid", "n_rows", "sum_qty")
+
+
+@register(
+    "q32_cube",
+    oracle="""
+        SELECT l_returnflag,
+               l_linestatus,
+               GROUPING(l_returnflag, l_linestatus) AS gid,
+               COUNT(*) AS n_rows,
+               {sp} AS sum_price
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """.format(sp=dsum_sql("l_extendedprice")),
+    tags=("agg", "grouping-sets", "extension"),
+)
+def q32_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 2^k grouping-set combinations in one pass — adds the
+    (status)-only marginals rollup omits."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_extendedprice").alias("sum_price"),
+    ).select("l_returnflag", "l_linestatus", "gid", "n_rows", "sum_price")
