@@ -1,4 +1,4 @@
-"""Temporal operators: as-of join.
+"""Temporal operators: as-of join and banded range join.
 
 The reference has no temporal joins (SURVEY.md §2.2 "ABSENT": only
 inner equi-join), but a training-data pipeline over event streams
@@ -134,3 +134,102 @@ def q30_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return asof_join(left, right, on="ts_us", by="user_id")
+
+
+# ---------------------------------------------------------------------------
+# Banded range join
+# ---------------------------------------------------------------------------
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    window: int,
+) -> DataFrame:
+    """Inner range join: pairs where ``right.on`` ∈ [``left.on``,
+    ``left.on + window``] for the same ``by`` key, executed as a
+    *banded* equi-join so it shuffles and probes like an ordinary hash
+    join at any scale.
+
+    Naive formulations (`l.t <= r.t AND r.t <= l.t + W` as a join
+    condition) degenerate to a per-key nested loop — unbounded fan-out
+    under skew. Instead the time axis is cut into ``window``-sized
+    bands: a right row in [t, t+W] lands in band(t) or band(t)+1, so
+    each left row explodes to exactly TWO (key, band) candidates,
+    equi-joins on them, and an exact BETWEEN filter keeps true pairs.
+    Cost: one 2×-left + 1×-right shuffle on (by, band) — candidate
+    count is bounded by band co-occupancy, never |L|×|R| per key.
+
+    Column collisions: both sides keep their own columns; rename
+    before calling if names overlap (``on``/``by`` come from the left
+    row and the right ``on`` is returned as ``matched_<on>``).
+    """
+    matched = f"matched_{on}"
+    band_l = F.explode(
+        F.array(
+            F.floor(F.col(on) / window).cast("long"),
+            (F.floor(F.col(on) / window) + 1).cast("long"),
+        )
+    ).alias("_band")
+    lu = left.select(F.col("*"), band_l)
+    ru = right.select(
+        F.col(by).alias("_rby"),
+        F.col(on).alias(matched),
+        F.floor(F.col(on) / window).cast("long").alias("_rband"),
+        *[F.col(c) for c in right.columns if c not in (on, by)],
+    )
+    return (
+        lu.join(
+            ru,
+            (F.col(by) == F.col("_rby")) & (F.col("_band") == F.col("_rband")),
+        )
+        .filter(
+            (F.col(matched) >= F.col(on)) & (F.col(matched) <= F.col(on) + window)
+        )
+        .drop("_band", "_rby", "_rband")
+    )
+
+
+RANGE_WINDOW_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+@register(
+    "q34_range_join",
+    oracle=f"""
+        WITH l AS (
+            SELECT event_id AS click_id, user_id, epoch_us(ts) AS ts_us
+            FROM events WHERE event_type = 'click'
+        ), r AS (
+            SELECT event_id AS error_id, user_id, epoch_us(ts) AS ts_us
+            FROM events WHERE event_type = 'error'
+        )
+        SELECT l.click_id, r.error_id, l.user_id,
+               l.ts_us, r.ts_us AS matched_ts_us,
+               r.ts_us - l.ts_us AS gap_us
+        FROM l JOIN r ON l.user_id = r.user_id
+          AND r.ts_us BETWEEN l.ts_us AND l.ts_us + {RANGE_WINDOW_US}
+    """,
+    tags=("temporal", "extension", "range-join"),
+)
+def q34_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Errors within 30 minutes after a click by the same user —
+    the banded equi-join formulation of a time-range join."""
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    left = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts_us"
+    )
+    right = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", "ts_us"
+    )
+    return range_join(left, right, on="ts_us", by="user_id", window=RANGE_WINDOW_US).select(
+        "click_id",
+        "error_id",
+        "user_id",
+        "ts_us",
+        "matched_ts_us",
+        (F.col("matched_ts_us") - F.col("ts_us")).alias("gap_us"),
+    )

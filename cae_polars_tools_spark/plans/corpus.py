@@ -1039,3 +1039,29 @@ def q32_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         dsum("l_extendedprice").alias("sum_price"),
     ).select("l_returnflag", "l_linestatus", "gid", "n_rows", "sum_price")
+
+
+@register(
+    "q33_outer_join",
+    oracle="""
+        SELECT c.c_custkey,
+               c.c_name,
+               o.o_orderkey,
+               o.o_totalprice
+        FROM customer c
+        FULL OUTER JOIN (
+            SELECT * FROM orders WHERE o_totalprice > 400000
+        ) o ON c.c_custkey = o.o_custkey
+    """,
+    tags=("join", "extension"),
+)
+def q33_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (extension: the reference is inner-only) —
+    customers × their high-value orders, keeping order-less customers
+    AND (after the filter pushes below the join) any orphaned orders.
+    Catalyst plans a sort-merge join; AQE handles skew splitting."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "full_outer").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )

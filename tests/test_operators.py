@@ -233,3 +233,27 @@ def test_asof_join_semantics(spark):
     assert rows[3]["matched_ts_us"] is None and rows[3]["feat"] is None
     assert rows[4]["matched_ts_us"] is None  # key with no right rows
     assert len(rows) == 4  # left join: every left row exactly once
+
+def test_range_join_semantics(spark):
+    """Banded range join == naive BETWEEN join, including band-boundary
+    crossings and the window's closed endpoints."""
+    from cae_polars_tools_spark.operators.temporal import range_join
+
+    W = 100
+    left = spark.createDataFrame(
+        [(1, "u1", 95), (2, "u1", 200), (3, "u2", 10)],
+        "lid long, user_id string, ts_us long",
+    )
+    right = spark.createDataFrame(
+        # 95: equal start; 105: crosses into the next band; 195: exact
+        # window end for lid=1; 196: just outside; u2@111 outside [10,110]
+        [(10, "u1", 95), (11, "u1", 105), (12, "u1", 195), (13, "u1", 196),
+         (14, "u2", 111)],
+        "rid long, user_id string, ts_us long",
+    )
+    out = range_join(left, right, on="ts_us", by="user_id", window=W)
+    got = {(r["lid"], r["rid"]) for r in out.collect()}
+    assert got == {(1, 10), (1, 11), (1, 12)}
+    # matched right timestamp surfaces for gap computation
+    gaps = {(r["lid"], r["rid"]): r["matched_ts_us"] - r["ts_us"] for r in out.collect()}
+    assert gaps[(1, 12)] == 100 and gaps[(1, 10)] == 0
