@@ -1065,3 +1065,22 @@ def q33_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(o, c.c_custkey == o.o_custkey, "full_outer").select(
         "c_custkey", "c_name", "o_orderkey", "o_totalprice"
     )
+
+
+@register(
+    "q35_cross_join",
+    oracle="""
+        SELECT r.r_name, n.n_name, n.n_nationkey
+        FROM region r CROSS JOIN nation n
+    """,
+    tags=("join", "extension"),
+)
+def q35_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of the two dim tables (region × nation) —
+    the last join type the reference lacks. Only ever sane between
+    bounded dims: Catalyst plans a broadcast nested-loop join, so no
+    shuffle; anything × a fact table should be a broadcast of the
+    small side instead (see q10/q11)."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name", "n_nationkey")
