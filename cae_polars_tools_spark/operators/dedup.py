@@ -50,12 +50,23 @@ LSH_BANDS = 32
 LSH_ROWS = 3
 
 
+def _shingle_starts(n: Column) -> Column:
+    """Start indices ``1..n-NGRAM+1`` of the shingle windows, or an
+    empty array for documents shorter than ``NGRAM`` tokens. The guard
+    matters: Spark's ``sequence(1, 0)`` auto-descends to ``[1, 0]``
+    (unlike DuckDB's ``generate_series``, which is empty), and index 0
+    then crashes ``slice``."""
+    return F.when(
+        n >= NGRAM, F.sequence(F.lit(1), n - (NGRAM - 1))
+    ).otherwise(F.array().cast("array<int>"))
+
+
 def shingles(col: Column | str) -> Column:
     """Distinct word-``NGRAM`` shingles per document (order-preserving
-    construction, then dedup)."""
+    construction, then dedup). Documents with fewer than ``NGRAM``
+    tokens yield an empty set."""
     t = tokens(col)
-    n = F.size(t)
-    idx = F.sequence(F.lit(1), F.greatest(n - (NGRAM - 1), F.lit(0)))
+    idx = _shingle_starts(F.size(t))
     return F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(t, i, NGRAM), " "))
     )
@@ -66,10 +77,10 @@ def hashed_shingles(col: Column | str) -> Column:
     window directly (xxhash64 hashes arrays natively), skipping the
     string join entirely. Tokens contain no separator characters, so
     window-set distinctness and therefore every Jaccard value is
-    identical to the string-shingle form — only the ids differ."""
+    identical to the string-shingle form — only the ids differ.
+    Documents with fewer than ``NGRAM`` tokens yield an empty set."""
     t = tokens(col)
-    n = F.size(t)
-    idx = F.sequence(F.lit(1), F.greatest(n - (NGRAM - 1), F.lit(0)))
+    idx = _shingle_starts(F.size(t))
     return F.array_distinct(
         F.transform(idx, lambda i: F.xxhash64(F.slice(t, i, NGRAM)))
     )

@@ -207,8 +207,8 @@ def sample_frames(
         )
         SELECT doc_id,
                frame_idx,
-               CAST(substr(text, CAST(frame_idx * {FRAME_BYTES} + 1 AS BIGINT),
-                           {FRAME_BYTES}) AS BLOB) AS frame
+               hex(substr(text, CAST(frame_idx * {FRAME_BYTES} + 1 AS BIGINT),
+                          {FRAME_BYTES})) AS frame_hex
         FROM idx
         WHERE frame_idx % {FRAME_STEP} = 0
     """,
@@ -218,9 +218,15 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling end-to-end on the documents-as-payloads table.
     The corpus text is pure ASCII, so the oracle reconstructs each
     sampled frame with character slicing — value-level verification of
-    the fan-out plumbing (row per frame, byte-exact frames)."""
+    the fan-out plumbing (row per frame, byte-exact frames). The frame
+    is emitted hex-encoded on BOTH engines: byte-exactness is fully
+    preserved, and the comparison harness can canonicalize strings
+    (raw ``binary`` frames crash pandas sorting — bytearray is
+    unhashable)."""
     docs = spread(read_table(spark, sf_dir, "documents"))
-    return sample_frames(with_payload(docs))
+    return sample_frames(with_payload(docs)).select(
+        "doc_id", "frame_idx", F.hex("frame").alias("frame_hex")
+    )
 
 
 @register(

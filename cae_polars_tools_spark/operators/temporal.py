@@ -11,9 +11,11 @@ union + carry-forward-window merge:
    a common schema (each side padded with typed nulls for the other
    side's columns).
 2. One window pass per key, ordered by ``(on, _side)``, carries the
-   last non-null right attributes forward
-   (``last(..., ignorenulls=True)`` over an unbounded-preceding
-   frame).
+   last right *row* forward as a single struct
+   (``last(struct, ignorenulls=True)`` over an unbounded-preceding
+   frame) — one atomic pick, so genuinely-NULL attributes inside the
+   matched right row are preserved rather than back-filled from an
+   older row.
 3. Keep only left rows: each now holds the right row with the
    greatest ``on`` ≤ its own (ties included, because right sorts
    before left at equal ``on``) — exactly DuckDB/pandas ``ASOF JOIN``
@@ -54,30 +56,39 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str) -> DataFrame:
     matched = f"matched_{on}"
     l_other = [c for c in left.columns if c not in (on, by)]
     r_other = [c for c in right.columns if c not in (on, by)]
-    r = right.withColumn(matched, F.col(on))
     r_carry = r_other + [matched]
-    r_types = dict(r.dtypes)
     l_types = dict(left.dtypes)
+
+    # The right columns travel as ONE struct so a single
+    # last(ignorenulls) picks the whole matched row atomically —
+    # carrying each column independently would back-fill a genuinely
+    # NULL right attribute from an *older* right row, silently mixing
+    # rows (DuckDB/pandas ASOF never do).
+    r_struct = F.struct(
+        *[F.col(c) for c in r_other], F.col(on).alias(matched)
+    )
+    struct_type = right.select(r_struct.alias("_r")).schema["_r"].dataType
 
     lu = left.select(
         by,
         on,
         F.lit(1).alias("_side"),
         *[F.col(c) for c in l_other],
-        *[F.lit(None).cast(r_types[c]).alias(c) for c in r_carry],
+        F.lit(None).cast(struct_type).alias("_r"),
     )
-    ru = r.select(
+    ru = right.select(
         by,
         on,
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(l_types[c]).alias(c) for c in l_other],
-        *[F.col(c) for c in r_carry],
+        r_struct.alias("_r"),
     )
     w = (
         Window.partitionBy(by)
         .orderBy(on, "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    carried = F.last("_r", ignorenulls=True).over(w)
     return (
         lu.unionByName(ru)
         .select(
@@ -85,7 +96,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str) -> DataFrame:
             on,
             "_side",
             *l_other,
-            *[F.last(c, ignorenulls=True).over(w).alias(c) for c in r_carry],
+            *[carried[c].alias(c) for c in r_carry],
         )
         .filter(F.col("_side") == 1)
         .drop("_side")

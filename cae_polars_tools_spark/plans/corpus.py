@@ -797,6 +797,7 @@ def q23_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH g AS (
             SELECT user_id,
+                   event_id,
                    epoch_us(ts) AS t,
                    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
                              > 30 * 60 * 1000000
@@ -807,7 +808,7 @@ def q23_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), s AS (
             SELECT user_id, t,
                    CAST(SUM(new_session) OVER (
-                       PARTITION BY user_id ORDER BY t
+                       PARTITION BY user_id ORDER BY t, event_id
                        ROWS UNBOUNDED PRECEDING
                    ) AS BIGINT) AS session_idx
             FROM g
@@ -829,7 +830,9 @@ def q26_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     one user-partitioned shuffle, then a hash agg — the classic
     sessionization plan. The streaming counterpart (explicit state via
     applyInPandasWithState) lives in streaming/events.py; timestamps
-    are compared as integer microseconds for cross-engine exactness."""
+    are compared as integer microseconds for cross-engine exactness.
+    Both window passes order by (t, event_id) so the running sum is
+    deterministic under duplicate (user_id, ts) rows."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     t = F.unix_micros("ts")
@@ -839,11 +842,11 @@ def q26_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("int")
     wsum = (
         Window.partitionBy("user_id")
-        .orderBy("t")
+        .orderBy("t", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     s = ev.select(
-        "user_id", t.alias("t"), new_session.alias("new_session")
+        "user_id", "event_id", t.alias("t"), new_session.alias("new_session")
     ).withColumn("session_idx", F.sum("new_session").over(wsum))
     return s.groupBy("user_id", "session_idx").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -853,22 +856,32 @@ def q26_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANTI_JOIN_PRICE = 350_000
+
+
 @register(
     "q24_anti_join",
-    oracle="""
+    oracle=f"""
         SELECT c.c_custkey, c.c_name
         FROM customer c
         WHERE NOT EXISTS (
-            SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_totalprice > {ANTI_JOIN_PRICE}
         )
     """,
     tags=("join", "extension"),
 )
 def q24_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers with no orders — left_anti join (extension: the
-    reference only has inner joins)."""
+    """Customers with no high-value order — left_anti join (extension:
+    the reference only has inner joins). The price filter keeps the
+    result non-empty at every SF (every customer has *some* order in
+    the synthetic data, so an unfiltered anti-join would pass
+    vacuously)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > ANTI_JOIN_PRICE
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )

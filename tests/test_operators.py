@@ -234,6 +234,69 @@ def test_asof_join_semantics(spark):
     assert rows[4]["matched_ts_us"] is None  # key with no right rows
     assert len(rows) == 4  # left join: every left row exactly once
 
+def test_shingles_short_documents(spark):
+    """Docs with fewer than NGRAM tokens yield EMPTY shingle sets and
+    never crash: Spark's sequence(1, 0) auto-descends to [1, 0]
+    (unlike DuckDB generate_series) and index 0 would blow up slice."""
+    from cae_polars_tools_spark.operators.dedup import (
+        hashed_shingles,
+        jaccard_pairs,
+        minhash_lsh_pairs,
+        shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "tiny"),
+            (2, "just two"),
+            (3, ""),
+            (4, "exactly five tokens right here"),
+            (5, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (6, "the quick brown fox jumps over the lazy dog near the river bend"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            shingles("text").alias("s"),
+            hashed_shingles("text").alias("h"),
+        ).collect()
+    }
+    for short_id in (1, 2, 3):
+        assert rows[short_id]["s"] == [] and rows[short_id]["h"] == []
+    assert len(rows[4]["s"]) == 1
+    # End-to-end: both dedup paths must run on a corpus with short docs
+    # (pre-guard they raised INVALID_PARAMETER_VALUE.START at runtime).
+    exact = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert (5, 6) in exact and (5, 6) in lsh
+
+
+def test_asof_join_preserves_null_right_attributes(spark):
+    """A genuinely-NULL attribute in the matched right row must come
+    through as NULL — not be back-filled from an older right row."""
+    from cae_polars_tools_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u1", 30)], "event_id long, user_id string, ts_us long"
+    )
+    right = spark.createDataFrame(
+        [("u1", 10, 100.0), ("u1", 20, None)],
+        "user_id string, ts_us long, feat double",
+    )
+    (row,) = asof_join(left, right, on="ts_us", by="user_id").collect()
+    assert row["matched_ts_us"] == 20
+    assert row["feat"] is None  # matched row's NULL, not 100.0 carried
+
+
 def test_range_join_semantics(spark):
     """Banded range join == naive BETWEEN join, including band-boundary
     crossings and the window's closed endpoints."""
