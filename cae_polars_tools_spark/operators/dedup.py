@@ -26,6 +26,8 @@ never touches the row path.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 import numpy as np
 import pandas as pd
 
@@ -340,47 +342,78 @@ SIMHASH_BITS = 64
 SIMHASH_BAND_BITS = 16
 SIMHASH_MAX_HAMMING = 6
 
+# Portable (oracle-checked) variant: token hash = first 15 hex chars
+# of md5 parsed as a 60-bit int — reproducible in DuckDB SQL, unlike
+# xxhash64. 6 bands × 10 bits with k=5 keeps the pigeonhole guarantee
+# (k < nbands ⇒ ≥1 untouched band), so banded candidates ⊇ every true
+# pair and the blocked result EQUALS the brute-force all-pairs join.
+PORTABLE_SIMHASH_BITS = 60
+PORTABLE_BAND_BITS = 10
+PORTABLE_MAX_HAMMING = 5
 
-@F.pandas_udf(LongType())
-def _simhash_from_hashes(hashes: pd.Series) -> pd.Series:
-    """64-bit SimHash from a document's token-xxhash64 array: per-bit
-    majority vote (term-frequency weighted — hashes arrive undeduped).
+
+def _vote_udf(nbits: int):
+    """Pandas UDF: per-bit majority vote over a document's token-hash
+    array (term-frequency weighted — hashes arrive undeduped).
     Vectorized bit unpack + vote per document; the bit pattern is
     identical to the shift/bitwiseOR JVM formulation (top bit set ⇒
     negative long, matching shiftleft(1, 63))."""
-    shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
-    out = []
-    for hv in hashes:
-        a = np.asarray(hv, dtype=np.int64).astype(np.uint64)
-        votes = (
-            2 * ((a[:, None] >> shifts) & np.uint64(1)).astype(np.int32) - 1
-        ).sum(axis=0)
-        sig = ((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
-        out.append(sig.astype(np.int64))
-    return pd.Series(out, dtype="int64")
+
+    @F.pandas_udf(LongType())
+    def vote(hashes: pd.Series) -> pd.Series:
+        shifts = np.arange(nbits, dtype=np.uint64)
+        out = []
+        for hv in hashes:
+            a = np.asarray(hv, dtype=np.int64).astype(np.uint64)
+            votes = (
+                2 * ((a[:, None] >> shifts) & np.uint64(1)).astype(np.int32) - 1
+            ).sum(axis=0)
+            sig = ((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+            out.append(sig.astype(np.int64))
+        return pd.Series(out, dtype="int64")
+
+    return vote
 
 
-def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """64-bit SimHash per document. Tokens are hashed JVM-side
-    (xxhash64, codegen); the 64-bit majority vote runs as one
-    vectorized numpy op per document. The previous formulation —
-    explode tokens then groupBy(doc) with 64 conditional sums —
-    shuffled |tokens| rows per doc; this one never explodes, so the
-    only wide op left in the pipeline is the band self-join."""
-    th = F.transform(tokens("text"), lambda t: F.xxhash64(t))
+def portable_token_hash(t: Column) -> Column:
+    """60-bit token hash both engines can compute: first 15 hex chars
+    of md5, base-16-parsed (DuckDB mirror: digit-wise strpos bit
+    extraction over the same md5 hex — see the dedup_simhash oracle)."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
+def simhash_signatures(
+    docs: DataFrame,
+    token_hash: Callable[[Column], Column] | None = None,
+    nbits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """SimHash per document. Tokens are hashed JVM-side (xxhash64 by
+    default — codegen; or a custom ``token_hash`` expression); the
+    per-bit majority vote runs as one vectorized numpy op per
+    document. The previous formulation — explode tokens then
+    groupBy(doc) with one conditional sum per bit — shuffled |tokens|
+    rows per doc; this one never explodes, so the only wide op left in
+    the pipeline is the band self-join."""
+    th = F.transform(tokens("text"), token_hash or (lambda t: F.xxhash64(t)))
     return docs.select(
-        "doc_id", _simhash_from_hashes(th).alias("simhash")
+        "doc_id", _vote_udf(nbits)(th).alias("simhash")
     )
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ k. Candidates via 16-bit
-    band equality (a pair within Hamming ≤ 3·bands/bits must agree on
-    ≥1 band by pigeonhole; k=6 over 4 bands guarantees recall for
-    k ≤ 3 splits — standard simhash blocking), verified with
-    bit_count."""
-    sig = simhash_signatures(docs)
-    nbands = SIMHASH_BITS // SIMHASH_BAND_BITS
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    token_hash: Callable[[Column], Column] | None = None,
+    nbits: int = SIMHASH_BITS,
+    band_bits: int = SIMHASH_BAND_BITS,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ k. Candidates via
+    ``band_bits``-bit band equality, verified with bit_count. By
+    pigeonhole, recall is EXACT whenever k < nbits/band_bits (k
+    differing bits can touch at most k bands, leaving one equal);
+    beyond that banding is the standard recall/cost dial."""
+    sig = simhash_signatures(docs, token_hash=token_hash, nbits=nbits)
+    nbands = (nbits + band_bits - 1) // band_bits
     bands = sig.select(
         "doc_id",
         "simhash",
@@ -389,8 +422,8 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> Da
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftright("simhash", i * SIMHASH_BAND_BITS)
-                        .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+                        F.shiftright("simhash", i * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
                         .alias("bh"),
                     )
                     for i in range(nbands)
@@ -415,21 +448,66 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> Da
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
-            ham.alias("hamming"),
+            ham.cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
 
 
+# DuckDB mirror of the portable signature: per token, md5 hex; bit b of
+# the 60-bit hash lives in hex digit 15 - b//4 (1-based from the left)
+# at position b%4; majority vote per (doc, bit); signature = sum of
+# winning powers of two. Pairs verified brute-force (all pairs) —
+# equal to the banded Spark result because k=5 < 6 bands.
+_PORTABLE_SIMHASH_SQL = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ), th AS (
+        SELECT doc_id, md5(t) AS h FROM tok
+    ), votes AS (
+        SELECT doc_id, r.b AS bit,
+               SUM(CASE WHEN ((strpos('0123456789abcdef',
+                                      substr(h, 15 - r.b // 4, 1)) - 1)
+                              >> (r.b % 4)) & 1 = 1
+                        THEN 1 ELSE -1 END) AS vote
+        FROM th, range({PORTABLE_SIMHASH_BITS}) r(b)
+        GROUP BY doc_id, r.b
+    ), sigs AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN vote > 0
+                             THEN (CAST(1 AS BIGINT) << bit)
+                             ELSE 0 END) AS BIGINT) AS sig
+        FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_id_a,
+           b.doc_id AS doc_id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {PORTABLE_MAX_HAMMING}
+"""
+
+
 @register(
     "dedup_simhash",
-    oracle=None,  # xxhash64-based signatures aren't reproducible in SQL
+    oracle=_PORTABLE_SIMHASH_SQL,
     tags=("dedup", "extension", "simhash"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 6 of 64 bits)."""
-    return simhash_pairs(spread(read_table(spark, sf_dir, "documents")))
+    """SimHash near-dup pairs, oracle-checked: portable md5-derived
+    60-bit signatures (engine-reproducible), 6 bands × 10 bits,
+    Hamming ≤ 5 — inside the pigeonhole-exact regime, so the banded
+    candidates match the oracle's brute-force all-pairs join exactly.
+    The xxhash64 64-bit variant (default args of
+    :func:`simhash_pairs`) is the production fast path, covered by
+    unit tests."""
+    return simhash_pairs(
+        spread(read_table(spark, sf_dir, "documents")),
+        max_hamming=PORTABLE_MAX_HAMMING,
+        token_hash=portable_token_hash,
+        nbits=PORTABLE_SIMHASH_BITS,
+        band_bits=PORTABLE_BAND_BITS,
+    )
 
 
 # ---------------------------------------------------------------------------

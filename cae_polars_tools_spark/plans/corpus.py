@@ -978,22 +978,50 @@ def q28_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+APPROX_REL_TOL = 0.05  # documented HLL++/KLL accuracy bound checked below
+
+
 @register(
     "q29_approx_aggregates",
-    oracle=None,  # approximate by design (HLL++ / KLL sketches)
+    oracle=f"""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_orderkey) AS exact_orders,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+               TRUE AS approx_within_tol
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
     tags=("agg", "approx", "scale-path"),
 )
 def q29_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sketch-based scale path for q08/q22-style questions:
-    approx_count_distinct (HLL++) and percentile_approx, both
-    single-pass, fixed-memory, and mergeable across partitions — what
-    production uses at 100 TB when exactness isn't required. No SQL
-    oracle (approximate by design); the exact corpus twins carry the
-    correctness gate."""
+    approx_count_distinct (HLL++) and percentile_approx (KLL-ish),
+    both single-pass, fixed-memory, and mergeable across partitions —
+    what production uses at 100 TB when exactness isn't required.
+
+    Sketch values aren't reproducible across engines, so the oracle is
+    a *bounds* check carried through the hash gate: the entry outputs
+    the exact aggregates (equality-checked against SQL) plus a boolean
+    asserting every sketch landed within ``APPROX_REL_TOL`` of its
+    exact twin; the oracle emits ``TRUE`` — a sketch drifting out of
+    tolerance flips the boolean and fails the hash match."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("raw_p50"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_p50"),
+    )
+    rel = lambda a, e: F.abs(a.cast("double") - e) / e  # noqa: E731
+    within = (
+        rel(F.col("approx_orders"), F.col("exact_orders").cast("double"))
+        <= APPROX_REL_TOL
+    ) & (rel(F.col("approx_p50"), F.col("raw_p50")) <= APPROX_REL_TOL)
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        F.round("raw_p50", 4).alias("exact_p50"),
+        within.alias("approx_within_tol"),
     )
 
 

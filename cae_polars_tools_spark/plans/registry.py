@@ -49,7 +49,15 @@ def register(
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every module that registers corpus entries and return the
-    full registry."""
+    full registry, oracle-backed entries first.
+
+    The ordering is deliberate: the driver's correctness artifact has
+    held exactly 50 entries (CORRECTNESS_r01 silently dropped the
+    trailing registrations), so every hash-checkable entry sorts ahead
+    of the rows-only ones (ann_lsh_topk / ann_ivf_topk /
+    text_language_chargram — each equivalence- or recall-tested in
+    tests/test_operators.py). Within each class, registration order is
+    preserved."""
     # Imports are deferred so that importing the package stays cheap and
     # so partial failures (e.g. an optional dependency) don't take down
     # the whole corpus.
@@ -61,4 +69,6 @@ def load_all() -> dict[str, QuerySpec]:
     import cae_polars_tools_spark.operators.temporal  # noqa: F401
     import cae_polars_tools_spark.plans.zarr_demo  # noqa: F401
 
-    return CORPUS
+    return dict(
+        sorted(CORPUS.items(), key=lambda kv: kv[1].oracle is None)
+    )
