@@ -4,9 +4,9 @@ Five strategies, each a corpus entry:
 
 * **exact** — md5-fingerprint hash-aggregation; one shuffle on the
   fingerprint with map-side combine.
-* **n-gram Jaccard** — exact similarity join via a shingle inverted
-  index; shuffles are bounded by (doc, shingle) pairs, and candidate
-  generation never materializes the full pair matrix.
+* **n-gram Jaccard** — exact similarity join via a DF-capped shingle
+  inverted index (stop-shingle cap kills the hot-key quadratic path);
+  candidates verified exactly over the full sets.
 * **MinHash + LSH** — the sub-quadratic scale path: K=96 permutations,
   32 bands × 3 rows; candidates from band-bucket equality, then exact
   Jaccard verification of candidates only. With these parameters a
@@ -94,7 +94,47 @@ SHINGLES_SQL = (
     "i -> array_to_string((string_split(text, ' '))[i:i+4], ' ')))"
 )
 
+# Shingles with document frequency above this are excluded from the
+# inverted index (candidate generation only — verification still uses
+# the full sets). This is the stop-shingle cap that removes the one
+# quadratic-blowup path: a shingle shared by d documents fans out into
+# d·(d-1)/2 candidate pairs, so a boilerplate phrase on a skewed
+# corpus would otherwise explode the self-join.
+JACCARD_MAX_DF = 128
+
+# Capped exact-Jaccard oracle, mirroring jaccard_pairs(): candidates
+# from the DF-capped index, verified with exact set intersection over
+# the FULL shingle sets.
 _EXACT_JACCARD_SQL = f"""
+    WITH sh AS (
+        SELECT doc_id, {SHINGLES_SQL} AS s FROM documents
+    ),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    kept AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= {JACCARD_MAX_DF}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+        FROM ex a
+        JOIN kept k ON a.g = k.g
+        JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT c.doc_id_a, c.doc_id_b,
+               len(list_intersect(sa.s, sb.s)) AS i,
+               len(sa.s) AS na, len(sb.s) AS nb
+        FROM cand c
+        JOIN sh sa ON c.doc_id_a = sa.doc_id
+        JOIN sh sb ON c.doc_id_b = sb.doc_id
+    )
+    SELECT doc_id_a,
+           doc_id_b,
+           CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
+    FROM inter
+    WHERE CAST(i AS DOUBLE) / (na + nb - i) >= {JACCARD_THRESHOLD}
+"""
+
+# Uncapped exact join — the oracle for MinHash-LSH, whose candidate
+# generation has no DF cap (band buckets bound the blowup instead).
+_EXACT_JACCARD_SQL_UNCAPPED = f"""
     WITH sh AS (
         SELECT doc_id, {SHINGLES_SQL} AS s FROM documents
     ),
@@ -152,40 +192,56 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def jaccard_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD) -> DataFrame:
-    """Exact Jaccard similarity join over word-shingle sets via an
-    inverted index: explode (doc, shingle), self-join on shingle,
-    count intersections, join back set sizes. Scale note: the shuffle
-    key is the shingle — frequent shingles fan out, so production runs
-    should drop ultra-common shingles (document-frequency cap) the way
-    common-word stopping works; candidates never exceed pairs that
-    share ≥1 shingle.
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    max_df: int = JACCARD_MAX_DF,
+) -> DataFrame:
+    """Exact Jaccard similarity join over word-shingle sets via a
+    DF-capped inverted index: explode (doc, shingle), drop shingles
+    with document frequency > ``max_df`` (stop-shingle cap — the
+    skew guard: a shingle shared by d docs fans out d·(d-1)/2 pairs,
+    so the hottest key bounds the self-join blowup), self-join the
+    capped index for candidates, then verify candidates EXACTLY over
+    the full (uncapped) shingle sets. A pair is missed only if *every*
+    shared shingle is hot — at threshold 0.8 that needs a doc made
+    almost entirely of boilerplate, the case the cap is designed to
+    refuse to pay for.
 
     The index stores xxhash64(shingle) (8-byte join/shuffle keys, not
     ~30-char strings; per-pair collision odds ~1e-15) and is persisted
-    because the DAG reads it three times (both self-join sides +
-    set sizes)."""
+    because the DAG reads it four times (index self-join sides + both
+    verification sides). The hot-shingle list has at most
+    |occurrences|/max_df entries by construction (Zipfian corpora:
+    far fewer), so AQE plans the anti-join as a broadcast."""
     sh = docs.select("doc_id", hashed_shingles("text").alias("h64")).persist()
-    sizes = sh.select("doc_id", F.size("h64").alias("n"))
     ex = sh.select("doc_id", F.explode("h64").alias("g"))
-    a = ex.alias("a")
-    b = ex.alias("b")
-    pairs = (
+    hot = (
+        ex.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("g")
+    )
+    exk = ex.join(hot, "g", "left_anti")
+    a = exk.alias("a")
+    b = exk.alias("b")
+    candidates = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .distinct()
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("inter").cast("double") / (
-        F.col("sa.n") + F.col("sb.n") - F.col("inter")
+    sa = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("h64").alias("s_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("h64").alias("s_b"))
+    inter = F.size(F.array_intersect("s_a", "s_b"))
+    jac = inter.cast("double") / (
+        F.size("s_a") + F.size("s_b") - inter
     )
     return (
-        pairs.join(sa, F.col("doc_id_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_id_b") == F.col("sb.doc_id"))
+        candidates.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
         .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -324,7 +380,7 @@ def minhash_lsh_pairs(
 
 @register(
     "dedup_minhash_lsh",
-    oracle=_EXACT_JACCARD_SQL,  # miss probability ≈ 1e-10 per true pair
+    oracle=_EXACT_JACCARD_SQL_UNCAPPED,  # miss probability ≈ 1e-10 per true pair
     tags=("dedup", "extension", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -516,41 +572,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 COSINE_DEDUP_THRESHOLD = 0.40
 
-
-def dot_expr(x: Column, y: Column) -> Column:
-    """Sequential-accumulation double dot product of two array<float>
-    columns — bit-identical to the DuckDB oracle's list_sum over the
-    same element order."""
-    return F.aggregate(
-        F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
-def cosine_expr(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array<float> columns. Prefer
-    ``cosine_with_norms`` in join hot paths: higher-order array
-    functions don't participate in whole-stage codegen, so evaluating
-    three dots per *pair* instead of one dominates self-join cost."""
-    return dot_expr(a, b) / (F.sqrt(dot_expr(a, a)) * F.sqrt(dot_expr(b, b)))
-
-
-def cosine_with_norms(a: Column, b: Column, n2_a: Column, n2_b: Column) -> Column:
-    """Cosine from a per-pair dot and *precomputed per-row* squared
-    norms. dot(v,v) is computed once per input row (below the join)
-    instead of once per pair; the resulting double is the exact same
-    value, so oracle parity is unaffected."""
-    return dot_expr(a, b) / (F.sqrt(n2_a) * F.sqrt(n2_b))
-
-
-COSINE_SQL = (
-    "list_sum(list_transform(generate_series(1, 64), "
-    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / "
-    "(sqrt(list_sum(list_transform(generate_series(1, 64), "
-    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) * "
-    "sqrt(list_sum(list_transform(generate_series(1, 64), "
-    "i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))"
+# Shared vector kernels (re-exported here for back-compat; see
+# operators/vectors.py for the expression-vs-batch trade).
+from cae_polars_tools_spark.operators.vectors import (  # noqa: E402
+    COSINE_SQL,
+    cosine_batch,
+    cosine_expr,
+    cosine_with_norms,
+    dot_expr,
+    pair_dot,
 )
 
 
@@ -582,6 +612,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = e.alias("a")
     b = e.alias("b")
+    # Expression-form cosine on purpose: a pandas-UDF per *pair* ships
+    # both arrays through Arrow for every joined row and measured 20×
+    # slower than the interpreted HOF here (see operators/vectors.py).
     cos = cosine_with_norms(
         F.col("a.embedding"), F.col("b.embedding"), F.col("a.n2"), F.col("b.n2")
     )

@@ -1,19 +1,36 @@
 """Approximate-nearest-neighbor search over embedding columns.
 
-Two paths:
+Three paths:
 
-* **brute force** (baseline, oracle-checked): broadcast the query set,
-  score every candidate JVM-side, keep top-k per query with a window.
-  At 100 TB the scoring pass is a single map over candidates (no
-  candidate shuffle); only the k·|queries| survivors shuffle.
+* **brute force** (baseline, oracle-checked): score every corpus row
+  against the (small, driver-collected) query matrix inside
+  ``mapInPandas`` — each embedding crosses the Arrow boundary ONCE
+  PER ROW, never once per pair — with per-batch partial top-k, then
+  one tiny global top-k window. At 100 TB the scoring pass is a
+  single map over the corpus; only ``batches × queries × k``
+  survivors shuffle.
 * **random-hyperplane LSH** (scale path): 8 hash tables × 6 sign-bit
   planes bucket the vectors; a candidate is scored iff it shares a
   bucket with the query in ≥1 table (OR-amplification). Sub-linear
   candidate counts at the cost of recall — measured against brute
   force in tests.
+* **IVF**: coarse k-means quantizer + nprobe cluster probing.
+
+Scoring-kernel note (measured, sf0.1): evaluating the cosine per
+candidate *pair* — whether as an interpreted higher-order expression
+or as a pandas UDF over the joined pair rows — is dominated by either
+interpretation or per-pair Arrow transfer of both 64-float arrays
+(the pandas-UDF-per-pair variant measured 10× WORSE than the HOF).
+The ``score_against_queries`` kernel here avoids both: arrays ship
+once per corpus row, scores come from dim-sequential vectorized
+numpy (bit-identical doubles to ``dot_expr``/DuckDB ``list_sum`` —
+numpy's pairwise-summing ``matmul`` would drift in the last ulp and
+flip near-tie ranks vs the oracle).
 """
 
 from __future__ import annotations
+
+from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -23,11 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
 from cae_polars_tools_spark.io import read_table, spread
-from cae_polars_tools_spark.operators.dedup import (
-    COSINE_SQL,
-    cosine_with_norms,
-    dot_expr,
-)
+from cae_polars_tools_spark.operators.vectors import COSINE_SQL
 from cae_polars_tools_spark.plans.registry import register
 
 TOPK = 5
@@ -35,30 +48,83 @@ N_QUERIES = 10  # vec_id < 10 are the demo query set
 EMBED_DIM = 64
 
 
-def bruteforce_topk(
-    embeddings: DataFrame, queries: DataFrame, k: int = TOPK
+def _collect_queries(queries: DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Driver-side query matrix + squared norms. The query set is
+    assumed small (broadcast regime — the premise of every top-k-per-
+    query ANN shape); norms use the same sequential accumulation as
+    ``dot_expr`` for bit parity."""
+    pdf = queries.select("vec_id", "embedding").toPandas()
+    qids = pdf["vec_id"].to_numpy().astype(np.int64)
+    Q = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)  # (nq, d)
+    qn2 = np.zeros(len(Q), dtype=np.float64)
+    for j in range(Q.shape[1]):
+        qn2 += Q[:, j] * Q[:, j]
+    return qids, Q, qn2
+
+
+def score_against_queries(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    top_per_batch: int | None = None,
 ) -> DataFrame:
-    """Exact cosine top-k: broadcast queries × map over candidates →
-    per-query window. Ties broken by candidate id for determinism.
-    Squared norms are computed once per input row below the join, so
-    each of the |q|·|c| pairs evaluates a single dot product."""
-    q = queries.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        dot_expr(F.col("embedding"), F.col("embedding")).alias("q_n2"),
+    """(query_id, neighbor_id, raw_cos) for every corpus row × query.
+
+    ``mapInPandas`` over ``(neighbor_id, embedding)`` rows: per Arrow
+    batch, one dim-sequential vectorized pass computes all nq cosines
+    per row (the accumulation order matches ``dot_expr`` exactly, so
+    every double is bit-identical to the expression form and the
+    DuckDB oracle). Self-pairs (neighbor == query id) are dropped.
+
+    ``top_per_batch=k`` keeps only the k best rows per query per
+    batch under ``(cos DESC, neighbor_id ASC)`` — an exact superset
+    of the global top-k under the same ordering, so the downstream
+    window sees ``batches × nq × k`` rows instead of ``|corpus| × nq``
+    (the difference between a bounded shuffle and a corpus-sized one
+    at 100 TB)."""
+    qids, Q, qn2 = _collect_queries(queries)
+    d = Q.shape[1]
+    nq = len(qids)
+    sqrt_qn2 = np.sqrt(qn2)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["neighbor_id"].to_numpy().astype(np.int64)
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            acc = np.zeros((len(E), nq), dtype=np.float64)
+            en2 = np.zeros(len(E), dtype=np.float64)
+            for j in range(d):
+                ej = E[:, j]
+                acc += ej[:, None] * Q[:, j][None, :]
+                en2 += ej * ej
+            cos = acc / (np.sqrt(en2)[:, None] * sqrt_qn2[None, :])
+            out_q: list[np.ndarray] = []
+            out_n: list[np.ndarray] = []
+            out_c: list[np.ndarray] = []
+            for qi in range(nq):
+                valid = ids != qids[qi]
+                vids, vcos = ids[valid], cos[valid, qi]
+                if top_per_batch is not None and len(vids) > top_per_batch:
+                    keep = np.lexsort((vids, -vcos))[:top_per_batch]
+                    vids, vcos = vids[keep], vcos[keep]
+                out_q.append(np.full(len(vids), qids[qi], dtype=np.int64))
+                out_n.append(vids)
+                out_c.append(vcos)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "raw_cos": np.concatenate(out_c),
+                }
+            )
+
+    return embeddings.mapInPandas(
+        gen, schema="query_id long, neighbor_id long, raw_cos double"
     )
-    c = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
-        dot_expr(F.col("embedding"), F.col("embedding")).alias("c_n2"),
-    )
-    cos = cosine_with_norms(
-        F.col("q_emb"), F.col("c_emb"), F.col("q_n2"), F.col("c_n2")
-    )
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cos.alias("raw_cos"))
-    )
+
+
+def _topk_window(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("raw_cos").desc(), F.col("neighbor_id").asc()
     )
@@ -72,6 +138,20 @@ def bruteforce_topk(
             F.round("raw_cos", 6).alias("cosine"),
         )
     )
+
+
+def bruteforce_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = TOPK
+) -> DataFrame:
+    """Exact cosine top-k: one scoring map over the corpus (per-batch
+    partial top-k) → global top-k window over the bounded survivor
+    set. Ties broken by candidate id for determinism."""
+    scored = score_against_queries(
+        embeddings.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        queries,
+        top_per_batch=k,
+    )
+    return _topk_window(scored, k)
 
 
 @register(
@@ -99,6 +179,27 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bruteforce_topk(e, e.filter(F.col("vec_id") < N_QUERIES))
 
 
+def _score_candidates(
+    candidates: DataFrame, embeddings: DataFrame, queries: DataFrame
+) -> DataFrame:
+    """Attach exact cosines to a (query_id, neighbor_id) candidate
+    set: score each UNIQUE candidate row against the whole query
+    matrix in one map (arrays cross Arrow once per unique candidate,
+    nq scores each), then semi-filter back to the candidate pairs.
+    Cheaper than a per-pair join whenever nq is small — the premise
+    of the broadcast-query regime."""
+    uniq = (
+        candidates.select("neighbor_id")
+        .distinct()
+        .join(
+            embeddings.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+            "neighbor_id",
+        )
+    )
+    scored_all = score_against_queries(uniq, queries)
+    return candidates.join(scored_all, ["query_id", "neighbor_id"])
+
+
 # ---------------------------------------------------------------------------
 # Random-hyperplane LSH
 # ---------------------------------------------------------------------------
@@ -121,10 +222,9 @@ def lsh_buckets(emb: pd.Series) -> pd.Series:
     OR-amplification across 8 tables — the standard recall/cost dial.
 
     One numpy matmul per Arrow batch: (batch × dim) @ (dim × 48) →
-    sign bits → per-table bucket ints. The expression-tree equivalent
-    (48 dot products as aggregate-over-zip_with with literal plane
-    arrays) is a ~3000-node plan that Catalyst analyzes slowly and
-    evaluates interpreted per element."""
+    sign bits → per-table bucket ints. (Pairwise summation is fine
+    HERE — only the signs are consumed, so ulp drift can flip a
+    bucket only for vectors lying numerically on a plane.)"""
     import pandas as pd
 
     planes = _planes()  # (tables*planes, dim)
@@ -144,11 +244,6 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = TOPK) -> DataFr
     never shuffle vector payloads twice. Recall vs brute force is
     measured in tests; raise LSH_TABLES (or add multi-probe) to buy
     recall."""
-    with_n2 = embeddings.select(
-        "vec_id",
-        "embedding",
-        dot_expr(F.col("embedding"), F.col("embedding")).alias("n2"),
-    )
     c = embeddings.select(
         F.col("vec_id").alias("neighbor_id"),
         F.posexplode(lsh_buckets(F.col("embedding"))).alias("table", "bucket"),
@@ -163,37 +258,7 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = TOPK) -> DataFr
         .select("query_id", "neighbor_id")
         .distinct()  # a pair may collide in several tables
     )
-    qe = with_n2.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("n2").alias("q_n2"),
-    )
-    ce = with_n2.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("n2").alias("c_n2"),
-    )
-    cos = cosine_with_norms(
-        F.col("q_emb"), F.col("c_emb"), F.col("q_n2"), F.col("c_n2")
-    )
-    scored = (
-        candidates.join(F.broadcast(qe), "query_id")
-        .join(ce, "neighbor_id")
-        .select("query_id", "neighbor_id", cos.alias("raw_cos"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("raw_cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "rank",
-            F.round("raw_cos", 6).alias("cosine"),
-        )
-    )
+    return _topk_window(_score_candidates(candidates, embeddings, queries), k)
 
 
 @register(
@@ -263,27 +328,36 @@ def train_ivf_centroids(
     sample_size: int = IVF_TRAIN_SAMPLE,
     distributed_iters: int = 0,
 ) -> np.ndarray:
-    """Coarse-quantizer training: local Lloyd on a bounded,
-    deterministic sample (the ``sample_size`` lowest vec_ids — one
-    top-k Spark pass), the standard IVF recipe (FAISS trains its
+    """Coarse-quantizer training: local Lloyd on a bounded *seeded
+    random* sample, the standard IVF recipe (FAISS trains its
     quantizer on a sample for the same reason): centroid quality needs
-    O(centroids × oversampling) points, not the corpus. The sample is
-    ≤ ``sample_size`` × dim floats on the driver at any corpus size,
-    and local iterations are free — no per-iteration Spark job, no
-    64×-row posexplode shuffle.
+    O(centroids × oversampling) points, not the corpus. A uniform
+    ``df.sample`` (fixed seed ⇒ reproducible for a given input
+    partitioning) avoids the bias of taking the lowest ids — on any
+    corpus where id order correlates with content (ingest date, shard,
+    topic), an id-prefix sample trains centroids on a skewed slice.
+    The sample is ≤ ``sample_size`` × dim floats on the driver at any
+    corpus size, and local iterations are free — no per-iteration
+    Spark job, no 64×-row posexplode shuffle.
 
     ``distributed_iters`` optionally appends full-corpus Lloyd passes
     (``_lloyd_refine_distributed``) for exact convergence on the whole
     dataset; assignments by cosine, matching ``_assign_udf``."""
+    target = max(sample_size, n_centroids)
+    n_total = embeddings.count()
+    pool = embeddings.select("vec_id", "embedding")
+    if n_total > target:
+        # 1.2× oversample so the post-sample limit() almost never
+        # truncates below target; membership stays uniform-random.
+        pool = pool.sample(
+            fraction=min(1.0, 1.2 * target / n_total), seed=20240813
+        )
     sample = (
-        embeddings.orderBy("vec_id")
-        .limit(max(sample_size, n_centroids))
-        .select("embedding")
-        .toPandas()["embedding"]
+        pool.orderBy("vec_id").limit(target).toPandas()["embedding"]
     )
     M = np.stack(sample.to_numpy()).astype(np.float64)
     Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-    c = M[:n_centroids].copy()  # deterministic init: lowest vec_ids
+    c = M[:n_centroids].copy()  # deterministic init: lowest sampled ids
     dim = c.shape[1]
     for _ in range(n_iters):
         cn = c / np.linalg.norm(c, axis=1, keepdims=True)
@@ -327,37 +401,18 @@ def ivf_topk(
 
     cand = embeddings.select(
         F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
-        dot_expr(F.col("embedding"), F.col("embedding")).alias("c_n2"),
         assign(F.col("embedding")).alias("cl"),
     )
     q = queries.select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        dot_expr(F.col("embedding"), F.col("embedding")).alias("q_n2"),
         F.explode(probe(F.col("embedding"))).alias("cl"),
     )
-    cos = cosine_with_norms(
-        F.col("q_emb"), F.col("c_emb"), F.col("q_n2"), F.col("c_n2")
-    )
-    scored = (
+    candidates = (
         cand.join(F.broadcast(q), on="cl")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cos.alias("raw_cos"))
+        .select("query_id", "neighbor_id")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("raw_cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "rank",
-            F.round("raw_cos", 6).alias("cosine"),
-        )
-    )
+    return _topk_window(_score_candidates(candidates, embeddings, queries), k)
 
 
 @register(

@@ -280,6 +280,40 @@ def test_shingles_short_documents(spark):
     assert (5, 6) in exact and (5, 6) in lsh
 
 
+def test_jaccard_df_cap_drops_hot_shingles(spark):
+    """With a deliberately hot shingle (one phrase shared by every
+    doc), a tight DF cap removes it from candidate generation: docs
+    related ONLY through the hot phrase stop pairing, while true
+    near-dups (sharing rare shingles too) keep their EXACT jaccard —
+    verification runs over the full, uncapped sets."""
+    from cae_polars_tools_spark.operators.dedup import jaccard_pairs
+
+    boiler = "this common header appears on every single document"
+    data = [
+        (1, f"{boiler} alpha beta gamma delta epsilon zeta eta theta"),
+        (2, f"{boiler} alpha beta gamma delta epsilon zeta eta iota"),
+        (3, f"{boiler} completely different tail content here now ok"),
+        (4, f"{boiler} another unrelated ending with other words too"),
+    ]
+    docs = spark.createDataFrame(data, ["doc_id", "text"])
+
+    uncapped = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, threshold=0.2, max_df=10).collect()
+    }
+    capped = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, threshold=0.2, max_df=3).collect()
+    }
+    # Uncapped: every pair shares the boilerplate shingles.
+    assert (3, 4) in uncapped
+    # Capped at 3 (< 4 docs): boilerplate-only relations disappear ...
+    assert (3, 4) not in capped
+    # ... but the true near-dup pair survives with its EXACT jaccard
+    # (identical to the uncapped value — verification is uncapped).
+    assert capped[(1, 2)] == uncapped[(1, 2)]
+
+
 def test_asof_join_preserves_null_right_attributes(spark):
     """A genuinely-NULL attribute in the matched right row must come
     through as NULL — not be back-filled from an older right row."""
