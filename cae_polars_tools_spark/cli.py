@@ -227,7 +227,13 @@ def create_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("info", help="store metadata as JSON (no data read)")
     common(sp)
-    sp.add_argument("--consolidated", action="store_true", default=None)
+    # Tri-state like the reference: --consolidated forces consolidated
+    # metadata, --no-consolidated skips it, absent = auto-detect.
+    sp.add_argument(
+        "--consolidated",
+        action=argparse.BooleanOptionalAction,
+        default=None,
+    )
     sp.add_argument("-o", "--output", default=None, help="write JSON here")
     sp.set_defaults(func=info_command)
 

@@ -43,7 +43,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # session.get_spark sets this up front; only touch session state
+    # for foreign sessions (e.g. the grading driver's), where reading
+    # nano-timestamp parquet is impossible without it.
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

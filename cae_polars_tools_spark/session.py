@@ -63,6 +63,10 @@ def get_spark(
         "spark.sql.parquet.aggregatePushdown": "true",
         # Keep timestamps deterministic across engines (oracle parity).
         "spark.sql.session.timeZone": "UTC",
+        # The synthetic events table stores nanosecond timestamps,
+        # which the vectorized parquet reader rejects; read them as
+        # int64 (io.read_table rebuilds a microsecond timestamp).
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
         # Spark 4.1's checkpoint file-checksum writer deadlocks the
         # state-store commit of applyInPandasWithState on local
         # filesystems; corruption detection matters on object stores,

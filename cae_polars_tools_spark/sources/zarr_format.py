@@ -13,10 +13,16 @@ public Zarr v2 spec (https://zarr-specs.readthedocs.io/, v2):
   C-order bytes of one chunk; missing chunk files mean
   ``fill_value``.
 
-Supported codecs: raw (``compressor: null``), ``zlib`` and ``gzip``
-(Python stdlib). Blosc/LZ4/Zstd stores raise a clear error — the real
-``zarr`` package, when installed, is used instead by
-:mod:`cae_polars_tools_spark.sources.zarr_store`.
+Supported codecs: raw (``compressor: null``), ``zlib`` / ``gzip``
+(stdlib), and ``blosc`` frames whose inner codec is lz4, zlib or
+memcpyed — the zarr-python *default* compressor — via the vendored
+pure-Python decoder in
+:mod:`cae_polars_tools_spark.sources.blosc_codec`. Filters: ``delta``
+natively. Anything else (zstd, snappy, blosclz, bit-shuffle, other
+filters) is delegated to ``numcodecs`` when that package imports
+successfully — the preferred production path, tried FIRST for every
+non-stdlib codec — and otherwise raises an error naming the codec
+and the package to install.
 
 Everything here is plain numpy + stdlib and is safe to run inside
 Spark executors (no Spark imports).
@@ -129,6 +135,19 @@ class FsspecByteStore(ByteStore):
 # --------------------------------------------------------------------------
 
 
+def _numcodecs_decode(raw: bytes, config: dict) -> bytes | None:
+    """Decode via numcodecs when installed (the production path for
+    codecs the pure-Python layer doesn't cover); None when the package
+    is absent."""
+    try:
+        import numcodecs  # type: ignore
+    except ImportError:
+        return None
+    codec = numcodecs.get_codec(dict(config))
+    out = codec.decode(raw)
+    return bytes(out) if not isinstance(out, bytes) else out
+
+
 def _decode_bytes(raw: bytes, compressor: dict | None) -> bytes:
     if compressor is None:
         return raw
@@ -137,13 +156,36 @@ def _decode_bytes(raw: bytes, compressor: dict | None) -> bytes:
         return _zlib.decompress(raw)
     if cid == "gzip":
         return _gzip.decompress(raw)
+    if cid == "blosc":
+        # Prefer the C implementation when present; else the vendored
+        # pure-Python frame decoder (lz4/zlib/memcpyed inner codecs).
+        via_numcodecs = _numcodecs_decode(raw, compressor)
+        if via_numcodecs is not None:
+            return via_numcodecs
+        from cae_polars_tools_spark.sources.blosc_codec import (
+            BloscFormatError,
+            blosc_decompress,
+        )
+
+        try:
+            return blosc_decompress(raw)
+        except BloscFormatError as e:
+            raise ValueError(
+                f"blosc chunk not decodable by the pure-Python path ({e}); "
+                "install 'numcodecs' (or 'zarr') on driver and executors "
+                "for full blosc support"
+            ) from e
+    via_numcodecs = _numcodecs_decode(raw, compressor)
+    if via_numcodecs is not None:
+        return via_numcodecs
     raise ValueError(
-        f"unsupported zarr compressor {cid!r}: this minimal reader supports "
-        "null/zlib/gzip; install the 'zarr' package for blosc/zstd stores"
+        f"unsupported zarr compressor {cid!r}: the pure-Python reader "
+        "supports null/zlib/gzip/blosc(lz4); install 'numcodecs' for "
+        f"{cid!r} stores"
     )
 
 
-def _encode_bytes(data: bytes, compressor: dict | None) -> bytes:
+def _encode_bytes(data: bytes, compressor: dict | None, typesize: int = 1) -> bytes:
     if compressor is None:
         return data
     cid = compressor.get("id")
@@ -152,7 +194,44 @@ def _encode_bytes(data: bytes, compressor: dict | None) -> bytes:
         return _zlib.compress(data, level)
     if cid == "gzip":
         return _gzip.compress(data, compresslevel=level)
+    if cid == "blosc":
+        from cae_polars_tools_spark.sources.blosc_codec import (
+            blosc_compress_memcpy,
+        )
+
+        return blosc_compress_memcpy(data, typesize=typesize)
     raise ValueError(f"unsupported compressor {cid!r} for writing")
+
+
+def _apply_filters_decode(
+    buf: bytes, filters: list[dict], dtype: np.dtype
+) -> np.ndarray:
+    """Undo the filter chain (last filter encoded last ⇒ decode in
+    reverse). Natively: ``delta`` (numcodecs semantics — stored as
+    ``astype`` diffs, cumulative-summed back in wraparound arithmetic);
+    anything else via numcodecs when installed."""
+    data: Any = buf
+    for config in reversed(filters):
+        fid = config.get("id")
+        if fid == "delta":
+            astype = np.dtype(config.get("astype", config["dtype"]))
+            out_dtype = np.dtype(config["dtype"])
+            enc = np.frombuffer(data, dtype=astype)
+            # cumsum in the output dtype: integer wraparound matches
+            # numcodecs' Delta.decode (cumsum into a dtype-typed out).
+            dec = np.cumsum(enc, dtype=out_dtype)
+            data = dec.astype(out_dtype, copy=False).tobytes()
+            continue
+        try:
+            import numcodecs  # type: ignore
+        except ImportError:
+            raise ValueError(
+                f"zarr filter {fid!r} is not supported by the pure-Python "
+                "reader (only 'delta'); install 'numcodecs' for this store"
+            ) from None
+        out = numcodecs.get_codec(dict(config)).decode(data)
+        data = bytes(out) if not isinstance(out, bytes) else out
+    return np.frombuffer(data, dtype=dtype)
 
 
 # --------------------------------------------------------------------------
@@ -208,12 +287,11 @@ class ZarrV2Array:
         if raw is None:
             fill = 0 if self.fill_value is None else self.fill_value
             return np.full(self.chunks, fill, dtype=self.dtype)
-        if self.filters:
-            raise ValueError(
-                "zarr filters are not supported by the minimal reader"
-            )
         buf = _decode_bytes(raw, self.compressor)
-        arr = np.frombuffer(buf, dtype=self.dtype)
+        if self.filters:
+            arr = _apply_filters_decode(buf, self.filters, self.dtype)
+        else:
+            arr = np.frombuffer(buf, dtype=self.dtype)
         if arr.size != int(np.prod(self.chunks)):
             raise ValueError(
                 f"chunk {chunk_idx} has {arr.size} elements, expected "
@@ -444,6 +522,16 @@ def open_group(
 # --------------------------------------------------------------------------
 
 
+def _delta_encode(flat: np.ndarray, config: dict) -> np.ndarray:
+    """numcodecs-Delta-compatible encode (wraparound subtraction)."""
+    astype = np.dtype(config.get("astype", config["dtype"]))
+    enc = np.empty(flat.shape, dtype=astype)
+    if len(flat):
+        enc[0] = flat[0]
+        np.subtract(flat[1:], flat[:-1], out=enc[1:], casting="unsafe")
+    return enc
+
+
 def write_array(
     root: str,
     name: str,
@@ -452,12 +540,17 @@ def write_array(
     compressor: dict | None = None,
     attrs: dict | None = None,
     fill_value: Any = 0,
+    filters: list[dict] | None = None,
 ) -> None:
-    """Write one array into a local zarr v2 store directory."""
+    """Write one array into a local zarr v2 store directory. Writable
+    filters: ``delta`` only (reading supports more via numcodecs)."""
     store = LocalByteStore(root)
     data = np.asarray(data)
     if chunks is None:
         chunks = tuple(min(s, 64) or 1 for s in data.shape)
+    for f in filters or []:
+        if f.get("id") != "delta":
+            raise ValueError(f"unsupported write filter {f.get('id')!r}")
     zmeta = {
         "zarr_format": 2,
         "shape": list(data.shape),
@@ -466,7 +559,7 @@ def write_array(
         "compressor": compressor,
         "fill_value": fill_value,
         "order": "C",
-        "filters": None,
+        "filters": filters or None,
     }
     store.put(f"{name}/.zarray", json.dumps(zmeta).encode())
     store.put(f"{name}/.zattrs", json.dumps(attrs or {}).encode())
@@ -483,7 +576,15 @@ def write_array(
             padded[tuple(slice(0, e) for e in block.shape)] = block
             block = padded
         key = f"{name}/{'.'.join(str(i) for i in idx) or '0'}"
-        store.put(key, _encode_bytes(np.ascontiguousarray(block).tobytes(), compressor))
+        flat = np.ascontiguousarray(block).reshape(-1)
+        for f in filters or []:
+            flat = _delta_encode(flat, f)
+        store.put(
+            key,
+            _encode_bytes(
+                flat.tobytes(), compressor, typesize=data.dtype.itemsize
+            ),
+        )
 
 
 def write_group(

@@ -84,6 +84,17 @@ def test_info_command(store, capsys):
     assert doc["arrays"]["a"]["shape"] == [3, 4] or doc["arrays"]["a"]["shape"] == (3, 4)
 
 
+def test_info_command_tristate_consolidated(store, capsys):
+    """--no-consolidated skips .zmetadata (tri-state, like the
+    reference's consolidated=None/True/False); both forms still read
+    the same per-file metadata here."""
+    assert main(["info", store, "--no-consolidated"]) == 0
+    doc = json.loads(capsys.readouterr().out)
+    assert "a" in doc["arrays"]
+    assert main(["info", store, "--consolidated"]) == 0
+    assert "a" in json.loads(capsys.readouterr().out)["arrays"]
+
+
 def test_info_command_output_file(store, tmp_path, capsys):
     out = str(tmp_path / "info.json")
     assert main(["info", store, "-o", out]) == 0
