@@ -31,7 +31,7 @@ from collections.abc import Callable
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
@@ -211,18 +211,19 @@ def jaccard_pairs(
     The index stores xxhash64(shingle) (8-byte join/shuffle keys, not
     ~30-char strings; per-pair collision odds ~1e-15) and is persisted
     because the DAG reads it four times (index self-join sides + both
-    verification sides). The hot-shingle list has at most
-    |occurrences|/max_df entries by construction (Zipfian corpora:
-    far fewer), so AQE plans the anti-join as a broadcast."""
+    verification sides). The DF cap is a count-window over the
+    g-shuffle the self-join needs anyway: the window's hash
+    partitioning on g is exactly the join's required distribution, so
+    the cap adds NO extra shuffle, and the two identical capped-index
+    subtrees collapse into one ReusedExchange."""
     sh = docs.select("doc_id", hashed_shingles("text").alias("h64")).persist()
     ex = sh.select("doc_id", F.explode("h64").alias("g"))
-    hot = (
-        ex.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > max_df)
-        .select("g")
+    wdf = Window.partitionBy("g")
+    exk = (
+        ex.withColumn("df", F.count(F.lit(1)).over(wdf))
+        .filter(F.col("df") <= max_df)
+        .drop("df")
     )
-    exk = ex.join(hot, "g", "left_anti")
     a = exk.alias("a")
     b = exk.alias("b")
     candidates = (

@@ -978,7 +978,13 @@ def q28_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-APPROX_REL_TOL = 0.05  # documented HLL++/KLL accuracy bound checked below
+# Documented sketch-accuracy bound checked below: default HLL++
+# precision has rsd 0.05, so 0.15 is a ~3-sigma bound. (Tightening
+# the sketch instead is a trap: rsd 0.01 inflates the generated HLL
+# update code ~100x — measured 0.8 s → 105 s at sf0.1 with a codegen
+# OOM risk — because the high-precision register bank defeats
+# whole-stage codegen.)
+APPROX_REL_TOL = 0.15
 
 
 @register(
@@ -1006,12 +1012,23 @@ def q29_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact twin; the oracle emits ``TRUE`` — a sketch drifting out of
     tolerance flips the boolean and fails the hash match."""
     li = _t(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
-        F.count_distinct("l_orderkey").alias("exact_orders"),
+    # Two separate aggregates joined on the 3-row group key, NOT one
+    # combined agg: count_distinct forces an Expand (3x data) under
+    # every other buffer, and stacking it with percentile + two
+    # sketches in one operator produced a whole-stage-codegen function
+    # big enough to take ~30 s of JIT on first run.
+    sketches = li.groupBy("l_returnflag").agg(
         F.percentile("l_extendedprice", F.lit(0.5)).alias("raw_p50"),
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_p50"),
     )
+    exact = (
+        li.select("l_returnflag", "l_orderkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_orders"))
+    )
+    agg = sketches.join(exact, "l_returnflag")
     rel = lambda a, e: F.abs(a.cast("double") - e) / e  # noqa: E731
     within = (
         rel(F.col("approx_orders"), F.col("exact_orders").cast("double"))

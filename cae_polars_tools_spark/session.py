@@ -75,6 +75,11 @@ def get_spark(
         # Broadcast threshold: small dims (region/nation/supplier) must
         # broadcast; 64 MB is safe for dimension tables at any SF here.
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # Local mode runs driver+executors in ONE JVM; the 1g default
+        # heap has OOMed under 32 concurrent codegen-heavy tasks. On a
+        # real cluster spark-submit owns memory sizing — this only
+        # applies when the session is created in-process (local mode).
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"),
     }
     if extra_conf:
         conf.update(extra_conf)
