@@ -568,6 +568,117 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Duplicate-cluster assembly: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_id_a",
+    dst: str = "doc_id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair graph → one
+    ``(doc_id, cluster_id)`` row per vertex, ``cluster_id`` = the
+    smallest doc_id in the component (the canonical survivor every
+    dedup pipeline needs after pair generation).
+
+    Min-label propagation: each round joins labels across edges and
+    takes the per-vertex minimum; a zero-changes aggregate stops the
+    loop. Rounds needed = the graph diameter — near-dup clusters are
+    tiny, dense blobs (diameter ≲ 3) by construction, so this
+    converges in a handful of one-shuffle rounds at any corpus size.
+    For adversarially long path-shaped graphs, swap in the
+    large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce"), which needs O(log n) rounds — the loop
+    body below is the only thing that changes.
+
+    The per-round ``.count()`` convergence check is a driver-side
+    scalar, not a collect of data."""
+    fwd = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    rev = pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    edges = fwd.union(rev).distinct().persist()
+    labels = (
+        edges.select(F.col("u").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        prop = edges.join(
+            labels, edges["u"] == labels["doc_id"]
+        ).select(F.col("v").alias("doc_id"), "cluster_id")
+        nxt = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .persist()
+        )
+        changed = (
+            nxt.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = nxt
+        if changed == 0:
+            break
+    return labels
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE sh AS (
+            SELECT doc_id, {SHINGLES_SQL} AS s FROM documents
+        ),
+        ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        kept AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= {JACCARD_MAX_DF}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+            FROM ex a
+            JOIN kept k ON a.g = k.g
+            JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        ),
+        inter AS (
+            SELECT c.doc_id_a, c.doc_id_b,
+                   len(list_intersect(sa.s, sb.s)) AS i,
+                   len(sa.s) AS na, len(sb.s) AS nb
+            FROM cand c
+            JOIN sh sa ON c.doc_id_a = sa.doc_id
+            JOIN sh sb ON c.doc_id_b = sb.doc_id
+        ),
+        dup_pairs AS (
+            SELECT doc_id_a, doc_id_b FROM inter
+            WHERE CAST(i AS DOUBLE) / (na + nb - i) >= {JACCARD_THRESHOLD}
+        ),
+        edges AS (
+            SELECT doc_id_a AS u, doc_id_b AS v FROM dup_pairs
+            UNION
+            SELECT doc_id_b, doc_id_a FROM dup_pairs
+        ),
+        reach(u, v) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        )
+        SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+        FROM reach GROUP BY u
+    """,
+    tags=("dedup", "extension", "iterative"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate clusters: the capped exact-Jaccard
+    join feeds min-label-propagation connected components; output maps
+    every doc that has a near-dup to its cluster's canonical (minimum)
+    doc_id. Oracle: the same pair set run through a DuckDB recursive
+    transitive closure."""
+    pairs = jaccard_pairs(spread(read_table(spark, sf_dir, "documents")))
+    return connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 

@@ -280,6 +280,24 @@ def test_shingles_short_documents(spark):
     assert (5, 6) in exact and (5, 6) in lsh
 
 
+def test_connected_components_semantics(spark):
+    """Min-label propagation: path graphs converge end-to-end, disjoint
+    components keep separate canonical labels, singletons absent from
+    any pair never appear."""
+    from cae_polars_tools_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # component {1,2,3,4} as a path; component {10, 11}; 99 isolated
+        [(2, 3), (1, 2), (3, 4), (10, 11)],
+        ["doc_id_a", "doc_id_b"],
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
 def test_jaccard_df_cap_drops_hot_shingles(spark):
     """With a deliberately hot shingle (one phrase shared by every
     doc), a tight DF cap removes it from candidate generation: docs
