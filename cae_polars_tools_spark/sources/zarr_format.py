@@ -476,11 +476,13 @@ def open_group(
     storage_options: dict | None = None,
     group: str | None = None,
     consolidated: bool | None = None,
-) -> ZarrV2Group:
-    """Open a zarr v2 store read-only with the reference's consolidated-
-    metadata ladder (zarr_storage.py:213-283): try ``.zmetadata`` when
+) -> "ZarrV2Group":
+    """Open a zarr store read-only. v2: the reference's consolidated-
+    metadata ladder (zarr_storage.py:213-283) — try ``.zmetadata`` when
     consolidated is True/None, fall back to per-file metadata, wrap
-    failures in ValueError."""
+    failures in ValueError. A store with no v2 metadata but a root
+    ``zarr.json`` dispatches to the v3 path (sources/zarr_v3.py),
+    which returns a duck-type-compatible group handle."""
     store = ByteStore.for_path(store_path, storage_options)
 
     cmeta: dict | None = None
@@ -504,9 +506,15 @@ def open_group(
         cmeta.get(".zarray") if cmeta is not None else _load_json(store, ".zarray")
     )
     if root_group_meta is None and root_array_meta is None:
+        # Not v2 — v3 stores carry one zarr.json per node instead.
+        v3_meta = _load_json(store, "zarr.json")
+        if v3_meta is not None and v3_meta.get("zarr_format") == 3:
+            from cae_polars_tools_spark.sources.zarr_v3 import open_group_v3
+
+            return open_group_v3(store, v3_meta, group=group)
         raise ValueError(
-            f"failed to open zarr store at {store_path!r}: no .zgroup/.zarray "
-            "metadata found (is this a zarr v2 store?)"
+            f"failed to open zarr store at {store_path!r}: no v2 "
+            ".zgroup/.zarray and no v3 zarr.json metadata found"
         )
     attrs = (
         cmeta.get(".zattrs") if cmeta is not None else _load_json(store, ".zattrs")
