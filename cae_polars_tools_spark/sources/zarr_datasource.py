@@ -87,11 +87,39 @@ class ZarrWindowPartition(InputPartition):
         self.end = end
 
 
-class ZarrScanReader(DataSourceReader):
+class _ZarrReaderCore(DataSourceReader):
+    """Partitioning + read logic shared by both reader variants.
+
+    Deliberately does NOT define ``pushFilters``: Spark refuses to
+    initialize any Python data source reader that merely *has* the
+    attribute while ``spark.sql.python.filterPushdown.enabled`` is
+    false (``[DATA_SOURCE_PUSHDOWN_DISABLED]``), so the degraded
+    variant must not inherit one — Spark then evaluates every filter
+    post-scan and results stay correct, just unpruned.
+    """
+
     def __init__(self, plan: ScanPlan, chunk_size: int):
         self.plan = plan
         self.chunk_size = chunk_size
 
+    def partitions(self) -> list[InputPartition]:
+        return [
+            ZarrWindowPartition(s, e)
+            for s, e in partition_ranges(
+                self.plan.total_rows, self.chunk_size, self.plan.row_align
+            )
+        ]
+
+    def read(self, partition: ZarrWindowPartition) -> Iterator:
+        yield window_to_arrow(self.plan, partition.start, partition.end)
+
+
+class ZarrScanReaderNoPushdown(_ZarrReaderCore):
+    """Reader for sessions with Python filter pushdown disabled:
+    identical scan, no chunk pruning from WHERE clauses."""
+
+
+class ZarrScanReader(_ZarrReaderCore):
     def pushFilters(self, filters):
         """Prune the scan from WHERE clauses on coordinate columns.
 
@@ -149,20 +177,13 @@ class ZarrScanReader(DataSourceReader):
         if masks:
             self.plan = refine_plan(self.plan, masks)
 
-    def partitions(self) -> list[InputPartition]:
-        return [
-            ZarrWindowPartition(s, e)
-            for s, e in partition_ranges(
-                self.plan.total_rows, self.chunk_size, self.plan.row_align
-            )
-        ]
-
-    def read(self, partition: ZarrWindowPartition) -> Iterator:
-        yield window_to_arrow(self.plan, partition.start, partition.end)
-
 
 class ZarrDataSource(DataSource):
-    """Register with ``spark.dataSource.register(ZarrDataSource)``."""
+    """Register with ``spark.dataSource.register(ZarrDataSource)``
+    (or :func:`~cae_polars_tools_spark.sources.zarr_scan.register_zarr_source`,
+    which picks the right variant for the session's pushdown conf)."""
+
+    _reader_cls: type[_ZarrReaderCore] = ZarrScanReader
 
     @classmethod
     def name(cls) -> str:
@@ -174,4 +195,13 @@ class ZarrDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         plan, chunk_size = _plan_from_options(self.options)
-        return ZarrScanReader(plan, chunk_size)
+        return type(self)._reader_cls(plan, chunk_size)
+
+
+class ZarrDataSourceNoPushdown(ZarrDataSource):
+    """Same format name, degraded reader — for sessions where
+    ``spark.sql.python.filterPushdown.enabled`` is false (Spark's
+    default) and cannot be flipped: ``.load()`` works, filters are
+    evaluated by Spark after the full scan instead of pruning chunks."""
+
+    _reader_cls = ZarrScanReaderNoPushdown

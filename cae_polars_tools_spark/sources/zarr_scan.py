@@ -79,8 +79,29 @@ def get_zarr_data_info(
     }
 
 
-def register_zarr_source(spark: SparkSession) -> None:
-    """Enable ``spark.read.format("zarr")`` for this session."""
-    from cae_polars_tools_spark.sources.zarr_datasource import ZarrDataSource
+PUSHDOWN_CONF = "spark.sql.python.filterPushdown.enabled"
 
-    spark.dataSource.register(ZarrDataSource)
+
+def register_zarr_source(spark: SparkSession) -> None:
+    """Enable ``spark.read.format("zarr")`` for this session.
+
+    Spark refuses to initialize a Python data source reader that
+    defines ``pushFilters`` while ``spark.sql.python.filterPushdown.enabled``
+    is false (``[DATA_SOURCE_PUSHDOWN_DISABLED]``) — and false is
+    Spark's default. The variant is therefore chosen from the
+    session's conf at registration time: pushdown-capable when the
+    conf is on, a no-``pushFilters`` reader (same scan, filters
+    evaluated post-scan by Spark) when it is off, so ``.load()``
+    works either way. Re-register after flipping the conf to switch
+    variants.
+    """
+    from cae_polars_tools_spark.sources.zarr_datasource import (
+        ZarrDataSource,
+        ZarrDataSourceNoPushdown,
+    )
+
+    try:
+        enabled = str(spark.conf.get(PUSHDOWN_CONF, "false")).lower() == "true"
+    except Exception:
+        enabled = False
+    spark.dataSource.register(ZarrDataSource if enabled else ZarrDataSourceNoPushdown)
