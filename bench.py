@@ -40,14 +40,22 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     corpus = load_all()
 
-    # Warm-up: JVM codegen + parquet footer caches, plus the Python
-    # worker pools both UDF-bearing plans (pandas UDF) and the zarr
-    # Python Data Source (plan/partition/read workers) spin up on
-    # first use — session bring-up cost, not per-query cost, matching
-    # the reference's read-vs-collect benchmark split.
+    # Warm-up: one query per execution-machinery family, so per-query
+    # numbers measure steady-state throughput (the 100 TB-relevant
+    # quantity) rather than which entry happens to run first —
+    # session bring-up cost, not per-query cost, matching the
+    # reference's read-vs-collect benchmark split.
+    #   q01   — parquet scan + hash agg + whole-stage codegen
+    #   zarr  — Python Data Source workers (plan/partition/read)
+    #   chargram — pandas-UDF worker pool + Arrow transfer
+    #   ngram_jaccard — shuffle/sort-merge self-join + exploded agg
+    #     cascade (the JVM JIT paths every dedup/join entry hits;
+    #     measured ~8 s of first-query-only interpreter tax at sf0.1)
     materialize(corpus["q01_pricing_summary"].build(spark, sf_dir))
     materialize(corpus["zarr_filter_pushdown"].build(spark, sf_dir))
     materialize(corpus["text_language_chargram"].build(spark, sf_dir))
+    materialize(corpus["dedup_ngram_jaccard"].build(spark, sf_dir))
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name, spec in sorted(corpus.items()):

@@ -38,6 +38,7 @@ from pyspark.sql.types import ArrayType, LongType
 from cae_polars_tools_spark.io import read_table, spread
 from cae_polars_tools_spark.operators.text import (
     FINGERPRINT_SQL,
+    TOKEN_SPLIT,
     fingerprint,
     tokens,
 )
@@ -74,18 +75,74 @@ def shingles(col: Column | str) -> Column:
     )
 
 
+# Position-weighted combine coefficients for the rolling shingle hash
+# (odd 64-bit constants from the splitmix64/xxhash families; odd ⇒
+# each term is a bijection of the token hash, position-distinct ⇒
+# window order matters).
+_SHINGLE_COEF = np.array(
+    [
+        0x9E3779B97F4A7C15,
+        0xC2B2AE3D27D4EB4F,
+        0x165667B19E3779F9,
+        0x27D4EB2F165667C5,
+        0x85EBCA77C2B2AE63,
+    ],
+    dtype=np.uint64,
+)
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def _hashed_shingles_udf(text: pd.Series) -> pd.Series:
+    """Distinct 64-bit shingle ids per document, Arrow-batched.
+
+    Per document: blake2b-8 each token (memoized across the batch —
+    vocabulary ≪ token count), then every ``NGRAM`` window's id is a
+    position-weighted sum Σ cⱼ·h(tokⱼ) mod 2⁶⁴ — one vectorized numpy
+    pass over the token-hash array, no per-window string join.
+    Content-deterministic across partitions/engines (blake2b + fixed
+    coefficients), so equal windows get equal ids everywhere; 64-bit
+    ids keep cross-window collision odds ~|index|²/2⁶⁴ (~1e-7 at a
+    million distinct shingles).
+
+    Replaces a higher-order-function formulation
+    (transform(sequence)+xxhash64(slice)+array_distinct): HOFs are
+    CodegenFallback, interpreted per element — measured 42 s of
+    executor CPU (cold) for 5 000 docs at sf0.1 vs well under 1 s
+    for this kernel."""
+    from hashlib import blake2b
+
+    cache: dict[str, int] = {}
+
+    def th(tok: str) -> int:
+        h = cache.get(tok)
+        if h is None:
+            h = int.from_bytes(blake2b(tok.encode(), digest_size=8).digest(), "little")
+            cache[tok] = h
+        return h
+
+    out = []
+    for s in text:
+        toks = s.split(TOKEN_SPLIT)
+        n = len(toks)
+        if n < NGRAM:
+            out.append(np.empty(0, dtype=np.int64))
+            continue
+        hv = np.fromiter((th(t) for t in toks), dtype=np.uint64, count=n)
+        nwin = n - NGRAM + 1
+        acc = np.zeros(nwin, dtype=np.uint64)
+        for j in range(NGRAM):
+            acc += _SHINGLE_COEF[j] * hv[j : j + nwin]
+        out.append(np.unique(acc).astype(np.int64))
+    return pd.Series(out)
+
+
 def hashed_shingles(col: Column | str) -> Column:
-    """Distinct 64-bit shingle ids: xxhash64 over each ``NGRAM``-token
-    window directly (xxhash64 hashes arrays natively), skipping the
-    string join entirely. Tokens contain no separator characters, so
-    window-set distinctness and therefore every Jaccard value is
-    identical to the string-shingle form — only the ids differ.
-    Documents with fewer than ``NGRAM`` tokens yield an empty set."""
-    t = tokens(col)
-    idx = _shingle_starts(F.size(t))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.xxhash64(F.slice(t, i, NGRAM)))
-    )
+    """Distinct 64-bit shingle ids (see :func:`_hashed_shingles_udf`).
+    Window-set distinctness — and therefore every Jaccard value — is
+    identical to the string-shingle form (:func:`shingles`); only the
+    ids differ. Documents with fewer than ``NGRAM`` tokens yield an
+    empty set."""
+    return _hashed_shingles_udf(F.col(col) if isinstance(col, str) else col)
 
 
 SHINGLES_SQL = (
@@ -211,19 +268,29 @@ def jaccard_pairs(
     The index stores xxhash64(shingle) (8-byte join/shuffle keys, not
     ~30-char strings; per-pair collision odds ~1e-15) and is persisted
     because the DAG reads it four times (index self-join sides + both
-    verification sides). The DF cap is a count-window over the
-    g-shuffle the self-join needs anyway: the window's hash
-    partitioning on g is exactly the join's required distribution, so
-    the cap adds NO extra shuffle, and the two identical capped-index
-    subtrees collapse into one ReusedExchange."""
+    verification sides). The DF cap is a broadcast hot-key anti-join:
+    the over-cap shingle set is tiny by construction (each survivor of
+    ``GROUP BY g HAVING count > max_df`` represents > max_df rows, so
+    there can be at most |index|/max_df of them), so it broadcasts,
+    and the cap costs one map-side-combined aggregation instead of a
+    full sort-within-partitions count-window over every (doc, shingle)
+    row on BOTH self-join sides (measured ~2.5× slower at sf0.1).
+
+    The persisted index is materialized EAGERLY (count) before the
+    join DAG executes: the four consumers otherwise start as
+    concurrent AQE shuffle-map stages that race the still-empty cache
+    and each re-run the tokenize→shingle→hash pipeline — measured 4×
+    the CPU and ~2× the wall time at sf0.1."""
     sh = docs.select("doc_id", hashed_shingles("text").alias("h64")).persist()
+    sh.count()
     ex = sh.select("doc_id", F.explode("h64").alias("g"))
-    wdf = Window.partitionBy("g")
-    exk = (
-        ex.withColumn("df", F.count(F.lit(1)).over(wdf))
-        .filter(F.col("df") <= max_df)
-        .drop("df")
+    hot = (
+        ex.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("g")
     )
+    exk = ex.join(F.broadcast(hot), "g", "left_anti")
     a = exk.alias("a")
     b = exk.alias("b")
     candidates = (
@@ -584,46 +651,71 @@ def connected_components(
     dedup pipeline needs after pair generation).
 
     Min-label propagation: each round joins labels across edges and
-    takes the per-vertex minimum; a zero-changes aggregate stops the
-    loop. Rounds needed = the graph diameter — near-dup clusters are
-    tiny, dense blobs (diameter ≲ 3) by construction, so this
-    converges in a handful of one-shuffle rounds at any corpus size.
-    For adversarially long path-shaped graphs, swap in the
-    large-star/small-star contraction (Kiveris et al., "Connected
-    Components in MapReduce"), which needs O(log n) rounds — the loop
-    body below is the only thing that changes.
+    takes the per-vertex minimum. Rounds needed = the graph diameter —
+    near-dup clusters are tiny, dense blobs (diameter ≲ 3) by
+    construction, so this converges in a handful of one-shuffle rounds
+    at any corpus size. For adversarially long path-shaped graphs,
+    swap in the large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce"), which needs O(log n)
+    rounds — the loop body below is the only thing that changes.
 
-    The per-round ``.count()`` convergence check is a driver-side
-    scalar, not a collect of data."""
+    One Spark job per round: the convergence signal rides inside the
+    min-label aggregation itself (each vertex's previous label is
+    carried as a second min-column, so "any label changed?" is a
+    filter over the just-aggregated frame, not a separate join
+    against the previous labels), and the ``.count()`` action that
+    reads it is also what materializes the round's persist. Duplicate
+    edges are harmless (min is idempotent), so the input pair set is
+    NOT deduplicated — no distinct shuffle; edges are hash-partitioned
+    on ``u`` once and cached, so each round's propagation join
+    re-shuffles only the (small) label frame."""
+    import warnings
+
     fwd = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     rev = pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    edges = fwd.union(rev).distinct().persist()
-    labels = (
+    edges = fwd.union(rev).repartition("u").persist()
+    prev = (
         edges.select(F.col("u").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
         .persist()
     )
+    labels = prev
+    changed = None
     for _ in range(max_iters):
-        prop = edges.join(
-            labels, edges["u"] == labels["doc_id"]
-        ).select(F.col("v").alias("doc_id"), "cluster_id")
+        prop = edges.join(labels, edges["u"] == labels["doc_id"]).select(
+            F.col("v").alias("doc_id"),
+            "cluster_id",
+            F.lit(None).cast("long").alias("old"),
+        )
+        cur = labels.select(
+            "doc_id", "cluster_id", F.col("cluster_id").alias("old")
+        )
         nxt = (
-            labels.unionByName(prop)
+            cur.unionByName(prop)
             .groupBy("doc_id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
+            .agg(
+                F.min("cluster_id").alias("cluster_id"),
+                # every vertex appears exactly once in `cur`, so the
+                # null-skipping min recovers its previous label
+                F.min("old").alias("old"),
+            )
             .persist()
         )
-        changed = (
-            nxt.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels.unpersist()
-        labels = nxt
+        changed = nxt.filter(F.col("cluster_id") < F.col("old")).count()
+        prev.unpersist()
+        prev = nxt
+        labels = nxt.select("doc_id", "cluster_id")
         if changed == 0:
             break
+    if changed:
+        warnings.warn(
+            f"connected_components: not converged after {max_iters} rounds "
+            f"({changed} labels still changing) — returned labels are "
+            "partial; raise max_iters (graph diameter exceeds it)",
+            stacklevel=2,
+        )
+    edges.unpersist()
     return labels
 
 
@@ -725,8 +817,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = e.alias("a")
     b = e.alias("b")
     # Expression-form cosine on purpose: a pandas-UDF per *pair* ships
-    # both arrays through Arrow for every joined row and measured 20×
-    # slower than the interpreted HOF here (see operators/vectors.py).
+    # both arrays through Arrow for every joined row and measured ~2×
+    # slower than the interpreted HOF here (identical values; see the
+    # measurement note in operators/vectors.py).
     cos = cosine_with_norms(
         F.col("a.embedding"), F.col("b.embedding"), F.col("a.n2"), F.col("b.n2")
     )

@@ -20,7 +20,7 @@ Scoring-kernel note (measured, sf0.1): evaluating the cosine per
 candidate *pair* — whether as an interpreted higher-order expression
 or as a pandas UDF over the joined pair rows — is dominated by either
 interpretation or per-pair Arrow transfer of both 64-float arrays
-(the pandas-UDF-per-pair variant measured 10× WORSE than the HOF).
+(the pandas-UDF-per-pair variant measured ~2× worse than the HOF).
 The ``score_against_queries`` kernel here avoids both: arrays ship
 once per corpus row, scores come from dim-sequential vectorized
 numpy (bit-identical doubles to ``dot_expr``/DuckDB ``list_sum`` —
@@ -280,6 +280,7 @@ IVF_CENTROIDS = 16
 IVF_NPROBE = 6
 IVF_ITERS = 8
 IVF_TRAIN_SAMPLE = 16384
+IVF_TRAIN_FRACTION = 0.5
 
 
 def _assign_udf(centroids: np.ndarray):
@@ -327,37 +328,42 @@ def train_ivf_centroids(
     n_iters: int = IVF_ITERS,
     sample_size: int = IVF_TRAIN_SAMPLE,
     distributed_iters: int = 0,
+    sample_fraction: float = IVF_TRAIN_FRACTION,
 ) -> np.ndarray:
-    """Coarse-quantizer training: local Lloyd on a bounded *seeded
-    random* sample, the standard IVF recipe (FAISS trains its
+    """Coarse-quantizer training: local Lloyd on a bounded *seeded*
+    Bernoulli sample, the standard IVF recipe (FAISS trains its
     quantizer on a sample for the same reason): centroid quality needs
-    O(centroids × oversampling) points, not the corpus. A uniform
-    ``df.sample`` (fixed seed ⇒ reproducible for a given input
-    partitioning) avoids the bias of taking the lowest ids — on any
-    corpus where id order correlates with content (ingest date, shard,
-    topic), an id-prefix sample trains centroids on a skewed slice.
-    The sample is ≤ ``sample_size`` × dim floats on the driver at any
-    corpus size, and local iterations are free — no per-iteration
-    Spark job, no 64×-row posexplode shuffle.
+    O(centroids × oversampling) points, not the corpus.
+
+    The sample is ``sample(fraction).limit(target)`` — no ``count()``
+    (which cost a full corpus scan per query run) and no ``orderBy``
+    (a sort). ``limit`` executes incrementally, so only the first
+    ~``target / fraction`` rows are ever scanned regardless of corpus
+    size — at 100 TB that is a few hundred thousand rows, not the
+    table. The trade: rows come from the first-scanned partitions
+    (Bernoulli-thinned within them), so training mixes less across
+    far-apart shards than a full uniform sample; pass a smaller
+    ``sample_fraction`` to widen the scanned span when shard order
+    correlates with content. Deterministic for a fixed input
+    partitioning (seeded sample + in-order limit).
 
     ``distributed_iters`` optionally appends full-corpus Lloyd passes
     (``_lloyd_refine_distributed``) for exact convergence on the whole
     dataset; assignments by cosine, matching ``_assign_udf``."""
     target = max(sample_size, n_centroids)
-    n_total = embeddings.count()
-    pool = embeddings.select("vec_id", "embedding")
-    if n_total > target:
-        # 1.2× oversample so the post-sample limit() almost never
-        # truncates below target; membership stays uniform-random.
-        pool = pool.sample(
-            fraction=min(1.0, 1.2 * target / n_total), seed=20240813
-        )
     sample = (
-        pool.orderBy("vec_id").limit(target).toPandas()["embedding"]
+        embeddings.select("embedding")
+        .sample(fraction=sample_fraction, seed=20240813)
+        .limit(target)
+        .toPandas()["embedding"]
     )
+    if len(sample) < n_centroids:
+        # tiny corpus: the thinned sample can't even seed the
+        # centroids — fall back to an unsampled prefix
+        sample = embeddings.select("embedding").limit(target).toPandas()["embedding"]
     M = np.stack(sample.to_numpy()).astype(np.float64)
     Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-    c = M[:n_centroids].copy()  # deterministic init: lowest sampled ids
+    c = M[:n_centroids].copy()  # deterministic init: first sampled rows
     dim = c.shape[1]
     for _ in range(n_iters):
         cn = c / np.linalg.norm(c, axis=1, keepdims=True)

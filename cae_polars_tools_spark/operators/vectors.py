@@ -4,18 +4,23 @@ Two formulations of the same double-precision cosine, chosen per call
 site:
 
 * **Expression form** (``dot_expr`` / ``cosine_with_norms``) —
-  higher-order array expressions. Fine below joins (per-row norms);
-  too slow per *pair*: HOFs are CodegenFallback, interpreted per
-  element.
+  higher-order array expressions (CodegenFallback, interpreted per
+  element). Measured winner for per-*pair* scoring over joined rows:
+  at sf0.1 the blocked self-join scores in ~1.1 s with the HOF vs
+  ~2.1 s with the batch UDF (identical values), because the UDF ships
+  both 64-float arrays through Arrow for every joined row while the
+  HOF reads them in place.
 * **Batch form** (``pair_dot`` / ``cosine_batch``) — Arrow-vectorized
   pandas UDF: one numpy pass per batch, vectorized across the rows
   with the accumulation kept **sequential over the vector dims**, so
   every produced double is bit-identical to the expression form and
   to DuckDB's ``list_sum`` over the same element order (numpy's
   pairwise-summing ``einsum``/``dot`` would drift in the last ulp and
-  can flip near-tie top-k ranks vs the oracle). ~64 vectorized ops
-  per batch instead of 64 interpreted ops per pair — the scoring
-  kernel for candidate-pair joins.
+  can flip near-tie top-k ranks vs the oracle). Kept for API
+  completeness; it loses per pair (see above), and the ANN paths use
+  the stronger arrays-once ``score_against_queries`` kernel
+  (operators/similarity.py) instead, which ships each corpus row
+  once — not once per pair.
 """
 
 from __future__ import annotations
@@ -73,7 +78,9 @@ def cosine_with_norms(a: Column, b: Column, n2_a: Column, n2_b: Column) -> Colum
 def cosine_batch(a: Column, b: Column, n2_a: Column, n2_b: Column) -> Column:
     """Cosine from the Arrow-batched pair dot and precomputed per-row
     squared norms. Same doubles as ``cosine_with_norms`` (sequential
-    accumulation), evaluated ~10-50× faster per candidate pair."""
+    accumulation) but measured ~2× SLOWER per candidate pair at sf0.1
+    (per-pair Arrow transfer of both arrays dominates) — prefer the
+    expression form in join hot paths; see the module docstring."""
     return pair_dot(a, b) / (F.sqrt(n2_a) * F.sqrt(n2_b))
 
 

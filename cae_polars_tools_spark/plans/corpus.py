@@ -1012,18 +1012,26 @@ def q29_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact twin; the oracle emits ``TRUE`` — a sketch drifting out of
     tolerance flips the boolean and fails the hash match."""
     li = _t(spark, sf_dir, "lineitem")
+    # One scan, shared by both aggregates below via an eagerly-filled
+    # cache of the 3-column projection (the exact twins are oracle
+    # scaffolding — the production 100 TB path is the sketch aggregate
+    # alone, single-pass and fixed-memory; only this bench-scale
+    # bounds check needs a second pass, so it reads the cache, not
+    # the table).
+    proj = li.select("l_returnflag", "l_orderkey", "l_extendedprice").persist()
+    proj.count()
     # Two separate aggregates joined on the 3-row group key, NOT one
     # combined agg: count_distinct forces an Expand (3x data) under
     # every other buffer, and stacking it with percentile + two
     # sketches in one operator produced a whole-stage-codegen function
     # big enough to take ~30 s of JIT on first run.
-    sketches = li.groupBy("l_returnflag").agg(
+    sketches = proj.groupBy("l_returnflag").agg(
         F.percentile("l_extendedprice", F.lit(0.5)).alias("raw_p50"),
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_p50"),
     )
     exact = (
-        li.select("l_returnflag", "l_orderkey")
+        proj.select("l_returnflag", "l_orderkey")
         .distinct()
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("exact_orders"))

@@ -62,7 +62,20 @@ def lz4_decompress_block(src: bytes, dst_size: int) -> bytes:
     per the public LZ4 block spec: sequences of
     ``token | literals | offset(LE16) | match``. Pure Python; match
     copies use the min(len, offset) slice trick so overlapping runs
-    (RLE) stay O(n)."""
+    (RLE) stay O(n).
+
+    Always raises :class:`BloscFormatError` on malformed input — the
+    adaptive split-count fallback in :func:`blosc_decompress` probes
+    this decoder with possibly-wrong stream boundaries and catches
+    exactly that type, so a truncated read must not escape as a bare
+    ``IndexError``."""
+    try:
+        return _lz4_decompress_block(src, dst_size)
+    except IndexError:
+        raise BloscFormatError("lz4: truncated sequence (read past end of input)")
+
+
+def _lz4_decompress_block(src: bytes, dst_size: int) -> bytes:
     out = bytearray()
     pos = 0
     n = len(src)
@@ -186,9 +199,12 @@ def blosc_decompress(frame: bytes) -> bytes:
     if blocksize <= 0:
         raise BloscFormatError("bad blosc blocksize")
     nblocks = -(-nbytes // blocksize) if nbytes else 0
-    offsets = list(
-        struct.unpack_from(f"<{nblocks}i", frame, 16)
-    )
+    try:
+        offsets = list(struct.unpack_from(f"<{nblocks}i", frame, 16))
+    except struct.error:
+        raise BloscFormatError(
+            f"blosc frame too short for its {nblocks}-entry block offset table"
+        )
     shuffled = bool(flags & BLOSC_BYTE_SHUFFLE)
     out = bytearray()
     for i in range(nblocks):

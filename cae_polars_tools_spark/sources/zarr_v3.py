@@ -10,10 +10,13 @@ Implemented against the public Zarr v3 core spec
   with ``"NaN"``/``"Infinity"`` spellings), ``codecs`` pipeline and
   ``dimension_names``;
 * codec pipeline: ``bytes`` (endian) array→bytes codec, then
-  bytes→bytes codecs — ``gzip`` / ``zlib`` (stdlib), ``blosc`` (the
-  vendored pure-Python decoder), ``crc32c`` (checksum verified and
-  stripped when the optional implementation exists, else stripped),
-  anything else (zstd, sharding) raising a precise install-hint error;
+  bytes→bytes codecs — ``gzip`` / ``zlib`` (stdlib), ``blosc``
+  (numcodecs preferred automatically, vendored pure-Python decoder as
+  fallback — same ladder as the v2 path), ``crc32c`` (checksum
+  verified and stripped when ``crc32c``/``google-crc32c`` is
+  importable, else stripped UNVERIFIED), unknown codecs tried through
+  numcodecs by id, and ``sharding_indexed`` / ``transpose`` raising
+  precise unsupported-codec errors naming the workaround;
 * zarr-python's root-level ``consolidated_metadata`` is used when
   present (one GET to open, like v2 ``.zmetadata``).
 
@@ -68,6 +71,49 @@ def _fill_value(raw: Any, dtype: np.dtype) -> Any:
     return raw
 
 
+def _crc32c_impl():
+    """Best-available CRC-32C implementation, or None. Cached so the
+    import probe runs once per process."""
+    global _CRC32C
+    if _CRC32C is _UNSET:
+        _CRC32C = None
+        try:
+            import crc32c  # type: ignore
+
+            _CRC32C = crc32c.crc32c
+        except ImportError:
+            try:
+                import google_crc32c  # type: ignore
+
+                _CRC32C = lambda b: google_crc32c.value(bytes(b))  # noqa: E731
+            except ImportError:
+                pass
+    return _CRC32C
+
+
+_UNSET = object()
+_CRC32C: Any = _UNSET
+
+
+def _verify_crc32c(body: bytes, crc: bytes) -> bytes:
+    """Check a v3 crc32c codec's trailing checksum when a CRC-32C
+    implementation (``crc32c`` or ``google-crc32c``) is importable;
+    without one the checksum is skipped silently — corruption then
+    surfaces only through downstream size/value checks."""
+    impl = _crc32c_impl()
+    if impl is not None:
+        import struct
+
+        expect = struct.unpack("<I", crc)[0]
+        got = impl(body) & 0xFFFFFFFF
+        if got != expect:
+            raise ValueError(
+                f"zarr v3 crc32c checksum mismatch: stored {expect:#010x}, "
+                f"computed {got:#010x} — chunk is corrupted"
+            )
+    return body
+
+
 @dataclass
 class ZarrV3Array(ZarrV2Array):
     """v3 array handle: same orthogonal indexing / chunk-pruning as v2
@@ -101,25 +147,49 @@ class ZarrV3Array(ZarrV2Array):
             elif cname == "zlib":
                 raw = _zlib.decompress(raw)
             elif cname == "blosc":
-                from cae_polars_tools_spark.sources.blosc_codec import (
-                    blosc_decompress,
+                # Same ladder as the v2 path: numcodecs (C codecs —
+                # covers zstd/snappy/blosclz inner codecs) preferred
+                # automatically, vendored pure-Python decoder as the
+                # fallback, install-hint error otherwise.
+                from cae_polars_tools_spark.sources.zarr_format import (
+                    _decode_bytes,
                 )
 
-                raw = blosc_decompress(raw)
+                raw = _decode_bytes(raw, {"id": "blosc", **conf})
             elif cname == "crc32c":
-                body, _crc = raw[:-4], raw[-4:]
-                raw = body  # checksum impl optional in this environment
+                body, crc = raw[:-4], raw[-4:]
+                raw = _verify_crc32c(body, crc)
             elif cname == "transpose":
                 order = conf.get("order")
                 raise ValueError(
                     f"zarr v3 transpose codec (order={order!r}) is not "
                     "supported by this reader"
                 )
-            else:
+            elif cname == "sharding_indexed":
                 raise ValueError(
-                    f"unsupported zarr v3 codec {cname!r} (sharding/zstd "
-                    "need the 'zarr' v3 package)"
+                    "zarr v3 'sharding_indexed' codec is not supported by "
+                    "this reader: each stored object is a shard containing "
+                    "many inner chunks plus an index, which this chunk-level "
+                    "decoder cannot address. Re-write the array without "
+                    "sharding (e.g. zarr-python: codecs without "
+                    "ShardingCodec, one chunk per object) or read the store "
+                    "with the 'zarr' v3 package"
                 )
+            else:
+                # Unknown bytes→bytes codec (zstd, lz4 standalone, ...):
+                # numcodecs can often decode by codec id before we give up.
+                from cae_polars_tools_spark.sources.zarr_format import (
+                    _numcodecs_decode,
+                )
+
+                via = _numcodecs_decode(raw, {"id": cname, **conf})
+                if via is None:
+                    raise ValueError(
+                        f"unsupported zarr v3 codec {cname!r}: install "
+                        "'numcodecs' (or read the store with the 'zarr' v3 "
+                        "package)"
+                    )
+                raw = via
         arr = np.frombuffer(raw, dtype=self.dtype)
         if arr.size != int(np.prod(self.chunks)):
             raise ValueError(

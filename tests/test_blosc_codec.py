@@ -156,3 +156,44 @@ def test_unknown_filter_error_names_package(tmp_path):
         _apply_filters_decode(
             b"\x00" * 8, [{"id": "fixedscaleoffset"}], np.dtype("<i8")
         )
+
+
+def test_lz4_truncated_input_raises_format_error():
+    """Truncated literal/match-extension reads must surface as
+    BloscFormatError (not bare IndexError): the adaptive split-count
+    fallback in blosc_decompress catches only BloscFormatError, and a
+    wrong split-count guess is exactly how a mid-sequence truncation
+    arises."""
+    from cae_polars_tools_spark.sources.blosc_codec import (
+        BloscFormatError,
+        lz4_decompress_block,
+    )
+
+    # token promises a 15+ literal run, then input ends mid-extension
+    with pytest.raises(BloscFormatError):
+        lz4_decompress_block(bytes([0xF0]), 64)
+    # literals ok, then truncated mid-offset (only 1 of 2 offset bytes)
+    with pytest.raises(BloscFormatError):
+        lz4_decompress_block(bytes([0x12, ord("a"), 0x01]), 64)
+    # match-length extension runs past end
+    with pytest.raises(BloscFormatError):
+        lz4_decompress_block(bytes([0x1F, ord("a"), 0x01, 0x00, 0xFF]), 64)
+
+
+def test_blosc_truncated_offset_table_raises_format_error():
+    """A frame whose header promises more block offsets than the frame
+    holds must raise BloscFormatError, not struct.error."""
+    import struct
+
+    from cae_polars_tools_spark.sources.blosc_codec import (
+        BloscFormatError,
+        blosc_decompress,
+    )
+
+    # flags: codec lz4 (1 << 5); nbytes 1 MiB, blocksize 4 KiB → 256
+    # offsets expected, but the frame ends right after the header.
+    header = bytes([2, 1, 1 << 5, 4]) + struct.pack(
+        "<iii", 1 << 20, 4096, 16
+    )
+    with pytest.raises(BloscFormatError):
+        blosc_decompress(header)

@@ -141,3 +141,113 @@ def test_v3_unsupported_codec_error(tmp_path):
     arr = open_group(root).get_array("x")
     with pytest.raises(ValueError, match="zstd"):
         arr[(slice(None),)]
+
+
+def test_v3_sharding_codec_error_names_codec_and_workaround(tmp_path):
+    from cae_polars_tools_spark.sources.zarr_format import open_group
+    from cae_polars_tools_spark.sources.zarr_v3 import write_group_v3
+
+    root = str(tmp_path / "shard.zarr")
+    write_group_v3(root, arrays={"x": np.arange(4, dtype=np.int32)})
+    meta_path = f"{root}/x/zarr.json"
+    meta = json.load(open(meta_path))
+    meta["codecs"] = [
+        {
+            "name": "sharding_indexed",
+            "configuration": {"chunk_shape": [2]},
+        }
+    ]
+    json.dump(meta, open(meta_path, "w"))
+    arr = open_group(root).get_array("x")
+    with pytest.raises(ValueError, match="sharding_indexed") as ei:
+        arr[(slice(None),)]
+    assert "zarr" in str(ei.value)  # names a workaround
+
+
+def test_v3_crc32c_verified_when_impl_available(tmp_path, monkeypatch):
+    """With a CRC-32C implementation available the trailing checksum is
+    actually checked: a corrupted chunk raises, an intact one passes.
+    (The env has no crc32c package, so the impl is injected.)"""
+    import struct as _struct
+    import zlib
+
+    import cae_polars_tools_spark.sources.zarr_v3 as v3
+    from cae_polars_tools_spark.sources.zarr_format import open_group
+    from cae_polars_tools_spark.sources.zarr_v3 import write_group_v3
+
+    # deterministic stand-in CRC (NOT real crc32c — both sides use it)
+    fake = lambda b: zlib.crc32(bytes(b), 123) & 0xFFFFFFFF  # noqa: E731
+    monkeypatch.setattr(v3, "_CRC32C", fake)
+
+    root = str(tmp_path / "crc.zarr")
+    data = np.arange(4, dtype=np.int32)
+    write_group_v3(root, arrays={"x": data}, gzip_level=None)
+    meta_path = f"{root}/x/zarr.json"
+    meta = json.load(open(meta_path))
+    meta["codecs"] = [
+        {"name": "bytes", "configuration": {"endian": "little"}},
+        {"name": "crc32c"},
+    ]
+    json.dump(meta, open(meta_path, "w"))
+    body = open(f"{root}/x/c/0", "rb").read()
+    with open(f"{root}/x/c/0", "wb") as f:
+        f.write(body + _struct.pack("<I", fake(body)))
+    arr = open_group(root).get_array("x")
+    np.testing.assert_array_equal(arr[(slice(None),)], data)
+
+    # corrupt one payload byte; stored checksum now mismatches
+    with open(f"{root}/x/c/0", "wb") as f:
+        f.write(bytes([body[0] ^ 0xFF]) + body[1:] + _struct.pack("<I", fake(body)))
+    with pytest.raises(ValueError, match="crc32c checksum mismatch"):
+        arr[(slice(None),)]
+
+
+def test_v3_crc32c_skipped_without_impl(tmp_path, monkeypatch):
+    import cae_polars_tools_spark.sources.zarr_v3 as v3
+    from cae_polars_tools_spark.sources.zarr_format import open_group
+    from cae_polars_tools_spark.sources.zarr_v3 import write_group_v3
+
+    monkeypatch.setattr(v3, "_CRC32C", None)
+    root = str(tmp_path / "crcskip.zarr")
+    data = np.arange(4, dtype=np.int32)
+    write_group_v3(root, arrays={"x": data}, gzip_level=None)
+    meta_path = f"{root}/x/zarr.json"
+    meta = json.load(open(meta_path))
+    meta["codecs"] = [
+        {"name": "bytes", "configuration": {"endian": "little"}},
+        {"name": "crc32c"},
+    ]
+    json.dump(meta, open(meta_path, "w"))
+    body = open(f"{root}/x/c/0", "rb").read()
+    with open(f"{root}/x/c/0", "wb") as f:
+        f.write(body + b"\x00\x00\x00\x00")  # garbage checksum: skipped
+    arr = open_group(root).get_array("x")
+    np.testing.assert_array_equal(arr[(slice(None),)], data)
+
+
+def test_v3_blosc_chunk_decodes_through_v2_ladder(tmp_path):
+    """A v3 blosc chunk routes through the same numcodecs-preferred /
+    pure-Python-fallback ladder as v2 (memcpyed frame decodes without
+    any native codec)."""
+    from cae_polars_tools_spark.sources.blosc_codec import blosc_compress_memcpy
+    from cae_polars_tools_spark.sources.zarr_format import open_group
+    from cae_polars_tools_spark.sources.zarr_v3 import write_group_v3
+
+    root = str(tmp_path / "blosc.zarr")
+    data = np.arange(4, dtype=np.int32)
+    write_group_v3(root, arrays={"x": data}, gzip_level=None)
+    meta_path = f"{root}/x/zarr.json"
+    meta = json.load(open(meta_path))
+    meta["codecs"] = [
+        {"name": "bytes", "configuration": {"endian": "little"}},
+        {
+            "name": "blosc",
+            "configuration": {"cname": "lz4", "typesize": 4, "shuffle": "noshuffle"},
+        },
+    ]
+    json.dump(meta, open(meta_path, "w"))
+    body = open(f"{root}/x/c/0", "rb").read()
+    with open(f"{root}/x/c/0", "wb") as f:
+        f.write(blosc_compress_memcpy(body, typesize=4))
+    arr = open_group(root).get_array("x")
+    np.testing.assert_array_equal(arr[(slice(None),)], data)
