@@ -639,40 +639,109 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _local_union_find(batches):
+    """Single-task union-find over a pair iterator (both columns are
+    the same id type): classic path-halving find + union-by-min, so
+    every tree root is its component's minimum id. Runs inside one
+    ``mapInPandas`` partition — data never visits the driver."""
+    import pandas as pd
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for pdf in batches:
+        for a, b in zip(pdf.iloc[:, 0].values, pdf.iloc[:, 1].values):
+            for n in (a, b):
+                if n not in parent:
+                    parent[n] = n
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    nodes = list(parent)
+    yield pd.DataFrame(
+        {"doc_id": nodes, "cluster_id": [find(n) for n in nodes]}
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_id_a",
     dst: str = "doc_id_b",
     max_iters: int = 25,
+    local_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Connected components over an undirected pair graph → one
     ``(doc_id, cluster_id)`` row per vertex, ``cluster_id`` = the
     smallest doc_id in the component (the canonical survivor every
     dedup pipeline needs after pair generation).
 
-    Min-label propagation: each round joins labels across edges and
-    takes the per-vertex minimum. Rounds needed = the graph diameter —
-    near-dup clusters are tiny, dense blobs (diameter ≲ 3) by
-    construction, so this converges in a handful of one-shuffle rounds
-    at any corpus size. For adversarially long path-shaped graphs,
-    swap in the large-star/small-star contraction (Kiveris et al.,
-    "Connected Components in MapReduce"), which needs O(log n)
-    rounds — the loop body below is the only thing that changes.
+    Two physical strategies, picked AQE-style from the materialized
+    pair count (the pair set is persisted and counted once — the count
+    is also what materializes the expensive upstream pair pipeline, so
+    it is not an extra pass):
 
-    One Spark job per round: the convergence signal rides inside the
-    min-label aggregation itself (each vertex's previous label is
-    carried as a second min-column, so "any label changed?" is a
-    filter over the just-aggregated frame, not a separate join
-    against the previous labels), and the ``.count()`` action that
-    reads it is also what materializes the round's persist. Duplicate
-    edges are harmless (min is idempotent), so the input pair set is
-    NOT deduplicated — no distinct shuffle; edges are hash-partitioned
-    on ``u`` once and cached, so each round's propagation join
-    re-shuffles only the (small) label frame."""
+    * ``n_pairs <= local_threshold`` — single-task union-find inside
+      one ``mapInPandas`` partition (path-halving + union-by-min).
+      A near-dup pair graph is typically orders of magnitude smaller
+      than the corpus that produced it; 5M pairs ≈ 80 MB comfortably
+      fits one task, and one job beats diameter-many shuffle rounds
+      of scheduler overhead. Same small-side-goes-local reasoning as
+      a broadcast join.
+    * otherwise — distributed min-label propagation: each round joins
+      labels across edges and takes the per-vertex minimum. Rounds
+      needed = the graph diameter — near-dup clusters are tiny, dense
+      blobs (diameter ≲ 3) by construction, so this converges in a
+      handful of one-shuffle rounds at any corpus size. For
+      adversarially long path-shaped graphs, swap in the
+      large-star/small-star contraction (Kiveris et al., "Connected
+      Components in MapReduce"), which needs O(log n) rounds — the
+      loop body below is the only thing that changes.
+
+    In the distributed loop, one Spark job per round: the convergence
+    signal rides inside the min-label aggregation itself (each
+    vertex's previous label is carried as a second min-column, so
+    "any label changed?" is a filter over the just-aggregated frame,
+    not a separate join against the previous labels), and the
+    ``.count()`` action that reads it is also what materializes the
+    round's persist. Duplicate edges are harmless (min is
+    idempotent), so the input pair set is NOT deduplicated — no
+    distinct shuffle; edges are hash-partitioned on ``u`` once and
+    cached, so each round's propagation join re-shuffles only the
+    (small) label frame."""
     import warnings
 
-    fwd = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    rev = pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    from pyspark.sql.types import StructField, StructType
+
+    pairs_p = pairs.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).persist()
+    n_pairs = pairs_p.count()
+    if n_pairs <= local_threshold:
+        id_type = pairs_p.schema["u"].dataType
+        out_schema = StructType(
+            [
+                StructField("doc_id", id_type),
+                StructField("cluster_id", id_type),
+            ]
+        )
+        out = (
+            pairs_p.coalesce(1)
+            .mapInPandas(_local_union_find, schema=out_schema)
+            .persist()
+        )
+        out.count()  # materialize while the pair cache is still live
+        pairs_p.unpersist()
+        return out
+
+    fwd = pairs_p
+    rev = pairs_p.select(F.col("v").alias("u"), F.col("u").alias("v"))
     edges = fwd.union(rev).repartition("u").persist()
     prev = (
         edges.select(F.col("u").alias("doc_id"))
@@ -715,6 +784,7 @@ def connected_components(
             "partial; raise max_iters (graph diameter exceeds it)",
             stacklevel=2,
         )
+    pairs_p.unpersist()
     edges.unpersist()
     return labels
 

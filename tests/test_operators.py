@@ -281,9 +281,11 @@ def test_shingles_short_documents(spark):
 
 
 def test_connected_components_semantics(spark):
-    """Min-label propagation: path graphs converge end-to-end, disjoint
-    components keep separate canonical labels, singletons absent from
-    any pair never appear."""
+    """Path graphs converge end-to-end, disjoint components keep
+    separate canonical labels, singletons absent from any pair never
+    appear — and BOTH physical strategies (single-task union-find and
+    the distributed min-label loop, forced via local_threshold=0)
+    agree."""
     from cae_polars_tools_spark.operators.dedup import connected_components
 
     pairs = spark.createDataFrame(
@@ -291,11 +293,15 @@ def test_connected_components_semantics(spark):
         [(2, 3), (1, 2), (3, 4), (10, 11)],
         ["doc_id_a", "doc_id_b"],
     )
-    got = {
-        r["doc_id"]: r["cluster_id"]
-        for r in connected_components(pairs).collect()
-    }
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    for threshold in (5_000_000, 0):
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(
+                pairs, local_threshold=threshold
+            ).collect()
+        }
+        assert got == want, f"local_threshold={threshold}"
 
 
 def test_jaccard_df_cap_drops_hot_shingles(spark):
