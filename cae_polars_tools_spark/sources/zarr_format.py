@@ -65,6 +65,20 @@ class ByteStore:
         """Bytes for key, or None if absent."""
         raise NotImplementedError
 
+    def get_range(self, key: str, offset: int, length: int) -> bytes | None:
+        """``length`` bytes at ``offset`` (negative offset = from the
+        end, like an HTTP suffix range), or None if the key is absent.
+
+        Default implementation reads the whole object and slices —
+        correct everywhere; subclasses override with a real ranged
+        read (seek / HTTP Range / S3 GetObject Range) so shard-index
+        and inner-chunk fetches touch only the bytes they need."""
+        data = self.get(key)
+        if data is None:
+            return None
+        start = offset if offset >= 0 else max(0, len(data) + offset)
+        return data[start:start + length]
+
     def list_prefix(self, prefix: str = "") -> list[str]:
         """Immediate child names under prefix (directories and files)."""
         raise NotImplementedError
@@ -77,6 +91,14 @@ class LocalByteStore(ByteStore):
             return None
         with open(p, "rb") as f:
             return f.read()
+
+    def get_range(self, key: str, offset: int, length: int) -> bytes | None:
+        p = os.path.join(self.root, key)
+        if not os.path.isfile(p):
+            return None
+        with open(p, "rb") as f:
+            f.seek(offset, os.SEEK_END if offset < 0 else os.SEEK_SET)
+            return f.read(length)
 
     def put(self, key: str, data: bytes) -> None:
         p = os.path.join(self.root, key)
@@ -119,6 +141,19 @@ class FsspecByteStore(ByteStore):
                 return f.read()
         except FileNotFoundError:
             return None
+
+    def get_range(self, key: str, offset: int, length: int) -> bytes | None:  # pragma: no cover - optional dep
+        path = f"{self._root}/{key}"
+        try:
+            if offset < 0:
+                # suffix range needs the object size (fsspec cat_file
+                # has no suffix syntax; one HEAD-equivalent call)
+                offset = max(0, self._fs.size(path) + offset)
+            return self._fs.cat_file(path, start=offset, end=offset + length)
+        except FileNotFoundError:
+            return None
+        except Exception:
+            return super().get_range(key, offset, length)
 
     def list_prefix(self, prefix: str = "") -> list[str]:  # pragma: no cover
         path = f"{self._root}/{prefix}" if prefix else self._root
