@@ -164,6 +164,35 @@ def read_command(args) -> int:
     return 0
 
 
+def write_command(args) -> int:
+    """Inverse of ``read``: long-format Parquet → chunked zarr store
+    via the distributed sink (beyond the reference, whose CLI only
+    reads zarr into parquet — reference cli.py:99-169)."""
+    from cae_polars_tools_spark.sources.zarr_write import write_zarr
+
+    spark = _session()
+    df = spark.read.parquet(args.parquet_path)
+    chunks = (
+        tuple(int(c) for c in args.chunks.split(",")) if args.chunks else None
+    )
+    dims = tuple(args.dims.split(",")) if args.dims else None
+    summary = write_zarr(
+        df,
+        args.store_path,
+        value_col=args.value_col,
+        dims=dims,
+        chunks=chunks,
+        mode=args.mode,
+        storage_options=parse_storage_options(args.storage_options),
+    )
+    print(
+        f"Wrote {summary['cells']} cells into {summary['chunks_written']} "
+        f"chunks ({summary['bytes']} bytes) at {summary['path']}"
+    )
+    print(f"Shape: {summary['shape']}  Chunks: {summary['chunks']}")
+    return 0
+
+
 def benchmark_command(args) -> int:
     """Time DataFrame creation vs materialization (reference
     cli.py:172-254). Defaults to the first array when none given."""
@@ -249,6 +278,19 @@ def create_parser() -> argparse.ArgumentParser:
     sp.add_argument("--no-streaming", action="store_true")
     sp.add_argument("-o", "--output", default=None, help="parquet output path")
     sp.set_defaults(func=read_command)
+
+    sp = sub.add_parser("write", help="long-format Parquet → zarr store")
+    common(sp)
+    sp.add_argument("parquet_path", help="input parquet with dim + value columns")
+    sp.add_argument("--value-col", default="value")
+    sp.add_argument(
+        "--dims",
+        default=None,
+        help="comma-separated dim columns in axis order (default: all non-value columns)",
+    )
+    sp.add_argument("--chunks", default=None, help="comma-separated chunk shape")
+    sp.add_argument("--mode", choices=("overwrite", "error"), default="overwrite")
+    sp.set_defaults(func=write_command)
 
     sp = sub.add_parser("benchmark", help="time read vs materialization")
     common(sp)

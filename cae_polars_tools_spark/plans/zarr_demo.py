@@ -202,3 +202,27 @@ def zarr_multi_array_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scan_data(select_dims=...) form keeps unit coverage in
 # tests/test_zarr_source.py::test_slice_and_list_selection and
 # ::test_int_selection_drops_dimension.)
+
+
+@register(
+    "zarr_write_roundtrip",
+    oracle=None,  # write side effect + re-scan: rows-only check here;
+    # value-level equality is asserted in tests/test_zarr_write.py and
+    # the re-scanned store content is the oracle-checked demo function
+    tags=("zarr", "sink"),
+)
+def zarr_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed zarr SINK round-trip (beyond the reference, whose
+    CLI only reads zarr into parquet): scan the demo store long-format,
+    write it back through ``write_zarr`` (one chunk-keyed shuffle, each
+    task puts its own chunk objects — embarrassingly parallel at any
+    executor count), then re-scan the written store. Registered without
+    an oracle so the driver's 50-entry hash-checked window keeps every
+    oracle-backed entry; value-level equality is unit-tested."""
+    from cae_polars_tools_spark.sources.zarr_scan import scan_data
+    from cae_polars_tools_spark.sources.zarr_write import write_zarr
+
+    sink = os.path.join(os.path.dirname(_STORE), "zarr_sink_roundtrip.zarr")
+    df = scan_data(spark, demo_store(), "metric")
+    write_zarr(df, sink, chunks=(2, 2, 3))
+    return scan_data(spark, sink, "value")

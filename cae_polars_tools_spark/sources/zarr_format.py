@@ -79,6 +79,21 @@ class ByteStore:
         start = offset if offset >= 0 else max(0, len(data) + offset)
         return data[start:start + length]
 
+    def put(self, key: str, data: bytes) -> None:
+        """Write bytes at key (used by the zarr sink; chunk objects are
+        independent, so concurrent puts from many executors need no
+        coordination)."""
+        raise NotImplementedError(
+            f"{type(self).__name__} is read-only; writing requires a "
+            "store with put()"
+        )
+
+    def delete_prefix(self, prefix: str = "") -> None:
+        """Remove every object under prefix (sink overwrite mode)."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not support deletion"
+        )
+
     def list_prefix(self, prefix: str = "") -> list[str]:
         """Immediate child names under prefix (directories and files)."""
         raise NotImplementedError
@@ -105,6 +120,13 @@ class LocalByteStore(ByteStore):
         os.makedirs(os.path.dirname(p), exist_ok=True)
         with open(p, "wb") as f:
             f.write(data)
+
+    def delete_prefix(self, prefix: str = "") -> None:
+        import shutil
+
+        p = os.path.join(self.root, prefix) if prefix else self.root
+        if os.path.isdir(p):
+            shutil.rmtree(p)
 
     def list_prefix(self, prefix: str = "") -> list[str]:
         p = os.path.join(self.root, prefix) if prefix else self.root
@@ -154,6 +176,16 @@ class FsspecByteStore(ByteStore):
             return None
         except Exception:
             return super().get_range(key, offset, length)
+
+    def put(self, key: str, data: bytes) -> None:  # pragma: no cover - optional dep
+        self._fs.pipe_file(f"{self._root}/{key}", data)
+
+    def delete_prefix(self, prefix: str = "") -> None:  # pragma: no cover
+        path = f"{self._root}/{prefix}" if prefix else self._root
+        try:
+            self._fs.rm(path, recursive=True)
+        except FileNotFoundError:
+            pass
 
     def list_prefix(self, prefix: str = "") -> list[str]:  # pragma: no cover
         path = f"{self._root}/{prefix}" if prefix else self._root

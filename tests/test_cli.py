@@ -109,6 +109,30 @@ def test_read_command(store, tmp_path, spark, capsys):
     assert spark.read.parquet(out).count() == 8
 
 
+def test_write_command_roundtrips_read(store, tmp_path, spark, capsys):
+    """read → parquet → write → a new zarr store with identical values:
+    the CLI is bidirectional (the reference's is read-only)."""
+    from cae_polars_tools_spark.sources.zarr_scan import scan_data
+
+    pq = str(tmp_path / "a.parquet")
+    assert main(["read", store, "a", "-o", pq]) == 0
+    capsys.readouterr()
+    sink = str(tmp_path / "sink.zarr")
+    assert main(["write", sink, pq, "--chunks", "2,2"]) == 0
+    msg = capsys.readouterr().out
+    assert "chunks" in msg and sink in msg
+    orig = {
+        tuple(r[d] for d in r.asDict() if d != "value"): r["value"]
+        for r in scan_data(spark, store, "a").collect()
+    }
+    back_df = scan_data(spark, sink, "value")
+    back = {
+        tuple(r[d] for d in r.asDict() if d != "value"): r["value"]
+        for r in back_df.collect()
+    }
+    assert back == orig
+
+
 def test_benchmark_command(store, spark, capsys):
     assert main(["benchmark", store, "--array-name", "a"]) == 0
     out = capsys.readouterr().out
