@@ -223,6 +223,12 @@ def zarr_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cae_polars_tools_spark.sources.zarr_write import write_zarr
 
     sink = os.path.join(os.path.dirname(_STORE), "zarr_sink_roundtrip.zarr")
-    df = scan_data(spark, demo_store(), "metric")
-    write_zarr(df, sink, chunks=(2, 2, 3))
+    df = scan_data(spark, demo_store(), "metric").persist()
+    try:
+        # one materialization feeds both of the sink's actions (axis
+        # aggregation + chunk write) instead of re-planning the Python
+        # data source scan per action
+        write_zarr(df, sink, chunks=(2, 2, 3))
+    finally:
+        df.unpersist()
     return scan_data(spark, sink, "value")

@@ -66,14 +66,21 @@ def _np_dtype_of(df: DataFrame, col: str) -> np.dtype:
     return np.dtype(np_str)
 
 
-def _axis_values(df: DataFrame, dim: str) -> np.ndarray:
-    """Sorted distinct coordinate values of one dimension — a
-    column-pruned scan + partial-agg distinct; result size is the
-    axis length, not the row count."""
-    vals = (
-        df.select(dim).distinct().orderBy(dim).toPandas()[dim].to_numpy()
-    )
-    return np.ascontiguousarray(vals.astype(_np_dtype_of(df, dim), copy=False))
+def _collect_axes(df: DataFrame, dims: tuple[str, ...]) -> dict[str, np.ndarray]:
+    """Sorted distinct coordinate values of every dimension in ONE
+    aggregation job (``collect_set`` per dim, partial-combined
+    map-side): one pass over the input instead of one scan per
+    dimension; result sizes are the axis lengths, not the row count.
+    The driver-side sort is O(axis log axis)."""
+    row = df.agg(
+        *[F.collect_set(d).alias(d) for d in dims]
+    ).collect()[0]
+    return {
+        d: np.sort(
+            np.asarray(row[d]).astype(_np_dtype_of(df, d), copy=False)
+        )
+        for d in dims
+    }
 
 
 def write_zarr(
@@ -106,7 +113,7 @@ def write_zarr(
             raise FileExistsError(f"zarr store already exists at {path!r}")
         store.delete_prefix()
 
-    axes = {d: _axis_values(df, d) for d in dims}
+    axes = _collect_axes(df, dims)
     shape = tuple(len(axes[d]) for d in dims)
     if chunks is None:
         chunks = tuple(min(s, 64) or 1 for s in shape)
