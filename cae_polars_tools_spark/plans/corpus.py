@@ -1152,3 +1152,37 @@ def q35_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region")
     n = _t(spark, sf_dir, "nation")
     return r.crossJoin(n).select("r_name", "n_name", "n_nationkey")
+
+
+@register(
+    "salted_hot_key_agg",
+    oracle=None,  # algebraically equal to the plain groupBy, which IS
+    # oracle-checked via q06; registered without its own oracle so the
+    # driver's 50-entry hash window keeps every existing checked entry.
+    # Exact equality vs the unsalted agg is asserted in
+    # tests/test_operators.py::test_salted_agg_equals_plain_agg.
+    tags=("skew", "extension"),
+)
+def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over lineitem keyed by
+    l_returnflag — 3 group keys for ~600M rows/TB at full scale, the
+    exact shape where one reducer per key stalls a 1000-executor
+    cluster and map-side combine stops helping (every mapper still
+    emits one partial PER KEY into the same 3 reducers). The salt
+    fans each key over 16 buckets; the merge aggregation is 48 rows.
+    See operators/skew.py for the decomposability contract."""
+    from cae_polars_tools_spark.operators.skew import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    return salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "sum_qty": ("l_quantity", "sum"),
+            "cnt": ("l_orderkey", "count"),
+            "min_price": ("l_extendedprice", "min"),
+            "max_price": ("l_extendedprice", "max"),
+            "avg_disc": ("l_discount", "avg"),
+        },
+        salt_buckets=16,
+    ).orderBy("l_returnflag")

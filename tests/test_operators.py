@@ -378,3 +378,82 @@ def test_range_join_semantics(spark):
     # matched right timestamp surfaces for gap computation
     gaps = {(r["lid"], r["rid"]): r["matched_ts_us"] - r["ts_us"] for r in out.collect()}
     assert gaps[(1, 12)] == 100 and gaps[(1, 10)] == 0
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    """Two-phase salted aggregation is algebraically identical to the
+    plain groupBy — on data where one key holds ~90% of all rows (the
+    scenario the operator exists for)."""
+    from cae_polars_tools_spark.operators.skew import salted_agg
+
+    rows = [("hot", float(i % 7), i) for i in range(900)]
+    rows += [(f"k{i % 5}", float(i), i) for i in range(100)]
+    df = spark.createDataFrame(rows, "key string, x double, n long")
+    got = {
+        r["key"]: (r["total"], r["cnt"], r["lo"], r["hi"], r["mean"])
+        for r in salted_agg(
+            df,
+            ["key"],
+            {
+                "total": ("x", "sum"),
+                "cnt": ("n", "count"),
+                "lo": ("x", "min"),
+                "hi": ("x", "max"),
+                "mean": ("x", "avg"),
+            },
+            salt_buckets=8,
+        ).collect()
+    }
+    want = {
+        r["key"]: (r["total"], r["cnt"], r["lo"], r["hi"], r["mean"])
+        for r in df.groupBy("key")
+        .agg(
+            F.sum("x").alias("total"),
+            F.count("n").alias("cnt"),
+            F.min("x").alias("lo"),
+            F.max("x").alias("hi"),
+            F.avg("x").alias("mean"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][:4] == want[k][:4], k
+        assert abs(got[k][4] - want[k][4]) < 1e-9, k
+
+
+def test_salted_agg_spreads_hot_key(spark):
+    """Phase 1 really fans the hot key out: its rows land in multiple
+    (key, salt) groups, and the salt is deterministic per row (retry /
+    speculation safe), so two runs agree bucket-for-bucket."""
+    from cae_polars_tools_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [("hot", float(i)) for i in range(200)], "key string, x double"
+    )
+    from pyspark.sql import functions as SF
+
+    salted = df.withColumn(
+        "__salt", SF.pmod(SF.hash("x", SF.lit(42)), SF.lit(8))
+    )
+    buckets1 = sorted(
+        r["__salt"] for r in salted.select("__salt").distinct().collect()
+    )
+    buckets2 = sorted(
+        r["__salt"] for r in salted.select("__salt").distinct().collect()
+    )
+    assert len(buckets1) > 1  # hot key spread over several reducers
+    assert buckets1 == buckets2  # deterministic
+    # and the merged result is still exact
+    (row,) = salted_agg(
+        df, ["key"], {"total": ("x", "sum")}, salt_buckets=8
+    ).collect()
+    assert row["total"] == sum(float(i) for i in range(200))
+
+
+def test_salted_agg_rejects_non_algebraic(spark):
+    from cae_polars_tools_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame([("a", 1.0)], "key string, x double")
+    with pytest.raises(ValueError, match="non-algebraic"):
+        salted_agg(df, ["key"], {"p50": ("x", "median")})
