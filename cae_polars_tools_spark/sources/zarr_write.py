@@ -1,29 +1,38 @@
-"""Distributed zarr v2 sink: long-format DataFrame → chunked store.
+"""Distributed zarr sink: long-format DataFrame → chunked store
+(v2, v3, or v3 + sharding_indexed).
 
 The inverse of ``scan_data`` — and a capability the reference does not
 have at all (its CLI only reads zarr INTO parquet,
 ``/root/reference/src/cli.py:143-166``; writing back requires
 zarr-python on one node). Spark-first design:
 
-* **One shuffle, keyed by chunk.** Each row is mapped to its global
-  grid position with per-dimension broadcast joins (the axes — the
-  sorted distinct coordinate values — are driver-collected; they are
-  bounded by the array's side lengths and are needed for the store
-  metadata anyway, exactly like the reference's coordinate handling).
-  The only wide exchange is the ``groupBy(chunk_id)`` that co-locates
-  each chunk's cells.
-* **Embarrassingly parallel chunk writes.** A zarr chunk is one
+* **One shuffle, keyed by storage object.** Each row is mapped to its
+  global grid position with per-dimension broadcast joins (the axes —
+  the sorted distinct coordinate values — are gathered by ONE
+  ``collect_set`` aggregation; they are bounded by the array's side
+  lengths and are needed for the store metadata anyway, exactly like
+  the reference's coordinate handling). The only wide exchange is the
+  ``groupBy(object_id)`` that co-locates each chunk's — or each
+  SHARD's — cells.
+* **Embarrassingly parallel object writes.** A zarr chunk/shard is one
   immutable object with a deterministic key, so every ``applyInPandas``
-  task writes its own chunks straight to the store — no commit
+  task writes its own objects straight to the store — no commit
   protocol, no renames, and task retries/speculation are naturally
-  idempotent (same bytes, same key). This is what makes the sink hold
-  at 100 TB / 1000 executors: aggregate write bandwidth scales with
-  the executor count, and the driver handles only axes + metadata.
-* **Metadata from the driver.** ``.zgroup`` / ``.zarray`` / ``.zattrs``
-  (xarray's ``_ARRAY_DIMENSIONS`` convention) plus coordinate arrays
-  are written up front, and ``.zmetadata`` is consolidated from the
-  metadata already in hand — zero listing round-trips, so it works on
-  any ByteStore (local, fsspec/S3, memory://).
+  idempotent (same bytes, same key). Aggregate write bandwidth scales
+  with the executor count; the driver handles only axes + metadata.
+* **Sharding for object-count control.** At 100 TB a chunk-per-object
+  layout is billions of small objects; ``shard_chunks`` switches the
+  v3 output to ``sharding_indexed`` — each task assembles one shard
+  (many gzip'd inner chunks + the crc32c'd offset index) and puts ONE
+  object, cutting object count by the inner-chunks-per-shard factor
+  while this engine's sharded reader still prunes and range-reads at
+  inner-chunk granularity.
+* **Metadata from the driver.** v2: ``.zgroup``/``.zarray``/``.zattrs``
+  (xarray's ``_ARRAY_DIMENSIONS``) + consolidated ``.zmetadata``. v3:
+  per-node ``zarr.json`` + zarr-python-style root-level
+  ``consolidated_metadata`` — both built from the metadata already in
+  hand, zero listing round-trips, so any ByteStore works (local,
+  fsspec/S3, memory://).
 
 Missing grid cells get ``fill_value``; duplicate cells raise (a silent
 last-writer-wins would hide upstream join bugs).
@@ -31,7 +40,10 @@ last-writer-wins would hide upstream join bugs).
 
 from __future__ import annotations
 
+import gzip as _gzip
+import itertools
 import json
+import zlib as _zlib
 from typing import Any
 
 import numpy as np
@@ -83,6 +95,42 @@ def _collect_axes(df: DataFrame, dims: tuple[str, ...]) -> dict[str, np.ndarray]
     }
 
 
+def _strides(grid: tuple[int, ...]) -> list[int]:
+    s = [1] * len(grid)
+    for i in range(len(grid) - 2, -1, -1):
+        s[i] = s[i + 1] * grid[i + 1]
+    return s
+
+
+def _v3_codecs(compressor: dict | None) -> list[dict]:
+    """v3 inner codec pipeline equivalent to the v2 ``compressor``."""
+    codecs: list[dict] = [
+        {"name": "bytes", "configuration": {"endian": "little"}}
+    ]
+    if compressor is not None:
+        cid = compressor.get("id")
+        if cid not in ("gzip", "zlib"):
+            raise ValueError(
+                f"v3 sink supports gzip/zlib compression, not {cid!r}"
+            )
+        codecs.append(
+            {
+                "name": cid,
+                "configuration": {"level": int(compressor.get("level", 5))},
+            }
+        )
+    return codecs
+
+
+def _v3_compress(payload: bytes, compressor: dict | None) -> bytes:
+    if compressor is None:
+        return payload
+    level = int(compressor.get("level", 5))
+    if compressor.get("id") == "gzip":
+        return _gzip.compress(payload, compresslevel=level)
+    return _zlib.compress(payload, level)
+
+
 def write_zarr(
     df: DataFrame,
     path: str,
@@ -93,12 +141,17 @@ def write_zarr(
     fill_value: Any = 0,
     mode: str = "overwrite",
     storage_options: dict | None = None,
+    zarr_format: int = 2,
+    shard_chunks: tuple[int, ...] | None = None,
 ) -> dict:
     """Write a long-format DataFrame (dim columns + one value column,
-    the shape ``scan_data`` produces) as a dense zarr v2 array with
-    1-D coordinate arrays, consolidated metadata included.
+    the shape ``scan_data`` produces) as a dense zarr array with 1-D
+    coordinate arrays and consolidated metadata.
 
-    Returns a summary dict: shape, chunks, chunks_written, bytes.
+    ``zarr_format=3`` emits a v3 store; ``shard_chunks`` (implies v3)
+    makes each stored object one ``sharding_indexed`` shard of many
+    ``chunks``-shaped inner chunks. Returns a summary dict: shape,
+    chunks, chunks_written (storage objects), bytes, cells.
     """
     if dims is None:
         dims = tuple(c for c in df.columns if c != value_col)
@@ -106,6 +159,10 @@ def write_zarr(
         raise ValueError("write_zarr needs at least one dimension column")
     if mode not in ("overwrite", "error"):
         raise ValueError(f"unknown mode {mode!r} (use 'overwrite'|'error')")
+    if shard_chunks is not None:
+        zarr_format = 3
+    if zarr_format not in (2, 3):
+        raise ValueError(f"unsupported zarr_format {zarr_format}")
 
     store = ByteStore.for_path(path, storage_options)
     if store.get(".zgroup") is not None or store.get("zarr.json") is not None:
@@ -120,10 +177,158 @@ def write_zarr(
     chunks = tuple(int(c) for c in chunks)
     if len(chunks) != len(dims) or any(c < 1 for c in chunks):
         raise ValueError(f"bad chunk shape {chunks} for dims {dims}")
+    if shard_chunks is not None:
+        shard_chunks = tuple(int(s) for s in shard_chunks)
+        if len(shard_chunks) != len(dims) or any(
+            s % c for s, c in zip(shard_chunks, chunks)
+        ):
+            raise ValueError(
+                f"shard_chunks {shard_chunks} must be a per-dim multiple "
+                f"of chunks {chunks}"
+            )
     dtype = _np_dtype_of(df, value_col)
 
-    # ---- metadata + coordinate arrays (driver; small by construction)
+    # one storage object per entry of this grid: chunks, or shards
+    storage_chunks = shard_chunks or chunks
+
+    if zarr_format == 2:
+        _write_v2_metadata(
+            store, axes, dims, shape, chunks, dtype, compressor,
+            fill_value, value_col,
+        )
+    else:
+        _write_v3_metadata(
+            store, axes, dims, shape, chunks, dtype, compressor,
+            fill_value, value_col, shard_chunks,
+        )
+
+    # ---- map rows to grid positions: per-dim broadcast position joins
     spark = df.sparkSession
+    pos_cols = [f"__pos_{i}" for i in range(len(dims))]
+    mapped = df.select(*dims, F.col(value_col).alias("__value"))
+    for i, d in enumerate(dims):
+        ax = axes[d]
+        pos_df = spark.createDataFrame(
+            list(zip((v.item() for v in ax), range(len(ax)))),
+            schema=f"`{d}` {dict(df.dtypes)[d]}, {pos_cols[i]} bigint",
+        )
+        mapped = mapped.join(F.broadcast(pos_df), on=d, how="inner")
+
+    # linear object id (row-major over the storage grid) — the shuffle key
+    grid = tuple(-(-s // c) for s, c in zip(shape, storage_chunks))
+    strides = _strides(grid)
+    object_id = sum(
+        F.floor(F.col(pc) / storage_chunks[i]).cast("bigint") * strides[i]
+        for i, pc in enumerate(pos_cols)
+    )
+    mapped = mapped.select(object_id.alias("__chunk"), *pos_cols, "__value")
+
+    n_dims, chunks_b, grid_b, dtype_str = len(dims), chunks, grid, dtype.str
+    fill_b, comp_b, path_b, so_b = fill_value, compressor, path, storage_options
+    vcol_b, fmt_b, shard_b = value_col, zarr_format, shard_chunks
+    storage_b = storage_chunks
+
+    def encode_inner(block: np.ndarray) -> bytes:
+        raw = np.ascontiguousarray(block).tobytes()
+        if fmt_b == 2:
+            return _encode_bytes(raw, comp_b, typesize=block.dtype.itemsize)
+        return _v3_compress(raw, comp_b)
+
+    def write_one_object(pdf) -> "Any":
+        """One task = one storage object (chunk, or whole shard):
+        assemble it from this object's cells and put it at its
+        deterministic key. Re-runs rewrite identical bytes."""
+        import pandas as pd
+
+        w_store = ByteStore.for_path(path_b, so_b)
+        dt = np.dtype(dtype_str)
+        rem = int(pdf["__chunk"].iloc[0])
+        idx = []
+        for s_ in _strides(grid_b):
+            idx.append(rem // s_)
+            rem %= s_
+        within = np.stack(
+            [
+                pdf[f"__pos_{i}"].to_numpy() - idx[i] * storage_b[i]
+                for i in range(n_dims)
+            ]
+        )
+        vals = pdf["__value"].to_numpy().astype(dt, copy=False)
+        lin = np.ravel_multi_index(tuple(within), storage_b)
+        if len(np.unique(lin)) != len(lin):
+            raise ValueError(
+                f"duplicate cells in object {tuple(idx)} of {vcol_b!r}: "
+                "the (dims) key is not unique"
+            )
+        if fmt_b == 2:
+            key = f"{vcol_b}/{'.'.join(str(int(i)) for i in idx) or '0'}"
+        else:
+            key = f"{vcol_b}/{'/'.join(('c', *(str(int(i)) for i in idx)))}"
+
+        if shard_b is None:
+            block = np.full(chunks_b, fill_b, dtype=dt)
+            block.reshape(-1)[lin] = vals
+            payload = encode_inner(block)
+        else:
+            # assemble one shard: encode each present inner chunk,
+            # build the (offset, nbytes) index, crc32c it, append
+            from cae_polars_tools_spark.sources.zarr_v3 import (
+                _SHARD_MISSING,
+                _crc32c_value,
+            )
+
+            cps = tuple(s // c for s, c in zip(shard_b, chunks_b))
+            inner_of = tuple(
+                within[i] // chunks_b[i] for i in range(n_dims)
+            )
+            inner_lin = np.ravel_multi_index(inner_of, cps)
+            order = np.argsort(inner_lin, kind="stable")
+            index = np.full((*cps, 2), _SHARD_MISSING, dtype="<u8")
+            body = bytearray()
+            for inner_id in np.unique(inner_lin):
+                sel = order[
+                    np.searchsorted(inner_lin[order], inner_id): np.searchsorted(
+                        inner_lin[order], inner_id, side="right"
+                    )
+                ]
+                block = np.full(chunks_b, fill_b, dtype=dt)
+                w_in = tuple(
+                    within[i][sel] % chunks_b[i] for i in range(n_dims)
+                )
+                block[w_in] = vals[sel]
+                payload = encode_inner(block)
+                index.reshape(-1, 2)[inner_id] = (len(body), len(payload))
+                body.extend(payload)
+            idx_bytes = index.tobytes()
+            idx_bytes += _crc32c_value(idx_bytes).to_bytes(4, "little")
+            payload = bytes(body) + idx_bytes
+
+        w_store.put(key, payload)
+        return pd.DataFrame(
+            {"chunk_key": [key], "nbytes": [len(payload)], "cells": [len(pdf)]}
+        )
+
+    stats = (
+        mapped.groupBy("__chunk")
+        .applyInPandas(
+            lambda _key, pdf: write_one_object(pdf),
+            schema="chunk_key string, nbytes long, cells long",
+        )
+        .collect()  # one row per written object — bounded by the grid
+    )
+    return {
+        "path": path,
+        "shape": shape,
+        "chunks": chunks,
+        "chunks_written": len(stats),
+        "bytes": int(sum(r["nbytes"] for r in stats)),
+        "cells": int(sum(r["cells"] for r in stats)),
+    }
+
+
+def _write_v2_metadata(
+    store, axes, dims, shape, chunks, dtype, compressor, fill_value, value_col
+) -> None:
     zmeta: dict[str, dict] = {}
 
     def put_meta(key: str, meta: dict) -> None:
@@ -171,89 +376,85 @@ def write_zarr(
         json.dumps({"zarr_format": 2, "metadata": zmeta}).encode(),
     )
 
-    # ---- map rows to grid positions: per-dim broadcast position joins
-    pos_cols = [f"__pos_{i}" for i in range(len(dims))]
-    mapped = df.select(*dims, F.col(value_col).alias("__value"))
-    for i, d in enumerate(dims):
+
+def _write_v3_metadata(
+    store, axes, dims, shape, chunks, dtype, compressor, fill_value,
+    value_col, shard_chunks,
+) -> None:
+    """Per-node zarr.json + zarr-python-style root consolidated
+    metadata (one GET to open — this engine's v3 reader uses it)."""
+
+    def array_meta(a_shape, grid_shape, a_dtype, a_fill, dim_names, sharded):
+        inner = _v3_codecs(compressor)
+        if sharded:
+            codecs = [
+                {
+                    "name": "sharding_indexed",
+                    "configuration": {
+                        "chunk_shape": list(chunks),
+                        "codecs": inner,
+                        "index_codecs": [
+                            {
+                                "name": "bytes",
+                                "configuration": {"endian": "little"},
+                            },
+                            {"name": "crc32c"},
+                        ],
+                        "index_location": "end",
+                    },
+                }
+            ]
+        else:
+            codecs = inner
+        return {
+            "zarr_format": 3,
+            "node_type": "array",
+            "shape": list(a_shape),
+            "data_type": a_dtype.name,
+            "chunk_grid": {
+                "name": "regular",
+                "configuration": {"chunk_shape": list(grid_shape)},
+            },
+            "chunk_key_encoding": {
+                "name": "default",
+                "configuration": {"separator": "/"},
+            },
+            "fill_value": a_fill,
+            "codecs": codecs,
+            "attributes": {},
+            "dimension_names": list(dim_names),
+        }
+
+    consolidated: dict[str, dict] = {}
+    for d in dims:
         ax = axes[d]
-        pos_df = spark.createDataFrame(
-            list(zip((v.item() for v in ax), range(len(ax)))),
-            schema=f"`{d}` {dict(df.dtypes)[d]}, {pos_cols[i]} bigint",
+        meta = array_meta((len(ax),), (max(len(ax), 1),), ax.dtype, 0, (d,), False)
+        consolidated[d] = meta
+        store.put(f"{d}/zarr.json", json.dumps(meta).encode())
+        store.put(
+            f"{d}/c/0", _v3_compress(np.ascontiguousarray(ax).tobytes(), compressor)
         )
-        mapped = mapped.join(F.broadcast(pos_df), on=d, how="inner")
-
-    # linear chunk id (row-major over the chunk grid) — the shuffle key
-    grid = tuple(-(-s // c) for s, c in zip(shape, chunks))
-    strides = _strides(grid)
-    chunk_id = sum(
-        F.floor(F.col(pc) / chunks[i]).cast("bigint") * strides[i]
-        for i, pc in enumerate(pos_cols)
+    meta = array_meta(
+        shape, shard_chunks or chunks, dtype, fill_value, dims,
+        shard_chunks is not None,
     )
-    mapped = mapped.select(
-        chunk_id.alias("__chunk"), *pos_cols, "__value"
+    consolidated[value_col] = meta
+    store.put(f"{value_col}/zarr.json", json.dumps(meta).encode())
+    store.put(
+        "zarr.json",
+        json.dumps(
+            {
+                "zarr_format": 3,
+                "node_type": "group",
+                "attributes": {},
+                "consolidated_metadata": {
+                    "kind": "inline",
+                    "must_understand": False,
+                    "metadata": consolidated,
+                },
+            }
+        ).encode(),
     )
-
-    n_dims, chunks_b, grid_b, dtype_str = len(dims), chunks, grid, dtype.str
-    fill_b, comp_b, path_b, so_b = fill_value, compressor, path, storage_options
-    vcol_b = value_col
-
-    def write_one_chunk(pdf) -> "Any":
-        """One task = one chunk: assemble the dense block from this
-        chunk's cells and put it at its deterministic key. Re-runs
-        (retry/speculation) rewrite identical bytes — idempotent."""
-        import pandas as pd
-
-        w_store = ByteStore.for_path(path_b, so_b)
-        dt = np.dtype(dtype_str)
-        rem = int(pdf["__chunk"].iloc[0])
-        idx = []
-        for s_ in _strides(grid_b):
-            idx.append(rem // s_)
-            rem %= s_
-        within = [
-            pdf[f"__pos_{i}"].to_numpy() - idx[i] * chunks_b[i]
-            for i in range(n_dims)
-        ]
-        lin = np.ravel_multi_index(within, chunks_b)
-        if len(np.unique(lin)) != len(lin):
-            raise ValueError(
-                f"duplicate cells in chunk {tuple(idx)} of "
-                f"{vcol_b!r}: the (dims) key is not unique"
-            )
-        block = np.full(chunks_b, fill_b, dtype=dt)
-        block.reshape(-1)[lin] = pdf["__value"].to_numpy().astype(dt, copy=False)
-        payload = _encode_bytes(
-            np.ascontiguousarray(block).tobytes(), comp_b, typesize=dt.itemsize
-        )
-        key = f"{vcol_b}/{'.'.join(str(int(i)) for i in idx) or '0'}"
-        w_store.put(key, payload)
-        return pd.DataFrame(
-            {"chunk_key": [key], "nbytes": [len(payload)], "cells": [len(pdf)]}
-        )
-
-    stats = (
-        mapped.groupBy("__chunk")
-        .applyInPandas(
-            lambda _key, pdf: write_one_chunk(pdf),
-            schema="chunk_key string, nbytes long, cells long",
-        )
-        .collect()  # one row per written chunk — bounded by the grid
-    )
-    return {
-        "path": path,
-        "shape": shape,
-        "chunks": chunks,
-        "chunks_written": len(stats),
-        "bytes": int(sum(r["nbytes"] for r in stats)),
-        "cells": int(sum(r["cells"] for r in stats)),
-    }
-
-
-def _strides(grid: tuple[int, ...]) -> list[int]:
-    s = [1] * len(grid)
-    for i in range(len(grid) - 2, -1, -1):
-        s[i] = s[i + 1] * grid[i + 1]
-    return s
 
 
 __all__ = ["write_zarr"]

@@ -124,3 +124,92 @@ def test_write_zarr_to_memory_store(spark):
     arr = open_group(root).get_array("value")
     assert arr.shape == (3, 4)
     fsspec.filesystem("memory").rm("/sinktest.zarr", recursive=True)
+
+
+def test_write_zarr_v3_roundtrip(spark, tmp_path):
+    """zarr_format=3: per-node zarr.json + root consolidated metadata,
+    readable by the engine's own v3 reader through the same scan."""
+    import json
+
+    from cae_polars_tools_spark.sources.zarr_format import open_group
+    from cae_polars_tools_spark.sources.zarr_scan import scan_data
+    from cae_polars_tools_spark.sources.zarr_v3 import ZarrV3Group
+    from cae_polars_tools_spark.sources.zarr_write import write_zarr
+
+    root = str(tmp_path / "v3sink.zarr")
+    df = _demo_df(spark)
+    write_zarr(df, root, chunks=(2, 3), zarr_format=3)
+    g = open_group(root)
+    assert isinstance(g, ZarrV3Group)
+    assert g.consolidated is not None  # one-GET open
+    meta = json.load(open(f"{root}/value/zarr.json"))
+    assert meta["dimension_names"] == ["time", "lat"]
+    back = {
+        (r["time"], r["lat"]): r["value"]
+        for r in scan_data(spark, root, "value").collect()
+    }
+    want = {(r["time"], r["lat"]): r["value"] for r in df.collect()}
+    assert back == want
+
+
+def test_write_zarr_sharded_roundtrip(spark, tmp_path):
+    """shard_chunks: ONE stored object per shard (object-count control
+    at scale), many inner chunks + crc32c'd index inside — and the
+    sharded reader still sees inner-chunk granularity."""
+    import os
+
+    from cae_polars_tools_spark.sources.zarr_format import open_group
+    from cae_polars_tools_spark.sources.zarr_scan import scan_data
+    from cae_polars_tools_spark.sources.zarr_write import write_zarr
+
+    rows = [
+        (int(t), int(x), float(t * 100 + x))
+        for t in range(8)
+        for x in range(6)
+    ]
+    df = spark.createDataFrame(rows, schema="t int, x int, value double")
+    root = str(tmp_path / "sharded_sink.zarr")
+    summary = write_zarr(
+        df, root, dims=("t", "x"), chunks=(2, 3), shard_chunks=(4, 6)
+    )
+    # 8×6 grid / (4,6) shards = 2 objects, each holding 2×2 inner chunks
+    assert summary["chunks_written"] == 2
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(f"{root}/value/c")
+        for f in fs
+    ]
+    assert len(files) == 2
+    arr = open_group(root).get_array("value")
+    assert arr.chunks == (2, 3)  # inner granularity surfaced
+    assert arr.shard_chunks == (4, 6)
+    back = {
+        (r["t"], r["x"]): r["value"]
+        for r in scan_data(spark, root, "value").collect()
+    }
+    want = {(r["t"], r["x"]): r["value"] for r in df.collect()}
+    assert back == want
+
+
+def test_write_zarr_sharded_fill_and_missing_inner(spark, tmp_path):
+    """Sparse input to a sharded sink: absent inner chunks are elided
+    (index sentinel) and read back as fill."""
+    import numpy as np
+
+    from cae_polars_tools_spark.sources.zarr_format import open_group
+    from cae_polars_tools_spark.sources.zarr_write import write_zarr
+
+    # only cells in the first inner chunk of the single (4,4) shard
+    df = spark.createDataFrame(
+        [(0, 0, 1.0), (1, 1, 2.0)], schema="i int, j int, value double"
+    )
+    root = str(tmp_path / "sparse_shard.zarr")
+    # grid is 2×2 (distinct coords {0,1}²): one shard, one inner chunk
+    write_zarr(
+        df, root, dims=("i", "j"), chunks=(2, 2), shard_chunks=(2, 2),
+        fill_value=-9.0,
+    )
+    arr = open_group(root).get_array("value")
+    np.testing.assert_array_equal(
+        arr[(slice(None), slice(None))], [[1.0, -9.0], [-9.0, 2.0]]
+    )
