@@ -175,6 +175,11 @@ def write_command(args) -> int:
     chunks = (
         tuple(int(c) for c in args.chunks.split(",")) if args.chunks else None
     )
+    shard_chunks = (
+        tuple(int(c) for c in args.shard_chunks.split(","))
+        if args.shard_chunks
+        else None
+    )
     dims = tuple(args.dims.split(",")) if args.dims else None
     summary = write_zarr(
         df,
@@ -184,6 +189,8 @@ def write_command(args) -> int:
         chunks=chunks,
         mode=args.mode,
         storage_options=parse_storage_options(args.storage_options),
+        zarr_format=args.zarr_format,
+        shard_chunks=shard_chunks,
     )
     print(
         f"Wrote {summary['cells']} cells into {summary['chunks_written']} "
@@ -290,6 +297,15 @@ def create_parser() -> argparse.ArgumentParser:
     )
     sp.add_argument("--chunks", default=None, help="comma-separated chunk shape")
     sp.add_argument("--mode", choices=("overwrite", "error"), default="overwrite")
+    sp.add_argument(
+        "--zarr-format", type=int, choices=(2, 3), default=2
+    )
+    sp.add_argument(
+        "--shard-chunks",
+        default=None,
+        help="comma-separated shard shape (implies --zarr-format 3; one "
+        "sharding_indexed object per shard)",
+    )
     sp.set_defaults(func=write_command)
 
     sp = sub.add_parser("benchmark", help="time read vs materialization")

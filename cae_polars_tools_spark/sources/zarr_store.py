@@ -96,6 +96,13 @@ class ZarrStore:
                 k: v for k, v in arr.attrs.items() if k != "_ARRAY_DIMENSIONS"
             },
             "size_bytes": int(arr.size) * arr.dtype.itemsize,
+            # v3 sharded arrays: `chunks` above is the INNER chunk shape
+            # (read/pruning granularity); this is the stored-object shape
+            **(
+                {"shard_chunks": tuple(arr.shard_chunks)}
+                if getattr(arr, "shard_chunks", None) is not None
+                else {}
+            ),
         }
 
 

@@ -144,3 +144,24 @@ def test_benchmark_command(store, spark, capsys):
 def test_error_exit_code(capsys):
     assert main(["info", "/no/such/store.zarr"]) == 1
     assert "Error:" in capsys.readouterr().err
+
+
+def test_write_command_sharded_v3(store, tmp_path, spark, capsys):
+    """CLI write --shard-chunks emits a v3 sharded store that info
+    reports with both inner-chunk and shard geometry."""
+    import json as _json
+
+    pq = str(tmp_path / "a3.parquet")
+    assert main(["read", store, "a", "-o", pq]) == 0
+    sink = str(tmp_path / "sink3.zarr")
+    assert (
+        main(["write", sink, pq, "--chunks", "2,2", "--shard-chunks", "4,4"])
+        == 0
+    )
+    capsys.readouterr()
+    out = str(tmp_path / "info.json")
+    assert main(["info", sink, "-o", out]) == 0
+    info = _json.load(open(out))
+    arr = info["arrays"]["value"]
+    assert tuple(arr["chunks"]) == (2, 2)
+    assert tuple(arr["shard_chunks"]) == (4, 4)
