@@ -100,6 +100,28 @@ def run_windowed_stream(
     return spark.table(query_name)
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication with BOUNDED state — the streaming
+    twin of ``dedup_exact``: an at-least-once ingest (Kafka replays,
+    file redeliveries) becomes exactly-once downstream by dropping
+    re-deliveries of the same key.
+
+    ``dropDuplicatesWithinWatermark`` keeps one state entry per key and
+    EVICTS entries older than the event-time watermark, so state is
+    bounded by (keys per watermark window), not by stream history —
+    the property that lets this run forever at ingest scale. Plain
+    ``dropDuplicates`` on a stream would grow state without bound.
+    A duplicate arriving later than the watermark delay is no longer
+    deduplicated — that is the documented, bounded-state trade-off."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator: gap sessionization (applyInPandasWithState)
 # ---------------------------------------------------------------------------

@@ -88,3 +88,41 @@ def test_windowed_counts_batch_streaming_same_code(spark, sf_small):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b, check_like=True)
+
+
+def test_streaming_dedup_drops_redeliveries(spark, tmp_path):
+    """dedup_stream: a doubled input stream (every event delivered
+    twice, as an at-least-once source would) dedups back to exactly
+    the distinct key set, using watermark-bounded state."""
+    from cae_polars_tools_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        dedup_stream,
+    )
+
+    src = str(tmp_path / "src")
+    rows = [
+        (i % 4, 1_700_000_000_000_000_000 + i * 1_000_000_000, 1, "click", 1.0, "{}")
+        for i in range(8)  # event_ids 0..3, each delivered twice
+    ]
+    spark.createDataFrame(rows, EVENTS_SCHEMA).write.mode("overwrite").parquet(src)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    q = (
+        dedup_stream(stream, keys=("event_id",))
+        .writeStream.format("memory")
+        .queryName("t_dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        r["event_id"] for r in spark.table("t_dedup_stream").collect()
+    )
+    assert got == [0, 1, 2, 3]
