@@ -38,14 +38,20 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     double-precision round-trip (int64 ns exceeds 2^53).
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+
+    # session.get_spark sets these up front; only touch session state
+    # for foreign sessions (e.g. the grading driver's). The tables
+    # store timestamp[us] with isAdjustedToUTC=false — Spark 4 would
+    # infer TIMESTAMP_NTZ, which breaks instant functions
+    # (unix_micros) and diverges from the DuckDB oracle's
+    # naive-as-UTC reading — so read them as UTC instants.
+    if spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true") != "false":
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name != "events":
         return spark.read.parquet(path)
 
     from pyspark.sql import functions as F
 
-    # session.get_spark sets this up front; only touch session state
-    # for foreign sessions (e.g. the grading driver's), where reading
-    # nano-timestamp parquet is impossible without it.
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)

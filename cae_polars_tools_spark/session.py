@@ -67,6 +67,12 @@ def get_spark(
         # which the vectorized parquet reader rejects; read them as
         # int64 (io.read_table rebuilds a microsecond timestamp).
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # The driver's tables store timestamp[us] with
+        # isAdjustedToUTC=false; Spark 4 would infer TIMESTAMP_NTZ,
+        # which breaks instant functions (unix_micros) and diverges
+        # from the DuckDB oracle's naive-as-UTC reading. Read parquet
+        # timestamps as UTC instants instead.
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
         # Spark 4.1's checkpoint file-checksum writer deadlocks the
         # state-store commit of applyInPandasWithState on local
         # filesystems; corruption detection matters on object stores,

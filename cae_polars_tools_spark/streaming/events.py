@@ -33,7 +33,7 @@ SESSION_GAP_MIN = 30
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # nanos-as-long (see io.read_table)
+        StructField("ts", TimestampType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -65,16 +65,15 @@ def windowed_counts(events: DataFrame, watermark: str | None = None) -> DataFram
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table. The parquet stores
-    nanosecond timestamps, which Spark reads as int64 under the
-    ``nanosAsLong`` conf — reconstructed to a microsecond timestamp
-    exactly like the batch reader (io.read_table)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
+    timestamp[us] with isAdjustedToUTC=false; the explicit
+    ``TimestampType`` schema reads the stored micros as UTC instants,
+    matching the batch reader (io.read_table with
+    ``inferTimestampNTZ`` disabled)."""
+    return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def run_windowed_stream(

@@ -99,19 +99,17 @@ def test_streaming_dedup_drops_redeliveries(spark, tmp_path):
         dedup_stream,
     )
 
+    import datetime
+
     src = str(tmp_path / "src")
+    base = datetime.datetime(2023, 11, 14, 22, 13, 20, tzinfo=datetime.timezone.utc)
     rows = [
-        (i % 4, 1_700_000_000_000_000_000 + i * 1_000_000_000, 1, "click", 1.0, "{}")
+        (i % 4, base + datetime.timedelta(seconds=i), 1, "click", 1.0, "{}")
         for i in range(8)  # event_ids 0..3, each delivered twice
     ]
     spark.createDataFrame(rows, EVENTS_SCHEMA).write.mode("overwrite").parquet(src)
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(src)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
     q = (
         dedup_stream(stream, keys=("event_id",))
         .writeStream.format("memory")
