@@ -26,6 +26,7 @@ never touches the row path.
 
 from __future__ import annotations
 
+import weakref
 from collections.abc import Callable
 
 import numpy as np
@@ -244,6 +245,37 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _unpersist_quietly(jdfs: list) -> None:
+    for j in jdfs:
+        try:
+            j.unpersist(False)
+        except Exception:
+            pass  # session/JVM already gone — nothing to release
+
+
+def _release_on_gc(
+    out: DataFrame, *cached: DataFrame, include_self: bool = False
+) -> DataFrame:
+    """Cleanup hook for plans built over persisted intermediates:
+    unpersist the cached frames (shingle index / signature bands /
+    materialized cluster labels) as soon as the returned plan handle is
+    garbage-collected. CPython's refcounting makes this deterministic
+    for the common call shape — build, materialize, drop the handle —
+    so a long-lived session calling the generators repeatedly does not
+    accumulate cached frames until eviction, while each cache stays
+    live for as long as the caller can still re-execute the plan.
+
+    The finalizer captures only the JVM-side ``Dataset`` handles, never
+    the Python ``DataFrame`` objects: a finalizer holding its own
+    referent (``include_self=True``, used when the RETURNED frame is
+    the persisted one) would otherwise keep it alive forever."""
+    handles = [c._jdf for c in cached]
+    if include_self:
+        handles.append(out._jdf)
+    weakref.finalize(out, _unpersist_quietly, handles)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard similarity join
 # ---------------------------------------------------------------------------
@@ -307,11 +339,12 @@ def jaccard_pairs(
     jac = inter.cast("double") / (
         F.size("s_a") + F.size("s_b") - inter
     )
-    return (
+    return _release_on_gc(
         candidates.join(sa, "doc_id_a")
         .join(sb, "doc_id_b")
         .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col("jaccard") >= threshold),
+        sh,
     )
 
 
@@ -443,7 +476,7 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return verified
+    return _release_on_gc(verified, hashed, bands)
 
 
 @register(
@@ -562,7 +595,7 @@ def simhash_pairs(
     ham = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     )
-    return (
+    return _release_on_gc(
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -575,7 +608,8 @@ def simhash_pairs(
             ham.cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+        .distinct(),
+        bands,
     )
 
 
@@ -738,7 +772,7 @@ def connected_components(
         )
         out.count()  # materialize while the pair cache is still live
         pairs_p.unpersist()
-        return out
+        return _release_on_gc(out, include_self=True)
 
     fwd = pairs_p
     rev = pairs_p.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -786,7 +820,9 @@ def connected_components(
         )
     pairs_p.unpersist()
     edges.unpersist()
-    return labels
+    # `labels` is a projection of the still-persisted final round frame
+    # (`prev`): release that cache with the handle.
+    return _release_on_gc(labels, prev)
 
 
 @register(
@@ -874,38 +910,65 @@ from cae_polars_tools_spark.operators.vectors import (  # noqa: E402
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs above cosine 0.40, blocked by `label`.
 
-    Blocking keeps the self-join block-diagonal: with B blocks the pair
-    space shrinks by ~B× and each block's join is an ordinary
-    shuffle-hash join on the block key — the standard production shape
-    (block key = coarse cluster / LSH bucket / shard)."""
+    Blocking keeps the pair space block-diagonal: with B blocks it
+    shrinks by ~B× and each block is scored independently — the
+    standard production shape (block key = coarse cluster / LSH
+    bucket / shard).
+
+    Arrays-once kernel: ONE shuffle (`groupBy(label)`), then each
+    block's full cosine matrix in a single numpy pass inside
+    ``applyInPandas`` — every row's embedding crosses Arrow once,
+    not once per pair (the per-pair HOF this replaced paid
+    interpreted per-element evaluation on every joined row; the
+    self-join also shuffled both sides). The dim-sequential
+    accumulation mirrors ``dot_expr``/``score_against_queries``, so
+    every double is bit-identical to the expression form and the
+    DuckDB oracle. Rows are scored in bounded tiles so peak memory is
+    tile×block, not block², even if a label block is huge."""
+    threshold = COSINE_DEDUP_THRESHOLD
+    tile_rows = 2048
+
+    def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy().astype(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        E = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
+        m, d = E.shape
+        n2 = np.zeros(m, dtype=np.float64)
+        for j in range(d):
+            n2 += E[:, j] * E[:, j]
+        norm = np.sqrt(n2)
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_c: list[np.ndarray] = []
+        for lo in range(0, m, tile_rows):
+            hi = min(lo + tile_rows, m)
+            acc = np.zeros((hi - lo, m), dtype=np.float64)
+            for j in range(d):
+                acc += E[lo:hi, j][:, None] * E[:, j][None, :]
+            cos = acc / (norm[lo:hi][:, None] * norm[None, :])
+            rows, cols = np.nonzero(cos >= threshold)
+            upper = rows + lo < cols  # vec_id_a < vec_id_b (ids sorted)
+            rows, cols = rows[upper], cols[upper]
+            out_a.append(ids[rows + lo])
+            out_b.append(ids[cols])
+            out_c.append(cos[rows, cols])
+        return pd.DataFrame(
+            {
+                "vec_id_a": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),
+                "vec_id_b": np.concatenate(out_b) if out_b else np.array([], dtype=np.int64),
+                "raw_cos": np.concatenate(out_c) if out_c else np.array([], dtype=np.float64),
+            }
+        )
+
     e = spread(read_table(spark, sf_dir, "embeddings")).select(
-        "vec_id",
-        "label",
-        "embedding",
-        dot_expr(F.col("embedding"), F.col("embedding")).alias("n2"),
-    )
-    a = e.alias("a")
-    b = e.alias("b")
-    # Expression-form cosine on purpose: a pandas-UDF per *pair* ships
-    # both arrays through Arrow for every joined row and measured ~2×
-    # slower than the interpreted HOF here (identical values; see the
-    # measurement note in operators/vectors.py).
-    cos = cosine_with_norms(
-        F.col("a.embedding"), F.col("b.embedding"), F.col("a.n2"), F.col("b.n2")
+        "vec_id", "label", "embedding"
     )
     return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        e.groupBy("label")
+        .applyInPandas(
+            lambda _key, pdf: score_block(pdf),
+            schema="vec_id_a long, vec_id_b long, raw_cos double",
         )
-        .select(
-            F.col("a.vec_id").alias("vec_id_a"),
-            F.col("b.vec_id").alias("vec_id_b"),
-            cos.alias("raw_cos"),
-        )
-        .filter(F.col("raw_cos") >= COSINE_DEDUP_THRESHOLD)
-        .select(
-            "vec_id_a", "vec_id_b", F.round("raw_cos", 6).alias("cosine")
-        )
+        .select("vec_id_a", "vec_id_b", F.round("raw_cos", 6).alias("cosine"))
     )
