@@ -31,11 +31,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table. Plain parquet scan — Catalyst handles
     column pruning and predicate pushdown from the downstream plan.
 
-    ``events.parquet`` stores nanosecond timestamps, which Spark's
-    vectorized parquet reader rejects (PARQUET_TYPE_ILLEGAL). We read
-    nanos as int64 via the legacy conf and rebuild a microsecond
-    timestamp with integer division — deterministic truncation, no
-    double-precision round-trip (int64 ns exceeds 2^53).
+    The tables store timestamp[us] (isAdjustedToUTC=false), which reads
+    directly. As a defensive fallback for nano-typed variants of
+    ``events.parquet`` — which Spark's vectorized reader rejects
+    (PARQUET_TYPE_ILLEGAL) — the legacy nanosAsLong conf is kept on:
+    if ``ts`` arrives as int64 nanos, a microsecond timestamp is
+    rebuilt with integer division (deterministic truncation, no
+    double-precision round-trip — int64 ns exceeds 2^53).
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
 
@@ -80,12 +82,84 @@ def spread(df: DataFrame) -> DataFrame:
     plans — a 600k-row groupBy got 3× slower (the extra exchange costs
     more than the single-task map side), and md5-fingerprint /
     persisted-LSH-bucket pipelines regressed ~2×.
+
+    The small-scan test estimates the task count from the input file
+    bytes and ``spark.sql.files.maxPartitionBytes`` — file-listing
+    metadata only, so planning stays lazy. Split packing means the
+    actual partition count never exceeds this estimate, so every
+    genuinely small scan still spreads; only for inputs that are big in
+    bytes but degenerate in row groups (rare: a written-by-one-task
+    monolith) does it conservatively skip. Non-file plans fall back to
+    the exact (lineage-building) RDD partition count.
     """
     spark = df.sparkSession
     n = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
+    est = _scan_task_estimate(df)
+    if est is None:
+        est = df.rdd.getNumPartitions()
+    if est >= n:
         return df
     return df.repartition(n)
+
+
+def _conf_int(conf, key: str) -> int | None:
+    try:
+        v = conf.get(key, None)
+        return int(v) if v is not None else None
+    except Exception:
+        return None
+
+
+def _parse_bytes_conf(raw: str) -> int:
+    """Parse Spark byte-size conf values ('134217728', '128m', '1g')."""
+    s = raw.strip().lower().rstrip("b")
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s and s[-1] in units:
+        return int(float(s[:-1]) * units[s[-1]])
+    return int(s)
+
+
+def _scan_task_estimate(df: DataFrame) -> int | None:
+    """File-scan task count via Spark's own split-sizing formula
+    (``FilePartition.maxSplitBytes``): split size =
+    ``min(maxPartitionBytes, max(openCostInBytes, bytesPerCore))``,
+    splits packed into partitions of that size with an open-cost pad
+    per file. ``None`` when the plan isn't a local-file scan (caller
+    falls back to the exact RDD partition count)."""
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("file", ""):
+            return None
+        try:
+            total += os.path.getsize(unquote(u.path))
+        except OSError:
+            return None
+    spark = df.sparkSession
+    conf = spark.conf
+    max_pb = _parse_bytes_conf(
+        conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    open_cost = _parse_bytes_conf(
+        conf.get("spark.sql.files.openCostInBytes", "4194304")
+    )
+    min_pn = (
+        _conf_int(conf, "spark.sql.files.minPartitionNum")
+        or _conf_int(conf, "spark.sql.leafNodeDefaultParallelism")
+        or spark.sparkContext.defaultParallelism
+    )
+    padded = total + len(files) * open_cost
+    bytes_per_core = padded // max(min_pn, 1)
+    max_split = min(max_pb, max(open_cost, bytes_per_core))
+    return max(1, -(-padded // max(max_split, 1)))
 
 
 def read_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -386,6 +386,7 @@ def ivf_topk(
     k: int = TOPK,
     n_centroids: int = IVF_CENTROIDS,
     nprobe: int = IVF_NPROBE,
+    sample_fraction: float = IVF_TRAIN_FRACTION,
 ) -> DataFrame:
     """IVF ANN: candidates come from the ``nprobe`` centroid lists
     nearest to each query, then exact cosine + top-k window.
@@ -393,8 +394,13 @@ def ivf_topk(
     Scale shape: the corpus is hash-partitioned by cluster id exactly
     once (the inverted file); each query probes nprobe/n_centroids of
     the corpus. Recall vs brute force is measured in tests — raise
-    ``nprobe`` to buy recall, ``n_centroids`` to buy selectivity."""
-    centroids = train_ivf_centroids(embeddings, n_centroids)
+    ``nprobe`` to buy recall, ``n_centroids`` to buy selectivity,
+    lower ``sample_fraction`` to widen the training sample's scanned
+    span when shard order correlates with content (see
+    :func:`train_ivf_centroids`)."""
+    centroids = train_ivf_centroids(
+        embeddings, n_centroids, sample_fraction=sample_fraction
+    )
     assign = _assign_udf(centroids)
     cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
 

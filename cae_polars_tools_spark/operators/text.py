@@ -13,6 +13,8 @@ per-document expressions are embarrassingly parallel — zero shuffles.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -189,11 +191,7 @@ def text_language_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the realistic n-gram heuristic; deterministic fixed profiles).
     Demonstrates the vectorized-Python escape hatch for logic built-ins
     can't express; still per-row → shuffle-free at any scale."""
-    import pandas as pd  # noqa: F401 — annotation target for pandas_udf
-
     from pyspark.sql.functions import pandas_udf
-
-    globals()["pd"] = pd  # pandas_udf resolves the pd.Series hints here
 
     profiles = {
         "en": ("the", "ing", "ion", "and", "ed "),

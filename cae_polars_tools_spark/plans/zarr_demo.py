@@ -219,16 +219,21 @@ def zarr_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor count), then re-scan the written store. Registered without
     an oracle so the driver's 50-entry hash-checked window keeps every
     oracle-backed entry; value-level equality is unit-tested."""
+    from cae_polars_tools_spark.sources.coordinates import (
+        extract_coordinate_arrays,
+    )
     from cae_polars_tools_spark.sources.zarr_scan import scan_data
+    from cae_polars_tools_spark.sources.zarr_store import ZarrStore
     from cae_polars_tools_spark.sources.zarr_write import write_zarr
 
     sink = os.path.join(os.path.dirname(_STORE), "zarr_sink_roundtrip.zarr")
-    df = scan_data(spark, demo_store(), "metric").persist()
-    try:
-        # one materialization feeds both of the sink's actions (axis
-        # aggregation + chunk write) instead of re-planning the Python
-        # data source scan per action
-        write_zarr(df, sink, chunks=(2, 2, 3))
-    finally:
-        df.unpersist()
+    df = scan_data(spark, demo_store(), "metric")
+    # Store-to-store copy: the target grid IS the source's coordinate
+    # arrays (driver-side metadata, axis-length bounded), so the sink's
+    # distinct-gathering job is skipped and the scan executes exactly
+    # once — inside the single chunk-keyed write shuffle.
+    axes = extract_coordinate_arrays(
+        ZarrStore(demo_store()).open_zarr_group(), ["time", "lat", "lon"]
+    )
+    write_zarr(df, sink, chunks=(2, 2, 3), axes=axes)
     return scan_data(spark, sink, "value")

@@ -63,9 +63,11 @@ def get_spark(
         "spark.sql.parquet.aggregatePushdown": "true",
         # Keep timestamps deterministic across engines (oracle parity).
         "spark.sql.session.timeZone": "UTC",
-        # The synthetic events table stores nanosecond timestamps,
-        # which the vectorized parquet reader rejects; read them as
-        # int64 (io.read_table rebuilds a microsecond timestamp).
+        # Defensive fallback for nano-typed parquet (which the
+        # vectorized reader rejects outright): read nanos as int64 so
+        # io.read_table can rebuild a microsecond timestamp. The
+        # driver's actual tables store timestamp[us]
+        # (isAdjustedToUTC=false), where this conf is a no-op.
         "spark.sql.legacy.parquet.nanosAsLong": "true",
         # The driver's tables store timestamp[us] with
         # isAdjustedToUTC=false; Spark 4 would infer TIMESTAMP_NTZ,

@@ -56,6 +56,8 @@ class ByteStore:
     # -- factory -----------------------------------------------------------
     @staticmethod
     def for_path(path: str, storage_options: dict | None = None) -> "ByteStore":
+        if path.startswith(("http://", "https://")):
+            return HttpByteStore(path, storage_options)
         if "://" in path and not path.startswith("file://"):
             return FsspecByteStore(path, storage_options)
         return LocalByteStore(path.removeprefix("file://"), storage_options)
@@ -133,6 +135,100 @@ class LocalByteStore(ByteStore):
         if not os.path.isdir(p):
             return []
         return sorted(os.listdir(p))
+
+
+class HttpByteStore(ByteStore):
+    """Read-only store over plain HTTP(S) using only the standard
+    library — no optional dependency, so the remote-store branch is
+    executable (and tested, tests/test_http_store.py) even where
+    fsspec/s3fs are absent. Mirrors the reference's remote-first
+    design (reference zarr_storage.py:190-211) for the one remote
+    protocol reachable in any environment.
+
+    * Ranged reads use the HTTP ``Range`` header — a positive offset
+      maps to ``bytes=start-end``, a negative offset to a suffix range
+      ``bytes=-N`` — so shard-index and inner-chunk fetches transfer
+      only the bytes they need. A server that ignores ``Range``
+      (responds 200, not 206) degrades gracefully: the body is sliced
+      locally.
+    * Missing keys (404) → ``None``, matching the store contract;
+      a 416 beyond-EOF range → ``b""``, matching ``LocalByteStore``'s
+      seek-past-end behavior.
+    * Transient failures (5xx, connection errors, timeouts) retry
+      with exponential backoff; ``storage_options`` accepts
+      ``timeout`` (s), ``retries``, and ``headers`` (e.g. auth).
+    * Listing is impossible over plain HTTP, so stores must be opened
+      via consolidated metadata (``.zmetadata`` / root ``zarr.json``)
+      or direct array paths — ``list_prefix`` raises with that hint.
+    """
+
+    def __init__(self, root: str, storage_options: dict | None = None):
+        super().__init__(root, storage_options)
+        self._timeout = float(self.storage_options.get("timeout", 10.0))
+        self._retries = int(self.storage_options.get("retries", 2))
+        self._headers = dict(self.storage_options.get("headers", {}))
+
+    def _fetch(self, key: str, range_header: str | None) -> tuple[int, bytes] | None:
+        """(status, body) for GET root/key, None on 404; retries
+        transient errors. Auth/proxy behavior is urllib's."""
+        import time as _time
+        import urllib.error
+        import urllib.parse
+        import urllib.request
+
+        url = f"{self.root}/{urllib.parse.quote(key)}"
+        headers = dict(self._headers)
+        if range_header:
+            headers["Range"] = range_header
+        for attempt in range(self._retries + 1):
+            req = urllib.request.Request(url, headers=headers)
+            try:
+                with urllib.request.urlopen(req, timeout=self._timeout) as r:
+                    return r.status, r.read()
+            except urllib.error.HTTPError as e:
+                if e.code == 404:
+                    return None
+                if e.code == 416:
+                    return e.code, b""
+                if e.code >= 500 and attempt < self._retries:
+                    _time.sleep(0.1 * (2 ** attempt))
+                    continue
+                raise
+            except (urllib.error.URLError, TimeoutError, OSError):
+                if attempt < self._retries:
+                    _time.sleep(0.1 * (2 ** attempt))
+                    continue
+                raise
+        raise AssertionError("unreachable")
+
+    def get(self, key: str) -> bytes | None:
+        got = self._fetch(key, None)
+        return None if got is None else got[1]
+
+    def get_range(self, key: str, offset: int, length: int) -> bytes | None:
+        if length <= 0:
+            return b"" if self.get(key) is not None else None
+        if offset >= 0:
+            rng = f"bytes={offset}-{offset + length - 1}"
+        else:
+            rng = f"bytes=-{-offset}"
+        got = self._fetch(key, rng)
+        if got is None:
+            return None
+        status, body = got
+        if status == 206:
+            return body[:length] if offset < 0 else body
+        if status == 416:
+            return b""
+        # Range ignored: full body — apply the base slicing semantics.
+        start = offset if offset >= 0 else max(0, len(body) + offset)
+        return body[start:start + length]
+
+    def list_prefix(self, prefix: str = "") -> list[str]:
+        raise NotImplementedError(
+            "plain HTTP cannot list objects; open http(s):// stores via "
+            "consolidated metadata (.zmetadata / root zarr.json)"
+        )
 
 
 class FsspecByteStore(ByteStore):

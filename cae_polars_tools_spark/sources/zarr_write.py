@@ -7,12 +7,15 @@ have at all (its CLI only reads zarr INTO parquet,
 zarr-python on one node). Spark-first design:
 
 * **One shuffle, keyed by storage object.** Each row is mapped to its
-  global grid position with per-dimension broadcast joins (the axes —
-  the sorted distinct coordinate values — are gathered by ONE
-  ``collect_set`` aggregation; they are bounded by the array's side
-  lengths and are needed for the store metadata anyway, exactly like
-  the reference's coordinate handling). The only wide exchange is the
-  ``groupBy(object_id)`` that co-locates each chunk's — or each
+  global grid position by an Arrow-batched ``searchsorted`` against
+  the broadcast axes (the axes — the sorted distinct coordinate
+  values — are bounded by the array's side lengths and are needed for
+  the store metadata anyway, exactly like the reference's coordinate
+  handling; callers that already know them, e.g. a store-to-store
+  copy, pass ``axes=`` and skip the one ``collect_set`` gathering
+  job). All per-dim position lookups run in ONE ArrowEvalPython
+  stage — no join, no extra exchange — so the only wide exchange is
+  the ``groupBy(object_id)`` that co-locates each chunk's — or each
   SHARD's — cells.
 * **Embarrassingly parallel object writes.** A zarr chunk/shard is one
   immutable object with a deterministic key, so every ``applyInPandas``
@@ -47,6 +50,7 @@ import zlib as _zlib
 from typing import Any
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -93,6 +97,29 @@ def _collect_axes(df: DataFrame, dims: tuple[str, ...]) -> dict[str, np.ndarray]
         )
         for d in dims
     }
+
+
+def _position_udf(axes_bc, dim: str):
+    """Arrow-batched axis→position lookup: ``searchsorted`` over the
+    broadcast sorted axis (O(log axis) per row, vectorized per batch).
+    A value not on the axis is an error — it means caller-supplied
+    ``axes`` don't cover the data, where silently dropping or clamping
+    would corrupt the store."""
+
+    @F.pandas_udf("long")
+    def pos(vals: pd.Series) -> pd.Series:
+        ax = axes_bc.value[dim]
+        v = vals.to_numpy()
+        if v.dtype != ax.dtype:
+            v = v.astype(ax.dtype)
+        idx = np.minimum(np.searchsorted(ax, v), len(ax) - 1)
+        if not np.array_equal(ax[idx], v):
+            raise ValueError(
+                f"write_zarr: {dim!r} values not on the provided axis"
+            )
+        return pd.Series(idx.astype(np.int64))
+
+    return pos
 
 
 def _strides(grid: tuple[int, ...]) -> list[int]:
@@ -143,6 +170,7 @@ def write_zarr(
     storage_options: dict | None = None,
     zarr_format: int = 2,
     shard_chunks: tuple[int, ...] | None = None,
+    axes: dict[str, Any] | None = None,
 ) -> dict:
     """Write a long-format DataFrame (dim columns + one value column,
     the shape ``scan_data`` produces) as a dense zarr array with 1-D
@@ -150,8 +178,11 @@ def write_zarr(
 
     ``zarr_format=3`` emits a v3 store; ``shard_chunks`` (implies v3)
     makes each stored object one ``sharding_indexed`` shard of many
-    ``chunks``-shaped inner chunks. Returns a summary dict: shape,
-    chunks, chunks_written (storage objects), bytes, cells.
+    ``chunks``-shaped inner chunks. ``axes`` supplies the per-dimension
+    coordinate values when the caller already knows them (store-to-store
+    copy, fixed grid), skipping the distinct-gathering job — every
+    input row's coordinates must be covered. Returns a summary dict:
+    shape, chunks, chunks_written (storage objects), bytes, cells.
     """
     if dims is None:
         dims = tuple(c for c in df.columns if c != value_col)
@@ -170,7 +201,18 @@ def write_zarr(
             raise FileExistsError(f"zarr store already exists at {path!r}")
         store.delete_prefix()
 
-    axes = _collect_axes(df, dims)
+    if axes is None:
+        axes = _collect_axes(df, dims)
+    else:
+        missing = [d for d in dims if d not in axes]
+        if missing:
+            raise ValueError(f"axes missing dimensions: {missing}")
+        axes = {
+            d: np.sort(
+                np.asarray(axes[d]).astype(_np_dtype_of(df, d), copy=False)
+            )
+            for d in dims
+        }
     shape = tuple(len(axes[d]) for d in dims)
     if chunks is None:
         chunks = tuple(min(s, 64) or 1 for s in shape)
@@ -202,17 +244,21 @@ def write_zarr(
             fill_value, value_col, shard_chunks,
         )
 
-    # ---- map rows to grid positions: per-dim broadcast position joins
+    # ---- map rows to grid positions: Arrow-batched searchsorted over
+    # the broadcast axes. All dims' lookups land in ONE ArrowEvalPython
+    # stage (adjacent pandas UDFs are batch-evaluated together) — no
+    # joins, no extra exchange; the axes broadcast is bounded by the
+    # array side lengths.
     spark = df.sparkSession
+    axes_bc = spark.sparkContext.broadcast(axes)
     pos_cols = [f"__pos_{i}" for i in range(len(dims))]
-    mapped = df.select(*dims, F.col(value_col).alias("__value"))
-    for i, d in enumerate(dims):
-        ax = axes[d]
-        pos_df = spark.createDataFrame(
-            list(zip((v.item() for v in ax), range(len(ax)))),
-            schema=f"`{d}` {dict(df.dtypes)[d]}, {pos_cols[i]} bigint",
-        )
-        mapped = mapped.join(F.broadcast(pos_df), on=d, how="inner")
+    mapped = df.select(
+        F.col(value_col).alias("__value"),
+        *[
+            _position_udf(axes_bc, d)(F.col(d)).alias(pos_cols[i])
+            for i, d in enumerate(dims)
+        ],
+    )
 
     # linear object id (row-major over the storage grid) — the shuffle key
     grid = tuple(-(-s // c) for s, c in zip(shape, storage_chunks))

@@ -1,0 +1,220 @@
+"""Live remote-store execution over HTTP (the one remote protocol
+feasible in this sandbox): a ``ThreadingHTTPServer`` serves a zarr
+store from disk and ``HttpByteStore`` — pure stdlib, no fsspec —
+reads it with ranged GETs, retries, and 404→None semantics. Exercises
+the remote branch of store opening end to end, including a Spark scan
+whose executors fetch chunks over the wire (reference is S3-first,
+zarr_storage.py:190-211; no S3/HTTP egress exists here, so localhost
+is the live stand-in).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+from cae_polars_tools_spark.sources.zarr_format import (
+    ByteStore,
+    HttpByteStore,
+    LocalByteStore,
+    open_group,
+    write_group,
+)
+
+
+class _RangeHandler(BaseHTTPRequestHandler):
+    """Static file server with HTTP Range support (start-end and
+    suffix forms) and a per-server request log for assertions."""
+
+    directory: str = "."
+    log: list[tuple[str, str | None]] = []
+    fail_next: list[int] = []  # status codes to fail with, consumed FIFO
+    ignore_range = False
+
+    def log_message(self, *a):  # silence
+        pass
+
+    def do_GET(self):
+        cls = type(self)
+        cls.log.append((self.path, self.headers.get("Range")))
+        if cls.fail_next:
+            code = cls.fail_next.pop(0)
+            self.send_error(code)
+            return
+        path = os.path.join(cls.directory, self.path.lstrip("/"))
+        if not os.path.isfile(path):
+            self.send_error(404)
+            return
+        with open(path, "rb") as f:
+            data = f.read()
+        rng = self.headers.get("Range")
+        if rng and not cls.ignore_range:
+            m = re.fullmatch(r"bytes=(\d*)-(\d*)", rng)
+            if m and (m.group(1) or m.group(2)):
+                if m.group(1):
+                    start = int(m.group(1))
+                    end = min(
+                        int(m.group(2)) if m.group(2) else len(data) - 1,
+                        len(data) - 1,
+                    )
+                else:  # suffix: bytes=-N
+                    start = max(0, len(data) - int(m.group(2)))
+                    end = len(data) - 1
+                if start >= len(data):
+                    self.send_error(416)
+                    return
+                body = data[start : end + 1]
+                self.send_response(206)
+                self.send_header(
+                    "Content-Range", f"bytes {start}-{end}/{len(data)}"
+                )
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+
+def _serve(directory: str):
+    handler = type(
+        "Handler",
+        (_RangeHandler,),
+        {"directory": directory, "log": [], "fail_next": []},
+    )
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, handler, f"http://127.0.0.1:{srv.server_address[1]}"
+
+
+@pytest.fixture()
+def http_store(tmp_path):
+    root = str(tmp_path / "demo.zarr")
+    write_group(
+        root,
+        arrays={"a": np.arange(24, dtype=np.float64).reshape(4, 6)},
+        dims={"a": ("x", "y")},
+        coords={
+            "x": np.arange(4, dtype=np.int32),
+            "y": np.arange(6, dtype=np.int32),
+        },
+        chunks={"a": (2, 3)},
+    )
+    srv, handler, url = _serve(str(tmp_path))
+    yield f"{url}/demo.zarr", handler, root
+    srv.shutdown()
+
+
+def test_for_path_routes_http_without_fsspec():
+    store = ByteStore.for_path("http://example.invalid/store.zarr")
+    assert isinstance(store, HttpByteStore)
+
+
+def test_http_get_and_range_semantics(http_store):
+    """get/get_range over the wire match LocalByteStore bit for bit:
+    positive ranges, suffix ranges, short tails, beyond-EOF, 404."""
+    url, handler, root = http_store
+    http = ByteStore.for_path(url)
+    local = LocalByteStore(root)
+    key = "a/0.0"
+    data = local.get(key)
+    assert http.get(key) == data
+    assert http.get_range(key, 3, 10) == local.get_range(key, 3, 10)
+    assert http.get_range(key, -8, 8) == local.get_range(key, -8, 8)
+    assert http.get_range(key, -8, 4) == local.get_range(key, -8, 4)
+    assert http.get_range(key, len(data) + 5, 4) == b""
+    assert http.get(".does_not_exist") is None
+    assert http.get_range(".does_not_exist", 0, 4) is None
+    # the ranged calls actually sent Range headers
+    assert any(r for _p, r in handler.log if r and r.startswith("bytes="))
+
+
+def test_http_open_group_and_read(http_store):
+    """Consolidated-metadata open + whole-array read over HTTP."""
+    url, _handler, _root = http_store
+    arr = open_group(url).get_array("a")
+    np.testing.assert_array_equal(
+        arr[(slice(None), slice(None))],
+        np.arange(24, dtype=np.float64).reshape(4, 6),
+    )
+
+
+def test_http_server_ignoring_range_degrades_gracefully(http_store):
+    url, handler, root = http_store
+    handler.ignore_range = True
+    try:
+        http = ByteStore.for_path(url)
+        local = LocalByteStore(root)
+        assert http.get_range("a/0.0", 3, 10) == local.get_range("a/0.0", 3, 10)
+        assert http.get_range("a/0.0", -8, 8) == local.get_range("a/0.0", -8, 8)
+    finally:
+        handler.ignore_range = False
+
+
+def test_http_retries_transient_5xx(http_store):
+    url, handler, _root = http_store
+    handler.fail_next.extend([500, 503])
+    http = ByteStore.for_path(url, {"retries": 3})
+    assert http.get(".zgroup") is not None  # succeeded on 3rd attempt
+
+
+def test_http_list_prefix_names_consolidated_requirement(http_store):
+    url, _handler, _root = http_store
+    with pytest.raises(NotImplementedError, match="consolidated"):
+        ByteStore.for_path(url).list_prefix()
+
+
+def test_http_v3_sharded_ranged_reads(tmp_path):
+    """The sharding scale story survives the wire: an indexed read of a
+    sharded v3 store over HTTP issues only ranged GETs (suffix read of
+    the shard index + one inner chunk), never a whole-shard download."""
+    from cae_polars_tools_spark.sources.zarr_v3 import write_group_v3
+
+    i, j = np.indices((12, 8))
+    data = (i * 10 + j).astype(np.float32)
+    root = str(tmp_path / "sharded.zarr")
+    write_group_v3(
+        root,
+        arrays={"temperature": data},
+        dims={"temperature": ("time", "lat")},
+        chunks={"temperature": (2, 2)},
+        shards={"temperature": (4, 4)},
+    )
+    srv, handler, url = _serve(str(tmp_path))
+    try:
+        arr = open_group(f"{url}/sharded.zarr").get_array("temperature")
+        np.testing.assert_array_equal(arr[(slice(None), slice(None))], data)
+        handler.log.clear()
+        one = arr[(slice(5, 6), slice(3, 4))]
+        np.testing.assert_array_equal(one, data[5:6, 3:4])
+        obj_requests = [
+            (p, r) for p, r in handler.log if "/temperature/c/" in p
+        ]
+        assert obj_requests, "indexed read fetched no shard objects"
+        assert all(r is not None for _p, r in obj_requests), (
+            "sharded read downloaded a whole shard object instead of "
+            f"ranged GETs: {obj_requests}"
+        )
+    finally:
+        srv.shutdown()
+
+
+def test_http_spark_scan_long_format(spark, http_store):
+    """End to end through the engine: scan_data over an http:// store —
+    executors fetch metadata + chunks over the wire — equals the same
+    scan of the local directory."""
+    from cae_polars_tools_spark.sources.zarr_scan import scan_data
+
+    url, _handler, root = http_store
+    via_http = scan_data(spark, url, "a").orderBy("x", "y").collect()
+    via_local = scan_data(spark, root, "a").orderBy("x", "y").collect()
+    assert via_http == via_local
+    assert len(via_http) == 24

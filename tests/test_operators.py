@@ -161,6 +161,43 @@ def test_ann_ivf_recall_vs_bruteforce(spark, sf_small):
     assert recall >= 0.2
 
 
+def test_ivf_sample_bias_dial(spark, sf_oracle):
+    """The training sample comes from the first-scanned partitions
+    (sample+limit, no full-corpus pass), so a corpus whose shard order
+    correlates with content is the worst case for quantizer quality.
+    The documented dial: a smaller ``sample_fraction`` widens the
+    scanned span. Assert a deliberately label-range-sharded corpus
+    still trains centroids good enough to hold the recall floor."""
+    from cae_polars_tools_spark.io import read_table
+    from cae_polars_tools_spark.operators.similarity import (
+        IVF_CENTROIDS,
+        bruteforce_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    e = read_table(spark, sf_oracle, "embeddings")
+    # Shard-ordered corpus: partitions are label ranges, so a prefix
+    # scan sees only a few labels' worth of content.
+    sharded = e.repartitionByRange(8, "label").sortWithinPartitions("label")
+    # The thinned sample must still cover >= n_centroids rows.
+    c = train_ivf_centroids(sharded, sample_fraction=0.1)
+    assert c.shape == (IVF_CENTROIDS, 64)
+
+    q = e.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in bruteforce_topk(e, q).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(sharded, q, sample_fraction=0.1).collect()
+    }
+    assert len(exact) == 50
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2  # same floor as the unsharded recall test
+
+
 def test_ivf_centroids_shape_and_determinism(spark, sf_small):
     from cae_polars_tools_spark.io import read_table
     from cae_polars_tools_spark.operators.similarity import (

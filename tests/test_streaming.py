@@ -6,7 +6,6 @@ entry (restricted to flushed sessions)."""
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import functions as F
 
 
 def test_streaming_windowed_counts_equals_batch(spark, sf_small, tmp_path):
