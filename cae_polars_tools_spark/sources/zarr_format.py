@@ -114,7 +114,14 @@ class LocalByteStore(ByteStore):
         if not os.path.isfile(p):
             return None
         with open(p, "rb") as f:
-            f.seek(offset, os.SEEK_END if offset < 0 else os.SEEK_SET)
+            if offset < 0:
+                # clamp like an HTTP suffix range: a tail longer than
+                # the object starts at 0 (a raw SEEK_END seek would
+                # throw EINVAL on a negative absolute position)
+                size = os.fstat(f.fileno()).st_size
+                f.seek(max(0, size + offset))
+            else:
+                f.seek(offset)
             return f.read(length)
 
     def put(self, key: str, data: bytes) -> None:

@@ -10,6 +10,7 @@ is the live stand-in).
 
 from __future__ import annotations
 
+import json
 import os
 import re
 import threading
@@ -205,6 +206,41 @@ def test_http_v3_sharded_ranged_reads(tmp_path):
         )
     finally:
         srv.shutdown()
+
+
+def test_http_range_grid_matches_local(tmp_path):
+    """Exhaustive offset/length grid (negative offsets, zero/overlong
+    lengths, beyond-EOF starts) — every combination must match
+    LocalByteStore's seek-based semantics byte for byte."""
+    os.makedirs(tmp_path / "d", exist_ok=True)
+    data = bytes(range(256)) * 3  # 768 bytes, every value present
+    with open(tmp_path / "d" / "obj", "wb") as f:
+        f.write(data)
+    srv, _handler, url = _serve(str(tmp_path))
+    try:
+        http = ByteStore.for_path(f"{url}/d")
+        local = LocalByteStore(str(tmp_path / "d"))
+        size = len(data)
+        offsets = [-size - 5, -size, -7, -1, 0, 1, size // 2, size - 1, size, size + 3]
+        lengths = [0, 1, 3, size // 2, size, size + 7]
+        for off in offsets:
+            for ln in lengths:
+                assert http.get_range("obj", off, ln) == local.get_range(
+                    "obj", off, ln
+                ), f"mismatch at offset={off} length={ln}"
+    finally:
+        srv.shutdown()
+
+
+def test_cli_info_over_http(http_store, capsys):
+    """The CLI's metadata path works against an http:// store URL."""
+    from cae_polars_tools_spark.cli import main
+
+    url, _handler, _root = http_store
+    assert main(["info", url]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["arrays"]["a"]["shape"] == [4, 6]
+    assert out["arrays"]["a"]["dimensions"] == ["x", "y"]
 
 
 def test_http_spark_scan_long_format(spark, http_store):

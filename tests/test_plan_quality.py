@@ -113,6 +113,31 @@ def test_exact_dedup_is_single_shuffle_agg(spark):
     assert plan.count("Exchange") <= 2  # fingerprint agg (+AQE read)
 
 
+def test_embedding_cosine_is_single_shuffle_no_join(spark):
+    """dedup_embedding_cosine is the arrays-once kernel: ONE exchange
+    (groupBy label feeding applyInPandas) and no self-join — each
+    embedding crosses Arrow once, never once per pair."""
+    plan = _plan(spark, "dedup_embedding_cosine")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # group shuffle (+AQE read)
+
+
+def test_q29_scans_lineitem_once(spark):
+    """q29 derives the exact twins AND both sketches from one shared
+    (flag, orderkey)-level aggregate: exactly one lineitem scan, no
+    join, no Expand (the COUNT(DISTINCT) shape it replaced)."""
+    import re
+
+    plan = _formatted(spark, "q29_approx_aggregates")
+    # formatted output names each node once in the tree and once in the
+    # detail section — count numbered detail headers, i.e. scan NODES
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Expand" not in plan
+    raw = _plan(spark, "q29_approx_aggregates")
+    assert "Join" not in raw
+
+
 def test_asof_join_has_no_range_fanout(spark):
     """q30's as-of join is the union + carry-forward-window form: no
     nested-loop/range join, exactly one shuffle per side feeding the
