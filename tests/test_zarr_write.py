@@ -44,6 +44,62 @@ def test_write_zarr_roundtrip_through_scan(spark, tmp_path):
     assert got == want
 
 
+def test_write_zarr_caller_axes_skip_gather_and_superset_grid(spark, tmp_path):
+    """Caller-supplied ``axes=`` defines the target grid directly (no
+    distinct-gathering job). A superset grid is legitimate — a
+    store-to-store copy onto a larger fixed grid — and absent cells
+    get fill_value."""
+    from cae_polars_tools_spark.sources.zarr_scan import scan_data
+    from cae_polars_tools_spark.sources.zarr_write import write_zarr
+
+    root = str(tmp_path / "axes.zarr")
+    df = _demo_df(spark)
+    axes = {
+        "time": np.array([10, 20, 30, 40], dtype=np.int32),  # 40 absent
+        "lat": np.array([30, 30.5, 31, 31.5], dtype=np.float32),
+    }
+    summary = write_zarr(
+        df, root, chunks=(2, 2), axes=axes, fill_value=-1.0
+    )
+    assert summary["shape"] == (4, 4)
+    got = {
+        (r["time"], r["lat"]): r["value"]
+        for r in scan_data(spark, root, "value").collect()
+    }
+    want = {(r["time"], r["lat"]): r["value"] for r in df.collect()}
+    for j in range(4):
+        want[(40, 30 + 0.5 * j)] = -1.0  # the absent axis row
+    assert got == want
+
+
+def test_write_zarr_axes_not_covering_data_errors(spark, tmp_path):
+    """A value not on a caller-supplied axis must fail the job loudly
+    (silent drop/clamp would corrupt the store)."""
+    from pyspark.errors import PythonException
+
+    from cae_polars_tools_spark.sources.zarr_write import write_zarr
+
+    df = _demo_df(spark)
+    axes = {
+        "time": np.array([10, 20], dtype=np.int32),  # 30 missing
+        "lat": np.array([30, 30.5, 31, 31.5], dtype=np.float32),
+    }
+    with pytest.raises(PythonException, match="not on the provided axis"):
+        write_zarr(df, str(tmp_path / "bad.zarr"), chunks=(2, 2), axes=axes)
+
+
+def test_write_zarr_axes_missing_dimension_errors(spark, tmp_path):
+    from cae_polars_tools_spark.sources.zarr_write import write_zarr
+
+    df = _demo_df(spark)
+    with pytest.raises(ValueError, match="axes missing dimensions"):
+        write_zarr(
+            df,
+            str(tmp_path / "bad2.zarr"),
+            axes={"time": np.array([10, 20, 30], dtype=np.int32)},
+        )
+
+
 def test_write_zarr_consolidated_and_dims(spark, tmp_path):
     """The sink's driver-side metadata is complete: consolidated
     .zmetadata (one GET to open), xarray dimension labels, coordinate
