@@ -17,8 +17,13 @@ Five strategies, each a corpus entry:
   hashes; near-dup candidates from 16-bit band equality + Hamming
   verification (bit_count), all JVM-side.
 * **embedding cosine** — near-dup pairs over `array<float>` vectors,
-  blocked by a partition key (`label`) so the self-join is
-  block-diagonal, never all-pairs.
+  blocked by a partition key (`label`) so the pair space is
+  block-diagonal, never all-pairs; each block scored in one numpy
+  pass inside ``applyInPandas``.
+
+Candidate generation is bucket-local everywhere (:func:`bucket_pairs`
+and the simhash in-bucket verify): one groupBy shuffle on the bucket
+key, pairs from a double explode — no band-table self-joins.
 
 All numeric hashing uses Spark's xxhash64 (JVM, codegen) — Python
 never touches the row path.
@@ -318,8 +323,9 @@ def jaccard_pairs(
     DF-capped inverted index: explode (doc, shingle), drop shingles
     with document frequency > ``max_df`` (stop-shingle cap — the
     skew guard: a shingle shared by d docs fans out d·(d-1)/2 pairs,
-    so the hottest key bounds the self-join blowup), self-join the
-    capped index for candidates, then verify candidates EXACTLY over
+    so the hottest key bounds the per-bucket blowup), generate
+    candidates bucket-locally (:func:`bucket_pairs` over the capped
+    index), then verify candidates EXACTLY over
     the full (uncapped) shingle sets. A pair is missed only if *every*
     shared shingle is hot — at threshold 0.8 that needs a doc made
     almost entirely of boilerplate, the case the cap is designed to
@@ -335,7 +341,7 @@ def jaccard_pairs(
     there can be at most |index|/max_df of them), so it broadcasts,
     and the cap costs one map-side-combined aggregation instead of a
     full sort-within-partitions count-window over every (doc, shingle)
-    row on BOTH self-join sides (measured ~2.5× slower at sf0.1).
+    row (measured ~2.5× slower at sf0.1 in the former self-join DAG).
 
     The persisted index is materialized EAGERLY (count) before the
     join DAG executes: the consumers otherwise start as concurrent AQE
@@ -559,7 +565,7 @@ def simhash_signatures(
     document. The previous formulation — explode tokens then
     groupBy(doc) with one conditional sum per bit — shuffled |tokens|
     rows per doc; this one never explodes, so the only wide op left in
-    the pipeline is the band self-join."""
+    the pipeline is the band-bucket groupBy."""
     th = F.transform(tokens("text"), token_hash or (lambda t: F.xxhash64(t)))
     return docs.select(
         "doc_id", _vote_udf(nbits)(th).alias("simhash")
