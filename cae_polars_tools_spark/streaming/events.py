@@ -4,8 +4,11 @@ The reference has no true streaming (its "streaming" is chunked batch
 conversion — SURVEY §2.4); this module is the north-star extension:
 the same windowed aggregation the batch corpus runs
 (``q23_tumbling_window``) executed incrementally with
-``readStream`` + event-time watermark, plus a custom stateful
-operator (gap sessionization) via ``applyInPandasWithState``.
+``readStream`` + event-time watermark, a custom stateful
+operator (gap sessionization) via ``applyInPandasWithState``,
+watermark-bounded exact dedup, and a stream-stream time-range
+attribution join (clicks → purchases) with two-sided watermark state
+bounding.
 
 Design: transformations are written once against a DataFrame and work
 identically in batch and streaming (the Structured Streaming
@@ -119,6 +122,84 @@ def dedup_stream(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon_minutes: int = 60,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream (or batch-batch — same code, the Structured
+    Streaming contract) attribution join: every purchase matched to
+    the same user's clicks in the preceding ``horizon_minutes``.
+
+    The streaming-viable shape: an equi-join key (user) plus a
+    time-RANGE predicate between the two event times, with a watermark
+    on BOTH sides. That pair is exactly what lets Spark bound the join
+    state — each side buffers only rows younger than
+    watermark + horizon, so state is (events per user per horizon
+    window), not stream history, and the join runs forever at ingest
+    scale. On batch inputs the watermark is a no-op and Catalyst plans
+    an ordinary range-banded join.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", watermark)
+    joined = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+        ),
+    )
+    return joined.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        (
+            F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
+        ).alias("lag_us"),
+    )
+
+
+def run_attribution_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "attribution",
+    horizon_minutes: int = 60,
+) -> DataFrame:
+    """Drain the click→purchase join over the file stream
+    (Trigger.AvailableNow, append mode — the only mode stream-stream
+    inner joins support) into a memory sink; returns the result."""
+    events = stream_events(spark, sf_dir)
+    joined = attribution_join(
+        events.filter(F.col("event_type") == "click"),
+        events.filter(F.col("event_type") == "purchase"),
+        horizon_minutes=horizon_minutes,
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(checkpoint_dir, query_name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
 
 
 # ---------------------------------------------------------------------------

@@ -6,6 +6,7 @@ entry (restricted to flushed sessions)."""
 from __future__ import annotations
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 
 def test_streaming_windowed_counts_equals_batch(spark, sf_small, tmp_path):
@@ -123,3 +124,64 @@ def test_streaming_dedup_drops_redeliveries(spark, tmp_path):
         r["event_id"] for r in spark.table("t_dedup_stream").collect()
     )
     assert got == [0, 1, 2, 3]
+
+
+def test_attribution_join_batch_matches_duckdb(spark, sf_small):
+    """The shared click→purchase transformation on BATCH inputs equals
+    an independent DuckDB formulation of the same time-range join."""
+    import duckdb
+
+    from cae_polars_tools_spark.io import read_table
+    from cae_polars_tools_spark.streaming.events import attribution_join
+
+    ev = read_table(spark, sf_small, "events")
+    got = attribution_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    ).toPandas()
+
+    con = duckdb.connect()
+    want = con.execute(
+        f"""
+        SELECT p.user_id,
+               c.event_id AS click_id,
+               p.event_id AS purchase_id
+        FROM read_parquet('{sf_small}/events.parquet') c
+        JOIN read_parquet('{sf_small}/events.parquet') p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 60 MINUTE
+        """
+    ).df()
+    key = ["user_id", "click_id", "purchase_id"]
+    assert len(got) > 0
+    got_keys = sorted(map(tuple, got[key].itertuples(index=False)))
+    want_keys = sorted(map(tuple, want[key].itertuples(index=False)))
+    assert got_keys == want_keys
+    # lag sanity: within the horizon, non-negative
+    assert (got["lag_us"] >= 0).all()
+    assert (got["lag_us"] <= 60 * 60 * 1_000_000).all()
+
+
+def test_attribution_join_stream_matches_batch(spark, sf_small, tmp_path):
+    """Stream-stream inner join with two-sided watermarks drained via
+    availableNow reproduces the batch join exactly (one micro-batch:
+    nothing is late, so the watermark only bounds state)."""
+    from cae_polars_tools_spark.io import read_table
+    from cae_polars_tools_spark.streaming.events import (
+        attribution_join,
+        run_attribution_stream,
+    )
+
+    got = run_attribution_stream(
+        spark, sf_small, str(tmp_path / "ckpt_attr"), query_name="t_attr"
+    ).toPandas()
+    ev = read_table(spark, sf_small, "events")
+    batch = attribution_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    ).toPandas()
+    key = ["user_id", "click_id", "purchase_id", "lag_us"]
+    got_s = got[key].sort_values(key).reset_index(drop=True)
+    batch_s = batch[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, batch_s)
