@@ -68,7 +68,7 @@ def main() -> None:
     materialize(corpus["dedup_ngram_jaccard"].build(spark, sf_dir))
     spark.catalog.clearCache()
 
-    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
+    rounds = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3")))
     samples: dict[str, list[float]] = {name: [] for name in corpus}
     for _ in range(rounds):
         for name, spec in sorted(corpus.items()):

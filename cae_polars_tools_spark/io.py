@@ -83,14 +83,11 @@ def spread(df: DataFrame) -> DataFrame:
     more than the single-task map side), and md5-fingerprint /
     persisted-LSH-bucket pipelines regressed ~2×.
 
-    The small-scan test estimates the task count from the input file
-    bytes and ``spark.sql.files.maxPartitionBytes`` — file-listing
-    metadata only, so planning stays lazy. Split packing means the
-    actual partition count never exceeds this estimate, so every
-    genuinely small scan still spreads; only for inputs that are big in
-    bytes but degenerate in row groups (rare: a written-by-one-task
-    monolith) does it conservatively skip. Non-file plans fall back to
-    the exact (lineage-building) RDD partition count.
+    The small-scan test computes the partition count from input file
+    sizes with Spark's own split-sizing + packing rules
+    (``_scan_task_estimate``) — file-listing metadata only, so
+    planning stays lazy and no RDD lineage is built. Non-file plans
+    fall back to the exact (lineage-building) RDD partition count.
     """
     spark = df.sparkSession
     n = spark.sparkContext.defaultParallelism
@@ -120,12 +117,15 @@ def _parse_bytes_conf(raw: str) -> int:
 
 
 def _scan_task_estimate(df: DataFrame) -> int | None:
-    """File-scan task count via Spark's own split-sizing formula
-    (``FilePartition.maxSplitBytes``): split size =
-    ``min(maxPartitionBytes, max(openCostInBytes, bytesPerCore))``,
-    splits packed into partitions of that size with an open-cost pad
-    per file. ``None`` when the plan isn't a local-file scan (caller
-    falls back to the exact RDD partition count)."""
+    """File-scan partition count computed the way Spark itself does
+    (``FilePartition.maxSplitBytes`` + ``getFilePartitions``): split
+    size = ``min(maxPartitionBytes, max(openCostInBytes,
+    bytesPerCore))``, each FILE split independently (splits never span
+    files), splits sorted descending and packed first-fit with an
+    open-cost pad per split. File-listing metadata only — no RDD
+    lineage is built at plan time. ``None`` when the plan isn't a
+    local-file scan (caller falls back to the exact RDD partition
+    count)."""
     from urllib.parse import unquote, urlparse
 
     try:
@@ -134,13 +134,13 @@ def _scan_task_estimate(df: DataFrame) -> int | None:
         return None
     if not files:
         return None
-    total = 0
+    sizes = []
     for f in files:
         u = urlparse(f)
         if u.scheme not in ("file", ""):
             return None
         try:
-            total += os.path.getsize(unquote(u.path))
+            sizes.append(os.path.getsize(unquote(u.path)))
         except OSError:
             return None
     spark = df.sparkSession
@@ -156,10 +156,25 @@ def _scan_task_estimate(df: DataFrame) -> int | None:
         or _conf_int(conf, "spark.sql.leafNodeDefaultParallelism")
         or spark.sparkContext.defaultParallelism
     )
-    padded = total + len(files) * open_cost
+    padded = sum(sizes) + len(sizes) * open_cost
     bytes_per_core = padded // max(min_pn, 1)
-    max_split = min(max_pb, max(open_cost, bytes_per_core))
-    return max(1, -(-padded // max(max_split, 1)))
+    max_split = max(1, min(max_pb, max(open_cost, bytes_per_core)))
+
+    splits: list[int] = []
+    for s in sizes:
+        while s > max_split:
+            splits.append(max_split)
+            s -= max_split
+        if s > 0:
+            splits.append(s)
+    splits.sort(reverse=True)
+    partitions, current = 0, 0
+    for sp in splits:
+        if current + sp > max_split and current > 0:
+            partitions += 1
+            current = 0
+        current += sp + open_cost
+    return partitions + (1 if current > 0 else 0)
 
 
 def read_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

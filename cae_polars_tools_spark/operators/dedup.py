@@ -273,7 +273,15 @@ def _release_on_gc(
     The finalizer captures only the JVM-side ``Dataset`` handles, never
     the Python ``DataFrame`` objects: a finalizer holding its own
     referent (``include_self=True``, used when the RETURNED frame is
-    the persisted one) would otherwise keep it alive forever."""
+    the persisted one) would otherwise keep it alive forever.
+
+    Contract for callers who CHAIN on the result
+    (``jaccard_pairs(d).filter(...)``): hold the returned handle until
+    the derived plan materializes — a derived PySpark DataFrame keeps
+    no Python reference to its parent, so dropping the handle early
+    releases the caches and the chained action recomputes the
+    upstream pipeline (correct, just slower). The in-repo call shape
+    (build → materialize → drop) always holds the handle."""
     handles = [c._jdf for c in cached]
     if include_self:
         handles.append(out._jdf)
@@ -281,7 +289,9 @@ def _release_on_gc(
     return out
 
 
-def bucket_pairs(index: DataFrame, keys: list[str]) -> DataFrame:
+def bucket_pairs(
+    index: DataFrame, keys: list[str], max_bucket: int | None = None
+) -> DataFrame:
     """Candidate pairs from equality buckets, generated bucket-locally:
     ONE shuffle (``groupBy`` the bucket key) + a double explode of each
     bucket's id list, deduped across buckets.
@@ -290,17 +300,41 @@ def bucket_pairs(index: DataFrame, keys: list[str]) -> DataFrame:
     join reuse required — with half the exchanges (measured ~1.4 s →
     ~0.6 s for the LSH candidate stage at sf0.1). Output cardinality is
     identical to the equality self-join (Σ_b m_b·(m_b−1)/2), so this
-    changes cost shape, not semantics. Per-task memory is the largest
-    bucket's id array; buckets are bounded by construction at every
-    call site (stop-shingle DF cap / LSH near-dup buckets) — at 100 TB
-    run exact dedup first so true-duplicate groups don't form giant
-    buckets (the same groups would have inflated the self-join's
-    output just as quadratically)."""
+    changes cost shape, not semantics.
+
+    Per-task memory is the largest bucket's id array — one ROW holds
+    the whole bucket, a failure mode the streaming self-join didn't
+    have. The jaccard call site is hard-bounded (stop-shingle cap ⇒
+    bucket ≤ max_df); LSH band buckets are bounded only by the data —
+    a corpus with a million copies of one document puts them all in
+    one bucket. For such corpora run exact dedup FIRST (the standard
+    pipeline order; the same groups would have inflated the
+    self-join's output just as quadratically), or set ``max_bucket``
+    to fail loudly instead of OOMing: buckets above it raise with the
+    offending size."""
     buckets = (
         index.groupBy(*keys)
         .agg(F.collect_list("doc_id").alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket is not None:
+        oversized = F.size("ids") > max_bucket
+        buckets = buckets.withColumn(
+            "ids",
+            F.when(
+                oversized,
+                F.raise_error(
+                    F.concat(
+                        F.lit("bucket_pairs: bucket of "),
+                        F.size("ids").cast("string"),
+                        F.lit(
+                            f" ids exceeds max_bucket={max_bucket} — "
+                            "run exact dedup first or raise the cap"
+                        ),
+                    )
+                ),
+            ).otherwise(F.col("ids")),
+        )
     return (
         buckets.select(F.explode("ids").alias("doc_id_a"), "ids")
         .select("doc_id_a", F.explode("ids").alias("doc_id_b"))
@@ -962,15 +996,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_c: list[np.ndarray] = []
         for lo in range(0, m, tile_rows):
             hi = min(lo + tile_rows, m)
-            acc = np.zeros((hi - lo, m), dtype=np.float64)
+            # columns start at lo: columns ≤ lo can never satisfy the
+            # upper-triangle condition, so skipping them halves the
+            # kernel's multiply-adds across all tiles
+            acc = np.zeros((hi - lo, m - lo), dtype=np.float64)
             for j in range(d):
-                acc += E[lo:hi, j][:, None] * E[:, j][None, :]
-            cos = acc / (norm[lo:hi][:, None] * norm[None, :])
+                acc += E[lo:hi, j][:, None] * E[lo:, j][None, :]
+            cos = acc / (norm[lo:hi][:, None] * norm[lo:][None, :])
             rows, cols = np.nonzero(cos >= threshold)
-            upper = rows + lo < cols  # vec_id_a < vec_id_b (ids sorted)
+            upper = rows < cols  # both offset by lo; vec ids sorted
             rows, cols = rows[upper], cols[upper]
             out_a.append(ids[rows + lo])
-            out_b.append(ids[cols])
+            out_b.append(ids[cols + lo])
             out_c.append(cos[rows, cols])
         return pd.DataFrame(
             {
@@ -980,8 +1017,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    e = spread(read_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", "label", "embedding"
+    e = (
+        spread(read_table(spark, sf_dir, "embeddings"))
+        # null labels never matched the equality blocking (SQL null
+        # semantics, mirrored by the oracle's a.label = b.label) — a
+        # groupBy would silently collect them into one all-pairs block
+        .filter(F.col("label").isNotNull())
+        .select("vec_id", "label", "embedding")
     )
     return (
         e.groupBy("label")

@@ -57,7 +57,16 @@ class ByteStore:
     @staticmethod
     def for_path(path: str, storage_options: dict | None = None) -> "ByteStore":
         if path.startswith(("http://", "https://")):
-            return HttpByteStore(path, storage_options)
+            # fsspec (when installed) keeps full storage_options
+            # semantics (auth kwargs etc. pass through to aiohttp) —
+            # unchanged behavior for existing callers; the stdlib
+            # store is the zero-dependency fallback
+            try:
+                import fsspec  # type: ignore  # noqa: F401
+
+                return FsspecByteStore(path, storage_options)
+            except ImportError:
+                return HttpByteStore(path, storage_options)
         if "://" in path and not path.startswith("file://"):
             return FsspecByteStore(path, storage_options)
         return LocalByteStore(path.removeprefix("file://"), storage_options)
@@ -214,7 +223,8 @@ class HttpByteStore(ByteStore):
 
     def get_range(self, key: str, offset: int, length: int) -> bytes | None:
         if length <= 0:
-            return b"" if self.get(key) is not None else None
+            # existence probe only — 1-byte range, not a full download
+            return None if self._fetch(key, "bytes=0-0") is None else b""
         if offset >= 0:
             rng = f"bytes={offset}-{offset + length - 1}"
         else:

@@ -204,7 +204,9 @@ def write_zarr(
     if axes is None:
         axes = _collect_axes(df, dims)
     else:
-        missing = [d for d in dims if d not in axes]
+        # a None value is what extract_coordinate_arrays yields for an
+        # absent coordinate array — treat it as missing, not as data
+        missing = [d for d in dims if axes.get(d) is None]
         if missing:
             raise ValueError(f"axes missing dimensions: {missing}")
         axes = {

@@ -161,6 +161,22 @@ def test_ann_ivf_recall_vs_bruteforce(spark, sf_small):
     assert recall >= 0.2
 
 
+def test_bucket_pairs_max_bucket_guard(spark):
+    """With max_bucket set, an oversized equality bucket fails loudly
+    (the documented alternative to a single-task OOM on duplicate-
+    heavy corpora) while compliant buckets pass through."""
+    from pyspark.errors import SparkRuntimeException
+
+    from cae_polars_tools_spark.operators.dedup import bucket_pairs
+
+    rows = [(i, "hot") for i in range(10)] + [(100, "cold"), (101, "cold")]
+    idx = spark.createDataFrame(rows, "doc_id long, g string")
+    ok = bucket_pairs(idx, ["g"], max_bucket=64).collect()
+    assert len(ok) == 45 + 1  # C(10,2) hot + 1 cold pair
+    with pytest.raises(SparkRuntimeException, match="max_bucket=4"):
+        bucket_pairs(idx, ["g"], max_bucket=4).collect()
+
+
 def test_ivf_sample_bias_dial(spark, sf_oracle):
     """The training sample comes from the first-scanned partitions
     (sample+limit, no full-corpus pass), so a corpus whose shard order
