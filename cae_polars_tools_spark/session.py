@@ -83,6 +83,14 @@ def get_spark(
         # Broadcast threshold: small dims (region/nation/supplier) must
         # broadcast; 64 MB is safe for dimension tables at any SF here.
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # The engine's deliberate persists hold 64-bit hashes and
+        # MinHash signatures — high-entropy data that lz4/dictionary
+        # encoding cannot shrink, so columnar-cache compression pays
+        # CPU on every cache build for ~no memory saved (measured
+        # ~0.4 s per dedup entry at sf0.1). The caches are sized at
+        # 1-2% of corpus bytes by design, so the forgone compression
+        # costs little even at 100 TB.
+        "spark.sql.inMemoryColumnarStorage.compressed": "false",
         # Local mode runs driver+executors in ONE JVM; the 1g default
         # heap has OOMed under 32 concurrent codegen-heavy tasks. On a
         # real cluster spark-submit owns memory sizing — this only
