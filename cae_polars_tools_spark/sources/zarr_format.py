@@ -57,13 +57,12 @@ class ByteStore:
     @staticmethod
     def for_path(path: str, storage_options: dict | None = None) -> "ByteStore":
         if path.startswith(("http://", "https://")):
-            # fsspec (when installed) keeps full storage_options
-            # semantics (auth kwargs etc. pass through to aiohttp) —
-            # unchanged behavior for existing callers; the stdlib
-            # store is the zero-dependency fallback
+            # fsspec (when fully installed — its http filesystem also
+            # needs aiohttp) keeps full storage_options semantics
+            # (auth kwargs etc. pass through) — unchanged behavior for
+            # existing callers; the stdlib store is the
+            # zero-dependency fallback
             try:
-                import fsspec  # type: ignore  # noqa: F401
-
                 return FsspecByteStore(path, storage_options)
             except ImportError:
                 return HttpByteStore(path, storage_options)
