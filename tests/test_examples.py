@@ -1,0 +1,30 @@
+"""The examples stay runnable: drive the example functions against the
+session fixture (mirrors the reference's runnable examples/ directory,
+reference examples/basic_usage.py)."""
+
+from __future__ import annotations
+
+import importlib
+import os
+import sys
+
+
+def _mod():
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    )
+    return importlib.import_module("examples.basic_usage")
+
+
+def test_examples_run_end_to_end(spark, tmp_path, capsys):
+    ex = _mod()
+    store = ex.make_demo_store(str(tmp_path / "demo.zarr"))
+    ex.basic_example(spark, store)
+    ex.advanced_analysis_example(spark, store)
+    ex.dataset_info_example(store)
+    ex.memory_efficient_example(spark, store)
+    ex.datasource_and_sink_example(spark, store, str(tmp_path / "sink.zarr"))
+    out = capsys.readouterr().out
+    assert "Seasonal summary" in out
+    assert "Sink wrote" in out
