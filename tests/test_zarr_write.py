@@ -44,6 +44,44 @@ def test_write_zarr_roundtrip_through_scan(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.parametrize(
+    "chunks",
+    [
+        (1, 1),  # chunk-per-cell: maximal object count
+        (5, 7),  # chunk larger than the (3, 4) shape: one object
+        (2, 3),  # non-divisible: ragged edge chunks
+    ],
+)
+def test_write_zarr_roundtrip_edge_chunk_geometries(spark, tmp_path, chunks):
+    from cae_polars_tools_spark.sources.zarr_scan import scan_data
+    from cae_polars_tools_spark.sources.zarr_write import write_zarr
+
+    root = str(tmp_path / "edge.zarr")
+    df = _demo_df(spark)
+    write_zarr(df, root, chunks=chunks)
+    got = {
+        (r["time"], r["lat"]): r["value"]
+        for r in scan_data(spark, root, "value").collect()
+    }
+    want = {(r["time"], r["lat"]): r["value"] for r in df.collect()}
+    assert got == want
+
+
+def test_write_zarr_roundtrip_1d(spark, tmp_path):
+    from cae_polars_tools_spark.sources.zarr_scan import scan_data
+    from cae_polars_tools_spark.sources.zarr_write import write_zarr
+
+    root = str(tmp_path / "one_d.zarr")
+    df = spark.createDataFrame(
+        [(i, float(-i)) for i in range(7)], "t int, value double"
+    )
+    summary = write_zarr(df, root, chunks=(3,))
+    assert summary["shape"] == (7,)
+    assert summary["chunks_written"] == 3  # ceil(7/3)
+    got = {(r["t"], r["value"]) for r in scan_data(spark, root, "value").collect()}
+    assert got == {(i, float(-i)) for i in range(7)}
+
+
 def test_write_zarr_caller_axes_skip_gather_and_superset_grid(spark, tmp_path):
     """Caller-supplied ``axes=`` defines the target grid directly (no
     distinct-gathering job). A superset grid is legitimate — a
