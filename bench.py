@@ -72,6 +72,7 @@ def main() -> None:
     spark.catalog.clearCache()
 
     rounds = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3")))
+    load_start = os.getloadavg()[0]
     samples: dict[str, list[float]] = {name: [] for name in corpus}
     for _ in range(rounds):
         for name, spec in sorted(corpus.items()):
@@ -94,6 +95,12 @@ def main() -> None:
                 "queries_min": {n: round(min(ts), 4) for n, ts in samples.items()},
                 "queries_max": {n: round(max(ts), 4) for n, ts in samples.items()},
                 "rounds": rounds,
+                # interpretability guard: a shared machine under
+                # external load inflates medians ~15-20%; a 1-min load
+                # average well above the Spark worker count at START
+                # (before our own executors spin up) flags such a run
+                "loadavg_start": round(load_start, 2),
+                "loadavg_end": round(os.getloadavg()[0], 2),
                 "sf": sf,
             }
         )
