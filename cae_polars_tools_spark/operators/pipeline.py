@@ -1,0 +1,195 @@
+"""Training-data pipeline utilities: deterministic splits, stratified
+sampling, and sequence packing.
+
+Beyond the reference surface (which has no pipeline tooling at all) —
+these are the bookkeeping operators a 100 TB pretraining pipeline runs
+between dedup and tokenization. All three are shuffle-free or
+shuffle-bounded by design:
+
+* ``split_by_hash`` — zero shuffle, zero state: membership is a pure
+  function of the row key, so it is stable across runs, engines,
+  repartitions, and incremental arrivals (a re-crawled document lands
+  in the same split forever).
+* ``stratified_sample`` — per-stratum Bernoulli sampling (zero
+  shuffle) or an exact per-stratum quota (one window shuffle keyed by
+  stratum).
+* ``pack_sequences`` — partition-local first-fit-decreasing bin
+  packing inside ``mapInPandas``: each task packs only its own rows,
+  so the operator scales embarrassingly; global pack ids are
+  (partition, local) encoded without any coordination.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HASH_BUCKETS = 1_000_000
+
+
+def split_by_hash(
+    df: DataFrame,
+    key_col: str | Column,
+    weights: dict[str, float],
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic, stateless dataset split: adds a ``split`` column
+    assigning each row to one of ``weights``' names with the given
+    proportions.
+
+    Membership = which sub-range of ``xxhash64(key, seed) mod 1e6``
+    the row's key hashes into — a pure row-local function, evaluated
+    JVM-side inside codegen. No shuffle, no sampling state, and the
+    assignment survives reruns, engine changes, and data growth:
+    everything a random split cannot guarantee. Rows with equal keys
+    (e.g. near-identical URLs crawled twice) always land in the same
+    split, which is exactly the leakage-prevention property a
+    train/test split needs.
+    """
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    bucket = F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(_HASH_BUCKETS))
+
+    expr = None
+    upper = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        upper += weights[name] / total * _HASH_BUCKETS
+        cond = bucket < F.lit(int(round(upper)))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = names[-1]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: float | dict,
+    seed: int = 0,
+    exact: bool = False,
+) -> DataFrame:
+    """Per-stratum sampling for class-balanced corpora.
+
+    ``exact=False`` (default): Bernoulli per stratum via ``sampleBy``
+    — zero shuffle, size is binomial around the target. ``exact=True``:
+    exactly ``ceil(fraction · n)`` rows per stratum, chosen by ranking
+    rows on their seeded key hash inside a per-stratum window — one
+    shuffle on the stratum key, deterministic for a given seed, and
+    the hash ranking (not ``rand()``) keeps the choice reproducible
+    across runs and retries. Use exact quotas when a downstream
+    contract needs them; the Bernoulli form at 100 TB avoids the
+    stratum-keyed sort entirely."""
+    if not isinstance(fractions, dict):
+        uniq = [r[0] for r in df.select(strata_col).distinct().collect()]
+        fractions = {v: float(fractions) for v in uniq}
+    bad = {k: f for k, f in fractions.items() if not 0.0 <= f <= 1.0}
+    if bad:
+        raise ValueError(f"fractions outside [0, 1]: {bad}")
+    if not exact:
+        return df.sampleBy(strata_col, fractions, seed=seed)
+
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    frac = spark.createDataFrame(
+        [(k, float(f)) for k, f in fractions.items()],
+        schema=f"{strata_col} {dict(df.dtypes)[strata_col]}, __frac double",
+    )
+    w = Window.partitionBy(strata_col).orderBy(
+        F.xxhash64(F.struct(*df.columns), F.lit(seed))
+    )
+    counts = Window.partitionBy(strata_col)
+    return (
+        df.join(F.broadcast(frac), strata_col, "inner")
+        .withColumn("__rank", F.row_number().over(w))
+        .withColumn("__quota", F.ceil(F.count(F.lit(1)).over(counts) * F.col("__frac")))
+        .filter(F.col("__rank") <= F.col("__quota"))
+        .drop("__rank", "__quota", "__frac")
+    )
+
+
+PACK_SCHEMA = "doc_id long, pack_id long, n_tokens long, pack_tokens long"
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Greedy sequence packing: group documents into packs whose token
+    sums stay ≤ ``budget`` (the LLM-training sample-packing step that
+    turns ragged documents into dense fixed-context batches).
+
+    First-fit-decreasing runs PER PARTITION inside ``mapInPandas`` —
+    no shuffle, no global state; a 100 TB corpus packs in one
+    embarrassingly parallel pass. Cross-partition packing would buy
+    only marginally denser packs (FFD is already ≤ 11/9·OPT + 1 per
+    partition) at the cost of a global coordination step, the wrong
+    trade at scale. Pack ids are globally unique without coordination:
+    ``(spark_partition_id << 40) | local_pack_index``.
+
+    A single document longer than ``budget`` gets a pack of its own
+    (callers chunk or drop oversized docs upstream); output
+    ``pack_tokens`` is the pack's total, repeated on every member row.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        base = pid << 40
+        open_room: list[int] = []  # remaining budget per open pack
+        open_ids: list[int] = []
+        next_local = 0
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            toks = pdf[token_col].to_numpy()
+            order = np.argsort(-toks, kind="stable")  # first-fit-DECREASING
+            out_pack = np.empty(len(ids), dtype=np.int64)
+            for i in order:
+                t = int(toks[i])
+                placed = False
+                for j, room in enumerate(open_room):
+                    if t <= room:
+                        open_room[j] -= t
+                        out_pack[i] = open_ids[j]
+                        placed = True
+                        break
+                if not placed:
+                    pack_id = base + next_local
+                    next_local += 1
+                    open_ids.append(pack_id)
+                    open_room.append(max(0, budget - t))
+                    out_pack[i] = pack_id
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids.astype(np.int64),
+                    "pack_id": out_pack,
+                    "n_tokens": toks.astype(np.int64),
+                }
+            )
+
+    from pyspark.sql import Window
+
+    packed = df.select(
+        F.col(id_col).alias(id_col), F.col(token_col).alias(token_col)
+    ).mapInPandas(pack, schema="doc_id long, pack_id long, n_tokens long")
+    # per-pack totals: the window shuffles only the (doc, pack, tokens)
+    # bookkeeping rows, never document payloads
+    return packed.withColumn(
+        "pack_tokens", F.sum("n_tokens").over(Window.partitionBy("pack_id"))
+    )
+
+
+__all__ = ["split_by_hash", "stratified_sample", "pack_sequences"]

@@ -1,0 +1,125 @@
+"""Pipeline utilities: deterministic hash splits, stratified sampling,
+and sequence packing (operators/pipeline.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cae_polars_tools_spark.io import read_table
+from cae_polars_tools_spark.operators.pipeline import (
+    pack_sequences,
+    split_by_hash,
+    stratified_sample,
+)
+
+
+def test_split_by_hash_partitions_completely_and_deterministically(spark, sf_small):
+    docs = read_table(spark, sf_small, "documents")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = split_by_hash(docs, "doc_id", w, seed=7)
+    counts = {r["split"]: r["count"] for r in a.groupBy("split").count().collect()}
+    n = docs.count()
+    assert sum(counts.values()) == n  # complete partition, no drops
+    # proportions within loose binomial bounds
+    assert 0.7 * n <= counts["train"] <= 0.9 * n
+    # deterministic: identical assignment on rebuild
+    b = split_by_hash(read_table(spark, sf_small, "documents"), "doc_id", w, seed=7)
+    assert a.select("doc_id", "split").exceptAll(b.select("doc_id", "split")).count() == 0
+    # different seed reshuffles membership
+    c = split_by_hash(docs, "doc_id", w, seed=8)
+    moved = (
+        a.select("doc_id", "split")
+        .exceptAll(c.select("doc_id", "split"))
+        .count()
+    )
+    assert moved > 0
+
+
+def test_split_by_hash_same_key_same_split(spark):
+    """Equal keys always co-locate — the leakage-prevention property."""
+    df = spark.createDataFrame(
+        [(i % 10, i) for i in range(100)], "k long, payload long"
+    )
+    out = split_by_hash(df, "k", {"a": 0.5, "b": 0.5})
+    assert out.groupBy("k").agg(
+        F.count_distinct("split").alias("n")
+    ).filter("n > 1").count() == 0
+
+
+def test_stratified_sample_bernoulli_and_exact(spark, sf_small):
+    emb = read_table(spark, sf_small, "embeddings")
+    per_label = {
+        r["label"]: r["count"] for r in emb.groupBy("label").count().collect()
+    }
+
+    exact = stratified_sample(emb, "label", 0.3, seed=1, exact=True)
+    got = {r["label"]: r["count"] for r in exact.groupBy("label").count().collect()}
+    import math
+
+    for lbl, n in per_label.items():
+        assert got.get(lbl, 0) == math.ceil(0.3 * n)
+    # deterministic row choice for a fixed seed
+    again = stratified_sample(emb, "label", 0.3, seed=1, exact=True)
+    assert exact.exceptAll(again).count() == 0
+
+    loose = stratified_sample(emb, "label", 0.5, seed=1).count()
+    assert 0.25 * emb.count() <= loose <= 0.75 * emb.count()
+
+    with pytest.raises(ValueError, match="outside"):
+        stratified_sample(emb, "label", 1.5)
+
+
+def test_pack_sequences_budget_and_coverage(spark, sf_small):
+    docs = read_table(spark, sf_small, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    budget = 512
+    packed = pack_sequences(docs, budget, token_col="n_tokens")
+    # every document assigned exactly once
+    assert packed.count() == docs.count()
+    assert packed.select("doc_id").distinct().count() == docs.count()
+    # no multi-document pack exceeds the budget (a single oversized doc
+    # may — callers chunk upstream)
+    over = (
+        packed.groupBy("pack_id")
+        .agg(
+            F.sum("n_tokens").alias("tot"), F.count(F.lit(1)).alias("members")
+        )
+        .filter((F.col("tot") > budget) & (F.col("members") > 1))
+    )
+    assert over.count() == 0
+    # pack_tokens column is the true per-pack sum
+    bad = packed.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("tot"), F.first("pack_tokens").alias("rep")
+    ).filter("tot <> rep")
+    assert bad.count() == 0
+    # packing is dense: far fewer packs than docs at this budget
+    n_packs = packed.select("pack_id").distinct().count()
+    assert n_packs < docs.count()
+    # utilization sanity: average multi-doc pack fill is high
+    fill = (
+        packed.groupBy("pack_id")
+        .agg(F.sum("n_tokens").alias("tot"))
+        .agg(F.avg("tot"))
+        .collect()[0][0]
+    )
+    assert fill > budget * 0.5
+
+
+def test_pack_sequences_oversized_doc_isolated(spark):
+    # one partition: packing is partition-local by design, and this
+    # test asserts WITHIN-partition packing decisions
+    df = spark.createDataFrame(
+        [(1, 100), (2, 9000), (3, 150)], "doc_id long, n_tokens long"
+    ).coalesce(1)
+    packed = {r["doc_id"]: r for r in pack_sequences(df, 512).collect()}
+    assert packed[2]["pack_tokens"] == 9000  # alone in its pack
+    assert packed[1]["pack_id"] != packed[2]["pack_id"]
+    assert packed[1]["pack_id"] == packed[3]["pack_id"]  # 100+150 fit together
+
+
+def test_pack_sequences_rejects_bad_budget(spark):
+    df = spark.createDataFrame([(1, 10)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(df, 0)
