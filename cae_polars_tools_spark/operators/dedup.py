@@ -97,12 +97,28 @@ _SHINGLE_COEF = np.array(
 )
 
 
-@F.pandas_udf(ArrayType(LongType()))
-def _hashed_shingles_udf(text: pd.Series) -> pd.Series:
-    """Distinct 64-bit shingle ids per document, Arrow-batched.
+def _shingle_coef(ngram: int) -> np.ndarray:
+    """Position-weight coefficients for an ``ngram``-token rolling
+    hash: the five fixed constants, extended deterministically (seeded,
+    odd — each term stays a bijection of the token hash) for longer
+    windows such as 13-gram decontamination."""
+    if ngram <= len(_SHINGLE_COEF):
+        return _SHINGLE_COEF[:ngram]
+    rng = np.random.default_rng(20240813 + ngram)
+    extra = (
+        rng.integers(
+            0, 2**63, size=ngram - len(_SHINGLE_COEF), dtype=np.int64
+        ).astype(np.uint64)
+        << np.uint64(1)
+    ) | np.uint64(1)
+    return np.concatenate([_SHINGLE_COEF, extra])
+
+
+def _make_hashed_shingles_udf(ngram: int):
+    """Arrow-batched distinct 64-bit shingle ids per document.
 
     Per document: blake2b-8 each token (memoized across the batch —
-    vocabulary ≪ token count), then every ``NGRAM`` window's id is a
+    vocabulary ≪ token count), then every ``ngram`` window's id is a
     position-weighted sum Σ cⱼ·h(tokⱼ) mod 2⁶⁴ — one vectorized numpy
     pass over the token-hash array, no per-window string join.
     Content-deterministic across partitions/engines (blake2b + fixed
@@ -115,40 +131,54 @@ def _hashed_shingles_udf(text: pd.Series) -> pd.Series:
     CodegenFallback, interpreted per element — measured 42 s of
     executor CPU (cold) for 5 000 docs at sf0.1 vs well under 1 s
     for this kernel."""
-    from hashlib import blake2b
+    coef = _shingle_coef(ngram)
 
-    cache: dict[str, int] = {}
+    @F.pandas_udf(ArrayType(LongType()))
+    def udf(text: pd.Series) -> pd.Series:
+        from hashlib import blake2b
 
-    def th(tok: str) -> int:
-        h = cache.get(tok)
-        if h is None:
-            h = int.from_bytes(blake2b(tok.encode(), digest_size=8).digest(), "little")
-            cache[tok] = h
-        return h
+        cache: dict[str, int] = {}
 
-    out = []
-    for s in text:
-        toks = s.split(TOKEN_SPLIT)
-        n = len(toks)
-        if n < NGRAM:
-            out.append(np.empty(0, dtype=np.int64))
-            continue
-        hv = np.fromiter((th(t) for t in toks), dtype=np.uint64, count=n)
-        nwin = n - NGRAM + 1
-        acc = np.zeros(nwin, dtype=np.uint64)
-        for j in range(NGRAM):
-            acc += _SHINGLE_COEF[j] * hv[j : j + nwin]
-        out.append(np.unique(acc).astype(np.int64))
-    return pd.Series(out)
+        def th(tok: str) -> int:
+            h = cache.get(tok)
+            if h is None:
+                h = int.from_bytes(
+                    blake2b(tok.encode(), digest_size=8).digest(), "little"
+                )
+                cache[tok] = h
+            return h
+
+        out = []
+        for s in text:
+            toks = s.split(TOKEN_SPLIT)
+            n = len(toks)
+            if n < ngram:
+                out.append(np.empty(0, dtype=np.int64))
+                continue
+            hv = np.fromiter((th(t) for t in toks), dtype=np.uint64, count=n)
+            nwin = n - ngram + 1
+            acc = np.zeros(nwin, dtype=np.uint64)
+            for j in range(ngram):
+                acc += coef[j] * hv[j : j + nwin]
+            out.append(np.unique(acc).astype(np.int64))
+        return pd.Series(out)
+
+    return udf
 
 
-def hashed_shingles(col: Column | str) -> Column:
-    """Distinct 64-bit shingle ids (see :func:`_hashed_shingles_udf`).
+_hashed_shingles_udf = _make_hashed_shingles_udf(NGRAM)
+
+
+def hashed_shingles(col: Column | str, ngram: int = NGRAM) -> Column:
+    """Distinct 64-bit shingle ids (see :func:`_make_hashed_shingles_udf`).
     Window-set distinctness — and therefore every Jaccard value — is
     identical to the string-shingle form (:func:`shingles`); only the
-    ids differ. Documents with fewer than ``NGRAM`` tokens yield an
+    ids differ. Documents with fewer than ``ngram`` tokens yield an
     empty set."""
-    return _hashed_shingles_udf(F.col(col) if isinstance(col, str) else col)
+    c = F.col(col) if isinstance(col, str) else col
+    if ngram == NGRAM:
+        return _hashed_shingles_udf(c)
+    return _make_hashed_shingles_udf(ngram)(c)
 
 
 SHINGLES_SQL = (

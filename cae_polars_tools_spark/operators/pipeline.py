@@ -192,4 +192,79 @@ def pack_sequences(
     )
 
 
-__all__ = ["split_by_hash", "stratified_sample", "pack_sequences"]
+DECONTAM_NGRAM = 13  # the GPT-3/PaLM-style decontamination window
+
+
+def contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    ngram: int = DECONTAM_NGRAM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark-contamination detection: for each corpus document,
+    the number of distinct ``ngram``-token windows it shares with ANY
+    benchmark document — the standard eval-decontamination signal
+    (long verbatim n-gram overlap; 13 tokens is the published
+    convention).
+
+    Scale shape: both sides reduce to 64-bit window hashes (the dedup
+    module's rolling-hash kernel — bytes never re-materialize as
+    strings), the benchmark side collapses to its DISTINCT hash set —
+    eval suites are tiny next to a training corpus, so it broadcasts
+    (~8 B per distinct window) and the corpus-side scan never
+    shuffles. For an unusually large benchmark union pass
+    ``broadcast_benchmark=False`` to fall back to a hash-keyed shuffle
+    join. Returns ``(id_col, n_hits)`` for contaminated docs only.
+    """
+    from cae_polars_tools_spark.operators.dedup import hashed_shingles
+
+    c = corpus.select(
+        F.col(id_col),
+        F.explode(hashed_shingles(F.col(text_col), ngram)).alias("g"),
+    )
+    b = benchmark.select(
+        F.explode(hashed_shingles(F.col(text_col), ngram)).alias("g")
+    ).distinct()
+    if broadcast_benchmark:
+        b = F.broadcast(b)
+    return (
+        c.join(b, "g")
+        .groupBy(id_col)
+        .agg(F.count_distinct("g").alias("n_hits"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    ngram: int = DECONTAM_NGRAM,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Drop corpus documents sharing ≥ ``min_hits`` distinct
+    ``ngram``-token windows with the benchmark set (anti-join on the
+    flagged ids — the corpus payload rows never shuffle)."""
+    flagged = contamination_hits(
+        corpus,
+        benchmark,
+        ngram=ngram,
+        id_col=id_col,
+        text_col=text_col,
+        broadcast_benchmark=broadcast_benchmark,
+    ).filter(F.col("n_hits") >= min_hits)
+    return corpus.join(
+        F.broadcast(flagged.select(id_col)), id_col, "left_anti"
+    )
+
+
+__all__ = [
+    "split_by_hash",
+    "stratified_sample",
+    "pack_sequences",
+    "contamination_hits",
+    "decontaminate",
+]

@@ -123,3 +123,58 @@ def test_pack_sequences_rejects_bad_budget(spark):
     df = spark.createDataFrame([(1, 10)], "doc_id long, n_tokens long")
     with pytest.raises(ValueError, match="budget"):
         pack_sequences(df, 0)
+
+
+def test_decontamination_flags_verbatim_overlap(spark, sf_small):
+    """A benchmark built from verbatim 13-token spans of two corpus
+    docs flags exactly those docs; a novel benchmark doc flags none."""
+    from cae_polars_tools_spark.operators.pipeline import (
+        contamination_hits,
+        decontaminate,
+    )
+
+    docs = read_table(spark, sf_small, "documents")
+    long_docs = [
+        (r["doc_id"], r["text"])
+        for r in docs.filter(F.size(F.split("text", " ")) >= 20)
+        .orderBy("doc_id")
+        .limit(2)
+        .collect()
+    ]
+    assert len(long_docs) == 2
+    spans = [
+        " ".join(text.split(" ")[3:17])  # 14 tokens → two 13-gram windows
+        for _id, text in long_docs
+    ]
+    benchmark = spark.createDataFrame(
+        [(0, spans[0]), (1, spans[1]), (2, "entirely novel words " * 8)],
+        "bench_id long, text string",
+    )
+
+    hits = {
+        r["doc_id"]: r["n_hits"]
+        for r in contamination_hits(docs, benchmark).collect()
+    }
+    expected_ids = {i for i, _ in long_docs}
+    assert expected_ids <= set(hits)
+    for i in expected_ids:
+        assert hits[i] >= 2  # both windows of the span matched
+    clean = decontaminate(docs, benchmark)
+    remaining = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    assert expected_ids.isdisjoint(remaining)
+    assert len(remaining) == docs.count() - len(set(hits))
+
+
+def test_decontamination_shuffle_join_variant_matches(spark, sf_small):
+    from cae_polars_tools_spark.operators.pipeline import contamination_hits
+
+    docs = read_table(spark, sf_small, "documents")
+    bench = docs.limit(3).select(F.col("doc_id").alias("bench_id"), "text")
+    a = set(map(tuple, contamination_hits(docs, bench).collect()))
+    b = set(
+        map(
+            tuple,
+            contamination_hits(docs, bench, broadcast_benchmark=False).collect(),
+        )
+    )
+    assert a == b and len(a) >= 3  # the 3 source docs self-match
