@@ -1,0 +1,109 @@
+#!/usr/bin/env python3
+"""cae-polars-tools-spark example: an LLM training-data pipeline.
+
+The operators beyond the reference surface, chained the way a
+pretraining pipeline actually runs them — on the synthetic
+``documents`` table:
+
+1. exact dedup (md5 fingerprint groups → canonical copies only)
+2. MinHash-LSH near-dup removal (drop the larger doc_id of each pair)
+3. benchmark decontamination (13-gram verbatim overlap)
+4. quality filtering on text statistics
+5. deterministic train/val/test split (hash-based, leakage-safe)
+6. sequence packing into fixed token budgets
+
+Run: ``python examples/pipeline_usage.py [sf_dir]``
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from cae_polars_tools_spark.io import read_table  # noqa: E402
+from cae_polars_tools_spark.operators.dedup import (  # noqa: E402
+    fingerprint,
+    minhash_lsh_pairs,
+)
+from cae_polars_tools_spark.operators.pipeline import (  # noqa: E402
+    decontaminate,
+    pack_sequences,
+    split_by_hash,
+)
+from cae_polars_tools_spark.operators.text import tokens  # noqa: E402
+from cae_polars_tools_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="cae-polars-tools-spark-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = read_table(spark, sf_dir, "documents")
+    n0 = docs.count()
+    print(f"corpus: {n0} documents")
+
+    # 1. exact dedup: one 16-byte-fingerprint shuffle; keep each
+    # group's minimum doc_id (deterministic canonical choice)
+    canonical = (
+        docs.select("doc_id", fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    docs = docs.join(canonical, "doc_id", "left_semi")
+    n1 = docs.count()
+    print(f"after exact dedup: {n1} (-{n0 - n1})")
+
+    # 2. near-dup removal: drop the larger id of every jaccard>=0.8 pair
+    pairs = minhash_lsh_pairs(docs)
+    drop = pairs.select(F.col("doc_id_b").alias("doc_id")).distinct()
+    docs = docs.join(F.broadcast(drop), "doc_id", "left_anti")
+    n2 = docs.count()
+    print(f"after near-dup removal: {n2} (-{n1 - n2})")
+
+    # 3. decontaminate against a toy benchmark (a verbatim 15-token
+    # span of one corpus doc, so exactly that doc gets dropped)
+    sample = docs.filter(F.size(tokens("text")) >= 20).limit(1).collect()
+    bench_text = " ".join(sample[0]["text"].split(" ")[:15]) if sample else "x"
+    benchmark = spark.createDataFrame(
+        [(0, bench_text)], "bench_id long, text string"
+    )
+    docs = decontaminate(docs, benchmark)
+    n3 = docs.count()
+    print(f"after decontamination: {n3} (-{n2 - n3})")
+
+    # 4. quality filter: per-row expressions, no shuffle
+    docs = docs.filter(F.size(tokens("text")) >= 5)
+    n4 = docs.count()
+    print(f"after quality filter: {n4} (-{n3 - n4})")
+
+    # 5. deterministic split — stable across reruns and data growth,
+    # equal keys always co-locate (no train/test leakage)
+    split = split_by_hash(
+        docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    split.groupBy("split").count().orderBy("split").show()
+
+    # 6. pack the train split into 512-token samples
+    train = split.filter("split = 'train'").select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    n_train = train.count()
+    packed = pack_sequences(train, budget=512)
+    summary = packed.groupBy("pack_id").agg(F.sum("n_tokens").alias("tokens"))
+    n_packs = summary.count()
+    fill = summary.agg(F.avg("tokens")).collect()[0][0]
+    print(
+        f"packed {n_train} docs into {n_packs} samples, "
+        f"avg fill {fill:.0f}/512 tokens"
+    )
+    print("Pipeline complete.")
+
+
+if __name__ == "__main__":
+    main()

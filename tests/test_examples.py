@@ -17,6 +17,19 @@ def _mod():
     return importlib.import_module("examples.basic_usage")
 
 
+def test_pipeline_example_runs(spark, capsys, monkeypatch):
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    )
+    ex = importlib.import_module("examples.pipeline_usage")
+    monkeypatch.setattr(sys, "argv", ["pipeline_usage.py"])
+    ex.main()
+    out = capsys.readouterr().out
+    assert "Pipeline complete." in out
+    assert "packed" in out
+
+
 def test_examples_run_end_to_end(spark, tmp_path, capsys):
     ex = _mod()
     store = ex.make_demo_store(str(tmp_path / "demo.zarr"))
