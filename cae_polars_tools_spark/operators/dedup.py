@@ -37,7 +37,7 @@ from collections.abc import Callable
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 

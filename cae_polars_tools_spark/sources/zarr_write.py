@@ -44,7 +44,6 @@ last-writer-wins would hide upstream join bugs).
 from __future__ import annotations
 
 import gzip as _gzip
-import itertools
 import json
 import zlib as _zlib
 from typing import Any
