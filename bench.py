@@ -47,6 +47,9 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
+    # sample BEFORE the session exists: once our own executors spin up
+    # the 1-min average reflects the harness itself, not external load
+    load_start = os.getloadavg()[0]
     spark = get_spark(app_name="cae-polars-tools-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     corpus = load_all()
@@ -72,7 +75,6 @@ def main() -> None:
     spark.catalog.clearCache()
 
     rounds = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3")))
-    load_start = os.getloadavg()[0]
     samples: dict[str, list[float]] = {name: [] for name in corpus}
     for _ in range(rounds):
         for name, spec in sorted(corpus.items()):
@@ -96,9 +98,9 @@ def main() -> None:
                 "queries_max": {n: round(max(ts), 4) for n, ts in samples.items()},
                 "rounds": rounds,
                 # interpretability guard: a shared machine under
-                # external load inflates medians ~15-20%; a 1-min load
-                # average well above the Spark worker count at START
-                # (before our own executors spin up) flags such a run
+                # external load inflates medians ~15-20%; a high 1-min
+                # load average at start (sampled before the session
+                # even exists) flags such a run
                 "loadavg_start": round(load_start, 2),
                 "loadavg_end": round(os.getloadavg()[0], 2),
                 "sf": sf,

@@ -150,7 +150,9 @@ def _make_hashed_shingles_udf(ngram: int):
 
         out = []
         for s in text:
-            toks = s.split(TOKEN_SPLIT)
+            # null text (common in real crawls) ⇒ empty shingle set,
+            # mirroring the < ngram-tokens case
+            toks = s.split(TOKEN_SPLIT) if isinstance(s, str) else []
             n = len(toks)
             if n < ngram:
                 out.append(np.empty(0, dtype=np.int64))

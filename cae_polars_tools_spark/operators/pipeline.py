@@ -51,6 +51,9 @@ def split_by_hash(
     split, which is exactly the leakage-prevention property a
     train/test split needs.
     """
+    bad = {k: w for k, w in weights.items() if w < 0}
+    if bad:
+        raise ValueError(f"negative weights: {bad}")
     total = sum(weights.values())
     if total <= 0:
         raise ValueError("weights must sum to a positive value")
@@ -75,22 +78,34 @@ def stratified_sample(
     fractions: float | dict,
     seed: int = 0,
     exact: bool = False,
+    rank_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-stratum sampling for class-balanced corpora.
 
-    ``exact=False`` (default): Bernoulli per stratum via ``sampleBy``
-    — zero shuffle, size is binomial around the target. ``exact=True``:
-    exactly ``ceil(fraction · n)`` rows per stratum, chosen by ranking
-    rows on their seeded key hash inside a per-stratum window — one
-    shuffle on the stratum key, deterministic for a given seed, and
-    the hash ranking (not ``rand()``) keeps the choice reproducible
-    across runs and retries. Use exact quotas when a downstream
-    contract needs them; the Bernoulli form at 100 TB avoids the
-    stratum-keyed sort entirely."""
+    ``exact=False`` (default): Bernoulli per stratum — zero shuffle,
+    size is binomial around the target; a scalar fraction is a plain
+    ``sample`` (statistically identical per stratum, and it skips the
+    full-table distinct scan a ``sampleBy`` fraction map would need).
+    ``exact=True``: exactly ``ceil(fraction · n)`` rows per stratum,
+    chosen by ranking rows on a seeded hash inside a per-stratum
+    window — one shuffle on the stratum key, deterministic for a given
+    seed, and the hash ranking (not ``rand()``) keeps the choice
+    reproducible across runs and retries. The hash covers
+    ``rank_cols`` when given (pass a unique id column for frames with
+    MapType columns, which xxhash64 cannot consume, or with fully
+    duplicate rows, whose ties would rank arbitrarily), else all
+    columns. Use exact quotas when a downstream contract needs them;
+    the Bernoulli form at 100 TB avoids the stratum-keyed sort
+    entirely."""
     if not isinstance(fractions, dict):
+        f = float(fractions)
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fractions outside [0, 1]: {f}")
+        if not exact:
+            return df.sample(fraction=f, seed=seed)
         uniq = [r[0] for r in df.select(strata_col).distinct().collect()]
-        fractions = {v: float(fractions) for v in uniq}
-    bad = {k: f for k, f in fractions.items() if not 0.0 <= f <= 1.0}
+        fractions = {v: f for v in uniq}
+    bad = {k: fr for k, fr in fractions.items() if not 0.0 <= fr <= 1.0}
     if bad:
         raise ValueError(f"fractions outside [0, 1]: {bad}")
     if not exact:
@@ -103,8 +118,9 @@ def stratified_sample(
         [(k, float(f)) for k, f in fractions.items()],
         schema=f"{strata_col} {dict(df.dtypes)[strata_col]}, __frac double",
     )
+    hashed = F.struct(*(rank_cols if rank_cols else df.columns))
     w = Window.partitionBy(strata_col).orderBy(
-        F.xxhash64(F.struct(*df.columns), F.lit(seed))
+        F.xxhash64(hashed, F.lit(seed))
     )
     counts = Window.partitionBy(strata_col)
     return (
@@ -116,79 +132,99 @@ def stratified_sample(
     )
 
 
-PACK_SCHEMA = "doc_id long, pack_id long, n_tokens long, pack_tokens long"
-
-
 def pack_sequences(
     df: DataFrame,
     budget: int,
     id_col: str = "doc_id",
     token_col: str = "n_tokens",
+    max_open_packs: int = 1024,
 ) -> DataFrame:
     """Greedy sequence packing: group documents into packs whose token
     sums stay ≤ ``budget`` (the LLM-training sample-packing step that
     turns ragged documents into dense fixed-context batches).
 
-    First-fit-decreasing runs PER PARTITION inside ``mapInPandas`` —
-    no shuffle, no global state; a 100 TB corpus packs in one
-    embarrassingly parallel pass. Cross-partition packing would buy
-    only marginally denser packs (FFD is already ≤ 11/9·OPT + 1 per
-    partition) at the cost of a global coordination step, the wrong
-    trade at scale. Pack ids are globally unique without coordination:
+    First-fit-decreasing runs PER PARTITION inside ``mapInPandas``:
+    the task buffers only its (id, tokens) bookkeeping pairs — 16
+    bytes/row, never document payloads — so the whole partition sorts
+    descending as one unit (true FFD, ≤ 11/9·OPT + 1 per partition)
+    regardless of how Arrow batches it. No shuffle, no global state;
+    cross-partition packing would buy marginally denser packs at the
+    cost of a global coordination step, the wrong trade at scale.
+    Pack ids are globally unique without coordination:
     ``(spark_partition_id << 40) | local_pack_index``.
 
+    ``max_open_packs`` bounds per-document work: when the open list
+    overflows, the fullest pack (least remaining room — the least
+    useful to future, smaller documents) is closed, keeping the task
+    O(n · max_open_packs) instead of quadratic on adversarial size
+    distributions, with negligible density cost.
+
     A single document longer than ``budget`` gets a pack of its own
-    (callers chunk or drop oversized docs upstream); output
-    ``pack_tokens`` is the pack's total, repeated on every member row.
+    (callers chunk or drop oversized docs upstream); output columns
+    are ``(id_col, pack_id, token_col, pack_tokens)`` with
+    ``pack_tokens`` the pack's total, repeated on every member row.
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
+    if max_open_packs < 1:
+        raise ValueError("max_open_packs must be at least 1")
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
         base = pid << 40
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if not chunks:
+            return
+        ids = np.concatenate([c[id_col].to_numpy() for c in chunks]).astype(
+            np.int64
+        )
+        toks = np.concatenate(
+            [c[token_col].to_numpy() for c in chunks]
+        ).astype(np.int64)
+        order = np.argsort(-toks, kind="stable")  # first-fit-DECREASING
         open_room: list[int] = []  # remaining budget per open pack
         open_ids: list[int] = []
+        out_pack = np.empty(len(ids), dtype=np.int64)
         next_local = 0
-        for pdf in batches:
-            ids = pdf[id_col].to_numpy()
-            toks = pdf[token_col].to_numpy()
-            order = np.argsort(-toks, kind="stable")  # first-fit-DECREASING
-            out_pack = np.empty(len(ids), dtype=np.int64)
-            for i in order:
-                t = int(toks[i])
-                placed = False
-                for j, room in enumerate(open_room):
-                    if t <= room:
-                        open_room[j] -= t
-                        out_pack[i] = open_ids[j]
-                        placed = True
-                        break
-                if not placed:
-                    pack_id = base + next_local
-                    next_local += 1
-                    open_ids.append(pack_id)
-                    open_room.append(max(0, budget - t))
-                    out_pack[i] = pack_id
-            yield pd.DataFrame(
-                {
-                    "doc_id": ids.astype(np.int64),
-                    "pack_id": out_pack,
-                    "n_tokens": toks.astype(np.int64),
-                }
-            )
+        for i in order:
+            t = int(toks[i])
+            placed = False
+            for j, room in enumerate(open_room):
+                if t <= room:
+                    open_room[j] -= t
+                    out_pack[i] = open_ids[j]
+                    placed = True
+                    break
+            if not placed:
+                pack_id = base + next_local
+                next_local += 1
+                open_ids.append(pack_id)
+                open_room.append(max(0, budget - t))
+                out_pack[i] = pack_id
+                if len(open_room) > max_open_packs:
+                    full = min(
+                        range(len(open_room)), key=open_room.__getitem__
+                    )
+                    open_room.pop(full)
+                    open_ids.pop(full)
+        yield pd.DataFrame(
+            {id_col: ids, "pack_id": out_pack, token_col: toks}
+        )
 
     from pyspark.sql import Window
 
     packed = df.select(
-        F.col(id_col).alias(id_col), F.col(token_col).alias(token_col)
-    ).mapInPandas(pack, schema="doc_id long, pack_id long, n_tokens long")
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(token_col).cast("long").alias(token_col),
+    ).mapInPandas(
+        pack, schema=f"{id_col} long, pack_id long, {token_col} long"
+    )
     # per-pack totals: the window shuffles only the (doc, pack, tokens)
     # bookkeeping rows, never document payloads
     return packed.withColumn(
-        "pack_tokens", F.sum("n_tokens").over(Window.partitionBy("pack_id"))
+        "pack_tokens", F.sum(token_col).over(Window.partitionBy("pack_id"))
     )
 
 
@@ -256,9 +292,15 @@ def decontaminate(
         text_col=text_col,
         broadcast_benchmark=broadcast_benchmark,
     ).filter(F.col("n_hits") >= min_hits)
-    return corpus.join(
-        F.broadcast(flagged.select(id_col)), id_col, "left_anti"
-    )
+    ids = flagged.select(id_col)
+    if broadcast_benchmark:
+        # flagged ids are bounded by docs-overlapping-the-(small)-
+        # benchmark — broadcast keeps the anti-join shuffle-free
+        ids = F.broadcast(ids)
+    # broadcast_benchmark=False signals the large regime: a heavily
+    # mirrored benchmark can flag an unbounded share of the corpus, so
+    # let the planner pick a shuffle anti-join
+    return corpus.join(ids, id_col, "left_anti")
 
 
 __all__ = [

@@ -61,11 +61,20 @@ class ByteStore:
             # needs aiohttp) keeps full storage_options semantics
             # (auth kwargs etc. pass through) — unchanged behavior for
             # existing callers; the stdlib store is the
-            # zero-dependency fallback
+            # zero-dependency fallback. The fallback only engages when
+            # there are no storage_options beyond the keys the stdlib
+            # store understands: silently dropping fsspec auth kwargs
+            # would send unauthenticated requests.
             try:
                 return FsspecByteStore(path, storage_options)
             except ImportError:
-                return HttpByteStore(path, storage_options)
+                if set(storage_options or {}) <= {
+                    "timeout",
+                    "retries",
+                    "headers",
+                }:
+                    return HttpByteStore(path, storage_options)
+                raise
         if "://" in path and not path.startswith("file://"):
             return FsspecByteStore(path, storage_options)
         return LocalByteStore(path.removeprefix("file://"), storage_options)

@@ -178,3 +178,53 @@ def test_decontamination_shuffle_join_variant_matches(spark, sf_small):
         )
     )
     assert a == b and len(a) >= 3  # the 3 source docs self-match
+
+
+def test_split_by_hash_rejects_negative_weight(spark):
+    from cae_polars_tools_spark.operators.pipeline import split_by_hash
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="negative"):
+        split_by_hash(df, "k", {"a": 0.5, "b": -0.2, "c": 0.7})
+
+
+def test_contamination_tolerates_null_text(spark):
+    from cae_polars_tools_spark.operators.pipeline import contamination_hits
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox " * 10), (2, None)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox " * 4)], "bench_id long, text string"
+    )
+    hits = {r["doc_id"] for r in contamination_hits(corpus, bench).collect()}
+    assert hits == {1}  # null-text doc neither crashes nor matches
+
+
+def test_pack_sequences_open_pack_cap(spark):
+    """With a tiny open-pack cap the budget contract still holds; the
+    cap only trades density, never correctness."""
+    from cae_polars_tools_spark.operators.pipeline import pack_sequences
+
+    rows = [(i, 260) for i in range(50)]  # each pack fits exactly one…
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long").coalesce(1)
+    packed = pack_sequences(df, 512, max_open_packs=2)
+    over = (
+        packed.groupBy("pack_id")
+        .agg(F.sum("n_tokens").alias("tot"), F.count(F.lit(1)).alias("m"))
+        .filter((F.col("tot") > 512) & (F.col("m") > 1))
+    )
+    assert over.count() == 0
+    assert packed.count() == 50
+    with pytest.raises(ValueError, match="max_open_packs"):
+        pack_sequences(df, 512, max_open_packs=0)
+
+
+def test_pack_sequences_honors_column_names(spark):
+    from cae_polars_tools_spark.operators.pipeline import pack_sequences
+
+    df = spark.createDataFrame([(7, 10), (8, 20)], "uid long, toks long").coalesce(1)
+    out = pack_sequences(df, 512, id_col="uid", token_col="toks")
+    assert set(out.columns) == {"uid", "pack_id", "toks", "pack_tokens"}
+    assert {r["uid"] for r in out.collect()} == {7, 8}
