@@ -1,0 +1,74 @@
+"""Guards on the bench harness's driver contract.
+
+The round driver captures only the LAST 2000 characters of bench.py's
+stdout and parses the final line as JSON. Round 4's artifact was
+unparseable (``parsed: null``) because inline ``queries_min`` /
+``queries_max`` pushed the single line past that window and the
+truncated line started mid-JSON. These tests pin the contract without
+running Spark: the corpus registry supplies the real query names, and
+the line is rebuilt exactly the way ``bench.py`` builds it.
+"""
+
+from __future__ import annotations
+
+import ast
+import json
+import os
+
+from cae_polars_tools_spark.plans.registry import load_all
+
+DRIVER_TAIL_CHARS = 2000
+BUDGET = 1900  # bench.py's own guard threshold
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _line(names, ndigits: int) -> str:
+    return json.dumps(
+        {
+            "metric": "corpus_total_wall_seconds",
+            "value": round(999.999, ndigits),
+            "unit": "sec",
+            "queries": {n: round(12.3456789, ndigits) for n in names},
+            "sf": 0.1,
+        },
+        separators=(",", ":"),
+    )
+
+
+def test_stdout_line_fits_driver_tail_window():
+    names = sorted(load_all())
+    assert len(_line(names, 3)) <= BUDGET < DRIVER_TAIL_CHARS
+
+
+def test_fallback_precision_buys_headroom_for_corpus_growth():
+    # Even if the corpus grows to ~70 entries of typical name length,
+    # the 2-decimal fallback keeps the line inside the window.
+    names = sorted(load_all())
+    pad = [f"future_operator_entry_{i:02d}" for i in range(70 - len(names))]
+    assert len(_line(names + pad, 2)) <= DRIVER_TAIL_CHARS
+
+
+def test_bench_source_has_no_inline_spread_keys():
+    # min/max/loadavg belong in BENCH_DETAILS.json, not the stdout line.
+    src = open(os.path.join(REPO, "bench.py")).read()
+    tree = ast.parse(src)
+    # find every dict literal passed to json.dumps inside a print call
+    printed_keys: set[str] = set()
+    for node in ast.walk(tree):
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr == "dumps"
+            and node.args
+            and isinstance(node.args[0], ast.Dict)
+        ):
+            keys = {
+                k.value
+                for k in node.args[0].keys
+                if isinstance(k, ast.Constant)
+            }
+            if "metric" in keys:
+                printed_keys |= keys
+    assert printed_keys, "bench.py no longer builds the metric line?"
+    assert not printed_keys & {"queries_min", "queries_max", "loadavg_start"}
