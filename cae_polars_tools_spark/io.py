@@ -125,7 +125,18 @@ def _scan_task_estimate(df: DataFrame) -> int | None:
     open-cost pad per split. File-listing metadata only — no RDD
     lineage is built at plan time. ``None`` when the plan isn't a
     local-file scan (caller falls back to the exact RDD partition
-    count)."""
+    count).
+
+    Ordering note: the GLOBAL descending sort over flattened splits is
+    Spark's own order — both ``FileSourceScanExec.createReadRDD`` (v1)
+    and ``FileScan.partitions`` (DSv2) flatten every file's splits and
+    then ``sortBy(_.length)`` descending before
+    ``FilePartition.getFilePartitions`` packs them; splits are NOT
+    emitted in per-file order. Ties between equal-length splits may
+    order differently than Spark's sort, but first-fit packing of
+    interchangeable equal-length items yields the same partition
+    count, so the estimate — and therefore ``spread()``'s decision —
+    is unaffected."""
     from urllib.parse import unquote, urlparse
 
     try:

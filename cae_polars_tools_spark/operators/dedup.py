@@ -314,10 +314,14 @@ def _release_on_gc(
     releases the caches and the chained action recomputes the
     upstream pipeline (correct, just slower). The in-repo call shape
     (build → materialize → drop) always holds the handle."""
-    handles = [c._jdf for c in cached]
-    if include_self:
-        handles.append(out._jdf)
-    weakref.finalize(out, _unpersist_quietly, handles)
+    # getattr guard: under Spark Connect DataFrames have no _jdf (no
+    # JVM handle in-process) — caches there are session-managed, so
+    # skipping the finalizer is the correct degradation, not a leak.
+    handles = [j for c in cached if (j := getattr(c, "_jdf", None)) is not None]
+    if include_self and (j := getattr(out, "_jdf", None)) is not None:
+        handles.append(j)
+    if handles:
+        weakref.finalize(out, _unpersist_quietly, handles)
     return out
 
 
@@ -498,7 +502,9 @@ def minhash_signature(h64: pd.Series) -> pd.Series:
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    max_bucket: int = 200_000,
 ) -> DataFrame:
     """Candidate pairs from LSH band-bucket equality, verified with the
     exact Jaccard of the candidate pairs only.
@@ -509,6 +515,17 @@ def minhash_lsh_pairs(
     strings: the per-pair collision odds are ~|s|²/2⁶⁴ ≈ 1e-15, and
     the candidate shuffle carries 8-byte longs instead of ~30-char
     shingles.
+
+    Band buckets are bounded only by the data — a corpus with a
+    million byte-identical copies of one document puts them all in one
+    band bucket, and :func:`bucket_pairs` holds a whole bucket's id
+    array in one task. ``max_bucket`` (default 200k ids ≈ 1.6 MB per
+    bucket row — far below executor memory, but already 2·10¹⁰
+    candidate pairs, a cost no caller wants silently) makes that
+    corpus fail loudly with the offending bucket size instead of
+    OOMing mid-explode. The standard pipeline — exact dedup FIRST,
+    then near-dup — keeps real buckets orders of magnitude below the
+    cap; pass ``max_bucket=None`` to run uncapped.
 
     The hashed frame is persisted because the DAG references it three
     times (the signature path and both sides of the verification
@@ -540,7 +557,7 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
-    candidates = bucket_pairs(bands, ["band", "bh"])
+    candidates = bucket_pairs(bands, ["band", "bh"], max_bucket=max_bucket)
 
     sa = hashed.select(F.col("doc_id").alias("doc_id_a"), F.col("h64").alias("s_a"))
     sb = hashed.select(F.col("doc_id").alias("doc_id_b"), F.col("h64").alias("s_b"))

@@ -96,7 +96,16 @@ def stratified_sample(
     duplicate rows, whose ties would rank arbitrarily), else all
     columns. Use exact quotas when a downstream contract needs them;
     the Bernoulli form at 100 TB avoids the stratum-keyed sort
-    entirely."""
+    entirely.
+
+    Drop semantics (both modes): rows whose stratum is NOT a key of
+    the ``fractions`` dict are dropped, and so are NULL-stratum rows —
+    ``sampleBy`` ignores unlisted keys, and the exact path's inner
+    join never matches nulls. Pre-filter or fill nulls upstream if
+    they must be kept. Driver-memory note: a SCALAR fraction with
+    ``exact=True`` collects the distinct strata to the driver to build
+    the quota map — fine for class labels or language codes, wrong for
+    unbounded-cardinality strata (pass an explicit dict there)."""
     if not isinstance(fractions, dict):
         f = float(fractions)
         if not 0.0 <= f <= 1.0:
@@ -163,11 +172,24 @@ def pack_sequences(
     (callers chunk or drop oversized docs upstream); output columns
     are ``(id_col, pack_id, token_col, pack_tokens)`` with
     ``pack_tokens`` the pack's total, repeated on every member row.
+
+    ``id_col`` passes through with its ORIGINAL type — string/UUID doc
+    ids (the common shape in real crawls) survive unchanged; only
+    ``token_col`` is cast (to long). Complex-typed ids (array/map/
+    struct) are rejected up front: they have no stable Arrow↔pandas
+    round-trip as a passthrough key and no equality semantics a pack
+    membership row should depend on.
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
     if max_open_packs < 1:
         raise ValueError("max_open_packs must be at least 1")
+    id_type = dict(df.dtypes)[id_col]
+    if any(id_type.startswith(t) for t in ("array", "map", "struct")):
+        raise TypeError(
+            f"pack_sequences: id column {id_col!r} has complex type "
+            f"{id_type}; use an atomic id (string/int) column"
+        )
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -177,9 +199,9 @@ def pack_sequences(
         chunks = [pdf for pdf in batches if len(pdf)]
         if not chunks:
             return
-        ids = np.concatenate([c[id_col].to_numpy() for c in chunks]).astype(
-            np.int64
-        )
+        # ids stay in their native dtype (object for strings) — they
+        # are a passthrough payload, never arithmetic operands
+        ids = np.concatenate([c[id_col].to_numpy() for c in chunks])
         toks = np.concatenate(
             [c[token_col].to_numpy() for c in chunks]
         ).astype(np.int64)
@@ -216,10 +238,10 @@ def pack_sequences(
     from pyspark.sql import Window
 
     packed = df.select(
-        F.col(id_col).cast("long").alias(id_col),
+        F.col(id_col),
         F.col(token_col).cast("long").alias(token_col),
     ).mapInPandas(
-        pack, schema=f"{id_col} long, pack_id long, {token_col} long"
+        pack, schema=f"{id_col} {id_type}, pack_id long, {token_col} long"
     )
     # per-pack totals: the window shuffles only the (doc, pack, tokens)
     # bookkeeping rows, never document payloads

@@ -177,6 +177,24 @@ def test_bucket_pairs_max_bucket_guard(spark):
         bucket_pairs(idx, ["g"], max_bucket=4).collect()
 
 
+def test_minhash_lsh_wires_max_bucket_to_band_buckets(spark):
+    """The LSH call site passes its OOM guard down to bucket_pairs: a
+    pile of identical docs (one giant band bucket) fails loudly at a
+    tiny cap, and the default cap leaves a normal corpus untouched."""
+    from pyspark.errors import SparkRuntimeException
+
+    from cae_polars_tools_spark.operators.dedup import minhash_lsh_pairs
+
+    clones = spark.createDataFrame(
+        [(i, "the same exact document body repeated verbatim " * 8)
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(SparkRuntimeException, match="max_bucket=4"):
+        minhash_lsh_pairs(clones, max_bucket=4).collect()
+    assert len(minhash_lsh_pairs(clones).collect()) == 66  # C(12,2)
+
+
 def test_ivf_sample_bias_dial(spark, sf_oracle):
     """The training sample comes from the first-scanned partitions
     (sample+limit, no full-corpus pass), so a corpus whose shard order

@@ -125,6 +125,28 @@ def test_pack_sequences_rejects_bad_budget(spark):
         pack_sequences(df, 0)
 
 
+def test_pack_sequences_preserves_string_ids(spark):
+    """String/UUID doc ids (the common real-crawl shape) pass through
+    unchanged — no silent cast-to-long nulling of identities."""
+    df = spark.createDataFrame(
+        [("u-aaa", 100), ("u-bbb", 9000), ("u-ccc", 150)],
+        "doc_id string, n_tokens long",
+    ).coalesce(1)
+    packed = {r["doc_id"]: r for r in pack_sequences(df, 512).collect()}
+    assert set(packed) == {"u-aaa", "u-bbb", "u-ccc"}
+    assert dict(pack_sequences(df, 512).dtypes)["doc_id"] == "string"
+    assert packed["u-bbb"]["pack_tokens"] == 9000
+    assert packed["u-aaa"]["pack_id"] == packed["u-ccc"]["pack_id"]
+
+
+def test_pack_sequences_rejects_complex_id_type(spark):
+    df = spark.createDataFrame(
+        [([1, 2], 10)], "doc_id array<long>, n_tokens long"
+    )
+    with pytest.raises(TypeError, match="complex type"):
+        pack_sequences(df, 512)
+
+
 def test_decontamination_flags_verbatim_overlap(spark, sf_small):
     """A benchmark built from verbatim 13-token spans of two corpus
     docs flags exactly those docs; a novel benchmark doc flags none."""
