@@ -1,0 +1,144 @@
+"""Physical-layout utilities: bucketed tables and file compaction.
+
+Two storage-level levers a 100 TB deployment pulls constantly, missing
+from the query-level corpus because they are *layout* decisions, not
+queries:
+
+* **Bucketing** — pre-shuffle a fact table ONCE into N hash buckets on
+  its join/agg key. Every later equi-join or aggregation on that key
+  reads co-located buckets and plans with ZERO exchanges: the shuffle
+  that dominates a repeated big-big join is paid once at write time,
+  amortized across every downstream query. This is the Spark-native
+  answer to the "co-located join" every warehouse engine grows.
+* **Compaction** — object-store pipelines accrete small files (one per
+  streaming micro-batch task, per late partition, …). Scans then pay
+  per-file open cost and lose row-group locality; compaction rewrites
+  a dataset to target-sized files, optionally sorted so min/max
+  row-group statistics actually prune.
+
+Both are beyond the reference's surface (its storage layer only READS
+zarr/object stores — ``/root/reference/src/data_access``), added here
+as first-class pipeline components.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from urllib.parse import unquote, urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["write_bucketed", "compact_parquet", "dataset_file_sizes"]
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    buckets: int,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """Write ``df`` as a bucketed parquet table registered as
+    ``table``; returns the table name.
+
+    The frame is repartitioned to exactly ``buckets`` tasks on the
+    bucket keys first, so each bucket lands in ONE file. That single
+    extra exchange at write time buys two read-side eliminations:
+
+    * joins/aggregations between co-bucketed tables on the bucket keys
+      plan with no ``Exchange`` at all (asserted in
+      ``tests/test_storage.py``), and
+    * with ``sort_cols`` == join keys, the sort-merge join's per-side
+      ``Sort`` is elided too — IF
+      ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` is
+      set (off by default since Spark 3.0 because proving bucket order
+      requires listing files at planning time; worth enabling for hot,
+      repeatedly-joined tables). Spark trusts sorted buckets only when
+      a bucket is ONE file, which the up-front repartition guarantees —
+      without it, a multi-task write fragments each bucket and the
+      ordering claim would be silently void.
+
+    ``buckets`` should be sized so one bucket of the LARGER table fits
+    an executor's scan budget (e.g. ~128-512 MB each); both join sides
+    must use the same ``buckets`` and ``keys`` for exchange-free
+    planning. ``path`` makes it an external table (default: session
+    warehouse dir).
+    """
+    if buckets < 1:
+        raise ValueError("buckets must be at least 1")
+    if not keys:
+        raise ValueError("at least one bucket key is required")
+    sort_cols = sort_cols if sort_cols is not None else list(keys)
+    writer = (
+        df.repartition(buckets, *keys)
+        .write.format("parquet")
+        .mode(mode)
+        .bucketBy(buckets, *keys)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", os.path.abspath(path))
+    writer.saveAsTable(table)
+    return table
+
+
+def dataset_file_sizes(spark: SparkSession, path: str) -> list[int]:
+    """Data-file sizes (bytes) of a local parquet dataset, via the same
+    file listing Spark's scan planning uses — metadata only, no data
+    read. Raises for non-local URIs (cluster deployments should consult
+    their object store's listing instead)."""
+    files = spark.read.parquet(path).inputFiles()
+    sizes = []
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("file", ""):
+            raise ValueError(f"not a local file: {f}")
+        sizes.append(os.path.getsize(unquote(u.path)))
+    return sizes
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Rewrite the parquet dataset at ``src`` into ``dst`` with files
+    sized toward ``target_file_bytes``; returns the file count written.
+
+    File count = ceil(total_bytes / target) from the source listing —
+    parquet-to-parquet rewrites keep encoded size roughly stable, so
+    the source's on-disk bytes are the right sizing signal (row-count
+    heuristics drift with encodings and wide columns).
+
+    Without ``sort_cols`` the rewrite is a round-robin
+    ``repartition(n)`` — pure coalescing, one shuffle of the data
+    being compacted. With ``sort_cols`` it is ``repartitionByRange``
+    + ``sortWithinPartitions``: globally range-clustered files whose
+    per-column min/max row-group statistics become selective, so later
+    point/range scans on those columns prune files and row groups
+    (the poor man's Z-order; same shuffle count as the plain path).
+
+    Scale note: each output file is produced by one task buffering one
+    ~target-sized parquet write — keep ``target_file_bytes`` within
+    executor memory. The rewrite streams through a single stage; no
+    driver-side materialization of data.
+    """
+    if target_file_bytes < 1:
+        raise ValueError("target_file_bytes must be positive")
+    total = sum(dataset_file_sizes(spark, src))
+    n = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src)
+    if sort_cols:
+        df = df.repartitionByRange(n, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        df = df.repartition(n)
+    df.write.mode("overwrite").parquet(dst)
+    return len(dataset_file_sizes(spark, dst))

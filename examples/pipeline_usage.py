@@ -11,6 +11,8 @@ pretraining pipeline actually runs them — on the synthetic
 4. quality filtering on text statistics
 5. deterministic train/val/test split (hash-based, leakage-safe)
 6. sequence packing into fixed token budgets
+7. layout for serving: compaction to target-sized files + a bucketed
+   table so downstream per-doc joins plan with zero exchanges
 
 Run: ``python examples/pipeline_usage.py [sf_dir]``
 """
@@ -101,6 +103,36 @@ def main() -> None:
     print(
         f"packed {n_train} docs into {n_packs} samples, "
         f"avg fill {fill:.0f}/512 tokens"
+    )
+
+    # 7. physical layout: compact the packed manifest to ~1 MB files,
+    # then publish a doc_id-bucketed table — later per-doc joins
+    # (attach text, attach embeddings) plan with ZERO exchanges
+    from cae_polars_tools_spark.storage import compact_parquet, write_bucketed
+
+    out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", ".tmp", "pipeline"
+    )
+    raw, compacted = os.path.join(out, "packed_raw"), os.path.join(out, "packed")
+    packed.write.mode("overwrite").parquet(raw)
+    n_files = compact_parquet(spark, raw, compacted, target_file_bytes=1 << 20)
+    spark.sql("DROP TABLE IF EXISTS train_packed")
+    write_bucketed(
+        spark.read.parquet(compacted), "train_packed", ["doc_id"], 4,
+        path=os.path.join(out, "train_packed"),
+    )
+    join_plan = (
+        spark.table("train_packed")
+        .groupBy("doc_id")
+        .count()
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    print(
+        f"published {n_files} compacted files; bucketed table "
+        f"'train_packed' (exchange-free group-by: "
+        f"{'Exchange' not in join_plan})"
     )
     print("Pipeline complete.")
 

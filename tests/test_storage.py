@@ -1,0 +1,172 @@
+"""Physical-layout utilities: bucketed co-located joins + compaction.
+
+The bucketing tests assert PLAN SHAPE — the whole point of bucketing
+is what disappears from the plan (exchanges, sorts), which no
+value-level test would catch.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cae_polars_tools_spark.storage import (
+    compact_parquet,
+    dataset_file_sizes,
+    write_bucketed,
+)
+
+TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def bucketed_pair(spark, sf_small):
+    """documents + a derived per-doc table, co-bucketed on doc_id."""
+    from cae_polars_tools_spark.io import read_table
+
+    docs = read_table(spark, sf_small, "documents")
+    stats = docs.select("doc_id", F.length("text").alias("n_chars"))
+    for t in ("t_docs_b", "t_stats_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    write_bucketed(
+        docs.select("doc_id", "text"), "t_docs_b", ["doc_id"], 4,
+        path=os.path.join(TMP, "bucketed_docs"),
+    )
+    write_bucketed(
+        stats, "t_stats_b", ["doc_id"], 4,
+        path=os.path.join(TMP, "bucketed_stats"),
+    )
+    yield spark.table("t_docs_b"), spark.table("t_stats_b")
+    for t in ("t_docs_b", "t_stats_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_join_plans_zero_exchanges(spark, bucketed_pair):
+    """Co-bucketed equi-join on the bucket key: the shuffle was paid
+    once at write time, so the join plan must contain NO Exchange —
+    the property that amortizes across every downstream query. (The
+    merge hint forces the shuffle-join path the big-big case takes;
+    these sf0.001 tables would otherwise just broadcast.)"""
+    docs, stats = bucketed_pair
+    joined = docs.hint("merge").join(stats, "doc_id")
+    plan = _plan(joined)
+    assert "Exchange" not in plan
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+
+
+def test_bucketed_join_elides_sorts_with_single_file_buckets(
+    spark, bucketed_pair
+):
+    """write_bucketed repartitions to one file per bucket and sortBys
+    the key, so with the (off-by-default) bucketed-scan ordering conf
+    on, Spark trusts bucket order and the sort-merge join needs no
+    per-side Sort either."""
+    docs, stats = bucketed_pair
+    conf = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    spark.conf.set(conf, "true")
+    try:
+        plan = _plan(docs.hint("merge").join(stats, "doc_id"))
+    finally:
+        spark.conf.set(conf, "false")
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert "Sort [" not in plan
+
+
+def test_bucketed_join_matches_plain_join(spark, bucketed_pair, sf_small):
+    from cae_polars_tools_spark.io import read_table
+
+    docs, stats = bucketed_pair
+    got = {
+        (r["doc_id"], r["n_chars"])
+        for r in docs.hint("merge").join(stats, "doc_id").collect()
+    }
+    src = read_table(spark, sf_small, "documents")
+    want = {
+        (r["doc_id"], r["n_chars"])
+        for r in src.select(
+            "doc_id", F.length("text").alias("n_chars")
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_bucketed_groupby_needs_no_exchange(spark, bucketed_pair):
+    """Aggregation on the bucket key also rides the bucketed layout."""
+    docs, _ = bucketed_pair
+    plan = _plan(docs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")))
+    assert "Exchange" not in plan
+
+
+def test_bucketed_one_file_per_bucket(spark, bucketed_pair):
+    sizes = dataset_file_sizes(spark, os.path.join(TMP, "bucketed_docs"))
+    assert len(sizes) == 4
+
+
+def test_write_bucketed_validates_inputs(spark, bucketed_pair):
+    docs, _ = bucketed_pair
+    with pytest.raises(ValueError, match="buckets"):
+        write_bucketed(docs, "t_bad", ["doc_id"], 0)
+    with pytest.raises(ValueError, match="key"):
+        write_bucketed(docs, "t_bad", [], 4)
+
+
+def test_compact_parquet_hits_target_file_count(spark, sf_small):
+    """64 splinter files compact to the listing-derived target count;
+    rows survive byte-for-byte."""
+    from cae_polars_tools_spark.io import read_table
+
+    src = os.path.join(TMP, "compact_src")
+    dst = os.path.join(TMP, "compact_dst")
+    docs = read_table(spark, sf_small, "documents").select("doc_id", "text")
+    docs.repartition(64).write.mode("overwrite").parquet(src)
+    sizes = dataset_file_sizes(spark, src)
+    assert len(sizes) == 64
+    target = max(1, sum(sizes) // 2)  # aim for ~2-3 files
+    n_out = compact_parquet(spark, src, dst, target_file_bytes=target)
+    assert n_out <= 4
+    assert (
+        spark.read.parquet(dst).count()
+        == spark.read.parquet(src).count()
+        > 0
+    )
+
+
+def test_compact_parquet_sorted_files_cluster_ranges(spark, sf_small):
+    """sort_cols compaction range-partitions: each output file holds a
+    disjoint doc_id range (the property that makes min/max row-group
+    stats selective for pruning)."""
+    from cae_polars_tools_spark.io import read_table
+
+    src = os.path.join(TMP, "compact_sort_src")
+    dst = os.path.join(TMP, "compact_sort_dst")
+    docs = read_table(spark, sf_small, "documents").select("doc_id", "text")
+    docs.repartition(16).write.mode("overwrite").parquet(src)
+    total = sum(dataset_file_sizes(spark, src))
+    compact_parquet(
+        spark, src, dst, target_file_bytes=max(1, total // 3),
+        sort_cols=["doc_id"],
+    )
+    out = spark.read.parquet(dst)
+    per_file = (
+        out.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r["lo"], r["hi"]) for r in per_file)
+    assert len(spans) >= 2
+    for (lo_a, hi_a), (lo_b, _) in zip(spans, spans[1:]):
+        assert hi_a <= lo_b  # disjoint ranges ⇒ file-level pruning works
+
+
+def test_compact_validates_target(spark):
+    with pytest.raises(ValueError, match="target_file_bytes"):
+        compact_parquet(spark, "/nonexistent", "/tmp/x", target_file_bytes=0)
