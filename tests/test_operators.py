@@ -177,6 +177,38 @@ def test_bucket_pairs_max_bucket_guard(spark):
         bucket_pairs(idx, ["g"], max_bucket=4).collect()
 
 
+def test_minhash_band_hashes_consistent_with_signature(spark):
+    """The fused band-hash UDF must equal the row-combine of the plain
+    signature UDF — guards the fusion against drift in either path."""
+    import numpy as np
+
+    from cae_polars_tools_spark.operators.dedup import (
+        LSH_BANDS,
+        LSH_ROWS,
+        _band_coef,
+        hashed_shingles,
+        minhash_band_hashes,
+        minhash_signature,
+    )
+
+    docs = _docs(spark).select(
+        "doc_id", hashed_shingles("text").alias("h64")
+    )
+    both = docs.select(
+        "doc_id",
+        minhash_signature("h64").alias("sig"),
+        minhash_band_hashes("h64").alias("bh"),
+    ).collect()
+    c = _band_coef()
+    assert both
+    for r in both:
+        sig = np.asarray(r["sig"], dtype=np.int64).view(np.uint64)
+        want = (sig.reshape(LSH_BANDS, LSH_ROWS) * c[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        assert list(want.astype(np.int64)) == list(r["bh"])
+
+
 def test_minhash_lsh_wires_max_bucket_to_band_buckets(spark):
     """The LSH call site passes its OOM guard down to bucket_pairs: a
     pile of identical docs (one giant band bucket) fails loudly at a
