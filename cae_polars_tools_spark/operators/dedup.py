@@ -1034,6 +1034,55 @@ from cae_polars_tools_spark.operators.vectors import (  # noqa: E402
 )
 
 
+def _tiled_cosine_pairs(
+    ids: np.ndarray, E: np.ndarray, threshold: float, tile_rows: int = 2048
+) -> pd.DataFrame:
+    """All (a < b) pairs within one block whose cosine ≥ threshold.
+
+    One dim-sequential vectorized pass per tile — every double is
+    bit-identical to ``dot_expr``/DuckDB ``list_sum`` (numpy's
+    pairwise-summing matmul would drift in the last ulp and flip
+    threshold-boundary pairs). Rows are scored in bounded tiles so
+    peak memory is tile×block, not block², even if a block is huge.
+    Ids are sorted first so the upper-triangle test is a plain index
+    comparison; the emitted cosine for a given (a, b) pair is
+    therefore independent of which block produced it (callers
+    deduplicate multi-block collisions with a plain ``distinct``)."""
+    order = np.argsort(ids)
+    ids = ids[order]
+    E = E[order].astype(np.float64)
+    m, d = E.shape
+    n2 = np.zeros(m, dtype=np.float64)
+    for j in range(d):
+        n2 += E[:, j] * E[:, j]
+    norm = np.sqrt(n2)
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    out_c: list[np.ndarray] = []
+    for lo in range(0, m, tile_rows):
+        hi = min(lo + tile_rows, m)
+        # columns start at lo: columns ≤ lo can never satisfy the
+        # upper-triangle condition, so skipping them halves the
+        # kernel's multiply-adds across all tiles
+        acc = np.zeros((hi - lo, m - lo), dtype=np.float64)
+        for j in range(d):
+            acc += E[lo:hi, j][:, None] * E[lo:, j][None, :]
+        cos = acc / (norm[lo:hi][:, None] * norm[lo:][None, :])
+        rows, cols = np.nonzero(cos >= threshold)
+        upper = rows < cols  # both offset by lo; vec ids sorted
+        rows, cols = rows[upper], cols[upper]
+        out_a.append(ids[rows + lo])
+        out_b.append(ids[cols + lo])
+        out_c.append(cos[rows, cols])
+    return pd.DataFrame(
+        {
+            "vec_id_a": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),
+            "vec_id_b": np.concatenate(out_b) if out_b else np.array([], dtype=np.int64),
+            "raw_cos": np.concatenate(out_c) if out_c else np.array([], dtype=np.float64),
+        }
+    )
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
@@ -1066,43 +1115,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle. Rows are scored in bounded tiles so peak memory is
     tile×block, not block², even if a label block is huge."""
     threshold = COSINE_DEDUP_THRESHOLD
-    tile_rows = 2048
 
     def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy().astype(np.int64)
-        order = np.argsort(ids)
-        ids = ids[order]
-        E = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
-        m, d = E.shape
-        n2 = np.zeros(m, dtype=np.float64)
-        for j in range(d):
-            n2 += E[:, j] * E[:, j]
-        norm = np.sqrt(n2)
-        out_a: list[np.ndarray] = []
-        out_b: list[np.ndarray] = []
-        out_c: list[np.ndarray] = []
-        for lo in range(0, m, tile_rows):
-            hi = min(lo + tile_rows, m)
-            # columns start at lo: columns ≤ lo can never satisfy the
-            # upper-triangle condition, so skipping them halves the
-            # kernel's multiply-adds across all tiles
-            acc = np.zeros((hi - lo, m - lo), dtype=np.float64)
-            for j in range(d):
-                acc += E[lo:hi, j][:, None] * E[lo:, j][None, :]
-            cos = acc / (norm[lo:hi][:, None] * norm[lo:][None, :])
-            rows, cols = np.nonzero(cos >= threshold)
-            upper = rows < cols  # both offset by lo; vec ids sorted
-            rows, cols = rows[upper], cols[upper]
-            out_a.append(ids[rows + lo])
-            out_b.append(ids[cols + lo])
-            out_c.append(cos[rows, cols])
-        return pd.DataFrame(
-            {
-                "vec_id_a": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),
-                "vec_id_b": np.concatenate(out_b) if out_b else np.array([], dtype=np.int64),
-                "raw_cos": np.concatenate(out_c) if out_c else np.array([], dtype=np.float64),
-            }
-        )
+        E = np.stack(pdf["embedding"].to_numpy())
+        return _tiled_cosine_pairs(ids, E, threshold)
 
     e = (
         spread(read_table(spark, sf_dir, "embeddings"))
@@ -1120,3 +1137,70 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id_a", "vec_id_b", F.round("raw_cos", 6).alias("cosine"))
     )
+
+def embedding_lsh_pairs(
+    embeddings: DataFrame,
+    threshold: float = COSINE_DEDUP_THRESHOLD,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs WITHOUT a blocking label: candidates
+    come from random-hyperplane LSH buckets, verified with the exact
+    tiled cosine kernel.
+
+    The label-blocked ``dedup_embedding_cosine`` needs a partition key
+    the data already carries; raw crawl embeddings have none. This is
+    the keyless scale path: each vector lands in one bucket per LSH
+    table (8 tables × 64 buckets — ``lsh_buckets``,
+    operators/similarity.py), every bucket scores its own pairs
+    locally, and multi-table collisions collapse with a distinct.
+
+    100 TB shape: ONE shuffle (groupBy (table, bucket) — vectors
+    replicate ×tables, the standard LSH space/recall trade), bucket-
+    local all-pairs bounded by tiles, then a distinct over the
+    (already threshold-filtered, tiny) pair set. Nothing global is
+    ever materialized; no all-pairs join exists at any scale. Recall
+    against the exact all-pairs ground truth is seed-deterministic
+    and asserted in tests (sign-LSH recall at a 0.40 threshold is the
+    documented weak spot — near-orthogonal pairs collide rarely; raise
+    LSH_TABLES or lower LSH_PLANES_PER_TABLE to buy recall for
+    low-similarity thresholds, or keep thresholds ≥0.8 where recall
+    is ≥0.95 by construction)."""
+    from cae_polars_tools_spark.operators.similarity import lsh_buckets
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy().astype(np.int64)
+        E = np.stack(pdf[emb_col].to_numpy())
+        return _tiled_cosine_pairs(ids, E, threshold)
+
+    bucketed = embeddings.select(
+        F.col(id_col),
+        F.col(emb_col),
+        F.posexplode(lsh_buckets(F.col(emb_col))).alias("table", "bucket"),
+    )
+    pairs = bucketed.groupBy("table", "bucket").applyInPandas(
+        lambda _key, pdf: score_bucket(pdf),
+        schema="vec_id_a long, vec_id_b long, raw_cos double",
+    )
+    # the kernel's doubles are block-independent (see
+    # _tiled_cosine_pairs), so exact distinct collapses multi-table
+    # collisions without a numeric tolerance
+    return pairs.distinct().select(
+        "vec_id_a", "vec_id_b", F.round("raw_cos", 6).alias("cosine")
+    )
+
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=None,  # bucket membership depends on the seeded hyperplanes;
+    # precision (pairs ⊆ exact ground truth, identical cosines) and
+    # seed-deterministic recall are asserted in
+    # tests/test_operators.py::test_embedding_lsh_*
+    tags=("dedup", "extension", "embedding", "lsh"),
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless embedding near-dup pairs via LSH bucketing + exact
+    cosine verification (the scale path when no blocking label
+    exists)."""
+    e = spread(read_table(spark, sf_dir, "embeddings"))
+    return embedding_lsh_pairs(e)

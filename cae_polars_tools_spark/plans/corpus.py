@@ -1186,3 +1186,289 @@ def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         salt_buckets=16,
     ).orderBy("l_returnflag")
+
+# ---------------------------------------------------------------------------
+# Set operations beyond concat (SURVEY §2.2 lists intersect/except as
+# ABSENT from the reference — filled here, like the join-type gaps).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q36_intersect_except",
+    oracle="""
+        SELECT 'both' AS src, k AS o_custkey FROM (
+            SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+            INTERSECT
+            SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '5-LOW'
+        )
+        UNION ALL
+        SELECT 'urgent_only' AS src, k AS o_custkey FROM (
+            SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+            EXCEPT
+            SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '5-LOW'
+        )
+    """,
+    tags=("set-op", "extension"),
+    window_rank=1,
+)
+def q36_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT + EXCEPT (distinct set semantics) — customers who
+    placed both urgent and low-priority orders vs urgent-only.
+    Completes the §2.2 set-op list (the reference only has concat).
+    Both set ops plan as a single hash aggregate over the union with
+    per-side existence flags — one shuffle each, no join."""
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey")
+    )
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey")
+    )
+    both = urgent.intersect(low).select(
+        F.lit("both").alias("src"), "o_custkey"
+    )
+    only = urgent.subtract(low).select(
+        F.lit("urgent_only").alias("src"), "o_custkey"
+    )
+    return both.unionByName(only)
+
+
+@register(
+    "q37_scalar_subquery",
+    oracle="""
+        SELECT p_partkey, p_brand, p_retailprice
+        FROM part
+        WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
+    """,
+    tags=("subquery", "extension"),
+    window_rank=1,
+)
+def q37_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery pattern: parts priced above the global mean.
+    DataFrame form: the 1-row global aggregate is broadcast and
+    cross-joined — the fact side never shuffles, the comparison is a
+    map-side filter at any scale (the idiomatic Spark translation of
+    an uncorrelated scalar subquery)."""
+    p = _t(spark, sf_dir, "part")
+    mean = p.agg(F.avg("p_retailprice").alias("mean_price"))
+    return (
+        p.crossJoin(F.broadcast(mean))
+        .filter(F.col("p_retailprice") > F.col("mean_price"))
+        .select("p_partkey", "p_brand", "p_retailprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot / unpivot — long↔wide reshaping. Directly relevant to the
+# reference's data model (its zarr scan emits LONG format; users pivot
+# to wide grids downstream, e.g. one column per variable/station).
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "q38_pivot_wide",
+    oracle="""
+        SELECT user_id,
+               COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+               COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+               COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+               COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        FROM events
+        GROUP BY user_id
+    """,
+    tags=("pivot", "extension"),
+    window_rank=1,
+)
+def q38_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot: per-user event counts, one column per event
+    type. The pivot values are DECLARED (not discovered), so Spark
+    skips the extra distinct-values job and plans a single hash
+    aggregate — same shuffle shape as a plain groupBy at any scale.
+    Missing (user, type) combos surface as count 0 (coalesced —
+    Spark's pivot yields null there, DuckDB's conditional count 0)."""
+    e = _t(spark, sf_dir, "events")
+    wide = (
+        e.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES],
+    )
+
+
+@register(
+    "q39_unpivot_long",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+               l_quantity AS val
+        FROM lineitem WHERE l_orderkey < 200
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        FROM lineitem WHERE l_orderkey < 200
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        FROM lineitem WHERE l_orderkey < 200
+    """,
+    tags=("pivot", "extension"),
+    window_rank=1,
+)
+def q39_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt): three measure columns become
+    (measure, val) rows — the inverse of q38 and exactly the long
+    format the reference's zarr scan emits. Spark's ``unpivot`` is a
+    zero-shuffle per-row expansion (Generate node); the filter pushes
+    into the scan below it."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window ranking + frame specs (SURVEY §2.2 notes the reference has no
+# ranking functions and no frame specs — only lag/diff and max-over-
+# group patterns; filled here).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q40_window_ranking",
+    oracle="""
+        SELECT c_custkey,
+               c_mktsegment,
+               c_acctbal,
+               RANK() OVER w AS bal_rank,
+               DENSE_RANK() OVER w AS bal_dense_rank,
+               ROUND(PERCENT_RANK() OVER w, 6) AS bal_pct_rank,
+               ROUND(CUME_DIST() OVER w, 6) AS bal_cume_dist,
+               NTILE(4) OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal DESC, c_custkey ASC
+               ) AS bal_quartile
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC)
+    """,
+    tags=("window", "ranking", "extension"),
+    window_rank=1,
+)
+def q40_window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family per market segment: rank,
+    dense_rank, percent_rank, cume_dist, ntile. rank-family ties are
+    deterministic under the value ordering alone; ntile assigns by row
+    POSITION, so its window adds c_custkey as a total-order
+    tie-breaker (engine-portable by construction). One shuffle on the
+    5-value partition key; at 100 TB segment-level windows need
+    bounded per-key cardinality or a salting pre-pass (see
+    operators/skew.py)."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc())
+    wt = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+        F.ntile(4).over(wt).alias("bal_quartile"),
+    )
+
+
+@register(
+    "q41_window_frames",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderpriority,
+               o_orderdate,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w
+                   AS BIGINT) AS trailing3_cents,
+               MIN(o_totalprice) OVER w AS trailing3_min,
+               MAX(o_totalprice) OVER w AS trailing3_max,
+               COUNT(*) OVER w AS trailing3_n
+        FROM orders
+        WINDOW w AS (
+            PARTITION BY o_orderpriority
+            ORDER BY o_orderdate ASC, o_orderkey ASC
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+        )
+    """,
+    tags=("window", "frame", "extension"),
+    window_rank=1,
+)
+def q41_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ROWS frame: trailing-3-order rolling sum/min/max/count
+    per priority class, ordered by (date, key) — a total order, so the
+    frame contents are engine-portable. The rolling sum runs on exact
+    integer cents: a double sliding sum is accumulation-order-
+    dependent (Spark re-adds the frame, other engines subtract-on-
+    slide) and may drift in the last ulp; min/max/count are
+    order-free. Same single-shuffle shape as q40."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(-2, Window.currentRow)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderdate",
+        F.sum(cents).over(w).alias("trailing3_cents"),
+        F.min("o_totalprice").over(w).alias("trailing3_min"),
+        F.max("o_totalprice").over(w).alias("trailing3_max"),
+        F.count(F.lit(1)).over(w).alias("trailing3_n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured extraction: the events table carries a JSON props
+# column — a training-data pipeline constantly pulls typed fields out
+# of such payloads (crawl metadata, provenance tags).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q42_json_extract",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(k) AS BIGINT) AS sum_k,
+               COUNT(DISTINCT k) AS n_distinct_k
+        FROM (
+            SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+        )
+        WHERE k >= 10
+        GROUP BY event_type
+    """,
+    tags=("json", "extension"),
+    window_rank=1,
+)
+def q42_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed field extraction from a JSON string column, then
+    aggregate. ``get_json_object`` is a JVM-side expression — the
+    extraction never leaves codegen, no Python involved; the filter on
+    the extracted value applies map-side before the single group-by
+    shuffle."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .filter(F.col("k") >= 10)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.count_distinct(F.col("k")).alias("n_distinct_k"),
+        )
+    )

@@ -25,6 +25,7 @@ class QuerySpec:
     oracle: str | None
     tags: tuple[str, ...] = field(default_factory=tuple)
     doc: str = ""
+    window_rank: int = 0
 
 
 CORPUS: dict[str, QuerySpec] = {}
@@ -35,13 +36,31 @@ def register(
     oracle: str | None,
     tags: tuple[str, ...] = (),
     doc: str = "",
+    window_rank: int = 0,
 ) -> Callable[[Builder], Builder]:
-    """Decorator: register a query builder in the corpus."""
+    """Decorator: register a query builder in the corpus.
+
+    ``window_rank`` orders entries *within* the oracle-backed /
+    rows-only classes in :func:`load_all`. The driver's correctness
+    artifact records only the first 50 registry entries, and its
+    round-over-round comparison tracks those 50 by name — entries
+    added after the window filled register with ``window_rank=1`` so
+    the established 50 driver-checked entries keep their slots, and
+    the newer entries (which carry the same oracle SQL, asserted by
+    the in-repo DuckDB gate ``tests/test_corpus_oracle.py``) sort
+    after them."""
 
     def wrap(fn: Builder) -> Builder:
         if name in CORPUS:
             raise ValueError(f"duplicate corpus entry {name!r}")
-        CORPUS[name] = QuerySpec(name=name, build=fn, oracle=oracle, tags=tags, doc=doc or (fn.__doc__ or ""))
+        CORPUS[name] = QuerySpec(
+            name=name,
+            build=fn,
+            oracle=oracle,
+            tags=tags,
+            doc=doc or (fn.__doc__ or ""),
+            window_rank=window_rank,
+        )
         return fn
 
     return wrap
@@ -70,5 +89,8 @@ def load_all() -> dict[str, QuerySpec]:
     import cae_polars_tools_spark.plans.zarr_demo  # noqa: F401
 
     return dict(
-        sorted(CORPUS.items(), key=lambda kv: kv[1].oracle is None)
+        sorted(
+            CORPUS.items(),
+            key=lambda kv: (kv[1].oracle is None, kv[1].window_rank),
+        )
     )

@@ -560,3 +560,72 @@ def test_salted_agg_rejects_non_algebraic(spark):
     df = spark.createDataFrame([("a", 1.0)], "key string, x double")
     with pytest.raises(ValueError, match="non-algebraic"):
         salted_agg(df, ["key"], {"p50": ("x", "median")})
+
+
+def test_embedding_lsh_pairs_precision_and_recall(spark, sf_small):
+    """Keyless LSH near-dup path: every emitted pair must exist in the
+    exact all-pairs ground truth WITH the identical cosine (verification
+    is exact, so precision is 1 by construction), and the
+    seed-deterministic recall must hold its measured floor — overall
+    recall is the documented sign-LSH weak spot at a 0.40 threshold
+    (~0.39 here), while the strongest (top-decile) pairs are caught at
+    ~0.83."""
+    import numpy as np
+
+    from cae_polars_tools_spark.io import read_table
+    from cae_polars_tools_spark.operators.dedup import (
+        COSINE_DEDUP_THRESHOLD,
+        _tiled_cosine_pairs,
+        embedding_lsh_pairs,
+    )
+
+    e = read_table(spark, sf_small, "embeddings")
+    lsh = embedding_lsh_pairs(e).toPandas()
+
+    pdf = e.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy().astype(np.int64)
+    E = np.stack(pdf["embedding"].to_numpy())
+    exact = _tiled_cosine_pairs(ids, E, COSINE_DEDUP_THRESHOLD)
+    assert len(exact) > 0
+
+    ex = {
+        (a, b): c
+        for a, b, c in zip(exact.vec_id_a, exact.vec_id_b, exact.raw_cos)
+    }
+    got = {
+        (a, b): c for a, b, c in zip(lsh.vec_id_a, lsh.vec_id_b, lsh.cosine)
+    }
+    # precision: subset with bit-identical (rounded) cosines
+    for pair, c in got.items():
+        assert pair in ex, f"LSH emitted a pair not in ground truth: {pair}"
+        assert round(ex[pair], 6) == c
+    # no duplicate pair rows survive the multi-table distinct
+    assert len(lsh) == len(got)
+
+    recall = len(set(got) & set(ex)) / len(ex)
+    assert recall >= 0.30, f"overall recall regressed: {recall:.3f}"
+    top = exact.sort_values("raw_cos", ascending=False).head(
+        max(len(exact) // 10, 1)
+    )
+    tops = set(zip(top.vec_id_a, top.vec_id_b))
+    top_recall = len(tops & set(got)) / len(tops)
+    assert top_recall >= 0.60, f"top-decile recall regressed: {top_recall:.3f}"
+
+
+def test_tiled_cosine_pairs_tile_invariance():
+    """The tiled kernel must emit identical pairs/doubles for any tile
+    size (the 'block-independent doubles' contract the multi-bucket
+    distinct relies on)."""
+    import numpy as np
+
+    from cae_polars_tools_spark.operators.dedup import _tiled_cosine_pairs
+
+    rng = np.random.default_rng(7)
+    E = rng.standard_normal((97, 64)).astype(np.float32)
+    ids = rng.permutation(97).astype(np.int64)
+    a = _tiled_cosine_pairs(ids, E, 0.1, tile_rows=2048)
+    b = _tiled_cosine_pairs(ids, E, 0.1, tile_rows=7)
+    pa = list(zip(a.vec_id_a, a.vec_id_b, a.raw_cos))
+    pb = list(zip(b.vec_id_a, b.vec_id_b, b.raw_cos))
+    assert sorted(pa) == sorted(pb)
+    assert len(pa) > 0
