@@ -158,3 +158,57 @@ def test_join_filters_push_below_join(spark, name):
     assert "PushedFilters: [" in plan
     first = plan.split("PushedFilters:", 1)[1][:200]
     assert "[]" != first.strip().split("\n")[0].strip()
+
+
+def test_pivot_is_single_agg_no_discovery(spark):
+    """q38's pivot values are DECLARED, so the plan is one scan + one
+    partial/final hash aggregate — no distinct-values discovery job,
+    no join, no second scan."""
+    import re
+
+    plan = _plan(spark, "q38_pivot_wide")
+    assert len(re.findall(r"Scan parquet", plan)) == 1
+    assert "partial_" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # group shuffle (+AQE read)
+
+
+def test_unpivot_is_zero_shuffle(spark):
+    """q39's unpivot is a per-row Expand over a pruned, filtered scan:
+    no Exchange anywhere, and the orderkey filter reaches the scan."""
+    plan = _plan(spark, "q39_unpivot_long")
+    assert "Exchange" not in plan
+    assert "Expand" in plan
+    fmt = _formatted(spark, "q39_unpivot_long")
+    assert "PushedFilters: [" in fmt
+    assert "[]" != fmt.split("PushedFilters:", 1)[1][:60].strip().split("\n")[0].strip()
+
+
+@pytest.mark.parametrize("name", ["q40_window_ranking", "q41_window_frames"])
+def test_window_entries_single_shuffle(spark, name):
+    """The ranking/frame windows cost exactly ONE exchange (the
+    partition-key shuffle feeding the window sort) — no join, no
+    second shuffle from a stray repartition."""
+    plan = _plan(spark, name)
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_scalar_subquery_broadcasts_the_aggregate(spark):
+    """q37's 1-row global mean must arrive via broadcast nested-loop —
+    the part table itself is never exchanged."""
+    plan = _plan(spark, "q37_scalar_subquery")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_embedding_lsh_is_groupby_plus_distinct_only(spark):
+    """dedup_embedding_lsh: bucket-local scoring (FlatMapGroupsInPandas
+    behind one group shuffle) + the pair distinct — no join node and no
+    all-pairs structure anywhere."""
+    plan = _plan(spark, "dedup_embedding_lsh")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 3  # bucket groupBy + 2-phase distinct
