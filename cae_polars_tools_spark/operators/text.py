@@ -216,3 +216,139 @@ def text_language_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spread(read_table(spark, sf_dir, "documents"))
     return d.select("doc_id", detect(F.col("text")).alias("detected_lang"))
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality filtering + PII redaction — the two curation
+# passes every LLM ingest pipeline runs document-by-document. Both are
+# pure JVM expression pipelines: zero shuffle, embarrassingly parallel
+# at any corpus size.
+# ---------------------------------------------------------------------------
+
+# Rule thresholds follow the published Gopher data-curation heuristics
+# (Rae et al. 2021, "Scaling Language Models", Table A1), adapted to
+# the synthetic corpus scale: the word-count floor is the binding rule
+# here (docs are 10-99 words), the rest guard real-crawl pathologies.
+QUALITY_MIN_WORDS = 50
+QUALITY_MAX_WORDS = 100_000
+QUALITY_MEAN_WORD_LEN = (3.0, 10.0)
+QUALITY_MIN_ALPHA_FRAC = 0.8
+QUALITY_MIN_STOPWORDS = 2
+
+
+def quality_signals(col: Column | str) -> dict[str, Column]:
+    """Per-document quality signals as named JVM expressions:
+    word count, mean word length, fraction of words containing an
+    alphabetic character, stopword count. All ratios are exact double
+    divisions of integer counts — engine-portable bit-for-bit."""
+    t = tokens(col)
+    n_words = F.size(t)
+    char_sum = F.aggregate(
+        F.transform(t, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    alpha = F.size(F.filter(t, lambda x: x.rlike("[a-zA-Z]")))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x)))
+    return {
+        "n_words": n_words,
+        "mean_word_len": char_sum.cast("double") / n_words,
+        "alpha_frac": alpha.cast("double") / n_words,
+        "n_stopwords": n_stop,
+    }
+
+
+@register(
+    "text_quality_filter",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_words,
+                   CAST(list_sum(list_transform(string_split(text, ' '),
+                        x -> length(x))) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS mean_word_len,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS alpha_frac,
+                   len(list_filter(string_split(text, ' '),
+                        x -> x IN {STOPWORDS!r})) AS n_stopwords
+            FROM documents
+        )
+        SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stopwords,
+               (n_words BETWEEN {QUALITY_MIN_WORDS} AND {QUALITY_MAX_WORDS})
+               AND (mean_word_len BETWEEN {QUALITY_MEAN_WORD_LEN[0]}
+                                      AND {QUALITY_MEAN_WORD_LEN[1]})
+               AND (alpha_frac >= {QUALITY_MIN_ALPHA_FRAC})
+               AND (n_stopwords >= {QUALITY_MIN_STOPWORDS}) AS keep
+        FROM s
+    """,
+    tags=("text", "quality", "extension"),
+    window_rank=1,
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality gate: per-doc signals + a keep
+    verdict from the published rule thresholds. Pure expressions —
+    zero shuffle; at 100 TB this is a map-only pass whose selectivity
+    feeds the downstream dedup/pack stages."""
+    d = spread(read_table(spark, sf_dir, "documents"))
+    s = quality_signals("text")
+    keep = (
+        F.col("n_words").between(QUALITY_MIN_WORDS, QUALITY_MAX_WORDS)
+        & F.col("mean_word_len").between(*QUALITY_MEAN_WORD_LEN)
+        & (F.col("alpha_frac") >= QUALITY_MIN_ALPHA_FRAC)
+        & (F.col("n_stopwords") >= QUALITY_MIN_STOPWORDS)
+    )
+    return d.select(
+        "doc_id", *[expr.alias(name) for name, expr in s.items()]
+    ).withColumn("keep", keep)
+
+
+# PII patterns: the RE2-compatible subset (no lookaround, no
+# backreferences) so Spark's Java regex and DuckDB/RE2 agree exactly.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Chained regexp_replace over the PII pattern table — emails,
+    IPv4 addresses, phone-shaped digit runs → typed placeholder
+    tokens. JVM regex, zero shuffle; order matters (emails first so
+    their digits never half-match the phone pattern)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _name, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+PII_REDACT_SQL = "text"
+for _name, _pat, _repl in PII_PATTERNS:
+    PII_REDACT_SQL = (
+        f"regexp_replace({PII_REDACT_SQL}, '{_pat}', '{_repl}', 'g')"
+    )
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+        SELECT doc_id,
+               {PII_REDACT_SQL} AS redacted,
+               ({PII_REDACT_SQL} != text) AS changed
+        FROM documents
+    """,
+    tags=("text", "pii", "extension"),
+    window_rank=1,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass over the corpus (emails / IPs / phones →
+    placeholders) + a changed flag. The synthetic corpus is clean, so
+    the flag is all-false here; the pattern semantics are pinned by
+    crafted-string unit tests (tests/test_text_quality.py)."""
+    d = spread(read_table(spark, sf_dir, "documents"))
+    red = redact_pii("text")
+    return d.select(
+        "doc_id",
+        red.alias("redacted"),
+        (red != F.col("text")).alias("changed"),
+    )

@@ -1,0 +1,93 @@
+"""Crafted-string tests for the quality gate and PII redaction —
+the behaviors the synthetic corpus (clean, single-line, all-alpha)
+cannot exercise."""
+
+from __future__ import annotations
+
+
+def test_quality_filter_rules(spark):
+    from pyspark.sql import functions as F
+
+    from cae_polars_tools_spark.operators.text import (
+        QUALITY_MIN_STOPWORDS,
+        QUALITY_MIN_WORDS,
+        quality_signals,
+    )
+
+    good = "the quick brown fox jumps over the lazy dog " * 10  # 90 words, stopwords
+    short = "too short"
+    no_stop = "alpha beta gamma delta " * 20  # no stopwords
+    numeric = "123 456 789 000 " * 20  # fails alpha_frac
+    df = spark.createDataFrame(
+        [(1, good.strip()), (2, short), (3, no_stop.strip()), (4, numeric.strip())],
+        ["doc_id", "text"],
+    )
+    s = quality_signals("text")
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", *[e.alias(n) for n, e in s.items()]
+        ).collect()
+    }
+    assert rows[1]["n_words"] >= QUALITY_MIN_WORDS
+    assert rows[1]["n_stopwords"] >= QUALITY_MIN_STOPWORDS
+    assert rows[2]["n_words"] < QUALITY_MIN_WORDS
+    assert rows[3]["n_stopwords"] == 0
+    assert rows[4]["alpha_frac"] == 0.0
+    # "the quick brown fox jumps over the lazy dog" = 35 chars / 9 words
+    assert abs(rows[1]["mean_word_len"] - (35 / 9)) < 1e-12
+
+
+def test_redact_pii_crafted_strings(spark):
+    from pyspark.sql import functions as F
+
+    from cae_polars_tools_spark.operators.text import redact_pii
+
+    cases = [
+        (1, "contact me at jane.doe+spam@example.co.uk today", "<EMAIL>"),
+        (2, "server at 192.168.0.1 went down", "<IP>"),
+        (3, "call +1 (555) 123-4567 now", "<PHONE>"),
+        (4, "no pii here at all", None),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in cases], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r["red"]
+        for r in df.select(
+            "doc_id", redact_pii("text").alias("red")
+        ).collect()
+    }
+    assert out[1] == "contact me at <EMAIL> today"
+    assert out[2] == "server at <IP> went down"
+    assert "<PHONE>" in out[3] and "555" not in out[3]
+    assert out[4] == "no pii here at all"
+
+
+def test_redact_pii_matches_duckdb_dialect(spark):
+    """The PII regexes must mean the same thing to Java regex and
+    DuckDB/RE2 — the property the corpus oracle relies on, checked on
+    strings that actually contain PII (the corpus is clean)."""
+    import duckdb
+
+    from cae_polars_tools_spark.operators.text import (
+        PII_REDACT_SQL,
+        redact_pii,
+    )
+
+    texts = [
+        "a@b.io and c.d-e@f-g.h2z.com mixed with 10.0.0.255 and +44 20 7946 0958",
+        "edge: 1.2.3.4.5 partial, x@y.z not-an-ip 999.999.999.999",
+        "(555) 000-1111 ext and bare digits 12345678901",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "text"])
+    spark_out = {
+        r["i"]: r["red"]
+        for r in df.select("i", redact_pii("text").alias("red")).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        duck = con.execute(
+            f"SELECT {PII_REDACT_SQL} FROM (SELECT ? AS text)", [t]
+        ).fetchone()[0]
+        assert spark_out[i] == duck, (i, spark_out[i], duck)
