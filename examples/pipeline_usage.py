@@ -5,13 +5,15 @@ The operators beyond the reference surface, chained the way a
 pretraining pipeline actually runs them — on the synthetic
 ``documents`` table:
 
-1. exact dedup (md5 fingerprint groups → canonical copies only)
-2. MinHash-LSH near-dup removal (drop the larger doc_id of each pair)
-3. benchmark decontamination (13-gram verbatim overlap)
-4. quality filtering on text statistics
-5. deterministic train/val/test split (hash-based, leakage-safe)
-6. sequence packing into fixed token budgets
-7. layout for serving: compaction to target-sized files + a bucketed
+1. PII redaction (emails/IPs/phones → placeholder tokens)
+2. exact dedup (md5 fingerprint groups → canonical copies only)
+3. MinHash-LSH near-dup removal (drop the larger doc_id of each pair)
+4. benchmark decontamination (13-gram verbatim overlap)
+5. Gopher-style quality gate (word count / word length / alpha
+   fraction / stopword rules)
+6. deterministic train/val/test split (hash-based, leakage-safe)
+7. sequence packing into fixed token budgets
+8. layout for serving: compaction to target-sized files + a bucketed
    table so downstream per-doc joins plan with zero exchanges
 
 Run: ``python examples/pipeline_usage.py [sf_dir]``
@@ -49,6 +51,12 @@ def main() -> None:
     n0 = docs.count()
     print(f"corpus: {n0} documents")
 
+    # 0. PII redaction: chained JVM regexes, zero shuffle — runs
+    # first so no later stage (or its caches) ever sees raw PII
+    from cae_polars_tools_spark.operators.text import redact_pii
+
+    docs = docs.withColumn("text", redact_pii("text"))
+
     # 1. exact dedup: one 16-byte-fingerprint shuffle; keep each
     # group's minimum doc_id (deterministic canonical choice)
     canonical = (
@@ -79,10 +87,28 @@ def main() -> None:
     n3 = docs.count()
     print(f"after decontamination: {n3} (-{n2 - n3})")
 
-    # 4. quality filter: per-row expressions, no shuffle
-    docs = docs.filter(F.size(tokens("text")) >= 5)
+    # 4. Gopher-style quality gate: per-row expressions, no shuffle
+    # (a laxer word floor than the published 50 — the synthetic docs
+    # are short; the rule STRUCTURE is what the pipeline exercises)
+    from cae_polars_tools_spark.operators.text import (
+        QUALITY_MIN_STOPWORDS,
+        quality_signals,
+    )
+
+    s = quality_signals("text")
+    docs = (
+        docs.withColumn("n_words", s["n_words"])
+        .withColumn("mean_word_len", s["mean_word_len"])
+        .withColumn("n_stopwords", s["n_stopwords"])
+        .filter(
+            (F.col("n_words") >= 20)
+            & F.col("mean_word_len").between(3.0, 10.0)
+            & (F.col("n_stopwords") >= QUALITY_MIN_STOPWORDS)
+        )
+        .drop("n_words", "mean_word_len", "n_stopwords")
+    )
     n4 = docs.count()
-    print(f"after quality filter: {n4} (-{n3 - n4})")
+    print(f"after quality gate: {n4} (-{n3 - n4})")
 
     # 5. deterministic split — stable across reruns and data growth,
     # equal keys always co-locate (no train/test leakage)
