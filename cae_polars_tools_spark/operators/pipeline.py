@@ -332,3 +332,45 @@ __all__ = [
     "contamination_hits",
     "decontaminate",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Corpus entry: the split → pack tail of the ingest pipeline, timed by
+# bench.py and smoke-checked by the driver like every other operator.
+# ---------------------------------------------------------------------------
+
+from cae_polars_tools_spark.io import read_table, spread  # noqa: E402
+from cae_polars_tools_spark.plans.registry import register  # noqa: E402
+
+PACK_BUDGET = 512
+SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+@register(
+    "pipeline_split_pack",
+    oracle=None,  # split membership is xxhash64-range assignment and
+    # pack ids are partition-local by design — no SQL twin exists; the
+    # split's determinism/completeness/co-location and the packer's
+    # budget/coverage invariants are unit-tested in
+    # tests/test_pipeline_ops.py
+    tags=("pipeline", "extension"),
+)
+def pipeline_split_pack(spark, sf_dir: str) -> DataFrame:
+    """Deterministic train split of the documents table, packed into
+    fixed token budgets — the split→pack tail every pretraining
+    pipeline runs after dedup. Zero-shuffle split (pure hash of the
+    key) feeding a partition-local first-fit-decreasing packer in
+    ``mapInPandas``; row count is stable across partitionings (split
+    membership is row-local), pack composition is deliberately not
+    (coordination-free by design)."""
+    from cae_polars_tools_spark.operators.text import tokens
+
+    d = spread(read_table(spark, sf_dir, "documents"))
+    train = (
+        split_by_hash(d, "doc_id", SPLIT_WEIGHTS)
+        .filter(F.col("split") == "train")
+        .select(
+            "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+        )
+    )
+    return pack_sequences(train, budget=PACK_BUDGET)
