@@ -1204,3 +1204,142 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists)."""
     e = spread(read_table(spark, sf_dir, "embeddings"))
     return embedding_lsh_pairs(e)
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingest dedup — the batch-vs-history shape an ongoing
+# crawl pipeline runs every cycle (new shard arrives; history is
+# already deduplicated and must win every tie).
+# ---------------------------------------------------------------------------
+
+# Batch split on the synthetic corpus: two-digit sources (src10..src19)
+# are the arriving batch, one-digit (src0..src9) the deduplicated
+# history. LIKE 'src1_' is portable across Spark and DuckDB.
+_NEW_BATCH_PRED = "source LIKE 'src1_'"
+
+INCREMENTAL_ORACLE = f"""
+    WITH sh AS (SELECT doc_id, {SHINGLES_SQL} AS s FROM documents),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    kept AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= {JACCARD_MAX_DF}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+        FROM ex a
+        JOIN kept k ON a.g = k.g
+        JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT c.doc_id_a, c.doc_id_b,
+               len(list_intersect(sa.s, sb.s)) AS i,
+               len(sa.s) AS na, len(sb.s) AS nb
+        FROM cand c
+        JOIN sh sa ON c.doc_id_a = sa.doc_id
+        JOIN sh sb ON c.doc_id_b = sb.doc_id
+    ),
+    jp AS (
+        SELECT doc_id_a, doc_id_b FROM inter
+        WHERE CAST(i AS DOUBLE) / (na + nb - i) >= {JACCARD_THRESHOLD}
+    ),
+    fps AS (SELECT doc_id, source, {FINGERPRINT_SQL} AS fp FROM documents),
+    newb AS (SELECT * FROM fps WHERE {_NEW_BATCH_PRED}),
+    hist AS (SELECT * FROM fps WHERE NOT ({_NEW_BATCH_PRED})),
+    exact_kept AS (
+        SELECT n.doc_id, n.source FROM newb n
+        WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = n.fp)
+          AND n.doc_id = (SELECT MIN(m.doc_id) FROM newb m WHERE m.fp = n.fp)
+    ),
+    near_dropped AS (
+        SELECT doc_id_b AS doc_id FROM jp
+        WHERE doc_id_a IN (SELECT doc_id FROM hist)
+          AND doc_id_b IN (SELECT doc_id FROM newb)
+        UNION
+        SELECT doc_id_a FROM jp
+        WHERE doc_id_b IN (SELECT doc_id FROM hist)
+          AND doc_id_a IN (SELECT doc_id FROM newb)
+        UNION
+        SELECT doc_id_b FROM jp
+        WHERE doc_id_a IN (SELECT doc_id FROM newb)
+          AND doc_id_b IN (SELECT doc_id FROM newb)
+    )
+    SELECT doc_id, source FROM exact_kept
+    WHERE doc_id NOT IN (SELECT doc_id FROM near_dropped)
+"""
+
+
+def incremental_dedup(
+    docs: DataFrame, is_new: Column, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Surviving NEW-batch documents after dedup against an existing
+    history and within the batch itself.
+
+    Drop rules (history always wins; within the batch the smallest
+    doc_id wins):
+
+    * exact — the batch doc's fingerprint exists in history, or an
+      earlier batch doc shares it;
+    * near-dup — a capped-index Jaccard ≥ ``threshold`` pair links
+      the batch doc to ANY history doc, or to an earlier batch doc.
+
+    100 TB shape: the history fingerprint set joins as a left-anti on
+    the 16-byte key (broadcast when small, shuffle otherwise — AQE's
+    call); near-dup candidates come from the same bucket-local capped
+    inverted index every other Jaccard operator uses
+    (:func:`jaccard_pairs` — one groupBy shuffle, no self-join, hot
+    shingles excluded). Nothing rescans history per batch beyond its
+    fingerprint column and its shingle index — both of which a real
+    pipeline keeps materialized between cycles."""
+    fp = fingerprint("text")
+    new_docs = docs.filter(is_new)
+    hist_fps = docs.filter(~is_new).select(fp.alias("fp")).distinct()
+    batch = new_docs.select("doc_id", "source", fp.alias("fp"))
+
+    # exact: history wins, then first-in-batch wins
+    no_hist = batch.join(hist_fps, "fp", "left_anti")
+    first = no_hist.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    exact_kept = (
+        no_hist.join(first, "fp")
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "source")
+    )
+
+    # near-dup pairs over history ∪ batch (a < b), role-resolved in a
+    # SINGLE pass: the expensive pair cascade is evaluated once, each
+    # pair annotated with both sides' batch membership via two joins
+    # against the tiny (doc_id, is_new) role frame, and the dropped id
+    # read off with one CASE (history partner drops the batch side;
+    # batch-batch drops the larger id, consistent with a < b).
+    pairs = jaccard_pairs(docs, threshold=threshold).select(
+        "doc_id_a", "doc_id_b"
+    )
+    roles = docs.select("doc_id", is_new.alias("new"))
+    ra = roles.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("new").alias("a_new")
+    )
+    rb = roles.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("new").alias("b_new")
+    )
+    dropped = (
+        pairs.join(ra, "doc_id_a")
+        .join(rb, "doc_id_b")
+        .select(
+            F.when(F.col("b_new"), F.col("doc_id_b"))
+            .when(F.col("a_new"), F.col("doc_id_a"))
+            .alias("doc_id")
+        )
+        .filter(F.col("doc_id").isNotNull())  # history-history pairs
+        .distinct()
+    )
+    return exact_kept.join(dropped, "doc_id", "left_anti")
+
+
+@register(
+    "dedup_incremental",
+    oracle=INCREMENTAL_ORACLE,
+    tags=("dedup", "extension", "incremental"),
+    window_rank=1,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest: the arriving batch (sources src10-19)
+    deduplicated exactly AND near-dup (capped Jaccard ≥ 0.8) against
+    the already-clean history (src0-9) and itself."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    return incremental_dedup(docs, F.expr(_NEW_BATCH_PRED))
