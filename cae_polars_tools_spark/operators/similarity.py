@@ -55,6 +55,8 @@ def _collect_queries(queries: DataFrame) -> tuple[np.ndarray, np.ndarray, np.nda
     ``dot_expr`` for bit parity."""
     pdf = queries.select("vec_id", "embedding").toPandas()
     qids = pdf["vec_id"].to_numpy().astype(np.int64)
+    if len(qids) == 0:
+        return qids, np.empty((0, 0)), np.empty(0)
     Q = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)  # (nq, d)
     qn2 = np.zeros(len(Q), dtype=np.float64)
     for j in range(Q.shape[1]):
@@ -82,6 +84,13 @@ def score_against_queries(
     (the difference between a bounded shuffle and a corpus-sized one
     at 100 TB)."""
     qids, Q, qn2 = _collect_queries(queries)
+    if len(qids) == 0:
+        # an empty query set (a filter matched nothing) is a valid
+        # input at scale — return a typed empty result instead of
+        # letting np.stack blow up on zero arrays
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, raw_cos double"
+        )
     d = Q.shape[1]
     nq = len(qids)
     sqrt_qn2 = np.sqrt(qn2)
@@ -228,6 +237,8 @@ def lsh_buckets(emb: pd.Series) -> pd.Series:
     import pandas as pd
 
     planes = _planes()  # (tables*planes, dim)
+    if len(emb) == 0:  # empty Arrow batch — real at scale
+        return pd.Series([], dtype=object)
     M = np.stack(emb.to_numpy()).astype(np.float64)  # (n, dim)
     bits = (M @ planes.T > 0).astype(np.int64)  # (n, tables*planes)
     weights = 1 << np.arange(LSH_PLANES_PER_TABLE, dtype=np.int64)
@@ -292,6 +303,8 @@ def _assign_udf(centroids: np.ndarray):
 
     @F.pandas_udf(LongType())
     def assign(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="int64")
         M = np.stack(emb.to_numpy()).astype(np.float64)
         M /= np.linalg.norm(M, axis=1, keepdims=True)
         return pd.Series((M @ cn.T).argmax(axis=1).astype(np.int64))
@@ -361,6 +374,10 @@ def train_ivf_centroids(
         # tiny corpus: the thinned sample can't even seed the
         # centroids — fall back to an unsampled prefix
         sample = embeddings.select("embedding").limit(target).toPandas()["embedding"]
+    if len(sample) == 0:
+        raise ValueError(
+            "train_ivf_centroids: the corpus is empty — nothing to train on"
+        )
     M = np.stack(sample.to_numpy()).astype(np.float64)
     Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
     c = M[:n_centroids].copy()  # deterministic init: first sampled rows
@@ -406,6 +423,8 @@ def ivf_topk(
 
     @F.pandas_udf(ArrayType(LongType()))
     def probe(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
         M = np.stack(emb.to_numpy()).astype(np.float64)
         M /= np.linalg.norm(M, axis=1, keepdims=True)
         order = np.argsort(-(M @ cn.T), axis=1)[:, :nprobe].astype(np.int64)

@@ -629,3 +629,67 @@ def test_tiled_cosine_pairs_tile_invariance():
     pb = list(zip(b.vec_id_a, b.vec_id_b, b.raw_cos))
     assert sorted(pa) == sorted(pb)
     assert len(pa) > 0
+
+
+def test_ann_empty_query_set(spark):
+    """A filter that matches no queries is a valid input at scale —
+    every ANN path must return a typed empty frame, not crash on
+    np.stack of zero arrays."""
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from cae_polars_tools_spark.operators.similarity import (
+        bruteforce_topk,
+        lsh_topk,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(i + 1)] * 64) for i in range(20)], schema
+    )
+    no_queries = emb.filter("vec_id < 0")
+    for fn in (bruteforce_topk, lsh_topk):
+        out = fn(emb, no_queries)
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == [
+            "query_id",
+            "neighbor_id",
+            "rank",
+            "cosine",
+        ]
+
+
+def test_ivf_empty_corpus_raises_cleanly(spark):
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    import pytest as _pytest
+
+    from cae_polars_tools_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    empty = spark.createDataFrame([], schema)
+    with _pytest.raises(ValueError, match="empty"):
+        train_ivf_centroids(empty)
