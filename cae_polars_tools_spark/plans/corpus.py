@@ -1472,3 +1472,31 @@ def q42_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct(F.col("k")).alias("n_distinct_k"),
         )
     )
+
+
+@register(
+    "q43_global_sort",
+    oracle="""
+        SELECT o_orderkey, o_orderdate, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 350000
+        ORDER BY o_orderdate ASC, o_orderkey ASC
+    """,
+    tags=("sort", "extension"),
+    window_rank=1,
+)
+def q43_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-order sort of a filtered fact table — the one sort shape
+    q09's top-k doesn't cover (limit short-circuits the exchange).
+    Spark plans a RANGE exchange: sampled split points, then
+    partition-local sorts — the only scalable global sort (a single-
+    reducer sort dies at 100 TB; range partitioning keeps every
+    reducer's slice bounded). The tie-breaking (date, key) order is
+    total, so output is engine-portable; the filter pushes to the
+    scan."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_totalprice") > 350000)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    )

@@ -212,3 +212,15 @@ def test_embedding_lsh_is_groupby_plus_distinct_only(spark):
     assert "FlatMapGroupsInPandas" in plan
     assert "Join" not in plan
     assert plan.count("Exchange") <= 3  # bucket groupBy + 2-phase distinct
+
+
+def test_global_sort_is_range_partitioned(spark):
+    """q43 must plan a range exchange (sampled split points feeding
+    partition-local sorts) — never a single-partition sort — and its
+    filter must reach the scan."""
+    plan = _plan(spark, "q43_global_sort")
+    assert "rangepartitioning" in plan.lower()
+    assert "Sort" in plan
+    fmt = _formatted(spark, "q43_global_sort")
+    assert "PushedFilters: [" in fmt
+    assert "[]" != fmt.split("PushedFilters:", 1)[1][:60].strip().split("\n")[0].strip()
