@@ -100,6 +100,7 @@ def main() -> None:
     # a high 1-min load average at start, sampled before the session
     # even exists, flags a run contaminated by external machine load).
     details = {
+        "queries_median": timings,
         "queries_min": {n: round(min(ts), 3) for n, ts in samples.items()},
         "queries_max": {n: round(max(ts), 3) for n, ts in samples.items()},
         "rounds": rounds,
@@ -115,27 +116,19 @@ def main() -> None:
     except OSError:
         pass  # read-only checkout: the stdout line is still complete
 
+    # stdout values are 2-decimal (centisecond) so the line stays well
+    # inside the driver's tail window as the corpus grows; the
+    # 3-decimal medians live in BENCH_DETAILS.json
     line = json.dumps(
         {
             "metric": "corpus_total_wall_seconds",
             "value": total,
             "unit": "sec",
-            "queries": timings,
+            "queries": {n: round(v, 2) for n, v in timings.items()},
             "sf": sf,
         },
         separators=(",", ":"),
     )
-    if len(line) > 1900:  # driver tail budget with margin
-        line = json.dumps(
-            {
-                "metric": "corpus_total_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": {n: round(v, 2) for n, v in timings.items()},
-                "sf": sf,
-            },
-            separators=(",", ":"),
-        )
     print(line)
 
 

@@ -37,15 +37,18 @@ def _line(names, ndigits: int) -> str:
 
 
 def test_stdout_line_fits_driver_tail_window():
+    # bench.py prints 2-decimal values (3-decimal medians live in
+    # BENCH_DETAILS.json), so the line must fit with real names.
     names = sorted(load_all())
-    assert len(_line(names, 3)) <= BUDGET < DRIVER_TAIL_CHARS
+    assert len(_line(names, 2)) <= BUDGET < DRIVER_TAIL_CHARS
 
 
-def test_fallback_precision_buys_headroom_for_corpus_growth():
-    # Even if the corpus grows to ~70 entries of typical name length,
-    # the 2-decimal fallback keeps the line inside the window.
+def test_headroom_for_corpus_growth():
+    # A handful more entries of typical name length must keep fitting
+    # inside the window; past that, future entries need shorter names
+    # (this test is the tripwire that says so).
     names = sorted(load_all())
-    pad = [f"future_operator_entry_{i:02d}" for i in range(70 - len(names))]
+    pad = [f"future_operator_entry_{i:02d}" for i in range(74 - len(names))]
     assert len(_line(names + pad, 2)) <= DRIVER_TAIL_CHARS
 
 
