@@ -48,7 +48,7 @@ def test_headroom_for_corpus_growth():
     # inside the window; past that, future entries need shorter names
     # (this test is the tripwire that says so).
     names = sorted(load_all())
-    pad = [f"future_operator_entry_{i:02d}" for i in range(74 - len(names))]
+    pad = [f"future_operator_entry_{i:02d}" for i in range(72 - len(names))]
     assert len(_line(names + pad, 2)) <= DRIVER_TAIL_CHARS
 
 
