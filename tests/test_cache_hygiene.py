@@ -24,6 +24,8 @@ DEDUP_ENTRIES = [
     "dedup_simhash",
     "dedup_clusters",
     "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "dedup_incremental",
 ]
 
 

@@ -693,3 +693,31 @@ def test_ivf_empty_corpus_raises_cleanly(spark):
     empty = spark.createDataFrame([], schema)
     with _pytest.raises(ValueError, match="empty"):
         train_ivf_centroids(empty)
+
+
+def test_incremental_dedup_semantics(spark):
+    """Crafted corpus: history always wins, first-in-batch breaks
+    exact ties, near-dup pairs drop the batch/larger side."""
+    from pyspark.sql import functions as F
+
+    from cae_polars_tools_spark.operators.dedup import incremental_dedup
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    hist_b = "kilo lima mike november oscar papa quebec romeo sierra tango"
+    uniq = "one two three four five six seven eight nine ten"
+    rows = [
+        (0, "hist", base),                      # history
+        (1, "hist", hist_b),                    # history
+        (2, "new", base),                       # exact dup of history 0
+        (3, "new", hist_b + " uniform"),        # near-dup of history 1
+        (4, "new", uniq),                       # survivor
+        (5, "new", uniq),                       # exact dup of 4 (in batch)
+        (6, "new", uniq + " extra"),            # near-dup of 4 (in batch)
+        (7, "new", "zeta eta theta iota kappa lambda mu nu xi omicron"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = sorted(
+        r["doc_id"]
+        for r in incremental_dedup(docs, F.col("source") == "new").collect()
+    )
+    assert out == [4, 7]
