@@ -124,6 +124,44 @@ def dedup_stream(
     )
 
 
+def dedup_stream_vs_history(
+    docs: DataFrame,
+    history_fingerprints: DataFrame,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Streaming twin of ``dedup_incremental``'s exact stage: an
+    arriving document stream deduplicated against an already-clean
+    static history AND within itself.
+
+    Two composed patterns:
+
+    * **stream-static left-anti join** on the 16-byte fingerprint —
+      the static side (the history's fingerprint column, which a real
+      pipeline keeps materialized between cycles) is read fresh per
+      micro-batch, so a history update is picked up without restarting
+      the query; no state is kept for this join.
+    * **watermark-bounded in-stream dedup**
+      (``dropDuplicatesWithinWatermark``) — one state entry per
+      fingerprint, evicted past the event-time watermark, so state is
+      bounded by fingerprints-per-window at any ingest rate.
+
+    The near-dup stage deliberately has no streaming twin: candidate
+    generation needs the corpus-wide inverted index, which is a batch
+    (or periodic micro-batch-materialized) structure — the standard
+    lambda split for this operator."""
+    from cae_polars_tools_spark.operators.text import fingerprint
+
+    with_fp = docs.withColumn(fp_col, fingerprint("text"))
+    hist = history_fingerprints.select(F.col(fp_col))
+    return (
+        with_fp.join(hist, fp_col, "left_anti")
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark([fp_col])
+    )
+
+
 def attribution_join(
     clicks: DataFrame,
     purchases: DataFrame,

@@ -185,3 +185,63 @@ def test_attribution_join_stream_matches_batch(spark, sf_small, tmp_path):
     got_s = got[key].sort_values(key).reset_index(drop=True)
     batch_s = batch[key].sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(got_s, batch_s)
+
+
+def test_streaming_dedup_vs_static_history(spark, tmp_path):
+    """dedup_stream_vs_history: stream docs anti-joined against a
+    static history fingerprint set (stream-static join), then
+    watermark-bounded in-stream dedup — exact-dup redeliveries and
+    history copies never reach the sink."""
+    import datetime
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from cae_polars_tools_spark.operators.text import fingerprint
+    from cae_polars_tools_spark.streaming.events import (
+        dedup_stream_vs_history,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("text", StringType()),
+        ]
+    )
+    base = datetime.datetime(
+        2023, 11, 14, 22, 13, 20, tzinfo=datetime.timezone.utc
+    )
+    hist_rows = [(0, base, "history doc alpha"), (1, base, "history doc beta")]
+    history = spark.createDataFrame(hist_rows, schema).select(
+        fingerprint("text").alias("fp")
+    )
+
+    stream_rows = [
+        (10, base + datetime.timedelta(seconds=1), "history doc alpha"),  # hist dup
+        (11, base + datetime.timedelta(seconds=2), "fresh doc one"),
+        (12, base + datetime.timedelta(seconds=3), "fresh doc one"),      # in-stream dup
+        (13, base + datetime.timedelta(seconds=4), "fresh doc two"),
+    ]
+    src = str(tmp_path / "docsrc")
+    spark.createDataFrame(stream_rows, schema).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        dedup_stream_vs_history(stream, history)
+        .writeStream.format("memory")
+        .queryName("t_dedup_hist")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hist"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r["doc_id"] for r in spark.table("t_dedup_hist").collect())
+    assert got == [11, 13] or got == [12, 13]  # one survivor per fp
+    assert 10 not in got
