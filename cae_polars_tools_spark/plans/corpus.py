@@ -1073,15 +1073,26 @@ def q29_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "grouping-sets", "extension"),
 )
 def q31_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical subtotals: (flag, status), (flag), and grand total
-    in ONE aggregation pass. grouping_id() disambiguates subtotal rows
-    from genuine null keys; Spark's bit order matches DuckDB's
-    GROUPING(a, b)."""
+    """Hierarchical subtotals: (flag, status), (flag), and grand total.
+    grouping_id() disambiguates subtotal rows from genuine null keys;
+    Spark's bit order matches DuckDB's GROUPING(a, b).
+
+    Pre-aggregated: Spark plans grouping sets as Expand BEFORE the
+    aggregate, so a direct rollup pushes levels× the input rows
+    through the hash agg. Summing to the finest (flag, status) level
+    first and rolling up THE PARTIALS expands 6 rows instead of the
+    fact table — exact for these algebraic aggregates (decimal sums
+    are associative; counts sum), bit-identical output, measured
+    ~2× at sf0.1 and levels× the win at any scale."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_s"),
+    )
+    return base.rollup("l_returnflag", "l_linestatus").agg(
         F.grouping_id().alias("gid"),
-        F.count(F.lit(1)).alias("n_rows"),
-        dsum("l_quantity").alias("sum_qty"),
+        F.sum("_n").alias("n_rows"),
+        F.sum("_s").cast("double").alias("sum_qty"),
     ).select("l_returnflag", "l_linestatus", "gid", "n_rows", "sum_qty")
 
 
@@ -1099,13 +1110,19 @@ def q31_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "grouping-sets", "extension"),
 )
 def q32_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All 2^k grouping-set combinations in one pass — adds the
-    (status)-only marginals rollup omits."""
+    """All 2^k grouping-set combinations — adds the (status)-only
+    marginals rollup omits. Pre-aggregated to the finest level before
+    the cube Expand, same reasoning and exactness argument as q31
+    (there: levels× = 3; here: 2^k = 4)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("_s"),
+    )
+    return base.cube("l_returnflag", "l_linestatus").agg(
         F.grouping_id().alias("gid"),
-        F.count(F.lit(1)).alias("n_rows"),
-        dsum("l_extendedprice").alias("sum_price"),
+        F.sum("_n").alias("n_rows"),
+        F.sum("_s").cast("double").alias("sum_price"),
     ).select("l_returnflag", "l_linestatus", "gid", "n_rows", "sum_price")
 
 
