@@ -224,3 +224,18 @@ def test_global_sort_is_range_partitioned(spark):
     fmt = _formatted(spark, "q43_global_sort")
     assert "PushedFilters: [" in fmt
     assert "[]" != fmt.split("PushedFilters:", 1)[1][:60].strip().split("\n")[0].strip()
+
+
+@pytest.mark.parametrize("name", ["q31_rollup", "q32_cube"])
+def test_grouping_sets_expand_partials_not_the_table(spark, name):
+    """q31/q32 pre-aggregate to the finest grouping level BEFORE the
+    grouping-sets Expand, so Expand multiplies O(groups) partial rows,
+    not the fact table. In the plan tree (printed top-down) that means
+    a HashAggregate must appear BELOW the Expand node — i.e. after it
+    in the string — feeding it pre-aggregated rows."""
+    plan = _plan(spark, name)
+    assert "Expand" in plan
+    below_expand = plan.split("Expand", 1)[1]
+    assert "HashAggregate" in below_expand
+    # and the scan feeds that base aggregate, not the Expand directly
+    assert "Scan parquet" in below_expand
