@@ -90,10 +90,18 @@ def spread(df: DataFrame) -> DataFrame:
     fall back to the exact (lineage-building) RDD partition count.
     """
     spark = df.sparkSession
-    n = spark.sparkContext.defaultParallelism
+    try:
+        n = spark.sparkContext.defaultParallelism
+    except Exception:
+        # Spark Connect: no SparkContext client-side — the scan-size
+        # heuristic can't run; leave the plan untouched
+        return df
     est = _scan_task_estimate(df)
     if est is None:
-        est = df.rdd.getNumPartitions()
+        try:
+            est = df.rdd.getNumPartitions()
+        except Exception:
+            return df  # non-file plan on a Connect-like session
     if est >= n:
         return df
     return df.repartition(n)
