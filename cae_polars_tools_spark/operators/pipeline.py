@@ -374,3 +374,94 @@ def pipeline_split_pack(spark, sf_dir: str) -> DataFrame:
         )
     )
     return pack_sequences(train, budget=PACK_BUDGET)
+
+
+MIX_HASH_SPACE = 4294967296.0  # 16^8 — first 8 hex chars of md5
+
+
+def mix_sources(
+    df: DataFrame,
+    source_col: str,
+    weight_of: Callable[[Column], Column],
+    key_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic data mixing: downsample each source so the kept
+    corpus follows the target weight mixture while keeping as many
+    rows as possible (water-filling: the most over-weighted source
+    keeps everything, the rest thin proportionally).
+
+    ``weight_of`` maps the source column to its target weight (a
+    relative share, any positive scale). Per-source keep fraction =
+    ``w_s·K / n_s`` with ``K = min_s(n_s / w_s)``. Selection is a pure
+    row-local predicate — the first 8 hex chars of ``md5(key:seed)``
+    against the source's fraction threshold — so membership is
+    deterministic across runs, engines, repartitions, and incremental
+    arrivals (the same leakage-safety property as
+    :func:`split_by_hash`). The whole operator is one bounded
+    aggregation (|sources| rows) broadcast back onto a map-side
+    filter: no corpus shuffle at any scale. md5-hex thresholding
+    (rather than xxhash) keeps the predicate bit-portable to the SQL
+    oracle."""
+    src = F.col(source_col)
+    counts = (
+        df.groupBy(src.alias("_mix_src"))
+        .agg(F.count(F.lit(1)).cast("double").alias("_n"))
+        .withColumn("_w", weight_of(F.col("_mix_src")).cast("double"))
+    )
+    k = counts.agg(F.min(F.col("_n") / F.col("_w")).alias("_k"))
+    frac = F.col("_w") * F.col("_k") / F.col("_n")
+    thr = F.lpad(
+        F.lower(F.hex(F.floor(frac * F.lit(MIX_HASH_SPACE)).cast("bigint"))),
+        8,
+        "0",
+    )
+    plan = counts.crossJoin(F.broadcast(k)).select(
+        "_mix_src", frac.alias("_frac"), thr.alias("_thr")
+    )
+    h8 = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}"))), 1, 8
+    )
+    return (
+        df.join(F.broadcast(plan), src == F.col("_mix_src"))
+        .filter((F.col("_frac") >= 1.0) | (h8 < F.col("_thr")))
+        .drop("_mix_src", "_frac", "_thr")
+    )
+
+
+MIX_SEED = 42
+
+
+@register(
+    "pipeline_mix_sources",
+    oracle=f"""
+        WITH counts AS (
+            SELECT source AS s,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CASE WHEN source LIKE 'src1_' THEN 3.0 ELSE 1.0 END AS w
+            FROM documents GROUP BY source
+        ),
+        k AS (SELECT MIN(n / w) AS k FROM counts),
+        plan AS (
+            SELECT s,
+                   w * k.k / n AS frac,
+                   lpad(lower(to_hex(CAST(floor(w * k.k / n * {MIX_HASH_SPACE}) AS BIGINT))), 8, '0') AS thr
+            FROM counts, k
+        )
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN plan p ON d.source = p.s
+        WHERE p.frac >= 1.0
+           OR substr(md5(CAST(d.doc_id AS VARCHAR) || ':{MIX_SEED}'), 1, 8) < p.thr
+    """,
+    tags=("pipeline", "mixing", "extension"),
+    window_rank=1,
+)
+def pipeline_mix_sources(spark, sf_dir: str) -> DataFrame:
+    """Data mixing demo: up-weight the src10-19 half of the corpus 3:1
+    against src0-9 — the over-weighted half keeps every row, the rest
+    thins to a third, deterministically by md5(doc_id) threshold."""
+    d = spread(read_table(spark, sf_dir, "documents"))
+    w = lambda s: F.when(s.like("src1_"), F.lit(3.0)).otherwise(F.lit(1.0))
+    return mix_sources(d, "source", w, "doc_id", seed=MIX_SEED).select(
+        "doc_id", "source"
+    )

@@ -250,3 +250,34 @@ def test_pack_sequences_honors_column_names(spark):
     out = pack_sequences(df, 512, id_col="uid", token_col="toks")
     assert set(out.columns) == {"uid", "pack_id", "toks", "pack_tokens"}
     assert {r["uid"] for r in out.collect()} == {7, 8}
+
+
+def test_mix_sources_waterfill_and_determinism(spark):
+    """mix_sources: the most over-weighted source keeps every row,
+    under-weighted sources thin toward their proportional share, and
+    membership is invariant under repartitioning (row-local md5
+    predicate)."""
+    from pyspark.sql import functions as F
+
+    from cae_polars_tools_spark.operators.pipeline import mix_sources
+
+    rows = [(i, "heavy" if i % 2 else "light") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    w = lambda s: F.when(s == "heavy", F.lit(4.0)).otherwise(F.lit(1.0))
+
+    out = mix_sources(df, "source", w, "doc_id")
+    by_src = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_src["heavy"] == 1000  # over-weighted: keeps everything
+    # light targets 1000/4 = 250; Bernoulli noise band ±5 sigma (~68)
+    assert 180 <= by_src["light"] <= 320
+
+    # repartition invariance: identical kept set
+    a = {r["doc_id"] for r in out.collect()}
+    b = {
+        r["doc_id"]
+        for r in mix_sources(df.repartition(13), "source", w, "doc_id").collect()
+    }
+    assert a == b
