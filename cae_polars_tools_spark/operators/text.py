@@ -352,3 +352,49 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         red.alias("redacted"),
         (red != F.col("text")).alias("changed"),
     )
+
+
+VOCAB_TOP_K = 200
+
+
+@register(
+    "text_vocabulary",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        stats AS (
+            SELECT token,
+                   COUNT(*) AS tf,
+                   COUNT(DISTINCT doc_id) AS df
+            FROM tok GROUP BY token
+        )
+        SELECT token, tf, df
+        FROM stats
+        ORDER BY tf DESC, token ASC
+        LIMIT {VOCAB_TOP_K}
+    """,
+    tags=("text", "vocabulary", "extension"),
+    window_rank=1,
+)
+def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: the top-{K} tokens by total term
+    frequency, with document frequency — the token-level census every
+    tokenizer/vocab-building step starts from. explode → one
+    aggregation keyed by token (map-side combined; a 100 TB corpus has
+    a bounded vocabulary, so the shuffle carries one partial row per
+    (partition × distinct token)) → bounded top-k. The (tf DESC,
+    token ASC) order is total, so the LIMIT cut is engine-portable;
+    all counts are exact integers."""
+    d = spread(read_table(spark, sf_dir, "documents"))
+    return (
+        d.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.count_distinct(F.col("doc_id")).alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), F.col("token").asc())
+        .limit(VOCAB_TOP_K)
+    )
