@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cae_polars_tools_spark.io import read_table, spread
@@ -397,4 +397,81 @@ def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("tf").desc(), F.col("token").asc())
         .limit(VOCAB_TOP_K)
+    )
+
+
+TFIDF_TOP_TERMS = 5
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, token, COUNT(*) AS tf
+            FROM tok GROUP BY doc_id, token
+        ),
+        idf AS (
+            SELECT token,
+                   ln((1.0 + (SELECT COUNT(*) FROM documents))
+                      / (1.0 + COUNT(DISTINCT doc_id))) + 1.0 AS idf
+            FROM tok GROUP BY token
+        ),
+        scored AS (
+            SELECT tf.doc_id, tf.token,
+                   CAST(tf.tf AS DOUBLE) * idf.idf AS score,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY CAST(tf.tf AS DOUBLE) * idf.idf DESC,
+                                tf.token ASC
+                   ) AS rnk
+            FROM tf JOIN idf ON tf.token = idf.token
+        )
+        SELECT doc_id, token, rnk, ROUND(score, 6) AS tfidf
+        FROM scored WHERE rnk <= {TFIDF_TOP_TERMS}
+    """,
+    tags=("text", "tfidf", "extension"),
+    window_rank=1,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{K} characteristic terms per document by smoothed TF-IDF
+    (``tf · (ln((1+N)/(1+df)) + 1)``) — the classic relevance
+    weighting a retrieval/labeling stage runs over a curated corpus.
+
+    Shapes for 100 TB: term frequencies are one map-side-combined
+    (doc, token) aggregation; the IDF table is vocabulary-bounded and
+    arrives via broadcast, so the corpus-sized side never reshuffles
+    for it; the per-document top-k window partitions on doc_id with
+    per-key cardinality bounded by distinct terms per document. The
+    (score DESC, token ASC) order is total, and ln() is bit-identical
+    across engines (verified), so the rank cut is portable."""
+    d = spread(read_table(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n"))
+    idf = (
+        tok.groupBy("token")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            (
+                F.log((1.0 + F.col("n")) / (1.0 + F.col("df"))) + 1.0
+            ).alias("idf"),
+        )
+    )
+    score = F.col("tf").cast("double") * F.col("idf")
+    w = Window.partitionBy("doc_id").orderBy(
+        score.desc(), F.col("token").asc()
+    )
+    return (
+        tf.join(F.broadcast(idf), "token")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP_TERMS)
+        .select(
+            "doc_id", "token", "rnk", F.round(score, 6).alias("tfidf")
+        )
     )
