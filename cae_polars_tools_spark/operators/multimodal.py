@@ -49,12 +49,18 @@ def with_payload(docs: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> Any:
-    """Decode image bytes → ndarray. STUB: no imaging library in this
-    environment. Plug a real decoder (e.g. PIL.Image.open) into
-    :func:`extract_features` instead of relying on this."""
+    """Decode image bytes → ndarray. REAL for uncompressed 24-bit BMP
+    (:func:`decode_bmp`, hand-parsed — no library needed); compressed
+    formats (JPEG/PNG/…) genuinely need an imaging library absent
+    from this environment and raise NotImplementedError — plug a real
+    decoder (e.g. PIL.Image.open) into :func:`extract_features` for
+    those."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     raise NotImplementedError(
-        "media decoding requires an imaging/audio library not present in "
-        "this environment; pass decode_fn= to extract_features()"
+        "compressed-image decoding requires an imaging library not "
+        "present in this environment; pass decode_fn= to "
+        "extract_features() (uncompressed BMP decodes natively)"
     )
 
 
@@ -247,3 +253,191 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoder-independent)."""
     docs = spread(read_table(spark, sf_dir, "documents"))
     return extract_features(with_payload(docs))
+
+
+# --------------------------------------------------------------------------
+# Real decoders for the library-free formats. The stub seam above is
+# for formats that genuinely need external codecs (JPEG/PNG/MP4);
+# uncompressed BMP is hand-parseable and PCM WAV is Python-stdlib, so
+# those two paths are REAL — decode, features, and resize execute on
+# actual pixel/sample data end-to-end in this environment.
+# --------------------------------------------------------------------------
+
+import struct
+
+import numpy as np
+
+
+def encode_bmp(pixels: "np.ndarray") -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as an uncompressed 24-bit
+    BMP (BITMAPINFOHEADER, bottom-up rows, 4-byte row padding) — the
+    format's standard layout, written from the public spec."""
+    h, w, c = pixels.shape
+    assert c == 3
+    row = w * 3
+    pad = (-row) % 4
+    img_size = (row + pad) * h
+    header = struct.pack(
+        "<2sIHHIIiiHHIIiiII",
+        b"BM",
+        14 + 40 + img_size,
+        0,
+        0,
+        14 + 40,
+        40,
+        w,
+        h,
+        1,
+        24,
+        0,
+        img_size,
+        2835,
+        2835,
+        0,
+        0,
+    )
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        # BGR byte order per spec
+        body += pixels[y, :, ::-1].tobytes() + b"\x00" * pad
+    return header + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> "np.ndarray":
+    """Decode an uncompressed 24-bit BMP → (H, W, 3) uint8 RGB array.
+    Raises ValueError on non-BMP bytes and NotImplementedError on
+    compressed/other-depth BMPs (those need a real imaging library)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP is hand-decodable (got "
+            f"bpp={bpp}, compression={compression})"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    row = w * 3
+    pad = (-row) % 4
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for i in range(h):
+        off = data_off + i * (row + pad)
+        line = np.frombuffer(payload, dtype=np.uint8, count=row, offset=off)
+        y = (h - 1 - i) if bottom_up else i
+        out[y] = line.reshape(w, 3)[:, ::-1]  # BGR → RGB
+    return out
+
+
+def encode_wav_pcm16(samples: "np.ndarray", sample_rate: int) -> bytes:
+    """Encode a 1-D int16 array as a mono 16-bit PCM WAV (stdlib)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """Decode a PCM WAV → (sample_rate, (n_samples, channels) int16
+    array). Pure stdlib (``wave``); compressed WAV raises."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise NotImplementedError("only 16-bit PCM WAV is supported")
+        rate = wf.getframerate()
+        n = wf.getnframes()
+        raw = wf.readframes(n)
+        arr = np.frombuffer(raw, dtype="<i2").reshape(n, wf.getnchannels())
+    return rate, arr
+
+
+def image_features(assets: DataFrame) -> DataFrame:
+    """REAL image feature extraction for BMP payloads: width, height,
+    per-channel means — one ``mapInPandas`` pass, pixels never leave
+    the partition. Same scale shape as :func:`extract_features`; this
+    one runs on actual decoded pixels."""
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "width": [],
+                "height": [],
+                "mean_r": [],
+                "mean_g": [],
+                "mean_b": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_bmp(bytes(payload))
+                out["doc_id"].append(int(doc_id))
+                out["height"].append(px.shape[0])
+                out["width"].append(px.shape[1])
+                means = px.reshape(-1, 3).mean(axis=0)
+                out["mean_r"].append(float(means[0]))
+                out["mean_g"].append(float(means[1]))
+                out["mean_b"].append(float(means[2]))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, width int, height int, "
+            "mean_r double, mean_g double, mean_b double"
+        ),
+    )
+
+
+def resize_bmp(payload: bytes, width: int, height: int) -> bytes:
+    """REAL resize for BMP payloads: nearest-neighbor resample on the
+    decoded pixel grid, re-encoded as BMP. Deterministic (pure index
+    math) — the real-decoder counterpart of :func:`fake_resize`."""
+    px = decode_bmp(payload)
+    h, w, _ = px.shape
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    return encode_bmp(px[ys][:, xs])
+
+
+def audio_features(assets: DataFrame) -> DataFrame:
+    """REAL audio feature extraction for PCM-WAV payloads: sample
+    rate, length, RMS and peak amplitude — one ``mapInPandas`` pass."""
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "sample_rate": [],
+                "n_samples": [],
+                "rms": [],
+                "peak": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, arr = decode_wav(bytes(payload))
+                x = arr.astype(np.float64)
+                out["doc_id"].append(int(doc_id))
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(arr.shape[0])
+                out["rms"].append(float(np.sqrt((x * x).mean())) if arr.size else 0.0)
+                out["peak"].append(int(np.abs(arr).max()) if arr.size else 0)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, sample_rate int, n_samples long, "
+            "rms double, peak int"
+        ),
+    )
