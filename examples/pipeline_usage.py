@@ -110,6 +110,20 @@ def main() -> None:
     n4 = docs.count()
     print(f"after quality gate: {n4} (-{n3 - n4})")
 
+    # 4b. data mixing: rebalance sources to target weights (here 3:1
+    # for the src1x half) — water-filling keeps the over-weighted half
+    # whole and thins the rest, deterministically by md5 threshold
+    from cae_polars_tools_spark.operators.pipeline import mix_sources
+
+    docs = mix_sources(
+        docs,
+        "source",
+        lambda s: F.when(s.like("src1_"), F.lit(3.0)).otherwise(F.lit(1.0)),
+        "doc_id",
+    )
+    n4b = docs.count()
+    print(f"after source mixing: {n4b} (-{n4 - n4b})")
+
     # 5. deterministic split — stable across reruns and data growth,
     # equal keys always co-locate (no train/test leakage)
     split = split_by_hash(
