@@ -8,11 +8,15 @@ Convention: a multimodal asset is a row with
 
 The Spark-side plumbing — schema, partition-parallel batch decode via
 ``mapInPandas``, feature extraction signatures — is real and tested.
-The actual media decode is STUBBED: this container has no image/audio
-libraries, so :func:`decode_image` raises ``NotImplementedError``
-unless a decoder callback is supplied, and the tested pipeline uses a
-deterministic fake decoder. Swapping in Pillow/librosa is a one-line
-change at the marked seam.
+Media decode is REAL for the library-free formats: uncompressed
+24-bit BMP is hand-parsed (:func:`decode_bmp` — decode, features,
+nearest-neighbor resize all run on actual pixels, oracle-checked by
+the ``mm_bmp_features`` corpus entry) and PCM WAV decodes via the
+stdlib ``wave`` module (:func:`decode_wav`). Codec formats
+(JPEG/PNG/MP4/…) genuinely need libraries absent from this container
+and stay STUBBED behind a clear ``NotImplementedError``; swapping in
+Pillow/librosa is a one-line change at the marked seam, and the
+tested pipeline uses a deterministic fake decoder there.
 
 Scale notes: payload bytes never leave their partition (decode is a
 map), and feature outputs are small fixed-width rows — the shuffle
@@ -383,10 +387,14 @@ def image_features(assets: DataFrame) -> DataFrame:
                 out["doc_id"].append(int(doc_id))
                 out["height"].append(px.shape[0])
                 out["width"].append(px.shape[1])
-                means = px.reshape(-1, 3).mean(axis=0)
-                out["mean_r"].append(float(means[0]))
-                out["mean_g"].append(float(means[1]))
-                out["mean_b"].append(float(means[2]))
+                # exact integer sums, ONE double division — engine-
+                # portable (numpy's float pairwise mean could drift in
+                # the last ulp vs a SQL AVG)
+                sums = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                n = px.shape[0] * px.shape[1]
+                out["mean_r"].append(sums[0] / n)
+                out["mean_g"].append(sums[1] / n)
+                out["mean_b"].append(sums[2] / n)
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(
@@ -441,3 +449,64 @@ def audio_features(assets: DataFrame) -> DataFrame:
             "rms double, peak int"
         ),
     )
+
+
+BMP_W, BMP_H = 5, 4  # demo raster: 60 bytes of text → 5×4 RGB
+
+
+def _text_to_bmp(assets: DataFrame) -> DataFrame:
+    """Deterministically materialize a real BMP per document from its
+    payload bytes (first W·H·3 bytes, zero-padded) — the corpus has no
+    media files, so the demo raster is synthesized; everything
+    downstream of this point (encode → decode → features) is the real
+    byte-level format path."""
+    n = BMP_W * BMP_H * 3
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "payload": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)[:n].ljust(n, b"\x00")
+                px = np.frombuffer(raw, dtype=np.uint8).reshape(
+                    BMP_H, BMP_W, 3
+                )
+                out["doc_id"].append(int(doc_id))
+                out["payload"].append(encode_bmp(px))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(gen, schema="doc_id long, payload binary")
+
+
+@register(
+    "mm_bmp_features",
+    oracle=f"""
+        WITH px AS (
+            SELECT doc_id,
+                   p,
+                   ascii(substr(rpad(text, {BMP_W * BMP_H * 3}, chr(0)),
+                                p + 1, 1)) AS b
+            FROM documents,
+                 unnest(range(0, {BMP_W * BMP_H * 3})) AS u(p)
+        )
+        SELECT doc_id,
+               {BMP_W} AS width,
+               {BMP_H} AS height,
+               AVG(CASE WHEN p % 3 = 0 THEN b END) AS mean_r,
+               AVG(CASE WHEN p % 3 = 1 THEN b END) AS mean_g,
+               AVG(CASE WHEN p % 3 = 2 THEN b END) AS mean_b
+        FROM px GROUP BY doc_id
+    """,
+    tags=("multimodal", "extension", "bmp"),
+    window_rank=1,
+)
+def mm_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL image path, value-checked: text bytes →
+    synthesized 5×4 BMP (real encoder) → hand-parsed BMP decode →
+    per-channel means from exact integer sums. The oracle reconstructs
+    every pixel from the same text bytes in SQL, so the whole
+    encode/decode/feature chain is verified value-for-value — not just
+    plumbing. Zero shuffle; bytes never leave their partition."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    return image_features(_text_to_bmp(with_payload(docs)))
