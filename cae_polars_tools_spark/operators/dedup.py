@@ -388,6 +388,7 @@ def jaccard_pairs(
     docs: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
     max_df: int = JACCARD_MAX_DF,
+    candidate_filter: Callable[[DataFrame], DataFrame] | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity join over word-shingle sets via a
     DF-capped inverted index: explode (doc, shingle), drop shingles
@@ -431,6 +432,18 @@ def jaccard_pairs(
     # bucket-local pair generation: bucket size ≤ max_df by the cap,
     # so the per-bucket fan-out is bounded at max_df·(max_df−1)/2
     candidates = bucket_pairs(exk, ["g"])
+    if candidate_filter is not None:
+        # pre-verification pruning hook: the verify joins below ship
+        # the full shingle arrays (the widest rows in this DAG), so a
+        # caller that only needs a subset of pairs — incremental
+        # ingest needs only pairs touching the arriving batch; a
+        # steady-state large history makes history-history candidates
+        # the dominant term — prunes the expensive stage, not just
+        # the output. The hook must preserve the (doc_id_a, doc_id_b)
+        # schema.
+        candidates = candidate_filter(candidates).select(
+            "doc_id_a", "doc_id_b"
+        )
     sa = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("h64").alias("s_a"))
     sb = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("h64").alias("s_b"))
     inter = F.size(F.array_intersect("s_a", "s_b"))
@@ -1284,7 +1297,11 @@ def incremental_dedup(
     call); near-dup candidates come from the same bucket-local capped
     inverted index every other Jaccard operator uses
     (:func:`jaccard_pairs` — one groupBy shuffle, no self-join, hot
-    shingles excluded). Nothing rescans history per batch beyond its
+    shingles excluded), and history-history candidates are pruned by
+    role BEFORE the exact verification joins (which ship full shingle
+    arrays) — in the steady state where a large clean history dwarfs
+    each arriving batch, those candidates dominate the cascade and
+    their verification would be pure waste. History contributes its
     fingerprint column and its shingle index — both of which a real
     pipeline keeps materialized between cycles."""
     fp = fingerprint("text")
@@ -1307,9 +1324,6 @@ def incremental_dedup(
     # against the tiny (doc_id, is_new) role frame, and the dropped id
     # read off with one CASE (history partner drops the batch side;
     # batch-batch drops the larger id, consistent with a < b).
-    pairs = jaccard_pairs(docs, threshold=threshold).select(
-        "doc_id_a", "doc_id_b"
-    )
     roles = docs.select("doc_id", is_new.alias("new"))
     ra = roles.select(
         F.col("doc_id").alias("doc_id_a"), F.col("new").alias("a_new")
@@ -1317,6 +1331,20 @@ def incremental_dedup(
     rb = roles.select(
         F.col("doc_id").alias("doc_id_b"), F.col("new").alias("b_new")
     )
+
+    def touching_batch(cands: DataFrame) -> DataFrame:
+        # drop history-history candidates BEFORE the (expensive,
+        # full-shingle-array) exact verification — in the steady state
+        # the docstring describes, history dwarfs the batch and
+        # hist-hist candidates dominate the pair cascade
+        return (
+            cands.join(ra, "doc_id_a")
+            .join(rb, "doc_id_b")
+            .filter(F.col("a_new") | F.col("b_new"))
+        )
+
+    jp = jaccard_pairs(docs, threshold=threshold, candidate_filter=touching_batch)
+    pairs = jp.select("doc_id_a", "doc_id_b")
     dropped = (
         pairs.join(ra, "doc_id_a")
         .join(rb, "doc_id_b")
@@ -1325,10 +1353,18 @@ def incremental_dedup(
             .when(F.col("a_new"), F.col("doc_id_a"))
             .alias("doc_id")
         )
-        .filter(F.col("doc_id").isNotNull())  # history-history pairs
         .distinct()
     )
-    return exact_kept.join(dropped, "doc_id", "left_anti")
+    result = exact_kept.join(dropped, "doc_id", "left_anti")
+    # _release_on_gc's chaining contract: a derived DataFrame keeps no
+    # Python reference to its parent, so dropping the jaccard handle
+    # here would fire its finalizer and unpersist the eagerly-
+    # materialized shingle cache BEFORE the caller ever runs an action
+    # (then all three cache consumers re-execute the shingle
+    # pipeline). Pin the handle to the returned frame so the cache
+    # lives exactly as long as this plan can still execute.
+    result._upstream_cache_handle = jp
+    return result
 
 
 @register(

@@ -439,7 +439,11 @@ def audio_features(assets: DataFrame) -> DataFrame:
                 out["sample_rate"].append(rate)
                 out["n_samples"].append(arr.shape[0])
                 out["rms"].append(float(np.sqrt((x * x).mean())) if arr.size else 0.0)
-                out["peak"].append(int(np.abs(arr).max()) if arr.size else 0)
+                # widen before abs: np.abs(int16 -32768) wraps to
+                # -32768, under-reporting the peak of clipped audio
+                out["peak"].append(
+                    int(np.abs(arr.astype(np.int32)).max()) if arr.size else 0
+                )
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(

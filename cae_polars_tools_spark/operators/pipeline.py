@@ -404,10 +404,27 @@ def mix_sources(
     (rather than xxhash) keeps the predicate bit-portable to the SQL
     oracle."""
     src = F.col(source_col)
+    raw_w = weight_of(F.col("_mix_src")).cast("double")
+    # fail loudly on null/non-positive weights: a weight_of missing its
+    # .otherwise() branch yields NULL, which would silently drop every
+    # row of the affected sources (NULL threshold -> NULL filter) and
+    # skew K via min()'s null-skipping
+    checked_w = F.when(
+        raw_w.isNull() | (raw_w <= 0.0),
+        F.raise_error(
+            F.concat(
+                F.lit("mix_sources: weight_of returned "),
+                F.coalesce(raw_w.cast("string"), F.lit("NULL")),
+                F.lit(" for source "),
+                F.col("_mix_src").cast("string"),
+                F.lit(" — weights must be positive for every source"),
+            )
+        ),
+    ).otherwise(raw_w)
     counts = (
         df.groupBy(src.alias("_mix_src"))
         .agg(F.count(F.lit(1)).cast("double").alias("_n"))
-        .withColumn("_w", weight_of(F.col("_mix_src")).cast("double"))
+        .withColumn("_w", checked_w)
     )
     k = counts.agg(F.min(F.col("_n") / F.col("_w")).alias("_k"))
     frac = F.col("_w") * F.col("_k") / F.col("_n")

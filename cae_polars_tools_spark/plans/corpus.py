@@ -1254,7 +1254,11 @@ def q36_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT p_partkey, p_brand, p_retailprice
         FROM part
-        WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
+        WHERE p_retailprice > (
+            SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(p_retailprice)
+            FROM part
+        )
     """,
     tags=("subquery", "extension"),
     window_rank=1,
@@ -1265,8 +1269,13 @@ def q37_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-joined — the fact side never shuffles, the comparison is a
     map-side filter at any scale (the idiomatic Spark translation of
     an uncorrelated scalar subquery)."""
+    from cae_polars_tools_spark.functions import davg
+
     p = _t(spark, sf_dir, "part")
-    mean = p.agg(F.avg("p_retailprice").alias("mean_price"))
+    # exact decimal mean (order-independent) — a raw double F.avg is
+    # partition-order dependent and could flip a boundary row vs the
+    # sequential oracle when used UNROUNDED in a predicate
+    mean = p.agg(davg("p_retailprice").alias("mean_price"))
     return (
         p.crossJoin(F.broadcast(mean))
         .filter(F.col("p_retailprice") > F.col("mean_price"))

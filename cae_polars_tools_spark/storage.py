@@ -81,7 +81,13 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     if path is not None:
-        writer = writer.option("path", os.path.abspath(path))
+        # abspath only scheme-less local paths: it would mangle a URI
+        # ('s3a://bucket/t' -> '<cwd>/s3a:/bucket/t') and the table
+        # would land on local disk with no error
+        u = urlparse(path)
+        writer = writer.option(
+            "path", path if u.scheme else os.path.abspath(path)
+        )
     writer.saveAsTable(table)
     return table
 

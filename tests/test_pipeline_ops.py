@@ -281,3 +281,25 @@ def test_mix_sources_waterfill_and_determinism(spark):
         for r in mix_sources(df.repartition(13), "source", w, "doc_id").collect()
     }
     assert a == b
+
+
+def test_mix_sources_rejects_null_or_nonpositive_weights(spark):
+    """A weight_of missing its .otherwise() (NULL weight) must raise,
+    not silently drop whole sources."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from cae_polars_tools_spark.operators.pipeline import mix_sources
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(10)],
+        ["doc_id", "source"],
+    )
+    missing_otherwise = lambda s: F.when(s == "a", F.lit(2.0))
+    with _pytest.raises(Exception, match="weights must be positive"):
+        mix_sources(df, "source", missing_otherwise, "doc_id").collect()
+    negative = lambda s: F.lit(-1.0)
+    with _pytest.raises(Exception, match="weights must be positive"):
+        mix_sources(df, "source", negative, "doc_id").collect()

@@ -170,3 +170,47 @@ def test_compact_parquet_sorted_files_cluster_ranges(spark, sf_small):
 def test_compact_validates_target(spark):
     with pytest.raises(ValueError, match="target_file_bytes"):
         compact_parquet(spark, "/nonexistent", "/tmp/x", target_file_bytes=0)
+
+
+def test_write_bucketed_preserves_uri_paths(monkeypatch):
+    """A URI path must reach the writer untouched — os.path.abspath
+    would mangle 's3a://bucket/t' into a local path and the table
+    would land on disk silently."""
+    import os
+
+    from cae_polars_tools_spark import storage
+
+    captured = {}
+
+    class FakeWriter:
+        def option(self, k, v):
+            captured[k] = v
+            return self
+
+        def saveAsTable(self, t):
+            captured["table"] = t
+
+        def sortBy(self, *c):
+            return self
+
+        def bucketBy(self, n, *k):
+            return self
+
+        def mode(self, m):
+            return self
+
+        def format(self, f):
+            return self
+
+    class FakeDF:
+        def repartition(self, n, *k):
+            return self
+
+        @property
+        def write(self):
+            return FakeWriter()
+
+    storage.write_bucketed(FakeDF(), "t", ["k"], 2, path="s3a://bucket/tbl")
+    assert captured["path"] == "s3a://bucket/tbl"
+    storage.write_bucketed(FakeDF(), "t", ["k"], 2, path="rel/dir")
+    assert captured["path"] == os.path.abspath("rel/dir")
