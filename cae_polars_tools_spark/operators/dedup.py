@@ -200,8 +200,13 @@ JACCARD_MAX_DF = 128
 # Capped exact-Jaccard oracle, mirroring jaccard_pairs(): candidates
 # from the DF-capped index, verified with exact set intersection over
 # the FULL shingle sets.
-_EXACT_JACCARD_SQL = f"""
-    WITH sh AS (
+# Shared CTE chain for every capped-Jaccard oracle (exact pairs,
+# duplicate clustering, incremental ingest): candidates from the
+# DF-capped inverted index, verified with exact set intersection over
+# the FULL shingle sets, thresholded into `jp`. ONE definition so the
+# oracles can never silently diverge from the operator family they
+# mirror.
+_CAPPED_JACCARD_CTES = f"""sh AS (
         SELECT doc_id, {SHINGLES_SQL} AS s FROM documents
     ),
     ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
@@ -219,12 +224,18 @@ _EXACT_JACCARD_SQL = f"""
         FROM cand c
         JOIN sh sa ON c.doc_id_a = sa.doc_id
         JOIN sh sb ON c.doc_id_b = sb.doc_id
-    )
-    SELECT doc_id_a,
-           doc_id_b,
-           CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
-    FROM inter
-    WHERE CAST(i AS DOUBLE) / (na + nb - i) >= {JACCARD_THRESHOLD}
+    ),
+    jp AS (
+        SELECT doc_id_a,
+               doc_id_b,
+               CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
+        FROM inter
+        WHERE CAST(i AS DOUBLE) / (na + nb - i) >= {JACCARD_THRESHOLD}
+    )"""
+
+_EXACT_JACCARD_SQL = f"""
+    WITH {_CAPPED_JACCARD_CTES}
+    SELECT doc_id_a, doc_id_b, jaccard FROM jp
 """
 
 # Uncapped exact join — the oracle for MinHash-LSH, whose candidate
@@ -487,6 +498,18 @@ def _minhash_params() -> tuple[np.ndarray, np.ndarray]:
 _MINHASH_EMPTY = (1 << 32) - 1  # empty doc ⇒ all-MAX signature
 
 
+def _signature(hv: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """The multiply-shift K-permutation minima as uint64 — the ONE
+    kernel both the signature UDF and the fused band-hash UDF call, so
+    they can never silently desynchronize (empty-doc sentinel
+    included)."""
+    if hv.size == 0:
+        return np.full(MINHASH_K, _MINHASH_EMPTY, dtype=np.uint64)
+    m = a[:, None] * hv[None, :]
+    m += b[:, None]
+    return (m >> np.uint64(32)).min(axis=1)
+
+
 @F.pandas_udf(ArrayType(LongType()))
 def minhash_signature(h64: pd.Series) -> pd.Series:
     """K-permutation MinHash signature from 64-bit shingle hashes.
@@ -505,12 +528,7 @@ def minhash_signature(h64: pd.Series) -> pd.Series:
     out = []
     for h in h64:
         hv = np.asarray(h, dtype=np.int64).view(np.uint64)
-        if hv.size == 0:
-            out.append(np.full(MINHASH_K, _MINHASH_EMPTY, dtype=np.int64))
-            continue
-        m = a[:, None] * hv[None, :]
-        m += b[:, None]
-        out.append((m >> np.uint64(32)).min(axis=1).astype(np.int64))
+        out.append(_signature(hv, a, b).astype(np.int64))
     return pd.Series(out)
 
 
@@ -546,16 +564,10 @@ def minhash_band_hashes(h64: pd.Series) -> pd.Series:
 
     a, b = _minhash_params()
     c = _band_coef()
-    empty_sig = np.full(MINHASH_K, _MINHASH_EMPTY, dtype=np.uint64)
     out = []
     for h in h64:
         hv = np.asarray(h, dtype=np.int64).view(np.uint64)
-        if hv.size == 0:
-            sig = empty_sig
-        else:
-            m = a[:, None] * hv[None, :]
-            m += b[:, None]
-            sig = (m >> np.uint64(32)).min(axis=1)
+        sig = _signature(hv, a, b)
         bh = (sig.reshape(LSH_BANDS, LSH_ROWS) * c[None, :]).sum(
             axis=1, dtype=np.uint64
         )
@@ -981,33 +993,11 @@ def connected_components(
 @register(
     "dedup_clusters",
     oracle=f"""
-        WITH RECURSIVE sh AS (
-            SELECT doc_id, {SHINGLES_SQL} AS s FROM documents
-        ),
-        ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-        kept AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= {JACCARD_MAX_DF}),
-        cand AS (
-            SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-            FROM ex a
-            JOIN kept k ON a.g = k.g
-            JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-        ),
-        inter AS (
-            SELECT c.doc_id_a, c.doc_id_b,
-                   len(list_intersect(sa.s, sb.s)) AS i,
-                   len(sa.s) AS na, len(sb.s) AS nb
-            FROM cand c
-            JOIN sh sa ON c.doc_id_a = sa.doc_id
-            JOIN sh sb ON c.doc_id_b = sb.doc_id
-        ),
-        dup_pairs AS (
-            SELECT doc_id_a, doc_id_b FROM inter
-            WHERE CAST(i AS DOUBLE) / (na + nb - i) >= {JACCARD_THRESHOLD}
-        ),
+        WITH RECURSIVE {_CAPPED_JACCARD_CTES},
         edges AS (
-            SELECT doc_id_a AS u, doc_id_b AS v FROM dup_pairs
+            SELECT doc_id_a AS u, doc_id_b AS v FROM jp
             UNION
-            SELECT doc_id_b, doc_id_a FROM dup_pairs
+            SELECT doc_id_b, doc_id_a FROM jp
         ),
         reach(u, v) AS (
             SELECT u, v FROM edges
@@ -1231,27 +1221,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NEW_BATCH_PRED = "source LIKE 'src1_'"
 
 INCREMENTAL_ORACLE = f"""
-    WITH sh AS (SELECT doc_id, {SHINGLES_SQL} AS s FROM documents),
-    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-    kept AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= {JACCARD_MAX_DF}),
-    cand AS (
-        SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-        FROM ex a
-        JOIN kept k ON a.g = k.g
-        JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-    ),
-    inter AS (
-        SELECT c.doc_id_a, c.doc_id_b,
-               len(list_intersect(sa.s, sb.s)) AS i,
-               len(sa.s) AS na, len(sb.s) AS nb
-        FROM cand c
-        JOIN sh sa ON c.doc_id_a = sa.doc_id
-        JOIN sh sb ON c.doc_id_b = sb.doc_id
-    ),
-    jp AS (
-        SELECT doc_id_a, doc_id_b FROM inter
-        WHERE CAST(i AS DOUBLE) / (na + nb - i) >= {JACCARD_THRESHOLD}
-    ),
+    WITH {_CAPPED_JACCARD_CTES},
     fps AS (SELECT doc_id, source, {FINGERPRINT_SQL} AS fp FROM documents),
     newb AS (SELECT * FROM fps WHERE {_NEW_BATCH_PRED}),
     hist AS (SELECT * FROM fps WHERE NOT ({_NEW_BATCH_PRED})),

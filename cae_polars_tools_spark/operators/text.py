@@ -452,9 +452,14 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     n_docs = d.agg(F.count(F.lit(1)).alias("n"))
+    # df falls out of the tf frame for free: it already holds exactly
+    # one row per (doc, token), so a plain count per token IS the
+    # document frequency — re-aggregating `tok` with count_distinct
+    # would repeat the corpus scan + explode and pay a two-phase
+    # distinct over every (doc, token) row
     idf = (
-        tok.groupBy("token")
-        .agg(F.count_distinct("doc_id").alias("df"))
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
         .crossJoin(F.broadcast(n_docs))
         .select(
             "token",

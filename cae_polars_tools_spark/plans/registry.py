@@ -30,6 +30,68 @@ class QuerySpec:
 
 CORPUS: dict[str, QuerySpec] = {}
 
+# The external harness's correctness artifact records the FIRST 50
+# registry entries and tracks them round-over-round BY NAME. This
+# tuple freezes their order so it can never depend on process import
+# history: @register fires at module import, so without an explicit
+# rank the dict's insertion order — and therefore the window — would
+# silently reorder whenever a consumer imports an operator module
+# before the first load_all() call (e.g. for a helper function).
+# tests/test_driver_window.py keeps an independent copy as a tripwire.
+DRIVER_WINDOW_ORDER: tuple[str, ...] = (
+    'q01_pricing_summary',
+    'q02_projection_arith',
+    'q03_filter_predicates',
+    'q04_conditional_case',
+    'q05_global_agg',
+    'q06_groupby_stats',
+    'q07_corr',
+    'q08_distinct',
+    'q09_sort_topk',
+    'q10_join_shipping_priority',
+    'q11_join_regional_revenue',
+    'q12_window_anomaly',
+    'q13_argmax_per_group',
+    'q14_lag_diff',
+    'q15_datetime_parts',
+    'q16_math_funcs',
+    'q17_casts',
+    'q18_union_concat',
+    'q19_binning',
+    'q20_quality_report',
+    'q21_weighted_mean',
+    'q22_quantiles',
+    'q23_tumbling_window',
+    'q26_sessionization',
+    'q24_anti_join',
+    'q25_semi_join',
+    'q27_sliding_window',
+    'q28_sql_interface',
+    'q29_approx_aggregates',
+    'q31_rollup',
+    'q32_cube',
+    'q33_outer_join',
+    'q35_cross_join',
+    'text_stats',
+    'text_language_id',
+    'text_fingerprint',
+    'dedup_exact',
+    'dedup_ngram_jaccard',
+    'dedup_minhash_lsh',
+    'dedup_simhash',
+    'dedup_clusters',
+    'dedup_embedding_cosine',
+    'ann_bruteforce_topk',
+    'multimodal_frame_sample',
+    'multimodal_features',
+    'q30_asof_join',
+    'q34_range_join',
+    'zarr_scan_longformat',
+    'zarr_filter_pushdown',
+    'zarr_multi_array_join',
+)
+
+
 
 def register(
     name: str,
@@ -89,9 +151,15 @@ def load_all() -> dict[str, QuerySpec]:
     import cae_polars_tools_spark.operators.temporal  # noqa: F401
     import cae_polars_tools_spark.plans.zarr_demo  # noqa: F401
 
+    rank = {n: i for i, n in enumerate(DRIVER_WINDOW_ORDER)}
     return dict(
         sorted(
             CORPUS.items(),
-            key=lambda kv: (kv[1].oracle is None, kv[1].window_rank),
+            key=lambda kv: (
+                rank.get(kv[0], len(rank)),  # frozen window, in order
+                kv[1].oracle is None,  # then oracle-backed extras
+                kv[1].window_rank,
+                kv[0],  # name: import-order-independent tiebreak
+            ),
         )
     )
