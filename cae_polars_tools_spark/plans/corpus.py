@@ -1526,3 +1526,46 @@ def q43_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_orderdate", "o_totalprice")
         .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
     )
+
+
+@register(
+    "q44_first_last",
+    oracle="""
+        SELECT DISTINCT
+               o_orderpriority,
+               FIRST_VALUE(o_orderkey) OVER w AS first_key,
+               LAST_VALUE(o_orderkey) OVER w AS last_key,
+               NTH_VALUE(o_orderkey, 2) OVER w AS second_key
+        FROM orders
+        WINDOW w AS (
+            PARTITION BY o_orderpriority
+            ORDER BY o_orderdate ASC, o_orderkey ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        )
+    """,
+    tags=("window", "extension"),
+    window_rank=1,
+)
+def q44_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over an explicit unbounded
+    frame — the positional window family (rank/lag/frames are covered
+    by q40/q14/q41). The default frame would stop at CURRENT ROW and
+    make last_value vary row-by-row; the explicit unbounded frame and
+    the total (date, key) order make all three engine-portable. One
+    shuffle on the 5-value priority key, then DISTINCT collapses to
+    one row per partition key."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            F.first("o_orderkey").over(w).alias("first_key"),
+            F.last("o_orderkey").over(w).alias("last_key"),
+            F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+        )
+        .distinct()
+    )
