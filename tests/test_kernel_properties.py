@@ -1,0 +1,86 @@
+"""Property-based checks for the round's pure-numpy kernels — the
+components where a fixed example can miss an edge (tile boundaries,
+duplicate ids, threshold ties)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _naive_pairs(ids, E, threshold):
+    """O(n²) reference with the SAME dim-sequential accumulation."""
+    E = E.astype(np.float64)
+    n, d = E.shape
+    out = set()
+    norms = np.sqrt([(E[i] * E[i]).sum() for i in range(n)])
+    for i in range(n):
+        for j in range(n):
+            if ids[i] >= ids[j]:
+                continue
+            acc = 0.0
+            for k in range(d):
+                acc += E[i, k] * E[j, k]
+            if acc / (norms[i] * norms[j]) >= threshold:
+                out.add((int(ids[i]), int(ids[j])))
+    return out
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(2, 40),
+    d=st.integers(2, 8),
+    seed=st.integers(0, 10_000),
+    threshold=st.sampled_from([-0.5, 0.0, 0.3, 0.8, 0.99]),
+    tile=st.sampled_from([1, 3, 2048]),
+)
+def test_tiled_cosine_pairs_matches_naive(n, d, seed, threshold, tile):
+    from cae_polars_tools_spark.operators.dedup import _tiled_cosine_pairs
+
+    rng = np.random.default_rng(seed)
+    E = rng.standard_normal((n, d)).astype(np.float32)
+    ids = rng.permutation(n).astype(np.int64)
+    got = _tiled_cosine_pairs(ids, E, threshold, tile_rows=tile)
+    got_pairs = set(zip(got.vec_id_a.astype(int), got.vec_id_b.astype(int)))
+    assert got_pairs == _naive_pairs(ids, E, threshold)
+    # and a < b always holds
+    assert (got.vec_id_a < got.vec_id_b).all()
+
+
+def test_mix_sources_waterfill_fractions(spark):
+    """Random weights/counts: the min-ratio source keeps everything and
+    each source's kept count stays inside a 5-sigma Bernoulli band of
+    its water-filling target."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cae_polars_tools_spark.operators.pipeline import mix_sources
+
+    rng = np.random.default_rng(11)
+    specs = {f"s{i}": (int(rng.integers(200, 1500)), float(rng.uniform(0.5, 4.0))) for i in range(5)}
+    rows = []
+    next_id = 0
+    for src, (count, _w) in specs.items():
+        for _ in range(count):
+            rows.append((next_id, src))
+            next_id += 1
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    wmap = {s: w for s, (_, w) in specs.items()}
+
+    def weight_of(c):
+        e = None
+        for s_, w_ in wmap.items():
+            e = F.when(c == s_, w_) if e is None else e.when(c == s_, w_)
+        return e
+
+    out = mix_sources(df, "source", weight_of, "doc_id")
+    kept = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    K = min(c / w for c, w in specs.values())
+    argmin = min(specs, key=lambda s: specs[s][0] / specs[s][1])
+    assert kept[argmin] == specs[argmin][0]  # min-ratio source keeps all
+    for s_, (c, w) in specs.items():
+        target = min(1.0, w * K / c) * c
+        sigma = math.sqrt(max(target * (1 - target / c), 1.0))
+        assert abs(kept.get(s_, 0) - target) <= 5 * sigma + 1, (s_, kept.get(s_), target)
