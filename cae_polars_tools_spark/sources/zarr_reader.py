@@ -58,7 +58,15 @@ def _encode_sel(sel: Any, n: int) -> EncodedSel:
 
 def _decode_sel(e: EncodedSel):
     if isinstance(e, tuple) and len(e) == 4 and e[0] == "slice":
-        return slice(e[1], e[2], e[3])
+        a, b, c = e[1], e[2], e[3]
+        # slice.indices() encodes "past the start" of a NEGATIVE-step
+        # slice as stop=-1 (or lower after windowing) — re-decoding
+        # that literally would mean "index n-1" and select NOTHING
+        # (slice(4,-1,-1) is empty); the only faithful spelling is
+        # stop=None
+        if c < 0 and b < 0:
+            b = None
+        return slice(a, b, c)
     return e
 
 

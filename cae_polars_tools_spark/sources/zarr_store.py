@@ -109,13 +109,15 @@ class ZarrStore:
 @lru_cache(maxsize=32)
 def _cached_group(
     store_path: str,
-    storage_options_items: tuple,
+    storage_options_json: str,
     group: str | None,
     consolidated: bool | None,
 ) -> ZarrV2Group:
+    import json
+
     return open_group(
         store_path,
-        storage_options=dict(storage_options_items),
+        storage_options=json.loads(storage_options_json),
         group=group,
         consolidated=consolidated,
     )
@@ -130,9 +132,16 @@ def executor_group(
     """Per-process cached group handle for Spark executors — each
     executor opens store metadata once, not once per partition
     (the functional version of the reference's handle caching,
-    zarr_storage.py:209-240)."""
-    items = tuple(sorted((storage_options or {}).items()))
-    return _cached_group(store_path, items, group, consolidated)
+    zarr_storage.py:209-240).
+
+    The cache key is canonical JSON, not a sorted item tuple: fsspec
+    storage options routinely NEST dicts (``client_kwargs={...}``),
+    which are unhashable and crashed every executor task for exactly
+    the documented remote-credentials use case."""
+    import json
+
+    key = json.dumps(storage_options or {}, sort_keys=True, default=str)
+    return _cached_group(store_path, key, group, consolidated)
 
 
 def spark_type_for_dtype(dtype: np.dtype):

@@ -300,7 +300,20 @@ def write_zarr(
                 for i in range(n_dims)
             ]
         )
-        vals = pdf["__value"].to_numpy().astype(dt, copy=False)
+        raw_vals = pdf["__value"].to_numpy()
+        if (
+            np.issubdtype(dt, np.integer)
+            and raw_vals.dtype.kind == "f"
+            and np.isnan(raw_vals).any()
+        ):
+            # Spark nulls surface as NaN in the Arrow float batch;
+            # astype(int) would silently write INT64_MIN garbage cells
+            raise ValueError(
+                f"null values in integer value column {vcol_b!r}: "
+                "zarr integer arrays have no null representation — "
+                "fill or filter nulls upstream, or write a float dtype"
+            )
+        vals = raw_vals.astype(dt, copy=False)
         lin = np.ravel_multi_index(tuple(within), storage_b)
         if len(np.unique(lin)) != len(lin):
             raise ValueError(
@@ -420,7 +433,10 @@ def _write_v2_metadata(
     put_meta(f"{value_col}/.zattrs", {"_ARRAY_DIMENSIONS": list(dims)})
     store.put(
         ".zmetadata",
-        json.dumps({"zarr_format": 2, "metadata": zmeta}).encode(),
+        # zarr-python's ConsolidatedMetadataStore validates this exact
+        # key — "zarr_format" here would make external readers reject
+        # the document (see consolidate_metadata, zarr_format.py)
+        json.dumps({"zarr_consolidated_format": 1, "metadata": zmeta}).encode(),
     )
 
 

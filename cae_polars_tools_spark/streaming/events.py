@@ -304,7 +304,14 @@ def sessionize_stream(
                 out.append((user_id, start, end, n))
                 start, end, n = t, t, 1
             else:
-                end = t
+                # a LATE (within-watermark, cross-micro-batch) event
+                # can arrive with t < end; taking `end = t` would
+                # regress the stored session end and a following
+                # on-time event would measure a phantom gap and split
+                # the session. Late events extend the open session's
+                # bounds, never shrink them.
+                end = max(end, t)
+                start = min(start, t)
                 n += 1
         state.update((start, end, n))
         if timeout_ms is not None:

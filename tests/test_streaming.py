@@ -245,3 +245,64 @@ def test_streaming_dedup_vs_static_history(spark, tmp_path):
     got = sorted(r["doc_id"] for r in spark.table("t_dedup_hist").collect())
     assert got == [11, 13] or got == [12, 13]  # one survivor per fp
     assert 10 not in got
+
+
+def test_sessionize_stream_late_event_does_not_split(spark, tmp_path):
+    """A delayed (within-watermark) event older than the stored
+    session end must not regress it: before the fix, the late 11:40
+    event set end=11:40 and the 12:20 event then measured a phantom
+    40-minute gap, splitting one session into two."""
+    import datetime
+    import time as _time
+
+    from cae_polars_tools_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        sessionize_stream,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, tzinfo=datetime.timezone.utc)
+
+    def ev(i, minutes):
+        return (
+            i,
+            base + datetime.timedelta(minutes=minutes),
+            7,
+            "click",
+            1.0,
+            "{}",
+        )
+
+    src = str(tmp_path / "late_src")
+    # file 1: the on-time 12:00 event; file 2 (later mtime → later
+    # micro-batch under maxFilesPerTrigger=1): a LATE 11:40 event,
+    # 12:20, and a new-session event at 14:00 that flushes session 1
+    spark.createDataFrame([ev(0, 0)], EVENTS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    _time.sleep(1.1)
+    spark.createDataFrame(
+        [ev(1, -20), ev(2, 20), ev(3, 120)], EVENTS_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("t_late_sess")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("t_late_sess").collect()
+    # ONE closed session covering 11:40-12:20 with 3 events — not two
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_events"] == 3
+    span_min = (r["session_end_us"] - r["session_start_us"]) / 60e6
+    assert abs(span_min - 40.0) < 1e-6

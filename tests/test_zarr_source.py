@@ -553,3 +553,27 @@ def test_corpus_pushdown_entry_under_disabled_session(spark):
     finally:
         spark.conf.set(PUSHDOWN_CONF, old)
         register_zarr_source(spark)
+
+
+def test_negative_step_slice_selection(spark, climate_store):
+    """A reversed (negative-step) slice must select every position in
+    reverse, not decode to an empty slice: slice.indices() encodes
+    'past the start' as stop=-1, which re-reads as 'index n-1' and
+    selects nothing if decoded literally."""
+    root, temp, _ = climate_store
+    df = scan_data(
+        spark, root, "temperature", select_dims={"time": slice(None, None, -1)}
+    )
+    rows = df.count()
+    assert rows == temp.size  # all 12*10*15 cells, reversed time
+    # values equal the forward scan's (order-insensitive compare)
+    fwd = scan_data(spark, root, "temperature")
+    assert sorted_rows(df) == sorted_rows(fwd)
+    # and a strided negative step
+    df2 = scan_data(
+        spark, root, "temperature", select_dims={"time": slice(4, None, -2)}
+    )
+    assert df2.count() == 3 * 10 * 15  # times 4, 2, 0
+    assert sorted(
+        r["time"] for r in df2.select("time").distinct().collect()
+    ) == [0, 2, 4]

@@ -307,3 +307,39 @@ def test_write_zarr_sharded_fill_and_missing_inner(spark, tmp_path):
     np.testing.assert_array_equal(
         arr[(slice(None), slice(None))], [[1.0, -9.0], [-9.0, 2.0]]
     )
+
+
+def test_write_zarr_rejects_nulls_in_integer_values(spark, tmp_path):
+    """Spark nulls arrive as NaN in the Arrow float batch; silently
+    astype-ing them into an int64 zarr array would write INT64_MIN
+    garbage cells. The sink must refuse loudly."""
+    import pytest as _pytest
+
+    from cae_polars_tools_spark.sources.zarr_write import write_zarr
+
+    df = spark.createDataFrame(
+        [(0, 1), (1, None)], "x long, value long"
+    )
+    with _pytest.raises(Exception, match="null values in integer"):
+        write_zarr(
+            df,
+            str(tmp_path / "nullint.zarr"),
+            dims=("x",),
+            value_col="value",
+            chunks=(2,),
+        )
+
+
+def test_write_zarr_consolidated_doc_has_format_key(spark, tmp_path):
+    """External readers (zarr-python's ConsolidatedMetadataStore)
+    validate zarr_consolidated_format == 1; the sink must write it."""
+    import json
+
+    from cae_polars_tools_spark.sources.zarr_write import write_zarr
+
+    path = str(tmp_path / "ck.zarr")
+    df = spark.createDataFrame([(0, 1.0), (1, 2.0)], "x long, value double")
+    write_zarr(df, path, dims=("x",), value_col="value", chunks=(2,))
+    doc = json.loads(open(f"{path}/.zmetadata").read())
+    assert doc["zarr_consolidated_format"] == 1
+    assert "metadata" in doc
