@@ -189,12 +189,23 @@ class ZarrDataSource(DataSource):
     def name(cls) -> str:
         return "zarr"
 
+    def _plan(self) -> tuple[ScanPlan, int]:
+        # Spark calls schema() AND reader() on the same instance per
+        # .load(); planning opens the store and downloads coordinate
+        # arrays, so cache it — against a remote store an uncached
+        # second pass doubles every metadata/coordinate GET
+        cached = getattr(self, "_plan_cache", None)
+        if cached is None:
+            cached = _plan_from_options(self.options)
+            self._plan_cache = cached
+        return cached
+
     def schema(self):
-        plan, _ = _plan_from_options(self.options)
+        plan, _ = self._plan()
         return schema_for_plan(plan)
 
     def reader(self, schema) -> DataSourceReader:
-        plan, chunk_size = _plan_from_options(self.options)
+        plan, chunk_size = self._plan()
         return type(self)._reader_cls(plan, chunk_size)
 
 

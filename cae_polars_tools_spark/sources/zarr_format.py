@@ -686,6 +686,16 @@ def open_group(
                     f"{store_path!r}/.zmetadata"
                 )
             cmeta = None
+        # _load_json returns None for a MISSING document without
+        # raising — "True forces consolidated metadata" must fail
+        # loudly here too, not fall back to per-file reads (which on a
+        # list-less HTTP store would die much later with an unrelated
+        # cannot-list error)
+        if consolidated is True and cmeta is None:
+            raise ValueError(
+                f"consolidated metadata requested but absent at "
+                f"{store_path!r}/.zmetadata"
+            )
 
     root_group_meta = (
         cmeta.get(".zgroup") if cmeta is not None else _load_json(store, ".zgroup")

@@ -138,8 +138,35 @@ def plan_scan(
     the positional selection (reference zarr_reader.py:247-322 steps 1-4)."""
     arr = store.get_array(array_name)
     dims = C.resolve_dims(arr.attrs, arr.ndim)
+    if len(set(dims)) != len(dims):
+        # every per-dim structure below is name-keyed; a duplicated
+        # _ARRAY_DIMENSIONS entry (legal in the file format) would
+        # silently collapse axes and misalign coordinates against
+        # values — refuse instead
+        raise ValueError(
+            f"array {array_name!r} declares duplicate dimension names "
+            f"{dims!r}; name-keyed planning requires unique dims"
+        )
     group = store.open_zarr_group()
-    coord_arrays = C.extract_coordinate_arrays(group, dims)
+    # Gate coordinate materialization on METADATA (shape × itemsize)
+    # before any byte is read: the embed limit exists so huge
+    # coordinates are executor-loaded, and downloading a multi-GB
+    # coordinate to the driver just to measure nbytes would OOM at
+    # exactly the scale the limit targets.
+    oversized: dict[str, str] = {}  # dim -> dtype str
+    for dim in dims:
+        try:
+            ca = group.get_array(dim)
+        except Exception:
+            continue
+        est = int(np.prod(ca.shape)) * np.dtype(ca.dtype).itemsize
+        if est > COORD_EMBED_LIMIT:
+            oversized[dim] = str(np.dtype(ca.dtype))
+    coord_arrays = C.extract_coordinate_arrays(
+        group, [d for d in dims if d not in oversized]
+    )
+    for d in oversized:
+        coord_arrays[d] = None
     selection, sel_dims, sel_coords = C.process_dimension_selection(
         dims, coord_arrays, select_dims
     )
@@ -153,7 +180,10 @@ def plan_scan(
     coord_dtypes: dict[str, str] = {}
     for i, dim in enumerate(sel_dims):
         cv = sel_coords.get(dim)
-        if cv is None:
+        if dim in oversized:
+            coords_out[dim] = "load"
+            coord_dtypes[dim] = oversized[dim]
+        elif cv is None:
             coords_out[dim] = None
             coord_dtypes[dim] = "int64"
         elif cv.nbytes > COORD_EMBED_LIMIT:

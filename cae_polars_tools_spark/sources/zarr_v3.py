@@ -71,7 +71,27 @@ def _np_dtype(data_type: str, endian: str) -> np.dtype:
 
 def _fill_value(raw: Any, dtype: np.dtype) -> Any:
     if isinstance(raw, str) and dtype.kind == "f":
-        return {"NaN": math.nan, "Infinity": math.inf, "-Infinity": -math.inf}[raw]
+        special = {
+            "NaN": math.nan,
+            "Infinity": math.inf,
+            "-Infinity": -math.inf,
+        }
+        if raw in special:
+            return special[raw]
+        # the v3 spec also permits float fills as hex bit patterns
+        # ("0x7fc00000") — e.g. NaN payloads zarr-python can emit
+        if raw.startswith("0x"):
+            nbytes = dtype.itemsize
+            try:
+                bits = int(raw, 16).to_bytes(nbytes, "big")
+            except (ValueError, OverflowError) as exc:
+                raise ValueError(
+                    f"invalid hex fill_value {raw!r} for dtype {dtype}"
+                ) from exc
+            return float(np.frombuffer(bits, dtype=dtype.newbyteorder(">"))[0])
+        raise ValueError(
+            f"unsupported string fill_value {raw!r} for dtype {dtype}"
+        )
     return raw
 
 

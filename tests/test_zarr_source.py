@@ -577,3 +577,69 @@ def test_negative_step_slice_selection(spark, climate_store):
     assert sorted(
         r["time"] for r in df2.select("time").distinct().collect()
     ) == [0, 2, 4]
+
+
+def test_oversized_coords_executor_loaded(spark, climate_store, monkeypatch):
+    """With a tiny embed limit every coordinate goes the executor-load
+    path: the PLAN carries only the 'load' marker (no coordinate bytes
+    on the driver — plan_scan gates on shape x itemsize metadata), and
+    the scan still returns identical values."""
+    import cae_polars_tools_spark.sources.zarr_reader as R
+    from cae_polars_tools_spark.sources.zarr_store import ZarrStore
+
+    root, temp, _ = climate_store
+    monkeypatch.setattr(R, "COORD_EMBED_LIMIT", 8)  # bytes
+    plan = R.plan_scan(ZarrStore(root), "temperature")
+    assert all(v == "load" for v in plan.sel_coords.values())
+    # dtypes still planned correctly from metadata alone
+    assert plan.coord_dtypes["time"] == "int32"
+    assert plan.coord_dtypes["lat"] == "float32"
+
+    df = scan_data(
+        spark, root, "temperature", select_dims={"time": slice(0, 3)}
+    )
+    rows = df.orderBy("time", "lat", "lon").collect()
+    assert len(rows) == 3 * 10 * 15
+    assert abs(rows[0]["value"] - float(temp[0, 0, 0])) < 1e-6
+    assert rows[0]["lat"] == np.float32(30.0)
+
+
+def test_consolidated_true_missing_doc_raises(climate_store, tmp_path):
+    """consolidated=True on a store WITHOUT .zmetadata must raise the
+    promised clear error, not silently fall back to per-file reads."""
+    import os
+    import shutil
+
+    from cae_polars_tools_spark.sources.zarr_format import open_group
+
+    root, _, _ = climate_store
+    bare = str(tmp_path / "bare.zarr")
+    shutil.copytree(root, bare)
+    os.remove(os.path.join(bare, ".zmetadata"))
+    with pytest.raises(ValueError, match="consolidated metadata"):
+        open_group(bare, consolidated=True)
+    # None (auto) still opens fine via the fallback ladder
+    g = open_group(bare, consolidated=None)
+    assert g.get_array("temperature").shape == (12, 10, 15)
+
+
+def test_duplicate_dimension_names_raise(tmp_path):
+    """_ARRAY_DIMENSIONS with a repeated name is legal on disk but
+    would silently collapse the name-keyed planning structures —
+    plan_scan must refuse."""
+    import numpy as np
+
+    from cae_polars_tools_spark.sources.zarr_format import write_group
+    from cae_polars_tools_spark.sources.zarr_reader import plan_scan
+    from cae_polars_tools_spark.sources.zarr_store import ZarrStore
+
+    root = str(tmp_path / "dup.zarr")
+    write_group(
+        root,
+        arrays={"m": np.eye(4, dtype=np.float32)},
+        dims={"m": ("x", "x")},
+        coords={},
+        chunks={"m": (2, 2)},
+    )
+    with pytest.raises(ValueError, match="duplicate dimension names"):
+        plan_scan(ZarrStore(root), "m")
