@@ -57,7 +57,16 @@ def parse_storage_options(text: str | None) -> dict | None:
         if v.lower() in ("true", "false"):
             out[k.strip()] = v.lower() == "true"
         else:
-            out[k.strip()] = v
+            # numbers become numbers: fsspec options like
+            # default_block_size expect ints and fail (or silently
+            # misbehave) on strings
+            try:
+                out[k.strip()] = int(v)
+            except ValueError:
+                try:
+                    out[k.strip()] = float(v)
+                except ValueError:
+                    out[k.strip()] = v
     return out
 
 
@@ -67,11 +76,18 @@ def parse_select_dims(text: str | None) -> dict | None:
     ``start:stop[:step]`` (empty endpoints allowed, e.g. ``time=:12``)."""
     if not text:
         return None
-    # whole-string literal dict (reference used ast.literal_eval)
+    # whole-string literal dict (reference used ast.literal_eval);
+    # nested {"start","stop","step"} specs normalize to real slices —
+    # the same conversion the data source path applies (plan_scan
+    # itself accepts only int/slice/list)
+    from cae_polars_tools_spark.sources.zarr_datasource import (
+        decode_select_dims,
+    )
+
     try:
         val = ast.literal_eval(text)
         if isinstance(val, dict):
-            return val
+            return decode_select_dims(val)
     except (ValueError, SyntaxError):
         pass
     out: dict[str, Any] = {}
@@ -83,9 +99,9 @@ def parse_select_dims(text: str | None) -> dict | None:
             entries.append(cur)
             cur = ""
             continue
-        if ch in "[(":
+        if ch in "[({":
             depth += 1
-        elif ch in "])":
+        elif ch in "])}":
             depth -= 1
         cur += ch
     if cur:
@@ -95,7 +111,9 @@ def parse_select_dims(text: str | None) -> dict | None:
             raise ValueError(f"invalid select-dims entry {entry!r}")
         dim, spec = entry.split("=", 1)
         dim, spec = dim.strip(), spec.strip()
-        if ":" in spec:
+        # dict specs carry ':' inside braces — they are literals, not
+        # start:stop slices
+        if ":" in spec and not spec.startswith("{"):
             parts = spec.split(":")
             if len(parts) > 3:
                 raise ValueError(f"invalid slice {spec!r}")
@@ -103,7 +121,12 @@ def parse_select_dims(text: str | None) -> dict | None:
             nums += [None] * (3 - len(nums))
             out[dim] = slice(*nums)
         else:
-            out[dim] = ast.literal_eval(spec)
+            v = ast.literal_eval(spec)
+            out[dim] = (
+                slice(v.get("start"), v.get("stop"), v.get("step"))
+                if isinstance(v, dict)
+                else v
+            )
     return out
 
 

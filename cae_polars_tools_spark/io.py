@@ -24,9 +24,6 @@ TABLES = (
     "embeddings",
 )
 
-DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-
-
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table. Plain parquet scan — Catalyst handles
     column pruning and predicate pushdown from the downstream plan.
@@ -49,6 +46,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # naive-as-UTC reading — so read them as UTC instants.
     if spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true") != "false":
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # oracle parity on FOREIGN sessions: timestamp literals parse and
+    # instants render in the session timezone, so a non-UTC driver
+    # session would shift every filter boundary / year() / date cast
+    # against DuckDB's naive-as-UTC reading
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name != "events":
         return spark.read.parquet(path)
 

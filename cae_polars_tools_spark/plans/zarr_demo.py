@@ -27,11 +27,36 @@ _STORE = os.path.join(
 )
 
 
+_SPEC_FILE = ".demo_spec.json"
+
+
+def _ensure_store(path: str, spec: dict, build) -> str:
+    """Build the demo store unless an existing one matches ``spec``.
+    Existence-only caching served a STALE store whenever the demo's
+    shape/values/chunks evolved between rounds — the spec fingerprint
+    makes edits rebuild and points failures at the right place."""
+    import json
+    import shutil
+
+    spec_path = os.path.join(path, _SPEC_FILE)
+    if os.path.exists(os.path.join(path, ".zmetadata")):
+        try:
+            if json.load(open(spec_path)) == spec:
+                return path
+        except Exception:
+            pass
+        shutil.rmtree(path)
+    build()
+    with open(spec_path, "w") as fh:
+        json.dump(spec, fh)
+    return path
+
+
 def demo_store() -> str:
     """Create (once) the deterministic demo store:
     value[i,j,k] = i*20 + j*4 + k (float32), time=(i+1)*10 (int32),
     lat=30+j*0.5 (float32), lon=-120+k*0.25 (float32), chunks (2,2,3)."""
-    if not os.path.exists(os.path.join(_STORE, ".zmetadata")):
+    def build():
         from cae_polars_tools_spark.sources.zarr_format import write_group
 
         i, j, k = np.indices(_SHAPE)
@@ -47,7 +72,10 @@ def demo_store() -> str:
             },
             chunks={"metric": (2, 2, 3)},
         )
-    return _STORE
+
+    spec = {"v": 1, "shape": list(_SHAPE), "chunks": [2, 2, 3],
+            "formula": "i*20+j*4+k; time=(i+1)*10; lat=30+j*.5; lon=-120+k*.25"}
+    return _ensure_store(_STORE, spec, build)
 
 
 @register(
@@ -132,7 +160,7 @@ def join_demo_store() -> str:
     """Create (once) a two-variable store for the multi-array join demo:
     tasmax[i,j,k] = 20 + 2i + j + k, tasmin[i,j,k] = 5 + i + 2j − k
     (float32-exact ints), shared dims time/lat/lon."""
-    if not os.path.exists(os.path.join(_JOIN_STORE, ".zmetadata")):
+    def build():
         from cae_polars_tools_spark.sources.zarr_format import write_group
 
         i, j, k = np.indices(_JOIN_SHAPE)
@@ -153,7 +181,10 @@ def join_demo_store() -> str:
             },
             chunks={"tasmax": (2, 2, 2), "tasmin": (2, 2, 2)},
         )
-    return _JOIN_STORE
+
+    spec = {"v": 1, "shape": list(_JOIN_SHAPE), "chunks": [2, 2, 2],
+            "formula": "tasmax=20+2i+j+k; tasmin=5+i+2j-k"}
+    return _ensure_store(_JOIN_STORE, spec, build)
 
 
 @register(
@@ -182,7 +213,13 @@ def zarr_multi_array_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from cae_polars_tools_spark.sources.zarr_scan import scan_data
 
-    frames = scan_data(spark, join_demo_store())
+    # read ONLY the two consumed variables: the dict-of-everything
+    # form also plans the 1-D coordinate arrays (3 unused driver-side
+    # plan_scan passes per build)
+    store = join_demo_store()
+    frames = {
+        name: scan_data(spark, store, name) for name in ("tasmax", "tasmin")
+    }
     joined = frames["tasmax"].join(
         frames["tasmin"].withColumnRenamed("value", "value_min"),
         on=["time", "lat", "lon"],

@@ -137,9 +137,12 @@ def compact_parquet(
     """
     if target_file_bytes < 1:
         raise ValueError("target_file_bytes must be positive")
-    total = sum(dataset_file_sizes(spark, src))
-    n = max(1, math.ceil(total / target_file_bytes))
+    # ONE relation for sizing and rewrite: on the many-small-files
+    # datasets this function exists for, directory listing + footer
+    # schema inference dominates planning — don't pay it twice
     df = spark.read.parquet(src)
+    total = sum(_relation_file_sizes(df))
+    n = max(1, math.ceil(total / target_file_bytes))
     if sort_cols:
         df = df.repartitionByRange(n, *sort_cols).sortWithinPartitions(
             *sort_cols
@@ -148,3 +151,15 @@ def compact_parquet(
         df = df.repartition(n)
     df.write.mode("overwrite").parquet(dst)
     return len(dataset_file_sizes(spark, dst))
+
+
+def _relation_file_sizes(df) -> list[int]:
+    """File sizes of an already-planned parquet relation (no second
+    listing). Raises for non-local URIs, like dataset_file_sizes."""
+    sizes = []
+    for f in df.inputFiles():
+        u = urlparse(f)
+        if u.scheme not in ("file", ""):
+            raise ValueError(f"not a local file: {f}")
+        sizes.append(os.path.getsize(unquote(u.path)))
+    return sizes

@@ -164,3 +164,29 @@ def test_write_command_sharded_v3(store, tmp_path, spark, capsys):
     arr = info["arrays"]["value"]
     assert tuple(arr["chunks"]) == (2, 2)
     assert tuple(arr["shard_chunks"]) == (4, 4)
+
+
+def test_storage_options_kv_numeric_coercion():
+    from cae_polars_tools_spark.cli import parse_storage_options
+
+    out = parse_storage_options(
+        "anon=true,default_block_size=1048576,timeout=2.5,name=abc"
+    )
+    assert out == {
+        "anon": True,
+        "default_block_size": 1048576,
+        "timeout": 2.5,
+        "name": "abc",
+    }
+
+
+def test_select_dims_dict_specs_normalize_to_slices():
+    from cae_polars_tools_spark.cli import parse_select_dims
+
+    # literal-dict form with a nested {"start","stop"} spec
+    out = parse_select_dims("{'time': {'start': 0, 'stop': 3}, 'lat': 2}")
+    assert out == {"time": slice(0, 3, None), "lat": 2}
+    # k=v form with braces: the splitter must not break at the
+    # comma inside the dict
+    out = parse_select_dims("lon={'start': 0, 'stop': 3},time=1")
+    assert out == {"lon": slice(0, 3, None), "time": 1}

@@ -303,3 +303,13 @@ def test_mix_sources_rejects_null_or_nonpositive_weights(spark):
     negative = lambda s: F.lit(-1.0)
     with _pytest.raises(Exception, match="weights must be positive"):
         mix_sources(df, "source", negative, "doc_id").collect()
+
+
+def test_register_views_exposes_all_tables(spark, sf_small):
+    """register_views: every synthetic table becomes a temp view the
+    SQL interface can query."""
+    from cae_polars_tools_spark.io import TABLES, register_views
+
+    register_views(spark, sf_small)
+    for t in TABLES:
+        assert spark.sql(f"SELECT * FROM {t} LIMIT 1").count() >= 0
