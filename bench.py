@@ -116,20 +116,46 @@ def main() -> None:
     except OSError:
         pass  # read-only checkout: the stdout line is still complete
 
-    # stdout values are 2-decimal (centisecond) so the line stays well
-    # inside the driver's tail window as the corpus grows; the
-    # 3-decimal medians live in BENCH_DETAILS.json
-    line = json.dumps(
-        {
-            "metric": "corpus_total_wall_seconds",
-            "value": total,
-            "unit": "sec",
-            "queries": {n: round(v, 2) for n, v in timings.items()},
-            "sf": sf,
-        },
-        separators=(",", ":"),
-    )
-    print(line)
+    print(metric_line(timings, total, sf))
+
+
+# The driver reads the LAST `DRIVER_TAIL_CHARS` characters of stdout
+# and parses the final line as JSON; a line that overflows the window
+# is truncated mid-JSON and unparseable. LINE_BUDGET leaves slack for
+# the trailing newline and encoding variance.
+DRIVER_TAIL_CHARS = 2000
+LINE_BUDGET = DRIVER_TAIL_CHARS - 20
+
+
+def metric_line(
+    timings: dict[str, float], total: float, sf: float | None
+) -> str:
+    """Build the one-line stdout metric JSON, adaptively shrinking
+    per-query precision (2 → 1 → 0 decimals) until the line fits the
+    driver's tail window. Full 3-decimal medians always live in
+    ``BENCH_DETAILS.json``; stdout only needs to stay parseable as the
+    corpus grows. The corpus would need to roughly double before even
+    0-decimal overflowed — and the tripwire tests in
+    ``tests/test_bench_artifact.py`` fail long before that."""
+    for ndigits in (2, 1, 0):
+        # the last rung renders integers ("12", not "12.0")
+        q = {
+            n: (int(round(v)) if ndigits == 0 else round(v, ndigits))
+            for n, v in timings.items()
+        }
+        line = json.dumps(
+            {
+                "metric": "corpus_total_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": q,
+                "sf": sf,
+            },
+            separators=(",", ":"),
+        )
+        if len(line) <= LINE_BUDGET:
+            return line
+    return line
 
 
 if __name__ == "__main__":

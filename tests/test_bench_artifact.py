@@ -12,49 +12,47 @@ the line is rebuilt exactly the way ``bench.py`` builds it.
 from __future__ import annotations
 
 import ast
-import json
 import os
+import sys
 
 from cae_polars_tools_spark.plans.registry import load_all
 
-DRIVER_TAIL_CHARS = 2000
-# Safety margin under the tail window: the metric line is the LAST
-# stdout the driver reads (stray WARN lines precede it), so the slack
-# only needs to cover the trailing newline and encoding variance.
-BUDGET = DRIVER_TAIL_CHARS - 20
-
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from bench import LINE_BUDGET, DRIVER_TAIL_CHARS, metric_line  # noqa: E402
 
 
-def _line(names, ndigits: int) -> str:
-    return json.dumps(
-        {
-            "metric": "corpus_total_wall_seconds",
-            "value": round(999.999, ndigits),
-            "unit": "sec",
-            "queries": {n: round(12.3456789, ndigits) for n in names},
-            "sf": 0.1,
-        },
-        separators=(",", ":"),
-    )
+def _worst_line(names) -> str:
+    # Worst case: every query at a value whose 2/1/0-decimal renderings
+    # are all maximal width (12.35 / 12.3 / 12.0).
+    return metric_line({n: 12.3456789 for n in names}, 999.999, 0.1)
 
 
 def test_stdout_line_fits_driver_tail_window():
-    # bench.py prints 2-decimal values (3-decimal medians live in
-    # BENCH_DETAILS.json). Worst case = every query at a 5-char value
-    # (12.35); the line must fit even then.
-    names = sorted(load_all())
-    assert len(_line(names, 2)) <= BUDGET <= DRIVER_TAIL_CHARS
+    # metric_line adaptively drops per-query precision (2 → 1 → 0
+    # decimals) until the line fits; 3-decimal medians always live in
+    # BENCH_DETAILS.json. The real corpus must fit the budget even
+    # with every value at worst-case width.
+    assert LINE_BUDGET <= DRIVER_TAIL_CHARS
+    assert len(_worst_line(sorted(load_all()))) <= LINE_BUDGET
 
 
-def test_headroom_for_one_more_entry():
-    # Naming policy from here on: the worst-case line is within ~40
-    # chars of the budget, so NEW entries keep names ≤ 14 chars (like
-    # q44_first_last / mm_bmp_features); one more such entry must
-    # always fit. Growing past that means trimming older post-window
-    # entry names or widening the stdout contract deliberately.
-    names = sorted(load_all()) + ["q45_short_name"]
-    assert len(_line(names, 2)) <= BUDGET
+def test_headroom_for_ten_more_entries():
+    # The adaptive precision ladder must absorb realistic corpus
+    # growth: ten more 18-char-named entries still fit. Growing past
+    # THIS means trimming names or widening the stdout contract
+    # deliberately — the failure happens here, in CI, not in the
+    # driver's artifact.
+    names = sorted(load_all()) + [f"future_entry_{i:05d}" for i in range(10)]
+    assert len(_worst_line(names)) <= LINE_BUDGET
+
+
+def test_full_precision_kept_while_it_fits():
+    # The ladder only drops precision when forced: a small corpus
+    # renders at 2 decimals.
+    line = metric_line({"q01": 1.2345}, 1.234, 0.1)
+    assert '"q01":1.23' in line
 
 
 def test_bench_source_has_no_inline_spread_keys():
