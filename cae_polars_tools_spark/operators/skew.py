@@ -93,4 +93,80 @@ def salted_agg(
     return phase2.select(*keys, *finals)
 
 
-__all__ = ["salted_agg"]
+#: join types where the salted rewrite is exactly equivalent: the
+#: SMALL side is replicated, so only big-side-preserving joins qualify
+#: (an unmatched small-side row would otherwise surface once per salt).
+_SALTABLE_JOINS = ("inner", "left", "leftouter", "left_outer",
+                   "leftsemi", "left_semi", "leftanti", "left_anti")
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    salt_buckets: int = 16,
+    seed: int = 42,
+    how: str = "inner",
+) -> DataFrame:
+    """Salted equi-join for hot keys the optimizer cannot fix.
+
+    AQE's skew-join handling splits oversized partitions AFTER a
+    sort-merge join has already shuffled both sides — and it cannot
+    help when the skewed side feeds a downstream agg that reuses the
+    same partitioning, or when the join is planned as a shuffled hash
+    join on a key whose single hottest value exceeds an executor. The
+    classic rewrite: replicate the SMALL side once per salt bucket
+    (an explode, no shuffle yet), give each BIG row a deterministic
+    row-local salt, and join on ``(key…, salt)`` — the hot key's rows
+    now land on ``salt_buckets`` reducers instead of one.
+
+    Exactly equivalent to ``big.join(small, on, how)`` for big-side-
+    preserving joins (inner / left / left_semi / left_anti): a big row
+    carries ONE salt, so it meets exactly one replica of each matching
+    small row; unmatched big rows stay unmatched in every salt. Right/
+    full joins would emit unmatched small rows once per replica and
+    are rejected.
+
+    The salt is ``pmod(xxhash64(all big columns, seed), buckets)`` —
+    deterministic per ROW (safe under task retry and speculation,
+    unlike ``rand()``), yet spreading a hot join key because it ranges
+    over the non-key values too. Cost: the small side shuffles
+    ``salt_buckets``× its size — use only when the small side is too
+    big to broadcast AND a hot key demonstrably stalls the plain join;
+    for a broadcast-able small side, ``F.broadcast`` is strictly
+    better (no shuffle at all).
+    """
+    if how not in _SALTABLE_JOINS:
+        raise ValueError(
+            f"salted_join: how={how!r} is not big-side-preserving; "
+            "replicating the small side breaks right/full/cross joins"
+        )
+    if salt_buckets < 1:
+        raise ValueError("salt_buckets must be >= 1")
+    missing = [k for k in on if k not in big.columns or k not in small.columns]
+    if missing:
+        raise ValueError(f"join key(s) {missing!r} absent from a side")
+
+    salted_big = big.withColumn(
+        "__salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in big.columns], F.lit(seed)),
+            F.lit(salt_buckets),
+        ),
+    )
+    # sequence over longs so the exploded salt's type matches the
+    # big side's pmod(xxhash64) long without an implicit cast (a
+    # generator expression cannot be wrapped in cast() directly)
+    replicated = small.withColumn(
+        "__salt",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"), F.lit(salt_buckets - 1).cast("long")
+            )
+        ),
+    )
+    joined = salted_big.join(replicated, [*on, "__salt"], how)
+    return joined.drop("__salt")
+
+
+__all__ = ["salted_agg", "salted_join"]

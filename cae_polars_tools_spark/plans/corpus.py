@@ -1204,6 +1204,48 @@ def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt_buckets=16,
     ).orderBy("l_returnflag")
 
+@register(
+    "skew_join_salted",
+    oracle="""
+        SELECT p.p_brand,
+               SUM(l.l_quantity) AS sum_qty,
+               COUNT(*) AS n_items
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_size <= 25
+        GROUP BY p.p_brand
+    """,
+    tags=("skew", "join", "extension"),
+    window_rank=1,
+)
+def skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (lineitem ⋈ part on partkey) + brand rollup —
+    the hot-key JOIN twin of ``salted_hot_key_agg``. The rewrite is
+    algebra-neutral (one salt per big row meets exactly one replica of
+    each matching part row), so the oracle is the PLAIN join: the
+    driver hash-checks that salting never changes results. At 100 TB
+    this is the shape for a popular-product key that AQE cannot split
+    (e.g. when the join feeds a downstream agg reusing the exchange);
+    part here stands in for a dimension too big to broadcast. See
+    ``operators/skew.py::salted_join`` for the equivalence contract
+    and the ``salt_buckets``× small-side replication cost."""
+    from cae_polars_tools_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_size") <= 25).select(
+        "p_partkey", "p_brand"
+    )
+    joined = salted_join(
+        li.select(F.col("l_partkey").alias("p_partkey"), "l_quantity"),
+        p,
+        on=["p_partkey"],
+        salt_buckets=8,
+    )
+    return joined.groupBy("p_brand").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Set operations beyond concat (SURVEY §2.2 lists intersect/except as
 # ABSENT from the reference — filled here, like the join-type gaps).

@@ -39,13 +39,27 @@ def test_stdout_line_fits_driver_tail_window():
 
 
 def test_headroom_for_ten_more_entries():
-    # The adaptive precision ladder must absorb realistic corpus
-    # growth: ten more 18-char-named entries still fit. Growing past
-    # THIS means trimming names or widening the stdout contract
-    # deliberately — the failure happens here, in CI, not in the
+    # Ten more 18-char-named entries must still produce a line within
+    # the window — via the precision ladder or, past its floor, the
+    # driver-window-50 fallback (full per-entry medians always live in
+    # BENCH_DETAILS.json). The failure happens here, in CI, not in the
     # driver's artifact.
     names = sorted(load_all()) + [f"future_entry_{i:05d}" for i in range(10)]
     assert len(_worst_line(names)) <= LINE_BUDGET
+
+
+def test_fallback_line_fits_at_any_corpus_size():
+    # The final fallback keeps only the 50 driver-tracked entries, so
+    # even a doubled corpus of long names emits a parseable line that
+    # reports how many entries were elided.
+    import json
+
+    names = sorted(load_all()) + [f"very_long_future_entry_{i:05d}" for i in range(100)]
+    line = _worst_line(names)
+    assert len(line) <= LINE_BUDGET
+    parsed = json.loads(line)
+    assert parsed["queries_elided"] == len(names) - len(parsed["queries"])
+    assert len(parsed["queries"]) == 50
 
 
 def test_full_precision_kept_while_it_fits():

@@ -562,6 +562,69 @@ def test_salted_agg_rejects_non_algebraic(spark):
         salted_agg(df, ["key"], {"p50": ("x", "median")})
 
 
+def _skew_join_frames(spark):
+    # hot key 'h' holds 90% of big rows; one big key ('miss') and one
+    # small key ('orphan') are unmatched, exercising the outer paths
+    big = spark.createDataFrame(
+        [("h", i) for i in range(450)]
+        + [(f"k{i % 4}", i) for i in range(40)]
+        + [("miss", 0)],
+        "key string, v long",
+    )
+    small = spark.createDataFrame(
+        [("h", "hot-dim"), ("k0", "d0"), ("k1", "d1"), ("orphan", "dx")],
+        "key string, attr string",
+    )
+    return big, small
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "left_semi", "left_anti"])
+def test_salted_join_equals_plain_join(spark, how):
+    """The salted rewrite is exactly the plain join for every
+    big-side-preserving join type — including unmatched rows on BOTH
+    sides and a 90%-hot key."""
+    from cae_polars_tools_spark.operators.skew import salted_join
+
+    big, small = _skew_join_frames(spark)
+    from collections import Counter
+
+    got = salted_join(big, small, ["key"], salt_buckets=8, how=how)
+    want = big.join(small, ["key"], how)
+    assert sorted(got.columns) == sorted(want.columns)
+    cols = sorted(got.columns)
+    # Counter, not sorted(): left-join rows carry None attrs, which
+    # Python's tuple ordering cannot compare against strings
+    assert Counter(map(tuple, got.select(*cols).collect())) == Counter(
+        map(tuple, want.select(*cols).collect())
+    )
+
+
+def test_salted_join_spreads_hot_key_and_is_deterministic(spark):
+    """The hot key's rows really fan out over several salt buckets,
+    identically across runs (retry/speculation safety)."""
+    from pyspark.sql import functions as SF
+
+    big, small = _skew_join_frames(spark)
+    salted = big.withColumn(
+        "__salt",
+        SF.pmod(SF.xxhash64("key", "v", SF.lit(42)), SF.lit(8)),
+    ).where(SF.col("key") == "h")
+    b1 = sorted(r["__salt"] for r in salted.select("__salt").distinct().collect())
+    b2 = sorted(r["__salt"] for r in salted.select("__salt").distinct().collect())
+    assert len(b1) > 1 and b1 == b2
+
+
+def test_salted_join_rejects_small_side_preserving_types(spark):
+    from cae_polars_tools_spark.operators.skew import salted_join
+
+    big, small = _skew_join_frames(spark)
+    for how in ("right", "full", "outer", "cross"):
+        with pytest.raises(ValueError, match="not big-side-preserving"):
+            salted_join(big, small, ["key"], how=how)
+    with pytest.raises(ValueError, match="absent"):
+        salted_join(big, small.drop("key"), ["key"])
+
+
 def test_embedding_lsh_pairs_precision_and_recall(spark, sf_small):
     """Keyless LSH near-dup path: every emitted pair must exist in the
     exact all-pairs ground truth WITH the identical cosine (verification
