@@ -26,7 +26,7 @@ from collections.abc import Callable, Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _HASH_BUCKETS = 1_000_000
@@ -482,3 +482,96 @@ def pipeline_mix_sources(spark, sf_dir: str) -> DataFrame:
     return mix_sources(d, "source", w, "doc_id", seed=MIX_SEED).select(
         "doc_id", "source"
     )
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    cap: int,
+    rank_col: str = "doc_id",
+    seed: int = 0,
+    presalt: int | None = None,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per key — the domain-cap step every
+    crawl pipeline runs (C4/RefinedWeb cap documents per registered
+    domain so one mega-site cannot dominate the training mix).
+
+    Selection is deterministic and engine-portable: rows rank by
+    ``md5(rank_col || ':' || seed)`` (hex compares identically
+    everywhere) with ``rank_col`` itself as the total-order
+    tie-breaker, so the same corpus always keeps the same rows — no
+    ``rand()``, stable under retries, reruns, and engine swaps.
+
+    Scale shape: the plain path is one ``row_number`` window on the
+    key — fine until one domain is pathologically hot (a window
+    partition cannot be split by AQE, so a 100M-page domain sorts on
+    one reducer). ``presalt=S`` inserts a salt-local pre-cap: rank
+    within ``(key, salt)`` first and keep ≤ ``cap`` per salt, which
+    shrinks the global window's input to ≤ ``cap·S`` rows per key.
+    The result is EXACTLY the plain path's: any row in the global
+    top-``cap`` has fewer than ``cap`` rows of its own salt ahead of
+    it, so it survives the pre-cap. (Same pigeonhole that makes
+    salted_agg exact — see operators/skew.py.)
+    """
+    if cap < 1:
+        raise ValueError("cap must be at least 1")
+    h = F.md5(F.concat(F.col(rank_col).cast("string"), F.lit(f":{seed}")))
+    out_cols = df.columns
+    work = df.withColumn("__h", h)
+    if presalt is not None:
+        if presalt < 1:
+            raise ValueError("presalt must be at least 1")
+        w_local = Window.partitionBy(key_col, "__salt").orderBy(
+            F.col("__h"), F.col(rank_col)
+        )
+        work = (
+            work.withColumn(
+                "__salt",
+                F.pmod(
+                    F.xxhash64(F.col(rank_col), F.lit(seed)),
+                    F.lit(presalt),
+                ),
+            )
+            .withColumn("__rn", F.row_number().over(w_local))
+            .filter(F.col("__rn") <= cap)
+            .drop("__salt", "__rn")
+        )
+    w_global = Window.partitionBy(key_col).orderBy(F.col("__h"), F.col(rank_col))
+    return (
+        work.withColumn("__rn", F.row_number().over(w_global))
+        .filter(F.col("__rn") <= cap)
+        .select(*out_cols)
+    )
+
+
+DOMAIN_CAP = 10
+DOMAIN_CAP_SEED = 7
+
+
+@register(
+    "pipeline_domain_cap",
+    oracle=f"""
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)
+                                    || ':{DOMAIN_CAP_SEED}'),
+                                doc_id
+                   ) AS rn
+            FROM documents
+        ) WHERE rn <= {DOMAIN_CAP}
+    """,
+    tags=("pipeline", "sampling", "extension"),
+    window_rank=1,
+)
+def pipeline_domain_cap(spark, sf_dir: str) -> DataFrame:
+    """Per-source document cap (``source`` standing in for the crawl
+    domain): at most {DOMAIN_CAP} docs per source, chosen by the
+    deterministic md5 rank. Runs the SALTED two-phase path — the hash
+    gate proves it equals the plain single-window SQL the oracle
+    runs, pinning the pigeonhole argument at driver scale."""
+    d = spread(read_table(spark, sf_dir, "documents"))
+    return cap_per_key(
+        d, "source", DOMAIN_CAP, "doc_id", seed=DOMAIN_CAP_SEED, presalt=4
+    ).select("doc_id", "source")

@@ -480,3 +480,114 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "token", "rnk", F.round(score, 6).alias("tfidf")
         )
     )
+
+
+# Gopher-style repetition thresholds (the published rules are
+# line/paragraph/n-gram based; the corpus has single-line documents,
+# so the signals here are the word-level analogues).
+REP_MAX_DUP_WORD_FRAC = 0.5
+REP_MAX_TOP_BIGRAM_FRAC = 0.08
+
+
+def repetition_signals(col: Column | str) -> dict[str, Column]:
+    """Word-level repetition signals as JVM expressions:
+
+    * ``dup_word_frac`` — fraction of word occurrences that repeat an
+      earlier word (``1 − distinct/total``); pure array HOFs, O(n)
+      per document, zero shuffle.
+    * ``bigrams`` — the adjacent word-2-gram array (the input to the
+      distributed top-bigram aggregation; Gopher's "top n-gram
+      fraction" needs a per-doc mode, which is a groupBy, not a HOF —
+      an O(n²) ``filter``-per-distinct HOF would blow up on real
+      multi-thousand-word documents).
+
+    Bigrams pair the array with its own 1-shifted slice via
+    ``zip_with``: the zip pads the shorter side with null, the
+    null-propagating ``concat`` turns the padded tail pair into null,
+    and the ``filter`` drops it — so a one-word document yields an
+    empty bigram array with no conditional.
+    """
+    t = tokens(col)
+    n = F.size(t)
+    shifted = F.slice(t, 2, F.greatest(n - 1, F.lit(0)))
+    bigrams = F.filter(
+        F.zip_with(t, shifted, lambda a, b: F.concat(a, F.lit(" "), b)),
+        lambda x: x.isNotNull(),
+    )
+    return {
+        "n_words": n,
+        "dup_word_frac": (
+            F.lit(1.0) - F.size(F.array_distinct(t)).cast("double") / n
+        ),
+        "bigrams": bigrams,
+    }
+
+
+@register(
+    "text_repetition",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        s AS (
+            SELECT doc_id, len(w) AS n_words,
+                   1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+                       AS dup_word_frac,
+                   list_transform(generate_series(1, len(w) - 1),
+                                  i -> w[i] || ' ' || w[i + 1]) AS bgs
+            FROM t
+        ),
+        c AS (
+            SELECT doc_id, bg, count(*) AS n
+            FROM (SELECT doc_id, unnest(bgs) AS bg FROM s)
+            GROUP BY doc_id, bg
+        ),
+        m AS (SELECT doc_id, max(n) AS top_n FROM c GROUP BY doc_id)
+        SELECT s.doc_id, s.n_words, s.dup_word_frac,
+               CAST(m.top_n AS DOUBLE) / (s.n_words - 1)
+                   AS top_bigram_frac,
+               (s.dup_word_frac <= {REP_MAX_DUP_WORD_FRAC})
+               AND (CAST(m.top_n AS DOUBLE) / (s.n_words - 1)
+                    <= {REP_MAX_TOP_BIGRAM_FRAC}) AS keep
+        FROM s JOIN m USING (doc_id)
+    """,
+    tags=("text", "quality", "extension"),
+    window_rank=1,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: per-document duplicate-word
+    fraction and top-bigram fraction, plus the keep verdict — the
+    repetition half of the published quality rules
+    (``text_quality_filter`` covers the length/alpha/stopword half).
+
+    Scale shape: ``dup_word_frac`` is a zero-shuffle HOF pass. The
+    top-bigram mode is explode → one map-side-combined
+    ``(doc, bigram)`` count → per-doc max — two partial-aggregated
+    shuffles whose key cardinality is bounded by distinct bigrams per
+    doc, never all-pairs. All ratios are exact integer divisions in
+    IEEE doubles, so the DuckDB oracle matches bit-for-bit."""
+    d = spread(read_table(spark, sf_dir, "documents"))
+    s = repetition_signals("text")
+    base = d.select(
+        "doc_id",
+        s["n_words"].alias("n_words"),
+        s["dup_word_frac"].alias("dup_word_frac"),
+        F.explode(s["bigrams"]).alias("bg"),
+    )
+    counts = base.groupBy(
+        "doc_id", "n_words", "dup_word_frac", "bg"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    top = counts.groupBy("doc_id", "n_words", "dup_word_frac").agg(
+        F.max("n").alias("top_n")
+    )
+    top_frac = F.col("top_n").cast("double") / (F.col("n_words") - 1)
+    return top.select(
+        "doc_id",
+        "n_words",
+        "dup_word_frac",
+        top_frac.alias("top_bigram_frac"),
+        (
+            (F.col("dup_word_frac") <= REP_MAX_DUP_WORD_FRAC)
+            & (top_frac <= REP_MAX_TOP_BIGRAM_FRAC)
+        ).alias("keep"),
+    )

@@ -313,3 +313,40 @@ def test_register_views_exposes_all_tables(spark, sf_small):
     register_views(spark, sf_small)
     for t in TABLES:
         assert spark.sql(f"SELECT * FROM {t} LIMIT 1").count() >= 0
+
+
+def test_cap_per_key_salted_equals_plain(spark):
+    """The presalted two-phase cap selects EXACTLY the rows the plain
+    single-window path selects (pigeonhole: a globally-kept row has
+    < cap rows of its own salt ahead of it) — on data with one 90%-hot
+    key — and respects the cap everywhere."""
+    from collections import Counter
+
+    from cae_polars_tools_spark.operators.pipeline import cap_per_key
+
+    rows = [(i, "hot") for i in range(450)]
+    rows += [(1000 + i, f"k{i % 5}") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    plain = cap_per_key(df, "source", 7, "doc_id", seed=3)
+    salted = cap_per_key(df, "source", 7, "doc_id", seed=3, presalt=4)
+    got_p = sorted(map(tuple, plain.collect()))
+    got_s = sorted(map(tuple, salted.collect()))
+    assert got_p == got_s
+    per_key = Counter(k for _, k in got_s)
+    assert per_key["hot"] == 7
+    assert all(n <= 7 for n in per_key.values())
+    # deterministic across runs
+    assert got_s == sorted(map(tuple, salted.collect()))
+
+
+def test_cap_per_key_validates_args(spark):
+    import pytest
+
+    from cae_polars_tools_spark.operators.pipeline import cap_per_key
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError, match="cap"):
+        cap_per_key(df, "source", 0)
+    with pytest.raises(ValueError, match="presalt"):
+        cap_per_key(df, "source", 1, presalt=0)

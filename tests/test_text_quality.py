@@ -91,3 +91,56 @@ def test_redact_pii_matches_duckdb_dialect(spark):
             f"SELECT {PII_REDACT_SQL} FROM (SELECT ? AS text)", [t]
         ).fetchone()[0]
         assert spark_out[i] == duck, (i, spark_out[i], duck)
+
+
+def test_repetition_signals_crafted_strings(spark):
+    """Crafted documents pin the signal semantics: a heavily repeated
+    bigram, a fully distinct text, and the one-word edge (empty bigram
+    array, not a descending-sequence artifact)."""
+    from pyspark.sql import functions as F
+
+    from cae_polars_tools_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),       # one bigram repeated 3x
+            (2, "all words are different"),   # no repetition
+            (3, "solo"),                      # one word: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    s = repetition_signals("text")
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            s["n_words"].alias("n_words"),
+            s["dup_word_frac"].alias("dup_word_frac"),
+            s["bigrams"].alias("bigrams"),
+        ).collect()
+    }
+    assert rows[1]["n_words"] == 4
+    assert rows[1]["dup_word_frac"] == 0.75  # 1 distinct of 4
+    assert rows[1]["bigrams"] == ["spam spam"] * 3
+    assert rows[2]["dup_word_frac"] == 0.0
+    assert rows[2]["bigrams"] == [
+        "all words", "words are", "are different"
+    ]
+    assert rows[3]["n_words"] == 1
+    assert rows[3]["bigrams"] == []
+
+
+def test_repetition_signals_accept_column_argument(spark):
+    """The helper takes a Column, not just a name (regression: an
+    earlier draft formatted the column name into F.expr)."""
+    from pyspark.sql import functions as F
+
+    from cae_polars_tools_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame([(1, "A B a b")], "doc_id long, t string")
+    s = repetition_signals(F.lower(F.col("t")))
+    (row,) = df.select(
+        s["dup_word_frac"].alias("f"), s["bigrams"].alias("b")
+    ).collect()
+    assert row["f"] == 0.5  # lowercased: a b a b → 2 distinct of 4
+    assert row["b"] == ["a b", "b a", "a b"]
