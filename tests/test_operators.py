@@ -784,3 +784,83 @@ def test_incremental_dedup_semantics(spark):
         for r in incremental_dedup(docs, F.col("source") == "new").collect()
     )
     assert out == [4, 7]
+
+
+def test_semantic_dedup_precision_and_planted_recall(spark, sf_small):
+    """Every semantic pair must exist in the exact all-pairs ground
+    truth with the identical cosine (verification is exact, so
+    precision is 1 by construction); identical planted vectors are
+    NEVER missed (they share a cluster); and overall recall vs the
+    unblocked ground truth holds a measured floor."""
+    import numpy as np
+
+    from cae_polars_tools_spark.io import read_table
+    from cae_polars_tools_spark.operators.dedup import (
+        COSINE_DEDUP_THRESHOLD,
+        _tiled_cosine_pairs,
+        semantic_dedup_pairs,
+    )
+
+    e = read_table(spark, sf_small, "embeddings").select("vec_id", "embedding")
+    pdf = e.toPandas()
+    truth = _tiled_cosine_pairs(
+        pdf["vec_id"].to_numpy().astype(np.int64),
+        np.stack(pdf["embedding"].to_numpy()),
+        COSINE_DEDUP_THRESHOLD,
+    )
+    truth_map = {
+        (int(a), int(b)): round(float(c), 6)
+        for a, b, c in zip(
+            truth["vec_id_a"], truth["vec_id_b"], truth["raw_cos"]
+        )
+    }
+    got = {
+        (r["vec_id_a"], r["vec_id_b"]): r["cosine"]
+        for r in semantic_dedup_pairs(e).collect()
+    }
+    assert got, "no semantic pairs found at all"
+    for pair, cos in got.items():
+        assert pair in truth_map and truth_map[pair] == cos, pair
+    recall = len(got) / len(truth_map)
+    # loose floor: the synthetic vectors have NO strong near-dups
+    # (max pair cosine < 0.6), so every truth pair is a weakly-similar
+    # random pair — the documented worst case for learned blocking
+    # (measured 0.36 at 8 centroids; see semantic_dedup_pairs docs)
+    assert recall >= 0.25, f"semantic recall collapsed: {recall:.2f}"
+
+    # planted exact duplicates: identical vectors assign identically
+    first = pdf.iloc[0]
+    planted = spark.createDataFrame(
+        pdf.assign(vec_id=pdf["vec_id"] + 100_000).head(3)
+    ).unionByName(e)
+    planted_pairs = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in semantic_dedup_pairs(planted).collect()
+    }
+    for i in range(3):
+        vid = int(pdf["vec_id"].iloc[i])
+        assert (vid, vid + 100_000) in planted_pairs
+
+
+def test_semantic_dedup_deterministic_and_drop_list(spark, sf_small):
+    from cae_polars_tools_spark.io import read_table
+    from cae_polars_tools_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+
+    e = read_table(spark, sf_small, "embeddings").select("vec_id", "embedding")
+    p1 = sorted(map(tuple, semantic_dedup_pairs(e).collect()))
+    p2 = sorted(map(tuple, semantic_dedup_pairs(e).collect()))
+    assert p1 == p2 and len(p1) > 0
+
+    drops = semantic_dedup(e).collect()
+    pair_ids = {a for a, _, _ in p1} | {b for _, b, _ in p1}
+    drop_ids = {r["drop_id"] for r in drops}
+    keep_ids = {r["keep_id"] for r in drops}
+    # survivors are component minima: never dropped, and every dropped
+    # id appeared in some pair
+    assert drop_ids <= pair_ids
+    assert not (drop_ids & keep_ids)
+    for r in drops:
+        assert r["keep_id"] < r["drop_id"]
