@@ -214,3 +214,96 @@ def test_write_bucketed_preserves_uri_paths(monkeypatch):
     assert captured["path"] == "s3a://bucket/tbl"
     storage.write_bucketed(FakeDF(), "t", ["k"], 2, path="rel/dir")
     assert captured["path"] == os.path.abspath("rel/dir")
+
+
+def _per_file_spans(spark, path, col):
+    rows = (
+        spark.read.parquet(path)
+        .withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+        .collect()
+    )
+    return [(r["lo"], r["hi"]) for r in rows]
+
+
+def _avg_files_hit(spans, probes):
+    """Average number of files a point query must read: files whose
+    [min,max] interval contains the probe value."""
+    return sum(
+        sum(1 for lo, hi in spans if lo <= p <= hi) for p in probes
+    ) / len(probes)
+
+
+def test_zorder_prunes_on_every_listed_column(spark, sf_small):
+    """Z-order vs linear sort on (l_partkey, l_suppkey): the linear
+    layout makes min/max stats selective on l_partkey only — any
+    l_suppkey point query reads ~every file. The Z-ordered layout
+    prunes on BOTH columns, and beats linear on the second column by a
+    wide margin. Row parity is byte-exact."""
+    from cae_polars_tools_spark.io import read_table
+    from cae_polars_tools_spark.storage import (
+        compact_parquet,
+        dataset_file_sizes,
+        zorder_parquet,
+    )
+
+    src = os.path.join(TMP, "zorder_src")
+    zdst = os.path.join(TMP, "zorder_dst")
+    ldst = os.path.join(TMP, "linear_dst")
+    li = read_table(spark, sf_small, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    li.repartition(8).write.mode("overwrite").parquet(src)
+    total = sum(dataset_file_sizes(spark, src))
+    target = max(1, total // 8)
+
+    n_z = zorder_parquet(
+        spark, src, zdst, ["l_partkey", "l_suppkey"],
+        target_file_bytes=target,
+    )
+    compact_parquet(
+        spark, src, ldst, target_file_bytes=target,
+        sort_cols=["l_partkey"],
+    )
+    assert n_z >= 6  # enough files for pruning to be measurable
+    assert spark.read.parquet(zdst).count() == li.count()
+
+    probes = {
+        c: [
+            r[0]
+            for r in li.select(c).distinct().orderBy(c).collect()[::10]
+        ]
+        for c in ("l_partkey", "l_suppkey")
+    }
+    for col in ("l_partkey", "l_suppkey"):
+        z_spans = _per_file_spans(spark, zdst, col)
+        hit_frac = _avg_files_hit(z_spans, probes[col]) / len(z_spans)
+        assert hit_frac <= 0.8, f"zorder does not prune on {col}: {hit_frac:.2f}"
+
+    lin_spans = _per_file_spans(spark, ldst, "l_suppkey")
+    z_spans = _per_file_spans(spark, zdst, "l_suppkey")
+    lin_hit = _avg_files_hit(lin_spans, probes["l_suppkey"]) / len(lin_spans)
+    z_hit = _avg_files_hit(z_spans, probes["l_suppkey"]) / len(z_spans)
+    assert lin_hit > 0.9  # linear layout is blind on the second column
+    assert z_hit < 0.75 * lin_hit
+
+
+def test_zorder_validates_inputs(spark, sf_small):
+    import pytest
+
+    from cae_polars_tools_spark.io import read_table
+    from cae_polars_tools_spark.storage import zorder_parquet
+
+    src = os.path.join(TMP, "zorder_val_src")
+    read_table(spark, sf_small, "documents").select(
+        "doc_id", "text", "n_chars"
+    ).write.mode("overwrite").parquet(src)
+    with pytest.raises(ValueError, match=">= 2 columns"):
+        zorder_parquet(spark, src, src + "_o", ["doc_id"])
+    with pytest.raises(ValueError, match="numeric"):
+        zorder_parquet(spark, src, src + "_o", ["doc_id", "text"])
+    with pytest.raises(ValueError, match="bits_per_col"):
+        zorder_parquet(
+            spark, src, src + "_o", ["doc_id", "n_chars"], bits_per_col=0
+        )
