@@ -56,6 +56,17 @@ def main() -> None:
     # sample BEFORE the session exists: once our own executors spin up
     # the 1-min average reflects the harness itself, not external load
     load_start = os.getloadavg()[0]
+    # fixed single-thread CPU reference (seeded 800² float64 matmul,
+    # ~100 ms): lets future rounds tell "this host is slower today"
+    # from "this query regressed" — loadavg alone cannot (D-state
+    # noise inflates it on an idle machine)
+    import numpy as _np
+
+    _m = _np.random.default_rng(0).random((800, 800))
+    _t0 = time.perf_counter()
+    for _ in range(3):
+        _m @ _m
+    calib_matmul = round(time.perf_counter() - _t0, 3)
     spark = get_spark(app_name="cae-polars-tools-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     corpus = load_all()
@@ -104,12 +115,23 @@ def main() -> None:
         "queries_min": {n: round(min(ts), 3) for n, ts in samples.items()},
         "queries_max": {n: round(max(ts), 3) for n, ts in samples.items()},
         "rounds": rounds,
+        "sf": sf,
         "loadavg_start": round(load_start, 2),
         "loadavg_end": round(os.getloadavg()[0], 2),
+        "calib_matmul_s": calib_matmul,
     }
-    details_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"
-    )
+    # The repo-root details file is the round-over-round record for the
+    # DEFAULT full-scale run only; a quick sf0.001 verify run must not
+    # overwrite it (and then ride into a commit) — side scales land in
+    # gitignored .tmp/ instead.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    if sf == 0.1:
+        details_path = os.path.join(repo, "BENCH_DETAILS.json")
+    else:
+        os.makedirs(os.path.join(repo, ".tmp"), exist_ok=True)
+        details_path = os.path.join(
+            repo, ".tmp", f"BENCH_DETAILS_sf{sf}.json"
+        )
     try:
         with open(details_path, "w") as fh:
             json.dump(details, fh, indent=1, sort_keys=True)

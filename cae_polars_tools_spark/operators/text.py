@@ -591,3 +591,61 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (top_frac <= REP_MAX_TOP_BIGRAM_FRAC)
         ).alias("keep"),
     )
+
+
+@register(
+    "text_logprob",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        freq AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+        tot AS (SELECT sum(n) AS t FROM freq),
+        lp AS (
+            SELECT token, ln(CAST(n AS DOUBLE) / t) AS lp
+            FROM freq, tot
+        )
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               round(avg(lp), 6) AS avg_logprob
+        FROM tok JOIN lp USING (token)
+        GROUP BY doc_id
+    """,
+    tags=("text", "quality", "extension"),
+    window_rank=1,
+)
+def text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: each document's mean token
+    log-probability under the corpus's own unigram distribution — the
+    model-based quality signal (CCNet/KenLM-style perplexity
+    filtering collapses to exactly this shape with a 1-gram model;
+    higher-order models swap the broadcast table, not the plan).
+
+    Scale shape mirrors ``text_tfidf_topk``: training is ONE
+    map-side-combined token count (vocabulary-bounded output); the
+    total-count scalar rides a broadcast cross join; scoring re-joins
+    the token stream to the BROADCAST logprob table — the corpus-sized
+    side never shuffles for the model — and the per-doc mean is one
+    partial-aggregated groupBy. ``ln()`` is bit-identical across
+    engines (pinned by the tfidf suite); the mean is rounded to 1e-6
+    to absorb summation-order ulps."""
+    d = spread(read_table(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    tot = freq.agg(F.sum("n").alias("t"))
+    lp = (
+        freq.crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            F.log(F.col("n").cast("double") / F.col("t")).alias("lp"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(lp), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        )
+    )
