@@ -239,3 +239,55 @@ def test_grouping_sets_expand_partials_not_the_table(spark, name):
     assert "HashAggregate" in below_expand
     # and the scan feeds that base aggregate, not the Expand directly
     assert "Scan parquet" in below_expand
+
+
+def test_salted_join_shuffles_on_key_and_salt(spark):
+    """skew_join_salted must plan a real shuffled equi-join on
+    (key, salt) — never a nested loop — with partial aggregation above
+    it, and the small side's replication must happen via Generate
+    (explode), not a join."""
+    plan = _plan(spark, "skew_join_salted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode" in plan  # salt replication is an explode
+    assert "__salt" in plan            # join key extended by the salt
+    assert "partial_" in plan          # downstream agg map-side combines
+
+
+def test_text_repetition_aggregates_partially(spark):
+    """The (doc, bigram) mode count must map-side combine (the key
+    cardinality is bounded by distinct bigrams per doc) and no join
+    may sneak in — signals ride the aggregation keys."""
+    plan = _plan(spark, "text_repetition")
+    assert "partial_" in plan
+    assert "Join" not in plan
+    assert "Generate explode" in plan
+
+
+def test_text_logprob_broadcasts_the_model(spark):
+    """The corpus-sized token stream joins the unigram model via
+    BROADCAST joins only — a shuffled join here would re-shuffle the
+    whole corpus for a vocabulary-bounded table."""
+    plan = _plan(spark, "text_logprob")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "partial_" in plan
+
+
+def test_domain_cap_has_no_join_and_two_windows(spark):
+    """The salted per-domain cap is windows + filters only: the
+    salt-local pre-cap window, then the key window over the reduced
+    set — no join, no cartesian."""
+    plan = _plan(spark, "pipeline_domain_cap")
+    assert "Join" not in plan
+    assert plan.count("RunningWindowFunction") >= 1 or "Window" in plan
+
+
+def test_semantic_dedup_is_groupby_apply_no_join(spark):
+    """Semantic dedup's scoring stage is ONE grouped-map shuffle on
+    the learned cluster id; the pair space never materializes as a
+    join."""
+    plan = _plan(spark, "dedup_semantic")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan
