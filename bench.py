@@ -56,17 +56,20 @@ def main() -> None:
     # sample BEFORE the session exists: once our own executors spin up
     # the 1-min average reflects the harness itself, not external load
     load_start = os.getloadavg()[0]
-    # fixed single-thread CPU reference (seeded 800² float64 matmul,
-    # ~100 ms): lets future rounds tell "this host is slower today"
-    # from "this query regressed" — loadavg alone cannot (D-state
-    # noise inflates it on an idle machine)
+    # fixed CPU reference (~100 ms of seeded element-wise numpy —
+    # sin/sum never dispatch to BLAS, so this stays genuinely
+    # single-threaded regardless of the BLAS build): lets future
+    # rounds tell "this host is slower today" from "this query
+    # regressed" — loadavg alone cannot (D-state noise inflates it on
+    # an idle machine)
     import numpy as _np
 
-    _m = _np.random.default_rng(0).random((800, 800))
+    _m = _np.random.default_rng(0).random(2_000_000)
     _t0 = time.perf_counter()
+    _acc = 0.0
     for _ in range(3):
-        _m @ _m
-    calib_matmul = round(time.perf_counter() - _t0, 3)
+        _acc += float(_np.sin(_m).sum())
+    calib_cpu = round(time.perf_counter() - _t0, 3)
     spark = get_spark(app_name="cae-polars-tools-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     corpus = load_all()
@@ -118,7 +121,7 @@ def main() -> None:
         "sf": sf,
         "loadavg_start": round(load_start, 2),
         "loadavg_end": round(os.getloadavg()[0], 2),
-        "calib_matmul_s": calib_matmul,
+        "calib_cpu_s": calib_cpu,
     }
     # The repo-root details file is the round-over-round record for the
     # DEFAULT full-scale run only; a quick sf0.001 verify run must not
@@ -158,7 +161,7 @@ def metric_line(
     ``BENCH_DETAILS.json``; stdout only needs to stay parseable as the
     corpus grows. If even integer values overflow (corpus roughly
     doubled), the final fallback keeps the 50 driver-tracked entries
-    at full precision and elides the rest (``queries_elided`` reports
+    at 2-decimal precision and elides the rest (``queries_elided`` reports
     how many) — the line can never again outgrow the tail window. The
     tripwire tests in ``tests/test_bench_artifact.py`` flag drift
     long before the fallback engages."""

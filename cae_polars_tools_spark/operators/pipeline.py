@@ -567,7 +567,7 @@ DOMAIN_CAP_SEED = 7
 )
 def pipeline_domain_cap(spark, sf_dir: str) -> DataFrame:
     """Per-source document cap (``source`` standing in for the crawl
-    domain): at most {DOMAIN_CAP} docs per source, chosen by the
+    domain): at most DOMAIN_CAP (=10) docs per source, chosen by the
     deterministic md5 rank. Runs the SALTED two-phase path — the hash
     gate proves it equals the plain single-window SQL the oracle
     runs, pinning the pigeonhole argument at driver scale."""

@@ -217,6 +217,17 @@ def zorder_parquet(
             "zorder needs >= 2 columns (use compact_parquet(sort_cols=…) "
             "for single-column clustering)"
         )
+    if bits_per_col * len(zorder_cols) > 64:
+        # Java shiftleft masks the shift amount to 6 bits: past 64
+        # total bits the interleave would silently wrap high bits onto
+        # low positions and distant value regions would collide in __z
+        raise ValueError(
+            f"bits_per_col * columns = {bits_per_col * len(zorder_cols)} "
+            "exceeds the 64-bit Z-value; lower bits_per_col or split "
+            "the column list"
+        )
+    if target_file_bytes < 1:
+        raise ValueError("target_file_bytes must be positive")
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(src)
@@ -232,9 +243,10 @@ def zorder_parquet(
 
     n_buckets = 1 << bits_per_col
     probs = [i / n_buckets for i in range(1, n_buckets)]
+    # one multi-column sketch pass over the dataset, not one per column
+    all_splits = df.approxQuantile(zorder_cols, probs, rel_err)
     z = F.lit(0).cast("long")
-    for i, c in enumerate(zorder_cols):
-        splits = df.approxQuantile(c, probs, rel_err)
+    for i, (c, splits) in enumerate(zip(zorder_cols, all_splits)):
         code = F.size(
             F.filter(
                 F.array(*[F.lit(float(s)) for s in splits]),

@@ -829,7 +829,6 @@ def test_semantic_dedup_precision_and_planted_recall(spark, sf_small):
     assert recall >= 0.25, f"semantic recall collapsed: {recall:.2f}"
 
     # planted exact duplicates: identical vectors assign identically
-    first = pdf.iloc[0]
     planted = spark.createDataFrame(
         pdf.assign(vec_id=pdf["vec_id"] + 100_000).head(3)
     ).unionByName(e)
