@@ -567,22 +567,33 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc, never all-pairs. All ratios are exact integer divisions in
     IEEE doubles, so the DuckDB oracle matches bit-for-bit."""
     d = spread(read_table(spark, sf_dir, "documents"))
-    s = repetition_signals("text")
-    base = d.select(
-        "doc_id",
+    return repetition_report(d)
+
+
+def repetition_report(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition signals + keep verdict over any frame
+    with an id and a text column (the reusable form of the
+    ``text_repetition`` corpus entry — see its docstring for the
+    scale shape). Documents with fewer than two words have no bigrams
+    and are dropped (nothing to judge repetition on)."""
+    s = repetition_signals(text_col)
+    base = df.select(
+        F.col(id_col),
         s["n_words"].alias("n_words"),
         s["dup_word_frac"].alias("dup_word_frac"),
         F.explode(s["bigrams"]).alias("bg"),
     )
     counts = base.groupBy(
-        "doc_id", "n_words", "dup_word_frac", "bg"
+        id_col, "n_words", "dup_word_frac", "bg"
     ).agg(F.count(F.lit(1)).alias("n"))
-    top = counts.groupBy("doc_id", "n_words", "dup_word_frac").agg(
+    top = counts.groupBy(id_col, "n_words", "dup_word_frac").agg(
         F.max("n").alias("top_n")
     )
     top_frac = F.col("top_n").cast("double") / (F.col("n_words") - 1)
     return top.select(
-        "doc_id",
+        id_col,
         "n_words",
         "dup_word_frac",
         top_frac.alias("top_bigram_frac"),

@@ -1611,3 +1611,54 @@ def q44_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@register(
+    "q45_range_frame",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderpriority,
+               o_orderdate,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w
+                   AS BIGINT) AS win7_cents,
+               COUNT(*) OVER w AS win7_n,
+               MIN(o_totalprice) OVER w AS win7_min
+        FROM orders
+        WINDOW w AS (
+            PARTITION BY o_orderpriority
+            ORDER BY datediff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) ASC
+            RANGE BETWEEN 7 PRECEDING AND CURRENT ROW
+        )
+    """,
+    tags=("window", "frame", "extension"),
+    window_rank=1,
+)
+def q45_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame: per-priority trailing-7-DAY rolling
+    sum/count/min — the value-based frame q41's ROWS frame cannot
+    express (a RANGE frame spans whatever number of rows falls in the
+    interval, and all peers of the current order value are included,
+    which is what makes it engine-portable WITHOUT a tie-breaker:
+    frame membership depends on values, never on arbitrary tie
+    order). The ordering key is the integer day number so Spark's
+    ``rangeBetween`` and DuckDB's ``RANGE ... PRECEDING`` agree
+    exactly; the rolling sum runs on exact integer cents (q41's
+    rationale). One shuffle on the partition key, frame evaluated in
+    a single partition-local sorted pass."""
+    o = _t(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(day.asc())
+        .rangeBetween(-7, Window.currentRow)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderdate",
+        F.sum(cents).over(w).alias("win7_cents"),
+        F.count(F.lit(1)).over(w).alias("win7_n"),
+        F.min("o_totalprice").over(w).alias("win7_min"),
+    )

@@ -10,7 +10,9 @@ pretraining pipeline actually runs them — on the synthetic
 3. MinHash-LSH near-dup removal (drop the larger doc_id of each pair)
 4. benchmark decontamination (13-gram verbatim overlap)
 5. Gopher-style quality gate (word count / word length / alpha
-   fraction / stopword rules)
+   fraction / stopword rules), repetition filter (dup-word +
+   top-bigram fractions), unigram-LM log-prob filter (CCNet shape),
+   and a per-domain cap (salted deterministic md5 rank)
 6. deterministic train/val/test split (hash-based, leakage-safe)
 7. sequence packing into fixed token budgets
 8. layout for serving: compaction to target-sized files + a bucketed
@@ -110,6 +112,55 @@ def main() -> None:
     n4 = docs.count()
     print(f"after quality gate: {n4} (-{n3 - n4})")
 
+    # 4a. repetition filter: the other half of the Gopher rules —
+    # duplicate-word fraction (zero-shuffle HOF) and top-bigram
+    # fraction (one map-side-combined (doc, bigram) count)
+    from cae_polars_tools_spark.operators.text import repetition_report
+
+    # laxer thresholds than the published keep verdict — the synthetic
+    # docs draw from a tiny vocabulary, so natural-text cutoffs would
+    # gut the corpus; the rule STRUCTURE is what the pipeline exercises
+    rep_keep = (
+        repetition_report(docs)
+        .filter("dup_word_frac <= 0.68 AND top_bigram_frac <= 0.15")
+        .select("doc_id")
+    )
+    docs = docs.join(F.broadcast(rep_keep), "doc_id", "left_semi")
+    n4a = docs.count()
+    print(f"after repetition filter: {n4a} (-{n4 - n4a})")
+
+    # 4a'. model-based filter: mean unigram log-prob per doc (CCNet
+    # shape: broadcast model, corpus never shuffles for it); drop the
+    # lowest-scoring ~10% via a sketched percentile cutoff
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    tot = freq.agg(F.sum("n").alias("t"))
+    lp = freq.crossJoin(F.broadcast(tot)).select(
+        "token", F.log(F.col("n").cast("double") / F.col("t")).alias("lp")
+    )
+    scored = (
+        tok.join(F.broadcast(lp), "token")
+        .groupBy("doc_id")
+        .agg(F.avg("lp").alias("avg_logprob"))
+    )
+    (cut,) = scored.approxQuantile("avg_logprob", [0.1], 0.01)
+    docs = docs.join(
+        F.broadcast(scored.filter(F.col("avg_logprob") >= cut)),
+        "doc_id",
+        "left_semi",
+    )
+    n4lp = docs.count()
+    print(f"after unigram-LM filter (cut {cut:.3f}): {n4lp} (-{n4a - n4lp})")
+
+    # 4a''. per-domain cap: no source may contribute more than 22
+    # docs (deterministic md5 rank; the salted pre-cap bounds the
+    # hot-domain window at scale)
+    from cae_polars_tools_spark.operators.pipeline import cap_per_key
+
+    docs = cap_per_key(docs, "source", 22, "doc_id", presalt=4)
+    n4c = docs.count()
+    print(f"after per-domain cap: {n4c} (-{n4lp - n4c})")
+
     # 4b. data mixing: rebalance sources to target weights (here 3:1
     # for the src1x half) — water-filling keeps the over-weighted half
     # whole and thins the rest, deterministically by md5 threshold
@@ -122,7 +173,7 @@ def main() -> None:
         "doc_id",
     )
     n4b = docs.count()
-    print(f"after source mixing: {n4b} (-{n4 - n4b})")
+    print(f"after source mixing: {n4b} (-{n4c - n4b})")
 
     # 5. deterministic split — stable across reruns and data growth,
     # equal keys always co-locate (no train/test leakage)
