@@ -344,3 +344,66 @@ def sessionize_stream(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming per-key cap (the streaming twin of pipeline.cap_per_key)
+# ---------------------------------------------------------------------------
+
+CAP_STATE_SCHEMA = "n_kept long"
+CAP_OUTPUT_SCHEMA = "user_id long, event_id long, ts_us long"
+
+
+def cap_stream(
+    events: DataFrame, cap: int, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming per-key cap: emit at most ``cap`` events per user,
+    keeping the FIRST arrivals. The batch twin
+    (``operators/pipeline.py::cap_per_key``) ranks the whole corpus by
+    a deterministic hash; a streaming operator cannot see future rows,
+    so the streaming contract is first-arrival-wins — within a
+    micro-batch, ties resolve by (event time, event_id) so a batch's
+    admission set is deterministic regardless of Arrow chunking.
+
+    State is ONE long per key (the kept count) — bounded by distinct
+    keys, not by stream length; a key already at its cap costs one
+    integer comparison per batch. The watermark bounds how late an
+    event may arrive, not the state size."""
+    if cap < 1:
+        raise ValueError("cap must be at least 1")
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        n_kept = state.get[0] if state.exists else 0
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if n_kept >= cap or not chunks:
+            if not state.exists:
+                state.update((n_kept,))
+            return
+        batch = pd.concat(chunks, ignore_index=True)
+        batch["ts_us"] = batch["ts"].astype("int64") // 1000
+        batch = batch.sort_values(["ts_us", "event_id"], kind="stable")
+        take = batch.head(cap - n_kept)
+        state.update((n_kept + len(take),))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(take),
+                "event_id": take["event_id"].to_numpy(),
+                "ts_us": take["ts_us"].to_numpy(),
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=CAP_OUTPUT_SCHEMA,
+            stateStructType=CAP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

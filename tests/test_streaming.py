@@ -306,3 +306,80 @@ def test_sessionize_stream_late_event_does_not_split(spark, tmp_path):
     assert r["n_events"] == 3
     span_min = (r["session_end_us"] - r["session_start_us"]) / 60e6
     assert abs(span_min - 40.0) < 1e-6
+
+
+def test_cap_stream_admits_first_arrivals_across_batches(spark, tmp_path):
+    """cap_stream: with cap=2 and two micro-batches (one file each,
+    maxFilesPerTrigger=1), every user keeps exactly 2 events and the
+    FIRST batch's earliest events win — the second batch's arrivals
+    are rejected because the per-key state already reached the cap."""
+    import datetime
+    import os as _os
+
+    from cae_polars_tools_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        cap_stream,
+    )
+
+    base = datetime.datetime(
+        2023, 11, 14, 22, 13, 20, tzinfo=datetime.timezone.utc
+    )
+
+    def ev(eid, uid, sec):
+        return (
+            eid,
+            base + datetime.timedelta(seconds=sec),
+            uid,
+            "click",
+            1.0,
+            "{}",
+        )
+
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    # batch 1: users 1 and 2, three events each (ids 0..5)
+    b1 = [ev(i, 1 + i % 2, i) for i in range(6)]
+    # batch 2 (later mtime): three more per user (ids 10..15)
+    b2 = [ev(10 + i, 1 + i % 2, 100 + i) for i in range(6)]
+    spark.createDataFrame(b1, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    import time as _time
+
+    _time.sleep(1.1)  # distinct mtimes: file source processes in order
+    spark.createDataFrame(b2, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        cap_stream(stream, cap=2)
+        .writeStream.format("memory")
+        .queryName("t_cap_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cap"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("t_cap_stream").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r["event_id"])
+    assert {u: sorted(ids) for u, ids in by_user.items()} == {
+        1: [0, 2],  # user 1's two earliest batch-1 events
+        2: [1, 3],  # user 2's two earliest batch-1 events
+    }
+
+
+def test_cap_stream_validates_cap(spark):
+    import pytest
+
+    from cae_polars_tools_spark.streaming.events import cap_stream
+
+    with pytest.raises(ValueError, match="cap"):
+        cap_stream(None, cap=0)
