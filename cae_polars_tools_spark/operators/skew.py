@@ -107,6 +107,7 @@ def salted_join(
     salt_buckets: int = 16,
     seed: int = 42,
     how: str = "inner",
+    join_hint: str | None = "shuffle_hash",
 ) -> DataFrame:
     """Salted equi-join for hot keys the optimizer cannot fix.
 
@@ -135,6 +136,16 @@ def salted_join(
     big to broadcast AND a hot key demonstrably stalls the plain join;
     for a broadcast-able small side, ``F.broadcast`` is strictly
     better (no shuffle at all).
+
+    ``join_hint`` (default ``"shuffle_hash"``) pins the physical
+    strategy to a shuffled join on ``(key…, salt)`` — the plan this
+    operator exists to produce. Left to itself, Catalyst broadcasts
+    any under-threshold replicated side, and a broadcast join has no
+    reducer for the salt to spread (the salting becomes pure
+    overhead); at the scales where salting is warranted the small
+    side exceeds the broadcast threshold anyway, so the hint only
+    matters for making small-scale plans faithful to the large-scale
+    shape. Pass ``None`` to let Catalyst choose freely.
     """
     if how not in _SALTABLE_JOINS:
         raise ValueError(
@@ -165,6 +176,8 @@ def salted_join(
             )
         ),
     )
+    if join_hint is not None:
+        replicated = replicated.hint(join_hint)
     joined = salted_big.join(replicated, [*on, "__salt"], how)
     return joined.drop("__salt")
 

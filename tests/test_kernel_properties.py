@@ -84,3 +84,45 @@ def test_mix_sources_waterfill_fractions(spark):
         target = min(1.0, w * K / c) * c
         sigma = math.sqrt(max(target * (1 - target / c), 1.0))
         assert abs(kept.get(s_, 0) - target) <= 5 * sigma + 1, (s_, kept.get(s_), target)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n=st.integers(1, 120),
+    n_keys=st.integers(1, 6),
+    cap=st.integers(1, 5),
+    salts=st.integers(1, 5),
+    seed=st.integers(0, 1_000),
+)
+def test_presalt_cap_pigeonhole_model(n, n_keys, cap, salts, seed):
+    """Algorithm-level property behind cap_per_key(presalt=…): for ANY
+    deterministic row→salt assignment, pre-capping each (key, salt)
+    group to the cap and then capping globally selects EXACTLY the
+    global top-cap — because a globally-kept row has fewer than `cap`
+    rows of its own salt ahead of it. The Spark tests pin the
+    implementation on fixed data; this pins the pigeonhole argument
+    across random shapes (hot keys, empty salts, cap > group size)."""
+    import hashlib
+
+    ids = list(range(n))
+    key_of = {i: (i * 7 + seed) % n_keys for i in ids}
+    rank_of = {
+        i: hashlib.md5(f"{i}:{seed}".encode()).hexdigest() for i in ids
+    }
+    salt_of = {i: (i * 2654435761 + seed) % salts for i in ids}
+
+    def topcap(rows, group_key):
+        out = []
+        groups = {}
+        for i in sorted(rows, key=lambda i: (rank_of[i], i)):
+            g = group_key(i)
+            groups.setdefault(g, 0)
+            if groups[g] < cap:
+                groups[g] += 1
+                out.append(i)
+        return out
+
+    plain = set(topcap(ids, lambda i: key_of[i]))
+    precapped = topcap(ids, lambda i: (key_of[i], salt_of[i]))
+    salted = set(topcap(precapped, lambda i: key_of[i]))
+    assert salted == plain

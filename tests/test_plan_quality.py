@@ -249,6 +249,12 @@ def test_salted_join_shuffles_on_key_and_salt(spark):
     plan = _plan(spark, "skew_join_salted")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # the join must be SHUFFLED on (key, salt): a broadcast join has
+    # no reducer for the salt to spread, so Catalyst's small-scale
+    # broadcast preference would demo the wrong large-scale plan —
+    # salted_join pins it with a shuffle_hash hint
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
     assert "Generate explode" in plan  # salt replication is an explode
     assert "__salt" in plan            # join key extended by the salt
     assert "partial_" in plan          # downstream agg map-side combines
