@@ -32,6 +32,17 @@ from pyspark.sql import functions as F
 _HASH_BUCKETS = 1_000_000
 
 
+def md5_rank(col: str, seed: int) -> Column:
+    """The engine-portable deterministic rank: md5 over
+    ``CAST(col AS string) || ':' || seed``. Hex digests compare
+    identically in every engine, and the DuckDB transcription is
+    ``md5(CAST(col AS VARCHAR) || ':seed')`` — shared by
+    :func:`mix_sources` (threshold membership) and
+    :func:`cap_per_key` (per-key ordering) so the portability
+    contract lives in exactly one expression."""
+    return F.md5(F.concat(F.col(col).cast("string"), F.lit(f":{seed}")))
+
+
 def split_by_hash(
     df: DataFrame,
     key_col: str | Column,
@@ -436,9 +447,7 @@ def mix_sources(
     plan = counts.crossJoin(F.broadcast(k)).select(
         "_mix_src", frac.alias("_frac"), thr.alias("_thr")
     )
-    h8 = F.substring(
-        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}"))), 1, 8
-    )
+    h8 = F.substring(md5_rank(key_col, seed), 1, 8)
     return (
         df.join(F.broadcast(plan), src == F.col("_mix_src"))
         .filter((F.col("_frac") >= 1.0) | (h8 < F.col("_thr")))
@@ -515,7 +524,7 @@ def cap_per_key(
     """
     if cap < 1:
         raise ValueError("cap must be at least 1")
-    h = F.md5(F.concat(F.col(rank_col).cast("string"), F.lit(f":{seed}")))
+    h = md5_rank(rank_col, seed)
     out_cols = df.columns
     work = df.withColumn("__h", h)
     if presalt is not None:

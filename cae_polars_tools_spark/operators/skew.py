@@ -97,7 +97,8 @@ def salted_agg(
 #: SMALL side is replicated, so only big-side-preserving joins qualify
 #: (an unmatched small-side row would otherwise surface once per salt).
 _SALTABLE_JOINS = ("inner", "left", "leftouter", "left_outer",
-                   "leftsemi", "left_semi", "leftanti", "left_anti")
+                   "semi", "leftsemi", "left_semi",
+                   "anti", "leftanti", "left_anti")
 
 
 def salted_join(
@@ -108,6 +109,7 @@ def salted_join(
     seed: int = 42,
     how: str = "inner",
     join_hint: str | None = "shuffle_hash",
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Salted equi-join for hot keys the optimizer cannot fix.
 
@@ -128,10 +130,15 @@ def salted_join(
     full joins would emit unmatched small rows once per replica and
     are rejected.
 
-    The salt is ``pmod(xxhash64(all big columns, seed), buckets)`` —
+    The salt is ``pmod(xxhash64(salt_cols…, seed), buckets)`` —
     deterministic per ROW (safe under task retry and speculation,
     unlike ``rand()``), yet spreading a hot join key because it ranges
-    over the non-key values too. Cost: the small side shuffles
+    over the non-key values too. ``salt_cols`` defaults to every
+    non-MapType big column (xxhash64 cannot consume maps). CAVEAT:
+    rows that are IDENTICAL across the salt columns hash to one salt
+    — a hot key made of verbatim duplicate rows would still stall one
+    reducer; pass a unique row id (or any high-cardinality column) as
+    ``salt_cols`` there. Cost: the small side shuffles
     ``salt_buckets``× its size — use only when the small side is too
     big to broadcast AND a hot key demonstrably stalls the plain join;
     for a broadcast-able small side, ``F.broadcast`` is strictly
@@ -157,11 +164,26 @@ def salted_join(
     missing = [k for k in on if k not in big.columns or k not in small.columns]
     if missing:
         raise ValueError(f"join key(s) {missing!r} absent from a side")
+    if salt_cols is None:
+        salt_cols = [
+            f.name
+            for f in big.schema.fields
+            if not f.dataType.typeName().startswith("map")
+        ]
+        if not salt_cols:
+            raise ValueError(
+                "salted_join: every big-side column is a MapType, which "
+                "xxhash64 cannot consume — pass salt_cols explicitly"
+            )
+    else:
+        absent = [c for c in salt_cols if c not in big.columns]
+        if absent:
+            raise ValueError(f"salt_cols {absent!r} absent from the big side")
 
     salted_big = big.withColumn(
         "__salt",
         F.pmod(
-            F.xxhash64(*[F.col(c) for c in big.columns], F.lit(seed)),
+            F.xxhash64(*[F.col(c) for c in salt_cols], F.lit(seed)),
             F.lit(salt_buckets),
         ),
     )

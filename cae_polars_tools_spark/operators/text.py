@@ -642,7 +642,20 @@ def text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (pinned by the tfidf suite); the mean is rounded to 1e-6
     to absorb summation-order ulps."""
     d = spread(read_table(spark, sf_dir, "documents"))
-    tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    return logprob_report(d)
+
+
+def logprob_report(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document ``(id, n_tokens, avg_logprob)`` under the frame's
+    own unigram distribution — the reusable form of the
+    ``text_logprob`` corpus entry (see its docstring for the scale
+    shape), so the pipeline example and the oracle-gated entry share
+    one implementation instead of drifting copies."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    )
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
     tot = freq.agg(F.sum("n").alias("t"))
     lp = (
@@ -654,7 +667,7 @@ def text_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         tok.join(F.broadcast(lp), "token")
-        .groupBy("doc_id")
+        .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.round(F.avg("lp"), 6).alias("avg_logprob"),

@@ -131,25 +131,21 @@ def main() -> None:
 
     # 4a'. model-based filter: mean unigram log-prob per doc (CCNet
     # shape: broadcast model, corpus never shuffles for it); drop the
-    # lowest-scoring ~10% via a sketched percentile cutoff
-    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
-    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
-    tot = freq.agg(F.sum("n").alias("t"))
-    lp = freq.crossJoin(F.broadcast(tot)).select(
-        "token", F.log(F.col("n").cast("double") / F.col("t")).alias("lp")
-    )
-    scored = (
-        tok.join(F.broadcast(lp), "token")
-        .groupBy("doc_id")
-        .agg(F.avg("lp").alias("avg_logprob"))
-    )
-    (cut,) = scored.approxQuantile("avg_logprob", [0.1], 0.01)
-    docs = docs.join(
-        F.broadcast(scored.filter(F.col("avg_logprob") >= cut)),
-        "doc_id",
-        "left_semi",
-    )
-    n4lp = docs.count()
+    # lowest-scoring ~10% via a sketched percentile cutoff. Cached:
+    # the quantile sketch and the semi-join both consume the scores.
+    from cae_polars_tools_spark.operators.text import logprob_report
+
+    scored = logprob_report(docs).select("doc_id", "avg_logprob").persist()
+    try:
+        (cut,) = scored.approxQuantile("avg_logprob", [0.1], 0.01)
+        docs = docs.join(
+            F.broadcast(scored.filter(F.col("avg_logprob") >= cut)),
+            "doc_id",
+            "left_semi",
+        )
+        n4lp = docs.count()
+    finally:
+        scored.unpersist()
     print(f"after unigram-LM filter (cut {cut:.3f}): {n4lp} (-{n4a - n4lp})")
 
     # 4a''. per-domain cap: no source may contribute more than 22

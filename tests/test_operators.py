@@ -578,7 +578,9 @@ def _skew_join_frames(spark):
     return big, small
 
 
-@pytest.mark.parametrize("how", ["inner", "left", "left_semi", "left_anti"])
+@pytest.mark.parametrize(
+    "how", ["inner", "left", "left_semi", "left_anti", "semi", "anti"]
+)
 def test_salted_join_equals_plain_join(spark, how):
     """The salted rewrite is exactly the plain join for every
     big-side-preserving join type — including unmatched rows on BOTH
@@ -623,6 +625,40 @@ def test_salted_join_rejects_small_side_preserving_types(spark):
             salted_join(big, small, ["key"], how=how)
     with pytest.raises(ValueError, match="absent"):
         salted_join(big, small.drop("key"), ["key"])
+    with pytest.raises(ValueError, match="salt_cols"):
+        salted_join(big, small, ["key"], salt_cols=["nope"])
+
+
+def test_salted_join_salt_cols_and_map_columns(spark):
+    """An explicit salt_cols spreads a hot key even when every other
+    column is constant (verbatim-duplicate rows), and a MapType
+    column is excluded from the default salt instead of crashing
+    xxhash64."""
+    from collections import Counter
+
+    from pyspark.sql import functions as SF
+
+    from cae_polars_tools_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(i, "hot", "same") for i in range(100)],
+        "row_id long, key string, payload string",
+    ).withColumn("m", SF.create_map(SF.lit("k"), SF.col("payload")))
+    small = spark.createDataFrame([("hot", "d")], "key string, attr string")
+
+    # default salt skips the map column and still works
+    got = salted_join(big, small, ["key"], salt_buckets=8)
+    assert got.count() == 100
+    # duplicate rows across salt cols → one salt; a unique id spreads
+    salts_dup = big.withColumn(
+        "__salt",
+        SF.pmod(SF.xxhash64("key", "payload", SF.lit(42)), SF.lit(8)),
+    )
+    assert salts_dup.select("__salt").distinct().count() == 1
+    got_id = salted_join(
+        big, small, ["key"], salt_buckets=8, salt_cols=["row_id"]
+    )
+    assert Counter(r["key"] for r in got_id.collect()) == {"hot": 100}
 
 
 def test_embedding_lsh_pairs_precision_and_recall(spark, sf_small):
