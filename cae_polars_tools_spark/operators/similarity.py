@@ -455,3 +455,100 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5 for the demo query set."""
     e = spread(read_table(spark, sf_dir, "embeddings"))
     return ivf_topk(e, e.filter(F.col("vec_id") < N_QUERIES))
+
+
+OUTLIER_COS_THRESHOLD = 0.0
+
+
+@register(
+    "emb_outliers",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, label, embedding FROM embeddings
+            WHERE label IS NOT NULL
+        ),
+        x AS (
+            SELECT label, i AS pos,
+                   avg(CAST(embedding[i] AS DOUBLE)) AS c
+            FROM e, generate_series(1, 64) AS g(i)
+            GROUP BY label, i
+        ),
+        cent AS (
+            SELECT label, list(c ORDER BY pos) AS centroid
+            FROM x GROUP BY label
+        )
+        SELECT e.vec_id, e.label,
+               round(
+                   list_sum(list_transform(generate_series(1, 64),
+                       i -> CAST(e.embedding[i] AS DOUBLE)
+                            * cent.centroid[i]))
+                   / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                          i -> CAST(e.embedding[i] AS DOUBLE)
+                               * CAST(e.embedding[i] AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(generate_series(1, 64),
+                          i -> cent.centroid[i] * cent.centroid[i])))),
+                   6) AS centroid_cos,
+               round(
+                   list_sum(list_transform(generate_series(1, 64),
+                       i -> CAST(e.embedding[i] AS DOUBLE)
+                            * cent.centroid[i]))
+                   / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                          i -> CAST(e.embedding[i] AS DOUBLE)
+                               * CAST(e.embedding[i] AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(generate_series(1, 64),
+                          i -> cent.centroid[i] * cent.centroid[i])))),
+                   6) < {OUTLIER_COS_THRESHOLD} AS is_outlier
+        FROM e JOIN cent USING (label)
+    """,
+    tags=("embedding", "quality", "extension"),
+    window_rank=1,
+)
+def emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid outlier scoring: each embedding's cosine to
+    its label's mean vector, plus an outlier verdict — the embedding-
+    space curation signal (SemDeDup's sibling: prune what is FAR from
+    every cluster, not just what duplicates a neighbor).
+
+    Scale shape: the centroid aggregation shuffles only
+    ``(label, pos)`` cells — C·dim rows regardless of corpus size
+    (the `_lloyd_refine_distributed` contract); the bounded centroid
+    table broadcasts back and the scoring pass is a zero-shuffle HOF
+    over each row's own array (``dot_expr``'s sequential
+    accumulation, bit-identical to the DuckDB oracle; the mean and
+    cosine are rounded to 1e-6 to absorb summation-order ulps in the
+    avg)."""
+    from cae_polars_tools_spark.operators.vectors import dot_expr
+
+    e = (
+        spread(read_table(spark, sf_dir, "embeddings"))
+        .filter(F.col("label").isNotNull())
+        .select("vec_id", "label", "embedding")
+    )
+    cells = e.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    cent = (
+        cells.groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("centroid")
+        )
+    )
+    cos = dot_expr(F.col("embedding"), F.col("centroid")) / (
+        F.sqrt(dot_expr(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(dot_expr(F.col("centroid"), F.col("centroid")))
+    )
+    return e.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        F.round(cos, 6).alias("centroid_cos"),
+        # threshold the ROUNDED value: the raw double carries
+        # summation-order ulps from the distributed avg, and a cosine
+        # one ulp either side of the cut would flip the verdict
+        # between engines
+        (F.round(cos, 6) < OUTLIER_COS_THRESHOLD).alias("is_outlier"),
+    )
