@@ -297,3 +297,13 @@ def test_semantic_dedup_is_groupby_apply_no_join(spark):
     plan = _plan(spark, "dedup_semantic")
     assert "FlatMapGroupsInPandas" in plan
     assert "Join" not in plan
+
+
+def test_emb_outliers_broadcasts_centroids_no_corpus_reshuffle(spark):
+    """The centroid table must come back via a broadcast join and the
+    scoring side must not shuffle for it; the only exchanges belong to
+    the bounded (label, pos) centroid aggregation."""
+    plan = _plan(spark, "emb_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
