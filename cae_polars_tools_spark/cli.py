@@ -223,6 +223,30 @@ def write_command(args) -> int:
     return 0
 
 
+def append_command(args) -> int:
+    """Append long-format Parquet along one dimension of an existing
+    v2 store (the time-series ingest mode; see
+    sources/zarr_write.py::append_zarr for the monotone contract)."""
+    from cae_polars_tools_spark.sources.zarr_write import append_zarr
+
+    spark = _session()
+    df = spark.read.parquet(args.parquet_path)
+    summary = append_zarr(
+        df,
+        args.store_path,
+        append_dim=args.append_dim,
+        value_col=args.value_col,
+        storage_options=parse_storage_options(args.storage_options),
+    )
+    print(
+        f"Appended {summary['appended']} {args.append_dim} step(s): "
+        f"{summary['cells']} cells into {summary['chunks_written']} "
+        f"chunks ({summary['bytes']} bytes) at {summary['path']}"
+    )
+    print(f"New shape: {summary['shape']}")
+    return 0
+
+
 def benchmark_command(args) -> int:
     """Time DataFrame creation vs materialization (reference
     cli.py:172-254). Defaults to the first array when none given."""
@@ -330,6 +354,15 @@ def create_parser() -> argparse.ArgumentParser:
         "sharding_indexed object per shard)",
     )
     sp.set_defaults(func=write_command)
+
+    sp = sub.add_parser(
+        "append", help="append Parquet along one dim of an existing store"
+    )
+    common(sp)
+    sp.add_argument("parquet_path", help="input parquet with dim + value columns")
+    sp.add_argument("append_dim", help="the dimension to grow (e.g. time)")
+    sp.add_argument("--value-col", default="value")
+    sp.set_defaults(func=append_command)
 
     sp = sub.add_parser("benchmark", help="time read vs materialization")
     common(sp)

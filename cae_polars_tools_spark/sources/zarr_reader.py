@@ -35,6 +35,7 @@ from cae_polars_tools_spark.sources import coordinates as C
 from cae_polars_tools_spark.sources.zarr_store import (
     ZarrStore,
     executor_group,
+    group_meta_etag,
     spark_type_for_dtype,
     widen_numpy,
 )
@@ -109,6 +110,13 @@ class ScanPlan:
     # dim 0 — without it, adjacent partitions both fetch+decompress the
     # storage chunk that straddles their boundary.
     row_align: int = 1
+    # Fingerprint of the group metadata AT PLAN TIME. Part of the
+    # executor-side group-cache key: long-lived reused Python workers
+    # would otherwise serve a stale cached group after in-place store
+    # mutation (append_zarr grows the shape at the same path) — the
+    # driver always opens fresh, so the plan sees the new metadata,
+    # and this etag forces executors to re-open too.
+    meta_etag: str = ""
 
     @property
     def total_rows(self) -> int:
@@ -219,6 +227,7 @@ def plan_scan(
         value_dtype=str(arr.dtype),
         coord_dtypes=coord_dtypes,
         row_align=row_align,
+        meta_etag=group_meta_etag(group),
     )
 
 
@@ -325,6 +334,7 @@ def read_window(plan: ScanPlan, start: int, end: int) -> dict[str, np.ndarray]:
         plan.storage_options,
         plan.group,
         plan.consolidated,
+        meta_etag=plan.meta_etag,
     )
     arr = group.get_array(plan.array_name)
     coords = _materialized_coords(plan, group)

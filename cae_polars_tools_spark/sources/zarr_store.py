@@ -106,12 +106,29 @@ class ZarrStore:
         }
 
 
+def group_meta_etag(group: ZarrV2Group) -> str:
+    """Fingerprint of a group's array metadata (name, shape, chunks,
+    dtype per array). Carried in every ScanPlan and keyed into the
+    executor group cache so an in-place metadata change at a reused
+    path (``append_zarr`` growing the shape) forces long-lived reused
+    Python workers to re-open instead of serving the stale handle.
+    Metadata only — no chunk bytes are hashed."""
+    import hashlib
+
+    parts = []
+    for name in sorted(group.array_names()):
+        a = group.get_array(name)
+        parts.append(f"{name}:{a.shape}:{a.chunks}:{a.dtype.str}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()
+
+
 @lru_cache(maxsize=32)
 def _cached_group(
     store_path: str,
     storage_options_json: str,
     group: str | None,
     consolidated: bool | None,
+    meta_etag: str,
 ) -> ZarrV2Group:
     import json
 
@@ -128,6 +145,7 @@ def executor_group(
     storage_options: dict | None,
     group: str | None,
     consolidated: bool | None,
+    meta_etag: str = "",
 ) -> ZarrV2Group:
     """Per-process cached group handle for Spark executors — each
     executor opens store metadata once, not once per partition
@@ -141,7 +159,7 @@ def executor_group(
     import json
 
     key = json.dumps(storage_options or {}, sort_keys=True, default=str)
-    return _cached_group(store_path, key, group, consolidated)
+    return _cached_group(store_path, key, group, consolidated, meta_etag)
 
 
 def spark_type_for_dtype(dtype: np.dtype):

@@ -520,4 +520,268 @@ def _write_v3_metadata(
     )
 
 
-__all__ = ["write_zarr"]
+__all__ = ["write_zarr", "append_zarr"]
+
+
+def append_zarr(
+    df: DataFrame,
+    path: str,
+    append_dim: str,
+    value_col: str = "value",
+    storage_options: dict | None = None,
+) -> dict:
+    """Append a long-format DataFrame to an EXISTING zarr v2 store
+    along one dimension — the time-series ingest mode (xarray's
+    ``to_zarr(append_dim=…)``): each run appends the next day/month of
+    data without rewriting history.
+
+    Contract: the new rows' ``append_dim`` coordinates must all be
+    STRICTLY GREATER than the store's current maximum (monotone
+    ingest; overlap would silently repaint history), every other
+    dimension's coordinates must already exist on the store's axes,
+    and the value dtype must match the array's. v2 stores only; v3 /
+    sharded appends raise (their metadata rewrite differs, and the
+    sharded boundary merge needs shard reassembly).
+
+    Scale shape mirrors :func:`write_zarr` — one ``groupBy(chunk)``
+    shuffle, embarrassingly parallel idempotent chunk puts — plus ONE
+    boundary subtlety: when the old axis length is not a chunk
+    multiple, the straddling chunk already holds history, so exactly
+    those tasks read-modify-write it (decode via the engine's own
+    read path, overlay the new cells — which land strictly beyond the
+    old length, so no old cell is ever changed). Metadata (grown
+    shape, extended coordinate array, refreshed consolidated doc) is
+    rewritten by the driver LAST: a concurrent reader sees the old
+    shape until the flip, and every pre-flip visible byte is
+    unchanged. Readers in long-lived reused workers re-open via the
+    plan's ``meta_etag`` (see ``zarr_store.group_meta_etag``).
+    """
+    from cae_polars_tools_spark.sources import coordinates as C
+    from cae_polars_tools_spark.sources.zarr_store import ZarrStore
+    from cae_polars_tools_spark.sources.zarr_v3 import ZarrV3Array
+
+    store_handle = ZarrStore(path, storage_options=storage_options)
+    group = store_handle.open_zarr_group()
+    arr = group.get_array(value_col)
+    # ZarrV3Array SUBCLASSES ZarrV2Array (shared read API), so the
+    # version check must be the v3-specific type, not the base
+    if isinstance(arr, ZarrV3Array):
+        raise NotImplementedError(
+            "append_zarr supports zarr v2 stores; v3/sharded appends "
+            "are not implemented (write a new store with write_zarr)"
+        )
+    if arr.filters:
+        raise NotImplementedError(
+            "append_zarr cannot re-encode stores with v2 filters"
+        )
+    if arr.order != "C":
+        raise NotImplementedError(
+            "append_zarr supports C-order arrays (the boundary merge "
+            "decodes chunks inline)"
+        )
+    dims = tuple(C.resolve_dims(arr.attrs, arr.ndim))
+    if append_dim not in dims:
+        raise ValueError(
+            f"append_dim {append_dim!r} is not a dimension of "
+            f"{value_col!r} (dims: {dims})"
+        )
+    missing_cols = [c for c in (*dims, value_col) if c not in df.columns]
+    if missing_cols:
+        raise ValueError(f"DataFrame lacks column(s) {missing_cols}")
+    dtype = _np_dtype_of(df, value_col)
+    if dtype != arr.dtype:
+        raise ValueError(
+            f"value dtype {dtype} does not match the store's {arr.dtype}"
+        )
+    ad = dims.index(append_dim)
+
+    # existing axes (1-D coordinate arrays, bounded by side lengths)
+    old_axes: dict[str, np.ndarray] = {}
+    for d in dims:
+        try:
+            coord = group.get_array(d)
+        except KeyError:
+            raise ValueError(
+                f"store has no coordinate array for dimension {d!r}; "
+                "append needs real coordinates to align against"
+            ) from None
+        old_axes[d] = np.asarray(coord[slice(None)])
+
+    new_axes = _collect_axes(df, dims)
+    new_ap = new_axes[append_dim].astype(old_axes[append_dim].dtype)
+    if len(new_ap) == 0:
+        raise ValueError("no rows to append")
+    old_ap = old_axes[append_dim]
+    if len(old_ap) and new_ap.min() <= old_ap.max():
+        raise ValueError(
+            f"append coordinates must be strictly greater than the "
+            f"store's current {append_dim!r} max ({old_ap.max()!r}); "
+            f"got min {new_ap.min()!r}"
+        )
+    for d in dims:
+        if d == append_dim:
+            continue
+        extra = np.setdiff1d(
+            new_axes[d].astype(old_axes[d].dtype), old_axes[d]
+        )
+        if len(extra):
+            raise ValueError(
+                f"dimension {d!r} has coordinates not on the store's "
+                f"axis (first few: {extra[:5].tolist()}); append only "
+                f"grows {append_dim!r}"
+            )
+
+    old_len = len(old_ap)
+    chunks = tuple(arr.chunks)
+    compressor = arr.compressor
+    fill_value = arr.fill_value if arr.fill_value is not None else 0
+    new_shape = tuple(
+        len(old_axes[d]) if d != append_dim else old_len + len(new_ap)
+        for d in dims
+    )
+
+    # row → grid position: existing axes for the fixed dims, the NEW
+    # slice (+ old_len offset) for the append dim
+    lookup_axes = {
+        d: (new_ap if d == append_dim else old_axes[d]) for d in dims
+    }
+    spark = df.sparkSession
+    axes_bc = spark.sparkContext.broadcast(lookup_axes)
+    pos_cols = [f"__pos_{i}" for i in range(len(dims))]
+    mapped = df.select(
+        F.col(value_col).alias("__value"),
+        *[
+            (
+                _position_udf(axes_bc, d)(F.col(d))
+                + (F.lit(old_len) if d == append_dim else F.lit(0))
+            ).alias(pos_cols[i])
+            for i, d in enumerate(dims)
+        ],
+    )
+    grid = tuple(-(-s // c) for s, c in zip(new_shape, chunks))
+    strides = _strides(grid)
+    object_id = sum(
+        F.floor(F.col(pc) / chunks[i]).cast("bigint") * strides[i]
+        for i, pc in enumerate(pos_cols)
+    )
+    mapped = mapped.select(object_id.alias("__chunk"), *pos_cols, "__value")
+
+    boundary_idx = old_len // chunks[ad] if old_len % chunks[ad] else -1
+    n_dims, chunks_b, grid_b, dtype_str = len(dims), chunks, grid, dtype.str
+    fill_b, comp_b, path_b, so_b = fill_value, compressor, path, storage_options
+    vcol_b, ad_b, boundary_b = value_col, ad, boundary_idx
+    sep_b = arr.dimension_separator
+
+    def append_one_chunk(pdf) -> "Any":
+        import pandas as pd
+
+        from cae_polars_tools_spark.sources.zarr_format import ByteStore
+
+        w_store = ByteStore.for_path(path_b, so_b)
+        dt = np.dtype(dtype_str)
+        rem = int(pdf["__chunk"].iloc[0])
+        idx = []
+        for s_ in _strides(grid_b):
+            idx.append(rem // s_)
+            rem %= s_
+        within = np.stack(
+            [
+                pdf[f"__pos_{i}"].to_numpy() - idx[i] * chunks_b[i]
+                for i in range(n_dims)
+            ]
+        )
+        raw_vals = pdf["__value"].to_numpy()
+        if (
+            np.issubdtype(dt, np.integer)
+            and raw_vals.dtype.kind == "f"
+            and np.isnan(raw_vals).any()
+        ):
+            raise ValueError(
+                f"null values in integer value column {vcol_b!r}"
+            )
+        vals = raw_vals.astype(dt, copy=False)
+        lin = np.ravel_multi_index(tuple(within), chunks_b)
+        if len(np.unique(lin)) != len(lin):
+            raise ValueError(
+                f"duplicate cells in chunk {tuple(idx)} of {vcol_b!r}"
+            )
+        if idx[ad_b] == boundary_b:
+            # straddling chunk: overlay onto the existing block (its
+            # stored bytes cover positions < old_len only — the new
+            # cells are strictly beyond, so no old cell changes)
+            raw = w_store.get(
+                f"{vcol_b}/{sep_b.join(str(int(i)) for i in idx) or '0'}"
+            )
+            if raw is None:
+                block = np.full(chunks_b, fill_b, dtype=dt)
+            else:
+                from cae_polars_tools_spark.sources.zarr_format import (
+                    _decode_bytes,
+                )
+
+                block = (
+                    np.frombuffer(_decode_bytes(raw, comp_b), dtype=dt)
+                    .reshape(chunks_b)
+                    .copy()
+                )
+        else:
+            block = np.full(chunks_b, fill_b, dtype=dt)
+        block.reshape(-1)[lin] = vals
+        payload = _encode_bytes(
+            np.ascontiguousarray(block).tobytes(), comp_b,
+            typesize=dt.itemsize,
+        )
+        key = f"{vcol_b}/{sep_b.join(str(int(i)) for i in idx) or '0'}"
+        w_store.put(key, payload)
+        return pd.DataFrame(
+            {"chunk_key": [key], "nbytes": [len(payload)], "cells": [len(pdf)]}
+        )
+
+    stats = (
+        mapped.groupBy("__chunk")
+        .applyInPandas(
+            lambda _key, pdf: append_one_chunk(pdf),
+            schema="chunk_key string, nbytes long, cells long",
+        )
+        .collect()
+    )
+
+    # ---- metadata flip (LAST): grown value shape, extended append
+    # coordinate (single-chunk, the writer's coord convention), and a
+    # refreshed consolidated document when one exists.
+    store = ByteStore.for_path(path, storage_options)
+    combined = np.concatenate([old_ap, new_ap])
+    updates: dict[str, dict] = {}
+
+    vmeta = json.loads(store.get(f"{value_col}/.zarray"))
+    vmeta["shape"] = list(new_shape)
+    updates[f"{value_col}/.zarray"] = vmeta
+    cmeta = json.loads(store.get(f"{append_dim}/.zarray"))
+    cmeta["shape"] = [len(combined)]
+    cmeta["chunks"] = [max(len(combined), 1)]
+    updates[f"{append_dim}/.zarray"] = cmeta
+    coord_comp = cmeta.get("compressor")
+    store.put(
+        f"{append_dim}/0",
+        _encode_bytes(
+            np.ascontiguousarray(combined).tobytes(),
+            coord_comp,
+            typesize=combined.dtype.itemsize,
+        ),
+    )
+    for key, meta in updates.items():
+        store.put(key, json.dumps(meta).encode())
+    zmeta_raw = store.get(".zmetadata")
+    if zmeta_raw is not None:
+        doc = json.loads(zmeta_raw)
+        doc.get("metadata", {}).update(updates)
+        store.put(".zmetadata", json.dumps(doc).encode())
+
+    return {
+        "path": path,
+        "shape": new_shape,
+        "appended": int(len(new_ap)),
+        "chunks_written": len(stats),
+        "bytes": int(sum(r["nbytes"] for r in stats)),
+        "cells": int(sum(r["cells"] for r in stats)),
+    }

@@ -190,3 +190,32 @@ def test_select_dims_dict_specs_normalize_to_slices():
     # comma inside the dict
     out = parse_select_dims("lon={'start': 0, 'stop': 3},time=1")
     assert out == {"lon": slice(0, 3, None), "time": 1}
+
+
+def test_append_command_grows_the_store(spark, tmp_path, capsys):
+    """CLI append: write a store, append one more time step from
+    parquet, and verify the grown shape through a fresh scan."""
+    from cae_polars_tools_spark.cli import main
+    from cae_polars_tools_spark.sources.zarr_scan import scan_data
+    from cae_polars_tools_spark.sources.zarr_write import write_zarr
+
+    root = str(tmp_path / "cli_append.zarr")
+    base = spark.createDataFrame(
+        [(t, j, float(t + j)) for t in (1, 2) for j in range(3)],
+        "time int, x int, value double",
+    )
+    write_zarr(base, root, chunks=(2, 2))
+    pq = str(tmp_path / "more.parquet")
+    spark.createDataFrame(
+        [(3, j, float(3 + j)) for j in range(3)],
+        "time int, x int, value double",
+    ).write.parquet(pq)
+
+    assert main(["append", root, pq, "time"]) == 0
+    out = capsys.readouterr().out
+    assert "Appended 1 time step(s)" in out
+    got = {
+        (r["time"], r["x"]): r["value"]
+        for r in scan_data(spark, root, "value").collect()
+    }
+    assert len(got) == 9 and got[(3, 2)] == 5.0

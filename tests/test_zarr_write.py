@@ -343,3 +343,159 @@ def test_write_zarr_consolidated_doc_has_format_key(spark, tmp_path):
     doc = json.loads(open(f"{path}/.zmetadata").read())
     assert doc["zarr_consolidated_format"] == 1
     assert "metadata" in doc
+
+
+def _append_df(spark, times):
+    rows = [
+        (int(t), float(30 + 0.5 * j), float(t + 30 + 0.5 * j))
+        for t in times
+        for j in range(4)
+    ]
+    return spark.createDataFrame(
+        rows, schema="time int, lat float, value float"
+    )
+
+
+@pytest.mark.parametrize(
+    "chunks",
+    [
+        (3, 4),  # old length is a chunk multiple: no boundary merge
+        (2, 3),  # old length 3 straddles chunk 1: read-modify-write
+    ],
+)
+def test_append_zarr_roundtrip_through_scan(spark, tmp_path, chunks):
+    """write 3 time steps, append 2 more, scan back the full 5×4 grid
+    value-exactly — covering both the chunk-aligned and the boundary-
+    straddling geometry (the RMW path must keep every old cell)."""
+    from cae_polars_tools_spark.sources.zarr_scan import scan_data
+    from cae_polars_tools_spark.sources.zarr_write import (
+        append_zarr,
+        write_zarr,
+    )
+
+    root = str(tmp_path / "appended.zarr")
+    write_zarr(_demo_df(spark), root, chunks=chunks)
+    summary = append_zarr(
+        _append_df(spark, (40, 50)), root, append_dim="time"
+    )
+    assert summary["shape"] == (5, 4)
+    assert summary["appended"] == 2
+    assert summary["cells"] == 8
+
+    back = scan_data(spark, root, "value")
+    got = {(r["time"], r["lat"]): r["value"] for r in back.collect()}
+    want = {
+        (t, 30 + 0.5 * j): float(t + 30 + 0.5 * j)
+        for t in (10, 20, 30, 40, 50)
+        for j in range(4)
+    }
+    assert got == want
+
+
+def test_append_zarr_repeated_appends_and_partial_rows(spark, tmp_path):
+    """Two successive appends (metadata keeps flipping), the second
+    covering only HALF the lat axis — uncovered cells of the new time
+    step read back as fill_value."""
+    from cae_polars_tools_spark.sources.zarr_scan import scan_data
+    from cae_polars_tools_spark.sources.zarr_write import (
+        append_zarr,
+        write_zarr,
+    )
+
+    root = str(tmp_path / "appended2.zarr")
+    write_zarr(_demo_df(spark), root, chunks=(2, 3), fill_value=-1.0)
+    append_zarr(_append_df(spark, (40,)), root, append_dim="time")
+    partial = spark.createDataFrame(
+        [(50, 30.0, 99.0), (50, 30.5, 98.0)],
+        schema="time int, lat float, value float",
+    )
+    append_zarr(partial, root, append_dim="time")
+
+    back = scan_data(spark, root, "value")
+    got = {(r["time"], r["lat"]): r["value"] for r in back.collect()}
+    assert len(got) == 5 * 4
+    assert got[(50, 30.0)] == 99.0 and got[(50, 30.5)] == 98.0
+    assert got[(50, 31.0)] == -1.0 and got[(50, 31.5)] == -1.0
+    assert got[(40, 31.5)] == float(40 + 31.5)
+    assert got[(10, 30.0)] == float(10 + 30.0)
+
+
+def test_append_zarr_contract_errors(spark, tmp_path):
+    from cae_polars_tools_spark.sources.zarr_write import (
+        append_zarr,
+        write_zarr,
+    )
+
+    root = str(tmp_path / "contract.zarr")
+    write_zarr(_demo_df(spark), root, chunks=(2, 3))
+
+    # overlap with existing time axis
+    with pytest.raises(ValueError, match="strictly greater"):
+        append_zarr(_append_df(spark, (30, 40)), root, append_dim="time")
+    # new coordinate on a non-append dimension
+    bad_lat = spark.createDataFrame(
+        [(40, 77.0, 1.0)], schema="time int, lat float, value float"
+    )
+    with pytest.raises(ValueError, match="not on the store's"):
+        append_zarr(bad_lat, root, append_dim="time")
+    # unknown dimension / missing column / wrong dtype
+    with pytest.raises(ValueError, match="not a dimension"):
+        append_zarr(_append_df(spark, (40,)), root, append_dim="depth")
+    with pytest.raises(ValueError, match="lacks column"):
+        append_zarr(
+            _append_df(spark, (40,)).drop("lat"), root, append_dim="time"
+        )
+    wide = _append_df(spark, (40,))
+    with pytest.raises(ValueError, match="dtype"):
+        append_zarr(
+            wide.withColumn("value", wide["value"].cast("double")),
+            root,
+            append_dim="time",
+        )
+
+
+def test_append_zarr_rejects_v3_stores(spark, tmp_path):
+    from cae_polars_tools_spark.sources.zarr_write import (
+        append_zarr,
+        write_zarr,
+    )
+
+    root = str(tmp_path / "v3.zarr")
+    write_zarr(_demo_df(spark), root, chunks=(2, 3), zarr_format=3)
+    with pytest.raises(NotImplementedError, match="v2"):
+        append_zarr(_append_df(spark, (40,)), root, append_dim="time")
+
+
+def test_append_invalidates_executor_group_cache_via_etag(spark, tmp_path):
+    """The executor-side group cache is keyed by the plan's metadata
+    etag: after an in-place append at the SAME path, a plan built from
+    the fresh driver open carries a new etag and a reused worker
+    re-opens instead of serving the stale (old-shape) handle."""
+    from cae_polars_tools_spark.sources.zarr_reader import plan_scan
+    from cae_polars_tools_spark.sources.zarr_store import (
+        ZarrStore,
+        executor_group,
+    )
+    from cae_polars_tools_spark.sources.zarr_write import (
+        append_zarr,
+        write_zarr,
+    )
+
+    root = str(tmp_path / "etag.zarr")
+    write_zarr(_demo_df(spark), root, chunks=(2, 3))
+    plan_before = plan_scan(ZarrStore(root), "value")
+    g_before = executor_group(root, None, None, None, plan_before.meta_etag)
+    assert g_before.get_array("value").shape == (3, 4)
+
+    append_zarr(_append_df(spark, (40,)), root, append_dim="time")
+    plan_after = plan_scan(ZarrStore(root), "value")
+    assert plan_after.meta_etag != plan_before.meta_etag
+    # the stale key still serves the old handle (cache hit)...
+    assert (
+        executor_group(root, None, None, None, plan_before.meta_etag)
+        is g_before
+    )
+    # ...but the new plan's etag forces a fresh open with the new shape
+    g_after = executor_group(root, None, None, None, plan_after.meta_etag)
+    assert g_after is not g_before
+    assert g_after.get_array("value").shape == (4, 4)
