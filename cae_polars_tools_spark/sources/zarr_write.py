@@ -523,6 +523,34 @@ def _write_v3_metadata(
 __all__ = ["write_zarr", "append_zarr"]
 
 
+def _compressor_of_v3_codecs(codecs: list) -> dict | None:
+    """Inverse of :func:`_v3_codecs`: recover the (id, level) compressor
+    this sink can RE-ENCODE from a v3 codec pipeline, or raise for
+    pipelines we can only decode (blosc/transpose/crc32c/...)."""
+    names = [c.get("name") for c in codecs]
+    if not names or names[0] != "bytes":
+        raise NotImplementedError(
+            f"append_zarr cannot re-encode v3 codec pipeline {names!r}"
+        )
+    endian = (codecs[0].get("configuration") or {}).get("endian", "little")
+    if endian != "little":
+        raise NotImplementedError(
+            "append_zarr supports little-endian bytes codecs only"
+        )
+    if len(names) == 1:
+        return None
+    if len(names) == 2 and names[1] in ("gzip", "zlib"):
+        return {
+            "id": names[1],
+            "level": int(
+                (codecs[1].get("configuration") or {}).get("level", 5)
+            ),
+        }
+    raise NotImplementedError(
+        f"append_zarr cannot re-encode v3 codec pipeline {names!r}"
+    )
+
+
 def append_zarr(
     df: DataFrame,
     path: str,
@@ -539,9 +567,11 @@ def append_zarr(
     STRICTLY GREATER than the store's current maximum (monotone
     ingest; overlap would silently repaint history), every other
     dimension's coordinates must already exist on the store's axes,
-    and the value dtype must match the array's. v2 stores only; v3 /
-    sharded appends raise (their metadata rewrite differs, and the
-    sharded boundary merge needs shard reassembly).
+    and the value dtype must match the array's. Supported stores: v2
+    (no filters) and v3 with a ``bytes``(+``gzip``/``zlib``) codec
+    pipeline — i.e. exactly what :func:`write_zarr` produces; sharded
+    appends raise (the boundary merge would need whole-shard
+    reassembly plus an index rewrite).
 
     Scale shape mirrors :func:`write_zarr` — one ``groupBy(chunk)``
     shuffle, embarrassingly parallel idempotent chunk puts — plus ONE
@@ -563,22 +593,26 @@ def append_zarr(
     store_handle = ZarrStore(path, storage_options=storage_options)
     group = store_handle.open_zarr_group()
     arr = group.get_array(value_col)
-    # ZarrV3Array SUBCLASSES ZarrV2Array (shared read API), so the
-    # version check must be the v3-specific type, not the base
-    if isinstance(arr, ZarrV3Array):
-        raise NotImplementedError(
-            "append_zarr supports zarr v2 stores; v3/sharded appends "
-            "are not implemented (write a new store with write_zarr)"
-        )
-    if arr.filters:
-        raise NotImplementedError(
-            "append_zarr cannot re-encode stores with v2 filters"
-        )
-    if arr.order != "C":
-        raise NotImplementedError(
-            "append_zarr supports C-order arrays (the boundary merge "
-            "decodes chunks inline)"
-        )
+    # ZarrV3Array SUBCLASSES ZarrV2Array (shared read API), so version
+    # detection must use the v3-specific type, not the base
+    version = 3 if isinstance(arr, ZarrV3Array) else 2
+    if version == 3:
+        if arr.shard_conf is not None:
+            raise NotImplementedError(
+                "append_zarr cannot append to sharding_indexed arrays "
+                "(the boundary merge needs shard reassembly)"
+            )
+        compressor = _compressor_of_v3_codecs(arr.codecs)
+    else:
+        if arr.filters:
+            raise NotImplementedError(
+                "append_zarr cannot re-encode stores with v2 filters"
+            )
+        if arr.order != "C":
+            raise NotImplementedError(
+                "append_zarr supports C-order arrays"
+            )
+        compressor = arr.compressor
     dims = tuple(C.resolve_dims(arr.attrs, arr.ndim))
     if append_dim not in dims:
         raise ValueError(
@@ -633,7 +667,6 @@ def append_zarr(
 
     old_len = len(old_ap)
     chunks = tuple(arr.chunks)
-    compressor = arr.compressor
     fill_value = arr.fill_value if arr.fill_value is not None else 0
     new_shape = tuple(
         len(old_axes[d]) if d != append_dim else old_len + len(new_ap)
@@ -667,23 +700,34 @@ def append_zarr(
     mapped = mapped.select(object_id.alias("__chunk"), *pos_cols, "__value")
 
     boundary_idx = old_len // chunks[ad] if old_len % chunks[ad] else -1
+    from cae_polars_tools_spark.sources.zarr_store import group_meta_etag
+
+    etag_before = group_meta_etag(group)
     n_dims, chunks_b, grid_b, dtype_str = len(dims), chunks, grid, dtype.str
     fill_b, comp_b, path_b, so_b = fill_value, compressor, path, storage_options
     vcol_b, ad_b, boundary_b = value_col, ad, boundary_idx
-    sep_b = arr.dimension_separator
+    fmt_b = version
 
     def append_one_chunk(pdf) -> "Any":
         import pandas as pd
 
         from cae_polars_tools_spark.sources.zarr_format import ByteStore
+        from cae_polars_tools_spark.sources.zarr_store import executor_group
 
         w_store = ByteStore.for_path(path_b, so_b)
+        # the PRE-append group handle (etag pins the pre-flip
+        # metadata): supplies version-correct chunk keys and, for the
+        # boundary, the engine's own decode path
+        r_arr = executor_group(
+            path_b, so_b, None, None, meta_etag=etag_before
+        ).get_array(vcol_b)
         dt = np.dtype(dtype_str)
         rem = int(pdf["__chunk"].iloc[0])
         idx = []
         for s_ in _strides(grid_b):
             idx.append(rem // s_)
             rem %= s_
+        idx = tuple(int(i) for i in idx)
         within = np.stack(
             [
                 pdf[f"__pos_{i}"].to_numpy() - idx[i] * chunks_b[i]
@@ -707,31 +751,20 @@ def append_zarr(
             )
         if idx[ad_b] == boundary_b:
             # straddling chunk: overlay onto the existing block (its
-            # stored bytes cover positions < old_len only — the new
-            # cells are strictly beyond, so no old cell changes)
-            raw = w_store.get(
-                f"{vcol_b}/{sep_b.join(str(int(i)) for i in idx) or '0'}"
-            )
-            if raw is None:
-                block = np.full(chunks_b, fill_b, dtype=dt)
-            else:
-                from cae_polars_tools_spark.sources.zarr_format import (
-                    _decode_bytes,
-                )
-
-                block = (
-                    np.frombuffer(_decode_bytes(raw, comp_b), dtype=dt)
-                    .reshape(chunks_b)
-                    .copy()
-                )
+            # stored cells cover positions < old_len only — the new
+            # cells are strictly beyond, so no old cell changes).
+            # read_chunk also yields the fill-filled block when the
+            # chunk object does not exist yet.
+            block = r_arr.read_chunk(idx).astype(dt, copy=True)
         else:
             block = np.full(chunks_b, fill_b, dtype=dt)
         block.reshape(-1)[lin] = vals
-        payload = _encode_bytes(
-            np.ascontiguousarray(block).tobytes(), comp_b,
-            typesize=dt.itemsize,
-        )
-        key = f"{vcol_b}/{sep_b.join(str(int(i)) for i in idx) or '0'}"
+        raw = np.ascontiguousarray(block).tobytes()
+        if fmt_b == 2:
+            payload = _encode_bytes(raw, comp_b, typesize=dt.itemsize)
+        else:
+            payload = _v3_compress(raw, comp_b)
+        key = r_arr._chunk_key(idx)
         w_store.put(key, payload)
         return pd.DataFrame(
             {"chunk_key": [key], "nbytes": [len(payload)], "cells": [len(pdf)]}
@@ -751,31 +784,61 @@ def append_zarr(
     # refreshed consolidated document when one exists.
     store = ByteStore.for_path(path, storage_options)
     combined = np.concatenate([old_ap, new_ap])
-    updates: dict[str, dict] = {}
-
-    vmeta = json.loads(store.get(f"{value_col}/.zarray"))
-    vmeta["shape"] = list(new_shape)
-    updates[f"{value_col}/.zarray"] = vmeta
-    cmeta = json.loads(store.get(f"{append_dim}/.zarray"))
-    cmeta["shape"] = [len(combined)]
-    cmeta["chunks"] = [max(len(combined), 1)]
-    updates[f"{append_dim}/.zarray"] = cmeta
-    coord_comp = cmeta.get("compressor")
-    store.put(
-        f"{append_dim}/0",
-        _encode_bytes(
-            np.ascontiguousarray(combined).tobytes(),
-            coord_comp,
-            typesize=combined.dtype.itemsize,
-        ),
-    )
-    for key, meta in updates.items():
-        store.put(key, json.dumps(meta).encode())
-    zmeta_raw = store.get(".zmetadata")
-    if zmeta_raw is not None:
-        doc = json.loads(zmeta_raw)
-        doc.get("metadata", {}).update(updates)
-        store.put(".zmetadata", json.dumps(doc).encode())
+    if version == 2:
+        updates: dict[str, dict] = {}
+        vmeta = json.loads(store.get(f"{value_col}/.zarray"))
+        vmeta["shape"] = list(new_shape)
+        updates[f"{value_col}/.zarray"] = vmeta
+        cmeta = json.loads(store.get(f"{append_dim}/.zarray"))
+        cmeta["shape"] = [len(combined)]
+        cmeta["chunks"] = [max(len(combined), 1)]
+        updates[f"{append_dim}/.zarray"] = cmeta
+        coord_comp = cmeta.get("compressor")
+        store.put(
+            f"{append_dim}/0",
+            _encode_bytes(
+                np.ascontiguousarray(combined).tobytes(),
+                coord_comp,
+                typesize=combined.dtype.itemsize,
+            ),
+        )
+        for key, meta in updates.items():
+            store.put(key, json.dumps(meta).encode())
+        zmeta_raw = store.get(".zmetadata")
+        if zmeta_raw is not None:
+            doc = json.loads(zmeta_raw)
+            doc.get("metadata", {}).update(updates)
+            store.put(".zmetadata", json.dumps(doc).encode())
+    else:
+        v_updates: dict[str, dict] = {}
+        vmeta = json.loads(store.get(f"{value_col}/zarr.json"))
+        vmeta["shape"] = list(new_shape)
+        v_updates[value_col] = vmeta
+        cmeta = json.loads(store.get(f"{append_dim}/zarr.json"))
+        cmeta["shape"] = [len(combined)]
+        cmeta["chunk_grid"] = {
+            "name": "regular",
+            "configuration": {"chunk_shape": [max(len(combined), 1)]},
+        }
+        v_updates[append_dim] = cmeta
+        coord_comp = _compressor_of_v3_codecs(
+            cmeta.get("codecs") or [{"name": "bytes"}]
+        )
+        store.put(
+            f"{append_dim}/c/0",
+            _v3_compress(
+                np.ascontiguousarray(combined).tobytes(), coord_comp
+            ),
+        )
+        for name, meta in v_updates.items():
+            store.put(f"{name}/zarr.json", json.dumps(meta).encode())
+        root_raw = store.get("zarr.json")
+        if root_raw is not None:
+            root = json.loads(root_raw)
+            cons = root.get("consolidated_metadata") or {}
+            if isinstance(cons.get("metadata"), dict):
+                cons["metadata"].update(v_updates)
+                store.put("zarr.json", json.dumps(root).encode())
 
     return {
         "path": path,

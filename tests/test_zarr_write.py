@@ -454,15 +454,47 @@ def test_append_zarr_contract_errors(spark, tmp_path):
         )
 
 
-def test_append_zarr_rejects_v3_stores(spark, tmp_path):
+@pytest.mark.parametrize("chunks", [(3, 4), (2, 3)])
+def test_append_zarr_v3_roundtrip(spark, tmp_path, chunks):
+    """v3 append: both the chunk-aligned and the boundary-straddling
+    geometry (the RMW path decodes through the v3 codec pipeline and
+    re-encodes with the recovered compressor); metadata flip covers
+    zarr.json nodes and the root consolidated document."""
+    from cae_polars_tools_spark.sources.zarr_scan import scan_data
     from cae_polars_tools_spark.sources.zarr_write import (
         append_zarr,
         write_zarr,
     )
 
-    root = str(tmp_path / "v3.zarr")
-    write_zarr(_demo_df(spark), root, chunks=(2, 3), zarr_format=3)
-    with pytest.raises(NotImplementedError, match="v2"):
+    root = str(tmp_path / "v3app.zarr")
+    write_zarr(_demo_df(spark), root, chunks=chunks, zarr_format=3)
+    summary = append_zarr(
+        _append_df(spark, (40, 50)), root, append_dim="time"
+    )
+    assert summary["shape"] == (5, 4)
+    got = {
+        (r["time"], r["lat"]): r["value"]
+        for r in scan_data(spark, root, "value").collect()
+    }
+    want = {
+        (t, 30 + 0.5 * j): float(t + 30 + 0.5 * j)
+        for t in (10, 20, 30, 40, 50)
+        for j in range(4)
+    }
+    assert got == want
+
+
+def test_append_zarr_rejects_sharded_stores(spark, tmp_path):
+    from cae_polars_tools_spark.sources.zarr_write import (
+        append_zarr,
+        write_zarr,
+    )
+
+    root = str(tmp_path / "sharded.zarr")
+    write_zarr(
+        _demo_df(spark), root, chunks=(1, 2), shard_chunks=(2, 4)
+    )
+    with pytest.raises(NotImplementedError, match="shard"):
         append_zarr(_append_df(spark, (40,)), root, append_dim="time")
 
 
