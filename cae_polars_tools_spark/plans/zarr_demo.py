@@ -274,3 +274,41 @@ def zarr_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_zarr(df, sink, chunks=(2, 2, 3), axes=axes)
     return scan_data(spark, sink, "value")
+
+
+@register(
+    "zarr_append_ingest",
+    oracle=None,  # write+append side effects + re-scan: rows-only
+    # check here; value-level equality (v2 AND v3, aligned and
+    # boundary-straddling chunks) is asserted in tests/test_zarr_write.py
+    tags=("zarr", "sink", "append"),
+)
+def zarr_append_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series ingest through the zarr sink: write the first half
+    of the demo store's time axis, APPEND the second half
+    (``append_zarr`` — monotone coordinates, boundary-chunk
+    read-modify-write, metadata flipped last), then re-scan the grown
+    store. The scan must see every cell of both batches — the driver's
+    rows check pins the grown shape; cell-level equality is
+    unit-tested."""
+    from pyspark.sql import functions as F
+
+    from cae_polars_tools_spark.sources.zarr_scan import scan_data
+    from cae_polars_tools_spark.sources.zarr_write import (
+        append_zarr,
+        write_zarr,
+    )
+
+    sink = os.path.join(os.path.dirname(_STORE), "zarr_append_ingest.zarr")
+    df = scan_data(spark, demo_store(), "metric")
+    times = sorted(
+        r["time"] for r in df.select("time").distinct().collect()
+    )
+    split = times[len(times) // 2]
+    write_zarr(
+        df.filter(F.col("time") < split), sink, chunks=(2, 2, 3)
+    )
+    append_zarr(
+        df.filter(F.col("time") >= split), sink, append_dim="time"
+    )
+    return scan_data(spark, sink, "value")
