@@ -551,6 +551,81 @@ def _compressor_of_v3_codecs(codecs: list) -> dict | None:
     )
 
 
+def _assemble_shard(
+    r_arr,
+    idx,
+    within,
+    vals,
+    dt,
+    chunks,
+    shard_chunks,
+    fill,
+    comp,
+    conf,
+    is_boundary,
+):
+    """Assemble one ``sharding_indexed`` shard for append: encode every
+    inner chunk that has new cells OR already exists in the old
+    boundary shard (read through the array's own ranged-read path and
+    overlaid), build the (offset, nbytes) index, and return
+    ``(payload, key)``. Non-boundary shards carry only new cells —
+    the pre-append store has no bytes there."""
+    from cae_polars_tools_spark.sources.zarr_v3 import (
+        _SHARD_MISSING,
+        _crc32c_value,
+    )
+
+    n_dims = len(chunks)
+    cps = tuple(s // c for s, c in zip(shard_chunks, chunks))
+    inner_of = tuple(within[i] // chunks[i] for i in range(n_dims))
+    inner_lin = np.ravel_multi_index(inner_of, cps)
+
+    to_write = set(int(i) for i in np.unique(inner_lin))
+    old_index = r_arr._shard_index(tuple(idx)) if is_boundary else None
+    if old_index is not None:
+        flat = old_index.reshape(-1, 2)
+        to_write |= {
+            int(i)
+            for i in range(flat.shape[0])
+            if int(flat[i, 0]) != _SHARD_MISSING
+        }
+
+    index = np.full((*cps, 2), _SHARD_MISSING, dtype="<u8")
+    body = bytearray()
+    for inner_id in sorted(to_write):
+        inner_pos = np.unravel_index(inner_id, cps)
+        had_old = old_index is not None and int(
+            old_index.reshape(-1, 2)[inner_id, 0]
+        ) != _SHARD_MISSING
+        if had_old:
+            g_inner = tuple(
+                int(idx[i]) * cps[i] + int(inner_pos[i])
+                for i in range(n_dims)
+            )
+            block = r_arr.read_chunk(g_inner).astype(dt, copy=True)
+        else:
+            block = np.full(chunks, fill, dtype=dt)
+        sel = np.nonzero(inner_lin == inner_id)[0]
+        if len(sel):
+            w_in = tuple(within[i][sel] % chunks[i] for i in range(n_dims))
+            block[w_in] = vals[sel]
+        payload = _v3_compress(np.ascontiguousarray(block).tobytes(), comp)
+        index.reshape(-1, 2)[inner_id] = (len(body), len(payload))
+        body.extend(payload)
+
+    idx_bytes = index.tobytes()
+    index_codec_names = [
+        c.get("name") for c in (conf.get("index_codecs") or [])
+    ]
+    if "crc32c" in index_codec_names:
+        idx_bytes += _crc32c_value(idx_bytes).to_bytes(4, "little")
+    if conf.get("index_location", "end") == "start":
+        payload = idx_bytes + bytes(body)
+    else:
+        payload = bytes(body) + idx_bytes
+    return payload, r_arr._chunk_key(tuple(int(i) for i in idx))
+
+
 def append_zarr(
     df: DataFrame,
     path: str,
@@ -569,9 +644,11 @@ def append_zarr(
     dimension's coordinates must already exist on the store's axes,
     and the value dtype must match the array's. Supported stores: v2
     (no filters) and v3 with a ``bytes``(+``gzip``/``zlib``) codec
-    pipeline — i.e. exactly what :func:`write_zarr` produces; sharded
-    appends raise (the boundary merge would need whole-shard
-    reassembly plus an index rewrite).
+    pipeline, including ``sharding_indexed`` — i.e. everything
+    :func:`write_zarr` produces. A sharded append reassembles only
+    the BOUNDARY shard (old inner chunks read through the ranged-read
+    path, overlaid, re-indexed); every other shard is written fresh
+    from its new cells.
 
     Scale shape mirrors :func:`write_zarr` — one ``groupBy(chunk)``
     shuffle, embarrassingly parallel idempotent chunk puts — plus ONE
@@ -596,12 +673,18 @@ def append_zarr(
     # ZarrV3Array SUBCLASSES ZarrV2Array (shared read API), so version
     # detection must use the v3-specific type, not the base
     version = 3 if isinstance(arr, ZarrV3Array) else 2
-    if version == 3:
-        if arr.shard_conf is not None:
-            raise NotImplementedError(
-                "append_zarr cannot append to sharding_indexed arrays "
-                "(the boundary merge needs shard reassembly)"
-            )
+    sharded = version == 3 and arr.shard_conf is not None
+    if sharded:
+        from cae_polars_tools_spark.sources.zarr_v3 import (
+            _shard_index_nbytes,
+        )
+
+        # raises for index pipelines we cannot relocate/rewrite
+        _shard_index_nbytes(arr.shard_conf, 1)
+        compressor = _compressor_of_v3_codecs(
+            arr.shard_conf.get("codecs") or [{"name": "bytes"}]
+        )
+    elif version == 3:
         compressor = _compressor_of_v3_codecs(arr.codecs)
     else:
         if arr.filters:
@@ -667,6 +750,7 @@ def append_zarr(
 
     old_len = len(old_ap)
     chunks = tuple(arr.chunks)
+    storage_chunks = tuple(arr.shard_chunks) if sharded else chunks
     fill_value = arr.fill_value if arr.fill_value is not None else 0
     new_shape = tuple(
         len(old_axes[d]) if d != append_dim else old_len + len(new_ap)
@@ -691,22 +775,25 @@ def append_zarr(
             for i, d in enumerate(dims)
         ],
     )
-    grid = tuple(-(-s // c) for s, c in zip(new_shape, chunks))
+    grid = tuple(-(-s // c) for s, c in zip(new_shape, storage_chunks))
     strides = _strides(grid)
     object_id = sum(
-        F.floor(F.col(pc) / chunks[i]).cast("bigint") * strides[i]
+        F.floor(F.col(pc) / storage_chunks[i]).cast("bigint") * strides[i]
         for i, pc in enumerate(pos_cols)
     )
     mapped = mapped.select(object_id.alias("__chunk"), *pos_cols, "__value")
 
-    boundary_idx = old_len // chunks[ad] if old_len % chunks[ad] else -1
+    boundary_idx = (
+        old_len // storage_chunks[ad] if old_len % storage_chunks[ad] else -1
+    )
     from cae_polars_tools_spark.sources.zarr_store import group_meta_etag
 
     etag_before = group_meta_etag(group)
     n_dims, chunks_b, grid_b, dtype_str = len(dims), chunks, grid, dtype.str
     fill_b, comp_b, path_b, so_b = fill_value, compressor, path, storage_options
     vcol_b, ad_b, boundary_b = value_col, ad, boundary_idx
-    fmt_b = version
+    fmt_b, storage_b, sharded_b = version, storage_chunks, sharded
+    shard_conf_b = dict(arr.shard_conf) if sharded else None
 
     def append_one_chunk(pdf) -> "Any":
         import pandas as pd
@@ -730,7 +817,7 @@ def append_zarr(
         idx = tuple(int(i) for i in idx)
         within = np.stack(
             [
-                pdf[f"__pos_{i}"].to_numpy() - idx[i] * chunks_b[i]
+                pdf[f"__pos_{i}"].to_numpy() - idx[i] * storage_b[i]
                 for i in range(n_dims)
             ]
         )
@@ -744,10 +831,24 @@ def append_zarr(
                 f"null values in integer value column {vcol_b!r}"
             )
         vals = raw_vals.astype(dt, copy=False)
-        lin = np.ravel_multi_index(tuple(within), chunks_b)
+        lin = np.ravel_multi_index(tuple(within), storage_b)
         if len(np.unique(lin)) != len(lin):
             raise ValueError(
                 f"duplicate cells in chunk {tuple(idx)} of {vcol_b!r}"
+            )
+        if sharded_b:
+            payload, key = _assemble_shard(
+                r_arr, idx, within, vals, dt,
+                chunks_b, storage_b, fill_b, comp_b, shard_conf_b,
+                is_boundary=idx[ad_b] == boundary_b,
+            )
+            w_store.put(key, payload)
+            return pd.DataFrame(
+                {
+                    "chunk_key": [key],
+                    "nbytes": [len(payload)],
+                    "cells": [len(pdf)],
+                }
             )
         if idx[ad_b] == boundary_b:
             # straddling chunk: overlay onto the existing block (its

@@ -484,18 +484,37 @@ def test_append_zarr_v3_roundtrip(spark, tmp_path, chunks):
     assert got == want
 
 
-def test_append_zarr_rejects_sharded_stores(spark, tmp_path):
+@pytest.mark.parametrize("shard_chunks", [(2, 4), (4, 4)])
+def test_append_zarr_sharded_roundtrip(spark, tmp_path, shard_chunks):
+    """Sharded append: the boundary shard (old time length 3 straddles
+    a shard of 2 or 4 time steps) is reassembled — old inner chunks
+    read back through the ranged-read path, new cells overlaid, index
+    rebuilt — while fresh shards carry only new cells. Full-grid value
+    equality through a re-scan."""
+    from cae_polars_tools_spark.sources.zarr_scan import scan_data
     from cae_polars_tools_spark.sources.zarr_write import (
         append_zarr,
         write_zarr,
     )
 
-    root = str(tmp_path / "sharded.zarr")
+    root = str(tmp_path / "sharded_app.zarr")
     write_zarr(
-        _demo_df(spark), root, chunks=(1, 2), shard_chunks=(2, 4)
+        _demo_df(spark), root, chunks=(1, 2), shard_chunks=shard_chunks
     )
-    with pytest.raises(NotImplementedError, match="shard"):
-        append_zarr(_append_df(spark, (40,)), root, append_dim="time")
+    summary = append_zarr(
+        _append_df(spark, (40, 50)), root, append_dim="time"
+    )
+    assert summary["shape"] == (5, 4)
+    got = {
+        (r["time"], r["lat"]): r["value"]
+        for r in scan_data(spark, root, "value").collect()
+    }
+    want = {
+        (t, 30 + 0.5 * j): float(t + 30 + 0.5 * j)
+        for t in (10, 20, 30, 40, 50)
+        for j in range(4)
+    }
+    assert got == want
 
 
 def test_append_invalidates_executor_group_cache_via_etag(spark, tmp_path):
