@@ -520,7 +520,7 @@ def _write_v3_metadata(
     )
 
 
-__all__ = ["write_zarr", "append_zarr"]
+__all__ = ["write_zarr", "append_zarr", "zarr_ingest_sink"]
 
 
 def _compressor_of_v3_codecs(codecs: list) -> dict | None:
@@ -949,3 +949,79 @@ def append_zarr(
         "bytes": int(sum(r["nbytes"] for r in stats)),
         "cells": int(sum(r["cells"] for r in stats)),
     }
+
+
+def zarr_ingest_sink(
+    path: str,
+    append_dim: str,
+    value_col: str = "value",
+    dims: tuple[str, ...] | None = None,
+    chunks: tuple[int, ...] | None = None,
+    storage_options: dict | None = None,
+    **write_kwargs,
+) -> "Any":
+    """Structured-Streaming bridge: a ``foreachBatch`` function that
+    lands each micro-batch in a zarr store — the streaming ingest
+    counterpart of ``append_zarr``. The first batch CREATES the store
+    (:func:`write_zarr`, forwarding ``chunks``/``write_kwargs``);
+    every later batch appends along ``append_dim``.
+
+    Exactly-once on top of foreachBatch's at-least-once: the append
+    contract (coordinates strictly beyond the store's max) doubles as
+    a high-watermark. A REDELIVERED batch — every coordinate ≤ the
+    stored max — is recognized and skipped idempotently; a batch that
+    OVERLAPS the watermark without being a pure redelivery raises
+    (out-of-order ingest would need reprocessing, not silent
+    repainting). Use with ``writeStream.foreachBatch(...)`` and an
+    event-time-ordered source (e.g. a watermarked, windowed
+    aggregation emitting closed windows in order).
+    """
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store = ByteStore.for_path(path, storage_options)
+        exists = (
+            store.get(".zgroup") is not None
+            or store.get("zarr.json") is not None
+        )
+        if not exists:
+            write_zarr(
+                batch_df,
+                path,
+                value_col=value_col,
+                dims=dims,
+                chunks=chunks,
+                storage_options=storage_options,
+                **write_kwargs,
+            )
+            return
+        from cae_polars_tools_spark.sources.zarr_store import ZarrStore
+
+        group = ZarrStore(
+            path, storage_options=storage_options
+        ).open_zarr_group()
+        axis = np.asarray(group.get_array(append_dim)[slice(None)])
+        hi = (
+            batch_df.agg(
+                F.max(append_dim).alias("hi"), F.min(append_dim).alias("lo")
+            ).collect()[0]
+        )
+        if len(axis) and hi["hi"] <= axis.max():
+            return  # pure redelivery below the high-watermark: skip
+        if len(axis) and hi["lo"] <= axis.max():
+            raise ValueError(
+                f"zarr_ingest_sink: batch {batch_id} straddles the "
+                f"store's {append_dim!r} high-watermark "
+                f"({axis.max()!r}) — neither a redelivery nor a clean "
+                "append"
+            )
+        append_zarr(
+            batch_df,
+            path,
+            append_dim=append_dim,
+            value_col=value_col,
+            storage_options=storage_options,
+        )
+
+    return ingest

@@ -383,3 +383,62 @@ def test_cap_stream_validates_cap(spark):
 
     with pytest.raises(ValueError, match="cap"):
         cap_stream(None, cap=0)
+
+
+def test_zarr_ingest_sink_streams_microbatches_into_store(spark, tmp_path):
+    """foreachBatch → zarr: two micro-batches (one file each) create
+    then append; the final store holds every cell of both. A manual
+    REDELIVERY of the first batch is skipped idempotently (the append
+    high-watermark), and a straddling batch raises."""
+    import pytest as _pytest
+
+    from cae_polars_tools_spark.sources.zarr_scan import scan_data
+    from cae_polars_tools_spark.sources.zarr_write import zarr_ingest_sink
+
+    schema = "t int, x int, value double"
+    src = str(tmp_path / "src")
+    b1 = spark.createDataFrame(
+        [(t, j, float(t * 10 + j)) for t in (1, 2) for j in range(3)], schema
+    )
+    b2 = spark.createDataFrame(
+        [(t, j, float(t * 10 + j)) for t in (3, 4) for j in range(3)], schema
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+    import time as _time
+
+    _time.sleep(1.1)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    store = str(tmp_path / "ingest.zarr")
+    sink = zarr_ingest_sink(store, append_dim="t", chunks=(2, 3))
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_zarr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["t"], r["x"]): r["value"]
+        for r in scan_data(spark, store, "value").collect()
+    }
+    assert got == {
+        (t, j): float(t * 10 + j) for t in (1, 2, 3, 4) for j in range(3)
+    }
+
+    # redelivery of an already-ingested batch: skipped, store unchanged
+    sink(b1, 99)
+    assert {
+        (r["t"], r["x"]): r["value"]
+        for r in scan_data(spark, store, "value").collect()
+    } == got
+    # a straddling batch (t=4 old, t=5 new) must refuse loudly
+    straddle = spark.createDataFrame(
+        [(4, 0, 0.0), (5, 0, 0.0)], schema
+    )
+    with _pytest.raises(ValueError, match="high-watermark"):
+        sink(straddle, 100)
