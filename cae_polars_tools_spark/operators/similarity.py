@@ -517,7 +517,7 @@ def emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulation, bit-identical to the DuckDB oracle; the mean and
     cosine are rounded to 1e-6 to absorb summation-order ulps in the
     avg)."""
-    from cae_polars_tools_spark.operators.vectors import dot_expr
+    from cae_polars_tools_spark.operators.vectors import cosine_expr
 
     e = (
         spread(read_table(spark, sf_dir, "embeddings"))
@@ -538,10 +538,7 @@ def emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid")
         )
     )
-    cos = dot_expr(F.col("embedding"), F.col("centroid")) / (
-        F.sqrt(dot_expr(F.col("embedding"), F.col("embedding")))
-        * F.sqrt(dot_expr(F.col("centroid"), F.col("centroid")))
-    )
+    cos = cosine_expr(F.col("embedding"), F.col("centroid"))
     return e.join(F.broadcast(cent), "label").select(
         "vec_id",
         "label",

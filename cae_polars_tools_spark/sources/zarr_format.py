@@ -153,6 +153,10 @@ class LocalByteStore(ByteStore):
         p = os.path.join(self.root, prefix) if prefix else self.root
         if os.path.isdir(p):
             shutil.rmtree(p)
+        elif os.path.isfile(p):
+            # a prefix naming exactly one object (e.g. the ingest
+            # marker) must delete it, not silently no-op
+            os.remove(p)
 
     def list_prefix(self, prefix: str = "") -> list[str]:
         p = os.path.join(self.root, prefix) if prefix else self.root

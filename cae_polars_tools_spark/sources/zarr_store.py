@@ -107,19 +107,39 @@ class ZarrStore:
 
 
 def group_meta_etag(group: ZarrV2Group) -> str:
-    """Fingerprint of a group's array metadata (name, shape, chunks,
-    dtype per array). Carried in every ScanPlan and keyed into the
-    executor group cache so an in-place metadata change at a reused
-    path (``append_zarr`` growing the shape) forces long-lived reused
-    Python workers to re-open instead of serving the stale handle.
-    Metadata only — no chunk bytes are hashed."""
-    import hashlib
+    """Fingerprint of a group's metadata. Carried in every ScanPlan and
+    keyed into the executor group cache so an in-place change at a
+    reused path (``append_zarr`` growing the shape, ``write_zarr``
+    overwriting — its attrs carry a per-write generation nonce) forces
+    long-lived reused Python workers to re-open instead of serving the
+    stale handle.
 
-    parts = []
-    for name in sorted(group.array_names()):
-        a = group.get_array(name)
-        parts.append(f"{name}:{a.shape}:{a.chunks}:{a.dtype.str}")
-    return hashlib.md5("|".join(parts).encode()).hexdigest()
+    With consolidated metadata the whole document (plus group attrs)
+    hashes with ZERO extra I/O; otherwise the array walk runs — and a
+    store that cannot enumerate (plain HTTP without .zmetadata)
+    degrades to the empty etag, i.e. exactly the pre-etag caching
+    behavior instead of a new failure mode on a previously working
+    scan path. Metadata only — no chunk bytes are hashed."""
+    import hashlib
+    import json as _json
+
+    try:
+        attrs = _json.dumps(group.attrs, sort_keys=True, default=str)
+        if group.consolidated is not None:
+            doc = _json.dumps(
+                group.consolidated, sort_keys=True, default=str
+            )
+            return hashlib.md5((doc + attrs).encode()).hexdigest()
+        parts = [attrs]
+        for name in sorted(group.array_names()):
+            a = group.get_array(name)
+            parts.append(
+                f"{name}:{a.shape}:{a.chunks}:{a.dtype.str}:"
+                f"{_json.dumps(a.attrs, sort_keys=True, default=str)}"
+            )
+        return hashlib.md5("|".join(parts).encode()).hexdigest()
+    except Exception:
+        return ""
 
 
 @lru_cache(maxsize=32)

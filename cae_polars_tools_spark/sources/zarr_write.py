@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import gzip as _gzip
 import json
+import os
 import zlib as _zlib
 from typing import Any
 
@@ -396,7 +397,11 @@ def _write_v2_metadata(
         store.put(key, json.dumps(meta).encode())
 
     put_meta(".zgroup", {"zarr_format": 2})
-    put_meta(".zattrs", {})
+    # per-write generation nonce: a same-shape overwrite at a reused
+    # path still changes the metadata fingerprint, so executor group
+    # caches (keyed by the plan etag) can never serve the old store's
+    # handle — or its stale shard-index cache — against rewritten bytes
+    put_meta(".zattrs", {"_generation": os.urandom(8).hex()})
     for d in dims:
         ax = axes[d]
         put_meta(
@@ -509,7 +514,8 @@ def _write_v3_metadata(
             {
                 "zarr_format": 3,
                 "node_type": "group",
-                "attributes": {},
+                # same-shape-overwrite cache busting; see the v2 branch
+                "attributes": {"_generation": os.urandom(8).hex()},
                 "consolidated_metadata": {
                     "kind": "inline",
                     "must_understand": False,
@@ -575,10 +581,20 @@ def _assemble_shard(
         _crc32c_value,
     )
 
+    from cae_polars_tools_spark.sources.zarr_v3 import _shard_index_nbytes
+
     n_dims = len(chunks)
     cps = tuple(s // c for s, c in zip(shard_chunks, chunks))
     inner_of = tuple(within[i] // chunks[i] for i in range(n_dims))
     inner_lin = np.ravel_multi_index(inner_of, cps)
+
+    # Task-retry idempotency: a retried boundary task on a reused
+    # worker must see the CURRENT shard object, not the handle's
+    # LRU-cached pre-put index (offsets into bytes the first attempt
+    # already replaced). Re-merging against the already-merged shard
+    # is byte-idempotent (old cells unchanged, new cells overlay the
+    # same values), so fresh-per-task state is both safe and correct.
+    r_arr.__dict__.pop("_shard_idx_cache", None)
 
     to_write = set(int(i) for i in np.unique(inner_lin))
     old_index = r_arr._shard_index(tuple(idx)) if is_boundary else None
@@ -613,6 +629,16 @@ def _assemble_shard(
         index.reshape(-1, 2)[inner_id] = (len(body), len(payload))
         body.extend(payload)
 
+    # Offsets are ABSOLUTE within the shard object (the convention of
+    # _read_inner_chunk/_decode_shard_full, which get_range from the
+    # object start): with the index at the END the body starts at 0,
+    # but with index_location='start' every chunk sits after the
+    # fixed-size index, so offsets shift by its on-disk size.
+    if conf.get("index_location", "end") == "start":
+        shift = _shard_index_nbytes(conf, int(np.prod(cps)) if cps else 1)
+        flat = index.reshape(-1, 2)
+        stored = flat[:, 0] != _SHARD_MISSING
+        flat[stored, 0] += np.uint64(shift)
     idx_bytes = index.tobytes()
     index_codec_names = [
         c.get("name") for c in (conf.get("index_codecs") or [])
@@ -624,6 +650,31 @@ def _assemble_shard(
     else:
         payload = bytes(body) + idx_bytes
     return payload, r_arr._chunk_key(tuple(int(i) for i in idx))
+
+
+def _put_coord_chunks(
+    store, coord_arr, combined, old_len, cs, comp, version
+) -> None:
+    """(Re)write the coordinate chunks a dimension-append touches,
+    keeping the array's OWN chunk size: chunks strictly before the old
+    length are untouched, the straddling chunk (if any) is rewritten
+    with identical bytes in its pre-append-visible prefix, and fresh
+    chunks cover the appended tail. v2 stores every chunk at full
+    chunk shape, so blocks pad with zeros past the axis end."""
+    first = old_len // cs
+    n_chunks = -(-len(combined) // cs)
+    for ci in range(first, n_chunks):
+        block = np.zeros(cs, dtype=combined.dtype)
+        seg = combined[ci * cs: min((ci + 1) * cs, len(combined))]
+        block[: len(seg)] = seg
+        raw = np.ascontiguousarray(block).tobytes()
+        if version == 2:
+            payload = _encode_bytes(
+                raw, comp, typesize=combined.dtype.itemsize
+            )
+        else:
+            payload = _v3_compress(raw, comp)
+        store.put(coord_arr._chunk_key((ci,)), payload)
 
 
 def append_zarr(
@@ -723,6 +774,28 @@ def append_zarr(
                 "append needs real coordinates to align against"
             ) from None
         old_axes[d] = np.asarray(coord[slice(None)])
+
+    # Validate the append-dim COORDINATE array's re-encodability up
+    # front: discovering an unsupported coord codec/filter at the
+    # metadata flip would waste the whole distributed chunk job, and
+    # silently re-encoding past a v2 filter (e.g. delta on a monotone
+    # time axis) would corrupt every coordinate read.
+    coord_arr = group.get_array(append_dim)
+    if version == 2:
+        if coord_arr.filters:
+            raise NotImplementedError(
+                f"append_zarr cannot re-encode the {append_dim!r} "
+                "coordinate array: it declares v2 filters"
+            )
+        coord_comp = coord_arr.compressor
+    else:
+        if getattr(coord_arr, "shard_conf", None) is not None:
+            raise NotImplementedError(
+                f"append_zarr cannot extend a SHARDED coordinate "
+                f"array ({append_dim!r})"
+            )
+        coord_comp = _compressor_of_v3_codecs(coord_arr.codecs)
+    coord_cs = int(coord_arr.chunks[0])
 
     new_axes = _collect_axes(df, dims)
     new_ap = new_axes[append_dim].astype(old_axes[append_dim].dtype)
@@ -892,16 +965,14 @@ def append_zarr(
         updates[f"{value_col}/.zarray"] = vmeta
         cmeta = json.loads(store.get(f"{append_dim}/.zarray"))
         cmeta["shape"] = [len(combined)]
-        cmeta["chunks"] = [max(len(combined), 1)]
+        # chunk size is PRESERVED: only chunks at/after the old length
+        # are (re)written, and a straddling chunk's visible prefix is
+        # byte-identical under the old metadata — so a concurrent
+        # reader holding the pre-flip .zarray never decodes a chunk
+        # whose length contradicts it
         updates[f"{append_dim}/.zarray"] = cmeta
-        coord_comp = cmeta.get("compressor")
-        store.put(
-            f"{append_dim}/0",
-            _encode_bytes(
-                np.ascontiguousarray(combined).tobytes(),
-                coord_comp,
-                typesize=combined.dtype.itemsize,
-            ),
+        _put_coord_chunks(
+            store, coord_arr, combined, old_len, coord_cs, coord_comp, 2
         )
         for key, meta in updates.items():
             store.put(key, json.dumps(meta).encode())
@@ -917,19 +988,10 @@ def append_zarr(
         v_updates[value_col] = vmeta
         cmeta = json.loads(store.get(f"{append_dim}/zarr.json"))
         cmeta["shape"] = [len(combined)]
-        cmeta["chunk_grid"] = {
-            "name": "regular",
-            "configuration": {"chunk_shape": [max(len(combined), 1)]},
-        }
+        # chunk grid preserved — see the v2 branch's rationale
         v_updates[append_dim] = cmeta
-        coord_comp = _compressor_of_v3_codecs(
-            cmeta.get("codecs") or [{"name": "bytes"}]
-        )
-        store.put(
-            f"{append_dim}/c/0",
-            _v3_compress(
-                np.ascontiguousarray(combined).tobytes(), coord_comp
-            ),
+        _put_coord_chunks(
+            store, coord_arr, combined, old_len, coord_cs, coord_comp, 3
         )
         for name, meta in v_updates.items():
             store.put(f"{name}/zarr.json", json.dumps(meta).encode())
@@ -977,6 +1039,8 @@ def zarr_ingest_sink(
     aggregation emitting closed windows in order).
     """
 
+    marker = ".ingest_incomplete"
+
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -985,7 +1049,17 @@ def zarr_ingest_sink(
             store.get(".zgroup") is not None
             or store.get("zarr.json") is not None
         )
-        if not exists:
+        if not exists or store.get(marker) is not None:
+            # CREATE (or resume a half-finished create): write_zarr
+            # flips metadata FIRST, so without the marker a crash
+            # between its metadata and its chunk job would make a
+            # redelivered first batch look like a pure redelivery and
+            # be skipped — permanently losing the unwritten chunks.
+            # The marker brackets the create: wipe, mark, write,
+            # unmark; any redelivery that still sees the marker redoes
+            # the create idempotently.
+            store.delete_prefix()
+            store.put(marker, b"1")
             write_zarr(
                 batch_df,
                 path,
@@ -995,6 +1069,7 @@ def zarr_ingest_sink(
                 storage_options=storage_options,
                 **write_kwargs,
             )
+            store.delete_prefix(marker)
             return
         from cae_polars_tools_spark.sources.zarr_store import ZarrStore
 

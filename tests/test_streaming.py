@@ -442,3 +442,44 @@ def test_zarr_ingest_sink_streams_microbatches_into_store(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="high-watermark"):
         sink(straddle, 100)
+
+
+def test_zarr_ingest_sink_resumes_half_finished_create(spark, tmp_path):
+    """Create-path crash recovery: if the marker is still present
+    (write_zarr flips metadata FIRST, so a crash mid-create leaves a
+    store that LOOKS complete), a redelivered first batch must REDO
+    the create instead of being skipped as a redelivery — otherwise
+    the unwritten chunks would be lost forever."""
+    from cae_polars_tools_spark.sources.zarr_format import ByteStore
+    from cae_polars_tools_spark.sources.zarr_scan import scan_data
+    from cae_polars_tools_spark.sources.zarr_write import (
+        write_zarr,
+        zarr_ingest_sink,
+    )
+
+    schema = "t int, x int, value double"
+    b1 = spark.createDataFrame(
+        [(t, j, float(t * 10 + j)) for t in (1, 2) for j in range(3)], schema
+    )
+    store_path = str(tmp_path / "resume.zarr")
+
+    # simulate the half-finished create: metadata + axes written (so
+    # the store "exists" and the axis covers batch 1), one data chunk
+    # deleted, marker still present
+    write_zarr(b1, store_path, chunks=(1, 3))
+    store = ByteStore.for_path(store_path, None)
+    store.put(".ingest_incomplete", b"1")
+    import os as _os
+
+    _os.remove(f"{store_path}/value/0.0")
+
+    sink = zarr_ingest_sink(store_path, append_dim="t", chunks=(1, 3))
+    sink(b1, 0)  # redelivery of the first batch
+    assert store.get(".ingest_incomplete") is None  # marker cleared
+    got = {
+        (r["t"], r["x"]): r["value"]
+        for r in scan_data(spark, store_path, "value").collect()
+    }
+    assert got == {
+        (t, j): float(t * 10 + j) for t in (1, 2) for j in range(3)
+    }

@@ -550,3 +550,104 @@ def test_append_invalidates_executor_group_cache_via_etag(spark, tmp_path):
     g_after = executor_group(root, None, None, None, plan_after.meta_etag)
     assert g_after is not g_before
     assert g_after.get_array("value").shape == (4, 4)
+
+
+@pytest.mark.parametrize("location", ["end", "start"])
+def test_assemble_shard_offsets_match_reader_convention(location):
+    """_assemble_shard's index offsets must be ABSOLUTE within the
+    shard object (the reader's get_range convention) for BOTH index
+    locations — with index_location='start' every chunk sits after the
+    fixed-size index, so body-relative offsets would read shifted
+    bytes."""
+    import numpy as np
+
+    from cae_polars_tools_spark.sources.zarr_v3 import (
+        _SHARD_MISSING,
+        _decode_shard_index,
+        _shard_index_nbytes,
+    )
+    from cae_polars_tools_spark.sources.zarr_write import _assemble_shard
+
+    conf = {
+        "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+        "index_codecs": [
+            {"name": "bytes", "configuration": {"endian": "little"}},
+            {"name": "crc32c"},
+        ],
+        "index_location": location,
+    }
+
+    class StubArr:
+        def _shard_index(self, idx):
+            return None
+
+        def _chunk_key(self, idx):
+            return "value/c/" + "/".join(map(str, idx))
+
+    chunks, shard_chunks = (1, 2), (2, 2)
+    # two new cells in inner chunk (0,0) and one in (1,0)
+    within = np.array([[0, 0, 1], [0, 1, 0]])
+    vals = np.array([7.0, 8.0, 9.0])
+    payload, key = _assemble_shard(
+        StubArr(), (0, 0), within, vals, np.dtype("<f8"),
+        chunks, shard_chunks, 0.0, None, conf, is_boundary=False,
+    )
+    assert key == "value/c/0/0"
+    cps = (2, 1)
+    idx_nbytes = _shard_index_nbytes(conf, 2)
+    raw_idx = (
+        payload[:idx_nbytes] if location == "start" else payload[-idx_nbytes:]
+    )
+    index = _decode_shard_index(raw_idx, conf, cps)
+    # decode every stored inner chunk THROUGH the absolute offsets
+    got = {}
+    for inner in ((0, 0), (1, 0)):
+        off, n = (int(x) for x in index[inner])
+        assert off != _SHARD_MISSING
+        block = np.frombuffer(payload[off: off + n], dtype="<f8").reshape(
+            chunks
+        )
+        got[inner] = block
+    np.testing.assert_array_equal(got[(0, 0)], [[7.0, 8.0]])
+    np.testing.assert_array_equal(got[(1, 0)], [[9.0, 0.0]])
+
+
+def test_append_zarr_rejects_filtered_coord_before_any_work(spark, tmp_path):
+    """A v2 coordinate array declaring filters must fail BEFORE the
+    distributed job: silently re-encoding past a delta filter would
+    corrupt every later coordinate read."""
+    import json
+
+    from cae_polars_tools_spark.sources.zarr_write import (
+        append_zarr,
+        write_zarr,
+    )
+
+    root = str(tmp_path / "filtered_coord.zarr")
+    write_zarr(_demo_df(spark), root, chunks=(2, 3))
+    meta = json.load(open(f"{root}/time/.zarray"))
+    meta["filters"] = [{"id": "delta", "dtype": "<i4"}]
+    json.dump(meta, open(f"{root}/time/.zarray", "w"))
+    # the consolidated doc must agree or the open ladder hides the edit
+    zmeta = json.load(open(f"{root}/.zmetadata"))
+    zmeta["metadata"]["time/.zarray"] = meta
+    json.dump(zmeta, open(f"{root}/.zmetadata", "w"))
+    with pytest.raises(NotImplementedError, match="filters"):
+        append_zarr(_append_df(spark, (40,)), root, append_dim="time")
+
+
+def test_same_shape_overwrite_changes_the_etag(spark, tmp_path):
+    """The per-write generation nonce: overwriting a store with
+    IDENTICAL shape/chunks/dtype still yields a different metadata
+    etag, so executor caches can never serve the old store's handle
+    against rewritten bytes."""
+    from cae_polars_tools_spark.sources.zarr_reader import plan_scan
+    from cae_polars_tools_spark.sources.zarr_store import ZarrStore
+    from cae_polars_tools_spark.sources.zarr_write import write_zarr
+
+    root = str(tmp_path / "regen.zarr")
+    write_zarr(_demo_df(spark), root, chunks=(2, 3))
+    etag1 = plan_scan(ZarrStore(root), "value").meta_etag
+    write_zarr(_demo_df(spark), root, chunks=(2, 3))
+    etag2 = plan_scan(ZarrStore(root), "value").meta_etag
+    assert etag1 and etag2 and etag1 != etag2
