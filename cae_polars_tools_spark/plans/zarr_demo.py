@@ -299,10 +299,20 @@ def zarr_append_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_zarr,
     )
 
+    from cae_polars_tools_spark.sources.coordinates import (
+        extract_coordinate_arrays,
+    )
+    from cae_polars_tools_spark.sources.zarr_store import ZarrStore
+
     sink = os.path.join(os.path.dirname(_STORE), "zarr_append_ingest.zarr")
     df = scan_data(spark, demo_store(), "metric")
+    # the time axis is store METADATA (driver-side, axis-length
+    # bounded) — a distinct+collect Spark job for it would be a
+    # wasted pass over the scan
     times = sorted(
-        r["time"] for r in df.select("time").distinct().collect()
+        extract_coordinate_arrays(
+            ZarrStore(demo_store()).open_zarr_group(), ["time"]
+        )["time"].tolist()
     )
     split = times[len(times) // 2]
     write_zarr(
