@@ -1457,3 +1457,136 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     column ``dedup_embedding_cosine`` blocks on."""
     e = spread(read_table(spark, sf_dir, "embeddings"))
     return semantic_dedup_pairs(e)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (MOSS) exact-substring fingerprints: position-independent
+# sampling of k-gram hashes for verbatim-overlap detection.
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 16  # k-gram length (characters)
+WINNOW_W = 8   # winnow window (consecutive k-gram hashes)
+WINNOW_MIN_SHARED = 5
+WINNOW_MAX_DF = 200  # boilerplate-fingerprint cap (docs per fingerprint)
+_WINNOW_BASE = np.uint64(1_000_003)
+
+
+def winnowed_fingerprints(col: Column | str, k: int = WINNOW_K,
+                          w: int = WINNOW_W) -> Column:
+    """Winnowing fingerprints of a text column (Schleimer, Wilkerson &
+    Aiken, SIGMOD 2003 — the MOSS algorithm): hash every k-gram of
+    UTF-8 bytes with a wrapping polynomial rolling hash, then keep the
+    MINIMUM hash of every window of ``w`` consecutive k-grams.
+
+    The selection is position-INDEPENDENT — a shared substring selects
+    the same minimum hashes in both documents regardless of where it
+    sits — which is what n-gram-set methods (Jaccard/MinHash) cannot
+    give you for *verbatim span* detection, and what suffix arrays
+    give you only with a global sort. Guarantee: any common substring
+    of length ≥ ``w + k − 1`` shares at least one fingerprint (ties
+    between equal hashes may select different positions but emit the
+    same VALUE, so the guarantee survives tie-breaking). Density is
+    ~2/(w+1) of all k-grams, so the explode stays ~8× sparser than
+    shingling at these defaults.
+
+    Arrow-batched pandas UDF (per-row, shuffle-free): numpy builds all
+    k-gram hashes in ``k`` vectorized adds and the window minima with
+    one stride-tricks pass. Returns ``array<bigint>`` (distinct hash
+    values, int64 bit view)."""
+    if k < 2 or w < 1:
+        raise ValueError("winnowing needs k >= 2 and w >= 1")
+    powers = _WINNOW_BASE ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+
+    @F.pandas_udf("array<long>")
+    def fp(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append([])
+                continue
+            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(
+                np.uint64
+            )
+            n = len(b) - k + 1
+            if n <= 0:
+                out.append([])
+                continue
+            H = np.zeros(n, dtype=np.uint64)
+            for j in range(k):
+                H += b[j: j + n] * powers[j]
+            if n <= w:
+                sel = np.array([n - 1 - int(np.argmin(H[::-1]))])
+            else:
+                sw = np.lib.stride_tricks.sliding_window_view(H, w)
+                # rightmost minimum per window (the paper's rule)
+                pos = (w - 1) - np.argmin(sw[:, ::-1], axis=1)
+                sel = np.unique(pos + np.arange(len(pos)))
+            out.append(np.unique(H[sel]).view(np.int64).tolist())
+        return pd.Series(out)
+
+    c = F.col(col) if isinstance(col, str) else col
+    return fp(c)
+
+
+def winnow_pairs(
+    df: DataFrame,
+    min_shared: int = WINNOW_MIN_SHARED,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    max_df: int = WINNOW_MAX_DF,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Verbatim-overlap candidate pairs: documents sharing ≥
+    ``min_shared`` winnowing fingerprints, with the shared count —
+    the distributed form of MOSS-style plagiarism/copy detection and
+    the practical stand-in for suffix-array substring dedup (Lee et
+    al.'s ExactSubstr) at cluster scale.
+
+    Scale shape mirrors ``jaccard_pairs``: explode the (sparse)
+    fingerprints, drop boilerplate fingerprints present in more than
+    ``max_df`` documents via a broadcast anti-join (they would create
+    quadratic pairs AND carry no overlap signal — license headers,
+    templates), then ONE groupBy(fingerprint) bucket pass emits each
+    bucket's pairs and a final (a, b) count aggregation applies the
+    threshold. Returns ``(doc_id_a, doc_id_b, n_shared)``."""
+    idx = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(winnowed_fingerprints(text_col, k, w)).alias("f"),
+    ).distinct()
+    hot = (
+        idx.groupBy("f")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("f")
+    )
+    capped = idx.join(F.broadcast(hot), "f", "left_anti")
+    buckets = (
+        capped.groupBy("f")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = (
+        buckets.select(F.explode("ids").alias("doc_id_a"), "ids")
+        .select("doc_id_a", F.explode("ids").alias("doc_id_b"))
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+    )
+    return (
+        pairs.groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+@register(
+    "dedup_winnow",
+    oracle=None,  # the wrapping-uint64 rolling hash has no DuckDB
+    # twin (BIGINT overflow raises there); the winnowing guarantee,
+    # position independence, and boilerplate-cap semantics are pinned
+    # in tests/test_operators.py::test_winnow_*
+    tags=("dedup", "extension", "winnowing"),
+)
+def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing verbatim-overlap pairs over the documents table."""
+    d = spread(read_table(spark, sf_dir, "documents"))
+    return winnow_pairs(d)

@@ -899,3 +899,86 @@ def test_semantic_dedup_deterministic_and_drop_list(spark, sf_small):
     assert not (drop_ids & keep_ids)
     for r in drops:
         assert r["keep_id"] < r["drop_id"]
+
+
+def test_winnow_guarantee_and_position_independence(spark):
+    """The winnowing contract: any common substring of length >=
+    w + k - 1 shares at least one fingerprint, REGARDLESS of where it
+    sits in either document; disjoint-alphabet documents share none;
+    identical documents share everything."""
+    from cae_polars_tools_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_pairs,
+        winnowed_fingerprints,
+    )
+
+    core = "the stolen paragraph that appears verbatim in both docs"
+    assert len(core) >= WINNOW_W + WINNOW_K - 1
+    docs = spark.createDataFrame(
+        [
+            (1, "intro alpha beta " + core + " tail gamma delta"),
+            (2, "zzz completely different framing here " + core),
+            (3, "qqq xxx jjj vvv kkk www qqq xxx jjj vvv kkk www qq"),
+            (4, "intro alpha beta " + core + " tail gamma delta"),  # = 1
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"]): r["n_shared"]
+        for r in winnow_pairs(docs, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs  # shared span detected at different offsets
+    assert (1, 4) in pairs and (2, 4) in pairs
+    assert not any(3 in p for p in pairs)  # disjoint alphabet
+
+    fps = {
+        r["doc_id"]: set(r["f"])
+        for r in docs.select(
+            "doc_id", winnowed_fingerprints("text").alias("f")
+        ).collect()
+    }
+    assert fps[1] == fps[4]  # identical text -> identical fingerprints
+    assert pairs[(1, 4)] == len(fps[1])
+    # the (1,2) overlap is exactly the planted span (plus nothing from
+    # the unrelated framing)
+    assert 1 <= pairs[(1, 2)] <= len(fps[1])
+
+
+def test_winnow_boilerplate_cap_drops_quadratic_fingerprints(spark):
+    """A fingerprint present in more than max_df documents (license-
+    header boilerplate) is excluded from pair generation."""
+    from cae_polars_tools_spark.operators.dedup import winnow_pairs
+
+    boiler = "this exact license header appears in every single doc"
+    docs = spark.createDataFrame(
+        [(i, f"unique prefix number {i} distinct words " + boiler)
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    # cap below the corpus size: the boilerplate fingerprints (df=8)
+    # vanish; the template prefixes still leak a couple of low-df
+    # selection stragglers, but none reaches the default min_shared
+    # threshold, so no pair survives
+    assert winnow_pairs(docs, max_df=4).count() == 0
+    # with the cap above the corpus size every pair appears
+    assert winnow_pairs(docs, min_shared=1, max_df=100).count() == 8 * 7 / 2
+
+
+def test_winnow_short_and_null_documents(spark):
+    from cae_polars_tools_spark.operators.dedup import (
+        winnowed_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "tiny"), (2, None), (3, "just over the k-gram threshold")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r["f"]
+        for r in docs.select(
+            "doc_id", winnowed_fingerprints("text").alias("f")
+        ).collect()
+    }
+    assert rows[1] == [] and rows[2] == []
+    assert len(rows[3]) >= 1
