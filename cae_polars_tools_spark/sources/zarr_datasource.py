@@ -28,7 +28,12 @@ from __future__ import annotations
 import json
 from typing import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 from cae_polars_tools_spark.sources.zarr_reader import (
     DEFAULT_CHUNK_SIZE,
@@ -208,6 +213,9 @@ class ZarrDataSource(DataSource):
         plan, chunk_size = self._plan()
         return type(self)._reader_cls(plan, chunk_size)
 
+    def streamReader(self, schema) -> "ZarrStreamReader":
+        return ZarrStreamReader(self.options)
+
 
 class ZarrDataSourceNoPushdown(ZarrDataSource):
     """Same format name, degraded reader — for sessions where
@@ -216,3 +224,104 @@ class ZarrDataSourceNoPushdown(ZarrDataSource):
     evaluated by Spark after the full scan instead of pruning chunks."""
 
     _reader_cls = ZarrScanReaderNoPushdown
+
+
+# ---------------------------------------------------------------------------
+# Streaming source: micro-batches of NEW dim-0 slabs
+# ---------------------------------------------------------------------------
+
+
+class ZarrStreamPartition(InputPartition):
+    def __init__(self, plan: ScanPlan, start: int, end: int):
+        self.plan = plan
+        self.start = start
+        self.end = end
+
+
+class ZarrStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("zarr")`` — the read-side twin of the
+    ingest sink (``zarr_write.zarr_ingest_sink``): treat a zarr store
+    that grows along its FIRST dimension (the ``append_zarr``
+    contract) as a streaming source whose offset is the dim-0 length.
+
+    Per trigger the driver re-opens store METADATA only (one
+    consolidated GET), and the micro-batch is the flat-row slab
+    ``[old_len, new_len) × inner`` — partitioned and Arrow-read on
+    executors by the SAME window machinery as the batch scan, so
+    chunk-grain pruning, coordinate math, and the ``meta_etag`` cache
+    discipline all carry over. Offsets are durable (checkpointed by
+    Spark); a restart resumes from the last committed dim-0 length
+    and replayed batches replan against CURRENT metadata (the store
+    only grows, and every inner dimension is pinned immutable).
+
+    ``select_dims`` is rejected: a positional selection over a
+    growing dimension has no stable meaning across batches.
+    ``starting_offset=latest`` begins at the store's current length
+    instead of replaying history.
+    """
+
+    def __init__(self, options: dict):
+        if options.get("select_dims"):
+            raise ValueError(
+                "the zarr streaming source does not support select_dims"
+            )
+        self._options = dict(options)
+        plan, chunk_size = _plan_from_options(self._options)
+        if not plan.sel_shape:
+            raise ValueError(
+                "the zarr streaming source needs a >=1-D array "
+                "(dim 0 is the growing dimension)"
+            )
+        self._chunk_size = chunk_size
+        self._inner_shape = tuple(plan.sel_shape[1:])
+        self._plan0 = plan
+
+    def _fresh_plan(self) -> ScanPlan:
+        plan, _ = _plan_from_options(self._options)
+        if tuple(plan.sel_shape[1:]) != self._inner_shape:
+            raise ValueError(
+                f"zarr stream: inner dimensions changed "
+                f"{self._inner_shape} -> {tuple(plan.sel_shape[1:])}; "
+                "only dim 0 may grow"
+            )
+        return plan
+
+    def initialOffset(self) -> dict:
+        if str(self._options.get("starting_offset", "")).lower() == "latest":
+            return {"len0": int(self._plan0.sel_shape[0])}
+        return {"len0": 0}
+
+    def latestOffset(self) -> dict:
+        plan = self._fresh_plan()
+        self._latest_plan = plan
+        return {"len0": int(plan.sel_shape[0])}
+
+    def partitions(self, start: dict, end: dict):
+        s_len, e_len = int(start["len0"]), int(end["len0"])
+        plan = getattr(self, "_latest_plan", None)
+        if plan is None or plan.sel_shape[0] < e_len:
+            plan = self._fresh_plan()  # restart replay path
+        if plan.sel_shape[0] < e_len:
+            raise ValueError(
+                f"zarr stream: store shrank below the committed offset "
+                f"({plan.sel_shape[0]} < {e_len}) — appends must be "
+                "monotone"
+            )
+        inner = 1
+        for d in self._inner_shape:
+            inner *= int(d)
+        s_row, e_row = s_len * inner, e_len * inner
+        if e_row <= s_row:
+            return []
+        return [
+            ZarrStreamPartition(plan, s_row + a, s_row + b)
+            for a, b in partition_ranges(
+                e_row - s_row, self._chunk_size, plan.row_align
+            )
+        ]
+
+    def read(self, partition: ZarrStreamPartition):
+        yield window_to_arrow(partition.plan, partition.start, partition.end)
+
+    def commit(self, end: dict) -> None:
+        pass

@@ -643,3 +643,197 @@ def test_duplicate_dimension_names_raise(tmp_path):
     )
     with pytest.raises(ValueError, match="duplicate dimension names"):
         plan_scan(ZarrStore(root), "m")
+
+
+def test_zarr_stream_reads_appends_incrementally(spark, tmp_path):
+    """The streaming source: first run drains the existing store;
+    after append_zarr grows dim 0, a second run from the SAME
+    checkpoint emits ONLY the appended slab (offset = dim-0 length,
+    durable across restarts)."""
+    from cae_polars_tools_spark.sources.zarr_scan import register_zarr_source
+    from cae_polars_tools_spark.sources.zarr_write import (
+        append_zarr,
+        write_zarr,
+    )
+
+    register_zarr_source(spark)
+    store = str(tmp_path / "stream.zarr")
+    base = spark.createDataFrame(
+        [(t, j, float(t * 10 + j)) for t in (1, 2, 3) for j in range(2)],
+        "t int, x int, value double",
+    )
+    write_zarr(base, store, chunks=(2, 2))
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("zarr")
+            .option("array", "value")
+            .load(store)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r["t"], r["x"]): r["value"]
+            for r in spark.read.parquet(out).collect()
+        }
+
+    got1 = drain()
+    assert got1 == {
+        (t, j): float(t * 10 + j) for t in (1, 2, 3) for j in range(2)
+    }
+
+    append_zarr(
+        spark.createDataFrame(
+            [(t, j, float(t * 10 + j)) for t in (4, 5) for j in range(2)],
+            "t int, x int, value double",
+        ),
+        store,
+        append_dim="t",
+    )
+    got2 = drain()
+    # the sink now holds old + ONLY the new slab (no re-emission)
+    assert got2 == {
+        (t, j): float(t * 10 + j) for t in (1, 2, 3, 4, 5) for j in range(2)
+    }
+    n_files_rows = spark.read.parquet(out).count()
+    assert n_files_rows == 10  # 6 + 4, nothing duplicated
+
+
+def test_zarr_stream_latest_offset_and_select_dims_rejection(spark, tmp_path):
+    from cae_polars_tools_spark.sources.zarr_scan import register_zarr_source
+    from cae_polars_tools_spark.sources.zarr_write import (
+        append_zarr,
+        write_zarr,
+    )
+
+    register_zarr_source(spark)
+    store = str(tmp_path / "stream2.zarr")
+    write_zarr(
+        spark.createDataFrame(
+            [(t, float(t)) for t in (1, 2, 3)], "t int, value double"
+        ),
+        store,
+        chunks=(2,),
+    )
+
+    out, ckpt = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+    stream = (
+        spark.readStream.format("zarr")
+        .option("array", "value")
+        .option("starting_offset", "latest")
+        .load(store)
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(out).count() == 0  # started at the tip
+
+    append_zarr(
+        spark.createDataFrame([(4, 4.0)], "t int, value double"),
+        store,
+        append_dim="t",
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert {
+        (r["t"], r["value"]) for r in spark.read.parquet(out).collect()
+    } == {(4, 4.0)}
+
+    import pytest as _pytest
+    from pyspark.errors import AnalysisException
+
+    bad = (
+        spark.readStream.format("zarr")
+        .option("array", "value")
+        .option("select_dims", '{"t": 0}')
+        .load(store)
+    )
+    with _pytest.raises(Exception, match="select_dims"):
+        (
+            bad.writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt3"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+
+def test_zarr_stream_to_zarr_sink_full_loop(spark, tmp_path):
+    """End-to-end array streaming: readStream from a growing zarr
+    store, transform, and land in a SECOND zarr store via the
+    foreachBatch ingest sink — the store-to-store streaming loop
+    (source offsets and sink high-watermark compose)."""
+    from cae_polars_tools_spark.sources.zarr_scan import (
+        register_zarr_source,
+        scan_data,
+    )
+    from cae_polars_tools_spark.sources.zarr_write import (
+        append_zarr,
+        write_zarr,
+        zarr_ingest_sink,
+    )
+    from pyspark.sql import functions as F
+
+    register_zarr_source(spark)
+    src = str(tmp_path / "loop_src.zarr")
+    dst = str(tmp_path / "loop_dst.zarr")
+    write_zarr(
+        spark.createDataFrame(
+            [(t, j, float(t + j)) for t in (1, 2) for j in range(2)],
+            "t int, x int, value double",
+        ),
+        src,
+        chunks=(1, 2),
+    )
+
+    ckpt = str(tmp_path / "loop_ckpt")
+    sink = zarr_ingest_sink(dst, append_dim="t", chunks=(1, 2))
+
+    def pump():
+        q = (
+            spark.readStream.format("zarr")
+            .option("array", "value")
+            .load(src)
+            .withColumn("value", F.col("value") * 2)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    pump()
+    append_zarr(
+        spark.createDataFrame(
+            [(3, j, float(3 + j)) for j in range(2)],
+            "t int, x int, value double",
+        ),
+        src,
+        append_dim="t",
+    )
+    pump()
+
+    got = {
+        (r["t"], r["x"]): r["value"]
+        for r in scan_data(spark, dst, "value").collect()
+    }
+    assert got == {
+        (t, j): float(t + j) * 2 for t in (1, 2, 3) for j in range(2)
+    }
