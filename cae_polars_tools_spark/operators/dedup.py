@@ -337,7 +337,10 @@ def _release_on_gc(
 
 
 def bucket_pairs(
-    index: DataFrame, keys: list[str], max_bucket: int | None = None
+    index: DataFrame,
+    keys: list[str],
+    max_bucket: int | None = None,
+    distinct: bool = True,
 ) -> DataFrame:
     """Candidate pairs from equality buckets, generated bucket-locally:
     ONE shuffle (``groupBy`` the bucket key) + a double explode of each
@@ -382,12 +385,14 @@ def bucket_pairs(
                 ),
             ).otherwise(F.col("ids")),
         )
-    return (
+    pairs = (
         buckets.select(F.explode("ids").alias("doc_id_a"), "ids")
         .select("doc_id_a", F.explode("ids").alias("doc_id_b"))
         .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .distinct()
     )
+    # distinct=False keeps one row per (pair, bucket) — the shape a
+    # shared-key COUNT consumer (winnow_pairs) aggregates over
+    return pairs.distinct() if distinct else pairs
 
 
 # ---------------------------------------------------------------------------
@@ -1550,10 +1555,17 @@ def winnow_pairs(
     templates), then ONE groupBy(fingerprint) bucket pass emits each
     bucket's pairs and a final (a, b) count aggregation applies the
     threshold. Returns ``(doc_id_a, doc_id_b, n_shared)``."""
+    # persisted: the index feeds BOTH the hot-fingerprint aggregation
+    # and the anti-join probe — without the cache the fingerprint UDF
+    # (the operator's dominant cost) would execute twice, the measured
+    # recompute failure mode jaccard_pairs documents. Materialized
+    # eagerly so no consumer races the cache; released when the
+    # returned plan handle is garbage-collected.
     idx = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(winnowed_fingerprints(text_col, k, w)).alias("f"),
-    ).distinct()
+    ).distinct().persist()
+    idx.count()
     hot = (
         idx.groupBy("f")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -1561,21 +1573,13 @@ def winnow_pairs(
         .select("f")
     )
     capped = idx.join(F.broadcast(hot), "f", "left_anti")
-    buckets = (
-        capped.groupBy("f")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    pairs = (
-        buckets.select(F.explode("ids").alias("doc_id_a"), "ids")
-        .select("doc_id_a", F.explode("ids").alias("doc_id_b"))
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-    )
-    return (
+    pairs = bucket_pairs(capped, ["f"], distinct=False)
+    out = (
         pairs.groupBy("doc_id_a", "doc_id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+    return _release_on_gc(out, idx)
 
 
 @register(

@@ -308,12 +308,18 @@ def zarr_append_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = scan_data(spark, demo_store(), "metric")
     # the time axis is store METADATA (driver-side, axis-length
     # bounded) — a distinct+collect Spark job for it would be a
-    # wasted pass over the scan
-    times = sorted(
-        extract_coordinate_arrays(
-            ZarrStore(demo_store()).open_zarr_group(), ["time"]
-        )["time"].tolist()
-    )
+    # wasted pass over the scan. A store without a stored coordinate
+    # array yields None (the scan then synthesizes positional
+    # indices); fall back to deriving the axis from the scan itself.
+    axis = extract_coordinate_arrays(
+        ZarrStore(demo_store()).open_zarr_group(), ["time"]
+    )["time"]
+    if axis is not None:
+        times = sorted(axis.tolist())
+    else:
+        times = sorted(
+            r["time"] for r in df.select("time").distinct().collect()
+        )
     split = times[len(times) // 2]
     write_zarr(
         df.filter(F.col("time") < split), sink, chunks=(2, 2, 3)

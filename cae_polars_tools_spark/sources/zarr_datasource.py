@@ -214,7 +214,7 @@ class ZarrDataSource(DataSource):
         return type(self)._reader_cls(plan, chunk_size)
 
     def streamReader(self, schema) -> "ZarrStreamReader":
-        return ZarrStreamReader(self.options)
+        return ZarrStreamReader(self.options, planned=self._plan())
 
 
 class ZarrDataSourceNoPushdown(ZarrDataSource):
@@ -229,6 +229,28 @@ class ZarrDataSourceNoPushdown(ZarrDataSource):
 # ---------------------------------------------------------------------------
 # Streaming source: micro-batches of NEW dim-0 slabs
 # ---------------------------------------------------------------------------
+
+
+def _lightened_plan(plan: ScanPlan) -> ScanPlan:
+    """Per-batch plan copy with embedded coordinate ARRAYS swapped for
+    the "load" marker: a streaming micro-batch serializes one plan per
+    partition (unlike the batch reader, pickled once), so multi-MB
+    driver-resident coordinates would multiply across hundreds of
+    partitions. Executors re-read the (axis-length-bounded) coordinate
+    arrays from the store instead — the same path oversized
+    coordinates already take. Absent coordinates (None → synthesized
+    indices) pass through unchanged."""
+    import dataclasses
+
+    import numpy as np
+
+    return dataclasses.replace(
+        plan,
+        sel_coords={
+            d: ("load" if isinstance(v, np.ndarray) else v)
+            for d, v in plan.sel_coords.items()
+        },
+    )
 
 
 class ZarrStreamPartition(InputPartition):
@@ -260,13 +282,15 @@ class ZarrStreamReader(DataSourceStreamReader):
     instead of replaying history.
     """
 
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, planned=None):
         if options.get("select_dims"):
             raise ValueError(
                 "the zarr streaming source does not support select_dims"
             )
         self._options = dict(options)
-        plan, chunk_size = _plan_from_options(self._options)
+        # reuse the DataSource's cached startup plan when provided —
+        # schema() already paid the metadata GET + coordinate download
+        plan, chunk_size = planned or _plan_from_options(self._options)
         if not plan.sel_shape:
             raise ValueError(
                 "the zarr streaming source needs a >=1-D array "
@@ -313,12 +337,18 @@ class ZarrStreamReader(DataSourceStreamReader):
         s_row, e_row = s_len * inner, e_len * inner
         if e_row <= s_row:
             return []
-        return [
-            ZarrStreamPartition(plan, s_row + a, s_row + b)
-            for a, b in partition_ranges(
-                e_row - s_row, self._chunk_size, plan.row_align
-            )
-        ]
+        # windows align in ABSOLUTE row coordinates (multiples of
+        # row_align from row 0), then clip to the slab: a slab start
+        # that is not itself chunk-aligned must not shift every
+        # boundary off the chunk grid, or each boundary chunk would be
+        # fetched and decoded by two partitions
+        light = _lightened_plan(plan)
+        out = []
+        for a, b in partition_ranges(e_row, self._chunk_size, plan.row_align):
+            lo, hi = max(a, s_row), min(b, e_row)
+            if lo < hi:
+                out.append(ZarrStreamPartition(light, lo, hi))
+        return out
 
     def read(self, partition: ZarrStreamPartition):
         yield window_to_arrow(partition.plan, partition.start, partition.end)

@@ -26,6 +26,7 @@ DEDUP_ENTRIES = [
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
     "dedup_incremental",
+    "dedup_winnow",
 ]
 
 
