@@ -184,6 +184,54 @@ def datasource_and_sink_example(spark, store: str, out: str) -> None:
     assert scan_data(spark, out, "value").count() == 24 * 20 * 30
 
 
+def streaming_loop_example(spark, out: str, tmp: str) -> None:
+    """Beyond the reference: the store-to-store ARRAY STREAMING loop —
+    ``spark.readStream.format("zarr")`` treats the previous example's
+    sink as a growing source (offset = its time length), a dimension
+    APPEND extends it, and ``foreachBatch`` + the ingest sink land the
+    transformed slabs in a second store with exactly-once semantics
+    (the append high-watermark absorbs redeliveries)."""
+    print("=" * 60)
+    print("Streaming Loop Example (append -> readStream -> ingest)")
+    print("=" * 60)
+    from pyspark.sql import functions as F
+
+    from cae_polars_tools_spark.sources.zarr_write import (
+        append_zarr,
+        zarr_ingest_sink,
+    )
+
+    dst = os.path.join(tmp, "stream_dst.zarr")
+    ckpt = os.path.join(tmp, "stream_ckpt")
+    sink = zarr_ingest_sink(dst, append_dim="time", chunks=(6, 10, 15))
+
+    def pump() -> None:
+        q = (
+            spark.readStream.format("zarr")
+            .option("array", "value")
+            .load(out)
+            .withColumn("value", F.col("value") + 100.0)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    pump()  # drains the 24 existing time steps
+    base = scan_data(spark, out, "value")
+    grown = base.filter("time >= 22").withColumn(
+        "time", (F.col("time") + 2).cast("int")
+    )
+    summary = append_zarr(grown, out, append_dim="time")
+    print(f"Appended {summary['appended']} time steps to the source")
+    pump()  # only the new slab flows through
+
+    n = scan_data(spark, dst, "value").count()
+    print(f"Streamed store rows: {n}")
+    assert n == (24 + 2) * 20 * 30
+
+
 def main() -> None:
     spark = get_spark(app_name="cae-polars-tools-spark-examples")
     spark.sparkContext.setLogLevel("ERROR")
@@ -195,6 +243,9 @@ def main() -> None:
         memory_efficient_example(spark, store)
         datasource_and_sink_example(
             spark, store, os.path.join(tmp, "sink.zarr")
+        )
+        streaming_loop_example(
+            spark, os.path.join(tmp, "sink.zarr"), tmp
         )
     print("All examples completed.")
 
