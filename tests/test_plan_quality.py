@@ -307,3 +307,15 @@ def test_emb_outliers_broadcasts_centroids_no_corpus_reshuffle(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_winnow_caches_index_and_broadcasts_the_cap(spark):
+    """dedup_winnow's fingerprint index must come from the persisted
+    cache (the UDF is the dominant cost — without InMemoryTableScan it
+    executes once per consumer), the boilerplate cap must arrive via a
+    broadcast join, and the pair count must map-side combine."""
+    plan = _plan(spark, "dedup_winnow")
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastHashJoin" in plan  # the left_anti hot-fp cap
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
