@@ -307,3 +307,96 @@ def test_zorder_validates_inputs(spark, sf_small):
         zorder_parquet(
             spark, src, src + "_o", ["doc_id", "n_chars"], bits_per_col=0
         )
+
+
+def test_merge_parquet_rewrites_only_affected_files(spark, sf_small):
+    """Copy-on-write MERGE on a key-clustered target: an update batch
+    touching one doc_id range rewrites only the files containing those
+    keys; every other file is copied BYTE-IDENTICALLY; updated rows
+    carry the new values; untouched + inserted rows survive."""
+    import hashlib
+
+    from cae_polars_tools_spark.io import read_table
+    from cae_polars_tools_spark.storage import (
+        compact_parquet,
+        merge_parquet,
+    )
+
+    src = os.path.join(TMP, "merge_src_raw")
+    tgt = os.path.join(TMP, "merge_tgt")
+    dst = os.path.join(TMP, "merge_dst")
+    docs = read_table(spark, sf_small, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    docs.repartition(8).write.mode("overwrite").parquet(src)
+    total = sum(dataset_file_sizes(spark, src))
+    # key-clustered target: disjoint doc_id ranges per file
+    compact_parquet(
+        spark, src, tgt, target_file_bytes=max(1, total // 6),
+        sort_cols=["doc_id"],
+    )
+    n_target_files = len(dataset_file_sizes(spark, tgt))
+    assert n_target_files >= 4
+
+    # updates: 3 existing keys in one narrow range + 1 brand-new key
+    updates = spark.createDataFrame(
+        [(5, "patched", -1), (6, "patched", -2), (7, "patched", -3),
+         (1_000_000, "inserted", -4)],
+        "doc_id long, source string, n_chars long",
+    )
+    before = {
+        os.path.basename(f): hashlib.md5(
+            open(f.replace("file:", ""), "rb").read()
+        ).hexdigest()
+        for f in spark.read.parquet(tgt).inputFiles()
+    }
+    summary = merge_parquet(
+        spark, tgt, updates, ["doc_id"], dst, target_file_bytes=1 << 30
+    )
+    # the clustered layout confines keys 5..7 to few files; the new
+    # key matches nothing
+    assert 1 <= summary["files_rewritten"] <= 2
+    assert summary["files_copied"] == n_target_files - summary["files_rewritten"]
+    assert summary["rows_updated"] == 3
+    assert summary["rows_inserted"] == 1
+
+    out = spark.read.parquet(dst)
+    n_src = docs.count()
+    assert out.count() == n_src + 1  # +1 insert, updates replace
+    got = {r["doc_id"]: (r["source"], r["n_chars"]) for r in out.collect()}
+    assert got[5] == ("patched", -1) and got[7] == ("patched", -3)
+    assert got[1_000_000] == ("inserted", -4)
+    # copied files are byte-identical to their originals
+    copied = [
+        f for f in os.listdir(dst) if f.startswith("copied-")
+    ]
+    assert len(copied) == summary["files_copied"]
+    for c in copied:
+        orig = c.split("-", 2)[2]
+        assert orig in before
+        assert (
+            hashlib.md5(open(os.path.join(dst, c), "rb").read()).hexdigest()
+            == before[orig]
+        )
+
+
+def test_merge_parquet_validates_inputs(spark, sf_small):
+    import pytest
+
+    from cae_polars_tools_spark.io import read_table
+    from cae_polars_tools_spark.storage import merge_parquet
+
+    tgt = os.path.join(TMP, "merge_val_tgt")
+    read_table(spark, sf_small, "documents").select(
+        "doc_id", "source"
+    ).write.mode("overwrite").parquet(tgt)
+    dup = spark.createDataFrame(
+        [(1, "a"), (1, "b")], "doc_id long, source string"
+    )
+    with pytest.raises(ValueError, match="not unique"):
+        merge_parquet(spark, tgt, dup, ["doc_id"], tgt + "_o")
+    with pytest.raises(ValueError, match="at least one key"):
+        merge_parquet(spark, tgt, dup, [], tgt + "_o")
+    missing = spark.createDataFrame([(1,)], "other long")
+    with pytest.raises(ValueError, match="absent"):
+        merge_parquet(spark, tgt, missing, ["doc_id"], tgt + "_o")
