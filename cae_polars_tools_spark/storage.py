@@ -34,6 +34,7 @@ __all__ = [
     "compact_parquet",
     "zorder_parquet",
     "merge_parquet",
+    "delete_parquet",
     "dataset_file_sizes",
 ]
 
@@ -394,4 +395,83 @@ def merge_parquet(
         "files_rewritten": len(affected),
         "files_copied": len(untouched),
         **stats,
+    }
+
+
+def delete_parquet(
+    spark: SparkSession,
+    target: str,
+    predicate,
+    dst: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Copy-on-write DELETE WHERE: rows matching ``predicate`` (a
+    Column or SQL string) are removed; only the files that CONTAIN a
+    matching row are rewritten, the rest copy byte-for-byte into the
+    fresh output. Returns ``{files_rewritten, files_copied,
+    rows_deleted}``.
+
+    This is the takedown / right-to-be-forgotten primitive a training
+    corpus needs operationally: deleting one domain's documents from
+    a petabyte dataset must not re-encode the petabyte. Catalyst
+    pushes the predicate into the discovery scan, so on a layout
+    clustered by the predicate columns (``compact_parquet`` sort or
+    ``zorder_parquet``) min/max stats skip the untouched files
+    without reading them. Same copy-on-write contract as
+    :func:`merge_parquet`: readers of ``target`` never observe a
+    half-deleted state; the swap is the caller's pointer flip.
+    """
+    import shutil
+    from urllib.parse import unquote, urlparse
+
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    if not isinstance(pred, Column):
+        raise ValueError("predicate must be a Column or SQL string")
+
+    t = spark.read.parquet(target)
+    affected = sorted(
+        r["__f"]
+        for r in t.filter(pred)
+        .select(F.input_file_name().alias("__f"))
+        .distinct()
+        .collect()
+    )
+    affected_set = set(affected)
+    untouched = [f for f in sorted(t.inputFiles()) if f not in affected_set]
+
+    def _local(uri: str) -> str:
+        u = urlparse(uri)
+        if u.scheme not in ("file", ""):
+            raise ValueError(
+                f"delete_parquet copies locally; non-local file {uri!r} "
+                "needs an object-store server-side copy instead"
+            )
+        return unquote(u.path)
+
+    if os.path.isdir(dst) and os.listdir(dst):
+        shutil.rmtree(dst)
+    os.makedirs(dst, exist_ok=True)
+    for i, f in enumerate(untouched):
+        src_p = _local(f)
+        shutil.copyfile(
+            src_p,
+            os.path.join(dst, f"copied-{i:05d}-{os.path.basename(src_p)}"),
+        )
+
+    rows_deleted = 0
+    if affected:
+        aff = spark.read.parquet(*[_local(f) for f in affected])
+        rows_deleted = aff.filter(pred).count()
+        survivors = aff.filter(~pred)
+        total = sum(os.path.getsize(_local(f)) for f in affected)
+        n_files = max(1, math.ceil(total / target_file_bytes))
+        survivors.repartition(n_files).write.mode("append").parquet(dst)
+
+    return {
+        "files_rewritten": len(affected),
+        "files_copied": len(untouched),
+        "rows_deleted": rows_deleted,
     }

@@ -400,3 +400,61 @@ def test_merge_parquet_validates_inputs(spark, sf_small):
     missing = spark.createDataFrame([(1,)], "other long")
     with pytest.raises(ValueError, match="absent"):
         merge_parquet(spark, tgt, missing, ["doc_id"], tgt + "_o")
+
+
+def test_delete_parquet_confines_rewrites_and_removes_rows(spark, sf_small):
+    """DELETE WHERE on a key-clustered target: only the files holding
+    matching rows are rewritten; everything else copies byte-for-byte;
+    the predicate rows are gone and nothing else changed."""
+    import hashlib
+
+    from cae_polars_tools_spark.io import read_table
+    from cae_polars_tools_spark.storage import (
+        compact_parquet,
+        delete_parquet,
+    )
+
+    src = os.path.join(TMP, "del_src_raw")
+    tgt = os.path.join(TMP, "del_tgt")
+    dst = os.path.join(TMP, "del_dst")
+    docs = read_table(spark, sf_small, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    docs.repartition(8).write.mode("overwrite").parquet(src)
+    total = sum(dataset_file_sizes(spark, src))
+    compact_parquet(
+        spark, src, tgt, target_file_bytes=max(1, total // 6),
+        sort_cols=["doc_id"],
+    )
+    n_files = len(dataset_file_sizes(spark, tgt))
+
+    before = {
+        os.path.basename(f): hashlib.md5(
+            open(f.replace("file:", ""), "rb").read()
+        ).hexdigest()
+        for f in spark.read.parquet(tgt).inputFiles()
+    }
+    summary = delete_parquet(spark, tgt, "doc_id BETWEEN 10 AND 20", dst)
+    assert summary["rows_deleted"] == 11
+    assert 1 <= summary["files_rewritten"] <= 2  # clustered confinement
+    assert summary["files_copied"] == n_files - summary["files_rewritten"]
+
+    out = spark.read.parquet(dst)
+    assert out.count() == docs.count() - 11
+    assert out.filter("doc_id BETWEEN 10 AND 20").count() == 0
+    surviving = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert 9 in surviving and 21 in surviving
+    for f in os.listdir(dst):
+        if f.startswith("copied-"):
+            orig = f.split("-", 2)[2]
+            assert (
+                hashlib.md5(
+                    open(os.path.join(dst, f), "rb").read()
+                ).hexdigest()
+                == before[orig]
+            )
+    # no-match predicate: pure copy, zero rewrites
+    summary2 = delete_parquet(spark, tgt, "doc_id < 0", dst + "_noop")
+    assert summary2["files_rewritten"] == 0
+    assert summary2["rows_deleted"] == 0
+    assert spark.read.parquet(dst + "_noop").count() == docs.count()
