@@ -275,6 +275,55 @@ def zorder_parquet(
     )
     return len(dataset_file_sizes(spark, dst))
 
+def _local_path(uri: str, op: str) -> str:
+    """Normalized local filesystem path of a file URI; raises for
+    non-local schemes. ONE implementation for every copy-on-write
+    rewrite — the affected-file classification compares these
+    normalized paths, never raw URI strings (input_file_name and
+    inputFiles have historically differed in scheme/percent-encoding,
+    and a silent mismatch would both copy AND rewrite a file,
+    duplicating its rows)."""
+    u = urlparse(uri)
+    if u.scheme not in ("file", ""):
+        raise ValueError(
+            f"{op} copies locally; non-local file {uri!r} needs an "
+            "object-store server-side copy instead"
+        )
+    return os.path.abspath(unquote(u.path if u.scheme else uri))
+
+
+def _fresh_cow_dst(target: str, dst: str) -> None:
+    """Validate + reset a copy-on-write destination: it must not be,
+    contain, or live inside the source dataset (rmtree there would
+    destroy the data being merged), and overwrite semantics clear any
+    stale previous output."""
+    import shutil
+
+    t_abs, d_abs = os.path.abspath(target), os.path.abspath(dst)
+    if (
+        t_abs == d_abs
+        or t_abs.startswith(d_abs + os.sep)
+        or d_abs.startswith(t_abs + os.sep)
+    ):
+        raise ValueError(
+            f"copy-on-write destination {dst!r} overlaps the source "
+            f"{target!r}; write to a fresh path and swap afterwards"
+        )
+    if os.path.isdir(d_abs) and os.listdir(d_abs):
+        shutil.rmtree(d_abs)
+    os.makedirs(d_abs, exist_ok=True)
+
+
+def _copy_untouched(files: list[str], dst: str, op: str) -> None:
+    import shutil
+
+    for i, f in enumerate(files):
+        src_p = _local_path(f, op)
+        shutil.copyfile(
+            src_p,
+            os.path.join(dst, f"copied-{i:05d}-{os.path.basename(src_p)}"),
+        )
+
 
 def merge_parquet(
     spark: SparkSession,
@@ -304,92 +353,91 @@ def merge_parquet(
     way, so a clustered target reads only the candidate slices. The
     output is a NEW dataset at ``dst`` (copy-on-write): readers of
     ``target`` are never exposed to a half-merged state, and the swap
-    is the caller's one atomic rename/pointer-flip.
+    is the caller's one atomic rename/pointer-flip. ``dst`` must not
+    overlap ``target`` (checked).
 
-    Duplicate keys: ``updates`` must be unique on ``keys`` (checked —
-    a duplicate would fan out every matching row); multiple TARGET
-    rows per key are all replaced by the single update row.
+    ``updates`` must carry exactly the target's columns (aligned by
+    name; a silent schema mix across files would poison later reads)
+    and be unique on ``keys`` (checked — a duplicate would fan out
+    every matching row); multiple TARGET rows per key are all
+    replaced by the single update row. ``updates`` is persisted for
+    the duration of the call: its lineage feeds the uniqueness check,
+    the key broadcast, both counters, and the write.
     """
-    import shutil
-    from urllib.parse import unquote, urlparse
-
     from pyspark.sql import functions as F
 
     if not keys:
         raise ValueError("merge_parquet needs at least one key column")
     t = spark.read.parquet(target)
-    missing = [k for k in keys if k not in t.columns or k not in updates.columns]
-    if missing:
-        raise ValueError(f"key column(s) {missing} absent from a side")
-    dup = (
-        updates.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > 1)
-        .limit(1)
-        .collect()
-    )
-    if dup:
+    if set(updates.columns) != set(t.columns):
         raise ValueError(
-            f"updates are not unique on {keys}: e.g. "
-            f"{tuple(dup[0][k] for k in keys)}"
+            f"updates columns {sorted(updates.columns)} must equal the "
+            f"target's {sorted(t.columns)} (aligned by name)"
         )
-    key_set = F.broadcast(updates.select(*keys).distinct())
-
-    # distributed affected-file discovery; min/max row-group pruning
-    # applies to the semi-join probe on a key-clustered target
-    affected = sorted(
-        r["__f"]
-        for r in t.withColumn("__f", F.input_file_name())
-        .join(key_set, keys, "left_semi")
-        .select("__f")
-        .distinct()
-        .collect()
-    )
-    affected_set = set(affected)
-    all_files = sorted(t.inputFiles())
-    untouched = [f for f in all_files if f not in affected_set]
-
-    def _local(uri: str) -> str:
-        u = urlparse(uri)
-        if u.scheme not in ("file", ""):
+    updates = updates.select(*t.columns).persist()
+    try:
+        dup = (
+            updates.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
             raise ValueError(
-                f"merge_parquet copies locally; non-local file {uri!r} "
-                "needs an object-store server-side copy instead"
+                f"updates are not unique on {keys}: e.g. "
+                f"{tuple(dup[0][k] for k in keys)}"
             )
-        return unquote(u.path)
+        key_set = F.broadcast(updates.select(*keys).distinct())
 
-    # overwrite semantics, like the sibling rewrites: a stale dst
-    # would mix copied/appended files from a previous merge into the
-    # new dataset
-    if os.path.isdir(dst) and os.listdir(dst):
-        import shutil as _sh
-
-        _sh.rmtree(dst)
-    os.makedirs(dst, exist_ok=True)
-    for i, f in enumerate(untouched):
-        src_p = _local(f)
-        shutil.copyfile(
-            src_p, os.path.join(dst, f"copied-{i:05d}-{os.path.basename(src_p)}")
+        # distributed affected-file discovery; min/max row-group
+        # pruning applies to the probe on a key-clustered target
+        affected = sorted(
+            _local_path(r["__f"], "merge_parquet")
+            for r in t.withColumn("__f", F.input_file_name())
+            .join(key_set, keys, "left_semi")
+            .select("__f")
+            .distinct()
+            .collect()
         )
+        affected_set = set(affected)
+        all_files = sorted(
+            _local_path(f, "merge_parquet") for f in t.inputFiles()
+        )
+        untouched = [f for f in all_files if f not in affected_set]
 
-    # rewrite: affected-file survivors (anti-join) + ALL update rows
-    n_files = 1
-    stats = {"rows_updated": 0, "rows_inserted": 0}
-    if affected:
-        aff = spark.read.parquet(*[_local(f) for f in affected])
-        survivors = aff.join(key_set, keys, "left_anti")
-        matched = updates.join(
-            F.broadcast(aff.select(*keys).distinct()), keys, "left_semi"
-        ).count()
-        stats["rows_updated"] = matched
-        stats["rows_inserted"] = updates.count() - matched
-        merged = survivors.unionByName(updates.select(*aff.columns))
-        total = sum(os.path.getsize(_local(f)) for f in affected)
-        n_files = max(1, math.ceil(total / target_file_bytes))
-        merged.repartition(n_files).write.mode("append").parquet(dst)
-    else:
-        stats["rows_inserted"] = updates.count()
-        updates.repartition(1).write.mode("append").parquet(dst)
+        _fresh_cow_dst(target, dst)
+        _copy_untouched(untouched, dst, "merge_parquet")
+
+        # bytes-per-row from dataset statistics sizes the rewritten
+        # files: the update volume counts too (a large insert batch
+        # must not funnel into one giant single-task file)
+        total_bytes = sum(os.path.getsize(f) for f in all_files)
+        t_rows = t.count()  # parquet metadata count — no data scan
+        bpr = total_bytes / max(t_rows, 1)
+        upd_rows = updates.count()
+
+        stats = {"rows_updated": 0, "rows_inserted": 0}
+        if affected:
+            aff = spark.read.parquet(*affected)
+            survivors = aff.join(key_set, keys, "left_anti")
+            matched = updates.join(
+                F.broadcast(aff.select(*keys).distinct()),
+                keys,
+                "left_semi",
+            ).count()
+            stats["rows_updated"] = matched
+            stats["rows_inserted"] = upd_rows - matched
+            out = survivors.unionByName(updates)
+            est = sum(os.path.getsize(f) for f in affected) + upd_rows * bpr
+        else:
+            stats["rows_inserted"] = upd_rows
+            out = updates
+            est = upd_rows * bpr
+        n_files = max(1, math.ceil(est / target_file_bytes))
+        out.repartition(n_files).write.mode("append").parquet(dst)
+    finally:
+        updates.unpersist()
 
     return {
         "files_rewritten": len(affected),
@@ -405,11 +453,12 @@ def delete_parquet(
     dst: str,
     target_file_bytes: int = 128 * 1024 * 1024,
 ) -> dict:
-    """Copy-on-write DELETE WHERE: rows matching ``predicate`` (a
-    Column or SQL string) are removed; only the files that CONTAIN a
-    matching row are rewritten, the rest copy byte-for-byte into the
-    fresh output. Returns ``{files_rewritten, files_copied,
-    rows_deleted}``.
+    """Copy-on-write DELETE WHERE: rows where ``predicate`` (a Column
+    or SQL string) evaluates to TRUE are removed; FALSE and NULL rows
+    survive (SQL DELETE semantics — a NULL predicate must not delete
+    a row it cannot affirm). Only the files that CONTAIN a matching
+    row are rewritten; the rest copy byte-for-byte into the fresh
+    output. Returns ``{files_rewritten, files_copied, rows_deleted}``.
 
     This is the takedown / right-to-be-forgotten primitive a training
     corpus needs operationally: deleting one domain's documents from
@@ -419,11 +468,9 @@ def delete_parquet(
     ``zorder_parquet``) min/max stats skip the untouched files
     without reading them. Same copy-on-write contract as
     :func:`merge_parquet`: readers of ``target`` never observe a
-    half-deleted state; the swap is the caller's pointer flip.
+    half-deleted state, the swap is the caller's pointer flip, and
+    ``dst`` must not overlap ``target`` (checked).
     """
-    import shutil
-    from urllib.parse import unquote, urlparse
-
     from pyspark.sql import Column
     from pyspark.sql import functions as F
 
@@ -433,40 +480,29 @@ def delete_parquet(
 
     t = spark.read.parquet(target)
     affected = sorted(
-        r["__f"]
+        _local_path(r["__f"], "delete_parquet")
         for r in t.filter(pred)
         .select(F.input_file_name().alias("__f"))
         .distinct()
         .collect()
     )
     affected_set = set(affected)
-    untouched = [f for f in sorted(t.inputFiles()) if f not in affected_set]
+    all_files = sorted(
+        _local_path(f, "delete_parquet") for f in t.inputFiles()
+    )
+    untouched = [f for f in all_files if f not in affected_set]
 
-    def _local(uri: str) -> str:
-        u = urlparse(uri)
-        if u.scheme not in ("file", ""):
-            raise ValueError(
-                f"delete_parquet copies locally; non-local file {uri!r} "
-                "needs an object-store server-side copy instead"
-            )
-        return unquote(u.path)
-
-    if os.path.isdir(dst) and os.listdir(dst):
-        shutil.rmtree(dst)
-    os.makedirs(dst, exist_ok=True)
-    for i, f in enumerate(untouched):
-        src_p = _local(f)
-        shutil.copyfile(
-            src_p,
-            os.path.join(dst, f"copied-{i:05d}-{os.path.basename(src_p)}"),
-        )
+    _fresh_cow_dst(target, dst)
+    _copy_untouched(untouched, dst, "delete_parquet")
 
     rows_deleted = 0
     if affected:
-        aff = spark.read.parquet(*[_local(f) for f in affected])
+        aff = spark.read.parquet(*affected)
         rows_deleted = aff.filter(pred).count()
-        survivors = aff.filter(~pred)
-        total = sum(os.path.getsize(_local(f)) for f in affected)
+        # NULL-predicate rows SURVIVE: plain ~pred maps NULL→NULL and
+        # the filter would silently drop them uncounted
+        survivors = aff.filter(pred.isNull() | ~pred)
+        total = sum(os.path.getsize(f) for f in affected)
         n_files = max(1, math.ceil(total / target_file_bytes))
         survivors.repartition(n_files).write.mode("append").parquet(dst)
 

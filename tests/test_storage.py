@@ -398,8 +398,15 @@ def test_merge_parquet_validates_inputs(spark, sf_small):
     with pytest.raises(ValueError, match="at least one key"):
         merge_parquet(spark, tgt, dup, [], tgt + "_o")
     missing = spark.createDataFrame([(1,)], "other long")
-    with pytest.raises(ValueError, match="absent"):
+    with pytest.raises(ValueError, match="must equal"):
         merge_parquet(spark, tgt, missing, ["doc_id"], tgt + "_o")
+    # destination overlap guard: in-place "merge" would rmtree the
+    # source before reading it
+    ok = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError, match="overlaps"):
+        merge_parquet(spark, tgt, ok, ["doc_id"], tgt)
+    with pytest.raises(ValueError, match="overlaps"):
+        merge_parquet(spark, tgt, ok, ["doc_id"], os.path.join(tgt, "sub"))
 
 
 def test_delete_parquet_confines_rewrites_and_removes_rows(spark, sf_small):
@@ -458,3 +465,20 @@ def test_delete_parquet_confines_rewrites_and_removes_rows(spark, sf_small):
     assert summary2["files_rewritten"] == 0
     assert summary2["rows_deleted"] == 0
     assert spark.read.parquet(dst + "_noop").count() == docs.count()
+
+
+def test_delete_parquet_null_predicate_rows_survive(spark):
+    """SQL DELETE semantics: rows where the predicate is NULL are NOT
+    deleted, even when they share a file with matching rows, and the
+    summary counts only affirmed deletions."""
+    from cae_polars_tools_spark.storage import delete_parquet
+
+    tgt = os.path.join(TMP, "del_null_tgt")
+    dst = os.path.join(TMP, "del_null_dst")
+    spark.createDataFrame(
+        [(1, 5), (2, 15), (3, None)], "id long, v long"
+    ).coalesce(1).write.mode("overwrite").parquet(tgt)
+    summary = delete_parquet(spark, tgt, "v BETWEEN 10 AND 20", dst)
+    assert summary["rows_deleted"] == 1
+    got = {(r["id"], r["v"]) for r in spark.read.parquet(dst).collect()}
+    assert got == {(1, 5), (3, None)}
