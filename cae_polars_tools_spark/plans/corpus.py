@@ -1662,3 +1662,79 @@ def q45_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("win7_n"),
         F.min("o_totalprice").over(w).alias("win7_min"),
     )
+
+
+@register(
+    "q46_exists_subq",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, c.c_acctbal
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_totalprice > 400000
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT'
+        )
+    """,
+    tags=("subquery", "extension"),
+    window_rank=1,
+)
+def q46_exists_subq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL interface —
+    Catalyst decorrelates both into semi/anti joins (the same physical
+    shapes q24/q25 build with the DataFrame API), so the subquery
+    surface costs nothing extra at scale: one pass over orders per
+    branch, both join sides shuffle-pruned by their pushed
+    predicates."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, c.c_acctbal
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_totalprice > 400000
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT'
+        )
+        """
+    )
+
+
+@register(
+    "q47_array_agg",
+    oracle="""
+        SELECT n_regionkey,
+               count(*) AS n_nations,
+               array_to_string(list(n_name ORDER BY n_name), ',')
+                   AS nations_csv
+        FROM nation
+        GROUP BY n_regionkey
+    """,
+    tags=("agg", "array", "extension"),
+    window_rank=1,
+)
+def q47_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation with an engine-portable ORDER: collect_list
+    has no deterministic order across partitions/engines, so the
+    contract is sort-then-serialize — ``sort_array(collect_list())``
+    joined to CSV matches DuckDB's ``list(... ORDER BY ...)`` exactly.
+    One partial-aggregated shuffle on the group key; at scale the
+    array payload per group must be bounded (here: nations per
+    region), the same discipline every collect_list use needs."""
+    n = _t(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.array_join(
+            F.sort_array(F.collect_list("n_name")), ","
+        ).alias("nations_csv"),
+    )

@@ -319,3 +319,12 @@ def test_winnow_caches_index_and_broadcasts_the_cap(spark):
     assert "BroadcastHashJoin" in plan  # the left_anti hot-fp cap
     assert "partial_" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_exists_subqueries_decorrelate_to_semi_anti_joins(spark):
+    """Catalyst must rewrite the correlated EXISTS / NOT EXISTS into
+    semi/anti joins — no nested-loop re-execution per outer row."""
+    plan = _plan(spark, "q46_exists_subq")
+    assert "LeftSemi" in plan or "Semi" in plan
+    assert "LeftAnti" in plan or "Anti" in plan
+    assert "CartesianProduct" not in plan
