@@ -156,21 +156,19 @@ def metric_line(
     timings: dict[str, float], total: float, sf: float | None
 ) -> str:
     """Build the one-line stdout metric JSON, adaptively shrinking
-    per-query precision (2 → 1 → 0 decimals) until the line fits the
-    driver's tail window. Full 3-decimal medians always live in
-    ``BENCH_DETAILS.json``; stdout only needs to stay parseable as the
-    corpus grows. If even integer values overflow (corpus roughly
-    doubled), the final fallback keeps the 50 driver-tracked entries
-    at 2-decimal precision and elides the rest (``queries_elided`` reports
-    how many) — the line can never again outgrow the tail window. The
-    tripwire tests in ``tests/test_bench_artifact.py`` flag drift
-    long before the fallback engages."""
-    for ndigits in (2, 1, 0):
-        # the last rung renders integers ("12", not "12.0")
-        q = {
-            n: (int(round(v)) if ndigits == 0 else round(v, ndigits))
-            for n, v in timings.items()
-        }
+    per-query precision (2 → 1 decimals) until the line fits the
+    driver's tail window; past that, fall back to the 50
+    driver-tracked entries at FULL 2-decimal precision and elide the
+    rest (``queries_elided`` reports how many). The elision rung
+    deliberately outranks an all-entries integer rung: the 50 pinned
+    entries are the ones compared round-over-round, and centisecond
+    resolution on them beats 1-second resolution on everything. Full
+    3-decimal medians for EVERY entry always live in
+    ``BENCH_DETAILS.json``; the line can never outgrow the tail
+    window, and the tripwire tests in ``tests/test_bench_artifact.py``
+    flag drift early."""
+    for ndigits in (2, 1):
+        q = {n: round(v, ndigits) for n, v in timings.items()}
         line = json.dumps(
             {
                 "metric": "corpus_total_wall_seconds",

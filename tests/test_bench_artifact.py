@@ -24,14 +24,14 @@ from bench import LINE_BUDGET, DRIVER_TAIL_CHARS, metric_line  # noqa: E402
 
 
 def _worst_line(names) -> str:
-    # Worst case: every query at a value whose 2/1/0-decimal renderings
-    # are all maximal width (12.35 / 12.3 / 12.0).
+    # Worst case: every query at a maximal-width value (12.35 / 12.3);
+    # past the 1-decimal rung the window-50 fallback engages.
     return metric_line({n: 12.3456789 for n in names}, 999.999, 0.1)
 
 
 def test_stdout_line_fits_driver_tail_window():
-    # metric_line adaptively drops per-query precision (2 → 1 → 0
-    # decimals) until the line fits; 3-decimal medians always live in
+    # metric_line adaptively drops per-query precision (2 → 1
+    # decimals, then the window-50 fallback); 3-decimal medians live in
     # BENCH_DETAILS.json. The real corpus must fit the budget even
     # with every value at worst-case width.
     assert LINE_BUDGET <= DRIVER_TAIL_CHARS
@@ -46,6 +46,20 @@ def test_headroom_for_ten_more_entries():
     # driver's artifact.
     names = sorted(load_all()) + [f"future_entry_{i:05d}" for i in range(10)]
     assert len(_worst_line(names)) <= LINE_BUDGET
+
+
+def test_fallback_outranks_integer_resolution():
+    # When neither 2- nor 1-decimal all-entries lines fit, the line
+    # must carry the 50 driver-tracked entries at 2 decimals (the
+    # round-over-round comparison set), not integers for everyone.
+    import json
+
+    names = sorted(load_all()) + [f"future_entry_{i:05d}" for i in range(10)]
+    parsed = json.loads(_worst_line(names))
+    if "queries_elided" in parsed:
+        assert all(
+            isinstance(v, float) for v in parsed["queries"].values()
+        )
 
 
 def test_fallback_line_fits_at_any_corpus_size():
