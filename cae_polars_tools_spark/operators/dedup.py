@@ -455,11 +455,17 @@ def jaccard_pairs(
         # ingest needs only pairs touching the arriving batch; a
         # steady-state large history makes history-history candidates
         # the dominant term — prunes the expensive stage, not just
-        # the output. The hook must preserve the (doc_id_a, doc_id_b)
-        # schema.
-        candidates = candidate_filter(candidates).select(
-            "doc_id_a", "doc_id_b"
-        )
+        # the output. The hook must keep (doc_id_a, doc_id_b); any
+        # EXTRA columns it adds (e.g. role flags) ride through the
+        # verification joins into the output, so callers never re-join
+        # their annotations onto the verified pairs.
+        candidates = candidate_filter(candidates)
+        missing = {"doc_id_a", "doc_id_b"} - set(candidates.columns)
+        if missing:
+            raise ValueError(
+                f"candidate_filter dropped required columns: {sorted(missing)}"
+            )
+    extra = [c for c in candidates.columns if c not in ("doc_id_a", "doc_id_b")]
     sa = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("h64").alias("s_a"))
     sb = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("h64").alias("s_b"))
     inter = F.size(F.array_intersect("s_a", "s_b"))
@@ -469,7 +475,7 @@ def jaccard_pairs(
     return _release_on_gc(
         candidates.join(sa, "doc_id_a")
         .join(sb, "doc_id_b")
-        .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
+        .select("doc_id_a", "doc_id_b", *extra, jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold),
         sh,
     )
@@ -898,27 +904,29 @@ def connected_components(
       fits one task, and one job beats diameter-many shuffle rounds
       of scheduler overhead. Same small-side-goes-local reasoning as
       a broadcast join.
-    * otherwise — distributed min-label propagation: each round joins
-      labels across edges and takes the per-vertex minimum. Rounds
-      needed = the graph diameter — near-dup clusters are tiny, dense
-      blobs (diameter ≲ 3) by construction, so this converges in a
-      handful of one-shuffle rounds at any corpus size. For
-      adversarially long path-shaped graphs, swap in the
-      large-star/small-star contraction (Kiveris et al., "Connected
-      Components in MapReduce"), which needs O(log n) rounds — the
-      loop body below is the only thing that changes.
+    * otherwise — distributed min-label propagation WITH pointer
+      jumping: each round (a) joins labels across edges and takes the
+      per-vertex minimum, then (b) replaces each vertex's label by its
+      label's own just-computed label (label-of-label, the classic
+      pointer-jumping / path-halving step). Edge propagation moves the
+      minimum one hop; the jump doubles the distance already covered,
+      so rounds ≈ O(log diameter) instead of O(diameter) — a
+      path-shaped adversarial graph of length 1000 converges in ~10
+      rounds, not 1000 (same round complexity as the
+      large-star/small-star contraction of Kiveris et al., "Connected
+      Components in MapReduce", but with vertex-sized — not
+      edge-sized — per-round shuffles).
 
     In the distributed loop, one Spark job per round: the convergence
-    signal rides inside the min-label aggregation itself (each
-    vertex's previous label is carried as a second min-column, so
-    "any label changed?" is a filter over the just-aggregated frame,
-    not a separate join against the previous labels), and the
-    ``.count()`` action that reads it is also what materializes the
-    round's persist. Duplicate edges are harmless (min is
-    idempotent), so the input pair set is NOT deduplicated — no
-    distinct shuffle; edges are hash-partitioned on ``u`` once and
-    cached, so each round's propagation join re-shuffles only the
-    (small) label frame."""
+    signal rides inside the round's frame itself (each vertex's
+    previous label is carried as an ``old`` column, so "any label
+    changed?" is a filter over the just-built frame, not a separate
+    join against the previous labels), and the ``.count()`` action
+    that reads it is also what materializes the round's persist.
+    Duplicate edges are harmless (min is idempotent), so the input
+    pair set is NOT deduplicated — no distinct shuffle; edges are
+    hash-partitioned on ``u`` once and cached, so each round's
+    propagation join re-shuffles only the (small) label frame."""
     import warnings
 
     from pyspark.sql.types import StructField, StructType
@@ -964,7 +972,7 @@ def connected_components(
         cur = labels.select(
             "doc_id", "cluster_id", F.col("cluster_id").alias("old")
         )
-        nxt = (
+        merged = (
             cur.unionByName(prop)
             .groupBy("doc_id")
             .agg(
@@ -973,7 +981,34 @@ def connected_components(
                 # null-skipping min recovers its previous label
                 F.min("old").alias("old"),
             )
-            .persist()
+        )
+        # pointer jump: my new label is itself a vertex (min always
+        # includes self), so look up THAT vertex's just-computed label
+        # and take the smaller — doubles the hops the minimum has
+        # traveled, giving O(log diameter) rounds. Left join +
+        # coalesce: monotone (labels only decrease), so correctness
+        # never depends on the jump landing.
+        parent = merged.select(
+            F.col("doc_id").alias("cluster_id"),
+            F.col("cluster_id").alias("grand"),
+        )
+        # LAZY localCheckpoint, not persist: the self-join references
+        # `merged` twice, so an un-truncated lineage would DOUBLE the
+        # logical plan each round (2^rounds nodes — driver heap OOM by
+        # round ~12). The checkpoint cuts the plan to a leaf; the
+        # convergence count below is still the round's only action and
+        # is what materializes it.
+        nxt = (
+            merged.join(parent, "cluster_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce("grand", "cluster_id"),
+                ).alias("cluster_id"),
+                "old",
+            )
+            .localCheckpoint(eager=False)
         )
         changed = nxt.filter(F.col("cluster_id") < F.col("old")).count()
         prev.unpersist()
@@ -1296,9 +1331,12 @@ def incremental_dedup(
     # near-dup pairs over history ∪ batch (a < b), role-resolved in a
     # SINGLE pass: the expensive pair cascade is evaluated once, each
     # pair annotated with both sides' batch membership via two joins
-    # against the tiny (doc_id, is_new) role frame, and the dropped id
-    # read off with one CASE (history partner drops the batch side;
-    # batch-batch drops the larger id, consistent with a < b).
+    # against the tiny (doc_id, is_new) role frame INSIDE the
+    # candidate filter; the a_new/b_new flags then ride through
+    # jaccard_pairs' verification into its output (the extra-column
+    # contract), so the dropped id is one CASE over jp — no second
+    # pair-of-joins (history partner drops the batch side; batch-batch
+    # drops the larger id, consistent with a < b).
     roles = docs.select("doc_id", is_new.alias("new"))
     ra = roles.select(
         F.col("doc_id").alias("doc_id_a"), F.col("new").alias("a_new")
@@ -1319,17 +1357,11 @@ def incremental_dedup(
         )
 
     jp = jaccard_pairs(docs, threshold=threshold, candidate_filter=touching_batch)
-    pairs = jp.select("doc_id_a", "doc_id_b")
-    dropped = (
-        pairs.join(ra, "doc_id_a")
-        .join(rb, "doc_id_b")
-        .select(
-            F.when(F.col("b_new"), F.col("doc_id_b"))
-            .when(F.col("a_new"), F.col("doc_id_a"))
-            .alias("doc_id")
-        )
-        .distinct()
-    )
+    dropped = jp.select(
+        F.when(F.col("b_new"), F.col("doc_id_b"))
+        .when(F.col("a_new"), F.col("doc_id_a"))
+        .alias("doc_id")
+    ).distinct()
     result = exact_kept.join(dropped, "doc_id", "left_anti")
     # _release_on_gc's chaining contract: a derived DataFrame keeps no
     # Python reference to its parent, so dropping the jaccard handle

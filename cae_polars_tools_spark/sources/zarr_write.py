@@ -196,6 +196,10 @@ def write_zarr(
         raise ValueError(f"unsupported zarr_format {zarr_format}")
 
     store = ByteStore.for_path(path, storage_options)
+    # read the predecessor's generation BEFORE the wipe — the
+    # deterministic increment is what busts executor caches on an
+    # in-place overwrite
+    generation = _next_generation(store)
     if store.get(".zgroup") is not None or store.get("zarr.json") is not None:
         if mode == "error":
             raise FileExistsError(f"zarr store already exists at {path!r}")
@@ -238,12 +242,12 @@ def write_zarr(
     if zarr_format == 2:
         _write_v2_metadata(
             store, axes, dims, shape, chunks, dtype, compressor,
-            fill_value, value_col,
+            fill_value, value_col, generation,
         )
     else:
         _write_v3_metadata(
             store, axes, dims, shape, chunks, dtype, compressor,
-            fill_value, value_col, shard_chunks,
+            fill_value, value_col, shard_chunks, generation,
         )
 
     # ---- map rows to grid positions: Arrow-batched searchsorted over
@@ -387,8 +391,37 @@ def write_zarr(
     }
 
 
+def _next_generation(store) -> int:
+    """Engine-internal write generation: the previous store's
+    ``_generation`` + 1 (0 for a fresh path). Deterministic — the same
+    write sequence reproduces byte-identical metadata — while still
+    changing on every overwrite at a reused path, which is all the
+    executor group cache (keyed by the metadata etag,
+    ``zarr_store.group_meta_etag``) needs to evict stale handles and
+    shard-index caches. Underscore-prefixed and absent from reader
+    output: group attrs feed only the etag."""
+    for key in (".zattrs", "zarr.json"):
+        raw = store.get(key)
+        if raw is None:
+            continue
+        try:
+            doc = json.loads(raw)
+        except (ValueError, UnicodeDecodeError):
+            continue
+        attrs = doc.get("attributes", doc) if key == "zarr.json" else doc
+        gen = attrs.get("_generation") if isinstance(attrs, dict) else None
+        if isinstance(gen, int):
+            return gen + 1
+        if gen is not None:
+            # pre-fix stores carried a random hex nonce — any
+            # overwrite of one bumps to a fresh deterministic epoch
+            return 1
+    return 0
+
+
 def _write_v2_metadata(
-    store, axes, dims, shape, chunks, dtype, compressor, fill_value, value_col
+    store, axes, dims, shape, chunks, dtype, compressor, fill_value,
+    value_col, generation: int = 0,
 ) -> None:
     zmeta: dict[str, dict] = {}
 
@@ -397,11 +430,13 @@ def _write_v2_metadata(
         store.put(key, json.dumps(meta).encode())
 
     put_meta(".zgroup", {"zarr_format": 2})
-    # per-write generation nonce: a same-shape overwrite at a reused
-    # path still changes the metadata fingerprint, so executor group
-    # caches (keyed by the plan etag) can never serve the old store's
-    # handle — or its stale shard-index cache — against rewritten bytes
-    put_meta(".zattrs", {"_generation": os.urandom(8).hex()})
+    # deterministic write generation: a same-shape overwrite at a
+    # reused path still changes the metadata fingerprint, so executor
+    # group caches (keyed by the plan etag) can never serve the old
+    # store's handle — or its stale shard-index cache — against
+    # rewritten bytes; unlike a random nonce, identical write
+    # sequences reproduce byte-identical stores
+    put_meta(".zattrs", {"_generation": generation})
     for d in dims:
         ax = axes[d]
         put_meta(
@@ -447,7 +482,7 @@ def _write_v2_metadata(
 
 def _write_v3_metadata(
     store, axes, dims, shape, chunks, dtype, compressor, fill_value,
-    value_col, shard_chunks,
+    value_col, shard_chunks, generation: int = 0,
 ) -> None:
     """Per-node zarr.json + zarr-python-style root consolidated
     metadata (one GET to open — this engine's v3 reader uses it)."""
@@ -515,7 +550,7 @@ def _write_v3_metadata(
                 "zarr_format": 3,
                 "node_type": "group",
                 # same-shape-overwrite cache busting; see the v2 branch
-                "attributes": {"_generation": os.urandom(8).hex()},
+                "attributes": {"_generation": generation},
                 "consolidated_metadata": {
                     "kind": "inline",
                     "must_understand": False,
@@ -1058,6 +1093,27 @@ def zarr_ingest_sink(
             # The marker brackets the create: wipe, mark, write,
             # unmark; any redelivery that still sees the marker redoes
             # the create idempotently.
+            #
+            # Wipe ONLY what we own: a resumed half-create (marker
+            # present) or an empty/absent destination. A populated
+            # directory with neither zarr metadata nor our marker is
+            # someone else's data at a mistyped path — refuse rather
+            # than rmtree it (write_zarr itself only overwrites
+            # confirmed zarr stores, and this path must not be more
+            # destructive than the batch sink it wraps).
+            if store.get(marker) is None:
+                try:
+                    children = store.list_prefix()
+                except (NotImplementedError, FileNotFoundError, OSError):
+                    children = []
+                if children:
+                    raise ValueError(
+                        f"zarr_ingest_sink: destination {path!r} exists "
+                        "and is not a zarr store (no .zgroup/zarr.json) "
+                        "— refusing to delete unrecognized content; "
+                        "point the sink at an empty path or remove the "
+                        "directory yourself"
+                    )
             store.delete_prefix()
             store.put(marker, b"1")
             write_zarr(

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import math
 import os
+import re
 from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
@@ -325,6 +326,30 @@ def _copy_untouched(files: list[str], dst: str, op: str) -> None:
         )
 
 
+_HIVE_DIR = re.compile(r"^[^=/]+=[^=/]*$")
+
+
+def _check_unpartitioned(target: str, files: list[str], op: str) -> None:
+    """Refuse hive-partitioned (key=value directory) datasets: the
+    copy-on-write rewrite flattens copied files into ``dst``'s root,
+    which would silently DROP the partition-column values those
+    directory names encode (the physical files don't store them).
+    Supporting that layout needs partition-aware copying + a
+    ``partitionBy`` rewrite; until then, fail loudly instead of
+    corrupting rows."""
+    t_abs = os.path.abspath(target)
+    for f in files:
+        rel = os.path.relpath(_local_path(f, op), t_abs)
+        if any(_HIVE_DIR.match(part) for part in rel.split(os.sep)[:-1]):
+            raise NotImplementedError(
+                f"{op}: {target!r} is hive-partitioned (found "
+                f"{rel!r}); the copy-on-write rewrite would flatten "
+                "key=value directories and lose their partition-column "
+                "values. Compact to an unpartitioned layout first, or "
+                "merge per-partition."
+            )
+
+
 def merge_parquet(
     spark: SparkSession,
     target: str,
@@ -373,6 +398,30 @@ def merge_parquet(
         raise ValueError(
             f"updates columns {sorted(updates.columns)} must equal the "
             f"target's {sorted(t.columns)} (aligned by name)"
+        )
+    _check_unpartitioned(
+        target,
+        [_local_path(f, "merge_parquet") for f in t.inputFiles()],
+        "merge_parquet",
+    )
+    # name-AND-type alignment: a dtype drift (int updates vs long
+    # target) would flow through unionByName into the rewritten files
+    # and leave dst with a schema split across byte-copied vs
+    # rewritten files — silent poison for later readers
+    t_types = {f.name: f.dataType for f in t.schema.fields}
+    u_types = {f.name: f.dataType for f in updates.schema.fields}
+    drift = {
+        c: (u_types[c].simpleString(), t_types[c].simpleString())
+        for c in t.columns
+        if u_types[c] != t_types[c]
+    }
+    if drift:
+        raise ValueError(
+            "updates schema types differ from the target's: "
+            + ", ".join(
+                f"{c}: updates={u} target={t_}" for c, (u, t_) in drift.items()
+            )
+            + " — cast the updates to the target schema first"
         )
     updates = updates.select(*t.columns).persist()
     try:
@@ -479,6 +528,11 @@ def delete_parquet(
         raise ValueError("predicate must be a Column or SQL string")
 
     t = spark.read.parquet(target)
+    _check_unpartitioned(
+        target,
+        [_local_path(f, "delete_parquet") for f in t.inputFiles()],
+        "delete_parquet",
+    )
     affected = sorted(
         _local_path(r["__f"], "delete_parquet")
         for r in t.filter(pred)

@@ -58,3 +58,59 @@ def test_multi_file_estimate_is_upper_bound(spark, tmp_path):
     assert est == actual
     n = spark.sparkContext.defaultParallelism
     assert (est >= n) == (actual >= n)
+
+
+@pytest.mark.parametrize(
+    "layout",
+    [
+        # around the defaultParallelism (32) boundary: fewer, exactly,
+        # and more files than cores, equal and skewed sizes — the
+        # regimes where bytesPerCore vs maxPartitionBytes flips the
+        # split size and packing order could change the count
+        [2_000] * 30,
+        [2_000] * 32,
+        [2_000] * 40,
+        [200_000] + [50] * 31,           # one giant + many tiny
+        [100_000, 70_000, 40_000] + [20] * 35,
+        sorted(range(10, 4000, 117), reverse=True),  # smooth skew
+    ],
+    ids=["under", "exact", "over", "giant+tiny", "mixed", "sweep"],
+)
+def test_estimate_matches_actual_on_skewed_layouts(spark, tmp_path, layout):
+    """Empirical pin of the packing simulation against Spark's real
+    createReadRDD across the parallelism boundary, with split sizes
+    forced small enough (maxPartitionBytes conf) that multi-split
+    files and bin-packing both occur. Any per-file vs global split
+    ordering divergence from Spark's would surface here as a count
+    mismatch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "skewed"
+    src.mkdir()
+    for i, n in enumerate(layout):
+        pq.write_table(
+            pa.table({"id": pa.array(range(n), type=pa.int64())}),
+            str(src / f"part-{i:04d}.parquet"),
+        )
+    conf = spark.conf
+    old = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.files.maxPartitionBytes",
+            "spark.sql.files.openCostInBytes",
+        )
+    }
+    conf.set("spark.sql.files.maxPartitionBytes", "16384")
+    conf.set("spark.sql.files.openCostInBytes", "1024")
+    try:
+        df = spark.read.parquet(str(src))
+        est = _scan_task_estimate(df)
+        actual = df.rdd.getNumPartitions()
+        assert est == actual, (layout[:5], est, actual)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)

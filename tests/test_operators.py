@@ -407,6 +407,31 @@ def test_connected_components_semantics(spark):
         assert got == want, f"local_threshold={threshold}"
 
 
+def test_connected_components_pointer_jumping_beats_diameter(spark):
+    """A 120-vertex path graph (diameter 119) must converge in the
+    distributed loop well under diameter-many rounds — pointer
+    jumping gives O(log d). max_iters=12 would leave plain one-hop
+    propagation ~90% unconverged (and warning); the jump must finish
+    cleanly and exactly."""
+    import warnings
+
+    from cae_polars_tools_spark.operators.dedup import connected_components
+
+    n = 120
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["doc_id_a", "doc_id_b"]
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # non-convergence warns → fail
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(
+                pairs, local_threshold=0, max_iters=12
+            ).collect()
+        }
+    assert got == {i: 0 for i in range(n)}
+
+
 def test_jaccard_df_cap_drops_hot_shingles(spark):
     """With a deliberately hot shingle (one phrase shared by every
     doc), a tight DF cap removes it from candidate generation: docs

@@ -482,3 +482,35 @@ def test_delete_parquet_null_predicate_rows_survive(spark):
     assert summary["rows_deleted"] == 1
     got = {(r["id"], r["v"]) for r in spark.read.parquet(dst).collect()}
     assert got == {(1, 5), (3, None)}
+
+
+def test_cow_refuses_hive_partitioned_target(spark):
+    """merge/delete on a key=value-partitioned dataset must fail loudly:
+    the flattening copy would silently drop the partition-column values
+    (they live in directory names, not the files)."""
+    from cae_polars_tools_spark.storage import delete_parquet, merge_parquet
+
+    tgt = os.path.join(TMP, "cow_hive_tgt")
+    spark.createDataFrame(
+        [(1, "a", 5), (2, "b", 6)], "id long, part string, v long"
+    ).write.mode("overwrite").partitionBy("part").parquet(tgt)
+
+    upd = spark.createDataFrame([(1, "a", 7)], "id long, part string, v long")
+    with pytest.raises(NotImplementedError, match="hive-partitioned"):
+        merge_parquet(spark, tgt, upd, ["id"], tgt + "_o")
+    with pytest.raises(NotImplementedError, match="hive-partitioned"):
+        delete_parquet(spark, tgt, "v = 5", tgt + "_o")
+
+
+def test_merge_parquet_rejects_dtype_drift(spark):
+    """Same names, different types (int updates vs long target) must be
+    rejected before unionByName can poison the rewritten files."""
+    from cae_polars_tools_spark.storage import merge_parquet
+
+    tgt = os.path.join(TMP, "merge_dtype_tgt")
+    spark.createDataFrame(
+        [(1, 5), (2, 6)], "id long, v long"
+    ).coalesce(1).write.mode("overwrite").parquet(tgt)
+    upd = spark.createDataFrame([(1, 7)], "id int, v int")
+    with pytest.raises(ValueError, match="cast the updates"):
+        merge_parquet(spark, tgt, upd, ["id"], tgt + "_o")

@@ -651,3 +651,63 @@ def test_same_shape_overwrite_changes_the_etag(spark, tmp_path):
     write_zarr(_demo_df(spark), root, chunks=(2, 3))
     etag2 = plan_scan(ZarrStore(root), "value").meta_etag
     assert etag1 and etag2 and etag1 != etag2
+
+
+def test_write_zarr_is_byte_deterministic(spark, tmp_path):
+    """Two fresh writes of the same frame produce byte-identical
+    stores (the generation is a deterministic increment, not a random
+    nonce) — and an overwrite still bumps it (previous test)."""
+    import os
+
+    from cae_polars_tools_spark.sources.zarr_write import write_zarr
+
+    a, b = str(tmp_path / "det_a.zarr"), str(tmp_path / "det_b.zarr")
+    write_zarr(_demo_df(spark), a, chunks=(2, 3))
+    write_zarr(_demo_df(spark), b, chunks=(2, 3))
+    files_a = sorted(
+        os.path.relpath(os.path.join(r, f), a)
+        for r, _, fs in os.walk(a) for f in fs
+    )
+    files_b = sorted(
+        os.path.relpath(os.path.join(r, f), b)
+        for r, _, fs in os.walk(b) for f in fs
+    )
+    assert files_a == files_b
+    for rel in files_a:
+        with open(os.path.join(a, rel), "rb") as fa, open(
+            os.path.join(b, rel), "rb"
+        ) as fb:
+            assert fa.read() == fb.read(), rel
+
+
+@pytest.mark.parametrize("fmt", [2, 3])
+def test_write_zarr_generation_increments(spark, tmp_path, fmt):
+    import json
+
+    from cae_polars_tools_spark.sources.zarr_write import write_zarr
+
+    root = str(tmp_path / f"gen{fmt}.zarr")
+    for expect in (0, 1, 2):
+        write_zarr(_demo_df(spark), root, chunks=(2, 3), zarr_format=fmt)
+        if fmt == 2:
+            attrs = json.loads((tmp_path / f"gen{fmt}.zarr" / ".zattrs").read_text())
+        else:
+            attrs = json.loads(
+                (tmp_path / f"gen{fmt}.zarr" / "zarr.json").read_text()
+            )["attributes"]
+        assert attrs["_generation"] == expect
+
+
+def test_ingest_sink_refuses_non_zarr_populated_destination(spark, tmp_path):
+    """A mistyped path pointing at existing non-zarr data must raise,
+    not be rmtree'd by the create path."""
+    from cae_polars_tools_spark.sources.zarr_write import zarr_ingest_sink
+
+    dest = tmp_path / "not_a_store"
+    dest.mkdir()
+    (dest / "precious.txt").write_text("do not delete")
+
+    ingest = zarr_ingest_sink(str(dest), append_dim="time")
+    with pytest.raises(ValueError, match="refusing to delete"):
+        ingest(_demo_df(spark), 0)
+    assert (dest / "precious.txt").read_text() == "do not delete"
