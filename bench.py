@@ -117,6 +117,12 @@ def main() -> None:
         "queries_median": timings,
         "queries_min": {n: round(min(ts), 3) for n, ts in samples.items()},
         "queries_max": {n: round(max(ts), 3) for n, ts in samples.items()},
+        # full sample lists: lets a later round tell "slow median"
+        # from "two stalled samples on a loaded host" without a rerun
+        # (see BENCHNOTES.md on the round-5 ANN false regression)
+        "queries_samples": {
+            n: [round(t, 3) for t in ts] for n, ts in samples.items()
+        },
         "rounds": rounds,
         "sf": sf,
         "loadavg_start": round(load_start, 2),
