@@ -130,6 +130,75 @@ def parse_select_dims(text: str | None) -> dict | None:
     return out
 
 
+def _parse_label(text: str) -> Any:
+    """CLI label endpoint: python literal when it parses (numbers,
+    quoted strings), else the raw string (date strings like
+    2020-01-01 need no quoting)."""
+    try:
+        return ast.literal_eval(text)
+    except (ValueError, SyntaxError):
+        return text
+
+
+def parse_select_ranges(text: str | None) -> dict | None:
+    """VALUE-selection parser for ``--select-ranges``: JSON/python-
+    literal dict, or comma-separated ``dim=spec`` entries where spec is
+    a scalar label, ``[v1,v2]``, or a value range ``start:stop``
+    (inclusive both ends, empty endpoints allowed — ``lat=30:60``,
+    ``time=:2020-06-30``). Labels containing ':' (timestamps) need the
+    literal-dict form."""
+    if not text:
+        return None
+    try:
+        val = ast.literal_eval(text)
+        if isinstance(val, dict):
+            return {
+                k: (
+                    slice(v.get("start"), v.get("stop"))
+                    if isinstance(v, dict)
+                    else v
+                )
+                for k, v in val.items()
+            }
+    except (ValueError, SyntaxError):
+        pass
+    out: dict[str, Any] = {}
+    depth = 0
+    entries, cur = [], ""
+    for ch in text:
+        if ch == "," and depth == 0:
+            entries.append(cur)
+            cur = ""
+            continue
+        if ch in "[({":
+            depth += 1
+        elif ch in "])}":
+            depth -= 1
+        cur += ch
+    if cur:
+        entries.append(cur)
+    for entry in entries:
+        if "=" not in entry:
+            raise ValueError(f"invalid select-ranges entry {entry!r}")
+        dim, spec = entry.split("=", 1)
+        dim, spec = dim.strip(), spec.strip()
+        if ":" in spec and not spec.startswith(("{", "[")):
+            parts = spec.split(":")
+            if len(parts) != 2:
+                raise ValueError(
+                    f"invalid value range {spec!r} (labels containing "
+                    "':' need the literal-dict form)"
+                )
+            lo, hi = (p.strip() for p in parts)
+            out[dim] = slice(
+                _parse_label(lo) if lo else None,
+                _parse_label(hi) if hi else None,
+            )
+        else:
+            out[dim] = _parse_label(spec)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Commands
 # ---------------------------------------------------------------------------
@@ -176,6 +245,7 @@ def read_command(args) -> int:
         storage_options=parse_storage_options(args.storage_options),
         group=args.group,
         select_dims=parse_select_dims(args.select_dims),
+        select_ranges=parse_select_ranges(args.select_ranges),
         chunk_size=args.chunk_size,
         streaming=not args.no_streaming,
     )
@@ -327,6 +397,15 @@ def create_parser() -> argparse.ArgumentParser:
         "--select-dims",
         default=None,
         help="dimension selection: 'time=0:12,lat=3,lon=[0,2,4]' or a dict literal",
+    )
+    sp.add_argument(
+        "--select-ranges",
+        default=None,
+        help=(
+            "VALUE-based selection: 'lat=30:60,time=2020-01-01:2020-06-30' "
+            "(range inclusive both ends) or a dict literal; resolved "
+            "against the coordinate arrays"
+        ),
     )
     sp.add_argument("--chunk-size", type=int, default=10_000)
     sp.add_argument("--no-streaming", action="store_true")

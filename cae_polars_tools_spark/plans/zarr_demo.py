@@ -235,6 +235,41 @@ def zarr_multi_array_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "zarr_select_ranges",
+    oracle="""
+        SELECT
+            CAST((t.i + 1) * 10 AS INTEGER) AS time,
+            CAST(30 + la.j * 0.5 AS REAL) AS lat,
+            CAST(t.i * 20 + la.j * 4 + 2 AS REAL) AS value
+        FROM range(2, 5) t(i), range(1, 4) la(j)
+    """,
+    tags=("zarr", "source", "selection"),
+    window_rank=1,
+)
+def zarr_select_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-based dimension selection — the label surface the
+    reference's docs promise (reference zarr_scanner.py:41-44,
+    docs/user_guide/reading_data.md:80-88) resolved to positions on
+    the driver: ``time`` value range 30..50 (inclusive both ends →
+    i ∈ {2,3,4}), ``lat`` 30.5..31.5 (→ j ∈ {1,2,3}), scalar
+    ``lon = -119.5`` (exact match k=2, DROPS the dimension —
+    consistent with positional int selection). The oracle rebuilds the
+    same sub-grid from index arithmetic."""
+    from cae_polars_tools_spark.sources.zarr_scan import scan_data
+
+    return scan_data(
+        spark,
+        demo_store(),
+        "metric",
+        select_ranges={
+            "time": slice(30, 50),
+            "lat": slice(30.5, 31.5),
+            "lon": -119.5,
+        },
+    )
+
+
 # (zarr_scan_pushdown was folded into zarr_filter_pushdown above; the
 # scan_data(select_dims=...) form keeps unit coverage in
 # tests/test_zarr_source.py::test_slice_and_list_selection and

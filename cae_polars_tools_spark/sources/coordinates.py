@@ -100,6 +100,116 @@ def process_dimension_selection(
     return selection, selected_dims, selected_coords
 
 
+def _cast_label(value: Any, coord: np.ndarray, dim: str) -> np.ndarray:
+    """Cast a user label to the coordinate's dtype (``"2020-01-01"`` →
+    datetime64, ``30`` → float32, …); 0-d array out."""
+    try:
+        return np.asarray(value).astype(coord.dtype)
+    except (TypeError, ValueError) as e:
+        raise ValueError(
+            f"select_ranges[{dim!r}]: label {value!r} is not castable "
+            f"to the coordinate dtype {coord.dtype}"
+        ) from e
+
+
+def _label_slice_positions(dim: str, coord: np.ndarray, sel: slice) -> slice:
+    """Positional slice for a VALUE slice, inclusive on both ends,
+    following the coordinate's own order (ascending or descending) —
+    xarray's label-slicing convention: on a descending axis
+    ``slice(60, 30)`` selects 60 down to 30 and ``slice(30, 60)`` is
+    empty."""
+    if sel.step is not None:
+        raise ValueError(
+            f"select_ranges[{dim!r}]: value slices take no step "
+            "(apply a positional step via select_dims instead)"
+        )
+    n = len(coord)
+    if n > 1:
+        # elementwise pairwise compare, not np.diff: diff of
+        # datetime64 yields timedelta64, which cannot compare to 0
+        asc = bool((coord[1:] >= coord[:-1]).all())
+        desc = bool((coord[1:] <= coord[:-1]).all())
+        if not (asc or desc):
+            raise ValueError(
+                f"select_ranges[{dim!r}]: coordinate array is not "
+                "monotonic; value slices need a sorted axis"
+            )
+    else:
+        asc = True
+    mask = np.ones(n, dtype=bool)
+    if sel.start is not None:
+        lo = _cast_label(sel.start, coord, dim)
+        mask &= (coord >= lo) if asc else (coord <= lo)
+    if sel.stop is not None:
+        hi = _cast_label(sel.stop, coord, dim)
+        mask &= (coord <= hi) if asc else (coord >= hi)
+    pos = np.flatnonzero(mask)
+    if len(pos) == 0:
+        return slice(0, 0)
+    return slice(int(pos[0]), int(pos[-1]) + 1)
+
+
+def resolve_value_selection(
+    dims: list[str],
+    coord_arrays: dict[str, np.ndarray | None],
+    select_ranges: dict[str, Any] | None,
+) -> dict[str, Selection]:
+    """VALUE-based (label) selection → the equivalent POSITIONAL
+    ``select_dims``, resolved on the driver against the 1-D coordinate
+    arrays — the surface the reference's docs promise
+    (reference zarr_scanner.py:41-44, docs/user_guide/reading_data.md:80-88:
+    ``{"time": slice("2020-01-01", "2020-12-31"), "lat": slice(30, 60)}``)
+    while its code only ever indexes positionally (SURVEY §2.3.1).
+
+    Semantics (xarray ``.sel``-style):
+
+    * ``slice(lo, hi)`` — inclusive on BOTH ends, following the axis's
+      own sort order; no step;
+    * scalar — exact match, returns an ``int`` position (drops the
+      dimension, consistent with positional int selection); no match
+      raises;
+    * list/tuple/array — exact match per element, order preserved;
+      any missing label raises.
+
+    Labels are cast to the coordinate dtype, so date strings resolve
+    against datetime axes and ints against float axes. Dims absent
+    from the array are ignored (mirrors positional selection); a dim
+    whose coordinate array is missing or executor-deferred (oversized)
+    cannot resolve values and raises."""
+    out: dict[str, Selection] = {}
+    for dim, sel in (select_ranges or {}).items():
+        if dim not in dims:
+            continue
+        coord = coord_arrays.get(dim)
+        if coord is None:
+            raise ValueError(
+                f"select_ranges[{dim!r}]: no driver-readable coordinate "
+                "array to resolve labels against (missing, unreadable, "
+                "or over the embed limit) — use positional select_dims"
+            )
+        coord = np.asarray(coord)
+        if isinstance(sel, slice):
+            out[dim] = _label_slice_positions(dim, coord, sel)
+        elif isinstance(sel, (list, tuple, np.ndarray)):
+            positions: list[int] = []
+            for v in sel:
+                hit = np.flatnonzero(coord == _cast_label(v, coord, dim))
+                if len(hit) == 0:
+                    raise ValueError(
+                        f"select_ranges[{dim!r}]: label {v!r} not found"
+                    )
+                positions.append(int(hit[0]))
+            out[dim] = positions
+        else:
+            hit = np.flatnonzero(coord == _cast_label(sel, coord, dim))
+            if len(hit) == 0:
+                raise ValueError(
+                    f"select_ranges[{dim!r}]: label {sel!r} not found"
+                )
+            out[dim] = int(hit[0])
+    return out
+
+
 def _coord_or_index(
     coord: np.ndarray | None, n: int
 ) -> np.ndarray:

@@ -141,9 +141,15 @@ def plan_scan(
     store: ZarrStore,
     array_name: str,
     select_dims: dict[str, Any] | None = None,
+    select_ranges: dict[str, Any] | None = None,
 ) -> ScanPlan:
     """Driver-side planning: resolve dims, load/coordinate-subset, encode
-    the positional selection (reference zarr_reader.py:247-322 steps 1-4)."""
+    the positional selection (reference zarr_reader.py:247-322 steps 1-4).
+    ``select_ranges`` selects by coordinate VALUE (label slices/scalars/
+    lists, xarray-style) — resolved here against the driver-loaded 1-D
+    coordinate arrays into positional selections, then shares the
+    positional path (reference docs promise this surface:
+    zarr_scanner.py:41-44, docs/user_guide/reading_data.md:80-88)."""
     arr = store.get_array(array_name)
     dims = C.resolve_dims(arr.attrs, arr.ndim)
     if len(set(dims)) != len(dims):
@@ -175,6 +181,15 @@ def plan_scan(
     )
     for d in oversized:
         coord_arrays[d] = None
+    if select_ranges:
+        resolved = C.resolve_value_selection(dims, coord_arrays, select_ranges)
+        overlap = sorted(set(resolved) & set(select_dims or {}))
+        if overlap:
+            raise ValueError(
+                f"dimensions selected both positionally (select_dims) and "
+                f"by value (select_ranges): {overlap}"
+            )
+        select_dims = {**(select_dims or {}), **resolved}
     selection, sel_dims, sel_coords = C.process_dimension_selection(
         dims, coord_arrays, select_dims
     )
@@ -437,8 +452,9 @@ class ZarrDataReader:
         array_name: str,
         select_dims: dict[str, Any] | None = None,
         streaming: bool = True,
+        select_ranges: dict[str, Any] | None = None,
     ):
-        plan = plan_scan(self.store, array_name, select_dims)
+        plan = plan_scan(self.store, array_name, select_dims, select_ranges)
         schema = schema_for_plan(plan)
         if streaming:
             return distributed_scan(self.spark, plan, schema, self.chunk_size)

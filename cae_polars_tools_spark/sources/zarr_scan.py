@@ -30,14 +30,22 @@ def scan_data(
     select_dims: dict[str, Any] | None = None,
     chunk_size: int = DEFAULT_CHUNK_SIZE,
     streaming: bool = True,
+    select_ranges: dict[str, Any] | None = None,
 ) -> DataFrame | dict[str, DataFrame]:
     """Scan zarr array(s) into long-format DataFrame(s).
 
     Signature follows the reference ``scan_data`` (zarr_scanner.py:73-96)
-    with a leading SparkSession. Selection is positional
+    with a leading SparkSession. ``select_dims`` is positional
     (int / slice / list[int]); an int selection drops the dimension
-    (SURVEY §2.3). ``streaming=False`` reads eagerly on the driver
-    (small arrays only); default is the distributed partitioned scan.
+    (SURVEY §2.3). ``select_ranges`` selects by coordinate VALUE —
+    ``{"time": slice("2020-01-01", "2020-12-31"), "lat": slice(30, 60)}``
+    — the label surface the reference's docs promise
+    (zarr_scanner.py:41-44, docs/user_guide/reading_data.md:80-88);
+    labels resolve on the driver against the 1-D coordinate arrays and
+    reuse the positional path (slices inclusive both ends, scalars drop
+    the dim, see ``coordinates.resolve_value_selection``).
+    ``streaming=False`` reads eagerly on the driver (small arrays
+    only); default is the distributed partitioned scan.
     """
     reader = ZarrDataReader(
         spark,
@@ -48,9 +56,19 @@ def scan_data(
         chunk_size=chunk_size,
     )
     if array_name is not None:
-        return reader.read_array(array_name, select_dims=select_dims, streaming=streaming)
+        return reader.read_array(
+            array_name,
+            select_dims=select_dims,
+            streaming=streaming,
+            select_ranges=select_ranges,
+        )
     return {
-        name: reader.read_array(name, select_dims=select_dims, streaming=streaming)
+        name: reader.read_array(
+            name,
+            select_dims=select_dims,
+            streaming=streaming,
+            select_ranges=select_ranges,
+        )
         for name in reader.list_arrays()
     }
 

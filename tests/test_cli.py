@@ -219,3 +219,35 @@ def test_append_command_grows_the_store(spark, tmp_path, capsys):
         for r in scan_data(spark, root, "value").collect()
     }
     assert len(got) == 9 and got[(3, 2)] == 5.0
+
+
+def test_select_ranges_parser():
+    from cae_polars_tools_spark.cli import parse_select_ranges
+
+    out = parse_select_ranges("lat=30:60,time=2020-01-01:2020-06-30,lev=850")
+    assert out == {
+        "lat": slice(30, 60),
+        "time": slice("2020-01-01", "2020-06-30"),
+        "lev": 850,
+    }
+    assert parse_select_ranges("x=:12,y=5:") == {
+        "x": slice(None, 12),
+        "y": slice(5, None),
+    }
+    assert parse_select_ranges("{'lat': {'start': 30, 'stop': 60}, 'lev': [850, 500]}") == {
+        "lat": slice(30, 60),
+        "lev": [850, 500],
+    }
+    assert parse_select_ranges(None) is None
+    with pytest.raises(ValueError, match="literal-dict form"):
+        parse_select_ranges("t=00:10:30")
+
+
+def test_read_command_select_ranges(store, tmp_path, spark, capsys):
+    """--select-ranges selects by coordinate VALUE: x coords are
+    10/20/30, so 15:30 keeps the last two rows of the 3x4 grid."""
+    out = str(tmp_path / "vr.parquet")
+    assert main(["read", store, "a", "--select-ranges", "x=15:30", "-o", out]) == 0
+    assert "8 rows" in capsys.readouterr().out
+    got = spark.read.parquet(out)
+    assert sorted(r["x"] for r in got.select("x").distinct().collect()) == [20, 30]

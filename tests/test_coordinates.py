@@ -69,3 +69,63 @@ def test_int_selection_semantics():
     assert np.array_equal(sel_coords["b"], [20, 30])
     assert sel_coords["c"] is None  # no coord → stays None → indices
     assert np.array_equal(sel_coords["d"], [5.0, 6.0])  # select-all fallback
+
+
+def test_resolve_value_selection_semantics():
+    """Label slices are inclusive both ends and follow the axis's own
+    order; scalars exact-match to an int (dropping the dim); lists
+    exact-match per element; casting covers int labels on float axes
+    and date strings on datetime axes."""
+    import pytest
+
+    from cae_polars_tools_spark.sources.coordinates import (
+        resolve_value_selection,
+    )
+
+    dims = ["time", "lat", "lon", "date"]
+    coords = {
+        "time": np.array([10, 20, 30, 40, 50, 60], dtype=np.int32),
+        "lat": np.array([60.0, 50.0, 40.0, 30.0], dtype=np.float32),  # desc
+        "lon": np.array([-120.0, -119.75, -119.5], dtype=np.float32),
+        "date": np.arange("2020-01", "2020-07", dtype="datetime64[M]"),
+    }
+    out = resolve_value_selection(
+        dims,
+        coords,
+        {
+            "time": slice(20, 45),        # inclusive: 20,30,40
+            "lat": slice(55, 35),         # descending axis: 50,40
+            "lon": -119.5,                # scalar exact → int, drops dim
+            "date": slice("2020-02", "2020-04"),  # cast from strings
+        },
+    )
+    assert out["time"] == slice(1, 4)
+    assert out["lat"] == slice(1, 3)
+    assert out["lon"] == 2 and isinstance(out["lon"], int)
+    assert out["date"] == slice(1, 4)
+
+    # list labels, order preserved
+    assert resolve_value_selection(
+        dims, coords, {"time": [30, 10]}
+    )["time"] == [2, 0]
+    # open endpoints
+    assert resolve_value_selection(
+        dims, coords, {"time": slice(None, 30)}
+    )["time"] == slice(0, 3)
+    # empty result stays a valid empty slice
+    assert resolve_value_selection(
+        dims, coords, {"lat": slice(30, 60)}  # wrong order on desc axis
+    )["lat"] == slice(0, 0)
+    # unknown dim ignored (mirrors positional selection)
+    assert resolve_value_selection(dims, coords, {"nope": 1}) == {}
+
+    with pytest.raises(ValueError, match="not found"):
+        resolve_value_selection(dims, coords, {"lon": -100.0})
+    with pytest.raises(ValueError, match="no step"):
+        resolve_value_selection(dims, coords, {"time": slice(10, 60, 2)})
+    with pytest.raises(ValueError, match="no driver-readable"):
+        resolve_value_selection(["x"], {"x": None}, {"x": slice(1, 2)})
+    with pytest.raises(ValueError, match="not monotonic"):
+        resolve_value_selection(
+            ["x"], {"x": np.array([1, 3, 2])}, {"x": slice(1, 2)}
+        )

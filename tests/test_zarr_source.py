@@ -837,3 +837,47 @@ def test_zarr_stream_to_zarr_sink_full_loop(spark, tmp_path):
     assert got == {
         (t, j): float(t + j) * 2 for t in (1, 2, 3) for j in range(2)
     }
+
+
+def test_select_ranges_end_to_end(spark, climate_store):
+    """Value-based selection through scan_data: label ranges resolve
+    against the coordinate arrays and must agree with the equivalent
+    positional selection (the reference-docs surface,
+    reference zarr_scanner.py:41-44 / reading_data.md:80-88)."""
+    root, temp, _ = climate_store
+    # lat linspace(30,50,10): values 30,32.22..,34.44.. — slice(32,39)
+    # covers positions 1..4 (32.22,34.44,36.67,38.89); time 3..7
+    # inclusive = positions 3..7; lon scalar -120.0 = position 0
+    df = scan_data(
+        spark,
+        root,
+        "temperature",
+        select_ranges={
+            "time": slice(3, 7),
+            "lat": slice(32, 39),
+            "lon": -120.0,
+        },
+    )
+    ref = scan_data(
+        spark,
+        root,
+        "temperature",
+        select_dims={"time": slice(3, 8), "lat": slice(1, 5), "lon": 0},
+    )
+    assert df.columns == ["time", "lat", "value"]
+    got = df.toPandas().sort_values(["time", "lat"]).reset_index(drop=True)
+    want = ref.toPandas().sort_values(["time", "lat"]).reset_index(drop=True)
+    assert got.equals(want)
+    assert len(got) == 5 * 4
+
+
+def test_select_ranges_rejects_mixed_dim(spark, climate_store):
+    root, _, _ = climate_store
+    with pytest.raises(ValueError, match="both positionally"):
+        scan_data(
+            spark,
+            root,
+            "temperature",
+            select_dims={"time": slice(0, 3)},
+            select_ranges={"time": slice(3, 7)},
+        )
