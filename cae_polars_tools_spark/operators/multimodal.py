@@ -11,12 +11,15 @@ The Spark-side plumbing — schema, partition-parallel batch decode via
 Media decode is REAL for the library-free formats: uncompressed
 24-bit BMP is hand-parsed (:func:`decode_bmp` — decode, features,
 nearest-neighbor resize all run on actual pixels, oracle-checked by
-the ``mm_bmp_features`` corpus entry) and PCM WAV decodes via the
-stdlib ``wave`` module (:func:`decode_wav`). Codec formats
-(JPEG/PNG/MP4/…) genuinely need libraries absent from this container
-and stay STUBBED behind a clear ``NotImplementedError``; swapping in
-Pillow/librosa is a one-line change at the marked seam, and the
-tested pipeline uses a deterministic fake decoder there.
+the ``mm_bmp_features`` corpus entry), 8-bit non-interlaced PNG
+decodes with nothing beyond stdlib ``zlib`` (:func:`decode_png` —
+chunk walk + all five spec scanline filters, oracle-checked by
+``mm_png_features``), and PCM WAV decodes via the stdlib ``wave``
+module (:func:`decode_wav`). Formats that genuinely need external
+codecs (JPEG/MP4/…) stay STUBBED behind a clear
+``NotImplementedError``; swapping in Pillow/librosa is a one-line
+change at the marked seam, and the tested pipeline uses a
+deterministic fake decoder there.
 
 Scale notes: payload bytes never leave their partition (decode is a
 map), and feature outputs are small fixed-width rows — the shuffle
@@ -54,17 +57,20 @@ def with_payload(docs: DataFrame) -> DataFrame:
 
 def decode_image(payload: bytes) -> Any:
     """Decode image bytes → ndarray. REAL for uncompressed 24-bit BMP
-    (:func:`decode_bmp`, hand-parsed — no library needed); compressed
-    formats (JPEG/PNG/…) genuinely need an imaging library absent
-    from this environment and raise NotImplementedError — plug a real
-    decoder (e.g. PIL.Image.open) into :func:`extract_features` for
-    those."""
+    (:func:`decode_bmp`, hand-parsed) and 8-bit non-interlaced PNG
+    (:func:`decode_png`, stdlib zlib) — no library needed; other
+    compressed formats (JPEG/…) genuinely need an imaging library
+    absent from this environment and raise NotImplementedError — plug
+    a real decoder (e.g. PIL.Image.open) into :func:`extract_features`
+    for those."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
     raise NotImplementedError(
-        "compressed-image decoding requires an imaging library not "
-        "present in this environment; pass decode_fn= to "
-        "extract_features() (uncompressed BMP decodes natively)"
+        "compressed-image decoding beyond PNG requires an imaging "
+        "library not present in this environment; pass decode_fn= to "
+        "extract_features() (BMP and PNG decode natively)"
     )
 
 
@@ -334,6 +340,160 @@ def decode_bmp(payload: bytes) -> "np.ndarray":
     return out
 
 
+# -- PNG: stdlib-only (zlib + per-scanline unfilter) -----------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: "np.ndarray") -> bytes:
+    """Encode an 8-bit image as a non-interlaced PNG (stdlib ``zlib``
+    only, written from the public spec): (H, W) → grayscale,
+    (H, W, 3) → RGB, (H, W, 4) → RGBA. Filter type 0 on every
+    scanline — byte-deterministic output."""
+    import zlib
+
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        color_type, channels = 0, 1
+        px = px[:, :, None]
+    elif px.ndim == 3 and px.shape[2] == 3:
+        color_type, channels = 2, 3
+    elif px.ndim == 3 and px.shape[2] == 4:
+        color_type, channels = 6, 4
+    else:
+        raise ValueError(f"unsupported pixel shape {pixels.shape}")
+    h, w = px.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)  # filter type 0 (None)
+        raw += px[y].tobytes()
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _unfilter_scanline(
+    ftype: int, line: "np.ndarray", prev: "np.ndarray", bpp: int
+) -> "np.ndarray":
+    """One scanline of PNG unfiltering (spec filters 0-4). Sub uses a
+    stride-reshaped cumulative sum (mod-256 wraps for free in uint8);
+    Up is fully vectorized; Average/Paeth carry a left-pixel
+    dependency and fall back to a per-byte loop."""
+    if ftype == 0:  # None
+        return line
+    if ftype == 2:  # Up
+        return (line + prev).astype(np.uint8)
+    if ftype == 1:  # Sub: out[i] = line[i] + out[i-bpp]
+        n = len(line)
+        pad = (-n) % bpp
+        cols = np.zeros(n + pad, dtype=np.uint8)
+        cols[:n] = line
+        out = np.cumsum(
+            cols.reshape(-1, bpp).astype(np.uint64), axis=0
+        ).astype(np.uint8)
+        return out.reshape(-1)[:n]
+    out = np.zeros_like(line)
+    if ftype == 3:  # Average
+        for i in range(len(line)):
+            left = int(out[i - bpp]) if i >= bpp else 0
+            out[i] = (int(line[i]) + (left + int(prev[i])) // 2) & 0xFF
+        return out
+    if ftype == 4:  # Paeth
+        for i in range(len(line)):
+            left = int(out[i - bpp]) if i >= bpp else 0
+            ul = int(prev[i - bpp]) if i >= bpp else 0
+            out[i] = (int(line[i]) + _paeth(left, int(prev[i]), ul)) & 0xFF
+        return out
+    raise ValueError(f"unknown PNG filter type {ftype}")
+
+
+def decode_png(payload: bytes) -> "np.ndarray":
+    """Decode a non-interlaced 8-bit grayscale/RGB/RGBA PNG →
+    (H, W[, C]) uint8 array, stdlib only: chunk walk, ``zlib``
+    inflate, per-scanline unfilter (all five spec filter types).
+    Raises ValueError on non-PNG bytes and NotImplementedError on
+    interlaced / sub-byte / 16-bit / palette images (those need a real
+    imaging library)."""
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, w = len(_PNG_SIG), None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + body + crc
+        if tag == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or interlace != 0 or color_type not in (0, 2, 6):
+                raise NotImplementedError(
+                    f"only 8-bit non-interlaced gray/RGB/RGBA PNG is "
+                    f"stdlib-decodable (depth={depth}, "
+                    f"color_type={color_type}, interlace={interlace})"
+                )
+            channels = {0: 1, 2: 3, 6: 4}[color_type]
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    raw = raw.reshape(h, stride + 1)
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        prev = _unfilter_scanline(int(raw[y, 0]), raw[y, 1:], prev, channels)
+        out[y] = prev
+    return out.reshape(h, w) if channels == 1 else out.reshape(h, w, channels)
+
+
+def decode_image_bytes(payload: bytes) -> "np.ndarray":
+    """Format-sniffing decode → (H, W, 3) uint8 RGB: real BMP and PNG
+    decoders by magic bytes (grayscale expands to 3 channels, RGBA
+    drops alpha); anything else falls through to the
+    :func:`decode_image` codec seam (JPEG/video — NotImplementedError
+    in this environment)."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        px = decode_png(payload)
+        if px.ndim == 2:
+            return np.repeat(px[:, :, None], 3, axis=2)
+        return px[:, :, :3]
+    return decode_image(payload)
+
+
 def encode_wav_pcm16(samples: "np.ndarray", sample_rate: int) -> bytes:
     """Encode a 1-D int16 array as a mono 16-bit PCM WAV (stdlib)."""
     import io
@@ -365,10 +525,11 @@ def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
 
 
 def image_features(assets: DataFrame) -> DataFrame:
-    """REAL image feature extraction for BMP payloads: width, height,
-    per-channel means — one ``mapInPandas`` pass, pixels never leave
-    the partition. Same scale shape as :func:`extract_features`; this
-    one runs on actual decoded pixels."""
+    """REAL image feature extraction for BMP and PNG payloads
+    (format-sniffed per row): width, height, per-channel means — one
+    ``mapInPandas`` pass, pixels never leave the partition. Same scale
+    shape as :func:`extract_features`; this one runs on actual decoded
+    pixels."""
 
     def gen(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -383,7 +544,7 @@ def image_features(assets: DataFrame) -> DataFrame:
                 "mean_b": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                px = decode_bmp(bytes(payload))
+                px = decode_image_bytes(bytes(payload))
                 out["doc_id"].append(int(doc_id))
                 out["height"].append(px.shape[0])
                 out["width"].append(px.shape[1])
@@ -514,3 +675,59 @@ def mm_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     plumbing. Zero shuffle; bytes never leave their partition."""
     docs = spread(read_table(spark, sf_dir, "documents"))
     return image_features(_text_to_bmp(with_payload(docs)))
+
+
+def _text_to_png(assets: DataFrame) -> DataFrame:
+    """PNG twin of :func:`_text_to_bmp`: same W·H·3 text bytes per
+    document, encoded through the stdlib PNG encoder (zlib IDAT,
+    filtered scanlines) instead of BMP."""
+    n = BMP_W * BMP_H * 3
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "payload": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)[:n].ljust(n, b"\x00")
+                px = np.frombuffer(raw, dtype=np.uint8).reshape(
+                    BMP_H, BMP_W, 3
+                )
+                out["doc_id"].append(int(doc_id))
+                out["payload"].append(encode_png(px))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(gen, schema="doc_id long, payload binary")
+
+
+@register(
+    "mm_png_features",
+    oracle=f"""
+        WITH px AS (
+            SELECT doc_id,
+                   p,
+                   ascii(substr(rpad(text, {BMP_W * BMP_H * 3}, chr(0)),
+                                p + 1, 1)) AS b
+            FROM documents,
+                 unnest(range(0, {BMP_W * BMP_H * 3})) AS u(p)
+        )
+        SELECT doc_id,
+               {BMP_W} AS width,
+               {BMP_H} AS height,
+               AVG(CASE WHEN p % 3 = 0 THEN b END) AS mean_r,
+               AVG(CASE WHEN p % 3 = 1 THEN b END) AS mean_g,
+               AVG(CASE WHEN p % 3 = 2 THEN b END) AS mean_b
+        FROM px GROUP BY doc_id
+    """,
+    tags=("multimodal", "extension", "png"),
+    window_rank=1,
+)
+def mm_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL PNG path, value-checked against the same SQL
+    pixel oracle as ``mm_bmp_features``: text bytes → stdlib PNG
+    encode (zlib + filtered scanlines) → chunk-walking decode +
+    unfilter → per-channel means. Closes most of the media-codec seam
+    without any external imaging library (JPEG/video remain behind
+    the documented NotImplementedError seam)."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    return image_features(_text_to_png(with_payload(docs)))
