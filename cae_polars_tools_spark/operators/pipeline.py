@@ -48,19 +48,29 @@ def split_by_hash(
     key_col: str | Column,
     weights: dict[str, float],
     seed: int = 0,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Deterministic, stateless dataset split: adds a ``split`` column
     assigning each row to one of ``weights``' names with the given
     proportions.
 
-    Membership = which sub-range of ``xxhash64(key, seed) mod 1e6``
-    the row's key hashes into — a pure row-local function, evaluated
-    JVM-side inside codegen. No shuffle, no sampling state, and the
-    assignment survives reruns, engine changes, and data growth:
-    everything a random split cannot guarantee. Rows with equal keys
-    (e.g. near-identical URLs crawled twice) always land in the same
-    split, which is exactly the leakage-prevention property a
+    Membership is a pure row-local hash-range test — no shuffle, no
+    sampling state, and the assignment survives reruns and data
+    growth: everything a random split cannot guarantee. Rows with
+    equal keys (e.g. near-identical URLs crawled twice) always land in
+    the same split, which is exactly the leakage-prevention property a
     train/test split needs.
+
+    ``hash_fn`` picks the hash family:
+
+    * ``"xxhash64"`` (default) — ``xxhash64(key, seed) mod 1e6``
+      sub-ranges, evaluated JVM-side inside codegen; fastest, but the
+      hash is Spark-specific.
+    * ``"md5"`` — the first 8 hex chars of ``md5(key:seed)`` against
+      cumulative hex thresholds (the :func:`mix_sources` convention).
+      ENGINE-PORTABLE: any system with md5 (DuckDB, Postgres, Python)
+      recomputes the exact membership, which is what an audit or a
+      cross-engine migration of a frozen train/val/test split needs.
     """
     bad = {k: w for k, w in weights.items() if w < 0}
     if bad:
@@ -69,11 +79,26 @@ def split_by_hash(
     if total <= 0:
         raise ValueError("weights must sum to a positive value")
     key = F.col(key_col) if isinstance(key_col, str) else key_col
+    names = list(weights)
+    if hash_fn == "md5":
+        h8 = F.substring(
+            F.md5(F.concat(key.cast("string"), F.lit(f":{seed}"))), 1, 8
+        )
+        expr = None
+        cum = 0.0
+        for name in names[:-1]:
+            cum += weights[name] / total
+            thr = format(min(int(cum * MIX_HASH_SPACE), 2**32 - 1), "08x")
+            cond = h8 < F.lit(thr)
+            expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+        return df.withColumn("split", expr)
+    if hash_fn != "xxhash64":
+        raise ValueError(f"unknown hash_fn {hash_fn!r} (xxhash64|md5)")
     bucket = F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(_HASH_BUCKETS))
 
     expr = None
     upper = 0.0
-    names = list(weights)
     for name in names[:-1]:
         upper += weights[name] / total * _HASH_BUCKETS
         cond = bucket < F.lit(int(round(upper)))
@@ -357,34 +382,55 @@ PACK_BUDGET = 512
 SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
 
 
+_TRAIN_THR = format(
+    int(SPLIT_WEIGHTS["train"] * 4294967296.0), "08x"
+)  # md5 split threshold for the 0.9 train share
+
+
 @register(
     "pipeline_split_pack",
-    oracle=None,  # split membership is xxhash64-range assignment and
-    # pack ids are partition-local by design — no SQL twin exists; the
-    # split's determinism/completeness/co-location and the packer's
-    # budget/coverage invariants are unit-tested in
-    # tests/test_pipeline_ops.py
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               TRUE AS pack_within_budget
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8)
+              < '{_TRAIN_THR}'
+    """,
     tags=("pipeline", "extension"),
 )
 def pipeline_split_pack(spark, sf_dir: str) -> DataFrame:
     """Deterministic train split of the documents table, packed into
     fixed token budgets — the split→pack tail every pretraining
-    pipeline runs after dedup. Zero-shuffle split (pure hash of the
-    key) feeding a partition-local first-fit-decreasing packer in
-    ``mapInPandas``; row count is stable across partitionings (split
-    membership is row-local), pack composition is deliberately not
-    (coordination-free by design)."""
+    pipeline runs after dedup. Zero-shuffle split (engine-portable md5
+    hash-range membership) feeding a partition-local
+    first-fit-decreasing packer in ``mapInPandas``.
+
+    Value-level oracle coverage (previously rows-only): the md5 split
+    has an exact DuckDB twin, so membership (every train doc exactly
+    once — coverage AND no duplication), per-doc token counts, and the
+    packer's budget invariant (``pack_within_budget`` must hash-match
+    the oracle's constant TRUE on every row) are all value-checked.
+    Pack COMPOSITION stays deliberately partition-local
+    (coordination-free by design) and is invariant-tested in
+    tests/test_pipeline_ops.py."""
     from cae_polars_tools_spark.operators.text import tokens
 
     d = spread(read_table(spark, sf_dir, "documents"))
     train = (
-        split_by_hash(d, "doc_id", SPLIT_WEIGHTS)
+        split_by_hash(d, "doc_id", SPLIT_WEIGHTS, hash_fn="md5")
         .filter(F.col("split") == "train")
         .select(
             "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
         )
     )
-    return pack_sequences(train, budget=PACK_BUDGET)
+    return pack_sequences(train, budget=PACK_BUDGET).select(
+        "doc_id",
+        "n_tokens",
+        (F.col("pack_tokens") <= F.lit(PACK_BUDGET)).alias(
+            "pack_within_budget"
+        ),
+    )
 
 
 MIX_HASH_SPACE = 4294967296.0  # 16^8 — first 8 hex chars of md5

@@ -278,19 +278,28 @@ def zarr_select_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "zarr_write_roundtrip",
-    oracle=None,  # write side effect + re-scan: rows-only check here;
-    # value-level equality is asserted in tests/test_zarr_write.py and
-    # the re-scanned store content is the oracle-checked demo function
+    # the sink's inverse is scan_data: the re-scanned store must equal
+    # the demo store's content exactly, which DuckDB reconstructs from
+    # index arithmetic — the same oracle as zarr_scan_longformat, now
+    # value-checking the whole write→read cycle instead of rows-only
+    oracle="""
+        SELECT
+            CAST((t.i + 1) * 10 AS INTEGER) AS time,
+            CAST(30 + la.j * 0.5 AS REAL) AS lat,
+            CAST(-120 + lo.k * 0.25 AS REAL) AS lon,
+            CAST(t.i * 20 + la.j * 4 + lo.k AS REAL) AS value
+        FROM range(6) t(i), range(5) la(j), range(4) lo(k)
+    """,
     tags=("zarr", "sink"),
+    window_rank=1,
 )
 def zarr_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed zarr SINK round-trip (beyond the reference, whose
     CLI only reads zarr into parquet): scan the demo store long-format,
     write it back through ``write_zarr`` (one chunk-keyed shuffle, each
     task puts its own chunk objects — embarrassingly parallel at any
-    executor count), then re-scan the written store. Registered without
-    an oracle so the driver's 50-entry hash-checked window keeps every
-    oracle-backed entry; value-level equality is unit-tested."""
+    executor count), then re-scan the written store; the DuckDB oracle
+    reconstructs the expected grid, value-checking the full cycle."""
     from cae_polars_tools_spark.sources.coordinates import (
         extract_coordinate_arrays,
     )
@@ -313,19 +322,29 @@ def zarr_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "zarr_append_ingest",
-    oracle=None,  # write+append side effects + re-scan: rows-only
-    # check here; value-level equality (v2 AND v3, aligned and
-    # boundary-straddling chunks) is asserted in tests/test_zarr_write.py
+    # first-half write + second-half append must re-scan to the FULL
+    # demo grid — the same index-arithmetic reconstruction as the scan
+    # entry, value-checking the append path (boundary-chunk
+    # read-modify-write, metadata flip) instead of rows-only
+    oracle="""
+        SELECT
+            CAST((t.i + 1) * 10 AS INTEGER) AS time,
+            CAST(30 + la.j * 0.5 AS REAL) AS lat,
+            CAST(-120 + lo.k * 0.25 AS REAL) AS lon,
+            CAST(t.i * 20 + la.j * 4 + lo.k AS REAL) AS value
+        FROM range(6) t(i), range(5) la(j), range(4) lo(k)
+    """,
     tags=("zarr", "sink", "append"),
+    window_rank=1,
 )
 def zarr_append_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series ingest through the zarr sink: write the first half
     of the demo store's time axis, APPEND the second half
     (``append_zarr`` — monotone coordinates, boundary-chunk
     read-modify-write, metadata flipped last), then re-scan the grown
-    store. The scan must see every cell of both batches — the driver's
-    rows check pins the grown shape; cell-level equality is
-    unit-tested."""
+    store. The scan must see every cell of both batches — the DuckDB
+    oracle reconstructs the full grown grid, value-checking the append
+    cycle."""
     from pyspark.sql import functions as F
 
     from cae_polars_tools_spark.sources.zarr_scan import scan_data
