@@ -181,24 +181,75 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHARGRAM_PROFILES = {
+    "en": ("the", "ing", "ion", "and", "ed "),
+    "es": ("que", "ión", "ado", "la ", "os "),
+    "de": ("der", "ein", "ich", "sch", "en "),
+    "fr": ("les", "ent", "tio", "eur", "de "),
+}
+
+
+def _chargram_oracle() -> str:
+    """DuckDB twin of the pandas-UDF scorer: non-overlapping substring
+    counts via the length-difference identity
+    ``(len(t) - len(replace(t, g, ''))) / len(g)`` (replace and
+    regex-findall are both greedy left-to-right, so the counts agree),
+    argmax with the same first-max tie-break as ``numpy.argmax`` over
+    the sorted language order, 'und' when every score is zero."""
+    langs = sorted(_CHARGRAM_PROFILES)
+    score = {
+        lang: " + ".join(
+            f"(length(t) - length(replace(t, '{g}', ''))) / {len(g)}"
+            for g in _CHARGRAM_PROFILES[lang]
+        )
+        for lang in langs
+    }
+    cols = ",\n                   ".join(
+        f"CAST({score[lang]} AS BIGINT) AS c_{lang}" for lang in langs
+    )
+    # numpy argmax = FIRST maximum in langs order
+    conds = []
+    for i, lang in enumerate(langs):
+        later = [f"c_{lang} >= c_{o}" for o in langs[i + 1 :]]
+        conds.append(
+            ("WHEN " + " AND ".join(later) + f" THEN '{lang}'")
+            if later
+            else f"ELSE '{lang}'"
+        )
+    case = (
+        "CASE WHEN greatest("
+        + ", ".join(f"c_{la}" for la in langs)
+        + ") = 0 THEN 'und' "
+        + " ".join(conds)
+        + " END"
+    )
+    return f"""
+        WITH s AS (SELECT doc_id, lower(text) AS t FROM documents),
+        c AS (
+            SELECT doc_id,
+                   {cols}
+            FROM s
+        )
+        SELECT doc_id, {case} AS detected_lang FROM c
+    """
+
+
 @register(
     "text_language_chargram",
-    oracle=None,  # vectorized numpy scoring — not SQL-expressible
+    oracle=_chargram_oracle(),
     tags=("text", "extension", "pandas-udf"),
+    window_rank=1,
 )
 def text_language_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-trigram-profile language ID as an Arrow-batched Pandas UDF
     (the realistic n-gram heuristic; deterministic fixed profiles).
     Demonstrates the vectorized-Python escape hatch for logic built-ins
-    can't express; still per-row → shuffle-free at any scale."""
+    can't express; still per-row → shuffle-free at any scale. The
+    DuckDB oracle recomputes the same non-overlapping substring counts
+    and argmax tie-break in SQL (previously rows-only)."""
     from pyspark.sql.functions import pandas_udf
 
-    profiles = {
-        "en": ("the", "ing", "ion", "and", "ed "),
-        "es": ("que", "ión", "ado", "la ", "os "),
-        "de": ("der", "ein", "ich", "sch", "en "),
-        "fr": ("les", "ent", "tio", "eur", "de "),
-    }
+    profiles = _CHARGRAM_PROFILES
     langs = sorted(profiles)
 
     @pandas_udf("string")

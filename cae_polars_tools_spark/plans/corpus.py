@@ -1173,12 +1173,22 @@ def q35_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "salted_hot_key_agg",
-    oracle=None,  # algebraically equal to the plain groupBy, which IS
-    # oracle-checked via q06; registered without its own oracle so the
-    # driver's 50-entry hash window keeps every existing checked entry.
-    # Exact equality vs the unsalted agg is asserted in
-    # tests/test_operators.py::test_salted_agg_equals_plain_agg.
+    # the oracle is the PLAIN aggregation: salting changes the
+    # physical route, not the algebra. sum_qty is exact (integral
+    # doubles), count/min/max are exact selections; the double average
+    # rounds to 4 (the q01 convention — accumulation order differs
+    # between the salted two-phase merge and DuckDB)
+    oracle="""
+        SELECT l_returnflag,
+               SUM(l_quantity) AS sum_qty,
+               COUNT(l_orderkey) AS cnt,
+               MIN(l_extendedprice) AS min_price,
+               MAX(l_extendedprice) AS max_price,
+               ROUND(AVG(l_discount), 4) AS avg_disc
+        FROM lineitem GROUP BY l_returnflag
+    """,
     tags=("skew", "extension"),
+    window_rank=1,
 )
 def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation over lineitem keyed by
@@ -1187,11 +1197,13 @@ def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster and map-side combine stops helping (every mapper still
     emits one partial PER KEY into the same 3 reducers). The salt
     fans each key over 16 buckets; the merge aggregation is 48 rows.
-    See operators/skew.py for the decomposability contract."""
+    See operators/skew.py for the decomposability contract; bit-level
+    equality vs the UNSALTED Spark agg is additionally asserted in
+    tests/test_operators.py::test_salted_agg_equals_plain_agg."""
     from cae_polars_tools_spark.operators.skew import salted_agg
 
     li = _t(spark, sf_dir, "lineitem")
-    return salted_agg(
+    out = salted_agg(
         li,
         ["l_returnflag"],
         {
@@ -1202,6 +1214,14 @@ def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_disc": ("l_discount", "avg"),
         },
         salt_buckets=16,
+    )
+    return out.select(
+        "l_returnflag",
+        "sum_qty",
+        "cnt",
+        "min_price",
+        "max_price",
+        F.round("avg_disc", 4).alias("avg_disc"),
     ).orderBy("l_returnflag")
 
 @register(
