@@ -1614,15 +1614,72 @@ def winnow_pairs(
     return _release_on_gc(out, idx)
 
 
+def _winnow_oracle(k: int = WINNOW_K, w: int = WINNOW_W,
+                   min_shared: int = WINNOW_MIN_SHARED,
+                   max_df: int = WINNOW_MAX_DF) -> str:
+    """DuckDB twin of the whole winnowing cascade. The wrapping-uint64
+    polynomial hash is exact 128-bit arithmetic mod 2^64 (HUGEINT
+    intermediates; per-term wrap ≡ one final mod), reinterpreted to
+    the signed int64 bit view the UDF emits. Window minima need no
+    tie-break: the per-document fingerprint set is DISTINCT VALUES, so
+    which tied position is selected cannot change it. The ``n ≤ w``
+    short-document branch reduces to the i = 0 window (its frame
+    already spans every k-gram)."""
+    terms = " + ".join(
+        f"CAST(ascii(substr(t, i + {j + 1}, 1)) AS HUGEINT) * "
+        f"CAST('{pow(int(_WINNOW_BASE), k - 1 - j, 2 ** 64)}' AS HUGEINT)"
+        for j in range(k)
+    )
+    two64, two63 = 2 ** 64, 2 ** 63
+    return f"""
+        WITH kg AS (
+            SELECT doc_id, g.i,
+                   ({terms}) % {two64} AS hu
+            FROM (SELECT doc_id, text AS t FROM documents),
+                 unnest(range(length(t) - {k - 1})) AS g(i)
+        ),
+        wmin AS (
+            -- minima over the UNSIGNED hash (the UDF's uint64 order);
+            -- the signed bit-view conversion happens after selection
+            SELECT doc_id, i,
+                   min(hu) OVER (
+                       PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING
+                   ) AS fu,
+                   count(*) OVER (PARTITION BY doc_id) AS n
+            FROM kg
+        ),
+        idx AS (
+            SELECT DISTINCT doc_id,
+                   CAST(CASE WHEN fu >= {two63} THEN fu - {two64}
+                             ELSE fu END AS BIGINT) AS f
+            FROM wmin
+            WHERE (n > {w} AND i <= n - {w}) OR (n <= {w} AND i = 0)
+        ),
+        keepf AS (
+            SELECT f FROM idx GROUP BY f HAVING count(*) <= {max_df}
+        ),
+        capped AS (SELECT doc_id, f FROM idx JOIN keepf USING (f))
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               count(*) AS n_shared
+        FROM capped a JOIN capped b USING (f)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= {min_shared}
+    """
+
+
 @register(
     "dedup_winnow",
-    oracle=None,  # the wrapping-uint64 rolling hash has no DuckDB
-    # twin (BIGINT overflow raises there); the winnowing guarantee,
-    # position independence, and boilerplate-cap semantics are pinned
-    # in tests/test_operators.py::test_winnow_*
+    oracle=_winnow_oracle(),
     tags=("dedup", "extension", "winnowing"),
 )
 def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing verbatim-overlap pairs over the documents table."""
+    """Winnowing verbatim-overlap pairs over the documents table,
+    value-checked end-to-end: the DuckDB oracle recomputes the
+    wrapping rolling hash in 128-bit arithmetic, the window minima,
+    the boilerplate cap, and the shared-count threshold (previously
+    rows-only — the winnowing guarantee and position independence
+    stay pinned in tests/test_operators.py::test_winnow_*)."""
     d = spread(read_table(spark, sf_dir, "documents"))
     return winnow_pairs(d)

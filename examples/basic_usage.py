@@ -80,6 +80,17 @@ def basic_example(spark, store: str) -> None:
         F.max("value").alias("max_k"),
         F.avg("value").alias("mean_k"),
     ).show()
+    # the same subset selected by coordinate VALUE (label slices,
+    # inclusive both ends — the reference-docs surface): lat runs
+    # 30..39.5 in 0.5° steps, so positions 5..14 are 32.5..37.0
+    by_value = scan_data(
+        spark,
+        store,
+        "tasmax",
+        select_ranges={"time": slice(0, 11), "lat": slice(32.5, 37.0)},
+    )
+    assert by_value.count() == df.count()
+    print(f"select_ranges selected the same {df.count()} rows by label")
 
 
 def advanced_analysis_example(spark, store: str) -> None:

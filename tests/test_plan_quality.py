@@ -328,3 +328,49 @@ def test_exists_subqueries_decorrelate_to_semi_anti_joins(spark):
     assert "LeftSemi" in plan or "Semi" in plan
     assert "LeftAnti" in plan or "Anti" in plan
     assert "CartesianProduct" not in plan
+
+
+def _non_spread_exchanges(plan: str) -> list[str]:
+    """Exchange lines other than spread()'s parallelism-restoring
+    round-robin repartition (which only fires on tiny single-split
+    scans like sf0.001 — a 100 TB scan already has more tasks than
+    cores and plans no such exchange)."""
+    return [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln and "RoundRobinPartitioning" not in ln
+    ]
+
+
+def test_bpe_tokenize_is_zero_shuffle(spark):
+    """The BPE encode pass must be a pure map: merges ride in the
+    closure, no data-dependent Exchange anywhere in the plan."""
+    plan = _plan(spark, "bpe_token_counts")
+    assert not _non_spread_exchanges(plan), plan
+    assert "MapInPandas" in plan
+
+
+def test_png_features_are_zero_shuffle(spark):
+    """PNG encode→decode→features is map-only: payload bytes must
+    never cross a partition boundary."""
+    plan = _plan(spark, "mm_png_features")
+    assert not _non_spread_exchanges(plan), plan
+
+
+def test_split_pack_single_bookkeeping_shuffle(spark):
+    """The md5 split is a row-local predicate (no Exchange for it) and
+    packing is partition-local; the only data-dependent shuffle is the
+    per-pack-total window over thin (id, pack, tokens) bookkeeping
+    rows — document text must never reach an exchange."""
+    plan = _plan(spark, "pipeline_split_pack")
+    ex = _non_spread_exchanges(plan)
+    assert len(ex) == 1 and "pack_id" in ex[0], plan
+
+
+def test_salted_agg_two_phase_shape(spark):
+    """Phase 1 groups on (key, salt), phase 2 on the key: exactly the
+    two hash-agg exchanges, nothing more."""
+    plan = _plan(spark, "salted_hot_key_agg")
+    # two aggregation exchanges + the final orderBy's range exchange
+    assert plan.count("Exchange") <= 3
+    assert "__salt" in plan
