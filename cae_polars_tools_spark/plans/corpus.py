@@ -1758,3 +1758,159 @@ def q47_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sort_array(F.collect_list("n_name")), ","
         ).alias("nations_csv"),
     )
+
+
+@register(
+    "q48_string_funcs",
+    oracle="""
+        SELECT p_partkey,
+               upper(p_type) AS type_upper,
+               lower(p_brand) AS brand_lower,
+               length(p_name) AS name_len,
+               substr(p_type, 1, 5) AS type_head,
+               replace(p_name, ' ', '_') AS name_snake,
+               concat_ws('|', p_brand, p_type) AS brand_type,
+               lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+               CAST(strpos(p_name, 'e') AS INTEGER) AS first_e,
+               reverse(p_brand) AS brand_rev,
+               trim(concat(' ', p_brand, ' ')) AS brand_trim,
+               CASE WHEN p_type LIKE '%BRUSHED%' THEN 1 ELSE 0 END
+                   AS is_brushed
+        FROM part
+        WHERE p_partkey <= 500
+    """,
+    tags=("string", "extension"),
+    window_rank=1,
+)
+def q48_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The string-function surface a reference user leans on daily:
+    case mapping, length, substring, replace, multi-arg concat,
+    padding, find-position, reverse, trim, LIKE. All JVM-side codegen
+    expressions — zero shuffle, fully pushed projection."""
+    p = _t(spark, sf_dir, "part")
+    return p.filter(F.col("p_partkey") <= 500).select(
+        "p_partkey",
+        F.upper("p_type").alias("type_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_head"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias(
+            "key_padded"
+        ),
+        F.instr("p_name", "e").alias("first_e"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.trim(F.concat(F.lit(" "), F.col("p_brand"), F.lit(" "))).alias(
+            "brand_trim"
+        ),
+        F.when(F.col("p_type").like("%BRUSHED%"), 1)
+        .otherwise(0)
+        .alias("is_brushed"),
+    )
+
+
+@register(
+    "q49_array_funcs",
+    oracle="""
+        WITH t AS (
+            SELECT p_partkey,
+                   string_split(p_name, ' ') AS words
+            FROM part WHERE p_partkey <= 2000
+        )
+        SELECT p_partkey,
+               len(words) AS n_words,
+               words[1] AS first_word,
+               words[len(words)] AS last_word,
+               list_sort(list_distinct(words)) AS uniq_sorted,
+               CAST(list_contains(words, 'steel') AS BOOLEAN) AS has_steel,
+               list_transform(
+                   list_sort(list_distinct(words)), w -> length(w)
+               ) AS uniq_lens,
+               CAST(list_sum(
+                   list_transform(words, w -> length(w))
+               ) AS BIGINT) AS total_chars,
+               array_to_string(words[1:3], '_') AS first3
+        FROM t
+    """,
+    tags=("array", "extension"),
+    window_rank=1,
+)
+def q49_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The array/higher-order-function surface: size, element access,
+    distinct+sort, membership, transform (lambda), aggregate (fold),
+    slice, join-to-string. All Catalyst HOF expressions — zero
+    shuffle, no UDFs; at scale this is the zero-copy path for the
+    list-typed columns a training pipeline carries (token arrays,
+    embedding shards)."""
+    p = _t(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ")
+    uniq = F.array_sort(F.array_distinct(words))
+    return p.filter(F.col("p_partkey") <= 2000).select(
+        "p_partkey",
+        F.size(words).alias("n_words"),
+        F.element_at(words, 1).alias("first_word"),
+        F.element_at(words, -1).alias("last_word"),
+        uniq.alias("uniq_sorted"),
+        F.array_contains(words, "steel").alias("has_steel"),
+        F.transform(uniq, lambda w: F.length(w)).alias("uniq_lens"),
+        F.aggregate(
+            words, F.lit(0), lambda acc, w: acc + F.length(w)
+        ).cast("long").alias("total_chars"),
+        F.array_join(F.slice(words, 1, 3), "_").alias("first3"),
+    )
+
+
+@register(
+    "q50_date_arithmetic",
+    # NOTE the 90-day/4-month pairing is deliberate: DuckDB compares
+    # intervals with months normalized to 30 days, so INTERVAL '3
+    # months' EQUALS INTERVAL '90 days' — and its common-subexpression
+    # elimination then collapses `d + 90 days` and `d + 3 months` into
+    # ONE expression (reproduced on 1.0.0). Unequal intervals dodge
+    # the collapse. Dates serialize through strftime so both engines
+    # compare as plain strings (pandas would otherwise widen DuckDB's
+    # DATE to midnight timestamps).
+    oracle="""
+        SELECT o_orderkey,
+               strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d')
+                   AS due_date,
+               strftime(o_orderdate + INTERVAL 4 MONTH, '%Y-%m-%d')
+                   AS review_month,
+               strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')
+                   AS month_start,
+               strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+               CAST(date_diff('day', DATE '1995-01-01', o_orderdate)
+                    AS INTEGER) AS days_since_95,
+               CAST(date_diff('month', DATE '1995-01-01',
+                              date_trunc('month', o_orderdate))
+                    AS INTEGER) AS months_since_95
+        FROM orders
+        WHERE o_orderkey <= 2000
+    """,
+    tags=("datetime", "extension"),
+    window_rank=1,
+)
+def q50_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date ARITHMETIC (q15 covers part extraction): interval add,
+    add_months, month truncation, last_day, day/month differences
+    against an epoch. Engine-portable by construction — all integer
+    day/month math, no timezone dependence; pure codegen, zero
+    shuffle. Output dates serialize as yyyy-MM-dd strings so the
+    cross-engine compare is type-free."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    fmt = "yyyy-MM-dd"
+    return o.filter(F.col("o_orderkey") <= 2000).select(
+        "o_orderkey",
+        F.date_format(F.date_add(d, 90), fmt).alias("due_date"),
+        F.date_format(F.add_months(d, 4), fmt).alias("review_month"),
+        F.date_format(F.trunc(d, "month"), fmt).alias("month_start"),
+        F.date_format(F.last_day(d), fmt).alias("month_end"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+        (
+            (F.year(d) - 1995) * 12 + F.month(d) - 1
+        ).alias("months_since_95"),
+    )
