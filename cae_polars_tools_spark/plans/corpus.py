@@ -1914,3 +1914,127 @@ def q50_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.year(d) - 1995) * 12 + F.month(d) - 1
         ).alias("months_since_95"),
     )
+
+
+@register(
+    "q51_regexp_extract",
+    oracle=r"""
+        SELECT p_partkey,
+               regexp_extract(p_brand, 'Brand#(\d+)', 1) AS brand_num,
+               CAST(regexp_matches(p_name, '^[a-z]+ ') AS BOOLEAN)
+                   AS starts_lower_word,
+               len(regexp_extract_all(p_name, '[aeiou]')) AS n_vowels,
+               regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled
+        FROM part
+        WHERE p_partkey <= 2000
+    """,
+    tags=("string", "regexp", "extension"),
+    window_rank=1,
+)
+def q51_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp surface over the portable pattern subset (character
+    classes, anchors, capture groups — identical semantics in Java
+    regex and RE2-style engines, the same dialect discipline
+    text_pii_redact pins): capture-group extract, boolean match,
+    match counting, global replace. Pure codegen, zero shuffle."""
+    p = _t(spark, sf_dir, "part")
+    return p.filter(F.col("p_partkey") <= 2000).select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).alias("brand_num"),
+        F.col("p_name").rlike(r"^[a-z]+ ").alias("starts_lower_word"),
+        F.size(F.regexp_extract_all("p_name", F.lit(r"[aeiou]"), 0)).alias(
+            "n_vowels"
+        ),
+        F.regexp_replace("p_name", r"[aeiou]", "*").alias("devoweled"),
+    )
+
+
+@register(
+    "q52_conditional_agg",
+    oracle="""
+        SELECT user_id,
+               count(*) FILTER (event_type = 'click') AS n_clicks,
+               count(*) FILTER (event_type = 'purchase') AS n_purchases,
+               ROUND(COALESCE(
+                   sum(value) FILTER (event_type = 'purchase'), 0
+               ), 4) AS purchase_value,
+               max(value) FILTER (event_type = 'error') AS max_error_value,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        FROM events
+        GROUP BY user_id
+        HAVING count(*) FILTER (event_type = 'click') > 0
+    """,
+    tags=("agg", "conditional", "extension"),
+    window_rank=1,
+)
+def q52_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional (filtered) aggregation — the poor man's pivot every
+    analytics user writes: per-predicate counts/sums/maxes in ONE
+    hash aggregate over one scan (no joins, no separate passes), plus
+    a distinct count. Spark expresses the FILTER clause as
+    sum/count over CASE; one shuffle on the group key."""
+    e = _t(spark, sf_dir, "events")
+    click = F.when(F.col("event_type") == "click", 1)
+    purch = F.when(F.col("event_type") == "purchase", F.col("value"))
+    err = F.when(F.col("event_type") == "error", F.col("value"))
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(click).alias("n_clicks"),
+            F.count(
+                F.when(F.col("event_type") == "purchase", 1)
+            ).alias("n_purchases"),
+            F.round(F.coalesce(F.sum(purch), F.lit(0.0)), 4).alias(
+                "purchase_value"
+            ),
+            F.max(err).alias("max_error_value"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .filter(F.col("n_clicks") > 0)
+    )
+
+
+@register(
+    "q53_null_semantics",
+    oracle="""
+        WITH t AS (
+            SELECT l_orderkey, l_linenumber,
+                   nullif(l_discount, 0.0) AS disc_n,
+                   nullif(l_tax, 0.0) AS tax_n
+            FROM lineitem WHERE l_orderkey <= 1000
+        )
+        SELECT l_orderkey, l_linenumber,
+               COALESCE(disc_n, tax_n, -1.0) AS first_present,
+               CAST(disc_n IS NULL AS BOOLEAN) AS disc_missing,
+               CAST(disc_n IS NOT DISTINCT FROM tax_n AS BOOLEAN)
+                   AS null_safe_eq,
+               CASE WHEN disc_n IS NULL AND tax_n IS NULL THEN 'neither'
+                    WHEN disc_n IS NULL THEN 'tax_only'
+                    WHEN tax_n IS NULL THEN 'disc_only'
+                    ELSE 'both' END AS presence
+        FROM t
+    """,
+    tags=("null", "extension"),
+    window_rank=1,
+)
+def q53_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling semantics pinned across engines: NULLIF
+    null-injection, multi-arg COALESCE, IS NULL, null-safe equality
+    (Spark ``<=>`` ≡ SQL IS NOT DISTINCT FROM), and CASE over null
+    states. Pure codegen, zero shuffle — but semantically the
+    trickiest corner of any engine migration."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_n = F.nullif(F.col("l_discount"), F.lit(0.0))
+    tax_n = F.nullif(F.col("l_tax"), F.lit(0.0))
+    return li.filter(F.col("l_orderkey") <= 1000).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce(disc_n, tax_n, F.lit(-1.0)).alias("first_present"),
+        disc_n.isNull().alias("disc_missing"),
+        disc_n.eqNullSafe(tax_n).alias("null_safe_eq"),
+        F.when(disc_n.isNull() & tax_n.isNull(), "neither")
+        .when(disc_n.isNull(), "tax_only")
+        .when(tax_n.isNull(), "disc_only")
+        .otherwise("both")
+        .alias("presence"),
+    )
