@@ -360,23 +360,29 @@ def zarr_append_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sink = os.path.join(os.path.dirname(_STORE), "zarr_append_ingest.zarr")
     df = scan_data(spark, demo_store(), "metric")
-    # the time axis is store METADATA (driver-side, axis-length
-    # bounded) — a distinct+collect Spark job for it would be a
-    # wasted pass over the scan. A store without a stored coordinate
-    # array yields None (the scan then synthesizes positional
-    # indices); fall back to deriving the axis from the scan itself.
-    axis = extract_coordinate_arrays(
-        ZarrStore(demo_store()).open_zarr_group(), ["time"]
-    )["time"]
-    if axis is not None:
-        times = sorted(axis.tolist())
+    # ALL axes are store METADATA (driver-side, axis-length bounded) —
+    # a distinct+collect Spark job for any of them would be a wasted
+    # pass over the scan; passing axes= to write_zarr also skips the
+    # sink's own gather job. A store without stored coordinate arrays
+    # yields None (the scan then synthesizes positional indices); fall
+    # back to deriving the time axis from the scan itself.
+    axes = extract_coordinate_arrays(
+        ZarrStore(demo_store()).open_zarr_group(), ["time", "lat", "lon"]
+    )
+    if axes["time"] is not None:
+        times = sorted(axes["time"].tolist())
     else:
         times = sorted(
             r["time"] for r in df.select("time").distinct().collect()
         )
     split = times[len(times) // 2]
+    first_axes = None
+    if all(axes[d] is not None for d in ("time", "lat", "lon")):
+        first_axes = dict(axes)
+        first_axes["time"] = axes["time"][axes["time"] < split]
     write_zarr(
-        df.filter(F.col("time") < split), sink, chunks=(2, 2, 3)
+        df.filter(F.col("time") < split), sink, chunks=(2, 2, 3),
+        axes=first_axes,
     )
     append_zarr(
         df.filter(F.col("time") >= split), sink, append_dim="time"

@@ -9,6 +9,9 @@ per row window, Arrow-batch reads on executors. Options:
 ``array``          array name (required)
 ``group``          subgroup within the store
 ``select_dims``    JSON dict: int, [ints], or {"start":a,"stop":b,"step":c}
+``select_ranges``  JSON dict of coordinate VALUES (labels): scalar,
+                   [labels], or {"start":lo,"stop":hi} (inclusive both
+                   ends; resolved against the coordinate arrays)
 ``storage_options`` JSON dict passed to fsspec
 ``consolidated``   "true" / "false" (default: auto-detect)
 ``chunk_size``     target rows per partition (default 10000)
@@ -81,7 +84,18 @@ def _plan_from_options(options: dict) -> tuple[ScanPlan, int]:
         group=options.get("group"),
         consolidated=consolidated,
     )
-    plan = plan_scan(store, array, decode_select_dims(options.get("select_dims")))
+    plan = plan_scan(
+        store,
+        array,
+        decode_select_dims(options.get("select_dims")),
+        # VALUE-based selection: {"lat": {"start": 30, "stop": 60}} or
+        # scalar labels — resolved against the coordinate arrays at
+        # planning time (see coordinates.resolve_value_selection);
+        # reuses the positional decoder since label slices are also
+        # {"start","stop"} dicts (values, not positions; step rejected
+        # downstream)
+        decode_select_dims(options.get("select_ranges")),
+    )
     chunk_size = int(options.get("chunk_size", DEFAULT_CHUNK_SIZE))
     return plan, chunk_size
 
@@ -283,9 +297,10 @@ class ZarrStreamReader(DataSourceStreamReader):
     """
 
     def __init__(self, options: dict, planned=None):
-        if options.get("select_dims"):
+        if options.get("select_dims") or options.get("select_ranges"):
             raise ValueError(
-                "the zarr streaming source does not support select_dims"
+                "the zarr streaming source does not support "
+                "select_dims/select_ranges"
             )
         self._options = dict(options)
         # reuse the DataSource's cached startup plan when provided —

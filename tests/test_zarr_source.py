@@ -881,3 +881,26 @@ def test_select_ranges_rejects_mixed_dim(spark, climate_store):
             select_dims={"time": slice(0, 3)},
             select_ranges={"time": slice(3, 7)},
         )
+
+
+def test_datasource_select_ranges_option(spark, climate_store):
+    """.option("select_ranges", json) selects by coordinate VALUE
+    through the data source, matching the scan_data surface."""
+    root, temp, _ = climate_store
+    register_zarr_source(spark)
+    df = (
+        spark.read.format("zarr")
+        .option("array", "temperature")
+        .option(
+            "select_ranges",
+            '{"time": {"start": 3, "stop": 7}, "lon": -120.0}',
+        )
+        .load(root)
+    )
+    assert df.columns == ["time", "lat", "value"]
+    got = df.toPandas().sort_values(["time", "lat"]).reset_index(drop=True)
+    assert len(got) == 5 * 10
+    assert np.allclose(
+        got["value"].to_numpy(),
+        temp[3:8, :, 0].ravel(),
+    )
