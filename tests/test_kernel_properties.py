@@ -126,3 +126,95 @@ def test_presalt_cap_pigeonhole_model(n, n_keys, cap, salts, seed):
     precapped = topcap(ids, lambda i: (key_of[i], salt_of[i]))
     salted = set(topcap(precapped, lambda i: key_of[i]))
     assert salted == plain
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(0, 2**32 - 1),
+    st.integers(1, 48),
+    st.integers(0, 40),
+)
+def test_bpe_encode_lossless_and_parity(seed, n_texts, n_merges):
+    """Property: for ANY trained merge table, the production greedy
+    encoder (a) reconstructs the input bytes exactly and (b) agrees
+    with a rescan-the-whole-table reference implementation."""
+    import numpy as np
+
+    from cae_polars_tools_spark.operators.tokenizer import (
+        bpe_encode_bytes,
+        train_bpe,
+    )
+
+    rng = np.random.default_rng(seed)
+    alphabet = "abcde "
+    texts = [
+        "".join(rng.choice(list(alphabet), size=rng.integers(0, 60)))
+        for _ in range(n_texts)
+    ]
+    merges = train_bpe(texts, n_merges)
+    ranks = {m: i for i, m in enumerate(merges)}
+
+    def reference(data):
+        seq = [bytes([b]) for b in data]
+        while True:
+            cands = [
+                (ranks[p], i)
+                for i, p in enumerate(zip(seq, seq[1:]))
+                if p in ranks
+            ]
+            if not cands:
+                return seq
+            a, b = merges[min(cands)[0]]
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seq = out
+
+    for t in texts[:8]:
+        data = t.encode()
+        got = bpe_encode_bytes(data, ranks)
+        assert b"".join(got) == data
+        assert got == reference(data)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(0, 2**32 - 1),
+    st.integers(1, 40),
+    st.booleans(),
+)
+def test_value_selection_matches_searchsorted_model(seed, n, descending):
+    """Property: label-slice resolution over any sorted coordinate
+    array equals the brute-force mask model (inclusive both ends,
+    axis-order-following), and scalar labels resolve to a position
+    holding exactly that value."""
+    import numpy as np
+
+    from cae_polars_tools_spark.sources.coordinates import (
+        resolve_value_selection,
+    )
+
+    rng = np.random.default_rng(seed)
+    coord = np.sort(rng.integers(-50, 50, size=n)).astype(np.float64)
+    if descending:
+        coord = coord[::-1].copy()
+    lo, hi = sorted(rng.integers(-60, 60, size=2).tolist())
+    # a single-element axis counts as ascending (pandas' convention),
+    # so the descending slice(hi, lo) form only applies for n > 1
+    sel = slice(hi, lo) if (descending and n > 1) else slice(lo, hi)
+    out = resolve_value_selection(["x"], {"x": coord}, {"x": sel})["x"]
+    mask = (coord >= lo) & (coord <= hi)
+    pos = np.flatnonzero(mask)
+    want = slice(int(pos[0]), int(pos[-1]) + 1) if len(pos) else slice(0, 0)
+    assert out == want
+
+    scalar = coord[int(rng.integers(0, n))]
+    got = resolve_value_selection(["x"], {"x": coord}, {"x": float(scalar)})[
+        "x"
+    ]
+    assert coord[got] == scalar
