@@ -1592,11 +1592,15 @@ def winnow_pairs(
     # (the operator's dominant cost) would execute twice, the measured
     # recompute failure mode jaccard_pairs documents. Materialized
     # eagerly so no consumer races the cache; released when the
-    # returned plan handle is garbage-collected.
+    # returned plan handle is garbage-collected. No distinct:
+    # winnowed_fingerprints already emits per-document UNIQUE values
+    # (np.unique before return), so the exploded (doc_id, f) pairs
+    # are unique by construction — a distinct here would re-shuffle
+    # the whole index for nothing.
     idx = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(winnowed_fingerprints(text_col, k, w)).alias("f"),
-    ).distinct().persist()
+    ).persist()
     idx.count()
     hot = (
         idx.groupBy("f")
