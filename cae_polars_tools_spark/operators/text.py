@@ -340,15 +340,21 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict from the published rule thresholds. Pure expressions —
     zero shuffle; at 100 TB this is a map-only pass whose selectivity
     feeds the downstream dedup/pack stages."""
-    d = spread(read_table(spark, sf_dir, "documents"))
-    s = quality_signals("text")
+    return quality_filter(spread(read_table(spark, sf_dir, "documents")))
+
+
+def quality_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Reusable Gopher-rule quality gate: ``(doc_id, signals…, keep)``.
+    Map-only JVM expressions, so the SAME code runs on batch and
+    streaming frames (equivalence pinned in test_streaming)."""
+    s = quality_signals(text_col)
     keep = (
         F.col("n_words").between(QUALITY_MIN_WORDS, QUALITY_MAX_WORDS)
         & F.col("mean_word_len").between(*QUALITY_MEAN_WORD_LEN)
         & (F.col("alpha_frac") >= QUALITY_MIN_ALPHA_FRAC)
         & (F.col("n_stopwords") >= QUALITY_MIN_STOPWORDS)
     )
-    return d.select(
+    return docs.select(
         "doc_id", *[expr.alias(name) for name, expr in s.items()]
     ).withColumn("keep", keep)
 

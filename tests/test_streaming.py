@@ -483,3 +483,64 @@ def test_zarr_ingest_sink_resumes_half_finished_create(spark, tmp_path):
     assert got == {
         (t, j): float(t * 10 + j) for t in (1, 2) for j in range(3)
     }
+
+
+def test_map_only_text_operators_run_on_streams(spark, sf_small, tmp_path):
+    """The zero-shuffle text operators (BPE tokenize, quality filter)
+    are streaming-ready BY CONSTRUCTION — the same code runs on a
+    readStream frame and a micro-batched run must equal the batch
+    result exactly. Pins the 'map-only ⇒ streaming twin for free'
+    architectural claim."""
+    from cae_polars_tools_spark.io import read_table
+    from cae_polars_tools_spark.operators.text import quality_filter
+    from cae_polars_tools_spark.operators.tokenizer import (
+        FIXED_MERGES,
+        tokenize_bpe,
+    )
+
+    docs = read_table(spark, sf_small, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_stream")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    q1 = (
+        tokenize_bpe(stream, FIXED_MERGES)
+        .writeStream.format("memory")
+        .queryName("bpe_stream")
+        .outputMode("append")
+        .start()
+    )
+    q1.processAllAvailable()
+    q1.stop()
+    got = {
+        r["doc_id"]: r["n_tokens"]
+        for r in spark.sql("SELECT * FROM bpe_stream").collect()
+    }
+    want = {
+        r["doc_id"]: r["n_tokens"]
+        for r in tokenize_bpe(docs, FIXED_MERGES).collect()
+    }
+    assert got == want
+
+    q2 = (
+        quality_filter(stream)
+        .writeStream.format("memory")
+        .queryName("quality_stream")
+        .outputMode("append")
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    got_q = {
+        r["doc_id"]: r["keep"]
+        for r in spark.sql("SELECT doc_id, keep FROM quality_stream").collect()
+    }
+    want_q = {
+        r["doc_id"]: r["keep"] for r in quality_filter(docs).collect()
+    }
+    assert got_q == want_q
