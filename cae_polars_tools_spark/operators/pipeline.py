@@ -630,3 +630,156 @@ def pipeline_domain_cap(spark, sf_dir: str) -> DataFrame:
     return cap_per_key(
         d, "source", DOMAIN_CAP, "doc_id", seed=DOMAIN_CAP_SEED, presalt=4
     ).select("doc_id", "source")
+
+
+def _curate_e2e_oracle() -> str:
+    """The full composed oracle: quality rules -> exact-dedup
+    survivors (min doc_id per md5 fingerprint, via a window) ->
+    capped-Jaccard near-dup pairs over the SURVIVING subset -> drop
+    the larger side of every pair. Built from the same SQL fragments
+    the individual stage oracles use, so a mismatch localizes to
+    composition. (Imports are deferred into the function body only to
+    keep module import light; there is no cycle.)"""
+    return _curate_e2e_oracle_impl()
+
+
+@register(
+    "pipeline_curate_e2e",
+    oracle=None,  # replaced two lines below the builder definition
+    tags=("pipeline", "extension", "e2e"),
+    window_rank=1,
+)
+def pipeline_curate_e2e(spark, sf_dir: str) -> DataFrame:
+    """The whole curation tail in ONE composed plan: Gopher quality
+    gate (map-only filter) → exact dedup survivors (min doc_id per
+    16-byte fingerprint, one window shuffle — no join) → capped-index
+    exact-Jaccard near-dup pairs over the survivors → drop the larger
+    id of each pair → surviving (doc_id, n_tokens).
+
+    This is the entry a reference user actually RUNS nightly; every
+    stage is individually oracle-checked elsewhere, and this one
+    hash-checks their composition. Scale shape: one fingerprint-window
+    shuffle + the Jaccard cascade's single bucket shuffle; document
+    text never shuffles except into the shingle index."""
+    from pyspark.sql import Window
+
+    from cae_polars_tools_spark.operators.dedup import jaccard_pairs
+    from cae_polars_tools_spark.operators.text import (
+        QUALITY_MAX_WORDS,
+        QUALITY_MEAN_WORD_LEN,
+        QUALITY_MIN_ALPHA_FRAC,
+        QUALITY_MIN_STOPWORDS,
+        QUALITY_MIN_WORDS,
+        fingerprint,
+        quality_signals,
+        tokens,
+    )
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    s = quality_signals("text")
+    keep = (
+        s["n_words"].between(QUALITY_MIN_WORDS, QUALITY_MAX_WORDS)
+        & s["mean_word_len"].between(*QUALITY_MEAN_WORD_LEN)
+        & (s["alpha_frac"] >= QUALITY_MIN_ALPHA_FRAC)
+        & (s["n_stopwords"] >= QUALITY_MIN_STOPWORDS)
+    )
+    kept = docs.filter(keep)
+    w = Window.partitionBy(fingerprint("text"))
+    restricted = (
+        kept.withColumn("__m", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("__m"))
+        .drop("__m")
+    )
+    pairs = jaccard_pairs(restricted)
+    dropped = pairs.select(F.col("doc_id_b").alias("doc_id")).distinct()
+    out = (
+        restricted.join(dropped, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.size(tokens("text")).cast("long").alias("n_tokens"),
+        )
+    )
+    out._upstream_cache_handle = pairs
+    return out
+
+
+def _curate_e2e_oracle_impl() -> str:
+    from cae_polars_tools_spark.operators.dedup import (
+        JACCARD_MAX_DF,
+        JACCARD_THRESHOLD,
+        SHINGLES_SQL,
+    )
+    from cae_polars_tools_spark.operators.text import (
+        NORMALIZED_SQL,
+        QUALITY_MAX_WORDS,
+        QUALITY_MEAN_WORD_LEN,
+        QUALITY_MIN_ALPHA_FRAC,
+        QUALITY_MIN_STOPWORDS,
+        QUALITY_MIN_WORDS,
+        STOPWORDS,
+    )
+
+    return f"""
+        WITH q AS (
+            SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       len(string_split(text, ' ')) AS n_words,
+                       CAST(list_sum(list_transform(string_split(text, ' '),
+                            x -> length(x))) AS DOUBLE)
+                           / len(string_split(text, ' ')) AS mean_word_len,
+                       CAST(len(list_filter(string_split(text, ' '),
+                            x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+                           / len(string_split(text, ' ')) AS alpha_frac,
+                       len(list_filter(string_split(text, ' '),
+                            x -> x IN {STOPWORDS!r})) AS n_stopwords
+                FROM documents
+            )
+            WHERE (n_words BETWEEN {QUALITY_MIN_WORDS} AND {QUALITY_MAX_WORDS})
+              AND (mean_word_len BETWEEN {QUALITY_MEAN_WORD_LEN[0]}
+                                     AND {QUALITY_MEAN_WORD_LEN[1]})
+              AND (alpha_frac >= {QUALITY_MIN_ALPHA_FRAC})
+              AND (n_stopwords >= {QUALITY_MIN_STOPWORDS})
+        ),
+        r AS (
+            SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       min(doc_id) OVER (
+                           PARTITION BY md5({NORMALIZED_SQL})
+                       ) AS m
+                FROM q
+            ) WHERE doc_id = m
+        ),
+        sh AS (SELECT doc_id, {SHINGLES_SQL} AS s FROM r),
+        ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        kept AS (
+            SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= {JACCARD_MAX_DF}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+            FROM ex a
+            JOIN kept k ON a.g = k.g
+            JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        ),
+        inter AS (
+            SELECT c.doc_id_a, c.doc_id_b,
+                   len(list_intersect(sa.s, sb.s)) AS i,
+                   len(sa.s) AS na, len(sb.s) AS nb
+            FROM cand c
+            JOIN sh sa ON c.doc_id_a = sa.doc_id
+            JOIN sh sb ON c.doc_id_b = sb.doc_id
+        ),
+        jp AS (
+            SELECT doc_id_b FROM inter
+            WHERE CAST(i AS DOUBLE) / (na + nb - i) >= {JACCARD_THRESHOLD}
+        )
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM r
+        WHERE doc_id NOT IN (SELECT doc_id_b FROM jp)
+    """
+
+
+# attach the assembled oracle (built after the SQL-fragment imports)
+from cae_polars_tools_spark.plans.registry import CORPUS as _CORPUS  # noqa: E402
+
+_CORPUS["pipeline_curate_e2e"].oracle = _curate_e2e_oracle()
