@@ -112,6 +112,24 @@ def main() -> None:
     n4 = docs.count()
     print(f"after quality gate: {n4} (-{n3 - n4})")
 
+    # 4-bis. model-based quality score: train a logistic classifier on
+    # a bounded seeded sample labeled by a heuristic (here: longer
+    # docs), then score the whole corpus as zero-shuffle expressions —
+    # the fasttext-classifier stage of a production curation pipeline
+    from cae_polars_tools_spark.operators.classifier import (
+        sample_training_frame,
+        score_quality_lr,
+        train_quality_lr,
+    )
+
+    X, y = sample_training_frame(
+        docs, F.length("text") > 250, sample_rows=512
+    )
+    w_lr, b_lr = train_quality_lr(X, y)
+    scored = score_quality_lr(docs, w_lr, b_lr)
+    n_hi = scored.filter("quality_score >= 0.5").count()
+    print(f"learned quality model scores {n_hi}/{n4} docs >= 0.5")
+
     # 4a. repetition filter: the other half of the Gopher rules —
     # duplicate-word fraction (zero-shuffle HOF) and top-bigram
     # fraction (one map-side-combined (doc, bigram) count)
@@ -178,9 +196,17 @@ def main() -> None:
     )
     split.groupBy("split").count().orderBy("split").show()
 
-    # 6. pack the train split into 512-token samples
-    train = split.filter("split = 'train'").select(
-        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+    # 6. tokenize with a REAL byte-level BPE (merges trained on a
+    # bounded seeded sample, encode as a zero-shuffle map) and pack
+    # the train split into 512-token samples
+    from cae_polars_tools_spark.operators.tokenizer import (
+        bpe_merges_from_docs,
+        tokenize_bpe,
+    )
+
+    merges = bpe_merges_from_docs(docs, n_merges=64, sample_rows=512)
+    train = tokenize_bpe(
+        split.filter("split = 'train'"), merges
     )
     n_train = train.count()
     packed = pack_sequences(train, budget=512)
