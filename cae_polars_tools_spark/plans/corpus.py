@@ -2038,3 +2038,60 @@ def q53_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("both")
         .alias("presence"),
     )
+
+
+@register(
+    "q54_correlated_scalar",
+    # TPC-H Q17's shape: per-row comparison against the ROW'S GROUP
+    # aggregate. The threshold (0.5 * decimal-exact avg) is rounded to
+    # 6 before the comparison in BOTH engines so a boundary row cannot
+    # flip on double accumulation order.
+    oracle="""
+        WITH t AS (
+            SELECT l_partkey,
+                   ROUND(0.5 * (
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                            AS DOUBLE) / COUNT(l_quantity)
+                   ), 6) AS threshold
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT l.l_partkey,
+               CAST(COUNT(*) AS BIGINT) AS n_small,
+               SUM(l.l_quantity) AS small_qty
+        FROM lineitem l JOIN t ON l.l_partkey = t.l_partkey
+        WHERE l.l_quantity < t.threshold
+        GROUP BY l.l_partkey
+    """,
+    tags=("subquery", "correlated", "extension"),
+    window_rank=1,
+)
+def q54_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRELATED scalar subquery (TPC-H Q17's core): each lineitem
+    row compares against half the average quantity OF ITS OWN PART.
+    Expressed in SQL so Catalyst performs the decorrelation — the
+    correlated subquery rewrites to a per-key aggregate joined back,
+    exactly the plan the hand-written DataFrame version would build;
+    q37 covers the uncorrelated (broadcast one-row) case. One
+    aggregate shuffle + one equi-join on the same key — AQE reuses
+    the partitioning. Threshold math is decimal-exact then rounded,
+    so the boundary comparison is engine-portable."""
+    from cae_polars_tools_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l.l_partkey,
+               COUNT(*) AS n_small,
+               SUM(l.l_quantity) AS small_qty
+        FROM lineitem l
+        WHERE l.l_quantity < (
+            SELECT ROUND(0.5 * (
+                       CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+                            AS DOUBLE) / COUNT(l2.l_quantity)
+                   ), 6)
+            FROM lineitem l2
+            WHERE l2.l_partkey = l.l_partkey
+        )
+        GROUP BY l.l_partkey
+        """
+    )

@@ -374,3 +374,13 @@ def test_salted_agg_two_phase_shape(spark):
     # two aggregation exchanges + the final orderBy's range exchange
     assert plan.count("Exchange") <= 3
     assert "__salt" in plan
+
+
+def test_correlated_scalar_decorrelates_to_aggregate_join(spark):
+    """q54's correlated scalar subquery must decorrelate: the physical
+    plan is a per-key aggregate joined back — no nested-loop / no
+    cartesian, and only the bounded aggregate+join exchanges."""
+    plan = _plan(spark, "q54_correlated_scalar")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange") <= 4, plan
