@@ -388,3 +388,41 @@ def zarr_append_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.filter(F.col("time") >= split), sink, append_dim="time"
     )
     return scan_data(spark, sink, "value")
+
+
+@register(
+    "zarr_resample_time",
+    # mean over time-bucket pairs: value[i,j,k] = i*20 + j*4 + k, so
+    # the bucket-b mean over i ∈ {2b, 2b+1} is 40b + 10 + 4j + k —
+    # exactly representable, so the oracle is closed-form
+    oracle="""
+        SELECT
+            CAST(b.b AS INTEGER) AS bucket,
+            CAST(30 + la.j * 0.5 AS REAL) AS lat,
+            CAST(-120 + lo.k * 0.25 AS REAL) AS lon,
+            CAST(40 * b.b + 10 + 4 * la.j + lo.k AS DOUBLE) AS mean_value
+        FROM range(3) b(b), range(5) la(j), range(4) lo(k)
+    """,
+    tags=("zarr", "temporal", "extension"),
+    window_rank=1,
+)
+def zarr_resample_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal RESAMPLING over the zarr scan — the reference user's
+    daily→monthly/seasonal climate aggregation (reference
+    examples/basic_usage.py's seasonal means) as one composed Spark
+    plan: long-format scan → integer time-bucketing → per-(bucket,
+    lat, lon) mean. Catalyst fuses the bucket projection into the
+    scan output and the aggregate is partial+final — one shuffle on
+    the (bucket, lat, lon) key at any scale."""
+    from pyspark.sql import functions as F
+
+    from cae_polars_tools_spark.sources.zarr_scan import scan_data
+
+    df = scan_data(spark, demo_store(), "metric")
+    # time values are (i+1)*10 for i ∈ 0..5 → pair-bucket (i // 2)
+    bucket = ((F.col("time") / 10).cast("int") - 1) / 2
+    return (
+        df.withColumn("bucket", bucket.cast("int"))
+        .groupBy("bucket", "lat", "lon")
+        .agg(F.avg(F.col("value").cast("double")).alias("mean_value"))
+    )
