@@ -426,3 +426,51 @@ def zarr_resample_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket", "lat", "lon")
         .agg(F.avg(F.col("value").cast("double")).alias("mean_value"))
     )
+
+
+@register(
+    "zarr_info_table",
+    # the demo store's metadata is fully determined by demo_store()'s
+    # spec, so the oracle is a VALUES literal — this turns the
+    # previously driver-unchecked metadata API (reference
+    # zarr_scanner.py:186-268) into a value-hash-checked surface
+    oracle="""
+        SELECT array_name, shape, dtype, chunks, dimensions,
+               CAST(size_bytes AS BIGINT) AS size_bytes
+        FROM (VALUES
+            ('lat',    '5',     'float32', '5',     'lat',          20),
+            ('lon',    '4',     'float32', '4',     'lon',          16),
+            ('metric', '6,5,4', 'float32', '2,2,3', 'time,lat,lon', 480),
+            ('time',   '6',     'int32',   '6',     'time',         24)
+        ) AS t(array_name, shape, dtype, chunks, dimensions, size_bytes)
+    """,
+    tags=("zarr", "metadata"),
+    window_rank=1,
+)
+def zarr_info_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``get_zarr_data_info`` as a checked table: one row per array
+    with shape/dtype/chunks/dimensions/size from the metadata-only
+    inspection path (no array data read, no executor involvement —
+    the frame is driver-built from the info dict, exactly how a user
+    materializes a catalog of thousands of stores)."""
+    from cae_polars_tools_spark.sources.zarr_scan import get_zarr_data_info
+
+    info = get_zarr_data_info(demo_store())
+    rows = [
+        (
+            name,
+            ",".join(str(s) for s in a["shape"]),
+            str(a["dtype"]),
+            ",".join(str(c) for c in a["chunks"]),
+            ",".join(a["dimensions"]),
+            int(a["size_bytes"]),
+        )
+        for name, a in sorted(info["arrays"].items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        schema=(
+            "array_name string, shape string, dtype string, "
+            "chunks string, dimensions string, size_bytes long"
+        ),
+    )
