@@ -2095,3 +2095,112 @@ def q54_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l.l_partkey
         """
     )
+
+
+@register(
+    "q55_funnel",
+    oracle="""
+        WITH m AS (
+            SELECT user_id,
+                   min(ts) FILTER (event_type = 'signup') AS t_signup,
+                   min(ts) FILTER (event_type = 'click') AS t_click,
+                   min(ts) FILTER (event_type = 'purchase') AS t_purchase
+            FROM events
+            GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(CASE
+                   WHEN t_signup IS NULL THEN 0
+                   WHEN t_click IS NULL OR t_click <= t_signup THEN 1
+                   WHEN t_purchase IS NULL OR t_purchase <= t_click THEN 2
+                   ELSE 3
+               END AS INTEGER) AS funnel_stage
+        FROM m
+    """,
+    tags=("analytics", "funnel", "extension"),
+    window_rank=1,
+)
+def q55_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (signup → click → purchase, each stage
+    STRICTLY after the previous): per-user first-occurrence times in
+    ONE conditional-min aggregate, stage resolution as a CASE — the
+    classic product-analytics query as a single hash-agg shuffle, no
+    joins, no per-user event sorting."""
+    e = _t(spark, sf_dir, "events")
+
+    def first_ts(ev: str):
+        return F.min(F.when(F.col("event_type") == ev, F.col("ts")))
+
+    m = e.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    stage = (
+        F.when(F.col("t_signup").isNull(), 0)
+        .when(
+            F.col("t_click").isNull()
+            | (F.col("t_click") <= F.col("t_signup")),
+            1,
+        )
+        .when(
+            F.col("t_purchase").isNull()
+            | (F.col("t_purchase") <= F.col("t_click")),
+            2,
+        )
+        .otherwise(3)
+    )
+    return m.select("user_id", stage.cast("int").alias("funnel_stage"))
+
+
+@register(
+    "q56_retention_cohort",
+    oracle="""
+        WITH f AS (
+            SELECT user_id,
+                   CAST(min(date_trunc('day', ts)) AS DATE) AS cohort_day
+            FROM events GROUP BY user_id
+        ),
+        a AS (
+            SELECT e.user_id, f.cohort_day,
+                   date_diff('day', f.cohort_day,
+                             CAST(date_trunc('day', e.ts) AS DATE))
+                       AS day_offset
+            FROM events e JOIN f USING (user_id)
+        )
+        SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+               CAST(day_offset AS INTEGER) AS day_offset,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+        FROM a
+        WHERE day_offset BETWEEN 0 AND 7
+        GROUP BY cohort_day, day_offset
+    """,
+    tags=("analytics", "cohort", "extension"),
+    window_rank=1,
+)
+def q56_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, distinct
+    active users per (cohort, day-offset) for the first week. Two
+    aggregates and one equi-join on user_id — the cohort frame is
+    per-user (small) and broadcastable at any realistic user count;
+    day math is integer differences of truncated days, so the output
+    is timezone-free and engine-portable (cohort serialized as a
+    yyyy-MM-dd string)."""
+    e = _t(spark, sf_dir, "events")
+    day = F.to_date(F.date_trunc("day", F.col("ts")))
+    f = e.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    joined = e.join(F.broadcast(f), "user_id").select(
+        "user_id",
+        "cohort_day",
+        F.datediff(day, F.col("cohort_day")).alias("day_offset"),
+    )
+    return (
+        joined.filter(F.col("day_offset").between(0, 7))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.col("day_offset").cast("int").alias("day_offset"),
+            "active_users",
+        )
+    )
