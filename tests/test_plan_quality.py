@@ -384,3 +384,28 @@ def test_correlated_scalar_decorrelates_to_aggregate_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Exchange") <= 4, plan
+
+
+def test_funnel_is_single_agg_no_join(spark):
+    """q55: one conditional-min hash aggregate — no join, one group
+    shuffle (+AQE read)."""
+    plan = _plan(spark, "q55_funnel")
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_cohort_broadcasts_the_per_user_frame(spark):
+    """q56: the per-user cohort frame must arrive via broadcast — the
+    events fact table is never exchanged for the join."""
+    plan = _plan(spark, "q56_retention_cohort")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_zarr_resample_single_agg_shuffle(spark):
+    """zarr_resample_time: scan → bucket projection → ONE partial+final
+    aggregate shuffle; no join, no second scan."""
+    plan = _plan(spark, "zarr_resample_time")
+    assert "Join" not in plan
+    assert "partial_" in plan
+    assert plan.count("Exchange") <= 2, plan
