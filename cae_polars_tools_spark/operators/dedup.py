@@ -997,7 +997,13 @@ def connected_components(
         # logical plan each round (2^rounds nodes — driver heap OOM by
         # round ~12). The checkpoint cuts the plan to a leaf; the
         # convergence count below is still the round's only action and
-        # is what materializes it.
+        # is what materializes it. Resilience trade (same one GraphX
+        # iteration makes): checkpointed blocks live on executors, so
+        # losing an executor mid-loop fails the JOB rather than
+        # recomputing — acceptable for a convergence loop whose restart
+        # re-enters at the persisted pair set; swap for
+        # reliable checkpoint() (needs a checkpoint dir) when running
+        # on preemptible fleets.
         nxt = (
             merged.join(parent, "cluster_id", "left")
             .select(
