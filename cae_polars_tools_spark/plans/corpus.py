@@ -2204,3 +2204,83 @@ def q56_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             "active_users",
         )
     )
+
+
+@register(
+    "q57_bag_set_ops",
+    oracle="""
+        SELECT 'inter_all' AS src, k AS o_custkey FROM (
+            SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+            INTERSECT ALL
+            SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '5-LOW'
+        )
+        UNION ALL
+        SELECT 'except_all' AS src, k AS o_custkey FROM (
+            SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+            EXCEPT ALL
+            SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '5-LOW'
+        )
+    """,
+    tags=("set-op", "bag", "extension"),
+    window_rank=1,
+)
+def q57_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — BAG semantics (multiplicity
+    min/difference), the half of the set-op family q36's distinct
+    variants don't cover. Both plan as one hash aggregate over the
+    union with per-side counts and a generate of min/residual copies —
+    one shuffle each, no join."""
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    inter = urgent.intersectAll(low).select(
+        F.lit("inter_all").alias("src"), "o_custkey"
+    )
+    exc = urgent.exceptAll(low).select(
+        F.lit("except_all").alias("src"), "o_custkey"
+    )
+    return inter.unionByName(exc)
+
+
+@register(
+    "q58_grouping_sets",
+    oracle="""
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total
+        FROM orders
+        GROUP BY GROUPING SETS (
+            (o_orderpriority, o_orderstatus),
+            (o_orderpriority),
+            ()
+        )
+    """,
+    tags=("agg", "grouping-sets", "extension"),
+    window_rank=1,
+)
+def q58_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLICIT grouping sets (q31/q32 cover the rollup/cube sugar):
+    a custom lattice — (priority, status), (priority), grand total —
+    in ONE Expand + hash aggregate pass over a single scan. Money
+    totals in decimal (exact, order-independent) so the hash compare
+    is engine-exact at any partitioning."""
+    from cae_polars_tools_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               count(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total
+        FROM orders
+        GROUP BY GROUPING SETS (
+            (o_orderpriority, o_orderstatus),
+            (o_orderpriority),
+            ()
+        )
+        """
+    )
