@@ -2284,3 +2284,45 @@ def q58_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "q59_latest_per_key",
+    oracle="""
+        SELECT user_id, event_id,
+               CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+               event_type
+        FROM (
+            SELECT user_id, event_id, ts, event_type,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    tags=("window", "dedup-idiom", "extension"),
+    window_rank=1,
+)
+def q59_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single most common production dedup idiom: keep the LATEST
+    record per key (``row_number() = 1`` under a total order — the
+    event_id tie-break makes simultaneous timestamps deterministic
+    across engines and partitionings). One shuffle on the key; at
+    scale this is the CDC-compaction / upsert-view pattern.
+    Timestamps serialize as epoch microseconds for a type-free
+    cross-engine compare."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_type",
+        )
+    )
