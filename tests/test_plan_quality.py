@@ -409,3 +409,27 @@ def test_zarr_resample_single_agg_shuffle(spark):
     assert "Join" not in plan
     assert "partial_" in plan
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_bag_set_ops_have_no_sort_merge_join(spark):
+    """q57: INTERSECT/EXCEPT ALL plan as aggregate+generate over the
+    union — never as a join of the two sides."""
+    plan = _plan(spark, "q57_bag_set_ops")
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_grouping_sets_expand_once_single_scan(spark):
+    """q58: one Expand + one partial/final aggregate over ONE scan."""
+    import re
+
+    plan = _plan(spark, "q58_grouping_sets")
+    assert plan.count("Expand") == 1
+    assert len(re.findall(r"Scan parquet", plan)) == 1
+    assert "partial_" in plan
+
+
+def test_latest_per_key_single_window_shuffle(spark):
+    """q59: one key shuffle feeding the window sort; no join."""
+    plan = _plan(spark, "q59_latest_per_key")
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1, plan
