@@ -14,12 +14,15 @@ nearest-neighbor resize all run on actual pixels, oracle-checked by
 the ``mm_bmp_features`` corpus entry), 8-bit non-interlaced PNG
 decodes with nothing beyond stdlib ``zlib`` (:func:`decode_png` —
 chunk walk + all five spec scanline filters, oracle-checked by
-``mm_png_features``), and PCM WAV decodes via the stdlib ``wave``
-module (:func:`decode_wav`). Formats that genuinely need external
-codecs (JPEG/MP4/…) stay STUBBED behind a clear
-``NotImplementedError``; swapping in Pillow/librosa is a one-line
-change at the marked seam, and the tested pipeline uses a
-deterministic fake decoder there.
+``mm_png_features``), baseline JPEG encodes AND decodes with numpy
+alone (``operators/jpeg.py`` — DCT, quantization, canonical Huffman;
+lossy, so round-trips are tolerance-tested plus exact on flat
+blocks), and PCM WAV decodes via the stdlib ``wave`` module
+(:func:`decode_wav`). Only VIDEO containers genuinely need external
+codecs and stay STUBBED behind a clear ``NotImplementedError``;
+swapping in Pillow/librosa there is a one-line change at the marked
+seam, and the tested pipeline uses a deterministic fake decoder for
+it.
 
 Scale notes: payload bytes never leave their partition (decode is a
 map), and feature outputs are small fixed-width rows — the shuffle
@@ -67,10 +70,14 @@ def decode_image(payload: bytes) -> Any:
         return decode_bmp(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from cae_polars_tools_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "compressed-image decoding beyond PNG requires an imaging "
-        "library not present in this environment; pass decode_fn= to "
-        "extract_features() (BMP and PNG decode natively)"
+        "image decoding beyond BMP/PNG/baseline-JPEG requires an "
+        "imaging library not present in this environment; pass "
+        "decode_fn= to extract_features()"
     )
 
 
@@ -479,11 +486,11 @@ def decode_png(payload: bytes) -> "np.ndarray":
 
 
 def decode_image_bytes(payload: bytes) -> "np.ndarray":
-    """Format-sniffing decode → (H, W, 3) uint8 RGB: real BMP and PNG
-    decoders by magic bytes (grayscale expands to 3 channels, RGBA
-    drops alpha); anything else falls through to the
-    :func:`decode_image` codec seam (JPEG/video — NotImplementedError
-    in this environment)."""
+    """Format-sniffing decode → (H, W, 3) uint8 RGB: real BMP, PNG,
+    and baseline-JPEG decoders by magic bytes (grayscale expands to 3
+    channels, RGBA drops alpha); anything else falls through to the
+    :func:`decode_image` codec seam (video — NotImplementedError in
+    this environment)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
@@ -491,6 +498,13 @@ def decode_image_bytes(payload: bytes) -> "np.ndarray":
         if px.ndim == 2:
             return np.repeat(px[:, :, None], 3, axis=2)
         return px[:, :, :3]
+    if payload[:2] == b"\xff\xd8":
+        from cae_polars_tools_spark.operators.jpeg import decode_jpeg
+
+        px = decode_jpeg(payload)
+        if px.ndim == 2:
+            return np.repeat(px[:, :, None], 3, axis=2)
+        return px
     return decode_image(payload)
 
 
@@ -727,7 +741,75 @@ def mm_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixel oracle as ``mm_bmp_features``: text bytes → stdlib PNG
     encode (zlib + filtered scanlines) → chunk-walking decode +
     unfilter → per-channel means. Closes most of the media-codec seam
-    without any external imaging library (JPEG/video remain behind
-    the documented NotImplementedError seam)."""
+    without any external imaging library (video remains behind the
+    documented NotImplementedError seam)."""
     docs = spread(read_table(spark, sf_dir, "documents"))
     return image_features(_text_to_png(with_payload(docs)))
+
+
+# Max per-channel abs error budget at quality 90: measured 33 across
+# every sf0.01 text raster (sharp ASCII noise on 5×4 tiles — near the
+# codec's worst case); real stream corruption lands at ~128+, so 48
+# separates the regimes with margin on both sides.
+JPEG_TOL = 48
+
+
+@register(
+    "mm_jpeg_roundtrip",
+    # JPEG is LOSSY, so a pixel-value oracle cannot exist; the
+    # hash-checked contract is the INVARIANT frame (the
+    # pipeline_split_pack pattern): per-doc coverage + dimensions are
+    # exact, and within_tol must hash-match the oracle's constant
+    # TRUE on every row — any decode drift or stream corruption flips
+    # it and fails the gate
+    oracle=f"""
+        SELECT doc_id,
+               {BMP_W} AS width,
+               {BMP_H} AS height,
+               TRUE AS within_tol
+        FROM documents
+    """,
+    tags=("multimodal", "extension", "jpeg"),
+    window_rank=1,
+)
+def mm_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL baseline-JPEG path (numpy-only encoder AND
+    decoder — DCT, quantization, canonical per-image Huffman tables):
+    text bytes → 5×4 raster → JPEG encode → full entropy decode →
+    per-channel max |error| vs the original raster, thresholded at
+    the quality-90 quantization budget. Payloads never leave their
+    partition."""
+    from cae_polars_tools_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    n = BMP_W * BMP_H * 3
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "within_tol": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)[:n].ljust(n, b"\x00")
+                px = np.frombuffer(raw, dtype=np.uint8).reshape(
+                    BMP_H, BMP_W, 3
+                )
+                dec = decode_jpeg(encode_jpeg(px, quality=90))
+                err = int(
+                    np.abs(
+                        dec.astype(np.int32) - px.astype(np.int32)
+                    ).max()
+                )
+                out["doc_id"].append(int(doc_id))
+                out["height"].append(dec.shape[0])
+                out["width"].append(dec.shape[1])
+                out["within_tol"].append(err <= JPEG_TOL)
+            yield pd.DataFrame(out)
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    return with_payload(docs).mapInPandas(
+        gen,
+        schema="doc_id long, width int, height int, within_tol boolean",
+    )

@@ -1,0 +1,108 @@
+"""Baseline JPEG codec (numpy-only): round-trip tolerances, exactness
+where the pipeline is error-free, stream/format guards, and the Spark
+dispatch path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from cae_polars_tools_spark.operators.jpeg import (
+    _DCT,
+    _ZIGZAG,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def test_dct_basis_is_orthonormal():
+    assert np.allclose(_DCT @ _DCT.T, np.eye(8), atol=1e-12)
+
+
+def test_zigzag_is_a_permutation_with_correct_head():
+    assert sorted(_ZIGZAG.tolist()) == list(range(64))
+    # spec order starts (0,0),(0,1),(1,0),(2,0),(1,1),(0,2),(0,3)...
+    assert _ZIGZAG[:7].tolist() == [0, 1, 8, 16, 9, 2, 3]
+
+
+def test_flat_blocks_roundtrip_exact():
+    """DC-only content has zero quantization error by construction."""
+    for level in (0, 37, 120, 255):
+        px = np.full((16, 24, 3), level, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(px, 90))
+        assert out.shape == px.shape
+        assert np.array_equal(out, px), level
+
+
+@pytest.mark.parametrize(
+    "shape", [(8, 8, 3), (17, 19, 3), (1, 1, 3), (9, 11), (40, 32, 3)]
+)
+def test_noise_roundtrip_within_quantization_budget(shape):
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(px, 90))
+    assert out.shape == px.shape
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 32
+
+
+def test_smooth_gradient_near_exact():
+    g = np.linspace(0, 255, 32 * 40).reshape(32, 40)
+    img = np.stack([g, g[::-1], np.roll(g, 7, axis=1)], axis=-1).astype(
+        np.uint8
+    )
+    out = decode_jpeg(encode_jpeg(img, 90))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+
+
+def test_quality_knob_is_monotone():
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    errs = [
+        np.abs(
+            decode_jpeg(encode_jpeg(px, q)).astype(int) - px.astype(int)
+        ).mean()
+        for q in (30, 60, 90)
+    ]
+    assert errs[0] > errs[1] > errs[2]
+
+
+def test_deterministic_bytes():
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    assert encode_jpeg(px, 85) == encode_jpeg(px.copy(), 85)
+
+
+def test_guards():
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"BMxxxx")
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xd9")  # SOI+EOI, no SOF/SOS
+    rng = np.random.default_rng(1)
+    with pytest.raises(ValueError, match="unsupported pixel shape"):
+        encode_jpeg(rng.integers(0, 255, size=(4, 4, 2), dtype=np.uint8))
+
+
+def test_dispatch_through_image_features(spark):
+    """image_features sniffs JPEG alongside BMP/PNG; lossy means the
+    channel means are compared with a tolerance, not exactly."""
+    import pandas as pd
+
+    from cae_polars_tools_spark.operators.multimodal import (
+        encode_bmp,
+        image_features,
+    )
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "payload": [encode_bmp(px), encode_jpeg(px, 90)],
+            }
+        )
+    )
+    rows = {r["doc_id"]: r for r in image_features(df).collect()}
+    assert rows[2]["width"] == 8 and rows[2]["height"] == 8
+    for ch in ("mean_r", "mean_g", "mean_b"):
+        assert abs(rows[1][ch] - rows[2][ch]) < 8.0

@@ -35,10 +35,11 @@ def test_decode_image_dispatches_bmp_and_rejects_unknown():
 
     px = _bmp(2, 3, 7)
     assert (decode_image(encode_bmp(px)) == px).all()
-    # PNG is now a REAL native decode path; truly codec-bound formats
-    # (JPEG) still hit the NotImplementedError seam
+    # BMP/PNG/baseline-JPEG are REAL native decode paths now; a
+    # genuinely foreign format (GIF here) still hits the
+    # NotImplementedError seam
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0....JFIF")
+        decode_image(b"GIF89a......")
 
 
 def test_resize_bmp_nearest_neighbor_exact():
