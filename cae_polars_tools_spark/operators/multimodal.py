@@ -592,6 +592,17 @@ def resize_bmp(payload: bytes, width: int, height: int) -> bytes:
     return encode_bmp(px[ys][:, xs])
 
 
+def resize_image_bytes(payload: bytes, width: int, height: int) -> bytes:
+    """Format-agnostic REAL resize: sniffing decode (BMP/PNG/baseline
+    JPEG) → nearest-neighbor resample → PNG bytes out (lossless and
+    byte-deterministic regardless of the lossy-or-not input format)."""
+    px = decode_image_bytes(payload)
+    h, w = px.shape[:2]
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    return encode_png(px[ys][:, xs])
+
+
 def audio_features(assets: DataFrame) -> DataFrame:
     """REAL audio feature extraction for PCM-WAV payloads: sample
     rate, length, RMS and peak amplitude — one ``mapInPandas`` pass."""

@@ -106,3 +106,50 @@ def test_dispatch_through_image_features(spark):
     assert rows[2]["width"] == 8 and rows[2]["height"] == 8
     for ch in ("mean_r", "mean_g", "mean_b"):
         assert abs(rows[1][ch] - rows[2][ch]) < 8.0
+
+
+def test_property_roundtrip_random_shapes_and_qualities():
+    """Hypothesis-style sweep (seeded loop — the codec is slow enough
+    per case that explicit cases beat shrinking): arbitrary small
+    shapes x qualities stay within a generous quantization envelope
+    and always reproduce exact dimensions."""
+    rng = np.random.default_rng(2024)
+    for _ in range(12):
+        h = int(rng.integers(1, 26))
+        w = int(rng.integers(1, 26))
+        c = int(rng.choice([0, 3]))
+        q = int(rng.integers(25, 99))
+        shape = (h, w) if c == 0 else (h, w, 3)
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(px, q))
+        assert out.shape == px.shape, (shape, q)
+        # random noise is the codec's worst case and per-case error is
+        # not monotone in quality (basis overlap): assert a generous
+        # decodes-sanely ceiling here; the precise per-quality budgets
+        # live in the dedicated flat/gradient/monotone tests above
+        assert np.abs(out.astype(int) - px.astype(int)).max() <= 160, (
+            shape,
+            q,
+        )
+
+
+def test_resize_image_bytes_across_formats(spark):
+    from cae_polars_tools_spark.operators.multimodal import (
+        decode_png,
+        encode_bmp,
+        encode_png,
+        resize_image_bytes,
+    )
+
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, size=(8, 10, 3), dtype=np.uint8)
+    for payload in (encode_bmp(px), encode_png(px), encode_jpeg(px, 90)):
+        out = decode_png(resize_image_bytes(payload, 5, 4))
+        assert out.shape == (4, 5, 3)
+    # lossless inputs resize pixel-exactly
+    ys = (np.arange(4) * 8) // 4
+    xs = (np.arange(5) * 10) // 5
+    want = px[ys][:, xs]
+    assert np.array_equal(
+        decode_png(resize_image_bytes(encode_bmp(px), 5, 4)), want
+    )
