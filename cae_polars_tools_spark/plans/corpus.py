@@ -2326,3 +2326,93 @@ def q59_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         )
     )
+
+
+@register(
+    "q60_share_of_total",
+    oracle="""
+        WITH rev AS (
+            SELECT n.n_regionkey, c.c_nationkey,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS nation_rev
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_regionkey, c.c_nationkey
+        )
+        SELECT n_regionkey, c_nationkey, nation_rev,
+               ROUND(nation_rev / SUM(nation_rev)
+                   OVER (PARTITION BY n_regionkey), 6) AS region_share
+        FROM rev
+    """,
+    tags=("window", "analytics", "extension"),
+    window_rank=1,
+)
+def q60_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total (percent-of-group): each nation's revenue as a
+    fraction of its region's — the aggregate-then-window composition
+    every BI layer generates. Decimal-exact sums make the numerators
+    engine-identical; the ratio rounds to 1e-6 (division ulps). One
+    aggregate shuffle + one window shuffle on the (already small)
+    aggregate frame; the orders fact joins its dims via broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_regionkey", "c_nationkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("nation_rev")
+        )
+    )
+    w = Window.partitionBy("n_regionkey")
+    return rev.select(
+        "n_regionkey",
+        "c_nationkey",
+        "nation_rev",
+        F.round(
+            F.col("nation_rev") / F.sum("nation_rev").over(w), 6
+        ).alias("region_share"),
+    )
+
+
+@register(
+    "q61_topk_per_group",
+    oracle="""
+        SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+        FROM (
+            SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+                   row_number() OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice DESC,
+                                l_orderkey, l_linenumber
+                   ) AS rn
+            FROM lineitem
+        ) WHERE rn <= 3
+    """,
+    tags=("window", "topk", "extension"),
+    window_rank=1,
+)
+def q61_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k PER GROUP (k = 3 priciest items per return flag) — the
+    generalization of q13's argmax. The (orderkey, linenumber)
+    tie-break gives a total order, so the selection is deterministic
+    across engines and partitionings. One shuffle on the group key;
+    at scale Spark's WindowGroupLimit pushes the rank filter into the
+    sort, so each partition keeps only k rows per group."""
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").desc(),
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+        )
+    )
