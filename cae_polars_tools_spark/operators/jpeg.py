@@ -362,6 +362,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     progressive / subsampled / 12-bit / restart-marker variants."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
+    try:
+        return _decode_jpeg_inner(payload)
+    except (IndexError, KeyError, struct.error) as e:
+        # truncated/corrupt streams surface as clean ValueError — a
+        # hostile-bytes ingest pipeline must never see
+        # IndexError/KeyError (dangling table ids, short segments)
+        raise ValueError(f"truncated or corrupt JPEG: {e!r}") from e
+
+
+def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}

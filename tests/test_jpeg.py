@@ -156,3 +156,34 @@ def test_resize_image_bytes_across_formats(spark):
     assert np.array_equal(
         decode_png(resize_image_bytes(encode_bmp(px), 5, 4)), want
     )
+
+
+def test_truncation_fuzz_never_hangs():
+    """Every truncation of a valid stream either raises cleanly or
+    returns an image — bounded time, no hangs, no non-ValueError
+    crashes (the guard an ingest pipeline fed hostile bytes needs)."""
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    data = encode_jpeg(px, 90)
+    for cut in list(range(2, min(len(data), 60))) + [len(data) - 3]:
+        try:
+            decode_jpeg(data[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_random_corruption_fuzz_raises_cleanly():
+    """Random byte corruptions either raise ValueError/
+    NotImplementedError or decode to some image — never an internal
+    IndexError/KeyError (hostile-bytes ingest safety)."""
+    rng = np.random.default_rng(99)
+    px = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    data = bytearray(encode_jpeg(px, 80))
+    for _ in range(120):
+        d = bytearray(data)
+        for _ in range(int(rng.integers(1, 5))):
+            d[int(rng.integers(2, len(d)))] = int(rng.integers(0, 256))
+        try:
+            decode_jpeg(bytes(d))
+        except (ValueError, NotImplementedError):
+            pass
