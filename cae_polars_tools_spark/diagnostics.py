@@ -44,11 +44,16 @@ def _formatted(df: DataFrame) -> str:
     return buf.getvalue()
 
 
-def plan_report(df: DataFrame) -> dict[str, Any]:
+def plan_report(
+    df: DataFrame, after_execution: bool = False
+) -> dict[str, Any]:
     """Summarize a DataFrame's physical plan. Keys:
 
-    * ``n_exchanges`` / ``exchanges`` — shuffle count and each
-      exchange's partitioning (hash/range/round-robin/single);
+    * ``n_exchanges`` / ``exchanges`` — *shuffle* count and each
+      exchange's partitioning (hash/range/round-robin/single; broadcast
+      exchanges are reported separately — they replicate a small side,
+      they don't repartition the big one);
+    * ``n_broadcast_exchanges`` — broadcast-side exchanges;
     * ``joins`` — counts per strategy (broadcast_hash, sort_merge,
       shuffled_hash, broadcast_nested_loop, cartesian);
     * ``scans`` — per file scan: format, pushed filters, read schema
@@ -59,17 +64,37 @@ def plan_report(df: DataFrame) -> dict[str, Any]:
     * ``python_stages`` — stages that leave the JVM (Arrow-batched
       pandas UDF nodes etc.);
     * ``has_cartesian`` — convenience flag.
+
+    With ``after_execution=True`` the report describes the FINAL plan —
+    the one that actually ran: if AQE has not yet finalized this
+    DataFrame's plan, the physical plan is executed once cluster-side
+    (``executedPlan().execute().count()`` on the JVM — no rows are
+    collected to the driver) so the adaptive re-plan materializes, then
+    the report is taken from it. On an already-executed DataFrame this
+    is free.
     """
+    if after_execution:
+        qe = df._jdf.queryExecution()
+        probe = qe.executedPlan().toString()
+        if "isFinalPlan=false" in probe:
+            # run the plan once, executor-side only, to let AQE finalize
+            qe.executedPlan().execute().count()
     plan = _physical(df)
     fmt = _formatted(df)
 
     exchanges = []
-    for m in re.finditer(r"Exchange (\w+)\(([^)]*)", plan):
+    # shuffle exchanges print as "Exchange hashpartitioning(...)",
+    # "Exchange rangepartitioning(...)", "Exchange RoundRobinPartitioning(n)"
+    # or — with NO parenthesized detail — "Exchange SinglePartition", the
+    # global single-partition shuffle this audit most needs to catch. The
+    # leading lookbehind keeps BroadcastExchange / ReusedExchange nodes out
+    # of the shuffle count (reported separately below).
+    for m in re.finditer(r"(?<![A-Za-z])Exchange (\w+)(?:\(([^)]*)\))?", plan):
         kind = m.group(1)
         exchanges.append(
             {
                 "partitioning": kind,
-                "detail": m.group(2)[:120],
+                "detail": (m.group(2) or "")[:120],
             }
         )
     joins = {
@@ -104,6 +129,7 @@ def plan_report(df: DataFrame) -> dict[str, Any]:
     return {
         "n_exchanges": len(exchanges),
         "exchanges": exchanges,
+        "n_broadcast_exchanges": plan.count("BroadcastExchange"),
         "joins": joins,
         "scans": scans,
         "codegen_stage_count": codegen,

@@ -315,39 +315,65 @@ def _fresh_cow_dst(target: str, dst: str) -> None:
     os.makedirs(d_abs, exist_ok=True)
 
 
-def _copy_untouched(files: list[str], dst: str, op: str) -> None:
+def _copy_untouched(
+    files: list[str], dst: str, target: str | None = None
+) -> None:
+    """Byte-for-byte copy of already-normalized local file paths into
+    ``dst``. With ``target`` set, each file keeps its relative
+    ``key=value`` subpath under ``dst`` — the partition-column values
+    live in those directory names, not in the files, so flattening
+    would silently drop them."""
     import shutil
 
-    for i, f in enumerate(files):
-        src_p = _local_path(f, op)
+    t_abs = os.path.abspath(target) if target is not None else None
+    for i, src_p in enumerate(files):
+        if t_abs is not None:
+            rel_dir = os.path.dirname(os.path.relpath(src_p, t_abs))
+            out_dir = os.path.join(dst, rel_dir) if rel_dir else dst
+            os.makedirs(out_dir, exist_ok=True)
+        else:
+            out_dir = dst
         shutil.copyfile(
             src_p,
-            os.path.join(dst, f"copied-{i:05d}-{os.path.basename(src_p)}"),
+            os.path.join(
+                out_dir, f"copied-{i:05d}-{os.path.basename(src_p)}"
+            ),
         )
 
 
 _HIVE_DIR = re.compile(r"^[^=/]+=[^=/]*$")
 
 
-def _check_unpartitioned(target: str, files: list[str], op: str) -> None:
-    """Refuse hive-partitioned (key=value directory) datasets: the
-    copy-on-write rewrite flattens copied files into ``dst``'s root,
-    which would silently DROP the partition-column values those
-    directory names encode (the physical files don't store them).
-    Supporting that layout needs partition-aware copying + a
-    ``partitionBy`` rewrite; until then, fail loudly instead of
-    corrupting rows."""
+def _dataset_layout(
+    target: str, raw_files: list[str], op: str
+) -> tuple[list[str], list[str]]:
+    """Normalize the RAW ``inputFiles()`` URIs exactly once (a second
+    ``unquote`` pass would mangle literal ``%`` in paths) and derive
+    the dataset's hive-partition layout from the ``key=value``
+    directory components between ``target`` and each file. Returns
+    ``(sorted normalized paths, ordered partition column names)``;
+    an unpartitioned dataset yields ``pcols == []``. Files that
+    disagree on the key sequence are refused — a mixed layout would
+    mis-assign partition values on rewrite."""
     t_abs = os.path.abspath(target)
+    files = sorted(_local_path(f, op) for f in raw_files)
+    pcols: list[str] | None = None
     for f in files:
-        rel = os.path.relpath(_local_path(f, op), t_abs)
-        if any(_HIVE_DIR.match(part) for part in rel.split(os.sep)[:-1]):
-            raise NotImplementedError(
-                f"{op}: {target!r} is hive-partitioned (found "
-                f"{rel!r}); the copy-on-write rewrite would flatten "
-                "key=value directories and lose their partition-column "
-                "values. Compact to an unpartitioned layout first, or "
-                "merge per-partition."
+        rel = os.path.relpath(f, t_abs)
+        keys = [
+            part.split("=", 1)[0]
+            for part in rel.split(os.sep)[:-1]
+            if _HIVE_DIR.match(part)
+        ]
+        if pcols is None:
+            pcols = keys
+        elif keys != pcols:
+            raise ValueError(
+                f"{op}: {target!r} mixes partition layouts "
+                f"({pcols} vs {keys} at {rel!r}); rewrite would "
+                "mis-assign partition values — repair the layout first"
             )
+    return files, pcols or []
 
 
 def merge_parquet(
@@ -381,6 +407,14 @@ def merge_parquet(
     is the caller's one atomic rename/pointer-flip. ``dst`` must not
     overlap ``target`` (checked).
 
+    Hive-partitioned (``key=value`` directory) targets are supported:
+    untouched files keep their relative partition subpaths in the
+    copy, affected files are read with ``basePath`` so the
+    directory-encoded partition columns re-materialize, and the
+    rewrite goes back out through ``partitionBy`` — an update may
+    even move a row between partitions (the old version leaves its
+    file via the anti-join, the new row lands in its new directory).
+
     ``updates`` must carry exactly the target's columns (aligned by
     name; a silent schema mix across files would poison later reads)
     and be unique on ``keys`` (checked — a duplicate would fan out
@@ -399,10 +433,8 @@ def merge_parquet(
             f"updates columns {sorted(updates.columns)} must equal the "
             f"target's {sorted(t.columns)} (aligned by name)"
         )
-    _check_unpartitioned(
-        target,
-        [_local_path(f, "merge_parquet") for f in t.inputFiles()],
-        "merge_parquet",
+    all_files, pcols = _dataset_layout(
+        target, t.inputFiles(), "merge_parquet"
     )
     # name-AND-type alignment: a dtype drift (int updates vs long
     # target) would flow through unionByName into the rewritten files
@@ -450,13 +482,12 @@ def merge_parquet(
             .collect()
         )
         affected_set = set(affected)
-        all_files = sorted(
-            _local_path(f, "merge_parquet") for f in t.inputFiles()
-        )
         untouched = [f for f in all_files if f not in affected_set]
 
         _fresh_cow_dst(target, dst)
-        _copy_untouched(untouched, dst, "merge_parquet")
+        _copy_untouched(
+            untouched, dst, target=target if pcols else None
+        )
 
         # bytes-per-row from dataset statistics sizes the rewritten
         # files: the update volume counts too (a large insert batch
@@ -468,7 +499,14 @@ def merge_parquet(
 
         stats = {"rows_updated": 0, "rows_inserted": 0}
         if affected:
-            aff = spark.read.parquet(*affected)
+            # basePath re-derives the partition columns from the
+            # key=value dirs — reading the leaf files bare would
+            # silently drop them from the rewrite
+            aff = (
+                spark.read.option("basePath", target).parquet(*affected)
+                if pcols
+                else spark.read.parquet(*affected)
+            )
             survivors = aff.join(key_set, keys, "left_anti")
             matched = updates.join(
                 F.broadcast(aff.select(*keys).distinct()),
@@ -484,7 +522,15 @@ def merge_parquet(
             out = updates
             est = upd_rows * bpr
         n_files = max(1, math.ceil(est / target_file_bytes))
-        out.repartition(n_files).write.mode("append").parquet(dst)
+        writer = out.repartition(
+            # on a partitioned target, hash on the partition columns so
+            # each partition value lands in ONE task → one file per
+            # value, not n_files × n_partitions fragments
+            *( [n_files] + pcols if pcols else [n_files] )
+        ).write.mode("append")
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        writer.parquet(dst)
     finally:
         updates.unpersist()
 
@@ -518,7 +564,11 @@ def delete_parquet(
     without reading them. Same copy-on-write contract as
     :func:`merge_parquet`: readers of ``target`` never observe a
     half-deleted state, the swap is the caller's pointer flip, and
-    ``dst`` must not overlap ``target`` (checked).
+    ``dst`` must not overlap ``target`` (checked). Hive-partitioned
+    targets are supported (relative ``key=value`` subpaths preserved
+    in the copy, ``partitionBy`` rewrite); a predicate on a partition
+    column prunes whole directories out of the discovery scan before
+    a single data byte is read — the cheap takedown shape.
     """
     from pyspark.sql import Column
     from pyspark.sql import functions as F
@@ -528,11 +578,12 @@ def delete_parquet(
         raise ValueError("predicate must be a Column or SQL string")
 
     t = spark.read.parquet(target)
-    _check_unpartitioned(
-        target,
-        [_local_path(f, "delete_parquet") for f in t.inputFiles()],
-        "delete_parquet",
+    all_files, pcols = _dataset_layout(
+        target, t.inputFiles(), "delete_parquet"
     )
+    # rows whose partition value is pruned by the predicate never even
+    # list their files here — the discovery scan skips whole key=value
+    # directories on a partition-column predicate
     affected = sorted(
         _local_path(r["__f"], "delete_parquet")
         for r in t.filter(pred)
@@ -541,24 +592,30 @@ def delete_parquet(
         .collect()
     )
     affected_set = set(affected)
-    all_files = sorted(
-        _local_path(f, "delete_parquet") for f in t.inputFiles()
-    )
     untouched = [f for f in all_files if f not in affected_set]
 
     _fresh_cow_dst(target, dst)
-    _copy_untouched(untouched, dst, "delete_parquet")
+    _copy_untouched(untouched, dst, target=target if pcols else None)
 
     rows_deleted = 0
     if affected:
-        aff = spark.read.parquet(*affected)
+        aff = (
+            spark.read.option("basePath", target).parquet(*affected)
+            if pcols
+            else spark.read.parquet(*affected)
+        )
         rows_deleted = aff.filter(pred).count()
         # NULL-predicate rows SURVIVE: plain ~pred maps NULL→NULL and
         # the filter would silently drop them uncounted
         survivors = aff.filter(pred.isNull() | ~pred)
         total = sum(os.path.getsize(f) for f in affected)
         n_files = max(1, math.ceil(total / target_file_bytes))
-        survivors.repartition(n_files).write.mode("append").parquet(dst)
+        writer = survivors.repartition(
+            *([n_files] + pcols if pcols else [n_files])
+        ).write.mode("append")
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        writer.parquet(dst)
 
     return {
         "files_rewritten": len(affected),

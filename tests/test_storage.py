@@ -484,22 +484,127 @@ def test_delete_parquet_null_predicate_rows_survive(spark):
     assert got == {(1, 5), (3, None)}
 
 
-def test_cow_refuses_hive_partitioned_target(spark):
-    """merge/delete on a key=value-partitioned dataset must fail loudly:
-    the flattening copy would silently drop the partition-column values
-    (they live in directory names, not the files)."""
-    from cae_polars_tools_spark.storage import delete_parquet, merge_parquet
+def _hive_tgt(spark, path):
+    """Two-level hive-partitioned dataset: part=a|b / sub=x|y, two rows
+    per leaf, one file per leaf directory."""
+    rows = [
+        (pid, part, sub, pid * 10)
+        for pid, (part, sub) in enumerate(
+            [(p, s) for p in ("a", "b") for s in ("x", "y") for _ in (0, 1)]
+        )
+    ]
+    (
+        spark.createDataFrame(
+            rows, "id long, part string, sub string, v long"
+        )
+        .repartition(1)
+        .write.mode("overwrite")
+        .partitionBy("part", "sub")
+        .parquet(path)
+    )
+    return {(r[0]): (r[1], r[2], r[3]) for r in rows}
 
-    tgt = os.path.join(TMP, "cow_hive_tgt")
+
+def _file_hashes(spark, path):
+    import hashlib
+    from urllib.parse import unquote, urlparse
+
+    out = {}
+    for f in spark.read.parquet(path).inputFiles():
+        p = unquote(urlparse(f).path)
+        tgt_rel = os.path.relpath(p, os.path.abspath(path))
+        out[tgt_rel] = hashlib.md5(open(p, "rb").read()).hexdigest()
+    return out
+
+
+def test_merge_parquet_hive_partitioned_roundtrip(spark):
+    """MERGE on a two-level key=value-partitioned target: untouched
+    leaf files copy byte-identically INTO their partition subpaths,
+    affected leaves rewrite with partition columns intact, and an
+    update may move a row to a different partition."""
+    from cae_polars_tools_spark.storage import merge_parquet
+
+    tgt = os.path.join(TMP, "cow_hive_m_tgt")
+    dst = os.path.join(TMP, "cow_hive_m_dst")
+    base = _hive_tgt(spark, tgt)
+    before = _file_hashes(spark, tgt)
+    assert len(before) == 4  # one file per leaf dir
+
+    # id 0 lives in part=a/sub=x; the update MOVES it to part=b/sub=y
+    # and id 99 is a brand-new row for part=a/sub=y
+    upd = spark.createDataFrame(
+        [(0, "b", "y", -1), (99, "a", "y", -2)],
+        "id long, part string, sub string, v long",
+    )
+    summary = merge_parquet(spark, tgt, upd, ["id"], dst)
+    assert summary["rows_updated"] == 1
+    assert summary["rows_inserted"] == 1
+    assert summary["files_rewritten"] == 1  # only id 0's file
+    assert summary["files_copied"] == 3
+
+    out = spark.read.parquet(dst)
+    got = {
+        r["id"]: (r["part"], r["sub"], r["v"]) for r in out.collect()
+    }
+    expect = dict(base)
+    expect[0] = ("b", "y", -1)
+    expect[99] = ("a", "y", -2)
+    assert got == expect
+
+    # untouched copies keep their key=value subpath, byte-identical
+    after = _file_hashes(spark, dst)
+    copied = {
+        rel: h for rel, h in after.items()
+        if os.path.basename(rel).startswith("copied-")
+    }
+    assert len(copied) == 3
+    for rel, h in copied.items():
+        d = os.path.dirname(rel)
+        orig_base = os.path.basename(rel).split("-", 2)[2]
+        assert before[os.path.join(d, orig_base)] == h
+
+
+def test_delete_parquet_hive_partition_predicate_prunes(spark):
+    """DELETE WHERE on a partition column: the discovery scan prunes
+    the other directories entirely, only the matching leaves rewrite,
+    and the rewritten rows keep their partition values."""
+    from cae_polars_tools_spark.storage import delete_parquet
+
+    tgt = os.path.join(TMP, "cow_hive_d_tgt")
+    dst = os.path.join(TMP, "cow_hive_d_dst")
+    base = _hive_tgt(spark, tgt)
+
+    summary = delete_parquet(
+        spark, tgt, "part = 'a' AND id % 2 = 0", dst
+    )
+    assert summary["rows_deleted"] == 2  # ids 0 and 2 (part=a, even)
+    assert summary["files_rewritten"] == 2  # part=a leaves only
+    assert summary["files_copied"] == 2  # part=b leaves untouched
+
+    out = spark.read.parquet(dst)
+    got = {r["id"]: (r["part"], r["sub"], r["v"]) for r in out.collect()}
+    expect = {k: v for k, v in base.items() if not (v[0] == "a" and k % 2 == 0)}
+    assert got == expect
+    # partition dirs preserved on the copied side
+    assert os.path.isdir(os.path.join(dst, "part=b", "sub=x"))
+
+
+def test_cow_handles_literal_percent_paths(spark):
+    """A literal '%' in the dataset path must not be decoded twice on
+    the way into layout classification (inputFiles() percent-encodes;
+    one unquote is correct, two would mangle 'pct%3D50' into
+    'pct=50' and misread it as a hive component)."""
+    from cae_polars_tools_spark.storage import delete_parquet
+
+    tgt = os.path.join(TMP, "pct%3D50", "cow_pct_tgt")
+    dst = os.path.join(TMP, "pct%3D50", "cow_pct_dst")
     spark.createDataFrame(
-        [(1, "a", 5), (2, "b", 6)], "id long, part string, v long"
-    ).write.mode("overwrite").partitionBy("part").parquet(tgt)
-
-    upd = spark.createDataFrame([(1, "a", 7)], "id long, part string, v long")
-    with pytest.raises(NotImplementedError, match="hive-partitioned"):
-        merge_parquet(spark, tgt, upd, ["id"], tgt + "_o")
-    with pytest.raises(NotImplementedError, match="hive-partitioned"):
-        delete_parquet(spark, tgt, "v = 5", tgt + "_o")
+        [(1, 5), (2, 15)], "id long, v long"
+    ).coalesce(1).write.mode("overwrite").parquet(tgt)
+    summary = delete_parquet(spark, tgt, "v > 10", dst)
+    assert summary["rows_deleted"] == 1
+    got = {(r["id"], r["v"]) for r in spark.read.parquet(dst).collect()}
+    assert got == {(1, 5)}
 
 
 def test_merge_parquet_rejects_dtype_drift(spark):
