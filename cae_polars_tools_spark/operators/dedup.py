@@ -294,11 +294,48 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _unpersist_quietly(jdfs: list) -> None:
+    # handles are JVM Datasets OR JVM RDDs — both expose
+    # unpersist(blocking: Boolean), so one loop releases cache-manager
+    # entries and localCheckpoint block stores alike
     for j in jdfs:
         try:
             j.unpersist(False)
         except Exception:
             pass  # session/JVM already gone — nothing to release
+
+
+def _checkpoint_rdd(df: DataFrame):
+    """JVM RDD handle behind a localCheckpoint()ed DataFrame, or None.
+
+    ``DataFrame.unpersist()`` only touches the SQL cache manager; the
+    blocks a localCheckpoint pins live on the underlying RDD and stay
+    on executors until JVM RDD GC unless that RDD is unpersisted
+    directly. The checkpointed frame's analyzed plan is a
+    ``LogicalRDD`` leaf whose ``rdd`` field is exactly that handle."""
+    try:
+        lp = df._jdf.queryExecution().analyzed()
+        if lp.getClass().getSimpleName() == "LogicalRDD":
+            return lp.rdd()
+    except Exception:
+        pass  # Spark Connect / non-JVM frame — nothing to release
+    return None
+
+
+def _release_round_frame(df: DataFrame) -> None:
+    """Eagerly release a finished propagation round's frame: the
+    cache-manager entry AND (when the frame is a lazy localCheckpoint)
+    the RDD-level checkpoint blocks, which ``DataFrame.unpersist``
+    alone would leave accumulating on executors round after round."""
+    try:
+        df._jdf.unpersist(False)
+    except Exception:
+        pass
+    rdd = _checkpoint_rdd(df)
+    if rdd is not None:
+        try:
+            rdd.unpersist(False)
+        except Exception:
+            pass
 
 
 def _release_on_gc(
@@ -331,6 +368,13 @@ def _release_on_gc(
     handles = [j for c in cached if (j := getattr(c, "_jdf", None)) is not None]
     if include_self and (j := getattr(out, "_jdf", None)) is not None:
         handles.append(j)
+    # localCheckpoint()ed frames additionally pin RDD-level blocks the
+    # Dataset unpersist does not touch — capture those handles too
+    for c in cached:
+        if (r := _checkpoint_rdd(c)) is not None:
+            handles.append(r)
+    if include_self and (r := _checkpoint_rdd(out)) is not None:
+        handles.append(r)
     if handles:
         weakref.finalize(out, _unpersist_quietly, handles)
     return out
@@ -917,12 +961,23 @@ def connected_components(
       Components in MapReduce", but with vertex-sized — not
       edge-sized — per-round shuffles).
 
-    In the distributed loop, one Spark job per round: the convergence
-    signal rides inside the round's frame itself (each vertex's
-    previous label is carried as an ``old`` column, so "any label
-    changed?" is a filter over the just-built frame, not a separate
-    join against the previous labels), and the ``.count()`` action
-    that reads it is also what materializes the round's persist.
+    In the distributed loop, ONE driver action per round: the
+    convergence signal rides inside the round's frame itself (each
+    vertex's previous label is carried as an ``old`` column, so "any
+    label changed?" is a filter over the just-built frame, not a
+    separate join against the previous labels), and the ``.count()``
+    action that reads it is the SAME scan that materializes the
+    round's lazy localCheckpoint — there is no second pass over the
+    vertex frame (pinned by ``test_connected_components_one_action_
+    per_round``). The per-round driver round-trip itself is accepted
+    by design: an iterative loop cannot decide termination without
+    one action per check, checking less often would burn whole extra
+    rounds of vertex-frame shuffles (orders of magnitude costlier at
+    scale than job-submission latency), and pointer jumping already
+    bounds the number of such round-trips at O(log diameter). Each
+    finished round's frame is released eagerly — both its cache entry
+    and its localCheckpoint RDD blocks, which ``DataFrame.unpersist``
+    alone would leave pinned on executors.
     Duplicate edges are harmless (min is idempotent), so the input
     pair set is NOT deduplicated — no distinct shuffle; edges are
     hash-partitioned on ``u`` once and cached, so each round's
@@ -1017,7 +1072,7 @@ def connected_components(
             .localCheckpoint(eager=False)
         )
         changed = nxt.filter(F.col("cluster_id") < F.col("old")).count()
-        prev.unpersist()
+        _release_round_frame(prev)
         prev = nxt
         labels = nxt.select("doc_id", "cluster_id")
         if changed == 0:

@@ -432,6 +432,73 @@ def test_connected_components_pointer_jumping_beats_diameter(spark):
     assert got == {i: 0 for i in range(n)}
 
 
+def test_connected_components_one_action_per_round(spark, monkeypatch):
+    """The distributed loop must submit exactly ONE driver action per
+    propagation round — the convergence count that also materializes
+    the round's lazy localCheckpoint — plus the single up-front pair
+    count. A second per-round action (e.g. an eager checkpoint, or a
+    separate materialize-then-count) would double the driver
+    round-trips and show up here immediately."""
+    from cae_polars_tools_spark.operators.dedup import connected_components
+
+    n = 120  # diameter 119; pointer jumping converges in <= 12 rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["doc_id_a", "doc_id_b"]
+    )
+    # patch the CONCRETE class (pyspark 4's classic DataFrame overrides
+    # the base methods, so patching pyspark.sql.DataFrame is a no-op)
+    cls = type(pairs)
+    calls = {"count": 0, "collect": 0}
+    orig_count, orig_collect = cls.count, cls.collect
+
+    def counting_count(self):
+        calls["count"] += 1
+        return orig_count(self)
+
+    def counting_collect(self):
+        calls["collect"] += 1
+        return orig_collect(self)
+
+    monkeypatch.setattr(cls, "count", counting_count)
+    monkeypatch.setattr(cls, "collect", counting_collect)
+    out = connected_components(pairs, local_threshold=0)
+    in_loop = dict(calls)
+    assert out.count() - 1 == n - 1  # correctness guard (one cluster)
+    # 1 pair count + <=12 convergence counts; no collects at all
+    assert in_loop["collect"] == 0
+    assert 2 <= in_loop["count"] <= 13, in_loop
+
+
+def test_connected_components_releases_checkpoint_blocks(spark):
+    """DataFrame.unpersist does not release localCheckpoint RDD
+    blocks; the loop must release each finished round's blocks
+    eagerly and the finalizer must release the final frame's — no
+    executor storage may accumulate across calls."""
+    import gc
+
+    from cae_polars_tools_spark.operators.dedup import connected_components
+
+    jsc = spark.sparkContext._jsc.sc()
+
+    def stored_ids():
+        return {info.id() for info in jsc.getRDDStorageInfo()}
+
+    before = stored_ids()
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], ["doc_id_a", "doc_id_b"]
+    )
+    out = connected_components(pairs, local_threshold=0)
+    out.count()
+    # while the handle is live only the FINAL round's frame may hold
+    # blocks (cache entry + its checkpoint RDD) — per-round frames are
+    # released inside the loop
+    live = stored_ids() - before
+    assert len(live) <= 2, f"per-round blocks leaked: {live}"
+    del out
+    gc.collect()
+    assert stored_ids() - before == set()
+
+
 def test_jaccard_df_cap_drops_hot_shingles(spark):
     """With a deliberately hot shingle (one phrase shared by every
     doc), a tight DF cap removes it from candidate generation: docs
