@@ -5,10 +5,17 @@ stubbed; no container/codec is hand-parseable in reasonable scope).
 
 Scope (the baseline-sequential core of the public spec):
 
-* 8-bit, single-scan, non-progressive, no restart markers;
-* grayscale (1 component) or YCbCr 4:4:4 (3 components, no
-  subsampling) — every component uses quant table 0 and the same
-  DC/AC Huffman tables;
+* 8-bit, single-scan, non-progressive;
+* grayscale (1 component) or YCbCr with per-component sampling
+  factors — 4:4:4, 4:2:2 and 4:2:0 (the overwhelming majority of
+  real-world baseline JPEGs) both encode and decode; the decoder
+  accepts ANY integer-ratio factor combination in 1..4;
+* restart markers: the encoder emits DRI + RSTn on request, the
+  decoder resyncs at them (byte-align, reset DC predictors) — and
+  tolerates spec-legal 0xFF fill bytes and standalone TEM/RSTn
+  markers in the header walk;
+* every component uses quant table 0 and the same DC/AC Huffman
+  tables when encoding;
 * the ENCODER emits per-image canonical Huffman tables in the DHT
   segment (fixed-length canonical codes over the symbols actually
   used — spec-legal, and it means no memorized Annex-K constants
@@ -143,6 +150,15 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # 1-fill per spec
         return bytes(self.out)
 
+    def restart_marker(self, m: int) -> None:
+        """Byte-align with 1-fill and emit RST(m mod 8). The fill goes
+        through :meth:`write` so a resulting 0xFF byte still gets its
+        stuffed 0x00 before the marker."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (m % 8)])
+
 
 class _BitReader:
     def __init__(self, data: bytes) -> None:
@@ -178,6 +194,25 @@ class _BitReader:
         self.nbits -= length
         self.acc &= (1 << self.nbits) - 1
         return v
+
+    def restart(self) -> None:
+        """Resync at an expected RSTn: discard the current byte's pad
+        bits (and any 1-padding `_fill` synthesized when it stopped at
+        the marker), skip spec-legal 0xFF fill bytes, consume the
+        marker. Raises when the stream holds anything else — a missing
+        restart means the entropy data is corrupt."""
+        self.acc = 0
+        self.nbits = 0
+        p = self.pos
+        while p + 1 < len(self.data) and self.data[p] == 0xFF and self.data[p + 1] == 0xFF:
+            p += 1
+        if (
+            p + 1 >= len(self.data)
+            or self.data[p] != 0xFF
+            or not 0xD0 <= self.data[p + 1] <= 0xD7
+        ):
+            raise ValueError("expected JPEG restart marker")
+        self.pos = p + 2
 
 
 # ---------------------------------------------------------------------------
@@ -241,75 +276,133 @@ def _read_huff_symbol(br: _BitReader, table) -> int:
 # ---------------------------------------------------------------------------
 
 
-def encode_jpeg(px: np.ndarray, quality: int = 90) -> bytes:
+_SUBSAMPLING = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+
+
+def _downsample(plane: np.ndarray, fh: int, fv: int) -> np.ndarray:
+    """Box-average chroma downsample by (fh, fv) with edge padding."""
+    if fh == 1 and fv == 1:
+        return plane
+    h, w = plane.shape
+    p = np.pad(plane, ((0, (-h) % fv), (0, (-w) % fh)), mode="edge")
+    return p.reshape(
+        p.shape[0] // fv, fv, p.shape[1] // fh, fh
+    ).mean(axis=(1, 3))
+
+
+def _tokenize_block(blk, prev_dc, dc_syms, ac_syms):
+    """One block's (dc_diff, acs, needs_eob) tokens + symbol usage."""
+    dc_diff = int(blk[0]) - prev_dc
+    dc_syms.add(_category(dc_diff))
+    acs = []
+    run = 0
+    for v in blk[1:]:
+        v = int(v)
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            acs.append((0xF0, 0))  # ZRL
+            ac_syms.add(0xF0)
+            run -= 16
+        size = _category(v)
+        acs.append(((run << 4) | size, v))
+        ac_syms.add((run << 4) | size)
+        run = 0
+    # EOB needed unless the block's LAST AC (k=63) was coded — i.e.
+    # whenever trailing zeros remain (or the block is all-zero)
+    needs_eob = run > 0 or not acs
+    return (dc_diff, acs, needs_eob), int(blk[0])
+
+
+def encode_jpeg(
+    px: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
     """Encode (H, W) grayscale or (H, W, 3) RGB uint8 → baseline JPEG
-    bytes (4:4:4, one quant table, per-image canonical Huffman
-    tables)."""
+    bytes (one quant table, per-image canonical Huffman tables).
+
+    ``subsampling``: ``"444"`` (no chroma subsampling), ``"422"``
+    (2×1) or ``"420"`` (2×2) — the 2×2-luma-MCU layout virtually all
+    real-world JPEGs use. ``restart_interval`` > 0 emits a DRI
+    segment and an RSTn marker (with DC-predictor reset) every that
+    many MCUs — the spec's resync/parallel-decode primitive."""
     px = np.asarray(px, dtype=np.uint8)
+    if subsampling not in _SUBSAMPLING:
+        raise ValueError(f"subsampling must be one of {sorted(_SUBSAMPLING)}")
+    if restart_interval < 0 or restart_interval > 0xFFFF:
+        raise ValueError("restart_interval must be in [0, 65535]")
+    hy, vy = _SUBSAMPLING[subsampling]
     if px.ndim == 2:
         planes = [px.astype(np.float64) - 128.0]
+        samps = [(1, 1)]
     elif px.ndim == 3 and px.shape[2] == 3:
         ycc = _rgb_to_ycc(px)
-        planes = [ycc[..., i] - 128.0 for i in range(3)]
+        planes = [
+            ycc[..., 0] - 128.0,
+            _downsample(ycc[..., 1], hy, vy) - 128.0,
+            _downsample(ycc[..., 2], hy, vy) - 128.0,
+        ]
+        samps = [(hy, vy), (1, 1), (1, 1)]
     else:
         raise ValueError(f"unsupported pixel shape {px.shape}")
     h, w = px.shape[:2]
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = -(-w // (_N * hmax))
+    mcuy = -(-h // (_N * vmax))
     qt = _qtable(quality)
 
-    # forward DCT + quantization, per component
-    comp_coeffs = []
-    for plane in planes:
-        b = _blocks(plane)
+    # forward DCT + quantization per component, on an MCU-aligned grid
+    # (rows = mcuy*vi, cols = mcux*hi blocks, edge-padded)
+    comp_grids = []
+    for plane, (hi, vi) in zip(planes, samps):
+        rows, cols = mcuy * vi, mcux * hi
+        ph, pw = rows * _N - plane.shape[0], cols * _N - plane.shape[1]
+        p = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+        b = p.reshape(rows, _N, cols, _N).swapaxes(1, 2)
         d = np.einsum("ij,xyjk,lk->xyil", _DCT, b, _DCT)
-        comp_coeffs.append(
-            np.round(d / qt).astype(np.int32).reshape(-1, _N * _N)[:, _ZIGZAG]
+        comp_grids.append(
+            np.round(d / qt)
+            .astype(np.int32)
+            .reshape(rows, cols, _N * _N)[..., _ZIGZAG]
         )
 
-    # first pass: collect (dc_category, ac run/size) symbol usage
+    # first pass: tokenize in MCU order, collecting symbol usage;
+    # DC predictors reset at every restart boundary, like the decoder
     dc_syms: set[int] = set()
     ac_syms: set[int] = {0x00}  # EOB always representable
-    seqs = []
-    for coeffs in comp_coeffs:
-        prev_dc = 0
-        comp_seq = []
-        for blk in coeffs:
-            dc_diff = int(blk[0]) - prev_dc
-            prev_dc = int(blk[0])
-            dc_syms.add(_category(dc_diff))
-            acs = []
-            run = 0
-            for v in blk[1:]:
-                v = int(v)
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    acs.append((0xF0, 0))  # ZRL
-                    ac_syms.add(0xF0)
-                    run -= 16
-                size = _category(v)
-                acs.append(((run << 4) | size, v))
-                ac_syms.add((run << 4) | size)
-                run = 0
-            # EOB needed unless the block's LAST AC (k=63) was coded —
-            # i.e. whenever trailing zeros remain (or the block is
-            # all-zero)
-            needs_eob = run > 0 or not acs
-            comp_seq.append((dc_diff, acs, needs_eob))
-        seqs.append(comp_seq)
+    mcus = []
+    prev_dc = [0] * len(planes)
+    mcu_idx = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                prev_dc = [0] * len(planes)
+            tokens = []
+            for ci, (hi, vi) in enumerate(samps):
+                for by in range(vi):
+                    for bx in range(hi):
+                        blk = comp_grids[ci][my * vi + by, mx * hi + bx]
+                        tok, prev_dc[ci] = _tokenize_block(
+                            blk, prev_dc[ci], dc_syms, ac_syms
+                        )
+                        tokens.append(tok)
+            mcus.append(tokens)
+            mcu_idx += 1
 
     dc_bits, dc_vals = _fixed_length_spec(dc_syms)
     ac_bits, ac_vals = _fixed_length_spec(ac_syms)
     dc_codes = _codes_from_spec(dc_bits, dc_vals)
     ac_codes = _codes_from_spec(ac_bits, ac_vals)
 
-    # entropy coding — components interleaved per MCU block (4:4:4:
-    # one block per component per MCU)
     bw = _BitWriter()
-    n_blocks = len(comp_coeffs[0])
-    for bi in range(n_blocks):
-        for seq in seqs:
-            dc_diff, acs, needs_eob = seq[bi]
+    for mi, tokens in enumerate(mcus):
+        if restart_interval and mi and mi % restart_interval == 0:
+            bw.restart_marker(mi // restart_interval - 1)
+        for dc_diff, acs, needs_eob in tokens:
             size = _category(dc_diff)
             c, ln = dc_codes[size]
             bw.write(c, ln)
@@ -337,12 +430,14 @@ def encode_jpeg(px: np.ndarray, quality: int = 90) -> bytes:
     )
     ncomp = len(planes)
     sof = struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
-    for cid in range(1, ncomp + 1):
-        sof += bytes([cid, 0x11, 0])  # 1x1 sampling, quant table 0
+    for cid, (hi, vi) in zip(range(1, ncomp + 1), samps):
+        sof += bytes([cid, (hi << 4) | vi, 0])  # quant table 0
     out += b"\xff\xc0" + sof
     for cls, (bits, vals) in ((0, (dc_bits, dc_vals)), (1, (ac_bits, ac_vals))):
         body = bytes([cls << 4]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = struct.pack(">HB", 6 + 2 * ncomp, ncomp)
     for cid in range(1, ncomp + 1):
         sos += bytes([cid, 0x00])  # DC table 0, AC table 0
@@ -357,9 +452,11 @@ def encode_jpeg(px: np.ndarray, quality: int = 90) -> bytes:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode baseline JPEG bytes → (H, W) or (H, W, 3) uint8. Raises
-    ValueError on non-JPEG bytes and NotImplementedError on
-    progressive / subsampled / 12-bit / restart-marker variants."""
+    """Decode baseline JPEG bytes → (H, W) or (H, W, 3) uint8 —
+    including 4:2:2 / 4:2:0 chroma subsampling (any integer-ratio
+    per-component sampling factors) and restart-marker streams.
+    Raises ValueError on non-JPEG/corrupt bytes and
+    NotImplementedError on progressive / 12-bit variants."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     try:
@@ -379,12 +476,21 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
     h = w = 0
     scan_comps = None
     entropy_start = None
-    while pos + 4 <= len(payload):
+    restart_interval = 0
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
+        # spec-legal fill: any number of extra 0xFF bytes may precede
+        # the marker id
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / stray RSTn: standalone markers carry no length
+            pos += 2
+            continue
         (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4 : pos + 2 + seg_len]
         pos += 2 + seg_len
@@ -407,11 +513,10 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
             comps = []
             for i in range(nc):
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "chroma subsampling not supported (4:4:4 only)"
-                    )
-                comps.append((cid, tq))
+                hi, vi = samp >> 4, samp & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(f"bad sampling factors {hi}x{vi}")
+                comps.append((cid, hi, vi, tq))
         elif marker in (0xC1, 0xC2, 0xC3):
             raise NotImplementedError("only baseline (SOF0) JPEG")
         elif marker == 0xC4:  # DHT (possibly several tables)
@@ -424,8 +529,8 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
                     bits, list(b[17 : 17 + n])
                 )
                 b = b[17 + n :]
-        elif marker == 0xDD:
-            raise NotImplementedError("restart markers not supported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
             ns = body[0]
             scan_comps = [
@@ -437,53 +542,97 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
     if comps is None or scan_comps is None:
         raise ValueError("JPEG missing SOF/SOS")
 
-    br = _BitReader(payload[entropy_start:])
-    nby, nbx = (h + _N - 1) // _N, (w + _N - 1) // _N
-    planes = []
-    coeff_sets = [
-        np.zeros((nby * nbx, _N * _N), dtype=np.int32) for _ in comps
-    ]
-    prev_dc = [0] * len(comps)
-    tq_of = dict(comps)
-    td_ta = {cid: (td, ta) for cid, td, ta in scan_comps}
-    for bi in range(nby * nbx):
-        for ci, (cid, tq) in enumerate(comps):
-            td, ta = td_ta[cid]
-            dct = huff[(0, td)]
-            act = huff[(1, ta)]
-            size = _read_huff_symbol(br, dct)
-            if size:
-                v = br.read(size)
-                diff = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
-            else:
-                diff = 0
-            prev_dc[ci] += diff
-            blk = coeff_sets[ci][bi]
-            blk[0] = prev_dc[ci]
-            k = 1
-            while k < 64:
-                sym = _read_huff_symbol(br, act)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0x0F
-                if sym == 0xF0:
-                    k += 16
-                    continue
-                k += run
-                if k >= 64:
-                    raise ValueError("JPEG AC run overflow")
-                v = br.read(size)
-                blk[k] = (
-                    v if v >= (1 << (size - 1)) else v - (1 << size) + 1
-                )
-                k += 1
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    for cid, hi, vi, _tq in comps:
+        if hmax % hi or vmax % vi:
+            raise NotImplementedError(
+                f"non-integer sampling ratio {hi}x{vi} vs {hmax}x{vmax}"
+            )
+    mcux = (w + _N * hmax - 1) // (_N * hmax)
+    mcuy = (h + _N * vmax - 1) // (_N * vmax)
 
-    for ci, (cid, tq) in enumerate(comps):
-        qt = qtables[tq_of[cid]]
-        zig = coeff_sets[ci][:, _UNZIGZAG].reshape(nby, nbx, _N, _N)
+    br = _BitReader(payload[entropy_start:])
+    spec_of = {c[0]: c for c in comps}
+    # scan order (SOS component order) drives the interleave; each
+    # component's block grid is MCU-aligned: (mcuy*vi, mcux*hi)
+    order = []
+    for cid, td, ta in scan_comps:
+        if cid not in spec_of:
+            raise ValueError(f"SOS references unknown component {cid}")
+        order.append((spec_of[cid], td, ta))
+    grids = {
+        cid: np.zeros((mcuy * vi, mcux * hi, _N * _N), dtype=np.int32)
+        for cid, hi, vi, _tq in comps
+    }
+    prev_dc = {c[0]: 0 for c in comps}
+    mcu_idx = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if (
+                restart_interval
+                and mcu_idx
+                and mcu_idx % restart_interval == 0
+            ):
+                br.restart()
+                prev_dc = {c[0]: 0 for c in comps}
+            for (cid, hi, vi, _tq), td, ta in order:
+                dct = huff[(0, td)]
+                act = huff[(1, ta)]
+                for by in range(vi):
+                    for bx in range(hi):
+                        blk = grids[cid][my * vi + by, mx * hi + bx]
+                        size = _read_huff_symbol(br, dct)
+                        if size:
+                            v = br.read(size)
+                            diff = (
+                                v
+                                if v >= (1 << (size - 1))
+                                else v - (1 << size) + 1
+                            )
+                        else:
+                            diff = 0
+                        prev_dc[cid] += diff
+                        blk[0] = prev_dc[cid]
+                        k = 1
+                        while k < 64:
+                            sym = _read_huff_symbol(br, act)
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0x0F
+                            if sym == 0xF0:
+                                k += 16
+                                continue
+                            k += run
+                            if k >= 64:
+                                raise ValueError("JPEG AC run overflow")
+                            v = br.read(size)
+                            blk[k] = (
+                                v
+                                if v >= (1 << (size - 1))
+                                else v - (1 << size) + 1
+                            )
+                            k += 1
+            mcu_idx += 1
+
+    planes = []
+    for cid, hi, vi, tq in comps:
+        qt = qtables[tq]
+        rows, cols = mcuy * vi, mcux * hi
+        zig = grids[cid][..., _UNZIGZAG].reshape(rows, cols, _N, _N)
         deq = zig * qt
-        spatial = np.einsum("ji,xyjk,kl->xyil", _DCT, deq.astype(np.float64), _DCT)
-        planes.append(_unblocks(spatial, h, w) + 128.0)
+        spatial = np.einsum(
+            "ji,xyjk,kl->xyil", _DCT, deq.astype(np.float64), _DCT
+        )
+        # crop to the component's own resolution, then upsample by
+        # block replication to full frame resolution
+        ch = (h * vi + vmax - 1) // vmax
+        cw = (w * hi + hmax - 1) // hmax
+        plane = _unblocks(spatial, ch, cw) + 128.0
+        fv, fh = vmax // vi, hmax // hi
+        if fv > 1 or fh > 1:
+            plane = plane.repeat(fv, axis=0).repeat(fh, axis=1)
+        planes.append(plane[:h, :w])
     if len(planes) == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     return _ycc_to_rgb(np.stack(planes, axis=-1))

@@ -187,3 +187,172 @@ def test_random_corruption_fuzz_raises_cleanly():
             decode_jpeg(bytes(d))
         except (ValueError, NotImplementedError):
             pass
+
+
+# ---------------------------------------------------------------------------
+# Chroma subsampling (4:2:2 / 4:2:0) and restart markers
+# ---------------------------------------------------------------------------
+
+
+def _chroma_smooth_rgb(h, w):
+    """Luma gradient with constant chroma: subsampling is near-lossless
+    on it, so round-trip budgets stay tight."""
+    y = np.linspace(40, 200, w)[None, :] + np.linspace(0, 30, h)[:, None]
+    return (
+        np.stack([y, y * 0.9 + 10, y * 0.8 + 20], axis=-1)
+        .clip(0, 255)
+        .astype(np.uint8)
+    )
+
+
+@pytest.mark.parametrize("sub", ["422", "420"])
+@pytest.mark.parametrize("shape", [(16, 16), (37, 53), (8, 9)])
+def test_subsampled_roundtrip_smooth(sub, shape):
+    px = _chroma_smooth_rgb(*shape)
+    out = decode_jpeg(encode_jpeg(px, quality=95, subsampling=sub))
+    assert out.shape == px.shape
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 3
+
+
+@pytest.mark.parametrize("sub", ["444", "422", "420"])
+def test_flat_roundtrip_exact_all_subsamplings(sub):
+    px = np.full((24, 24, 3), 137, np.uint8)
+    out = decode_jpeg(encode_jpeg(px, quality=90, subsampling=sub))
+    assert np.array_equal(out, px)
+
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+def test_restart_markers_roundtrip(sub):
+    """restart_interval emits DRI + RSTn and the decoder resyncs:
+    the decode must be IDENTICAL to the no-restart decode (restarts
+    change framing, not coefficients)."""
+    px = _chroma_smooth_rgb(37, 53)
+    plain = decode_jpeg(encode_jpeg(px, quality=95, subsampling=sub))
+    enc = encode_jpeg(px, quality=95, subsampling=sub, restart_interval=2)
+    assert b"\xff\xdd" in enc  # DRI present
+    n_rst = sum(
+        1
+        for i in range(len(enc) - 1)
+        if enc[i] == 0xFF and 0xD0 <= enc[i + 1] <= 0xD7
+    )
+    assert n_rst >= 1
+    assert np.array_equal(decode_jpeg(enc), plain)
+
+
+def test_handbuilt_420_stream_pins_mcu_block_order():
+    """A 4:2:0 stream built BY HAND from the spec (never through the
+    encoder): 16x16 image, one MCU, four flat luma quadrants with
+    distinct values and neutral chroma. All blocks are DC-only with a
+    unit quant table, so the decode is EXACT — and the quadrant
+    placement pins the spec's MCU block order (Y: TL,TR,BL,BR then
+    Cb, Cr) independently of anything the encoder does. A symmetric
+    encoder/decoder ordering bug cannot cancel here."""
+    import struct
+
+    quads = {"tl": 138, "tr": 148, "bl": 158, "br": 118}
+    # flat 8x8 block, orthonormal 2D DCT: DC = 8*(v-128); quant 1
+    dcs = [8 * (v - 128) for v in (quads["tl"], quads["tr"], quads["bl"], quads["br"])]
+
+    bits_out = []
+
+    def put(value, length):
+        bits_out.extend((value >> (length - 1 - i)) & 1 for i in range(length))
+
+    def put_dc(diff):
+        cat = abs(diff).bit_length()
+        put(cat, 4)  # DC table: symbols 0..10 at fixed length 4, code==symbol
+        if cat:
+            put(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+        put(0, 1)  # AC table: single EOB symbol at length 1, code 0
+
+    prev = 0
+    for dc in dcs:  # Y blocks in spec order TL,TR,BL,BR
+        put_dc(dc - prev)
+        prev = dc
+    put_dc(0)  # Cb (flat 128 -> DC 0, own predictor)
+    put_dc(0)  # Cr
+    while len(bits_out) % 8:
+        bits_out.append(1)  # 1-fill pad
+    entropy = bytearray()
+    for i in range(0, len(bits_out), 8):
+        byte = int("".join(map(str, bits_out[i : i + 8])), 2)
+        entropy.append(byte)
+        if byte == 0xFF:
+            entropy.append(0x00)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    sof = struct.pack(">HBHHB", 17, 8, 16, 16, 3)
+    sof += bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+    out += b"\xff\xc0" + sof
+    dc_bits = [0] * 16
+    dc_bits[3] = 11  # 11 symbols, all at code length 4
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">H", 2 + 1 + 16 + 11)
+        + bytes([0x00])
+        + bytes(dc_bits)
+        + bytes(range(11))
+    )
+    ac_bits = [0] * 16
+    ac_bits[0] = 1  # one symbol (EOB) at code length 1
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">H", 2 + 1 + 16 + 1)
+        + bytes([0x10])
+        + bytes(ac_bits)
+        + bytes([0x00])
+    )
+    sos = struct.pack(">HB", 12, 3)
+    for cid in (1, 2, 3):
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + sos + bytes(entropy) + b"\xff\xd9"
+
+    img = decode_jpeg(bytes(out))
+    assert img.shape == (16, 16, 3)
+    # neutral chroma -> r=g=b=luma, DC-only unit-quant -> exact
+    for (ys, xs), key in [
+        ((slice(0, 8), slice(0, 8)), "tl"),
+        ((slice(0, 8), slice(8, 16)), "tr"),
+        ((slice(8, 16), slice(0, 8)), "bl"),
+        ((slice(8, 16), slice(8, 16)), "br"),
+    ]:
+        region = img[ys, xs]
+        assert np.all(region == quads[key]), (key, np.unique(region))
+
+
+def test_fill_bytes_and_tem_markers_tolerated():
+    """Spec-legal 0xFF fill bytes before a marker and standalone TEM
+    (0xFF 0x01) markers must not derail the header walk."""
+    px = _chroma_smooth_rgb(16, 16)
+    enc = encode_jpeg(px, quality=95)
+    want = decode_jpeg(enc)
+    # insert after SOI: two fill bytes before DQT, and a TEM marker
+    doctored = enc[:2] + b"\xff\xff" + b"\xff\x01" + enc[2:]
+    assert np.array_equal(decode_jpeg(doctored), want)
+
+
+def test_corrupt_restart_stream_raises_cleanly():
+    px = _chroma_smooth_rgb(37, 53)
+    enc = bytearray(
+        encode_jpeg(px, quality=95, subsampling="420", restart_interval=1)
+    )
+    # find the first RST marker inside the entropy stream and break it
+    sos = bytes(enc).find(b"\xff\xda")
+    for i in range(sos, len(enc) - 1):
+        if enc[i] == 0xFF and 0xD0 <= enc[i + 1] <= 0xD7:
+            enc[i + 1] = 0x65  # not a restart, not stuffing
+            break
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(enc))
+
+
+def test_truncated_subsampled_stream_raises_cleanly():
+    px = _chroma_smooth_rgb(32, 32)
+    data = encode_jpeg(px, quality=90, subsampling="420", restart_interval=2)
+    for cut in list(range(2, 60)) + [len(data) // 2, len(data) - 3]:
+        try:
+            decode_jpeg(data[:cut])
+        except (ValueError, NotImplementedError):
+            pass
