@@ -17,12 +17,15 @@ chunk walk + all five spec scanline filters, oracle-checked by
 ``mm_png_features``), baseline JPEG encodes AND decodes with numpy
 alone (``operators/jpeg.py`` — DCT, quantization, canonical Huffman;
 lossy, so round-trips are tolerance-tested plus exact on flat
-blocks), and PCM WAV decodes via the stdlib ``wave`` module
-(:func:`decode_wav`). Only VIDEO containers genuinely need external
-codecs and stay STUBBED behind a clear ``NotImplementedError``;
-swapping in Pillow/librosa there is a one-line change at the marked
-seam, and the tested pipeline uses a deterministic fake decoder for
-it.
+blocks), PCM WAV decodes via the stdlib ``wave`` module
+(:func:`decode_wav`), and uncompressed YUV4MPEG2 video parses for
+real in ``operators/y4m.py`` (header walk + planar frame slicing,
+value-checked by ``mm_y4m_features``; ``split_y4m_frames`` is a real
+``split_fn`` for :func:`sample_frames`). Only COMPRESSED video
+(H.264/VP9/…) genuinely needs external codecs and stays STUBBED
+behind a clear ``NotImplementedError``; swapping in PyAV/ffmpeg there
+is a one-line change at the marked seam, and the tested pipeline uses
+a deterministic fake decoder for it.
 
 Scale notes: payload bytes never leave their partition (decode is a
 map), and feature outputs are small fixed-width rows — the shuffle
