@@ -1689,7 +1689,12 @@ def _winnow_oracle(k: int = WINNOW_K, w: int = WINNOW_W,
     tie-break: the per-document fingerprint set is DISTINCT VALUES, so
     which tied position is selected cannot change it. The ``n ≤ w``
     short-document branch reduces to the i = 0 window (its frame
-    already spans every k-gram)."""
+    already spans every k-gram).
+
+    PRECONDITION (asserted by tests/test_corpus_oracle.py::
+    test_corpus_text_is_ascii): ``ascii(substr(...))`` walks
+    CHARACTERS while the Spark UDF hashes UTF-8 BYTES — equivalent
+    only for pure-ASCII text, which the synthetic corpus is."""
     terms = " + ".join(
         f"CAST(ascii(substr(t, i + {j + 1}, 1)) AS HUGEINT) * "
         f"CAST('{pow(int(_WINNOW_BASE), k - 1 - j, 2 ** 64)}' AS HUGEINT)"

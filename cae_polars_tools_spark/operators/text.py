@@ -195,7 +195,12 @@ def _chargram_oracle() -> str:
     ``(len(t) - len(replace(t, g, ''))) / len(g)`` (replace and
     regex-findall are both greedy left-to-right, so the counts agree),
     argmax with the same first-max tie-break as ``numpy.argmax`` over
-    the sorted language order, 'und' when every score is zero."""
+    the sorted language order, 'und' when every score is zero.
+
+    PRECONDITION (asserted by tests/test_corpus_oracle.py::
+    test_corpus_text_is_ascii): DuckDB ``length`` counts CHARACTERS
+    while the UDF counts over the raw string — identical only for
+    ASCII text, which the synthetic corpus is."""
     langs = sorted(_CHARGRAM_PROFILES)
     score = {
         lang: " + ".join(

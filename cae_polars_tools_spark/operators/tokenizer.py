@@ -182,6 +182,13 @@ FIXED_MERGES: list[Merge] = [
 
 
 def _fixed_merge_oracle() -> str:
+    # PRECONDITION (asserted on the corpus by
+    # tests/test_corpus_oracle.py::test_corpus_text_is_ascii): DuckDB
+    # length()/replace() count CHARACTERS while the Spark side encodes
+    # UTF-8 BYTES, and the chr(1)..chr(8) placeholders must not occur
+    # in the input — both hold only for ASCII text free of control
+    # chars 0x00-0x08. True for the synthetic corpus; a non-ASCII
+    # documents table would hash-mismatch here, by design.
     expr = "text"
     for i, (a, b) in enumerate(FIXED_MERGES):
         pair = (a + b).decode()
