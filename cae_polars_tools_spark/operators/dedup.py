@@ -1294,18 +1294,48 @@ def embedding_lsh_pairs(
     )
 
 
+def _embedding_lsh_oracle() -> str:
+    # value-level oracle: the seeded hyperplane buckets are
+    # recomputed in SQL (similarity.lsh_bucket_ctes), so the
+    # candidate membership — not just precision/recall — is
+    # hash-verified; cosines share the bit-parity kernel with
+    # dedup_embedding_cosine's oracle
+    from cae_polars_tools_spark.operators.similarity import (
+        lsh_bucket_ctes,
+        lsh_share_any_table,
+    )
+
+    return f"""
+        WITH {lsh_bucket_ctes()},
+        cand AS (
+            SELECT qa.vec_id AS ida, qb.vec_id AS idb
+            FROM lsh_tbl_buckets qa
+            JOIN lsh_tbl_buckets qb
+              ON qa.vec_id < qb.vec_id
+             AND ({lsh_share_any_table("qa", "qb")})
+        )
+        SELECT a.vec_id AS vec_id_a,
+               b.vec_id AS vec_id_b,
+               ROUND({COSINE_SQL}, 6) AS cosine
+        FROM cand
+        JOIN embeddings a ON a.vec_id = cand.ida
+        JOIN embeddings b ON b.vec_id = cand.idb
+        WHERE {COSINE_SQL} >= {COSINE_DEDUP_THRESHOLD}
+    """
+
+
 @register(
     "dedup_embedding_lsh",
-    oracle=None,  # bucket membership depends on the seeded hyperplanes;
-    # precision (pairs ⊆ exact ground truth, identical cosines) and
-    # seed-deterministic recall are asserted in
-    # tests/test_operators.py::test_embedding_lsh_*
+    oracle=_embedding_lsh_oracle(),
     tags=("dedup", "extension", "embedding", "lsh"),
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyless embedding near-dup pairs via LSH bucketing + exact
     cosine verification (the scale path when no blocking label
-    exists)."""
+    exists). Value-checked end-to-end: the oracle recomputes the
+    seeded hyperplane buckets in SQL (precision/recall property tests
+    in tests/test_operators.py remain as the approximate-operator
+    contract)."""
     e = spread(read_table(spark, sf_dir, "embeddings"))
     return embedding_lsh_pairs(e)
 

@@ -223,6 +223,53 @@ def _planes() -> np.ndarray:
     return rng.standard_normal((LSH_TABLES * LSH_PLANES_PER_TABLE, EMBED_DIM))
 
 
+def lsh_bucket_ctes() -> str:
+    """DuckDB CTE text recomputing every vector's per-table sign-LSH
+    bucket ids from the SAME seeded hyperplanes the pandas UDF uses —
+    the buckets are seed-deterministic, so membership (not merely
+    recall) is value-checkable in SQL. Plane weights are embedded as
+    ``repr`` literals (exact double round-trip); each dot product is a
+    ``list_sum`` over the same element order, and a sign can disagree
+    with numpy's BLAS accumulation only for a vector lying within ~1
+    ulp of a hyperplane — vanishingly unlikely for continuous data and
+    loudly caught by the oracle gate if it ever happens.
+
+    Defines ``lsh_tbl_buckets(vec_id, b0..b{tables-1})``."""
+    P = _planes()
+    dot_cols = []
+    for j in range(P.shape[0]):
+        arr = ", ".join(repr(float(x)) for x in P[j])
+        dot_cols.append(
+            f"list_sum(list_transform(generate_series(1, {EMBED_DIM}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * "
+            f"(CAST([{arr}] AS DOUBLE[]))[i])) AS d{j}"
+        )
+    bucket_cols = []
+    for t in range(LSH_TABLES):
+        terms = " + ".join(
+            f"(CASE WHEN d{t * LSH_PLANES_PER_TABLE + p} > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p in range(LSH_PLANES_PER_TABLE)
+        )
+        bucket_cols.append(f"{terms} AS b{t}")
+    return f"""
+        lsh_dots AS (
+            SELECT vec_id, {", ".join(dot_cols)} FROM embeddings
+        ),
+        lsh_tbl_buckets AS (
+            SELECT vec_id, {", ".join(bucket_cols)} FROM lsh_dots
+        )
+    """
+
+
+def lsh_share_any_table(left: str, right: str) -> str:
+    """SQL predicate: two ``lsh_tbl_buckets`` rows collide in ≥1 table
+    (the OR-amplification candidate rule)."""
+    return " OR ".join(
+        f"{left}.b{t} = {right}.b{t}" for t in range(LSH_TABLES)
+    )
+
+
 @F.pandas_udf(ArrayType(LongType()))
 def lsh_buckets(emb: pd.Series) -> pd.Series:
     """Per-table LSH bucket ids (index = table): bucket bit p is set
@@ -272,13 +319,48 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = TOPK) -> DataFr
     return _topk_window(_score_candidates(candidates, embeddings, queries), k)
 
 
+def _ann_lsh_oracle() -> str:
+    # full value-level oracle (not recall-only): DuckDB recomputes the
+    # seeded hyperplane buckets (lsh_bucket_ctes), derives the SAME
+    # candidate set (≥1 shared table bucket), scores with the
+    # bit-parity cosine and applies the identical top-k tie-break
+    return f"""
+        WITH {lsh_bucket_ctes()},
+        cand AS (
+            SELECT qa.vec_id AS query_id, qb.vec_id AS neighbor_id
+            FROM lsh_tbl_buckets qa
+            JOIN lsh_tbl_buckets qb
+              ON qa.vec_id < {N_QUERIES}
+             AND qb.vec_id != qa.vec_id
+             AND ({lsh_share_any_table("qa", "qb")})
+        )
+        SELECT query_id, neighbor_id, "rank", ROUND(raw_cos, 6) AS cosine
+        FROM (
+            SELECT cand.query_id,
+                   cand.neighbor_id,
+                   {COSINE_SQL} AS raw_cos,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY cand.query_id
+                       ORDER BY {COSINE_SQL} DESC, cand.neighbor_id ASC
+                   ) AS "rank"
+            FROM cand
+            JOIN embeddings a ON a.vec_id = cand.query_id
+            JOIN embeddings b ON b.vec_id = cand.neighbor_id
+        )
+        WHERE "rank" <= {TOPK}
+    """
+
+
 @register(
     "ann_lsh_topk",
-    oracle=None,  # bucket membership depends on seeded hyperplanes
+    oracle=_ann_lsh_oracle(),
     tags=("similarity", "extension", "lsh"),
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-5 for the demo query set."""
+    """LSH-bucketed approximate top-5 for the demo query set,
+    value-checked end-to-end: the oracle recomputes the seeded
+    hyperplane buckets in SQL, so candidate MEMBERSHIP — not just
+    recall — is hash-verified."""
     e = read_table(spark, sf_dir, "embeddings")
     return lsh_topk(e, e.filter(F.col("vec_id") < N_QUERIES))
 

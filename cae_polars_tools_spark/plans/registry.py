@@ -135,8 +135,8 @@ def load_all() -> dict[str, QuerySpec]:
     The ordering is deliberate: the driver's correctness artifact has
     held exactly 50 entries (CORRECTNESS_r01 silently dropped the
     trailing registrations), so every hash-checkable entry sorts ahead
-    of the rows-only ones (ann_lsh_topk / ann_ivf_topk /
-    text_language_chargram — each equivalence- or recall-tested in
+    of the rows-only ones (ann_ivf_topk / dedup_semantic — learned-
+    quantizer operators, recall/precision/determinism-tested in
     tests/test_operators.py). Within each class, registration order is
     preserved."""
     # Imports are deferred so that importing the package stays cheap and
