@@ -3,19 +3,27 @@ third real library-free image codec after BMP and PNG, closing the
 image half of the multimodal codec seam entirely (video remains
 stubbed; no container/codec is hand-parseable in reasonable scope).
 
-Scope (the baseline-sequential core of the public spec):
+Scope (the Huffman-coded core of the public spec):
 
-* 8-bit, single-scan, non-progressive;
+* 8-bit baseline (SOF0) AND progressive (SOF2) — spectral selection,
+  successive approximation, EOB-run coding, non-interleaved scans;
+  the encoder emits the standard 4-phase progressive scan script on
+  request, and successive approximation being lossless once all
+  scans land, a progressive encode decodes bit-identically to the
+  baseline encode of the same input (test-pinned);
 * grayscale (1 component) or YCbCr with per-component sampling
   factors — 4:4:4, 4:2:2 and 4:2:0 (the overwhelming majority of
-  real-world baseline JPEGs) both encode and decode; the decoder
-  accepts ANY integer-ratio factor combination in 1..4;
+  real-world JPEGs) both encode and decode; the decoder accepts ANY
+  integer-ratio factor combination in 1..4;
 * restart markers: the encoder emits DRI + RSTn on request, the
-  decoder resyncs at them (byte-align, reset DC predictors) — and
-  tolerates spec-legal 0xFF fill bytes and standalone TEM/RSTn
-  markers in the header walk;
+  decoder resyncs at them (byte-align, reset DC predictors and EOB
+  runs) — and tolerates spec-legal 0xFF fill bytes and standalone
+  TEM/RSTn markers in the header walk;
 * every component uses quant table 0 and the same DC/AC Huffman
   tables when encoding;
+* out of scope (loud NotImplementedError): arithmetic coding,
+  12-bit precision, lossless and hierarchical modes — vanishingly
+  rare in the wild.
 * the ENCODER emits per-image canonical Huffman tables in the DHT
   segment (fixed-length canonical codes over the symbols actually
   used — spec-legal, and it means no memorized Annex-K constants
@@ -320,15 +328,25 @@ def encode_jpeg(
     quality: int = 90,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Encode (H, W) grayscale or (H, W, 3) RGB uint8 → baseline JPEG
-    bytes (one quant table, per-image canonical Huffman tables).
+    """Encode (H, W) grayscale or (H, W, 3) RGB uint8 → JPEG bytes
+    (one quant table, per-image canonical Huffman tables).
 
     ``subsampling``: ``"444"`` (no chroma subsampling), ``"422"``
     (2×1) or ``"420"`` (2×2) — the 2×2-luma-MCU layout virtually all
     real-world JPEGs use. ``restart_interval`` > 0 emits a DRI
     segment and an RSTn marker (with DC-predictor reset) every that
-    many MCUs — the spec's resync/parallel-decode primitive."""
+    many MCUs — the spec's resync/parallel-decode primitive.
+
+    ``progressive=True`` emits SOF2 with the standard 4-phase scan
+    script (DC first at Al=1 interleaved → DC refinement → per-
+    component AC first Ss=1..63 at Al=1 → per-component AC
+    refinement): spectral selection + one level of successive
+    approximation, EOB-run coding included. Successive approximation
+    is lossless once all scans land, so the decoded image is
+    bit-identical to the baseline encoding of the same input — the
+    cross-check the tests pin."""
     px = np.asarray(px, dtype=np.uint8)
     if subsampling not in _SUBSAMPLING:
         raise ValueError(f"subsampling must be one of {sorted(_SUBSAMPLING)}")
@@ -368,6 +386,18 @@ def encode_jpeg(
             np.round(d / qt)
             .astype(np.int32)
             .reshape(rows, cols, _N * _N)[..., _ZIGZAG]
+        )
+
+    if progressive:
+        # non-interleaved AC scans walk the component's OWN block
+        # raster (ceil(cw/8) × ceil(ch/8)) — from the pre-padding dims
+        comp_dims = [
+            ((p.shape[1] + _N - 1) // _N, (p.shape[0] + _N - 1) // _N)
+            for p in planes
+        ]
+        return _assemble_progressive(
+            comp_grids, samps, comp_dims, h, w, qt, mcuy, mcux,
+            restart_interval,
         )
 
     # first pass: tokenize in MCU order, collecting symbol usage;
@@ -447,16 +477,296 @@ def encode_jpeg(
 
 
 # ---------------------------------------------------------------------------
+# Progressive (SOF2) encoding — spectral selection + one successive-
+# approximation level, EOB-run coding, shared canonical tables
+# ---------------------------------------------------------------------------
+
+
+class _CollectSink:
+    """Dry-run scan sink: records which DC/AC symbols each scan uses
+    so ONE canonical table pair (emitted once, before the first scan)
+    covers every scan."""
+
+    def __init__(self) -> None:
+        self.dc_syms: set[int] = set()
+        self.ac_syms: set[int] = set()
+
+    def dc(self, sym: int) -> None:
+        self.dc_syms.add(sym)
+
+    def ac(self, sym: int) -> None:
+        self.ac_syms.add(sym)
+
+    def bits(self, v: int, n: int) -> None:
+        pass
+
+    def restart(self, m: int) -> None:
+        pass
+
+    def flush(self) -> bytes:
+        return b""
+
+
+class _WriteSink:
+    def __init__(self, dc_codes, ac_codes) -> None:
+        self.bw = _BitWriter()
+        self.dc_codes = dc_codes
+        self.ac_codes = ac_codes
+
+    def dc(self, sym: int) -> None:
+        c, ln = self.dc_codes[sym]
+        self.bw.write(c, ln)
+
+    def ac(self, sym: int) -> None:
+        c, ln = self.ac_codes[sym]
+        self.bw.write(c, ln)
+
+    def bits(self, v: int, n: int) -> None:
+        self.bw.write(v, n)
+
+    def restart(self, m: int) -> None:
+        self.bw.restart_marker(m)
+
+    def flush(self) -> bytes:
+        return self.bw.flush()
+
+
+def _flush_eobrun(sink, state: dict) -> None:
+    """Emit the pending EOB-run symbol (nbits<<4 + extension bits) and
+    the correction bits buffered behind it (refinement scans).
+    Buffered bits are flushed ONLY together with a symbol — here with
+    the EOB run, in the block encoders right after their own symbol —
+    because the decoder reads them while advancing past that symbol's
+    run; dumping them symbol-less would desynchronize the stream."""
+    e = state["eobrun"]
+    if e > 0:
+        r = e.bit_length() - 1
+        sink.ac((r << 4))
+        if r:
+            sink.bits(e - (1 << r), r)
+        state["eobrun"] = 0
+        for b in state["bits"]:
+            sink.bits(b, 1)
+        state["bits"] = []
+
+
+def _enc_ac_first(sink, band: list[int], state: dict) -> None:
+    """One block of a progressive first AC scan (Ah=0): run-length
+    over the point-transformed band, whole-block trailing zeros fold
+    into the shared EOB run."""
+    last = -1
+    for i, t in enumerate(band):
+        if t:
+            last = i
+    if last < 0:
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _flush_eobrun(sink, state)
+        return
+    _flush_eobrun(sink, state)
+    r = 0
+    for i in range(last + 1):
+        t = band[i]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15:
+            sink.ac(0xF0)
+            r -= 16
+        s = _category(t)
+        sink.ac((r << 4) | s)
+        sink.bits(t if t > 0 else t + (1 << s) - 1, s)
+        r = 0
+    if last < len(band) - 1:
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _flush_eobrun(sink, state)
+
+
+def _enc_ac_refine(sink, band: list[int], Al: int, state: dict) -> None:
+    """One block of a progressive AC refinement scan (Ah=Al+1): the
+    T.81 G.1.2.3 / libjpeg encode_mcu_AC_refine algorithm — newly-
+    nonzero coefficients coded with size 1, already-nonzero ones get a
+    buffered correction bit. TWO separate bit buffers, as in libjpeg:
+    ``state["bits"]`` holds corrections attached to the pending EOB
+    run (the decoder consumes them while finishing those run blocks),
+    while ``cur`` holds THIS block's corrections since the last
+    symbol (the decoder consumes them while advancing past the next
+    symbol) — merging them desynchronizes multi-block streams."""
+    absv = [abs(t) >> Al for t in band]
+    eob = -1
+    for i, a in enumerate(absv):
+        if a == 1:
+            eob = i
+    r = 0
+    cur: list[int] = []
+    for i, t in enumerate(band):
+        a = absv[i]
+        if a == 0:
+            r += 1
+            continue
+        while r > 15 and i <= eob:
+            _flush_eobrun(sink, state)
+            sink.ac(0xF0)
+            r -= 16
+            for b in cur:
+                sink.bits(b, 1)
+            cur = []
+        if a > 1:
+            cur.append(a & 1)
+            continue
+        _flush_eobrun(sink, state)
+        sink.ac((r << 4) | 1)
+        r = 0
+        sink.bits(1 if t > 0 else 0, 1)
+        for b in cur:
+            sink.bits(b, 1)
+        cur = []
+    if r > 0 or cur:
+        state["eobrun"] += 1
+        state["bits"].extend(cur)
+        if state["eobrun"] == 0x7FFF or len(state["bits"]) > 900:
+            _flush_eobrun(sink, state)
+
+
+def _enc_scan_mcus(comp_indices, samps, comp_grids, mcuy, mcux, comp_dims):
+    """Encoder twin of ``_scan_mcu_iter``: interleaved MCU walk for
+    multi-component scans, component-raster walk for single-component
+    (non-interleaved) ones."""
+    if len(comp_indices) > 1:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                blocks = []
+                for ci in comp_indices:
+                    hi, vi = samps[ci]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            blocks.append(
+                                (ci, comp_grids[ci][my * vi + by, mx * hi + bx])
+                            )
+                yield blocks
+    else:
+        ci = comp_indices[0]
+        bw_, bh_ = comp_dims[ci]
+        for rr in range(bh_):
+            for cc in range(bw_):
+                yield [(ci, comp_grids[ci][rr, cc])]
+
+
+def _encode_scan(
+    sink, scan, comp_grids, samps, comp_dims, mcuy, mcux, restart_interval
+):
+    comp_indices, Ss, Se, Ah, Al = scan
+    preds = {ci: 0 for ci in comp_indices}
+    state = {"eobrun": 0, "bits": []}
+    rst = 0
+    for idx, blocks in enumerate(
+        _enc_scan_mcus(comp_indices, samps, comp_grids, mcuy, mcux, comp_dims)
+    ):
+        if restart_interval and idx and idx % restart_interval == 0:
+            _flush_eobrun(sink, state)
+            sink.restart(rst)
+            rst += 1
+            preds = {ci: 0 for ci in comp_indices}
+        for ci, blk in blocks:
+            if Ss == 0:
+                dc = int(blk[0])
+                if Ah == 0:
+                    # DC point transform is an ARITHMETIC shift
+                    v = dc >> Al
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    s = _category(diff)
+                    sink.dc(s)
+                    if s:
+                        sink.bits(
+                            diff if diff > 0 else diff + (1 << s) - 1, s
+                        )
+                else:
+                    sink.bits((dc >> Al) & 1, 1)
+            else:
+                if Ah == 0:
+                    # AC point transform truncates TOWARD ZERO
+                    band = [
+                        (abs(int(blk[k])) >> Al)
+                        * (1 if blk[k] >= 0 else -1)
+                        for k in range(Ss, Se + 1)
+                    ]
+                    _enc_ac_first(sink, band, state)
+                else:
+                    band = [int(blk[k]) for k in range(Ss, Se + 1)]
+                    _enc_ac_refine(sink, band, Al, state)
+    _flush_eobrun(sink, state)
+
+
+def _assemble_progressive(
+    comp_grids, samps, comp_dims, h, w, qt, mcuy, mcux, restart_interval
+) -> bytes:
+    ncomp = len(comp_grids)
+    all_comps = list(range(ncomp))
+    scans = [(all_comps, 0, 0, 0, 1), (all_comps, 0, 0, 1, 0)]
+    for ci in all_comps:
+        scans.append(([ci], 1, 63, 0, 1))
+    for ci in all_comps:
+        scans.append(([ci], 1, 63, 1, 0))
+
+    collector = _CollectSink()
+    for scan in scans:
+        _encode_scan(
+            collector, scan, comp_grids, samps, comp_dims,
+            mcuy, mcux, restart_interval,
+        )
+    dc_bits, dc_vals = _fixed_length_spec(collector.dc_syms)
+    # EOB-run symbols (r<<4) and refinement sizes must always be
+    # representable even if the dry run happened not to use them
+    ac_bits, ac_vals = _fixed_length_spec(collector.ac_syms | {0x00})
+    dc_codes = _codes_from_spec(dc_bits, dc_vals)
+    ac_codes = _codes_from_spec(ac_bits, ac_vals)
+
+    out = bytearray(b"\xff\xd8")
+    qt_zz = qt.reshape(-1)[_ZIGZAG]
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
+        int(x) for x in qt_zz
+    )
+    sof = struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for cid, (hi, vi) in zip(range(1, ncomp + 1), samps):
+        sof += bytes([cid, (hi << 4) | vi, 0])
+    out += b"\xff\xc2" + sof  # SOF2: progressive
+    for cls, (bits, vals) in ((0, (dc_bits, dc_vals)), (1, (ac_bits, ac_vals))):
+        body = bytes([cls << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    for scan in scans:
+        comp_indices, Ss, Se, Ah, Al = scan
+        ns = len(comp_indices)
+        sos = struct.pack(">HB", 6 + 2 * ns, ns)
+        for ci in comp_indices:
+            sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
+        sos += bytes([Ss, Se, (Ah << 4) | Al])
+        sink = _WriteSink(dc_codes, ac_codes)
+        _encode_scan(
+            sink, scan, comp_grids, samps, comp_dims,
+            mcuy, mcux, restart_interval,
+        )
+        out += b"\xff\xda" + sos + sink.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # Decoder
 # ---------------------------------------------------------------------------
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode baseline JPEG bytes → (H, W) or (H, W, 3) uint8 —
-    including 4:2:2 / 4:2:0 chroma subsampling (any integer-ratio
-    per-component sampling factors) and restart-marker streams.
-    Raises ValueError on non-JPEG/corrupt bytes and
-    NotImplementedError on progressive / 12-bit variants."""
+    """Decode JPEG bytes → (H, W) or (H, W, 3) uint8 — baseline
+    (SOF0) AND progressive (SOF2), including 4:2:2 / 4:2:0 chroma
+    subsampling (any integer-ratio per-component sampling factors),
+    restart-marker streams, non-interleaved scans, spectral selection
+    and successive approximation. Raises ValueError on
+    non-JPEG/corrupt bytes and NotImplementedError on
+    lossless/hierarchical/12-bit variants."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     try:
@@ -468,15 +778,120 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         raise ValueError(f"truncated or corrupt JPEG: {e!r}") from e
 
 
+def _extend(v: int, size: int) -> int:
+    """The spec's EXTEND: a ``size``-bit magnitude to a signed value."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _decode_block_full(br: _BitReader, blk, dct, act, pred: list[int]) -> None:
+    """One baseline (sequential) block: DC diff + full AC run-length."""
+    size = _read_huff_symbol(br, dct)
+    pred[0] += _extend(br.read(size), size) if size else 0
+    blk[0] = pred[0]
+    k = 1
+    while k < 64:
+        sym = _read_huff_symbol(br, act)
+        if sym == 0x00:  # EOB
+            break
+        run, size = sym >> 4, sym & 0x0F
+        if sym == 0xF0:
+            k += 16
+            continue
+        k += run
+        if k >= 64:
+            raise ValueError("JPEG AC run overflow")
+        blk[k] = _extend(br.read(size), size)
+        k += 1
+
+
+def _decode_ac_first(
+    br: _BitReader, blk, act, Ss: int, Se: int, Al: int, state: dict
+) -> None:
+    """Progressive AC scan, Ah == 0 (first pass for this band):
+    run-length over the spectral band with EOB-run symbols spanning
+    whole blocks; values arrive shifted left by ``Al``."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = Ss
+    while k <= Se:
+        sym = _read_huff_symbol(br, act)
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += br.read(r)
+            return
+        k += r
+        if k > Se:
+            raise ValueError("JPEG AC run overflow (progressive)")
+        blk[k] = _extend(br.read(s), s) << Al
+        k += 1
+
+
+def _decode_ac_refine(
+    br: _BitReader, blk, act, Ss: int, Se: int, Al: int, state: dict
+) -> None:
+    """Progressive AC refinement (Ah == Al + 1): one correction bit
+    per already-nonzero coefficient, newly-nonzero coefficients coded
+    with size 1 — the T.81 G.1.2.3 / libjpeg decode_mcu_AC_refine
+    algorithm."""
+    p1 = 1 << Al
+    m1 = -1 << Al
+    k = Ss
+    if state["eobrun"] == 0:
+        while k <= Se:
+            sym = _read_huff_symbol(br, act)
+            r, s = sym >> 4, sym & 0x0F
+            if s == 0:
+                if r != 15:
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += br.read(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad size in AC refinement scan")
+                val = p1 if br.read(1) else m1
+            # advance r zero-history coefficients, appending a
+            # correction bit to every nonzero-history one passed over
+            while k <= Se:
+                if blk[k] != 0:
+                    if br.read(1) and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= Se:
+                blk[k] = val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= Se:
+            if blk[k] != 0:
+                if br.read(1) and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        state["eobrun"] -= 1
+
+
 def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     comps = None
     h = w = 0
-    scan_comps = None
-    entropy_start = None
+    progressive = False
     restart_interval = 0
+    grids = None
+    geom: dict[int, tuple] = {}
+    hmax = vmax = mcux = mcuy = 0
+    saw_scan = False
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
@@ -506,10 +921,11 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
                     .reshape(_N, _N)
                 )
                 b = b[65:]
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
             if prec != 8:
-                raise NotImplementedError("only 8-bit baseline JPEG")
+                raise NotImplementedError("only 8-bit JPEG")
             comps = []
             for i in range(nc):
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
@@ -517,8 +933,10 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
                 if not (1 <= hi <= 4 and 1 <= vi <= 4):
                     raise ValueError(f"bad sampling factors {hi}x{vi}")
                 comps.append((cid, hi, vi, tq))
-        elif marker in (0xC1, 0xC2, 0xC3):
-            raise NotImplementedError("only baseline (SOF0) JPEG")
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise NotImplementedError(
+                "only baseline (SOF0) and progressive (SOF2) JPEG"
+            )
         elif marker == 0xC4:  # DHT (possibly several tables)
             b = body
             while b:
@@ -531,89 +949,65 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
                 b = b[17 + n :]
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — decode one scan, keep walking
+            if comps is None:
+                raise ValueError("JPEG SOS before SOF")
+            if grids is None:
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                for cid, hi, vi, _tq in comps:
+                    if hmax % hi or vmax % vi:
+                        raise NotImplementedError(
+                            f"non-integer sampling ratio {hi}x{vi} "
+                            f"vs {hmax}x{vmax}"
+                        )
+                mcux = (w + _N * hmax - 1) // (_N * hmax)
+                mcuy = (h + _N * vmax - 1) // (_N * vmax)
+                grids = {}
+                for cid, hi, vi, tq in comps:
+                    cw = (w * hi + hmax - 1) // hmax
+                    ch = (h * vi + vmax - 1) // vmax
+                    geom[cid] = (
+                        hi,
+                        vi,
+                        tq,
+                        (cw + _N - 1) // _N,  # non-interleaved block cols
+                        (ch + _N - 1) // _N,  # non-interleaved block rows
+                    )
+                    grids[cid] = np.zeros(
+                        (mcuy * vi, mcux * hi, _N * _N), dtype=np.int32
+                    )
             ns = body[0]
             scan_comps = [
                 (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0x0F)
                 for i in range(ns)
             ]
-            entropy_start = pos
-            break
-    if comps is None or scan_comps is None:
-        raise ValueError("JPEG missing SOF/SOS")
-
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    for cid, hi, vi, _tq in comps:
-        if hmax % hi or vmax % vi:
-            raise NotImplementedError(
-                f"non-integer sampling ratio {hi}x{vi} vs {hmax}x{vmax}"
+            Ss, Se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            Ah, Al = ahal >> 4, ahal & 0x0F
+            for cid, _td, _ta in scan_comps:
+                if cid not in geom:
+                    raise ValueError(f"SOS references unknown component {cid}")
+            br = _BitReader(payload[pos:])
+            _decode_scan(
+                br, grids, geom, huff, scan_comps,
+                mcuy, mcux, Ss, Se, Ah, Al,
+                restart_interval, progressive,
             )
-    mcux = (w + _N * hmax - 1) // (_N * hmax)
-    mcuy = (h + _N * vmax - 1) // (_N * vmax)
-
-    br = _BitReader(payload[entropy_start:])
-    spec_of = {c[0]: c for c in comps}
-    # scan order (SOS component order) drives the interleave; each
-    # component's block grid is MCU-aligned: (mcuy*vi, mcux*hi)
-    order = []
-    for cid, td, ta in scan_comps:
-        if cid not in spec_of:
-            raise ValueError(f"SOS references unknown component {cid}")
-        order.append((spec_of[cid], td, ta))
-    grids = {
-        cid: np.zeros((mcuy * vi, mcux * hi, _N * _N), dtype=np.int32)
-        for cid, hi, vi, _tq in comps
-    }
-    prev_dc = {c[0]: 0 for c in comps}
-    mcu_idx = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if (
-                restart_interval
-                and mcu_idx
-                and mcu_idx % restart_interval == 0
-            ):
-                br.restart()
-                prev_dc = {c[0]: 0 for c in comps}
-            for (cid, hi, vi, _tq), td, ta in order:
-                dct = huff[(0, td)]
-                act = huff[(1, ta)]
-                for by in range(vi):
-                    for bx in range(hi):
-                        blk = grids[cid][my * vi + by, mx * hi + bx]
-                        size = _read_huff_symbol(br, dct)
-                        if size:
-                            v = br.read(size)
-                            diff = (
-                                v
-                                if v >= (1 << (size - 1))
-                                else v - (1 << size) + 1
-                            )
-                        else:
-                            diff = 0
-                        prev_dc[cid] += diff
-                        blk[0] = prev_dc[cid]
-                        k = 1
-                        while k < 64:
-                            sym = _read_huff_symbol(br, act)
-                            if sym == 0x00:  # EOB
-                                break
-                            run, size = sym >> 4, sym & 0x0F
-                            if sym == 0xF0:
-                                k += 16
-                                continue
-                            k += run
-                            if k >= 64:
-                                raise ValueError("JPEG AC run overflow")
-                            v = br.read(size)
-                            blk[k] = (
-                                v
-                                if v >= (1 << (size - 1))
-                                else v - (1 << size) + 1
-                            )
-                            k += 1
-            mcu_idx += 1
+            saw_scan = True
+            # skip past this scan's entropy bytes: the next real
+            # marker is the first 0xFF not followed by stuffing (0x00),
+            # fill (0xFF) or a restart id
+            p = pos + br.pos
+            while p + 1 < len(payload):
+                nxt = payload[p + 1] if payload[p] == 0xFF else None
+                if nxt is not None and nxt != 0x00 and nxt != 0xFF and not (
+                    0xD0 <= nxt <= 0xD7
+                ):
+                    break
+                p += 1
+            pos = p
+    if grids is None or not saw_scan:
+        raise ValueError("JPEG missing SOF/SOS")
 
     planes = []
     for cid, hi, vi, tq in comps:
@@ -636,3 +1030,74 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
     if len(planes) == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     return _ycc_to_rgb(np.stack(planes, axis=-1))
+
+
+def _scan_mcu_iter(scan_comps, geom, grids, mcuy: int, mcux: int):
+    """Yield each scan-MCU's blocks as ``(cid, td, ta, blk)`` tuples.
+
+    Interleaved scans (>1 component) walk the MCU grid with hi×vi
+    blocks per component per MCU; a single-component scan is
+    NON-interleaved per the spec — its "MCU" is one block and the
+    order is the component's own block raster (ceil(cw/8) wide, NOT
+    the MCU-aligned grid)."""
+    if len(scan_comps) > 1:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                blocks = []
+                for cid, td, ta in scan_comps:
+                    hi, vi = geom[cid][0], geom[cid][1]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            blocks.append(
+                                (cid, td, ta,
+                                 grids[cid][my * vi + by, mx * hi + bx])
+                            )
+                yield blocks
+    else:
+        cid, td, ta = scan_comps[0]
+        bw, bh = geom[cid][3], geom[cid][4]
+        for r in range(bh):
+            for c in range(bw):
+                yield [(cid, td, ta, grids[cid][r, c])]
+
+
+def _decode_scan(
+    br, grids, geom, huff, scan_comps,
+    mcuy, mcux, Ss, Se, Ah, Al, restart_interval, progressive,
+):
+    if not progressive and (Ss != 0 or Se != 63 or Ah or Al):
+        raise ValueError("sequential JPEG scan with progressive parameters")
+    if progressive and Ss == 0 and Se != 0:
+        raise ValueError("progressive DC scan must have Se = 0")
+    if progressive and Ss > 0 and len(scan_comps) != 1:
+        raise ValueError("progressive AC scans must be non-interleaved")
+    preds = {cid: [0] for cid, _td, _ta in scan_comps}
+    state = {"eobrun": 0}
+    for idx, blocks in enumerate(
+        _scan_mcu_iter(scan_comps, geom, grids, mcuy, mcux)
+    ):
+        if restart_interval and idx and idx % restart_interval == 0:
+            br.restart()
+            for p in preds.values():
+                p[0] = 0
+            state["eobrun"] = 0
+        for cid, td, ta, blk in blocks:
+            if not progressive:
+                _decode_block_full(
+                    br, blk, huff[(0, td)], huff[(1, ta)], preds[cid]
+                )
+            elif Ss == 0:
+                if Ah == 0:  # DC first: diffs at reduced precision
+                    dct = huff[(0, td)]
+                    size = _read_huff_symbol(br, dct)
+                    preds[cid][0] += (
+                        _extend(br.read(size), size) if size else 0
+                    )
+                    blk[0] = preds[cid][0] << Al
+                else:  # DC refinement: one raw bit
+                    if br.read(1):
+                        blk[0] |= 1 << Al
+            elif Ah == 0:
+                _decode_ac_first(br, blk, huff[(1, ta)], Ss, Se, Al, state)
+            else:
+                _decode_ac_refine(br, blk, huff[(1, ta)], Ss, Se, Al, state)

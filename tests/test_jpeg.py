@@ -356,3 +356,169 @@ def test_truncated_subsampled_stream_raises_cleanly():
             decode_jpeg(data[:cut])
         except (ValueError, NotImplementedError):
             pass
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2): spectral selection + successive approximation
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sub", ["444", "422", "420"])
+@pytest.mark.parametrize("shape", [(8, 8), (16, 16), (37, 53)])
+@pytest.mark.parametrize("q", [50, 90])
+def test_progressive_decodes_identical_to_baseline(sub, shape, q):
+    """Successive approximation is lossless once every scan lands: the
+    progressive encoding of an image must decode BIT-IDENTICALLY to
+    its baseline encoding (same DCT, same quantizer, same
+    coefficients — only the entropy framing differs). This pins the
+    whole progressive path — DC first/refine, AC first/refine, EOB
+    runs — against the already-oracle-checked baseline decoder."""
+    rng = np.random.default_rng(hash((sub, shape, q)) % 2**32)
+    px = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(px, q, subsampling=sub))
+    prog = decode_jpeg(encode_jpeg(px, q, subsampling=sub, progressive=True))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_grayscale_and_restart_identity():
+    rng = np.random.default_rng(21)
+    g = rng.integers(0, 256, size=(19, 23), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(g, 85)),
+        decode_jpeg(encode_jpeg(g, 85, progressive=True)),
+    )
+    px = rng.integers(0, 256, size=(37, 53, 3), dtype=np.uint8)
+    want = decode_jpeg(encode_jpeg(px, 90, subsampling="420"))
+    for ri in (1, 3):
+        enc = encode_jpeg(
+            px, 90, subsampling="420", progressive=True, restart_interval=ri
+        )
+        assert b"\xff\xdd" in enc
+        assert np.array_equal(decode_jpeg(enc), want)
+
+
+def test_handbuilt_progressive_stream_pins_scan_semantics():
+    """A progressive stream built BY HAND from the spec (never through
+    the encoder): 16x8 grayscale, two blocks, unit quant table, four
+    scans — DC first (Al=1), DC refinement, AC first with an EOB run
+    spanning the second block, AC refinement whose correction bit and
+    EOB run must both be consumed. Expected pixels are computed with
+    an INDEPENDENT inverse DCT written here, so no symmetric
+    encoder/decoder bug can satisfy this test."""
+    import math
+    import struct
+
+    bits_out = []
+
+    def put(value, length):
+        bits_out.extend(
+            (value >> (length - 1 - i)) & 1 for i in range(length)
+        )
+
+    def finish_scan():
+        nonlocal_entropy = bytearray()
+        while len(bits_out) % 8:
+            bits_out.append(1)
+        for i in range(0, len(bits_out), 8):
+            byte = int("".join(map(str, bits_out[i : i + 8])), 2)
+            nonlocal_entropy.append(byte)
+            if byte == 0xFF:
+                nonlocal_entropy.append(0x00)
+        bits_out.clear()
+        return bytes(nonlocal_entropy)
+
+    # DC table: symbols 6,7 at code length 2 (codes 00, 01)
+    # AC table: symbols 0x00, 0x03, 0x10 at length 2 (codes 00, 01, 10)
+    # Coefficients: block A dc=81, ac[zigzag 1]=14; block B dc=-81.
+    # Scan 1 — DC first (Al=1): shifted DCs 40, -41; diffs 40, -81
+    put(0b00, 2)          # cat 6
+    put(40, 6)
+    put(0b01, 2)          # cat 7
+    put(-81 + 127, 7)     # negative encoding: v + 2^s - 1
+    scan1 = finish_scan()
+    # Scan 2 — DC refinement (Al=0): bits 81&1=1, -81&1=1
+    put(1, 1)
+    put(1, 1)
+    scan2 = finish_scan()
+    # Scan 3 — AC first (Ss=1,Se=63,Al=1): block A codes 14>>1=7
+    # (r=0,s=3), its trailing zeros + all of block B fold into an
+    # EOB run of 2 (symbol 0x10 + 1 extension bit 0)
+    put(0b01, 2)          # symbol 0x03
+    put(7, 3)
+    put(0b10, 2)          # symbol 0x10: EOB run, nbits=1
+    put(0, 1)             # run = 2 + 0
+    scan3 = finish_scan()
+    # Scan 4 — AC refinement (Ah=1,Al=0): no newly-nonzero anywhere;
+    # EOB run of 2 carries block A's one correction bit (14 & 1 = 0)
+    put(0b10, 2)          # symbol 0x10
+    put(0, 1)             # run = 2
+    put(0, 1)             # correction bit for coefficient 14
+    scan4 = finish_scan()
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    sof = struct.pack(">HBHHB", 11, 8, 8, 16, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc2" + sof
+    dc_bits = [0] * 16
+    dc_bits[1] = 2
+    out += (
+        b"\xff\xc4" + struct.pack(">H", 21)
+        + bytes([0x00]) + bytes(dc_bits) + bytes([6, 7])
+    )
+    ac_bits = [0] * 16
+    ac_bits[1] = 3
+    out += (
+        b"\xff\xc4" + struct.pack(">H", 22)
+        + bytes([0x10]) + bytes(ac_bits) + bytes([0x00, 0x03, 0x10])
+    )
+    for (ss, se, ahal), entropy in [
+        ((0, 0, 0x01), scan1),
+        ((0, 0, 0x10), scan2),
+        ((1, 63, 0x01), scan3),
+        ((1, 63, 0x10), scan4),
+    ]:
+        out += (
+            b"\xff\xda" + struct.pack(">HB", 8, 1)
+            + bytes([1, 0x00]) + bytes([ss, se, ahal]) + entropy
+        )
+    out += b"\xff\xd9"
+
+    img = decode_jpeg(bytes(out))
+    assert img.shape == (8, 16)
+
+    # independent expectation: orthonormal IDCT of the two blocks
+    def b0(_):
+        return 1.0 / math.sqrt(8.0)
+
+    def b1(x):
+        return 0.5 * math.cos((2 * x + 1) * math.pi / 16.0)
+
+    want = np.zeros((8, 16))
+    for y in range(8):
+        for x in range(8):
+            # block A: dc=81 at (0,0), ac=14 at (row 0, col 1)
+            want[y, x] = 81 * b0(y) * b0(x) + 14 * b0(y) * b1(x) + 128
+            want[y, x + 8] = -81 * b0(y) * b0(x) + 128  # block B
+    want = np.clip(np.round(want), 0, 255).astype(np.uint8)
+    assert np.array_equal(img, want)
+
+
+def test_progressive_truncation_and_corruption_fuzz():
+    rng = np.random.default_rng(31)
+    px = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    data = bytearray(
+        encode_jpeg(px, 80, subsampling="420", progressive=True)
+    )
+    for cut in list(range(2, 80)) + [len(data) // 2, len(data) - 3]:
+        try:
+            decode_jpeg(bytes(data[:cut]))
+        except (ValueError, NotImplementedError):
+            pass
+    for _ in range(120):
+        d = bytearray(data)
+        for _ in range(int(rng.integers(1, 5))):
+            d[int(rng.integers(2, len(d)))] = int(rng.integers(0, 256))
+        try:
+            decode_jpeg(bytes(d))
+        except (ValueError, NotImplementedError):
+            pass
