@@ -11,13 +11,15 @@ The Spark-side plumbing — schema, partition-parallel batch decode via
 Media decode is REAL for the library-free formats: uncompressed
 24-bit BMP is hand-parsed (:func:`decode_bmp` — decode, features,
 nearest-neighbor resize all run on actual pixels, oracle-checked by
-the ``mm_bmp_features`` corpus entry), 8-bit non-interlaced PNG
-decodes with nothing beyond stdlib ``zlib`` (:func:`decode_png` —
-chunk walk + all five spec scanline filters, oracle-checked by
-``mm_png_features``), baseline JPEG encodes AND decodes with numpy
-alone (``operators/jpeg.py`` — DCT, quantization, canonical Huffman;
-lossy, so round-trips are tolerance-tested plus exact on flat
-blocks), PCM WAV decodes via the stdlib ``wave`` module
+the ``mm_bmp_features`` corpus entry), PNG decodes with nothing
+beyond stdlib ``zlib`` (:func:`decode_png` — chunk walk + all five
+spec scanline filters, Adam7 de-interlacing, palette/tRNS, sub-byte
+gray+palette depths; only 16-bit remains refused; oracle-checked by
+``mm_png_features``), baseline AND progressive JPEG encode + decode
+with numpy alone (``operators/jpeg.py`` — DCT, quantization,
+canonical Huffman, 4:2:2/4:2:0, restart markers, SOF2 successive
+approximation; lossy, so round-trips are tolerance-tested plus exact
+on flat blocks), PCM WAV decodes via the stdlib ``wave`` module
 (:func:`decode_wav`), and uncompressed YUV4MPEG2 video parses for
 real in ``operators/y4m.py`` (header walk + planar frame slicing,
 value-checked by ``mm_y4m_features``; ``split_y4m_frames`` is a real
@@ -440,35 +442,94 @@ def _unfilter_scanline(
     raise ValueError(f"unknown PNG filter type {ftype}")
 
 
+# Adam7 interlacing: (x0, y0, dx, dy) per pass, from the spec's
+# 8x8 tile pattern
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _unpack_samples(row: "np.ndarray", depth: int, n: int) -> "np.ndarray":
+    """Unpack a packed sub-byte scanline (depth 1/2/4, MSB first) into
+    ``n`` samples; depth 8 returns the row as-is."""
+    if depth == 8:
+        return row[:n]
+    per = 8 // depth
+    mask = (1 << depth) - 1
+    out = np.empty(len(row) * per, dtype=np.uint8)
+    for i in range(per):
+        out[i::per] = (row >> (8 - depth * (i + 1))) & mask
+    return out[:n]
+
+
+def _unfilter_image(
+    raw: "np.ndarray", h: int, w: int, depth: int, channels: int
+) -> "np.ndarray":
+    """Unfilter ``h`` scanlines of a (sub)image → (h, w*channels)
+    samples (sub-byte depths unpacked). Returns uint8 samples in
+    their raw range."""
+    stride = (w * channels * depth + 7) // 8
+    bpp = max(1, (channels * depth) // 8)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    raw = raw.reshape(h, stride + 1)
+    out = np.empty((h, w * channels), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        prev = _unfilter_scanline(int(raw[y, 0]), raw[y, 1:], prev, bpp)
+        out[y] = _unpack_samples(prev, depth, w * channels)
+    return out
+
+
 def decode_png(payload: bytes) -> "np.ndarray":
-    """Decode a non-interlaced 8-bit grayscale/RGB/RGBA PNG →
-    (H, W[, C]) uint8 array, stdlib only: chunk walk, ``zlib``
-    inflate, per-scanline unfilter (all five spec filter types).
-    Raises ValueError on non-PNG bytes and NotImplementedError on
-    interlaced / sub-byte / 16-bit / palette images (those need a real
-    imaging library)."""
+    """Decode a PNG → (H, W[, C]) uint8 array, stdlib only: chunk
+    walk, ``zlib`` inflate, per-scanline unfilter (all five spec
+    filter types), Adam7 de-interlacing, palette (PLTE, with optional
+    tRNS alpha → RGBA) and sub-byte gray/palette depths (1/2/4 bit;
+    gray scales to 8-bit exactly). Raises ValueError on non-PNG bytes
+    and NotImplementedError on 16-bit images."""
     import zlib
 
     if payload[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos, w = len(_PNG_SIG), None
     idat = bytearray()
+    plte = None
+    trns = None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
-        tag = payload[pos + 4 : pos + 8]
+        tag = payload[pos + 8 - 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + length]
         pos += 12 + length  # length + tag + body + crc
         if tag == b"IHDR":
             w, h, depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if depth != 8 or interlace != 0 or color_type not in (0, 2, 6):
+            if color_type not in (0, 2, 3, 6):
+                raise NotImplementedError(f"PNG color type {color_type}")
+            if depth == 16 or (
+                depth != 8 and color_type in (2, 6)
+            ) or depth not in (1, 2, 4, 8):
                 raise NotImplementedError(
-                    f"only 8-bit non-interlaced gray/RGB/RGBA PNG is "
-                    f"stdlib-decodable (depth={depth}, "
-                    f"color_type={color_type}, interlace={interlace})"
+                    f"PNG depth={depth} color_type={color_type} is not "
+                    "stdlib-decodable (16-bit needs a real imaging "
+                    "library)"
                 )
-            channels = {0: 1, 2: 3, 6: 4}[color_type]
+            if interlace not in (0, 1):
+                raise ValueError(f"bad PNG interlace method {interlace}")
+            channels = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
+        elif tag == b"PLTE":
+            if len(body) % 3:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(body, dtype=np.uint8)
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -476,15 +537,47 @@ def decode_png(payload: bytes) -> "np.ndarray":
     if w is None:
         raise ValueError("PNG missing IHDR")
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG pixel data length mismatch")
-    raw = raw.reshape(h, stride + 1)
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        prev = _unfilter_scanline(int(raw[y, 0]), raw[y, 1:], prev, channels)
-        out[y] = prev
+
+    if interlace == 0:
+        samples = _unfilter_image(raw, h, w, depth, channels)
+    else:
+        # Adam7: seven independently-filtered sub-images, pixels
+        # scattered back onto the full grid by the pass pattern
+        samples = np.zeros((h, w * channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = (pw * channels * depth + 7) // 8
+            need = ph * (stride + 1)
+            sub = _unfilter_image(raw[off : off + need], ph, pw, depth, channels)
+            off += need
+            sub = sub.reshape(ph, pw, channels)
+            ys = y0 + np.arange(ph) * dy
+            xs = x0 + np.arange(pw) * dx
+            grid = samples.reshape(h, w, channels)
+            grid[np.ix_(ys, xs)] = sub
+        if off != len(raw):
+            raise ValueError("PNG interlaced data length mismatch")
+
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        idx = samples.reshape(h, w)
+        if idx.max(initial=0) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[: len(trns)] = trns
+            return np.dstack([rgb, alpha[idx]])
+        return rgb
+    if color_type == 0 and depth != 8:
+        # exact 8-bit expansion: 255/(2^d-1) is an integer for 1/2/4
+        samples = samples * np.uint8(255 // ((1 << depth) - 1))
+    out = samples
     return out.reshape(h, w) if channels == 1 else out.reshape(h, w, channels)
 
 

@@ -234,3 +234,170 @@ def test_image_features_mixed_bmp_png_on_spark(spark):
     assert rows[1]["mean_r"] == rows[2]["mean_r"]
     assert rows[1]["mean_g"] == rows[2]["mean_g"]
     assert rows[1]["mean_b"] == rows[2]["mean_b"]
+
+
+# ---------------------------------------------------------------------------
+# PNG interop: palette, sub-byte depths, Adam7 interlacing
+# ---------------------------------------------------------------------------
+
+
+def _chunkify(tag, body):
+    from cae_polars_tools_spark.operators.multimodal import _png_chunk
+
+    return _png_chunk(tag, body)
+
+
+def _pack_bits(samples, depth):
+    """Pack one scanline of sub-byte samples MSB-first (spec order)."""
+    per = 8 // depth
+    out = bytearray()
+    for i in range(0, len(samples), per):
+        byte = 0
+        group = samples[i : i + per]
+        for j, s in enumerate(group):
+            byte |= int(s) << (8 - depth * (j + 1))
+        out.append(byte)
+    return bytes(out)
+
+
+def _build_png(w, h, depth, color_type, scanlines, extra_chunks=()):
+    import struct
+    import zlib
+
+    from cae_polars_tools_spark.operators.multimodal import _PNG_SIG
+
+    raw = bytearray()
+    for line in scanlines:
+        raw.append(0)  # filter None
+        raw += line
+    out = _PNG_SIG + _chunkify(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    )
+    for tag, body in extra_chunks:
+        out += _chunkify(tag, body)
+    out += _chunkify(b"IDAT", zlib.compress(bytes(raw)))
+    out += _chunkify(b"IEND", b"")
+    return out
+
+
+def test_png_palette_decode_with_and_without_trns():
+    from cae_polars_tools_spark.operators.multimodal import decode_png
+
+    palette = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]], dtype=np.uint8
+    )
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0]], dtype=np.uint8)
+    png = _build_png(
+        4, 2, 8, 3,
+        [idx[y].tobytes() for y in range(2)],
+        extra_chunks=[(b"PLTE", palette.tobytes())],
+    )
+    assert np.array_equal(decode_png(png), palette[idx])
+
+    # tRNS: per-entry alpha (shorter than the palette -> rest opaque)
+    png_a = _build_png(
+        4, 2, 8, 3,
+        [idx[y].tobytes() for y in range(2)],
+        extra_chunks=[(b"PLTE", palette.tobytes()), (b"tRNS", bytes([0, 128]))],
+    )
+    out = decode_png(png_a)
+    assert out.shape == (2, 4, 4)
+    assert np.array_equal(out[..., :3], palette[idx])
+    alpha = np.array([0, 128, 255, 255], dtype=np.uint8)
+    assert np.array_equal(out[..., 3], alpha[idx])
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_subbyte_palette_and_gray(depth):
+    from cae_polars_tools_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(depth)
+    w, h = 11, 3  # odd width exercises the partial final byte
+    maxv = (1 << depth) - 1
+    idx = rng.integers(0, maxv + 1, size=(h, w), dtype=np.uint8)
+
+    # palette at this depth
+    palette = np.arange((maxv + 1) * 3, dtype=np.uint8).reshape(-1, 3)
+    png_p = _build_png(
+        w, h, depth, 3,
+        [_pack_bits(idx[y], depth) for y in range(h)],
+        extra_chunks=[(b"PLTE", palette.tobytes())],
+    )
+    assert np.array_equal(decode_png(png_p), palette[idx])
+
+    # grayscale at this depth scales to 8-bit EXACTLY (255/(2^d-1))
+    png_g = _build_png(
+        w, h, depth, 0, [_pack_bits(idx[y], depth) for y in range(h)]
+    )
+    assert np.array_equal(decode_png(png_g), idx * (255 // maxv))
+
+
+def _adam7_passes(w, h):
+    table = [
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+        (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]
+    for x0, y0, dx, dy in table:
+        xs = list(range(x0, w, dx))
+        ys = list(range(y0, h, dy))
+        yield xs, ys
+
+
+def test_adam7_pass_table_hand_pinned_3x3():
+    """The 3x3 pass pixel sets, derived by hand from the spec's 8x8
+    tile — pins the pass table itself against a transcription slip
+    shared between any generator and the decoder."""
+    passes = [
+        (xs, ys) for xs, ys in _adam7_passes(3, 3)
+    ]
+    got = [
+        {(x, y) for x in xs for y in ys} for xs, ys in passes
+    ]
+    assert got == [
+        {(0, 0)}, set(), set(), {(2, 0)},
+        {(0, 2), (2, 2)}, {(1, 0), (1, 2)},
+        {(0, 1), (1, 1), (2, 1)},
+    ]
+    assert sum(len(s) for s in got) == 9
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (3, 3), (8, 8), (9, 13), (16, 5)])
+@pytest.mark.parametrize("channels", [1, 3, 4])
+def test_adam7_interlaced_decode(shape, channels):
+    """An interlaced PNG built by an independent in-test generator
+    (pass extraction + filter-0 scanlines + one zlib stream) must
+    decode to the original image exactly."""
+    import struct
+    import zlib
+
+    from cae_polars_tools_spark.operators.multimodal import (
+        _PNG_SIG,
+        decode_png,
+    )
+
+    h, w = shape
+    rng = np.random.default_rng(hash((shape, channels)) % 2**32)
+    if channels == 1:
+        px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        color_type = 0
+    else:
+        px = rng.integers(0, 256, size=(h, w, channels), dtype=np.uint8)
+        color_type = 2 if channels == 3 else 6
+    raw = bytearray()
+    for xs, ys in _adam7_passes(w, h):
+        if not xs or not ys:
+            continue
+        for y in ys:
+            raw.append(0)  # filter None
+            row = px[y][xs] if channels > 1 else px[y][xs, None]
+            raw += row.tobytes()
+    png = (
+        _PNG_SIG
+        + _chunkify(
+            b"IHDR",
+            struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1),
+        )
+        + _chunkify(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunkify(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png), px)
