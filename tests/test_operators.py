@@ -108,6 +108,48 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_small):
     assert recall >= 0.2  # 8-table OR-amplified LSH on random 64-d vectors
 
 
+def test_ann_lsh_multiprobe_buys_recall_query_side_only(spark, sf_small):
+    """Multi-probe (flip the lowest-|margin| sign bits per table)
+    must (a) be a candidate SUPERSET of single-probe — the base
+    bucket is always probed — and (b) raise recall vs brute force
+    monotonically enough to beat single-probe at nprobe=4, all
+    WITHOUT touching the corpus-side index."""
+    import pytest
+
+    from cae_polars_tools_spark.io import read_table
+    from cae_polars_tools_spark.operators.similarity import (
+        bruteforce_topk,
+        lsh_topk,
+    )
+
+    e = read_table(spark, sf_small, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in bruteforce_topk(e, q).collect()
+    }
+
+    def hits(nprobe):
+        return {
+            (r["query_id"], r["neighbor_id"])
+            for r in lsh_topk(e, q, nprobe=nprobe).collect()
+        }
+
+    single = hits(1)
+    multi = hits(4)
+    r1 = len(exact & single) / len(exact)
+    r4 = len(exact & multi) / len(exact)
+    assert r4 >= r1  # never worse: candidates are a superset
+    assert r4 > r1  # and on this corpus strictly better
+    assert r4 >= 0.5
+    # deterministic: same probes, same result
+    assert hits(4) == multi
+    with pytest.raises(ValueError, match="nprobe"):
+        lsh_topk(e, q, nprobe=0)
+    with pytest.raises(ValueError, match="nprobe"):
+        lsh_topk(e, q, nprobe=99)
+
+
 def test_multimodal_decoder_seam(spark):
     """Custom decode_fn flows through; default stub for real media
     raises NotImplementedError."""
