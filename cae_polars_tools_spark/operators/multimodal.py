@@ -326,29 +326,51 @@ def encode_bmp(pixels: "np.ndarray") -> bytes:
 
 
 def decode_bmp(payload: bytes) -> "np.ndarray":
-    """Decode an uncompressed 24-bit BMP → (H, W, 3) uint8 RGB array.
-    Raises ValueError on non-BMP bytes and NotImplementedError on
-    compressed/other-depth BMPs (those need a real imaging library)."""
+    """Decode an uncompressed BMP → uint8 array: 24-bit → (H, W, 3)
+    RGB, 32-bit → (H, W, 4) RGBA, 8-bit palette (incl. grayscale
+    palettes) → (H, W, 3) RGB via the BGRA color table. Raises
+    ValueError on non-BMP bytes and NotImplementedError on
+    compressed / other-depth BMPs (those need a real imaging
+    library)."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     data_off = struct.unpack_from("<I", payload, 10)[0]
     hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
     planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
-    if bpp != 24 or compression != 0:
+    if bpp not in (8, 24, 32) or compression != 0:
         raise NotImplementedError(
-            f"only uncompressed 24-bit BMP is hand-decodable (got "
+            f"only uncompressed 8/24/32-bit BMP is hand-decodable (got "
             f"bpp={bpp}, compression={compression})"
         )
     bottom_up = h > 0
     h = abs(h)
-    row = w * 3
+    nch = bpp // 8
+    palette = None
+    if bpp == 8:
+        (clr_used,) = struct.unpack_from("<I", payload, 46)
+        n_colors = clr_used or 256
+        # color table (BGRA quads) follows the info header
+        tbl = np.frombuffer(
+            payload, dtype=np.uint8, count=n_colors * 4, offset=14 + hdr_size
+        ).reshape(n_colors, 4)
+        palette = tbl[:, 2::-1]  # BGR(A) → RGB
+    row = w * nch
     pad = (-row) % 4
-    out = np.empty((h, w, 3), dtype=np.uint8)
+    out = np.empty((h, w, 3 if bpp == 8 else nch), dtype=np.uint8)
     for i in range(h):
         off = data_off + i * (row + pad)
         line = np.frombuffer(payload, dtype=np.uint8, count=row, offset=off)
         y = (h - 1 - i) if bottom_up else i
-        out[y] = line.reshape(w, 3)[:, ::-1]  # BGR → RGB
+        if bpp == 8:
+            if int(line.max(initial=0)) >= len(palette):
+                raise ValueError("BMP palette index out of range")
+            out[y] = palette[line]
+        elif bpp == 24:
+            out[y] = line.reshape(w, 3)[:, ::-1]  # BGR → RGB
+        else:  # 32-bit BGRA → RGBA
+            px4 = line.reshape(w, 4)
+            out[y, :, :3] = px4[:, 2::-1]
+            out[y, :, 3] = px4[:, 3]
     return out
 
 
@@ -588,7 +610,7 @@ def decode_image_bytes(payload: bytes) -> "np.ndarray":
     :func:`decode_image` codec seam (video — NotImplementedError in
     this environment)."""
     if payload[:2] == b"BM":
-        return decode_bmp(payload)
+        return decode_bmp(payload)[:, :, :3]
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         px = decode_png(payload)
         if px.ndim == 2:
@@ -619,18 +641,39 @@ def encode_wav_pcm16(samples: "np.ndarray", sample_rate: int) -> bytes:
 
 
 def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
-    """Decode a PCM WAV → (sample_rate, (n_samples, channels) int16
-    array). Pure stdlib (``wave``); compressed WAV raises."""
+    """Decode a PCM WAV → (sample_rate, (n_samples, channels) int
+    array). Pure stdlib (``wave``); compressed WAV raises.
+
+    Sample widths: 16-bit → int16; 8-bit (unsigned per the RIFF spec)
+    → int16 recentred to signed full scale (``(x - 128) << 8``);
+    24-bit and 32-bit little-endian signed → int32."""
     import io
     import wave
 
     with wave.open(io.BytesIO(payload), "rb") as wf:
-        if wf.getsampwidth() != 2:
-            raise NotImplementedError("only 16-bit PCM WAV is supported")
+        width = wf.getsampwidth()
+        if width not in (1, 2, 3, 4):
+            raise NotImplementedError(f"{width * 8}-bit PCM WAV")
         rate = wf.getframerate()
         n = wf.getnframes()
+        ch = wf.getnchannels()
         raw = wf.readframes(n)
-        arr = np.frombuffer(raw, dtype="<i2").reshape(n, wf.getnchannels())
+        if width == 2:
+            arr = np.frombuffer(raw, dtype="<i2").reshape(n, ch)
+        elif width == 1:
+            u = np.frombuffer(raw, dtype=np.uint8).reshape(n, ch)
+            arr = ((u.astype(np.int16) - 128) << 8).astype(np.int16)
+        elif width == 4:
+            arr = np.frombuffer(raw, dtype="<i4").reshape(n, ch)
+        else:  # 24-bit: sign-extend each 3-byte little-endian sample
+            b = np.frombuffer(raw, dtype=np.uint8).reshape(n * ch, 3)
+            v = (
+                b[:, 0].astype(np.int32)
+                | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int32) << 16)
+            )
+            v -= (v & 0x800000) << 1  # sign bit → two's complement
+            arr = v.reshape(n, ch)
     return rate, arr
 
 
@@ -681,7 +724,7 @@ def resize_bmp(payload: bytes, width: int, height: int) -> bytes:
     """REAL resize for BMP payloads: nearest-neighbor resample on the
     decoded pixel grid, re-encoded as BMP. Deterministic (pure index
     math) — the real-decoder counterpart of :func:`fake_resize`."""
-    px = decode_bmp(payload)
+    px = decode_bmp(payload)[:, :, :3]  # 32-bit inputs drop alpha
     h, w, _ = px.shape
     ys = (np.arange(height) * h) // height
     xs = (np.arange(width) * w) // width
@@ -721,10 +764,11 @@ def audio_features(assets: DataFrame) -> DataFrame:
                 out["sample_rate"].append(rate)
                 out["n_samples"].append(arr.shape[0])
                 out["rms"].append(float(np.sqrt((x * x).mean())) if arr.size else 0.0)
-                # widen before abs: np.abs(int16 -32768) wraps to
-                # -32768, under-reporting the peak of clipped audio
+                # widen before abs: np.abs of the type's own minimum
+                # (int16 -32768 / int32 -2^31) wraps negative,
+                # under-reporting the peak of clipped audio
                 out["peak"].append(
-                    int(np.abs(arr.astype(np.int32)).max()) if arr.size else 0
+                    int(np.abs(arr.astype(np.int64)).max()) if arr.size else 0
                 )
             yield pd.DataFrame(out)
 
@@ -732,7 +776,7 @@ def audio_features(assets: DataFrame) -> DataFrame:
         gen,
         schema=(
             "doc_id long, sample_rate int, n_samples long, "
-            "rms double, peak int"
+            "rms double, peak long"  # a clipped 32-bit peak (2^31) overflows int
         ),
     )
 

@@ -401,3 +401,126 @@ def test_adam7_interlaced_decode(shape, channels):
         + _chunkify(b"IEND", b"")
     )
     assert np.array_equal(decode_png(png), px)
+
+
+# ---------------------------------------------------------------------------
+# BMP palette / 32-bit, WAV sample widths
+# ---------------------------------------------------------------------------
+
+
+def _build_bmp(w, h, bpp, rows, palette=None):
+    """Hand-assemble an uncompressed BMP (bottom-up) from raw row
+    byte strings (pre-padding) and an optional RGB palette."""
+    import struct
+
+    pal_bytes = b""
+    n_colors = 0
+    if palette is not None:
+        n_colors = len(palette)
+        pal_bytes = b"".join(
+            bytes([b, g, r, 0]) for r, g, b in palette  # BGRA quads
+        )
+    row_bytes = w * (bpp // 8)
+    pad = (-row_bytes) % 4
+    data_off = 14 + 40 + len(pal_bytes)
+    body = b"".join(rows[y] + b"\x00" * pad for y in range(h - 1, -1, -1))
+    header = struct.pack(
+        "<2sIHHIIiiHHIIiiII",
+        b"BM", data_off + len(body), 0, 0, data_off,
+        40, w, h, 1, bpp, 0, len(body), 2835, 2835, n_colors, 0,
+    )
+    return header + pal_bytes + body
+
+
+def test_bmp_palette_decode():
+    from cae_polars_tools_spark.operators.multimodal import decode_bmp
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 8, 7)]
+    idx = np.array([[0, 1, 2], [3, 2, 1]], dtype=np.uint8)
+    bmp = _build_bmp(
+        3, 2, 8, [idx[y].tobytes() for y in range(2)], palette=palette
+    )
+    want = np.array(palette, dtype=np.uint8)[idx]
+    assert np.array_equal(decode_bmp(bmp), want)
+
+
+def test_bmp_32bit_decode_rgba_and_dispatch():
+    from cae_polars_tools_spark.operators.multimodal import (
+        decode_bmp,
+        decode_image_bytes,
+    )
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(2, 3, 4), dtype=np.uint8)  # RGBA
+    rows = [
+        b"".join(
+            bytes([px[y, x, 2], px[y, x, 1], px[y, x, 0], px[y, x, 3]])
+            for x in range(3)
+        )
+        for y in range(2)
+    ]
+    bmp = _build_bmp(3, 2, 32, rows)
+    out = decode_bmp(bmp)
+    assert out.shape == (2, 3, 4)
+    assert np.array_equal(out, px)
+    # sniffing dispatch drops alpha for the 3-channel feature path
+    assert np.array_equal(decode_image_bytes(bmp), px[..., :3])
+
+
+def test_wav_sample_widths():
+    import io
+    import wave
+
+    from cae_polars_tools_spark.operators.multimodal import decode_wav
+
+    def wav_bytes(width, frames, ch=1, rate=8000):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(ch)
+            wf.setsampwidth(width)
+            wf.setframerate(rate)
+            wf.writeframes(frames)
+        return buf.getvalue()
+
+    # 8-bit unsigned recentres to signed full scale
+    rate, arr = decode_wav(wav_bytes(1, bytes([0, 128, 255])))
+    assert arr.dtype == np.int16
+    assert arr[:, 0].tolist() == [-32768, 0, 32512]
+
+    # 24-bit little-endian signed, including the sign boundary
+    samples = [0x000001, 0x7FFFFF, 0x800000, 0xFFFFFF]  # 1, max, min, -1
+    raw = b"".join(s.to_bytes(3, "little") for s in samples)
+    rate, arr = decode_wav(wav_bytes(3, raw))
+    assert arr.dtype == np.int32
+    assert arr[:, 0].tolist() == [1, 8388607, -8388608, -1]
+
+    # 32-bit passthrough
+    a32 = np.array([1, -(2**31), 2**31 - 1], dtype="<i4")
+    rate, arr = decode_wav(wav_bytes(4, a32.tobytes()))
+    assert arr[:, 0].tolist() == a32.tolist()
+
+    # stereo 24-bit keeps channel interleave
+    raw2 = b"".join(s.to_bytes(3, "little") for s in [5, 0xFFFFFB, 7, 9])
+    rate, arr = decode_wav(wav_bytes(3, raw2, ch=2))
+    assert arr.tolist() == [[5, -5], [7, 9]]
+
+
+def test_audio_features_peak_survives_clipped_32bit(spark):
+    import io
+    import wave
+
+    from cae_polars_tools_spark.operators.multimodal import audio_features
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(4)
+        wf.setframerate(8000)
+        wf.writeframes(
+            np.array([0, -(2**31)], dtype="<i4").tobytes()
+        )
+    assets = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "doc_id long, payload binary"
+    )
+    [r] = audio_features(assets).collect()
+    assert r["peak"] == 2**31  # |int32 min| — would wrap under int32 abs
