@@ -138,26 +138,53 @@ def compact_parquet(
     point/range scans on those columns prune files and row groups
     (the poor man's Z-order; same shuffle count as the plain path).
 
+    Hive-partitioned (``key=value``) sources keep their layout: the
+    output is written back through ``partitionBy`` so downstream
+    partition pruning keeps working. Rows range-partition on the
+    partition columns first (plus ``sort_cols``, or a deterministic
+    row-hash salt when none are given, so an oversized partition
+    value can still split across tasks), which keeps each task's
+    rows contiguous in partition-value space — at most a boundary
+    task straddles two values, so file counts stay near the target.
+
     Scale note: each output file is produced by one task buffering one
     ~target-sized parquet write — keep ``target_file_bytes`` within
     executor memory. The rewrite streams through a single stage; no
     driver-side materialization of data.
     """
+    from pyspark.sql import functions as F
+
     if target_file_bytes < 1:
         raise ValueError("target_file_bytes must be positive")
     # ONE relation for sizing and rewrite: on the many-small-files
     # datasets this function exists for, directory listing + footer
     # schema inference dominates planning — don't pay it twice
     df = spark.read.parquet(src)
-    total = sum(_relation_file_sizes(df))
+    all_files, pcols = _dataset_layout(
+        src, df.inputFiles(), "compact_parquet"
+    )
+    total = sum(os.path.getsize(f) for f in all_files)
     n = max(1, math.ceil(total / target_file_bytes))
-    if sort_cols:
-        df = df.repartitionByRange(n, *sort_cols).sortWithinPartitions(
-            *sort_cols
-        )
+    if pcols:
+        if sort_cols:
+            keys = pcols + [c for c in sort_cols if c not in pcols]
+            df = df.repartitionByRange(n, *keys).sortWithinPartitions(*keys)
+        else:
+            data_cols = [c for c in df.columns if c not in pcols]
+            df = (
+                df.withColumn("__salt", F.xxhash64(*data_cols))
+                .repartitionByRange(n, *pcols, "__salt")
+                .drop("__salt")
+            )
+        df.write.mode("overwrite").partitionBy(*pcols).parquet(dst)
     else:
-        df = df.repartition(n)
-    df.write.mode("overwrite").parquet(dst)
+        if sort_cols:
+            df = df.repartitionByRange(n, *sort_cols).sortWithinPartitions(
+                *sort_cols
+            )
+        else:
+            df = df.repartition(n)
+        df.write.mode("overwrite").parquet(dst)
     return len(dataset_file_sizes(spark, dst))
 
 
@@ -212,6 +239,11 @@ def zorder_parquet(
 
     Numeric columns only (the quantile sketch's domain); rank string
     columns into codes upstream (e.g. ``ntile``) and Z-order the code.
+    Note: a hive-partitioned source rewrites to an UNPARTITIONED
+    Z-ordered layout — the directory-encoded partition columns become
+    ordinary data columns (rows preserved exactly); Z-ordering spans
+    partition boundaries by design, so keep using
+    :func:`compact_parquet` when the partition layout must survive.
     """
     if not 1 <= bits_per_col <= 8:
         raise ValueError("bits_per_col must be in [1, 8]")

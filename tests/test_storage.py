@@ -619,3 +619,64 @@ def test_merge_parquet_rejects_dtype_drift(spark):
     upd = spark.createDataFrame([(1, 7)], "id int, v int")
     with pytest.raises(ValueError, match="cast the updates"):
         merge_parquet(spark, tgt, upd, ["id"], tgt + "_o")
+
+
+def test_compact_preserves_hive_partition_layout(spark):
+    """Compacting a key=value-partitioned dataset must keep the
+    layout (partitionBy rewrite): same rows, far fewer files, the
+    key=value directories intact, and partition pruning still
+    listing only the filtered directories."""
+    from urllib.parse import unquote, urlparse
+
+    from cae_polars_tools_spark.storage import compact_parquet
+
+    src = os.path.join(TMP, "compact_hive_src")
+    dst = os.path.join(TMP, "compact_hive_dst")
+    rows = [(i, "a" if i % 2 == 0 else "b", i * 10) for i in range(200)]
+    (
+        spark.createDataFrame(rows, "id long, part string, v long")
+        .repartition(16)  # many small files per partition dir
+        .write.mode("overwrite")
+        .partitionBy("part")
+        .parquet(src)
+    )
+    n_src = len(spark.read.parquet(src).inputFiles())
+    assert n_src >= 20
+
+    n_dst = compact_parquet(spark, src, dst, target_file_bytes=1 << 30)
+    assert n_dst < n_src / 3
+
+    out = spark.read.parquet(dst)
+    got = {(r["id"], r["part"], r["v"]) for r in out.collect()}
+    assert got == set(rows)
+    assert os.path.isdir(os.path.join(dst, "part=a"))
+    assert os.path.isdir(os.path.join(dst, "part=b"))
+    # pruning: a partition-column filter becomes a PartitionFilter in
+    # the scan (inputFiles() is relation-level and would list all)
+    pruned = out.filter("part = 'a'")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "part" in plan
+    assert pruned.count() == 100
+
+
+def test_compact_hive_with_sort_cols_clusters_within_partition(spark):
+    from cae_polars_tools_spark.storage import compact_parquet
+
+    src = os.path.join(TMP, "compact_hive_sort_src")
+    dst = os.path.join(TMP, "compact_hive_sort_dst")
+    rows = [(i, "p%d" % (i % 3), (997 * i) % 1000) for i in range(300)]
+    (
+        spark.createDataFrame(rows, "id long, part string, v long")
+        .repartition(8)
+        .write.mode("overwrite")
+        .partitionBy("part")
+        .parquet(src)
+    )
+    compact_parquet(
+        spark, src, dst, target_file_bytes=1 << 30, sort_cols=["v"]
+    )
+    out = spark.read.parquet(dst)
+    assert out.count() == 300
+    assert {r["part"] for r in out.select("part").distinct().collect()} == {
+        "p0", "p1", "p2"
+    }
