@@ -1,0 +1,277 @@
+"""GIF (87a/89a) decoding — pure Python + numpy, from the public spec.
+
+The fourth real image codec (after BMP, PNG, JPEG) and the second real
+ANIMATION source (after y4m): variable-width LSB-first LZW with
+dictionary reset/growth, global and local color tables, the 4-pass row
+interlace, GIF89a graphics-control extensions (per-frame delay,
+transparency index, disposal methods 0-3), and frame compositing onto
+the logical screen. ``split_gif_frames`` plugs the composited frames
+into ``multimodal.sample_frames`` exactly like the y4m demuxer.
+
+Reference parity: the reference engine has no media operators at all
+(`/root/reference/src` is the zarr data-access layer only) — this is
+part of the beyond-reference multimodal surface.
+
+Encoding is out of scope (the tests hand-assemble streams, including
+an independent in-test LZW compressor, so the decoder is verified
+against the spec rather than against a sibling encoder).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+class _LzwReader:
+    """Variable-width LSB-first code reader over concatenated
+    sub-block bytes."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, width: int) -> int:
+        while self.nbits < width:
+            if self.pos >= len(self.data):
+                raise ValueError("GIF LZW stream truncated")
+            self.acc |= self.data[self.pos] << self.nbits
+            self.nbits += 8
+            self.pos += 1
+        v = self.acc & ((1 << width) - 1)
+        self.acc >>= width
+        self.nbits -= width
+        return v
+
+
+def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> np.ndarray:
+    """Decode a GIF LZW stream to exactly ``n_pixels`` palette
+    indices (extra trailing codes are ignored, per common practice)."""
+    if not 2 <= min_code_size <= 11:
+        raise ValueError(f"bad GIF LZW minimum code size {min_code_size}")
+    clear = 1 << min_code_size
+    end = clear + 1
+    rd = _LzwReader(data)
+    out = np.empty(n_pixels, dtype=np.uint8)
+    n_out = 0
+
+    def reset():
+        return (
+            {i: (i,) for i in range(clear)},
+            clear + 2,
+            min_code_size + 1,
+        )
+
+    table, next_code, width = reset()
+    prev: tuple[int, ...] | None = None
+    while n_out < n_pixels:
+        code = rd.read(width)
+        if code == clear:
+            table, next_code, width = reset()
+            prev = None
+            continue
+        if code == end:
+            break
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + (prev[0],)  # the KwKwK special case
+        else:
+            raise ValueError("corrupt GIF LZW code")
+        take = min(len(entry), n_pixels - n_out)
+        out[n_out : n_out + take] = entry[:take]
+        n_out += take
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            # width grows when the NEXT code to assign would not fit;
+            # capped at 12 bits per spec
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if n_out < n_pixels:
+        raise ValueError("GIF LZW stream ended early")
+    return out
+
+
+def _deinterlace(idx: np.ndarray) -> np.ndarray:
+    """GIF's 4-pass row interlace → natural row order."""
+    h = idx.shape[0]
+    order = (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+    out = np.empty_like(idx)
+    out[order] = idx
+    return out
+
+
+def decode_gif_frames(payload: bytes) -> tuple[dict, np.ndarray]:
+    """Decode all frames of a GIF → ``(meta, (N, H, W, 3) uint8 RGB)``
+    composited onto the logical screen (disposal methods 0-3,
+    transparency honored). ``meta`` carries ``width/height/n_frames/
+    delays_cs`` (per-frame delay in centiseconds; 0 for plain GIF87a
+    frames). Raises ValueError on non-GIF or corrupt bytes."""
+    if payload[:6] not in _MAGICS:
+        raise ValueError("not a GIF payload")
+    try:
+        return _decode_gif_frames_inner(payload)
+    except (IndexError, KeyError, struct.error) as e:
+        # truncated/corrupt streams surface as clean ValueError — a
+        # hostile-bytes ingest pipeline must never see the internals
+        raise ValueError(f"truncated or corrupt GIF: {e!r}") from e
+
+
+def _decode_gif_frames_inner(payload: bytes) -> tuple[dict, np.ndarray]:
+    w, h, packed, bg_idx, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    global_table = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        global_table = np.frombuffer(
+            payload, dtype=np.uint8, count=n * 3, offset=pos
+        ).reshape(n, 3)
+        pos += n * 3
+
+    # compositing state
+    screen = np.zeros((h, w, 3), dtype=np.uint8)
+    if global_table is not None and bg_idx < len(global_table):
+        screen[:] = global_table[bg_idx]
+    drawn = np.zeros((h, w), dtype=bool)  # transparency: never-drawn areas
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    transparent: int | None = None
+    disposal = 0
+    delay = 0
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(payload):
+                raise ValueError("GIF sub-blocks truncated")
+            n = payload[p]
+            p += 1
+            if n == 0:
+                return p
+            p += n
+
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            if pos + 1 > len(payload):
+                raise ValueError("GIF extension truncated")
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9:  # graphics control
+                size = payload[pos]
+                if size != 4:
+                    raise ValueError("bad GIF graphics-control block")
+                gc_packed, delay = struct.unpack_from(
+                    "<BH", payload, pos + 1
+                )
+                t_idx = payload[pos + 4]
+                disposal = (gc_packed >> 2) & 0x07
+                transparent = t_idx if gc_packed & 0x01 else None
+                pos += 5
+                if payload[pos] != 0:
+                    raise ValueError("bad GIF graphics-control terminator")
+                pos += 1
+            else:  # comment / plain text / application: skip
+                pos = skip_subblocks(pos)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        # image descriptor
+        left, top, fw, fh, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        table = global_table
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            table = np.frombuffer(
+                payload, dtype=np.uint8, count=n * 3, offset=pos
+            ).reshape(n, 3)
+            pos += n * 3
+        if table is None:
+            raise ValueError("GIF frame has no color table")
+        if left + fw > w or top + fh > h:
+            raise ValueError("GIF frame exceeds the logical screen")
+        min_code = payload[pos]
+        pos += 1
+        sub = bytearray()
+        while True:
+            n = payload[pos]
+            pos += 1
+            if n == 0:
+                break
+            sub += payload[pos : pos + n]
+            pos += n
+        idx = _lzw_decode(min_code, bytes(sub), fw * fh).reshape(fh, fw)
+        if ipacked & 0x40:
+            idx = _deinterlace(idx)
+        if int(idx.max(initial=0)) >= len(table):
+            raise ValueError("GIF palette index out of range")
+
+        saved = saved_drawn = None
+        if disposal == 3:
+            saved = screen[top : top + fh, left : left + fw].copy()
+            saved_drawn = drawn[top : top + fh, left : left + fw].copy()
+        region = screen[top : top + fh, left : left + fw]
+        region_drawn = drawn[top : top + fh, left : left + fw]
+        opaque = (
+            np.ones((fh, fw), dtype=bool)
+            if transparent is None
+            else idx != transparent
+        )
+        region[opaque] = table[idx[opaque]]
+        region_drawn[opaque] = True
+        frames.append(screen.copy())
+        delays.append(delay)
+
+        if disposal == 2:  # restore to background
+            bg = (
+                table[bg_idx]
+                if global_table is not None and bg_idx < len(table)
+                else np.zeros(3, dtype=np.uint8)
+            )
+            region[:] = bg
+            region_drawn[:] = False
+        elif disposal == 3 and saved is not None:
+            region[:] = saved
+            region_drawn[:] = saved_drawn
+        transparent = None
+        disposal = 0
+        delay = 0
+
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    meta = {
+        "width": w,
+        "height": h,
+        "n_frames": len(frames),
+        "delays_cs": delays,
+    }
+    return meta, np.stack(frames)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """First composited frame of a GIF → (H, W, 3) uint8 RGB (the
+    still-image view; use :func:`decode_gif_frames` for animations)."""
+    _meta, frames = decode_gif_frames(payload)
+    return frames[0]
+
+
+def split_gif_frames(payload: bytes) -> list[bytes]:
+    """REAL demuxer ``split_fn`` for ``multimodal.sample_frames``:
+    each composited RGB frame's raw bytes as one item, in animation
+    order (the GIF twin of ``y4m.split_y4m_frames``)."""
+    _meta, frames = decode_gif_frames(payload)
+    return [frames[i].tobytes() for i in range(len(frames))]

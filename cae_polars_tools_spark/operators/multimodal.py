@@ -19,7 +19,10 @@ gray+palette depths; only 16-bit remains refused; oracle-checked by
 with numpy alone (``operators/jpeg.py`` — DCT, quantization,
 canonical Huffman, 4:2:2/4:2:0, restart markers, SOF2 successive
 approximation; lossy, so round-trips are tolerance-tested plus exact
-on flat blocks), PCM WAV decodes via the stdlib ``wave`` module
+on flat blocks), GIF decodes including animations
+(``operators/gif.py`` — LZW, interlace, compositing/transparency/
+disposal; ``split_gif_frames`` demuxes into ``sample_frames``), PCM
+WAV decodes via the stdlib ``wave`` module
 (:func:`decode_wav`), and uncompressed YUV4MPEG2 video parses for
 real in ``operators/y4m.py`` (header walk + planar frame slicing,
 value-checked by ``mm_y4m_features``; ``split_y4m_frames`` is a real
@@ -79,10 +82,14 @@ def decode_image(payload: bytes) -> Any:
         from cae_polars_tools_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from cae_polars_tools_spark.operators.gif import decode_gif
+
+        return decode_gif(payload)
     raise NotImplementedError(
-        "image decoding beyond BMP/PNG/baseline-JPEG requires an "
-        "imaging library not present in this environment; pass "
-        "decode_fn= to extract_features()"
+        "image decoding beyond BMP/PNG/JPEG/GIF requires an imaging "
+        "library not present in this environment; pass decode_fn= to "
+        "extract_features()"
     )
 
 
@@ -623,6 +630,10 @@ def decode_image_bytes(payload: bytes) -> "np.ndarray":
         if px.ndim == 2:
             return np.repeat(px[:, :, None], 3, axis=2)
         return px
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from cae_polars_tools_spark.operators.gif import decode_gif
+
+        return decode_gif(payload)
     return decode_image(payload)
 
 

@@ -35,11 +35,11 @@ def test_decode_image_dispatches_bmp_and_rejects_unknown():
 
     px = _bmp(2, 3, 7)
     assert (decode_image(encode_bmp(px)) == px).all()
-    # BMP/PNG/baseline-JPEG are REAL native decode paths now; a
-    # genuinely foreign format (GIF here) still hits the
-    # NotImplementedError seam
+    # BMP/PNG/JPEG/GIF are REAL native decode paths now; a genuinely
+    # foreign format (TIFF here) still hits the NotImplementedError
+    # seam
     with pytest.raises(NotImplementedError):
-        decode_image(b"GIF89a......")
+        decode_image(b"II*\x00........")
 
 
 def test_resize_bmp_nearest_neighbor_exact():
