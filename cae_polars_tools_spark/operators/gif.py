@@ -262,6 +262,79 @@ def _decode_gif_frames_inner(payload: bytes) -> tuple[dict, np.ndarray]:
     return meta, np.stack(frames)
 
 
+def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """Textbook GIF-LZW: CLEAR up front, dictionary growth to 12 bits,
+    width grows when the next code to assign would overflow, END last.
+    (The decoder's primary verification stays the INDEPENDENT in-test
+    compressor — this encoder exists for the write path.)"""
+    clear = 1 << min_code_size
+    end = clear + 1
+    bits: list[int] = []
+
+    def emit(code: int, width: int) -> None:
+        for i in range(width):
+            bits.append((code >> i) & 1)
+
+    table = {(i,): i for i in range(clear)}
+    next_code = clear + 2
+    width = min_code_size + 1
+    emit(clear, width)
+    buf: tuple[int, ...] = ()
+    for px in indices.reshape(-1):
+        cand = buf + (int(px),)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        buf = (int(px),)
+    if buf:
+        emit(table[buf], width)
+    emit(end, width)
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for j, b in enumerate(bits[i : i + 8]):
+            byte |= b << j
+        out.append(byte)
+    return bytes(out)
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Encode a single-frame GIF89a from (H, W) uint8 palette indices
+    and an (N, 3) uint8 RGB palette (N ≤ 256); non-interlaced, global
+    color table, full LZW. Byte-deterministic."""
+    indices = np.asarray(indices, dtype=np.uint8)
+    palette = np.asarray(palette, dtype=np.uint8)
+    if indices.ndim != 2 or palette.ndim != 2 or palette.shape[1] != 3:
+        raise ValueError("need (H, W) indices and an (N, 3) palette")
+    if len(palette) > 256:
+        raise ValueError("GIF palettes hold at most 256 colors")
+    if int(indices.max(initial=0)) >= len(palette):
+        raise ValueError("palette index out of range")
+    h, w = indices.shape
+    size_bits = max((len(palette) - 1).bit_length(), 1) - 1
+    n_entries = 2 << size_bits
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | size_bits, 0, 0)
+    out += palette.tobytes()
+    out += b"\x00" * 3 * (n_entries - len(palette))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    min_code = max(size_bits + 1, 2)
+    out.append(min_code)
+    data = _lzw_encode(indices, min_code)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def decode_gif(payload: bytes) -> np.ndarray:
     """First composited frame of a GIF → (H, W, 3) uint8 RGB (the
     still-image view; use :func:`decode_gif_frames` for animations)."""
@@ -275,3 +348,98 @@ def split_gif_frames(payload: bytes) -> list[bytes]:
     order (the GIF twin of ``y4m.split_y4m_frames``)."""
     _meta, frames = decode_gif_frames(payload)
     return [frames[i].tobytes() for i in range(len(frames))]
+
+
+# --------------------------------------------------------------------------
+# Corpus entry: the GIF chain value-checked end-to-end
+# --------------------------------------------------------------------------
+
+GIF_W, GIF_H = 6, 4  # demo raster: 24 text bytes → 6×4 palette indices
+
+
+def _demo_palette() -> np.ndarray:
+    """Deterministic full 256-entry palette whose channels are simple
+    byte functions — so the SQL oracle can recompute every decoded
+    pixel from the index byte alone: (i, 255-i, i XOR 85)."""
+    i = np.arange(256, dtype=np.uint8)
+    return np.stack([i, np.uint8(255) - i, i ^ np.uint8(85)], axis=1)
+
+
+def mm_gif_features(spark, sf_dir: str):
+    """End-to-end REAL GIF path, value-checked: text bytes → 6×4
+    palette-index raster → full GIF89a encode (LZW) → composited
+    decode → per-channel means from exact integer sums. The palette is
+    the deterministic (i, 255−i, i⊕85) map, so the oracle reconstructs
+    every decoded pixel from the same text bytes in SQL — the whole
+    encode/decode chain is verified value-for-value like
+    ``mm_bmp_features``. Zero shuffle; payloads never leave their
+    partition. (ASCII precondition shared with the other byte-level
+    oracles — asserted in tests/test_corpus_oracle.py.)"""
+    from collections.abc import Iterator
+
+    from cae_polars_tools_spark.io import read_table, spread
+    from cae_polars_tools_spark.operators.multimodal import with_payload
+
+    n = GIF_W * GIF_H
+    palette = _demo_palette()
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [],
+                "mean_r": [], "mean_g": [], "mean_b": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)[:n].ljust(n, b"\x00")
+                idx = np.frombuffer(raw, dtype=np.uint8).reshape(
+                    GIF_H, GIF_W
+                )
+                px = decode_gif(encode_gif(idx, palette))
+                sums = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                out["doc_id"].append(int(doc_id))
+                out["height"].append(px.shape[0])
+                out["width"].append(px.shape[1])
+                out["mean_r"].append(sums[0] / n)
+                out["mean_g"].append(sums[1] / n)
+                out["mean_b"].append(sums[2] / n)
+            yield pd.DataFrame(out)
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    return with_payload(docs).mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, width int, height int, "
+            "mean_r double, mean_g double, mean_b double"
+        ),
+    )
+
+
+def _register_entry() -> None:
+    from cae_polars_tools_spark.plans.registry import register
+
+    n = GIF_W * GIF_H
+    register(
+        "mm_gif_features",
+        oracle=f"""
+            WITH px AS (
+                SELECT doc_id,
+                       ascii(substr(rpad(text, {n}, chr(0)), p + 1, 1)) AS b
+                FROM documents,
+                     unnest(range(0, {n})) AS u(p)
+            )
+            SELECT doc_id,
+                   {GIF_W} AS width,
+                   {GIF_H} AS height,
+                   AVG(b) AS mean_r,
+                   AVG(255 - b) AS mean_g,
+                   AVG(xor(b, 85)) AS mean_b
+            FROM px GROUP BY doc_id
+        """,
+        tags=("multimodal", "extension", "gif"),
+        window_rank=1,
+    )(mm_gif_features)
+
+
+_register_entry()

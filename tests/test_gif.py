@@ -260,3 +260,19 @@ def test_guards_and_hostile_bytes_fuzz():
             decode_gif(bytes(d))
         except ValueError:
             pass
+
+
+def test_encode_gif_roundtrips_exact():
+    from cae_polars_tools_spark.operators.gif import encode_gif
+
+    rng = np.random.default_rng(11)
+    palette = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, size=(23, 31), dtype=np.uint8)
+    out = decode_gif(encode_gif(idx, palette))
+    assert np.array_equal(out, palette[idx])
+    # small palettes round-trip too (size_bits < 7 path)
+    pal4 = np.array(PALETTE, np.uint8)
+    idx4 = rng.integers(0, 4, size=(5, 9), dtype=np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(idx4, pal4)), pal4[idx4])
+    with pytest.raises(ValueError, match="out of range"):
+        encode_gif(np.full((2, 2), 9, np.uint8), pal4)
