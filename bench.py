@@ -147,7 +147,7 @@ def main() -> None:
     except OSError:
         pass  # read-only checkout: the stdout line is still complete
 
-    print(metric_line(timings, total, sf))
+    print(metric_line(timings, total, sf, calib_cpu))
 
 
 # The driver reads the LAST `DRIVER_TAIL_CHARS` characters of stdout
@@ -159,7 +159,10 @@ LINE_BUDGET = DRIVER_TAIL_CHARS - 20
 
 
 def metric_line(
-    timings: dict[str, float], total: float, sf: float | None
+    timings: dict[str, float],
+    total: float,
+    sf: float | None,
+    calib_cpu: float | None = None,
 ) -> str:
     """Build the one-line stdout metric JSON, adaptively shrinking
     per-query precision (2 → 1 decimals) until the line fits the
@@ -175,6 +178,9 @@ def metric_line(
     flag drift early."""
     for ndigits in (2, 1):
         q = {n: round(v, ndigits) for n, v in timings.items()}
+        # calib_cpu_s: single-thread host probe — lets any cross-round
+        # reader normalize for silicon/load without opening
+        # BENCH_DETAILS.json
         line = json.dumps(
             {
                 "metric": "corpus_total_wall_seconds",
@@ -182,6 +188,7 @@ def metric_line(
                 "unit": "sec",
                 "queries": q,
                 "sf": sf,
+                "calib_cpu_s": calib_cpu,
             },
             separators=(",", ":"),
         )
@@ -200,6 +207,7 @@ def metric_line(
             "queries": window,
             "queries_elided": len(timings) - len(window),
             "sf": sf,
+            "calib_cpu_s": calib_cpu,
         },
         separators=(",", ":"),
     )

@@ -67,13 +67,14 @@ def with_payload(docs: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> Any:
-    """Decode image bytes → ndarray. REAL for uncompressed 24-bit BMP
-    (:func:`decode_bmp`, hand-parsed) and 8-bit non-interlaced PNG
-    (:func:`decode_png`, stdlib zlib) — no library needed; other
-    compressed formats (JPEG/…) genuinely need an imaging library
-    absent from this environment and raise NotImplementedError — plug
-    a real decoder (e.g. PIL.Image.open) into :func:`extract_features`
-    for those."""
+    """Decode image bytes → ndarray. REAL for BMP (:func:`decode_bmp`,
+    hand-parsed, 8/24/32-bit), PNG (:func:`decode_png`, stdlib zlib,
+    incl. palette/interlaced), baseline+progressive JPEG
+    (``operators/jpeg.py``) and GIF (``operators/gif.py``) — no
+    library needed; anything else (TIFF/WebP/…) genuinely needs an
+    imaging library absent from this environment and raises
+    NotImplementedError — plug a real decoder (e.g. PIL.Image.open)
+    into :func:`extract_features` for those."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
