@@ -2416,3 +2416,107 @@ def q61_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaps & islands — the classic interval-analytics shape (activity
+# streaks, outage windows, contiguous id ranges).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q62_gaps_islands",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT
+                   user_id,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS day_nr
+            FROM events
+        ),
+        tagged AS (
+            SELECT user_id,
+                   day_nr,
+                   day_nr - row_number() OVER (
+                       PARTITION BY user_id ORDER BY day_nr
+                   ) AS island
+            FROM days
+        )
+        SELECT user_id,
+               MIN(day_nr) AS island_start,
+               MAX(day_nr) AS island_end,
+               COUNT(*) AS n_days
+        FROM tagged
+        GROUP BY user_id, island
+    """,
+    tags=("window", "islands", "extension"),
+    window_rank=1,
+)
+def q62_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps & islands: per user, maximal runs of CONSECUTIVE active
+    days (an island breaks at every missing day). The classic
+    day_nr − row_number() trick: inside a consecutive run both grow
+    by 1 per row, so their difference is a constant island id — no
+    self-join, no iteration. Day numbers are exact integers (epoch
+    days), so the comparison is type- and timezone-free.
+
+    Scale shape: one distinct shuffle on (user, day) — already a huge
+    reduction from raw events — then ONE window + group-by pair that
+    share the same (user_id) partitioning, so AQE plans a single
+    exchange for both."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+            "day_nr"
+        ),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_nr")
+    tagged = days.withColumn(
+        "island", F.col("day_nr") - F.row_number().over(w)
+    )
+    return tagged.groupBy("user_id", "island").agg(
+        F.min("day_nr").alias("island_start"),
+        F.max("day_nr").alias("island_end"),
+        F.count(F.lit(1)).alias("n_days"),
+    ).drop("island")
+
+
+# ---------------------------------------------------------------------------
+# Linear-regression aggregates — the regr_* family (trend fitting
+# inside the engine instead of exporting to a stats stack).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q63_regression_aggs",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+               ROUND(regr_intercept(l_extendedprice, l_quantity), 6)
+                   AS intercept,
+               ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+               regr_count(l_extendedprice, l_quantity) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg", "regression", "extension"),
+    window_rank=1,
+)
+def q63_regression_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary-least-squares aggregates per group: slope, intercept,
+    R² and pair count of price vs quantity — the SQL-standard
+    ``regr_*`` family, one partial-aggregable pass (each is a ratio
+    of co-moment sums, so the shuffle carries a handful of doubles
+    per group at any scale). Rounded to 6 decimals on both engines:
+    the co-moment accumulation order differs between engines, so the
+    raw last-ulp is not contractual — the rounded value is."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias(
+            "slope"
+        ),
+        F.round(
+            F.regr_intercept("l_extendedprice", "l_quantity"), 6
+        ).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+    )

@@ -75,6 +75,7 @@ SF01_SENSITIVE = (
     "emb_outliers",
     "pipeline_curate_e2e",
     "mm_y4m_features",
+    "q63_regression_aggs",
 )
 
 
