@@ -2459,17 +2459,28 @@ def q62_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join, no iteration. Day numbers are exact integers (epoch
     days), so the comparison is type- and timezone-free.
 
-    Scale shape: one distinct shuffle on (user, day) — already a huge
-    reduction from raw events — then ONE window + group-by pair that
-    share the same (user_id) partitioning, so AQE plans a single
-    exchange for both."""
+    Scale shape: ONE exchange for the whole query (plan-pinned). The
+    explicit ``repartition(user_id)`` satisfies every downstream
+    distribution at once: a hash partitioning on user_id clusters the
+    (user, day) distinct (ClusteredDistribution accepts a key
+    subset), the island window, and the final group-by — without it,
+    Catalyst shuffles on (user, day) for the distinct and AGAIN on
+    user for the window. Per-user distinct-day cardinality is bounded
+    by the calendar span, so the user partitioning cannot blow up on
+    a hot user the way raw-event partitioning could; the map-side
+    partial distinct still collapses duplicate (user, day) rows
+    before the exchange."""
     ev = _t(spark, sf_dir, "events")
-    days = ev.select(
-        "user_id",
-        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
-            "day_nr"
-        ),
-    ).distinct()
+    days = (
+        ev.select(
+            "user_id",
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            ).alias("day_nr"),
+        )
+        .repartition("user_id")
+        .distinct()
+    )
     w = Window.partitionBy("user_id").orderBy("day_nr")
     tagged = days.withColumn(
         "island", F.col("day_nr") - F.row_number().over(w)

@@ -433,3 +433,36 @@ def test_latest_per_key_single_window_shuffle(spark):
     plan = _plan(spark, "q59_latest_per_key")
     assert "Join" not in plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_gaps_islands_single_shared_shuffle(spark):
+    """q62: the (user, day) distinct, the island window and the final
+    group-by all hash on user_id-rooted keys — ONE exchange total; no
+    join, no iteration (the constant-difference trick is pure window
+    algebra)."""
+    plan = _plan(spark, "q62_gaps_islands")
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_regression_aggs_partial_aggregate_no_join(spark):
+    """q63: the regr_* family partial-aggregates map-side — the single
+    exchange carries per-group co-moment sums, not rows."""
+    plan = _plan(spark, "q63_regression_aggs")
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_regr" in plan or "HashAggregate" in plan
+
+
+def test_gif_features_are_zero_shuffle(spark):
+    """mm_gif_features: the whole encode/decode/feature chain is one
+    mapInPandas over the scan — payloads never shuffle."""
+    plan = _plan(spark, "mm_gif_features")
+    assert "Exchange hashpartitioning" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_y4m_features_are_zero_shuffle(spark):
+    plan = _plan(spark, "mm_y4m_features")
+    assert "Exchange hashpartitioning" not in plan
+    assert "MapInPandas" in plan
