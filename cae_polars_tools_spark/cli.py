@@ -362,6 +362,45 @@ def benchmark_command(args) -> int:
 # ---------------------------------------------------------------------------
 
 
+def list_queries_command(args) -> int:
+    """Print the registered corpus: one line per entry with its
+    oracle status and tags — the engine's declared capability
+    surface, greppable."""
+    from cae_polars_tools_spark.plans.registry import load_all
+
+    for name, spec in load_all().items():
+        gate = "oracle" if spec.oracle else "rows-only"
+        tags = ",".join(spec.tags)
+        print(f"{name}\t{gate}\t{tags}")
+    return 0
+
+
+def query_command(args) -> int:
+    """Run one registered corpus entry against a table directory:
+    write Parquet (default ``{name}.parquet``) or ``--show`` rows.
+    Every operator the engine claims is runnable this way without
+    writing a line of code."""
+    from cae_polars_tools_spark.plans.registry import load_all
+
+    corpus = load_all()
+    if args.name not in corpus:
+        import difflib
+
+        near = difflib.get_close_matches(args.name, corpus, n=3)
+        hint = f" (did you mean: {', '.join(near)}?)" if near else ""
+        raise SystemExit(f"unknown query {args.name!r}{hint}")
+    spark = _session()
+    df = corpus[args.name].build(spark, args.sf_dir)
+    if args.show is not None:
+        df.show(args.show, truncate=False)
+        return 0
+    output = args.output or f"{args.name}.parquet"
+    df.write.mode("overwrite").parquet(output)
+    n = spark.read.parquet(output).count()
+    print(f"Wrote {n} rows x {len(df.columns)} columns to {output}")
+    return 0
+
+
 def create_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="cae-polars-tools-spark",
@@ -448,6 +487,31 @@ def create_parser() -> argparse.ArgumentParser:
     sp.add_argument("--array-name", default=None)
     sp.add_argument("--no-streaming", action="store_true")
     sp.set_defaults(func=benchmark_command)
+
+    sp = sub.add_parser(
+        "list-queries",
+        help="list every registered corpus query (name, gate, tags)",
+    )
+    sp.set_defaults(func=list_queries_command)
+
+    sp = sub.add_parser(
+        "query", help="run a registered corpus query over a table dir"
+    )
+    sp.add_argument("name", help="entry name (see list-queries)")
+    sp.add_argument(
+        "--sf-dir",
+        default="/root/testdata/sf0.001",
+        help="directory holding the benchmark parquet tables",
+    )
+    sp.add_argument("-o", "--output", default=None, help="parquet sink path")
+    sp.add_argument(
+        "--show",
+        type=int,
+        default=None,
+        metavar="N",
+        help="print N rows instead of writing parquet",
+    )
+    sp.set_defaults(func=query_command)
 
     return p
 

@@ -251,3 +251,40 @@ def test_read_command_select_ranges(store, tmp_path, spark, capsys):
     assert "8 rows" in capsys.readouterr().out
     got = spark.read.parquet(out)
     assert sorted(r["x"] for r in got.select("x").distinct().collect()) == [20, 30]
+
+
+def test_cli_list_queries(capsys):
+    from cae_polars_tools_spark.cli import main
+
+    assert main(["list-queries"]) == 0
+    out = capsys.readouterr().out
+    lines = [ln for ln in out.splitlines() if ln]
+    assert len(lines) >= 100
+    names = {ln.split("\t")[0] for ln in lines}
+    assert {"q01_pricing_summary", "dedup_exact", "mm_gif_features"} <= names
+    # oracle status column present
+    assert any("\toracle\t" in ln for ln in lines)
+
+
+def test_cli_query_runs_and_writes_parquet(spark, capsys, tmp_path):
+    from cae_polars_tools_spark.cli import main
+
+    out = str(tmp_path / "q05.parquet")
+    assert main([
+        "query", "q05_global_agg",
+        "--sf-dir", "/root/testdata/sf0.001", "-o", out,
+    ]) == 0
+    assert "Wrote" in capsys.readouterr().out
+    assert spark.read.parquet(out).count() >= 1
+
+
+def test_cli_query_show_and_unknown_name(capsys):
+    from cae_polars_tools_spark.cli import main
+
+    assert main([
+        "query", "q05_global_agg",
+        "--sf-dir", "/root/testdata/sf0.001", "--show", "3",
+    ]) == 0
+    assert "+" in capsys.readouterr().out  # show() table border
+    with pytest.raises(SystemExit, match="did you mean"):
+        main(["query", "q05_global_ag"])
