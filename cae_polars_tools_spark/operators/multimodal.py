@@ -70,11 +70,11 @@ def decode_image(payload: bytes) -> Any:
     """Decode image bytes → ndarray. REAL for BMP (:func:`decode_bmp`,
     hand-parsed, 8/24/32-bit), PNG (:func:`decode_png`, stdlib zlib,
     incl. palette/interlaced), baseline+progressive JPEG
-    (``operators/jpeg.py``) and GIF (``operators/gif.py``) — no
-    library needed; anything else (TIFF/WebP/…) genuinely needs an
-    imaging library absent from this environment and raises
-    NotImplementedError — plug a real decoder (e.g. PIL.Image.open)
-    into :func:`extract_features` for those."""
+    (``operators/jpeg.py``), GIF (``operators/gif.py``) and baseline
+    TIFF (``operators/tiff.py``) — no library needed; anything else
+    (WebP/AVIF/…) genuinely needs an imaging library absent from this
+    environment and raises NotImplementedError — plug a real decoder
+    (e.g. PIL.Image.open) into :func:`extract_features` for those."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -87,10 +87,14 @@ def decode_image(payload: bytes) -> Any:
         from cae_polars_tools_spark.operators.gif import decode_gif
 
         return decode_gif(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from cae_polars_tools_spark.operators.tiff import decode_tiff
+
+        return decode_tiff(payload)
     raise NotImplementedError(
-        "image decoding beyond BMP/PNG/JPEG/GIF requires an imaging "
-        "library not present in this environment; pass decode_fn= to "
-        "extract_features()"
+        "image decoding beyond BMP/PNG/JPEG/GIF/TIFF requires an "
+        "imaging library not present in this environment; pass "
+        "decode_fn= to extract_features()"
     )
 
 
@@ -635,6 +639,13 @@ def decode_image_bytes(payload: bytes) -> "np.ndarray":
         from cae_polars_tools_spark.operators.gif import decode_gif
 
         return decode_gif(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from cae_polars_tools_spark.operators.tiff import decode_tiff
+
+        px = decode_tiff(payload)
+        if px.ndim == 2:
+            return np.repeat(px[:, :, None], 3, axis=2)
+        return px[:, :, :3]
     return decode_image(payload)
 
 

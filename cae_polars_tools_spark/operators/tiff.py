@@ -1,0 +1,175 @@
+"""Baseline TIFF decoding — pure Python + numpy, from the public spec
+(TIFF 6.0). The fifth real image codec: both byte orders (II/MM), IFD
+tag walk, strip assembly, 8-bit grayscale (BlackIsZero AND WhiteIsZero),
+RGB, RGBA, palette-color (16-bit ColorMap), uncompressed (1) and
+PackBits (32773) compression. Tiled, planar, predictor, LZW/JPEG-in-TIFF
+and sub-byte variants raise loud ``NotImplementedError``.
+
+Reference parity: the reference engine has no media operators
+(`/root/reference/src` is the zarr data-access layer only) — this is
+part of the beyond-reference multimodal surface. Tests hand-assemble
+streams with an independent in-test writer (the repo has no TIFF
+encoder), so no symmetric codec bug can pass.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# tag ids (TIFF 6.0 §8)
+_WIDTH = 256
+_LENGTH = 257
+_BITS = 258
+_COMPRESSION = 259
+_PHOTOMETRIC = 262
+_STRIP_OFFSETS = 273
+_SAMPLES = 277
+_ROWS_PER_STRIP = 278
+_STRIP_COUNTS = 279
+_PLANAR = 284
+_COLORMAP = 320
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i"}
+
+
+def _unpackbits(data: bytes, expected: int) -> bytes:
+    """PackBits (Apple RLE) decompression to exactly ``expected``
+    bytes."""
+    out = bytearray()
+    i = 0
+    while len(out) < expected:
+        if i >= len(data):
+            raise ValueError("TIFF PackBits stream truncated")
+        n = data[i]
+        i += 1
+        if n < 128:  # literal run of n+1 bytes
+            if i + n + 1 > len(data):
+                raise ValueError("TIFF PackBits literal truncated")
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            if i >= len(data):
+                raise ValueError("TIFF PackBits repeat truncated")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op per spec
+    if len(out) != expected:
+        raise ValueError("TIFF PackBits output length mismatch")
+    return bytes(out)
+
+
+def _read_values(payload: bytes, bo: str, vtype: int, count: int, raw: bytes):
+    """An IFD entry's value array: inline when it fits in 4 bytes,
+    else at the offset the value field holds."""
+    size = _TYPE_SIZE.get(vtype)
+    fmt = _TYPE_FMT.get(vtype)
+    if size is None or fmt is None:
+        raise ValueError(f"unsupported TIFF value type {vtype}")
+    total = size * count
+    if total <= 4:
+        buf = raw[:total]
+    else:
+        (off,) = struct.unpack(bo + "I", raw)
+        buf = payload[off : off + total]
+        if len(buf) != total:
+            raise ValueError("TIFF value array out of bounds")
+    return list(struct.unpack(bo + fmt * count, buf))
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """Decode the FIRST page of a baseline TIFF → (H, W) uint8 gray or
+    (H, W, C) uint8 RGB/RGBA. Raises ValueError on non-TIFF/corrupt
+    bytes and NotImplementedError on unsupported variants."""
+    try:
+        return _decode_tiff_inner(payload)
+    except (IndexError, KeyError, struct.error) as e:
+        raise ValueError(f"truncated or corrupt TIFF: {e!r}") from e
+
+
+def _decode_tiff_inner(payload: bytes) -> np.ndarray:
+    if payload[:4] == b"II*\x00":
+        bo = "<"
+    elif payload[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
+    if ifd_off + 2 > len(payload):
+        raise ValueError("TIFF IFD offset out of bounds")
+    (n_entries,) = struct.unpack_from(bo + "H", payload, ifd_off)
+    tags: dict[int, list] = {}
+    for i in range(n_entries):
+        base = ifd_off + 2 + 12 * i
+        tag, vtype, count = struct.unpack_from(bo + "HHI", payload, base)
+        raw = payload[base + 8 : base + 12]
+        if vtype in _TYPE_FMT:
+            tags[tag] = _read_values(payload, bo, vtype, count, raw)
+
+    def one(tag, default=None):
+        if tag in tags:
+            return tags[tag][0]
+        if default is not None:
+            return default
+        raise ValueError(f"TIFF missing required tag {tag}")
+
+    w, h = one(_WIDTH), one(_LENGTH)
+    spp = one(_SAMPLES, default=1)
+    bits = tags.get(_BITS, [8] * spp)
+    comp = one(_COMPRESSION, default=1)
+    photo = one(_PHOTOMETRIC)
+    planar = one(_PLANAR, default=1)
+    if any(b != 8 for b in bits):
+        raise NotImplementedError(f"only 8-bit TIFF samples (got {bits})")
+    if planar != 1:
+        raise NotImplementedError("planar (non-chunky) TIFF")
+    if comp not in (1, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {comp} (only uncompressed and PackBits)"
+        )
+    offsets = tags.get(_STRIP_OFFSETS)
+    counts = tags.get(_STRIP_COUNTS)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF strip tables missing or inconsistent")
+    rows_per_strip = one(_ROWS_PER_STRIP, default=h)
+
+    raw = bytearray()
+    remaining_rows = h
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        chunk = payload[off : off + cnt]
+        if len(chunk) != cnt:
+            raise ValueError("TIFF strip out of bounds")
+        n_rows = min(rows_per_strip, remaining_rows)
+        remaining_rows -= n_rows
+        if comp == 32773:
+            chunk = _unpackbits(chunk, n_rows * w * spp)
+        elif len(chunk) != n_rows * w * spp:
+            raise ValueError("TIFF strip length mismatch")
+        raw += chunk
+    if len(raw) != h * w * spp:
+        raise ValueError("TIFF pixel data length mismatch")
+    px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, spp)
+
+    if photo == 3:  # palette
+        cmap = tags.get(_COLORMAP)
+        if not cmap or len(cmap) != 3 * 256:
+            raise ValueError("TIFF palette image missing 256-entry ColorMap")
+        if spp != 1:
+            raise ValueError("TIFF palette image must have 1 sample/pixel")
+        # ColorMap values are 16-bit; the standard 8-bit reduction
+        table = (
+            np.array(cmap, dtype=np.uint16).reshape(3, 256).T >> 8
+        ).astype(np.uint8)
+        return table[px[:, :, 0]]
+    if photo in (0, 1):  # gray (0 = WhiteIsZero inverts)
+        if spp != 1:
+            raise NotImplementedError("multi-sample grayscale TIFF")
+        g = px[:, :, 0]
+        return (np.uint8(255) - g) if photo == 0 else g.copy()
+    if photo == 2:  # RGB / RGBA
+        if spp not in (3, 4):
+            raise NotImplementedError(f"RGB TIFF with {spp} samples")
+        return px.copy()
+    raise NotImplementedError(f"TIFF photometric interpretation {photo}")

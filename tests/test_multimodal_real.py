@@ -35,11 +35,11 @@ def test_decode_image_dispatches_bmp_and_rejects_unknown():
 
     px = _bmp(2, 3, 7)
     assert (decode_image(encode_bmp(px)) == px).all()
-    # BMP/PNG/JPEG/GIF are REAL native decode paths now; a genuinely
-    # foreign format (TIFF here) still hits the NotImplementedError
-    # seam
+    # BMP/PNG/JPEG/GIF/TIFF are REAL native decode paths now; a
+    # genuinely foreign format (WebP here) still hits the
+    # NotImplementedError seam
     with pytest.raises(NotImplementedError):
-        decode_image(b"II*\x00........")
+        decode_image(b"RIFF\x00\x00\x00\x00WEBP....")
 
 
 def test_resize_bmp_nearest_neighbor_exact():

@@ -1,0 +1,221 @@
+"""TIFF decoder: hand-assembled streams via an independent in-test
+writer (the repo has no TIFF encoder — no symmetric codec bug can
+pass), both byte orders, strip layouts, PackBits, palette,
+WhiteIsZero, and hostile-bytes guards."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from cae_polars_tools_spark.operators.tiff import decode_tiff
+
+
+def _packbits(data: bytes) -> bytes:
+    """Independent PackBits compressor: literal runs + repeat runs."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        # find a repeat run of >= 3
+        run = 1
+        while i + run < n and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        # literal run up to the next >=3 repeat (max 128)
+        j = i + 1
+        while j < n and j - i < 128:
+            r = 1
+            while j + r < n and data[j + r] == data[j] and r < 3:
+                r += 1
+            if r >= 3:
+                break
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    return bytes(out)
+
+
+def _build_tiff(
+    px: np.ndarray,
+    bo: str = "<",
+    photometric: int | None = None,
+    rows_per_strip: int | None = None,
+    packbits: bool = False,
+    colormap: np.ndarray | None = None,
+):
+    """Independent minimal TIFF writer from the spec: header, pixel
+    strips, then one IFD."""
+    if px.ndim == 2:
+        h, w = px.shape
+        spp = 1
+        photometric = 1 if photometric is None else photometric
+    else:
+        h, w, spp = px.shape
+        photometric = 2 if photometric is None else photometric
+    rows_per_strip = rows_per_strip or h
+    flat = px.reshape(h, -1)
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        raw = flat[y0 : y0 + rows_per_strip].tobytes()
+        strips.append(_packbits(raw) if packbits else raw)
+
+    header = struct.pack(
+        bo + "2sHI", b"II" if bo == "<" else b"MM", 42, 0
+    )  # IFD offset patched below
+    body = bytearray(header)
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(len(body))
+        body += s
+    if len(body) % 2:
+        body += b"\x00"
+
+    entries = []  # (tag, type, count, packed-or-offset-later values)
+    extra = bytearray()  # out-of-line value arrays, appended after IFD
+
+    def add(tag, vtype, values):
+        entries.append((tag, vtype, values))
+
+    add(256, 4, [w])
+    add(257, 4, [h])
+    add(258, 3, [8] * spp)
+    add(259, 3, [32773 if packbits else 1])
+    add(262, 3, [photometric])
+    add(273, 4, strip_offsets)
+    add(277, 3, [spp])
+    add(278, 4, [rows_per_strip])
+    add(279, 4, [len(s) for s in strips])
+    if colormap is not None:
+        add(320, 3, list(colormap.reshape(-1)))
+    entries.sort()
+
+    ifd_off = len(body)
+    fmt_of = {3: "H", 4: "I"}
+    size_of = {3: 2, 4: 4}
+    ifd = bytearray(struct.pack(bo + "H", len(entries)))
+    after_ifd = ifd_off + 2 + 12 * len(entries) + 4
+    for tag, vtype, values in entries:
+        packed = struct.pack(bo + fmt_of[vtype] * len(values), *values)
+        total = size_of[vtype] * len(values)
+        ifd += struct.pack(bo + "HHI", tag, vtype, len(values))
+        if total <= 4:
+            ifd += packed.ljust(4, b"\x00")
+        else:
+            ifd += struct.pack(bo + "I", after_ifd + len(extra))
+            extra += packed
+    ifd += struct.pack(bo + "I", 0)  # no next IFD
+    body += ifd + extra
+    out = bytearray(body)
+    out[4:8] = struct.pack(bo + "I", ifd_off)
+    return bytes(out)
+
+
+@pytest.mark.parametrize("bo", ["<", ">"])
+def test_gray_rgb_rgba_roundtrip_both_byte_orders(bo):
+    rng = np.random.default_rng(1 if bo == "<" else 2)
+    for shape in [(5, 7), (4, 3, 3), (2, 6, 4)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        out = decode_tiff(_build_tiff(px, bo=bo))
+        assert np.array_equal(out, px), (bo, shape)
+
+
+def test_multi_strip_and_uneven_final_strip():
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    out = decode_tiff(_build_tiff(px, rows_per_strip=3))  # strips 3+3+1
+    assert np.array_equal(out, px)
+
+
+def test_packbits_compression():
+    rng = np.random.default_rng(4)
+    # runs + noise exercises both literal and repeat paths
+    px = np.repeat(
+        rng.integers(0, 256, size=(6, 4), dtype=np.uint8), 3, axis=1
+    )
+    out = decode_tiff(_build_tiff(px, packbits=True, rows_per_strip=2))
+    assert np.array_equal(out, px)
+
+
+def test_white_is_zero_inverts():
+    g = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    out = decode_tiff(_build_tiff(g, photometric=0))
+    assert np.array_equal(out, 255 - g)
+
+
+def test_palette_colormap_16bit_reduction():
+    rng = np.random.default_rng(5)
+    idx = rng.integers(0, 256, size=(3, 5), dtype=np.uint8)
+    # 16-bit colormap: value v maps to high byte v>>8
+    cmap16 = rng.integers(0, 65536, size=(3, 256), dtype=np.uint16)
+    tif = _build_tiff(
+        idx, photometric=3, colormap=cmap16.astype(np.uint16)
+    )
+    out = decode_tiff(tif)
+    want = (cmap16.T >> 8).astype(np.uint8)[idx]
+    assert np.array_equal(out, want)
+
+
+def test_dispatch_and_feature_path(spark):
+    from cae_polars_tools_spark.operators.multimodal import (
+        decode_image_bytes,
+        image_features,
+    )
+
+    rng = np.random.default_rng(6)
+    px = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    tif = _build_tiff(px)
+    assert np.array_equal(decode_image_bytes(tif), px)
+    gray = rng.integers(0, 256, size=(4, 6), dtype=np.uint8)
+    assert np.array_equal(
+        decode_image_bytes(_build_tiff(gray)),
+        np.repeat(gray[:, :, None], 3, axis=2),
+    )
+    assets = spark.createDataFrame(
+        [(1, bytearray(tif))], "doc_id long, payload binary"
+    )
+    [r] = image_features(assets).collect()
+    assert (r["width"], r["height"]) == (6, 4)
+    sums = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+    assert r["mean_r"] == sums[0] / 24
+
+
+def test_guards_and_hostile_bytes():
+    with pytest.raises(ValueError, match="not a TIFF"):
+        decode_tiff(b"RIFF....")
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    data = _build_tiff(px, packbits=True)
+    for cut in range(len(data)):
+        try:
+            decode_tiff(data[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+    for _ in range(150):
+        d = bytearray(data)
+        for _ in range(int(rng.integers(1, 4))):
+            d[int(rng.integers(4, len(d)))] = int(rng.integers(0, 256))
+        try:
+            decode_tiff(bytes(d))
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_unsupported_variants_raise_loudly():
+    px = np.zeros((2, 2), dtype=np.uint8)
+    # LZW compression id 5
+    t = bytearray(_build_tiff(px))
+    # patch the compression entry value: find tag 259 in the IFD
+    tif = _build_tiff(px)
+    # simpler: build with a writer tweak — patch bytes directly
+    idx = tif.find(struct.pack("<HHI", 259, 3, 1))
+    assert idx > 0
+    t = bytearray(tif)
+    t[idx + 8 : idx + 10] = struct.pack("<H", 5)
+    with pytest.raises(NotImplementedError, match="compression 5"):
+        decode_tiff(bytes(t))
