@@ -735,3 +735,91 @@ def logprob_report(
             F.round(F.avg("lp"), 6).alias("avg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML → text extraction (C4/CommonCrawl-style document prep)
+# ---------------------------------------------------------------------------
+
+# (pattern, replacement) pairs applied IN ORDER; all RE2-compatible
+# (no backreferences), so Spark's Java regex and DuckDB agree exactly.
+_HTML_STRIP_STEPS: tuple[tuple[str, str], ...] = (
+    (r"(?is)<script[^>]*>.*?</script>", " "),
+    (r"(?is)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?is)</?(p|br|div|h[1-6]|li|tr|table)[^>]*>", " \n"),  # block breaks
+    (r"<[^>]+>", " "),  # any remaining tag
+)
+
+# entity decode AFTER tag stripping; &amp; LAST so '&amp;lt;' decodes
+# to the literal '&lt;' and not to '<'
+_HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def html_to_text(col: Column | str) -> Column:
+    """Extract readable text from HTML: drop script/style/comment
+    blocks, turn block-level tags into line breaks, strip every other
+    tag, decode the common entities, collapse whitespace. Pure JVM
+    ``regexp_replace``/``replace`` chain — zero shuffle, no UDF, and
+    every pattern is RE2-compatible so the DuckDB oracle reproduces
+    the output byte-for-byte."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in _HTML_STRIP_STEPS:
+        c = F.regexp_replace(c, pat, repl)
+    for ent, ch in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def _html_strip_sql(expr: str) -> str:
+    for pat, repl in _HTML_STRIP_STEPS:
+        p = pat.replace("'", "''")
+        r = repl.replace("'", "''").replace("\n", "\\n")
+        expr = f"regexp_replace({expr}, '{p}', e'{r}', 'g')"
+    for ent, ch in _HTML_ENTITIES:
+        ch_sql = ch.replace("'", "''")
+        expr = f"replace({expr}, '{ent}', '{ch_sql}')"
+    return f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+
+
+# deterministic demo wrapper: the corpus has no HTML, so each doc's
+# text is embedded in a fixed page skeleton (with entities + junk the
+# op must remove) and the extraction chain runs on REAL markup
+_HTML_WRAP_SPARK = (
+    "concat('<html><head><style>p{color:red}</style>"
+    "<script>var x=1;</script></head><body><!-- hidden -->"
+    "<h1>Doc &amp; title</h1><p class=\"a\">', text, "
+    "'</p><br><i>fin&nbsp;</i></body></html>')"
+)
+_HTML_WRAP_SQL = _HTML_WRAP_SPARK  # identical ANSI concat on both engines
+
+
+@register(
+    "text_html_strip",
+    oracle=f"""
+        SELECT doc_id,
+               {_html_strip_sql(_HTML_WRAP_SQL)} AS clean_text
+        FROM documents
+    """,
+    tags=("text", "html", "extension"),
+    window_rank=1,
+)
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML extraction end-to-end, value-checked: each document is
+    wrapped in a fixed page skeleton (script + style + comment +
+    entities + block tags) and ``html_to_text`` must recover the
+    readable text — DuckDB runs the same RE2-safe chain, so the
+    comparison is byte-exact. Zero shuffle, pure codegen."""
+    d = spread(read_table(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        html_to_text(F.expr(_HTML_WRAP_SPARK)).alias("clean_text"),
+    )

@@ -144,3 +144,33 @@ def test_repetition_signals_accept_column_argument(spark):
     ).collect()
     assert row["f"] == 0.5  # lowercased: a b a b → 2 distinct of 4
     assert row["b"] == ["a b", "b a", "a b"]
+
+
+def test_html_to_text_semantics(spark):
+    """Crafted-markup semantics of the extraction chain: script/style/
+    comment removal, block tags as breaks, entity decode order
+    (&amp;lt; stays literal '&lt;'), whitespace collapse."""
+    from cae_polars_tools_spark.operators.text import html_to_text
+
+    cases = {
+        "<p>Hello <b>world</b></p>": "Hello world",
+        "<script>var x = '<p>';</script>after": "after",
+        "<style>p { color: red }</style>text": "text",
+        "<!-- secret -->visible": "visible",
+        "a &lt;tag&gt; &amp; more": 'a <tag> & more',
+        "&amp;lt; stays entity": "&lt; stays entity",
+        "one<br>two<div>three</div>": "one two three",
+        "  spaced   \t out  ": "spaced out",
+        "<SCRIPT>UPPER</SCRIPT>kept": "kept",  # case-insensitive
+    }
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(cases)], "id long, text string"
+    )
+    got = {
+        r["id"]: r["clean"]
+        for r in df.select(
+            "id", html_to_text("text").alias("clean")
+        ).collect()
+    }
+    for i, (src, want) in enumerate(cases.items()):
+        assert got[i] == want, (src, got[i])
