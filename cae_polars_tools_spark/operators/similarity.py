@@ -37,7 +37,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 from cae_polars_tools_spark.io import read_table, spread
 from cae_polars_tools_spark.operators.vectors import COSINE_SQL
@@ -704,4 +704,175 @@ def emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one ulp either side of the cut would flip the verdict
         # between engines
         (F.round(cos, 6) < OUTLIER_COS_THRESHOLD).alias("is_outlier"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA over the embedding column — dimensionality reduction
+# / whitening for downstream ANN and clustering.
+# ---------------------------------------------------------------------------
+
+
+def train_pca(
+    embeddings: DataFrame,
+    k: int,
+    emb_col: str = "embedding",
+) -> dict:
+    """PCA model over an embedding column in ONE distributed pass.
+
+    Per Arrow batch, a numpy kernel accumulates the dim×dim Gram
+    matrix, the per-dimension sum and the row count, and emits them as
+    (cell_index, value) rows — dim² + dim + 1 cells per PARTITION
+    regardless of row count. A trivial ``groupBy(cell).sum`` (4,161
+    cells at dim=64) reduces them; the driver assembles the covariance
+    C = G/n − μμᵀ and eigendecomposes it (``numpy.linalg.eigh`` on a
+    dim×dim symmetric matrix — microseconds). Nothing proportional to
+    the corpus ever reaches the driver; the only shuffle carries the
+    fixed cell set.
+
+    Sign convention: each component's largest-|loading| coordinate is
+    made positive, so the basis is reproducible across runs up to the
+    last-ulp drift of distributed summation (the covariance cell sums
+    combine in task-completion order — document tolerance-based
+    comparisons downstream, not byte equality).
+
+    Returns ``{"mean": (dim,), "components": (k, dim) row-major,
+    "explained_variance": (k,), "n": int}``.
+    """
+    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql.types import DoubleType as _D
+    from pyspark.sql.types import LongType as _L
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    schema = StructType(
+        [StructField("cell", _L()), StructField("v", _D())]
+    )
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gram = None
+        s = None
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            if gram is None:
+                d = M.shape[1]
+                gram = np.zeros((d, d))
+                s = np.zeros(d)
+            gram += M.T @ M
+            s += M.sum(axis=0)
+            n += len(M)
+        if gram is None:
+            return
+        d = len(s)
+        cells = np.concatenate([gram.reshape(-1), s, [float(n)]])
+        yield pd.DataFrame(
+            {"cell": np.arange(d * d + d + 1, dtype=np.int64), "v": cells}
+        )
+
+    rows = (
+        embeddings.select(emb_col)
+        .mapInPandas(partials, schema=schema)
+        .groupBy("cell")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    )
+    if not rows:
+        raise ValueError("train_pca: the corpus is empty")
+    cells = {r["cell"]: r["v"] for r in rows}
+    total = len(cells)
+    d = int(round((-1 + np.sqrt(4 * total - 3)) / 2))  # d² + d + 1 = total
+    assert d * d + d + 1 == total, "inconsistent PCA cell count"
+    if k > d:
+        raise ValueError(f"k={k} exceeds the embedding dimension {d}")
+    gram = np.array([cells[i] for i in range(d * d)]).reshape(d, d)
+    s = np.array([cells[d * d + i] for i in range(d)])
+    n = int(cells[d * d + d])
+    mean = s / n
+    cov = gram / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # (k, d)
+    # deterministic sign: largest-|loading| coordinate positive
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return {
+        "mean": mean,
+        "components": comps,
+        "explained_variance": evals[order],
+        "n": n,
+    }
+
+
+def project_pca(
+    embeddings: DataFrame,
+    model: dict,
+    emb_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project the embedding column onto a trained PCA basis:
+    ``(x − μ) @ componentsᵀ`` as an Arrow-batched kernel. The (k × dim)
+    model rides to executors inside the closure — kilobytes at any
+    corpus size; the projection is a zero-shuffle map."""
+    mean = np.asarray(model["mean"], dtype=np.float64)
+    comps = np.asarray(model["components"], dtype=np.float64)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def proj(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack(emb.to_numpy()).astype(np.float64)
+        P = (M - mean) @ comps.T
+        return pd.Series(list(P))
+
+    return embeddings.withColumn(out_col, proj(F.col(emb_col)))
+
+
+PCA_K = 8
+# reconstruction with the top-8 of 64 components must capture at
+# least this fraction of total variance on the benchmark embeddings
+# (they are near-isotropic noise + label structure; the bound is
+# intentionally loose — the exact spectrum is property-tested against
+# numpy's full PCA in tests/test_operators.py)
+PCA_MIN_VARIANCE_FRACTION = 0.08
+
+
+@register(
+    "emb_pca_project",
+    # eigenvectors are not SQL-expressible, so the hash-checked
+    # contract is the INVARIANT frame (the mm_jpeg_roundtrip
+    # pattern): exact per-row coverage + projection width, plus
+    # flags that must hash TRUE on every row — centering (projection
+    # of the mean-removed data sums to ~0 per component across the
+    # corpus is a global property, so per-row we pin the dimension
+    # and finite-ness)
+    oracle=f"""
+        SELECT vec_id,
+               {PCA_K} AS k,
+               TRUE AS finite
+        FROM embeddings
+    """,
+    tags=("similarity", "extension", "pca"),
+    window_rank=1,
+)
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train PCA on the embeddings table and project every vector —
+    the classic pre-ANN dimensionality reduction, end to end. The
+    oracle hash-checks the invariant frame (coverage, output width,
+    finiteness); the spectrum itself is property-tested against
+    numpy's exact PCA in the unit suite."""
+    e = spread(read_table(spark, sf_dir, "embeddings"))
+    model = train_pca(e, PCA_K)
+    out = project_pca(e, model)
+    return out.select(
+        "vec_id",
+        F.size("pca").alias("k"),
+        F.forall(
+            "pca", lambda v: ~F.isnan(v) & ~v.eqNullSafe(F.lit(None))
+        ).alias("finite"),
     )

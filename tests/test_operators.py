@@ -1116,3 +1116,69 @@ def test_winnow_short_and_null_documents(spark):
     }
     assert rows[1] == [] and rows[2] == []
     assert len(rows[3]) >= 1
+
+
+def test_pca_matches_numpy_exact(spark, sf_small):
+    """The one-pass distributed Gram/mean reduction must reproduce
+    numpy's exact PCA on the same data: eigenvalues to float
+    tolerance, components up to the documented sign convention, and
+    projections consistent with (x - mean) @ components.T."""
+    import numpy as np
+
+    from cae_polars_tools_spark.io import read_table
+    from cae_polars_tools_spark.operators.similarity import (
+        project_pca,
+        train_pca,
+    )
+
+    e = read_table(spark, sf_small, "embeddings")
+    k = 6
+    model = train_pca(e, k)
+
+    M = np.stack(
+        e.select("embedding").toPandas()["embedding"].to_numpy()
+    ).astype(np.float64)
+    mean = M.mean(axis=0)
+    cov = (M.T @ M) / len(M) - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    want_vals = evals[order]
+    want_comps = evecs[:, order].T
+    for i in range(k):
+        j = int(np.argmax(np.abs(want_comps[i])))
+        if want_comps[i, j] < 0:
+            want_comps[i] = -want_comps[i]
+
+    assert np.allclose(model["mean"], mean, atol=1e-9)
+    assert np.allclose(model["explained_variance"], want_vals, atol=1e-9)
+    assert np.allclose(model["components"], want_comps, atol=1e-7)
+    # orthonormal basis
+    G = model["components"] @ model["components"].T
+    assert np.allclose(G, np.eye(k), atol=1e-9)
+    # variance ordering
+    ev = model["explained_variance"]
+    assert all(ev[i] >= ev[i + 1] - 1e-12 for i in range(k - 1))
+
+    proj = {
+        r["vec_id"]: np.array(r["pca"])
+        for r in project_pca(e, model).select("vec_id", "pca").collect()
+    }
+    ids = e.select("vec_id").toPandas()["vec_id"].to_numpy()
+    want_proj = (M - mean) @ model["components"].T
+    for row_i, vid in enumerate(ids):
+        assert np.allclose(proj[vid], want_proj[row_i], atol=1e-9)
+
+
+def test_pca_validates_inputs(spark, sf_small):
+    import pytest
+
+    from cae_polars_tools_spark.io import read_table
+    from cae_polars_tools_spark.operators.similarity import train_pca
+
+    e = read_table(spark, sf_small, "embeddings")
+    with pytest.raises(ValueError, match="k must be"):
+        train_pca(e, 0)
+    with pytest.raises(ValueError, match="exceeds the embedding"):
+        train_pca(e, 1000)
+    with pytest.raises(ValueError, match="empty"):
+        train_pca(e.filter("vec_id < 0"), 2)

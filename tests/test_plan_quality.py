@@ -466,3 +466,11 @@ def test_y4m_features_are_zero_shuffle(spark):
     plan = _plan(spark, "mm_y4m_features")
     assert "Exchange hashpartitioning" not in plan
     assert "MapInPandas" in plan
+
+
+def test_pca_projection_is_zero_shuffle(spark):
+    """emb_pca_project: training reduces fixed cell counts; the
+    returned projection plan is a pure Arrow map over the scan."""
+    plan = _plan(spark, "emb_pca_project")
+    assert "Exchange hashpartitioning" not in plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
