@@ -41,3 +41,17 @@ def test_examples_run_end_to_end(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "Seasonal summary" in out
     assert "Sink wrote" in out
+
+
+def test_multimodal_example_runs(spark, capsys, monkeypatch):
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    )
+    ex = importlib.import_module("examples.multimodal_usage")
+    monkeypatch.setattr(sys, "argv", ["multimodal_usage.py"])
+    ex.main()
+    out = capsys.readouterr().out
+    assert "Multimodal demo complete." in out
+    assert "image features" in out
+    assert "multi-probe LSH" in out
