@@ -474,3 +474,74 @@ def zarr_info_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunks string, dimensions string, size_bytes long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# NetCDF-3 source twin of zarr_scan_longformat: the classic climate
+# interchange format through the same long-format scan contract.
+# ---------------------------------------------------------------------------
+
+_NC_PATH = os.path.join(os.path.dirname(_STORE), "netcdf_demo.nc")
+_NC_SHAPE = (6, 5, 4)
+
+
+def demo_netcdf() -> str:
+    """Create (once) the deterministic demo file — same value/coord
+    formulas as the zarr demo store, but written as classic netCDF
+    with ``time`` as the RECORD (unlimited) dimension, so the scan
+    exercises the interleaved record layout."""
+    import json
+
+    i, j, k = np.indices(_NC_SHAPE)
+    spec = {"v": 1, "shape": list(_NC_SHAPE), "record": "time",
+            "formula": "i*20+j*4+k; time=(i+1)*10; lat=30+j*.5; lon=-120+k*.25"}
+    spec_path = _NC_PATH + ".spec.json"
+    if os.path.exists(_NC_PATH) and os.path.exists(spec_path):
+        try:
+            if json.load(open(spec_path)) == spec:
+                return _NC_PATH
+        except Exception:
+            pass
+    from cae_polars_tools_spark.sources.netcdf3 import write_netcdf3
+
+    write_netcdf3(
+        _NC_PATH,
+        {"time": _NC_SHAPE[0], "lat": _NC_SHAPE[1], "lon": _NC_SHAPE[2]},
+        {
+            "time": (("time",), ((np.arange(_NC_SHAPE[0]) + 1) * 10).astype(np.int32)),
+            "lat": (("lat",), (30 + np.arange(_NC_SHAPE[1]) * 0.5).astype(np.float32)),
+            "lon": (("lon",), (-120 + np.arange(_NC_SHAPE[2]) * 0.25).astype(np.float32)),
+            "metric": (
+                ("time", "lat", "lon"),
+                (i * 20 + j * 4 + k).astype(np.float32),
+            ),
+        },
+        record_dim="time",
+    )
+    with open(spec_path, "w") as fh:
+        json.dump(spec, fh)
+    return _NC_PATH
+
+
+@register(
+    "netcdf_scan_longformat",
+    oracle="""
+        SELECT
+            CAST((t.i + 1) * 10 AS INTEGER) AS time,
+            CAST(30 + la.j * 0.5 AS REAL) AS lat,
+            CAST(-120 + lo.k * 0.25 AS REAL) AS lon,
+            CAST(t.i * 20 + la.j * 4 + lo.k AS REAL) AS value
+        FROM range(6) t(i), range(5) la(j), range(4) lo(k)
+    """,
+    tags=("netcdf", "source", "extension"),
+    window_rank=1,
+)
+def netcdf_scan_longformat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic-netCDF scan → long format, value-checked cell by cell:
+    the demo file's content is a deterministic index formula (time is
+    the record dimension, so every partition reads the interleaved
+    record layout), and DuckDB reconstructs the exact table with
+    range() cross joins — the same hash gate the zarr scan passes."""
+    from cae_polars_tools_spark.sources.netcdf3 import scan_netcdf3
+
+    return scan_netcdf3(spark, demo_netcdf(), "metric", chunk_size=23)

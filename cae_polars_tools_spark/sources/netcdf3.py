@@ -1,0 +1,567 @@
+"""NetCDF-3 (classic) source: the OTHER standard climate-data format.
+
+The reference's domain is climate/CAE arrays; its storage layer reads
+zarr. NetCDF classic is the same domain's legacy interchange format
+and — unlike NetCDF-4/HDF5 — is a SIMPLE flat binary layout
+(CDF magic, dim/attr/var header, contiguous big-endian data), so it is
+hand-parseable the way the codecs in ``operators/`` are. This module
+scans a variable into the SAME long format as the zarr path (one
+column per dimension from the CF coordinate variables, integer indices
+when absent, plus ``value``), with the same partition-window execution
+model: one Spark partition per flat row window, each reading only its
+own byte ranges.
+
+Format support (the classic spec, CDF-1 and CDF-2/64-bit-offset):
+dimensions incl. the record (unlimited) dimension, attributes (parsed
+and exposed; values skipped correctly), fixed and record variables,
+all six external types. ``NotImplementedError`` for NetCDF-4/HDF5
+(magic ``\\x89HDF``).
+
+Selection: ``select_dims`` with int (drops the dimension) / slice /
+list — resolved driver-side into per-dimension position arrays, so an
+executor window gathers exactly its selected cells (the read span per
+window covers min..max of its source offsets; a highly-sparse inner
+selection still reads the covering span — the zarr path with real
+chunking is the scale answer for that shape).
+
+Scale notes: the header and 1-D coordinate variables load on the
+DRIVER (bounded by axis lengths, like the zarr plan); executors open
+the file independently and seek — no driver data motion. Local paths
+(and file:// URIs) only; remote object stores should mount or use the
+zarr path (fsspec seam documented).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from dataclasses import dataclass
+from typing import Any, Iterator
+
+import numpy as np
+
+from cae_polars_tools_spark.sources.zarr_store import (
+    spark_type_for_dtype,
+    widen_numpy,
+)
+
+_NC_DIMENSION = 0x0A
+_NC_VARIABLE = 0x0B
+_NC_ATTRIBUTE = 0x0C
+
+_NC_DTYPES = {
+    1: np.dtype(">i1"),  # NC_BYTE
+    2: np.dtype("S1"),   # NC_CHAR
+    3: np.dtype(">i2"),  # NC_SHORT
+    4: np.dtype(">i4"),  # NC_INT
+    5: np.dtype(">f4"),  # NC_FLOAT
+    6: np.dtype(">f8"),  # NC_DOUBLE
+}
+
+
+@dataclass
+class NcVar:
+    name: str
+    dim_ids: tuple[int, ...]
+    nc_type: int
+    vsize: int
+    begin: int
+    attrs: dict
+
+
+@dataclass
+class NcMeta:
+    path: str
+    version: int
+    numrecs: int
+    dim_names: list[str]
+    dim_sizes: list[int]  # record dim stored as its actual numrecs
+    record_dim: int | None
+    attrs: dict
+    vars: dict[str, NcVar]
+    recsize: int  # bytes per record across all record variables
+
+
+class _Cursor:
+    def __init__(self, data: bytes) -> None:
+        self.d = data
+        self.p = 0
+
+    def u32(self) -> int:
+        (v,) = struct.unpack_from(">I", self.d, self.p)
+        self.p += 4
+        return v
+
+    def u64(self) -> int:
+        (v,) = struct.unpack_from(">Q", self.d, self.p)
+        self.p += 8
+        return v
+
+    def name(self) -> str:
+        n = self.u32()
+        s = self.d[self.p : self.p + n].decode("utf-8")
+        self.p += n + ((-n) % 4)  # names pad to 4-byte boundaries
+        return s
+
+    def skip_values(self, nc_type: int, count: int) -> Any:
+        size = _NC_DTYPES[nc_type].itemsize
+        total = size * count
+        raw = self.d[self.p : self.p + total]
+        self.p += total + ((-total) % 4)
+        if nc_type == 2:
+            return raw.decode("utf-8", "replace")
+        return np.frombuffer(raw, dtype=_NC_DTYPES[nc_type]).tolist()
+
+
+def _parse_attrs(c: _Cursor) -> dict:
+    tag = c.u32()
+    n = c.u32()
+    if tag == 0 and n == 0:
+        return {}
+    if tag != _NC_ATTRIBUTE:
+        raise ValueError(f"bad netCDF attribute list tag {tag}")
+    out = {}
+    for _ in range(n):
+        name = c.name()
+        nc_type = c.u32()
+        count = c.u32()
+        out[name] = c.skip_values(nc_type, count)
+    return out
+
+
+def parse_netcdf3(path: str) -> NcMeta:
+    """Parse a classic netCDF header (the whole header region; data
+    stays on disk). Raises ValueError for non-netCDF bytes and
+    NotImplementedError for NetCDF-4/HDF5 files."""
+    if path.startswith("file://"):
+        path = path[len("file://"):]
+    with open(path, "rb") as fh:
+        head = fh.read()
+    if head[:4] == b"\x89HDF":
+        raise NotImplementedError(
+            "NetCDF-4 files are HDF5 containers — out of hand-parse "
+            "scope (convert to classic or zarr)"
+        )
+    if head[:3] != b"CDF" or head[3] not in (1, 2):
+        raise ValueError("not a netCDF classic payload")
+    version = head[3]
+    c = _Cursor(head)
+    c.p = 4
+    numrecs = c.u32()
+    streaming = numrecs == 0xFFFFFFFF
+
+    tag = c.u32()
+    n = c.u32()
+    dim_names: list[str] = []
+    dim_sizes: list[int] = []
+    record_dim = None
+    if tag == _NC_DIMENSION:
+        for i in range(n):
+            dim_names.append(c.name())
+            size = c.u32()
+            if size == 0:
+                record_dim = i
+            dim_sizes.append(size)
+    elif not (tag == 0 and n == 0):
+        raise ValueError(f"bad netCDF dimension list tag {tag}")
+
+    gatts = _parse_attrs(c)
+
+    tag = c.u32()
+    n = c.u32()
+    vars_: dict[str, NcVar] = {}
+    order: list[NcVar] = []
+    if tag == _NC_VARIABLE:
+        for _ in range(n):
+            name = c.name()
+            ndims = c.u32()
+            dids = tuple(c.u32() for _ in range(ndims))
+            vatts = _parse_attrs(c)
+            nc_type = c.u32()
+            if nc_type not in _NC_DTYPES:
+                raise ValueError(f"bad netCDF type {nc_type} for {name!r}")
+            vsize = c.u32()
+            begin = c.u64() if version == 2 else c.u32()
+            v = NcVar(name, dids, nc_type, vsize, begin, vatts)
+            vars_[name] = v
+            order.append(v)
+    elif not (tag == 0 and n == 0):
+        raise ValueError(f"bad netCDF variable list tag {tag}")
+
+    rec_vars = [
+        v for v in order if record_dim is not None and v.dim_ids[:1] == (record_dim,)
+    ]
+    # per the spec, vsize of each record variable is its per-record
+    # slab (padded to 4); recsize is their sum — EXCEPT with exactly
+    # one record variable, where no padding applies
+    if len(rec_vars) == 1:
+        v = rec_vars[0]
+        inner = 1
+        for d in v.dim_ids[1:]:
+            inner *= dim_sizes[d]
+        recsize = inner * _NC_DTYPES[v.nc_type].itemsize
+    else:
+        recsize = sum(v.vsize for v in rec_vars)
+
+    if record_dim is not None:
+        if streaming or numrecs == 0:
+            if rec_vars and recsize:
+                first = min(v.begin for v in rec_vars)
+                numrecs = max(0, (os.path.getsize(path) - first) // recsize)
+            else:
+                numrecs = 0
+        dim_sizes[record_dim] = int(numrecs)
+
+    return NcMeta(
+        path=path,
+        version=version,
+        numrecs=int(numrecs),
+        dim_names=dim_names,
+        dim_sizes=dim_sizes,
+        record_dim=record_dim,
+        attrs=gatts,
+        vars=vars_,
+        recsize=recsize,
+    )
+
+
+def netcdf3_info(path: str) -> dict:
+    """Store-info view (the ``get_zarr_data_info`` analogue): dims,
+    per-variable shape/dtype, global attributes."""
+    m = parse_netcdf3(path)
+    return {
+        "format": f"netcdf3-cdf{m.version}",
+        "dimensions": dict(zip(m.dim_names, m.dim_sizes)),
+        "record_dimension": (
+            m.dim_names[m.record_dim] if m.record_dim is not None else None
+        ),
+        "attributes": m.attrs,
+        "variables": {
+            name: {
+                "dims": [m.dim_names[d] for d in v.dim_ids],
+                "shape": [m.dim_sizes[d] for d in v.dim_ids],
+                "dtype": _NC_DTYPES[v.nc_type].newbyteorder("=").name
+                if v.nc_type != 2
+                else "char",
+            }
+            for name, v in m.vars.items()
+        },
+    }
+
+
+def _positions(sel: Any, n: int, dim: str) -> tuple[np.ndarray, bool]:
+    """Resolve one dimension's selection → (source positions, drop)."""
+    if sel is None:
+        return np.arange(n, dtype=np.int64), False
+    if isinstance(sel, int):
+        if not -n <= sel < n:
+            raise IndexError(f"index {sel} out of bounds for dim {dim!r}")
+        return np.array([sel % n], dtype=np.int64), True
+    if isinstance(sel, slice):
+        return np.arange(n, dtype=np.int64)[sel], False
+    arr = np.asarray(list(sel), dtype=np.int64)
+    if arr.size and (arr.min() < -n or arr.max() >= n):
+        raise IndexError(f"index list out of bounds for dim {dim!r}")
+    return arr % n, False
+
+
+def _read_var_window(
+    meta: NcMeta,
+    var: NcVar,
+    pos: list[np.ndarray],
+    start: int,
+    end: int,
+) -> np.ndarray:
+    """Read flat-selected cells [start, end) of ``var``: map each
+    selected cell to its source flat index, read the covering byte
+    span(s), gather. Record variables group by record (their slabs
+    are strided by recsize)."""
+    dtype = _NC_DTYPES[var.nc_type]
+    item = dtype.itemsize
+    sel_shape = [len(p) for p in pos]
+    flat = np.arange(start, end, dtype=np.int64)
+    idx = []
+    rem = flat
+    for d in range(len(sel_shape) - 1, -1, -1):
+        idx.append(pos[d][rem % sel_shape[d]])
+        rem = rem // sel_shape[d]
+    idx.reverse()  # per-dim SOURCE positions for each output row
+
+    shape = [meta.dim_sizes[d] for d in var.dim_ids]
+    is_record = meta.record_dim is not None and var.dim_ids[:1] == (
+        meta.record_dim,
+    )
+    with open(meta.path, "rb") as fh:
+        if not is_record:
+            strides = np.ones(len(shape), dtype=np.int64)
+            for d in range(len(shape) - 2, -1, -1):
+                strides[d] = strides[d + 1] * shape[d + 1]
+            src = np.zeros(len(flat), dtype=np.int64)
+            for d in range(len(shape)):
+                src += idx[d] * strides[d]
+            if len(src) == 0:
+                return np.empty(0, dtype=dtype.newbyteorder("="))
+            lo, hi = int(src.min()), int(src.max())
+            fh.seek(var.begin + lo * item)
+            buf = fh.read((hi - lo + 1) * item)
+            arr = np.frombuffer(buf, dtype=dtype)
+            return widen_nc(arr[src - lo])
+        # record variable: inner flat index within the record + rec id
+        inner_shape = shape[1:]
+        strides = np.ones(len(inner_shape), dtype=np.int64)
+        for d in range(len(inner_shape) - 2, -1, -1):
+            strides[d] = strides[d + 1] * inner_shape[d + 1]
+        inner = np.zeros(len(flat), dtype=np.int64)
+        for d in range(len(inner_shape)):
+            inner += idx[d + 1] * strides[d]
+        recs = idx[0]
+        out = np.empty(len(flat), dtype=dtype.newbyteorder("="))
+        # flat order makes records contiguous runs — one read per run
+        if len(flat):
+            boundaries = np.flatnonzero(np.diff(recs)) + 1
+            starts = np.concatenate([[0], boundaries])
+            ends = np.concatenate([boundaries, [len(flat)]])
+            for s, e in zip(starts, ends):
+                rec = int(recs[s])
+                seg = inner[s:e]
+                lo, hi = int(seg.min()), int(seg.max())
+                fh.seek(var.begin + rec * meta.recsize + lo * item)
+                buf = fh.read((hi - lo + 1) * item)
+                arr = np.frombuffer(buf, dtype=dtype)
+                out[s:e] = arr[seg - lo]
+        return widen_nc(out)
+
+
+def widen_nc(arr: np.ndarray) -> np.ndarray:
+    """Native byte order (Spark/Arrow want little-endian) — the
+    classic format stores big-endian."""
+    return np.ascontiguousarray(arr.astype(arr.dtype.newbyteorder("=")))
+
+
+def scan_netcdf3(
+    spark,
+    path: str,
+    var_name: str,
+    select_dims: dict[str, Any] | None = None,
+    chunk_size: int = 2_000_000,
+):
+    """Scan one netCDF-3 variable → long-format DataFrame (the
+    ``scan_data`` analogue): a column per surviving dimension — values
+    from the CF coordinate variable of the same name when present,
+    integer indices otherwise — plus ``value``. One Spark partition
+    per ``chunk_size``-row flat window; every partition opens the file
+    itself and reads only its covering byte spans."""
+    meta = parse_netcdf3(path)
+    if var_name not in meta.vars:
+        raise KeyError(
+            f"variable {var_name!r} not in {sorted(meta.vars)}"
+        )
+    var = meta.vars[var_name]
+    dims = [meta.dim_names[d] for d in var.dim_ids]
+    shape = [meta.dim_sizes[d] for d in var.dim_ids]
+    select_dims = dict(select_dims or {})
+    unknown = set(select_dims) - set(dims)
+    if unknown:
+        raise KeyError(f"select_dims names unknown dims {sorted(unknown)}")
+
+    pos: list[np.ndarray] = []
+    keep: list[bool] = []
+    for dim, n in zip(dims, shape):
+        p, drop = _positions(select_dims.get(dim), n, dim)
+        pos.append(p)
+        keep.append(not drop)
+
+    # driver-side coordinate values for surviving dims (bounded by
+    # axis length, exactly like the zarr plan)
+    coords: dict[str, np.ndarray] = {}
+    for di, dim in enumerate(dims):
+        if not keep[di]:
+            continue
+        cvar = meta.vars.get(dim)
+        if cvar is not None and len(cvar.dim_ids) == 1 and cvar.nc_type != 2:
+            full = _read_var_window(
+                meta, cvar, [np.arange(meta.dim_sizes[cvar.dim_ids[0]])],
+                0, meta.dim_sizes[cvar.dim_ids[0]],
+            )
+            coords[dim] = full[pos[di]]
+        else:
+            coords[dim] = pos[di].copy()
+
+    sel_shape = [len(p) for p in pos]
+    total = 1
+    for s in sel_shape:
+        total *= s
+
+    from pyspark.sql import types as T
+
+    fields = []
+    for di, dim in enumerate(dims):
+        if keep[di]:
+            fields.append(
+                T.StructField(
+                    dim,
+                    spark_type_for_dtype(widen_numpy(coords[dim]).dtype),
+                    False,
+                )
+            )
+    value_np = _NC_DTYPES[var.nc_type].newbyteorder("=")
+    fields.append(T.StructField("value", spark_type_for_dtype(value_np), True))
+    schema = T.StructType(fields)
+
+    n_parts = max(1, -(-total // chunk_size))
+    ranges = [
+        (i * chunk_size, min((i + 1) * chunk_size, total))
+        for i in range(n_parts)
+    ]
+
+    import pyarrow as pa
+
+    def gen(batch_iter) -> Iterator:
+        for batch in batch_iter:
+            for pid in batch.column("id").to_pylist():
+                s, e = ranges[pid]
+                vals = _read_var_window(meta, var, pos, s, e)
+                flat = np.arange(s, e, dtype=np.int64)
+                cols = {}
+                rem = flat
+                per_dim = []
+                for d in range(len(sel_shape) - 1, -1, -1):
+                    per_dim.append(rem % sel_shape[d])
+                    rem = rem // sel_shape[d]
+                per_dim.reverse()
+                for di, dim in enumerate(dims):
+                    if keep[di]:
+                        cols[dim] = widen_numpy(coords[dim][per_dim[di]])
+                cols["value"] = widen_numpy(vals)
+                yield pa.record_batch(
+                    [pa.array(cols[f.name]) for f in fields],
+                    names=[f.name for f in fields],
+                )
+
+    seed = spark.range(0, n_parts, 1, numPartitions=n_parts)
+    return seed.mapInArrow(gen, schema)
+
+
+# ---------------------------------------------------------------------------
+# Minimal writer (the sink side): enough to materialize classic files
+# for interchange and the demo corpus entry. The READER's correctness
+# anchor is the independent in-test writer in tests/test_netcdf3.py,
+# not this one.
+# ---------------------------------------------------------------------------
+
+_NC_TYPE_OF = {
+    np.dtype("int8"): 1,
+    np.dtype("int16"): 3,
+    np.dtype("int32"): 4,
+    np.dtype("float32"): 5,
+    np.dtype("float64"): 6,
+}
+
+
+def _pad4(b: bytes) -> bytes:
+    return b + b"\x00" * ((-len(b)) % 4)
+
+
+def _nc_name(s: str) -> bytes:
+    raw = s.encode("utf-8")
+    return struct.pack(">I", len(raw)) + _pad4(raw)
+
+
+def write_netcdf3(
+    path: str,
+    dims: dict[str, int],
+    variables: dict[str, tuple[tuple[str, ...], np.ndarray]],
+    record_dim: str | None = None,
+) -> str:
+    """Write a classic (CDF-1) netCDF file: ``dims`` name→size (the
+    ``record_dim`` entry's size is taken from the data), ``variables``
+    name → (dim names, ndarray). 1-D variables named like a dimension
+    act as CF coordinate variables on read. Big-endian on disk, per
+    the spec; record variables must lead with the record dimension."""
+    dim_names = list(dims)
+    dim_idx = {d: i for i, d in enumerate(dim_names)}
+    numrecs = 0
+    if record_dim is not None:
+        for _name, (vdims, data) in variables.items():
+            if vdims[:1] == (record_dim,):
+                numrecs = max(numrecs, data.shape[0])
+
+    order = list(variables.items())
+    fixed = [
+        (n, v) for n, v in order if record_dim is None or v[0][:1] != (record_dim,)
+    ]
+    rec = [(n, v) for n, v in order if (n, v) not in fixed]
+
+    entries = []
+    for name, (vdims, data) in fixed + rec:
+        arr = np.ascontiguousarray(data)
+        if arr.dtype not in _NC_TYPE_OF:
+            raise ValueError(f"unsupported dtype {arr.dtype} for {name!r}")
+        nc_type = _NC_TYPE_OF[arr.dtype]
+        item = _NC_DTYPES[nc_type].itemsize
+        is_rec = record_dim is not None and vdims[:1] == (record_dim,)
+        slab_shape = arr.shape[1:] if is_rec else arr.shape
+        slab = int(np.prod(slab_shape)) * item if slab_shape else item
+        vsize = slab + ((-slab) % 4)
+        entries.append((name, vdims, arr, nc_type, vsize, is_rec))
+
+    # header size with placeholder begins (u32 offsets, CDF-1)
+    def header(begins: list[int]) -> bytes:
+        out = bytearray(b"CDF\x01")
+        out += struct.pack(">I", numrecs)
+        out += struct.pack(">II", _NC_DIMENSION, len(dim_names))
+        for d in dim_names:
+            out += _nc_name(d)
+            out += struct.pack(
+                ">I", 0 if d == record_dim else int(dims[d])
+            )
+        out += struct.pack(">II", 0, 0)  # no global attributes
+        out += struct.pack(">II", _NC_VARIABLE, len(entries))
+        for (name, vdims, _arr, nc_type, vsize, _r), begin in zip(
+            entries, begins
+        ):
+            out += _nc_name(name)
+            out += struct.pack(">I", len(vdims))
+            for d in vdims:
+                out += struct.pack(">I", dim_idx[d])
+            out += struct.pack(">II", 0, 0)  # no variable attributes
+            out += struct.pack(">III", nc_type, vsize, begin)
+        return bytes(out)
+
+    hlen = len(header([0] * len(entries)))
+    begins = []
+    off = hlen
+    single_rec = sum(1 for e in entries if e[5]) == 1
+    for name, vdims, arr, nc_type, vsize, is_rec in entries:
+        if not is_rec:
+            begins.append(off)
+            total = arr.size * _NC_DTYPES[nc_type].itemsize
+            off += total + ((-total) % 4)
+    rec_start = off
+    for name, vdims, arr, nc_type, vsize, is_rec in entries:
+        if is_rec:
+            begins_rec = rec_start
+            begins.append(begins_rec)
+            rec_start += (
+                arr[0:1].size * _NC_DTYPES[nc_type].itemsize
+                if single_rec
+                else vsize
+            )
+    # reorder begins to match entries order (fixed first already)
+    body = bytearray(header(begins))
+    for name, vdims, arr, nc_type, vsize, is_rec in entries:
+        if not is_rec:
+            raw = arr.astype(_NC_DTYPES[nc_type]).tobytes()
+            body += _pad4(raw)
+    recsize_entries = [e for e in entries if e[5]]
+    for r in range(numrecs):
+        for name, vdims, arr, nc_type, vsize, is_rec in recsize_entries:
+            # np.asarray, not arr[r].astype: a 1-D record variable's
+            # arr[r] is a numpy SCALAR, and scalar astype silently
+            # ignores byte order — the slab would land native-endian
+            raw = np.asarray(arr[r], dtype=_NC_DTYPES[nc_type]).tobytes()
+            body += raw if single_rec else _pad4(raw)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as fh:
+        fh.write(bytes(body))
+    return path

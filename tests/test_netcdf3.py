@@ -1,0 +1,268 @@
+"""NetCDF-3 source: hand-assembled files via an INDEPENDENT in-test
+writer (including CDF-2 64-bit offsets, record interleaving, padding
+of short/byte data), Spark scan parity, selection semantics, and
+guards. The package's own write_netcdf3 is cross-checked against the
+reader separately — the independent writer is the spec anchor."""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from cae_polars_tools_spark.sources.netcdf3 import (
+    netcdf3_info,
+    parse_netcdf3,
+    scan_netcdf3,
+    write_netcdf3,
+)
+
+TMP = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp"
+)
+
+_TYPE_OF = {
+    np.dtype("int8"): (1, ">i1"),
+    np.dtype("int16"): (3, ">i2"),
+    np.dtype("int32"): (4, ">i4"),
+    np.dtype("float32"): (5, ">f4"),
+    np.dtype("float64"): (6, ">f8"),
+}
+
+
+def _name(s):
+    b = s.encode()
+    return struct.pack(">I", len(b)) + b + b"\x00" * ((-len(b)) % 4)
+
+
+def _pad(b):
+    return b + b"\x00" * ((-len(b)) % 4)
+
+
+def _write_nc(path, dims, variables, version=1, record_dim=None, numrecs=None):
+    """Independent spec writer. dims: {name: size}; variables:
+    {name: (dim_names, np array)}; record vars lead with record_dim."""
+    dim_names = list(dims)
+    dix = {d: i for i, d in enumerate(dim_names)}
+    if numrecs is None:
+        numrecs = 0
+        for _n, (vd, a) in variables.items():
+            if record_dim is not None and vd[:1] == (record_dim,):
+                numrecs = max(numrecs, a.shape[0])
+
+    items = list(variables.items())
+    fixed = [
+        (n, v)
+        for n, v in items
+        if record_dim is None or v[0][:1] != (record_dim,)
+    ]
+    recs = [(n, v) for n, v in items if (n, v) not in fixed]
+    ordered = fixed + recs
+    single = len(recs) == 1
+
+    def var_entry(n, vd, a, begin):
+        t, be = _TYPE_OF[a.dtype]
+        slab = a.shape[1:] if (n, (vd, a)) in recs else a.shape
+        size = int(np.prod(slab)) * np.dtype(be).itemsize if slab else np.dtype(be).itemsize
+        vsize = size + ((-size) % 4)
+        out = _name(n) + struct.pack(">I", len(vd))
+        for d in vd:
+            out += struct.pack(">I", dix[d])
+        out += struct.pack(">II", 0, 0)  # no attrs
+        out += struct.pack(">II", t, vsize)
+        out += struct.pack(">Q" if version == 2 else ">I", begin)
+        return out
+
+    def header(begins):
+        h = b"CDF" + bytes([version]) + struct.pack(">I", numrecs)
+        h += struct.pack(">II", 0x0A, len(dim_names))
+        for d in dim_names:
+            h += _name(d) + struct.pack(
+                ">I", 0 if d == record_dim else dims[d]
+            )
+        h += struct.pack(">II", 0, 0)  # gatts ABSENT
+        h += struct.pack(">II", 0x0B, len(ordered))
+        for (n, (vd, a)), b in zip(ordered, begins):
+            h += var_entry(n, vd, a, b)
+        return h
+
+    hlen = len(header([0] * len(ordered)))
+    begins, off = [], hlen
+    for n, (vd, a) in fixed:
+        begins.append(off)
+        t, be = _TYPE_OF[a.dtype]
+        total = a.size * np.dtype(be).itemsize
+        off += total + ((-total) % 4)
+    for n, (vd, a) in recs:
+        begins.append(off)
+        t, be = _TYPE_OF[a.dtype]
+        slab = int(np.prod(a.shape[1:])) * np.dtype(be).itemsize if a.ndim > 1 else np.dtype(be).itemsize
+        off += slab if single else slab + ((-slab) % 4)
+
+    body = bytearray(header(begins))
+    for n, (vd, a) in fixed:
+        t, be = _TYPE_OF[a.dtype]
+        body += _pad(np.ascontiguousarray(a, dtype=be).tobytes())
+    for r in range(numrecs):
+        for n, (vd, a) in recs:
+            t, be = _TYPE_OF[a.dtype]
+            raw = np.ascontiguousarray(a[r], dtype=be).tobytes()
+            body += raw if single else _pad(raw)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as fh:
+        fh.write(bytes(body))
+    return path
+
+
+def _demo_arrays():
+    t = np.arange(5, dtype=np.float64) * 3600
+    lat = (np.arange(3) * 0.5 + 30).astype(np.float32)
+    lon = (np.arange(4) * 0.25 - 120).astype(np.float32)
+    val = np.arange(5 * 3 * 4, dtype=np.float32).reshape(5, 3, 4)
+    return t, lat, lon, val
+
+
+@pytest.mark.parametrize("version", [1, 2])
+def test_parse_and_info_independent_writer(version):
+    t, lat, lon, val = _demo_arrays()
+    p = os.path.join(TMP, f"nc_fixed_v{version}.nc")
+    _write_nc(
+        p,
+        {"time": 5, "lat": 3, "lon": 4},
+        {
+            "time": (("time",), t),
+            "lat": (("lat",), lat),
+            "lon": (("lon",), lon),
+            "metric": (("time", "lat", "lon"), val),
+        },
+        version=version,
+    )
+    info = netcdf3_info(p)
+    assert info["format"] == f"netcdf3-cdf{version}"
+    assert info["dimensions"] == {"time": 5, "lat": 3, "lon": 4}
+    assert info["record_dimension"] is None
+    assert info["variables"]["metric"]["shape"] == [5, 3, 4]
+    assert info["variables"]["metric"]["dtype"] == "float32"
+
+
+def test_scan_longformat_matches_numpy(spark):
+    t, lat, lon, val = _demo_arrays()
+    p = os.path.join(TMP, "nc_scan.nc")
+    _write_nc(
+        p,
+        {"time": 5, "lat": 3, "lon": 4},
+        {
+            "time": (("time",), t),
+            "lat": (("lat",), lat),
+            "lon": (("lon",), lon),
+            "metric": (("time", "lat", "lon"), val),
+        },
+    )
+    rows = scan_netcdf3(spark, p, "metric", chunk_size=7).collect()
+    assert len(rows) == 60
+    got = {
+        (r["time"], r["lat"], r["lon"]): r["value"] for r in rows
+    }
+    for i in range(5):
+        for j in range(3):
+            for k in range(4):
+                key = (t[i], float(lat[j]), float(lon[k]))
+                assert got[key] == float(val[i, j, k])
+
+
+def test_record_variable_interleaving(spark):
+    """TWO record variables: per-record slabs interleave with 4-byte
+    padding; the scan must see through the striding — plus int16
+    exercises padded slabs."""
+    t16 = np.arange(4, dtype=np.int16)
+    val = np.arange(4 * 3, dtype=np.float32).reshape(4, 3)
+    p = os.path.join(TMP, "nc_rec.nc")
+    _write_nc(
+        p,
+        {"time": 4, "x": 3},
+        {
+            "time": (("time",), t16),  # record var, 2-byte slab → pad
+            "metric": (("time", "x"), val),
+        },
+        record_dim="time",
+    )
+    meta = parse_netcdf3(p)
+    assert meta.record_dim == 0
+    assert meta.numrecs == 4
+    assert meta.recsize == 4 + 12  # padded int16 slab + 3 floats
+    rows = scan_netcdf3(spark, p, "metric", chunk_size=5).collect()
+    got = {(r["time"], r["x"]): r["value"] for r in rows}
+    for i in range(4):
+        for j in range(3):
+            assert got[(i, j)] == float(val[i, j])
+
+
+def test_selection_semantics(spark):
+    t, lat, lon, val = _demo_arrays()
+    p = os.path.join(TMP, "nc_sel.nc")
+    _write_nc(
+        p,
+        {"time": 5, "lat": 3, "lon": 4},
+        {
+            "time": (("time",), t),
+            "lat": (("lat",), lat),
+            "lon": (("lon",), lon),
+            "metric": (("time", "lat", "lon"), val),
+        },
+    )
+    # int drops the dim; slice + list select
+    df = scan_netcdf3(
+        spark, p, "metric",
+        select_dims={"time": slice(1, 4), "lat": 1, "lon": [3, 0]},
+    )
+    assert df.columns == ["time", "lon", "value"]
+    rows = df.collect()
+    assert len(rows) == 3 * 2
+    got = {(r["time"], r["lon"]): r["value"] for r in rows}
+    for i in (1, 2, 3):
+        for k in (3, 0):
+            assert got[(t[i], float(lon[k]))] == float(val[i, 1, k])
+    with pytest.raises(KeyError, match="unknown dims"):
+        scan_netcdf3(spark, p, "metric", select_dims={"bogus": 1})
+    with pytest.raises(KeyError, match="not in"):
+        scan_netcdf3(spark, p, "nope")
+    with pytest.raises(IndexError):
+        scan_netcdf3(spark, p, "metric", select_dims={"lat": 99})
+
+
+def test_package_writer_roundtrips_against_reader(spark):
+    """write_netcdf3 (the sink) → scan_netcdf3: full value parity,
+    incl. a record dimension."""
+    t, lat, lon, val = _demo_arrays()
+    p = os.path.join(TMP, "nc_roundtrip.nc")
+    write_netcdf3(
+        p,
+        {"time": 5, "lat": 3, "lon": 4},
+        {
+            "time": (("time",), t),
+            "lat": (("lat",), lat),
+            "lon": (("lon",), lon),
+            "metric": (("time", "lat", "lon"), val),
+        },
+        record_dim="time",
+    )
+    rows = scan_netcdf3(spark, p, "metric").collect()
+    got = {(r["time"], r["lat"], r["lon"]): r["value"] for r in rows}
+    assert len(got) == 60
+    for i in range(5):
+        assert got[(t[i], float(lat[0]), float(lon[0]))] == float(val[i, 0, 0])
+
+
+def test_guards():
+    p = os.path.join(TMP, "nc_bad")
+    os.makedirs(TMP, exist_ok=True)
+    with open(p, "wb") as fh:
+        fh.write(b"NOPE....")
+    with pytest.raises(ValueError, match="not a netCDF"):
+        parse_netcdf3(p)
+    with open(p, "wb") as fh:
+        fh.write(b"\x89HDF\r\n\x1a\n....")
+    with pytest.raises(NotImplementedError, match="HDF5"):
+        parse_netcdf3(p)
