@@ -24,6 +24,7 @@ from __future__ import annotations
 import argparse
 import ast
 import json
+import os
 import sys
 import time
 from typing import Any
@@ -204,8 +205,36 @@ def parse_select_ranges(text: str | None) -> dict | None:
 # ---------------------------------------------------------------------------
 
 
+def _is_netcdf(path: str) -> bool:
+    """Classic-netCDF sniff for a LOCAL file path (zarr stores are
+    directories / URLs, so a plain file starting with 'CDF' is
+    unambiguous)."""
+    p = path[len("file://"):] if path.startswith("file://") else path
+    try:
+        if not os.path.isfile(p):
+            return False
+        with open(p, "rb") as fh:
+            return fh.read(3) == b"CDF"
+    except OSError:
+        return False
+
+
 def info_command(args) -> int:
-    """Metadata-only inspection → JSON (reference cli.py:42-96)."""
+    """Metadata-only inspection → JSON (reference cli.py:42-96).
+    Classic-netCDF files are sniffed and routed to the netCDF
+    inspector; everything else is a zarr store."""
+    if _is_netcdf(args.store_path):
+        from cae_polars_tools_spark.sources.netcdf3 import netcdf3_info
+
+        info = netcdf3_info(args.store_path)
+        text = json.dumps(info, indent=2, default=str)
+        if args.output:
+            with open(args.output, "w") as f:
+                f.write(text)
+            print(f"Info written to {args.output}")
+        else:
+            print(text)
+        return 0
     from cae_polars_tools_spark.sources.zarr_scan import get_zarr_data_info
 
     info = get_zarr_data_info(
@@ -234,7 +263,30 @@ def _session():
 
 def read_command(args) -> int:
     """Scan an array and sink to Parquet (reference cli.py:99-169);
-    default output ``{array}.parquet``."""
+    default output ``{array}.parquet``. Classic-netCDF files are
+    sniffed and scanned through the netCDF source (same long-format
+    contract; value-range selection is zarr-only)."""
+    if _is_netcdf(args.store_path):
+        from cae_polars_tools_spark.sources.netcdf3 import scan_netcdf3
+
+        if args.select_ranges:
+            raise ValueError(
+                "--select-ranges is zarr-only; use --select-dims for "
+                "netCDF files"
+            )
+        spark = _session()
+        df = scan_netcdf3(
+            spark,
+            args.store_path,
+            args.array_name,
+            select_dims=parse_select_dims(args.select_dims),
+        )
+        output = args.output or f"{args.array_name}.parquet"
+        df.write.mode("overwrite").parquet(output)
+        n = spark.read.parquet(output).count()
+        print(f"Wrote {n} rows x {len(df.columns)} columns to {output}")
+        print(f"Columns: {df.columns}")
+        return 0
     from cae_polars_tools_spark.sources.zarr_scan import scan_data
 
     spark = _session()

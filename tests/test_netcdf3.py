@@ -266,3 +266,32 @@ def test_guards():
         fh.write(b"\x89HDF\r\n\x1a\n....")
     with pytest.raises(NotImplementedError, match="HDF5"):
         parse_netcdf3(p)
+
+
+def test_cli_info_and_read_sniff_netcdf(spark, capsys, tmp_path):
+    from cae_polars_tools_spark.cli import main
+
+    t, lat, lon, val = _demo_arrays()
+    p = os.path.join(TMP, "nc_cli.nc")
+    write_netcdf3(
+        p,
+        {"time": 5, "lat": 3, "lon": 4},
+        {
+            "time": (("time",), t),
+            "lat": (("lat",), lat),
+            "lon": (("lon",), lon),
+            "metric": (("time", "lat", "lon"), val),
+        },
+    )
+    assert main(["info", p]) == 0
+    out = capsys.readouterr().out
+    assert '"netcdf3-cdf1"' in out and '"metric"' in out
+
+    dst = str(tmp_path / "nc_out.parquet")
+    assert main([
+        "read", p, "metric", "--select-dims", "lat=1", "-o", dst,
+    ]) == 0
+    assert "Wrote 20 rows" in capsys.readouterr().out
+    got = spark.read.parquet(dst)
+    assert set(got.columns) == {"time", "lon", "value"}
+    assert got.count() == 20
