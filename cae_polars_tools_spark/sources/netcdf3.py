@@ -338,19 +338,29 @@ def widen_nc(arr: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(arr.astype(arr.dtype.newbyteorder("=")))
 
 
-def scan_netcdf3(
-    spark,
+@dataclass
+class NcScanPlan:
+    """Everything an executor needs to read its window independently
+    (the netCDF twin of the zarr ``ScanPlan``); plain picklable data."""
+
+    meta: NcMeta
+    var_name: str
+    dims: list[str]
+    keep: list[bool]
+    pos: list[np.ndarray]
+    coords: dict[str, np.ndarray]
+    sel_shape: list[int]
+    total: int
+
+
+def plan_nc_scan(
     path: str,
     var_name: str,
     select_dims: dict[str, Any] | None = None,
-    chunk_size: int = 2_000_000,
-):
-    """Scan one netCDF-3 variable → long-format DataFrame (the
-    ``scan_data`` analogue): a column per surviving dimension — values
-    from the CF coordinate variable of the same name when present,
-    integer indices otherwise — plus ``value``. One Spark partition
-    per ``chunk_size``-row flat window; every partition opens the file
-    itself and reads only its covering byte spans."""
+) -> NcScanPlan:
+    """Driver-side planning: parse the header, resolve the selection
+    into per-dimension position arrays, load the (bounded) coordinate
+    variables for surviving dims."""
     meta = parse_netcdf3(path)
     if var_name not in meta.vars:
         raise KeyError(
@@ -391,55 +401,190 @@ def scan_netcdf3(
     total = 1
     for s in sel_shape:
         total *= s
+    return NcScanPlan(
+        meta=meta, var_name=var_name, dims=dims, keep=keep, pos=pos,
+        coords=coords, sel_shape=sel_shape, total=total,
+    )
 
+
+def nc_schema_for_plan(plan: NcScanPlan):
     from pyspark.sql import types as T
 
     fields = []
-    for di, dim in enumerate(dims):
-        if keep[di]:
+    for di, dim in enumerate(plan.dims):
+        if plan.keep[di]:
             fields.append(
                 T.StructField(
                     dim,
-                    spark_type_for_dtype(widen_numpy(coords[dim]).dtype),
+                    spark_type_for_dtype(
+                        widen_numpy(plan.coords[dim]).dtype
+                    ),
                     False,
                 )
             )
+    var = plan.meta.vars[plan.var_name]
     value_np = _NC_DTYPES[var.nc_type].newbyteorder("=")
     fields.append(T.StructField("value", spark_type_for_dtype(value_np), True))
-    schema = T.StructType(fields)
+    return T.StructType(fields)
 
-    n_parts = max(1, -(-total // chunk_size))
+
+def nc_window_to_arrow(plan: NcScanPlan, s: int, e: int):
+    """One flat window [s, e) → a pyarrow RecordBatch (runs on the
+    executor that owns the window)."""
+    import pyarrow as pa
+
+    var = plan.meta.vars[plan.var_name]
+    vals = _read_var_window(plan.meta, var, plan.pos, s, e)
+    flat = np.arange(s, e, dtype=np.int64)
+    cols = {}
+    rem = flat
+    per_dim = []
+    for d in range(len(plan.sel_shape) - 1, -1, -1):
+        per_dim.append(rem % plan.sel_shape[d])
+        rem = rem // plan.sel_shape[d]
+    per_dim.reverse()
+    names = []
+    for di, dim in enumerate(plan.dims):
+        if plan.keep[di]:
+            cols[dim] = widen_numpy(plan.coords[dim][per_dim[di]])
+            names.append(dim)
+    cols["value"] = widen_numpy(vals)
+    names.append("value")
+    return pa.record_batch([pa.array(cols[n]) for n in names], names=names)
+
+
+def scan_netcdf3(
+    spark,
+    path: str,
+    var_name: str,
+    select_dims: dict[str, Any] | None = None,
+    chunk_size: int = 2_000_000,
+):
+    """Scan one netCDF-3 variable → long-format DataFrame (the
+    ``scan_data`` analogue): a column per surviving dimension — values
+    from the CF coordinate variable of the same name when present,
+    integer indices otherwise — plus ``value``. One Spark partition
+    per ``chunk_size``-row flat window; every partition opens the file
+    itself and reads only its covering byte spans."""
+    plan = plan_nc_scan(path, var_name, select_dims)
+    schema = nc_schema_for_plan(plan)
+    n_parts = max(1, -(-plan.total // chunk_size))
     ranges = [
-        (i * chunk_size, min((i + 1) * chunk_size, total))
+        (i * chunk_size, min((i + 1) * chunk_size, plan.total))
         for i in range(n_parts)
     ]
-
-    import pyarrow as pa
 
     def gen(batch_iter) -> Iterator:
         for batch in batch_iter:
             for pid in batch.column("id").to_pylist():
                 s, e = ranges[pid]
-                vals = _read_var_window(meta, var, pos, s, e)
-                flat = np.arange(s, e, dtype=np.int64)
-                cols = {}
-                rem = flat
-                per_dim = []
-                for d in range(len(sel_shape) - 1, -1, -1):
-                    per_dim.append(rem % sel_shape[d])
-                    rem = rem // sel_shape[d]
-                per_dim.reverse()
-                for di, dim in enumerate(dims):
-                    if keep[di]:
-                        cols[dim] = widen_numpy(coords[dim][per_dim[di]])
-                cols["value"] = widen_numpy(vals)
-                yield pa.record_batch(
-                    [pa.array(cols[f.name]) for f in fields],
-                    names=[f.name for f in fields],
-                )
+                yield nc_window_to_arrow(plan, s, e)
 
     seed = spark.range(0, n_parts, 1, numPartitions=n_parts)
     return seed.mapInArrow(gen, schema)
+
+
+# ---------------------------------------------------------------------------
+# spark.read.format("netcdf3") — Python Data Source (Spark >= 4.0)
+# ---------------------------------------------------------------------------
+
+
+class _NcPartition:
+    def __init__(self, start: int, end: int) -> None:
+        self.start = start
+        self.end = end
+
+
+def _nc_decode_select(spec):
+    if spec is None:
+        return None
+    import json as _json
+
+    if isinstance(spec, str):
+        spec = _json.loads(spec)
+    out = {}
+    for dim, sel in spec.items():
+        if isinstance(sel, dict):
+            out[dim] = slice(
+                sel.get("start"), sel.get("stop"), sel.get("step")
+            )
+        else:
+            out[dim] = sel
+    return out
+
+
+def make_netcdf3_datasource():
+    """Build the DataSource class lazily (the datasource API needs
+    Spark >= 4.0; importing it at module import time would couple the
+    plain scan path to it)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class NcWindowPartition(InputPartition):
+        def __init__(self, start: int, end: int) -> None:
+            self.start = start
+            self.end = end
+
+    class NetCDF3Reader(DataSourceReader):
+        def __init__(self, plan: NcScanPlan, chunk_size: int) -> None:
+            self._plan = plan
+            self._chunk = chunk_size
+
+        def partitions(self):
+            n = max(1, -(-self._plan.total // self._chunk))
+            return [
+                NcWindowPartition(
+                    i * self._chunk,
+                    min((i + 1) * self._chunk, self._plan.total),
+                )
+                for i in range(n)
+            ]
+
+        def read(self, partition):
+            yield nc_window_to_arrow(
+                self._plan, partition.start, partition.end
+            )
+
+    class NetCDF3DataSource(DataSource):
+        """``spark.read.format("netcdf3").option("variable", V)
+        .load(path)`` — options: ``variable`` (required),
+        ``select_dims`` (JSON, same grammar as the zarr source),
+        ``chunk_size``."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "netcdf3"
+
+        def _plan(self) -> NcScanPlan:
+            path = self.options.get("path")
+            var = self.options.get("variable")
+            if not path or not var:
+                raise ValueError(
+                    "netcdf3 data source requires .load(<file>) and "
+                    ".option('variable', <name>)"
+                )
+            return plan_nc_scan(
+                path, var, _nc_decode_select(self.options.get("select_dims"))
+            )
+
+        def schema(self):
+            return nc_schema_for_plan(self._plan())
+
+        def reader(self, schema):
+            return NetCDF3Reader(
+                self._plan(),
+                int(self.options.get("chunk_size", 2_000_000)),
+            )
+
+    return NetCDF3DataSource
+
+
+def register_netcdf_source(spark) -> None:
+    """Register ``format("netcdf3")`` on the session."""
+    spark.dataSource.register(make_netcdf3_datasource())
 
 
 # ---------------------------------------------------------------------------

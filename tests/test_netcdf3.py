@@ -295,3 +295,34 @@ def test_cli_info_and_read_sniff_netcdf(spark, capsys, tmp_path):
     got = spark.read.parquet(dst)
     assert set(got.columns) == {"time", "lon", "value"}
     assert got.count() == 20
+
+
+def test_datasource_format_netcdf3(spark):
+    from cae_polars_tools_spark.sources.netcdf3 import register_netcdf_source
+
+    t, lat, lon, val = _demo_arrays()
+    p = os.path.join(TMP, "nc_ds.nc")
+    write_netcdf3(
+        p,
+        {"time": 5, "lat": 3, "lon": 4},
+        {
+            "time": (("time",), t),
+            "lat": (("lat",), lat),
+            "lon": (("lon",), lon),
+            "metric": (("time", "lat", "lon"), val),
+        },
+    )
+    register_netcdf_source(spark)
+    df = (
+        spark.read.format("netcdf3")
+        .option("variable", "metric")
+        .option("select_dims", '{"time": {"start": 1, "stop": 3}}')
+        .option("chunk_size", "7")
+        .load(p)
+    )
+    assert df.columns == ["time", "lat", "lon", "value"]
+    rows = df.collect()
+    assert len(rows) == 2 * 3 * 4
+    got = {(r["time"], r["lat"], r["lon"]): r["value"] for r in rows}
+    assert got[(t[1], float(lat[0]), float(lon[0]))] == float(val[1, 0, 0])
+    assert got[(t[2], float(lat[2]), float(lon[3]))] == float(val[2, 2, 3])
