@@ -21,7 +21,9 @@ canonical Huffman, 4:2:2/4:2:0, restart markers, SOF2 successive
 approximation; lossy, so round-trips are tolerance-tested plus exact
 on flat blocks), GIF decodes including animations
 (``operators/gif.py`` — LZW, interlace, compositing/transparency/
-disposal; ``split_gif_frames`` demuxes into ``sample_frames``), PCM
+disposal; ``split_gif_frames`` demuxes into ``sample_frames``),
+baseline TIFF decodes hand-parsed (``operators/tiff.py`` — both byte
+orders, strips, PackBits, palette), PCM
 WAV decodes via the stdlib ``wave`` module
 (:func:`decode_wav`), and uncompressed YUV4MPEG2 video parses for
 real in ``operators/y4m.py`` (header walk + planar frame slicing,
