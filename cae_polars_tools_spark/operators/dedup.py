@@ -1783,3 +1783,196 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay pinned in tests/test_operators.py::test_winnow_*)."""
     d = spread(read_table(spark, sf_dir, "documents"))
     return winnow_pairs(d)
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance fuzzy join (PassJoin-style segment blocking) — the
+# entity-resolution primitive (near-identical names / titles / keys).
+# ---------------------------------------------------------------------------
+
+
+def _seg_bounds(k, length, d):
+    """Even (d+1)-way partition of a string of ``length``: segment k
+    spans [floor(k·L/(d+1)), floor((k+1)·L/(d+1)))."""
+    return (
+        F.floor(k * length / (d + 1)).cast("int"),
+        F.floor((k + 1) * length / (d + 1)).cast("int"),
+    )
+
+
+def fuzzy_pairs(
+    strings: DataFrame,
+    id_col: str = "id",
+    str_col: str = "s",
+    max_dist: int = 1,
+) -> DataFrame:
+    """All pairs within Levenshtein distance ``max_dist`` — WITHOUT an
+    all-pairs join, via PassJoin-style pigeonhole blocking (Li et al.,
+    "PassJoin: A Partition-based Method for Similarity Joins"):
+
+    split every string into ``max_dist + 1`` contiguous segments; if
+    ``edit(a, b) ≤ d`` then at most d segments of ``a`` are touched,
+    so at least one survives VERBATIM inside ``b``, shifted by at most
+    d positions. The indexed side emits its d+1 segments keyed by
+    (string length, segment index, segment text); the probe side
+    emits, for each candidate partner length ``l ∈ [len−d, len+d]``,
+    the substrings at that segment's allowed positions. An equi-join
+    on the key yields candidates — a tiny, selective set — and exact
+    ``levenshtein() ≤ d`` verifies them.
+
+    100 TB shape: segments/probes are pure JVM expressions
+    (substr/transform/flatten — zero Python), the ONLY shuffle is the
+    (len, k, segment) equi-join, probe fan-out is O(d²) per row, and
+    no cartesian exists at any scale (plan-pinned in CI). Output:
+    ``(id_a, id_b, dist)`` with ``id_a < id_b``, exact distances."""
+    if max_dist < 1:
+        raise ValueError("max_dist must be >= 1")
+    d = max_dist
+    base = strings.select(
+        F.col(id_col).alias("_fid"), F.col(str_col).alias("_fs")
+    ).filter(F.length("_fs") > 0)
+
+    L = F.length("_fs")
+    ks = F.sequence(F.lit(0), F.lit(d))
+
+    # indexed side: (l, k, segment)
+    seg_structs = F.transform(
+        ks,
+        lambda k: F.struct(
+            k.cast("int").alias("k"),
+            F.substr(
+                "_fs",
+                _seg_bounds(k, L, d)[0] + 1,
+                _seg_bounds(k, L, d)[1] - _seg_bounds(k, L, d)[0],
+            ).alias("seg"),
+        ),
+    )
+    left = base.select(
+        "_fid", "_fs", L.alias("_fl"), F.explode(seg_structs).alias("e")
+    ).select(
+        F.col("_fid").alias("id_a"),
+        F.col("_fs").alias("s_a"),
+        F.col("_fl").alias("l"),
+        F.col("e.k").alias("k"),
+        F.col("e.seg").alias("seg"),
+    ).filter(F.length("seg") > 0)
+
+    # probe side: for each partner length l' and segment k, the
+    # substrings at positions start±d (clamped into the probe string)
+    lens = F.sequence(F.greatest(L - d, F.lit(1)), L + d)
+    probe_structs = F.flatten(
+        F.transform(
+            lens,
+            lambda lp: F.flatten(
+                F.transform(
+                    ks,
+                    lambda k: F.transform(
+                        F.sequence(
+                            F.greatest(
+                                _seg_bounds(k, lp, d)[0] - d, F.lit(0)
+                            ),
+                            F.least(
+                                _seg_bounds(k, lp, d)[0] + d,
+                                L
+                                - (
+                                    _seg_bounds(k, lp, d)[1]
+                                    - _seg_bounds(k, lp, d)[0]
+                                ),
+                            ),
+                        ),
+                        lambda p: F.struct(
+                            lp.cast("int").alias("l"),
+                            k.cast("int").alias("k"),
+                            F.substr(
+                                "_fs",
+                                p + 1,
+                                _seg_bounds(k, lp, d)[1]
+                                - _seg_bounds(k, lp, d)[0],
+                            ).alias("seg"),
+                        ),
+                    ),
+                )
+            ),
+        )
+    )
+    right = base.select(
+        F.col("_fid").alias("id_b"),
+        F.col("_fs").alias("s_b"),
+        F.explode(probe_structs).alias("p"),
+    ).select(
+        "id_b", "s_b",
+        F.col("p.l").alias("l"),
+        F.col("p.k").alias("k"),
+        F.col("p.seg").alias("seg"),
+    ).filter(F.length("seg") > 0)
+
+    cand = (
+        left.join(right, ["l", "k", "seg"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "s_a", "id_b", "s_b")
+    )
+
+    # pigeonhole hole: a string SHORTER than d+1 chars has no segment
+    # that must survive (its whole content fits in d edits), so those
+    # pair with anything within the length bound |len diff| <= d.
+    # The short set is bounded by construction (distinct strings of
+    # length <= d over the alphabet), so it broadcasts; the partner
+    # side is length-pruned to <= 2d. A constant-key equi-join keeps
+    # this a broadcast HASH join — no nested-loop node.
+    shorts = base.filter(L <= d).select(
+        F.col("_fid").alias("sid"),
+        F.col("_fs").alias("ss"),
+        F.lit(0).alias("__k"),
+    )
+    near = base.filter(L <= 2 * d).select(
+        F.col("_fid").alias("nid"),
+        F.col("_fs").alias("ns"),
+        F.lit(0).alias("__k"),
+    )
+    extra = (
+        near.join(F.broadcast(shorts), "__k")
+        .filter(F.col("sid") != F.col("nid"))
+        .select(
+            F.least("sid", "nid").alias("id_a"),
+            F.when(F.col("sid") < F.col("nid"), F.col("ss"))
+            .otherwise(F.col("ns"))
+            .alias("s_a"),
+            F.greatest("sid", "nid").alias("id_b"),
+            F.when(F.col("sid") < F.col("nid"), F.col("ns"))
+            .otherwise(F.col("ss"))
+            .alias("s_b"),
+        )
+    )
+
+    dist = F.levenshtein("s_a", "s_b")
+    return (
+        cand.unionByName(extra)
+        .distinct()
+        .filter(dist <= d)
+        .select("id_a", "id_b", dist.alias("dist"))
+    )
+
+
+@register(
+    "fuzzy_source_pairs",
+    oracle="""
+        WITH s AS (
+            SELECT source, MIN(doc_id) AS id
+            FROM documents GROUP BY source
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               levenshtein(a.source, b.source) AS dist
+        FROM s a JOIN s b ON a.id < b.id
+        WHERE levenshtein(a.source, b.source) <= 1
+    """,
+    tags=("dedup", "fuzzy", "extension"),
+    window_rank=1,
+)
+def fuzzy_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 pairs among the corpus' distinct source names
+    via the PassJoin blocking — value-checked against DuckDB's
+    all-pairs levenshtein (the oracle may brute-force; the ENGINE may
+    not, asserted by the plan suite)."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    sources = docs.groupBy("source").agg(F.min("doc_id").alias("id"))
+    return fuzzy_pairs(sources, id_col="id", str_col="source", max_dist=1)

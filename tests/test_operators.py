@@ -1236,3 +1236,56 @@ def test_pagerank_checkpoint_variant_and_validation(spark):
         pagerank(df, damping=1.5)
     with pytest.raises(ValueError, match="empty"):
         pagerank(df.filter("src < 0"))
+
+
+def test_fuzzy_pairs_complete_vs_bruteforce(spark):
+    """The PassJoin pigeonhole blocking must find EVERY pair within
+    max_dist — completeness checked against python-Levenshtein brute
+    force over a crafted set with substitutions, insertions and
+    deletions at head/middle/tail positions, for d=1 AND d=2."""
+    import itertools
+
+    from cae_polars_tools_spark.operators.dedup import fuzzy_pairs
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    words = [
+        "martha", "marhta", "martya", "amartha", "marth", "xmartha",
+        "kitten", "sitten", "sittin", "sitting", "mitten", "kitte",
+        "alpha", "alpho", "aalpha", "lpha", "alphaa", "blpha",
+        "ab", "ba", "a", "b", "abc", "abd", "bbc",
+    ]
+    rows = [(i, w) for i, w in enumerate(words)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    for d in (1, 2):
+        got = {
+            (r["id_a"], r["id_b"]): r["dist"]
+            for r in fuzzy_pairs(df, max_dist=d).collect()
+        }
+        want = {}
+        for (i, a), (j, b) in itertools.combinations(rows, 2):
+            dist = lev(a, b)
+            if dist <= d:
+                want[(i, j)] = dist
+        assert got == want, f"d={d}: missing {set(want) - set(got)}"
+
+
+def test_fuzzy_pairs_validation(spark):
+    import pytest
+
+    from cae_polars_tools_spark.operators.dedup import fuzzy_pairs
+
+    df = spark.createDataFrame([(1, "x")], "id long, s string")
+    with pytest.raises(ValueError, match="max_dist"):
+        fuzzy_pairs(df, max_dist=0)

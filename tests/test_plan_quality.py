@@ -474,3 +474,21 @@ def test_pca_projection_is_zero_shuffle(spark):
     plan = _plan(spark, "emb_pca_project")
     assert "Exchange hashpartitioning" not in plan
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def test_fuzzy_pairs_is_equijoin_no_cartesian(spark):
+    """fuzzy_source_pairs: the PassJoin blocking must plan the MAIN
+    path as an equi-join on (l, k, segment) — never a cartesian over
+    the string set. The one permitted nested-loop is the short-string
+    hole-patch, whose BOTH sides are length-pruned to <= 2*max_dist
+    chars (a bounded broadcast at any scale, like q35's declared
+    cross)."""
+    plan = _plan(spark, "fuzzy_source_pairs")
+    assert "CartesianProduct" not in plan
+    # the blocking equi-join is present on the segment key
+    assert "seg" in plan and plan.count("Join") >= 1
+    import re
+
+    assert re.search(r"HashJoin \[l#\d+, k#\d+, seg#\d+\]", plan) or (
+        "SortMergeJoin" in plan and "seg" in plan
+    ), plan
