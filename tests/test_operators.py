@@ -1289,3 +1289,50 @@ def test_fuzzy_pairs_validation(spark):
     df = spark.createDataFrame([(1, "x")], "id long, s string")
     with pytest.raises(ValueError, match="max_dist"):
         fuzzy_pairs(df, max_dist=0)
+
+
+def test_fuzzy_pairs_complete_on_random_strings(spark):
+    """Randomized completeness: 80 strings over a 3-letter alphabet
+    (lengths 1-8, duplicates removed) make near-pairs abundant; the
+    blocking must reproduce brute force EXACTLY for d=1 and d=2."""
+    import itertools
+
+    import numpy as np
+
+    from cae_polars_tools_spark.operators.dedup import fuzzy_pairs
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    rng = np.random.default_rng(2024)
+    seen = []
+    for _ in range(80):
+        n = int(rng.integers(1, 9))
+        seen.append("".join(rng.choice(list("abc"), size=n)))
+    words = sorted(set(seen))
+    rows = [(i, w) for i, w in enumerate(words)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    for d in (1, 2):
+        got = {
+            (r["id_a"], r["id_b"]): r["dist"]
+            for r in fuzzy_pairs(df, max_dist=d).collect()
+        }
+        want = {
+            (i, j): lev(a, b)
+            for (i, a), (j, b) in itertools.combinations(rows, 2)
+            if lev(a, b) <= d
+        }
+        assert got == want, (
+            f"d={d}: missing {sorted(set(want) - set(got))[:5]} "
+            f"extra {sorted(set(got) - set(want))[:5]}"
+        )
