@@ -276,3 +276,29 @@ def test_encode_gif_roundtrips_exact():
     assert np.array_equal(decode_gif(encode_gif(idx4, pal4)), pal4[idx4])
     with pytest.raises(ValueError, match="out of range"):
         encode_gif(np.full((2, 2), 9, np.uint8), pal4)
+
+
+def test_disposal_restore_previous():
+    """Disposal 3 (restore to previous): the frame's region must
+    revert to the PRE-frame content before the next frame draws."""
+    pal = np.array(PALETTE, np.uint8)
+    base = np.zeros((3, 3), dtype=np.uint8)          # red screen
+    flash = np.full((2, 2), 1, dtype=np.uint8)        # green patch
+    tail = np.array([[2]], dtype=np.uint8)            # blue pixel
+    gif = _build_gif(
+        3, 3, PALETTE,
+        [
+            (0, 0, base, (0, 1, None)),
+            (1, 1, flash, (3, 1, None)),  # disposal 3
+            (0, 0, tail, (0, 1, None)),
+        ],
+    )
+    meta, frames = decode_gif_frames(gif)
+    f1, f2, f3 = frames
+    # frame 2 shows the flash...
+    assert np.array_equal(f2[1:3, 1:3], pal[flash])
+    # ...frame 3 shows the flash REGION restored to frame-1 red, with
+    # only the new blue pixel at (0,0)
+    want3 = pal[base].copy()
+    want3[0, 0] = pal[2]
+    assert np.array_equal(f3, want3)
