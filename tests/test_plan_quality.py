@@ -492,3 +492,22 @@ def test_fuzzy_pairs_is_equijoin_no_cartesian(spark):
     assert re.search(r"HashJoin \[l#\d+, k#\d+, seg#\d+\]", plan) or (
         "SortMergeJoin" in plan and "seg" in plan
     ), plan
+
+
+def test_html_strip_is_zero_shuffle_codegen(spark):
+    """text_html_strip: a pure regexp_replace/replace chain — no data
+    shuffle (the only exchange is spread()'s tiny-SF round-robin) and
+    no Python stage."""
+    plan = _plan(spark, "text_html_strip")
+    assert "Exchange hashpartitioning" not in plan
+    for node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert node not in plan
+
+
+def test_pagerank_has_no_cartesian_and_broadcast_contribs(spark):
+    """graph_pagerank: every per-round contribution join is an
+    equi-join (no cartesian); the tiny rank/outdeg frames broadcast
+    against the cached edge partitioning."""
+    plan = _plan(spark, "graph_pagerank")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
