@@ -66,12 +66,20 @@ def pagerank(
         raise ValueError("iters must be >= 1")
     if not 0.0 < damping < 1.0:
         raise ValueError("damping must be in (0, 1)")
+    # collapse multi-edges to (src, dst, weight) FIRST: the power
+    # iteration only ever consumes edge multiplicity, so the rounds
+    # run over the collapsed frame — one aggregation of the raw edge
+    # list up front instead of rescanning it every round (on a
+    # transition graph the collapse is |node|² rows regardless of how
+    # many raw transitions produced it)
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
         .repartition("src")
         .persist()
     )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_c"))
+    outdeg = e.groupBy("src").agg(F.sum("w").alias("out_c"))
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -92,7 +100,7 @@ def pagerank(
             .join(ranks, e["src"] == ranks["node"])
             .select(
                 F.col("dst").alias("node"),
-                (F.col("r") / F.col("out_c")).alias("c"),
+                (F.col("r") * F.col("w") / F.col("out_c")).alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").alias("contrib"))
@@ -144,8 +152,13 @@ def _pagerank_oracle(iters: int = PR_ITERS, damping: float = PR_DAMPING) -> str:
     per-round algebra (no dangling redistribution), ROUND(…, 6) as
     the cross-engine contract on the iterated float sums."""
     ctes = [
-        f"edges AS ({_EDGES_SQL})",
-        "outdeg AS (SELECT src, COUNT(*) AS out_c FROM edges GROUP BY src)",
+        f"raw_edges AS ({_EDGES_SQL})",
+        # multi-edges collapse to weights FIRST, mirroring the engine's
+        # collapsed algebra term for term (r*w/out once, not r/out
+        # summed w times — identical mathematically, closer in floats)
+        "edges AS (SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w "
+        "FROM raw_edges GROUP BY src, dst)",
+        "outdeg AS (SELECT src, SUM(w) AS out_c FROM edges GROUP BY src)",
         "nodes AS (SELECT DISTINCT node FROM ("
         "SELECT src AS node FROM edges "
         "UNION ALL SELECT dst FROM edges))",
@@ -157,7 +170,7 @@ def _pagerank_oracle(iters: int = PR_ITERS, damping: float = PR_DAMPING) -> str:
             f"pr{i + 1} AS ("
             f"SELECT n.node, "
             f"(1 - {damping}) / (SELECT cnt FROM nn) + {damping} * "
-            f"COALESCE(SUM(p.r / o.out_c), 0) AS r "
+            f"COALESCE(SUM(p.r * e.w / o.out_c), 0) AS r "
             f"FROM nodes n "
             f"LEFT JOIN edges e ON e.dst = n.node "
             f"LEFT JOIN pr{i} p ON p.node = e.src "
