@@ -76,6 +76,10 @@ SF01_SENSITIVE = (
     "pipeline_curate_e2e",
     "mm_y4m_features",
     "q63_regression_aggs",
+    "graph_pagerank",
+    "fuzzy_source_pairs",
+    "ann_lsh_topk",
+    "dedup_embedding_lsh",
 )
 
 
