@@ -524,3 +524,25 @@ def test_audio_features_peak_survives_clipped_32bit(spark):
     )
     [r] = audio_features(assets).collect()
     assert r["peak"] == 2**31  # |int32 min| — would wrap under int32 abs
+
+
+def test_resize_image_bytes_gif_and_tiff():
+    """The format-agnostic resize must sniff GIF and TIFF too."""
+    from cae_polars_tools_spark.operators.gif import encode_gif
+    from cae_polars_tools_spark.operators.multimodal import (
+        decode_png,
+        resize_image_bytes,
+    )
+    from tests.test_tiff import _build_tiff
+
+    rng = np.random.default_rng(13)
+    palette = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, size=(8, 10), dtype=np.uint8)
+    out = decode_png(resize_image_bytes(encode_gif(idx, palette), 5, 4))
+    ys = (np.arange(4) * 8) // 4
+    xs = (np.arange(5) * 10) // 5
+    assert np.array_equal(out, palette[idx][ys][:, xs])
+
+    px = rng.integers(0, 256, size=(8, 10, 3), dtype=np.uint8)
+    out2 = decode_png(resize_image_bytes(_build_tiff(px), 5, 4))
+    assert np.array_equal(out2, px[ys][:, xs])
