@@ -37,6 +37,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     checkpoint_every: int = 0,
+    local_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Power-iteration PageRank over a (multi-)edge list → one
     ``(node, rank)`` row per node appearing as a source or
@@ -61,6 +62,15 @@ def pagerank(
     enough that Catalyst's analysis of the linearly-growing plan
     becomes measurable (~hundreds of rounds); typical PageRank runs
     (≤ 20) should leave it off.
+
+    Strategy pick (the ``connected_components`` pattern): when the
+    COLLAPSED weighted edge set fits ``local_threshold`` rows, the
+    power iteration runs driver-side in numpy — a few MB and
+    microseconds per round vs diameter-many tiny distributed stages
+    whose scheduling latency dominates on small graphs. The count
+    that picks the strategy is also what materializes the collapse,
+    so it is not an extra pass. Same algebra either way; cross-path
+    equality is test-pinned.
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
@@ -86,11 +96,21 @@ def pagerank(
         .distinct()
         .persist()
     )
-    n = nodes.count()
-    if n == 0:
+    m = e.count()
+    if m == 0:
         e.unpersist()
         nodes.unpersist()
         raise ValueError("pagerank: the edge list is empty")
+    if m <= local_threshold:
+        try:
+            return _pagerank_local(
+                edges.sparkSession, e, iters, damping
+            )
+        finally:
+            e.unpersist()
+            nodes.unpersist()
+
+    n = nodes.count()
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("r", F.lit(1.0 / n))
     prev_cut = None
@@ -124,6 +144,38 @@ def pagerank(
     if prev_cut is not None:
         out = _release_on_gc(out, prev_cut)
     return out
+
+
+def _pagerank_local(spark, weighted_edges: DataFrame, iters, damping):
+    """Driver-side power iteration over a bounded collapsed edge set
+    (sorted for run-to-run determinism); identical fixed-point
+    algebra to the distributed loop."""
+    import numpy as np
+
+    pdf = (
+        weighted_edges.toPandas().sort_values(["src", "dst"]).reset_index(
+            drop=True
+        )
+    )
+    node_vals = sorted(set(pdf["src"]) | set(pdf["dst"]))
+    idx = {v: i for i, v in enumerate(node_vals)}
+    n = len(node_vals)
+    si = pdf["src"].map(idx).to_numpy()
+    di = pdf["dst"].map(idx).to_numpy()
+    w = pdf["w"].to_numpy().astype(np.float64)
+    out_c = np.zeros(n)
+    np.add.at(out_c, si, w)
+    r = np.full(n, 1.0 / n)
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        acc = np.zeros(n)
+        np.add.at(acc, di, r[si] * w / out_c[si])
+        r = base + damping * acc
+    node_type = dict(weighted_edges.dtypes)["src"]
+    return spark.createDataFrame(
+        [(v, float(r[idx[v]])) for v in node_vals],
+        f"node {node_type}, r double",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1197,6 +1197,15 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     edges = [(1, 2), (1, 2), (1, 3), (2, 3), (3, 1), (4, 1), (3, 4)]
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r["node"]: r["r"] for r in pagerank(df, iters=12).collect()}
+    # both physical strategies agree to float tolerance (the local
+    # numpy path and the distributed loop share the algebra but not
+    # the accumulation order)
+    dist = {
+        r["node"]: r["r"]
+        for r in pagerank(df, iters=12, local_threshold=0).collect()
+    }
+    assert set(dist) == set(got)
+    assert all(abs(dist[v] - got[v]) < 1e-12 for v in got)
 
     nodes = sorted({u for e in edges for u in e})
     idx = {v: i for i, v in enumerate(nodes)}
