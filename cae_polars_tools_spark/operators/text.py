@@ -823,3 +823,100 @@ def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         html_to_text(F.expr(_HTML_WRAP_SPARK)).alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram LM scoring — the next rung of CCNet-style
+# model-based filtering above `text_logprob`'s unigram.
+# ---------------------------------------------------------------------------
+
+BIGRAM_LAMBDA = 0.75  # interpolation weight on the bigram term
+
+
+@register(
+    "text_bigram_logprob",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS token,
+                   generate_subscripts(string_split(text, ' '), 1) AS ord
+            FROM documents
+        ),
+        bi AS (
+            SELECT doc_id,
+                   lag(token) OVER (PARTITION BY doc_id ORDER BY ord) AS prev,
+                   token
+            FROM tok
+        ),
+        bi2 AS (SELECT * FROM bi WHERE prev IS NOT NULL),
+        cbig AS (SELECT prev, token, count(*) AS cb FROM bi2 GROUP BY prev, token),
+        cprev AS (SELECT prev, sum(cb) AS cp FROM cbig GROUP BY prev),
+        uni AS (SELECT token, count(*) AS cu FROM tok GROUP BY token),
+        tot AS (SELECT sum(cu) AS n FROM uni),
+        p AS (
+            SELECT cbig.prev, cbig.token,
+                   ln({BIGRAM_LAMBDA} * (CAST(cb AS DOUBLE) / cp)
+                      + {1 - BIGRAM_LAMBDA} * (CAST(cu AS DOUBLE) / n)) AS lp
+            FROM cbig
+            JOIN cprev USING (prev)
+            JOIN uni ON uni.token = cbig.token, tot
+        )
+        SELECT doc_id,
+               count(*) AS n_bigrams,
+               round(avg(lp), 6) AS avg_logprob
+        FROM bi2 JOIN p USING (prev, token)
+        GROUP BY doc_id
+    """,
+    tags=("text", "quality", "extension", "lm"),
+    window_rank=1,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM scoring: each document's mean
+    ``ln(λ·P(cur|prev) + (1−λ)·P(cur))`` under the corpus's own
+    counts — one rung above the unigram entry toward KenLM-style
+    perplexity filtering, with the interpolation keeping unseen-pair
+    mass finite without held-out smoothing state.
+
+    Scale shape: ONE doc-keyed window builds the bigram stream
+    (posexplode + lag share the doc_id partitioning), the count
+    tables partial-aggregate map-side, and the probability table —
+    distinct-bigram-bounded, a vocabulary property rather than a
+    corpus-size property — joins back on (prev, token). The λ·x+μ·y
+    expression is written identically on both engines, so only
+    summation order separates them (1e-6 rounding contract)."""
+    d = spread(read_table(spark, sf_dir, "documents"))
+    lam = BIGRAM_LAMBDA
+    tok = d.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "token")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        tok.withColumn("prev", F.lag("token").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("doc_id", "prev", "token")
+    )
+    cbig = bi.groupBy("prev", "token").agg(F.count(F.lit(1)).alias("cb"))
+    cprev = cbig.groupBy("prev").agg(F.sum("cb").alias("cp"))
+    uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cu"))
+    tot = uni.agg(F.sum("cu").alias("n"))
+    p = (
+        cbig.join(cprev, "prev")
+        .join(uni, "token")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "prev",
+            "token",
+            F.log(
+                F.lit(lam) * (F.col("cb").cast("double") / F.col("cp"))
+                + F.lit(1 - lam) * (F.col("cu").cast("double") / F.col("n"))
+            ).alias("lp"),
+        )
+    )
+    return (
+        bi.join(p, ["prev", "token"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        )
+    )

@@ -77,6 +77,7 @@ SF01_SENSITIVE = (
     "mm_y4m_features",
     "q63_regression_aggs",
     "graph_pagerank",
+    "text_bigram_logprob",
     "fuzzy_source_pairs",
     "ann_lsh_topk",
     "dedup_embedding_lsh",
