@@ -14,7 +14,7 @@ nearest-neighbor resize all run on actual pixels, oracle-checked by
 the ``mm_bmp_features`` corpus entry), PNG decodes with nothing
 beyond stdlib ``zlib`` (:func:`decode_png` — chunk walk + all five
 spec scanline filters, Adam7 de-interlacing, palette/tRNS, sub-byte
-gray+palette depths; only 16-bit remains refused; oracle-checked by
+gray+palette depths, gray+alpha, and 16-bit samples; oracle-checked by
 ``mm_png_features``), baseline AND progressive JPEG encode + decode
 with numpy alone (``operators/jpeg.py`` — DCT, quantization,
 canonical Huffman, 4:2:2/4:2:0, restart markers, SOF2 successive
@@ -508,18 +508,26 @@ def _unfilter_image(
     raw: "np.ndarray", h: int, w: int, depth: int, channels: int
 ) -> "np.ndarray":
     """Unfilter ``h`` scanlines of a (sub)image → (h, w*channels)
-    samples (sub-byte depths unpacked). Returns uint8 samples in
-    their raw range."""
+    samples (sub-byte depths unpacked, 16-bit assembled big-endian
+    per the spec). Returns uint8 (depth ≤ 8) or uint16 (depth 16)
+    samples in their raw range. Filtering always operates on BYTES
+    (bpp = bytes per pixel), exactly as the spec prescribes for every
+    depth."""
     stride = (w * channels * depth + 7) // 8
     bpp = max(1, (channels * depth) // 8)
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG pixel data length mismatch")
     raw = raw.reshape(h, stride + 1)
-    out = np.empty((h, w * channels), dtype=np.uint8)
+    out = np.empty(
+        (h, w * channels), dtype=np.uint16 if depth == 16 else np.uint8
+    )
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
         prev = _unfilter_scanline(int(raw[y, 0]), raw[y, 1:], prev, bpp)
-        out[y] = _unpack_samples(prev, depth, w * channels)
+        if depth == 16:
+            out[y] = np.frombuffer(prev.tobytes(), dtype=">u2")
+        else:
+            out[y] = _unpack_samples(prev, depth, w * channels)
     return out
 
 
@@ -547,19 +555,23 @@ def decode_png(payload: bytes) -> "np.ndarray":
             w, h, depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if color_type not in (0, 2, 3, 6):
+            if color_type not in (0, 2, 3, 4, 6):
                 raise NotImplementedError(f"PNG color type {color_type}")
-            if depth == 16 or (
-                depth != 8 and color_type in (2, 6)
-            ) or depth not in (1, 2, 4, 8):
+            allowed = {
+                0: (1, 2, 4, 8, 16),  # grayscale
+                2: (8, 16),           # RGB
+                3: (1, 2, 4, 8),      # palette (indices are <= 8 bit)
+                4: (8, 16),           # gray + alpha
+                6: (8, 16),           # RGBA
+            }
+            if depth not in allowed[color_type]:
                 raise NotImplementedError(
                     f"PNG depth={depth} color_type={color_type} is not "
-                    "stdlib-decodable (16-bit needs a real imaging "
-                    "library)"
+                    "a spec-legal combination"
                 )
             if interlace not in (0, 1):
                 raise ValueError(f"bad PNG interlace method {interlace}")
-            channels = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
+            channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
         elif tag == b"PLTE":
             if len(body) % 3:
                 raise ValueError("PNG PLTE length not a multiple of 3")
@@ -579,7 +591,10 @@ def decode_png(payload: bytes) -> "np.ndarray":
     else:
         # Adam7: seven independently-filtered sub-images, pixels
         # scattered back onto the full grid by the pass pattern
-        samples = np.zeros((h, w * channels), dtype=np.uint8)
+        samples = np.zeros(
+            (h, w * channels),
+            dtype=np.uint16 if depth == 16 else np.uint8,
+        )
         off = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
@@ -610,8 +625,9 @@ def decode_png(payload: bytes) -> "np.ndarray":
             alpha[: len(trns)] = trns
             return np.dstack([rgb, alpha[idx]])
         return rgb
-    if color_type == 0 and depth != 8:
+    if color_type == 0 and depth < 8:
         # exact 8-bit expansion: 255/(2^d-1) is an integer for 1/2/4
+        # (16-bit passes through as uint16 — no rescale)
         samples = samples * np.uint8(255 // ((1 << depth) - 1))
     out = samples
     return out.reshape(h, w) if channels == 1 else out.reshape(h, w, channels)
@@ -627,8 +643,12 @@ def decode_image_bytes(payload: bytes) -> "np.ndarray":
         return decode_bmp(payload)[:, :, :3]
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         px = decode_png(payload)
+        if px.dtype == np.uint16:  # 16-bit: standard 8-bit reduction
+            px = (px >> 8).astype(np.uint8)
         if px.ndim == 2:
             return np.repeat(px[:, :, None], 3, axis=2)
+        if px.shape[2] == 2:  # gray + alpha
+            return np.repeat(px[:, :, :1], 3, axis=2)
         return px[:, :, :3]
     if payload[:2] == b"\xff\xd8":
         from cae_polars_tools_spark.operators.jpeg import decode_jpeg

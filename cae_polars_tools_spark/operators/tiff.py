@@ -1,9 +1,10 @@
 """Baseline TIFF decoding — pure Python + numpy, from the public spec
 (TIFF 6.0). The fifth real image codec: both byte orders (II/MM), IFD
 tag walk, strip assembly, 8-bit grayscale (BlackIsZero AND WhiteIsZero),
-RGB, RGBA, palette-color (16-bit ColorMap), uncompressed (1) and
-PackBits (32773) compression. Tiled, planar, predictor, LZW/JPEG-in-TIFF
-and sub-byte variants raise loud ``NotImplementedError``.
+RGB, RGBA, palette-color (16-bit ColorMap), uncompressed (1), LZW (5,
+MSB-first with early change, incl. the horizontal-differencing
+predictor) and PackBits (32773) compression. Tiled, planar,
+JPEG-in-TIFF and sub-byte variants raise loud ``NotImplementedError``.
 
 Reference parity: the reference engine has no media operators
 (`/root/reference/src` is the zarr data-access layer only) — this is
@@ -29,6 +30,7 @@ _SAMPLES = 277
 _ROWS_PER_STRIP = 278
 _STRIP_COUNTS = 279
 _PLANAR = 284
+_PREDICTOR = 317
 _COLORMAP = 320
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
@@ -59,6 +61,59 @@ def _unpackbits(data: bytes, expected: int) -> bytes:
     if len(out) != expected:
         raise ValueError("TIFF PackBits output length mismatch")
     return bytes(out)
+
+
+def _lzw_decode_tiff(data: bytes, expected: int) -> bytes:
+    """TIFF-variant LZW to exactly ``expected`` bytes: MSB-first codes
+    (GIF packs LSB-first), fixed 256/257 clear/EOI, initial width 9,
+    and the spec's EARLY CHANGE — the width grows when the next code
+    to assign reaches 2^width − 1, one code sooner than GIF."""
+    CLEAR, EOI = 256, 257
+    acc = nbits = pos = 0
+    out = bytearray()
+
+    def read(width: int) -> int:
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("TIFF LZW stream truncated")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        v = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        acc &= (1 << nbits) - 1
+        return v
+
+    def reset():
+        return {i: bytes([i]) for i in range(256)}, 258, 9
+
+    table, next_code, width = reset()
+    prev: bytes | None = None
+    while len(out) < expected:
+        code = read(width)
+        if code == CLEAR:
+            table, next_code, width = reset()
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt TIFF LZW code")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1  # early change
+        prev = entry
+    if len(out) < expected:
+        raise ValueError("TIFF LZW stream ended early")
+    return bytes(out[:expected])
 
 
 def _read_values(payload: bytes, bo: str, vtype: int, count: int, raw: bytes):
@@ -125,10 +180,13 @@ def _decode_tiff_inner(payload: bytes) -> np.ndarray:
         raise NotImplementedError(f"only 8-bit TIFF samples (got {bits})")
     if planar != 1:
         raise NotImplementedError("planar (non-chunky) TIFF")
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise NotImplementedError(
-            f"TIFF compression {comp} (only uncompressed and PackBits)"
+            f"TIFF compression {comp} (only uncompressed, LZW and PackBits)"
         )
+    predictor = one(_PREDICTOR, default=1)
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor}")
     offsets = tags.get(_STRIP_OFFSETS)
     counts = tags.get(_STRIP_COUNTS)
     if not offsets or not counts or len(offsets) != len(counts):
@@ -145,12 +203,21 @@ def _decode_tiff_inner(payload: bytes) -> np.ndarray:
         remaining_rows -= n_rows
         if comp == 32773:
             chunk = _unpackbits(chunk, n_rows * w * spp)
+        elif comp == 5:
+            chunk = _lzw_decode_tiff(chunk, n_rows * w * spp)
         elif len(chunk) != n_rows * w * spp:
             raise ValueError("TIFF strip length mismatch")
         raw += chunk
     if len(raw) != h * w * spp:
         raise ValueError("TIFF pixel data length mismatch")
     px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, spp)
+    if predictor == 2:
+        # horizontal differencing: each sample is stored as the delta
+        # to its left neighbor (per channel); invert with a wrapping
+        # row cumsum
+        px = (
+            px.astype(np.uint64).cumsum(axis=1) & 0xFF
+        ).astype(np.uint8)
 
     if photo == 3:  # palette
         cmap = tags.get(_COLORMAP)

@@ -198,15 +198,15 @@ def test_png_rejects_unsupported_variants():
 
     with pytest.raises(ValueError, match="not a PNG"):
         decode_png(b"JFIF....")
-    # 16-bit depth
-    png16 = (
+    # spec-ILLEGAL combination: 16-bit palette indices
+    png_bad = (
         _PNG_SIG
-        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
-        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 10))
         + _png_chunk(b"IEND", b"")
     )
     with pytest.raises(NotImplementedError, match="depth=16"):
-        decode_png(png16)
+        decode_png(png_bad)
 
 
 def test_image_features_mixed_bmp_png_on_spark(spark):
@@ -546,3 +546,72 @@ def test_resize_image_bytes_gif_and_tiff():
     px = rng.integers(0, 256, size=(8, 10, 3), dtype=np.uint8)
     out2 = decode_png(resize_image_bytes(_build_tiff(px), 5, 4))
     assert np.array_equal(out2, px[ys][:, xs])
+
+
+def test_png_16bit_and_gray_alpha_decode():
+    """16-bit PNGs decode to uint16 (big-endian sample assembly,
+    byte-level filtering) and gray+alpha (type 4) round-trips; the
+    sniffing dispatch reduces both to 8-bit RGB."""
+    import struct
+    import zlib
+
+    from cae_polars_tools_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_image_bytes,
+        decode_png,
+    )
+
+    rng = np.random.default_rng(17)
+
+    def build(px, color_type, depth):
+        h = px.shape[0]
+        w = px.shape[1]
+        be = ">u2" if depth == 16 else "u1"
+        rows = [
+            np.ascontiguousarray(px[y], dtype=be).tobytes()
+            for y in range(h)
+        ]
+        # forward-apply filter type 2 (Up) byte-wise, so decode must
+        # invert byte-level filtering UNDER the 16-bit samples
+        body = bytearray()
+        prev = bytes(len(rows[0]))
+        for line in rows:
+            body.append(2)
+            body += bytes((a - b) & 0xFF for a, b in zip(line, prev))
+            prev = line
+        return (
+            _PNG_SIG
+            + _png_chunk(
+                b"IHDR",
+                struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0),
+            )
+            + _png_chunk(b"IDAT", zlib.compress(bytes(body)))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    # 16-bit grayscale
+    g16 = rng.integers(0, 65536, size=(3, 5), dtype=np.uint16)
+    out = decode_png(build(g16, 0, 16))
+    assert out.dtype == np.uint16
+    assert np.array_equal(out, g16)
+    # 16-bit RGB
+    rgb16 = rng.integers(0, 65536, size=(2, 3, 3), dtype=np.uint16)
+    out = decode_png(build(rgb16, 2, 16))
+    assert np.array_equal(out, rgb16)
+    # dispatch reduces to 8-bit RGB (high byte)
+    red = decode_image_bytes(build(rgb16, 2, 16))
+    assert red.dtype == np.uint8
+    assert np.array_equal(red, (rgb16 >> 8).astype(np.uint8))
+    # 8-bit gray+alpha
+    ga = rng.integers(0, 256, size=(3, 4, 2), dtype=np.uint8)
+    out = decode_png(build(ga, 4, 8))
+    assert out.shape == (3, 4, 2)
+    assert np.array_equal(out, ga)
+    rgb = decode_image_bytes(build(ga, 4, 8))
+    assert np.array_equal(rgb, np.repeat(ga[:, :, :1], 3, axis=2))
+    # 16-bit gray+alpha through the byte-level Up filter
+    ga16 = rng.integers(0, 65536, size=(2, 3, 2), dtype=np.uint16)
+    out = decode_png(build(ga16, 4, 16))
+    assert out.dtype == np.uint16
+    assert np.array_equal(out, ga16)

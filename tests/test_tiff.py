@@ -208,14 +208,121 @@ def test_guards_and_hostile_bytes():
 
 def test_unsupported_variants_raise_loudly():
     px = np.zeros((2, 2), dtype=np.uint8)
-    # LZW compression id 5
-    t = bytearray(_build_tiff(px))
-    # patch the compression entry value: find tag 259 in the IFD
+    # JPEG-in-TIFF compression id 7 (LZW id 5 is supported now)
     tif = _build_tiff(px)
-    # simpler: build with a writer tweak — patch bytes directly
     idx = tif.find(struct.pack("<HHI", 259, 3, 1))
     assert idx > 0
     t = bytearray(tif)
-    t[idx + 8 : idx + 10] = struct.pack("<H", 5)
-    with pytest.raises(NotImplementedError, match="compression 5"):
+    t[idx + 8 : idx + 10] = struct.pack("<H", 7)
+    with pytest.raises(NotImplementedError, match="compression 7"):
         decode_tiff(bytes(t))
+
+
+def _lzw_compress_tiff(data: bytes) -> bytes:
+    """Independent TIFF-LZW compressor: MSB-first packing, CLEAR up
+    front, EARLY width change (one code before the table fills the
+    width), EOI last."""
+    CLEAR, EOI = 256, 257
+    bits = []
+
+    def emit(code, width):
+        for i in range(width - 1, -1, -1):
+            bits.append((code >> i) & 1)
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    emit(CLEAR, width)
+    buf = b""
+    for b in data:
+        cand = buf + bytes([b])
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
+        buf = bytes([b])
+    if buf:
+        emit(table[buf], width)
+    emit(EOI, width)
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        chunk = bits[i : i + 8]
+        for j, v in enumerate(chunk):
+            byte |= v << (7 - j)
+        out.append(byte)
+    return bytes(out)
+
+
+def test_lzw_compression_with_and_without_predictor(spark):
+    """LZW strips (independent in-test compressor: MSB-first, early
+    change) decode exactly; predictor 2 (horizontal differencing per
+    channel) inverts with the wrapping row cumsum."""
+    import struct as _struct
+
+    from cae_polars_tools_spark.operators.tiff import decode_tiff
+
+    rng = np.random.default_rng(23)
+    # runs force dictionary growth through the 9->10 bit early change
+    px = np.repeat(
+        rng.integers(0, 200, size=(9, 7, 3), dtype=np.uint8), 3, axis=1
+    )  # (9, 21, 3)
+    h, w, spp = px.shape
+
+    def build(with_predictor):
+        rows_per_strip = 4
+        strips = []
+        for y0 in range(0, h, rows_per_strip):
+            block = px[y0 : y0 + rows_per_strip].astype(np.int16)
+            if with_predictor:
+                block = block.copy()
+                block[:, 1:, :] = (
+                    block[:, 1:, :] - block[:, :-1, :]
+                ) % 256
+            strips.append(
+                _lzw_compress_tiff(block.astype(np.uint8).tobytes())
+            )
+        # assemble a minimal little-endian TIFF with LZW + predictor
+        entries = []
+        extra = bytearray()
+
+        def add(tag, vtype, values):
+            entries.append((tag, vtype, values))
+
+        add(256, 4, [w]); add(257, 4, [h]); add(258, 3, [8] * spp)
+        add(259, 3, [5]); add(262, 3, [2]); add(277, 3, [spp])
+        add(278, 4, [rows_per_strip])
+        if with_predictor:
+            add(317, 3, [2])
+        body = bytearray(b"II*\x00\x00\x00\x00\x00")
+        offs = []
+        for s_ in strips:
+            offs.append(len(body)); body += s_
+        if len(body) % 2:
+            body += b"\x00"
+        add(273, 4, offs); add(279, 4, [len(s_) for s_ in strips])
+        entries.sort()
+        ifd_off = len(body)
+        size_of = {3: 2, 4: 4}; fmt_of = {3: "H", 4: "I"}
+        after = ifd_off + 2 + 12 * len(entries) + 4
+        ifd = bytearray(_struct.pack("<H", len(entries)))
+        for tag, vtype, values in entries:
+            packed = _struct.pack("<" + fmt_of[vtype] * len(values), *values)
+            ifd += _struct.pack("<HHI", tag, vtype, len(values))
+            if size_of[vtype] * len(values) <= 4:
+                ifd += packed.ljust(4, b"\x00")
+            else:
+                ifd += _struct.pack("<I", after + len(extra))
+                extra += packed
+        ifd += _struct.pack("<I", 0)
+        body += ifd + extra
+        out = bytearray(body)
+        out[4:8] = _struct.pack("<I", ifd_off)
+        return bytes(out)
+
+    assert np.array_equal(decode_tiff(build(False)), px)
+    assert np.array_equal(decode_tiff(build(True)), px)
