@@ -665,6 +665,8 @@ def decode_image_bytes(payload: bytes) -> "np.ndarray":
         from cae_polars_tools_spark.operators.tiff import decode_tiff
 
         px = decode_tiff(payload)
+        if px.dtype == np.uint16:  # 16-bit: standard 8-bit reduction
+            px = (px >> 8).astype(np.uint8)
         if px.ndim == 2:
             return np.repeat(px[:, :, None], 3, axis=2)
         return px[:, :, :3]

@@ -1,6 +1,7 @@
 """Baseline TIFF decoding — pure Python + numpy, from the public spec
 (TIFF 6.0). The fifth real image codec: both byte orders (II/MM), IFD
-tag walk, strip assembly, 8-bit grayscale (BlackIsZero AND WhiteIsZero),
+tag walk, strip assembly, 8- and 16-bit samples (uint16 out, either
+byte order), grayscale (BlackIsZero AND WhiteIsZero),
 RGB, RGBA, palette-color (16-bit ColorMap), uncompressed (1), LZW (5,
 MSB-first with early change, incl. the horizontal-differencing
 predictor) and PackBits (32773) compression. Tiled, planar,
@@ -176,8 +177,11 @@ def _decode_tiff_inner(payload: bytes) -> np.ndarray:
     comp = one(_COMPRESSION, default=1)
     photo = one(_PHOTOMETRIC)
     planar = one(_PLANAR, default=1)
-    if any(b != 8 for b in bits):
-        raise NotImplementedError(f"only 8-bit TIFF samples (got {bits})")
+    if not (all(b == 8 for b in bits) or all(b == 16 for b in bits)):
+        raise NotImplementedError(
+            f"only uniform 8- or 16-bit TIFF samples (got {bits})"
+        )
+    depth = bits[0]
     if planar != 1:
         raise NotImplementedError("planar (non-chunky) TIFF")
     if comp not in (1, 5, 32773):
@@ -193,6 +197,7 @@ def _decode_tiff_inner(payload: bytes) -> np.ndarray:
         raise ValueError("TIFF strip tables missing or inconsistent")
     rows_per_strip = one(_ROWS_PER_STRIP, default=h)
 
+    item = depth // 8
     raw = bytearray()
     remaining_rows = h
     for si, (off, cnt) in enumerate(zip(offsets, counts)):
@@ -201,25 +206,32 @@ def _decode_tiff_inner(payload: bytes) -> np.ndarray:
             raise ValueError("TIFF strip out of bounds")
         n_rows = min(rows_per_strip, remaining_rows)
         remaining_rows -= n_rows
+        want = n_rows * w * spp * item
         if comp == 32773:
-            chunk = _unpackbits(chunk, n_rows * w * spp)
+            chunk = _unpackbits(chunk, want)
         elif comp == 5:
-            chunk = _lzw_decode_tiff(chunk, n_rows * w * spp)
-        elif len(chunk) != n_rows * w * spp:
+            chunk = _lzw_decode_tiff(chunk, want)
+        elif len(chunk) != want:
             raise ValueError("TIFF strip length mismatch")
         raw += chunk
-    if len(raw) != h * w * spp:
+    if len(raw) != h * w * spp * item:
         raise ValueError("TIFF pixel data length mismatch")
-    px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, spp)
+    sample_dt = np.uint8 if depth == 8 else np.dtype(bo + "u2")
+    px = np.frombuffer(bytes(raw), dtype=sample_dt).reshape(h, w, spp)
+    if depth == 16:
+        px = px.astype(np.uint16)  # native order
     if predictor == 2:
         # horizontal differencing: each sample is stored as the delta
         # to its left neighbor (per channel); invert with a wrapping
         # row cumsum
-        px = (
-            px.astype(np.uint64).cumsum(axis=1) & 0xFF
-        ).astype(np.uint8)
+        mask = (1 << depth) - 1
+        px = (px.astype(np.uint64).cumsum(axis=1) & mask).astype(
+            px.dtype
+        )
 
     if photo == 3:  # palette
+        if depth != 8:
+            raise NotImplementedError("palette TIFF indices must be 8-bit")
         cmap = tags.get(_COLORMAP)
         if not cmap or len(cmap) != 3 * 256:
             raise ValueError("TIFF palette image missing 256-entry ColorMap")
@@ -234,7 +246,9 @@ def _decode_tiff_inner(payload: bytes) -> np.ndarray:
         if spp != 1:
             raise NotImplementedError("multi-sample grayscale TIFF")
         g = px[:, :, 0]
-        return (np.uint8(255) - g) if photo == 0 else g.copy()
+        if photo == 0:
+            return (np.array((1 << depth) - 1, dtype=g.dtype) - g)
+        return g.copy()
     if photo == 2:  # RGB / RGBA
         if spp not in (3, 4):
             raise NotImplementedError(f"RGB TIFF with {spp} samples")

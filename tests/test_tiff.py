@@ -326,3 +326,70 @@ def test_lzw_compression_with_and_without_predictor(spark):
 
     assert np.array_equal(decode_tiff(build(False)), px)
     assert np.array_equal(decode_tiff(build(True)), px)
+
+
+def test_16bit_samples_both_byte_orders():
+    """16-bit TIFF samples decode to uint16, honoring the file's byte
+    order; WhiteIsZero inverts against the 16-bit maximum; the
+    horizontal-differencing predictor wraps mod 65536."""
+    import struct as _struct
+
+    from cae_polars_tools_spark.operators.tiff import decode_tiff
+
+    rng = np.random.default_rng(29)
+    g16 = rng.integers(0, 65536, size=(3, 4), dtype=np.uint16)
+
+    def build16(px, bo, photometric=1, predictor=False):
+        h, w = px.shape[:2]
+        spp = 1 if px.ndim == 2 else px.shape[2]
+        data = px.reshape(h, -1).astype(np.int64)
+        if predictor:
+            d = data.reshape(h, w, spp).copy()
+            d[:, 1:, :] = (d[:, 1:, :] - d[:, :-1, :]) % 65536
+            data = d.reshape(h, -1)
+        be = (bo + "u2")
+        body = bytearray(
+            _struct.pack(bo + "2sHI", b"II" if bo == "<" else b"MM", 42, 0)
+        )
+        off = len(body)
+        body += np.ascontiguousarray(data, dtype=be).tobytes()
+        entries = [
+            (256, 4, [w]), (257, 4, [h]), (258, 3, [16] * spp),
+            (259, 3, [1]), (262, 3, [photometric]), (273, 4, [off]),
+            (277, 3, [spp]), (278, 4, [h]),
+            (279, 4, [data.size * 2]),
+        ]
+        if predictor:
+            entries.append((317, 3, [2]))
+        entries.sort()
+        ifd_off = len(body)
+        fmt_of = {3: "H", 4: "I"}
+        size_of = {3: 2, 4: 4}
+        after = ifd_off + 2 + 12 * len(entries) + 4
+        extra = bytearray()
+        ifd = bytearray(_struct.pack(bo + "H", len(entries)))
+        for tag, vtype, values in entries:
+            packed = _struct.pack(bo + fmt_of[vtype] * len(values), *values)
+            ifd += _struct.pack(bo + "HHI", tag, vtype, len(values))
+            if size_of[vtype] * len(values) <= 4:
+                ifd += packed.ljust(4, b"\x00")
+            else:
+                ifd += _struct.pack(bo + "I", after + len(extra))
+                extra += packed
+        ifd += _struct.pack(bo + "I", 0)
+        body += ifd + extra
+        out = bytearray(body)
+        out[4:8] = _struct.pack(bo + "I", ifd_off)
+        return bytes(out)
+
+    for bo in ("<", ">"):
+        out = decode_tiff(build16(g16, bo))
+        assert out.dtype == np.uint16
+        assert np.array_equal(out, g16), bo
+    # WhiteIsZero at 16-bit inverts against 65535
+    out = decode_tiff(build16(g16, "<", photometric=0))
+    assert np.array_equal(out, 65535 - g16)
+    # predictor at 16-bit wraps mod 65536
+    rgb16 = rng.integers(0, 65536, size=(2, 5, 3), dtype=np.uint16)
+    out = decode_tiff(build16(rgb16, "<", photometric=2, predictor=True))
+    assert np.array_equal(out, rgb16)
