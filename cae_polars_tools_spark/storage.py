@@ -37,6 +37,7 @@ __all__ = [
     "merge_parquet",
     "delete_parquet",
     "dataset_file_sizes",
+    "parquet_rowgroup_stats",
 ]
 
 
@@ -654,3 +655,49 @@ def delete_parquet(
         "files_copied": len(untouched),
         "rows_deleted": rows_deleted,
     }
+
+
+def parquet_rowgroup_stats(path: str) -> list[dict]:
+    """Row-group-level statistics of a local parquet dataset: one dict
+    per (file, row group) with row count, byte size, and per-column
+    min/max/null-count from the footers — METADATA only, no data read.
+
+    This is the instrument for verifying that a layout decision
+    actually bought pruning power: after ``compact_parquet(sort_cols=…)``
+    or ``zorder_parquet``, the min/max spans here are what Spark's scan
+    planning consults to skip row groups; overlapping spans on the
+    filter column mean the rewrite did not help. (The pytest layout
+    suite asserts the same property by probing scans; this exposes the
+    underlying footer evidence to users and ops tooling.)"""
+    import pyarrow.parquet as pq
+
+    out: list[dict] = []
+    files = sorted(
+        os.path.join(root, f)
+        for root, _dirs, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ) if os.path.isdir(path) else [path]
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        for rg in range(meta.num_row_groups):
+            g = meta.row_group(rg)
+            cols = {}
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                st = c.statistics
+                cols[c.path_in_schema] = {
+                    "min": st.min if st and st.has_min_max else None,
+                    "max": st.max if st and st.has_min_max else None,
+                    "null_count": st.null_count if st else None,
+                }
+            out.append(
+                {
+                    "file": f,
+                    "row_group": rg,
+                    "rows": g.num_rows,
+                    "bytes": g.total_byte_size,
+                    "columns": cols,
+                }
+            )
+    return out

@@ -680,3 +680,35 @@ def test_compact_hive_with_sort_cols_clusters_within_partition(spark):
     assert {r["part"] for r in out.select("part").distinct().collect()} == {
         "p0", "p1", "p2"
     }
+
+
+def test_parquet_rowgroup_stats_footer_evidence(spark, sf_small):
+    """parquet_rowgroup_stats reads the footer metadata only and shows
+    the pruning evidence directly: after a sort_cols compaction the
+    doc_id min/max spans of the row groups are disjoint."""
+    from cae_polars_tools_spark.io import read_table
+    from cae_polars_tools_spark.storage import (
+        compact_parquet,
+        dataset_file_sizes,
+        parquet_rowgroup_stats,
+    )
+
+    src = os.path.join(TMP, "rgstats_src")
+    dst = os.path.join(TMP, "rgstats_dst")
+    docs = read_table(spark, sf_small, "documents").select("doc_id", "text")
+    docs.repartition(8).write.mode("overwrite").parquet(src)
+    total = sum(dataset_file_sizes(spark, src))
+    compact_parquet(
+        spark, src, dst, target_file_bytes=max(1, total // 4),
+        sort_cols=["doc_id"],
+    )
+    stats = parquet_rowgroup_stats(dst)
+    assert len(stats) >= 3
+    assert sum(s["rows"] for s in stats) == docs.count()
+    spans = sorted(
+        (s["columns"]["doc_id"]["min"], s["columns"]["doc_id"]["max"])
+        for s in stats
+    )
+    assert all(s["columns"]["doc_id"]["null_count"] == 0 for s in stats)
+    for (lo_a, hi_a), (lo_b, _) in zip(spans, spans[1:]):
+        assert hi_a <= lo_b  # disjoint → row-group pruning works
