@@ -687,16 +687,84 @@ def encode_wav_pcm16(samples: "np.ndarray", sample_rate: int) -> bytes:
     return buf.getvalue()
 
 
+def _g711_ulaw_table() -> "np.ndarray":
+    """µ-law byte → linear int16, from the G.711 expansion formula
+    (sign / 3-bit exponent / 4-bit mantissa with the 0x84 bias)."""
+    out = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        u = ~b & 0xFF
+        sign = u & 0x80
+        exponent = (u >> 4) & 0x07
+        mantissa = u & 0x0F
+        sample = (((mantissa << 3) + 0x84) << exponent) - 0x84
+        out[b] = -sample if sign else sample
+    return out
+
+
+def _g711_alaw_table() -> "np.ndarray":
+    """A-law byte → linear int16, from the G.711 expansion formula
+    (even-bit inversion with 0x55, sign-magnitude segments)."""
+    out = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        a = b ^ 0x55
+        sign = a & 0x80
+        exponent = (a >> 4) & 0x07
+        mantissa = a & 0x0F
+        if exponent:
+            sample = ((mantissa << 4) + 0x108) << (exponent - 1)
+        else:
+            sample = (mantissa << 4) + 8
+        out[b] = sample if sign else -sample
+    return out
+
+
+def _decode_wav_g711(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """Hand-parsed RIFF path for the G.711 companded formats the
+    stdlib ``wave`` module refuses: format tag 6 (A-law) and 7
+    (µ-law) expand through their lookup tables to int16."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+        if tag == b"fmt ":
+            fmt = body
+        elif tag == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunks")
+    tag_id, ch, rate = struct.unpack_from("<HHI", fmt, 0)
+    if tag_id not in (6, 7):
+        raise NotImplementedError(f"WAV format tag {tag_id}")
+    table = _g711_alaw_table() if tag_id == 6 else _g711_ulaw_table()
+    raw = np.frombuffer(data, dtype=np.uint8)
+    n = len(raw) // ch
+    return rate, table[raw[: n * ch]].reshape(n, ch)
+
+
 def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
-    """Decode a PCM WAV → (sample_rate, (n_samples, channels) int
-    array). Pure stdlib (``wave``); compressed WAV raises.
+    """Decode a WAV → (sample_rate, (n_samples, channels) int array).
+    Pure stdlib (``wave``) for PCM; G.711 µ-law/A-law files (which
+    ``wave`` refuses) take a hand-parsed RIFF path and expand to
+    int16 through the spec's lookup tables.
 
     Sample widths: 16-bit → int16; 8-bit (unsigned per the RIFF spec)
     → int16 recentred to signed full scale (``(x - 128) << 8``);
-    24-bit and 32-bit little-endian signed → int32."""
+    24-bit and 32-bit little-endian signed → int32; µ-law/A-law →
+    int16."""
     import io
     import wave
 
+    try:
+        wf_probe = wave.open(io.BytesIO(payload), "rb")
+        wf_probe.close()
+    except wave.Error:
+        return _decode_wav_g711(payload)
     with wave.open(io.BytesIO(payload), "rb") as wf:
         width = wf.getsampwidth()
         if width not in (1, 2, 3, 4):

@@ -615,3 +615,38 @@ def test_png_16bit_and_gray_alpha_decode():
     out = decode_png(build(ga16, 4, 16))
     assert out.dtype == np.uint16
     assert np.array_equal(out, ga16)
+
+
+def test_wav_g711_ulaw_alaw_decode():
+    """µ-law and A-law WAVs (format tags 7/6, refused by the stdlib
+    wave module) decode through the hand-built G.711 expansion
+    tables — verified byte-for-byte against audioop, the independent
+    stdlib reference implementation."""
+    import audioop
+    import struct as _struct
+
+    from cae_polars_tools_spark.operators.multimodal import decode_wav
+
+    def riff(tag_id, ch, rate, data):
+        fmt = _struct.pack("<HHIIHH", tag_id, ch, rate, rate * ch, ch, 8)
+        out = b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        out += b"data" + _struct.pack("<I", len(data)) + data
+        if len(data) & 1:
+            out += b"\x00"
+        return b"RIFF" + _struct.pack("<I", 4 + len(out)) + b"WAVE" + out
+
+    payload = bytes(range(256))  # every companded code point
+    for tag_id, name in ((7, "ulaw2lin"), (6, "alaw2lin")):
+        rate, arr = decode_wav(riff(tag_id, 1, 8000, payload))
+        assert rate == 8000
+        assert arr.dtype == np.int16
+        want = np.frombuffer(
+            getattr(audioop, name)(payload, 2), dtype="<i2"
+        )
+        assert np.array_equal(arr[:, 0], want), name
+    # stereo interleave preserved
+    rate, arr = decode_wav(riff(7, 2, 8000, bytes([0, 1, 2, 3])))
+    assert arr.shape == (2, 2)
+    # unknown compressed format still raises loudly
+    with pytest.raises(NotImplementedError, match="format tag 2"):
+        decode_wav(riff(2, 1, 8000, b"\x00\x00"))
