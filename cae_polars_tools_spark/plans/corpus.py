@@ -2531,3 +2531,68 @@ def q63_regression_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
         F.regr_count("l_extendedprice", "l_quantity").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Native session windows — Spark's built-in session_window operator,
+# cross-checking the hand-rolled gap sessionization (q26).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q64_native_session_window",
+    oracle="""
+        WITH g AS (
+            SELECT user_id,
+                   event_id,
+                   epoch_us(ts) AS t,
+                   CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                             >= 30 * 60 * 1000000
+                          OR LAG(epoch_us(ts)) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+            SELECT user_id, t,
+                   CAST(SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY t, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS session_idx
+            FROM g
+        )
+        SELECT user_id,
+               MIN(t) AS session_start_us,
+               MAX(t) + 30 * 60 * 1000000 AS session_end_us,
+               COUNT(*) AS n_events
+        FROM s
+        GROUP BY user_id, session_idx
+    """,
+    tags=("window", "sessionization", "native", "extension"),
+    window_rank=1,
+)
+def q64_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE ``session_window`` (the Structured-Streaming
+    stateful operator, batch form) with a 30-minute gap —
+    cross-checking q26's hand-rolled lag/cumsum sessionization.
+    Semantics difference the oracle mirrors exactly: the native
+    operator starts a NEW session when the gap is ≥ the timeout
+    (an event at precisely window-end does not merge), where q26's
+    rule is strictly >; and the native window's END is last event +
+    gap, not the last event itself. One shuffle on the session keys;
+    at scale this is the operator whose streaming twin holds
+    watermark-bounded state."""
+    ev = _t(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        ev.groupBy("user_id", sw)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias(
+                "session_start_us"
+            ),
+            F.unix_micros(F.col("session_window.end")).alias(
+                "session_end_us"
+            ),
+            "n_events",
+        )
+    )
