@@ -1867,10 +1867,13 @@ def fuzzy_pairs(
                 F.transform(
                     ks,
                     lambda k: F.transform(
-                        F.sequence(
-                            F.greatest(
-                                _seg_bounds(k, lp, d)[0] - d, F.lit(0)
-                            ),
+                        # guard the bounds: F.sequence DESCENDS when
+                        # stop < start (an impossible range for this
+                        # segment at this partner length), which would
+                        # synthesize probes at negative positions —
+                        # harmless (exact verify filters them) but
+                        # wasted candidates at scale
+                        F.when(
                             F.least(
                                 _seg_bounds(k, lp, d)[0] + d,
                                 L
@@ -1878,8 +1881,24 @@ def fuzzy_pairs(
                                     _seg_bounds(k, lp, d)[1]
                                     - _seg_bounds(k, lp, d)[0]
                                 ),
+                            )
+                            >= F.greatest(
+                                _seg_bounds(k, lp, d)[0] - d, F.lit(0)
                             ),
-                        ),
+                            F.sequence(
+                                F.greatest(
+                                    _seg_bounds(k, lp, d)[0] - d, F.lit(0)
+                                ),
+                                F.least(
+                                    _seg_bounds(k, lp, d)[0] + d,
+                                    L
+                                    - (
+                                        _seg_bounds(k, lp, d)[1]
+                                        - _seg_bounds(k, lp, d)[0]
+                                    ),
+                                ),
+                            ),
+                        ).otherwise(F.array().cast("array<bigint>")),
                         lambda p: F.struct(
                             lp.cast("int").alias("l"),
                             k.cast("int").alias("k"),
