@@ -135,8 +135,23 @@ def parse_netcdf3(path: str) -> NcMeta:
     NotImplementedError for NetCDF-4/HDF5 files."""
     if path.startswith("file://"):
         path = path[len("file://"):]
+    # read the HEADER region only, growing on demand — never the whole
+    # file (a 100 GB dataset's header is still kilobytes; reading the
+    # data region onto the driver would break the scale contract)
+    head = b""
     with open(path, "rb") as fh:
-        head = fh.read()
+        for size in (1 << 20, 1 << 24, 1 << 28):
+            fh.seek(0)
+            head = fh.read(size)
+            try:
+                return _parse_netcdf3_header(head, path)
+            except (struct.error, IndexError):
+                if len(head) < size:  # whole file read and still bad
+                    raise ValueError("truncated or corrupt netCDF header")
+    raise ValueError("netCDF header exceeds 256 MB — corrupt file?")
+
+
+def _parse_netcdf3_header(head: bytes, path: str) -> NcMeta:
     if head[:4] == b"\x89HDF":
         raise NotImplementedError(
             "NetCDF-4 files are HDF5 containers — out of hand-parse "
