@@ -131,6 +131,9 @@ def decode_gif_frames(payload: bytes) -> tuple[dict, np.ndarray]:
 
 def _decode_gif_frames_inner(payload: bytes) -> tuple[dict, np.ndarray]:
     w, h, packed, bg_idx, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    from cae_polars_tools_spark.operators.multimodal import check_decode_dims
+
+    check_decode_dims(w, h, "GIF")
     pos = 13
     global_table = None
     if packed & 0x80:
@@ -233,6 +236,19 @@ def _decode_gif_frames_inner(payload: bytes) -> tuple[dict, np.ndarray]:
         )
         region[opaque] = table[idx[opaque]]
         region_drawn[opaque] = True
+        from cae_polars_tools_spark.operators.multimodal import (
+            MAX_DECODE_PIXELS,
+        )
+
+        if (len(frames) + 1) * w * h > MAX_DECODE_PIXELS:
+            # animation volume budget: every frame materializes a full
+            # screen copy, so thousands of tiny frames on a large
+            # canvas would otherwise out-allocate the payload by
+            # orders of magnitude
+            raise ValueError(
+                "GIF animation volume exceeds the ingest cap "
+                f"({len(frames) + 1} frames x {w}x{h})"
+            )
         frames.append(screen.copy())
         delays.append(delay)
 

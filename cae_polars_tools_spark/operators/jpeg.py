@@ -926,6 +926,11 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
             prec, h, w, nc = body[0], *struct.unpack_from(">HH", body, 1), body[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG")
+            from cae_polars_tools_spark.operators.multimodal import (
+                check_decode_dims,
+            )
+
+            check_decode_dims(w, h, "JPEG")
             comps = []
             for i in range(nc):
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]

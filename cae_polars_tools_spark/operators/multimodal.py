@@ -304,6 +304,22 @@ import struct
 import numpy as np
 
 
+# hostile-bytes guard shared by the image decoders: header-claimed
+# dimensions drive allocations BEFORE any pixel data validates, so a
+# tiny payload claiming a 65535x65535 canvas would allocate gigabytes.
+# 2^27 pixels (~134 MP, ~400 MB as RGB) is far beyond any training
+# payload while bounding the worst-case allocation.
+MAX_DECODE_PIXELS = 1 << 27
+
+
+def check_decode_dims(w: int, h: int, what: str) -> None:
+    if w <= 0 or h <= 0 or w * h > MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"{what} dimensions {w}x{h} outside the ingest cap "
+            f"(max {MAX_DECODE_PIXELS} pixels)"
+        )
+
+
 def encode_bmp(pixels: "np.ndarray") -> bytes:
     """Encode an (H, W, 3) uint8 RGB array as an uncompressed 24-bit
     BMP (BITMAPINFOHEADER, bottom-up rows, 4-byte row padding) — the
@@ -358,6 +374,7 @@ def decode_bmp(payload: bytes) -> "np.ndarray":
         )
     bottom_up = h > 0
     h = abs(h)
+    check_decode_dims(w, h, "BMP")
     nch = bpp // 8
     palette = None
     if bpp == 8:
@@ -584,7 +601,24 @@ def decode_png(payload: bytes) -> "np.ndarray":
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    check_decode_dims(w, h, "PNG")
+    # bounded inflate: the expected pixel volume is KNOWN from the
+    # header, so cap decompression there instead of letting a zip
+    # bomb expand a kilobyte payload into gigabytes
+    if interlace == 0:
+        expect = h * ((w * channels * depth + 7) // 8 + 1)
+    else:
+        expect = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw > 0 and ph > 0:
+                expect += ph * ((pw * channels * depth + 7) // 8 + 1)
+    dec = zlib.decompressobj()
+    inflated = dec.decompress(bytes(idat), expect)
+    if dec.unconsumed_tail or (not dec.eof and dec.decompress(b"", 1)):
+        raise ValueError("PNG pixel data exceeds the header's dimensions")
+    raw = np.frombuffer(inflated, dtype=np.uint8)
 
     if interlace == 0:
         samples = _unfilter_image(raw, h, w, depth, channels)

@@ -172,6 +172,9 @@ def _decode_tiff_inner(payload: bytes) -> np.ndarray:
         raise ValueError(f"TIFF missing required tag {tag}")
 
     w, h = one(_WIDTH), one(_LENGTH)
+    from cae_polars_tools_spark.operators.multimodal import check_decode_dims
+
+    check_decode_dims(w, h, "TIFF")
     spp = one(_SAMPLES, default=1)
     bits = tags.get(_BITS, [8] * spp)
     comp = one(_COMPRESSION, default=1)

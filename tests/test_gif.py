@@ -302,3 +302,14 @@ def test_disposal_restore_previous():
     want3 = pal[base].copy()
     want3[0, 0] = pal[2]
     assert np.array_equal(f3, want3)
+
+
+def test_animation_volume_cap():
+    """Thousands of tiny frames on a large canvas must hit the
+    animation-volume budget instead of out-allocating the payload."""
+    w = h = 4000  # 16 MP screen -> budget allows ~8 frames
+    px = np.zeros((1, 1), dtype=np.uint8)
+    frames = [(0, 0, px, None)] * 20
+    gif = _build_gif(w, h, PALETTE, frames)
+    with pytest.raises(ValueError, match="ingest cap"):
+        decode_gif_frames(gif)

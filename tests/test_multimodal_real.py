@@ -650,3 +650,84 @@ def test_wav_g711_ulaw_alaw_decode():
     # unknown compressed format still raises loudly
     with pytest.raises(NotImplementedError, match="format tag 2"):
         decode_wav(riff(2, 1, 8000, b"\x00\x00"))
+
+
+def test_decode_dimension_caps_block_allocation_bombs():
+    """A tiny payload claiming a gigantic canvas must be refused
+    BEFORE the allocation happens, in every decoder."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from cae_polars_tools_spark.operators.gif import decode_gif
+    from cae_polars_tools_spark.operators.jpeg import decode_jpeg
+    from cae_polars_tools_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_bmp,
+        decode_png,
+    )
+    from cae_polars_tools_spark.operators.tiff import decode_tiff
+
+    big = 60000
+    # BMP header claiming 60000x60000
+    bmp = _struct.pack(
+        "<2sIHHIIiiHHIIiiII",
+        b"BM", 100, 0, 0, 54, 40, big, big, 1, 24, 0, 0, 0, 0, 0, 0,
+    )
+    with pytest.raises(ValueError, match="ingest cap"):
+        decode_bmp(bmp)
+    # PNG
+    png = (
+        _PNG_SIG
+        + _png_chunk(
+            b"IHDR", _struct.pack(">IIBBBBB", big, big, 8, 2, 0, 0, 0)
+        )
+        + _png_chunk(b"IDAT", _zlib.compress(b"\x00" * 10))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="ingest cap"):
+        decode_png(png)
+    # GIF
+    gif = (
+        b"GIF89a" + _struct.pack("<HHBBB", big, big, 0, 0, 0) + b"\x3b"
+    )
+    with pytest.raises(ValueError, match="ingest cap"):
+        decode_gif(gif)
+    # TIFF
+    tif = bytearray(b"II*\x00\x08\x00\x00\x00")
+    entries = [(256, 4, big), (257, 4, big), (262, 3, 1)]
+    tif += _struct.pack("<H", len(entries))
+    for tag, vtype, val in entries:
+        tif += _struct.pack("<HHI", tag, vtype, 1)
+        tif += _struct.pack("<I", val)
+    tif += _struct.pack("<I", 0)
+    with pytest.raises(ValueError, match="ingest cap"):
+        decode_tiff(bytes(tif))
+    # JPEG (SOF0 claiming the huge frame)
+    sof = _struct.pack(">HBHHB", 11, 8, big, big, 1) + bytes([1, 0x11, 0])
+    jpg = b"\xff\xd8\xff\xc0" + sof + b"\xff\xd9"
+    with pytest.raises(ValueError, match="ingest cap"):
+        decode_jpeg(jpg)
+
+
+def test_png_zip_bomb_is_bounded():
+    """An IDAT inflating far past the header's pixel volume must be
+    refused (bounded decompression), not expanded into memory."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from cae_polars_tools_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+    )
+
+    bomb = _zlib.compress(b"\x00" * 50_000_000, 9)  # ~48 KB compressed
+    png = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", bomb)
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="exceeds the header"):
+        decode_png(png)
