@@ -368,6 +368,36 @@ class NcScanPlan:
     total: int
 
 
+def _check_var_extent(meta: NcMeta, var: NcVar) -> None:
+    """Sanity-check a variable's header-claimed extent against the
+    actual file size BEFORE any allocation sized by it — a corrupt
+    header claiming a 10^12-element axis must fail here, not OOM the
+    driver materializing coordinates."""
+    size = os.path.getsize(meta.path)
+    item = _NC_DTYPES[var.nc_type].itemsize
+    shape = [meta.dim_sizes[d] for d in var.dim_ids]
+    is_record = meta.record_dim is not None and var.dim_ids[:1] == (
+        meta.record_dim,
+    )
+    if is_record:
+        inner = 1
+        for d in var.dim_ids[1:]:
+            inner *= meta.dim_sizes[d]
+        need = var.begin + max(0, meta.numrecs - 1) * meta.recsize + (
+            inner * item if meta.numrecs else 0
+        )
+    else:
+        n = 1
+        for d in shape:
+            n *= d
+        need = var.begin + n * item
+    if need > size:
+        raise ValueError(
+            f"netCDF variable {var.name!r} claims {need} bytes but the "
+            f"file holds {size} — truncated or corrupt header"
+        )
+
+
 def plan_nc_scan(
     path: str,
     var_name: str,
@@ -382,6 +412,7 @@ def plan_nc_scan(
             f"variable {var_name!r} not in {sorted(meta.vars)}"
         )
     var = meta.vars[var_name]
+    _check_var_extent(meta, var)
     dims = [meta.dim_names[d] for d in var.dim_ids]
     shape = [meta.dim_sizes[d] for d in var.dim_ids]
     select_dims = dict(select_dims or {})
@@ -404,6 +435,7 @@ def plan_nc_scan(
             continue
         cvar = meta.vars.get(dim)
         if cvar is not None and len(cvar.dim_ids) == 1 and cvar.nc_type != 2:
+            _check_var_extent(meta, cvar)
             full = _read_var_window(
                 meta, cvar, [np.arange(meta.dim_sizes[cvar.dim_ids[0]])],
                 0, meta.dim_sizes[cvar.dim_ids[0]],

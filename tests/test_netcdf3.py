@@ -326,3 +326,28 @@ def test_datasource_format_netcdf3(spark):
     got = {(r["time"], r["lat"], r["lon"]): r["value"] for r in rows}
     assert got[(t[1], float(lat[0]), float(lon[0]))] == float(val[1, 0, 0])
     assert got[(t[2], float(lat[2]), float(lon[3]))] == float(val[2, 2, 3])
+
+
+def test_extent_claim_beyond_file_rejected(spark):
+    """A header whose dimension sizes claim data past EOF must fail
+    loudly at planning time — never drive a driver-side allocation."""
+    t, lat, lon, val = _demo_arrays()
+    p = os.path.join(TMP, "nc_claim.nc")
+    _write_nc(
+        p,
+        {"time": 5, "lat": 3, "lon": 4},
+        {
+            "lat": (("lat",), lat),
+            "metric": (("time", "lat", "lon"), val),
+        },
+    )
+    # inflate the lon dimension size in the header: name 'lon' is
+    # followed by its u32 size (4) in the dim list
+    data = bytearray(open(p, "rb").read())
+    i = data.find(b"lon")
+    # name is padded to 4 bytes ('lon\x00'), size follows
+    assert data[i + 4 : i + 8] == struct.pack(">I", 4)
+    data[i + 4 : i + 8] = struct.pack(">I", 4_000_000)
+    open(p, "wb").write(bytes(data))
+    with pytest.raises(ValueError, match="truncated or corrupt header"):
+        scan_netcdf3(spark, p, "metric")
