@@ -1828,9 +1828,12 @@ def fuzzy_pairs(
     if max_dist < 1:
         raise ValueError("max_dist must be >= 1")
     d = max_dist
+    # three derivations read this frame (index side, probe side, the
+    # short-string patch) — persist it for the build, released when
+    # the returned handle is dropped
     base = strings.select(
         F.col(id_col).alias("_fid"), F.col(str_col).alias("_fs")
-    ).filter(F.length("_fs") > 0)
+    ).filter(F.length("_fs") > 0).persist()
 
     L = F.length("_fs")
     ks = F.sequence(F.lit(0), F.lit(d))
@@ -1964,12 +1967,13 @@ def fuzzy_pairs(
     )
 
     dist = F.levenshtein("s_a", "s_b")
-    return (
+    out = (
         cand.unionByName(extra)
         .distinct()
         .filter(dist <= d)
         .select("id_a", "id_b", dist.alias("dist"))
     )
+    return _release_on_gc(out, base)
 
 
 @register(
