@@ -721,6 +721,10 @@ def encode_wav_pcm16(samples: "np.ndarray", sample_rate: int) -> bytes:
     return buf.getvalue()
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1)
 def _g711_ulaw_table() -> "np.ndarray":
     """µ-law byte → linear int16, from the G.711 expansion formula
     (sign / 3-bit exponent / 4-bit mantissa with the 0x84 bias)."""
@@ -735,6 +739,7 @@ def _g711_ulaw_table() -> "np.ndarray":
     return out
 
 
+@lru_cache(maxsize=1)
 def _g711_alaw_table() -> "np.ndarray":
     """A-law byte → linear int16, from the G.711 expansion formula
     (even-bit inversion with 0x55, sign-magnitude segments)."""
