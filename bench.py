@@ -147,7 +147,7 @@ def main() -> None:
     except OSError:
         pass  # read-only checkout: the stdout line is still complete
 
-    print(metric_line(timings, total, sf, calib_cpu))
+    print(metric_line(timings, total, sf, calib_cpu, round(load_start, 2)))
 
 
 # The driver reads the LAST `DRIVER_TAIL_CHARS` characters of stdout
@@ -163,6 +163,7 @@ def metric_line(
     total: float,
     sf: float | None,
     calib_cpu: float | None = None,
+    load_start: float | None = None,
 ) -> str:
     """Build the one-line stdout metric JSON, adaptively shrinking
     per-query precision (2 → 1 decimals) until the line fits the
@@ -178,9 +179,12 @@ def metric_line(
     flag drift early."""
     for ndigits in (2, 1):
         q = {n: round(v, ndigits) for n, v in timings.items()}
-        # calib_cpu_s: single-thread host probe — lets any cross-round
-        # reader normalize for silicon/load without opening
-        # BENCH_DETAILS.json
+        # calib_cpu_s: single-thread host probe; loadavg_start: the
+        # 1-min load BEFORE the session existed — together they let a
+        # cross-round reader tell "slow host / contaminated run" from
+        # "query regressed" without opening BENCH_DETAILS.json (the r7
+        # driver run started at loadavg 8.5 and doubled the most
+        # scheduling-sensitive entries).
         line = json.dumps(
             {
                 "metric": "corpus_total_wall_seconds",
@@ -189,6 +193,7 @@ def metric_line(
                 "queries": q,
                 "sf": sf,
                 "calib_cpu_s": calib_cpu,
+                "loadavg_start": load_start,
             },
             separators=(",", ":"),
         )
@@ -208,6 +213,7 @@ def metric_line(
             "queries_elided": len(timings) - len(window),
             "sf": sf,
             "calib_cpu_s": calib_cpu,
+            "loadavg_start": load_start,
         },
         separators=(",", ":"),
     )

@@ -48,12 +48,30 @@ N_QUERIES = 10  # vec_id < 10 are the demo query set
 EMBED_DIM = 64
 
 
-def _collect_queries(queries: DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Driver-side query matrix + squared norms. The query set is
-    assumed small (broadcast regime — the premise of every top-k-per-
-    query ANN shape); norms use the same sequential accumulation as
-    ``dot_expr`` for bit parity."""
-    pdf = queries.select("vec_id", "embedding").toPandas()
+MAX_COLLECTED_QUERIES = 65536  # broadcast-regime ceiling (~32 MB at dim 64)
+
+
+def _collect_queries(
+    queries: DataFrame, max_queries: int = MAX_COLLECTED_QUERIES
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Driver-side query matrix + squared norms. The query set must be
+    small (broadcast regime — the premise of every top-k-per-query ANN
+    shape), and that contract is ENFORCED, not assumed: the collect is
+    ``limit(max_queries + 1)``-bounded so an oversized query set raises
+    after pulling at most one row past the cap — it can never silently
+    materialize an unbounded frame on the driver. Norms use the same
+    sequential accumulation as ``dot_expr`` for bit parity."""
+    pdf = (
+        queries.select("vec_id", "embedding")
+        .limit(max_queries + 1)
+        .toPandas()
+    )
+    if len(pdf) > max_queries:
+        raise ValueError(
+            f"query set exceeds the broadcast regime ({len(pdf) - 1}+ rows"
+            f" > max_queries={max_queries}); partition the queries or use"
+            " a join-based scorer instead of top-k-per-query ANN"
+        )
     qids = pdf["vec_id"].to_numpy().astype(np.int64)
     if len(qids) == 0:
         return qids, np.empty((0, 0)), np.empty(0)

@@ -84,7 +84,10 @@ def test_full_precision_kept_while_it_fits():
 
 
 def test_bench_source_has_no_inline_spread_keys():
-    # min/max/loadavg belong in BENCH_DETAILS.json, not the stdout line.
+    # Per-query min/max spread belongs in BENCH_DETAILS.json, not the
+    # stdout line; the two scalar host-context probes (calib_cpu_s,
+    # loadavg_start) are deliberately ON the line so cross-round reads
+    # need neither BENCH_DETAILS.json nor this round's forensics.
     src = open(os.path.join(REPO, "bench.py")).read()
     tree = ast.parse(src)
     # find every dict literal passed to json.dumps inside a print call
@@ -105,4 +108,20 @@ def test_bench_source_has_no_inline_spread_keys():
             if "metric" in keys:
                 printed_keys |= keys
     assert printed_keys, "bench.py no longer builds the metric line?"
-    assert not printed_keys & {"queries_min", "queries_max", "loadavg_start"}
+    assert not printed_keys & {"queries_min", "queries_max"}
+    assert {"calib_cpu_s", "loadavg_start"} <= printed_keys
+
+
+def test_host_context_fields_on_every_rung():
+    # Both host probes must survive the precision ladder AND the
+    # window-50 fallback — a contaminated-run diagnosis is most needed
+    # exactly when the corpus is large.
+    import json
+
+    small = json.loads(metric_line({"q01": 1.2}, 1.2, 0.1, 0.065, 8.51))
+    assert small["calib_cpu_s"] == 0.065 and small["loadavg_start"] == 8.51
+    names = sorted(load_all()) + [f"very_long_future_entry_{i:05d}" for i in range(100)]
+    big = json.loads(
+        metric_line({n: 12.3456789 for n in names}, 999.9, 0.1, 0.065, 8.51)
+    )
+    assert big["calib_cpu_s"] == 0.065 and big["loadavg_start"] == 8.51

@@ -108,6 +108,34 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_small):
     assert recall >= 0.2  # 8-table OR-amplified LSH on random 64-d vectors
 
 
+def test_collect_queries_guard_raises_on_oversized_set(spark, sf_small):
+    """The broadcast-regime contract is enforced: a query set past the
+    cap raises instead of silently materializing on the driver, and
+    the bounded collect pulls at most cap+1 rows first."""
+    import pytest
+
+    from cae_polars_tools_spark.io import read_table
+    from cae_polars_tools_spark.operators.similarity import (
+        _collect_queries,
+        bruteforce_topk,
+    )
+
+    e = read_table(spark, sf_small, "embeddings")
+    with pytest.raises(ValueError, match="broadcast regime"):
+        _collect_queries(e, max_queries=10)
+    # at-the-cap sets still collect fine
+    qids, Q, _ = _collect_queries(e.filter(F.col("vec_id") < 10), max_queries=10)
+    assert len(qids) == 10 and Q.shape[0] == 10
+    # and the end-to-end operator surfaces the same guard (the sf0.001
+    # table is small, so build an over-cap query frame synthetically)
+    big_q = spark.range(70000).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="broadcast regime"):
+        bruteforce_topk(e, big_q).collect()
+
+
 def test_ann_lsh_multiprobe_buys_recall_query_side_only(spark, sf_small):
     """Multi-probe (flip the lowest-|margin| sign bits per table)
     must (a) be a candidate SUPERSET of single-probe — the base
