@@ -139,7 +139,8 @@ def zarr_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     # flipped, register_zarr_source degrades to the no-pushdown reader
     # and the query still returns identical (unpruned) results.
     try:
-        spark.conf.set(PUSHDOWN_CONF, "true")
+        if str(spark.conf.get(PUSHDOWN_CONF, "false")).lower() != "true":
+            spark.conf.set(PUSHDOWN_CONF, "true")
     except Exception:
         pass
     register_zarr_source(spark)

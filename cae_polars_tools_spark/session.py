@@ -53,6 +53,13 @@ def get_spark(
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
         # Arrow for pandas UDFs / toPandas / Python data sources.
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Pin Python worker reuse (Spark's default, but a misconfigured
+        # cluster losing it would bill a fork+import to EVERY pandas-UDF
+        # stage and Python Data Source planning round — the fixed
+        # overhead that dominates small scans) and never idle-kill the
+        # daemon's pooled workers between queries of one session.
+        "spark.python.worker.reuse": "true",
+        "spark.python.worker.idleTimeoutSeconds": "0",
         # Let the zarr data source consume coordinate predicates
         # (ZarrScanReader.pushFilters → chunk pruning at the store).
         "spark.sql.python.filterPushdown.enabled": "true",

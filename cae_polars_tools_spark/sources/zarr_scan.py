@@ -99,6 +99,13 @@ def get_zarr_data_info(
 
 PUSHDOWN_CONF = "spark.sql.python.filterPushdown.enabled"
 
+# session id → registered variant name. Registration is an idempotent
+# JVM RPC, but repeated per-query registration showed up as fixed
+# overhead on the smallest data-source scans (every RPC's latency is
+# multiplied under host load); cache per session and skip the
+# round-trip when the same variant is already in place.
+_REGISTERED: dict[str, str] = {}
+
 
 def register_zarr_source(spark: SparkSession) -> None:
     """Enable ``spark.read.format("zarr")`` for this session.
@@ -122,4 +129,12 @@ def register_zarr_source(spark: SparkSession) -> None:
         enabled = str(spark.conf.get(PUSHDOWN_CONF, "false")).lower() == "true"
     except Exception:
         enabled = False
-    spark.dataSource.register(ZarrDataSource if enabled else ZarrDataSourceNoPushdown)
+    cls = ZarrDataSource if enabled else ZarrDataSourceNoPushdown
+    try:
+        session_key = spark.sparkContext.applicationId + str(id(spark))
+    except Exception:
+        session_key = str(id(spark))
+    if _REGISTERED.get(session_key) == cls.__name__:
+        return
+    spark.dataSource.register(cls)
+    _REGISTERED[session_key] = cls.__name__

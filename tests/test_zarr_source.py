@@ -555,6 +555,41 @@ def test_corpus_pushdown_entry_under_disabled_session(spark):
         register_zarr_source(spark)
 
 
+def test_register_zarr_source_caches_per_session_variant(spark, monkeypatch):
+    """Repeated registration of the SAME variant is a no-op (no JVM
+    RPC — per-query registration was pure fixed overhead on the
+    smallest scans), while a conf flip still re-registers the other
+    variant."""
+    from pyspark.sql.datasource import DataSourceRegistration
+
+    from cae_polars_tools_spark.sources import zarr_scan
+
+    calls = []
+    real = DataSourceRegistration.register
+
+    def counting(self, cls):
+        calls.append(cls.__name__)
+        return real(self, cls)
+
+    monkeypatch.setattr(DataSourceRegistration, "register", counting)
+    old = spark.conf.get(zarr_scan.PUSHDOWN_CONF)
+    try:
+        spark.conf.set(zarr_scan.PUSHDOWN_CONF, "true")
+        register_zarr_source(spark)
+        baseline = len(calls)
+        register_zarr_source(spark)
+        register_zarr_source(spark)
+        assert len(calls) == baseline  # same variant: cached, no RPC
+        spark.conf.set(zarr_scan.PUSHDOWN_CONF, "false")
+        register_zarr_source(spark)
+        assert len(calls) == baseline + 1  # variant flip re-registers
+        assert calls and calls[-1] == "ZarrDataSourceNoPushdown"
+    finally:
+        spark.conf.set(zarr_scan.PUSHDOWN_CONF, old)
+        monkeypatch.undo()
+        register_zarr_source(spark)
+
+
 def test_negative_step_slice_selection(spark, climate_store):
     """A reversed (negative-step) slice must select every position in
     reverse, not decode to an empty slice: slice.indices() encodes
