@@ -1493,6 +1493,7 @@ def semantic_dedup_pairs(
     n_centroids: int = SEMANTIC_CENTROIDS,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    parity: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs: cluster embeddings with
     the IVF coarse quantizer, then score each cluster block with the
@@ -1520,17 +1521,29 @@ def semantic_dedup_pairs(
     vectors always share a cluster, so exact duplicates are never
     missed. Deterministic for a fixed input partitioning (seeded
     sample, deterministic Lloyd, argmax ties by lowest index).
+
+    ``parity=True`` trains with the SQL-reproducible quantizer
+    (``similarity.train_kmeans_parity`` + dim-sequential assignment),
+    making the full pair set value-checkable against the
+    ``kmeans_parity_ctes`` DuckDB oracle — same algorithm and scale
+    shape, deterministic regardless of input partitioning.
     """
     from cae_polars_tools_spark.operators.similarity import (
         _assign_udf,
+        assign_udf_parity,
         train_ivf_centroids,
+        train_kmeans_parity,
     )
 
     e = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
     )
-    centroids = train_ivf_centroids(e, n_centroids=n_centroids)
-    assign = _assign_udf(centroids)
+    if parity:
+        centroids = train_kmeans_parity(e, n_centroids=n_centroids)
+        assign = assign_udf_parity(centroids)
+    else:
+        centroids = train_ivf_centroids(e, n_centroids=n_centroids)
+        assign = _assign_udf(centroids)
 
     def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy().astype(np.int64)
@@ -1572,19 +1585,42 @@ def semantic_dedup(
     )
 
 
+def _dedup_semantic_oracle() -> str:
+    # the quantizer is retrained inside the oracle (kmeans_parity_ctes
+    # — bit-identical centroids + assignments), so the full pair set
+    # is value-checked: same-cluster (a < b) pairs whose bit-parity
+    # cosine clears the threshold
+    from cae_polars_tools_spark.operators.similarity import (
+        kmeans_parity_ctes,
+    )
+
+    return f"""
+        WITH {kmeans_parity_ctes(SEMANTIC_CENTROIDS)}
+        SELECT a.vec_id AS vec_id_a,
+               b.vec_id AS vec_id_b,
+               ROUND({COSINE_SQL}, 6) AS cosine
+        FROM km_assign ca
+        JOIN km_assign cb ON ca.cl = cb.cl AND ca.vec_id < cb.vec_id
+        JOIN embeddings a ON a.vec_id = ca.vec_id
+        JOIN embeddings b ON b.vec_id = cb.vec_id
+        WHERE {COSINE_SQL} >= {COSINE_DEDUP_THRESHOLD}
+    """
+
+
 @register(
     "dedup_semantic",
-    oracle=None,  # k-means blocking is sample-trained (seeded but not
-    # SQL-expressible); precision/recall/determinism are pinned by
-    # tests/test_operators.py::test_semantic_dedup_*
+    oracle=_dedup_semantic_oracle(),
     tags=("dedup", "extension", "embedding"),
+    window_rank=1,
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-dup pairs over the embeddings table with a
     LEARNED blocking key (k-means clusters) instead of the label
-    column ``dedup_embedding_cosine`` blocks on."""
+    column ``dedup_embedding_cosine`` blocks on — value-checked
+    end-to-end: the oracle retrains the parity quantizer in SQL, so
+    blocking MEMBERSHIP (not just pair precision) is hash-verified."""
     e = spread(read_table(spark, sf_dir, "embeddings"))
-    return semantic_dedup_pairs(e)
+    return semantic_dedup_pairs(e, parity=True)
 
 
 # ---------------------------------------------------------------------------

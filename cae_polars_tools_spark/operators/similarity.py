@@ -467,6 +467,222 @@ IVF_ITERS = 8
 IVF_TRAIN_SAMPLE = 16384
 IVF_TRAIN_FRACTION = 0.5
 
+# Parity quantizer (the SQL-reproducible variant): the training sample
+# is the first PARITY_TRAIN_SAMPLE rows (by id) with an even id — a
+# keyed Bernoulli-like thinning both engines can restate exactly,
+# unlike Spark's seeded sample whose membership depends on scan order.
+# Centroid updates are rounded to PARITY_CENT_ROUND decimals after
+# every Lloyd iteration in BOTH engines, which absorbs the
+# summation-order ulps between numpy's pairwise sums and DuckDB's
+# aggregate (error ~1e-10 at 4k members, two orders under the 0.5e-8
+# rounding tolerance); all dot products accumulate dim-sequentially,
+# so every post-rounding double is bit-identical across engines.
+PARITY_TRAIN_SAMPLE = 4096
+PARITY_CENT_ROUND = 8
+
+
+def _parity_cos_matrix(E: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(n × c) cosine matrix with dim-sequential accumulation — every
+    double bit-identical to DuckDB's ``list_sum`` over the same
+    element order (BLAS matmul's pairwise summation would drift in
+    the last ulp and flip argmax/threshold verdicts on near-ties)."""
+    n, d = E.shape
+    acc = np.zeros((n, len(C)), dtype=np.float64)
+    en2 = np.zeros(n, dtype=np.float64)
+    cn2 = np.zeros(len(C), dtype=np.float64)
+    for j in range(d):
+        ej = E[:, j]
+        acc += ej[:, None] * C[:, j][None, :]
+        en2 += ej * ej
+        cn2 += C[:, j] * C[:, j]
+    return acc / (np.sqrt(en2)[:, None] * np.sqrt(cn2)[None, :])
+
+
+def train_kmeans_parity(
+    embeddings: DataFrame,
+    n_centroids: int = IVF_CENTROIDS,
+    n_iters: int = IVF_ITERS,
+    sample_size: int = PARITY_TRAIN_SAMPLE,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic, cross-engine-reproducible coarse quantizer.
+
+    Same bounded-sample Lloyd recipe as :func:`train_ivf_centroids`,
+    but every step is restatable in ANSI SQL (see
+    :func:`kmeans_parity_ctes`, which emits the DuckDB CTEs computing
+    the IDENTICAL centroid matrix — the oracle contract for
+    ``ann_ivf_topk`` / ``dedup_semantic``):
+
+    * sample = the ``sample_size`` smallest ids with ``id % 2 = 0``
+      (a distributed top-k — one bounded pass, no full sort, no
+      dependence on partition scan order);
+    * init = the first ``n_centroids`` sample rows;
+    * assignment = cosine argmax, ties to the lowest cluster id, all
+      dots dim-sequential (``_parity_cos_matrix``);
+    * update = per-dimension mean rounded to ``PARITY_CENT_ROUND``
+      decimals; empty clusters keep their previous centroid.
+
+    Scale shape matches the scan-order trainer: the driver holds only
+    the bounded sample and the (c × dim) matrix.
+    """
+    sample = (
+        embeddings.filter((F.col(id_col) % 2) == 0)
+        .orderBy(id_col)
+        .limit(sample_size)
+        .select(emb_col)
+        .toPandas()[emb_col]
+    )
+    if len(sample) < n_centroids:
+        raise ValueError(
+            f"parity quantizer needs >= {n_centroids} even-id rows, "
+            f"got {len(sample)}"
+        )
+    M = np.stack(sample.to_numpy()).astype(np.float64)
+    c = M[:n_centroids].copy()
+    for _ in range(n_iters):
+        cl = _parity_cos_matrix(M, c).argmax(axis=1)  # first-max = lowest id
+        nxt = c.copy()  # empty clusters keep their old centroid
+        for i in range(n_centroids):
+            members = M[cl == i]
+            if len(members):
+                nxt[i] = np.round(
+                    members.sum(axis=0) / len(members), PARITY_CENT_ROUND
+                )
+        c = nxt
+    return c
+
+
+def assign_udf_parity(centroids: np.ndarray):
+    """Pandas UDF: nearest-centroid id under the parity cosine
+    (dim-sequential dots, argmax ties to the lowest cluster id) —
+    bit-agrees with the SQL ``km_assign`` CTE row for row."""
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(LongType())
+    def assign(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="int64")
+        M = np.stack(emb.to_numpy()).astype(np.float64)
+        return pd.Series(_parity_cos_matrix(M, C).argmax(axis=1).astype(np.int64))
+
+    return assign
+
+
+def probe_udf_parity(centroids: np.ndarray, nprobe: int):
+    """Pandas UDF: the ``nprobe`` nearest centroid ids per query under
+    the parity cosine, ordered (cos DESC, cluster ASC) — bit-agrees
+    with the SQL ``km_probe`` CTE."""
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def probe(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack(emb.to_numpy()).astype(np.float64)
+        cos = _parity_cos_matrix(M, C)
+        # stable argsort of -cos: equal cosines keep ascending cluster id
+        order = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype(np.int64)))
+
+    return probe
+
+
+def _cos_sql(emb_expr: str, cent_expr: str, dim: int = EMBED_DIM) -> str:
+    """DuckDB cosine between an embedding column expression (FLOAT[],
+    cast per element) and a DOUBLE[] centroid expression — the same
+    op order as ``_parity_cos_matrix``."""
+    return (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> CAST({emb_expr}[i] AS DOUBLE) * {cent_expr}[i])) / "
+        f"(sqrt(list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> CAST({emb_expr}[i] AS DOUBLE) * CAST({emb_expr}[i] AS DOUBLE)))) * "
+        f"sqrt(list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> {cent_expr}[i] * {cent_expr}[i]))))"
+    )
+
+
+def kmeans_parity_ctes(
+    n_centroids: int,
+    n_iters: int = IVF_ITERS,
+    sample_size: int = PARITY_TRAIN_SAMPLE,
+    dim: int = EMBED_DIM,
+) -> str:
+    """DuckDB CTE text recomputing :func:`train_kmeans_parity`'s
+    centroid matrix from the ``embeddings`` table — Lloyd unrolled
+    into one CTE pair per iteration (assignment → rounded per-dim
+    mean, empty clusters carried through a LEFT JOIN). Defines:
+
+    * ``km_cent(cl, c)`` — the final centroids (DOUBLE[]);
+    * ``km_assign(vec_id, cl)`` — every corpus row's nearest centroid
+      under the parity cosine (ties to the lowest cluster id).
+
+    Same seeded-recompute oracle pattern as ``lsh_bucket_ctes``: the
+    quantizer is deterministic, so cluster MEMBERSHIP — not merely
+    recall — is value-checkable in SQL."""
+    cos0 = _cos_sql("s.embedding", "c.c", dim)
+    parts = [
+        f"""
+        km_sample AS (
+            SELECT vec_id, embedding,
+                   ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+            FROM (
+                SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id % 2 = 0
+                ORDER BY vec_id LIMIT {sample_size}
+            )
+        ),
+        km_cent_0 AS (
+            SELECT rn - 1 AS cl,
+                   list_transform(generate_series(1, {dim}),
+                                  i -> CAST(embedding[i] AS DOUBLE)) AS c
+            FROM km_sample WHERE rn <= {n_centroids}
+        )"""
+    ]
+    for t in range(1, n_iters + 1):
+        prev = f"km_cent_{t - 1}"
+        parts.append(
+            f"""
+        km_asg_{t} AS (
+            SELECT vec_id, embedding, cl FROM (
+                SELECT s.vec_id, s.embedding, c.cl,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY s.vec_id
+                           ORDER BY {cos0} DESC, c.cl ASC
+                       ) AS rnk
+                FROM km_sample s CROSS JOIN {prev} c
+            ) WHERE rnk = 1
+        ),
+        km_upd_{t} AS (
+            SELECT cl, list(v ORDER BY pos) AS c FROM (
+                SELECT a.cl, g.i AS pos,
+                       round(avg(CAST(a.embedding[g.i] AS DOUBLE)),
+                             {PARITY_CENT_ROUND}) AS v
+                FROM km_asg_{t} a, generate_series(1, {dim}) AS g(i)
+                GROUP BY a.cl, g.i
+            ) GROUP BY cl
+        ),
+        km_cent_{t} AS (
+            SELECT p.cl, COALESCE(u.c, p.c) AS c
+            FROM {prev} p LEFT JOIN km_upd_{t} u USING (cl)
+        )"""
+        )
+    parts.append(
+        f"""
+        km_cent AS (SELECT cl, c FROM km_cent_{n_iters}),
+        km_assign AS (
+            SELECT vec_id, cl FROM (
+                SELECT s.vec_id, c.cl,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY s.vec_id
+                           ORDER BY {cos0} DESC, c.cl ASC
+                       ) AS rnk
+                FROM embeddings s CROSS JOIN km_cent c
+            ) WHERE rnk = 1
+        )"""
+    )
+    return ",".join(parts)
+
 
 def _assign_udf(centroids: np.ndarray):
     """Pandas UDF mapping an embedding to its nearest centroid id by
@@ -578,6 +794,7 @@ def ivf_topk(
     n_centroids: int = IVF_CENTROIDS,
     nprobe: int = IVF_NPROBE,
     sample_fraction: float = IVF_TRAIN_FRACTION,
+    parity: bool = False,
 ) -> DataFrame:
     """IVF ANN: candidates come from the ``nprobe`` centroid lists
     nearest to each query, then exact cosine + top-k window.
@@ -588,21 +805,34 @@ def ivf_topk(
     ``nprobe`` to buy recall, ``n_centroids`` to buy selectivity,
     lower ``sample_fraction`` to widen the training sample's scanned
     span when shard order correlates with content (see
-    :func:`train_ivf_centroids`)."""
-    centroids = train_ivf_centroids(
-        embeddings, n_centroids, sample_fraction=sample_fraction
-    )
-    assign = _assign_udf(centroids)
-    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    :func:`train_ivf_centroids`).
 
-    @F.pandas_udf(ArrayType(LongType()))
-    def probe(emb: pd.Series) -> pd.Series:
-        if len(emb) == 0:
-            return pd.Series([], dtype=object)
-        M = np.stack(emb.to_numpy()).astype(np.float64)
-        M /= np.linalg.norm(M, axis=1, keepdims=True)
-        order = np.argsort(-(M @ cn.T), axis=1)[:, :nprobe].astype(np.int64)
-        return pd.Series(list(order))
+    ``parity=True`` swaps in the SQL-reproducible quantizer
+    (:func:`train_kmeans_parity` + the dim-sequential assign/probe
+    kernels) so the ENTIRE result is value-checkable against the
+    ``kmeans_parity_ctes`` DuckDB oracle; same algorithm, same scale
+    shape, deterministic regardless of input partitioning."""
+    if parity:
+        centroids = train_kmeans_parity(embeddings, n_centroids)
+        assign = assign_udf_parity(centroids)
+        probe = probe_udf_parity(centroids, nprobe)
+    else:
+        centroids = train_ivf_centroids(
+            embeddings, n_centroids, sample_fraction=sample_fraction
+        )
+        assign = _assign_udf(centroids)
+        cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+        @F.pandas_udf(ArrayType(LongType()))
+        def probe_scan(emb: pd.Series) -> pd.Series:
+            if len(emb) == 0:
+                return pd.Series([], dtype=object)
+            M = np.stack(emb.to_numpy()).astype(np.float64)
+            M /= np.linalg.norm(M, axis=1, keepdims=True)
+            order = np.argsort(-(M @ cn.T), axis=1)[:, :nprobe].astype(np.int64)
+            return pd.Series(list(order))
+
+        probe = probe_scan
 
     cand = embeddings.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -620,15 +850,62 @@ def ivf_topk(
     return _topk_window(_score_candidates(candidates, embeddings, queries), k)
 
 
+def _ann_ivf_oracle() -> str:
+    # full value-level oracle: DuckDB retrains the parity quantizer
+    # (kmeans_parity_ctes — bit-identical centroids), re-derives every
+    # corpus row's cluster and each query's nprobe probe list, then
+    # scores the identical candidate set with the bit-parity cosine
+    # and applies the same top-k tie-break (the _ann_lsh_oracle
+    # pattern, with the learned quantizer replacing the seeded planes)
+    cosq = _cos_sql("s.embedding", "c.c")
+    return f"""
+        WITH {kmeans_parity_ctes(IVF_CENTROIDS)},
+        km_probe AS (
+            SELECT vec_id AS query_id, cl FROM (
+                SELECT s.vec_id, c.cl,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY s.vec_id
+                           ORDER BY {cosq} DESC, c.cl ASC
+                       ) AS rnk
+                FROM embeddings s CROSS JOIN km_cent c
+                WHERE s.vec_id < {N_QUERIES}
+            ) WHERE rnk <= {IVF_NPROBE}
+        ),
+        cand AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id
+            FROM km_probe p JOIN km_assign a ON a.cl = p.cl
+            WHERE a.vec_id != p.query_id
+        )
+        SELECT query_id, neighbor_id, "rank", ROUND(raw_cos, 6) AS cosine
+        FROM (
+            SELECT cand.query_id,
+                   cand.neighbor_id,
+                   {COSINE_SQL} AS raw_cos,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY cand.query_id
+                       ORDER BY {COSINE_SQL} DESC, cand.neighbor_id ASC
+                   ) AS "rank"
+            FROM cand
+            JOIN embeddings a ON a.vec_id = cand.query_id
+            JOIN embeddings b ON b.vec_id = cand.neighbor_id
+        )
+        WHERE "rank" <= {TOPK}
+    """
+
+
 @register(
     "ann_ivf_topk",
-    oracle=None,  # cluster membership depends on the trained quantizer
+    oracle=_ann_ivf_oracle(),
     tags=("similarity", "extension", "ivf"),
+    window_rank=1,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-5 for the demo query set."""
+    """IVF approximate top-5 for the demo query set, value-checked
+    end-to-end: the parity quantizer is retrained inside the oracle
+    SQL (bit-identical centroids, assignments and probe lists), so
+    candidate MEMBERSHIP — not just recall — is hash-verified."""
     e = spread(read_table(spark, sf_dir, "embeddings"))
-    return ivf_topk(e, e.filter(F.col("vec_id") < N_QUERIES))
+    return ivf_topk(e, e.filter(F.col("vec_id") < N_QUERIES), parity=True)
 
 
 OUTLIER_COS_THRESHOLD = 0.0

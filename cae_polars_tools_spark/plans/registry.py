@@ -135,10 +135,10 @@ def load_all() -> dict[str, QuerySpec]:
     The ordering is deliberate: the driver's correctness artifact has
     held exactly 50 entries (CORRECTNESS_r01 silently dropped the
     trailing registrations), so every hash-checkable entry sorts ahead
-    of the rows-only ones (ann_ivf_topk / dedup_semantic — learned-
-    quantizer operators, recall/precision/determinism-tested in
-    tests/test_operators.py). Within each class, registration order is
-    preserved."""
+    of any rows-only ones (none remain as of round 8 — the learned-
+    quantizer entries gained SQL-retrained parity oracles; the class
+    split is kept for future genuinely non-SQL entries). Within each
+    class, registration order is preserved."""
     # Imports are deferred so that importing the package stays cheap and
     # so partial failures (e.g. an optional dependency) don't take down
     # the whole corpus.

@@ -206,6 +206,64 @@ def test_multimodal_payload_schema(spark):
     assert row["meta"]["n_bytes"] == len(row["payload"])
 
 
+def test_parity_quantizer_bitwise_matches_duckdb(spark, sf_small):
+    """The cross-engine contract behind the ann_ivf_topk /
+    dedup_semantic oracles, pinned at its strongest point: the numpy
+    trainer and the unrolled-Lloyd DuckDB CTEs must produce
+    BIT-IDENTICAL centroid matrices and identical per-row cluster
+    assignments (not merely matching entry output)."""
+    import duckdb
+    import numpy as np
+
+    from cae_polars_tools_spark.io import read_table, spread
+    from cae_polars_tools_spark.operators.similarity import (
+        assign_udf_parity,
+        kmeans_parity_ctes,
+        train_kmeans_parity,
+    )
+
+    e = spread(read_table(spark, sf_small, "embeddings"))
+    C = train_kmeans_parity(e, n_centroids=8, n_iters=8)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_small}/embeddings.parquet')"
+    )
+    ctes = kmeans_parity_ctes(8, 8)
+    rows = con.execute(
+        f"WITH {ctes} SELECT cl, c FROM km_cent ORDER BY cl"
+    ).fetchall()
+    C_sql = np.array([r[1] for r in rows])
+    assert np.array_equal(C, C_sql)  # bitwise, no tolerance
+    a_spark = {
+        r["vec_id"]: r["cl"]
+        for r in e.select(
+            "vec_id", assign_udf_parity(C)(F.col("embedding")).alias("cl")
+        ).collect()
+    }
+    a_sql = dict(
+        con.execute(f"WITH {ctes} SELECT vec_id, cl FROM km_assign").fetchall()
+    )
+    assert a_spark == a_sql
+
+
+def test_parity_quantizer_raises_on_tiny_corpus(spark):
+    """Fewer even-id rows than centroids is a hard error, not a
+    silently degenerate quantizer."""
+    import pytest
+
+    from cae_polars_tools_spark.operators.similarity import (
+        train_kmeans_parity,
+    )
+
+    six = spark.range(6).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("embedding"),
+    )  # only 3 even ids
+    with pytest.raises(ValueError, match="even-id rows"):
+        train_kmeans_parity(six, n_centroids=8)
+
+
 def test_ann_ivf_recall_vs_bruteforce(spark, sf_small):
     """IVF ANN recall@5 against exact brute force. With nprobe=6 of 16
     lists each query scans ~3/8 of the corpus; on near-orthogonal
