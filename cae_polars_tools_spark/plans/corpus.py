@@ -2596,3 +2596,131 @@ def q64_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Adversarial multi-join composition (TPC-H Q21 shape): 4-way fact join
+# + EXISTS + NOT EXISTS over the SAME fact table — the classic planner
+# trap (every join type existed individually in q23-q35; this stresses
+# their composition).
+# ---------------------------------------------------------------------------
+
+Q65_LATE_DAYS = 60
+Q65_NATION_PREFIX = "NATION_1"  # NATION_1 + NATION_10..19 (11 of 25)
+Q65_TOPK = 10
+
+
+@register(
+    "q65_waiting_suppliers",
+    oracle=f"""
+        WITH late AS (
+            SELECT l.l_orderkey, l.l_suppkey
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderstatus = 'F'
+              AND l.l_shipdate > o.o_orderdate + INTERVAL {Q65_LATE_DAYS} DAY
+        )
+        SELECT s.s_name AS s_name, COUNT(*) AS numwait
+        FROM late l1
+        JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+                     AND n.n_name LIKE '{Q65_NATION_PREFIX}%'
+        WHERE EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey != l1.l_suppkey
+              )
+          AND NOT EXISTS (
+                SELECT 1 FROM late l3
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey != l1.l_suppkey
+              )
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT {Q65_TOPK}
+    """,
+    tags=("join", "subquery", "adversarial", "extension"),
+    window_rank=1,
+)
+def q65_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adapted to this schema (no commit/receipt dates:
+    "late" = shipped > {Q65_LATE_DAYS} days after the order date on a
+    finalized order): suppliers in the target nations who were the
+    SOLE late supplier on a multi-supplier order, ranked by how often.
+
+    The planner trap is the composition: the fact table appears three
+    times (base, EXISTS, NOT EXISTS over the derived `late` set), and
+    a naive plan re-derives `late` twice or degenerates the non-equi
+    "different supplier" conjunct into a nested loop. Spark shape:
+
+    * `late` (lineitem ⨝ filtered orders) is built ONCE and persisted
+      — both the EXISTS probe side and the NOT-EXISTS build side read
+      the materialized bytes, the manual form of the CTE reuse other
+      engines apply to Q21.
+    * EXISTS → left_semi, NOT EXISTS → left_anti, each a HASH join on
+      the l_orderkey equi-component with the supplier inequality as a
+      post-probe filter (plan-pinned: no nested-loop/cartesian).
+    * supplier ⨝ nation is a broadcast dim (100 × 25 rows at any SF);
+      the top-k is a TakeOrdered, never a global sort.
+
+    At 100 TB: two shuffles of the late subset (orderkey-keyed
+    semi/anti) + one fact-orders join; the late set is a small
+    fraction of lineitem, and nothing driver-side exceeds the top-k."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {Q65_LATE_DAYS} DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .persist()
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    ex = late.join(
+        l2,
+        (late.l_orderkey == l2.o2) & (late.l_suppkey != l2.s2),
+        "left_semi",
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    sole_late = ex.join(
+        l3,
+        (ex.l_orderkey == l3.o3) & (ex.l_suppkey != l3.s3),
+        "left_anti",
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").filter(
+                    F.col("n_name").startswith(Q65_NATION_PREFIX)
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    result = (
+        sole_late.join(
+            F.broadcast(s), sole_late.l_suppkey == s.s_suppkey
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(Q65_TOPK)
+    )
+    from cae_polars_tools_spark.operators.dedup import _release_on_gc
+
+    # unpersist the late set when the plan handle is dropped, but keep
+    # it alive while the caller can still execute the plan
+    return _release_on_gc(result, late)

@@ -511,3 +511,21 @@ def test_pagerank_has_no_cartesian_and_broadcast_contribs(spark):
     plan = _plan(spark, "graph_pagerank")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q65_composition_stays_hash_joins_bounded_exchanges(spark):
+    """q65 (TPC-H Q21 shape): the EXISTS/NOT-EXISTS "different
+    supplier" conjuncts must ride their l_orderkey equi-component as
+    hash/sort-merge join post-probe filters — the classic degeneration
+    is a nested-loop over the fact table. The late set is persisted
+    (built once), dims broadcast, and the top-k is a TakeOrdered, not
+    a global sort."""
+    plan = _plan(spark, "q65_waiting_suppliers")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "InMemoryTableScan" in plan  # the reused late set
+    # bounded exchange budget: orderkey semi/anti + the final group-by;
+    # a re-derivation of `late` or a lost broadcast would add more
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
