@@ -546,3 +546,42 @@ def netcdf_scan_longformat(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cae_polars_tools_spark.sources.netcdf3 import scan_netcdf3
 
     return scan_netcdf3(spark, demo_netcdf(), "metric", chunk_size=23)
+
+
+@register(
+    "netcdf_filter_pushdown",
+    oracle="""
+        SELECT
+            CAST((t.i + 1) * 10 AS INTEGER) AS time,
+            CAST(-120 + lo.k * 0.25 AS REAL) AS lon,
+            CAST(t.i * 20 + 2 * 4 + lo.k AS REAL) AS value
+        FROM range(2, 6) t(i), range(0, 4, 2) lo(k)
+    """,
+    tags=("netcdf", "source", "pushdown", "extension"),
+    window_rank=1,
+)
+def netcdf_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The netCDF twin of ``zarr_filter_pushdown`` — both pushdown
+    paths through the netcdf3 data source in one checked entry:
+    ``select_dims`` (int on lat DROPS the dimension, stepped slice on
+    lon) composed at planning time, plus a WHERE ``time`` predicate
+    that Catalyst hands to the reader's ``pushFilters``, which narrows
+    the byte spans executors read (record runs skip pruned records)
+    and consumes the filter. The oracle reconstructs the surviving
+    cells from index arithmetic, so the pruning is value-checked."""
+    from cae_polars_tools_spark.sources.netcdf3 import register_netcdf_source
+    from cae_polars_tools_spark.sources.zarr_scan import PUSHDOWN_CONF
+
+    try:
+        if str(spark.conf.get(PUSHDOWN_CONF, "false")).lower() != "true":
+            spark.conf.set(PUSHDOWN_CONF, "true")
+    except Exception:
+        pass
+    register_netcdf_source(spark)
+    return (
+        spark.read.format("netcdf3")
+        .option("variable", "metric")
+        .option("select_dims", '{"lat": 2, "lon": {"step": 2}}')
+        .load(demo_netcdf())
+        .filter("time >= 30")
+    )

@@ -454,6 +454,34 @@ def plan_nc_scan(
     )
 
 
+def refine_nc_plan(plan: NcScanPlan, masks: dict[str, np.ndarray]) -> NcScanPlan:
+    """Compose per-dimension boolean masks (over the already-selected
+    coordinate VALUES) into a narrower plan — the netCDF twin of the
+    zarr ``refine_plan``: surviving positions shrink, so executors
+    read fewer / narrower byte spans (``_read_var_window`` sizes every
+    read from the position extents)."""
+    import math
+
+    pos = list(plan.pos)
+    coords = dict(plan.coords)
+    di_by_dim = {dim: i for i, dim in enumerate(plan.dims)}
+    for dim, m in masks.items():
+        di = di_by_dim[dim]
+        pos[di] = pos[di][m]
+        coords[dim] = coords[dim][m]
+    sel_shape = [len(p) for p in pos]
+    return NcScanPlan(
+        meta=plan.meta,
+        var_name=plan.var_name,
+        dims=plan.dims,
+        keep=plan.keep,
+        pos=pos,
+        coords=coords,
+        sel_shape=sel_shape,
+        total=math.prod(sel_shape),
+    )
+
+
 def nc_schema_for_plan(plan: NcScanPlan):
     from pyspark.sql import types as T
 
@@ -560,10 +588,14 @@ def _nc_decode_select(spec):
     return out
 
 
-def make_netcdf3_datasource():
+def make_netcdf3_datasource(pushdown: bool = True):
     """Build the DataSource class lazily (the datasource API needs
     Spark >= 4.0; importing it at module import time would couple the
-    plain scan path to it)."""
+    plain scan path to it). ``pushdown=False`` builds the degraded
+    variant for sessions where ``spark.sql.python.filterPushdown.
+    enabled`` is false — Spark refuses to initialize a reader that
+    merely HAS a ``pushFilters`` attribute under that conf (the same
+    split as the zarr source's two reader variants)."""
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
@@ -575,7 +607,7 @@ def make_netcdf3_datasource():
             self.start = start
             self.end = end
 
-    class NetCDF3Reader(DataSourceReader):
+    class _NcReaderCore(DataSourceReader):
         def __init__(self, plan: NcScanPlan, chunk_size: int) -> None:
             self._plan = plan
             self._chunk = chunk_size
@@ -595,6 +627,59 @@ def make_netcdf3_datasource():
                 self._plan, partition.start, partition.end
             )
 
+    class NetCDF3Reader(_NcReaderCore):
+        def pushFilters(self, filters):
+            """WHERE → byte-span pruning, mirroring the zarr source's
+            ``ZarrScanReader.pushFilters``: a predicate on a dimension
+            column is exactly a positional selection (the column's
+            values ARE the selected coordinate array, driver-resident
+            and bounded by axis length), so supported comparisons
+            become position masks composed into the plan —
+            ``_read_var_window`` then reads only the byte spans the
+            surviving positions cover, and the filter is fully
+            consumed. Filters on ``value`` or of unsupported shapes
+            are yielded back for post-scan evaluation."""
+            from pyspark.sql.datasource import (
+                EqualTo,
+                GreaterThan,
+                GreaterThanOrEqual,
+                In,
+                IsNotNull,
+                LessThan,
+                LessThanOrEqual,
+            )
+
+            masks: dict[str, np.ndarray] = {}
+            for f in filters:
+                attr = getattr(f, "attribute", ())
+                dim = attr[0] if len(attr) == 1 else None
+                if dim not in self._plan.coords:
+                    yield f
+                    continue
+                if isinstance(f, IsNotNull):
+                    continue  # dim columns are never null — satisfied
+                vals = self._plan.coords[dim]
+                if isinstance(f, EqualTo):
+                    m = vals == f.value
+                elif isinstance(f, GreaterThan):
+                    m = vals > f.value
+                elif isinstance(f, GreaterThanOrEqual):
+                    m = vals >= f.value
+                elif isinstance(f, LessThan):
+                    m = vals < f.value
+                elif isinstance(f, LessThanOrEqual):
+                    m = vals <= f.value
+                elif isinstance(f, In):
+                    m = np.isin(vals, list(f.value))
+                else:
+                    yield f
+                    continue
+                masks[dim] = masks[dim] & m if dim in masks else m
+            if masks:
+                self._plan = refine_nc_plan(self._plan, masks)
+
+    reader_cls = NetCDF3Reader if pushdown else _NcReaderCore
+
     class NetCDF3DataSource(DataSource):
         """``spark.read.format("netcdf3").option("variable", V)
         .load(path)`` — options: ``variable`` (required),
@@ -613,25 +698,48 @@ def make_netcdf3_datasource():
                     "netcdf3 data source requires .load(<file>) and "
                     ".option('variable', <name>)"
                 )
-            return plan_nc_scan(
-                path, var, _nc_decode_select(self.options.get("select_dims"))
-            )
+            cached = getattr(self, "_plan_cache", None)
+            if cached is None:
+                cached = plan_nc_scan(
+                    path,
+                    var,
+                    _nc_decode_select(self.options.get("select_dims")),
+                )
+                self._plan_cache = cached
+            return cached
 
         def schema(self):
             return nc_schema_for_plan(self._plan())
 
         def reader(self, schema):
-            return NetCDF3Reader(
+            return reader_cls(
                 self._plan(),
                 int(self.options.get("chunk_size", 2_000_000)),
             )
 
+    # distinct class names so the per-session registration cache can
+    # tell the variants apart (register_cached keys on __name__)
+    if not pushdown:
+        NetCDF3DataSource.__name__ = "NetCDF3DataSourceNoPushdown"
+        NetCDF3DataSource.__qualname__ = "NetCDF3DataSourceNoPushdown"
     return NetCDF3DataSource
 
 
 def register_netcdf_source(spark) -> None:
-    """Register ``format("netcdf3")`` on the session."""
-    spark.dataSource.register(make_netcdf3_datasource())
+    """Register ``format("netcdf3")`` on the session, picking the
+    pushdown-capable reader when ``spark.sql.python.filterPushdown.
+    enabled`` is true and the degraded (post-scan filtering) variant
+    otherwise — the zarr ``register_zarr_source`` contract."""
+    from cae_polars_tools_spark.sources.zarr_scan import (
+        PUSHDOWN_CONF,
+        register_cached,
+    )
+
+    try:
+        enabled = str(spark.conf.get(PUSHDOWN_CONF, "false")).lower() == "true"
+    except Exception:
+        enabled = False
+    register_cached(spark, make_netcdf3_datasource(pushdown=enabled))
 
 
 # ---------------------------------------------------------------------------

@@ -99,12 +99,27 @@ def get_zarr_data_info(
 
 PUSHDOWN_CONF = "spark.sql.python.filterPushdown.enabled"
 
-# session id → registered variant name. Registration is an idempotent
-# JVM RPC, but repeated per-query registration showed up as fixed
-# overhead on the smallest data-source scans (every RPC's latency is
-# multiplied under host load); cache per session and skip the
-# round-trip when the same variant is already in place.
-_REGISTERED: dict[str, str] = {}
+# (session, format) → registered variant name. Registration is an
+# idempotent JVM RPC, but repeated per-query registration showed up as
+# fixed overhead on the smallest data-source scans (every RPC's
+# latency is multiplied under host load); cache per session and skip
+# the round-trip when the same variant is already in place.
+_REGISTERED: dict[tuple[str, str], str] = {}
+
+
+def register_cached(spark: SparkSession, cls) -> None:
+    """``spark.dataSource.register(cls)``, skipped when this session
+    already registered the same variant under the same format name
+    (shared by the zarr and netcdf3 sources)."""
+    try:
+        session_key = spark.sparkContext.applicationId + str(id(spark))
+    except Exception:
+        session_key = str(id(spark))
+    key = (session_key, cls.name())
+    if _REGISTERED.get(key) == cls.__name__:
+        return
+    spark.dataSource.register(cls)
+    _REGISTERED[key] = cls.__name__
 
 
 def register_zarr_source(spark: SparkSession) -> None:
@@ -129,12 +144,6 @@ def register_zarr_source(spark: SparkSession) -> None:
         enabled = str(spark.conf.get(PUSHDOWN_CONF, "false")).lower() == "true"
     except Exception:
         enabled = False
-    cls = ZarrDataSource if enabled else ZarrDataSourceNoPushdown
-    try:
-        session_key = spark.sparkContext.applicationId + str(id(spark))
-    except Exception:
-        session_key = str(id(spark))
-    if _REGISTERED.get(session_key) == cls.__name__:
-        return
-    spark.dataSource.register(cls)
-    _REGISTERED[session_key] = cls.__name__
+    register_cached(
+        spark, ZarrDataSource if enabled else ZarrDataSourceNoPushdown
+    )

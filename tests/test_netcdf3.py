@@ -351,3 +351,206 @@ def test_extent_claim_beyond_file_rejected(spark):
     open(p, "wb").write(bytes(data))
     with pytest.raises(ValueError, match="truncated or corrupt header"):
         scan_netcdf3(spark, p, "metric")
+
+
+class _CountingFile:
+    """Proxy file object tallying read() calls and bytes requested."""
+
+    def __init__(self, fh, counter):
+        self._fh = fh
+        self._c = counter
+
+    def seek(self, *a):
+        return self._fh.seek(*a)
+
+    def read(self, n=-1):
+        self._c["reads"] += 1
+        if n > 0:
+            self._c["bytes"] += n
+        return self._fh.read(n)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self._fh.close()
+        return False
+
+
+def _pushdown_reader_and_counter(monkeypatch, path, filters):
+    """Build the pushdown DataSource reader over `path`, push
+    `filters`, and return (reader, leftover_filters, counter) with the
+    module's open() instrumented to count executor-side byte reads."""
+    from cae_polars_tools_spark.sources import netcdf3 as mod
+
+    cls = mod.make_netcdf3_datasource(pushdown=True)
+    ds = cls(options={"path": path, "variable": "metric"})
+    reader = ds.reader(ds.schema())
+    leftover = list(reader.pushFilters(filters))
+    counter = {"reads": 0, "bytes": 0}
+    real_open = open
+
+    def counting_open(p, *a, **kw):
+        return _CountingFile(real_open(p, *a, **kw), counter)
+
+    monkeypatch.setattr(mod, "open", counting_open, raising=False)
+    return reader, leftover, counter
+
+
+def test_netcdf_pushdown_prunes_byte_ranges(spark, monkeypatch):
+    """The WHERE→selection pushdown the zarr source has, mirrored: a
+    coordinate predicate must shrink the byte spans executors read —
+    asserted by counting actual read() bytes with and without the
+    pushed filter — and be fully consumed (no leftover filter)."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+
+    from cae_polars_tools_spark.sources import netcdf3 as mod
+
+    t, lat, lon, val = _demo_arrays()
+    p = os.path.join(TMP, "nc_pushdown.nc")
+    write_netcdf3(
+        p,
+        {"time": 5, "lat": 3, "lon": 4},
+        {
+            "time": (("time",), t),
+            "lat": (("lat",), lat),
+            "lon": (("lon",), lon),
+            "metric": (("time", "lat", "lon"), val),
+        },
+        record_dim="time",
+    )
+
+    def read_all(reader, counter):
+        for part in reader.partitions():
+            for _ in reader.read(part):
+                pass
+        return counter["bytes"], counter["reads"]
+
+    base_reader, base_left, base_counter = _pushdown_reader_and_counter(
+        monkeypatch, p, []
+    )
+    base_bytes, base_reads = read_all(base_reader, base_counter)
+
+    reader, leftover, counter = _pushdown_reader_and_counter(
+        monkeypatch,
+        p,
+        [
+            GreaterThanOrEqual(("time",), float(t[3])),
+            EqualTo(("lat",), float(lat[1])),
+        ],
+    )
+    assert leftover == []  # both predicates fully consumed
+    assert reader._plan.total == 2 * 1 * 4  # time {3,4} × lat {1} × lon
+    pushed_bytes, pushed_reads = read_all(reader, counter)
+    assert pushed_bytes < base_bytes  # narrower spans
+    assert pushed_reads < base_reads  # fewer record-run reads
+    # and the surviving values are exactly the selected cells
+    batch = next(reader.read(reader.partitions()[0]))
+    got = batch.column("value").to_pylist()
+    assert got == [float(v) for v in val[3:, 1, :].reshape(-1)]
+
+
+def test_netcdf_pushdown_unsupported_filter_yielded_back(monkeypatch):
+    """Predicates on `value` (not a dimension) must be yielded back
+    for Spark-side evaluation, not silently dropped."""
+    from pyspark.sql.datasource import GreaterThan
+
+    t, lat, lon, val = _demo_arrays()
+    p = os.path.join(TMP, "nc_pushdown2.nc")
+    write_netcdf3(
+        p,
+        {"time": 5, "lat": 3, "lon": 4},
+        {
+            "time": (("time",), t),
+            "lat": (("lat",), lat),
+            "lon": (("lon",), lon),
+            "metric": (("time", "lat", "lon"), val),
+        },
+    )
+    reader, leftover, _ = _pushdown_reader_and_counter(
+        monkeypatch, p, [GreaterThan(("value",), 10.0)]
+    )
+    assert len(leftover) == 1
+    assert reader._plan.total == 5 * 3 * 4  # untouched
+
+
+def test_netcdf_datasource_where_pushdown_values(spark):
+    """End to end through spark.read.format("netcdf3"): a WHERE clause
+    on coordinate columns returns exactly the post-scan-filter values
+    (the pushdown is an optimization, never a semantics change), with
+    the session conf flipped on so the pushFilters variant registers."""
+    from cae_polars_tools_spark.sources.netcdf3 import register_netcdf_source
+    from cae_polars_tools_spark.sources.zarr_scan import PUSHDOWN_CONF
+
+    t, lat, lon, val = _demo_arrays()
+    p = os.path.join(TMP, "nc_pushdown3.nc")
+    write_netcdf3(
+        p,
+        {"time": 5, "lat": 3, "lon": 4},
+        {
+            "time": (("time",), t),
+            "lat": (("lat",), lat),
+            "lon": (("lon",), lon),
+            "metric": (("time", "lat", "lon"), val),
+        },
+        record_dim="time",
+    )
+    old = spark.conf.get(PUSHDOWN_CONF, None)
+    spark.conf.set(PUSHDOWN_CONF, "true")
+    try:
+        register_netcdf_source(spark)
+        cond = f"time >= {t[2]} AND lon = {float(lon[1])}"
+        df = (
+            spark.read.format("netcdf3")
+            .option("variable", "metric")
+            .load(p)
+            .filter(cond)
+        )
+        rows = df.collect()
+        assert len(rows) == 3 * 3 * 1
+        got = {(r["time"], r["lat"]): r["value"] for r in rows}
+        assert got[(t[2], float(lat[0]))] == float(val[2, 0, 1])
+        assert got[(t[4], float(lat[2]))] == float(val[4, 2, 1])
+    finally:
+        if old is not None:
+            spark.conf.set(PUSHDOWN_CONF, old)
+        register_netcdf_source(spark)
+
+
+def test_netcdf_datasource_degrades_without_pushdown_conf(spark):
+    """With the conf false (Spark's default) the degraded variant must
+    register and return identical values via post-scan filtering."""
+    from cae_polars_tools_spark.sources.netcdf3 import register_netcdf_source
+    from cae_polars_tools_spark.sources.zarr_scan import PUSHDOWN_CONF
+
+    t, lat, lon, val = _demo_arrays()
+    p = os.path.join(TMP, "nc_pushdown4.nc")
+    write_netcdf3(
+        p,
+        {"time": 5, "lat": 3, "lon": 4},
+        {
+            "time": (("time",), t),
+            "lat": (("lat",), lat),
+            "lon": (("lon",), lon),
+            "metric": (("time", "lat", "lon"), val),
+        },
+    )
+    old = spark.conf.get(PUSHDOWN_CONF, None)
+    spark.conf.set(PUSHDOWN_CONF, "false")
+    try:
+        register_netcdf_source(spark)
+        df = (
+            spark.read.format("netcdf3")
+            .option("variable", "metric")
+            .load(p)
+            .filter(f"time = {t[1]}")
+        )
+        rows = df.collect()
+        assert len(rows) == 3 * 4
+        assert {r["value"] for r in rows} == {
+            float(v) for v in val[1].reshape(-1)
+        }
+    finally:
+        if old is not None:
+            spark.conf.set(PUSHDOWN_CONF, old)
+        register_netcdf_source(spark)

@@ -529,3 +529,19 @@ def test_q65_composition_stays_hash_joins_bounded_exchanges(spark):
     # bounded exchange budget: orderkey semi/anti + the final group-by;
     # a re-derivation of `late` or a lost broadcast would add more
     assert plan.count("Exchange hashpartitioning") <= 4, plan
+
+
+def test_pushdown_sources_consume_coordinate_filters(spark):
+    """zarr AND netcdf3 data-source entries: the WHERE predicate on a
+    coordinate column must be consumed by pushFilters (pruned at the
+    source) — the executed plan has NO post-scan Filter node at all,
+    just the projected BatchScan."""
+    for name in ("zarr_filter_pushdown", "netcdf_filter_pushdown"):
+        plan = _plan(spark, name)
+        assert "BatchScan" in plan, plan
+        # "RuntimeFilters: []" is part of the scan node itself; what
+        # must be absent is a post-scan Filter OPERATOR on `time`
+        assert "+- Filter" not in plan and "Filter (" not in plan, (
+            name,
+            plan,
+        )
