@@ -459,3 +459,115 @@ def _register_entry() -> None:
 
 
 _register_entry()
+
+
+def resize_gif(payload: bytes, width: int, height: int) -> bytes:
+    """REAL GIF→GIF resize, container preserved: decode the first
+    composited frame, nearest-neighbor resample, re-encode as a
+    single-frame GIF89a with a palette rebuilt from the surviving
+    colors (``np.unique`` — lexicographic, so byte-deterministic).
+    Thumbnail targets always fit a GIF palette (≤ width·height
+    colors); a target past 256 surviving colors raises rather than
+    silently quantizing."""
+    px = decode_gif(payload)
+    h, w, _ = px.shape
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    small = px[ys][:, xs]
+    # a GIF frame holds ≤256 distinct colors and resampling only keeps
+    # a subset, so the rebuilt palette always fits — encode_gif's own
+    # 256-entry check stays as the backstop
+    palette, inverse = np.unique(
+        small.reshape(-1, 3), axis=0, return_inverse=True
+    )
+    return encode_gif(
+        inverse.reshape(height, width).astype(np.uint8), palette
+    )
+
+
+def text_to_gif_assets(assets):
+    """GIF twin of ``multimodal._text_to_bmp``: materialize a real
+    single-frame GIF per document — the first ``GIF_W·GIF_H`` payload
+    bytes as palette indices under the deterministic demo palette."""
+    from collections.abc import Iterator
+
+    n = GIF_W * GIF_H
+    palette = _demo_palette()
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "payload": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)[:n].ljust(n, b"\x00")
+                idx = np.frombuffer(raw, dtype=np.uint8).reshape(
+                    GIF_H, GIF_W
+                )
+                out["doc_id"].append(int(doc_id))
+                out["payload"].append(encode_gif(idx, palette))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(gen, schema="doc_id long, payload binary")
+
+
+RESIZE_W, RESIZE_H = 3, 2  # 6×4 demo raster → 3×2 thumbnail
+
+
+def mm_resize_thumbnail(spark, sf_dir: str):
+    """The ``resize_assets`` path exercising a REAL format end to end:
+    text bytes → real GIF encode → ``resize_image_bytes`` (GIF in,
+    GIF out — container preserved through the palette-rebuilding
+    re-encoder) → composited decode → per-channel means. Nearest-
+    neighbor with the 6×4→3×2 shape keeps source rows {0,2} and
+    columns {0,2,4}, so the oracle recomputes every surviving pixel
+    straight from the text bytes. Zero shuffle; payloads never leave
+    their partition."""
+    from cae_polars_tools_spark.io import read_table, spread
+    from cae_polars_tools_spark.operators.multimodal import (
+        image_features,
+        resize_assets,
+        resize_image_bytes,
+        with_payload,
+    )
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    resized = resize_assets(
+        text_to_gif_assets(with_payload(docs)),
+        width=RESIZE_W,
+        height=RESIZE_H,
+        resize_fn=resize_image_bytes,
+    )
+    return image_features(resized.select("doc_id", "payload"))
+
+
+def _register_resize_entry() -> None:
+    from cae_polars_tools_spark.plans.registry import register
+
+    n = GIF_W * GIF_H
+    register(
+        "mm_resize_thumbnail",
+        oracle=f"""
+            WITH px AS (
+                SELECT doc_id,
+                       ascii(substr(rpad(text, {n}, chr(0)),
+                                    (y * 2) * {GIF_W} + x * 2 + 1,
+                                    1)) AS b
+                FROM documents,
+                     unnest(range(0, {RESIZE_H})) AS yy(y),
+                     unnest(range(0, {RESIZE_W})) AS xx(x)
+            )
+            SELECT doc_id,
+                   {RESIZE_W} AS width,
+                   {RESIZE_H} AS height,
+                   AVG(b) AS mean_r,
+                   AVG(255 - b) AS mean_g,
+                   AVG(xor(b, 85)) AS mean_b
+            FROM px GROUP BY doc_id
+        """,
+        tags=("multimodal", "extension", "gif", "resize"),
+        window_rank=1,
+    )(mm_resize_thumbnail)
+
+
+_register_resize_entry()

@@ -886,9 +886,21 @@ def resize_bmp(payload: bytes, width: int, height: int) -> bytes:
 
 
 def resize_image_bytes(payload: bytes, width: int, height: int) -> bytes:
-    """Format-agnostic REAL resize: sniffing decode (BMP/PNG/baseline
-    JPEG) → nearest-neighbor resample → PNG bytes out (lossless and
-    byte-deterministic regardless of the lossy-or-not input format)."""
+    """Format-agnostic REAL resize over every decodable still
+    (BMP/PNG/baseline JPEG/GIF/TIFF): sniffing decode →
+    nearest-neighbor resample → re-encode. Container handling:
+
+    * GIF stays GIF (palette rebuilt from the surviving colors —
+      :func:`~cae_polars_tools_spark.operators.gif.resize_gif`);
+    * everything else re-encodes as PNG — lossless and
+      byte-deterministic regardless of the lossy-or-not input, a
+      DOCUMENTED container change for JPEG/TIFF inputs (TIFF has no
+      from-scratch encoder here, and re-encoding JPEG would compound
+      loss)."""
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from cae_polars_tools_spark.operators.gif import resize_gif
+
+        return resize_gif(payload, width, height)
     px = decode_image_bytes(payload)
     h, w = px.shape[:2]
     ys = (np.arange(height) * h) // height

@@ -527,8 +527,11 @@ def test_audio_features_peak_survives_clipped_32bit(spark):
 
 
 def test_resize_image_bytes_gif_and_tiff():
-    """The format-agnostic resize must sniff GIF and TIFF too."""
-    from cae_polars_tools_spark.operators.gif import encode_gif
+    """The format-agnostic resize must sniff GIF and TIFF too —
+    dispatch contract: GIF stays GIF (container preserved, palette
+    rebuilt), TIFF re-encodes as PNG (documented container change);
+    pixels are the exact nearest-neighbor resample either way."""
+    from cae_polars_tools_spark.operators.gif import decode_gif, encode_gif
     from cae_polars_tools_spark.operators.multimodal import (
         decode_png,
         resize_image_bytes,
@@ -538,14 +541,42 @@ def test_resize_image_bytes_gif_and_tiff():
     rng = np.random.default_rng(13)
     palette = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
     idx = rng.integers(0, 256, size=(8, 10), dtype=np.uint8)
-    out = decode_png(resize_image_bytes(encode_gif(idx, palette), 5, 4))
+    resized_gif = resize_image_bytes(encode_gif(idx, palette), 5, 4)
+    assert resized_gif[:6] == b"GIF89a"  # container preserved
+    out = decode_gif(resized_gif)
     ys = (np.arange(4) * 8) // 4
     xs = (np.arange(5) * 10) // 5
     assert np.array_equal(out, palette[idx][ys][:, xs])
 
     px = rng.integers(0, 256, size=(8, 10, 3), dtype=np.uint8)
-    out2 = decode_png(resize_image_bytes(_build_tiff(px), 5, 4))
+    resized_tiff = resize_image_bytes(_build_tiff(px), 5, 4)
+    assert resized_tiff[:8] == b"\x89PNG\r\n\x1a\n"  # PNG out for TIFF
+    out2 = decode_png(resized_tiff)
     assert np.array_equal(out2, px[ys][:, xs])
+
+
+def test_resize_gif_full_palette_roundtrip():
+    """resize_gif at the 256-color limit: an identity-size resample of
+    a full-palette GIF keeps every color (the rebuilt palette sits
+    exactly at GIF's maximum) and round-trips pixel-exact; upscaling
+    also works (nearest-neighbor duplicates rows/cols)."""
+    from cae_polars_tools_spark.operators.gif import (
+        decode_gif,
+        encode_gif,
+        resize_gif,
+    )
+
+    palette = np.stack(
+        [np.arange(256), 255 - np.arange(256), np.arange(256) ^ 85],
+        axis=1,
+    ).astype(np.uint8)
+    idx = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    src = encode_gif(idx, palette)
+    out = resize_gif(src, 16, 16)  # identity: all 256 colors survive
+    assert out[:6] == b"GIF89a"
+    assert np.array_equal(decode_gif(out), palette[idx])
+    up = decode_gif(resize_gif(src, 32, 16))  # 2x width upscale
+    assert np.array_equal(up, palette[idx][:, np.repeat(np.arange(16), 2)])
 
 
 def test_png_16bit_and_gray_alpha_decode():
