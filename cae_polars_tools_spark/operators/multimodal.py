@@ -757,15 +757,119 @@ def _g711_alaw_table() -> "np.ndarray":
     return out
 
 
+# IMA/DVI ADPCM (WAV format tag 0x11) — public spec constants: the
+# 89-entry quantizer step table and the 3-bit-magnitude index
+# adaptation table (mirrored for the sign nibbles 8-15).
+_IMA_STEPS = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+        34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+        143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408,
+        449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282,
+        1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+        3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630,
+        9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350,
+        22385, 24623, 27086, 29794, 32767,
+    ],
+    dtype=np.int32,
+)
+_IMA_INDEX_ADJUST = np.array(
+    [-1, -1, -1, -1, 2, 4, 6, 8] * 2, dtype=np.int32
+)
+
+
+def _ima_expand_channel(
+    nibbles: "np.ndarray", predictor: int, index: int
+) -> list[int]:
+    """Expand one channel's nibble stream within a block. The
+    recurrence is inherently sequential (each step's quantizer depends
+    on the previous index), so this is a plain loop — bounded by the
+    block size, which the format caps at block_align bytes."""
+    out = []
+    pred = int(predictor)
+    idx = min(max(int(index), 0), 88)
+    for nib in nibbles:
+        step = int(_IMA_STEPS[idx])
+        diff = step >> 3
+        if nib & 1:
+            diff += step >> 2
+        if nib & 2:
+            diff += step >> 1
+        if nib & 4:
+            diff += step
+        if nib & 8:
+            diff = -diff
+        pred = min(max(pred + diff, -32768), 32767)
+        out.append(pred)
+        idx = min(max(idx + int(_IMA_INDEX_ADJUST[nib]), 0), 88)
+    return out
+
+
+def _decode_wav_ima_adpcm(
+    fmt: bytes, data: bytes, fact_samples: int | None
+) -> "np.ndarray":
+    """IMA/DVI ADPCM ``data`` chunk → (n, ch) int16, per the public
+    spec's MS-IMA block layout: per channel a 4-byte block header
+    (initial predictor int16, step index, reserved) whose predictor IS
+    the block's first output sample, then 4-bit codes at two per byte,
+    LOW nibble first — mono as a straight stream, stereo interleaved
+    in 4-byte words per channel. A trailing short block decodes by its
+    actual length; a ``fact`` chunk's sample count trims encoder
+    padding."""
+    _tag, ch, _rate = struct.unpack_from("<HHI", fmt, 0)
+    (block_align,) = struct.unpack_from("<H", fmt, 12)
+    if ch not in (1, 2):
+        raise NotImplementedError(f"{ch}-channel IMA ADPCM WAV")
+    if block_align < 4 * ch:
+        raise ValueError("IMA ADPCM block_align smaller than its headers")
+    chans: list[list[int]] = [[] for _ in range(ch)]
+    for off in range(0, len(data), block_align):
+        block = data[off : off + block_align]
+        if len(block) < 4 * ch:
+            break  # dangling bytes cannot hold even the headers
+        preds = []
+        idxs = []
+        for c in range(ch):
+            pred, idx, _res = struct.unpack_from("<hBB", block, 4 * c)
+            preds.append(pred)
+            idxs.append(idx)
+            chans[c].append(int(pred))  # header predictor = sample 0
+        body = np.frombuffer(block[4 * ch :], dtype=np.uint8)
+        nibs = np.empty(len(body) * 2, dtype=np.uint8)
+        nibs[0::2] = body & 0x0F  # low nibble first (spec order)
+        nibs[1::2] = body >> 4
+        if ch == 1:
+            chans[0].extend(_ima_expand_channel(nibs, preds[0], idxs[0]))
+        else:
+            # stereo: 4-byte (8-nibble) words alternate channels
+            words = nibs.reshape(-1, 8)
+            for c in range(ch):
+                chans[c].extend(
+                    _ima_expand_channel(
+                        words[c::ch].reshape(-1), preds[c], idxs[c]
+                    )
+                )
+    n = min(len(chans[0]), *(len(x) for x in chans))
+    if fact_samples is not None:
+        n = min(n, fact_samples)
+    out = np.empty((n, ch), dtype=np.int16)
+    for c in range(ch):
+        out[:, c] = np.asarray(chans[c][:n], dtype=np.int16)
+    return out
+
+
 def _decode_wav_g711(payload: bytes) -> tuple[int, "np.ndarray"]:
-    """Hand-parsed RIFF path for the G.711 companded formats the
-    stdlib ``wave`` module refuses: format tag 6 (A-law) and 7
-    (µ-law) expand through their lookup tables to int16."""
+    """Hand-parsed RIFF path for the compressed formats the stdlib
+    ``wave`` module refuses: format tag 6 (A-law) and 7 (µ-law)
+    expand through their G.711 lookup tables to int16; tag 0x11
+    (IMA/DVI ADPCM — the most common compressed WAV in the wild)
+    decodes block-wise through the spec's step/index tables."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
     fmt = None
     data = None
+    fact_samples = None
     while pos + 8 <= len(payload):
         tag = payload[pos : pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
@@ -775,9 +879,13 @@ def _decode_wav_g711(payload: bytes) -> tuple[int, "np.ndarray"]:
             fmt = body
         elif tag == b"data":
             data = body
+        elif tag == b"fact" and size >= 4:
+            (fact_samples,) = struct.unpack_from("<I", body, 0)
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunks")
     tag_id, ch, rate = struct.unpack_from("<HHI", fmt, 0)
+    if tag_id == 0x11:
+        return rate, _decode_wav_ima_adpcm(fmt, data, fact_samples)
     if tag_id not in (6, 7):
         raise NotImplementedError(f"WAV format tag {tag_id}")
     table = _g711_alaw_table() if tag_id == 6 else _g711_ulaw_table()
@@ -788,9 +896,9 @@ def _decode_wav_g711(payload: bytes) -> tuple[int, "np.ndarray"]:
 
 def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
     """Decode a WAV → (sample_rate, (n_samples, channels) int array).
-    Pure stdlib (``wave``) for PCM; G.711 µ-law/A-law files (which
-    ``wave`` refuses) take a hand-parsed RIFF path and expand to
-    int16 through the spec's lookup tables.
+    Pure stdlib (``wave``) for PCM; G.711 µ-law/A-law and IMA/DVI
+    ADPCM files (which ``wave`` refuses) take a hand-parsed RIFF path
+    and expand to int16 through the specs' tables.
 
     Sample widths: 16-bit → int16; 8-bit (unsigned per the RIFF spec)
     → int16 recentred to signed full scale (``(x - 128) << 8``);

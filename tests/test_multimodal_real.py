@@ -762,3 +762,114 @@ def test_png_zip_bomb_is_bounded():
     )
     with pytest.raises(ValueError, match="exceeds the header"):
         decode_png(png)
+
+
+def _ima_riff(ch, rate, block_align, samples_per_block, data, fact=None):
+    """Independent RIFF builder for IMA-ADPCM (format tag 0x11)."""
+    import struct as _struct
+
+    fmt = _struct.pack(
+        "<HHIIHH",
+        0x11,
+        ch,
+        rate,
+        rate * block_align // max(samples_per_block, 1),
+        block_align,
+        4,
+    ) + _struct.pack("<HH", 2, samples_per_block)
+    out = b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+    if fact is not None:
+        out += b"fact" + _struct.pack("<II", 4, fact)
+    out += b"data" + _struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        out += b"\x00"
+    return b"RIFF" + _struct.pack("<I", 4 + len(out)) + b"WAVE" + out
+
+
+def _swap_nibbles(body: bytes) -> bytes:
+    """WAV IMA packs the FIRST code in the LOW nibble; audioop's
+    DVI/IMA reference expands the HIGH nibble first — swapping makes
+    both read the identical code sequence."""
+    a = np.frombuffer(body, dtype=np.uint8)
+    return bytes(((a & 0x0F) << 4) | (a >> 4))
+
+
+def test_wav_ima_adpcm_mono_byte_exact_vs_audioop():
+    """IMA/DVI ADPCM WAVs (format tag 0x11) decode block-wise through
+    the spec's step/index tables — byte-exact against audioop's
+    independent stdlib DVI expander, over random code streams and
+    every header index, across multiple blocks with fresh headers."""
+    import audioop
+    import struct as _struct
+
+    from cae_polars_tools_spark.operators.multimodal import decode_wav
+
+    rng = np.random.default_rng(42)
+    blocks = []
+    want = []
+    for b, idx0 in enumerate((0, 17, 88, 44)):
+        pred0 = int(rng.integers(-32768, 32768))
+        body = bytes(rng.integers(0, 256, size=28, dtype=np.uint8))
+        blocks.append(_struct.pack("<hBB", pred0, idx0, 0) + body)
+        want.append(pred0)  # header predictor = sample 0
+        expanded, _state = audioop.adpcm2lin(
+            _swap_nibbles(body), 2, (pred0, idx0)
+        )
+        want.extend(np.frombuffer(expanded, dtype="<i2").tolist())
+    rate, arr = decode_wav(_ima_riff(1, 8000, 32, 57, b"".join(blocks)))
+    assert rate == 8000
+    assert arr.dtype == np.int16 and arr.shape == (4 * 57, 1)
+    assert arr[:, 0].tolist() == want
+
+
+def test_wav_ima_adpcm_stereo_word_interleave():
+    """Stereo IMA blocks interleave 4-byte (8-code) words per channel;
+    each deinterleaved channel must equal its own mono expansion."""
+    import audioop
+    import struct as _struct
+
+    from cae_polars_tools_spark.operators.multimodal import decode_wav
+
+    rng = np.random.default_rng(7)
+    left = bytes(rng.integers(0, 256, size=8, dtype=np.uint8))
+    right = bytes(rng.integers(0, 256, size=8, dtype=np.uint8))
+    headers = _struct.pack("<hBB", 1000, 5, 0) + _struct.pack(
+        "<hBB", -2000, 30, 0
+    )
+    body = b"".join(
+        left[i : i + 4] + right[i : i + 4] for i in range(0, 8, 4)
+    )
+    rate, arr = decode_wav(_ima_riff(2, 44100, len(headers) + len(body), 17,
+                                     headers + body))
+    assert arr.shape == (17, 2)
+    for c, (stream, pred0, idx0) in enumerate(
+        ((left, 1000, 5), (right, -2000, 30))
+    ):
+        expanded, _ = audioop.adpcm2lin(_swap_nibbles(stream), 2, (pred0, idx0))
+        want = [pred0] + np.frombuffer(expanded, dtype="<i2").tolist()
+        assert arr[:, c].tolist() == want, f"channel {c}"
+
+
+def test_wav_ima_adpcm_fact_trims_and_features_dispatch(spark):
+    """A fact chunk's sample count trims encoder padding, and
+    audio_features sniffs the IMA payload end-to-end."""
+    import struct as _struct
+
+    from cae_polars_tools_spark.operators.multimodal import (
+        audio_features,
+        decode_wav,
+    )
+
+    body = bytes(range(12))
+    block = _struct.pack("<hBB", 100, 3, 0) + body
+    payload = _ima_riff(1, 16000, len(block), 25, block, fact=10)
+    rate, arr = decode_wav(payload)
+    assert rate == 16000
+    assert arr.shape == (10, 1)  # 25 decodable, fact says 10
+
+    assets = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    [r] = audio_features(assets).collect()
+    assert r["sample_rate"] == 16000 and r["n_samples"] == 10
+    assert r["peak"] == int(np.abs(arr.astype(np.int64)).max())
