@@ -264,6 +264,91 @@ def test_parity_quantizer_raises_on_tiny_corpus(spark):
         train_kmeans_parity(six, n_centroids=8)
 
 
+def test_pq_codebooks_bitwise_match_duckdb(spark, sf_small):
+    """The PQ half of the ann_ivfpq_topk oracle, pinned at its
+    strongest point: per-subspace codebooks from the numpy parity
+    Lloyd and the unrolled SQL CTEs are BIT-IDENTICAL, and every
+    corpus row's code vector matches."""
+    import duckdb
+    import numpy as np
+
+    from cae_polars_tools_spark.io import read_table, spread
+    from cae_polars_tools_spark.operators.similarity import (
+        PQ_CODEWORDS,
+        PQ_SUBSPACES,
+        pq_encode_udf,
+        pq_parity_ctes,
+        train_pq_parity,
+    )
+
+    e = spread(read_table(spark, sf_small, "embeddings"))
+    C = train_pq_parity(e)
+    assert C.shape == (PQ_SUBSPACES, PQ_CODEWORDS, 64 // PQ_SUBSPACES)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_small}/embeddings.parquet')"
+    )
+    ctes = pq_parity_ctes()
+    rows = con.execute(
+        f"WITH {ctes} SELECT j, cl, c FROM pq_cent ORDER BY j, cl"
+    ).fetchall()
+    C_sql = np.array([r[2] for r in rows]).reshape(C.shape)
+    assert np.array_equal(C, C_sql)  # bitwise, no tolerance
+    codes_spark = {
+        r["vec_id"]: list(r["codes"])
+        for r in e.select(
+            "vec_id", pq_encode_udf(C)(F.col("embedding")).alias("codes")
+        ).collect()
+    }
+    codes_sql: dict = {}
+    for vec_id, j, cl in con.execute(
+        f"WITH {ctes} SELECT vec_id, j, cl FROM pq_codes ORDER BY vec_id, j"
+    ).fetchall():
+        codes_sql.setdefault(vec_id, []).append(cl)
+    assert codes_spark == codes_sql
+
+
+def test_ann_ivfpq_rerank_recovers_recall(spark, sf_small):
+    """The production cascade: raw ADC ranking is quantization-limited
+    on the near-isotropic demo vectors (its hardest case), and the
+    exact-cosine re-rank of the ADC survivors must recover most of the
+    IVF routing's recall. Also pins determinism across rebuilds."""
+    from cae_polars_tools_spark.io import read_table, spread
+    from cae_polars_tools_spark.operators.similarity import (
+        bruteforce_topk,
+        ivfpq_topk,
+    )
+
+    e = spread(read_table(spark, sf_small, "embeddings"))
+    q = e.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in bruteforce_topk(e, q).collect()
+    }
+    adc_only = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk(e, q, rerank=None).collect()
+    }
+    reranked = [
+        (r["query_id"], r["neighbor_id"], r["rank"], r["cosine"])
+        for r in ivfpq_topk(e, q).collect()
+    ]
+    rr_pairs = {(a, b) for a, b, *_ in reranked}
+    assert len(rr_pairs) == 50  # 10 queries × 5
+    recall_adc = len(exact & adc_only) / len(exact)
+    recall_rr = len(exact & rr_pairs) / len(exact)
+    assert recall_adc >= 0.1
+    assert recall_rr >= 0.5  # measured 0.78; IVF routing ceiling 0.88
+    assert recall_rr > recall_adc  # the re-rank must actually help
+    # deterministic: a full rebuild returns the identical ranking
+    again = [
+        (r["query_id"], r["neighbor_id"], r["rank"], r["cosine"])
+        for r in ivfpq_topk(e, q).collect()
+    ]
+    assert sorted(reranked) == sorted(again)
+
+
 def test_ann_ivf_recall_vs_bruteforce(spark, sf_small):
     """IVF ANN recall@5 against exact brute force. With nprobe=6 of 16
     lists each query scans ~3/8 of the corpus; on near-orthogonal
