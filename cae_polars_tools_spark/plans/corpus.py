@@ -2724,3 +2724,64 @@ def q65_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unpersist the late set when the plan handle is dropped, but keep
     # it alive while the caller can still execute the plan
     return _release_on_gc(result, late)
+
+
+@register(
+    "q66_scd2_history",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   LAG(event_type) OVER w AS prev_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        changes AS (
+            SELECT user_id, event_type, ts, event_id
+            FROM ordered
+            WHERE prev_type IS NULL OR event_type != prev_type
+        )
+        SELECT user_id,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+               event_type AS attr,
+               epoch_us(ts) AS valid_from_us,
+               epoch_us(LEAD(ts) OVER w) AS valid_to_us,
+               LEAD(ts) OVER w IS NULL AS is_current
+        FROM changes
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window", "warehouse", "extension"),
+    window_rank=1,
+)
+def q66_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build — THE warehouse
+    idiom for turning a change log into versioned validity intervals:
+    consecutive runs of the same attribute value collapse to one
+    version row with ``[valid_from, valid_to)`` and an ``is_current``
+    flag (q59's latest-per-key is this table's terminal rows).
+
+    Scale shape: both windows (run-collapse lag, interval lead +
+    version numbering) share ONE ``(user_id)`` partitioning, so the
+    whole build is a single key shuffle; no self-join, no iteration.
+    Epoch-microsecond outputs keep the cross-engine compare
+    type/timezone-free (the q64 convention); the total order
+    ``(ts, event_id)`` makes every interval engine-deterministic."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .drop("prev_type")
+    )
+    return changes.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("version"),
+        F.col("event_type").alias("attr"),
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(F.lead("ts").over(w)).alias("valid_to_us"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )

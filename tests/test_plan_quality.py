@@ -545,3 +545,11 @@ def test_pushdown_sources_consume_coordinate_filters(spark):
             name,
             plan,
         )
+
+
+def test_q66_scd2_single_partitioning(spark):
+    """q66: run-collapse lag, version numbering and interval lead must
+    all reuse ONE (user_id) partitioning — a second exchange would
+    mean the windows disagree on ordering keys."""
+    plan = _plan(spark, "q66_scd2_history")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
