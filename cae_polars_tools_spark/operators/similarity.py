@@ -477,6 +477,10 @@ IVF_TRAIN_FRACTION = 0.5
 # aggregate (error ~1e-10 at 4k members, two orders under the 0.5e-8
 # rounding tolerance); all dot products accumulate dim-sequentially,
 # so every post-rounding double is bit-identical across engines.
+# Operating envelope: the ABSOLUTE rounding absorbs the RELATIVE sum
+# drift only while |embedding values| ≲ 1e4 (error ≈ n·eps·|mean| vs
+# the fixed 0.5e-8 tolerance); unit-norm-ish embedding spaces — the
+# universal case — sit four orders inside it.
 PARITY_TRAIN_SAMPLE = 4096
 PARITY_CENT_ROUND = 8
 

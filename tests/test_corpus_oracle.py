@@ -81,6 +81,13 @@ SF01_SENSITIVE = (
     "fuzzy_source_pairs",
     "ann_lsh_topk",
     "dedup_embedding_lsh",
+    # the parity-quantizer family: Lloyd rounding + argmax/argmin
+    # tie-break + ADC sums are exactly where scale could surface
+    # cross-engine ulp drift (all hand-verified at sf0.01 AND sf0.1
+    # in round 8; this keeps the check automated)
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "dedup_semantic",
 )
 
 
