@@ -1,11 +1,15 @@
 """Baseline TIFF decoding — pure Python + numpy, from the public spec
-(TIFF 6.0). The fifth real image codec: both byte orders (II/MM), IFD
-tag walk, strip assembly, 8- and 16-bit samples (uint16 out, either
-byte order), grayscale (BlackIsZero AND WhiteIsZero),
-RGB, RGBA, palette-color (16-bit ColorMap), uncompressed (1), LZW (5,
+(TIFF 6.0 + TechNote 2). The fifth real image codec: both byte orders
+(II/MM), IFD tag walk, strip assembly, 1/2/4-bit grayscale
+(MSB-packed, byte-aligned rows, exact 8-bit expansion), 8- and 16-bit
+samples (uint16 out, either byte order), grayscale (BlackIsZero AND
+WhiteIsZero), RGB, RGBA, palette-color (16-bit ColorMap), chunky AND
+planar (PlanarConfiguration 2) layouts, uncompressed (1), LZW (5,
 MSB-first with early change, incl. the horizontal-differencing
-predictor) and PackBits (32773) compression. Tiled, planar,
-JPEG-in-TIFF and sub-byte variants raise loud ``NotImplementedError``.
+predictor), PackBits (32773), and new-style JPEG (7, per-strip JPEG
+streams + shared ``JPEGTables`` splicing, decoded by the repo's own
+baseline JPEG decoder). Tiled layouts and old-style JPEG (6) raise
+loud ``NotImplementedError``.
 
 Reference parity: the reference engine has no media operators
 (`/root/reference/src` is the zarr data-access layer only) — this is
@@ -33,6 +37,7 @@ _STRIP_COUNTS = 279
 _PLANAR = 284
 _PREDICTOR = 317
 _COLORMAP = 320
+_JPEG_TABLES = 347
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
 _TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i"}
@@ -135,6 +140,58 @@ def _read_values(payload: bytes, bo: str, vtype: int, count: int, raw: bytes):
     return list(struct.unpack(bo + fmt * count, buf))
 
 
+def _decode_tiff_jpeg(
+    payload: bytes,
+    offsets: list,
+    counts: list,
+    jpeg_tables: bytes | None,
+    w: int,
+    h: int,
+    rows_per_strip: int,
+    photo: int,
+) -> np.ndarray:
+    """New-style JPEG-in-TIFF (compression 7, TechNote 2): each strip
+    is a JPEG stream decoded with the repo's own baseline decoder; a
+    ``JPEGTables`` tag holds shared DQT/DHT segments as an abbreviated
+    SOI…EOI stream whose body is spliced after each strip's SOI. A
+    strip may decode extra MCU-padding rows/cols — cropped to the
+    strip's row count and the image width, per the spec."""
+    from cae_polars_tools_spark.operators.jpeg import decode_jpeg
+
+    if photo not in (1, 2, 6):
+        raise NotImplementedError(
+            f"JPEG-in-TIFF photometric {photo} (gray, RGB or YCbCr)"
+        )
+    tables_body = b""
+    if jpeg_tables:
+        if (
+            jpeg_tables[:2] != b"\xff\xd8"
+            or jpeg_tables[-2:] != b"\xff\xd9"
+        ):
+            raise ValueError("TIFF JPEGTables is not an SOI…EOI stream")
+        tables_body = jpeg_tables[2:-2]
+    parts = []
+    remaining_rows = h
+    for off, cnt in zip(offsets, counts):
+        chunk = payload[off : off + cnt]
+        if len(chunk) != cnt:
+            raise ValueError("TIFF strip out of bounds")
+        if chunk[:2] != b"\xff\xd8":
+            raise ValueError("JPEG-in-TIFF strip lacks SOI")
+        if tables_body:
+            chunk = b"\xff\xd8" + tables_body + chunk[2:]
+        px = decode_jpeg(chunk)
+        n_rows = min(rows_per_strip, remaining_rows)
+        remaining_rows -= n_rows
+        if px.shape[0] < n_rows or px.shape[1 if px.ndim > 1 else 0] < w:
+            raise ValueError("JPEG-in-TIFF strip smaller than declared")
+        parts.append(px[:n_rows, :w])
+    out = np.vstack(parts)
+    if out.shape[0] != h:
+        raise ValueError("JPEG-in-TIFF row count mismatch")
+    return out
+
+
 def decode_tiff(payload: bytes) -> np.ndarray:
     """Decode the FIRST page of a baseline TIFF → (H, W) uint8 gray or
     (H, W, C) uint8 RGB/RGBA. Raises ValueError on non-TIFF/corrupt
@@ -157,12 +214,22 @@ def _decode_tiff_inner(payload: bytes) -> np.ndarray:
         raise ValueError("TIFF IFD offset out of bounds")
     (n_entries,) = struct.unpack_from(bo + "H", payload, ifd_off)
     tags: dict[int, list] = {}
+    blobs: dict[int, bytes] = {}  # UNDEFINED (type 7) byte payloads
     for i in range(n_entries):
         base = ifd_off + 2 + 12 * i
         tag, vtype, count = struct.unpack_from(bo + "HHI", payload, base)
         raw = payload[base + 8 : base + 12]
         if vtype in _TYPE_FMT:
             tags[tag] = _read_values(payload, bo, vtype, count, raw)
+        elif vtype == 7:  # UNDEFINED: raw bytes (JPEGTables et al.)
+            if count <= 4:
+                blobs[tag] = raw[:count]
+            else:
+                (off,) = struct.unpack(bo + "I", raw)
+                blob = payload[off : off + count]
+                if len(blob) != count:
+                    raise ValueError("TIFF UNDEFINED value out of bounds")
+                blobs[tag] = blob
 
     def one(tag, default=None):
         if tag in tags:
@@ -180,17 +247,16 @@ def _decode_tiff_inner(payload: bytes) -> np.ndarray:
     comp = one(_COMPRESSION, default=1)
     photo = one(_PHOTOMETRIC)
     planar = one(_PLANAR, default=1)
-    if not (all(b == 8 for b in bits) or all(b == 16 for b in bits)):
+    if not (
+        all(b == 8 for b in bits)
+        or all(b == 16 for b in bits)
+        or (len(bits) == 1 and bits[0] in (1, 2, 4))
+    ):
         raise NotImplementedError(
-            f"only uniform 8- or 16-bit TIFF samples (got {bits})"
+            f"only uniform 1/2/4-bit gray or 8-/16-bit TIFF samples "
+            f"(got {bits})"
         )
     depth = bits[0]
-    if planar != 1:
-        raise NotImplementedError("planar (non-chunky) TIFF")
-    if comp not in (1, 5, 32773):
-        raise NotImplementedError(
-            f"TIFF compression {comp} (only uncompressed, LZW and PackBits)"
-        )
     predictor = one(_PREDICTOR, default=1)
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor}")
@@ -200,27 +266,107 @@ def _decode_tiff_inner(payload: bytes) -> np.ndarray:
         raise ValueError("TIFF strip tables missing or inconsistent")
     rows_per_strip = one(_ROWS_PER_STRIP, default=h)
 
+    if comp == 7:  # new-style JPEG-in-TIFF: strips are JPEG streams
+        if planar != 1:
+            raise NotImplementedError("planar JPEG-in-TIFF")
+        return _decode_tiff_jpeg(
+            payload, offsets, counts, blobs.get(_JPEG_TABLES),
+            w, h, rows_per_strip, photo,
+        )
+    if comp not in (1, 5, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {comp} (uncompressed, LZW, PackBits "
+            "and new-style JPEG)"
+        )
+    if planar not in (1, 2):
+        raise NotImplementedError(f"TIFF PlanarConfiguration {planar}")
+
+    if depth < 8:
+        # bilevel / sub-byte grayscale: rows pad to byte boundaries
+        # (spec §: each row begins on a byte), MSB-first packing
+        if spp != 1 or photo not in (0, 1):
+            raise NotImplementedError(
+                "sub-byte TIFF supports 1-sample grayscale only"
+            )
+        if predictor != 1:
+            raise NotImplementedError(
+                "horizontal predictor with sub-byte samples"
+            )
+        row_bytes = (w * depth + 7) // 8
+        raw = bytearray()
+        remaining_rows = h
+        for off, cnt in zip(offsets, counts):
+            chunk = payload[off : off + cnt]
+            if len(chunk) != cnt:
+                raise ValueError("TIFF strip out of bounds")
+            n_rows = min(rows_per_strip, remaining_rows)
+            remaining_rows -= n_rows
+            want = n_rows * row_bytes
+            if comp == 32773:
+                chunk = _unpackbits(chunk, want)
+            elif comp == 5:
+                chunk = _lzw_decode_tiff(chunk, want)
+            elif len(chunk) != want:
+                raise ValueError("TIFF strip length mismatch")
+            raw += chunk
+        if len(raw) != h * row_bytes:
+            raise ValueError("TIFF pixel data length mismatch")
+        packed = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(
+            h, row_bytes
+        )
+        bits_arr = np.unpackbits(packed, axis=1)[:, : w * depth]
+        weights = 1 << np.arange(depth - 1, -1, -1, dtype=np.uint8)
+        vals = (
+            bits_arr.reshape(h, w, depth).astype(np.uint16) @ weights
+        ).astype(np.uint8)
+        # exact 8-bit expansion (255/(2^d − 1) is integral for 1/2/4)
+        g = vals * np.uint8(255 // ((1 << depth) - 1))
+        if photo == 0:
+            return (np.uint8(255) - g)
+        return g
+
     item = depth // 8
-    raw = bytearray()
+    n_row_groups = -(-h // rows_per_strip)
+    if planar == 2 and len(offsets) != n_row_groups * spp:
+        raise ValueError("planar TIFF strip count mismatch")
+    plane_w = w * (spp if planar == 1 else 1)
+    raws = [bytearray() for _ in range(spp if planar == 2 else 1)]
     remaining_rows = h
     for si, (off, cnt) in enumerate(zip(offsets, counts)):
         chunk = payload[off : off + cnt]
         if len(chunk) != cnt:
             raise ValueError("TIFF strip out of bounds")
-        n_rows = min(rows_per_strip, remaining_rows)
-        remaining_rows -= n_rows
-        want = n_rows * w * spp * item
+        if planar == 2:
+            plane = si // n_row_groups
+            group = si % n_row_groups
+            n_rows = min(rows_per_strip, h - group * rows_per_strip)
+        else:
+            plane = 0
+            n_rows = min(rows_per_strip, remaining_rows)
+            remaining_rows -= n_rows
+        want = n_rows * plane_w * item
         if comp == 32773:
             chunk = _unpackbits(chunk, want)
         elif comp == 5:
             chunk = _lzw_decode_tiff(chunk, want)
         elif len(chunk) != want:
             raise ValueError("TIFF strip length mismatch")
-        raw += chunk
-    if len(raw) != h * w * spp * item:
+        raws[plane] += chunk
+    if any(len(r) != h * plane_w * item for r in raws):
         raise ValueError("TIFF pixel data length mismatch")
     sample_dt = np.uint8 if depth == 8 else np.dtype(bo + "u2")
-    px = np.frombuffer(bytes(raw), dtype=sample_dt).reshape(h, w, spp)
+    if planar == 2:
+        px = np.stack(
+            [
+                np.frombuffer(bytes(r), dtype=sample_dt).reshape(h, w)
+                for r in raws
+            ],
+            axis=2,
+        )
+    else:
+        px = np.frombuffer(bytes(raws[0]), dtype=sample_dt).reshape(
+            h, w, spp
+        )
     if depth == 16:
         px = px.astype(np.uint16)  # native order
     if predictor == 2:

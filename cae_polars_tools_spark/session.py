@@ -68,6 +68,13 @@ def get_spark(
         # pin them explicitly so a misconfigured cluster can't lose them.
         "spark.sql.parquet.filterPushdown": "true",
         "spark.sql.parquet.aggregatePushdown": "true",
+        # Runtime row-level filtering — the 100 TB join levers, pinned
+        # for the same reason. The bloom application-side threshold
+        # (10 GB scan) never fires at test SFs but prunes the fact-side
+        # scan of selective joins (q10/q11/q65 shapes) at cluster
+        # scale; DPP prunes partitioned-table scans from dim filters.
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled": "true",
         # Keep timestamps deterministic across engines (oracle parity).
         "spark.sql.session.timeZone": "UTC",
         # Defensive fallback for nano-typed parquet (which the

@@ -41,6 +41,16 @@ def _packbits(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _pack_subbyte_rows(px: np.ndarray, bits: int) -> np.ndarray:
+    """(h, w) values < 2^bits → (h, row_bytes) MSB-first packed rows
+    (each row byte-aligned, per the spec)."""
+    h, w = px.shape
+    expanded = np.zeros((h, w, bits), dtype=np.uint8)
+    for b in range(bits):
+        expanded[:, :, b] = (px >> (bits - 1 - b)) & 1
+    return np.packbits(expanded.reshape(h, w * bits), axis=1)
+
+
 def _build_tiff(
     px: np.ndarray,
     bo: str = "<",
@@ -48,9 +58,12 @@ def _build_tiff(
     rows_per_strip: int | None = None,
     packbits: bool = False,
     colormap: np.ndarray | None = None,
+    planar: int = 1,
+    bits: int = 8,
 ):
     """Independent minimal TIFF writer from the spec: header, pixel
-    strips, then one IFD."""
+    strips (chunky or planar, 8-bit or MSB-packed sub-byte), then one
+    IFD."""
     if px.ndim == 2:
         h, w = px.shape
         spp = 1
@@ -59,11 +72,22 @@ def _build_tiff(
         h, w, spp = px.shape
         photometric = 2 if photometric is None else photometric
     rows_per_strip = rows_per_strip or h
-    flat = px.reshape(h, -1)
     strips = []
-    for y0 in range(0, h, rows_per_strip):
-        raw = flat[y0 : y0 + rows_per_strip].tobytes()
-        strips.append(_packbits(raw) if packbits else raw)
+    if bits < 8:
+        packed = _pack_subbyte_rows(px, bits)
+        for y0 in range(0, h, rows_per_strip):
+            raw = packed[y0 : y0 + rows_per_strip].tobytes()
+            strips.append(_packbits(raw) if packbits else raw)
+    elif planar == 2:
+        for c in range(spp):  # plane-major strip order
+            for y0 in range(0, h, rows_per_strip):
+                raw = px[y0 : y0 + rows_per_strip, :, c].tobytes()
+                strips.append(_packbits(raw) if packbits else raw)
+    else:
+        flat = px.reshape(h, -1)
+        for y0 in range(0, h, rows_per_strip):
+            raw = flat[y0 : y0 + rows_per_strip].tobytes()
+            strips.append(_packbits(raw) if packbits else raw)
 
     header = struct.pack(
         bo + "2sHI", b"II" if bo == "<" else b"MM", 42, 0
@@ -84,13 +108,15 @@ def _build_tiff(
 
     add(256, 4, [w])
     add(257, 4, [h])
-    add(258, 3, [8] * spp)
+    add(258, 3, [bits] * spp)
     add(259, 3, [32773 if packbits else 1])
     add(262, 3, [photometric])
     add(273, 4, strip_offsets)
     add(277, 3, [spp])
     add(278, 4, [rows_per_strip])
     add(279, 4, [len(s) for s in strips])
+    if planar != 1:
+        add(284, 3, [planar])
     if colormap is not None:
         add(320, 3, list(colormap.reshape(-1)))
     entries.sort()
@@ -208,13 +234,17 @@ def test_guards_and_hostile_bytes():
 
 def test_unsupported_variants_raise_loudly():
     px = np.zeros((2, 2), dtype=np.uint8)
-    # JPEG-in-TIFF compression id 7 (LZW id 5 is supported now)
+    # old-style JPEG (6) stays behind the seam (7, new-style, is
+    # supported now — non-JPEG strip bytes under it fail loudly too)
     tif = _build_tiff(px)
     idx = tif.find(struct.pack("<HHI", 259, 3, 1))
     assert idx > 0
     t = bytearray(tif)
+    t[idx + 8 : idx + 10] = struct.pack("<H", 6)
+    with pytest.raises(NotImplementedError, match="compression 6"):
+        decode_tiff(bytes(t))
     t[idx + 8 : idx + 10] = struct.pack("<H", 7)
-    with pytest.raises(NotImplementedError, match="compression 7"):
+    with pytest.raises(ValueError, match="lacks SOI"):
         decode_tiff(bytes(t))
 
 
@@ -393,3 +423,188 @@ def test_16bit_samples_both_byte_orders():
     rgb16 = rng.integers(0, 65536, size=(2, 5, 3), dtype=np.uint16)
     out = decode_tiff(build16(rgb16, "<", photometric=2, predictor=True))
     assert np.array_equal(out, rgb16)
+
+
+def test_planar_configuration_2_roundtrip():
+    """PlanarConfiguration=2: plane-major strips reassemble to the
+    chunky pixel array exactly, uncompressed and PackBits, with an
+    uneven final row group."""
+    rng = np.random.default_rng(31)
+    px = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    out = decode_tiff(_build_tiff(px, planar=2, rows_per_strip=3))
+    assert np.array_equal(out, px)
+    out2 = decode_tiff(
+        _build_tiff(px, planar=2, rows_per_strip=2, packbits=True)
+    )
+    assert np.array_equal(out2, px)
+    # RGBA planes too
+    pxa = rng.integers(0, 256, size=(4, 6, 4), dtype=np.uint8)
+    assert np.array_equal(
+        decode_tiff(_build_tiff(pxa, planar=2)), pxa
+    )
+    # strip-count mismatch fails loudly
+    import struct as _struct
+
+    t = bytearray(_build_tiff(px, planar=2, rows_per_strip=3))
+    idx = t.find(_struct.pack("<HHI", 278, 4, 1))
+    t[idx + 8 : idx + 12] = _struct.pack("<I", 7)  # 1 group claimed
+    with pytest.raises(ValueError, match="strip count mismatch"):
+        decode_tiff(bytes(t))
+
+
+@pytest.mark.parametrize("bits", [1, 2, 4])
+@pytest.mark.parametrize("photometric", [0, 1])
+def test_sub_byte_gray_decodes_exactly(bits, photometric):
+    """1/2/4-bit grayscale: MSB-first packed, byte-aligned rows
+    (including a width that does NOT fill the last byte), exact 8-bit
+    expansion, WhiteIsZero inversion, multi-strip, and PackBits."""
+    rng = np.random.default_rng(10 * bits + photometric)
+    px = rng.integers(0, 1 << bits, size=(5, 7), dtype=np.uint8)
+    scale = 255 // ((1 << bits) - 1)
+    want = (px * scale).astype(np.uint8)
+    if photometric == 0:
+        want = 255 - want
+    out = decode_tiff(
+        _build_tiff(px, bits=bits, photometric=photometric,
+                    rows_per_strip=2)
+    )
+    assert np.array_equal(out, want)
+    out2 = decode_tiff(
+        _build_tiff(px, bits=bits, photometric=photometric,
+                    packbits=True)
+    )
+    assert np.array_equal(out2, want)
+
+
+def _split_jpeg_tables(stream: bytes):
+    """Walk a JFIF stream's segments; return (tables_stream,
+    abbreviated_stream) — DQT/DHT lifted into an SOI…EOI tables-only
+    stream, everything else kept in order."""
+    import struct as _struct
+
+    assert stream[:2] == b"\xff\xd8"
+    pos = 2
+    tables = bytearray()
+    rest = bytearray()
+    while pos < len(stream):
+        assert stream[pos] == 0xFF
+        marker = stream[pos + 1]
+        if marker == 0xDA:  # SOS: entropy data follows to EOI
+            rest += stream[pos:]
+            break
+        (seg_len,) = _struct.unpack_from(">H", stream, pos + 2)
+        seg = stream[pos : pos + 2 + seg_len]
+        if marker in (0xDB, 0xC4):  # DQT / DHT
+            tables += seg
+        else:
+            rest += seg
+        pos += 2 + seg_len
+    return (
+        b"\xff\xd8" + bytes(tables) + b"\xff\xd9",
+        b"\xff\xd8" + bytes(rest),
+    )
+
+
+def _build_jpeg_tiff(strips, w, h, rows_per_strip, photometric,
+                     jpeg_tables=None):
+    """Independent TIFF writer for compression 7: strips are opaque
+    JPEG byte streams; optional JPEGTables (tag 347, UNDEFINED)."""
+    import struct as _struct
+
+    body = bytearray(b"II*\x00\x00\x00\x00\x00")
+    offs = []
+    for s in strips:
+        offs.append(len(body))
+        body += s
+    if len(body) % 2:
+        body += b"\x00"
+    extra = bytearray()
+    entries = []
+    spp = 3 if photometric in (2, 6) else 1
+
+    def add(tag, vtype, values, raw=None):
+        entries.append((tag, vtype, values, raw))
+
+    add(256, 4, [w]); add(257, 4, [h]); add(258, 3, [8] * spp)
+    add(259, 3, [7]); add(262, 3, [photometric]); add(277, 3, [spp])
+    add(278, 4, [rows_per_strip]); add(273, 4, offs)
+    add(279, 4, [len(s) for s in strips])
+    if jpeg_tables is not None:
+        add(347, 7, None, jpeg_tables)
+    entries.sort()
+    ifd_off = len(body)
+    size_of = {3: 2, 4: 4, 7: 1}
+    fmt_of = {3: "H", 4: "I"}
+    after = ifd_off + 2 + 12 * len(entries) + 4
+    ifd = bytearray(_struct.pack("<H", len(entries)))
+    for tag, vtype, values, raw in entries:
+        if vtype == 7:
+            packed, count = raw, len(raw)
+        else:
+            packed = _struct.pack("<" + fmt_of[vtype] * len(values), *values)
+            count = len(values)
+        ifd += _struct.pack("<HHI", tag, vtype, count)
+        if size_of[vtype] * count <= 4:
+            ifd += packed.ljust(4, b"\x00")
+        else:
+            ifd += _struct.pack("<I", after + len(extra))
+            extra += packed
+    ifd += _struct.pack("<I", 0)
+    body += ifd + extra
+    out = bytearray(body)
+    out[4:8] = _struct.pack("<I", ifd_off)
+    return bytes(out)
+
+
+def test_jpeg_in_tiff_strips_and_shared_tables():
+    """New-style JPEG-in-TIFF (compression 7): per-strip JPEG streams
+    decode through the repo's baseline decoder and reassemble exactly
+    (verified against decoding each strip standalone — the TIFF
+    plumbing adds no pixel drift); the JPEGTables variant splices the
+    shared DQT/DHT segments after each strip's SOI and must decode
+    identically."""
+    from cae_polars_tools_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(41)
+    h, w, rps = 12, 9, 8
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    strips = [
+        encode_jpeg(px[y0 : y0 + rps]) for y0 in range(0, h, rps)
+    ]
+    want = np.vstack(
+        [
+            decode_jpeg(s)[: min(rps, h - y0), :w]
+            for s, y0 in zip(strips, range(0, h, rps))
+        ]
+    )
+    out = decode_tiff(_build_jpeg_tiff(strips, w, h, rps, 6))
+    assert out.shape == (h, w, 3)
+    assert np.array_equal(out, want)
+
+    # shared-tables form: lift DQT/DHT into JPEGTables. The repo's
+    # encoder emits content-optimized Huffman tables, so a REAL
+    # shared-tables file needs strips encoded with one table set —
+    # model that with two identical-content strips (their streams, and
+    # hence tables, are identical).
+    px2 = np.vstack([px[:rps], px[:rps]])
+    strips2 = [encode_jpeg(px2[y0 : y0 + rps]) for y0 in (0, rps)]
+    assert strips2[0] == strips2[1]
+    split = [_split_jpeg_tables(s) for s in strips2]
+    tables = split[0][0]
+    assert split[1][0] == tables
+    abbreviated = [s for _t, s in split]
+    want2 = np.vstack([decode_jpeg(strips2[0])[:rps, :w]] * 2)
+    out2 = decode_tiff(
+        _build_jpeg_tiff(abbreviated, w, 2 * rps, rps, 6,
+                         jpeg_tables=tables)
+    )
+    assert np.array_equal(out2, want2)
+
+    # a gray JPEG payload under photometric 1
+    g = rng.integers(0, 256, size=(6, 5), dtype=np.uint8)
+    gs = encode_jpeg(g)
+    outg = decode_tiff(_build_jpeg_tiff([gs], 5, 6, 6, 1))
+    assert np.array_equal(outg, decode_jpeg(gs)[:6, :5])
