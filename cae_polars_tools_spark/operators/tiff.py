@@ -8,8 +8,10 @@ planar (PlanarConfiguration 2) layouts, uncompressed (1), LZW (5,
 MSB-first with early change, incl. the horizontal-differencing
 predictor), PackBits (32773), and new-style JPEG (7, per-strip JPEG
 streams + shared ``JPEGTables`` splicing, decoded by the repo's own
-baseline JPEG decoder). Tiled layouts and old-style JPEG (6) raise
-loud ``NotImplementedError``.
+baseline JPEG decoder), and TILED layouts (§15: fixed-size padded
+tiles, per-tile compression + predictor, edge crop). Old-style JPEG
+(6) and the planar/sub-byte × tiled combinations raise loud
+``NotImplementedError``.
 
 Reference parity: the reference engine has no media operators
 (`/root/reference/src` is the zarr data-access layer only) — this is
@@ -37,6 +39,10 @@ _STRIP_COUNTS = 279
 _PLANAR = 284
 _PREDICTOR = 317
 _COLORMAP = 320
+_TILE_WIDTH = 322
+_TILE_LENGTH = 323
+_TILE_OFFSETS = 324
+_TILE_COUNTS = 325
 _JPEG_TABLES = 347
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
@@ -260,6 +266,18 @@ def _decode_tiff_inner(payload: bytes) -> np.ndarray:
     predictor = one(_PREDICTOR, default=1)
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor}")
+    if _TILE_OFFSETS in tags:
+        if planar != 1 or depth < 8:
+            raise NotImplementedError(
+                "tiled TIFF supports chunky 8-/16-bit samples"
+            )
+        if comp not in (1, 5, 32773):
+            raise NotImplementedError(f"tiled TIFF compression {comp}")
+        px = _decode_tiff_tiles(
+            payload, tags, bo, w, h, spp, depth, comp, predictor, one
+        )
+        return _apply_photometric(px, photo, depth, spp, tags)
+
     offsets = tags.get(_STRIP_OFFSETS)
     counts = tags.get(_STRIP_COUNTS)
     if not offsets or not counts or len(offsets) != len(counts):
@@ -378,6 +396,14 @@ def _decode_tiff_inner(payload: bytes) -> np.ndarray:
             px.dtype
         )
 
+    return _apply_photometric(px, photo, depth, spp, tags)
+
+
+def _apply_photometric(
+    px: np.ndarray, photo: int, depth: int, spp: int, tags: dict
+) -> np.ndarray:
+    """(h, w, spp) samples → the decoded image under the photometric
+    interpretation (shared by the strip and tile paths)."""
     if photo == 3:  # palette
         if depth != 8:
             raise NotImplementedError("palette TIFF indices must be 8-bit")
@@ -403,3 +429,62 @@ def _decode_tiff_inner(payload: bytes) -> np.ndarray:
             raise NotImplementedError(f"RGB TIFF with {spp} samples")
         return px.copy()
     raise NotImplementedError(f"TIFF photometric interpretation {photo}")
+
+
+def _decode_tiff_tiles(
+    payload: bytes,
+    tags: dict,
+    bo: str,
+    w: int,
+    h: int,
+    spp: int,
+    depth: int,
+    comp: int,
+    predictor: int,
+    one,
+) -> np.ndarray:
+    """Tiled layout (TIFF 6.0 §15): the image is a grid of FIXED
+    tw×tl tiles, edge tiles padded to full size; tiles are stored
+    row-major, each compressed independently, and the horizontal
+    predictor runs per tile row. Returns the assembled (h, w, spp)
+    sample array (edge padding cropped)."""
+    tw = one(_TILE_WIDTH)
+    tl = one(_TILE_LENGTH)
+    if tw <= 0 or tl <= 0:
+        raise ValueError("TIFF tile dimensions must be positive")
+    offsets = tags.get(_TILE_OFFSETS)
+    counts = tags.get(_TILE_COUNTS)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF tile tables missing or inconsistent")
+    across = -(-w // tw)
+    down = -(-h // tl)
+    if len(offsets) != across * down:
+        raise ValueError("TIFF tile count mismatch")
+    item = depth // 8
+    want = tl * tw * spp * item
+    sample_dt = np.uint8 if depth == 8 else np.dtype(bo + "u2")
+    out = np.zeros((h, w, spp), dtype=np.uint8 if depth == 8 else np.uint16)
+    for ti, (off, cnt) in enumerate(zip(offsets, counts)):
+        chunk = payload[off : off + cnt]
+        if len(chunk) != cnt:
+            raise ValueError("TIFF tile out of bounds")
+        if comp == 32773:
+            chunk = _unpackbits(chunk, want)
+        elif comp == 5:
+            chunk = _lzw_decode_tiff(chunk, want)
+        elif len(chunk) != want:
+            raise ValueError("TIFF tile length mismatch")
+        tile = np.frombuffer(chunk, dtype=sample_dt).reshape(tl, tw, spp)
+        if depth == 16:
+            tile = tile.astype(np.uint16)
+        if predictor == 2:
+            mask = (1 << depth) - 1
+            tile = (
+                tile.astype(np.uint64).cumsum(axis=1) & mask
+            ).astype(tile.dtype)
+        ty, tx = divmod(ti, across)
+        y0, x0 = ty * tl, tx * tw
+        out[y0 : y0 + min(tl, h - y0), x0 : x0 + min(tw, w - x0)] = tile[
+            : min(tl, h - y0), : min(tw, w - x0)
+        ]
+    return out

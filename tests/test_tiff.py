@@ -608,3 +608,118 @@ def test_jpeg_in_tiff_strips_and_shared_tables():
     gs = encode_jpeg(g)
     outg = decode_tiff(_build_jpeg_tiff([gs], 5, 6, 6, 1))
     assert np.array_equal(outg, decode_jpeg(gs)[:6, :5])
+
+
+def _build_tiled_tiff(px, tw, tl, bo="<", packbits=False, lzw=False,
+                      predictor=False):
+    """Independent tiled-TIFF writer (spec §15): row-major grid of
+    FIXED tw×tl tiles, edge tiles zero-padded to full size."""
+    import struct as _struct
+
+    if px.ndim == 2:
+        px3 = px[:, :, None]
+    else:
+        px3 = px
+    h, w, spp = px3.shape
+    item = px3.dtype.itemsize
+    across, down = -(-w // tw), -(-h // tl)
+    tiles = []
+    for ty in range(down):
+        for tx in range(across):
+            block = np.zeros((tl, tw, spp), dtype=px3.dtype)
+            seg = px3[ty * tl : ty * tl + tl, tx * tw : tx * tw + tw]
+            block[: seg.shape[0], : seg.shape[1]] = seg
+            if predictor:
+                b16 = block.astype(np.int32)
+                b16[:, 1:, :] = (b16[:, 1:, :] - b16[:, :-1, :]) % (
+                    1 << (8 * item)
+                )
+                block = b16.astype(px3.dtype)
+            raw = block.tobytes() if bo == "<" else block.byteswap().tobytes()
+            if packbits:
+                raw = _packbits(raw)
+            elif lzw:
+                raw = _lzw_compress_tiff(raw)
+            tiles.append(raw)
+
+    comp = 32773 if packbits else (5 if lzw else 1)
+    body = bytearray(
+        _struct.pack(bo + "2sHI", b"II" if bo == "<" else b"MM", 42, 0)
+    )
+    offs = []
+    for t in tiles:
+        offs.append(len(body))
+        body += t
+    if len(body) % 2:
+        body += b"\x00"
+    entries = []
+    extra = bytearray()
+
+    def add(tag, vtype, values):
+        entries.append((tag, vtype, values))
+
+    add(256, 4, [w]); add(257, 4, [h]); add(258, 3, [8 * item] * spp)
+    add(259, 3, [comp]); add(262, 3, [1 if spp == 1 else 2])
+    add(277, 3, [spp])
+    add(322, 4, [tw]); add(323, 4, [tl])
+    add(324, 4, offs); add(325, 4, [len(t) for t in tiles])
+    if predictor:
+        add(317, 3, [2])
+    entries.sort()
+    ifd_off = len(body)
+    size_of = {3: 2, 4: 4}
+    fmt_of = {3: "H", 4: "I"}
+    after = ifd_off + 2 + 12 * len(entries) + 4
+    ifd = bytearray(_struct.pack(bo + "H", len(entries)))
+    for tag, vtype, values in entries:
+        packed = _struct.pack(bo + fmt_of[vtype] * len(values), *values)
+        ifd += _struct.pack(bo + "HHI", tag, vtype, len(values))
+        if size_of[vtype] * len(values) <= 4:
+            ifd += packed.ljust(4, b"\x00")
+        else:
+            ifd += _struct.pack(bo + "I", after + len(extra))
+            extra += packed
+    ifd += _struct.pack(bo + "I", 0)
+    body += ifd + extra
+    out = bytearray(body)
+    out[4:8] = _struct.pack(bo + "I", ifd_off)
+    return bytes(out)
+
+
+def test_tiled_tiff_roundtrip_all_compressions():
+    """Tiled layout: fixed-size padded tiles reassemble exactly with
+    edge cropping, for uncompressed, PackBits and LZW(+predictor),
+    gray and RGB, including non-divisible image extents."""
+    rng = np.random.default_rng(51)
+    px = rng.integers(0, 256, size=(7, 10, 3), dtype=np.uint8)
+    for kw in ({}, {"packbits": True}, {"lzw": True},
+               {"lzw": True, "predictor": True}):
+        out = decode_tiff(_build_tiled_tiff(px, 4, 3, **kw))
+        assert np.array_equal(out, px), kw
+    g = rng.integers(0, 256, size=(5, 9), dtype=np.uint8)
+    assert np.array_equal(decode_tiff(_build_tiled_tiff(g, 4, 4)), g)
+    # 16-bit tiles, both byte orders
+    px16 = rng.integers(0, 65536, size=(5, 6), dtype=np.uint16)
+    for bo in ("<", ">"):
+        out16 = decode_tiff(_build_tiled_tiff(px16, 4, 2, bo=bo))
+        assert out16.dtype == np.uint16
+        assert np.array_equal(out16, px16), bo
+
+
+def test_tiled_tiff_guards():
+    """Tile-table inconsistencies and truncated tiles fail loudly."""
+    import struct as _struct
+
+    rng = np.random.default_rng(52)
+    px = rng.integers(0, 256, size=(6, 6, 3), dtype=np.uint8)
+    tif = _build_tiled_tiff(px, 4, 4)
+    # claim a wrong tile grid (TileWidth 2 → 3x2 grid expected vs the
+    # 2x2 = 4 tiles actually present)
+    t = bytearray(tif)
+    idx = t.find(_struct.pack("<HHI", 322, 4, 1))
+    t[idx + 8 : idx + 12] = _struct.pack("<I", 2)
+    with pytest.raises(ValueError, match="tile count mismatch"):
+        decode_tiff(bytes(t))
+    # truncated tile payload
+    with pytest.raises(ValueError):
+        decode_tiff(tif[: len(tif) // 2])
