@@ -262,3 +262,174 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = pagerank(edges)
     return out.select("node", F.round("r", 6).alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting — degree-ordered orientation (the O(m^1.5) trick)
+# ---------------------------------------------------------------------------
+
+
+def count_triangles(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected (multi-)edge list →
+    ``(node, triangles)`` for every node of the graph.
+
+    The scalable formulation: canonicalize to distinct undirected
+    edges, rank nodes by (degree, id), orient every edge from the
+    LOWER rank to the higher, enumerate wedges by joining the oriented
+    list with itself on the apex, and close each wedge with one more
+    equi-join. Orienting by degree bounds every out-neighborhood by
+    ~sqrt(m), so wedge fan-out is O(m^1.5) TOTAL regardless of skew —
+    the hub that would explode a naive neighbor join has the HIGHEST
+    rank and therefore out-degree ~0. Three key-partitioned shuffles
+    (degree agg, wedge join, closing join), no cartesian anywhere."""
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    und = (
+        e.select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # dense rank by (degree, id): a total order, so orientation is a DAG
+    from pyspark.sql import Window
+
+    rk = deg.withColumn(
+        "rk", F.row_number().over(Window.orderBy("deg", "node"))
+    ).select("node", "rk")
+    ranked = (
+        und.join(rk.withColumnRenamed("node", "a").withColumnRenamed("rk", "ra"), "a")
+        .join(rk.withColumnRenamed("node", "b").withColumnRenamed("rk", "rb"), "b")
+    )
+    oriented = ranked.select(
+        F.when(F.col("ra") < F.col("rb"), F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(F.col("ra") < F.col("rb"), F.col("b")).otherwise(F.col("a")).alias("hi"),
+        F.least("ra", "rb").alias("rlo"),
+        F.greatest("ra", "rb").alias("rhi"),
+    )
+    o1 = oriented.select(
+        F.col("lo").alias("apex"),
+        F.col("hi").alias("x"),
+        F.col("rhi").alias("rx"),
+    )
+    o2 = oriented.select(
+        F.col("lo").alias("apex"),
+        F.col("hi").alias("y"),
+        F.col("rhi").alias("ry"),
+    )
+    wedges = o1.join(o2, "apex").filter(F.col("rx") < F.col("ry"))
+    closing = oriented.select(
+        F.col("lo").alias("x"), F.col("hi").alias("y")
+    )
+    tri = wedges.join(closing, ["x", "y"]).select("apex", "x", "y")
+    per_node = (
+        tri.select(F.explode(F.array("apex", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.select("node")
+        .join(per_node, "node", "left")
+        .select(
+            "node",
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+        )
+    )
+
+
+# Parts co-purchased within one order, over the keyed 1/10 order
+# sample (l_orderkey % 10 — deterministic, SQL-restatable, and the
+# fraction is scale-invariant). The PART graph stays sparse as data
+# grows (parts scale with SF; the supplier graph went complete at
+# sf0.01 and wedge-heavy at sf0.1 — measured 21 s/round).
+_TRI_EDGES_SQL = """
+        SELECT DISTINCT LEAST(x.l_partkey, y.l_partkey) AS a,
+                        GREATEST(x.l_partkey, y.l_partkey) AS b
+        FROM lineitem x
+        JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+                       AND x.l_partkey != y.l_partkey
+        WHERE x.l_orderkey % 10 = 0
+"""
+
+
+def _triangles_oracle() -> str:
+    return f"""
+        WITH und AS MATERIALIZED ({_TRI_EDGES_SQL}),
+        deg AS MATERIALIZED (
+            SELECT node, COUNT(*) AS deg FROM (
+                SELECT a AS node FROM und
+                UNION ALL SELECT b FROM und
+            ) GROUP BY node
+        ),
+        rk AS MATERIALIZED (
+            SELECT node, ROW_NUMBER() OVER (ORDER BY deg, node) AS rk
+            FROM deg
+        ),
+        oriented AS MATERIALIZED (
+            SELECT CASE WHEN ra.rk < rb.rk THEN u.a ELSE u.b END AS lo,
+                   CASE WHEN ra.rk < rb.rk THEN u.b ELSE u.a END AS hi,
+                   LEAST(ra.rk, rb.rk) AS rlo,
+                   GREATEST(ra.rk, rb.rk) AS rhi
+            FROM und u
+            JOIN rk ra ON ra.node = u.a
+            JOIN rk rb ON rb.node = u.b
+        ),
+        tri AS MATERIALIZED (
+            SELECT o1.apex, o1.x, o2.y
+            FROM (SELECT lo AS apex, hi AS x, rhi AS rx FROM oriented) o1
+            JOIN (SELECT lo AS apex, hi AS y, rhi AS ry FROM oriented) o2
+              ON o1.apex = o2.apex AND o1.rx < o2.ry
+            JOIN (SELECT lo AS x, hi AS y FROM oriented) c
+              ON c.x = o1.x AND c.y = o2.y
+        )
+        SELECT d.node,
+               CAST(COALESCE(t.triangles, 0) AS BIGINT) AS triangles
+        FROM deg d
+        LEFT JOIN (
+            SELECT node, COUNT(*) AS triangles FROM (
+                SELECT apex AS node FROM tri
+                UNION ALL SELECT x FROM tri
+                UNION ALL SELECT y FROM tri
+            ) GROUP BY node
+        ) t USING (node)
+    """
+
+
+@register(
+    "graph_triangles",
+    oracle=_triangles_oracle(),
+    tags=("graph", "extension"),
+    window_rank=1,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts over the co-purchase graph (parts
+    sharing an order are adjacent; keyed 1/10 order sample) — the
+    classic cohesion signal, computed with the degree-ordered
+    orientation that keeps wedge fan-out O(m^1.5) under ANY skew.
+    Value-checked: the oracle re-derives the same graph, ranking,
+    orientation and closing joins in SQL (integer-exact end to end)."""
+    li = (
+        spread(read_table(spark, sf_dir, "lineitem"))
+        .filter((F.col("l_orderkey") % 10) == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    x = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
+    )
+    y = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
+    )
+    edges = (
+        x.join(y, "ok")
+        .filter(F.col("u") != F.col("v"))
+        .select("u", "v")
+    )
+    return count_triangles(edges, src="u", dst="v")

@@ -1516,3 +1516,22 @@ def test_fuzzy_pairs_complete_on_random_strings(spark):
             f"d={d}: missing {sorted(set(want) - set(got))[:5]} "
             f"extra {sorted(set(got) - set(want))[:5]}"
         )
+
+
+def test_count_triangles_known_graph_and_multi_edges(spark):
+    """Triangle counts on a hand-checkable graph: K4 plus a pendant
+    (every K4 vertex is in C(3,2)=3 triangles, the pendant in none);
+    multi-edges and both directions collapse to one undirected edge."""
+    from cae_polars_tools_spark.operators.graph import count_triangles
+
+    edges = [(a, b) for a in range(4) for b in range(4) if a != b]
+    edges += [(3, 4), (4, 3), (3, 4)]  # pendant with duplicates
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["triangles"] for r in count_triangles(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 4: 0}
+    # a hub star (no triangles) must not explode nor miscount
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 30)], "src long, dst long"
+    )
+    got2 = {r["node"]: r["triangles"] for r in count_triangles(star).collect()}
+    assert set(got2.values()) == {0}
