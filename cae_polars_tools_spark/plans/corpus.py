@@ -2785,3 +2785,46 @@ def q66_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.lead("ts").over(w)).alias("valid_to_us"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+@register(
+    "q67_distribution_ranks",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderpriority,
+               NTILE(4) OVER w AS quartile,
+               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+               ROUND(CUME_DIST() OVER w, 6) AS cume
+        FROM orders
+        WINDOW w AS (
+            PARTITION BY o_orderpriority
+            ORDER BY o_totalprice, o_orderkey
+        )
+    """,
+    tags=("window", "ranking", "extension"),
+    window_rank=1,
+)
+def q67_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution-rank window family (ntile / percent_rank /
+    cume_dist) — quartile bucketing and relative standing of every
+    order within its priority class, the standard percentile-bucketing
+    idiom (q40 covers the positional ranks; these are the
+    distributional ones).
+
+    One (priority) partitioning serves all three functions — a single
+    shuffle; the ``(o_totalprice, o_orderkey)`` total order makes
+    ntile's bucket boundaries engine-deterministic under price ties,
+    and the 1e-6 rounding absorbs the division's representational
+    quirks between engines."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
