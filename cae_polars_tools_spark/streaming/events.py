@@ -407,3 +407,102 @@ def cap_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC upsert: foreachBatch → copy-on-write MERGE, versioned
+# target with an atomic pointer flip — the lakehouse ingestion loop.
+# ---------------------------------------------------------------------------
+
+_CURRENT = "_CURRENT.json"
+
+
+def read_current(spark: SparkSession, target_root: str) -> DataFrame:
+    """Read the upsert target's CURRENT version (the pointer file's
+    directory). Readers never observe a half-merged state: versions
+    are immutable and the pointer flips only after a version is fully
+    written."""
+    import json
+    import os
+
+    with open(os.path.join(target_root, _CURRENT)) as fh:
+        meta = json.load(fh)
+    return spark.read.parquet(
+        os.path.join(target_root, meta["version_dir"])
+    )
+
+
+def cow_upsert_sink(target_root: str, keys: list[str], order_col: str):
+    """``foreachBatch`` sink upserting each micro-batch into a
+    versioned copy-on-write parquet target — the streaming CDC
+    ingestion loop composed from this engine's own storage primitive
+    (``storage.merge_parquet``):
+
+    * the batch first compacts to latest-per-key (row_number over
+      ``keys`` by ``(order_col DESC)`` with a deterministic total
+      order) — the q59 idiom, so one micro-batch carrying several
+      updates of a key applies only the newest;
+    * the compacted batch MERGEs into the current version: only
+      target files containing a matched key rewrite, the rest copy
+      byte-for-byte (at 100 TB: a handful of rewrites per batch on a
+      key-clustered layout);
+    * the pointer file flips LAST, recording the micro-batch id —
+      a replayed batch (foreachBatch's at-least-once contract) is
+      detected and SKIPPED, upgrading the sink to effectively-once.
+
+    Returns the ``(batch_df, batch_id)`` callable for
+    ``writeStream.foreachBatch``."""
+    import json
+    import os
+
+    from pyspark.sql import Window as W
+
+    from cae_polars_tools_spark.storage import merge_parquet
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not batch_df.columns or batch_df.isEmpty():
+            return
+        cur_path = os.path.join(target_root, _CURRENT)
+        meta = None
+        if os.path.exists(cur_path):
+            with open(cur_path) as fh:
+                meta = json.load(fh)
+            if batch_id <= meta["batch_id"]:
+                return  # replayed batch: already applied
+        w = W.partitionBy(*keys).orderBy(
+            F.col(order_col).desc(), *[F.col(k) for k in keys]
+        )
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if meta is None:
+            version_dir = "v0"
+            latest.write.mode("errorifexists").parquet(
+                os.path.join(target_root, version_dir)
+            )
+        else:
+            version_dir = f"v{meta['version'] + 1}"
+            merge_parquet(
+                spark,
+                os.path.join(target_root, meta["version_dir"]),
+                latest,
+                keys,
+                os.path.join(target_root, version_dir),
+            )
+        version = 0 if meta is None else meta["version"] + 1
+        tmp = cur_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "version": version,
+                    "version_dir": version_dir,
+                    "batch_id": batch_id,
+                },
+                fh,
+            )
+        os.replace(tmp, cur_path)  # atomic pointer flip
+
+    return sink

@@ -544,3 +544,87 @@ def test_map_only_text_operators_run_on_streams(spark, sf_small, tmp_path):
         r["doc_id"]: r["keep"] for r in quality_filter(docs).collect()
     }
     assert got_q == want_q
+
+
+def test_streaming_cow_upsert_matches_batch_latest_per_key(spark, tmp_path):
+    """The streaming CDC loop: micro-batches of keyed updates upsert
+    into a versioned copy-on-write target (foreachBatch →
+    merge_parquet, atomic pointer flip). The final table must equal
+    the batch latest-per-key view of ALL updates, replayed batches
+    must be skipped (effectively-once), and within-batch duplicates
+    of a key must apply only the newest."""
+    import json
+    import os
+
+    from cae_polars_tools_spark.streaming.events import (
+        cow_upsert_sink,
+        read_current,
+    )
+
+    src = str(tmp_path / "updates")
+    os.makedirs(src)
+    # batch 0: initial states; batch 1: updates incl. a within-batch
+    # double-update of key 1 and a brand-new key 4
+    b0 = spark.createDataFrame(
+        [(1, 10, "a"), (2, 11, "b"), (3, 12, "c")],
+        "k long, seq long, val string",
+    )
+    b1 = spark.createDataFrame(
+        [(1, 20, "a2"), (1, 21, "a3"), (4, 22, "d")],
+        "k long, seq long, val string",
+    )
+    b0.coalesce(1).write.parquet(os.path.join(src, "f0"))
+    target = str(tmp_path / "table")
+    os.makedirs(target)
+
+    sink = cow_upsert_sink(target, keys=["k"], order_col="seq")
+    stream = (
+        spark.readStream.schema("k long, seq long, val string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got0 = {
+        (r["k"], r["seq"], r["val"]) for r in read_current(spark, target).collect()
+    }
+    assert got0 == {(1, 10, "a"), (2, 11, "b"), (3, 12, "c")}
+
+    b1.coalesce(1).write.parquet(os.path.join(src, "f1"))
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["k"], r["seq"], r["val"]) for r in read_current(spark, target).collect()
+    }
+    assert got == {
+        (1, 21, "a3"),  # within-batch newest wins
+        (2, 11, "b"),
+        (3, 12, "c"),
+        (4, 22, "d"),
+    }
+    with open(os.path.join(target, "_CURRENT.json")) as fh:
+        meta = json.load(fh)
+    assert meta["version"] == 1 and meta["batch_id"] >= 1
+
+    # replay: re-applying an already-recorded batch id is a no-op
+    sink(b1, meta["batch_id"])
+    with open(os.path.join(target, "_CURRENT.json")) as fh:
+        meta2 = json.load(fh)
+    assert meta2 == meta
+    # and a fresh higher batch id applies normally
+    b2 = spark.createDataFrame([(2, 30, "b2")], "k long, seq long, val string")
+    sink(b2, meta["batch_id"] + 1)
+    got2 = {
+        (r["k"], r["val"]) for r in read_current(spark, target).collect()
+    }
+    assert (2, "b2") in got2 and len(got2) == 4
