@@ -55,3 +55,17 @@ def test_multimodal_example_runs(spark, capsys, monkeypatch):
     assert "Multimodal demo complete." in out
     assert "image features" in out
     assert "multi-probe LSH" in out
+
+
+def test_ann_example_runs(spark, capsys, monkeypatch):
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    )
+    ex = importlib.import_module("examples.ann_usage")
+    monkeypatch.setattr(sys, "argv", ["ann_usage.py"])
+    ex.main()
+    out = capsys.readouterr().out
+    assert "ANN demo complete." in out
+    assert "IVF-PQ + exact re-rank" in out
+    assert "PCA: projected" in out
