@@ -104,6 +104,18 @@ def main() -> None:
             t0 = time.perf_counter()
             materialize(spec.build(spark, sf_dir))
             samples[name].append(time.perf_counter() - t0)
+        # Between rounds, nudge the JVM to release codegen
+        # classloaders and other round-scoped garbage: at 124 entries
+        # per round the shared session accumulates compilation/GC
+        # pressure and later rounds drift upward (round 8 measured
+        # first-round samples at historical values with rounds 2-3
+        # +10-30% — see BENCHNOTES.md); a bounded explicit GC between
+        # rounds costs ~0.1 s and keeps the medians measuring the
+        # queries, not the harness's residue.
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
 
     timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
     total = round(sum(timings.values()), 3)

@@ -109,7 +109,9 @@ def get_spark(
         # heap has OOMed under 32 concurrent codegen-heavy tasks. On a
         # real cluster spark-submit owns memory sizing — this only
         # applies when the session is created in-process (local mode).
-        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"),
+        # (6g since round 8: the 124-entry bench loop's codegen/GC
+        # residue drifted later rounds upward on a 4g heap.)
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "6g"),
     }
     if extra_conf:
         conf.update(extra_conf)
