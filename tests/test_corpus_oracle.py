@@ -88,6 +88,7 @@ SF01_SENSITIVE = (
     "ann_ivf_topk",
     "ann_ivfpq_topk",
     "dedup_semantic",
+    "q67_distribution_ranks",  # rounded rank divisions under volume
 )
 
 
