@@ -276,14 +276,26 @@ def count_triangles(
     ``(node, triangles)`` for every node of the graph.
 
     The scalable formulation: canonicalize to distinct undirected
-    edges, rank nodes by (degree, id), orient every edge from the
-    LOWER rank to the higher, enumerate wedges by joining the oriented
-    list with itself on the apex, and close each wedge with one more
-    equi-join. Orienting by degree bounds every out-neighborhood by
-    ~sqrt(m), so wedge fan-out is O(m^1.5) TOTAL regardless of skew —
-    the hub that would explode a naive neighbor join has the HIGHEST
-    rank and therefore out-degree ~0. Three key-partitioned shuffles
-    (degree agg, wedge join, closing join), no cartesian anywhere."""
+    edges, order nodes by the (degree, id) pair — a total order, since
+    ids are distinct — orient every edge from the LOWER (degree, id)
+    to the higher, enumerate wedges by joining the oriented list with
+    itself on the apex, and close each wedge with one more equi-join.
+    Orienting by degree bounds every out-neighborhood by ~sqrt(m), so
+    wedge fan-out is O(m^1.5) TOTAL regardless of skew — the hub that
+    would explode a naive neighbor join has the HIGHEST order and
+    therefore out-degree ~0.
+
+    The total order is taken DIRECTLY as lexicographic comparison of
+    ``struct(deg, node)`` (Spark struct comparison), never as a
+    materialized global rank: a ``row_number`` over an unpartitioned
+    window would funnel every node through a single partition — the
+    one plan shape that cannot survive a 100x scale-up. With the
+    struct comparison the whole pipeline is key-partitioned shuffles
+    only (degree agg, two degree-attach joins, wedge join, closing
+    join); no SinglePartition exchange, no cartesian anywhere. The
+    orientation (and therefore the result) is provably identical to
+    the rank formulation because ``row_number() OVER (ORDER BY deg,
+    node)`` is monotone in exactly this pair."""
     e = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).filter(F.col("u") != F.col("v"))
@@ -299,33 +311,40 @@ def count_triangles(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    # dense rank by (degree, id): a total order, so orientation is a DAG
-    from pyspark.sql import Window
-
-    rk = deg.withColumn(
-        "rk", F.row_number().over(Window.orderBy("deg", "node"))
-    ).select("node", "rk")
-    ranked = (
-        und.join(rk.withColumnRenamed("node", "a").withColumnRenamed("rk", "ra"), "a")
-        .join(rk.withColumnRenamed("node", "b").withColumnRenamed("rk", "rb"), "b")
+    # (degree, id) is already a total order (ids distinct within an
+    # edge list), so orientation is a DAG — compare the pair directly
+    # with lexicographic struct comparison instead of materializing a
+    # row_number over an unpartitioned window (which would be a
+    # SinglePartition exchange: every node through one task).
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("degb"))
+    keyed = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            F.struct(F.col("dega").alias("d"), F.col("a").alias("n")).alias("ka"),
+            F.struct(F.col("degb").alias("d"), F.col("b").alias("n")).alias("kb"),
+        )
     )
-    oriented = ranked.select(
-        F.when(F.col("ra") < F.col("rb"), F.col("a")).otherwise(F.col("b")).alias("lo"),
-        F.when(F.col("ra") < F.col("rb"), F.col("b")).otherwise(F.col("a")).alias("hi"),
-        F.least("ra", "rb").alias("rlo"),
-        F.greatest("ra", "rb").alias("rhi"),
+    a_first = F.col("ka") < F.col("kb")
+    oriented = keyed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        F.when(a_first, F.col("kb")).otherwise(F.col("ka")).alias("khi"),
     )
     o1 = oriented.select(
         F.col("lo").alias("apex"),
         F.col("hi").alias("x"),
-        F.col("rhi").alias("rx"),
+        F.col("khi").alias("kx"),
     )
     o2 = oriented.select(
         F.col("lo").alias("apex"),
         F.col("hi").alias("y"),
-        F.col("rhi").alias("ry"),
+        F.col("khi").alias("ky"),
     )
-    wedges = o1.join(o2, "apex").filter(F.col("rx") < F.col("ry"))
+    wedges = o1.join(o2, "apex").filter(F.col("kx") < F.col("ky"))
     closing = oriented.select(
         F.col("lo").alias("x"), F.col("hi").alias("y")
     )

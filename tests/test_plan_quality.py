@@ -553,3 +553,16 @@ def test_q66_scd2_single_partitioning(spark):
     mean the windows disagree on ordering keys."""
     plan = _plan(spark, "q66_scd2_history")
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_triangles_has_no_single_partition_exchange(spark):
+    """graph_triangles: edge orientation must ride the lexicographic
+    (deg, node) struct comparison, never a row_number over an
+    unpartitioned window — that window is a SinglePartition exchange
+    that funnels every node of the graph through one task. The whole
+    pipeline must be key-partitioned shuffles and equi-joins only."""
+    plan = _plan(spark, "graph_triangles")
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan, plan
