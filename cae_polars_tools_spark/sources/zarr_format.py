@@ -142,10 +142,25 @@ class LocalByteStore(ByteStore):
             return f.read(length)
 
     def put(self, key: str, data: bytes) -> None:
+        # write-then-rename: readers of an existing key (metadata
+        # pointers, chunk overwrites) see the old bytes or the new
+        # ones, never a torn file — matching object-store PUT
+        # semantics so callers can rely on atomic visibility
+        # regardless of which ByteStore backs them
+        import tempfile
+
         p = os.path.join(self.root, key)
-        os.makedirs(os.path.dirname(p), exist_ok=True)
-        with open(p, "wb") as f:
-            f.write(data)
+        d = os.path.dirname(p)
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, prefix=".__put__")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(data)
+            os.replace(tmp, p)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+            raise
 
     def delete_prefix(self, prefix: str = "") -> None:
         import shutil

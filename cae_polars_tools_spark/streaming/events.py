@@ -417,31 +417,55 @@ def cap_stream(
 _CURRENT = "_CURRENT.json"
 
 
+def _pointer_store(target_root: str):
+    """The upsert target's pointer I/O rides the ByteStore seam (the
+    same local/http/fsspec ladder every zarr path uses), so the sink
+    is store-agnostic: local filesystems get a true atomic
+    ``os.replace`` flip, object stores get single-object PUT (atomic
+    visibility per S3/GCS semantics — readers see the old pointer or
+    the new one, never a torn write)."""
+    from cae_polars_tools_spark.sources.zarr_format import ByteStore
+
+    return ByteStore.for_path(target_root)
+
+
 def read_current(spark: SparkSession, target_root: str) -> DataFrame:
     """Read the upsert target's CURRENT version (the pointer file's
     directory). Readers never observe a half-merged state: versions
     are immutable and the pointer flips only after a version is fully
     written."""
     import json
-    import os
 
-    with open(os.path.join(target_root, _CURRENT)) as fh:
-        meta = json.load(fh)
+    raw = _pointer_store(target_root).get(_CURRENT)
+    if raw is None:
+        raise FileNotFoundError(
+            f"no {_CURRENT} pointer under {target_root}"
+        )
+    meta = json.loads(raw)
     return spark.read.parquet(
-        os.path.join(target_root, meta["version_dir"])
+        f"{target_root.rstrip('/')}/{meta['version_dir']}"
     )
 
 
-def cow_upsert_sink(target_root: str, keys: list[str], order_col: str):
+def cow_upsert_sink(
+    target_root: str,
+    keys: list[str],
+    order_col: str,
+    tiebreak: list[str] | None = None,
+):
     """``foreachBatch`` sink upserting each micro-batch into a
     versioned copy-on-write parquet target — the streaming CDC
     ingestion loop composed from this engine's own storage primitive
     (``storage.merge_parquet``):
 
-    * the batch first compacts to latest-per-key (row_number over
-      ``keys`` by ``(order_col DESC)`` with a deterministic total
-      order) — the q59 idiom, so one micro-batch carrying several
-      updates of a key applies only the newest;
+    * the batch first compacts to latest-per-key — row_number over
+      ``keys`` by ``(order_col DESC, *tiebreak DESC)``, the q59/q64
+      ``(ts, event_id)`` convention — so one micro-batch carrying
+      several updates of a key applies only the newest. ``tiebreak``
+      defaults to every remaining non-key column (name-sorted), which
+      makes the pick a deterministic function of row CONTENT even
+      when two updates of one key carry an identical ``order_col``:
+      redelivered batches compact byte-identically;
     * the compacted batch MERGEs into the current version: only
       target files containing a matched key rewrite, the rest copy
       byte-for-byte (at 100 TB: a handful of rewrites per batch on a
@@ -450,10 +474,15 @@ def cow_upsert_sink(target_root: str, keys: list[str], order_col: str):
       a replayed batch (foreachBatch's at-least-once contract) is
       detected and SKIPPED, upgrading the sink to effectively-once.
 
+    Crash safety: the pointer flips LAST, so a crash after the new
+    version is written but before the flip leaves an ORPHAN
+    ``v{n+1}`` directory the pointer never referenced. On replay the
+    sink detects and clears it before rewriting — readers only ever
+    followed the pointer, so the cleanup races nothing.
+
     Returns the ``(batch_df, batch_id)`` callable for
     ``writeStream.foreachBatch``."""
     import json
-    import os
 
     from pyspark.sql import Window as W
 
@@ -463,46 +492,54 @@ def cow_upsert_sink(target_root: str, keys: list[str], order_col: str):
         spark = batch_df.sparkSession
         if not batch_df.columns or batch_df.isEmpty():
             return
-        cur_path = os.path.join(target_root, _CURRENT)
+        store = _pointer_store(target_root)
+        root = target_root.rstrip("/")
         meta = None
-        if os.path.exists(cur_path):
-            with open(cur_path) as fh:
-                meta = json.load(fh)
+        raw = store.get(_CURRENT)
+        if raw is not None:
+            meta = json.loads(raw)
             if batch_id <= meta["batch_id"]:
                 return  # replayed batch: already applied
+        tb = tiebreak
+        if tb is None:
+            tb = sorted(
+                c
+                for c in batch_df.columns
+                if c not in keys and c != order_col
+            )
         w = W.partitionBy(*keys).orderBy(
-            F.col(order_col).desc(), *[F.col(k) for k in keys]
+            F.col(order_col).desc(), *[F.col(c).desc() for c in tb]
         )
         latest = (
             batch_df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
+        version = 0 if meta is None else meta["version"] + 1
+        version_dir = f"v{version}"
+        if store.list_prefix(version_dir):
+            # orphan from a crash between version-write and pointer
+            # flip: never referenced by the pointer, safe to clear
+            store.delete_prefix(version_dir)
         if meta is None:
-            version_dir = "v0"
             latest.write.mode("errorifexists").parquet(
-                os.path.join(target_root, version_dir)
+                f"{root}/{version_dir}"
             )
         else:
-            version_dir = f"v{meta['version'] + 1}"
             merge_parquet(
                 spark,
-                os.path.join(target_root, meta["version_dir"]),
+                f"{root}/{meta['version_dir']}",
                 latest,
                 keys,
-                os.path.join(target_root, version_dir),
+                f"{root}/{version_dir}",
             )
-        version = 0 if meta is None else meta["version"] + 1
-        tmp = cur_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(
-                {
-                    "version": version,
-                    "version_dir": version_dir,
-                    "batch_id": batch_id,
-                },
-                fh,
-            )
-        os.replace(tmp, cur_path)  # atomic pointer flip
+        payload = json.dumps(
+            {
+                "version": version,
+                "version_dir": version_dir,
+                "batch_id": batch_id,
+            }
+        ).encode()
+        store.put(_CURRENT, payload)  # atomic pointer flip
 
     return sink

@@ -628,3 +628,89 @@ def test_streaming_cow_upsert_matches_batch_latest_per_key(spark, tmp_path):
         (r["k"], r["val"]) for r in read_current(spark, target).collect()
     }
     assert (2, "b2") in got2 and len(got2) == 4
+
+
+def test_cow_upsert_tied_order_col_is_deterministic(spark, tmp_path):
+    """Two updates of one key with an IDENTICAL order_col must compact
+    to a deterministic winner (the q59/q64 tie-break convention: the
+    default tiebreak orders by every remaining column, so the pick is
+    a function of row content, not partition layout). A redelivered
+    batch with shuffled input order must produce byte-identical state."""
+    import os
+
+    from cae_polars_tools_spark.streaming.events import (
+        cow_upsert_sink,
+        read_current,
+    )
+
+    rows = [(1, 5, "x"), (1, 5, "z"), (1, 5, "y"), (2, 5, "q")]
+    schema = "k long, seq long, val string"
+
+    t1 = str(tmp_path / "t1")
+    t2 = str(tmp_path / "t2")
+    os.makedirs(t1)
+    os.makedirs(t2)
+    sink1 = cow_upsert_sink(t1, keys=["k"], order_col="seq")
+    sink2 = cow_upsert_sink(t2, keys=["k"], order_col="seq")
+    # same logical batch, opposite physical order + different layout
+    sink1(spark.createDataFrame(rows, schema).repartition(4), 0)
+    sink2(
+        spark.createDataFrame(list(reversed(rows)), schema).coalesce(1), 0
+    )
+    got1 = {(r["k"], r["seq"], r["val"]) for r in read_current(spark, t1).collect()}
+    got2 = {(r["k"], r["seq"], r["val"]) for r in read_current(spark, t2).collect()}
+    assert got1 == got2
+    # default tiebreak = remaining cols DESC → val 'z' wins for key 1
+    assert got1 == {(1, 5, "z"), (2, 5, "q")}
+
+    # explicit tiebreak column overrides the default
+    t3 = str(tmp_path / "t3")
+    os.makedirs(t3)
+    sink3 = cow_upsert_sink(
+        t3, keys=["k"], order_col="seq", tiebreak=["val"]
+    )
+    sink3(spark.createDataFrame(rows, schema), 0)
+    got3 = {(r["k"], r["val"]) for r in read_current(spark, t3).collect()}
+    assert got3 == {(1, "z"), (2, "q")}
+
+
+def test_cow_upsert_recovers_from_crash_before_pointer_flip(spark, tmp_path):
+    """Fault injection: a crash AFTER the new version directory is
+    written but BEFORE the pointer flips leaves an orphan v{n+1} the
+    pointer never referenced. The replayed batch must clear the
+    orphan and apply cleanly; readers (who only follow the pointer)
+    never saw the orphan."""
+    import json
+    import os
+
+    from cae_polars_tools_spark.streaming.events import (
+        cow_upsert_sink,
+        read_current,
+    )
+
+    schema = "k long, seq long, val string"
+    target = str(tmp_path / "table")
+    os.makedirs(target)
+    sink = cow_upsert_sink(target, keys=["k"], order_col="seq")
+    sink(spark.createDataFrame([(1, 1, "a"), (2, 1, "b")], schema), 0)
+
+    # simulate the crash: materialize v1 (what batch 1 WOULD write)
+    # without flipping the pointer — an orphan version directory
+    orphan = spark.createDataFrame([(1, 99, "TORN")], schema)
+    orphan.write.parquet(os.path.join(target, "v1"))
+    with open(os.path.join(target, "_CURRENT.json")) as fh:
+        assert json.load(fh)["version"] == 0  # pointer untouched
+    # readers still see v0
+    got = {(r["k"], r["val"]) for r in read_current(spark, target).collect()}
+    assert got == {(1, "a"), (2, "b")}
+
+    # redelivered batch 1: must clear the orphan and apply
+    sink(spark.createDataFrame([(1, 2, "a2")], schema), 1)
+    got = {
+        (r["k"], r["seq"], r["val"])
+        for r in read_current(spark, target).collect()
+    }
+    assert got == {(1, 2, "a2"), (2, 1, "b")}
+    with open(os.path.join(target, "_CURRENT.json")) as fh:
+        meta = json.load(fh)
+    assert meta["version"] == 1 and meta["batch_id"] == 1
