@@ -8,10 +8,12 @@ planar (PlanarConfiguration 2) layouts, uncompressed (1), LZW (5,
 MSB-first with early change, incl. the horizontal-differencing
 predictor), PackBits (32773), and new-style JPEG (7, per-strip JPEG
 streams + shared ``JPEGTables`` splicing, decoded by the repo's own
-baseline JPEG decoder), and TILED layouts (§15: fixed-size padded
-tiles, per-tile compression + predictor, edge crop). Old-style JPEG
-(6) and the planar/sub-byte × tiled combinations raise loud
-``NotImplementedError``.
+baseline JPEG decoder), old-style JPEG (6, the §22 interchange-stream
+form via ``JPEGInterchangeFormat`` or concatenated strips; the
+TechNote-2-deprecated per-table reconstruction stays behind a loud
+seam), and TILED layouts (§15: fixed-size padded tiles, per-tile
+compression + predictor, edge crop, chunky AND plane-major planar
+grids, and MSB-packed sub-byte grayscale tiles).
 
 Reference parity: the reference engine has no media operators
 (`/root/reference/src` is the zarr data-access layer only) — this is
@@ -44,6 +46,8 @@ _TILE_LENGTH = 323
 _TILE_OFFSETS = 324
 _TILE_COUNTS = 325
 _JPEG_TABLES = 347
+_JPEG_IF = 513  # JPEGInterchangeFormat (old-style JPEG, §22)
+_JPEG_IF_LEN = 514  # JPEGInterchangeFormatLength
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
 _TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i"}
@@ -198,6 +202,60 @@ def _decode_tiff_jpeg(
     return out
 
 
+def _decode_tiff_oldjpeg(
+    payload: bytes,
+    tags: dict,
+    w: int,
+    h: int,
+    photo: int,
+    planar: int,
+) -> np.ndarray:
+    """Old-style JPEG-in-TIFF (compression 6, TIFF 6.0 §22): the
+    interoperable form stores ONE complete JPEG interchange stream
+    located by ``JPEGInterchangeFormat``/``…Length`` (or, from some
+    writers, as the concatenated strip bytes). Decode it whole with
+    the repo's baseline decoder and crop MCU padding. The deprecated
+    per-table reconstruction variant (separate JPEGQTables/DC/AC tags,
+    no SOI anywhere — the ambiguity TechNote 2 was written to kill)
+    stays behind a loud seam."""
+    if planar != 1:
+        raise NotImplementedError("planar old-style JPEG-in-TIFF")
+    if photo not in (1, 2, 6):
+        raise NotImplementedError(
+            f"old-style JPEG-in-TIFF photometric {photo} "
+            "(gray, RGB or YCbCr)"
+        )
+    from cae_polars_tools_spark.operators.jpeg import decode_jpeg
+
+    if _JPEG_IF in tags:
+        off = tags[_JPEG_IF][0]
+        ln = tags.get(_JPEG_IF_LEN, [len(payload) - off])[0]
+        stream = payload[off : off + ln]
+        if len(stream) != ln:
+            raise ValueError("TIFF JPEGInterchangeFormat out of bounds")
+    else:
+        offsets = tags.get(_STRIP_OFFSETS)
+        counts = tags.get(_STRIP_COUNTS)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError(
+                "old-style JPEG-in-TIFF lacks both "
+                "JPEGInterchangeFormat and strip tables"
+            )
+        stream = b"".join(
+            payload[o : o + c] for o, c in zip(offsets, counts)
+        )
+    if stream[:2] != b"\xff\xd8":
+        raise NotImplementedError(
+            "old-style JPEG-in-TIFF without a complete interchange "
+            "stream (per-table reconstruction, deprecated by "
+            "TechNote 2)"
+        )
+    px = decode_jpeg(stream)
+    if px.shape[0] < h or px.shape[1] < w:
+        raise ValueError("old-style JPEG-in-TIFF smaller than declared")
+    return px[:h, :w]
+
+
 def decode_tiff(payload: bytes) -> np.ndarray:
     """Decode the FIRST page of a baseline TIFF → (H, W) uint8 gray or
     (H, W, C) uint8 RGB/RGBA. Raises ValueError on non-TIFF/corrupt
@@ -267,16 +325,35 @@ def _decode_tiff_inner(payload: bytes) -> np.ndarray:
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor}")
     if _TILE_OFFSETS in tags:
-        if planar != 1 or depth < 8:
-            raise NotImplementedError(
-                "tiled TIFF supports chunky 8-/16-bit samples"
-            )
         if comp not in (1, 5, 32773):
             raise NotImplementedError(f"tiled TIFF compression {comp}")
+        if depth < 8:
+            # tiled sub-byte grayscale: tile rows pad to byte
+            # boundaries like strip rows (§15 tiles are just fixed
+            # size strips), MSB-first packing, edge tiles cropped
+            if spp != 1 or planar != 1 or photo not in (0, 1):
+                raise NotImplementedError(
+                    "tiled sub-byte TIFF supports 1-sample grayscale only"
+                )
+            if predictor != 1:
+                raise NotImplementedError(
+                    "horizontal predictor with sub-byte samples"
+                )
+            vals = _decode_tiff_tiles_subbyte(
+                payload, tags, bo, w, h, depth, comp, one
+            )
+            g = vals * np.uint8(255 // ((1 << depth) - 1))
+            if photo == 0:
+                return np.uint8(255) - g
+            return g
         px = _decode_tiff_tiles(
-            payload, tags, bo, w, h, spp, depth, comp, predictor, one
+            payload, tags, bo, w, h, spp, depth, comp, predictor, one,
+            planar,
         )
         return _apply_photometric(px, photo, depth, spp, tags)
+
+    if comp == 6:  # old-style JPEG (§22): one interchange stream
+        return _decode_tiff_oldjpeg(payload, tags, w, h, photo, planar)
 
     offsets = tags.get(_STRIP_OFFSETS)
     counts = tags.get(_STRIP_COUNTS)
@@ -294,7 +371,7 @@ def _decode_tiff_inner(payload: bytes) -> np.ndarray:
     if comp not in (1, 5, 32773):
         raise NotImplementedError(
             f"TIFF compression {comp} (uncompressed, LZW, PackBits "
-            "and new-style JPEG)"
+            "and old-/new-style JPEG)"
         )
     if planar not in (1, 2):
         raise NotImplementedError(f"TIFF PlanarConfiguration {planar}")
@@ -442,12 +519,15 @@ def _decode_tiff_tiles(
     comp: int,
     predictor: int,
     one,
+    planar: int = 1,
 ) -> np.ndarray:
     """Tiled layout (TIFF 6.0 §15): the image is a grid of FIXED
     tw×tl tiles, edge tiles padded to full size; tiles are stored
     row-major, each compressed independently, and the horizontal
-    predictor runs per tile row. Returns the assembled (h, w, spp)
-    sample array (edge padding cropped)."""
+    predictor runs per tile row. With PlanarConfiguration 2 the grid
+    repeats once per sample, plane-major (all tiles of sample 0, then
+    sample 1, …) and each tile carries ONE sample's data. Returns the
+    assembled (h, w, spp) sample array (edge padding cropped)."""
     tw = one(_TILE_WIDTH)
     tl = one(_TILE_LENGTH)
     if tw <= 0 or tl <= 0:
@@ -458,10 +538,12 @@ def _decode_tiff_tiles(
         raise ValueError("TIFF tile tables missing or inconsistent")
     across = -(-w // tw)
     down = -(-h // tl)
-    if len(offsets) != across * down:
+    n_planes = spp if planar == 2 else 1
+    tile_spp = 1 if planar == 2 else spp
+    if len(offsets) != across * down * n_planes:
         raise ValueError("TIFF tile count mismatch")
     item = depth // 8
-    want = tl * tw * spp * item
+    want = tl * tw * tile_spp * item
     sample_dt = np.uint8 if depth == 8 else np.dtype(bo + "u2")
     out = np.zeros((h, w, spp), dtype=np.uint8 if depth == 8 else np.uint16)
     for ti, (off, cnt) in enumerate(zip(offsets, counts)):
@@ -474,7 +556,9 @@ def _decode_tiff_tiles(
             chunk = _lzw_decode_tiff(chunk, want)
         elif len(chunk) != want:
             raise ValueError("TIFF tile length mismatch")
-        tile = np.frombuffer(chunk, dtype=sample_dt).reshape(tl, tw, spp)
+        tile = np.frombuffer(chunk, dtype=sample_dt).reshape(
+            tl, tw, tile_spp
+        )
         if depth == 16:
             tile = tile.astype(np.uint16)
         if predictor == 2:
@@ -482,9 +566,66 @@ def _decode_tiff_tiles(
             tile = (
                 tile.astype(np.uint64).cumsum(axis=1) & mask
             ).astype(tile.dtype)
+        plane, gi = divmod(ti, across * down)
+        ty, tx = divmod(gi, across)
+        y0, x0 = ty * tl, tx * tw
+        ys, xs = min(tl, h - y0), min(tw, w - x0)
+        if planar == 2:
+            out[y0 : y0 + ys, x0 : x0 + xs, plane] = tile[:ys, :xs, 0]
+        else:
+            out[y0 : y0 + ys, x0 : x0 + xs] = tile[:ys, :xs]
+    return out
+
+
+def _decode_tiff_tiles_subbyte(
+    payload: bytes,
+    tags: dict,
+    bo: str,
+    w: int,
+    h: int,
+    depth: int,
+    comp: int,
+    one,
+) -> np.ndarray:
+    """Tiled 1/2/4-bit grayscale: each tile packs MSB-first with rows
+    padded to byte boundaries (a tile is just a fixed-size strip,
+    §15). Returns the (h, w) RAW sample values (0 … 2^depth − 1);
+    the caller applies the exact 8-bit expansion + photometric."""
+    tw = one(_TILE_WIDTH)
+    tl = one(_TILE_LENGTH)
+    if tw <= 0 or tl <= 0:
+        raise ValueError("TIFF tile dimensions must be positive")
+    offsets = tags.get(_TILE_OFFSETS)
+    counts = tags.get(_TILE_COUNTS)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF tile tables missing or inconsistent")
+    across = -(-w // tw)
+    down = -(-h // tl)
+    if len(offsets) != across * down:
+        raise ValueError("TIFF tile count mismatch")
+    row_bytes = (tw * depth + 7) // 8
+    want = tl * row_bytes
+    weights = 1 << np.arange(depth - 1, -1, -1, dtype=np.uint8)
+    out = np.zeros((h, w), dtype=np.uint8)
+    for ti, (off, cnt) in enumerate(zip(offsets, counts)):
+        chunk = payload[off : off + cnt]
+        if len(chunk) != cnt:
+            raise ValueError("TIFF tile out of bounds")
+        if comp == 32773:
+            chunk = _unpackbits(chunk, want)
+        elif comp == 5:
+            chunk = _lzw_decode_tiff(chunk, want)
+        elif len(chunk) != want:
+            raise ValueError("TIFF tile length mismatch")
+        packed = np.frombuffer(chunk, dtype=np.uint8).reshape(
+            tl, row_bytes
+        )
+        bits_arr = np.unpackbits(packed, axis=1)[:, : tw * depth]
+        vals = (
+            bits_arr.reshape(tl, tw, depth).astype(np.uint16) @ weights
+        ).astype(np.uint8)
         ty, tx = divmod(ti, across)
         y0, x0 = ty * tl, tx * tw
-        out[y0 : y0 + min(tl, h - y0), x0 : x0 + min(tw, w - x0)] = tile[
-            : min(tl, h - y0), : min(tw, w - x0)
-        ]
+        ys, xs = min(tl, h - y0), min(tw, w - x0)
+        out[y0 : y0 + ys, x0 : x0 + xs] = vals[:ys, :xs]
     return out

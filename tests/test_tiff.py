@@ -234,17 +234,22 @@ def test_guards_and_hostile_bytes():
 
 def test_unsupported_variants_raise_loudly():
     px = np.zeros((2, 2), dtype=np.uint8)
-    # old-style JPEG (6) stays behind the seam (7, new-style, is
-    # supported now — non-JPEG strip bytes under it fail loudly too)
+    # old-style JPEG (6) now decodes the interchange-stream form; the
+    # deprecated per-table reconstruction (strip bytes without SOI)
+    # refuses loudly, as do non-JPEG strip bytes under new-style (7)
     tif = _build_tiff(px)
     idx = tif.find(struct.pack("<HHI", 259, 3, 1))
     assert idx > 0
     t = bytearray(tif)
     t[idx + 8 : idx + 10] = struct.pack("<H", 6)
-    with pytest.raises(NotImplementedError, match="compression 6"):
+    with pytest.raises(NotImplementedError, match="interchange"):
         decode_tiff(bytes(t))
     t[idx + 8 : idx + 10] = struct.pack("<H", 7)
     with pytest.raises(ValueError, match="lacks SOI"):
+        decode_tiff(bytes(t))
+    # an unknown compression scheme is still a loud refusal
+    t[idx + 8 : idx + 10] = struct.pack("<H", 8)  # Deflate: not impl
+    with pytest.raises(NotImplementedError, match="compression 8"):
         decode_tiff(bytes(t))
 
 
@@ -611,9 +616,13 @@ def test_jpeg_in_tiff_strips_and_shared_tables():
 
 
 def _build_tiled_tiff(px, tw, tl, bo="<", packbits=False, lzw=False,
-                      predictor=False):
+                      predictor=False, planar=1, bits=8,
+                      photometric=None):
     """Independent tiled-TIFF writer (spec §15): row-major grid of
-    FIXED tw×tl tiles, edge tiles zero-padded to full size."""
+    FIXED tw×tl tiles, edge tiles zero-padded to full size. With
+    ``planar=2`` the grid repeats plane-major (all tiles of sample 0
+    first), one sample per tile; with ``bits`` in (1, 2, 4) tiles
+    pack MSB-first with byte-aligned rows."""
     import struct as _struct
 
     if px.ndim == 2:
@@ -624,23 +633,40 @@ def _build_tiled_tiff(px, tw, tl, bo="<", packbits=False, lzw=False,
     item = px3.dtype.itemsize
     across, down = -(-w // tw), -(-h // tl)
     tiles = []
-    for ty in range(down):
-        for tx in range(across):
-            block = np.zeros((tl, tw, spp), dtype=px3.dtype)
-            seg = px3[ty * tl : ty * tl + tl, tx * tw : tx * tw + tw]
-            block[: seg.shape[0], : seg.shape[1]] = seg
-            if predictor:
-                b16 = block.astype(np.int32)
-                b16[:, 1:, :] = (b16[:, 1:, :] - b16[:, :-1, :]) % (
-                    1 << (8 * item)
-                )
-                block = b16.astype(px3.dtype)
-            raw = block.tobytes() if bo == "<" else block.byteswap().tobytes()
-            if packbits:
-                raw = _packbits(raw)
-            elif lzw:
-                raw = _lzw_compress_tiff(raw)
-            tiles.append(raw)
+    plane_list = list(range(spp)) if planar == 2 else [None]
+    for plane in plane_list:
+        for ty in range(down):
+            for tx in range(across):
+                nspp = 1 if planar == 2 else spp
+                block = np.zeros((tl, tw, nspp), dtype=px3.dtype)
+                seg = px3[
+                    ty * tl : ty * tl + tl, tx * tw : tx * tw + tw
+                ]
+                if planar == 2:
+                    seg = seg[:, :, plane : plane + 1]
+                block[: seg.shape[0], : seg.shape[1]] = seg
+                if bits < 8:
+                    assert nspp == 1 and not predictor
+                    raw = _pack_subbyte_rows(
+                        block[:, :, 0], bits
+                    ).tobytes()
+                else:
+                    if predictor:
+                        b16 = block.astype(np.int32)
+                        b16[:, 1:, :] = (
+                            b16[:, 1:, :] - b16[:, :-1, :]
+                        ) % (1 << (8 * item))
+                        block = b16.astype(px3.dtype)
+                    raw = (
+                        block.tobytes()
+                        if bo == "<"
+                        else block.byteswap().tobytes()
+                    )
+                if packbits:
+                    raw = _packbits(raw)
+                elif lzw:
+                    raw = _lzw_compress_tiff(raw)
+                tiles.append(raw)
 
     comp = 32773 if packbits else (5 if lzw else 1)
     body = bytearray(
@@ -658,13 +684,19 @@ def _build_tiled_tiff(px, tw, tl, bo="<", packbits=False, lzw=False,
     def add(tag, vtype, values):
         entries.append((tag, vtype, values))
 
-    add(256, 4, [w]); add(257, 4, [h]); add(258, 3, [8 * item] * spp)
-    add(259, 3, [comp]); add(262, 3, [1 if spp == 1 else 2])
+    add(256, 4, [w]); add(257, 4, [h])
+    add(258, 3, [bits if bits < 8 else 8 * item] * spp)
+    photo = photometric if photometric is not None else (
+        1 if spp == 1 else 2
+    )
+    add(259, 3, [comp]); add(262, 3, [photo])
     add(277, 3, [spp])
     add(322, 4, [tw]); add(323, 4, [tl])
     add(324, 4, offs); add(325, 4, [len(t) for t in tiles])
     if predictor:
         add(317, 3, [2])
+    if planar != 1:
+        add(284, 3, [planar])
     entries.sort()
     ifd_off = len(body)
     size_of = {3: 2, 4: 4}
@@ -723,3 +755,130 @@ def test_tiled_tiff_guards():
     # truncated tile payload
     with pytest.raises(ValueError):
         decode_tiff(tif[: len(tif) // 2])
+
+
+def test_tiled_planar_roundtrip_all_compressions():
+    """Tiled x planar (PlanarConfiguration 2): the tile grid repeats
+    plane-major, one sample per tile — must reassemble exactly under
+    every supported compression, 8- and 16-bit, both byte orders."""
+    rng = np.random.default_rng(61)
+    px = rng.integers(0, 256, size=(7, 10, 3), dtype=np.uint8)
+    for kw in ({}, {"packbits": True}, {"lzw": True},
+               {"lzw": True, "predictor": True}):
+        out = decode_tiff(_build_tiled_tiff(px, 4, 3, planar=2, **kw))
+        assert np.array_equal(out, px), kw
+    # RGBA planar tiles
+    pxa = rng.integers(0, 256, size=(5, 5, 4), dtype=np.uint8)
+    assert np.array_equal(
+        decode_tiff(_build_tiled_tiff(pxa, 3, 2, planar=2)), pxa
+    )
+    # 16-bit planar tiles, both byte orders
+    px16 = rng.integers(0, 65536, size=(6, 5, 3), dtype=np.uint16)
+    for bo in ("<", ">"):
+        out16 = decode_tiff(_build_tiled_tiff(px16, 3, 4, bo=bo, planar=2))
+        assert out16.dtype == np.uint16
+        assert np.array_equal(out16, px16), bo
+
+
+@pytest.mark.parametrize("bits", [1, 2, 4])
+@pytest.mark.parametrize("photometric", [0, 1])
+def test_tiled_sub_byte_gray_decodes_exactly(bits, photometric):
+    """Tiled x sub-byte: MSB-packed byte-aligned tile rows expand to
+    the exact 8-bit values (same contract as the strip path), with
+    WhiteIsZero inversion and edge-tile cropping; PackBits and LZW
+    per-tile compression too."""
+    rng = np.random.default_rng(62)
+    vals = rng.integers(0, 1 << bits, size=(9, 11), dtype=np.uint8)
+    scale = 255 // ((1 << bits) - 1)
+    want = vals * scale
+    if photometric == 0:
+        want = 255 - want
+    for kw in ({}, {"packbits": True}, {"lzw": True}):
+        out = decode_tiff(
+            _build_tiled_tiff(vals, 4, 4, bits=bits,
+                              photometric=photometric, **kw)
+        )
+        assert out.dtype == np.uint8
+        assert np.array_equal(out, want), (bits, photometric, kw)
+
+
+def _build_oldjpeg_tiff(stream, w, h, photometric, via_strips=False):
+    """Old-style JPEG TIFF (compression 6): the interchange stream
+    sits in the file located by JPEGInterchangeFormat/…Length tags
+    (or, via_strips, as plain strip bytes — the other writer shape in
+    the wild)."""
+    import struct as _struct
+
+    body = bytearray(b"II*\x00\x00\x00\x00\x00")
+    stream_off = len(body)
+    body += stream
+    if len(body) % 2:
+        body += b"\x00"
+    spp = 3 if photometric in (2, 6) else 1
+    entries = []
+
+    def add(tag, vtype, values):
+        entries.append((tag, vtype, values))
+
+    add(256, 4, [w]); add(257, 4, [h]); add(258, 3, [8] * spp)
+    add(259, 3, [6]); add(262, 3, [photometric]); add(277, 3, [spp])
+    if via_strips:
+        add(273, 4, [stream_off]); add(279, 4, [len(stream)])
+        add(278, 4, [h])
+    else:
+        add(513, 4, [stream_off]); add(514, 4, [len(stream)])
+    entries.sort()
+    ifd_off = len(body)
+    size_of = {3: 2, 4: 4}
+    fmt_of = {3: "H", 4: "I"}
+    after = ifd_off + 2 + 12 * len(entries) + 4
+    extra = bytearray()
+    ifd = bytearray(_struct.pack("<H", len(entries)))
+    for tag, vtype, values in entries:
+        packed = _struct.pack("<" + fmt_of[vtype] * len(values), *values)
+        ifd += _struct.pack("<HHI", tag, vtype, len(values))
+        if size_of[vtype] * len(values) <= 4:
+            ifd += packed.ljust(4, b"\x00")
+        else:
+            ifd += _struct.pack("<I", after + len(extra))
+            extra += packed
+    ifd += _struct.pack("<I", 0)
+    body += ifd + extra
+    out = bytearray(body)
+    out[4:8] = _struct.pack("<I", ifd_off)
+    return bytes(out)
+
+
+def test_old_style_jpeg_in_tiff_interchange_stream():
+    """Old-style JPEG (compression 6, TIFF 6.0 §22): the interchange
+    stream located by JPEGInterchangeFormat decodes through the
+    baseline decoder and crops MCU padding; the strip-bytes writer
+    shape decodes identically. The deprecated per-table
+    reconstruction (no SOI) still refuses loudly."""
+    from cae_polars_tools_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(63)
+    h, w = 10, 9  # non-MCU-aligned → exercises the crop
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    stream = encode_jpeg(px, 90)
+    want = decode_jpeg(stream)[:h, :w]
+    out = decode_tiff(_build_oldjpeg_tiff(stream, w, h, 6))
+    assert out.shape == (h, w, 3)
+    assert np.array_equal(out, want)
+    # same stream delivered as strip bytes (no 513/514 tags)
+    out2 = decode_tiff(_build_oldjpeg_tiff(stream, w, h, 6,
+                                           via_strips=True))
+    assert np.array_equal(out2, want)
+    # grayscale
+    g = rng.integers(0, 256, size=(6, 5), dtype=np.uint8)
+    gs = encode_jpeg(g, 90)
+    outg = decode_tiff(_build_oldjpeg_tiff(gs, 5, 6, 1))
+    assert np.array_equal(outg, decode_jpeg(gs)[:6, :5])
+    # per-table reconstruction variant (strip bytes lack SOI)
+    with pytest.raises(NotImplementedError, match="interchange"):
+        decode_tiff(
+            _build_oldjpeg_tiff(b"\x00" * 32, 5, 6, 1, via_strips=True)
+        )
