@@ -1370,9 +1370,44 @@ def ivfpq_topk(
     )
     centroids = _lloyd_cos_parity(M, n_centroids, IVF_ITERS)
     assign = assign_udf_parity(centroids)
-    probe = probe_udf_parity(centroids, nprobe)
     codebooks = _pq_codebooks_from(M, m, n_codewords, PQ_ITERS)
     encode = pq_encode_udf(codebooks)
+
+    cand = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        assign(F.col("embedding")).alias("cl"),
+        encode(F.col("embedding")).alias("codes"),
+    )
+    return _ivfpq_query(
+        cand, queries, centroids, codebooks, k, nprobe, rerank,
+        embeddings,
+    )
+
+
+def _ivfpq_query(
+    cand: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int,
+    nprobe: int,
+    rerank: int | None,
+    embeddings: DataFrame | None,
+    prune_partitions: bool = False,
+) -> DataFrame:
+    """The IVF-PQ query stage, shared by the inline cascade
+    (:func:`ivfpq_topk`) and the persisted-index path
+    (:func:`query_ivfpq_index`): probe routing, per-query ADC tables,
+    the code-only lookup scorer, the bounded top-``keep`` cut, and
+    the optional exact re-rank. ``cand`` is the encoded corpus
+    ``(neighbor_id, cl, codes)`` — built on the fly or read from the
+    persisted codes table. With ``prune_partitions`` the probed cell
+    set (bounded: nprobe x |queries|) is applied as a static ``cl
+    IN (…)`` filter so a ``partitionBy("cl")``-laid-out codes table
+    scans ONLY the probed inverted lists (partition pruning at the
+    source — the read-path contract of the persisted layout)."""
+    m, n_codewords, _dsub_cb = codebooks.shape
+    probe = probe_udf_parity(centroids, nprobe)
 
     qids, Q, _qn2 = _collect_queries(queries)
     dsub = Q.shape[1] // m if len(qids) else 0
@@ -1387,15 +1422,19 @@ def ivfpq_topk(
         )
     qid_to_row = {int(q): i for i, q in enumerate(qids)}
 
-    cand = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"),
-        assign(F.col("embedding")).alias("cl"),
-        encode(F.col("embedding")).alias("codes"),
-    )
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         F.explode(probe(F.col("embedding"))).alias("cl"),
     )
+    if prune_partitions:
+        # exact driver-side probe cells (same parity math as the UDF);
+        # bounded by the _collect_queries guard
+        cells: set[int] = set()
+        if len(qids):
+            sims = _parity_cos_matrix(Q, centroids)
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            cells = {int(c) for row in order for c in row}
+        cand = cand.filter(F.col("cl").isin(sorted(cells)))
     pairs = cand.join(F.broadcast(q), on="cl").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
@@ -1447,8 +1486,182 @@ def ivfpq_topk(
             F.round("approx_d2", 6).alias("approx_d2"),
         )
     survivors = adc_top.select("query_id", "neighbor_id")
+    if embeddings is None:
+        raise ValueError(
+            "exact re-rank needs the float-vector table; pass "
+            "embeddings= or use rerank=None for the ADC-only ranking"
+        )
     return _topk_window(
         _score_candidates(survivors, embeddings, queries), k
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF-PQ index: train/encode ONCE, query forever. At 100 TB
+# the quantizers and codes are index artifacts on storage, not
+# per-query work — the query path reads only the (partition-pruned)
+# codes table plus two tiny model tables.
+# ---------------------------------------------------------------------------
+
+_INDEX_META = "_INDEX.json"
+
+
+def build_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = IVF_CENTROIDS,
+    m: int = PQ_SUBSPACES,
+    n_codewords: int = PQ_CODEWORDS,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    fingerprint: str | None = None,
+) -> dict:
+    """Train the coarse quantizer + PQ codebooks once and persist the
+    full IVF-PQ index layout under ``path``:
+
+    * ``codes/`` — the encoded corpus ``(vec_id, codes)`` written
+      ``partitionBy("cl")``: each inverted list IS a partition
+      directory, so a probe scans only its cells (static partition
+      pruning in the query plan, asserted by the plan-quality test);
+    * ``model/centroids`` + ``model/codebooks`` — tiny parquet model
+      tables (broadcast-sized by construction);
+    * ``_INDEX.json`` — layout version, shapes, and the caller's
+      ``fingerprint`` of the source table (staleness detection),
+      written LAST through the ByteStore seam, so a half-built index
+      is never observed as current.
+
+    Training and encoding are identical to the inline cascade
+    (:func:`ivfpq_topk`) — one bounded driver sample feeds both
+    quantizers, the corpus is touched by exactly two zero-shuffle
+    vectorized maps — so a rebuilt index answers queries bit-equal to
+    the inline path (equivalence-tested)."""
+    import json
+
+    from cae_polars_tools_spark.sources.zarr_format import ByteStore
+
+    spark = embeddings.sparkSession
+    root = path.rstrip("/")
+    M = _parity_sample_matrix(
+        embeddings,
+        PARITY_TRAIN_SAMPLE,
+        id_col,
+        emb_col,
+        min_rows=max(n_centroids, n_codewords),
+    )
+    centroids = _lloyd_cos_parity(M, n_centroids, IVF_ITERS)
+    codebooks = _pq_codebooks_from(M, m, n_codewords, PQ_ITERS)
+    assign = assign_udf_parity(centroids)
+    encode = pq_encode_udf(codebooks)
+    codes = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        assign(F.col(emb_col)).alias("cl"),
+        encode(F.col(emb_col)).alias("codes"),
+    )
+    codes.write.mode("overwrite").partitionBy("cl").parquet(
+        f"{root}/codes"
+    )
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cl long, c array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{root}/model/centroids"
+    )
+    spark.createDataFrame(
+        [
+            (j, code, [float(x) for x in codebooks[j, code]])
+            for j in range(m)
+            for code in range(n_codewords)
+        ],
+        "j long, code long, c array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{root}/model/codebooks"
+    )
+    meta = {
+        "format": "ivfpq-v1",
+        "dim": int(centroids.shape[1]),
+        "n_centroids": int(n_centroids),
+        "m": int(m),
+        "n_codewords": int(n_codewords),
+        "fingerprint": fingerprint,
+    }
+    ByteStore.for_path(root).put(
+        _INDEX_META, json.dumps(meta).encode()
+    )
+    return meta
+
+
+def load_ivfpq_meta(path: str) -> dict | None:
+    """The index's ``_INDEX.json`` metadata, or None when ``path``
+    holds no (finished) index — builders use this for
+    rebuild-if-stale checks via the ``fingerprint`` field."""
+    import json
+
+    from cae_polars_tools_spark.sources.zarr_format import ByteStore
+
+    raw = ByteStore.for_path(path.rstrip("/")).get(_INDEX_META)
+    return None if raw is None else json.loads(raw)
+
+
+def _load_ivfpq_model(
+    spark: SparkSession, root: str, meta: dict
+) -> tuple[np.ndarray, np.ndarray]:
+    """Centroids (n_centroids, dim) and codebooks (m, k, dsub) from
+    the persisted model tables (tiny: one driver collect each)."""
+    cent_rows = (
+        spark.read.parquet(f"{root}/model/centroids")
+        .orderBy("cl")
+        .collect()
+    )
+    centroids = np.array([r["c"] for r in cent_rows], dtype=np.float64)
+    cb_rows = (
+        spark.read.parquet(f"{root}/model/codebooks")
+        .orderBy("j", "code")
+        .collect()
+    )
+    m, k = meta["m"], meta["n_codewords"]
+    dsub = meta["dim"] // m
+    codebooks = np.array([r["c"] for r in cb_rows], dtype=np.float64)
+    return centroids, codebooks.reshape(m, k, dsub)
+
+
+def query_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = TOPK,
+    nprobe: int = IVF_NPROBE,
+    rerank: int | None = None,
+    embeddings: DataFrame | None = None,
+) -> DataFrame:
+    """Answer top-k ANN queries from a PERSISTED IVF-PQ index — no
+    training, no encoding: the plan reads the two tiny model tables
+    plus ONLY the probed partitions of the codes table (static ``cl
+    IN (…)`` partition pruning). With ``rerank=None`` (default) the
+    ADC ranking is returned and the float corpus is never touched;
+    pass ``rerank=`` + ``embeddings=`` for the exact re-rank
+    cascade. Bit-equal to :func:`ivfpq_topk` over the same source
+    table (equivalence-tested)."""
+    root = path.rstrip("/")
+    meta = load_ivfpq_meta(root)
+    if meta is None:
+        raise FileNotFoundError(f"no IVF-PQ index under {path}")
+    centroids, codebooks = _load_ivfpq_model(spark, root, meta)
+    # keep `cl` the raw partition column (no cast): the static isin
+    # filter must land as a PartitionFilter on the scan, and the join
+    # coerces int/long keys itself
+    cand = spark.read.parquet(f"{root}/codes").select(
+        F.col("vec_id").alias("neighbor_id"), "cl", "codes"
+    )
+    return _ivfpq_query(
+        cand,
+        queries,
+        centroids,
+        codebooks,
+        k,
+        nprobe,
+        rerank,
+        embeddings,
+        prune_partitions=True,
     )
 
 
@@ -1565,14 +1778,16 @@ def pq_parity_ctes(
     return ",".join(parts)
 
 
-def _ann_ivfpq_oracle() -> str:
+def _ivfpq_approx_ctes() -> str:
+    """The CTE chain both IVF-PQ oracles share: retrain BOTH parity
+    quantizers in SQL, derive probe lists, ADC distance tables, codes
+    and the per-pair approximate distances (``approx``)."""
     dsub = EMBED_DIM // PQ_SUBSPACES
     cosq = _cos_sql("s.embedding", "c.c")
     # per (query, subspace, codeword) ADC table entry — against the
     # NORMALIZED query vector, as ivfpq_topk's driver-side dtab does
     dtab_d2 = _l2_sql("s.ne", "c.c", f"c.j * {dsub}", dsub)
-    return f"""
-        WITH {kmeans_parity_ctes(IVF_CENTROIDS)},
+    return f"""{kmeans_parity_ctes(IVF_CENTROIDS)},
         {pq_parity_ctes()},
         km_probe AS (
             SELECT vec_id AS query_id, cl FROM (
@@ -1604,7 +1819,12 @@ def _ann_ivfpq_oracle() -> str:
             JOIN dtab ON dtab.query_id = cand.query_id
                      AND dtab.j = pc.j AND dtab.cl = pc.cl
             GROUP BY cand.query_id, cand.neighbor_id
-        ),
+        )"""
+
+
+def _ann_ivfpq_oracle() -> str:
+    return f"""
+        WITH {_ivfpq_approx_ctes()},
         adc_top AS (
             SELECT query_id, neighbor_id FROM (
                 SELECT query_id, neighbor_id,
@@ -1646,3 +1866,75 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance tables and the ADC ranking."""
     e = spread(read_table(spark, sf_dir, "embeddings"))
     return ivfpq_topk(e, e.filter(F.col("vec_id") < N_QUERIES))
+
+
+def _ann_ivfpq_index_oracle() -> str:
+    # the ADC-only ranking from the persisted codes — no re-rank,
+    # the float corpus is never touched in the Spark plan
+    return f"""
+        WITH {_ivfpq_approx_ctes()}
+        SELECT query_id, neighbor_id, rnk AS "rank",
+               ROUND(approx_d2, 6) AS approx_d2
+        FROM (
+            SELECT query_id, neighbor_id, approx_d2,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY approx_d2 ASC, neighbor_id ASC
+                   ) AS rnk
+            FROM approx
+        ) WHERE rnk <= {TOPK}
+    """
+
+
+def _embeddings_fingerprint(sf_dir: str) -> str:
+    """Cheap staleness key for the sf_dir's embeddings table: the
+    parquet file names + sizes + mtimes (local test data only — a
+    production build would version the source table explicitly)."""
+    import os
+
+    d = os.path.join(sf_dir, "embeddings.parquet")
+    paths = [d] if os.path.isfile(d) else [
+        os.path.join(d, f) for f in sorted(os.listdir(d))
+    ]
+    parts = []
+    for p in paths:
+        st = os.stat(p)
+        parts.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
+    return "|".join(parts)
+
+
+def _index_root(sf_dir: str) -> str:
+    import os
+
+    base = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ".tmp",
+        "ivfpq_index",
+        base,
+    )
+
+
+@register(
+    "ann_ivfpq_index_topk",
+    oracle=_ann_ivfpq_index_oracle(),
+    tags=("similarity", "extension", "ivf", "pq", "index"),
+    window_rank=1,
+)
+def ann_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 ADC ranking answered from the PERSISTED IVF-PQ index —
+    the production read path: quantizers and codes are built once
+    (cached per sf_dir + source fingerprint under .tmp/), and the
+    query plan reads ONLY the probed partitions of the codes table
+    plus the two tiny model tables; the float-vector corpus is never
+    scanned. Value-checked: the oracle retrains both quantizers in
+    SQL and re-derives the identical ADC ranking."""
+    e = spread(read_table(spark, sf_dir, "embeddings"))
+    root = _index_root(sf_dir)
+    fp = _embeddings_fingerprint(sf_dir)
+    meta = load_ivfpq_meta(root)
+    if meta is None or meta.get("fingerprint") != fp:
+        build_ivfpq_index(e, root, fingerprint=fp)
+    return query_ivfpq_index(
+        spark, root, e.filter(F.col("vec_id") < N_QUERIES)
+    )

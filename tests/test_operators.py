@@ -1535,3 +1535,47 @@ def test_count_triangles_known_graph_and_multi_edges(spark):
     )
     got2 = {r["node"]: r["triangles"] for r in count_triangles(star).collect()}
     assert set(got2.values()) == {0}
+
+
+def test_ivfpq_persisted_index_equals_inline(spark, tmp_path):
+    """The persisted IVF-PQ index (build once, query from the codes
+    table) must answer bit-equal to the inline cascade over the same
+    source table — for both the ADC-only ranking and the exact
+    re-rank path — and a rebuild over unchanged data is a no-op for
+    results."""
+    from cae_polars_tools_spark.io import read_table
+    from cae_polars_tools_spark.operators.similarity import (
+        N_QUERIES,
+        PQ_RERANK,
+        build_ivfpq_index,
+        ivfpq_topk,
+        load_ivfpq_meta,
+        query_ivfpq_index,
+    )
+    from pyspark.sql import functions as F
+
+    e = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    root = str(tmp_path / "idx")
+    meta = build_ivfpq_index(e, root, fingerprint="t1")
+    assert load_ivfpq_meta(root)["fingerprint"] == "t1"
+    assert meta["format"] == "ivfpq-v1"
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    # ADC-only: codes table is the whole corpus-side read
+    assert rows(query_ivfpq_index(spark, root, q)) == rows(
+        ivfpq_topk(e, q, rerank=None)
+    )
+    # exact re-rank cascade
+    assert rows(
+        query_ivfpq_index(
+            spark, root, q, rerank=PQ_RERANK, embeddings=e
+        )
+    ) == rows(ivfpq_topk(e, q))
+    # re-rank without the float table is a loud error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="float-vector"):
+        query_ivfpq_index(spark, root, q, rerank=PQ_RERANK).collect()

@@ -566,3 +566,27 @@ def test_triangles_has_no_single_partition_exchange(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan, plan
+
+
+def test_ivfpq_index_query_prunes_code_partitions(spark):
+    """ann_ivfpq_index_topk: the persisted-index read path must scan
+    ONLY the probed inverted lists — the codes table's scan node
+    carries a static `cl INSET …` PartitionFilter — and must never
+    scan the float embedding column on the corpus side (embeddings
+    parquet is read only for the vec_id<10 query set, filter pushed)."""
+    plan = _plan(spark, "ann_ivfpq_index_topk")
+    import re
+
+    scans = [
+        ln for ln in plan.splitlines() if "FileScan parquet" in ln
+    ]
+    code_scans = [ln for ln in scans if "ivfpq_index" in ln]
+    assert code_scans, plan
+    for ln in code_scans:
+        m = re.search(r"PartitionFilters: \[([^\]]*)", ln)
+        assert m and "INSET" in m.group(1), ln
+    # every float-corpus scan is the bounded query set
+    emb_scans = [ln for ln in scans if "embeddings.parquet" in ln]
+    assert emb_scans
+    for ln in emb_scans:
+        assert "LessThan(vec_id,10)" in ln, ln
