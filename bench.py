@@ -48,10 +48,41 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def wait_idle(
+    threshold: float = 0.5, timeout_s: float = 300.0, poll_s: float = 5.0
+) -> float:
+    """Block until the 1-min loadavg drops below ``threshold`` (or
+    ``timeout_s`` elapses — never hang the harness on a busy host),
+    then return the loadavg seen. Round 8's closing run started at
+    loadavg 2.19 and its shared-window total moved ~9% purely with
+    host state; the discipline 'wait for loadavg < 0.5 before the
+    closing bench' lived in BENCHNOTES — this codifies it."""
+    deadline = time.monotonic() + timeout_s
+    load = os.getloadavg()[0]
+    while load >= threshold and time.monotonic() < deadline:
+        time.sleep(poll_s)
+        load = os.getloadavg()[0]
+    return load
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+
+    # Idle gate: on by default for the full-scale (default-config) run
+    # — the one the driver records — so BENCH_r{N} numbers start from
+    # a quiet host; side-scale iteration runs skip it. Override with
+    # --wait-idle / --no-wait-idle or SPARK_GRAFT_WAIT_IDLE=1/0.
+    is_full_run = "SPARK_GRAFT_SF_DIR" not in os.environ
+    env_gate = os.environ.get("SPARK_GRAFT_WAIT_IDLE")
+    gate = is_full_run if env_gate is None else env_gate == "1"
+    if "--wait-idle" in sys.argv:
+        gate = True
+    if "--no-wait-idle" in sys.argv:
+        gate = False
+    if gate:
+        wait_idle()
 
     # sample BEFORE the session exists: once our own executors spin up
     # the 1-min average reflects the harness itself, not external load

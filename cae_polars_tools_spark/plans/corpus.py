@@ -2828,3 +2828,71 @@ def q67_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@register(
+    "q68_transitive_closure",
+    oracle="""
+        WITH RECURSIVE edges AS (
+            SELECT p_partkey AS node, p_partkey // 5 AS parent
+            FROM part
+            WHERE p_partkey // 5 >= 1 AND p_partkey // 5 != p_partkey
+        ),
+        anc AS (
+            SELECT node, parent AS ancestor, 1 AS depth FROM edges
+            UNION ALL
+            SELECT a.node, e.parent, a.depth + 1
+            FROM anc a JOIN edges e ON e.node = a.ancestor
+        )
+        SELECT node, ancestor, CAST(depth AS BIGINT) AS depth FROM anc
+    """,
+    tags=("iterative", "hierarchy", "extension"),
+    window_rank=1,
+)
+def q68_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy flattening / transitive closure — the recursive-SQL
+    surface (org-chart ancestors, BOM explosion; DuckDB restates it
+    as ``WITH RECURSIVE``). The part forest is built deterministically
+    (parent = p_partkey DIV 5, roots 1–4), giving chains of depth
+    ~log5(|part|); output is every (node, ancestor, depth) pair.
+
+    Scale shape: PATH DOUBLING, not per-level iteration — round r
+    composes the closure-so-far with itself (anc-to-node equi-join),
+    doubling the reachable depth, so depth-D closure needs only
+    ceil(log2 D) joins: 5 rounds cover depth 32 (a 33-deep hierarchy
+    at 100 TB would take one more round, not 2x the work). Each round
+    is one key-partitioned shuffle join + a distinct (a pair's depth
+    decomposes into several split points — distinct collapses them);
+    the lineage is a LINEAR chain of Spark plans with NO driver-side
+    loop actions (nothing collects until the caller does) and no
+    cartesian anywhere."""
+    p = _t(spark, sf_dir, "part").select("p_partkey")
+    edges = p.select(
+        F.col("p_partkey").alias("node"),
+        F.expr("p_partkey DIV 5").alias("parent"),
+    ).filter(
+        (F.col("parent") >= 1) & (F.col("parent") != F.col("node"))
+    )
+    paths = edges.select(
+        "node",
+        F.col("parent").alias("ancestor"),
+        F.lit(1).cast("long").alias("depth"),
+    )
+    for _ in range(5):  # depth ≤ 2^5 = 32; |part| ≤ 5^32 is ample
+        left = paths.select(
+            F.col("node").alias("l_node"),
+            F.col("ancestor").alias("mid"),
+            F.col("depth").alias("l_depth"),
+        )
+        right = paths.select(
+            F.col("node").alias("mid"),
+            F.col("ancestor").alias("r_anc"),
+            F.col("depth").alias("r_depth"),
+        )
+        composed = left.join(right, "mid").select(
+            F.col("l_node").alias("node"),
+            F.col("r_anc").alias("ancestor"),
+            (F.col("l_depth") + F.col("r_depth")).alias("depth"),
+        )
+        paths = paths.unionAll(composed).distinct()
+    return paths

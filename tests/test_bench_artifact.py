@@ -125,3 +125,21 @@ def test_host_context_fields_on_every_rung():
         metric_line({n: 12.3456789 for n in names}, 999.9, 0.1, 0.065, 8.51)
     )
     assert big["calib_cpu_s"] == 0.065 and big["loadavg_start"] == 8.51
+
+
+def test_wait_idle_gate():
+    """--wait-idle spin: returns immediately when the host is already
+    quiet (threshold above current load), and respects the timeout
+    instead of hanging when it never goes quiet."""
+    import time
+
+    from bench import wait_idle
+
+    t0 = time.monotonic()
+    load = wait_idle(threshold=1e9, timeout_s=60.0)
+    assert time.monotonic() - t0 < 5.0
+    assert load < 1e9
+    # unreachable threshold: the timeout bounds the spin
+    t0 = time.monotonic()
+    wait_idle(threshold=-1.0, timeout_s=0.5, poll_s=0.1)
+    assert 0.4 < time.monotonic() - t0 < 5.0

@@ -102,3 +102,30 @@ def test_corpus_query_sf01(spark, sf_oracle, name):
     assert_frames_match(
         spec.build(spark, sf_oracle), run_oracle(spec.oracle, sf_oracle), name
     )
+
+
+# The learned-quantizer family at FULL local scale (sf0.1): Lloyd
+# retraining, argmax/argmin tie-breaks and ADC sums are the one place
+# where another 10x of data could still surface cross-engine ulp
+# drift past the sf0.01 gate. Round 8 verified these by hand at
+# sf0.1; this keeps that check automated. Opt-in (`pytest -m sf1`,
+# several minutes — DuckDB re-runs the unrolled Lloyd chains on the
+# full corpus).
+SF1_QUANTIZER = (
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_index_topk",
+    "dedup_semantic",
+)
+
+
+@pytest.mark.sf1
+@pytest.mark.parametrize("name", SF1_QUANTIZER)
+def test_corpus_query_sf1(spark, name):
+    """Full-local-scale (sf0.1) value check for the quantizer family."""
+    sf = "/root/testdata/sf0.1"
+    spec = CORPUS[name]
+    assert spec.oracle is not None
+    assert_frames_match(
+        spec.build(spark, sf), run_oracle(spec.oracle, sf), name
+    )

@@ -590,3 +590,14 @@ def test_ivfpq_index_query_prunes_code_partitions(spark):
     assert emb_scans
     for ln in emb_scans:
         assert "LessThan(vec_id,10)" in ln, ln
+
+
+def test_q68_closure_is_doubling_no_cartesian_no_single_partition(spark):
+    """q68: the transitive closure must be log-round path doubling —
+    equi-joins and key-partitioned distincts only; no cartesian, no
+    SinglePartition exchange, no driver-side loop actions (the build
+    returns one linear plan)."""
+    plan = _plan(spark, "q68_transitive_closure")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange SinglePartition" not in plan, plan
