@@ -2896,3 +2896,202 @@ def q68_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         paths = paths.unionAll(composed).distinct()
     return paths
+
+
+@register(
+    "q69_gap_fill",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS slot,
+                   ROUND(avg(value), 6) AS obs
+            FROM events GROUP BY 1, 2
+        ),
+        rng AS (SELECT min(slot) AS lo, max(slot) AS hi FROM daily),
+        scaffold AS (
+            SELECT t.event_type, d.slot
+            FROM (SELECT DISTINCT event_type FROM daily) t,
+                 (SELECT unnest(generate_series(lo, hi)) AS slot
+                  FROM rng) d
+        ),
+        g AS (
+            SELECT s.event_type, s.slot, daily.obs,
+                   last_value(daily.obs IGNORE NULLS)
+                       OVER w_prev AS pv,
+                   last_value(CASE WHEN daily.obs IS NOT NULL
+                                   THEN s.slot END IGNORE NULLS)
+                       OVER w_prev AS pd,
+                   first_value(daily.obs IGNORE NULLS)
+                       OVER w_next AS nv,
+                   first_value(CASE WHEN daily.obs IS NOT NULL
+                                    THEN s.slot END IGNORE NULLS)
+                       OVER w_next AS nd
+            FROM scaffold s LEFT JOIN daily USING (event_type, slot)
+            WINDOW w_prev AS (
+                PARTITION BY s.event_type ORDER BY s.slot
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            w_next AS (
+                PARTITION BY s.event_type ORDER BY s.slot
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_type, slot,
+               ROUND(CASE WHEN obs IS NOT NULL THEN obs
+                          WHEN pv IS NULL THEN nv
+                          WHEN nv IS NULL THEN pv
+                          ELSE pv + (nv - pv) * (slot - pd) / (nd - pd)
+                     END, 6) AS value,
+               obs IS NULL AS interpolated
+        FROM g
+    """,
+    tags=("timeseries", "window", "extension"),
+    window_rank=1,
+)
+def q69_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with linear interpolation — the
+    resample/upsample surface (Polars ``upsample`` +
+    ``interpolate``; SQL restates it with generate_series +
+    IGNORE NULLS window walks). Hourly mean `value` per event_type,
+    densified over the observed global hour range; interior gaps
+    interpolate linearly between the bracketing observations, edges
+    carry forward/backward.
+
+    Scale shape: the scaffold is dims x sequence (the hour axis
+    explodes from a 1-row min/max aggregate and broadcast-joins the
+    tiny type dimension — never a row-per-gap shuffle of the fact
+    table); the forward and backward IGNORE-NULLS walks share ONE
+    per-type partitioning. Means are rounded to 6 decimals BEFORE
+    interpolating so both engines interpolate the same doubles."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            (F.unix_timestamp("ts") / 3600).cast("long").alias("slot"),
+            "value",
+        )
+        .groupBy("event_type", "slot")
+        .agg(F.round(F.avg("value"), 6).alias("obs"))
+    )
+    rng = daily.agg(F.min("slot").alias("lo"), F.max("slot").alias("hi"))
+    slots = rng.select(F.explode(F.sequence("lo", "hi")).alias("slot"))
+    types = daily.select("event_type").distinct()
+    scaffold = types.join(F.broadcast(slots), how="cross")
+    g = scaffold.join(daily, ["event_type", "slot"], "left")
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("slot")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_slot = F.when(F.col("obs").isNotNull(), F.col("slot"))
+    g2 = (
+        g.withColumn("pv", F.last("obs", ignorenulls=True).over(w_prev))
+        .withColumn("pd", F.last(obs_slot, ignorenulls=True).over(w_prev))
+        .withColumn("nv", F.first("obs", ignorenulls=True).over(w_next))
+        .withColumn("nd", F.first(obs_slot, ignorenulls=True).over(w_next))
+    )
+    filled = (
+        F.when(F.col("obs").isNotNull(), F.col("obs"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("slot") - F.col("pd"))
+            / (F.col("nd") - F.col("pd"))
+        )
+    )
+    return g2.select(
+        "event_type",
+        "slot",
+        F.round(filled, 6).alias("value"),
+        F.col("obs").isNull().alias("interpolated"),
+    )
+
+
+@register(
+    "q70_window_distinct",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN ROW_NUMBER() OVER (
+                            PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) = 1
+                        THEN 1 ELSE 0 END AS is_first
+            FROM events
+        )
+        SELECT user_id, event_id,
+               CAST(SUM(is_first) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS distinct_types
+        FROM flagged
+    """,
+    tags=("window", "extension"),
+    window_rank=1,
+)
+def q70_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over a window — per user, how many
+    distinct event types seen so far at each event. Spark has no
+    distinct window aggregate; the scalable formulation is the
+    FIRST-OCCURRENCE FLAG trick: row_number()==1 within (user, type)
+    marks each type's first sighting, and a running SUM of the flags
+    is the running distinct count. O(1) window state per row — a
+    collect_set-based version would carry the whole distinct set in
+    every row's window state and die on high-cardinality keys.
+    Both windows order by the (ts, event_id) total order.
+
+    ONE exchange serves both windows: an explicit (user_id) hash
+    repartition satisfies the (user_id, event_type) window's
+    clustering requirement too (subset rule), so the flag and the
+    running sum differ only by an in-partition re-sort — plan-pinned
+    single hashpartitioning exchange."""
+    ev = _t(spark, sf_dir, "events").repartition("user_id")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ev.withColumn(
+            "is_first",
+            (F.row_number().over(w_first) == 1).cast("long"),
+        )
+        .withColumn("distinct_types", F.sum("is_first").over(w_run))
+        .select("user_id", "event_id", "distinct_types")
+    )
+
+
+@register(
+    "q71_dict_encode",
+    oracle="""
+        SELECT doc_id, source,
+               CAST(DENSE_RANK() OVER (ORDER BY source) - 1
+                    AS BIGINT) AS source_code
+        FROM documents
+    """,
+    tags=("encoding", "storage", "extension"),
+    window_rank=1,
+)
+def q71_dict_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary encoding — the engine's answer to the reference's
+    ``.cast(pl.Categorical)`` (reference performance_tips.md:124-143,
+    previously a documented deviation): dense integer codes for a
+    low-cardinality string column via an explicit, persistable
+    ``(value, code)`` dictionary (``storage.dict_encode``). The
+    window that assigns codes runs over the DICTIONARY (bounded by
+    the column's cardinality — the premise of categorical encoding),
+    never the corpus; the corpus side is one broadcast join, no
+    reshuffle. The oracle restates the same dense codes with
+    DENSE_RANK over the value order."""
+    from cae_polars_tools_spark.storage import dict_encode
+
+    docs = _t(spark, sf_dir, "documents")
+    encoded, _dictionary = dict_encode(docs, "source")
+    return encoded.select("doc_id", "source", "source_code")

@@ -38,6 +38,7 @@ __all__ = [
     "delete_parquet",
     "dataset_file_sizes",
     "parquet_rowgroup_stats",
+    "dict_encode",
 ]
 
 
@@ -701,3 +702,54 @@ def parquet_rowgroup_stats(path: str) -> list[dict]:
                 }
             )
     return out
+
+
+def dict_encode(
+    df: "DataFrame", col: str, code_col: str | None = None
+) -> tuple["DataFrame", "DataFrame"]:
+    """Dictionary-encode a (low-cardinality) string column: returns
+    ``(encoded, dictionary)`` where ``dictionary`` is
+    ``(value, code)`` with dense codes 0…n−1 assigned in value sort
+    order, and ``encoded`` is ``df`` with ``code_col`` (default
+    ``f"{col}_code"``) added via a broadcast join.
+
+    This is the Spark-idiomatic stand-in for the reference's
+    ``.cast(pl.Categorical)`` (reference
+    docs/user_guide/performance_tips.md:124-143): Spark has no
+    session-global category registry, so the dictionary is an
+    explicit, persistable table — which is what a distributed system
+    wants anyway (the mapping must be consistent across executors AND
+    across runs, so it has to live in data, not in process state).
+    Downstream, joins/groupBys on the int code shuffle ~8 bytes a row
+    instead of the string, and the parquet scan of an encoded table
+    prunes to a dictionary-friendly int column.
+
+    Scale shape: one distinct (key-partitioned) over the column, one
+    window over the DICTIONARY — bounded by the column's cardinality,
+    which is the premise of dictionary encoding, not by |df| — then a
+    broadcast join back. The corpus never reshuffles."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    out = code_col or f"{col}_code"
+    dictionary = (
+        df.select(F.col(col).alias("value"))
+        .where(F.col("value").isNotNull())
+        .distinct()
+        .withColumn(
+            "code",
+            (F.row_number().over(Window.orderBy("value")) - 1).cast(
+                "long"
+            ),
+        )
+    )
+    encoded = df.join(
+        F.broadcast(
+            dictionary.select(
+                F.col("value").alias(col), F.col("code").alias(out)
+            )
+        ),
+        on=col,
+        how="left",
+    )
+    return encoded, dictionary

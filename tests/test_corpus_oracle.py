@@ -89,6 +89,7 @@ SF01_SENSITIVE = (
     "ann_ivfpq_topk",
     "dedup_semantic",
     "q67_distribution_ranks",  # rounded rank divisions under volume
+    "q69_gap_fill",  # rounded-mean interpolation divisions under volume
 )
 
 

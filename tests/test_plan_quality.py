@@ -601,3 +601,26 @@ def test_q68_closure_is_doubling_no_cartesian_no_single_partition(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_q70_window_distinct_single_exchange(spark):
+    """q70: the first-occurrence flag window and the running-sum
+    window must share ONE (user_id) hash exchange — the explicit
+    repartition satisfies the (user_id, event_type) clustering by the
+    subset rule, so the second window adds only an in-partition sort."""
+    plan = _plan(spark, "q70_window_distinct")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_q69_gap_fill_scaffold_broadcasts_no_fact_reshuffle(spark):
+    """q69: the dense scaffold must come from broadcasting the tiny
+    hour axis against the type dimension — never a cartesian of
+    shuffled sides — and both IGNORE-NULLS walks must share one
+    per-type partitioning."""
+    plan = _plan(spark, "q69_gap_fill")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the dims x axis cross
+    # exchanges: daily agg + the per-type window partitioning + the
+    # scaffold-to-daily join sides; a lost share would add more
+    assert plan.count("Exchange hashpartitioning") <= 4, plan

@@ -712,3 +712,30 @@ def test_parquet_rowgroup_stats_footer_evidence(spark, sf_small):
     assert all(s["columns"]["doc_id"]["null_count"] == 0 for s in stats)
     for (lo_a, hi_a), (lo_b, _) in zip(spans, spans[1:]):
         assert hi_a <= lo_b  # disjoint → row-group pruning works
+
+
+def test_dict_encode_roundtrip_and_nulls(spark):
+    """dict_encode: dense value-ordered codes, nulls pass through
+    un-coded, and join-back on the dictionary reconstructs the
+    column exactly."""
+    from cae_polars_tools_spark.storage import dict_encode
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "b"), (2, "a"), (3, "b"), (4, None), (5, "c")],
+        "id long, cat string",
+    )
+    encoded, dictionary = dict_encode(df, "cat")
+    d = {r["value"]: r["code"] for r in dictionary.collect()}
+    assert d == {"a": 0, "b": 1, "c": 2}
+    got = {r["id"]: r["cat_code"] for r in encoded.collect()}
+    assert got == {1: 1, 2: 0, 3: 1, 4: None, 5: 2}
+    # decode via the dictionary reconstructs the source column
+    back = encoded.join(
+        dictionary.withColumnRenamed("code", "cat_code"),
+        "cat_code",
+        "left",
+    )
+    assert {
+        (r["id"], r["value"]) for r in back.collect()
+    } == {(1, "b"), (2, "a"), (3, "b"), (4, None), (5, "c")}
