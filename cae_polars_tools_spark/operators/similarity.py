@@ -1550,12 +1550,8 @@ def build_ivfpq_index(
     )
     centroids = _lloyd_cos_parity(M, n_centroids, IVF_ITERS)
     codebooks = _pq_codebooks_from(M, m, n_codewords, PQ_ITERS)
-    assign = assign_udf_parity(centroids)
-    encode = pq_encode_udf(codebooks)
-    codes = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        assign(F.col(emb_col)).alias("cl"),
-        encode(F.col(emb_col)).alias("codes"),
+    codes = _encode_with_index_model(
+        embeddings, centroids, codebooks, id_col, emb_col
     )
     codes.write.mode("overwrite").partitionBy("cl").parquet(
         f"{root}/codes"
@@ -1582,12 +1578,114 @@ def build_ivfpq_index(
         "n_centroids": int(n_centroids),
         "m": int(m),
         "n_codewords": int(n_codewords),
+        "codes_dir": "codes",
         "fingerprint": fingerprint,
     }
     ByteStore.for_path(root).put(
         _INDEX_META, json.dumps(meta).encode()
     )
     return meta
+
+
+def _encode_with_index_model(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cl, codes) for new vectors under a FROZEN model — the
+    incremental-maintenance primitive: appended segments must encode
+    against the index's original quantizers, never retrain (retraining
+    would silently re-key every existing inverted list)."""
+    assign = assign_udf_parity(centroids)
+    encode = pq_encode_udf(codebooks)
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        assign(F.col(emb_col)).alias("cl"),
+        encode(F.col(emb_col)).alias("codes"),
+    )
+
+
+def append_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    check_unique: bool = True,
+) -> dict:
+    """Append new vectors to a persisted IVF-PQ index WITHOUT
+    retraining: encode them under the frozen model and add parquet
+    segments to the live codes directory (each new file lands in its
+    inverted list's partition). This is the standard segment-append
+    lifecycle — at 100 TB you never re-encode the corpus to ingest a
+    day's worth of new documents; quantizer drift is handled by a
+    periodic full ``build_ivfpq_index`` rebuild, not per batch.
+
+    ``check_unique`` anti-joins the new ids against the existing codes
+    (one scan of the id column) — a duplicate vec_id would answer
+    queries twice. Returns ``{rows_appended}``."""
+    root = path.rstrip("/")
+    meta = load_ivfpq_meta(root)
+    if meta is None:
+        raise FileNotFoundError(f"no IVF-PQ index under {path}")
+    centroids, codebooks = _load_ivfpq_model(spark, root, meta)
+    codes_path = f"{root}/{meta.get('codes_dir', 'codes')}"
+    new = _encode_with_index_model(
+        embeddings, centroids, codebooks, id_col, emb_col
+    )
+    if check_unique:
+        existing = spark.read.parquet(codes_path).select("vec_id")
+        dup = new.join(existing, "vec_id", "left_semi").limit(1).count()
+        if dup:
+            raise ValueError(
+                "append_ivfpq_index: new vec_ids collide with ids "
+                "already in the index (pass check_unique=False only "
+                "if the caller guarantees disjointness)"
+            )
+    n = new.count()
+    new.write.mode("append").partitionBy("cl").parquet(codes_path)
+    return {"rows_appended": n}
+
+
+def delete_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    predicate,
+) -> dict:
+    """Copy-on-write DELETE from a persisted IVF-PQ index: rows of
+    the codes table matching ``predicate`` (a Column or SQL string,
+    e.g. ``"vec_id IN (7, 9)"``) are removed into a NEW versioned
+    codes directory via :func:`storage.delete_parquet` (only files
+    containing a match rewrite; the rest copy byte-for-byte), then
+    the ``_INDEX.json`` pointer flips to the new directory LAST —
+    readers never observe a half-deleted index. The takedown
+    primitive: removing a document from the corpus must remove it
+    from every derived index too, without re-encoding either.
+    Returns delete_parquet's counters plus ``codes_dir``."""
+    import json
+    import re as _re
+
+    from cae_polars_tools_spark.sources.zarr_format import ByteStore
+    from cae_polars_tools_spark.storage import delete_parquet
+
+    root = path.rstrip("/")
+    meta = load_ivfpq_meta(root)
+    if meta is None:
+        raise FileNotFoundError(f"no IVF-PQ index under {path}")
+    cur = meta.get("codes_dir", "codes")
+    m_v = _re.fullmatch(r"codes_v(\d+)", cur)
+    nxt = f"codes_v{int(m_v.group(1)) + 1 if m_v else 1}"
+    stats = delete_parquet(
+        spark, f"{root}/{cur}", predicate, f"{root}/{nxt}"
+    )
+    meta = {**meta, "codes_dir": nxt}
+    ByteStore.for_path(root).put(
+        _INDEX_META, json.dumps(meta).encode()
+    )
+    stats["codes_dir"] = nxt
+    return stats
 
 
 def load_ivfpq_meta(path: str) -> dict | None:
@@ -1649,7 +1747,8 @@ def query_ivfpq_index(
     # keep `cl` the raw partition column (no cast): the static isin
     # filter must land as a PartitionFilter on the scan, and the join
     # coerces int/long keys itself
-    cand = spark.read.parquet(f"{root}/codes").select(
+    codes_path = f"{root}/{meta.get('codes_dir', 'codes')}"
+    cand = spark.read.parquet(codes_path).select(
         F.col("vec_id").alias("neighbor_id"), "cl", "codes"
     )
     return _ivfpq_query(

@@ -1579,3 +1579,82 @@ def test_ivfpq_persisted_index_equals_inline(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="float-vector"):
         query_ivfpq_index(spark, root, q, rerank=PQ_RERANK).collect()
+
+
+def test_ivfpq_index_append_and_delete_lifecycle(spark, tmp_path):
+    """Incremental maintenance of the persisted IVF-PQ index: append
+    encodes new vectors under the FROZEN model (bit-equal to encoding
+    the full corpus with that model), duplicate ids refuse loudly,
+    and copy-on-write delete removes ids from query results while
+    flipping the codes pointer last."""
+    from cae_polars_tools_spark.io import read_table
+    from cae_polars_tools_spark.operators.similarity import (
+        N_QUERIES,
+        _encode_with_index_model,
+        _ivfpq_query,
+        _load_ivfpq_model,
+        append_ivfpq_index,
+        build_ivfpq_index,
+        delete_ivfpq_index,
+        load_ivfpq_meta,
+        query_ivfpq_index,
+    )
+    from pyspark.sql import functions as F
+
+    e = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    half1 = e.filter(F.col("vec_id") % 2 == 0)
+    half2 = e.filter(F.col("vec_id") % 2 == 1)
+    root = str(tmp_path / "idx")
+    build_ivfpq_index(half1, root, fingerprint="half1")
+    got = append_ivfpq_index(spark, root, half2)
+    assert got["rows_appended"] == half2.count()
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    # appended index == frozen-model encode of the FULL corpus
+    meta = load_ivfpq_meta(root)
+    centroids, codebooks = _load_ivfpq_model(spark, root, meta)
+    cand = _encode_with_index_model(e, centroids, codebooks).withColumnRenamed(
+        "vec_id", "neighbor_id"
+    )
+    want = _ivfpq_query(
+        cand, q, centroids, codebooks, 5, 6, None, None
+    )
+    assert rows(query_ivfpq_index(spark, root, q)) == rows(want)
+
+    # duplicate ids refuse loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collide"):
+        append_ivfpq_index(spark, root, half2.limit(3))
+
+    # CoW delete: victims vanish from results, pointer flipped last
+    before = rows(query_ivfpq_index(spark, root, q))
+    victims = sorted(
+        {r[1] for r in before}  # neighbor_id column
+    )[:3]
+    stats = delete_ivfpq_index(
+        spark, root, f"vec_id IN ({','.join(map(str, victims))})"
+    )
+    assert stats["rows_deleted"] == 3
+    assert load_ivfpq_meta(root)["codes_dir"] == "codes_v1"
+    after = rows(query_ivfpq_index(spark, root, q))
+    assert not {r[1] for r in after} & set(victims)
+    # non-victim corpus unchanged: result equals frozen-model query
+    # over the surviving vectors
+    surv = e.join(
+        spark.createDataFrame(
+            [(v,) for v in victims], "vec_id long"
+        ),
+        "vec_id",
+        "left_anti",
+    )
+    cand2 = _encode_with_index_model(
+        surv, centroids, codebooks
+    ).withColumnRenamed("vec_id", "neighbor_id")
+    want2 = _ivfpq_query(
+        cand2, q, centroids, codebooks, 5, 6, None, None
+    )
+    assert after == rows(want2)
