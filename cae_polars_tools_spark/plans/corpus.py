@@ -2859,8 +2859,9 @@ def q68_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: PATH DOUBLING, not per-level iteration — round r
     composes the closure-so-far with itself (anc-to-node equi-join),
     doubling the reachable depth, so depth-D closure needs only
-    ceil(log2 D) joins: 5 rounds cover depth 32 (a 33-deep hierarchy
-    at 100 TB would take one more round, not 2x the work). Each round
+    ceil(log2 D) joins: 4 rounds cover depth 16, i.e. forests of up
+    to 5^16 ≈ 152 billion parts — beyond 100 TB scale (a deeper
+    hierarchy costs one more round, not 2x the work). Each round
     is one key-partitioned shuffle join + a distinct (a pair's depth
     decomposes into several split points — distinct collapses them);
     the lineage is a LINEAR chain of Spark plans with NO driver-side
@@ -2878,7 +2879,7 @@ def q68_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("parent").alias("ancestor"),
         F.lit(1).cast("long").alias("depth"),
     )
-    for _ in range(5):  # depth ≤ 2^5 = 32; |part| ≤ 5^32 is ample
+    for _ in range(4):  # depth ≤ 2^4 = 16; |part| ≤ 5^16 ≈ 152e9
         left = paths.select(
             F.col("node").alias("l_node"),
             F.col("ancestor").alias("mid"),
