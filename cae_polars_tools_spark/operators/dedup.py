@@ -1120,6 +1120,68 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+@register(
+    "dedup_canonical_pick",
+    oracle=f"""
+        WITH RECURSIVE {_CAPPED_JACCARD_CTES},
+        edges AS (
+            SELECT doc_id_a AS u, doc_id_b AS v FROM jp
+            UNION
+            SELECT doc_id_b, doc_id_a FROM jp
+        ),
+        reach(u, v) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ),
+        labels AS (
+            SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+            FROM reach GROUP BY u
+        )
+        SELECT doc_id, cluster_id, rep_id, doc_id = rep_id AS keep
+        FROM (
+            SELECT l.doc_id, l.cluster_id,
+                   FIRST_VALUE(l.doc_id) OVER (
+                       PARTITION BY l.cluster_id
+                       ORDER BY d.n_chars DESC, l.doc_id ASC
+                   ) AS rep_id
+            FROM labels l JOIN documents d USING (doc_id)
+        )
+    """,
+    tags=("dedup", "extension", "iterative"),
+    window_rank=1,
+)
+def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative selection — the step AFTER clustering
+    that real dedup pipelines get wrong by default: inside each
+    near-dup cluster keep the BEST copy (here: longest text, doc_id
+    tie-break), not the arbitrary minimum id. Output maps every
+    clustered doc to its cluster and its elected representative with
+    a ``keep`` verdict.
+
+    Scale shape: the cluster labels come from the same
+    pointer-jumping components as ``dedup_clusters``; the election is
+    ONE key-partitioned window over the (small) clustered subset —
+    quality joins in by doc_id, the corpus itself never reshuffles.
+    Oracle: recursive-CTE closure + the same FIRST_VALUE election."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    labels = connected_components(jaccard_pairs(docs))
+    from pyspark.sql import Window
+
+    q = labels.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = (
+        Window.partitionBy("cluster_id")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return q.select(
+        "doc_id",
+        "cluster_id",
+        F.first("doc_id").over(w).alias("rep_id"),
+        (F.col("doc_id") == F.first("doc_id").over(w)).alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------

@@ -90,6 +90,7 @@ SF01_SENSITIVE = (
     "dedup_semantic",
     "q67_distribution_ranks",  # rounded rank divisions under volume
     "q69_gap_fill",  # rounded-mean interpolation divisions under volume
+    "dedup_canonical_pick",  # rides dedup_clusters' pair set + election
 )
 
 
