@@ -1649,6 +1649,49 @@ def append_ivfpq_index(
     return {"rows_appended": n}
 
 
+def ivfpq_ingest_sink(
+    path: str,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """``writeStream.foreachBatch`` sink maintaining a persisted
+    IVF-PQ index from a stream of new vectors: each micro-batch is
+    encoded under the index's FROZEN model and appended as parquet
+    segments into the live per-cell partitions
+    (:func:`append_ivfpq_index` semantics). Replay safety comes from
+    ID-LEVEL dedup, not batch ids: already-indexed vec_ids are
+    anti-joined away before the append, so a redelivered batch
+    (foreachBatch's at-least-once contract) — or a crash between the
+    segment write and the checkpoint commit — re-appends nothing.
+    That makes the sink effectively-once as long as vec_ids are
+    stable identifiers, which is the premise of an index."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.columns or batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        root = path.rstrip("/")
+        meta = load_ivfpq_meta(root)
+        if meta is None:
+            raise FileNotFoundError(f"no IVF-PQ index under {path}")
+        codes_path = f"{root}/{meta.get('codes_dir', 'codes')}"
+        existing = spark.read.parquet(codes_path).select(
+            F.col("vec_id")
+        )
+        fresh = batch_df.join(
+            existing,
+            batch_df[id_col] == existing["vec_id"],
+            "left_anti",
+        )
+        centroids, codebooks = _load_ivfpq_model(spark, root, meta)
+        new = _encode_with_index_model(
+            fresh, centroids, codebooks, id_col, emb_col
+        )
+        new.write.mode("append").partitionBy("cl").parquet(codes_path)
+
+    return sink
+
+
 def delete_ivfpq_index(
     spark: SparkSession,
     path: str,

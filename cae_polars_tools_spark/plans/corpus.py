@@ -3096,3 +3096,41 @@ def q71_dict_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     encoded, _dictionary = dict_encode(docs, "source")
     return encoded.select("doc_id", "source", "source_code")
+
+
+@register(
+    "q72_union_by_name",
+    oracle="""
+        SELECT o_orderkey AS k, o_totalprice AS price,
+               o_orderpriority AS priority, NULL AS qty
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL BY NAME
+        SELECT l_orderkey AS k, NULL AS priority,
+               CAST(l_quantity AS DOUBLE) AS qty,
+               l_extendedprice AS price
+        FROM lineitem WHERE l_orderkey % 11 = 0
+    """,
+    tags=("setops", "schema-evolution", "extension"),
+    window_rank=1,
+)
+def q72_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union — combining frames whose columns differ
+    in ORDER and PRESENCE (the daily reality of unioning yesterday's
+    and today's extract): ``unionByName(allowMissingColumns=True)``
+    aligns by NAME and null-fills the gaps, where positional UNION
+    would silently zip mismatched columns. DuckDB restates it as
+    ``UNION ALL BY NAME``. Zero shuffle — a union is plan-level
+    concatenation; both inputs keep their scan partitioning."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    a = o.filter((F.col("o_orderkey") % 7) == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    b = li.filter((F.col("l_orderkey") % 11) == 0).select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_quantity").cast("double").alias("qty"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    return a.unionByName(b, allowMissingColumns=True)

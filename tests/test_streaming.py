@@ -714,3 +714,66 @@ def test_cow_upsert_recovers_from_crash_before_pointer_flip(spark, tmp_path):
     with open(os.path.join(target, "_CURRENT.json")) as fh:
         meta = json.load(fh)
     assert meta["version"] == 1 and meta["batch_id"] == 1
+
+
+def test_streaming_ivfpq_ingest_matches_batch_append(spark, tmp_path):
+    """Streaming ANN-index maintenance: micro-batches of new vectors
+    append to the persisted IVF-PQ index under the frozen model;
+    replayed rows dedupe by vec_id (effectively-once); final query
+    results equal the batch-append path over the same vectors."""
+    import os
+
+    from cae_polars_tools_spark.io import read_table
+    from cae_polars_tools_spark.operators.similarity import (
+        N_QUERIES,
+        append_ivfpq_index,
+        build_ivfpq_index,
+        ivfpq_ingest_sink,
+        query_ivfpq_index,
+    )
+    from pyspark.sql import functions as F
+
+    e = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    base = e.filter(F.col("vec_id") % 4 == 0)
+    rest = e.filter(F.col("vec_id") % 4 != 0).select("vec_id", "embedding")
+
+    # streamed index
+    root_s = str(tmp_path / "idx_stream")
+    build_ivfpq_index(base, root_s, fingerprint="base")
+    src = str(tmp_path / "updates")
+    os.makedirs(src)
+    # two files -> two micro-batches; plus a duplicate re-delivery of
+    # the first file's rows inside the second file
+    r1 = rest.filter(F.col("vec_id") % 4 == 1)
+    r23 = rest.filter(F.col("vec_id") % 4 >= 2).unionAll(r1.limit(5))
+    r1.coalesce(1).write.parquet(os.path.join(src, "f0"))
+    r23.coalesce(1).write.parquet(os.path.join(src, "f1"))
+    stream = (
+        spark.readStream.schema(rest.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    query = (
+        stream.writeStream.foreachBatch(ivfpq_ingest_sink(root_s))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(180)
+
+    # batch-appended twin
+    root_b = str(tmp_path / "idx_batch")
+    build_ivfpq_index(base, root_b, fingerprint="base")
+    append_ivfpq_index(spark, root_b, rest)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    got = rows(query_ivfpq_index(spark, root_s, q))
+    want = rows(query_ivfpq_index(spark, root_b, q))
+    assert got == want
+    # no duplicate ids slipped in despite the redelivered rows
+    n = spark.read.parquet(root_s + "/codes").count()
+    d = spark.read.parquet(root_s + "/codes").select("vec_id").distinct().count()
+    assert n == d == e.count()
