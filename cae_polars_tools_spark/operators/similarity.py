@@ -1692,6 +1692,48 @@ def ivfpq_ingest_sink(
     return sink
 
 
+def compact_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Compact the index's codes table: streaming ingest accumulates
+    one small segment file per micro-batch per touched cell, and scan
+    efficiency decays with file count (footer reads + task overhead).
+    Rewrites the live codes directory into a NEW versioned directory
+    through :func:`storage.compact_parquet` — per-cell partitioning
+    preserved, files sized toward ``target_file_bytes``, vec_id-sorted
+    within files so row-group min/max stats stay selective — then
+    flips the ``_INDEX.json`` pointer LAST. Readers never observe a
+    half-compacted index; the old directory remains until the caller
+    garbage-collects it. Returns ``{files, codes_dir}``."""
+    import json
+    import re as _re
+
+    from cae_polars_tools_spark.sources.zarr_format import ByteStore
+    from cae_polars_tools_spark.storage import compact_parquet
+
+    root = path.rstrip("/")
+    meta = load_ivfpq_meta(root)
+    if meta is None:
+        raise FileNotFoundError(f"no IVF-PQ index under {path}")
+    cur = meta.get("codes_dir", "codes")
+    m_v = _re.fullmatch(r"codes_v(\d+)", cur)
+    nxt = f"codes_v{int(m_v.group(1)) + 1 if m_v else 1}"
+    n = compact_parquet(
+        spark,
+        f"{root}/{cur}",
+        f"{root}/{nxt}",
+        target_file_bytes=target_file_bytes,
+        sort_cols=["vec_id"],
+    )
+    meta = {**meta, "codes_dir": nxt}
+    ByteStore.for_path(root).put(
+        _INDEX_META, json.dumps(meta).encode()
+    )
+    return {"files": n, "codes_dir": nxt}
+
+
 def delete_ivfpq_index(
     spark: SparkSession,
     path: str,

@@ -1658,3 +1658,48 @@ def test_ivfpq_index_append_and_delete_lifecycle(spark, tmp_path):
         cand2, q, centroids, codebooks, 5, 6, None, None
     )
     assert after == rows(want2)
+
+
+def test_ivfpq_index_compaction_preserves_results(spark, tmp_path):
+    """Compacting the codes table (post-ingest small-file cleanup)
+    must shrink the file count, keep per-cell partitioning, flip the
+    pointer last, and leave query results bit-identical."""
+    import glob
+
+    from cae_polars_tools_spark.io import read_table
+    from cae_polars_tools_spark.operators.similarity import (
+        N_QUERIES,
+        append_ivfpq_index,
+        build_ivfpq_index,
+        compact_ivfpq_index,
+        load_ivfpq_meta,
+        query_ivfpq_index,
+    )
+    from pyspark.sql import functions as F
+
+    e = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    root = str(tmp_path / "idx")
+    build_ivfpq_index(e.filter(F.col("vec_id") % 3 == 0), root)
+    # several small appends -> segment-file buildup
+    for r in (1, 2):
+        append_ivfpq_index(
+            spark, root, e.filter(F.col("vec_id") % 3 == r)
+        )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    def nfiles(d):
+        return len(glob.glob(f"{d}/*/*.parquet"))
+
+    before = rows(query_ivfpq_index(spark, root, q))
+    n_before = nfiles(f"{root}/codes")
+    stats = compact_ivfpq_index(spark, root)
+    assert load_ivfpq_meta(root)["codes_dir"] == stats["codes_dir"]
+    assert stats["codes_dir"].startswith("codes_v")
+    n_after = nfiles(f"{root}/{stats['codes_dir']}")
+    assert n_after < n_before
+    # per-cell layout survives (cl=... directories exist)
+    assert glob.glob(f"{root}/{stats['codes_dir']}/cl=*")
+    assert rows(query_ivfpq_index(spark, root, q)) == before
