@@ -3134,3 +3134,65 @@ def q72_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").alias("price"),
     )
     return a.unionByName(b, allowMissingColumns=True)
+
+
+@register(
+    "q73_map_roundtrip",
+    oracle="""
+        SELECT user_id, event_type, count(*) AS cnt FROM events
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+    tags=("map", "hof", "extension"),
+    window_rank=1,
+)
+def q73_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MAP-type surface end to end: per-user ``event_type →
+    count`` maps built with ``map_from_entries(collect_list(struct))``,
+    pruned with the ``map_filter`` higher-order function (JVM-side
+    lambda, stays in codegen), then exploded back to rows. The map is
+    the intermediate representation — the round trip means any drift
+    in map construction, HOF filtering, or map explosion changes the
+    row set and fails the (plain relational) oracle. One aggregation
+    shuffle; the per-user regroup reuses the same key partitioning."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    maps = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "cnt"))
+        ).alias("m")
+    )
+    kept = maps.select(
+        "user_id", F.map_filter("m", lambda _k, v: v >= 2).alias("m")
+    )
+    return kept.select(
+        "user_id", F.explode("m").alias("event_type", "cnt")
+    )
+
+
+@register(
+    "q74_posexplode_tokens",
+    oracle="""
+        SELECT doc_id, CAST(i - 1 AS INT) AS pos, parts[i] AS word
+        FROM (
+            SELECT doc_id, string_split(text, ' ') AS parts,
+                   unnest(generate_series(
+                       1, len(string_split(text, ' ')))) AS i
+            FROM documents WHERE doc_id < 20
+        )
+    """,
+    tags=("lateral", "explode", "extension"),
+    window_rank=1,
+)
+def q74_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional lateral view — ``posexplode(split(...))`` turning
+    each document into (doc_id, pos, word) rows with the ordinal
+    preserved (the tokenize-with-offsets shape every span-level text
+    op needs; DuckDB restates it as unnest over generate_series since
+    it lacks WITH ORDINALITY). Zero shuffle: the explode is a
+    row-local Generate; the filter pushes to the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(F.col("doc_id") < 20).select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
