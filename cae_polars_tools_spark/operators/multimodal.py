@@ -28,8 +28,12 @@ WAV decodes via the stdlib ``wave`` module
 (:func:`decode_wav`), and uncompressed YUV4MPEG2 video parses for
 real in ``operators/y4m.py`` (header walk + planar frame slicing,
 value-checked by ``mm_y4m_features``; ``split_y4m_frames`` is a real
-``split_fn`` for :func:`sample_frames`). Only COMPRESSED video
-(H.264/VP9/…) genuinely needs external codecs and stays STUBBED
+``split_fn`` for :func:`sample_frames`), and COMPRESSED video has a
+real first-class path too: MJPEG-in-AVI (``operators/avi.py`` — RIFF
+container mux/demux + the repo's own JPEG codec per frame,
+``split_avi_frames`` demuxes into :func:`sample_frames`,
+value-gated by ``mm_avi_mjpeg_roundtrip``). Only inter-frame codecs
+(H.264/VP9/…) genuinely need external entropy decoders and stay STUBBED
 behind a clear ``NotImplementedError``; swapping in PyAV/ffmpeg there
 is a one-line change at the marked seam, and the tested pipeline uses
 a deterministic fake decoder for it.

@@ -149,6 +149,7 @@ def load_all() -> dict[str, QuerySpec]:
     import cae_polars_tools_spark.operators.multimodal  # noqa: F401
     import cae_polars_tools_spark.operators.y4m  # noqa: F401
     import cae_polars_tools_spark.operators.gif  # noqa: F401
+    import cae_polars_tools_spark.operators.avi  # noqa: F401
     import cae_polars_tools_spark.operators.graph  # noqa: F401
     import cae_polars_tools_spark.operators.pipeline  # noqa: F401
     import cae_polars_tools_spark.operators.temporal  # noqa: F401
