@@ -308,3 +308,29 @@ def mm_avi_mjpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fps int, within_tol boolean"
         ),
     )
+
+
+def resize_avi_mjpeg(
+    payload: bytes, width: int, height: int, quality: int = 90
+) -> bytes:
+    """REAL video resize: demux → per-frame JPEG decode →
+    nearest-neighbor resample → JPEG re-encode (the container must
+    stay MJPEG, so frames re-encode through the JPEG codec — a
+    documented second lossy generation, exactly what every MJPEG
+    transcoder does) → re-mux with the new dimensions and the
+    original frame rate. Composes entirely from the repo's own
+    codecs, so the output plays anywhere MJPEG does."""
+    from cae_polars_tools_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    meta, streams = parse_avi_mjpeg(payload)
+    resized = []
+    for s in streams:
+        px = decode_jpeg(s)
+        h, w = px.shape[:2]
+        ys = (np.arange(height) * h) // height
+        xs = (np.arange(width) * w) // width
+        resized.append(encode_jpeg(px[ys][:, xs], quality))
+    return encode_avi_mjpeg(resized, width, height, fps=meta["fps"] or 25)

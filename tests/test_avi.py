@@ -149,3 +149,20 @@ def test_odd_length_frame_pads_to_even_chunks():
     assert sz0 == 33
     assert avi[k + 12 + 33] == 0  # the pad byte
     assert avi[k + 12 + 34 : k + 12 + 38] == b"00dc"
+
+
+def test_resize_avi_roundtrip_dims_and_playability():
+    """Video resize: every frame resamples to the new dims, the
+    container re-muxes with updated headers, and the result is a
+    fully decodable MJPEG AVI."""
+    from cae_polars_tools_spark.operators.avi import resize_avi_mjpeg
+
+    rasters = _frames(3, 8, 6, seed=13)
+    avi = encode_avi_mjpeg([encode_jpeg(r, 90) for r in rasters], 6, 8,
+                           fps=15)
+    out = resize_avi_mjpeg(avi, 3, 4)
+    meta, decoded = decode_avi_mjpeg(out)
+    assert meta == {"width": 3, "height": 4, "n_frames": 3, "fps": 15,
+                    "codec": "MJPG"}
+    for d in decoded:
+        assert d.shape == (4, 3, 3)
