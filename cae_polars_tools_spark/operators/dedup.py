@@ -1174,12 +1174,20 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    return q.select(
+    out = q.select(
         "doc_id",
         "cluster_id",
         F.first("doc_id").over(w).alias("rep_id"),
         (F.col("doc_id") == F.first("doc_id").over(w)).alias("keep"),
     )
+    # chain contract of _release_on_gc: a derived DataFrame keeps no
+    # Python ref to its parent, so returning `out` alone would drop
+    # `labels`, fire its cache-release finalizer, and make the
+    # caller's action recompute the whole pair pipeline uncached
+    # (measured 7.7 s vs 2.9 s at sf0.1). Pin the handle to the
+    # returned frame for exactly the result's lifetime.
+    out._cc_labels_handle = labels
+    return out
 
 
 # ---------------------------------------------------------------------------
