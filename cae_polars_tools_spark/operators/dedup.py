@@ -1649,10 +1649,16 @@ def semantic_dedup(
         embeddings, threshold, n_centroids, id_col, emb_col
     )
     comp = connected_components(pairs, "vec_id_a", "vec_id_b")
-    return comp.filter(F.col("doc_id") != F.col("cluster_id")).select(
+    out = comp.filter(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias("drop_id"),
         F.col("cluster_id").alias("keep_id"),
     )
+    # chain contract: keep the materialized labels cache alive for the
+    # derived frame's lifetime (see dedup_canonical_pick — dropping the
+    # handle fires the cache-release finalizer and the caller's action
+    # recomputes the pair pipeline uncached)
+    out._cc_labels_handle = comp
+    return out
 
 
 def _dedup_semantic_oracle() -> str:
