@@ -261,7 +261,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     out = pagerank(edges)
-    return out.select("node", F.round("r", 6).alias("rank"))
+    ranked = out.select("node", F.round("r", 6).alias("rank"))
+    # chain contract of _release_on_gc: keep pagerank's cached/
+    # checkpointed frames alive for the derived frame's lifetime —
+    # dropping `out` here would fire the cache-release finalizer and
+    # the caller's action would recompute the whole iteration chain
+    # (see dedup_canonical_pick, measured 2.6x there)
+    ranked._pr_handle = out
+    return ranked
 
 
 # ---------------------------------------------------------------------------
