@@ -33,8 +33,11 @@ from cae_polars_tools_spark.io import read_table, spread  # noqa: E402
 from cae_polars_tools_spark.operators.similarity import (  # noqa: E402
     PCA_K,
     PQ_RERANK,
+    append_ivfpq_index,
     bruteforce_topk,
     build_ivfpq_index,
+    compact_ivfpq_index,
+    delete_ivfpq_index,
     ivf_topk,
     ivfpq_topk,
     lsh_topk,
@@ -88,8 +91,15 @@ def main() -> None:
 
     with tempfile.TemporaryDirectory() as tmp:
         idx = os.path.join(tmp, "ivfpq")
-        build_ivfpq_index(e, idx)
         spark = e.sparkSession
+        # lifecycle: build on part of the corpus, append the rest
+        # under the frozen model, query, CoW-delete a few ids,
+        # compact the segment buildup — the full production loop
+        base = e.filter(F.col("vec_id") % 2 == 0)
+        rest = e.filter(F.col("vec_id") % 2 == 1)
+        build_ivfpq_index(base, idx)
+        appended = append_ivfpq_index(spark, idx, rest)
+        print(f"index: appended {appended['rows_appended']} vectors")
         from_index = query_ivfpq_index(
             spark, idx, q, rerank=PQ_RERANK, embeddings=e
         )
@@ -97,6 +107,13 @@ def main() -> None:
             "persisted-index recall@5 (== inline): "
             f"{recall(from_index):.2f}"
         )
+        stats = delete_ivfpq_index(spark, idx, "vec_id IN (501, 503)")
+        print(
+            f"index: CoW delete removed {stats['rows_deleted']} rows "
+            f"-> {stats['codes_dir']}"
+        )
+        c = compact_ivfpq_index(spark, idx)
+        print(f"index: compacted to {c['files']} files ({c['codes_dir']})")
 
     model = train_pca(e, PCA_K)
     var = model["explained_variance"]
