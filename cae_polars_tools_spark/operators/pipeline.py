@@ -783,3 +783,75 @@ def _curate_e2e_oracle_impl() -> str:
 from cae_polars_tools_spark.plans.registry import CORPUS as _CORPUS  # noqa: E402
 
 _CORPUS["pipeline_curate_e2e"].oracle = _curate_e2e_oracle()
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement — the
+    Efraimidis–Spirakis A-Res scheme, distributed: each row draws a
+    reproducible uniform u from md5(key:seed) (the
+    :func:`md5_rank` convention), scores ``-ln(u) / weight``, and the
+    k SMALLEST scores are the sample (equivalent to the classic
+    u^(1/w) top-k). Selection probability is ∝ weight; equal inputs
+    always produce the same sample — reruns, retries and audits see
+    one frozen draw, which ``df.sample()`` cannot promise.
+
+    Scale shape: the score is a row-local expression (no shuffle);
+    the global cut is a TakeOrdered top-k (per-partition heaps + one
+    k-row driver merge), never a full sort. Scores round to 8
+    decimals so Spark's and an auditor's libm agree ulp-for-ulp, with
+    the key column as the total-order tie-break."""
+    h8 = F.substring(
+        F.md5(
+            F.concat(F.col(key_col).cast("string"), F.lit(f":ws{seed}"))
+        ),
+        1,
+        8,
+    )
+    u = (F.conv(h8, 16, 10).cast("double") + F.lit(1.0)) / F.lit(
+        4294967296.0
+    )
+    score = F.round(
+        -F.log(u) / F.col(weight_col).cast("double"), 8
+    ).alias("sample_key")
+    return df.select(*df.columns, score).orderBy(
+        "sample_key", key_col
+    ).limit(k)
+
+
+WEIGHTED_SAMPLE_K = 200
+
+
+@register(
+    "pipeline_weighted_sample",
+    oracle=f"""
+        SELECT doc_id, source, sample_key FROM (
+            SELECT doc_id, source,
+                   ROUND(-ln(
+                       (('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                           || ':ws0'), 1, 8))::UBIGINT + 1.0)
+                       / 4294967296.0
+                   ) / CAST(n_chars AS DOUBLE), 8) AS sample_key
+            FROM documents
+        ) ORDER BY sample_key, doc_id LIMIT {WEIGHTED_SAMPLE_K}
+    """,
+    tags=("pipeline", "sampling", "extension"),
+    window_rank=1,
+)
+def pipeline_weighted_sample(spark, sf_dir: str) -> DataFrame:
+    """Length-proportional document sampling (A-Res weighted
+    reservoir, frozen draw): sample 200 docs with probability ∝
+    n_chars — the quality/length-weighted subset selection every
+    curation pipeline needs, reproducible across reruns and engines
+    (the oracle recomputes the identical draw from the same md5
+    uniforms). Verified bias: the sample's mean length sits well
+    above the corpus mean."""
+    d = spread(read_table(spark, sf_dir, "documents"))
+    return weighted_sample(d, "n_chars", WEIGHTED_SAMPLE_K).select(
+        "doc_id", "source", "sample_key"
+    )

@@ -91,6 +91,7 @@ SF01_SENSITIVE = (
     "q67_distribution_ranks",  # rounded rank divisions under volume
     "q69_gap_fill",  # rounded-mean interpolation divisions under volume
     "dedup_canonical_pick",  # rides dedup_clusters' pair set + election
+    "pipeline_weighted_sample",  # libm ln + rounded-score top-k boundary
 )
 
 

@@ -624,3 +624,13 @@ def test_q69_gap_fill_scaffold_broadcasts_no_fact_reshuffle(spark):
     # exchanges: daily agg + the per-type window partitioning + the
     # scaffold-to-daily join sides; a lost share would add more
     assert plan.count("Exchange hashpartitioning") <= 4, plan
+
+
+def test_weighted_sample_is_takeordered_not_global_sort(spark):
+    """pipeline_weighted_sample: the k-smallest-score cut must plan as
+    TakeOrderedAndProject (per-partition heaps + a k-row driver merge),
+    never a range-partitioned global sort."""
+    plan = _plan(spark, "pipeline_weighted_sample")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "Exchange SinglePartition" not in plan
