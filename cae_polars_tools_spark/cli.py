@@ -453,6 +453,27 @@ def query_command(args) -> int:
     return 0
 
 
+def explain_command(args) -> int:
+    """Print one corpus entry's PHYSICAL plan (``explain('formatted')``
+    by default) — the audit loop this repo's plan-quality tests grew
+    out of: check that filters reached the scan (PushedFilters /
+    PartitionFilters), dims broadcast, and nothing degenerated into a
+    cartesian, without writing a line of code."""
+    from cae_polars_tools_spark.plans.registry import load_all
+
+    corpus = load_all()
+    if args.name not in corpus:
+        import difflib
+
+        near = difflib.get_close_matches(args.name, corpus, n=3)
+        hint = f" (did you mean: {', '.join(near)}?)" if near else ""
+        raise SystemExit(f"unknown query {args.name!r}{hint}")
+    spark = _session()
+    df = corpus[args.name].build(spark, args.sf_dir)
+    df.explain(args.mode)
+    return 0
+
+
 def create_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="cae-polars-tools-spark",
@@ -564,6 +585,24 @@ def create_parser() -> argparse.ArgumentParser:
         help="print N rows instead of writing parquet",
     )
     sp.set_defaults(func=query_command)
+
+    sp = sub.add_parser(
+        "explain",
+        help="print a corpus entry's physical plan (plan audit)",
+    )
+    sp.add_argument("name", help="entry name (see list-queries)")
+    sp.add_argument(
+        "--sf-dir",
+        default="/root/testdata/sf0.001",
+        help="directory holding the benchmark parquet tables",
+    )
+    sp.add_argument(
+        "--mode",
+        default="formatted",
+        choices=["simple", "extended", "formatted", "cost", "codegen"],
+        help="Spark explain mode (default: formatted)",
+    )
+    sp.set_defaults(func=explain_command)
 
     return p
 

@@ -288,3 +288,18 @@ def test_cli_query_show_and_unknown_name(capsys):
     assert "+" in capsys.readouterr().out  # show() table border
     with pytest.raises(SystemExit, match="did you mean"):
         main(["query", "q05_global_ag"])
+
+
+def test_cli_explain_prints_physical_plan(capsys):
+    from cae_polars_tools_spark.cli import main
+
+    assert main(["explain", "q03_filter_predicates"]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out
+    assert "PushedFilters" in out  # the predicates reached the scan
+    # unknown entries fail with a suggestion (same SystemExit shape
+    # as the query subcommand)
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="did you mean"):
+        main(["explain", "q03_filter_predicate"])
