@@ -920,3 +920,251 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("lp"), 6).alias("avg_logprob"),
         )
     )
+
+
+# ASCII printable charset (32..126) — the corpus precondition asserted
+# by test_corpus_text_is_ascii; the per-char count chain below is a
+# FIXED left fold over this range in BOTH engines, so the floating
+# addition order is bit-identical by construction.
+_ENTROPY_CODES = range(32, 127)
+
+_ENTROPY_ORACLE = """
+        SELECT doc_id,
+               ROUND((CASE WHEN cnt32 > 0 THEN -((cnt32/n) * ln(cnt32/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt33 > 0 THEN -((cnt33/n) * ln(cnt33/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt34 > 0 THEN -((cnt34/n) * ln(cnt34/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt35 > 0 THEN -((cnt35/n) * ln(cnt35/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt36 > 0 THEN -((cnt36/n) * ln(cnt36/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt37 > 0 THEN -((cnt37/n) * ln(cnt37/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt38 > 0 THEN -((cnt38/n) * ln(cnt38/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt39 > 0 THEN -((cnt39/n) * ln(cnt39/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt40 > 0 THEN -((cnt40/n) * ln(cnt40/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt41 > 0 THEN -((cnt41/n) * ln(cnt41/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt42 > 0 THEN -((cnt42/n) * ln(cnt42/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt43 > 0 THEN -((cnt43/n) * ln(cnt43/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt44 > 0 THEN -((cnt44/n) * ln(cnt44/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt45 > 0 THEN -((cnt45/n) * ln(cnt45/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt46 > 0 THEN -((cnt46/n) * ln(cnt46/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt47 > 0 THEN -((cnt47/n) * ln(cnt47/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt48 > 0 THEN -((cnt48/n) * ln(cnt48/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt49 > 0 THEN -((cnt49/n) * ln(cnt49/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt50 > 0 THEN -((cnt50/n) * ln(cnt50/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt51 > 0 THEN -((cnt51/n) * ln(cnt51/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt52 > 0 THEN -((cnt52/n) * ln(cnt52/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt53 > 0 THEN -((cnt53/n) * ln(cnt53/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt54 > 0 THEN -((cnt54/n) * ln(cnt54/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt55 > 0 THEN -((cnt55/n) * ln(cnt55/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt56 > 0 THEN -((cnt56/n) * ln(cnt56/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt57 > 0 THEN -((cnt57/n) * ln(cnt57/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt58 > 0 THEN -((cnt58/n) * ln(cnt58/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt59 > 0 THEN -((cnt59/n) * ln(cnt59/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt60 > 0 THEN -((cnt60/n) * ln(cnt60/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt61 > 0 THEN -((cnt61/n) * ln(cnt61/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt62 > 0 THEN -((cnt62/n) * ln(cnt62/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt63 > 0 THEN -((cnt63/n) * ln(cnt63/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt64 > 0 THEN -((cnt64/n) * ln(cnt64/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt65 > 0 THEN -((cnt65/n) * ln(cnt65/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt66 > 0 THEN -((cnt66/n) * ln(cnt66/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt67 > 0 THEN -((cnt67/n) * ln(cnt67/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt68 > 0 THEN -((cnt68/n) * ln(cnt68/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt69 > 0 THEN -((cnt69/n) * ln(cnt69/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt70 > 0 THEN -((cnt70/n) * ln(cnt70/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt71 > 0 THEN -((cnt71/n) * ln(cnt71/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt72 > 0 THEN -((cnt72/n) * ln(cnt72/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt73 > 0 THEN -((cnt73/n) * ln(cnt73/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt74 > 0 THEN -((cnt74/n) * ln(cnt74/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt75 > 0 THEN -((cnt75/n) * ln(cnt75/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt76 > 0 THEN -((cnt76/n) * ln(cnt76/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt77 > 0 THEN -((cnt77/n) * ln(cnt77/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt78 > 0 THEN -((cnt78/n) * ln(cnt78/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt79 > 0 THEN -((cnt79/n) * ln(cnt79/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt80 > 0 THEN -((cnt80/n) * ln(cnt80/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt81 > 0 THEN -((cnt81/n) * ln(cnt81/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt82 > 0 THEN -((cnt82/n) * ln(cnt82/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt83 > 0 THEN -((cnt83/n) * ln(cnt83/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt84 > 0 THEN -((cnt84/n) * ln(cnt84/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt85 > 0 THEN -((cnt85/n) * ln(cnt85/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt86 > 0 THEN -((cnt86/n) * ln(cnt86/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt87 > 0 THEN -((cnt87/n) * ln(cnt87/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt88 > 0 THEN -((cnt88/n) * ln(cnt88/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt89 > 0 THEN -((cnt89/n) * ln(cnt89/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt90 > 0 THEN -((cnt90/n) * ln(cnt90/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt91 > 0 THEN -((cnt91/n) * ln(cnt91/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt92 > 0 THEN -((cnt92/n) * ln(cnt92/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt93 > 0 THEN -((cnt93/n) * ln(cnt93/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt94 > 0 THEN -((cnt94/n) * ln(cnt94/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt95 > 0 THEN -((cnt95/n) * ln(cnt95/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt96 > 0 THEN -((cnt96/n) * ln(cnt96/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt97 > 0 THEN -((cnt97/n) * ln(cnt97/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt98 > 0 THEN -((cnt98/n) * ln(cnt98/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt99 > 0 THEN -((cnt99/n) * ln(cnt99/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt100 > 0 THEN -((cnt100/n) * ln(cnt100/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt101 > 0 THEN -((cnt101/n) * ln(cnt101/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt102 > 0 THEN -((cnt102/n) * ln(cnt102/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt103 > 0 THEN -((cnt103/n) * ln(cnt103/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt104 > 0 THEN -((cnt104/n) * ln(cnt104/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt105 > 0 THEN -((cnt105/n) * ln(cnt105/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt106 > 0 THEN -((cnt106/n) * ln(cnt106/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt107 > 0 THEN -((cnt107/n) * ln(cnt107/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt108 > 0 THEN -((cnt108/n) * ln(cnt108/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt109 > 0 THEN -((cnt109/n) * ln(cnt109/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt110 > 0 THEN -((cnt110/n) * ln(cnt110/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt111 > 0 THEN -((cnt111/n) * ln(cnt111/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt112 > 0 THEN -((cnt112/n) * ln(cnt112/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt113 > 0 THEN -((cnt113/n) * ln(cnt113/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt114 > 0 THEN -((cnt114/n) * ln(cnt114/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt115 > 0 THEN -((cnt115/n) * ln(cnt115/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt116 > 0 THEN -((cnt116/n) * ln(cnt116/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt117 > 0 THEN -((cnt117/n) * ln(cnt117/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt118 > 0 THEN -((cnt118/n) * ln(cnt118/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt119 > 0 THEN -((cnt119/n) * ln(cnt119/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt120 > 0 THEN -((cnt120/n) * ln(cnt120/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt121 > 0 THEN -((cnt121/n) * ln(cnt121/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt122 > 0 THEN -((cnt122/n) * ln(cnt122/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt123 > 0 THEN -((cnt123/n) * ln(cnt123/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt124 > 0 THEN -((cnt124/n) * ln(cnt124/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt125 > 0 THEN -((cnt125/n) * ln(cnt125/n)) ELSE 0.0 END)
+               + (CASE WHEN cnt126 > 0 THEN -((cnt126/n) * ln(cnt126/n)) ELSE 0.0 END), 6) AS entropy
+        FROM (
+            SELECT doc_id,
+                   CAST(length(text) AS DOUBLE) AS n,
+                   CAST(length(text) - length(replace(text, chr(32), '')) AS DOUBLE) AS cnt32,
+                   CAST(length(text) - length(replace(text, chr(33), '')) AS DOUBLE) AS cnt33,
+                   CAST(length(text) - length(replace(text, chr(34), '')) AS DOUBLE) AS cnt34,
+                   CAST(length(text) - length(replace(text, chr(35), '')) AS DOUBLE) AS cnt35,
+                   CAST(length(text) - length(replace(text, chr(36), '')) AS DOUBLE) AS cnt36,
+                   CAST(length(text) - length(replace(text, chr(37), '')) AS DOUBLE) AS cnt37,
+                   CAST(length(text) - length(replace(text, chr(38), '')) AS DOUBLE) AS cnt38,
+                   CAST(length(text) - length(replace(text, chr(39), '')) AS DOUBLE) AS cnt39,
+                   CAST(length(text) - length(replace(text, chr(40), '')) AS DOUBLE) AS cnt40,
+                   CAST(length(text) - length(replace(text, chr(41), '')) AS DOUBLE) AS cnt41,
+                   CAST(length(text) - length(replace(text, chr(42), '')) AS DOUBLE) AS cnt42,
+                   CAST(length(text) - length(replace(text, chr(43), '')) AS DOUBLE) AS cnt43,
+                   CAST(length(text) - length(replace(text, chr(44), '')) AS DOUBLE) AS cnt44,
+                   CAST(length(text) - length(replace(text, chr(45), '')) AS DOUBLE) AS cnt45,
+                   CAST(length(text) - length(replace(text, chr(46), '')) AS DOUBLE) AS cnt46,
+                   CAST(length(text) - length(replace(text, chr(47), '')) AS DOUBLE) AS cnt47,
+                   CAST(length(text) - length(replace(text, chr(48), '')) AS DOUBLE) AS cnt48,
+                   CAST(length(text) - length(replace(text, chr(49), '')) AS DOUBLE) AS cnt49,
+                   CAST(length(text) - length(replace(text, chr(50), '')) AS DOUBLE) AS cnt50,
+                   CAST(length(text) - length(replace(text, chr(51), '')) AS DOUBLE) AS cnt51,
+                   CAST(length(text) - length(replace(text, chr(52), '')) AS DOUBLE) AS cnt52,
+                   CAST(length(text) - length(replace(text, chr(53), '')) AS DOUBLE) AS cnt53,
+                   CAST(length(text) - length(replace(text, chr(54), '')) AS DOUBLE) AS cnt54,
+                   CAST(length(text) - length(replace(text, chr(55), '')) AS DOUBLE) AS cnt55,
+                   CAST(length(text) - length(replace(text, chr(56), '')) AS DOUBLE) AS cnt56,
+                   CAST(length(text) - length(replace(text, chr(57), '')) AS DOUBLE) AS cnt57,
+                   CAST(length(text) - length(replace(text, chr(58), '')) AS DOUBLE) AS cnt58,
+                   CAST(length(text) - length(replace(text, chr(59), '')) AS DOUBLE) AS cnt59,
+                   CAST(length(text) - length(replace(text, chr(60), '')) AS DOUBLE) AS cnt60,
+                   CAST(length(text) - length(replace(text, chr(61), '')) AS DOUBLE) AS cnt61,
+                   CAST(length(text) - length(replace(text, chr(62), '')) AS DOUBLE) AS cnt62,
+                   CAST(length(text) - length(replace(text, chr(63), '')) AS DOUBLE) AS cnt63,
+                   CAST(length(text) - length(replace(text, chr(64), '')) AS DOUBLE) AS cnt64,
+                   CAST(length(text) - length(replace(text, chr(65), '')) AS DOUBLE) AS cnt65,
+                   CAST(length(text) - length(replace(text, chr(66), '')) AS DOUBLE) AS cnt66,
+                   CAST(length(text) - length(replace(text, chr(67), '')) AS DOUBLE) AS cnt67,
+                   CAST(length(text) - length(replace(text, chr(68), '')) AS DOUBLE) AS cnt68,
+                   CAST(length(text) - length(replace(text, chr(69), '')) AS DOUBLE) AS cnt69,
+                   CAST(length(text) - length(replace(text, chr(70), '')) AS DOUBLE) AS cnt70,
+                   CAST(length(text) - length(replace(text, chr(71), '')) AS DOUBLE) AS cnt71,
+                   CAST(length(text) - length(replace(text, chr(72), '')) AS DOUBLE) AS cnt72,
+                   CAST(length(text) - length(replace(text, chr(73), '')) AS DOUBLE) AS cnt73,
+                   CAST(length(text) - length(replace(text, chr(74), '')) AS DOUBLE) AS cnt74,
+                   CAST(length(text) - length(replace(text, chr(75), '')) AS DOUBLE) AS cnt75,
+                   CAST(length(text) - length(replace(text, chr(76), '')) AS DOUBLE) AS cnt76,
+                   CAST(length(text) - length(replace(text, chr(77), '')) AS DOUBLE) AS cnt77,
+                   CAST(length(text) - length(replace(text, chr(78), '')) AS DOUBLE) AS cnt78,
+                   CAST(length(text) - length(replace(text, chr(79), '')) AS DOUBLE) AS cnt79,
+                   CAST(length(text) - length(replace(text, chr(80), '')) AS DOUBLE) AS cnt80,
+                   CAST(length(text) - length(replace(text, chr(81), '')) AS DOUBLE) AS cnt81,
+                   CAST(length(text) - length(replace(text, chr(82), '')) AS DOUBLE) AS cnt82,
+                   CAST(length(text) - length(replace(text, chr(83), '')) AS DOUBLE) AS cnt83,
+                   CAST(length(text) - length(replace(text, chr(84), '')) AS DOUBLE) AS cnt84,
+                   CAST(length(text) - length(replace(text, chr(85), '')) AS DOUBLE) AS cnt85,
+                   CAST(length(text) - length(replace(text, chr(86), '')) AS DOUBLE) AS cnt86,
+                   CAST(length(text) - length(replace(text, chr(87), '')) AS DOUBLE) AS cnt87,
+                   CAST(length(text) - length(replace(text, chr(88), '')) AS DOUBLE) AS cnt88,
+                   CAST(length(text) - length(replace(text, chr(89), '')) AS DOUBLE) AS cnt89,
+                   CAST(length(text) - length(replace(text, chr(90), '')) AS DOUBLE) AS cnt90,
+                   CAST(length(text) - length(replace(text, chr(91), '')) AS DOUBLE) AS cnt91,
+                   CAST(length(text) - length(replace(text, chr(92), '')) AS DOUBLE) AS cnt92,
+                   CAST(length(text) - length(replace(text, chr(93), '')) AS DOUBLE) AS cnt93,
+                   CAST(length(text) - length(replace(text, chr(94), '')) AS DOUBLE) AS cnt94,
+                   CAST(length(text) - length(replace(text, chr(95), '')) AS DOUBLE) AS cnt95,
+                   CAST(length(text) - length(replace(text, chr(96), '')) AS DOUBLE) AS cnt96,
+                   CAST(length(text) - length(replace(text, chr(97), '')) AS DOUBLE) AS cnt97,
+                   CAST(length(text) - length(replace(text, chr(98), '')) AS DOUBLE) AS cnt98,
+                   CAST(length(text) - length(replace(text, chr(99), '')) AS DOUBLE) AS cnt99,
+                   CAST(length(text) - length(replace(text, chr(100), '')) AS DOUBLE) AS cnt100,
+                   CAST(length(text) - length(replace(text, chr(101), '')) AS DOUBLE) AS cnt101,
+                   CAST(length(text) - length(replace(text, chr(102), '')) AS DOUBLE) AS cnt102,
+                   CAST(length(text) - length(replace(text, chr(103), '')) AS DOUBLE) AS cnt103,
+                   CAST(length(text) - length(replace(text, chr(104), '')) AS DOUBLE) AS cnt104,
+                   CAST(length(text) - length(replace(text, chr(105), '')) AS DOUBLE) AS cnt105,
+                   CAST(length(text) - length(replace(text, chr(106), '')) AS DOUBLE) AS cnt106,
+                   CAST(length(text) - length(replace(text, chr(107), '')) AS DOUBLE) AS cnt107,
+                   CAST(length(text) - length(replace(text, chr(108), '')) AS DOUBLE) AS cnt108,
+                   CAST(length(text) - length(replace(text, chr(109), '')) AS DOUBLE) AS cnt109,
+                   CAST(length(text) - length(replace(text, chr(110), '')) AS DOUBLE) AS cnt110,
+                   CAST(length(text) - length(replace(text, chr(111), '')) AS DOUBLE) AS cnt111,
+                   CAST(length(text) - length(replace(text, chr(112), '')) AS DOUBLE) AS cnt112,
+                   CAST(length(text) - length(replace(text, chr(113), '')) AS DOUBLE) AS cnt113,
+                   CAST(length(text) - length(replace(text, chr(114), '')) AS DOUBLE) AS cnt114,
+                   CAST(length(text) - length(replace(text, chr(115), '')) AS DOUBLE) AS cnt115,
+                   CAST(length(text) - length(replace(text, chr(116), '')) AS DOUBLE) AS cnt116,
+                   CAST(length(text) - length(replace(text, chr(117), '')) AS DOUBLE) AS cnt117,
+                   CAST(length(text) - length(replace(text, chr(118), '')) AS DOUBLE) AS cnt118,
+                   CAST(length(text) - length(replace(text, chr(119), '')) AS DOUBLE) AS cnt119,
+                   CAST(length(text) - length(replace(text, chr(120), '')) AS DOUBLE) AS cnt120,
+                   CAST(length(text) - length(replace(text, chr(121), '')) AS DOUBLE) AS cnt121,
+                   CAST(length(text) - length(replace(text, chr(122), '')) AS DOUBLE) AS cnt122,
+                   CAST(length(text) - length(replace(text, chr(123), '')) AS DOUBLE) AS cnt123,
+                   CAST(length(text) - length(replace(text, chr(124), '')) AS DOUBLE) AS cnt124,
+                   CAST(length(text) - length(replace(text, chr(125), '')) AS DOUBLE) AS cnt125,
+                   CAST(length(text) - length(replace(text, chr(126), '')) AS DOUBLE) AS cnt126
+            FROM documents
+        )
+    """
+
+
+@register(
+    "text_entropy",
+    oracle=_ENTROPY_ORACLE,
+    tags=("text", "quality", "extension"),
+    window_rank=1,
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy — the classic
+    gibberish/binary/boilerplate signal (low entropy = repeated
+    characters or templates, high = random bytes; natural language
+    sits in a narrow band).
+
+    Scale shape: NO explode, NO shuffle. The naive formulation
+    (explode per character, groupBy(doc, char)) shuffles one row per
+    CHARACTER of the corpus — at 100 TB that is the corpus itself,
+    multiplied. Instead each char count is the row-local
+    length-difference ``len(text) − len(replace(text, c, ''))`` over
+    the fixed ASCII charset (the corpus precondition), and the
+    entropy is a 95-term codegen expression: one projection over the
+    scan, embarrassingly parallel. The fold order over the charset is
+    fixed and identical in the SQL oracle, so every double matches
+    bit-for-bit before the 1e-6 rounding."""
+    from functools import reduce
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    n = F.length("text").cast("double")
+    terms = []
+    for code in _ENTROPY_CODES:
+        cnt = (
+            n
+            - F.length(F.replace(F.col("text"), F.lit(chr(code)))).cast(
+                "double"
+            )
+        )
+        p = cnt / n
+        terms.append(
+            F.when(cnt > 0, -(p * F.log(p))).otherwise(F.lit(0.0))
+        )
+    ent = F.round(reduce(lambda a, b: a + b, terms), 6)
+    return docs.select("doc_id", ent.alias("entropy"))

@@ -92,6 +92,7 @@ SF01_SENSITIVE = (
     "q69_gap_fill",  # rounded-mean interpolation divisions under volume
     "dedup_canonical_pick",  # rides dedup_clusters' pair set + election
     "pipeline_weighted_sample",  # libm ln + rounded-score top-k boundary
+    "text_entropy",  # 95-term ln fold, rounded at 1e-6
 )
 
 

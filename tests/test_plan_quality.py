@@ -634,3 +634,15 @@ def test_weighted_sample_is_takeordered_not_global_sort(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "rangepartitioning" not in plan, plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_text_entropy_is_zero_shuffle_codegen(spark):
+    """text_entropy: the per-char count chain must stay a single
+    projection over the scan — no explode, no key exchange (the naive
+    per-character groupBy would shuffle the whole corpus). The only
+    allowed exchange is spread()'s round-robin parallelism fix, which
+    is a no-op at real scale by construction."""
+    plan = _plan(spark, "text_entropy")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Generate" not in plan, plan
