@@ -48,6 +48,30 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# Outlier re-sampling thresholds (round-9 forensics): the driver's r9
+# run started at loadavg 3.32 and recorded q31_rollup samples of
+# [0.59, 2.84, 4.13] — first sample AT the historical value, later
+# rounds drifting up under in-run JVM/host pressure, landing a 4.7×
+# phantom regression in the artifact. Ratio-AND-absolute-range keeps
+# sub-100 ms entries (where 3× spread is pure scheduler noise but
+# costs nothing) from triggering pointless re-runs, while catching
+# every genuinely contaminated entry: against the r9 driver details
+# these thresholds flag exactly q31_rollup and dedup_exact — the two
+# drifted entries — and nothing else.
+RESAMPLE_SPREAD_RATIO = 3.0
+RESAMPLE_SPREAD_FLOOR = 0.25
+
+
+def spread_flagged(samples_list: list[float]) -> bool:
+    """True when a sample list shows the in-run drift signature: the
+    slowest sample is >RATIO× the fastest AND the absolute spread
+    exceeds the floor (so tiny entries never flag)."""
+    lo, hi = min(samples_list), max(samples_list)
+    return hi > RESAMPLE_SPREAD_RATIO * max(lo, 1e-9) and (
+        hi - lo
+    ) > RESAMPLE_SPREAD_FLOOR
+
+
 def wait_idle(
     threshold: float = 0.5, timeout_s: float = 300.0, poll_s: float = 5.0
 ) -> float:
@@ -127,14 +151,26 @@ def main() -> None:
 
     rounds = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3")))
     samples: dict[str, list[float]] = {name: [] for name in corpus}
-    for _ in range(rounds):
-        for name, spec in sorted(corpus.items()):
-            # Drop DataFrames persisted by the previous query (self-join
-            # reuse caches) so each timing is isolated.
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            materialize(spec.build(spark, sf_dir))
-            samples[name].append(time.perf_counter() - t0)
+    names = sorted(corpus)
+
+    def sample_one(name: str) -> None:
+        # Drop DataFrames persisted by the previous query (self-join
+        # reuse caches) so each timing is isolated.
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        materialize(corpus[name].build(spark, sf_dir))
+        samples[name].append(time.perf_counter() - t0)
+
+    for r in range(rounds):
+        # Rotate the execution order each round: in-run JVM/GC/codegen
+        # pressure accumulates over a 136-entry round, so a fixed
+        # alphabetical order always lands the late-round drift on the
+        # same names (r9: q31_rollup, alphabetically late, drew samples
+        # [0.59, 2.84, 4.13]). A rounds-spread rotation gives every
+        # entry at least one early-position sample for the median.
+        off = (r * len(names)) // rounds
+        for name in names[off:] + names[:off]:
+            sample_one(name)
         # Between rounds, nudge the JVM to release codegen
         # classloaders and other round-scoped garbage: at 124 entries
         # per round the shared session accumulates compilation/GC
@@ -147,6 +183,17 @@ def main() -> None:
             spark._jvm.System.gc()
         except Exception:
             pass
+
+    # Outlier re-sampling: any entry whose samples show the drift
+    # signature gets `rounds` extra isolated samples appended before
+    # the median — with 3 original (1-2 contaminated) + 3 clean, the
+    # median lands in the clean set. Re-runs happen after the main
+    # loop on a session that just GC'd, i.e. the quietest state this
+    # harness can offer.
+    resampled = sorted(n for n, ts in samples.items() if spread_flagged(ts))
+    for name in resampled:
+        for _ in range(rounds):
+            sample_one(name)
 
     timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
     total = round(sum(timings.values()), 3)
@@ -167,6 +214,10 @@ def main() -> None:
             n: [round(t, 3) for t in ts] for n, ts in samples.items()
         },
         "rounds": rounds,
+        # entries that tripped the drift detector and got extra
+        # samples; their queries_samples lists are longer than
+        # `rounds` (original order preserved, re-runs appended)
+        "resampled": resampled,
         "sf": sf,
         "loadavg_start": round(load_start, 2),
         "loadavg_end": round(os.getloadavg()[0], 2),

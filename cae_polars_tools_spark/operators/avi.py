@@ -138,11 +138,17 @@ def parse_avi_mjpeg(payload: bytes) -> tuple[dict, list[bytes]]:
     end = min(8 + riff_size, len(payload))
 
     meta: dict = {}
-    frames: list[bytes] = []
+    # (stream_no, jpeg_bytes): movi data chunks are tagged with their
+    # stream number ('00dc', '01wb', ...); keep the tag so only the
+    # MJPG video stream's chunks become frames — an audio or second
+    # video stream must never silently interleave into the frame list.
+    tagged: list[tuple[int, bytes]] = []
     handler = None
+    video_stream = None
+    n_strh = 0
 
     def walk_list(start: int, stop: int) -> None:
-        nonlocal handler
+        nonlocal handler, video_stream, n_strh
         for fourcc, ds, size in _walk_chunks(payload, start, stop):
             if fourcc == b"LIST":
                 walk_list(ds + 4, ds + size)
@@ -157,10 +163,19 @@ def parse_avi_mjpeg(payload: bytes) -> tuple[dict, list[bytes]]:
                     fps=round(1_000_000 / us_pf) if us_pf else 0,
                 )
             elif fourcc == b"strh":
+                # stream number = ordinal of this strh among all strl
+                # lists (the AVI spec's chunk-prefix convention)
                 if payload[ds : ds + 4] == b"vids":
+                    if video_stream is not None:
+                        raise NotImplementedError(
+                            "AVI carries more than one video stream "
+                            "(single-stream MJPEG only)"
+                        )
                     handler = payload[ds + 4 : ds + 8]
+                    video_stream = n_strh
+                n_strh += 1
             elif fourcc[2:4] in (b"dc", b"db") and fourcc[:2].isdigit():
-                frames.append(payload[ds : ds + size])
+                tagged.append((int(fourcc[:2]), payload[ds : ds + size]))
 
     walk_list(12, end)
     if handler is None:
@@ -170,6 +185,7 @@ def parse_avi_mjpeg(payload: bytes) -> tuple[dict, list[bytes]]:
             f"AVI video codec {handler!r} (only MJPEG is implemented; "
             "other codecs stay behind the loud seam)"
         )
+    frames = [b for sn, b in tagged if sn == video_stream]
     meta["codec"] = "MJPG"
     if meta.get("n_frames") and meta["n_frames"] != len(frames):
         raise ValueError(

@@ -805,7 +805,14 @@ def weighted_sample(
     the global cut is a TakeOrdered top-k (per-partition heaps + one
     k-row driver merge), never a full sort. Scores round to 8
     decimals so Spark's and an auditor's libm agree ulp-for-ulp, with
-    the key column as the total-order tie-break."""
+    the key column as the total-order tie-break.
+
+    Weights must be strictly positive: a zero/negative weight has no
+    meaning under A-Res (the score degenerates to ±Infinity/NaN and
+    would silently sort into or out of the top-k). The guard is fused
+    into the score projection via ``assert_true`` — zero extra scans
+    or actions; a bad row fails the job loudly at execution time
+    instead of corrupting the draw."""
     h8 = F.substring(
         F.md5(
             F.concat(F.col(key_col).cast("string"), F.lit(f":ws{seed}"))
@@ -816,9 +823,21 @@ def weighted_sample(
     u = (F.conv(h8, 16, 10).cast("double") + F.lit(1.0)) / F.lit(
         4294967296.0
     )
-    score = F.round(
-        -F.log(u) / F.col(weight_col).cast("double"), 8
-    ).alias("sample_key")
+    w = F.col(weight_col).cast("double")
+    # assert_true evaluates to NULL when the predicate holds and
+    # aborts the task otherwise; the when() wrapper threads it into
+    # the same codegen'd projection as the score — no second pass.
+    guard = F.assert_true(
+        w.isNotNull() & (w > 0),
+        F.lit(
+            f"weighted_sample: {weight_col!r} must be strictly "
+            "positive and non-null (A-Res selection rates); filter "
+            "or clamp before sampling"
+        ),
+    )
+    score = F.when(guard.isNull(), F.round(-F.log(u) / w, 8)).alias(
+        "sample_key"
+    )
     return df.select(*df.columns, score).orderBy(
         "sample_key", key_col
     ).limit(k)

@@ -1644,6 +1644,20 @@ def append_ivfpq_index(
                 "already in the index (pass check_unique=False only "
                 "if the caller guarantees disjointness)"
             )
+        # Collisions WITHIN the appended frame are just as fatal — a
+        # vec_id indexed twice answers every query twice — and the
+        # cross-join check above can't see them.
+        internal_dup = (
+            new.groupBy("vec_id").count().where(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if internal_dup:
+            raise ValueError(
+                "append_ivfpq_index: the appended frame itself carries "
+                "duplicate vec_ids; dedup it (or pass "
+                "check_unique=False if duplicates are intended)"
+            )
     n = new.count()
     new.write.mode("append").partitionBy("cl").parquet(codes_path)
     return {"rows_appended": n}
@@ -1678,6 +1692,12 @@ def ivfpq_ingest_sink(
         existing = spark.read.parquet(codes_path).select(
             F.col("vec_id")
         )
+        # Dedup WITHIN the micro-batch first: the anti-join below only
+        # screens against already-persisted ids, so a batch carrying
+        # the same vec_id twice (source replay inside one trigger)
+        # would otherwise append both encodings and break the
+        # effectively-once contract the docstring promises.
+        batch_df = batch_df.dropDuplicates([id_col])
         fresh = batch_df.join(
             existing,
             batch_df[id_col] == existing["vec_id"],

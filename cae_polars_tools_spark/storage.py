@@ -705,7 +705,10 @@ def parquet_rowgroup_stats(path: str) -> list[dict]:
 
 
 def dict_encode(
-    df: "DataFrame", col: str, code_col: str | None = None
+    df: "DataFrame",
+    col: str,
+    code_col: str | None = None,
+    max_cardinality: int = 100_000,
 ) -> tuple["DataFrame", "DataFrame"]:
     """Dictionary-encode a (low-cardinality) string column: returns
     ``(encoded, dictionary)`` where ``dictionary`` is
@@ -727,15 +730,34 @@ def dict_encode(
     Scale shape: one distinct (key-partitioned) over the column, one
     window over the DICTIONARY — bounded by the column's cardinality,
     which is the premise of dictionary encoding, not by |df| — then a
-    broadcast join back. The corpus never reshuffles."""
+    broadcast join back. The corpus never reshuffles.
+
+    The low-cardinality premise is ENFORCED, not assumed (the
+    ``_collect_queries`` convention, similarity.py): a
+    ``limit``-bounded count of the distinct values raises past
+    ``max_cardinality`` BEFORE the single-partition dictionary window
+    or the broadcast ever run — a caller passing a near-unique column
+    (an id, a URL) gets a loud error, not a driver OOM or a
+    million-row one-partition sort."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     out = code_col or f"{col}_code"
-    dictionary = (
+    distinct_vals = (
         df.select(F.col(col).alias("value"))
         .where(F.col("value").isNotNull())
         .distinct()
+    )
+    n = distinct_vals.limit(max_cardinality + 1).count()
+    if n > max_cardinality:
+        raise ValueError(
+            f"dict_encode: column {col!r} has {n - 1}+ distinct values"
+            f" (> max_cardinality={max_cardinality}); dictionary"
+            " encoding wants a low-cardinality column — raise the"
+            " bound explicitly if this is intended"
+        )
+    dictionary = (
+        distinct_vals
         .withColumn(
             "code",
             (F.row_number().over(Window.orderBy("value")) - 1).cast(

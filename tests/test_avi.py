@@ -166,3 +166,66 @@ def test_resize_avi_roundtrip_dims_and_playability():
                     "codec": "MJPG"}
     for d in decoded:
         assert d.shape == (4, 3, 3)
+
+
+def _mk_avi(streams_spec, movi_chunks, n_frames, w=5, h=6):
+    """Hand-rolled AVI for stream-topology tests: streams_spec is
+    [(fccType, handler), ...] in strl order; movi_chunks is
+    [(fourcc, data), ...]."""
+    u32 = lambda v: struct.pack("<I", v)  # noqa: E731
+    avih = b"avih" + u32(56) + struct.pack(
+        "<14I", 100_000, 0, 0, 0x10, n_frames, 0, len(streams_spec),
+        0, w, h, 0, 0, 0, 0,
+    )
+    strls = b""
+    for fcc_type, handler in streams_spec:
+        strh = b"strh" + u32(56) + fcc_type + handler + bytes(48)
+        strls += b"LIST" + u32(4 + len(strh)) + b"strl" + strh
+    hdrl = b"LIST" + u32(4 + len(avih) + len(strls)) + b"hdrl" + avih + strls
+    body = bytearray(b"movi")
+    for fcc, data in movi_chunks:
+        body += fcc + u32(len(data)) + data
+        if len(data) % 2:
+            body += b"\x00"
+    movi = b"LIST" + u32(len(body)) + bytes(body)
+    full = b"AVI " + hdrl + movi
+    return b"RIFF" + u32(len(full)) + full
+
+
+def test_second_video_stream_refuses_loudly():
+    """Two 'vids' strh headers: a second video stream would silently
+    interleave its frames into one list — must raise instead."""
+    jpg = encode_jpeg(_frames(1)[0], 90)
+    avi = _mk_avi(
+        [(b"vids", b"MJPG"), (b"vids", b"MJPG")],
+        [(b"00dc", jpg), (b"01dc", jpg)],
+        n_frames=1,
+    )
+    with pytest.raises(NotImplementedError, match="more than one video"):
+        parse_avi_mjpeg(avi)
+
+
+def test_frames_filtered_to_video_stream_number():
+    """The MJPG stream is stream 1 here (a text stream occupies slot
+    0): only '01dc' chunks are frames; a hostile '00dc' chunk from
+    the non-video stream must not leak into the frame list, and the
+    declared n_frames cross-check runs against the FILTERED count."""
+    f1, f2 = (encode_jpeg(f, 90) for f in _frames(2))
+    avi = _mk_avi(
+        [(b"txts", b"\x00" * 4), (b"vids", b"MJPG")],
+        [(b"00dc", b"\xff\xd8hostile-not-counted"),
+         (b"01dc", f1), (b"01dc", f2)],
+        n_frames=2,
+    )
+    meta, frames = parse_avi_mjpeg(avi)
+    assert frames == [f1, f2]
+    assert meta["n_frames"] == 2 and meta["codec"] == "MJPG"
+    # audio data chunks ('##wb') were already excluded by suffix; a
+    # mixed audio+video file keeps working with video at slot 0
+    avi2 = _mk_avi(
+        [(b"vids", b"MJPG"), (b"auds", b"\x01\x00\x00\x00")],
+        [(b"00dc", f1), (b"01wb", b"pcm-bytes!"), (b"00dc", f2)],
+        n_frames=2,
+    )
+    meta2, frames2 = parse_avi_mjpeg(avi2)
+    assert frames2 == [f1, f2] and meta2["n_frames"] == 2

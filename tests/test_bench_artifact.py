@@ -127,6 +127,59 @@ def test_host_context_fields_on_every_rung():
     assert big["calib_cpu_s"] == 0.065 and big["loadavg_start"] == 8.51
 
 
+def test_spread_detector_flags_r9_drift_signature():
+    # The driver's round-9 run (loadavg_start 3.32) recorded exactly
+    # two drift-contaminated sample lists; the detector must flag both
+    # and nothing shaped like normal variance.
+    from bench import spread_flagged
+
+    assert spread_flagged([0.593, 2.842, 4.126])  # q31_rollup, r9
+    assert spread_flagged([1.482, 0.438, 0.25])  # dedup_exact, r9
+    # flat entries and proportional-but-small noise never flag
+    assert not spread_flagged([0.58, 0.6, 0.57])
+    assert not spread_flagged([0.05, 0.16, 0.06])  # 3x ratio, tiny abs
+    assert not spread_flagged([2.9, 3.1, 3.0])
+
+
+def test_resampling_recovers_clean_median():
+    # Simulate the r9 q31_rollup contamination: 3 loaded-host samples,
+    # then `rounds` clean re-samples appended. The median over the
+    # combined list must land within 2x of the entry's true cost —
+    # the round-10 'no entry's median exceeds 2x its round-1 sample'
+    # acceptance bar.
+    import statistics
+
+    contaminated = [0.593, 2.842, 4.126]
+    clean = [0.60, 0.61, 0.59]
+    med = statistics.median(contaminated + clean)
+    assert med <= 2 * contaminated[0]
+
+
+def test_bench_details_medians_within_2x_of_first_sample():
+    # Tripwire over the actual artifact: once bench.py has run with
+    # the resampling logic (details carry a 'resampled' key), no
+    # entry's recorded median may exceed 2x its own round-1 sample
+    # (+150 ms absolute slack for sub-100 ms entries where 2x is
+    # scheduler noise). Skips on pre-round-10 artifacts.
+    import json
+    import statistics
+
+    import pytest
+
+    path = os.path.join(REPO, "BENCH_DETAILS.json")
+    if not os.path.exists(path):
+        pytest.skip("no BENCH_DETAILS.json in checkout")
+    details = json.load(open(path))
+    if "resampled" not in details:
+        pytest.skip("artifact predates the resampling harness")
+    offenders = {
+        n: ts
+        for n, ts in details["queries_samples"].items()
+        if statistics.median(ts) > 2 * ts[0] + 0.15
+    }
+    assert not offenders, f"drifted medians survived resampling: {offenders}"
+
+
 def test_wait_idle_gate():
     """--wait-idle spin: returns immediately when the host is already
     quiet (threshold above current load), and respects the timeout

@@ -1630,6 +1630,17 @@ def test_ivfpq_index_append_and_delete_lifecycle(spark, tmp_path):
     with _pytest.raises(ValueError, match="collide"):
         append_ivfpq_index(spark, root, half2.limit(3))
 
+    # duplicates WITHIN the appended frame refuse loudly too (the
+    # cross-check against existing ids cannot see them)
+    from cae_polars_tools_spark.operators.similarity import EMBED_DIM
+
+    two = spark.createDataFrame(
+        [(10_000_001, [0.5] * EMBED_DIM)] * 2,
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="duplicate vec_ids"):
+        append_ivfpq_index(spark, root, two)
+
     # CoW delete: victims vanish from results, pointer flipped last
     before = rows(query_ivfpq_index(spark, root, q))
     victims = sorted(

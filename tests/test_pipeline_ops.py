@@ -350,3 +350,33 @@ def test_cap_per_key_validates_args(spark):
         cap_per_key(df, "source", 0)
     with pytest.raises(ValueError, match="presalt"):
         cap_per_key(df, "source", 1, presalt=0)
+
+
+def test_weighted_sample_rejects_nonpositive_weights(spark):
+    """A-Res weights are selection rates: zero/negative/null weights
+    have no meaning and previously degenerated to Infinity/NaN scores
+    that silently sorted into or out of the top-k. The guard is fused
+    into the score projection (assert_true — no extra scan) and must
+    abort the job loudly."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from cae_polars_tools_spark.operators.pipeline import weighted_sample
+
+    bad = spark.createDataFrame(
+        [(1, 10.0), (2, 0.0), (3, 5.0)], "doc_id long, w double"
+    )
+    with pytest.raises(SparkRuntimeException, match="strictly positive"):
+        weighted_sample(bad, "w", 2).collect()
+    neg = spark.createDataFrame(
+        [(1, 10.0), (2, -1.0)], "doc_id long, w double"
+    )
+    with pytest.raises(SparkRuntimeException, match="strictly positive"):
+        weighted_sample(neg, "w", 1).collect()
+    # all-positive still samples exactly k deterministic rows
+    ok = spark.createDataFrame(
+        [(i, float(i + 1)) for i in range(20)], "doc_id long, w double"
+    )
+    a = [r["doc_id"] for r in weighted_sample(ok, "w", 5).collect()]
+    b = [r["doc_id"] for r in weighted_sample(ok, "w", 5).collect()]
+    assert len(a) == 5 and a == b

@@ -739,3 +739,23 @@ def test_dict_encode_roundtrip_and_nulls(spark):
     assert {
         (r["id"], r["value"]) for r in back.collect()
     } == {(1, "b"), (2, "a"), (3, "b"), (4, None), (5, "c")}
+
+
+def test_dict_encode_cardinality_guard(spark):
+    """The low-cardinality premise is enforced: a near-unique column
+    raises past max_cardinality instead of silently running the
+    dictionary window on one partition; raising the bound explicitly
+    re-enables the call on the same data."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cae_polars_tools_spark.storage import dict_encode
+
+    df = spark.range(50).select(
+        F.col("id"), F.concat(F.lit("v"), F.col("id")).alias("cat")
+    )
+    with pytest.raises(ValueError, match="max_cardinality"):
+        dict_encode(df, "cat", max_cardinality=10)
+    encoded, dictionary = dict_encode(df, "cat", max_cardinality=50)
+    assert dictionary.count() == 50
+    assert encoded.where(F.col("cat_code").isNull()).count() == 0

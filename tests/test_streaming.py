@@ -744,9 +744,15 @@ def test_streaming_ivfpq_ingest_matches_batch_append(spark, tmp_path):
     src = str(tmp_path / "updates")
     os.makedirs(src)
     # two files -> two micro-batches; plus a duplicate re-delivery of
-    # the first file's rows inside the second file
+    # the first file's rows inside the second file, AND a within-batch
+    # duplicate (same vec_id twice in one file) — the sink must dedup
+    # inside the micro-batch too, not only against persisted ids
     r1 = rest.filter(F.col("vec_id") % 4 == 1)
-    r23 = rest.filter(F.col("vec_id") % 4 >= 2).unionAll(r1.limit(5))
+    r23 = (
+        rest.filter(F.col("vec_id") % 4 >= 2)
+        .unionAll(r1.limit(5))
+        .unionAll(rest.filter(F.col("vec_id") % 4 == 2).limit(3))
+    )
     r1.coalesce(1).write.parquet(os.path.join(src, "f0"))
     r23.coalesce(1).write.parquet(os.path.join(src, "f1"))
     stream = (
