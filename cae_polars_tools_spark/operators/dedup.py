@@ -1174,12 +1174,13 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
+    # ONE window expression, aliased and reused — two textual
+    # F.first(...).over(w) copies are collapsed by Catalyst anyway,
+    # but the single-expression form makes that guarantee in the
+    # unresolved plan instead of relying on CSE.
     out = q.select(
-        "doc_id",
-        "cluster_id",
-        F.first("doc_id").over(w).alias("rep_id"),
-        (F.col("doc_id") == F.first("doc_id").over(w)).alias("keep"),
-    )
+        "doc_id", "cluster_id", F.first("doc_id").over(w).alias("rep_id")
+    ).withColumn("keep", F.col("doc_id") == F.col("rep_id"))
     # chain contract of _release_on_gc: a derived DataFrame keeps no
     # Python ref to its parent, so returning `out` alone would drop
     # `labels`, fire its cache-release finalizer, and make the
@@ -1821,6 +1822,18 @@ def winnow_pairs(
     return _release_on_gc(out, idx)
 
 
+def _kgram_hash_terms_sql(k: int) -> str:
+    """SQL restatement of the wrapping polynomial k-gram hash shared
+    by winnowing and repeated-span dedup: Σⱼ ascii(char at i+j) ·
+    baseᵏ⁻¹⁻ʲ in HUGEINT (128-bit) intermediates, wrapped mod 2⁶⁴ by
+    the caller — exact twin of the numpy uint64 arithmetic."""
+    return " + ".join(
+        f"CAST(ascii(substr(t, i + {j + 1}, 1)) AS HUGEINT) * "
+        f"CAST('{pow(int(_WINNOW_BASE), k - 1 - j, 2 ** 64)}' AS HUGEINT)"
+        for j in range(k)
+    )
+
+
 def _winnow_oracle(k: int = WINNOW_K, w: int = WINNOW_W,
                    min_shared: int = WINNOW_MIN_SHARED,
                    max_df: int = WINNOW_MAX_DF) -> str:
@@ -1837,11 +1850,7 @@ def _winnow_oracle(k: int = WINNOW_K, w: int = WINNOW_W,
     test_corpus_text_is_ascii): ``ascii(substr(...))`` walks
     CHARACTERS while the Spark UDF hashes UTF-8 BYTES — equivalent
     only for pure-ASCII text, which the synthetic corpus is."""
-    terms = " + ".join(
-        f"CAST(ascii(substr(t, i + {j + 1}, 1)) AS HUGEINT) * "
-        f"CAST('{pow(int(_WINNOW_BASE), k - 1 - j, 2 ** 64)}' AS HUGEINT)"
-        for j in range(k)
-    )
+    terms = _kgram_hash_terms_sql(k)
     two64, two63 = 2 ** 64, 2 ** 63
     return f"""
         WITH kg AS (
@@ -1895,6 +1904,208 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay pinned in tests/test_operators.py::test_winnow_*)."""
     d = spread(read_table(spark, sf_dir, "documents"))
     return winnow_pairs(d)
+
+
+# ---------------------------------------------------------------------------
+# Cross-document repeated-substring (span-level) dedup: the
+# suffix-array / ExactSubstr use case — find the maximal character
+# spans repeated verbatim across many documents (license boilerplate,
+# templates, mirrored paragraphs) and report each occurrence with its
+# position, so a curation pipeline can CUT the spans instead of
+# dropping whole documents.
+# ---------------------------------------------------------------------------
+
+SPAN_K = 16        # k-gram window (characters) — the position resolution
+SPAN_MIN_DOCS = 3  # a span must appear in >= this many distinct docs
+SPAN_MIN_LEN = 24  # minimal reported span length (characters)
+
+
+def kgram_hash_seq(col: Column | str, k: int = SPAN_K) -> Column:
+    """POSITION-ORDERED rolling k-gram hashes of a text column
+    (``array<long>``, index = 0-based character offset): the same
+    wrapping polynomial hash as :func:`winnowed_fingerprints`, but
+    keeping EVERY window in sequence instead of winnow-sampling —
+    ``posexplode`` over the result yields the (pos, hash) postings a
+    span-level index needs. Arrow-batched, shuffle-free; documents
+    shorter than ``k`` yield an empty array."""
+    if k < 2:
+        raise ValueError("k-gram hashing needs k >= 2")
+    powers = _WINNOW_BASE ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+
+    @F.pandas_udf("array<long>")
+    def seq(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append([])
+                continue
+            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(
+                np.uint64
+            )
+            n = len(b) - k + 1
+            if n <= 0:
+                out.append([])
+                continue
+            H = np.zeros(n, dtype=np.uint64)
+            for j in range(k):
+                H += b[j : j + n] * powers[j]
+            out.append(H.view(np.int64).tolist())
+        return pd.Series(out)
+
+    c = F.col(col) if isinstance(col, str) else col
+    return seq(c)
+
+
+def repeated_spans(
+    df: DataFrame,
+    min_docs: int = SPAN_MIN_DOCS,
+    k: int = SPAN_K,
+    min_len: int = SPAN_MIN_LEN,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_flagged: bool = True,
+) -> DataFrame:
+    """Cross-document repeated-substring detection — the span-level
+    dedup modality document-level exact/near-dup methods cannot
+    express (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better": their ExactSubstr suffix-array dedup; this is the
+    shuffle-architected equivalent). A character span repeated
+    verbatim in ≥ ``min_docs`` documents has EVERY one of its k-gram
+    windows repeated in those documents, so: build (doc, pos, hash)
+    postings for all k-grams (the decontamination window-hash kernel
+    with positions kept), keep hashes whose doc-frequency ≥
+    ``min_docs``, and merge per-document runs of CONSECUTIVE flagged
+    positions (gaps-and-islands) into maximal spans of length ≥
+    ``min_len``.
+
+    Returns one row per span occurrence: ``(doc_id, span_start,
+    span_len, cluster_id)`` with 0-based character offsets;
+    ``cluster_id`` is the minimum window hash inside the run — equal
+    maximal spans share it deterministically, so a downstream cut or
+    keep-one-occurrence step can group by it.
+
+    Scale shape: the postings table is the honest cost of
+    substring-level dedup (~one row per character — the same order as
+    ExactSubstr's suffix array) and it shuffles ONCE, on the hash,
+    for the doc-frequency aggregation. Doc frequency is a plain
+    ``count(*)`` with full map-side combine — NOT ``count_distinct``,
+    which Spark plans as a second corpus-sized exchange on
+    ``(h, doc)``: per-document distinctness is instead established
+    row-locally with ``array_distinct`` on the hash array before the
+    explode (each document's windows live in one row, so within-doc
+    dedup costs nothing). The hash UDF runs once — the ARRAY form is
+    what's cached; both the postings and the df-agg are cheap
+    derivations of it. The flagged-hash set — bounded by how much
+    repeated boilerplate exists, not corpus size — broadcasts back as
+    a semi-join (``broadcast_flagged=False`` falls back to a hash
+    join for pathological corpora), and the island merge
+    windows+groups only the FLAGGED subset by doc_id, reusing one
+    partitioning for both steps. No pair join materializes anywhere:
+    cost is linear in corpus size + output size, never quadratic in
+    duplicates."""
+    if min_len < k:
+        raise ValueError(
+            f"min_len ({min_len}) must be >= k ({k}): a span shorter "
+            "than one window carries no flagged window at all"
+        )
+    from pyspark.sql import Window
+
+    arrs = df.select(
+        F.col(id_col).alias("doc_id"),
+        kgram_hash_seq(F.col(text_col), k).alias("hs"),
+    ).persist()
+    # materialize before both consumers (df-agg + postings probe)
+    # race the cache — the jaccard_pairs recompute lesson
+    arrs.count()
+    idx = arrs.select(
+        "doc_id", F.posexplode("hs").alias("pos", "h")
+    )
+    flagged = (
+        arrs.select(F.explode(F.array_distinct("hs")).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("h")
+    )
+    if broadcast_flagged:
+        flagged = F.broadcast(flagged)
+    rep = idx.join(flagged, "h", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = rep.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    runs = (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") - F.min("pos") + F.lit(k))
+            .cast("long")
+            .alias("span_len"),
+            F.min("h").alias("cluster_id"),
+        )
+        .filter(F.col("span_len") >= min_len)
+        .drop("grp")
+    )
+    return _release_on_gc(runs, arrs)
+
+
+def _repeated_spans_oracle(
+    k: int = SPAN_K,
+    min_docs: int = SPAN_MIN_DOCS,
+    min_len: int = SPAN_MIN_LEN,
+) -> str:
+    """DuckDB twin: recompute the rolling k-gram hashes in 128-bit
+    SQL arithmetic (the winnowing oracle's kernel, positions kept),
+    doc-frequency filter, gaps-and-islands merge. cluster_id converts
+    each hash to the signed int64 bit view BEFORE the MIN so both
+    engines elect the same representative hash (the unsigned-vs-
+    signed ordering gotcha the winnow oracle documents)."""
+    terms = _kgram_hash_terms_sql(k)
+    two64, two63 = 2 ** 64, 2 ** 63
+    return f"""
+        WITH kg AS (
+            SELECT doc_id, g.i AS pos, ({terms}) % {two64} AS hu
+            FROM (SELECT doc_id, text AS t FROM documents),
+                 unnest(range(length(t) - {k - 1})) AS g(i)
+        ),
+        rep AS (
+            SELECT doc_id, pos,
+                   CAST(CASE WHEN hu >= {two63} THEN hu - {two64}
+                        ELSE hu END AS BIGINT) AS h
+            FROM kg
+            WHERE hu IN (SELECT hu FROM kg GROUP BY hu
+                         HAVING COUNT(DISTINCT doc_id) >= {min_docs})
+        ),
+        isl AS (
+            SELECT doc_id, pos, h,
+                   pos - ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                   ) AS grp
+            FROM rep
+        )
+        SELECT doc_id,
+               CAST(MIN(pos) AS BIGINT) AS span_start,
+               CAST(MAX(pos) - MIN(pos) + {k} AS BIGINT) AS span_len,
+               MIN(h) AS cluster_id
+        FROM isl GROUP BY doc_id, grp
+        HAVING MAX(pos) - MIN(pos) + {k} >= {min_len}
+    """
+
+
+@register(
+    "dedup_repeated_spans",
+    oracle=_repeated_spans_oracle(),
+    tags=("dedup", "extension", "spans"),
+)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level (substring) dedup over the documents table: every
+    maximal character span of ≥ 24 chars repeated verbatim across ≥ 3
+    documents, one row per occurrence with its 0-based offset, length
+    and content cluster id — the boilerplate-cutting modality
+    (ExactSubstr) that completes the dedup family next to exact /
+    near-dup / embedding / winnow-pair detection. Value-checked
+    end-to-end against a DuckDB oracle that recomputes the rolling
+    hashes, the doc-frequency threshold and the island merge in SQL."""
+    d = spread(read_table(spark, sf_dir, "documents"))
+    return repeated_spans(d)
 
 
 # ---------------------------------------------------------------------------

@@ -15,3 +15,22 @@ DRIVER_WINDOW = ['q01_pricing_summary', 'q02_projection_arith', 'q03_filter_pred
 
 def test_driver_window_entries_are_stable():
     assert list(load_all())[:50] == DRIVER_WINDOW
+
+
+def test_survey_header_count_matches_registry():
+    """SURVEY §8's header states the registry size; the round-9 churn
+    showed the doc sync is manual. This tripwire fails the suite when
+    the header goes stale — update the header when adding entries."""
+    import os
+    import re
+
+    survey = open(
+        os.path.join(os.path.dirname(__file__), "..", "SURVEY.md")
+    ).read()
+    m = re.search(r"registry at (\d+) entries", survey)
+    assert m, "SURVEY §8 header lost its 'registry at N entries' line"
+    assert int(m.group(1)) == len(load_all()), (
+        f"SURVEY §8 header says {m.group(1)} entries but the registry "
+        f"has {len(load_all())} — update the header (and README if it "
+        "states a count)"
+    )

@@ -1289,6 +1289,79 @@ def test_winnow_short_and_null_documents(spark):
     assert len(rows[3]) >= 1
 
 
+def test_repeated_spans_offsets_and_content(spark):
+    """Span-level dedup contract: a boilerplate paragraph shared by
+    >= min_docs documents is reported ONCE per occurrence as a
+    maximal span, with character offsets that actually cut the shared
+    text out of each document, the same cluster_id across its
+    occurrences, and position independence (different offsets per
+    doc). Docs lacking the boilerplate report nothing."""
+    from cae_polars_tools_spark.operators.dedup import repeated_spans
+
+    boiler = "SPDX-License-Identifier: Apache-2.0 OR MIT!"  # 43 chars
+    texts = {
+        1: "aaaa " + boiler + " unique tail one xxxxxxx",
+        2: boiler + " totally different body 22222222222",
+        3: "prefix text here 33 " + boiler,
+        4: "no shared content at all in this document 4444",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    out = repeated_spans(docs, min_docs=3, k=16, min_len=24).collect()
+    by_doc = {r["doc_id"]: r for r in out}
+    assert set(by_doc) == {1, 2, 3}
+    clusters = set()
+    for doc_id, r in by_doc.items():
+        s, ln = r["span_start"], r["span_len"]
+        assert texts[doc_id][s : s + ln] == boiler
+        clusters.add(r["cluster_id"])
+    assert len(clusters) == 1  # same content, same cluster
+    # position independence: the three offsets differ
+    assert len({r["span_start"] for r in by_doc.values()}) == 3
+    # threshold: with min_docs=4 nothing is reported
+    assert repeated_spans(docs, min_docs=4, k=16, min_len=24).count() == 0
+    # guard: a min_len below the window size is a contract violation
+    import pytest
+
+    with pytest.raises(ValueError, match="min_len"):
+        repeated_spans(docs, min_docs=2, k=16, min_len=8)
+
+
+def test_repeated_spans_short_null_and_multiple_runs(spark):
+    """Null/short documents yield no postings; two disjoint shared
+    spans inside one document come back as two separate runs, not one
+    merged span."""
+    from cae_polars_tools_spark.operators.dedup import repeated_spans
+
+    a = "first shared boilerplate run!"  # 29 chars
+    b = "second different shared text!"  # 29 chars
+    # adjacent characters differ across docs on BOTH sides of each
+    # shared span, so the maximal runs are exactly a and b — a shared
+    # neighbor char would (correctly) extend the span past them
+    texts = {
+        1: a + "X---interleaved unique---P" + b + "q",
+        2: a + "y.zz/" + b + "w trailing junk",
+        3: "lead-in 3." + a + "z mid 3~" + b + "e",
+        4: None,
+        5: "short",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    rows = repeated_spans(docs, min_docs=3, k=16, min_len=24).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(per_doc) == {1, 2, 3}
+    for doc_id, rs in per_doc.items():
+        got = sorted(
+            texts[doc_id][r["span_start"] : r["span_start"] + r["span_len"]]
+            for r in rs
+        )
+        assert got == sorted([a, b]), (doc_id, got)
+
+
 def test_pca_matches_numpy_exact(spark, sf_small):
     """The one-pass distributed Gram/mean reduction must reproduce
     numpy's exact PCA on the same data: eigenvalues to float

@@ -646,3 +646,35 @@ def test_text_entropy_is_zero_shuffle_codegen(spark):
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert "Generate" not in plan, plan
+
+
+def test_canonical_pick_single_window_single_election_exchange(spark):
+    """dedup_canonical_pick: the representative election must be ONE
+    Window node fed by ONE hashpartitioning exchange on cluster_id —
+    a second Window (or a SinglePartition exchange) would mean the
+    rep_id/keep expressions stopped sharing the election pass."""
+    plan = _plan(spark, "dedup_canonical_pick")
+    # exactly one Window operator in the whole plan
+    assert plan.count("Window") - plan.count("WindowGroupLimit") == 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    # the election shuffle keys on cluster_id
+    import re
+
+    win_exchanges = re.findall(
+        r"Exchange hashpartitioning\(([^)]*)\)", plan
+    )
+    assert any("cluster_id" in g for g in win_exchanges), plan
+
+
+def test_repeated_spans_two_exchanges_no_pair_join(spark):
+    """dedup_repeated_spans: the corpus-sized postings shuffle ONCE
+    (on the window hash, for the doc-frequency agg); the flagged
+    subset shuffles once more on doc_id, and that partitioning must
+    be REUSED by the island-merge aggregation (no third exchange).
+    The flagged-hash set joins back as a broadcast LeftSemi — never a
+    shuffled or cartesian pair join."""
+    plan = _plan(spark, "dedup_repeated_spans")
+    assert "CartesianProduct" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "LeftSemi, BuildRight" in plan, plan
