@@ -1020,9 +1020,15 @@ def resize_image_bytes(payload: bytes, width: int, height: int) -> bytes:
     return encode_png(px[ys][:, xs])
 
 
-def audio_features(assets: DataFrame) -> DataFrame:
+def audio_features(
+    assets: DataFrame, target_rate: int | None = None
+) -> DataFrame:
     """REAL audio feature extraction for PCM-WAV payloads: sample
-    rate, length, RMS and peak amplitude — one ``mapInPandas`` pass."""
+    rate, length, RMS and peak amplitude — one ``mapInPandas`` pass.
+    ``target_rate`` normalizes every clip to one rate first
+    (:func:`resample_pcm`, fused into the same pass — the
+    16 kHz-normalization every speech pipeline runs), so lengths and
+    energies are comparable across mixed-rate corpora."""
 
     def gen(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -1037,6 +1043,9 @@ def audio_features(assets: DataFrame) -> DataFrame:
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 rate, arr = decode_wav(bytes(payload))
+                if target_rate is not None:
+                    arr = resample_pcm(arr, rate, target_rate)
+                    rate = target_rate
                 x = arr.astype(np.float64)
                 out["doc_id"].append(int(doc_id))
                 out["sample_rate"].append(rate)
@@ -1057,6 +1066,88 @@ def audio_features(assets: DataFrame) -> DataFrame:
             "rms double, peak long"  # a clipped 32-bit peak (2^31) overflows int
         ),
     )
+
+
+def resample_pcm(
+    arr: "np.ndarray", old_rate: int, new_rate: int
+) -> "np.ndarray":
+    """Sample-exact linear-interpolation resampling of an integer PCM
+    array ``(n_samples, channels)`` — the 16 kHz-normalization step
+    every speech pipeline runs before feature extraction.
+
+    The math is PURE INTEGER so it is engine-portable (a DuckDB
+    oracle recomputes it digit-for-digit): with ``num/den`` the
+    reduced ratio ``old_rate/new_rate``, output sample ``i`` sits at
+    source position ``i·num/den``; its value is the rational
+    interpolation ``(x[idx]·(den−rem) + x[idx+1]·rem) / den`` rounded
+    HALF-UP via floor division ``(2·v + den) // (2·den)`` (floor, not
+    truncation, so negative samples round identically everywhere).
+    Output length is DURATION-PRESERVING — ``n_out = ceil(n·new/old)``,
+    the ``scipy.signal.resample_poly`` convention, so resampled clips
+    concatenate without drift; grid points past the last input sample
+    hold its value (right-edge hold, exact by construction since both
+    interpolation endpoints clamp to ``x[n−1]``)."""
+    from math import gcd
+
+    if old_rate <= 0 or new_rate <= 0:
+        raise ValueError("sample rates must be positive")
+    if old_rate == new_rate:
+        return arr.copy()
+    g = gcd(old_rate, new_rate)
+    num, den = old_rate // g, new_rate // g
+    n = arr.shape[0]
+    n_out = -((-n * den) // num)  # ceil(n·den/num)
+    pos = np.arange(n_out, dtype=np.int64) * num
+    idx = pos // den
+    rem = (pos % den)[:, None]
+    x0 = arr[idx].astype(np.int64)
+    x1 = arr[np.minimum(idx + 1, n - 1)].astype(np.int64)
+    val = x0 * (den - rem) + x1 * rem
+    out = (2 * val + den) // (2 * den)
+    return out.astype(arr.dtype)
+
+
+def resample_wav(payload: bytes, rate: int) -> bytes:
+    """Decode a WAV (any format :func:`decode_wav` handles — PCM
+    8/16/24/32-bit, G.711, IMA ADPCM), resample to ``rate`` with
+    :func:`resample_pcm`, re-encode as PCM. Output width follows the
+    decoded dtype: int16 sources (8/16-bit PCM, G.711, ADPCM) emit
+    16-bit PCM; int32 sources (24/32-bit PCM) emit 32-bit PCM — the
+    one normalization (24→32) is lossless."""
+    import io
+    import wave
+
+    old_rate, arr = decode_wav(payload)
+    out = resample_pcm(arr, old_rate, rate)
+    width = 2 if out.dtype == np.int16 else 4
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(out.shape[1] if out.ndim == 2 else 1)
+        wf.setsampwidth(width)
+        wf.setframerate(rate)
+        wf.writeframes(
+            out.astype("<i2" if width == 2 else "<i4").tobytes()
+        )
+    return buf.getvalue()
+
+
+def audio_resample(assets: DataFrame, rate: int) -> DataFrame:
+    """Distributed WAV resampling: ``(doc_id, payload)`` →
+    ``(doc_id, payload)`` at the target rate — one ``mapInPandas``
+    pass, bytes never leave the partition (the multimodal scale
+    contract)."""
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "payload": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(int(doc_id))
+                out["payload"].append(resample_wav(bytes(payload), rate))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(gen, schema="doc_id long, payload binary")
 
 
 BMP_W, BMP_H = 5, 4  # demo raster: 60 bytes of text → 5×4 RGB
@@ -1241,4 +1332,105 @@ def mm_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_payload(docs).mapInPandas(
         gen,
         schema="doc_id long, width int, height int, within_tol boolean",
+    )
+
+
+# demo audio: one WAV per document, samples = the first WAV_N text
+# bytes (zero-padded) as non-negative int16 PCM @ WAV_RATE_IN;
+# resampled to WAV_RATE_OUT (ratio 2/3 → interpolation fractions 0,
+# 1/3, 2/3 all exercised)
+WAV_N = 64
+WAV_RATE_IN, WAV_RATE_OUT = 8000, 12000
+_WAV_N_OUT = -((-WAV_N * 3) // 2)  # resample_pcm's ceil(n·3/2) = 96
+
+
+def _text_to_wav(docs: DataFrame) -> DataFrame:
+    """Deterministic per-document WAV fixture (the ``_text_to_bmp``
+    pattern): first ``WAV_N`` payload bytes, zero-padded, as mono
+    16-bit PCM at ``WAV_RATE_IN``."""
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "payload": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text or "").encode()[:WAV_N].ljust(WAV_N, b"\x00")
+                samples = np.frombuffer(raw, dtype=np.uint8).astype(
+                    np.int16
+                )
+                out["doc_id"].append(int(doc_id))
+                out["payload"].append(
+                    encode_wav_pcm16(samples, WAV_RATE_IN)
+                )
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+
+
+@register(
+    "mm_audio_resample",
+    # sample-exact twin: ascii() rebuilds the input PCM, then the same
+    # pure-integer interpolation — position i*2 over denominator 3,
+    # round-half-up via (2v+3)//6 (samples are non-negative here, so
+    # DuckDB's // and Python's floor agree by construction)
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id, u.j AS j,
+                   ascii(substr(rpad(text, {WAV_N}, chr(0)), u.j + 1, 1)) AS v
+            FROM documents, unnest(range(0, {WAV_N})) AS u(j)
+        ),
+        o AS (
+            SELECT doc_id, g.i AS i,
+                   (g.i * 2) // 3 AS idx, (g.i * 2) % 3 AS rem
+            FROM documents, unnest(range(0, {_WAV_N_OUT})) AS g(i)
+        )
+        SELECT o.doc_id,
+               o.i AS sample_idx,
+               CAST((2 * (s0.v * (3 - o.rem) + s1.v * o.rem) + 3) // 6
+                    AS BIGINT) AS sample
+        FROM o
+        JOIN s s0 ON s0.doc_id = o.doc_id AND s0.j = o.idx
+        JOIN s s1 ON s1.doc_id = o.doc_id
+                 AND s1.j = LEAST(o.idx + 1, {WAV_N - 1})
+    """,
+    tags=("multimodal", "audio", "extension"),
+    window_rank=1,
+)
+def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end audio resampling through the REAL WAV path: text
+    bytes → 16-bit PCM WAV @ 8 kHz → :func:`audio_resample` to
+    12 kHz (decode → exact-rational linear interpolation → re-encode)
+    → decode again and emit EVERY output sample as a row. The DuckDB
+    oracle recomputes the interpolation in pure integer SQL, so the
+    gate is sample-for-sample — any drift in the codec round-trip,
+    the rational position math, or the rounding convention flips the
+    value hash."""
+
+    def decode_gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "samples": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, arr = decode_wav(bytes(payload))
+                assert rate == WAV_RATE_OUT
+                out["doc_id"].append(int(doc_id))
+                out["samples"].append(arr[:, 0].astype(np.int64))
+            yield pd.DataFrame(out)
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    resampled = audio_resample(_text_to_wav(docs), WAV_RATE_OUT)
+    decoded = resampled.mapInPandas(
+        decode_gen, schema="doc_id long, samples array<long>"
+    )
+    return decoded.select(
+        "doc_id",
+        F.posexplode("samples").alias("sample_idx", "sample"),
+    ).select(
+        "doc_id",
+        F.col("sample_idx").cast("long").alias("sample_idx"),
+        "sample",
     )

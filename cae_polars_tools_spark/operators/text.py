@@ -1183,3 +1183,63 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.round(ent_udf(F.col("text")), 6).alias("entropy")
     )
+
+
+@register(
+    "text_ttr_stats",
+    oracle="""
+        WITH cnt AS (
+            SELECT doc_id, u.tok, COUNT(*) AS c
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents),
+                 unnest(toks) AS u(tok)
+            GROUP BY doc_id, u.tok
+        )
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(COUNT(*) FILTER (c = 1) AS BIGINT) AS n_hapax,
+               ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS ttr
+        FROM cnt GROUP BY doc_id
+    """,
+    tags=("text", "quality", "extension"),
+    window_rank=1,
+)
+def text_ttr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity quality signals per document: token count,
+    type count (distinct tokens), hapax-legomena count (tokens
+    occurring exactly once) and the type-token ratio — the
+    low-diversity/SEO-spam detector that complements the repetition
+    filter (``text_repetition`` catches repeated PHRASES; a low TTR
+    catches keyword-stuffed or template text with no phrase-level
+    repeats).
+
+    Scale shape: token and type counts are row-local JVM expressions
+    (``size`` / ``array_distinct`` — whole-stage codegen); only the
+    hapax count needs per-token multiplicities, computed in one
+    Arrow-batched pandas UDF (a Counter per doc — never an exploded
+    corpus-wide groupBy). Zero shuffles at any scale."""
+
+    @F.pandas_udf("long")
+    def hapax_udf(texts: pd.Series) -> pd.Series:
+        from collections import Counter
+
+        import numpy as np
+
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            c = Counter((t or "").split(TOKEN_SPLIT))
+            out[i] = sum(1 for v in c.values() if v == 1)
+        return pd.Series(out)
+
+    d = spread(read_table(spark, sf_dir, "documents"))
+    toks = tokens("text")
+    n_tokens = F.size(toks).cast("long")
+    n_types = F.size(F.array_distinct(toks)).cast("long")
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_types.alias("n_types"),
+        hapax_udf(F.col("text")).alias("n_hapax"),
+        F.round(n_types.cast("double") / n_tokens, 6).alias("ttr"),
+    )

@@ -873,3 +873,94 @@ def test_wav_ima_adpcm_fact_trims_and_features_dispatch(spark):
     [r] = audio_features(assets).collect()
     assert r["sample_rate"] == 16000 and r["n_samples"] == 10
     assert r["peak"] == int(np.abs(arr.astype(np.int64)).max())
+
+
+def _wav(width, frames, ch=1, rate=8000):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(ch)
+        wf.setsampwidth(width)
+        wf.setframerate(rate)
+        wf.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_resample_pcm_exact_math():
+    """The rational-interpolation contract: exact-factor up/downsample
+    hit the closed-form values, fractions round HALF-UP via floor
+    division (so negatives round toward +inf at .5 — the same value
+    the SQL twin computes), identity is a no-op copy."""
+    from cae_polars_tools_spark.operators.multimodal import resample_pcm
+
+    x = np.array([[0], [10], [20], [30]], dtype=np.int16)
+    # 2x upsample: odd outputs are neighbor midpoints
+    up = resample_pcm(x, 8000, 16000)
+    assert up[:, 0].tolist() == [0, 5, 10, 15, 20, 25, 30, 30]
+    # exact 2x downsample picks every other sample
+    down = resample_pcm(up, 16000, 8000)
+    assert down[:, 0].tolist() == [0, 10, 20, 30]
+    # identity returns an equal copy, not the same object
+    same = resample_pcm(x, 8000, 8000)
+    assert same is not x and same.tolist() == x.tolist()
+    # 2/3 ratio: fractions 1/3 and 2/3, half-up rounding
+    y = np.array([[0], [1], [2], [3]], dtype=np.int16)
+    r = resample_pcm(y, 8000, 12000)
+    # positions 0, 2/3, 4/3, 2, 8/3, 10/3(edge-hold) -> half-up
+    assert r[:, 0].tolist() == [0, 1, 1, 2, 3, 3]
+    # negative midpoint -0.5 rounds half-UP to 0 (floor division on
+    # the doubled numerator), matching SQL floor semantics
+    z = np.array([[0], [-1]], dtype=np.int16)
+    assert resample_pcm(z, 8000, 16000)[:, 0].tolist() == [0, 0, -1, -1]
+    import pytest
+
+    with pytest.raises(ValueError, match="positive"):
+        resample_pcm(x, 0, 8000)
+
+
+def test_resample_wav_width_paths():
+    """resample_wav round-trips every decode path: 8-bit in -> 16-bit
+    out, 16-bit stays 16, 24-bit in -> lossless 32-bit out, stereo
+    interleave preserved, rate field rewritten."""
+    from cae_polars_tools_spark.operators.multimodal import (
+        decode_wav,
+        resample_wav,
+    )
+
+    # 8-bit input (recentred to int16) -> PCM16 out
+    out = resample_wav(_wav(1, bytes([0, 128, 255])), 16000)
+    rate, arr = decode_wav(out)
+    assert rate == 16000 and arr.dtype == np.int16
+    assert arr[:, 0].tolist() == [-32768, -16384, 0, 16256, 32512, 32512]
+
+    # 24-bit input -> PCM32 out, values preserved at identical rate
+    raw = b"".join(s.to_bytes(3, "little") for s in [1, 0x7FFFFF, 0x800000])
+    rate, arr = decode_wav(resample_wav(_wav(3, raw), 8000))
+    assert rate == 8000 and arr.dtype == np.int32
+    assert arr[:, 0].tolist() == [1, 8388607, -8388608]
+
+    # stereo 16-bit: channels resample independently
+    st = np.array([[0, 100], [10, 200]], dtype="<i2")
+    rate, arr = decode_wav(resample_wav(_wav(2, st.tobytes(), ch=2), 16000))
+    assert arr.tolist() == [[0, 100], [5, 150], [10, 200], [10, 200]]
+
+
+def test_audio_features_target_rate(spark):
+    """audio_features(target_rate=...) normalizes mixed-rate clips:
+    n_samples reflects the resampled stream and sample_rate reports
+    the target."""
+    from cae_polars_tools_spark.operators.multimodal import (
+        audio_features,
+        encode_wav_pcm16,
+    )
+
+    clips = [
+        (1, encode_wav_pcm16(np.arange(4, dtype=np.int16) * 100, 8000)),
+        (2, encode_wav_pcm16(np.arange(7, dtype=np.int16) * 100, 16000)),
+    ]
+    df = spark.createDataFrame(clips, "doc_id long, payload binary")
+    rows = {r["doc_id"]: r for r in audio_features(df, target_rate=16000).collect()}
+    assert rows[1]["sample_rate"] == 16000 and rows[1]["n_samples"] == 8
+    assert rows[2]["sample_rate"] == 16000 and rows[2]["n_samples"] == 7

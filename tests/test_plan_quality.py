@@ -678,3 +678,22 @@ def test_repeated_spans_two_exchanges_no_pair_join(spark):
     assert "Exchange SinglePartition" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert "LeftSemi, BuildRight" in plan, plan
+
+
+def test_ttr_stats_zero_shuffle(spark):
+    """text_ttr_stats: all signals are row-local (codegen expressions
+    + one Arrow UDF) — the corpus must never shuffle (the only
+    allowed exchange is spread()'s round-robin parallelism fix)."""
+    plan = _plan(spark, "text_ttr_stats")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "ArrowEvalPython" in plan, plan
+
+
+def test_audio_resample_stays_partition_local(spark):
+    """mm_audio_resample: the WAV build -> resample -> decode ->
+    posexplode chain is mapInPandas all the way — payload bytes never
+    shuffle."""
+    plan = _plan(spark, "mm_audio_resample")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
