@@ -104,6 +104,10 @@ class _Cursor:
         return s
 
     def skip_values(self, nc_type: int, count: int) -> Any:
+        if nc_type not in _NC_DTYPES:
+            # hostile-bytes guard: an unknown type id must surface as
+            # the parser's documented ValueError, not a KeyError
+            raise ValueError(f"bad netCDF attribute type {nc_type}")
         size = _NC_DTYPES[nc_type].itemsize
         total = size * count
         raw = self.d[self.p : self.p + total]

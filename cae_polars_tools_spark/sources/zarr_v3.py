@@ -177,6 +177,12 @@ def _verify_crc32c(body: bytes, crc: bytes, force: bool = False) -> bytes:
 
     if _crc32c_impl() is None and not force and len(body) > _PURE_CRC_BODY_LIMIT:
         return body
+    if len(crc) != 4:
+        # hostile-bytes guard: a truncated chunk leaves < 4 trailing
+        # bytes — that's corruption, not an internal struct.error
+        raise ValueError(
+            f"zarr v3 crc32c trailer truncated ({len(crc)} bytes)"
+        )
     expect = struct.unpack("<I", crc)[0]
     got = _crc32c_value(body)
     if got != expect:
@@ -214,41 +220,55 @@ def _split_codecs(codecs: list) -> tuple[list, dict | None, list]:
 
 
 def _undo_bytes_codecs(raw: bytes, bytes_codecs: list) -> bytes:
-    """Undo bytes→bytes codecs in reverse pipeline order."""
+    """Undo bytes→bytes codecs in reverse pipeline order. Corrupt
+    compressed bodies surface as the parser's documented ValueError —
+    the stdlib decompressors raise BadGzipFile (an OSError) /
+    zlib.error, which would otherwise escape a hostile-bytes caller
+    as internal errors."""
     for codec in reversed(bytes_codecs):
         cname = codec.get("name")
         conf = codec.get("configuration") or {}
-        if cname == "gzip":
-            raw = _gzip.decompress(raw)
-        elif cname == "zlib":
-            raw = _zlib.decompress(raw)
-        elif cname == "blosc":
-            # Same ladder as the v2 path: numcodecs (C codecs — covers
-            # zstd/snappy/blosclz inner codecs) preferred automatically,
-            # vendored pure-Python decoder as the fallback.
-            from cae_polars_tools_spark.sources.zarr_format import (
-                _decode_bytes,
-            )
-
-            raw = _decode_bytes(raw, {"id": "blosc", **conf})
-        elif cname == "crc32c":
-            raw = _verify_crc32c(raw[:-4], raw[-4:])
-        else:
-            # Unknown bytes→bytes codec (zstd, lz4 standalone, ...):
-            # numcodecs can often decode by codec id before we give up.
-            from cae_polars_tools_spark.sources.zarr_format import (
-                _numcodecs_decode,
-            )
-
-            via = _numcodecs_decode(raw, {"id": cname, **conf})
-            if via is None:
-                raise ValueError(
-                    f"unsupported zarr v3 codec {cname!r}: install "
-                    "'numcodecs' (or read the store with the 'zarr' v3 "
-                    "package)"
-                )
-            raw = via
+        try:
+            raw = _undo_one_bytes_codec(raw, cname, conf)
+        except (ValueError, NotImplementedError):
+            raise
+        except (OSError, EOFError, _zlib.error, RuntimeError, IndexError) as e:
+            raise ValueError(
+                f"corrupt {cname} chunk bytes: {e!r}"
+            ) from e
     return raw
+
+
+def _undo_one_bytes_codec(raw: bytes, cname: str, conf: dict) -> bytes:
+    if cname == "gzip":
+        return _gzip.decompress(raw)
+    if cname == "zlib":
+        return _zlib.decompress(raw)
+    if cname == "blosc":
+        # Same ladder as the v2 path: numcodecs (C codecs — covers
+        # zstd/snappy/blosclz inner codecs) preferred automatically,
+        # vendored pure-Python decoder as the fallback.
+        from cae_polars_tools_spark.sources.zarr_format import (
+            _decode_bytes,
+        )
+
+        return _decode_bytes(raw, {"id": "blosc", **conf})
+    if cname == "crc32c":
+        return _verify_crc32c(raw[:-4], raw[-4:])
+    # Unknown bytes→bytes codec (zstd, lz4 standalone, ...):
+    # numcodecs can often decode by codec id before we give up.
+    from cae_polars_tools_spark.sources.zarr_format import (
+        _numcodecs_decode,
+    )
+
+    via = _numcodecs_decode(raw, {"id": cname, **conf})
+    if via is None:
+        raise ValueError(
+            f"unsupported zarr v3 codec {cname!r}: install "
+            "'numcodecs' (or read the store with the 'zarr' v3 "
+            "package)"
+        )
+    return via
 
 
 def _transpose_perm(array_codecs: list, ndim: int) -> list[int]:

@@ -802,11 +802,15 @@ def test_tiled_sub_byte_gray_decodes_exactly(bits, photometric):
         assert np.array_equal(out, want), (bits, photometric, kw)
 
 
-def _build_oldjpeg_tiff(stream, w, h, photometric, via_strips=False):
+def _build_oldjpeg_tiff(stream, w, h, photometric, via_strips=False,
+                        planar=None, table_tags=False):
     """Old-style JPEG TIFF (compression 6): the interchange stream
     sits in the file located by JPEGInterchangeFormat/…Length tags
     (or, via_strips, as plain strip bytes — the other writer shape in
-    the wild)."""
+    the wild). ``planar=2`` and ``table_tags`` build the two
+    TechNote-2-deprecated hostile variants (per-plane streams /
+    per-table reconstruction with JPEGProc+JPEGQTables/DC/AC tags and
+    no SOI anywhere)."""
     import struct as _struct
 
     body = bytearray(b"II*\x00\x00\x00\x00\x00")
@@ -822,6 +826,15 @@ def _build_oldjpeg_tiff(stream, w, h, photometric, via_strips=False):
 
     add(256, 4, [w]); add(257, 4, [h]); add(258, 3, [8] * spp)
     add(259, 3, [6]); add(262, 3, [photometric]); add(277, 3, [spp])
+    if planar is not None:
+        add(284, 3, [planar])
+    if table_tags:
+        # the deprecated per-table shape: JPEGProc=1 (baseline) plus
+        # pointers at raw table bytes; entropy data carries no SOI
+        add(512, 3, [1])                      # JPEGProc
+        add(519, 4, [stream_off] * spp)       # JPEGQTables
+        add(520, 4, [stream_off] * spp)       # JPEGDCTables
+        add(521, 4, [stream_off] * spp)       # JPEGACTables
     if via_strips:
         add(273, 4, [stream_off]); add(279, 4, [len(stream)])
         add(278, 4, [h])
@@ -881,4 +894,35 @@ def test_old_style_jpeg_in_tiff_interchange_stream():
     with pytest.raises(NotImplementedError, match="interchange"):
         decode_tiff(
             _build_oldjpeg_tiff(b"\x00" * 32, 5, 6, 1, via_strips=True)
+        )
+
+
+def test_old_style_jpeg_permanent_refusals():
+    """The two PERMANENT old-style-JPEG seams (SURVEY §8): TIFF
+    TechNote 2 deprecated both shapes because the TIFF 6.0 §22 spec
+    was ambiguous enough that writers disagreed on the layout —
+    'the old fields should never be written'. Decoding would mean
+    guessing a writer; the engine refuses loudly instead.
+
+    (a) full per-table reconstruction: JPEGProc + JPEGQTables/DC/AC
+    pointers, entropy strips with no SOI anywhere;
+    (b) planar (PlanarConfiguration=2) old-style JPEG — per-plane
+    streams with no defined assembly."""
+    # (a) faithful per-table fixture — all deprecated tags present
+    hostile = bytes(range(64)) * 2  # plausible table/entropy bytes, no SOI
+    with pytest.raises(NotImplementedError, match="interchange"):
+        decode_tiff(
+            _build_oldjpeg_tiff(
+                hostile, 5, 6, 6, via_strips=True, table_tags=True
+            )
+        )
+    # (b) planar old-style JPEG refuses BEFORE touching stream bytes
+    from cae_polars_tools_spark.operators.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    good_stream = encode_jpeg(px, 90)
+    with pytest.raises(NotImplementedError, match="planar"):
+        decode_tiff(
+            _build_oldjpeg_tiff(good_stream, 5, 6, 6, planar=2)
         )

@@ -480,3 +480,59 @@ def test_v3_blosc_chunk_decodes_through_v2_ladder(tmp_path):
         f.write(blosc_compress_memcpy(body, typesize=4))
     arr = open_group(root).get_array("x")
     np.testing.assert_array_equal(arr[(slice(None),)], data)
+
+
+def test_v3_sharding_hostile_bytes_fuzz(sharded_store):
+    """Hostile-bytes guard for the shard path: truncating or
+    corrupting a shard OBJECT (whose trailing index is parsed as
+    untrusted bytes: offsets, sizes, checksum) either still reads or
+    raises ValueError — never struct.error / IndexError /
+    zlib-internal errors, and never returns silently-wrong offsets
+    (the index checksum is force-verified)."""
+    import os
+
+    from cae_polars_tools_spark.sources.zarr_format import open_group
+
+    root, data = sharded_store
+    shard_path = f"{root}/temperature/c/0/0"
+    orig = open(shard_path, "rb").read()
+
+    def check(payload: bytes):
+        with open(shard_path, "wb") as fh:
+            fh.write(payload)
+        arr = open_group(root).get_array("temperature")  # fresh LRU
+        try:
+            arr[(slice(0, 4), slice(0, 4))]
+        except ValueError:
+            pass
+
+    try:
+        # every truncation in the index region + a spread of body cuts
+        for cut in list(range(max(0, len(orig) - 70), len(orig))) + list(
+            range(0, len(orig), 37)
+        ):
+            check(orig[:cut])
+        # seeded random corruption across the whole object
+        rng = np.random.default_rng(31)
+        for _ in range(200):
+            d = bytearray(orig)
+            for _ in range(int(rng.integers(1, 4))):
+                d[int(rng.integers(0, len(d)))] = int(rng.integers(0, 256))
+            check(bytes(d))
+        # index-region corruption specifically must fail the FORCED
+        # checksum (or length) check, not decode garbage offsets
+        d = bytearray(orig)
+        d[-20] ^= 0xFF  # inside the 16B/chunk offset table
+        with open(shard_path, "wb") as fh:
+            fh.write(bytes(d))
+        arr = open_group(root).get_array("temperature")
+        with pytest.raises(ValueError):
+            arr[(slice(0, 4), slice(0, 4))]
+    finally:
+        with open(shard_path, "wb") as fh:
+            fh.write(orig)
+    # store restored: reads are exact again
+    arr = open_group(root).get_array("temperature")
+    np.testing.assert_array_equal(
+        arr[(slice(0, 4), slice(0, 4))], data[0:4, 0:4]
+    )
