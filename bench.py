@@ -108,6 +108,37 @@ def main() -> None:
     if gate:
         wait_idle()
 
+    # sf1 quantizer gate (round-9 task 7): the learned-quantizer
+    # parity family is only re-verified at sf0.1 by `pytest -m sf1`,
+    # which used to rely on someone remembering. The closing-artifact
+    # cadence now runs it as part of the bench invocation:
+    # SPARK_GRAFT_SF1_GATE=1 (or --sf1-gate) executes the markers
+    # FIRST and aborts on failure — a closing bench number for a
+    # quantizer family that no longer matches its oracle is
+    # worthless. Off by default so the driver's unattended run can
+    # never lose its artifact to a pytest hiccup.
+    sf1_gate = (
+        os.environ.get("SPARK_GRAFT_SF1_GATE") == "1"
+        or "--sf1-gate" in sys.argv
+    )
+    sf1_status = "not run"
+    if sf1_gate:
+        import subprocess
+
+        rc = subprocess.call(
+            [
+                sys.executable, "-m", "pytest", "tests", "-m", "sf1",
+                "-q", "-p", "no:cacheprovider", "-o", "addopts=",
+            ],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        if rc != 0:
+            raise SystemExit(
+                f"sf1 quantizer gate FAILED (pytest rc={rc}) — fix the "
+                "parity family before recording a closing artifact"
+            )
+        sf1_status = "passed"
+
     # sample BEFORE the session exists: once our own executors spin up
     # the 1-min average reflects the harness itself, not external load
     load_start = os.getloadavg()[0]
@@ -218,6 +249,9 @@ def main() -> None:
         # samples; their queries_samples lists are longer than
         # `rounds` (original order preserved, re-runs appended)
         "resampled": resampled,
+        # "passed" when this run executed the sf1 quantizer markers
+        # first (closing-artifact cadence); "not run" on driver runs
+        "sf1_gate": sf1_status,
         "sf": sf,
         "loadavg_start": round(load_start, 2),
         "loadavg_end": round(os.getloadavg()[0], 2),

@@ -1,0 +1,176 @@
+#!/usr/bin/env python3
+"""cae-polars-tools-spark example: a governed lakehouse loop.
+
+The storage + streaming primitives composed the way a governed
+training-corpus table actually runs (all engine-native — no external
+table format):
+
+1. seed a versioned copy-on-write document table from the corpus
+2. stream CDC change batches into it (``cow_upsert_sink``): each
+   micro-batch compacts to latest-per-key, MERGEs copy-on-write into
+   a NEW immutable version directory, and flips the ``_CURRENT.json``
+   pointer last — readers never observe a half-merged state and
+   replayed batches are no-ops
+3. GDPR-style takedown: ``delete_parquet`` rewrites only the files
+   containing matched rows, behind the same pointer-flip discipline
+4. serving layout: compaction toward target-sized files
+5. the round-9 relational additions, run as the corpus entries a
+   reference user would call: transitive closure (q68), gap-fill +
+   linear interpolation (q69), windowed COUNT DISTINCT (q70),
+   schema-evolution unionByName (q72), MAP type + map HOFs (q73),
+   posexplode (q74).
+
+Run: ``python examples/lakehouse_usage.py [sf_dir]``
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from cae_polars_tools_spark.io import read_table  # noqa: E402
+from cae_polars_tools_spark.plans.registry import load_all  # noqa: E402
+from cae_polars_tools_spark.session import get_spark  # noqa: E402
+from cae_polars_tools_spark.storage import (  # noqa: E402
+    compact_parquet,
+    delete_parquet,
+)
+from cae_polars_tools_spark.streaming.events import (  # noqa: E402
+    cow_upsert_sink,
+    read_current,
+)
+
+
+def _pointer(target: str) -> dict:
+    with open(os.path.join(target, "_CURRENT.json")) as fh:
+        return json.load(fh)
+
+
+def _flip_pointer(target: str, meta: dict) -> None:
+    # same order the sink uses: version directory fully written FIRST,
+    # pointer last (a local os.replace-class atomic write is what
+    # ByteStore does; a demo-scope plain write keeps the example short)
+    with open(os.path.join(target, "_CURRENT.json"), "w") as fh:
+        json.dump(meta, fh)
+
+
+def cdc_upsert_loop(spark, sf_dir: str, work: str) -> str:
+    """Seed → stream two CDC batches (snapshot, then revisions of
+    half the keys + fresh inserts) → verify the pointer-flipped
+    CURRENT table holds exactly the newest row per key."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", F.lit(0).alias("rev")
+    )
+    target = os.path.join(work, "doc_table")
+    src = os.path.join(work, "cdc_in")
+    os.makedirs(src)
+
+    revisions = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .withColumn("rev", F.lit(1))
+        .unionByName(
+            docs.limit(5).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                "source",
+                "n_chars",
+                F.lit(1).alias("rev"),
+            )
+        )
+    )
+    docs.coalesce(1).write.parquet(os.path.join(src, "b0"))
+    revisions.coalesce(1).write.parquet(os.path.join(src, "b1"))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            cow_upsert_sink(target, keys=["doc_id"], order_col="rev")
+        )
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    cur = read_current(spark, target)
+    n_total, n_rev = cur.count(), cur.filter(F.col("rev") == 1).count()
+    print(f"CDC upsert: CURRENT has {n_total} rows, {n_rev} at rev=1")
+    return target
+
+
+def takedown_and_compact(spark, target: str, work: str) -> None:
+    """Right-to-be-forgotten + serving layout on the live version."""
+    cur = read_current(spark, target)
+    victim = cur.select("source").orderBy("source").first()["source"]
+
+    meta = _pointer(target)
+    cur_dir = os.path.join(target, meta["version_dir"])
+    next_dir_name = f"v{meta['version'] + 1}"
+    stats = delete_parquet(
+        spark,
+        cur_dir,
+        f"source = '{victim}'",
+        os.path.join(target, next_dir_name),
+    )
+    _flip_pointer(
+        target,
+        {
+            "version": meta["version"] + 1,
+            "version_dir": next_dir_name,
+            "batch_id": meta["batch_id"],
+        },
+    )
+    after = read_current(spark, target)
+    assert after.filter(F.col("source") == victim).count() == 0
+    print(
+        f"takedown: source {victim!r} removed copy-on-write "
+        f"({stats['rows_deleted']} rows, "
+        f"{stats['files_rewritten']} files rewritten, "
+        f"{stats['files_copied']} copied verbatim)"
+    )
+
+    n_files = compact_parquet(
+        spark,
+        os.path.join(target, next_dir_name),
+        os.path.join(work, "compacted"),
+    )
+    print(f"compaction: {n_files} serving file(s)")
+
+
+def relational_additions(spark, sf_dir: str) -> None:
+    """The q68–q74 surface, invoked exactly as the driver runs it."""
+    corpus = load_all()
+    for name, label in [
+        ("q68_transitive_closure", "transitive closure (path doubling)"),
+        ("q69_gap_fill", "gap-fill + linear interpolation"),
+        ("q70_window_distinct", "windowed COUNT DISTINCT"),
+        ("q72_union_by_name", "schema-evolution unionByName"),
+        ("q73_map_roundtrip", "MAP type + map HOFs"),
+        ("q74_posexplode_tokens", "posexplode"),
+    ]:
+        n = corpus[name].build(spark, sf_dir).count()
+        print(f"{label}: {n} rows")
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="cae-polars-tools-spark-lakehouse")
+    spark.sparkContext.setLogLevel("ERROR")
+    with tempfile.TemporaryDirectory() as work:
+        target = cdc_upsert_loop(spark, sf_dir, work)
+        takedown_and_compact(spark, target, work)
+    relational_additions(spark, sf_dir)
+    print("Lakehouse demo complete.")
+
+
+if __name__ == "__main__":
+    main()

@@ -69,3 +69,18 @@ def test_ann_example_runs(spark, capsys, monkeypatch):
     assert "ANN demo complete." in out
     assert "IVF-PQ + exact re-rank" in out
     assert "PCA: projected" in out
+
+
+def test_lakehouse_example_runs(spark, capsys, monkeypatch):
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    )
+    ex = importlib.import_module("examples.lakehouse_usage")
+    monkeypatch.setattr(sys, "argv", ["lakehouse_usage.py"])
+    ex.main()
+    out = capsys.readouterr().out
+    assert "Lakehouse demo complete." in out
+    assert "CDC upsert" in out
+    assert "takedown" in out and "copy-on-write" in out
+    assert "transitive closure" in out
