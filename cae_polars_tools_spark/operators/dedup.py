@@ -2047,21 +2047,22 @@ def repeated_spans(
     return _release_on_gc(runs, arrs)
 
 
-def _repeated_spans_oracle(
+def _repeated_spans_ctes(
     k: int = SPAN_K,
     min_docs: int = SPAN_MIN_DOCS,
     min_len: int = SPAN_MIN_LEN,
 ) -> str:
-    """DuckDB twin: recompute the rolling k-gram hashes in 128-bit
-    SQL arithmetic (the winnowing oracle's kernel, positions kept),
-    doc-frequency filter, gaps-and-islands merge. cluster_id converts
-    each hash to the signed int64 bit view BEFORE the MIN so both
-    engines elect the same representative hash (the unsigned-vs-
-    signed ordering gotcha the winnow oracle documents)."""
+    """Shared DuckDB CTE chain ending in ``runs(doc_id, span_start,
+    span_len, cluster_id)`` — the span-detection twin both the
+    detection oracle and the span-cut oracle build on: rolling k-gram
+    hashes in 128-bit SQL arithmetic (the winnowing oracle's kernel,
+    positions kept), doc-frequency filter, gaps-and-islands merge.
+    cluster_id converts each hash to the signed int64 bit view BEFORE
+    the MIN so both engines elect the same representative hash (the
+    unsigned-vs-signed ordering gotcha the winnow oracle documents)."""
     terms = _kgram_hash_terms_sql(k)
     two64, two63 = 2 ** 64, 2 ** 63
-    return f"""
-        WITH kg AS (
+    return f"""kg AS (
             SELECT doc_id, g.i AS pos, ({terms}) % {two64} AS hu
             FROM (SELECT doc_id, text AS t FROM documents),
                  unnest(range(length(t) - {k - 1})) AS g(i)
@@ -2080,13 +2081,25 @@ def _repeated_spans_oracle(
                        PARTITION BY doc_id ORDER BY pos
                    ) AS grp
             FROM rep
-        )
-        SELECT doc_id,
-               CAST(MIN(pos) AS BIGINT) AS span_start,
-               CAST(MAX(pos) - MIN(pos) + {k} AS BIGINT) AS span_len,
-               MIN(h) AS cluster_id
-        FROM isl GROUP BY doc_id, grp
-        HAVING MAX(pos) - MIN(pos) + {k} >= {min_len}
+        ),
+        runs AS (
+            SELECT doc_id,
+                   CAST(MIN(pos) AS BIGINT) AS span_start,
+                   CAST(MAX(pos) - MIN(pos) + {k} AS BIGINT) AS span_len,
+                   MIN(h) AS cluster_id
+            FROM isl GROUP BY doc_id, grp
+            HAVING MAX(pos) - MIN(pos) + {k} >= {min_len}
+        )"""
+
+
+def _repeated_spans_oracle(
+    k: int = SPAN_K,
+    min_docs: int = SPAN_MIN_DOCS,
+    min_len: int = SPAN_MIN_LEN,
+) -> str:
+    return f"""
+        WITH {_repeated_spans_ctes(k, min_docs, min_len)}
+        SELECT doc_id, span_start, span_len, cluster_id FROM runs
     """
 
 
@@ -2106,6 +2119,178 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes, the doc-frequency threshold and the island merge in SQL."""
     d = spread(read_table(spark, sf_dir, "documents"))
     return repeated_spans(d)
+
+
+def cut_repeated_spans(
+    df: DataFrame,
+    min_docs: int = SPAN_MIN_DOCS,
+    k: int = SPAN_K,
+    min_len: int = SPAN_MIN_LEN,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_spans: bool = True,
+) -> DataFrame:
+    """The CONSUMER of :func:`repeated_spans` — boilerplate STRIP:
+    remove every repeated-span character range from every document
+    (Lee et al.'s ExactSubstr cut, applied corpus-wide: the repeated
+    content is by definition redundant training signal; a
+    keep-one-copy policy composes on top by exempting one cluster
+    representative before the cut). Returns
+    ``(doc_id, cleaned, n_cut)`` for EVERY input document — docs with
+    no repeated spans pass through with ``n_cut = 0``.
+
+    Adjacent maximal runs whose k-gram windows are separated by a
+    short unflagged gap still OVERLAP as character ranges (a window
+    spans k chars past its start), so the cut first merges
+    overlapping intervals per document — a second gaps-and-islands
+    pass, this time over (start, end) intervals with a running-max
+    end — then splices the surviving segments in one Arrow-batched
+    UDF.
+
+    Scale shape: on top of the detection cascade, the interval merge
+    windows+groups only the span subset by doc_id (partitioning
+    reused), the per-doc cut lists collect_list within that same
+    partitioning, and the splice joins spans back to the corpus —
+    broadcast by default (spans are bounded by repeated boilerplate,
+    not corpus size; ``broadcast_spans=False`` falls back to a hash
+    join). The text column shuffles nowhere."""
+    from pyspark.sql import Window
+
+    spans = repeated_spans(
+        df, min_docs, k, min_len, id_col=id_col, text_col=text_col
+    )
+    iv = spans.select(
+        "doc_id",
+        F.col("span_start").alias("s"),
+        (F.col("span_start") + F.col("span_len")).alias("e"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(
+        F.col("s") > F.coalesce(prev_max_e, F.lit(-1)), 1
+    ).otherwise(0)
+    merged = (
+        iv.withColumn("brk", brk)
+        .withColumn("mg", F.sum("brk").over(w))
+        .groupBy("doc_id", "mg")
+        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+    )
+    cuts = merged.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("ms", "me"))).alias("cuts")
+    )
+    if broadcast_spans:
+        cuts = F.broadcast(cuts)
+
+    @F.pandas_udf("string")
+    def splice(text: pd.Series, cut_list: pd.Series) -> pd.Series:
+        out = []
+        for t, cs in zip(text, cut_list):
+            if cs is None or len(cs) == 0:
+                out.append(t)
+                continue
+            parts = []
+            prev = 0
+            for c in cs:
+                parts.append(t[prev : c["ms"]])
+                prev = c["me"]
+            parts.append(t[prev:])
+            out.append("".join(parts))
+        return pd.Series(out)
+
+    joined = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")
+    ).join(cuts, "doc_id", "left")
+    return joined.select(
+        "doc_id",
+        splice(F.col("__t"), F.col("cuts")).alias("cleaned"),
+        F.length("__t").cast("long").alias("__orig_len"),
+    ).select(
+        "doc_id",
+        "cleaned",
+        (F.col("__orig_len") - F.length("cleaned")).cast("long").alias(
+            "n_cut"
+        ),
+    )
+
+
+def _span_cut_oracle(
+    k: int = SPAN_K,
+    min_docs: int = SPAN_MIN_DOCS,
+    min_len: int = SPAN_MIN_LEN,
+) -> str:
+    """DuckDB twin of the full cut: span detection (shared CTEs) →
+    per-doc interval merge (running-max gaps-and-islands) → segment
+    splice via ordered string_agg; docs without spans pass through."""
+    return f"""
+        WITH {_repeated_spans_ctes(k, min_docs, min_len)},
+        iv AS (
+            SELECT doc_id, span_start AS s, span_start + span_len AS e
+            FROM runs
+        ),
+        o AS (
+            SELECT doc_id, s, e,
+                   CASE WHEN s > COALESCE(MAX(e) OVER (
+                       PARTITION BY doc_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), -1)
+                   THEN 1 ELSE 0 END AS brk
+            FROM iv
+        ),
+        gi AS (
+            SELECT doc_id, s, e,
+                   SUM(brk) OVER (
+                       PARTITION BY doc_id ORDER BY s, e
+                   ) AS mg
+            FROM o
+        ),
+        merged AS (
+            SELECT doc_id, MIN(s) AS ms, MAX(e) AS me
+            FROM gi GROUP BY doc_id, mg
+        ),
+        seg AS (
+            SELECT doc_id,
+                   COALESCE(LAG(me) OVER (
+                       PARTITION BY doc_id ORDER BY ms), 0) AS a,
+                   ms AS b
+            FROM merged
+            UNION ALL
+            SELECT m.doc_id, MAX(me), length(d.text)
+            FROM merged m JOIN documents d USING (doc_id)
+            GROUP BY m.doc_id, length(d.text)
+        )
+        SELECT d.doc_id,
+               COALESCE(sg.cleaned, d.text) AS cleaned,
+               CAST(length(d.text)
+                    - length(COALESCE(sg.cleaned, d.text))
+                    AS BIGINT) AS n_cut
+        FROM documents d
+        LEFT JOIN (
+            SELECT doc_id,
+                   string_agg(substr(text, a + 1, b - a), ''
+                              ORDER BY a) AS cleaned
+            FROM seg JOIN documents USING (doc_id)
+            GROUP BY doc_id
+        ) sg USING (doc_id)
+    """
+
+
+@register(
+    "dedup_span_cut",
+    oracle=_span_cut_oracle(),
+    tags=("dedup", "extension", "spans"),
+    window_rank=1,
+)
+def dedup_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate strip end-to-end: every repeated span (≥ 24 chars,
+    ≥ 3 docs) cut out of every document, per-doc cleaned text + chars
+    removed — the transform a curation pipeline actually applies
+    after span detection. The DuckDB oracle recomputes detection,
+    interval merge AND the string splice, so the gate is
+    character-exact on the cleaned text."""
+    d = spread(read_table(spark, sf_dir, "documents"))
+    return cut_repeated_spans(d)
 
 
 # ---------------------------------------------------------------------------

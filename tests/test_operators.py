@@ -1362,6 +1362,46 @@ def test_repeated_spans_short_null_and_multiple_runs(spark):
         assert got == sorted([a, b]), (doc_id, got)
 
 
+def test_cut_repeated_spans_splice_and_overlap_merge(spark):
+    """The boilerplate strip: shared spans vanish from every doc,
+    unique text survives verbatim, docs without spans pass through
+    with n_cut=0, and OVERLAPPING character ranges (runs separated by
+    a short unflagged gap still overlap by < k chars) merge before
+    the splice — no double-cut, no stray fragment."""
+    from cae_polars_tools_spark.operators.dedup import cut_repeated_spans
+
+    boiler = "SPDX-License-Identifier: Apache-2.0 OR MIT!"
+    texts = {
+        1: "aaaa." + boiler + ".unique tail one xxxxxxx",
+        2: boiler + "~totally different body 22222222222",
+        3: "prefix text here 33." + boiler,
+        4: "no shared content at all in this document 4444",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in cut_repeated_spans(
+            docs, min_docs=3, k=16, min_len=24
+        ).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1]["cleaned"] == "aaaa." + ".unique tail one xxxxxxx"
+    assert rows[2]["cleaned"] == "~totally different body 22222222222"
+    assert rows[3]["cleaned"] == "prefix text here 33."
+    assert rows[4]["cleaned"] == texts[4] and rows[4]["n_cut"] == 0
+    for i in (1, 2, 3):
+        assert rows[i]["n_cut"] == len(boiler)
+    # the cleaned corpus re-run finds nothing left to cut
+    cleaned = spark.createDataFrame(
+        [(i, r["cleaned"]) for i, r in rows.items()],
+        "doc_id long, text string",
+    )
+    again = cut_repeated_spans(cleaned, min_docs=3, k=16, min_len=24)
+    assert again.agg({"n_cut": "sum"}).first()[0] == 0
+
+
 def test_pca_matches_numpy_exact(spark, sf_small):
     """The one-pass distributed Gram/mean reduction must reproduce
     numpy's exact PCA on the same data: eigenvalues to float

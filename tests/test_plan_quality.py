@@ -697,3 +697,20 @@ def test_audio_resample_stays_partition_local(spark):
     plan = _plan(spark, "mm_audio_resample")
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_span_cut_no_pair_join_text_never_shuffles(spark):
+    """dedup_span_cut: detection's two exchanges plus ONE more for
+    the interval-merge/collect chain on doc_id; the corpus text joins
+    the per-doc cut lists via broadcast — the text column itself must
+    appear in no Exchange."""
+    plan = _plan(spark, "dedup_span_cut")
+    assert "CartesianProduct" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan  # flagged + cuts
+    # every hash exchange keys on h or doc_id bookkeeping — none may
+    # carry the text column
+    import re
+
+    for keys in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "__t" not in keys and "text" not in keys, plan
