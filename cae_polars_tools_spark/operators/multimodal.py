@@ -1434,3 +1434,85 @@ def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sample_idx").cast("long").alias("sample_idx"),
         "sample",
     )
+
+
+def audio_frame_energy(
+    assets: DataFrame, frame_samples: int = 160
+) -> DataFrame:
+    """Frame-level energy — the primitive under voice-activity
+    detection and silence trimming (a 10 ms frame at 16 kHz is the
+    classic ``frame_samples=160``): decode each WAV, split channel 0
+    into consecutive frames of ``frame_samples``, and emit the exact
+    INTEGER energy ``Σ v²`` per frame (int64 — exact for any PCM
+    width, so downstream thresholds are bit-portable). The trailing
+    partial frame is kept (real VADs pad; energy of fewer samples is
+    still well-defined). One ``mapInPandas`` pass, bytes never leave
+    the partition. Returns ``(doc_id, frame_id, energy)``."""
+    if frame_samples <= 0:
+        raise ValueError("frame_samples must be positive")
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "frame_id": [],
+                "energy": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _rate, arr = decode_wav(bytes(payload))
+                x = arr[:, 0].astype(np.int64)
+                n_frames = -(-len(x) // frame_samples) if len(x) else 0
+                for i in range(n_frames):
+                    fr = x[i * frame_samples : (i + 1) * frame_samples]
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_id"].append(i)
+                    out["energy"].append(int((fr * fr).sum()))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        gen, schema="doc_id long, frame_id long, energy long"
+    )
+
+
+VAD_FRAME = 16          # demo frame: 16 samples → 4 frames of the 64
+VAD_THRESHOLD = 100_000  # zero-padded silence vs ascii-text frames
+
+
+@register(
+    "mm_audio_frame_energy",
+    # integer-exact twin: rebuild the PCM from ascii bytes, square and
+    # sum per 16-sample frame, threshold — no floating point anywhere
+    oracle=f"""
+        SELECT doc_id,
+               u.j // {VAD_FRAME} AS frame_id,
+               CAST(SUM(CAST(ascii(substr(rpad(text, {WAV_N}, chr(0)),
+                                     u.j + 1, 1)) AS BIGINT)
+                   * ascii(substr(rpad(text, {WAV_N}, chr(0)),
+                                  u.j + 1, 1))) AS BIGINT) AS energy,
+               SUM(CAST(ascii(substr(rpad(text, {WAV_N}, chr(0)),
+                                     u.j + 1, 1)) AS BIGINT)
+                   * ascii(substr(rpad(text, {WAV_N}, chr(0)),
+                                  u.j + 1, 1))) >= {VAD_THRESHOLD}
+                   AS is_speech
+        FROM documents, unnest(range(0, {WAV_N})) AS u(j)
+        GROUP BY doc_id, u.j // {VAD_FRAME}
+    """,
+    tags=("multimodal", "audio", "extension"),
+    window_rank=1,
+)
+def mm_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAD primitive through the real WAV path: per-16-sample frame
+    energies of the demo PCM (text bytes @ 8 kHz) with a speech/
+    silence verdict — zero-padded tails classify silent, text frames
+    speech. Energy is an exact int64 sum of squares, so the DuckDB
+    twin matches bit-for-bit."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    frames = audio_frame_energy(_text_to_wav(docs), VAD_FRAME)
+    return frames.select(
+        "doc_id",
+        "frame_id",
+        "energy",
+        (F.col("energy") >= VAD_THRESHOLD).alias("is_speech"),
+    )

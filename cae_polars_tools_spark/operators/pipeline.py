@@ -874,3 +874,80 @@ def pipeline_weighted_sample(spark, sf_dir: str) -> DataFrame:
     return weighted_sample(d, "n_chars", WEIGHTED_SAMPLE_K).select(
         "doc_id", "source", "sample_key"
     )
+
+
+CHUNK_MAX_CHARS = 120
+CHUNK_OVERLAP = 20
+_CHUNK_STRIDE = CHUNK_MAX_CHARS - CHUNK_OVERLAP
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_chars: int = CHUNK_MAX_CHARS,
+    overlap: int = CHUNK_OVERLAP,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-length chunking — the fixed-window + overlap splitter
+    every pretraining/RAG ingest runs on long documents: chunk ``i``
+    covers characters ``[i·stride, i·stride + max_chars)`` with
+    ``stride = max_chars − overlap``; ``n_chunks =
+    max(1, ceil((len − overlap) / stride))``, so every character is
+    covered, consecutive chunks share ``overlap`` chars of context,
+    and a short document yields exactly one chunk of itself.
+
+    Scale shape: entirely row-local JVM expressions — an
+    ``explode(sequence(...))`` generator plus a substring projection;
+    zero shuffles, zero Python. Returns
+    ``(doc_id, chunk_id, chunk)``."""
+    if overlap < 0 or max_chars <= overlap:
+        raise ValueError(
+            "chunking needs max_chars > overlap >= 0 "
+            f"(got max_chars={max_chars}, overlap={overlap})"
+        )
+    stride = max_chars - overlap
+    n_chunks = F.greatest(
+        F.ceil(
+            (F.length(text_col) - F.lit(overlap))
+            / F.lit(stride).cast("double")
+        ),
+        F.lit(1),
+    ).cast("long")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), n_chunks - 1)
+        ).alias("chunk_id"),
+        F.col(text_col).alias("__t"),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.expr(
+            f"substring(__t, CAST(chunk_id * {stride} AS INT) + 1, "
+            f"{max_chars})"
+        ).alias("chunk"),
+    )
+
+
+@register(
+    "pipeline_chunk_documents",
+    oracle=f"""
+        SELECT doc_id, g.i AS chunk_id,
+               substr(text, g.i * {_CHUNK_STRIDE} + 1,
+                      {CHUNK_MAX_CHARS}) AS chunk
+        FROM documents,
+             unnest(range(GREATEST(
+                 (length(text) - {CHUNK_OVERLAP} + {_CHUNK_STRIDE} - 1)
+                     // {_CHUNK_STRIDE},
+                 1))) AS g(i)
+    """,
+    tags=("pipeline", "chunking", "extension"),
+    window_rank=1,
+)
+def pipeline_chunk_documents(spark, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-window chunking of the documents table
+    (120-char windows, 20-char overlap), character-exact against the
+    DuckDB substring twin — full coverage, shared context between
+    neighbors, one chunk for short docs."""
+    d = spread(read_table(spark, sf_dir, "documents"))
+    return chunk_documents(d)

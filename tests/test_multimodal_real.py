@@ -964,3 +964,26 @@ def test_audio_features_target_rate(spark):
     rows = {r["doc_id"]: r for r in audio_features(df, target_rate=16000).collect()}
     assert rows[1]["sample_rate"] == 16000 and rows[1]["n_samples"] == 8
     assert rows[2]["sample_rate"] == 16000 and rows[2]["n_samples"] == 7
+
+
+def test_audio_frame_energy_exact_and_partial_frame(spark):
+    """Frame energy: exact int64 sums per frame, trailing partial
+    frame kept, bad frame size refuses."""
+    import pytest
+
+    from cae_polars_tools_spark.operators.multimodal import (
+        audio_frame_energy,
+        encode_wav_pcm16,
+    )
+
+    samples = np.array([3, -4, 0, 2, 10], dtype=np.int16)  # 2 frames @4
+    df = spark.createDataFrame(
+        [(7, encode_wav_pcm16(samples, 8000))], "doc_id long, payload binary"
+    )
+    rows = {
+        r["frame_id"]: r["energy"]
+        for r in audio_frame_energy(df, frame_samples=4).collect()
+    }
+    assert rows == {0: 9 + 16 + 0 + 4, 1: 100}
+    with pytest.raises(ValueError, match="frame_samples"):
+        audio_frame_energy(df, frame_samples=0)

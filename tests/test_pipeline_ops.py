@@ -380,3 +380,33 @@ def test_weighted_sample_rejects_nonpositive_weights(spark):
     a = [r["doc_id"] for r in weighted_sample(ok, "w", 5).collect()]
     b = [r["doc_id"] for r in weighted_sample(ok, "w", 5).collect()]
     assert len(a) == 5 and a == b
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Chunking contract: full character coverage, exactly `overlap`
+    shared chars between neighbors, short docs yield one chunk of
+    themselves, and bad parameters refuse."""
+    import pytest
+
+    from cae_polars_tools_spark.operators.pipeline import chunk_documents
+
+    long_text = "".join(chr(97 + (i % 26)) for i in range(250))
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, "tiny")], "doc_id long, text string"
+    )
+    rows = chunk_documents(docs, max_chars=100, overlap=20).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["chunk"]
+    c1 = by_doc[1]
+    assert sorted(c1) == [0, 1, 2]
+    assert c1[0] == long_text[0:100]
+    assert c1[1] == long_text[80:180]
+    assert c1[2] == long_text[160:250]
+    # overlap: each neighbor pair shares exactly 20 chars
+    assert c1[0][-20:] == c1[1][:20]
+    # reconstruction: stride-spliced chunks rebuild the document
+    assert c1[0] + c1[1][20:] + c1[2][20:] == long_text
+    assert by_doc[2] == {0: "tiny"}
+    with pytest.raises(ValueError, match="max_chars > overlap"):
+        chunk_documents(docs, max_chars=20, overlap=20)

@@ -714,3 +714,20 @@ def test_span_cut_no_pair_join_text_never_shuffles(spark):
 
     for keys in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "__t" not in keys and "text" not in keys, plan
+
+
+def test_chunk_documents_zero_shuffle_codegen(spark):
+    """pipeline_chunk_documents: explode(sequence)+substring is a
+    pure generator pipeline — no exchange of any kind beyond
+    spread()'s round-robin, no Python."""
+    plan = _plan(spark, "pipeline_chunk_documents")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert "Generate explode" in plan, plan
+
+
+def test_audio_frame_energy_partition_local(spark):
+    plan = _plan(spark, "mm_audio_frame_energy")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
