@@ -2202,7 +2202,7 @@ def cut_repeated_spans(
     joined = df.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")
     ).join(cuts, "doc_id", "left")
-    return joined.select(
+    out = joined.select(
         "doc_id",
         splice(F.col("__t"), F.col("cuts")).alias("cleaned"),
         F.length("__t").cast("long").alias("__orig_len"),
@@ -2213,6 +2213,12 @@ def cut_repeated_spans(
             "n_cut"
         ),
     )
+    # chain contract of _release_on_gc (the dedup_canonical_pick
+    # lesson): derived frames keep no Python ref to `spans`, so
+    # without this pin the detection cache releases at function exit
+    # and the caller's action re-runs the k-gram UDF uncached
+    out._span_cache_handle = spans
+    return out
 
 
 def _span_cut_oracle(

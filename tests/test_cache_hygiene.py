@@ -27,6 +27,8 @@ DEDUP_ENTRIES = [
     "dedup_embedding_lsh",
     "dedup_incremental",
     "dedup_winnow",
+    "dedup_repeated_spans",
+    "dedup_span_cut",
 ]
 
 
