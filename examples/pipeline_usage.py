@@ -78,6 +78,24 @@ def main() -> None:
     n2 = docs.count()
     print(f"after near-dup removal: {n2} (-{n1 - n2})")
 
+    # 2-bis. span-level boilerplate strip: cut every substring that
+    # repeats verbatim across >= 3 surviving docs (the ExactSubstr
+    # modality — document-level dedup can't see shared spans inside
+    # otherwise-distinct documents)
+    from cae_polars_tools_spark.operators.dedup import cut_repeated_spans
+
+    stripped = cut_repeated_spans(docs, min_docs=3)
+    n_cut = stripped.agg(F.sum("n_cut")).first()[0] or 0
+    docs = (
+        docs.join(
+            stripped.select("doc_id", "cleaned"), "doc_id", "left"
+        )
+        .withColumn("text", F.coalesce("cleaned", "text"))
+        .drop("cleaned")
+        .filter(F.length("text") > 0)
+    )
+    print(f"span strip: {n_cut} boilerplate chars removed")
+
     # 3. decontaminate against a toy benchmark (a verbatim 15-token
     # span of one corpus doc, so exactly that doc gets dropped)
     sample = docs.filter(F.size(tokens("text")) >= 20).limit(1).collect()
