@@ -138,6 +138,13 @@ def main() -> None:
                 "parity family before recording a closing artifact"
             )
         sf1_status = "passed"
+        # The gate's own pytest run just drove the loadavg up; starting
+        # timing now would contaminate the artifact with post-pytest
+        # decay (measured: calib 0.17-0.21 vs 0.12-0.14 clean). Re-run
+        # the idle wait so the sf1 gate composes with, rather than
+        # defeats, the idle discipline.
+        if gate:
+            wait_idle()
 
     # sample BEFORE the session exists: once our own executors spin up
     # the 1-min average reflects the harness itself, not external load

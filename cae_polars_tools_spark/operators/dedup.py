@@ -793,16 +793,48 @@ def simhash_pairs(
     or a re-join — the 64-bit signature rides along instead of being
     looked up again."""
     sig = simhash_signatures(docs, token_hash=token_hash, nbits=nbits)
+    return hamming_pairs(
+        sig,
+        id_col="doc_id",
+        sig_col="simhash",
+        nbits=nbits,
+        band_bits=band_bits,
+        max_hamming=max_hamming,
+    )
+
+
+def hamming_pairs(
+    sig: DataFrame,
+    id_col: str,
+    sig_col: str,
+    nbits: int,
+    band_bits: int,
+    max_hamming: int,
+) -> DataFrame:
+    """Signature-agnostic banded Hamming self-join: pairs with
+    Hamming(sig) ≤ ``max_hamming`` out of an (id, int64-signature)
+    frame. This is the shared kernel behind SimHash text near-dup and
+    dHash image near-dup — any bit-signature modality plugs in.
+
+    Candidates come from ``band_bits``-bit band equality; by
+    pigeonhole, recall is EXACT whenever max_hamming < nbits/band_bits
+    (k differing bits touch at most k bands, leaving one equal). Pair
+    generation is bucket-local (ONE groupBy shuffle on (band, bh)):
+    each bucket's (id, sig) structs are collected and every in-bucket
+    pair is verified with bit_count right there — the signature rides
+    along, so no persist and no re-join. At 100 TB the only wide ops
+    are this bucket shuffle over ~nbits/band_bits × 16-byte rows per
+    input row and the final distinct."""
     nbands = (nbits + band_bits - 1) // band_bits
     bands = sig.select(
-        "doc_id",
-        "simhash",
+        F.col(id_col).alias("_id"),
+        F.col(sig_col).alias("_sig"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftright("simhash", i * band_bits)
+                        F.shiftright(F.col(sig_col), i * band_bits)
                         .bitwiseAND(F.lit((1 << band_bits) - 1))
                         .alias("bh"),
                     )
@@ -810,22 +842,22 @@ def simhash_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    ).select("_id", "_sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
     buckets = (
         bands.groupBy("band", "bh")
-        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("xs"))
+        .agg(F.collect_list(F.struct("_id", "_sig")).alias("xs"))
         .filter(F.size("xs") > 1)
     )
     ham = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+        F.col("a._sig").bitwiseXOR(F.col("b._sig"))
     )
     return (
         buckets.select(F.explode("xs").alias("a"), "xs")
         .select("a", F.explode("xs").alias("b"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(F.col("a._id") < F.col("b._id"))
         .select(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a._id").alias(f"{id_col}_a"),
+            F.col("b._id").alias(f"{id_col}_b"),
             ham.cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
@@ -885,6 +917,98 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_hash=portable_token_hash,
         nbits=PORTABLE_SIMHASH_BITS,
         band_bits=PORTABLE_BAND_BITS,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Image near-dup: perceptual dHash + banded Hamming pairs
+# ---------------------------------------------------------------------------
+
+_DHASH_NBITS = 56  # 9×7 raster → 8 gradient bits × 7 rows (sign-safe)
+_DHASH_BAND_BITS = 14  # 4 bands; Hamming ≤ 3 stays pigeonhole-exact
+_DHASH_MAX_HAMMING = 3
+
+# The oracle reconstructs the WHOLE image path in SQL: text bytes →
+# 9×7 RGB raster (rpad + ascii, the mm_bmp_features pixel oracle) →
+# integer grayscale (299R+587G+114B)//1000 → adjacent-column gradient
+# bits → 56-bit signature → brute-force all-pairs Hamming join. Equal
+# to the banded Spark result because max_hamming 3 < 4 bands
+# (pigeonhole). Integer-only math end to end, so both engines agree
+# bit for bit.
+_IMAGE_DHASH_SQL = f"""
+    WITH px AS (
+        SELECT doc_id, p,
+               ascii(substr(rpad(text, 189, chr(0)), p + 1, 1)) AS b
+        FROM documents, range(189) r(p)
+    ), gray AS (
+        SELECT doc_id, p // 3 AS q,
+               SUM(CASE p % 3 WHEN 0 THEN 299 * b
+                              WHEN 1 THEN 587 * b
+                              ELSE 114 * b END) // 1000 AS g
+        FROM px GROUP BY doc_id, p // 3
+    ), bits AS (
+        SELECT a.doc_id, (a.q // 9) * 8 + (a.q % 9) AS bit
+        FROM gray a JOIN gray b
+          ON a.doc_id = b.doc_id AND b.q = a.q + 1
+        WHERE a.q % 9 < 8 AND a.g < b.g
+    ), sigs AS (
+        SELECT d.doc_id,
+               COALESCE(SUM(CAST(1 AS BIGINT) << s.bit),
+                        CAST(0 AS BIGINT)) AS sig
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN bits s ON s.doc_id = d.doc_id
+        GROUP BY d.doc_id
+    )
+    SELECT a.doc_id AS doc_id_a,
+           b.doc_id AS doc_id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {_DHASH_MAX_HAMMING}
+"""
+
+
+@register(
+    "dedup_image_dhash",
+    oracle=_IMAGE_DHASH_SQL,
+    tags=("dedup", "multimodal", "extension", "dhash"),
+    window_rank=1,
+)
+def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs via perceptual difference hash — the
+    multimodal twin of :func:`dedup_simhash`, and the missing
+    dedup×multimodal intersection: web-scale image corpora are full of
+    re-encoded/re-scaled copies that exact byte hashing misses.
+
+    The pipeline is the REAL byte path end to end: per document a 9×7
+    BMP is synthesized from its payload bytes (the corpus carries no
+    media; everything downstream is the honest format path), decoded
+    by the hand-parsed BMP decoder, reduced to an integer-grayscale
+    gradient signature (:func:`image_dhash`), and paired by the shared
+    banded-Hamming kernel (:func:`hamming_pairs`, 4×14-bit bands,
+    Hamming ≤ 3 — inside the pigeonhole-exact regime, so the banded
+    candidate set equals the oracle's brute-force join exactly).
+
+    Scale shape: decode + hash never leave their partitions and emit
+    16 bytes/row; the ONLY wide ops are the band-bucket groupBy and
+    the closing distinct. No float anywhere — every engine derives the
+    same 56-bit integers."""
+    from cae_polars_tools_spark.operators.multimodal import (
+        DHASH_H,
+        DHASH_W,
+        _text_to_bmp,
+        image_dhash,
+        with_payload,
+    )
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    assets = _text_to_bmp(with_payload(docs), width=DHASH_W, height=DHASH_H)
+    return hamming_pairs(
+        image_dhash(assets),
+        id_col="doc_id",
+        sig_col="dhash",
+        nbits=_DHASH_NBITS,
+        band_bits=_DHASH_BAND_BITS,
+        max_hamming=_DHASH_MAX_HAMMING,
     )
 
 

@@ -1,0 +1,228 @@
+"""Incremental aggregate maintenance: refresh a persisted groupBy
+aggregate from an append batch WITHOUT rescanning the corpus.
+
+The 100 TB problem this solves: a nightly "orders per customer" (or
+tokens per source, bytes per domain …) rollup is a full-corpus
+aggregation. Recomputing it after every ingest batch re-reads
+everything; at scale the recompute dwarfs the ingest. But algebraic
+aggregates (count / sum / min / max — the same decomposability
+contract Spark's own partial aggregation and ``operators/skew.py``
+rely on) have mergeable state: keep the aggregate table AS state
+(counts and exact decimal sums, not derived ratios), aggregate ONLY
+the new batch, and merge the two per key. Refresh cost is
+O(batch + affected keys) — independent of corpus size.
+
+Composition with the engine's own lakehouse layer: the merged rows for
+the affected keys go through :func:`storage.merge_parquet`, so only
+the state files CONTAINING an affected key are rewritten — everything
+else copies byte-for-byte, and the swap stays one atomic pointer
+flip. Derived metrics (averages, rates) are computed from state at
+query time, which is why the state schema stores ``(count, sum)`` and
+never ``avg``: averages don't merge, their ingredients do.
+
+Append-only contract: batches ADD rows. Retractions (updates/deletes
+of already-aggregated rows) would need the old row values to subtract
+— that is the CDC-compaction territory of
+``streaming/events.py::cow_upsert_sink`` + a recompute of the touched
+keys, deliberately out of scope here and checked loudly nowhere (the
+caller owns the append-only guarantee, as with every lakehouse
+delta-append design).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cae_polars_tools_spark.io import read_table
+from cae_polars_tools_spark.plans.registry import register
+
+#: supported mergeable aggregates: name → (build expr, merge expr).
+#: build runs over raw rows; merge re-aggregates state rows. Sums go
+#: through exact decimal (order-independent, engine-portable).
+_MERGE_FN = {
+    "count": F.sum,  # counts merge by summing
+    "sum": F.sum,  # decimal sums merge by summing (exact)
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def build_agg_state(
+    df: DataFrame,
+    keys: list[str],
+    measures: dict[str, tuple[str, str]],
+    sum_scale: int = 2,
+    sum_precision: int = 18,
+) -> DataFrame:
+    """Aggregate ``df`` to the mergeable state schema: one row per
+    ``keys`` group, one column per measure. ``measures`` maps
+    ``out_col -> (src_col, agg)`` with agg in count/sum/min/max.
+    ``sum`` state is stored as ``decimal(precision, scale)`` so merges
+    stay exact and order-independent (the double-sum of a re-aggregated
+    state could drift a ulp from the direct sum and poison exactness
+    forever)."""
+    aggs: list[Column] = []
+    for out, (src, kind) in measures.items():
+        if kind == "count":
+            aggs.append(F.count(F.col(src)).alias(out))
+        elif kind == "sum":
+            aggs.append(
+                F.sum(
+                    F.col(src).cast(
+                        f"decimal({sum_precision},{sum_scale})"
+                    )
+                ).alias(out)
+            )
+        elif kind in ("min", "max"):
+            aggs.append(getattr(F, kind)(F.col(src)).alias(out))
+        else:
+            raise ValueError(
+                f"measure {out!r}: {kind!r} is not mergeable state "
+                "(count/sum/min/max only — avg and distinct don't "
+                "merge; store their ingredients instead)"
+            )
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def merge_agg_state(
+    base: DataFrame,
+    batch_state: DataFrame,
+    keys: list[str],
+    measures: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """Merge two state frames per key (union → one re-aggregation with
+    each measure's merge function). Both inputs must already be in the
+    state schema. Exact: counts/sums add in integer/decimal, min/max
+    take extrema."""
+    merged_aggs = [
+        _MERGE_FN[kind](F.col(out)).alias(out)
+        for out, (_, kind) in measures.items()
+    ]
+    return (
+        base.select(*keys, *measures)
+        .unionByName(batch_state.select(*keys, *measures))
+        .groupBy(*keys)
+        .agg(*merged_aggs)
+    )
+
+
+def refresh_agg_parquet(
+    spark: SparkSession,
+    state_path: str,
+    batch: DataFrame,
+    keys: list[str],
+    measures: dict[str, tuple[str, str]],
+    dst: str,
+) -> dict:
+    """Incrementally refresh the persisted state table at
+    ``state_path`` with an append ``batch`` of RAW rows, writing the
+    new state copy-on-write to ``dst`` (one atomic pointer flip for
+    the caller, exactly like :func:`storage.merge_parquet` — which
+    does the file-level heavy lifting).
+
+    Cost shape: the batch aggregates once (small); the state table is
+    touched only for the affected keys (semi-join against the
+    broadcast batch keys; min/max row-group stats prune a
+    key-clustered state layout down to the candidate slices); only
+    state files containing an affected key re-encode. NOTHING reads
+    the raw corpus. Returns merge_parquet's counters."""
+    from cae_polars_tools_spark.storage import merge_parquet
+
+    batch_state = build_agg_state(batch, keys, measures)
+    base = spark.read.parquet(state_path)
+    affected_base = base.join(
+        F.broadcast(batch_state.select(*keys).distinct()),
+        keys,
+        "left_semi",
+    )
+    merged = merge_agg_state(affected_base, batch_state, keys, measures)
+    # align to the persisted schema (decimal scale of sums included)
+    merged = merged.select(
+        *keys,
+        *[
+            F.col(out).cast(base.schema[out].dataType).alias(out)
+            for out in measures
+        ],
+    )
+    return merge_parquet(spark, state_path, merged, keys, dst)
+
+
+# ---------------------------------------------------------------------------
+# Corpus entry: cutoff-split orders, state built on the old half,
+# refreshed with the new half, checked against the full-scan aggregate
+# ---------------------------------------------------------------------------
+
+#: the last ~9% of orders arrive as the "tonight's ingest" batch —
+#: the realistic shape (small increment against a large base)
+_CUTOFF = "2001-01-01"
+_MEASURES = {
+    "n_orders": ("o_orderkey", "count"),
+    "sum_price": ("o_totalprice", "sum"),
+    "max_price": ("o_totalprice", "max"),
+}
+
+
+@register(
+    "agg_incremental_refresh",
+    # the oracle is the FULL-SCAN aggregate over all of orders — the
+    # refresh path must land on exactly what a recompute would have
+    # produced (counts/decimal sums exact, max is selection not
+    # arithmetic)
+    oracle="""
+        SELECT o_custkey,
+               COUNT(o_orderkey) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS sum_price,
+               MAX(o_totalprice) AS max_price
+        FROM orders
+        GROUP BY o_custkey
+    """,
+    tags=("storage", "incremental", "scale-path", "extension"),
+    window_rank=1,
+)
+def agg_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-aggregate maintenance end to end, value-checked:
+    per-customer order counts / exact decimal revenue / max price are
+    built from orders BEFORE the cutoff and persisted as mergeable
+    state; the post-cutoff half then arrives as an append batch and
+    the state is refreshed through :func:`refresh_agg_parquet` —
+    batch-only aggregation, affected-keys merge, copy-on-write file
+    rewrite. The returned frame is the refreshed STATE TABLE read back
+    from disk; the oracle recomputes the aggregate over ALL orders
+    from scratch, so any merge drift (a lost count, a double-counted
+    batch, a ulp in the sum) fails the hash gate."""
+    import os
+    import shutil
+
+    orders = read_table(spark, sf_dir, "orders")
+    cutoff = F.lit(_CUTOFF).cast("timestamp")
+    # scratch lives in the repo's .tmp next to the zarr demo stores;
+    # deterministic path, rebuilt per run (corpus entries execute
+    # sequentially — same contract as the zarr sink entries)
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".tmp",
+        "agg_state_demo",
+    )
+    state0, state1 = scratch + "_v0", scratch + "_v1"
+    shutil.rmtree(state1, ignore_errors=True)
+    build_agg_state(
+        orders.filter(F.col("o_orderdate") < cutoff),
+        ["o_custkey"],
+        _MEASURES,
+    ).write.mode("overwrite").parquet(state0)
+    refresh_agg_parquet(
+        spark,
+        state0,
+        orders.filter(F.col("o_orderdate") >= cutoff),
+        ["o_custkey"],
+        _MEASURES,
+        state1,
+    )
+    return spark.read.parquet(state1).select(
+        "o_custkey",
+        "n_orders",
+        F.col("sum_price").cast("double").alias("sum_price"),
+        "max_price",
+    )

@@ -1153,13 +1153,15 @@ def audio_resample(assets: DataFrame, rate: int) -> DataFrame:
 BMP_W, BMP_H = 5, 4  # demo raster: 60 bytes of text → 5×4 RGB
 
 
-def _text_to_bmp(assets: DataFrame) -> DataFrame:
+def _text_to_bmp(
+    assets: DataFrame, width: int = BMP_W, height: int = BMP_H
+) -> DataFrame:
     """Deterministically materialize a real BMP per document from its
     payload bytes (first W·H·3 bytes, zero-padded) — the corpus has no
     media files, so the demo raster is synthesized; everything
     downstream of this point (encode → decode → features) is the real
     byte-level format path."""
-    n = BMP_W * BMP_H * 3
+    n = width * height * 3
 
     def gen(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -1169,13 +1171,70 @@ def _text_to_bmp(assets: DataFrame) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 raw = bytes(payload)[:n].ljust(n, b"\x00")
                 px = np.frombuffer(raw, dtype=np.uint8).reshape(
-                    BMP_H, BMP_W, 3
+                    height, width, 3
                 )
                 out["doc_id"].append(int(doc_id))
                 out["payload"].append(encode_bmp(px))
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(gen, schema="doc_id long, payload binary")
+
+
+# Perceptual difference hash (dHash): grayscale raster, one bit per
+# adjacent-column gradient. The classic published recipe is 9×8 → 64
+# bits; this engine uses 9×7 → 56 bits so the signature stays strictly
+# positive in an int64 on EVERY engine (bit 63 would flip the sign in
+# two's-complement BIGINT arithmetic, and DuckDB's `1 << 63` overflow
+# behavior is not a contract worth depending on). Banding math is
+# identical either way.
+DHASH_W, DHASH_H = 9, 7
+
+
+def image_dhash(
+    assets: DataFrame, out_col: str = "dhash"
+) -> DataFrame:
+    """Perceptual difference hash over REAL decoded pixels: per image,
+    integer grayscale g = (299·R + 587·G + 114·B) // 1000, then bit
+    y·(W−1)+x = [g(y,x) < g(y,x+1)]. Two images whose content matches
+    up to small luminance shifts keep most gradient signs, so near-dup
+    detection becomes a Hamming-distance problem on a 56-bit integer —
+    the image twin of SimHash's text signature.
+
+    One ``mapInPandas`` pass (format-sniffed decode, vectorized numpy
+    gradient per image); pixels never leave their partition and only
+    (doc_id, int64) rows come out — at 100 TB of images the signature
+    frame that reaches the shuffle is ~16 bytes/row. Integer-only math
+    keeps every engine bit-identical (no float luma)."""
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        weights = np.array([299, 587, 114], dtype=np.int64)
+        for pdf in batches:
+            ids: list[int] = []
+            hs: list[int] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_image_bytes(bytes(payload))[:, :, :3]
+                g = (px.astype(np.int64) @ weights) // 1000
+                bits = (g[:, :-1] < g[:, 1:]).reshape(-1)
+                if bits.size > 63:
+                    raise ValueError(
+                        "image_dhash: raster yields "
+                        f"{bits.size} gradient bits; the signature "
+                        "must fit a sign-safe int64 (≤63 bits) — "
+                        "downsample first (resize_image_bytes)"
+                    )
+                h = int(
+                    (
+                        bits.astype(np.int64)
+                        << np.arange(bits.size, dtype=np.int64)
+                    ).sum()
+                )
+                ids.append(int(doc_id))
+                hs.append(h)
+            yield pd.DataFrame({"doc_id": ids, out_col: hs})
+
+    return assets.mapInPandas(gen, schema=f"doc_id long, {out_col} long")
 
 
 @register(

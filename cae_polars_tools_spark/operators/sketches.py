@@ -1,0 +1,257 @@
+"""Mergeable-sketch operators: persisted HLL distinct-count rollups
+and Misra–Gries heavy hitters.
+
+The reference engine carries no sketch surface of its own (its
+delegated query layer leans on whatever the host engine offers); these
+operators are the north-star scale path for the two questions a
+100 TB pipeline asks constantly and cannot afford to answer by rescan:
+
+* "How many distinct users/URLs/documents over ANY grouping of an
+  already-processed corpus?" — answered by building **HLL sketches
+  once** at a fine grain (e.g. per day), persisting them as ordinary
+  binary columns, and **merging** them per query
+  (:func:`distinct_sketches` / :func:`rollup_distinct`). Sketch union
+  is exact over the sketch algebra, so a month-level distinct count
+  touches 30 sketch rows, not 100 TB of raw events. Spark ships the
+  Apache DataSketches HLL bindings (``hll_sketch_agg`` /
+  ``hll_union_agg`` / ``hll_sketch_estimate``, JVM-side, mergeable
+  partials) — this module is the thin, tested composition layer.
+
+* "Which values dominate the corpus?" — answered by the
+  **Misra–Gries** summary (:func:`heavy_hitters`): per-partition
+  bounded-memory candidate generation with the classic n/k guarantee,
+  a bucket-local union, and an exact confirmation pass over the
+  (bounded) candidate set only. The result is EXACT — provably equal
+  to the brute-force groupBy-HAVING — while per-executor memory stays
+  O(k) regardless of value cardinality. The merge step is the
+  mergeable-summaries construction (Agarwal, Cormode, Huang, Phillips,
+  Wei, Yi — "Mergeable Summaries", PODS 2012): add counters, subtract
+  the k-th largest, drop non-positives.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cae_polars_tools_spark.io import read_table, spread
+from cae_polars_tools_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# HLL distinct-count sketches: build fine, persist, merge coarse
+# ---------------------------------------------------------------------------
+
+#: log2 of the HLL register count. 12 → 4096 registers ≈ 1.6 KB per
+#: sketch with ~1.6% relative standard error — the DataSketches
+#: default trade-off; raise to 14 (~0.8%) when estimates feed billing.
+DEFAULT_LG_K = 12
+
+
+def distinct_sketches(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    lg_k: int = DEFAULT_LG_K,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """One HLL sketch of ``value_col`` per ``keys`` group — the
+    build-once half of the rollup pattern. The output column is plain
+    ``binary``: write it to parquet next to the grouping keys and any
+    later job (or engine with DataSketches bindings — the wire format
+    is the cross-language Apache DataSketches HLL layout) can keep
+    merging it. One map-side-combined aggregation; each partial is a
+    fixed ≤2^lg_k-register sketch, so the shuffle volume is
+    O(groups × 1.6 KB) no matter how many raw rows went in."""
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias(sketch_col)
+    )
+
+
+def rollup_distinct(
+    sketches: DataFrame,
+    keys: list[str],
+    sketch_col: str = "sketch",
+    est_col: str = "approx_distinct",
+) -> DataFrame:
+    """Merge fine-grain sketches up to ``keys`` and estimate — the
+    query-time half. Sketch union is lossless over the sketch algebra
+    (the union of two HLL sketches is exactly the sketch of the union
+    of their streams), so rolling day → month → year re-reads sketch
+    rows only; the raw corpus is never rescanned. Estimates are
+    rounded to whole longs."""
+    return sketches.groupBy(*keys).agg(
+        F.round(
+            F.hll_sketch_estimate(F.hll_union_agg(F.col(sketch_col)))
+        )
+        .cast("long")
+        .alias(est_col)
+    )
+
+
+#: estimate must land within this of exact for the corpus entry's
+#: invariant frame (HLL at lg_k=12 has ~1.6% RSE; 5% is >3σ)
+SKETCH_REL_TOL = 0.05
+
+
+@register(
+    "sketch_rollup_distinct",
+    oracle="""
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS exact_users,
+               TRUE AS approx_within_tol
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("sketch", "approx", "scale-path", "extension"),
+    window_rank=1,
+)
+def sketch_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-sketch rollup pattern, value-checked: per
+    (event_type, day) HLL sketches of user_id are built at the fine
+    grain (the shape a nightly job would persist), then MERGED across
+    days per event_type and estimated — month-level distinct users
+    without touching raw events again.
+
+    Sketch bits aren't reproducible across engines, so the oracle is
+    the q29 invariant-frame contract: the entry outputs the exact
+    distinct count (equality-checked against SQL) plus a boolean
+    asserting the merged-sketch estimate landed within
+    ``SKETCH_REL_TOL`` of it; the oracle emits TRUE. An estimator
+    drifting out of tolerance — or a union that loses sketch state —
+    flips the boolean and fails the hash match.
+
+    Scale shape: the sketch path shuffles one ≤1.6 KB partial per
+    (partition × group); the exact twin exists only to referee the
+    estimate and would be dropped in production."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = distinct_sketches(ev, ["event_type", "day"], "user_id")
+    merged = rollup_distinct(daily, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    within = (
+        F.abs(
+            F.col("approx_distinct").cast("double")
+            - F.col("exact_users").cast("double")
+        )
+        / F.col("exact_users")
+        <= SKETCH_REL_TOL
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "exact_users",
+        within.alias("approx_within_tol"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries heavy hitters: bounded-memory candidates + exact confirm
+# ---------------------------------------------------------------------------
+
+
+def _mg_candidates(col: str, k: int):
+    """Per-partition Misra–Gries summary over ``col``, vectorized:
+    each Arrow batch is counted with pandas ``value_counts`` (no
+    per-row Python), merged into the running ≤(k−1)-counter summary,
+    and truncated with the mergeable-summaries step (subtract the k-th
+    largest count, drop non-positives). Any value whose frequency in
+    this partition exceeds n_partition/k survives to the end — the
+    classic MG guarantee, preserved under batch merge (Mergeable
+    Summaries, PODS 2012, Lemma 1)."""
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        counts: dict = {}
+        for pdf in batches:
+            for v, c in pdf[col].value_counts().items():
+                counts[v] = counts.get(v, 0) + int(c)
+            if len(counts) > k - 1:
+                kth = sorted(counts.values(), reverse=True)[k - 1]
+                counts = {
+                    v: c - kth for v, c in counts.items() if c > kth
+                }
+        yield pd.DataFrame({col: list(counts.keys())})
+
+    return gen
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, k: int
+) -> DataFrame:
+    """EXACT heavy hitters: every value of ``col`` occurring more than
+    n/k times, with its exact count — equal to the brute-force
+    ``GROUP BY … HAVING count·k > n``, but with per-executor memory
+    bounded at O(k) instead of O(distinct values).
+
+    Why the candidate set provably covers the truth: a value with
+    global frequency > n/k = Σ n_p/k must, by pigeonhole, exceed
+    n_p/k in at least one partition p, and the per-partition MG
+    summary keeps every such value. The confirmation pass then counts
+    ONLY candidate rows exactly (the non-candidate corpus is filtered
+    map-side before the shuffle) and applies the integer threshold
+    count·k > n — no float division, so every engine cuts the same
+    set.
+
+    Scale shape: one mapInPandas pass emits ≤(k−1) candidate strings
+    per partition; candidates broadcast back as a semi-join; the
+    confirm aggregation shuffles one partial per (partition ×
+    candidate). Nothing anywhere is proportional to value
+    cardinality."""
+    cands = (
+        df.mapInPandas(
+            _mg_candidates(col, k), schema=f"{col} string"
+        ).distinct()
+    )
+    total = df.select(F.count(F.lit(1)).alias("_n"))
+    confirmed = (
+        df.join(F.broadcast(cands), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return (
+        confirmed.crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") * k > F.col("_n"))
+        .drop("_n")
+    )
+
+
+#: heavy-hitter threshold for the corpus entry: tokens above 1% of the
+#: total token stream
+HH_K = 100
+
+
+@register(
+    "text_heavy_hitters",
+    oracle=f"""
+        WITH tok AS (
+            SELECT unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        tot AS (SELECT COUNT(*) AS n FROM tok)
+        SELECT token,
+               COUNT(*) AS n_occurrences
+        FROM tok, tot
+        GROUP BY token, tot.n
+        HAVING COUNT(*) * {HH_K} > tot.n
+    """,
+    tags=("sketch", "text", "scale-path", "extension"),
+    window_rank=1,
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant tokens of the corpus (frequency > n/{HH_K}) via the
+    Misra–Gries bounded-memory path — the boilerplate/stopword
+    detector that runs where an exact full-vocabulary groupBy would
+    not (per-executor memory O(k), not O(vocabulary)). The oracle IS
+    the brute-force SQL census, because :func:`heavy_hitters` is
+    provably exact (candidates ⊇ truth + exact confirm); integer
+    threshold math keeps the cut engine-identical."""
+    from cae_polars_tools_spark.operators.text import tokens
+
+    d = spread(read_table(spark, sf_dir, "documents"))
+    toks = d.select(F.explode(tokens("text")).alias("token"))
+    return heavy_hitters(toks, "token", HH_K)

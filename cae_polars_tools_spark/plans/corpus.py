@@ -3196,3 +3196,179 @@ def q74_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(F.col("doc_id") < 20).select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
     )
+
+
+@register(
+    "q75_event_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        ), pairs AS (
+            SELECT prev_type, event_type, COUNT(*) AS n
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
+        )
+        SELECT prev_type, event_type, n,
+               ROUND(CAST(n AS DOUBLE)
+                     / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+        FROM pairs
+    """,
+    tags=("window", "markov", "extension"),
+    window_rank=1,
+)
+def q75_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the session-model / next-event-prediction shape:
+    lag(event_type) under the (ts, event_id) total order per user,
+    pair counts, then row-normalized transition probabilities. The
+    probability window runs over the AGGREGATED pair frame (bounded by
+    |event_type|², not the corpus), so the expensive partitioning is
+    the one (user_id) lag shuffle and the pair groupBy; 1e-6 rounding
+    is the cross-engine division contract."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wp), 6
+        ).alias("p"),
+    )
+
+
+@register(
+    "q76_robust_outliers",
+    oracle="""
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY event_type
+        ), mad AS (
+            SELECT e.event_type,
+                   quantile_cont(abs(e.value - m.med), 0.5) AS mad
+            FROM events e JOIN med m USING (event_type)
+            GROUP BY e.event_type
+        )
+        SELECT e.event_type,
+               COUNT(*) AS n_rows,
+               ROUND(m.med, 6) AS med,
+               ROUND(d.mad, 6) AS mad,
+               CAST(SUM(CASE WHEN abs((e.value - m.med)
+                                      / (1.4826 * d.mad)) > 3.5
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM events e
+        JOIN med m USING (event_type)
+        JOIN mad d USING (event_type)
+        GROUP BY e.event_type, m.med, d.mad
+    """,
+    tags=("agg", "quality", "extension"),
+    window_rank=1,
+)
+def q76_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per group — median/MAD z-scores (the
+    1.4826 normal-consistency constant), the data-quality screen that,
+    unlike mean/stddev, doesn't let the outliers move their own
+    threshold. Three passes over events, each reducing to per-type
+    partials, with the tiny per-type model frames BROADCAST back
+    between them (no corpus reshuffle). Exact interpolated medians
+    match DuckDB's quantile_cont; the z expression is the same double
+    arithmetic in both engines, so the >3.5 cut lands identically.
+    At 100 TB the exact percentile buffers per group —
+    ``percentile_approx`` is the drop-in scale path (q29's contract);
+    exact here so the oracle can be value-level."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias(
+            "mad"
+        )
+    )
+    scored = dev.join(F.broadcast(mad), "event_type")
+    z = (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    return scored.groupBy("event_type", "med", "mad").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.abs(z) > 3.5, 1).otherwise(0)).alias("n_outliers"),
+    ).select(
+        "event_type",
+        "n_rows",
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        "n_outliers",
+    )
+
+
+SKEW_PROFILE_TOP = 20
+
+
+@register(
+    "q77_skew_profile",
+    oracle=f"""
+        WITH c AS (
+            SELECT l_suppkey AS key, COUNT(*) AS n
+            FROM lineitem GROUP BY l_suppkey
+        ), t AS (
+            SELECT SUM(n) AS total,
+                   CAST(SUM(n) AS DOUBLE) / COUNT(*) AS avg_n
+            FROM c
+        )
+        SELECT c.key, c.n,
+               ROUND(c.n / t.avg_n, 6) AS skew_x,
+               ROUND(CAST(c.n AS DOUBLE) / t.total, 6) AS share
+        FROM c, t
+        ORDER BY c.n DESC, c.key ASC
+        LIMIT {SKEW_PROFILE_TOP}
+    """,
+    tags=("diagnostics", "skew", "extension"),
+    window_rank=1,
+)
+def q77_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key skew profile — the instrument you run BEFORE deciding
+    to salt (operators/skew.py) or lean on AQE's skew join: per-key
+    frequency of the join/agg key, each hot key's multiple of the
+    mean key load (``skew_x``) and share of all rows. One map-side-
+    combined count aggregation; the global (total, mean) is a 1-row
+    aggregate OF THE COUNTS frame, broadcast back; TakeOrdered keeps
+    the top-{SKEW_PROFILE_TOP} under a total order. At 1000 executors
+    a skew_x of 50 on one key means one reducer doing 50× the mean —
+    this is the number that predicts it from a cheap scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.agg(
+        F.sum("n").alias("total"),
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("avg_n"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            "n",
+            F.round(F.col("n") / F.col("avg_n"), 6).alias("skew_x"),
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.col("n").desc(), F.col("key").asc())
+        .limit(SKEW_PROFILE_TOP)
+    )

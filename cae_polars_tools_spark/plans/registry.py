@@ -155,6 +155,8 @@ def load_all() -> dict[str, QuerySpec]:
     import cae_polars_tools_spark.operators.temporal  # noqa: F401
     import cae_polars_tools_spark.operators.classifier  # noqa: F401
     import cae_polars_tools_spark.operators.tokenizer  # noqa: F401
+    import cae_polars_tools_spark.operators.sketches  # noqa: F401
+    import cae_polars_tools_spark.operators.incremental  # noqa: F401
     import cae_polars_tools_spark.plans.zarr_demo  # noqa: F401
 
     rank = {n: i for i, n in enumerate(DRIVER_WINDOW_ORDER)}

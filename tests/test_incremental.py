@@ -1,0 +1,115 @@
+"""Incremental aggregate maintenance: merge algebra vs full recompute,
+insert/update paths through the CoW state refresh, measure validation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cae_polars_tools_spark.operators.incremental import (
+    build_agg_state,
+    merge_agg_state,
+    refresh_agg_parquet,
+)
+
+MEASURES = {
+    "n": ("v", "count"),
+    "s": ("v", "sum"),
+    "mx": ("v", "max"),
+    "mn": ("v", "min"),
+}
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(rows, "k string, v double")
+
+
+def _state_map(df):
+    return {
+        r["k"]: (r["n"], float(r["s"]), r["mx"], r["mn"])
+        for r in df.collect()
+    }
+
+
+def test_merge_equals_full_recompute(spark):
+    base_rows = [("a", 1.25), ("a", 2.50), ("b", 10.00), ("c", -3.75)]
+    batch_rows = [("a", 4.00), ("b", -1.00), ("d", 7.25)]
+    base = build_agg_state(_rows(spark, base_rows), ["k"], MEASURES)
+    batch = build_agg_state(_rows(spark, batch_rows), ["k"], MEASURES)
+    merged = merge_agg_state(base, batch, ["k"], MEASURES)
+    full = build_agg_state(
+        _rows(spark, base_rows + batch_rows), ["k"], MEASURES
+    )
+    assert _state_map(merged) == _state_map(full)
+
+
+def test_merge_is_associative_across_batches(spark):
+    """(base ⊕ b1) ⊕ b2 == base ⊕ (b1 ∪ b2) — the property that lets
+    nightly batches apply in any grouping."""
+    base_rows = [("a", 1.0), ("b", 2.0)]
+    b1 = [("a", 3.0), ("c", 4.0)]
+    b2 = [("b", 5.0), ("c", 6.0)]
+    s = lambda rows: build_agg_state(_rows(spark, rows), ["k"], MEASURES)  # noqa: E731
+    left = merge_agg_state(
+        merge_agg_state(s(base_rows), s(b1), ["k"], MEASURES),
+        s(b2),
+        ["k"],
+        MEASURES,
+    )
+    right = merge_agg_state(s(base_rows), s(b1 + b2), ["k"], MEASURES)
+    assert _state_map(left) == _state_map(right)
+
+
+def test_refresh_parquet_updates_and_inserts(spark, tmp_path):
+    state0 = str(tmp_path / "v0")
+    state1 = str(tmp_path / "v1")
+    base_rows = [("a", 1.0), ("a", 2.0), ("b", 3.0)]
+    build_agg_state(_rows(spark, base_rows), ["k"], MEASURES).write.parquet(
+        state0
+    )
+    batch_rows = [("a", 10.0), ("z", 5.0)]  # update 'a', insert 'z'
+    stats = refresh_agg_parquet(
+        spark, state0, _rows(spark, batch_rows), ["k"], MEASURES, state1
+    )
+    assert stats["rows_updated"] == 1 and stats["rows_inserted"] == 1
+    got = _state_map(spark.read.parquet(state1))
+    full = _state_map(
+        build_agg_state(_rows(spark, base_rows + batch_rows), ["k"], MEASURES)
+    )
+    assert got == full
+    # untouched key 'b' must carry over bit-exact
+    assert got["b"] == (1, 3.0, 3.0, 3.0)
+
+
+def test_refresh_never_reads_raw_corpus(spark, tmp_path):
+    """Cost contract: the refresh plan reads the STATE dataset and the
+    batch only. Feed a batch whose keys miss every state file — the
+    merge must rewrite nothing and copy everything."""
+    state0 = str(tmp_path / "v0")
+    state1 = str(tmp_path / "v1")
+    build_agg_state(
+        _rows(spark, [("a", 1.0), ("b", 2.0)]), ["k"], MEASURES
+    ).write.parquet(state0)
+    stats = refresh_agg_parquet(
+        spark, state0, _rows(spark, [("zz", 9.0)]), ["k"], MEASURES, state1
+    )
+    assert stats["files_rewritten"] == 0
+    assert stats["rows_inserted"] == 1
+
+
+def test_sum_state_is_exact_decimal(spark):
+    """0.1-style doubles must merge exactly: state sums go through
+    decimal, so repeated merges can't accumulate float drift."""
+    rows = [("a", 0.10)] * 10
+    st = build_agg_state(_rows(spark, rows), ["k"], MEASURES)
+    [r] = st.collect()
+    assert float(r["s"]) == 1.00
+    field = dict(zip(st.columns, st.schema.fields))["s"]
+    assert "decimal" in field.dataType.simpleString()
+
+
+def test_unmergeable_measure_raises(spark):
+    with pytest.raises(ValueError, match="not mergeable"):
+        build_agg_state(
+            _rows(spark, [("a", 1.0)]), ["k"], {"bad": ("v", "avg")}
+        )

@@ -1,0 +1,110 @@
+"""Mergeable-sketch operators: HLL rollup semantics (union ≡ sketch of
+union, persistence round-trip) and the Misra–Gries heavy-hitter
+guarantee (exact equality with brute force, bounded candidates)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cae_polars_tools_spark.operators.sketches import (
+    distinct_sketches,
+    heavy_hitters,
+    rollup_distinct,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "grp string, day int, uid long")
+
+
+def test_rollup_estimate_matches_exact_within_tol(spark):
+    # 3 groups × 4 days, deliberately overlapping uids across days so
+    # the union must deduplicate across sketches, not just add counts
+    rows = [
+        (g, d, (d * 37 + i) % 500)
+        for g in ("a", "b")
+        for d in range(4)
+        for i in range(300)
+    ]
+    df = _events(spark, rows)
+    daily = distinct_sketches(df, ["grp", "day"], "uid")
+    got = {
+        r["grp"]: r["approx_distinct"]
+        for r in rollup_distinct(daily, ["grp"]).collect()
+    }
+    exact = {
+        r["grp"]: r["x"]
+        for r in df.groupBy("grp")
+        .agg(F.count_distinct("uid").alias("x"))
+        .collect()
+    }
+    for g, e in exact.items():
+        assert abs(got[g] - e) / e < 0.05, (g, got[g], e)
+
+
+def test_sketches_survive_parquet_roundtrip(spark, tmp_path):
+    """The build-once/persist/merge-later contract: sketches written
+    as a plain binary column must merge identically after re-read."""
+    rows = [("a", d, (d * 11 + i) % 200) for d in range(3) for i in range(120)]
+    daily = distinct_sketches(_events(spark, rows), ["grp", "day"], "uid")
+    p = str(tmp_path / "sketches.parquet")
+    daily.write.parquet(p)
+    direct = rollup_distinct(daily, ["grp"]).collect()[0]["approx_distinct"]
+    reread = rollup_distinct(
+        spark.read.parquet(p), ["grp"]
+    ).collect()[0]["approx_distinct"]
+    assert direct == reread
+
+
+def test_heavy_hitters_equals_bruteforce(spark):
+    # skewed stream: 'hot1' 30%, 'hot2' 12%, long uniform tail
+    vals = (
+        ["hot1"] * 300
+        + ["hot2"] * 120
+        + [f"tail{i % 97}" for i in range(580)]
+    )
+    df = spark.createDataFrame(
+        [(v,) for v in vals], "token string"
+    ).repartition(7)
+    got = {
+        (r["token"], r["n_occurrences"])
+        for r in heavy_hitters(df, "token", 10).collect()
+    }
+    n = len(vals)
+    brute = {
+        (r["token"], r["c"])
+        for r in df.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") * 10 > n)
+        .collect()
+    }
+    assert got == brute
+    assert ("hot1", 300) in got and ("hot2", 120) in got
+
+
+@pytest.mark.parametrize("parts", [1, 3, 13])
+def test_heavy_hitters_partition_invariant(spark, parts):
+    """The candidate union ⊇ truth argument holds for ANY partition
+    layout — the result must not change with parallelism."""
+    vals = ["x"] * 50 + ["y"] * 20 + [f"t{i}" for i in range(130)]
+    df = spark.createDataFrame(
+        [(v,) for v in vals], "token string"
+    ).repartition(parts)
+    got = sorted(
+        (r["token"], r["n_occurrences"])
+        for r in heavy_hitters(df, "token", 8).collect()
+    )
+    # n=200, threshold n/k=25: only 'x' (50) qualifies; 'y' (20) must not
+    assert got == [("x", 50)]
+
+
+def test_heavy_hitters_borderline_threshold(spark):
+    """count·k > n is a strict integer comparison: a value at EXACTLY
+    n/k is not a heavy hitter."""
+    vals = ["a"] * 25 + ["b"] * 26 + [f"t{i}" for i in range(49)]
+    # n = 100, k = 4 → threshold 25: 'a' (25·4 = 100 = n) excluded,
+    # 'b' (26·4 > 100) included
+    df = spark.createDataFrame([(v,) for v in vals], "token string")
+    got = {r["token"] for r in heavy_hitters(df, "token", 4).collect()}
+    assert got == {"b"}
