@@ -1013,6 +1013,88 @@ def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Audio near-dup: frame-energy fingerprint + banded Hamming pairs
+# ---------------------------------------------------------------------------
+
+_AFP_FRAME = 2  # 64 demo samples → 32 frames → 31 gradient bits
+_AFP_NBITS = 31
+_AFP_BAND_BITS = 8  # 4 bands; Hamming ≤ 3 stays pigeonhole-exact
+_AFP_MAX_HAMMING = 3
+
+# Oracle: rebuild the PCM from ascii bytes (the mm_audio_frame_energy
+# pixel... sample oracle), exact int64 Σv² per 2-sample frame,
+# adjacent-frame gradient bits, 31-bit signature, brute-force all-pairs
+# Hamming — equal to the banded Spark result by pigeonhole (3 < 4
+# bands). Integer-only end to end.
+_AUDIO_FP_SQL = f"""
+    WITH en AS (
+        SELECT doc_id, u.j // {_AFP_FRAME} AS f,
+               SUM(CAST(ascii(substr(rpad(text, 64, chr(0)),
+                                     u.j + 1, 1)) AS BIGINT)
+                   * ascii(substr(rpad(text, 64, chr(0)),
+                                  u.j + 1, 1))) AS e
+        FROM documents, unnest(range(0, 64)) AS u(j)
+        GROUP BY doc_id, u.j // {_AFP_FRAME}
+    ), bits AS (
+        SELECT a.doc_id, a.f AS bit
+        FROM en a JOIN en b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+        WHERE a.e < b.e
+    ), sigs AS (
+        SELECT d.doc_id,
+               COALESCE(SUM(CAST(1 AS BIGINT) << s.bit),
+                        CAST(0 AS BIGINT)) AS sig
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN bits s ON s.doc_id = d.doc_id
+        GROUP BY d.doc_id
+    )
+    SELECT a.doc_id AS doc_id_a,
+           b.doc_id AS doc_id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {_AFP_MAX_HAMMING}
+"""
+
+
+@register(
+    "dedup_audio_fingerprint",
+    oracle=_AUDIO_FP_SQL,
+    tags=("dedup", "multimodal", "audio", "extension"),
+    window_rank=1,
+)
+def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs via the frame-energy fingerprint —
+    the third modality on the shared banded-Hamming kernel (text →
+    SimHash, image → dHash, audio → energy contour): re-encoded or
+    gain-ridden copies of a clip keep their energy gradient signs, so
+    duplicate detection is Hamming distance on an int64.
+
+    Real byte path end to end: per document a 64-sample PCM WAV is
+    synthesized (the corpus carries no media), decoded by the
+    hand-parsed WAV reader, fingerprinted by
+    :func:`multimodal.audio_fingerprint` (exact int64 Σv² per 2-sample
+    frame, 31 gradient bits), paired by :func:`hamming_pairs`
+    (4×8-bit bands, Hamming ≤ 3 — pigeonhole-exact, so the banded
+    candidates equal the oracle's brute-force join). Decode +
+    fingerprint never leave their partitions; the only wide ops are
+    the band-bucket groupBy and the closing distinct."""
+    from cae_polars_tools_spark.operators.multimodal import (
+        _text_to_wav,
+        audio_fingerprint,
+    )
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    sig = audio_fingerprint(_text_to_wav(docs), frame_samples=_AFP_FRAME)
+    return hamming_pairs(
+        sig,
+        id_col="doc_id",
+        sig_col="afp",
+        nbits=_AFP_NBITS,
+        band_bits=_AFP_BAND_BITS,
+        max_hamming=_AFP_MAX_HAMMING,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Duplicate-cluster assembly: connected components over near-dup pairs
 # ---------------------------------------------------------------------------
 

@@ -140,6 +140,70 @@ def test_hamming_pairs_no_duplicate_rows(spark):
     assert len(rows) == 3
 
 
+def test_audio_fingerprint_matches_scalar_reference(spark):
+    from cae_polars_tools_spark.operators.multimodal import (
+        audio_fingerprint,
+        encode_wav_pcm16,
+    )
+
+    rng = np.random.default_rng(11)
+    clips = [
+        rng.integers(0, 256, 64).astype(np.int16) for _ in range(4)
+    ]
+    assets = _assets(
+        spark, [encode_wav_pcm16(c, 8000) for c in clips]
+    )
+    out = {
+        r["doc_id"]: r["afp"]
+        for r in audio_fingerprint(assets, frame_samples=2).collect()
+    }
+    for i, c in enumerate(clips):
+        e = (c.astype(np.int64) ** 2).reshape(32, 2).sum(axis=1)
+        ref = sum(
+            1 << f for f in range(31) if e[f] < e[f + 1]
+        )
+        assert out[i] == ref
+
+
+def test_audio_fingerprint_gain_invariant(spark):
+    """Scaling every sample by a constant gain preserves all energy
+    gradient signs — the property that makes the contour a near-dup
+    signature rather than a byte hash."""
+    from cae_polars_tools_spark.operators.multimodal import (
+        audio_fingerprint,
+        encode_wav_pcm16,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(1, 100, 64).astype(np.int16)
+    loud = (base * 3).astype(np.int16)
+    out = [
+        r["afp"]
+        for r in audio_fingerprint(
+            _assets(
+                spark,
+                [encode_wav_pcm16(base, 8000), encode_wav_pcm16(loud, 8000)],
+            ),
+            frame_samples=2,
+        ).collect()
+    ]
+    assert out[0] == out[1]
+
+
+def test_audio_fingerprint_rejects_oversized_frame_count(spark):
+    from cae_polars_tools_spark.operators.multimodal import (
+        audio_fingerprint,
+        encode_wav_pcm16,
+    )
+
+    clip = np.zeros(200, dtype=np.int16)  # 100 frames at 2 samples
+    with pytest.raises(Exception, match="63 bits"):
+        audio_fingerprint(
+            _assets(spark, [encode_wav_pcm16(clip, 8000)]),
+            frame_samples=2,
+        ).collect()
+
+
 def test_dedup_image_dhash_plan_is_bucket_local(spark, sf_small):
     """No cartesian anywhere; candidate generation must ride the
     band-bucket groupBy, not a signature self-join."""
