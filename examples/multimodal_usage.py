@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np  # noqa: E402
 
 from cae_polars_tools_spark.io import read_table  # noqa: E402
+from cae_polars_tools_spark.plans.registry import load_all  # noqa: E402
 from cae_polars_tools_spark.session import get_spark  # noqa: E402
 
 
@@ -135,6 +136,19 @@ def main() -> None:
             f"  q{r['query_id']} #{r['rank']}: vec {r['neighbor_id']} "
             f"(cos {r['cosine']:.4f})"
         )
+
+    # -- cross-modality near-dup: one banded-Hamming kernel ---------
+    # SimHash (text), dHash (image), and the frame-energy fingerprint
+    # (audio) all reduce a modality to an int64 signature and share
+    # dedup.hamming_pairs for candidate generation.
+    corpus = load_all()
+    for name, label in [
+        ("dedup_simhash", "text near-dup (SimHash)"),
+        ("dedup_image_dhash", "image near-dup (dHash)"),
+        ("dedup_audio_fingerprint", "audio near-dup (energy contour)"),
+    ]:
+        n = corpus[name].build(spark, sf_dir).count()
+        print(f"{label}: {n} candidate pairs")
 
     print("Multimodal demo complete.")
 

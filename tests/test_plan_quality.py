@@ -731,3 +731,53 @@ def test_audio_frame_energy_partition_local(spark):
     plan = _plan(spark, "mm_audio_frame_energy")
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_heavy_hitters_confirm_is_broadcast_semi(spark):
+    """text_heavy_hitters: the candidate set must flow back as a
+    BROADCAST semi-join (the non-candidate corpus filters map-side
+    before any shuffle); a sort-merge join here would shuffle the full
+    token stream and defeat the whole design."""
+    plan = _plan(spark, "text_heavy_hitters")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # the 1-row total joins via broadcast nested loop, never cartesian
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_signature_dedup_pairs_stay_bucket_local(spark):
+    """dedup_image_dhash and dedup_audio_fingerprint ride the shared
+    banded-Hamming kernel: candidate pairs must come out of the
+    band-bucket groupBy's collect_list, never a signature self-JOIN
+    (which would re-shuffle signatures per band)."""
+    for name in ("dedup_image_dhash", "dedup_audio_fingerprint"):
+        plan = _plan(spark, name)
+        assert "SortMergeJoin" not in plan, (name, plan)
+        assert "Exchange SinglePartition" not in plan, (name, plan)
+
+
+def test_sketch_rollup_has_no_single_partition(spark):
+    """sketch_rollup_distinct: both the daily sketch build and the
+    union rollup key on real columns — a SinglePartition exchange
+    would mean the sketches stopped merging distributively."""
+    plan = _plan(spark, "sketch_rollup_distinct")
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "hllsketchagg" in plan.lower() or "hll_sketch_agg" in plan.lower(), plan
+
+
+def test_skew_profile_uses_takeordered(spark):
+    """q77_skew_profile: the top-k cut must be TakeOrdered (per-
+    partition heaps + driver merge of k rows), not a global range
+    sort of the counts frame."""
+    plan = _plan(spark, "q77_skew_profile")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_robust_outliers_models_broadcast(spark):
+    """q76: the per-type median/MAD model frames are tiny and must
+    broadcast back onto events — a sort-merge join would shuffle the
+    corpus twice for a 5-row model."""
+    plan = _plan(spark, "q76_robust_outliers")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
