@@ -149,6 +149,71 @@ def sketch_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming sketch ingest: append one sketch segment per micro-batch
+# ---------------------------------------------------------------------------
+
+
+def sketch_ingest_sink(
+    target_dir: str,
+    keys: list[str],
+    value_col: str,
+    lg_k: int = DEFAULT_LG_K,
+):
+    """``foreachBatch`` sink maintaining a persisted HLL sketch table
+    from a stream: each micro-batch aggregates to per-``keys``
+    sketches (:func:`distinct_sketches`) and lands as its own parquet
+    segment ``batch=<id>/``; any later job answers distinct-count
+    questions by reading the segments and merging
+    (:func:`rollup_distinct`) — the raw stream is never replayed.
+
+    Exactly-once WITHOUT a transaction log: HLL union is IDEMPOTENT
+    (registers merge by elementwise max, so unioning the same sketch
+    twice is a no-op) — a redelivered micro-batch (foreachBatch's
+    at-least-once contract) merging again cannot change any estimate.
+    The segment-exists skip below therefore only prevents storage
+    bloat; correctness never depended on it. Grouping-invariance of
+    the union (same registers whatever the batch boundaries) is what
+    makes the streamed table EXACTLY equal the batch-built one —
+    equivalence-tested in tests/test_sketches.py.
+
+    Returns the ``(batch_df, batch_id)`` callable for
+    ``writeStream.foreachBatch``."""
+    import os
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.columns or batch_df.isEmpty():
+            return
+        seg = os.path.join(target_dir, f"batch={batch_id}")
+        if os.path.exists(seg):
+            return  # replayed batch: segment already landed
+        distinct_sketches(
+            batch_df, keys, value_col, lg_k=lg_k
+        ).write.mode("errorifexists").parquet(seg)
+
+    return sink
+
+
+def compact_sketch_segments(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    keys: list[str],
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Merge a segment buildup (one sketch row per key per
+    micro-batch) into one row per key — union associativity means the
+    compacted table answers every rollup identically (tested). Output
+    is a fresh dataset: the swap stays the caller's atomic pointer
+    flip, the CoW convention of this engine's storage layer."""
+    allseg = spark.read.parquet(src_dir)
+    merged = allseg.groupBy(*keys).agg(
+        F.hll_union_agg(F.col(sketch_col)).alias(sketch_col)
+    )
+    merged.write.mode("errorifexists").parquet(dst_dir)
+    return spark.read.parquet(dst_dir)
+
+
+# ---------------------------------------------------------------------------
 # Misra–Gries heavy hitters: bounded-memory candidates + exact confirm
 # ---------------------------------------------------------------------------
 

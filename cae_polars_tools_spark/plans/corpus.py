@@ -3317,6 +3317,64 @@ def q76_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "q78_profile_columns",
+    oracle="""
+        WITH s AS (
+            SELECT 'l_quantity' AS col_name,
+                   CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', l_discount FROM lineitem
+            UNION ALL
+            SELECT 'l_tax', l_tax FROM lineitem
+        )
+        SELECT col_name,
+               COUNT(*) AS n_rows,
+               COUNT(*) - COUNT(value) AS n_null,
+               COUNT(DISTINCT value) AS n_distinct,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(value), 6) AS mean_value
+        FROM s GROUP BY col_name
+    """,
+    tags=("diagnostics", "profiling", "extension"),
+    window_rank=1,
+)
+def q78_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling in ONE scan — the ``describe()`` every
+    engine's users reach for first, re-expressed distributed: the
+    numeric columns unpivot into (col_name, value) rows (a row-local
+    Generate, no shuffle), then a single map-side-combined aggregate
+    keyed on col_name yields rows / nulls / exact distincts / min /
+    max / decimal-exact mean per column. At 100 TB this is ONE pass
+    over the table instead of a query per column; the distinct count
+    is the only memory-heavy piece (swap in approx_count_distinct at
+    scale — q29's contract). The mean goes through an exact decimal
+    sum so engines can't disagree in the last ulp."""
+    li = _t(spark, sf_dir, "lineitem")
+    stack = li.unpivot(
+        [], list(_PROFILE_COLS), "col_name", "value"
+    )
+    return stack.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("value")).alias("n_null"),
+        F.count_distinct("value").alias("n_distinct"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("value"),
+            6,
+        ).alias("mean_value"),
+    )
+
+
 SKEW_PROFILE_TOP = 20
 
 

@@ -57,6 +57,77 @@ def test_sketches_survive_parquet_roundtrip(spark, tmp_path):
     assert direct == reread
 
 
+def test_sketch_ingest_stream_equals_batch(spark, tmp_path):
+    """The streamed sketch table must EXACTLY equal the batch-built
+    one: HLL union is grouping-invariant (registers merge by
+    elementwise max), so batch boundaries cannot move any estimate."""
+    from cae_polars_tools_spark.operators.sketches import (
+        sketch_ingest_sink,
+    )
+
+    rows = [
+        ("a", d, (d * 31 + i) % 400) for d in range(6) for i in range(200)
+    ]
+    df = _events(spark, rows)
+    target = str(tmp_path / "sketches")
+    sink = sketch_ingest_sink(target, ["grp", "day"], "uid")
+    # three micro-batches along day boundaries
+    for bid, lo in enumerate((0, 2, 4)):
+        sink(df.filter((df.day >= lo) & (df.day < lo + 2)), bid)
+    streamed = rollup_distinct(
+        spark.read.parquet(target), ["grp"]
+    ).collect()[0]["approx_distinct"]
+    batch = rollup_distinct(
+        distinct_sketches(df, ["grp", "day"], "uid"), ["grp"]
+    ).collect()[0]["approx_distinct"]
+    assert streamed == batch
+
+
+def test_sketch_ingest_replay_is_idempotent(spark, tmp_path):
+    import os
+
+    from cae_polars_tools_spark.operators.sketches import (
+        sketch_ingest_sink,
+    )
+
+    df = _events(spark, [("a", 0, i) for i in range(50)])
+    target = str(tmp_path / "sk")
+    sink = sketch_ingest_sink(target, ["grp"], "uid")
+    sink(df, 0)
+    before = rollup_distinct(
+        spark.read.parquet(target), ["grp"]
+    ).collect()
+    segs = set(os.listdir(target))
+    sink(df, 0)  # redelivery
+    assert set(os.listdir(target)) == segs
+    assert (
+        rollup_distinct(spark.read.parquet(target), ["grp"]).collect()
+        == before
+    )
+
+
+def test_compact_sketch_segments_preserves_estimates(spark, tmp_path):
+    from cae_polars_tools_spark.operators.sketches import (
+        compact_sketch_segments,
+        sketch_ingest_sink,
+    )
+
+    rows = [("a", d, (d * 13 + i) % 150) for d in range(4) for i in range(80)]
+    df = _events(spark, rows)
+    target = str(tmp_path / "segs")
+    sink = sketch_ingest_sink(target, ["grp"], "uid")
+    for bid in range(4):
+        sink(df.filter(df.day == bid), bid)
+    before = rollup_distinct(
+        spark.read.parquet(target), ["grp"]
+    ).collect()
+    compacted = compact_sketch_segments(
+        spark, target, str(tmp_path / "compact"), ["grp"]
+    )
+    assert compacted.count() == 1  # one row per key after compaction
+    assert rollup_distinct(compacted, ["grp"]).collect() == before
+
+
 def test_heavy_hitters_equals_bruteforce(spark):
     # skewed stream: 'hot1' 30%, 'hot2' 12%, long uniform tail
     vals = (
