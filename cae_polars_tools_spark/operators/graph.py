@@ -386,6 +386,199 @@ _TRI_EDGES_SQL = """
 """
 
 
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 50,
+    local_threshold: int = 2_000_000,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling → ``(node,
+    core_degree)`` for every node of the maximal subgraph in which
+    each member keeps ≥ k neighbors — the standard graph-cohesion
+    screen (spam/bot rings, community nuclei, junk-node pruning
+    before expensive per-node work).
+
+    Formulation: canonicalize to distinct undirected edges,
+    symmetrize (both directions), then repeat {degree aggregate →
+    keep nodes with deg ≥ k → two semi-joins drop edges touching a
+    peeled node} until the edge count stops changing. Peeling is
+    monotone, so the fixed point is THE k-core (order-independent —
+    the classic invariant) and round r+1 after convergence is a
+    no-op, which is what lets a fixed-unroll SQL oracle mirror a
+    data-dependent loop.
+
+    Scale shape: each round is one map-side-combined degree aggregate
+    plus two key-partitioned semi-joins — no driver-side graph, no
+    cartesian; the one driver action per round is the edge count that
+    doubles as the convergence test (the connected-components
+    convention). Rounds are bounded by peel depth, which is small on
+    real graphs (≤5 across this corpus's scales, measured); raises
+    loudly if ``max_iters`` rounds don't converge rather than
+    returning a half-peeled graph.
+
+    AQE-style strategy pick (the pagerank convention): a distinct
+    undirected edge set at or under ``local_threshold`` peels
+    driver-side in plain Python — per-round scheduling latency
+    dominates tiny graphs (measured 24.9 s → ~1 s at sf0.1) — and the
+    two paths are equality-tested against each other. The count that
+    picks the path is the same single action the distributed loop
+    needs anyway."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    und = (
+        e.select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .distinct()
+    )
+    und = und.persist()
+    n_und = und.count()
+    if n_und <= local_threshold:
+        out = _kcore_local(edges.sparkSession, und, k, max_iters)
+        und.unpersist()
+        return out
+    cur = und.unionAll(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    und.unpersist()
+    n_prev = cur.count()
+    converged = False
+    for _ in range(max_iters):
+        keep = (
+            cur.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("a")
+        )
+        nxt = (
+            cur.join(keep, "a", "left_semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+            .persist()
+        )
+        n = nxt.count()
+        cur.unpersist()
+        cur = nxt
+        if n == n_prev:
+            converged = True
+            break
+        n_prev = n
+    if not converged:
+        cur.unpersist()
+        raise ValueError(
+            f"kcore: no fixed point within {max_iters} rounds — "
+            "raise max_iters (deep peel chains) or check the graph"
+        )
+    out = cur.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("core_degree")
+    )
+    return out
+
+
+def _kcore_local(spark, und: DataFrame, k: int, max_iters: int) -> DataFrame:
+    """Driver-side peel over a bounded distinct undirected edge set —
+    identical fixed point to the distributed loop (peeling is
+    order-independent), same ``max_iters`` refusal so the loud-
+    divergence contract holds on both paths."""
+    pdf = und.toPandas()
+    adj: dict = {}
+    for a, b in zip(pdf["a"], pdf["b"]):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    converged = False
+    for _ in range(max_iters + 1):
+        drop = [n for n, s in adj.items() if len(s) < k]
+        if not drop:
+            converged = True
+            break
+        for n in drop:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+    if not converged:
+        raise ValueError(
+            f"kcore: no fixed point within {max_iters} rounds — "
+            "raise max_iters (deep peel chains) or check the graph"
+        )
+    node_type = dict(und.dtypes)["a"]
+    return spark.createDataFrame(
+        sorted((n, len(s)) for n, s in adj.items()),
+        f"node {node_type}, core_degree long",
+    )
+
+
+KCORE_K = 5
+#: oracle unroll depth; peel converges in ≤5 rounds across this
+#: corpus's scales (measured sf0.001–0.1) and the entry passes
+#: max_iters=this so any deeper peel fails LOUDLY instead of
+#: diverging from the oracle
+KCORE_ORACLE_ROUNDS = 8
+
+
+def _kcore_oracle(k: int = KCORE_K, rounds: int = KCORE_ORACLE_ROUNDS) -> str:
+    """Fixed-unroll SQL twin of the peel loop: each round recomputes
+    degrees and keeps ≥k edges-at-both-ends; post-convergence rounds
+    are no-ops, so unrolling past the real depth is safe."""
+    parts = [
+        "e0 AS MATERIALIZED (SELECT a, b FROM und "
+        "UNION ALL SELECT b, a FROM und)"
+    ]
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"k{i} AS MATERIALIZED (SELECT a FROM {prev} "
+            f"GROUP BY a HAVING COUNT(*) >= {k})"
+        )
+        parts.append(
+            f"e{i} AS MATERIALIZED (SELECT e.a, e.b FROM {prev} e "
+            f"JOIN k{i} x ON e.a = x.a JOIN k{i} y ON e.b = y.a)"
+        )
+        prev = f"e{i}"
+    return (
+        f"WITH und AS MATERIALIZED ({_TRI_EDGES_SQL}),\n"
+        + ",\n".join(parts)
+        + f"\nSELECT a AS node, CAST(COUNT(*) AS BIGINT) AS core_degree "
+        f"FROM {prev} GROUP BY a"
+    )
+
+
+@register(
+    "graph_kcore",
+    oracle=_kcore_oracle(),
+    tags=("graph", "extension"),
+    window_rank=1,
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-core of the part co-purchase graph (same keyed 1/10 order
+    sample as graph_triangles): the maximal subgraph where every part
+    co-occurs with ≥5 other core parts — cohesion pruning before
+    per-node analytics. The oracle unrolls the peel loop to a fixed
+    depth; the entry caps the Spark loop at the same depth, so a
+    graph needing a deeper peel fails loudly on BOTH sides instead of
+    silently diverging."""
+    li = (
+        spread(read_table(spark, sf_dir, "lineitem"))
+        .filter((F.col("l_orderkey") % 10) == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    x = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
+    )
+    y = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
+    )
+    edges = (
+        x.join(y, "ok")
+        .filter(F.col("u") != F.col("v"))
+        .select("u", "v")
+    )
+    return kcore(
+        edges, KCORE_K, src="u", dst="v", max_iters=KCORE_ORACLE_ROUNDS
+    )
+
+
 def _triangles_oracle() -> str:
     return f"""
         WITH und AS MATERIALIZED ({_TRI_EDGES_SQL}),

@@ -1495,6 +1495,117 @@ def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sniff_image_info(payload: bytes) -> tuple[str, int, int]:
+    """(format, width, height) from the HEADER bytes alone — no pixel
+    decode, no decompression, no palette read. This is the 100 TB
+    metadata pass: cataloging a petabyte of images must read a few
+    dozen bytes per file (on object stores: one small ranged GET), not
+    inflate pixels. Formats: BMP (BITMAPINFOHEADER dims), PNG (IHDR),
+    GIF (logical screen descriptor), JPEG (marker walk to the first
+    SOF0/1/2 frame header — still header-only: entropy-coded data is
+    never touched). Raises ValueError on anything else, truncated
+    included."""
+    if len(payload) >= 26 and payload[:2] == b"BM":
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = abs(int.from_bytes(payload[22:26], "little", signed=True))
+        return "bmp", w, h
+    if len(payload) >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return (
+            "png",
+            int.from_bytes(payload[16:20], "big"),
+            int.from_bytes(payload[20:24], "big"),
+        )
+    if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        return (
+            "gif",
+            int.from_bytes(payload[6:8], "little"),
+            int.from_bytes(payload[8:10], "little"),
+        )
+    if len(payload) >= 4 and payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(payload):
+            if payload[i] != 0xFF:
+                raise ValueError("sniff_image_info: corrupt JPEG walk")
+            marker = payload[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+                if i + 9 > len(payload):
+                    break
+                return (
+                    "jpeg",
+                    int.from_bytes(payload[i + 7 : i + 9], "big"),
+                    int.from_bytes(payload[i + 5 : i + 7], "big"),
+                )
+            i += 2 + int.from_bytes(payload[i + 2 : i + 4], "big")
+        raise ValueError("sniff_image_info: JPEG without a SOF header")
+    raise ValueError("sniff_image_info: unrecognized image payload")
+
+
+@register(
+    "mm_image_info",
+    # dims are a per-doc formula and the format cycles with doc_id —
+    # the oracle recomputes the whole catalog row from doc_id alone
+    oracle="""
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'bmp'
+                               WHEN 1 THEN 'png'
+                               ELSE 'gif' END AS format,
+               CAST(3 + doc_id % 4 AS INT) AS width,
+               CAST(2 + doc_id % 3 AS INT) AS height
+        FROM documents
+    """,
+    tags=("multimodal", "metadata", "extension"),
+    window_rank=1,
+)
+def mm_image_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image cataloging WITHOUT decode: a mixed BMP/PNG/GIF corpus
+    (format cycles by doc_id, dimensions vary per document) is
+    inventoried by :func:`sniff_image_info` — header bytes only, the
+    pass that makes a petabyte image catalog cost ranged GETs instead
+    of decompression. Zero shuffle; truncation robustness (64 header
+    bytes suffice) is unit-tested."""
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from cae_polars_tools_spark.operators.gif import encode_gif
+
+        gray16 = np.stack([np.arange(0, 256, 16, dtype=np.uint8)] * 3, 1)
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "format": [],
+                "width": [],
+                "height": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                w, h = 3 + doc_id % 4, 2 + doc_id % 3
+                raw = (text or "").encode()[: w * h * 3]
+                raw = raw.ljust(w * h * 3, b"\x00")
+                px = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+                kind = doc_id % 3
+                if kind == 0:
+                    payload = encode_bmp(px)
+                elif kind == 1:
+                    payload = encode_png(px)
+                else:
+                    payload = encode_gif(px[:, :, 0] // 16, gray16)
+                fmt, sw, sh = sniff_image_info(payload)
+                out["doc_id"].append(doc_id)
+                out["format"].append(fmt)
+                out["width"].append(sw)
+                out["height"].append(sh)
+            yield pd.DataFrame(out)
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, schema="doc_id long, format string, width int, height int"
+    )
+
+
 def audio_fingerprint(
     assets: DataFrame,
     frame_samples: int = 160,

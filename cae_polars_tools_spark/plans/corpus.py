@@ -3317,6 +3317,40 @@ def q76_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q79_string_agg",
+    oracle="""
+        SELECT event_type,
+               COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+               string_agg(DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR),
+                          ',' ORDER BY CAST(CAST(ts AS DATE) AS VARCHAR))
+                   AS active_days
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("agg", "string-agg", "extension"),
+    window_rank=1,
+)
+def q79_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg / GROUP_CONCAT
+    — the report-building shape every SQL dialect spells differently):
+    per event type, the comma-joined sorted list of distinct active
+    days. Spark has no ordered string_agg, so the portable composition
+    is collect_set → array_sort → array_join, which the q47 array-agg
+    contract already proved engine-stable: sorting BEFORE serializing
+    makes the string deterministic under any partitioning. One
+    aggregation shuffle; per-group payload bounded by distinct days
+    (the caller's contract, as with q47)."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.to_date("ts").cast("string")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct(day).alias("n_days"),
+        F.array_join(
+            F.array_sort(F.collect_set(day)), ","
+        ).alias("active_days"),
+    )
+
+
 _PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
 

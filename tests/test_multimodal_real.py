@@ -987,3 +987,37 @@ def test_audio_frame_energy_exact_and_partial_frame(spark):
     assert rows == {0: 9 + 16 + 0 + 4, 1: 100}
     with pytest.raises(ValueError, match="frame_samples"):
         audio_frame_energy(df, frame_samples=0)
+
+
+def test_sniff_image_info_header_only():
+    """Format + dims from header bytes alone: the first 64 bytes must
+    suffice for BMP/PNG/GIF (a truncated payload no decoder could
+    read), and a JPEG resolves through its marker walk without
+    touching entropy-coded data."""
+    import pytest
+
+    from cae_polars_tools_spark.operators.gif import encode_gif
+    from cae_polars_tools_spark.operators.jpeg import encode_jpeg
+    from cae_polars_tools_spark.operators.multimodal import (
+        encode_bmp,
+        encode_png,
+        sniff_image_info,
+    )
+
+    px = (np.arange(7 * 5 * 3, dtype=np.uint8)).reshape(5, 7, 3)
+    pal = np.stack([np.arange(0, 256, 16, dtype=np.uint8)] * 3, 1)
+    cases = [
+        (encode_bmp(px), ("bmp", 7, 5)),
+        (encode_png(px), ("png", 7, 5)),
+        (encode_gif(px[:, :, 0] // 16, pal), ("gif", 7, 5)),
+    ]
+    for payload, want in cases:
+        assert sniff_image_info(payload) == want
+        assert sniff_image_info(payload[:64]) == want  # header-only
+
+    jp = encode_jpeg(np.full((16, 24, 3), 128, dtype=np.uint8))
+    assert sniff_image_info(jp) == ("jpeg", 24, 16)
+
+    for hostile in (b"", b"BM", b"\xff\xd8\x00\x00", b"nonsense" * 8):
+        with pytest.raises(ValueError):
+            sniff_image_info(hostile)

@@ -1827,3 +1827,73 @@ def test_ivfpq_index_compaction_preserves_results(spark, tmp_path):
     # per-cell layout survives (cl=... directories exist)
     assert glob.glob(f"{root}/{stats['codes_dir']}/cl=*")
     assert rows(query_ivfpq_index(spark, root, q)) == before
+
+
+def test_kcore_hand_graphs(spark):
+    """K4 + a pendant chain: the 3-core is exactly the K4 (every
+    clique member keeps 3 in-core neighbors); chain nodes peel away
+    over successive rounds. A 2-core of a pure path is empty."""
+    from cae_polars_tools_spark.operators.graph import kcore
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(3, 10), (10, 11), (11, 12)]
+    df = spark.createDataFrame(k4 + chain, "src long, dst long")
+    got = {
+        r["node"]: r["core_degree"]
+        for r in kcore(df, 3).collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    )
+    assert kcore(path, 2).count() == 0
+
+
+def test_kcore_multi_edge_and_direction_invariant(spark):
+    """Duplicate and reversed edges must not inflate degrees: the
+    core is defined on the distinct undirected graph."""
+    from cae_polars_tools_spark.operators.graph import kcore
+
+    tri = [(1, 2), (2, 1), (1, 2), (2, 3), (3, 1), (1, 3)]
+    df = spark.createDataFrame(tri, "src long, dst long")
+    got = {
+        r["node"]: r["core_degree"] for r in kcore(df, 2).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_raises_without_convergence(spark):
+    """A long path under k=2 peels two endpoints per round; with
+    max_iters below the peel depth the operator must refuse loudly
+    rather than return a half-peeled graph."""
+    import pytest
+
+    from cae_polars_tools_spark.operators.graph import kcore
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    with pytest.raises(ValueError, match="fixed point"):
+        kcore(path, 2, max_iters=2)
+
+
+def test_kcore_local_equals_distributed(spark):
+    """The AQE-style strategy pick must be invisible: driver-side peel
+    (small graph) and the distributed loop (local_threshold=0) agree
+    exactly."""
+    from cae_polars_tools_spark.operators.graph import kcore
+
+    import random
+
+    rng = random.Random(9)
+    edges = list({(rng.randrange(30), rng.randrange(30)) for _ in range(160)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    local = {
+        (r["node"], r["core_degree"]) for r in kcore(df, 4).collect()
+    }
+    dist = {
+        (r["node"], r["core_degree"])
+        for r in kcore(df, 4, local_threshold=0).collect()
+    }
+    assert local == dist and local
