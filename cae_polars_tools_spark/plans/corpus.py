@@ -3318,6 +3318,120 @@ def q76_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q80_json_roundtrip",
+    # the JSON document is the intermediate representation (the q73
+    # MAP contract): any drift in construction, schema-parse, or
+    # nested-array explosion changes the relational row set
+    oracle="""
+        SELECT user_id,
+               CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+               event_type,
+               value
+        FROM events
+        WHERE user_id < 20
+    """,
+    tags=("json", "nested", "extension"),
+    window_rank=1,
+)
+def q80_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NESTED JSON surface end to end: per-user event histories
+    serialize into one JSON document each (``to_json`` over a struct
+    holding a sorted array of event structs — the event-log export
+    shape), then parse back with an explicit ``from_json`` schema and
+    explode the nested array into rows. Construction, schema-driven
+    parsing, and nested-array explosion are all JVM-side codegen —
+    no Python touches a byte of JSON. Timestamps ride as epoch
+    micros (JSON has no timestamp type; the integer keeps the round
+    trip and the cross-engine compare exact). One aggregation
+    shuffle to pack; the unpack is a row-local Generate."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    event_struct = F.struct(
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("event_type").alias("event_type"),
+        F.col("value").alias("value"),
+    )
+    docs = ev.groupBy("user_id").agg(
+        F.to_json(
+            F.struct(
+                F.col("user_id").alias("user_id"),
+                F.sort_array(F.collect_list(event_struct)).alias("events"),
+            )
+        ).alias("doc")
+    )
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField(
+                "events",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("ts_us", LongType()),
+                            StructField("event_type", StringType()),
+                            StructField("value", DoubleType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    parsed = docs.select(F.from_json("doc", schema).alias("j"))
+    return parsed.select(
+        F.col("j.user_id").alias("user_id"),
+        F.explode("j.events").alias("e"),
+    ).select(
+        "user_id",
+        F.col("e.ts_us").alias("ts_us"),
+        F.col("e.event_type").alias("event_type"),
+        F.col("e.value").alias("value"),
+    )
+
+
+@register(
+    "q81_rolling_median",
+    oracle="""
+        SELECT event_type, event_id,
+               ROUND(quantile_cont(value, 0.5) OVER (
+                   PARTITION BY event_type
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+               ), 6) AS med7
+        FROM events
+    """,
+    tags=("window", "median", "extension"),
+    window_rank=1,
+)
+def q81_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median over a trailing 7-row frame per event type —
+    the robust smoother time-series pipelines prefer over rolling
+    means (one spike can't move it). Exact interpolated percentile as
+    a WINDOW aggregate under the (ts, event_id) total order; DuckDB's
+    quantile_cont uses the same interpolation, so values match to the
+    1e-6 rounding contract. One key-partitioned window shuffle;
+    per-frame work is O(frame log frame) — constant per row."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    return ev.select(
+        "event_type",
+        "event_id",
+        F.round(F.percentile("value", F.lit(0.5)).over(w), 6).alias("med7"),
+    )
+
+
+@register(
     "q79_string_agg",
     oracle="""
         SELECT event_type,
