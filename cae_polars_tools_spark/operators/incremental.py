@@ -156,6 +156,74 @@ def refresh_agg_parquet(
 #: the last ~9% of orders arrive as the "tonight's ingest" batch —
 #: the realistic shape (small increment against a large base)
 _CUTOFF = "2001-01-01"
+
+
+@register(
+    "storage_table_diff",
+    # the oracle recomputes both aggregate versions from orders and
+    # classifies each key with null-safe comparisons — the diff must
+    # surface exactly the customers the append batch touched
+    oracle=f"""
+        WITH v0 AS (
+            SELECT o_custkey,
+                   COUNT(o_orderkey) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS sum_price,
+                   MAX(o_totalprice) AS max_price
+            FROM orders
+            WHERE o_orderdate < TIMESTAMP '{_CUTOFF}'
+            GROUP BY o_custkey
+        ), v1 AS (
+            SELECT o_custkey,
+                   COUNT(o_orderkey) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS sum_price,
+                   MAX(o_totalprice) AS max_price
+            FROM orders
+            GROUP BY o_custkey
+        )
+        SELECT CASE WHEN v0.o_custkey IS NULL THEN 'insert'
+                    WHEN v1.o_custkey IS NULL THEN 'delete'
+                    ELSE 'update' END AS op,
+               COALESCE(v1.o_custkey, v0.o_custkey) AS o_custkey,
+               COALESCE(v1.n_orders, v0.n_orders) AS n_orders,
+               COALESCE(v1.sum_price, v0.sum_price) AS sum_price,
+               COALESCE(v1.max_price, v0.max_price) AS max_price
+        FROM v1 FULL OUTER JOIN v0 ON v1.o_custkey = v0.o_custkey
+        WHERE v0.o_custkey IS NULL OR v1.o_custkey IS NULL
+           OR v1.n_orders  IS DISTINCT FROM v0.n_orders
+           OR v1.sum_price IS DISTINCT FROM v0.sum_price
+           OR v1.max_price IS DISTINCT FROM v0.max_price
+    """,
+    tags=("storage", "cdc", "extension"),
+    window_rank=1,
+)
+def storage_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed extraction between two versions of the
+    per-customer aggregate (:func:`storage.diff_tables`): version 0 is
+    the pre-cutoff state, version 1 the post-refresh state; the diff
+    is exactly the customers the append batch touched — inserts for
+    new customers, updates where any measure moved. ONE full outer
+    join on the key with null-safe value comparison; unchanged keys
+    drop out map-side. This is what a downstream index/cache consumes
+    instead of re-reading the snapshot."""
+    from cae_polars_tools_spark.storage import diff_tables
+
+    orders = read_table(spark, sf_dir, "orders")
+    cutoff = F.lit(_CUTOFF).cast("timestamp")
+
+    def agg(df: DataFrame) -> DataFrame:
+        st = build_agg_state(df, ["o_custkey"], _MEASURES)
+        return st.select(
+            "o_custkey",
+            "n_orders",
+            F.col("sum_price").cast("double").alias("sum_price"),
+            "max_price",
+        )
+
+    v0 = agg(orders.filter(F.col("o_orderdate") < cutoff))
+    v1 = agg(orders)
+    return diff_tables(v0, v1, ["o_custkey"])
 _MEASURES = {
     "n_orders": ("o_orderkey", "count"),
     "sum_price": ("o_totalprice", "sum"),

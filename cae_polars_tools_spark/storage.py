@@ -775,3 +775,72 @@ def dict_encode(
         how="left",
     )
     return encoded, dictionary
+
+
+def diff_tables(
+    old: "DataFrame",
+    new: "DataFrame",
+    keys: list[str],
+) -> "DataFrame":
+    """Change-data-feed extraction between two versions of a keyed
+    table: one row per changed key with ``op`` ∈ insert / delete /
+    update — what downstream consumers (indexes, caches, the
+    incremental-aggregate refresh) want instead of re-reading the new
+    snapshot wholesale. This is the READ side of the engine's CoW
+    versioning: ``merge_parquet``/``cow_upsert_sink`` produce the
+    versions, ``diff_tables`` tells a consumer what moved between
+    any two of them.
+
+    Shape: ONE full outer join on the keys (null-safe on every
+    non-key column via ``<=>`` so NULL→value edits register as
+    updates, not matches); unchanged keys drop out map-side after the
+    join. Both versions carry the new row's columns for updates and
+    inserts, the old row's for deletes. Column sets must match
+    (checked — a schema drift between versions is a real change the
+    caller must handle explicitly, not something to zip silently)."""
+    from pyspark.sql import functions as F
+
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            f"diff_tables: column sets differ — old {sorted(old.columns)}"
+            f" vs new {sorted(new.columns)}; reconcile schemas first"
+        )
+    vals = [c for c in new.columns if c not in keys]
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in keys],
+        *[F.col(c).alias(f"_o_{c}") for c in vals],
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in keys],
+        *[F.col(c).alias(f"_n_{c}") for c in vals],
+        F.lit(True).alias("_in_new"),
+    )
+    cond = None
+    for k in keys:
+        c = F.col(f"_ok_{k}") == F.col(f"_nk_{k}")
+        cond = c if cond is None else (cond & c)
+    j = o.join(n, cond, "full_outer")
+    same = None
+    for c in vals:
+        eq = F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+        same = eq if same is None else (same & eq)
+    op = (
+        F.when(F.col("_in_old").isNull(), F.lit("insert"))
+        .when(F.col("_in_new").isNull(), F.lit("delete"))
+        .when(same if same is not None else F.lit(True), F.lit(None))
+        .otherwise(F.lit("update"))
+    )
+    out_keys = [
+        F.coalesce(F.col(f"_nk_{k}"), F.col(f"_ok_{k}")).alias(k)
+        for k in keys
+    ]
+    out_vals = [
+        F.coalesce(F.col(f"_n_{c}"), F.col(f"_o_{c}")).alias(c)
+        for c in vals
+    ]
+    return (
+        j.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(F.col("op"), *out_keys, *out_vals)
+    )

@@ -113,3 +113,50 @@ def test_unmergeable_measure_raises(spark):
         build_agg_state(
             _rows(spark, [("a", 1.0)]), ["k"], {"bad": ("v", "avg")}
         )
+
+
+def test_diff_tables_classifies_all_ops(spark):
+    from cae_polars_tools_spark.storage import diff_tables
+
+    old = spark.createDataFrame(
+        [("a", 1, "x"), ("b", 2, "y"), ("c", 3, None)],
+        "k string, n long, s string",
+    )
+    new = spark.createDataFrame(
+        [("a", 1, "x"), ("b", 9, "y"), ("d", 4, "z"), ("c", 3, "now")],
+        "k string, n long, s string",
+    )
+    got = {
+        (r["op"], r["k"], r["n"], r["s"])
+        for r in diff_tables(old, new, ["k"]).collect()
+    }
+    assert got == {
+        ("update", "b", 9, "y"),      # value change
+        ("update", "c", 3, "now"),    # NULL -> value must register
+        ("insert", "d", 4, "z"),      # new key carries new values
+    }
+
+    # deletes carry the OLD row's values
+    got2 = {
+        (r["op"], r["k"], r["n"])
+        for r in diff_tables(new, old, ["k"]).collect()
+    }
+    assert ("delete", "d", 4) in got2
+
+
+def test_diff_tables_identical_versions_empty(spark):
+    from cae_polars_tools_spark.storage import diff_tables
+
+    df = spark.createDataFrame([("a", 1), ("b", None)], "k string, n long")
+    assert diff_tables(df, df, ["k"]).count() == 0
+
+
+def test_diff_tables_schema_drift_raises(spark):
+    import pytest
+
+    from cae_polars_tools_spark.storage import diff_tables
+
+    old = spark.createDataFrame([("a", 1)], "k string, n long")
+    new = spark.createDataFrame([("a", 1)], "k string, m long")
+    with pytest.raises(ValueError, match="column sets differ"):
+        diff_tables(old, new, ["k"])
