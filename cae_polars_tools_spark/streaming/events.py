@@ -447,6 +447,55 @@ def read_current(spark: SparkSession, target_root: str) -> DataFrame:
     )
 
 
+def read_version(
+    spark: SparkSession, target_root: str, version: int
+) -> DataFrame:
+    """Time travel: read a SPECIFIC immutable version of the upsert
+    target (``v{n}`` directories never mutate after their pointer
+    flip, so any retained version is a consistent snapshot — the
+    audit/debug/reproduce-yesterday's-training-set read). Raises if
+    the version was never written or has been vacuumed."""
+    store = _pointer_store(target_root)
+    vd = f"v{version}"
+    if not store.list_prefix(vd):
+        raise FileNotFoundError(
+            f"version {version} not found under {target_root} "
+            "(never written, or removed by vacuum_versions)"
+        )
+    return spark.read.parquet(f"{target_root.rstrip('/')}/{vd}")
+
+
+def vacuum_versions(target_root: str, keep_last: int = 2) -> list[str]:
+    """Retention for the CoW version chain: delete version
+    directories older than the newest ``keep_last`` (the current
+    version is always kept — ``keep_last`` is clamped to ≥1).
+    Returns the removed directory names.
+
+    Safe by construction: only versions STRICTLY OLDER than the
+    pointer's current one are candidates, and the pointer itself is
+    untouched — a concurrent reader that already resolved an old
+    version could still race its file reads (the standard lakehouse
+    retention caveat: vacuum only past your longest reader), which is
+    why retention is explicit and never automatic here."""
+    import json
+
+    store = _pointer_store(target_root)
+    raw = store.get(_CURRENT)
+    if raw is None:
+        raise FileNotFoundError(
+            f"no {_CURRENT} pointer under {target_root}"
+        )
+    current = json.loads(raw)["version"]
+    keep_last = max(1, keep_last)
+    removed = []
+    for v in range(0, current - keep_last + 1):
+        vd = f"v{v}"
+        if store.list_prefix(vd):
+            store.delete_prefix(vd)
+            removed.append(vd)
+    return removed
+
+
 def cow_upsert_sink(
     target_root: str,
     keys: list[str],

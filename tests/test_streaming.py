@@ -783,3 +783,43 @@ def test_streaming_ivfpq_ingest_matches_batch_append(spark, tmp_path):
     n = spark.read.parquet(root_s + "/codes").count()
     d = spark.read.parquet(root_s + "/codes").select("vec_id").distinct().count()
     assert n == d == e.count()
+
+
+def test_time_travel_and_vacuum(spark, tmp_path):
+    """Versions stay readable (time travel) until explicitly
+    vacuumed; vacuum keeps the newest keep_last and never touches the
+    pointer's current version."""
+    import os
+
+    import pytest
+
+    from cae_polars_tools_spark.streaming.events import (
+        cow_upsert_sink,
+        read_current,
+        read_version,
+        vacuum_versions,
+    )
+
+    root = str(tmp_path / "tt")
+    os.makedirs(root)
+    sink = cow_upsert_sink(root, keys=["k"], order_col="seq")
+    for bid, rows in enumerate(
+        [[(1, 0, "a")], [(1, 1, "b")], [(2, 2, "c")]]
+    ):
+        sink(spark.createDataFrame(rows, "k long, seq long, val string"), bid)
+
+    # time travel: v0 still holds the original value
+    assert [
+        (r["k"], r["val"]) for r in read_version(spark, root, 0).collect()
+    ] == [(1, "a")]
+    assert {
+        (r["k"], r["val"]) for r in read_current(spark, root).collect()
+    } == {(1, "b"), (2, "c")}
+
+    removed = vacuum_versions(root, keep_last=1)
+    assert removed == ["v0", "v1"]
+    with pytest.raises(FileNotFoundError, match="vacuum"):
+        read_version(spark, root, 0)
+    # current unaffected; vacuum again is a no-op
+    assert read_current(spark, root).count() == 2
+    assert vacuum_versions(root, keep_last=1) == []
