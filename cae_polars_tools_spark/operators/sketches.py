@@ -245,6 +245,67 @@ def _mg_candidates(col: str, k: int):
     return gen
 
 
+def confirm_heavy_hitters(
+    df: DataFrame, candidates: DataFrame, col: str, k: int
+) -> DataFrame:
+    """Exact confirmation stage shared by the batch and streaming
+    paths: count ONLY candidate rows (broadcast semi-join filters the
+    corpus map-side) and keep values with count·k > n — integer
+    threshold, engine-identical. Correct whenever ``candidates`` ⊇
+    the true heavy hitters, which both producers guarantee."""
+    total = df.select(F.count(F.lit(1)).alias("_n"))
+    confirmed = (
+        df.join(F.broadcast(candidates.select(col).distinct()), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return (
+        confirmed.crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") * k > F.col("_n"))
+        .drop("_n")
+    )
+
+
+def hh_candidate_sink(target_dir: str, col: str, k: int):
+    """``foreachBatch`` sink maintaining a streaming heavy-hitter
+    candidate table: each micro-batch's Misra–Gries candidates
+    (≤(k−1) values per partition, :func:`_mg_candidates`) land as a
+    parquet segment ``batch=<id>/``.
+
+    Why the accumulated union still covers the truth over the WHOLE
+    stream: a value with total frequency > n/k must exceed n_b/k in
+    at least one micro-batch b (pigeonhole over batches, since
+    n = Σ n_b), and inside that batch it exceeds n_p/k in at least
+    one partition (pigeonhole again) — so the per-partition MG of
+    that batch keeps it. The exact answer then comes from
+    :func:`confirm_heavy_hitters` over the accumulated corpus, or the
+    raw candidate table feeds monitoring directly. Replays are
+    handled the segment way (skip if the segment landed); a replayed
+    batch could only ADD already-present candidates anyway —
+    supersets stay supersets, so at-least-once is safe here too.
+
+    Returns the ``(batch_df, batch_id)`` callable for
+    ``writeStream.foreachBatch``."""
+    import os
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.columns or batch_df.isEmpty():
+            return
+        seg = os.path.join(target_dir, f"batch={batch_id}")
+        if os.path.exists(seg):
+            return
+        (
+            batch_df.mapInPandas(
+                _mg_candidates(col, k), schema=f"{col} string"
+            )
+            .distinct()
+            .write.mode("errorifexists")
+            .parquet(seg)
+        )
+
+    return sink
+
+
 def heavy_hitters(
     df: DataFrame, col: str, k: int
 ) -> DataFrame:
@@ -272,17 +333,7 @@ def heavy_hitters(
             _mg_candidates(col, k), schema=f"{col} string"
         ).distinct()
     )
-    total = df.select(F.count(F.lit(1)).alias("_n"))
-    confirmed = (
-        df.join(F.broadcast(cands), col, "left_semi")
-        .groupBy(col)
-        .agg(F.count(F.lit(1)).alias("n_occurrences"))
-    )
-    return (
-        confirmed.crossJoin(F.broadcast(total))
-        .filter(F.col("n_occurrences") * k > F.col("_n"))
-        .drop("_n")
-    )
+    return confirm_heavy_hitters(df, cands, col, k)
 
 
 #: heavy-hitter threshold for the corpus entry: tokens above 1% of the

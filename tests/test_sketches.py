@@ -179,3 +179,53 @@ def test_heavy_hitters_borderline_threshold(spark):
     df = spark.createDataFrame([(v,) for v in vals], "token string")
     got = {r["token"] for r in heavy_hitters(df, "token", 4).collect()}
     assert got == {"b"}
+
+
+def test_hh_candidate_sink_stream_covers_truth(spark, tmp_path):
+    """Candidates accumulated across micro-batches must contain every
+    global heavy hitter (pigeonhole over batches), and the shared
+    confirm stage over the accumulated corpus must equal brute
+    force — even when no single batch makes the hitter locally
+    heavy... and replays must change nothing."""
+    import os
+
+    from cae_polars_tools_spark.operators.sketches import (
+        confirm_heavy_hitters,
+        hh_candidate_sink,
+    )
+
+    # 'hot' is 30% of every batch; tail values differ per batch so
+    # the candidate sets differ batch to batch
+    batches = [
+        ["hot"] * 30 + [f"b{b}_t{i % 23}" for i in range(70)]
+        for b in range(4)
+    ]
+    target = str(tmp_path / "hh")
+    sink = hh_candidate_sink(target, "token", 8)
+    frames = []
+    for bid, vals in enumerate(batches):
+        bdf = spark.createDataFrame([(v,) for v in vals], "token string")
+        frames.append(bdf)
+        sink(bdf, bid)
+    corpus = frames[0]
+    for f in frames[1:]:
+        corpus = corpus.unionAll(f)
+    cands = spark.read.parquet(target)
+    got = {
+        (r["token"], r["n_occurrences"])
+        for r in confirm_heavy_hitters(corpus, cands, "token", 8).collect()
+    }
+    n = sum(len(b) for b in batches)
+    brute = {
+        (r["token"], r["c"])
+        for r in corpus.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") * 8 > n)
+        .collect()
+    }
+    assert got == brute
+    assert ("hot", 120) in got
+
+    segs = set(os.listdir(target))
+    sink(frames[0], 0)  # replay
+    assert set(os.listdir(target)) == segs
