@@ -145,6 +145,22 @@ def takedown_and_compact(spark, target: str, work: str) -> None:
     )
     print(f"compaction: {n_files} serving file(s)")
 
+    # change data feed between the pre- and post-takedown versions:
+    # downstream consumers see exactly the deleted rows, nothing else
+    from cae_polars_tools_spark.storage import diff_tables
+    from cae_polars_tools_spark.streaming.events import (
+        read_version,
+        vacuum_versions,
+    )
+
+    before = read_version(spark, target, meta["version"])
+    feed = diff_tables(before, after, ["doc_id"])
+    ops = {r["op"]: r["n"] for r in feed.groupBy("op").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    print(f"change feed vs previous version: {ops}")
+    removed = vacuum_versions(target, keep_last=2)
+    print(f"vacuum: removed {removed or 'nothing'} (keep_last=2)")
+
 
 def incremental_rollup(spark, sf_dir: str, work: str) -> None:
     """Materialized-aggregate maintenance + the sketch rollup — the
