@@ -45,14 +45,30 @@ from cae_polars_tools_spark.io import read_table
 from cae_polars_tools_spark.plans.registry import register
 
 
-def asof_join(left: DataFrame, right: DataFrame, on: str, by: str) -> DataFrame:
-    """Backward as-of LEFT join: for each left row, attach the right
-    row of the same ``by`` key with the greatest ``on`` value ≤ the
-    left row's (equal values match). Right columns other than
-    ``on``/``by`` are carried through under their own names — rename
-    before calling on collision; the matched right ``on`` value is
-    returned as ``matched_<on>``.
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of LEFT join. ``direction="backward"`` (default): for each
+    left row, attach the right row of the same ``by`` key with the
+    greatest ``on`` value ≤ the left row's (equal values match) —
+    point-in-time feature lookup. ``direction="forward"``: the right
+    row with the SMALLEST ``on`` ≥ the left row's — time-to-next-event
+    attribution. Same machinery either way: the window order places
+    right rows on the matching side of equal-``on`` left rows and the
+    carry flips between last-over-preceding and first-over-following.
+    Right columns other than ``on``/``by`` are carried through under
+    their own names — rename before calling on collision; the matched
+    right ``on`` value is returned as ``matched_<on>``.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"asof_join: direction must be backward/forward, "
+            f"got {direction!r}"
+        )
     matched = f"matched_{on}"
     l_other = [c for c in left.columns if c not in (on, by)]
     r_other = [c for c in right.columns if c not in (on, by)]
@@ -83,12 +99,25 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str) -> DataFrame:
         *[F.lit(None).cast(l_types[c]).alias(c) for c in l_other],
         r_struct.alias("_r"),
     )
-    w = (
-        Window.partitionBy(by)
-        .orderBy(on, "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = F.last("_r", ignorenulls=True).over(w)
+    if direction == "backward":
+        # right (_side=0) sorts BEFORE left at equal `on`, so equal
+        # timestamps match; carry the last right row forward
+        w = (
+            Window.partitionBy(by)
+            .orderBy(on, "_side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = F.last("_r", ignorenulls=True).over(w)
+    else:
+        # forward: right sorts AFTER left at equal `on` (so equal
+        # timestamps still match) and the FIRST right row at-or-after
+        # carries backward
+        w = (
+            Window.partitionBy(by)
+            .orderBy(F.col(on).asc(), F.col("_side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carried = F.first("_r", ignorenulls=True).over(w)
     return (
         lu.unionByName(ru)
         .select(
@@ -145,6 +174,53 @@ def q30_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return asof_join(left, right, on="ts_us", by="user_id")
+
+
+@register(
+    "q82_asof_forward",
+    oracle="""
+        WITH l AS (
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+            FROM events WHERE event_type = 'click'
+        ), r AS (
+            SELECT user_id, epoch_us(ts) AS ts_us,
+                   MAX(event_id) AS next_event_id,
+                   max_by(value, event_id) AS next_value
+            FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        )
+        SELECT l.event_id, l.user_id, l.ts_us, l.value,
+               r.next_event_id, r.next_value,
+               r.ts_us AS matched_ts_us
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts_us <= r.ts_us
+    """,
+    tags=("temporal", "extension", "asof-join"),
+    window_rank=1,
+)
+def q82_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion attribution — the FORWARD as-of direction
+    q30 left open: each click joined to the same user's next purchase
+    at or after it (nulls when the user never converts). Identical
+    scale shape to the backward join (one window shuffle per side, no
+    range fan-out); DuckDB's native ASOF with the flipped inequality
+    is the oracle."""
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us", "value"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts_us")
+        .agg(
+            F.max("event_id").alias("next_event_id"),
+            F.max_by("value", "event_id").alias("next_value"),
+        )
+    )
+    return asof_join(
+        left, right, on="ts_us", by="user_id", direction="forward"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -3432,6 +3432,65 @@ def q81_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q83_impute_mean",
+    # nulls are INJECTED deterministically (the q53 convention — the
+    # synthetic corpus is clean) so the impute path has real work
+    oracle="""
+        WITH base AS (
+            SELECT event_id, event_type,
+                   CASE WHEN event_id % 7 = 0 THEN NULL
+                        ELSE value END AS v
+            FROM events
+        ), m AS (
+            SELECT event_type,
+                   ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+                         / COUNT(v), 6) AS mean_v
+            FROM base GROUP BY event_type
+        )
+        SELECT b.event_id, b.event_type,
+               ROUND(COALESCE(b.v, m.mean_v), 6) AS value_filled,
+               b.v IS NULL AS was_imputed
+        FROM base b JOIN m USING (event_type)
+    """,
+    tags=("quality", "imputation", "extension"),
+    window_rank=1,
+)
+def q83_impute_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mean imputation — the feature-prep step between the
+    q20 null census and model training: missing values fill with
+    their group's mean (computed over the NON-null rows, exact
+    decimal sum so engines agree), plus the was_imputed flag
+    downstream quality tracking needs. The per-type mean frame is
+    tiny and BROADCASTS back onto the corpus — one aggregation
+    shuffle total, the fill itself is a map-side coalesce. Means are
+    rounded BEFORE filling (the q69 convention) so both engines fill
+    the same doubles."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    means = base.groupBy("event_type").agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(18,6)")).cast("double")
+            / F.count("v"),
+            6,
+        ).alias("mean_v")
+    )
+    return base.join(F.broadcast(means), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round(F.coalesce(F.col("v"), F.col("mean_v")), 6).alias(
+            "value_filled"
+        ),
+        F.col("v").isNull().alias("was_imputed"),
+    )
+
+
+@register(
     "q79_string_agg",
     oracle="""
         SELECT event_type,
