@@ -2133,7 +2133,16 @@ def kgram_hash_seq(col: Column | str, k: int = SPAN_K) -> Column:
     keeping EVERY window in sequence instead of winnow-sampling —
     ``posexplode`` over the result yields the (pos, hash) postings a
     span-level index needs. Arrow-batched, shuffle-free; documents
-    shorter than ``k`` yield an empty array."""
+    shorter than ``k`` yield an empty array.
+
+    Hashed over Unicode CODEPOINTS (a UTF-32 view), not UTF-8 bytes:
+    array index i must BE the character offset the span contract and
+    the splice in :func:`cut_repeated_spans` slice with — a byte-
+    indexed hash would shift every span after the first non-ASCII
+    character and silently cut the wrong text. For ASCII (codepoint =
+    byte value) the hashes are bit-identical to the byte formulation,
+    which is what keeps the DuckDB ``ascii(substr(...))`` oracle
+    exact on the tripwired-ASCII corpus."""
     if k < 2:
         raise ValueError("k-gram hashing needs k >= 2")
     powers = _WINNOW_BASE ** np.arange(k - 1, -1, -1, dtype=np.uint64)
@@ -2145,9 +2154,9 @@ def kgram_hash_seq(col: Column | str, k: int = SPAN_K) -> Column:
             if t is None:
                 out.append([])
                 continue
-            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(
-                np.uint64
-            )
+            b = np.frombuffer(
+                t.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.uint64)
             n = len(b) - k + 1
             if n <= 0:
                 out.append([])

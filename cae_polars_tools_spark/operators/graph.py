@@ -440,13 +440,30 @@ def kcore(
         out = _kcore_local(edges.sparkSession, und, k, max_iters)
         und.unpersist()
         return out
+    from cae_polars_tools_spark.operators.dedup import (
+        _release_on_gc,
+        _release_round_frame,
+    )
+
+    # LAZY localCheckpoint, not persist: every round references `cur`
+    # TWICE (the degree aggregate feeding `keep` AND the edge frame
+    # being filtered), so an un-truncated lineage would double the
+    # logical plan per round — driver heap OOM by round ~8 (measured;
+    # the connected-components loop documents the same trap). The
+    # round's count action is what materializes each checkpoint.
     cur = und.unionAll(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).persist()
-    und.unpersist()
+    ).localCheckpoint(eager=False)
     n_prev = cur.count()
+    # only NOW is the symmetrized frame materialized from und's
+    # cache — unpersisting und before this count would recompute the
+    # expensive distinct-undirected-edge stage from source
+    und.unpersist()
     converged = False
-    for _ in range(max_iters):
+    # max_iters + 1: the loop needs one extra no-op round to OBSERVE
+    # convergence (n == n_prev), so max_iters counts edge-removing
+    # rounds — the same contract as the local path's drop-empty check
+    for _ in range(max_iters + 1):
         keep = (
             cur.groupBy("a")
             .agg(F.count(F.lit(1)).alias("deg"))
@@ -456,17 +473,17 @@ def kcore(
         nxt = (
             cur.join(keep, "a", "left_semi")
             .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
-            .persist()
+            .localCheckpoint(eager=False)
         )
         n = nxt.count()
-        cur.unpersist()
+        _release_round_frame(cur)
         cur = nxt
         if n == n_prev:
             converged = True
             break
         n_prev = n
     if not converged:
-        cur.unpersist()
+        _release_round_frame(cur)
         raise ValueError(
             f"kcore: no fixed point within {max_iters} rounds — "
             "raise max_iters (deep peel chains) or check the graph"
@@ -474,14 +491,22 @@ def kcore(
     out = cur.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("core_degree")
     )
-    return out
+    # `out` projects the final round's checkpointed frame: release its
+    # blocks when the result is garbage-collected
+    return _release_on_gc(out, cur)
 
 
 def _kcore_local(spark, und: DataFrame, k: int, max_iters: int) -> DataFrame:
     """Driver-side peel over a bounded distinct undirected edge set —
     identical fixed point to the distributed loop (peeling is
     order-independent), same ``max_iters`` refusal so the loud-
-    divergence contract holds on both paths."""
+    divergence contract holds on both paths.
+
+    Round counting matches the distributed EDGE-FRAME view exactly:
+    a node whose last edge disappears is purged within the same round
+    (an edgeless node is invisible to an edge list and, for k ≥ 1,
+    can never rejoin the core), so both paths count the same number
+    of edge-removing rounds — boundary-parity-tested."""
     pdf = und.toPandas()
     adj: dict = {}
     for a, b in zip(pdf["a"], pdf["b"]):
@@ -497,6 +522,8 @@ def _kcore_local(spark, und: DataFrame, k: int, max_iters: int) -> DataFrame:
             for m in adj[n]:
                 adj[m].discard(n)
             del adj[n]
+        for n in [n for n, s in adj.items() if not s]:
+            del adj[n]  # isolated: edge-frame-invisible, never core
     if not converged:
         raise ValueError(
             f"kcore: no fixed point within {max_iters} rounds — "

@@ -1091,8 +1091,21 @@ def resample_pcm(
 
     if old_rate <= 0 or new_rate <= 0:
         raise ValueError("sample rates must be positive")
+    # a 1-D mono array would silently broadcast rem[:, None] against
+    # the 1-D gathers into an (n_out, n_out) OUTER PRODUCT of garbage
+    # — accept the natural mono shape by lifting it to (n, 1) and
+    # returning 1-D to match the input
+    squeeze = arr.ndim == 1
+    if squeeze:
+        arr = arr[:, None]
+    elif arr.ndim != 2:
+        raise ValueError(
+            f"resample_pcm: expected (n_samples,) or "
+            f"(n_samples, channels), got ndim={arr.ndim}"
+        )
     if old_rate == new_rate:
-        return arr.copy()
+        out = arr.copy()
+        return out[:, 0] if squeeze else out
     g = gcd(old_rate, new_rate)
     num, den = old_rate // g, new_rate // g
     n = arr.shape[0]
@@ -1103,8 +1116,8 @@ def resample_pcm(
     x0 = arr[idx].astype(np.int64)
     x1 = arr[np.minimum(idx + 1, n - 1)].astype(np.int64)
     val = x0 * (den - rem) + x1 * rem
-    out = (2 * val + den) // (2 * den)
-    return out.astype(arr.dtype)
+    out = ((2 * val + den) // (2 * den)).astype(arr.dtype)
+    return out[:, 0] if squeeze else out
 
 
 def resample_wav(payload: bytes, rate: int) -> bytes:

@@ -178,19 +178,38 @@ def sketch_ingest_sink(
 
     Returns the ``(batch_df, batch_id)`` callable for
     ``writeStream.foreachBatch``."""
-    import os
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.columns or batch_df.isEmpty():
             return
-        seg = os.path.join(target_dir, f"batch={batch_id}")
-        if os.path.exists(seg):
-            return  # replayed batch: segment already landed
+        seg = _begin_segment(target_dir, batch_id)
+        if seg is None:
+            return  # replayed batch: segment already committed
         distinct_sketches(
             batch_df, keys, value_col, lg_k=lg_k
         ).write.mode("errorifexists").parquet(seg)
 
     return sink
+
+
+def _begin_segment(target_dir: str, batch_id: int) -> str | None:
+    """Replay/crash protocol shared by the segment sinks, on the same
+    ByteStore seam as the CoW pointer I/O (store-agnostic — a plain
+    ``os.path.exists`` would be blind on hdfs://s3a:// targets and a
+    redelivered batch would then crash the stream on errorifexists):
+    a segment whose ``_SUCCESS`` marker exists is committed → skip
+    (None); a segment directory WITHOUT the marker is a crash orphan
+    → cleared so the rewrite lands cleanly; otherwise the caller
+    writes fresh. Returns the segment path to write, or None."""
+    from cae_polars_tools_spark.sources.zarr_format import ByteStore
+
+    store = ByteStore.for_path(target_dir)
+    seg_name = f"batch={batch_id}"
+    if store.get(f"{seg_name}/_SUCCESS") is not None:
+        return None
+    if store.list_prefix(seg_name):
+        store.delete_prefix(seg_name)
+    return f"{target_dir.rstrip('/')}/{seg_name}"
 
 
 def compact_sketch_segments(
@@ -286,14 +305,13 @@ def hh_candidate_sink(target_dir: str, col: str, k: int):
 
     Returns the ``(batch_df, batch_id)`` callable for
     ``writeStream.foreachBatch``."""
-    import os
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.columns or batch_df.isEmpty():
             return
-        seg = os.path.join(target_dir, f"batch={batch_id}")
-        if os.path.exists(seg):
-            return
+        seg = _begin_segment(target_dir, batch_id)
+        if seg is None:
+            return  # committed replay
         (
             batch_df.mapInPandas(
                 _mg_candidates(col, k), schema=f"{col} string"

@@ -3513,14 +3513,17 @@ def q79_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract already proved engine-stable: sorting BEFORE serializing
     makes the string deterministic under any partitioning. One
     aggregation shuffle; per-group payload bounded by distinct days
-    (the caller's contract, as with q47)."""
+    (the caller's contract, as with q47). n_days is ``size`` of the
+    SAME collected set — a separate count_distinct in the aggregate
+    would make Catalyst Expand the whole event stream for the
+    distinct rewrite (the q78 trap) to recount what the set already
+    holds."""
     ev = _t(spark, sf_dir, "events")
     day = F.to_date("ts").cast("string")
+    arr = F.array_sort(F.collect_set(day))
     return ev.groupBy("event_type").agg(
-        F.count_distinct(day).alias("n_days"),
-        F.array_join(
-            F.array_sort(F.collect_set(day)), ","
-        ).alias("active_days"),
+        F.size(arr).cast("long").alias("n_days"),
+        F.array_join(arr, ",").alias("active_days"),
     )
 
 

@@ -835,8 +835,14 @@ def diff_tables(
         F.coalesce(F.col(f"_nk_{k}"), F.col(f"_ok_{k}")).alias(k)
         for k in keys
     ]
+    # value columns branch on ROW presence, never per-column coalesce:
+    # an update whose NEW value is NULL must report NULL (the NULL-ing
+    # edit IS the change) — coalescing would resurrect the old value
+    # and a consumer applying the feed would keep it forever
     out_vals = [
-        F.coalesce(F.col(f"_n_{c}"), F.col(f"_o_{c}")).alias(c)
+        F.when(F.col("_in_new").isNotNull(), F.col(f"_n_{c}"))
+        .otherwise(F.col(f"_o_{c}"))
+        .alias(c)
         for c in vals
     ]
     return (

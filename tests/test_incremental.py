@@ -143,6 +143,16 @@ def test_diff_tables_classifies_all_ops(spark):
     }
     assert ("delete", "d", 4) in got2
 
+    # value→NULL edits must surface the NEW (NULL) value — a
+    # per-column coalesce would resurrect the old value and lose the
+    # NULL-ing edit
+    got3 = {
+        (r["op"], r["k"], r["s"])
+        for r in diff_tables(new, old, ["k"]).collect()
+        if r["k"] == "c"
+    }
+    assert got3 == {("update", "c", None)}
+
 
 def test_diff_tables_identical_versions_empty(spark):
     from cae_polars_tools_spark.storage import diff_tables

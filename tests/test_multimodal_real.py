@@ -1021,3 +1021,24 @@ def test_sniff_image_info_header_only():
     for hostile in (b"", b"BM", b"\xff\xd8\x00\x00", b"nonsense" * 8):
         with pytest.raises(ValueError):
             sniff_image_info(hostile)
+
+
+def test_resample_pcm_mono_1d():
+    """The natural 1-D mono shape must resample per-sample (it used
+    to broadcast into an (n_out, n_out) outer product); output shape
+    mirrors input shape, values match the 2-D path."""
+    import pytest
+
+    from cae_polars_tools_spark.operators.multimodal import resample_pcm
+
+    mono = np.array([0, 10, 20, 30], dtype=np.int16)
+    out1 = resample_pcm(mono, 8000, 16000)
+    out2 = resample_pcm(mono[:, None], 8000, 16000)
+    assert out1.ndim == 1 and out2.ndim == 2
+    assert np.array_equal(out1, out2[:, 0])
+    assert np.array_equal(out1[:4], np.array([0, 5, 10, 15]))
+    assert np.array_equal(
+        resample_pcm(mono, 8000, 8000), mono
+    )
+    with pytest.raises(ValueError, match="ndim"):
+        resample_pcm(np.zeros((2, 2, 2), dtype=np.int16), 8000, 16000)

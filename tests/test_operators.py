@@ -1897,3 +1897,58 @@ def test_kcore_local_equals_distributed(spark):
         for r in kcore(df, 4, local_threshold=0).collect()
     }
     assert local == dist and local
+
+
+def test_kcore_max_iters_boundary_parity(spark):
+    """max_iters counts EDGE-REMOVING rounds identically on both
+    strategy paths (the edge-frame view: a node whose last edge
+    vanished is gone the same round): a 13-node path under k=2 peels
+    its 12 edges in 6 rounds, so max_iters=6 succeeds (empty core)
+    and max_iters=5 refuses — on the local AND the distributed
+    path."""
+    import pytest
+
+    from cae_polars_tools_spark.operators.graph import kcore
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    for thresh in (2_000_000, 0):  # local, then distributed
+        assert kcore(path, 2, max_iters=6, local_threshold=thresh).count() == 0
+        with pytest.raises(ValueError, match="fixed point"):
+            kcore(path, 2, max_iters=5, local_threshold=thresh)
+
+
+def test_repeated_spans_character_offsets_past_non_ascii(spark):
+    """Offsets are CHARACTER offsets even after multi-byte characters:
+    a doc whose prefix contains non-ASCII text must still report the
+    shared span at positions that slice it out exactly, and the
+    span-cut consumer must splice the right characters."""
+    from cae_polars_tools_spark.operators.dedup import (
+        cut_repeated_spans,
+        repeated_spans,
+    )
+
+    boiler = "SPDX-License-Identifier: Apache-2.0 OR MIT!"
+    texts = {
+        1: "café — naïve prefix: " + boiler + " tail one",
+        2: boiler + " zwei körper später",
+        3: "préambule № trois ... " + boiler,
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    out = repeated_spans(docs, min_docs=3, k=16, min_len=24).collect()
+    assert {r["doc_id"] for r in out} == {1, 2, 3}
+    for r in out:
+        s, ln = r["span_start"], r["span_len"]
+        assert texts[r["doc_id"]][s : s + ln] == boiler
+    cleaned = {
+        r["doc_id"]: r["cleaned"]
+        for r in cut_repeated_spans(
+            docs, min_docs=3, k=16, min_len=24
+        ).collect()
+    }
+    for i, t in texts.items():
+        assert boiler not in cleaned[i]
+        assert cleaned[i] == t.replace(boiler, "")

@@ -229,3 +229,28 @@ def test_hh_candidate_sink_stream_covers_truth(spark, tmp_path):
     segs = set(os.listdir(target))
     sink(frames[0], 0)  # replay
     assert set(os.listdir(target)) == segs
+
+
+def test_segment_sink_clears_crash_orphans(spark, tmp_path):
+    """A segment directory WITHOUT a _SUCCESS marker (crash between
+    write start and commit) must be cleared and rewritten, not
+    skipped and not crashed into (errorifexists)."""
+    import os
+
+    from cae_polars_tools_spark.operators.sketches import (
+        sketch_ingest_sink,
+    )
+
+    df = _events(spark, [("a", 0, i) for i in range(40)])
+    target = str(tmp_path / "orph")
+    seg = os.path.join(target, "batch=0")
+    os.makedirs(seg)
+    with open(os.path.join(seg, "part-junk.parquet"), "wb") as fh:
+        fh.write(b"partial")  # orphan, no _SUCCESS
+    sink = sketch_ingest_sink(target, ["grp"], "uid")
+    sink(df, 0)
+    assert os.path.exists(os.path.join(seg, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(seg, "part-junk.parquet"))
+    assert rollup_distinct(
+        spark.read.parquet(target), ["grp"]
+    ).collect()[0]["approx_distinct"] > 0
