@@ -93,6 +93,20 @@ SF01_SENSITIVE = (
     "dedup_canonical_pick",  # rides dedup_clusters' pair set + election
     "pipeline_weighted_sample",  # libm ln + rounded-score top-k boundary
     "text_entropy",  # 95-term ln fold, rounded at 1e-6
+    # round-10 additions hand-verified at sf0.01 during the build;
+    # these keep those checks automated
+    "dedup_image_dhash",  # 56-bit signatures + pigeonhole banding
+    "dedup_audio_fingerprint",  # frame-energy signatures, same regime
+    "dedup_repeated_spans",  # 128-bit rolling-hash SQL twin under volume
+    "dedup_span_cut",  # detection + interval merge + splice composition
+    "graph_kcore",  # unrolled peel CTE must stay within 8 rounds
+    "agg_incremental_refresh",  # decimal merge vs full recompute
+    "storage_table_diff",  # null-safe classification on both versions
+    "q76_robust_outliers",  # interpolated median/MAD + 3.5 cut under volume
+    "q78_profile_columns",  # weighted decimal means, distinct counts
+    "q81_rolling_median",  # interpolated percentile window under volume
+    "text_heavy_hitters",  # integer threshold boundary under volume
+    "sketch_rollup_distinct",  # HLL estimate tolerance under volume
 )
 
 
