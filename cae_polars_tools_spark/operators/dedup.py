@@ -2322,6 +2322,7 @@ def _repeated_spans_oracle(
     "dedup_repeated_spans",
     oracle=_repeated_spans_oracle(),
     tags=("dedup", "extension", "spans"),
+    window_rank=1,
 )
 def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level (substring) dedup over the documents table: every

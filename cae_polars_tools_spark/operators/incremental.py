@@ -137,15 +137,45 @@ def refresh_agg_parquet(
         "left_semi",
     )
     merged = merge_agg_state(affected_base, batch_state, keys, measures)
-    # align to the persisted schema (decimal scale of sums included)
-    merged = merged.select(
+    # Align to the persisted schema (decimal scale of sums included).
+    # The re-aggregated sum is decimal-WIDENED by Spark; a downcast to
+    # the persisted precision silently NULLs an overflowing value with
+    # ANSI off (corrupting the mergeable state forever) and throws an
+    # opaque executor error with ANSI on — so try_cast (NULL-on-
+    # overflow in BOTH modes), count cast-induced NULLs, refuse loudly.
+    casted = merged.select(
         *keys,
         *[
-            F.col(out).cast(base.schema[out].dataType).alias(out)
+            F.col(out).try_cast(base.schema[out].dataType).alias(out)
+            for out in measures
+        ],
+        *[
+            (
+                F.col(out).isNotNull()
+                & F.col(out).try_cast(base.schema[out].dataType).isNull()
+            )
+            .cast("int")
+            .alias(f"__ovf_{out}")
             for out in measures
         ],
     )
-    return merge_parquet(spark, state_path, merged, keys, dst)
+    casted = casted.cache()
+    try:
+        ovf = casted.agg(
+            *[F.sum(f"__ovf_{out}").alias(out) for out in measures]
+        ).first()
+        bad = {out: int(ovf[out] or 0) for out in measures if ovf[out]}
+        if bad:
+            raise ValueError(
+                "refresh_agg_parquet: merged state overflows the "
+                f"persisted dtype for {bad} row(s) per measure — "
+                "rebuild the state with a wider sum_precision instead "
+                "of persisting silently-NULLed sums"
+            )
+        merged = casted.select(*keys, *measures)
+        return merge_parquet(spark, state_path, merged, keys, dst)
+    finally:
+        casted.unpersist()
 
 
 # ---------------------------------------------------------------------------

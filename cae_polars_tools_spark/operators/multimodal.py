@@ -1551,6 +1551,14 @@ def sniff_image_info(payload: bytes) -> tuple[str, int, int]:
                     int.from_bytes(payload[i + 7 : i + 9], "big"),
                     int.from_bytes(payload[i + 5 : i + 7], "big"),
                 )
+            # TEM (0x01) and RSTn/EOI (0xD0-0xD9) are standalone —
+            # no 2-byte length follows; reading one as a segment
+            # length misparses any valid JPEG carrying them pre-SOF.
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                i += 2
+                continue
+            if marker == 0xDA:  # SOS: entropy data follows, no SOF seen
+                break
             i += 2 + int.from_bytes(payload[i + 2 : i + 4], "big")
         raise ValueError("sniff_image_info: JPEG without a SOF header")
     raise ValueError("sniff_image_info: unrecognized image payload")

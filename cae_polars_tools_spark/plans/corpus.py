@@ -3270,7 +3270,10 @@ def q75_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n_rows,
                ROUND(m.med, 6) AS med,
                ROUND(d.mad, 6) AS mad,
-               CAST(SUM(CASE WHEN abs((e.value - m.med)
+               CAST(SUM(CASE WHEN d.mad = 0
+                             THEN CASE WHEN e.value <> m.med
+                                       THEN 1 ELSE 0 END
+                             WHEN abs((e.value - m.med)
                                       / (1.4826 * d.mad)) > 3.5
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         FROM events e
@@ -3305,9 +3308,16 @@ def q76_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = dev.join(F.broadcast(mad), "event_type")
     z = (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    # mad = 0 (a >50%-constant group) must be cut identically in both
+    # engines: Spark's x/0.0 is ±Inf (|z|>3.5 true for any deviation)
+    # while DuckDB's is NULL (CASE falls to 0) — define it explicitly
+    # as "any row off the median is an outlier" on both sides.
+    is_outlier = F.when(
+        F.col("mad") == 0, (F.col("value") != F.col("med")).cast("int")
+    ).otherwise(F.when(F.abs(z) > 3.5, 1).otherwise(0))
     return scored.groupBy("event_type", "med", "mad").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.when(F.abs(z) > 3.5, 1).otherwise(0)).alias("n_outliers"),
+        F.sum(is_outlier).alias("n_outliers"),
     ).select(
         "event_type",
         "n_rows",

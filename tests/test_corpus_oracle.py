@@ -147,3 +147,35 @@ def test_corpus_query_sf1(spark, name):
     assert_frames_match(
         spec.build(spark, sf), run_oracle(spec.oracle, sf), name
     )
+
+
+def test_q76_zero_mad_group_matches_oracle(spark, tmp_path):
+    """A >50%-constant group has MAD = 0: Spark's x/0.0 is ±Inf while
+    DuckDB's is NULL, so without the explicit mad=0 branch the two
+    engines count different outliers. Pin the divergence case with a
+    synthetic events table (group 'const': 10× 5.0 and 2× 7.0 →
+    med=5, mad=0, exactly the 2 off-median rows are outliers)."""
+    import os
+
+    import pandas as pd
+
+    sf = str(tmp_path)
+    for name in os.listdir("/root/testdata/sf0.001"):
+        os.symlink(f"/root/testdata/sf0.001/{name}", f"{sf}/{name}")
+    os.unlink(f"{sf}/events.parquet")
+    values = [5.0] * 10 + [7.0] * 2 + [1.0, 2.0, 3.0, 4.0, 100.0]
+    pd.DataFrame(
+        {
+            "event_id": range(len(values)),
+            "ts": pd.Timestamp("2001-01-01"),
+            "user_id": 0,
+            "event_type": (["const"] * 12 + ["vary"] * 5),
+            "value": values,
+            "props": "{}",
+        }
+    ).to_parquet(f"{sf}/events.parquet")
+    spec = CORPUS["q76_robust_outliers"]
+    df = spec.build(spark, sf)
+    assert_frames_match(df, run_oracle(spec.oracle, sf), "q76_zero_mad")
+    got = {r["event_type"]: r["n_outliers"] for r in df.collect()}
+    assert got["const"] == 2

@@ -170,3 +170,31 @@ def test_diff_tables_schema_drift_raises(spark):
     new = spark.createDataFrame([("a", 1)], "k string, m long")
     with pytest.raises(ValueError, match="column sets differ"):
         diff_tables(old, new, ["k"])
+
+
+def test_refresh_overflow_raises_not_nulls(spark, tmp_path):
+    """The merged sum is decimal-widened by re-aggregation; casting it
+    back down to a too-narrow persisted dtype must raise loudly, not
+    persist a silently-NULLed sum (non-ANSI cast behavior)."""
+    from decimal import Decimal
+
+    state0 = str(tmp_path / "v0")
+    state1 = str(tmp_path / "v1")
+    # a state table persisted with a narrow sum dtype — decimal(6,2)
+    # tops out at 9999.99, so merging in 5000 must overflow
+    spark.createDataFrame(
+        [("a", 1, Decimal("9000.00"), 9000.0, 9000.0)],
+        "k string, n bigint, s decimal(6,2), mx double, mn double",
+    ).write.parquet(state0)
+    with pytest.raises(ValueError, match="overflows the persisted dtype"):
+        refresh_agg_parquet(
+            spark, state0, _rows(spark, [("a", 5000.0)]), ["k"],
+            MEASURES, state1,
+        )
+    # a fitting batch against the same narrow state still succeeds
+    stats = refresh_agg_parquet(
+        spark, state0, _rows(spark, [("a", 50.0)]), ["k"], MEASURES, state1
+    )
+    assert stats["rows_updated"] == 1
+    got = _state_map(spark.read.parquet(state1))
+    assert got["a"] == (2, 9050.0, 9000.0, 50.0)

@@ -1042,3 +1042,24 @@ def test_resample_pcm_mono_1d():
     )
     with pytest.raises(ValueError, match="ndim"):
         resample_pcm(np.zeros((2, 2, 2), dtype=np.int16), 8000, 16000)
+
+
+def test_sniff_jpeg_standalone_markers():
+    """TEM (0x01) and RSTn/EOI (0xD0-0xD9) carry no length word; a
+    valid JPEG holding one before SOF must still sniff, and a stream
+    that reaches SOS without a SOF must raise (not walk entropy
+    data)."""
+    import pytest
+
+    from cae_polars_tools_spark.operators.multimodal import sniff_image_info
+
+    sof = b"\xff\xc0" + (8).to_bytes(2, "big") + b"\x08" + (
+        (16).to_bytes(2, "big") + (24).to_bytes(2, "big") + b"\x01"
+    )
+    # SOI, TEM, RST0 (both standalone), then SOF0
+    assert sniff_image_info(b"\xff\xd8\xff\x01\xff\xd0" + sof) == (
+        "jpeg", 24, 16,
+    )
+    # SOI straight to SOS: no frame header anywhere
+    with pytest.raises(ValueError, match="without a SOF"):
+        sniff_image_info(b"\xff\xd8\xff\xda\x00\x04\x01\x00" + b"\x55" * 32)
