@@ -803,6 +803,15 @@ def simhash_pairs(
     )
 
 
+#: Widest (band, bucket) group hamming_pairs will expand: pair
+#: generation is bucket-local, so one bucket of b identical-ish
+#: signatures is an O(b²) single task (4096 → ≤8.4M pair checks,
+#: seconds). A corpus of thousands of byte-identical payloads lands
+#: its whole clique in ONE bucket per band — that wants dedup_exact
+#: first, not a quadratic near-dup pass, so refuse loudly.
+HAMMING_MAX_BUCKET = 4096
+
+
 def hamming_pairs(
     sig: DataFrame,
     id_col: str,
@@ -810,6 +819,7 @@ def hamming_pairs(
     nbits: int,
     band_bits: int,
     max_hamming: int,
+    max_bucket: int = HAMMING_MAX_BUCKET,
 ) -> DataFrame:
     """Signature-agnostic banded Hamming self-join: pairs with
     Hamming(sig) ≤ ``max_hamming`` out of an (id, int64-signature)
@@ -824,7 +834,14 @@ def hamming_pairs(
     pair is verified with bit_count right there — the signature rides
     along, so no persist and no re-join. At 100 TB the only wide ops
     are this bucket shuffle over ~nbits/band_bits × 16-byte rows per
-    input row and the final distinct."""
+    input row and the final distinct.
+
+    ``max_bucket`` guards the degenerate corpus (thousands of
+    byte-identical payloads → identical signatures → one clique
+    bucket per band): any (band, bh) group wider than the cap raises
+    a loud USER_RAISED_EXCEPTION naming the bucket instead of
+    silently becoming a single O(b²) task — run
+    :func:`exact_duplicates` first or raise the cap consciously."""
     nbands = (nbits + band_bits - 1) // band_bits
     bands = sig.select(
         F.col(id_col).alias("_id"),
@@ -846,7 +863,26 @@ def hamming_pairs(
     buckets = (
         bands.groupBy("band", "bh")
         .agg(F.collect_list(F.struct("_id", "_sig")).alias("xs"))
-        .filter(F.size("xs") > 1)
+        .filter(
+            # the guard lives IN the filter predicate so Catalyst
+            # can't prune it away as an unused projection
+            F.when(
+                F.size("xs") > max_bucket,
+                F.raise_error(
+                    F.format_string(
+                        "hamming_pairs: bucket (band=%s, bh=%s) holds "
+                        "%s signatures, over max_bucket="
+                        + str(max_bucket)
+                        + " — a near-identical signature flood makes "
+                        "in-bucket pairing one O(b^2) task; run exact "
+                        "dedup first or raise max_bucket consciously",
+                        F.col("band").cast("string"),
+                        F.col("bh").cast("string"),
+                        F.size("xs").cast("string"),
+                    )
+                ),
+            ).otherwise(F.size("xs") > 1)
+        )
     )
     ham = F.bit_count(
         F.col("a._sig").bitwiseXOR(F.col("b._sig"))

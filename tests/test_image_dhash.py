@@ -213,3 +213,32 @@ def test_dedup_image_dhash_plan_is_bucket_local(spark, sf_small):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan  # pairs come from collect_list
+
+
+def test_hamming_pairs_oversize_bucket_raises(spark):
+    """A degenerate corpus (thousands of identical signatures → one
+    clique bucket per band) must refuse loudly instead of becoming a
+    single O(b²) task; a clique under the cap still pairs fine."""
+    import pytest
+
+    from cae_polars_tools_spark.operators.dedup import HAMMING_MAX_BUCKET
+
+    flood = _sig_frame(spark, {i: 0 for i in range(HAMMING_MAX_BUCKET + 1)})
+    with pytest.raises(Exception, match="over max_bucket"):
+        hamming_pairs(
+            flood, id_col="doc_id", sig_col="sig",
+            nbits=16, band_bits=4, max_hamming=3,
+        ).count()
+    # explicit smaller cap triggers on a small clique too
+    small = _sig_frame(spark, {i: 0 for i in range(10)})
+    with pytest.raises(Exception, match="over max_bucket"):
+        hamming_pairs(
+            small, id_col="doc_id", sig_col="sig",
+            nbits=16, band_bits=4, max_hamming=3, max_bucket=5,
+        ).count()
+    # under the cap: all 45 clique pairs, hamming 0
+    ok = hamming_pairs(
+        small, id_col="doc_id", sig_col="sig",
+        nbits=16, band_bits=4, max_hamming=3, max_bucket=64,
+    )
+    assert ok.count() == 45
