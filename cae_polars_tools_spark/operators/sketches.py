@@ -245,7 +245,14 @@ def _mg_candidates(col: str, k: int):
     largest count, drop non-positives). Any value whose frequency in
     this partition exceeds n_partition/k survives to the end — the
     classic MG guarantee, preserved under batch merge (Mergeable
-    Summaries, PODS 2012, Lemma 1)."""
+    Summaries, PODS 2012, Lemma 1).
+
+    Memory: O(k + batch-distinct), not a pure O(k) — within one Arrow
+    batch ``value_counts`` materializes that batch's distinct values
+    before the truncation step. Harmless at default batch sizes
+    (≤10k rows/batch caps batch-distinct at the batch size); a
+    strictly-O(k) variant would have to truncate per chunk inside the
+    batch loop at ~k× the Python overhead."""
 
     def gen(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -341,17 +348,33 @@ def heavy_hitters(
     count·k > n — no float division, so every engine cuts the same
     set.
 
-    Scale shape: one mapInPandas pass emits ≤(k−1) candidate strings
-    per partition; candidates broadcast back as a semi-join; the
-    confirm aggregation shuffles one partial per (partition ×
-    candidate). Nothing anywhere is proportional to value
+    Scale shape: TWO corpus scans total. The candidate pass
+    (mapInPandas, ≤(k−1) candidate strings per partition) also carries
+    the corpus row count as an ``observe`` metric — the total rides
+    the same scan instead of a third one. Candidates are collected
+    (bounded: partitions × (k−1) strings — the same driver-side
+    footprint the broadcast needed anyway) and flow back as a
+    broadcast semi-join; the confirm aggregation shuffles one partial
+    per (partition × candidate) and cuts against the observed total
+    as a literal. Nothing anywhere is proportional to value
     cardinality."""
-    cands = (
-        df.mapInPandas(
-            _mg_candidates(col, k), schema=f"{col} string"
-        ).distinct()
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
+    cand_rows = observed.mapInPandas(
+        _mg_candidates(col, k), schema=f"{col} string"
+    ).distinct().collect()
+    n_total = obs.get["n"]
+    cands = df.sparkSession.createDataFrame(
+        [(r[col],) for r in cand_rows], f"{col} string"
     )
-    return confirm_heavy_hitters(df, cands, col, k)
+    return (
+        df.join(F.broadcast(cands), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") * k > F.lit(n_total))
+    )
 
 
 #: heavy-hitter threshold for the corpus entry: tokens above 1% of the

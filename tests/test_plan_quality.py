@@ -741,8 +741,12 @@ def test_heavy_hitters_confirm_is_broadcast_semi(spark):
     plan = _plan(spark, "text_heavy_hitters")
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
     assert "SortMergeJoin" not in plan, plan
-    # the 1-row total joins via broadcast nested loop, never cartesian
     assert "CartesianProduct" not in plan, plan
+    # the corpus total rides the candidate pass as an observe metric
+    # and enters the confirm plan as a LITERAL: the returned plan must
+    # scan the documents parquet exactly once (candidates come from a
+    # local table, the cut is a filter, no third total-count subtree)
+    assert plan.count("Scan parquet") == 1, plan
 
 
 def test_signature_dedup_pairs_stay_bucket_local(spark):
