@@ -3614,6 +3614,94 @@ def q78_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q78_profile_approx",
+    oracle="""
+        WITH s AS (
+            SELECT 'l_quantity' AS col_name,
+                   CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', l_discount FROM lineitem
+            UNION ALL
+            SELECT 'l_tax', l_tax FROM lineitem
+        )
+        SELECT col_name,
+               COUNT(*) AS n_rows,
+               COUNT(*) - COUNT(value) AS n_null,
+               COUNT(DISTINCT value) AS n_distinct,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(value), 6) AS mean_value,
+               TRUE AS approx_within_tol
+        FROM s GROUP BY col_name
+    """,
+    tags=("diagnostics", "profiling", "approx", "scale-path", "extension"),
+    window_rank=1,
+)
+def q78_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB plan for q78's column profiler, itself verified.
+    q78's exact distinct counts ride a (col_name, value) pre-aggregate
+    whose shuffle key set is corpus-sized for continuous columns; its
+    docstring recommends ``approx_count_distinct`` at scale — THIS
+    entry registers that recommendation so the scale path goes through
+    the hash gate instead of staying prose (q29's invariant-frame
+    contract).
+
+    The approx subtree is the plan you would actually run: ONE
+    map-side-combined aggregate keyed on col_name — fixed-memory HLL
+    register banks for the distinct, plain partials for rows / nulls /
+    min / max / decimal-exact mean — no value-keyed pre-aggregate, no
+    distinct-rewrite Expand, shuffle bounded by 4 columns × partition
+    count. The exact-distinct twin (q78's pre-aggregate shape) exists
+    only to judge the sketch: both 4-row profiles broadcast-join on
+    col_name and the entry emits the EXACT statistics (hash-checked
+    against SQL) plus ``approx_within_tol``, pinned TRUE — an HLL
+    drifting past ``APPROX_REL_TOL`` flips the boolean and fails the
+    gate."""
+    li = _t(spark, sf_dir, "lineitem")
+    stack = li.unpivot([], list(_PROFILE_COLS), "col_name", "value")
+    nn = F.col("value").isNotNull()
+    approx = stack.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((~nn).cast("long")).alias("n_null"),
+        F.approx_count_distinct("value").alias("approx_distinct"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("value"),
+            6,
+        ).alias("mean_value"),
+    )
+    exact = (
+        stack.groupBy("col_name", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("col_name")
+        .agg(F.count(F.when(nn, F.lit(1))).alias("n_distinct"))
+    )
+    within = (
+        F.abs(
+            F.col("approx_distinct").cast("double")
+            - F.col("n_distinct").cast("double")
+        )
+        / F.col("n_distinct")
+        <= APPROX_REL_TOL
+    )
+    return approx.join(F.broadcast(exact), "col_name").select(
+        "col_name",
+        "n_rows",
+        "n_null",
+        "n_distinct",
+        "min_value",
+        "max_value",
+        "mean_value",
+        within.alias("approx_within_tol"),
+    )
+
+
 SKEW_PROFILE_TOP = 20
 
 

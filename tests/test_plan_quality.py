@@ -785,3 +785,17 @@ def test_robust_outliers_models_broadcast(spark):
     plan = _plan(spark, "q76_robust_outliers")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_q78_profile_approx_scale_subtree(spark):
+    """q78_profile_approx: the approx subtree must aggregate the
+    unpivoted stream DIRECTLY on col_name (fixed-memory HLL partials)
+    — exactly 2 Expands in the whole plan (one unpivot per subtree; a
+    third would be Catalyst's distinct-agg rewrite resurfacing), two
+    parquet scans (approx pass + exact twin), and the 4-row profile
+    join staying broadcast."""
+    plan = _plan(spark, "q78_profile_approx")
+    assert plan.count("Expand") == 2, plan
+    assert plan.count("Scan parquet") == 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
