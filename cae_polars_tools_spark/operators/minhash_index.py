@@ -1,0 +1,436 @@
+"""Persisted MinHash-LSH band index: build / append / query / CoW
+delete — the lifecycle that makes incremental text near-dup O(batch),
+not O(history).
+
+The inline path (``dedup_minhash_lsh`` / ``incremental_dedup``)
+recomputes history-side signatures every run; at 100 TB that is a full
+history scan per nightly batch. This module persists the two artifacts
+a production near-dup pipeline keeps materialized between cycles
+(reference parity note: the reference engine has no near-dup surface at
+all — this mirrors the repo's own IVF-PQ index lifecycle,
+similarity.py:1509-1830, applied to the MinHash family):
+
+* ``bands_v<N>/`` — the LSH band table ``(band, bh, doc_id)``, laid out
+  for the probe path: Hive-partitioned by ``shard = pmod(bh, 64)`` (a
+  probe's shard set is known driver-side → static partition pruning)
+  and range-clustered on ``bh`` within partitions (row-group min/max
+  stats prune inside each shard). 24 bytes/row × 32 bands ≈ 1-2% of
+  corpus bytes.
+* ``sigs_v<N>/`` — per-document verification state ``(doc_id, fp,
+  h64)``: the md5 fingerprint (exact dedup anti-joins) and the 64-bit
+  shingle-hash set (exact Jaccard of candidates). ~8 B/shingle, the
+  same artifact the inline path persists per run.
+* ``_INDEX.json`` — format version, LSH geometry echo, current
+  ``bands_dir``/``sigs_dir`` pointers (CoW delete flips them LAST, so
+  readers never observe a half-deleted index), and the caller's source
+  ``fingerprint`` for staleness detection.
+
+Query cost shape: the batch is signed with the index's FROZEN hash
+family (the same seeded multiply-shift permutations — appends and
+probes must never retrain, exactly like the IVF-PQ frozen-model rule),
+its band hashes broadcast against the pruned band-table scan, the few
+candidate history docs fetch their shingle sets via a second broadcast
+join, and exact Jaccard verifies. The history tables are never
+shuffled and never scanned beyond pruning — every wide side of every
+join is the (small) batch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cae_polars_tools_spark.io import read_table, spread
+from cae_polars_tools_spark.operators.dedup import (
+    JACCARD_THRESHOLD,
+    SHINGLES_SQL,
+    hashed_shingles,
+    minhash_band_hashes,
+)
+from cae_polars_tools_spark.operators.text import fingerprint
+from cae_polars_tools_spark.plans.registry import register
+
+_INDEX_META = "_INDEX.json"
+
+#: Hive partition count for the band table: pmod(bh, SHARDS) is the
+#: directory key, so a probe's shard list (known driver-side) prunes
+#: whole directories before any data byte is read.
+BAND_SHARDS = 64
+
+#: Probe sets larger than this skip the driver-side isin pushdown (the
+#: broadcast join still filters map-side); below it, the bh literals
+#: land in the scan as row-group-prunable pushed filters.
+PROBE_PUSHDOWN_MAX = 20_000
+
+
+def _signed(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, fp, h64) under the frozen hash family; empty-shingle
+    docs drop here (they have no signature — same rule as the inline
+    path and the oracle, whose unnest emits nothing for them)."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            fingerprint(text_col).alias("fp"),
+            hashed_shingles(text_col).alias("h64"),
+        )
+        .filter(F.size("h64") > 0)
+    )
+
+
+def _bands_of(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, bh, shard) — one row per (doc, band)."""
+    return (
+        sigs.select(
+            "doc_id", F.posexplode(minhash_band_hashes(F.col("h64")))
+        )
+        .toDF("doc_id", "band", "bh")
+        .withColumn("shard", F.pmod(F.col("bh"), F.lit(BAND_SHARDS)))
+    )
+
+
+def build_minhash_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fingerprint: str | None = None,
+) -> dict:
+    """Sign the corpus once and persist the full index layout under
+    ``path`` (see module docstring). The meta pointer is written LAST
+    through the ByteStore seam — a half-built index is never observed
+    as current. Returns the meta dict."""
+    from cae_polars_tools_spark.sources.zarr_format import ByteStore
+
+    root = path.rstrip("/")
+    sigs = _signed(docs, id_col, text_col)
+    (
+        sigs.repartitionByRange(F.col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(f"{root}/sigs_v0")
+    )
+    (
+        _bands_of(sigs)
+        .repartitionByRange(F.col("shard"), F.col("bh"))
+        .sortWithinPartitions("bh", "band")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(f"{root}/bands_v0")
+    )
+    meta = {
+        "format": "minhash-lsh-v1",
+        "shards": BAND_SHARDS,
+        "bands_dir": "bands_v0",
+        "sigs_dir": "sigs_v0",
+        "fingerprint": fingerprint,
+    }
+    ByteStore.for_path(root).put(_INDEX_META, json.dumps(meta).encode())
+    return meta
+
+
+def load_minhash_meta(path: str) -> dict | None:
+    """The index's ``_INDEX.json``, or None when ``path`` holds no
+    finished index — builders use the ``fingerprint`` field for
+    rebuild-if-stale checks."""
+    from cae_polars_tools_spark.sources.zarr_format import ByteStore
+
+    raw = ByteStore.for_path(path.rstrip("/")).get(_INDEX_META)
+    return None if raw is None else json.loads(raw)
+
+
+def _dirs(spark: SparkSession, path: str) -> tuple[str, str, dict]:
+    root = path.rstrip("/")
+    meta = load_minhash_meta(root)
+    if meta is None:
+        raise FileNotFoundError(f"no MinHash index under {path}")
+    return (
+        f"{root}/{meta['bands_dir']}",
+        f"{root}/{meta['sigs_dir']}",
+        meta,
+    )
+
+
+def append_minhash_index(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    check_unique: bool = True,
+) -> dict:
+    """Append new documents WITHOUT re-signing history: sign them
+    under the frozen hash family and add parquet segments to the live
+    ``sigs``/``bands`` directories (each band row lands in its shard's
+    partition). Appended files are locally bh-clustered — row-group
+    stats stay tight per segment; a periodic full rebuild (or
+    ``storage.compact_parquet``) restores the global clustering.
+
+    ``check_unique`` anti-joins new ids against the sigs table — a
+    doc_id indexed twice answers every probe twice. Returns
+    ``{rows_appended}``."""
+    bands_path, sigs_path, _ = _dirs(spark, path)
+    new = _signed(docs, id_col, text_col)
+    if check_unique:
+        existing = spark.read.parquet(sigs_path).select("doc_id")
+        dup = new.join(existing, "doc_id", "left_semi").limit(1).count()
+        if dup:
+            raise ValueError(
+                "append_minhash_index: new doc_ids collide with ids "
+                "already in the index (pass check_unique=False only "
+                "if the caller guarantees disjointness)"
+            )
+        internal = (
+            new.groupBy("doc_id")
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if internal:
+            raise ValueError(
+                "append_minhash_index: the appended frame itself "
+                "carries duplicate doc_ids; dedup it first"
+            )
+    new = new.persist()
+    try:
+        n = new.count()
+        new.write.mode("append").parquet(sigs_path)
+        (
+            _bands_of(new)
+            .sortWithinPartitions("bh", "band")
+            .write.mode("append")
+            .partitionBy("shard")
+            .parquet(bands_path)
+        )
+    finally:
+        new.unpersist()
+    return {"rows_appended": n}
+
+
+def delete_minhash_index(
+    spark: SparkSession,
+    path: str,
+    predicate,
+) -> dict:
+    """Copy-on-write DELETE from the index: rows matching ``predicate``
+    (a Column or SQL string over ``doc_id``, e.g. ``"doc_id IN (7)"``)
+    are removed from BOTH tables into new versioned directories via
+    :func:`storage.delete_parquet` (only files containing a match
+    rewrite), then the meta pointers flip LAST. The takedown
+    primitive: removing a document from the corpus must remove it from
+    every derived index without re-signing either. Returns per-table
+    delete counters plus the new directory names."""
+    from cae_polars_tools_spark.sources.zarr_format import ByteStore
+    from cae_polars_tools_spark.storage import delete_parquet
+
+    root = path.rstrip("/")
+    bands_path, sigs_path, meta = _dirs(spark, root)
+
+    def _next(cur: str, stem: str) -> str:
+        m = re.fullmatch(rf"{stem}_v(\d+)", cur)
+        return f"{stem}_v{int(m.group(1)) + 1 if m else 1}"
+
+    nxt_bands = _next(meta["bands_dir"], "bands")
+    nxt_sigs = _next(meta["sigs_dir"], "sigs")
+    bands_stats = delete_parquet(
+        spark, bands_path, predicate, f"{root}/{nxt_bands}"
+    )
+    sigs_stats = delete_parquet(
+        spark, sigs_path, predicate, f"{root}/{nxt_sigs}"
+    )
+    meta = {**meta, "bands_dir": nxt_bands, "sigs_dir": nxt_sigs}
+    ByteStore.for_path(root).put(_INDEX_META, json.dumps(meta).encode())
+    return {
+        "bands": bands_stats,
+        "sigs": sigs_stats,
+        "bands_dir": nxt_bands,
+        "sigs_dir": nxt_sigs,
+    }
+
+
+def query_minhash_index(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate (index-doc, batch-doc) pairs at Jaccard ≥
+    ``threshold`` — the batch probed against the PERSISTED index, no
+    history re-signing anywhere.
+
+    Plan shape (pinned by test_plan_quality): the batch signs itself
+    (one pandas-UDF map), its distinct (shard, bh) probe keys collect
+    driver-side (bounded: |batch| × 32 bands, capped by
+    ``PROBE_PUSHDOWN_MAX``) and prune the band-table scan twice —
+    shard list as a static PARTITION filter, bh list as a pushed
+    row-group filter — then the batch bands BROADCAST against the
+    pruned scan for candidates, candidate history docs fetch their
+    shingle sets via a second broadcast semi-probe of the sigs table,
+    and exact Jaccard verifies. History tables never shuffle; recall
+    matches the inline LSH path exactly (same 32-band geometry, same
+    frozen permutations — equivalence-tested).
+
+    Output: ``(doc_id_hist, doc_id_new, jaccard)``."""
+    bands_path, sigs_path, _ = _dirs(spark, path)
+    b_sigs = _signed(batch, id_col, text_col).persist()
+    b_bands = _bands_of(b_sigs).select(
+        F.col("doc_id").alias("doc_id_new"), "band", "bh", "shard"
+    )
+
+    idx = spark.read.parquet(bands_path)
+    probe = (
+        b_bands.select("shard", "bh")
+        .distinct()
+        .limit(PROBE_PUSHDOWN_MAX + 1)
+        .collect()
+    )
+    if len(probe) <= PROBE_PUSHDOWN_MAX:
+        shards = sorted({r["shard"] for r in probe})
+        bhs = sorted({r["bh"] for r in probe})
+        idx = idx.filter(F.col("shard").isin(shards)).filter(
+            F.col("bh").isin(bhs)
+        )
+    cand = (
+        idx.join(F.broadcast(b_bands), ["band", "bh"])
+        .select(
+            F.col("doc_id").alias("doc_id_hist"),
+            "doc_id_new",
+        )
+        .distinct()
+    )
+
+    sigs = spark.read.parquet(sigs_path)
+    touched = sigs.join(
+        F.broadcast(cand),
+        sigs["doc_id"] == cand["doc_id_hist"],
+    ).select(
+        "doc_id_hist",
+        "doc_id_new",
+        F.col("h64").alias("s_hist"),
+    )
+    out = (
+        touched.join(
+            F.broadcast(
+                b_sigs.select(
+                    F.col("doc_id").alias("doc_id_new"),
+                    F.col("h64").alias("s_new"),
+                )
+            ),
+            "doc_id_new",
+        )
+        .select(
+            "doc_id_hist",
+            "doc_id_new",
+            (
+                F.size(F.array_intersect("s_hist", "s_new")).cast("double")
+                / F.size(F.array_union("s_hist", "s_new"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    out._upstream_cache_handle = b_sigs  # keep the batch cache alive
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Corpus entry: history (src0..src9) builds the persisted index once
+# (cached per sf_dir fingerprint under .tmp/), tonight's batch
+# (src10..src19) probes it. Mirrors incremental_dedup's batch split.
+# ---------------------------------------------------------------------------
+
+_NEW_BATCH_PRED = "source LIKE 'src1_'"
+
+_MINHASH_INDEX_ORACLE = f"""
+    WITH sh AS (
+        SELECT doc_id, {SHINGLES_SQL} AS s FROM documents
+    ),
+    roles AS (
+        SELECT doc_id, (source LIKE 'src1_') AS is_new FROM documents
+    ),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+    jp AS (
+        SELECT p.da, p.db,
+               CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) AS j
+        FROM pairs p
+        JOIN sizes sa ON p.da = sa.doc_id
+        JOIN sizes sb ON p.db = sb.doc_id
+        WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter)
+              >= {JACCARD_THRESHOLD}
+    )
+    SELECT CAST(CASE WHEN ra.is_new THEN jp.db ELSE jp.da END
+                AS BIGINT) AS doc_id_hist,
+           CAST(CASE WHEN ra.is_new THEN jp.da ELSE jp.db END
+                AS BIGINT) AS doc_id_new,
+           jp.j AS jaccard
+    FROM jp
+    JOIN roles ra ON jp.da = ra.doc_id
+    JOIN roles rb ON jp.db = rb.doc_id
+    WHERE ra.is_new <> rb.is_new
+"""
+
+
+def _documents_fingerprint(sf_dir: str) -> str:
+    """Cheap staleness key: the documents parquet's file names + sizes
+    + mtimes (local test data only — production versions the source
+    table explicitly, exactly like the IVF-PQ note)."""
+    d = os.path.join(sf_dir, "documents.parquet")
+    paths = (
+        [d]
+        if os.path.isfile(d)
+        else [os.path.join(d, f) for f in sorted(os.listdir(d))]
+    )
+    parts = []
+    for p in paths:
+        st = os.stat(p)
+        parts.append(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}")
+    return ";".join(parts)
+
+
+def _index_root(sf_dir: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ".tmp",
+        "minhash_index",
+        base,
+    )
+
+
+@register(
+    "dedup_minhash_index",
+    # miss probability ≈ 1e-10 per true pair (32 bands, same geometry
+    # and therefore same recall argument as dedup_minhash_lsh)
+    oracle=_MINHASH_INDEX_ORACLE,
+    tags=("dedup", "extension", "lsh", "index"),
+    window_rank=1,
+)
+def dedup_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup via the PERSISTED MinHash-LSH band index:
+    the deduplicated history signs ONCE into the on-disk band + sigs
+    tables; tonight's batch probes them — O(batch) work per cycle
+    instead of the inline path's O(history) re-signing. The oracle is
+    the exact cross-role Jaccard join (candidates ⊇ truth per the LSH
+    recall argument; verification is exact), so the hash gate checks
+    the full lifecycle: frozen-family signing, shard/bh-pruned probe,
+    broadcast candidate joins, exact verify."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    hist = docs.filter(~F.expr(_NEW_BATCH_PRED))
+    batch = docs.filter(F.expr(_NEW_BATCH_PRED))
+    root = _index_root(sf_dir)
+    fp = _documents_fingerprint(sf_dir)
+    meta = load_minhash_meta(root)
+    if meta is None or meta.get("fingerprint") != fp:
+        build_minhash_index(hist, root, fingerprint=fp)
+    return query_minhash_index(spark, root, batch)

@@ -1,0 +1,131 @@
+"""Persisted MinHash-LSH band index lifecycle: build/append/query
+equivalence against the inline LSH path, uniqueness guards, CoW
+delete pointer flips."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cae_polars_tools_spark.io import read_table
+from cae_polars_tools_spark.operators.dedup import minhash_lsh_pairs
+from cae_polars_tools_spark.operators.minhash_index import (
+    append_minhash_index,
+    build_minhash_index,
+    delete_minhash_index,
+    load_minhash_meta,
+    query_minhash_index,
+)
+
+SF = "/root/testdata/sf0.001"
+_PRED = "source LIKE 'src1_'"
+
+
+def _docs(spark):
+    return read_table(spark, SF, "documents")
+
+
+def _inline_cross_role_pairs(spark):
+    """Ground truth from the INLINE path: all LSH pairs over the full
+    corpus, kept only where exactly one side is in the batch, then
+    normalized to (hist, new)."""
+    docs = _docs(spark)
+    pairs = minhash_lsh_pairs(docs)
+    roles = docs.select(
+        "doc_id", F.expr(_PRED).alias("is_new")
+    )
+    ra = roles.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("is_new").alias("a_new")
+    )
+    rb = roles.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("is_new").alias("b_new")
+    )
+    return {
+        (
+            r["doc_id_b"] if r["a_new"] else r["doc_id_a"],
+            r["doc_id_a"] if r["a_new"] else r["doc_id_b"],
+            round(r["jaccard"], 9),
+        )
+        for r in pairs.join(ra, "doc_id_a").join(rb, "doc_id_b")
+        .filter(F.col("a_new") != F.col("b_new"))
+        .collect()
+    }
+
+
+def _query_set(spark, root):
+    batch = _docs(spark).filter(F.expr(_PRED))
+    return {
+        (r["doc_id_hist"], r["doc_id_new"], round(r["jaccard"], 9))
+        for r in query_minhash_index(spark, root, batch).collect()
+    }
+
+
+def test_index_query_equals_inline_lsh(spark, tmp_path):
+    """Probing the persisted index must return exactly the inline LSH
+    path's cross-role pairs — same frozen hash family, same 32-band
+    geometry, same exact verification."""
+    root = str(tmp_path / "idx")
+    hist = _docs(spark).filter(~F.expr(_PRED))
+    build_minhash_index(hist, root)
+    assert _query_set(spark, root) == _inline_cross_role_pairs(spark)
+
+
+def test_append_equals_full_build(spark, tmp_path):
+    """history[:half] built + history[half:] appended must answer
+    probes identically to a single full build (frozen-family append
+    never drifts)."""
+    full_root = str(tmp_path / "full")
+    inc_root = str(tmp_path / "inc")
+    hist = _docs(spark).filter(~F.expr(_PRED))
+    cut = hist.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    build_minhash_index(hist, full_root)
+    build_minhash_index(hist.filter(F.col("doc_id") <= cut), inc_root)
+    stats = append_minhash_index(
+        spark, inc_root, hist.filter(F.col("doc_id") > cut)
+    )
+    assert stats["rows_appended"] > 0
+    assert _query_set(spark, inc_root) == _query_set(spark, full_root)
+
+
+def test_append_rejects_duplicate_ids(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    hist = _docs(spark).filter(~F.expr(_PRED))
+    build_minhash_index(hist, root)
+    with pytest.raises(ValueError, match="collide"):
+        append_minhash_index(spark, root, hist.limit(1))
+    batch = _docs(spark).filter(F.expr(_PRED)).limit(1)
+    with pytest.raises(ValueError, match="duplicate doc_ids"):
+        append_minhash_index(spark, root, batch.unionAll(batch))
+
+
+def test_cow_delete_flips_pointers_and_removes_pairs(spark, tmp_path):
+    """Deleting an indexed doc must remove every pair it anchored,
+    version BOTH directories, and leave the old generation intact
+    (readers of the old pointer never observe a half-deleted state)."""
+    root = str(tmp_path / "idx")
+    hist = _docs(spark).filter(~F.expr(_PRED))
+    build_minhash_index(hist, root)
+    before = _query_set(spark, root)
+    assert before, "corpus should produce cross-role near-dup pairs"
+    victim = sorted(before)[0][0]
+    stats = delete_minhash_index(spark, root, f"doc_id = {victim}")
+    meta = load_minhash_meta(root)
+    assert meta["bands_dir"] == stats["bands_dir"] == "bands_v1"
+    assert meta["sigs_dir"] == stats["sigs_dir"] == "sigs_v1"
+    assert stats["sigs"]["rows_deleted"] == 1
+    after = _query_set(spark, root)
+    assert after == {p for p in before if p[0] != victim}
+    # old generation untouched on disk
+    assert os.path.isdir(f"{root}/bands_v0")
+    assert os.path.isdir(f"{root}/sigs_v0")
+    old = spark.read.parquet(f"{root}/sigs_v0")
+    assert old.filter(F.col("doc_id") == victim).count() == 1
+
+
+def test_query_missing_index_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError, match="no MinHash index"):
+        query_minhash_index(
+            spark, str(tmp_path / "nope"), _docs(spark).limit(1)
+        )

@@ -799,3 +799,27 @@ def test_q78_profile_approx_scale_subtree(spark):
     assert plan.count("Scan parquet") == 2, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_minhash_index_probe_is_pruned_and_broadcast(spark):
+    """dedup_minhash_index: the persisted band-table read must be
+    pruned TWICE — the probe's shard set as a static PartitionFilters
+    INSET on the scan, the bh literals as a pushed row-group filter —
+    and every join on the probe path must broadcast the (small) batch
+    side; the history tables never ride a SortMergeJoin shuffle."""
+    import io
+    from contextlib import redirect_stdout
+
+    df = load_all()["dedup_minhash_index"].build(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    fmt = buf.getvalue()
+    bands_scan = [s for s in fmt.split("\n\n") if "/bands_v" in s]
+    assert bands_scan, fmt
+    seg = bands_scan[0]
+    assert "PartitionFilters: [shard" in seg and "INSET" in seg, seg
+    assert "PushedFilters: [In(bh" in seg, seg
