@@ -57,6 +57,71 @@ NORMALIZED_SQL = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
 FINGERPRINT_SQL = f"md5({NORMALIZED_SQL})"
 
 
+# A pragmatic single-codepoint confusable fold (Unicode TR39's idea,
+# not its full data table): the Cyrillic and Greek letters that render
+# identically to Basic Latin in most fonts — the homoglyphs actually
+# seen in spam/SEO corpora. Applied AFTER casefold, so only lowercase
+# mappings are needed. Deliberately small and documented rather than
+# shipping a 10k-row table nobody audits.
+CONFUSABLES = {
+    # Cyrillic
+    "а": "a", "е": "e", "о": "o", "р": "p", "с": "c", "х": "x",
+    "у": "y", "і": "i", "ѕ": "s", "ј": "j", "ԁ": "d", "ɡ": "g",
+    # Greek
+    "ο": "o", "α": "a", "ν": "v", "τ": "t", "κ": "k", "ρ": "p",
+}
+_CONFUSABLE_TRANS = str.maketrans(CONFUSABLES)
+
+_UNICODE_FORMS = ("NFC", "NFD", "NFKC", "NFKD")
+
+
+def normalize_unicode(
+    col: Column | str,
+    form: str = "NFC",
+    casefold: bool = True,
+    fold_confusables: bool = False,
+) -> Column:
+    """Unicode canonicalization — the pre-dedup stage every
+    multilingual corpus needs BEFORE :func:`fingerprint`: a composed
+    "é" (U+00E9) and its decomposed twin "e"+U+0301 are byte-different
+    md5 inputs but the same text to every reader, so without this an
+    exact-dedup pass silently keeps both.
+
+    Pipeline (each step optional/configurable): ``unicodedata
+    .normalize(form)`` (NFC canonical-composes; NFKC additionally
+    folds compatibility forms — ligatures, full-width digits), then
+    ``str.casefold()`` (the Unicode case fold — maps ß→ss where
+    ``lower`` doesn't), then the documented ``CONFUSABLES`` homoglyph
+    fold. Arrow-batched pandas UDF (per-document, embarrassingly
+    parallel, zero shuffle); DuckDB's ``nfc_normalize()`` gives the
+    NFC path a value-level cross-engine oracle
+    (``text_normalize``)."""
+    if form not in _UNICODE_FORMS:
+        raise ValueError(
+            f"normalize_unicode: form must be one of {_UNICODE_FORMS}, "
+            f"got {form!r}"
+        )
+    c = F.col(col) if isinstance(col, str) else col
+
+    @F.pandas_udf("string")
+    def norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        def one(t):
+            if t is None:
+                return None
+            t = unicodedata.normalize(form, t)
+            if casefold:
+                t = t.casefold()
+            if fold_confusables:
+                t = t.translate(_CONFUSABLE_TRANS)
+            return t
+
+        return s.map(one)
+
+    return norm(c)
+
+
 # ---------------------------------------------------------------------------
 # Corpus entries
 # ---------------------------------------------------------------------------
@@ -1242,4 +1307,33 @@ def text_ttr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_types.alias("n_types"),
         hapax_udf(F.col("text")).alias("n_hapax"),
         F.round(n_types.cast("double") / n_tokens, 6).alias("ttr"),
+    )
+
+
+@register(
+    "text_normalize",
+    oracle="""
+        SELECT doc_id,
+               lower(nfc_normalize(text)) AS norm_text,
+               lower(nfc_normalize(text)) <> text AS changed
+        FROM documents
+    """,
+    tags=("text", "normalize", "extension"),
+    window_rank=1,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization over the corpus — NFC + casefold via
+    :func:`normalize_unicode`, the stage a multilingual pipeline runs
+    BEFORE exact dedup so composed/decomposed twins share a
+    fingerprint. DuckDB's ``nfc_normalize()`` + ``lower()`` is the
+    value-level oracle for this path (casefold ≡ lower on the ASCII
+    corpus; the non-ASCII semantics — ß→ss, ligature folds, homoglyph
+    folds — are pinned by unit tests in test_text_quality.py).
+    Per-document Arrow-batched map: zero shuffle at any scale."""
+    d = spread(read_table(spark, sf_dir, "documents"))
+    norm = normalize_unicode("text", form="NFC", casefold=True)
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        (norm != F.col("text")).alias("changed"),
     )

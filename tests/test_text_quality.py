@@ -174,3 +174,65 @@ def test_html_to_text_semantics(spark):
     }
     for i, (src, want) in enumerate(cases.items()):
         assert got[i] == want, (src, got[i])
+
+
+def test_normalize_unicode_semantics(spark):
+    """NFC composes the decomposed é; NFKC folds the ﬁ ligature and
+    full-width digits; casefold maps ß→ss (lower would not); the
+    confusable fold maps the Cyrillic homoglyph 'а' to Latin 'a'."""
+    from cae_polars_tools_spark.operators.text import normalize_unicode
+
+    nfd_cafe = "café"  # e + combining acute
+    rows = [
+        (0, nfd_cafe),
+        (1, "café"),  # precomposed
+        (2, "ﬁle STRASSE straße"),  # ﬁ ligature + ß
+        (3, "pаypal"),  # Cyrillic а
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id",
+            normalize_unicode(
+                "text", form="NFKC", casefold=True, fold_confusables=True
+            ).alias("n"),
+        ).collect()
+    }
+    assert got[0] == got[1] == "café"
+    assert got[2] == "file strasse strasse"
+    assert got[3] == "paypal"
+    # NFC keeps compatibility forms (ligature survives)
+    nfc_only = df.filter("doc_id = 2").select(
+        normalize_unicode("text", form="NFC", casefold=False).alias("n")
+    ).first()["n"]
+    assert nfc_only.startswith("ﬁle")
+    import pytest
+
+    with pytest.raises(ValueError, match="form must be one of"):
+        normalize_unicode("text", form="NFX")
+
+
+def test_normalized_unicode_collapses_in_exact_dedup(spark):
+    """The point of the operator: NFC-vs-NFD duplicates that
+    dedup_exact's raw fingerprint keeps apart collapse to ONE group
+    once the text is canonicalized first."""
+    from cae_polars_tools_spark.operators.text import (
+        fingerprint,
+        normalize_unicode,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "café menu"), (1, "café menu"), (2, "other doc")],
+        "doc_id long, text string",
+    )
+    raw = df.select(fingerprint("text").alias("fp")).distinct().count()
+    assert raw == 3  # byte-different twins survive the raw fingerprint
+    canon = (
+        df.select(
+            fingerprint(normalize_unicode("text", form="NFC")).alias("fp")
+        )
+        .distinct()
+        .count()
+    )
+    assert canon == 2  # twins share a fingerprint after canonicalization
