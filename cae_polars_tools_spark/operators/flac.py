@@ -1,0 +1,701 @@
+"""FLAC codec — hand-parsed from the public xiph spec (RFC 9639), the
+one mainstream LOSSLESS compressed audio format, which is exactly what
+makes it oracle-able: decode(encode(x)) == x sample-for-sample, so the
+same sample-exact DuckDB twins that check the PCM-WAV family
+(multimodal.py) extend to compressed audio unchanged.
+
+Decoder coverage (the FLAC "streamable subset" a corpus crawl actually
+contains): STREAMINFO + skipped metadata blocks, fixed/variable
+blocking strategies, all block-size/sample-rate/sample-size header
+codes, UTF-8-coded frame numbers, CRC-8 header and CRC-16 frame
+verification (loud ValueError on mismatch — silent corruption is how
+a petabyte of audio rots), subframe types CONSTANT / VERBATIM / FIXED
+(orders 0-4) / LPC (any order), wasted-bits shifts, Rice residual
+methods 0 and 1 with escape partitions, and the left/side, right/side
+and mid/side stereo decorrelations (side channel at +1 bit). Ogg-FLAC
+and multi-track containers are out of scope and refuse loudly.
+
+Encoder (fixture generator + round-trip proof): fixed 4096-sample
+blocks, per-subframe best-of CONSTANT / FIXED 0-2 / VERBATIM with a
+single-partition Rice residual, independent channels by default;
+``stereo_mode="mid-side"`` and ``force="lpc"`` exist so the decoder's
+decorrelation and LPC reconstruction paths are exercised by
+round-trip tests rather than trusted.
+
+No reference parity: the reference engine (cae-polars-tools) has no
+audio surface at all — this extends the repo's multimodal layer the
+same way the WAV/ADPCM decoders do.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+FLAC_MAGIC = b"fLaC"
+_BLOCKSIZE = 4096
+
+# ---------------------------------------------------------------------------
+# CRCs (FLAC frame integrity): CRC-8 poly 0x07 over the frame header,
+# CRC-16 poly 0x8005 over the whole frame. Table-driven, computed once.
+# ---------------------------------------------------------------------------
+
+
+def _crc_table(poly: int, width: int) -> np.ndarray:
+    top = 1 << (width - 1)
+    mask = (1 << width) - 1
+    tab = np.zeros(256, dtype=np.uint32)
+    for i in range(256):
+        c = i << (width - 8)
+        for _ in range(8):
+            c = ((c << 1) ^ poly) if (c & top) else (c << 1)
+        tab[i] = c & mask
+    return tab
+
+
+_CRC8_TAB = _crc_table(0x07, 8)
+_CRC16_TAB = _crc_table(0x8005, 16)
+
+
+def _crc8(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = int(_CRC8_TAB[(c ^ b) & 0xFF])
+    return c
+
+
+def _crc16(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = (int(_CRC16_TAB[((c >> 8) ^ b) & 0xFF]) ^ (c << 8)) & 0xFFFF
+    return c
+
+
+# ---------------------------------------------------------------------------
+# MSB-first bit I/O
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        self._nbits += nbits
+        while self._nbits >= 8:
+            self._nbits -= 8
+            self.buf.append((self._acc >> self._nbits) & 0xFF)
+        self._acc &= (1 << self._nbits) - 1
+
+    def write_unary(self, value: int) -> None:
+        # FLAC unary: `value` 0-bits then a 1-bit
+        while value >= 32:
+            self.write(0, 32)
+            value -= 32
+        self.write(1, value + 1)
+
+    def align(self) -> None:
+        if self._nbits:
+            self.write(0, 8 - self._nbits)
+
+    def bytes(self) -> bytes:
+        assert self._nbits == 0
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.byte = pos
+        self.bit = 0
+
+    def read(self, nbits: int) -> int:
+        out = 0
+        while nbits > 0:
+            if self.byte >= len(self.data):
+                raise ValueError("flac: truncated bitstream")
+            avail = 8 - self.bit
+            take = min(nbits, avail)
+            cur = self.data[self.byte]
+            out = (out << take) | (
+                (cur >> (avail - take)) & ((1 << take) - 1)
+            )
+            self.bit += take
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+            nbits -= take
+        return out
+
+    def read_signed(self, nbits: int) -> int:
+        v = self.read(nbits)
+        return v - (1 << nbits) if v & (1 << (nbits - 1)) else v
+
+    def read_unary(self) -> int:
+        n = 0
+        while self.read(1) == 0:
+            n += 1
+            if n > 1 << 24:
+                raise ValueError("flac: runaway unary code")
+        return n
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.byte += 1
+
+
+# ---------------------------------------------------------------------------
+# UTF-8-style coded numbers (frame/sample index, up to 36 bits)
+# ---------------------------------------------------------------------------
+
+
+def _utf8_encode(v: int) -> bytes:
+    if v < 0x80:
+        return bytes([v])
+    for nbytes, lead in ((2, 0xC0), (3, 0xE0), (4, 0xF0), (5, 0xF8),
+                         (6, 0xFC), (7, 0xFE)):
+        if v < 1 << (5 * nbytes + 1):
+            out = bytearray(nbytes)
+            for i in range(nbytes - 1, 0, -1):
+                out[i] = 0x80 | (v & 0x3F)
+                v >>= 6
+            out[0] = lead | v
+            return bytes(out)
+    raise ValueError("flac: coded number exceeds 36 bits")
+
+
+def _utf8_decode(r: _BitReader) -> int:
+    first = r.read(8)
+    if first < 0x80:
+        return first
+    n = 0
+    probe = first
+    while probe & 0x40:
+        n += 1
+        probe <<= 1
+    if n == 0:
+        raise ValueError("flac: invalid coded-number lead byte")
+    v = first & (0x3F >> n)
+    for _ in range(n):
+        c = r.read(8)
+        if (c & 0xC0) != 0x80:
+            raise ValueError("flac: invalid coded-number continuation")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+# fixed-predictor residual: res_o[i] = o-th order difference
+_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+_BLOCKSIZE_CODES = {
+    192: 1, 576: 2, 1152: 3, 2304: 4, 4608: 5,
+    256: 8, 512: 9, 1024: 10, 2048: 11, 4096: 12,
+    8192: 13, 16384: 14, 32768: 15,
+}
+_RATE_CODES = {
+    88200: 1, 176400: 2, 192000: 3, 8000: 4, 16000: 5, 22050: 6,
+    24000: 7, 32000: 8, 44100: 9, 48000: 10, 96000: 11,
+}
+_BPS_CODES = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+def _rice_cost(zig: np.ndarray, k: int) -> int:
+    return int((zig >> k).sum()) + len(zig) * (k + 1)
+
+
+def _best_rice_k(res: np.ndarray) -> int:
+    zig = np.where(res >= 0, res * 2, -2 * res - 1).astype(np.uint64)
+    best_k, best_c = 0, _rice_cost(zig, 0)
+    for k in range(1, 15):
+        c = _rice_cost(zig, k)
+        if c < best_c:
+            best_k, best_c = k, c
+    return best_k
+
+
+def _write_residual(w: _BitWriter, res: np.ndarray) -> None:
+    """Method 0, partition order 0, one Rice partition."""
+    k = _best_rice_k(res)
+    w.write(0, 2)  # residual method 0 (4-bit params)
+    w.write(0, 4)  # partition order 0
+    w.write(k, 4)
+    for r in res:
+        r = int(r)
+        zig = r * 2 if r >= 0 else -2 * r - 1
+        w.write_unary(zig >> k)
+        w.write(zig, k)
+
+
+def _encode_subframe(
+    w: _BitWriter, x: np.ndarray, bps: int, force: str | None
+) -> None:
+    n = len(x)
+    if force == "lpc" and n > 2:
+        # LPC twin of the FIXED order-2 predictor: coefs [2, -1],
+        # precision 15, shift 0 — exercises the decoder's LPC path
+        # with exactly reconstructible integer math
+        order = 2
+        w.write(0, 1)
+        w.write(0x20 | (order - 1), 6)  # LPC, order 2
+        w.write(0, 1)  # no wasted bits
+        for v in x[:order]:
+            w.write(int(v), bps)
+        w.write(15 - 1, 4)  # precision 15
+        w.write(0, 5)  # shift 0
+        w.write(2, 15)
+        w.write(-1, 15)
+        res = x[2:] - (2 * x[1:-1] - x[:-2])
+        _write_residual(w, res)
+        return
+    if n and (x == x[0]).all():
+        w.write(0, 1)
+        w.write(0, 6)  # CONSTANT
+        w.write(0, 1)
+        w.write(int(x[0]), bps)
+        return
+    # best fixed order 0-2 by zigzag cost, verbatim as the fallback
+    best = None
+    for order in range(0, 3):
+        if n <= order:
+            continue
+        res = x.copy()
+        for _ in range(order):
+            res = np.diff(res)
+        zig = np.where(res >= 0, res * 2, -2 * res - 1).astype(np.uint64)
+        cost = _rice_cost(zig, _best_rice_k(res)) + order * bps
+        if best is None or cost < best[0]:
+            best = (cost, order, res)
+    if best is None or best[0] >= n * bps:
+        w.write(0, 1)
+        w.write(1, 6)  # VERBATIM
+        w.write(0, 1)
+        for v in x:
+            w.write(int(v), bps)
+        return
+    _, order, res = best
+    w.write(0, 1)
+    w.write(0b001000 | order, 6)  # FIXED
+    w.write(0, 1)
+    for v in x[:order]:
+        w.write(int(v), bps)
+    _write_residual(w, res)
+
+
+def encode_flac(
+    samples: "np.ndarray",
+    sample_rate: int,
+    bits_per_sample: int = 16,
+    stereo_mode: str = "independent",
+    force: str | None = None,
+) -> bytes:
+    """Encode ``(n_samples,)`` or ``(n_samples, channels)`` integer
+    PCM as a FLAC stream (see module docstring for the emitted
+    subset). Losslessness is the contract: ``decode_flac`` returns the
+    input exactly (round-trip-tested, hypothesis-fuzzed)."""
+    x = np.asarray(samples, dtype=np.int64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n, ch = x.shape
+    bps = bits_per_sample
+    if bps not in _BPS_CODES:
+        raise NotImplementedError(f"flac encode: {bps}-bit samples")
+    if ch < 1 or ch > 8:
+        raise ValueError("flac encode: 1..8 channels")
+    lim = 1 << (bps - 1)
+    if x.size and (x.max() >= lim or x.min() < -lim):
+        raise ValueError("flac encode: samples exceed bits_per_sample")
+    _STEREO_ASGN = {"mid-side": 10, "left-side": 8, "right-side": 9}
+    if stereo_mode != "independent" and stereo_mode not in _STEREO_ASGN:
+        raise ValueError("flac encode: unknown stereo_mode")
+    decorrelate = stereo_mode in _STEREO_ASGN and ch == 2
+    chan_asgn = _STEREO_ASGN[stereo_mode] if decorrelate else ch - 1
+
+    # ---- STREAMINFO
+    import hashlib
+
+    raw = x.astype("<i8").astype(
+        f"<i{max(1, (bps + 7) // 8)}"
+    )  # interleaved little-endian, byte-aligned
+    md5 = hashlib.md5(raw.reshape(-1).tobytes()).digest()
+    head = _BitWriter()
+    nblocks = -(-n // _BLOCKSIZE) if n else 0
+    last_bn = n - (nblocks - 1) * _BLOCKSIZE if nblocks else 0
+    # fixed blocking: min = max = the block size (the last, possibly
+    # shorter frame is exempt per spec); clamp to the spec floor of 16
+    bs = _BLOCKSIZE if nblocks > 1 else max(16, last_bn)
+    head.write(bs, 16)
+    head.write(bs, 16)
+    head.write(0, 24)  # min frame size unknown
+    head.write(0, 24)  # max frame size unknown
+    head.write(sample_rate, 20)
+    head.write(ch - 1, 3)
+    head.write(bps - 1, 5)
+    head.write(n, 36)
+    info = head.bytes() + md5
+    out = bytearray(FLAC_MAGIC)
+    out += bytes([0x80]) + len(info).to_bytes(3, "big") + info
+
+    # ---- frames
+    for fi in range(nblocks):
+        blk = x[fi * _BLOCKSIZE : (fi + 1) * _BLOCKSIZE]
+        bn = len(blk)
+        bs_code = _BLOCKSIZE_CODES.get(bn, 7)  # 7: 16-bit at end
+        frame = _BitWriter()
+        frame.write(0b11111111111110, 14)
+        frame.write(0, 1)
+        frame.write(0, 1)
+        frame.write(bs_code, 4)
+        frame.write(_RATE_CODES.get(sample_rate, 0), 4)
+        frame.write(chan_asgn, 4)
+        frame.write(_BPS_CODES[bps], 3)
+        frame.write(0, 1)
+        frame.buf += _utf8_encode(fi)
+        if bs_code == 6:
+            frame.write(bn - 1, 8)
+        elif bs_code == 7:
+            frame.write(bn - 1, 16)
+        frame.align()
+        hdr = frame.bytes()
+        frame = _BitWriter()
+        frame.buf = bytearray(hdr)
+        frame.write(_crc8(hdr), 8)
+
+        if decorrelate:
+            l, r = blk[:, 0], blk[:, 1]
+            side = l - r
+            if chan_asgn == 10:  # mid/side
+                _encode_subframe(frame, (l + r) >> 1, bps, force)
+                _encode_subframe(frame, side, bps + 1, force)
+            elif chan_asgn == 8:  # left/side
+                _encode_subframe(frame, l, bps, force)
+                _encode_subframe(frame, side, bps + 1, force)
+            else:  # right/side
+                _encode_subframe(frame, side, bps + 1, force)
+                _encode_subframe(frame, r, bps, force)
+        else:
+            for c in range(ch):
+                _encode_subframe(frame, blk[:, c], bps, force)
+        frame.align()
+        body = frame.bytes()
+        out += body + struct.pack(">H", _crc16(body))
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+def _read_residual(
+    r: _BitReader, n: int, order: int
+) -> np.ndarray:
+    method = r.read(2)
+    if method > 1:
+        raise ValueError(f"flac: reserved residual method {method}")
+    pbits, escape = (4, 0xF) if method == 0 else (5, 0x1F)
+    po = r.read(4)
+    nparts = 1 << po
+    if n % nparts:
+        raise ValueError("flac: block size not divisible by partitions")
+    res = np.empty(n - order, dtype=np.int64)
+    pos = 0
+    for p in range(nparts):
+        cnt = (n >> po) - (order if p == 0 else 0)
+        if cnt < 0:
+            raise ValueError("flac: partition smaller than predictor order")
+        k = r.read(pbits)
+        if k == escape:
+            nb = r.read(5)
+            for i in range(cnt):
+                res[pos + i] = r.read_signed(nb) if nb else 0
+        else:
+            for i in range(cnt):
+                q = r.read_unary()
+                low = r.read(k)
+                zig = (q << k) | low
+                res[pos + i] = (zig >> 1) ^ -(zig & 1)
+        pos += cnt
+    return res
+
+
+def _decode_subframe(r: _BitReader, n: int, bps: int) -> np.ndarray:
+    if r.read(1):
+        raise ValueError("flac: subframe padding bit set")
+    sft = r.read(6)
+    wasted = 0
+    if r.read(1):
+        wasted = r.read_unary() + 1
+        bps -= wasted
+    if sft == 0:  # CONSTANT
+        out = np.full(n, r.read_signed(bps), dtype=np.int64)
+    elif sft == 1:  # VERBATIM
+        out = np.fromiter(
+            (r.read_signed(bps) for _ in range(n)), dtype=np.int64, count=n
+        )
+    elif 8 <= sft <= 12:  # FIXED
+        order = sft - 8
+        warm = [r.read_signed(bps) for _ in range(order)]
+        res = _read_residual(r, n, order)
+        out = np.empty(n, dtype=np.int64)
+        out[:order] = warm
+        coefs = _FIXED_COEFS[order]
+        for i in range(order, n):
+            pred = 0
+            for j, c in enumerate(coefs):
+                pred += c * out[i - 1 - j]
+            out[i] = res[i - order] + pred
+    elif sft >= 32:  # LPC
+        order = (sft & 31) + 1
+        warm = [r.read_signed(bps) for _ in range(order)]
+        prec = r.read(4) + 1
+        if prec == 16:
+            raise ValueError("flac: invalid LPC precision escape")
+        shift = r.read_signed(5)
+        if shift < 0:
+            raise ValueError("flac: negative LPC shift")
+        coefs = [r.read_signed(prec) for _ in range(order)]
+        res = _read_residual(r, n, order)
+        out = np.empty(n, dtype=np.int64)
+        out[:order] = warm
+        for i in range(order, n):
+            acc = 0
+            for j, c in enumerate(coefs):
+                acc += c * out[i - 1 - j]
+            out[i] = res[i - order] + (acc >> shift)
+    else:
+        raise ValueError(f"flac: reserved subframe type {sft}")
+    return out << wasted if wasted else out
+
+
+def decode_flac(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """Decode a FLAC stream → ``(sample_rate, (n_samples, channels)
+    int array)`` — the :func:`decode_wav` signature, so the two slot
+    into the same dispatch. int16 output for bps ≤ 16, int32 above.
+    Loud ValueError on corruption (bad magic / CRC-8 / CRC-16 /
+    reserved codes / truncation); NotImplementedError only for
+    documented out-of-scope containers."""
+    if payload[:4] == b"OggS":
+        raise NotImplementedError(
+            "flac: Ogg-encapsulated FLAC is out of scope — remux to "
+            "native .flac"
+        )
+    if payload[:4] != FLAC_MAGIC:
+        raise ValueError("flac: bad magic")
+    pos = 4
+    rate = ch = bps = total = None
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("flac: truncated metadata")
+        hdr = payload[pos]
+        size = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + size]
+        if len(body) < size:
+            raise ValueError("flac: truncated metadata block")
+        if hdr & 0x7F == 0:  # STREAMINFO
+            if size < 34:
+                raise ValueError("flac: short STREAMINFO")
+            br = _BitReader(body)
+            br.read(16)
+            br.read(16)
+            br.read(24)
+            br.read(24)
+            rate = br.read(20)
+            ch = br.read(3) + 1
+            bps = br.read(5) + 1
+            total = br.read(36)
+        pos += 4 + size
+        if hdr & 0x80:
+            break
+    if rate is None:
+        raise ValueError("flac: no STREAMINFO block")
+
+    chans: list[list[int]] = [[] for _ in range(ch)]
+    got = 0
+    while (total == 0 or got < total) and pos < len(payload):
+        frame_start = pos
+        r = _BitReader(payload, pos)
+        sync = r.read(14)
+        if sync != 0b11111111111110:
+            raise ValueError("flac: lost frame sync")
+        if r.read(1):
+            raise ValueError("flac: reserved frame-header bit set")
+        variable = r.read(1)
+        bs_code = r.read(4)
+        rate_code = r.read(4)
+        chan_asgn = r.read(4)
+        bps_code = r.read(3)
+        if r.read(1):
+            raise ValueError("flac: reserved frame-header bit set")
+        _utf8_decode(r)  # frame (or first-sample) number
+        if bs_code == 0:
+            raise ValueError("flac: reserved block-size code")
+        elif bs_code == 6:
+            bn = r.read(8) + 1
+        elif bs_code == 7:
+            bn = r.read(16) + 1
+        else:
+            bn = {v: k for k, v in _BLOCKSIZE_CODES.items()}[bs_code]
+        if rate_code == 12:
+            r.read(8)
+        elif rate_code in (13, 14):
+            r.read(16)
+        elif rate_code == 15:
+            raise ValueError("flac: invalid sample-rate code")
+        r.align()
+        hdr_bytes = payload[frame_start : r.byte]
+        if r.byte >= len(payload):
+            raise ValueError("flac: truncated frame header")
+        if _crc8(hdr_bytes) != payload[r.byte]:
+            raise ValueError("flac: frame header CRC-8 mismatch")
+        r.byte += 1
+        fbps = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}.get(bps_code, bps)
+
+        if chan_asgn < 8:
+            if chan_asgn + 1 != ch:
+                raise ValueError("flac: channel count drift across frames")
+            subs = [
+                _decode_subframe(r, bn, fbps) for _ in range(ch)
+            ]
+        elif chan_asgn in (8, 9, 10):
+            if ch != 2:
+                raise ValueError("flac: stereo decorrelation on non-stereo")
+            extra0 = 1 if chan_asgn == 9 else 0
+            extra1 = 1 if chan_asgn in (8, 10) else 0
+            c0 = _decode_subframe(r, bn, fbps + extra0)
+            c1 = _decode_subframe(r, bn, fbps + extra1)
+            if chan_asgn == 8:  # left/side
+                subs = [c0, c0 - c1]
+            elif chan_asgn == 9:  # right/side
+                subs = [c1 + c0, c1]
+            else:  # mid/side
+                mid2 = (c0 << 1) | (c1 & 1)
+                subs = [(mid2 + c1) >> 1, (mid2 - c1) >> 1]
+        else:
+            raise ValueError(
+                f"flac: reserved channel assignment {chan_asgn}"
+            )
+        r.align()
+        body = payload[frame_start : r.byte]
+        if r.byte + 2 > len(payload):
+            raise ValueError("flac: truncated frame footer")
+        (crc,) = struct.unpack_from(">H", payload, r.byte)
+        if _crc16(body) != crc:
+            raise ValueError("flac: frame CRC-16 mismatch")
+        pos = r.byte + 2
+        for c in range(ch):
+            chans[c].extend(int(v) for v in subs[c])
+        got += bn
+        _ = variable  # both strategies drive off the coded number
+
+    if total and got < total:
+        raise ValueError("flac: stream ends before STREAMINFO total")
+    n = total if total else got
+    dtype = np.int16 if bps <= 16 else np.int32
+    out = np.empty((n, ch), dtype=dtype)
+    for c in range(ch):
+        out[:, c] = np.asarray(chans[c][:n], dtype=np.int64).astype(dtype)
+    return rate, out
+
+
+# ---------------------------------------------------------------------------
+# Corpus entry: deterministic per-document FLAC clips (the
+# _text_to_wav fixture pattern, multimodal.py:1419) run through the
+# SAME audio_features operator the WAV corpus rides — the dispatch
+# (decode_audio_bytes) is what's under test, and losslessness is what
+# makes the sample-exact SQL twin possible for a COMPRESSED format.
+# ---------------------------------------------------------------------------
+
+FLAC_N = 96
+FLAC_RATE = 16000
+
+
+def _text_to_flac(docs):
+    """Per-document FLAC fixture: first ``FLAC_N`` payload bytes,
+    zero-padded, as mono 16-bit samples — byte values are
+    small-amplitude and locally correlated, so the FIXED-predictor +
+    Rice path (not just VERBATIM) is what actually encodes."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def gen(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = {"doc_id": [], "payload": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text or "").encode()[:FLAC_N].ljust(FLAC_N, b"\x00")
+                samples = np.frombuffer(raw, dtype=np.uint8).astype(
+                    np.int64
+                )
+                out["doc_id"].append(int(doc_id))
+                out["payload"].append(encode_flac(samples, FLAC_RATE))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+
+
+def _register_flac_entry() -> None:
+    from pyspark.sql import DataFrame, SparkSession
+
+    from cae_polars_tools_spark.io import read_table, spread
+    from cae_polars_tools_spark.plans.registry import register
+
+    @register(
+        "mm_flac_features",
+        # ascii() rebuilds the exact samples the lossless codec must
+        # return; integer sums keep every double bit-identical
+        oracle=f"""
+            WITH s AS (
+                SELECT doc_id,
+                       ascii(substr(rpad(text, {FLAC_N}, chr(0)),
+                                    u.j + 1, 1)) AS v
+                FROM documents, unnest(range(0, {FLAC_N})) AS u(j)
+            )
+            SELECT doc_id,
+                   CAST({FLAC_RATE} AS INT) AS sample_rate,
+                   CAST({FLAC_N} AS BIGINT) AS n_samples,
+                   sqrt(SUM(CAST(v AS DOUBLE) * v) / {FLAC_N}) AS rms,
+                   CAST(MAX(v) AS BIGINT) AS peak
+            FROM s GROUP BY doc_id
+        """,
+        tags=("multimodal", "audio", "flac", "extension"),
+        window_rank=1,
+    )
+    def mm_flac_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Feature extraction over a COMPRESSED-audio corpus: each
+        document becomes a FLAC clip (fixed-predictor + Rice coding
+        actually engaged — the fixture is locally correlated), decoded
+        back through the :func:`multimodal.decode_audio_bytes`
+        dispatch inside the same ``audio_features`` pass the WAV
+        family uses. Losslessness makes the oracle sample-exact: the
+        SQL twin rebuilds the raw samples with ``ascii()`` and must
+        reproduce RMS/peak bit-for-bit — any decoder drift anywhere
+        (rice, predictors, CRC handling) breaks the hash."""
+        from cae_polars_tools_spark.operators.multimodal import (
+            audio_features,
+        )
+
+        docs = spread(read_table(spark, sf_dir, "documents"))
+        return audio_features(_text_to_flac(docs))
+
+
+_register_flac_entry()

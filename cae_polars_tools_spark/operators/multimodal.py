@@ -898,6 +898,25 @@ def _decode_wav_g711(payload: bytes) -> tuple[int, "np.ndarray"]:
     return rate, table[raw[: n * ch]].reshape(n, ch)
 
 
+def decode_audio_bytes(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """Format-sniffed audio decode — the dispatch every audio operator
+    rides so compressed formats get features/fingerprints/dedup for
+    free: ``fLaC`` magic → :func:`operators.flac.decode_flac`
+    (lossless, sample-exact), ``RIFF`` → :func:`decode_wav` (PCM,
+    G.711, IMA ADPCM). MP3/AAC stay documented refusal seams (lossy —
+    no sample-exact oracle is possible even in principle)."""
+    if payload[:4] == b"fLaC" or payload[:4] == b"OggS":
+        from cae_polars_tools_spark.operators.flac import decode_flac
+
+        return decode_flac(payload)
+    if payload[:3] == b"ID3" or payload[:2] in (b"\xff\xfb", b"\xff\xf3"):
+        raise NotImplementedError(
+            "MP3 is a lossy codec — out of scope (no sample-exact "
+            "decode contract is possible); transcode to FLAC/WAV"
+        )
+    return decode_wav(payload)
+
+
 def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
     """Decode a WAV → (sample_rate, (n_samples, channels) int array).
     Pure stdlib (``wave``) for PCM; G.711 µ-law/A-law and IMA/DVI
@@ -1042,7 +1061,7 @@ def audio_features(
                 "peak": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                rate, arr = decode_wav(bytes(payload))
+                rate, arr = decode_audio_bytes(bytes(payload))
                 if target_rate is not None:
                     arr = resample_pcm(arr, rate, target_rate)
                     rate = target_rate
@@ -1121,16 +1140,16 @@ def resample_pcm(
 
 
 def resample_wav(payload: bytes, rate: int) -> bytes:
-    """Decode a WAV (any format :func:`decode_wav` handles — PCM
-    8/16/24/32-bit, G.711, IMA ADPCM), resample to ``rate`` with
-    :func:`resample_pcm`, re-encode as PCM. Output width follows the
-    decoded dtype: int16 sources (8/16-bit PCM, G.711, ADPCM) emit
-    16-bit PCM; int32 sources (24/32-bit PCM) emit 32-bit PCM — the
-    one normalization (24→32) is lossless."""
+    """Decode an audio payload (any format :func:`decode_audio_bytes`
+    dispatches — PCM 8/16/24/32-bit WAV, G.711, IMA ADPCM, FLAC),
+    resample to ``rate`` with :func:`resample_pcm`, re-encode as PCM
+    WAV. Output width follows the decoded dtype: int16 sources emit
+    16-bit PCM; int32 sources (24/32-bit) emit 32-bit PCM — the one
+    normalization (24→32) is lossless."""
     import io
     import wave
 
-    old_rate, arr = decode_wav(payload)
+    old_rate, arr = decode_audio_bytes(payload)
     out = resample_pcm(arr, old_rate, rate)
     width = 2 if out.dtype == np.int16 else 4
     buf = io.BytesIO()
@@ -1487,7 +1506,7 @@ def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = {"doc_id": [], "samples": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                rate, arr = decode_wav(bytes(payload))
+                rate, arr = decode_audio_bytes(bytes(payload))
                 assert rate == WAV_RATE_OUT
                 out["doc_id"].append(int(doc_id))
                 out["samples"].append(arr[:, 0].astype(np.int64))
@@ -1656,7 +1675,7 @@ def audio_fingerprint(
             ids: list[int] = []
             hs: list[int] = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                _rate, arr = decode_wav(bytes(payload))
+                _rate, arr = decode_audio_bytes(bytes(payload))
                 mono = arr[:, 0].astype(np.int64)
                 n_frames = len(mono) // frame_samples
                 e = (
@@ -1710,7 +1729,7 @@ def audio_frame_energy(
                 "energy": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                _rate, arr = decode_wav(bytes(payload))
+                _rate, arr = decode_audio_bytes(bytes(payload))
                 x = arr[:, 0].astype(np.int64)
                 n_frames = -(-len(x) // frame_samples) if len(x) else 0
                 for i in range(n_frames):

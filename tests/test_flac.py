@@ -1,0 +1,217 @@
+"""FLAC codec: lossless round trips across every subframe type and
+stereo decorrelation, handcrafted bitstreams for the decoder paths the
+encoder doesn't emit, CRC/hostile-bytes hardening, and the audio
+dispatch equivalence (FLAC clip ≡ WAV clip through audio_features)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cae_polars_tools_spark.operators.flac import (
+    _BitWriter,
+    _crc8,
+    _crc16,
+    _utf8_encode,
+    decode_flac,
+    encode_flac,
+)
+
+
+def _rt(x, rate=44100, **kw):
+    got_rate, out = decode_flac(encode_flac(x, rate, **kw))
+    assert got_rate == rate
+    want = np.asarray(x, dtype=np.int64)
+    if want.ndim == 1:
+        want = want[:, None]
+    assert out.shape == want.shape
+    assert (out.astype(np.int64) == want).all()
+    return out
+
+
+def test_roundtrip_mono_correlated():
+    rng = np.random.default_rng(3)
+    x = np.clip(
+        np.cumsum(rng.integers(-40, 41, size=9000)), -32768, 32767
+    )
+    payload = encode_flac(x, 44100)
+    _rt(x)
+    # the fixture is correlated, so FIXED+rice must actually compress
+    assert len(payload) < 2 * len(x) * 0.7
+
+
+@pytest.mark.parametrize(
+    "mode", ["independent", "mid-side", "left-side", "right-side"]
+)
+def test_roundtrip_stereo_decorrelations(mode):
+    rng = np.random.default_rng(5)
+    l = np.clip(np.cumsum(rng.integers(-30, 31, size=5000)), -30000, 30000)
+    r = np.clip(l + rng.integers(-5, 6, size=5000), -32768, 32767)
+    _rt(np.stack([l, r], axis=1), rate=48000, stereo_mode=mode)
+
+
+def test_roundtrip_lpc_constant_verbatim_empty():
+    rng = np.random.default_rng(9)
+    x = np.clip(np.cumsum(rng.integers(-9, 10, size=3000)), -32768, 32767)
+    _rt(x, rate=8000, force="lpc")  # LPC reconstruction path
+    _rt(np.full(300, -7), rate=8000)  # CONSTANT
+    _rt(rng.integers(-32768, 32768, size=400), rate=22050)  # ~VERBATIM
+    _rt(np.empty(0, dtype=np.int64))  # empty stream, 0 frames
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(-32768, 32767), min_size=0, max_size=300),
+    st.sampled_from([8000, 16000, 44100, 11025]),
+)
+def test_roundtrip_fuzz(vals, rate):
+    _rt(np.asarray(vals, dtype=np.int64), rate=rate)
+
+
+def _custom_stream(bn, subframe_bits_fn, bps=16, rate=8000):
+    """Minimal one-frame FLAC stream with a caller-written subframe —
+    exercises decoder paths the encoder never emits."""
+    head = _BitWriter()
+    head.write(max(16, bn), 16)
+    head.write(max(16, bn), 16)
+    head.write(0, 24)
+    head.write(0, 24)
+    head.write(rate, 20)
+    head.write(0, 3)  # mono
+    head.write(bps - 1, 5)
+    head.write(bn, 36)
+    info = head.bytes() + b"\x00" * 16
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + len(info).to_bytes(3, "big") + info
+    f = _BitWriter()
+    f.write(0b11111111111110, 14)
+    f.write(0, 2)
+    f.write(7, 4)  # 16-bit blocksize at end
+    f.write(4, 4)  # 8000 Hz code
+    f.write(0, 4)  # mono
+    f.write(4, 3)  # 16-bit
+    f.write(0, 1)
+    f.buf += _utf8_encode(0)
+    f.write(bn - 1, 16)
+    f.align()
+    hdr = f.bytes()
+    f = _BitWriter()
+    f.buf = bytearray(hdr)
+    f.write(_crc8(hdr), 8)
+    subframe_bits_fn(f)
+    f.align()
+    body = f.bytes()
+    out += body + struct.pack(">H", _crc16(body))
+    return bytes(out)
+
+
+def test_decode_wasted_bits_and_rice2_partitions():
+    """FIXED order-0 subframe with one wasted bit, residual method 1
+    (5-bit params) split over 2 partitions — all decoder-only paths."""
+    vals = [2 * v for v in range(-8, 8)]  # 16 samples, all even
+
+    def sub(f):
+        f.write(0, 1)
+        f.write(0b001000, 6)  # FIXED order 0
+        f.write(1, 1)  # wasted-bits flag
+        f.write(1, 1)  # unary 0 → wasted = 1
+        f.write(1, 2)  # residual method 1
+        f.write(1, 4)  # partition order 1 → 2 partitions
+        for part in (vals[:8], vals[8:]):
+            f.write(2, 5)  # rice2 param k=2
+            for v in part:
+                v >>= 1  # effective bps excludes the wasted bit
+                zig = 2 * v if v >= 0 else -2 * v - 1
+                f.write_unary(zig >> 2)
+                f.write(zig, 2)
+
+    rate, out = decode_flac(_custom_stream(16, sub))
+    assert rate == 8000
+    assert out[:, 0].tolist() == vals
+
+
+def test_decode_escape_partition():
+    """Rice escape (param 0b1111 → raw n-bit residuals)."""
+    vals = [900, -900, 31000, -31000]
+
+    def sub(f):
+        f.write(0, 1)
+        f.write(0b001000, 6)  # FIXED order 0
+        f.write(0, 1)
+        f.write(0, 2)  # method 0
+        f.write(0, 4)  # one partition
+        f.write(0xF, 4)  # escape
+        f.write(16, 5)  # raw 16-bit residuals
+        for v in vals:
+            f.write(v & 0xFFFF, 16)
+
+    _, out = decode_flac(_custom_stream(4, sub))
+    assert out[:, 0].tolist() == vals
+
+
+def test_hostile_bytes_refuse_loudly():
+    good = encode_flac(np.arange(100), 8000)
+    with pytest.raises(ValueError, match="bad magic"):
+        decode_flac(b"nonsense" * 4)
+    with pytest.raises(ValueError):
+        decode_flac(good[:20])  # truncated metadata
+    with pytest.raises(ValueError):
+        decode_flac(good[:-3])  # truncated frame
+    # flip the stored frame CRC itself: the body parses identically,
+    # so only the CRC-16 check can catch it
+    corrupt = bytearray(good)
+    corrupt[-1] ^= 0x01
+    with pytest.raises(ValueError, match="CRC-16"):
+        decode_flac(bytes(corrupt))
+    # a mid-body bit flip must also fail loudly (CRC-16 or a parse
+    # error, whichever the corrupted rice stream hits first)
+    corrupt3 = bytearray(good)
+    corrupt3[-5] ^= 0x40
+    with pytest.raises(ValueError):
+        decode_flac(bytes(corrupt3))
+    # flip a frame-header byte → CRC-8 (or sync loss) must catch it
+    hdr_at = len(good) - (len(good) - 42)  # first frame starts after meta
+    corrupt2 = bytearray(good)
+    corrupt2[hdr_at + 3] ^= 0x01
+    with pytest.raises(ValueError):
+        decode_flac(bytes(corrupt2))
+    with pytest.raises(NotImplementedError, match="Ogg"):
+        decode_flac(b"OggS" + good)
+    with pytest.raises(ValueError, match="exceed bits_per_sample"):
+        encode_flac(np.array([40000]), 8000)
+    with pytest.raises(ValueError, match="stereo_mode"):
+        encode_flac(np.zeros((4, 2)), 8000, stereo_mode="qqq")
+
+
+def test_dispatch_flac_equals_wav(spark):
+    """audio_features over a FLAC clip must equal the same samples as
+    WAV — the decode_audio_bytes dispatch and FLAC losslessness."""
+    from cae_polars_tools_spark.operators.multimodal import (
+        audio_features,
+        decode_audio_bytes,
+        encode_wav_pcm16,
+    )
+
+    rng = np.random.default_rng(11)
+    x = np.clip(
+        np.cumsum(rng.integers(-99, 100, size=640)), -32768, 32767
+    ).astype(np.int16)
+    flac = encode_flac(x.astype(np.int64), 8000)
+    wav = encode_wav_pcm16(x, 8000)
+    fr, fa = decode_audio_bytes(flac)
+    wr, wa = decode_audio_bytes(wav)
+    assert fr == wr and (fa.reshape(-1) == wa.reshape(-1)).all()
+    df = spark.createDataFrame(
+        [(0, bytearray(flac)), (1, bytearray(wav))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in audio_features(df).collect()}
+    assert rows[0]["rms"] == rows[1]["rms"]
+    assert rows[0]["peak"] == rows[1]["peak"]
+    assert rows[0]["n_samples"] == rows[1]["n_samples"]
+    with pytest.raises(NotImplementedError, match="MP3"):
+        decode_audio_bytes(b"ID3\x04" + b"\x00" * 64)
