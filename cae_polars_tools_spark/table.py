@@ -1,0 +1,245 @@
+"""``Table`` — one facade over the repo's copy-on-write pointer-flip
+protocol, so every lakehouse verb (read current / time travel / merge
+/ delete / compact / zorder / diff / vacuum) goes through a single
+discipline instead of each call site re-implementing it.
+
+ADAPTERS ONLY — no format change. A ``Table`` is exactly the layout
+``streaming.events.cow_upsert_sink`` writes and
+``examples/lakehouse_usage.py`` demonstrated by hand:
+
+* immutable version directories ``v0/ v1/ …`` (plain parquet — any
+  engine reads a version directly);
+* a ``_CURRENT.json`` pointer ``{version, version_dir, batch_id}``
+  that flips LAST through the ByteStore seam (local ``os.replace`` /
+  object-store single-object PUT — readers see the old table or the
+  new one, never a torn state).
+
+Every mutating verb here follows the same two steps: write the new
+version directory fully, then flip the pointer. A crash between the
+two leaves an orphan directory the pointer never referenced — the
+next writer clears it (the ``cow_upsert_sink`` rule).
+
+The two *index* manifests in this repo — IVF-PQ's and the MinHash
+band index's ``_INDEX.json`` — follow the same flip-last discipline
+but version EACH ARTIFACT dir independently (codes/bands/sigs) under
+one manifest, because an index mutation must swap several directories
+atomically-together; they deliberately stay their own small protocols
+rather than forcing multi-dir semantics into this single-dataset one.
+Zarr generations are the third instance of the discipline (generation
+pointer in consolidated metadata). One rule, three layouts, all
+documented here so none drifts silently.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+_CURRENT = "_CURRENT.json"
+
+
+class Table:
+    """A versioned copy-on-write parquet table rooted at ``root``.
+
+    >>> t = Table.create(spark, path, seed_df)
+    >>> t.merge(batch, keys=["doc_id"])      # CoW upsert → v1
+    >>> t.delete("source = 'bad'")           # CoW takedown → v2
+    >>> t.current()                          # DataFrame @ v2
+    >>> t.read_version(0)                    # time travel
+    >>> t.diff(0, keys=["doc_id"])           # change feed since v0
+    >>> t.vacuum(keep_last=2)                # retention
+    """
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root.rstrip("/")
+
+    # -- plumbing ---------------------------------------------------
+
+    def _store(self):
+        from cae_polars_tools_spark.sources.zarr_format import ByteStore
+
+        return ByteStore.for_path(self.root)
+
+    def meta(self) -> dict:
+        """The current pointer ``{version, version_dir, batch_id}``."""
+        raw = self._store().get(_CURRENT)
+        if raw is None:
+            raise FileNotFoundError(
+                f"no {_CURRENT} pointer under {self.root} — not a "
+                "Table (seed one with Table.create)"
+            )
+        return json.loads(raw)
+
+    def exists(self) -> bool:
+        return self._store().get(_CURRENT) is not None
+
+    def version(self) -> int:
+        return self.meta()["version"]
+
+    def _flip(self, meta: dict) -> None:
+        self._store().put(_CURRENT, json.dumps(meta).encode())
+
+    def _next_version_dir(self, meta: dict) -> tuple[int, str]:
+        v = meta["version"] + 1
+        vd = f"v{v}"
+        store = self._store()
+        if store.list_prefix(vd):
+            # orphan from a crash between version-write and pointer
+            # flip — never referenced, safe to clear
+            store.delete_prefix(vd)
+        return v, vd
+
+    def _commit(self, v: int, vd: str, batch_id: int) -> None:
+        self._flip({"version": v, "version_dir": vd, "batch_id": batch_id})
+
+    # -- reads ------------------------------------------------------
+
+    def current(self) -> DataFrame:
+        """The live version (what the pointer references)."""
+        from cae_polars_tools_spark.streaming.events import read_current
+
+        return read_current(self.spark, self.root)
+
+    def read_version(self, version: int) -> DataFrame:
+        """Time travel to an immutable retained version."""
+        from cae_polars_tools_spark.streaming.events import read_version
+
+        return read_version(self.spark, self.root, version)
+
+    def history(self) -> list[int]:
+        """Version numbers still present on storage (oldest first)."""
+        store = self._store()
+        out = set()
+        for name in store.list_prefix(""):
+            m = re.fullmatch(r"v(\d+)/?", name)
+            if m:
+                out.add(int(m.group(1)))
+        return sorted(out)
+
+    def diff(
+        self,
+        since: int,
+        keys: list[str],
+        until: int | None = None,
+    ) -> DataFrame:
+        """Change data feed between two retained versions (default:
+        since → current): one (op, key, new-image) row per insert /
+        update / delete — ``storage.diff_tables`` semantics."""
+        from cae_polars_tools_spark.storage import diff_tables
+
+        old = self.read_version(since)
+        new = (
+            self.current() if until is None else self.read_version(until)
+        )
+        return diff_tables(old, new, keys)
+
+    # -- writes (version dir first, pointer flip LAST) --------------
+
+    @classmethod
+    def create(
+        cls, spark: SparkSession, root: str, df: DataFrame
+    ) -> "Table":
+        """Seed ``v0`` and flip the initial pointer."""
+        t = cls(spark, root)
+        if t.exists():
+            raise FileExistsError(f"Table already exists at {root}")
+        df.write.mode("errorifexists").parquet(f"{t.root}/v0")
+        t._flip({"version": 0, "version_dir": "v0", "batch_id": -1})
+        return t
+
+    def merge(self, batch: DataFrame, keys: list[str]) -> dict:
+        """CoW upsert: only current-version files containing a matched
+        key rewrite, the rest copy byte-for-byte
+        (``storage.merge_parquet``); then the pointer flips."""
+        from cae_polars_tools_spark.storage import merge_parquet
+
+        meta = self.meta()
+        v, vd = self._next_version_dir(meta)
+        stats = merge_parquet(
+            self.spark,
+            f"{self.root}/{meta['version_dir']}",
+            batch,
+            keys,
+            f"{self.root}/{vd}",
+        )
+        self._commit(v, vd, meta["batch_id"])
+        stats["version"] = v
+        return stats
+
+    def delete(self, predicate) -> dict:
+        """CoW DELETE WHERE (``storage.delete_parquet``): matched files
+        rewrite, others copy; pointer flips last. The takedown verb."""
+        from cae_polars_tools_spark.storage import delete_parquet
+
+        meta = self.meta()
+        v, vd = self._next_version_dir(meta)
+        stats = delete_parquet(
+            self.spark,
+            f"{self.root}/{meta['version_dir']}",
+            predicate,
+            f"{self.root}/{vd}",
+        )
+        self._commit(v, vd, meta["batch_id"])
+        stats["version"] = v
+        return stats
+
+    def compact(self, **kwargs) -> dict:
+        """Rewrite the current version toward target-sized files
+        (``storage.compact_parquet``) as a NEW version — the serving-
+        layout verb, now inside the same pointer discipline instead of
+        compacting into a side directory."""
+        from cae_polars_tools_spark.storage import compact_parquet
+
+        meta = self.meta()
+        v, vd = self._next_version_dir(meta)
+        n_files = compact_parquet(
+            self.spark,
+            f"{self.root}/{meta['version_dir']}",
+            f"{self.root}/{vd}",
+            **kwargs,
+        )
+        self._commit(v, vd, meta["batch_id"])
+        return {"files": n_files, "version": v}
+
+    def zorder(self, cols: list[str], **kwargs) -> dict:
+        """Interleaved-bit clustering rewrite (``storage
+        .zorder_parquet``) as a new version — multi-column skipping
+        layout under the same pointer discipline."""
+        from cae_polars_tools_spark.storage import zorder_parquet
+
+        meta = self.meta()
+        v, vd = self._next_version_dir(meta)
+        n_files = zorder_parquet(
+            self.spark,
+            f"{self.root}/{meta['version_dir']}",
+            f"{self.root}/{vd}",
+            cols,
+            **kwargs,
+        )
+        self._commit(v, vd, meta["batch_id"])
+        return {"files": n_files, "version": v}
+
+    # -- retention / streaming -------------------------------------
+
+    def vacuum(self, keep_last: int = 2) -> list[str]:
+        """Drop version directories older than the newest
+        ``keep_last`` (``streaming.events.vacuum_versions``)."""
+        from cae_polars_tools_spark.streaming.events import (
+            vacuum_versions,
+        )
+
+        return vacuum_versions(self.root, keep_last=keep_last)
+
+    def upsert_sink(self, keys: list[str], order_col: str, **kwargs):
+        """The streaming write path into this same table: a
+        ``foreachBatch`` callable (``streaming.events
+        .cow_upsert_sink``) whose versions and pointer are exactly the
+        ones every verb above reads."""
+        from cae_polars_tools_spark.streaming.events import (
+            cow_upsert_sink,
+        )
+
+        return cow_upsert_sink(self.root, keys, order_col, **kwargs)

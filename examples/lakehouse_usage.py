@@ -25,7 +25,6 @@ Run: ``python examples/lakehouse_usage.py [sf_dir]``
 
 from __future__ import annotations
 
-import json
 import os
 import sys
 import tempfile
@@ -37,27 +36,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from cae_polars_tools_spark.io import read_table  # noqa: E402
 from cae_polars_tools_spark.plans.registry import load_all  # noqa: E402
 from cae_polars_tools_spark.session import get_spark  # noqa: E402
-from cae_polars_tools_spark.storage import (  # noqa: E402
-    compact_parquet,
-    delete_parquet,
-)
-from cae_polars_tools_spark.streaming.events import (  # noqa: E402
-    cow_upsert_sink,
-    read_current,
-)
-
-
-def _pointer(target: str) -> dict:
-    with open(os.path.join(target, "_CURRENT.json")) as fh:
-        return json.load(fh)
-
-
-def _flip_pointer(target: str, meta: dict) -> None:
-    # same order the sink uses: version directory fully written FIRST,
-    # pointer last (a local os.replace-class atomic write is what
-    # ByteStore does; a demo-scope plain write keeps the example short)
-    with open(os.path.join(target, "_CURRENT.json"), "w") as fh:
-        json.dump(meta, fh)
+from cae_polars_tools_spark.table import Table  # noqa: E402
 
 
 def cdc_upsert_loop(spark, sf_dir: str, work: str) -> str:
@@ -91,9 +70,10 @@ def cdc_upsert_loop(spark, sf_dir: str, work: str) -> str:
         .option("maxFilesPerTrigger", "1")
         .parquet(src + "/*")
     )
+    table = Table(spark, target)
     q = (
         stream.writeStream.foreachBatch(
-            cow_upsert_sink(target, keys=["doc_id"], order_col="rev")
+            table.upsert_sink(keys=["doc_id"], order_col="rev")
         )
         .option("checkpointLocation", os.path.join(work, "ckpt"))
         .trigger(availableNow=True)
@@ -101,64 +81,41 @@ def cdc_upsert_loop(spark, sf_dir: str, work: str) -> str:
     )
     q.awaitTermination(300)
 
-    cur = read_current(spark, target)
+    cur = table.current()
     n_total, n_rev = cur.count(), cur.filter(F.col("rev") == 1).count()
     print(f"CDC upsert: CURRENT has {n_total} rows, {n_rev} at rev=1")
     return target
 
 
 def takedown_and_compact(spark, target: str, work: str) -> None:
-    """Right-to-be-forgotten + serving layout on the live version."""
-    cur = read_current(spark, target)
-    victim = cur.select("source").orderBy("source").first()["source"]
+    """Right-to-be-forgotten + serving layout + change feed +
+    retention — every verb through the ONE Table facade (one
+    pointer-flip discipline, no hand-rolled pointer I/O)."""
+    table = Table(spark, target)
+    pre_takedown = table.version()
+    victim = (
+        table.current().select("source").orderBy("source").first()["source"]
+    )
 
-    meta = _pointer(target)
-    cur_dir = os.path.join(target, meta["version_dir"])
-    next_dir_name = f"v{meta['version'] + 1}"
-    stats = delete_parquet(
-        spark,
-        cur_dir,
-        f"source = '{victim}'",
-        os.path.join(target, next_dir_name),
-    )
-    _flip_pointer(
-        target,
-        {
-            "version": meta["version"] + 1,
-            "version_dir": next_dir_name,
-            "batch_id": meta["batch_id"],
-        },
-    )
-    after = read_current(spark, target)
-    assert after.filter(F.col("source") == victim).count() == 0
+    stats = table.delete(f"source = '{victim}'")
+    assert table.current().filter(F.col("source") == victim).count() == 0
     print(
-        f"takedown: source {victim!r} removed copy-on-write "
-        f"({stats['rows_deleted']} rows, "
+        f"takedown: source {victim!r} removed copy-on-write → "
+        f"v{stats['version']} ({stats['rows_deleted']} rows, "
         f"{stats['files_rewritten']} files rewritten, "
         f"{stats['files_copied']} copied verbatim)"
     )
 
-    n_files = compact_parquet(
-        spark,
-        os.path.join(target, next_dir_name),
-        os.path.join(work, "compacted"),
-    )
-    print(f"compaction: {n_files} serving file(s)")
+    out = table.compact()
+    print(f"compaction: {out['files']} serving file(s) → v{out['version']}")
 
-    # change data feed between the pre- and post-takedown versions:
-    # downstream consumers see exactly the deleted rows, nothing else
-    from cae_polars_tools_spark.storage import diff_tables
-    from cae_polars_tools_spark.streaming.events import (
-        read_version,
-        vacuum_versions,
-    )
-
-    before = read_version(spark, target, meta["version"])
-    feed = diff_tables(before, after, ["doc_id"])
+    # change data feed: downstream consumers see exactly the deleted
+    # rows, nothing else (compaction changes layout, not content)
+    feed = table.diff(pre_takedown, keys=["doc_id"])
     ops = {r["op"]: r["n"] for r in feed.groupBy("op").agg(
         F.count(F.lit(1)).alias("n")).collect()}
-    print(f"change feed vs previous version: {ops}")
-    removed = vacuum_versions(target, keep_last=2)
+    print(f"change feed since v{pre_takedown}: {ops}")
+    removed = table.vacuum(keep_last=2)
     print(f"vacuum: removed {removed or 'nothing'} (keep_last=2)")
 
 

@@ -1,0 +1,125 @@
+"""Table facade: the single copy-on-write pointer discipline behind
+create/merge/delete/compact/zorder/diff/vacuum, adapter-compatible
+with cow_upsert_sink's on-disk format."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cae_polars_tools_spark.table import Table
+
+
+def _seed(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, f"src{i % 3}", i * 10) for i in range(30)],
+        "doc_id long, source string, n long",
+    )
+    return Table.create(spark, str(tmp_path / "t"), df)
+
+
+def test_create_merge_delete_versions_and_time_travel(spark, tmp_path):
+    t = _seed(spark, tmp_path)
+    assert t.version() == 0 and t.current().count() == 30
+
+    batch = spark.createDataFrame(
+        [(0, "src0", 999), (100, "srcX", 1)],
+        "doc_id long, source string, n long",
+    )
+    stats = t.merge(batch, keys=["doc_id"])
+    assert stats["version"] == 1
+    assert stats["rows_updated"] == 1 and stats["rows_inserted"] == 1
+    cur = t.current()
+    assert cur.count() == 31
+    assert cur.filter("doc_id = 0").first()["n"] == 999
+
+    stats = t.delete("source = 'src1'")
+    assert stats["version"] == 2 and stats["rows_deleted"] == 10
+    assert t.current().filter("source = 'src1'").count() == 0
+
+    # time travel: every retained version is a consistent snapshot
+    assert t.read_version(0).count() == 30
+    assert t.read_version(0).filter("doc_id = 0").first()["n"] == 0
+    assert t.read_version(1).count() == 31
+    assert t.history() == [0, 1, 2]
+
+
+def test_diff_is_change_feed(spark, tmp_path):
+    t = _seed(spark, tmp_path)
+    t.merge(
+        spark.createDataFrame(
+            [(0, "src0", 999)], "doc_id long, source string, n long"
+        ),
+        keys=["doc_id"],
+    )
+    t.delete("doc_id = 5")
+    ops = {
+        (r["op"], r["doc_id"])
+        for r in t.diff(0, keys=["doc_id"]).collect()
+    }
+    assert ops == {("update", 0), ("delete", 5)}
+    # bounded window: v0 → v1 sees only the update
+    ops01 = {
+        (r["op"], r["doc_id"])
+        for r in t.diff(0, keys=["doc_id"], until=1).collect()
+    }
+    assert ops01 == {("update", 0)}
+
+
+def test_compact_zorder_preserve_rows(spark, tmp_path):
+    t = _seed(spark, tmp_path)
+    before = {tuple(r) for r in t.current().collect()}
+    out = t.compact(target_file_bytes=1 << 20)
+    assert out["version"] == 1 and out["files"] >= 1
+    assert {tuple(r) for r in t.current().collect()} == before
+    out = t.zorder(["doc_id", "n"])
+    assert out["version"] == 2
+    assert {tuple(r) for r in t.current().collect()} == before
+
+
+def test_vacuum_and_orphan_cleanup(spark, tmp_path):
+    t = _seed(spark, tmp_path)
+    t.delete("doc_id = 1")
+    t.delete("doc_id = 2")
+    removed = t.vacuum(keep_last=2)
+    assert removed == ["v0"]
+    assert t.history() == [1, 2]
+    with pytest.raises(FileNotFoundError):
+        t.read_version(0)
+    # orphan next-version dir (crash between write and flip) is
+    # cleared by the next writer, not stumbled over
+    os.makedirs(f"{t.root}/v3/junk")
+    t.delete("doc_id = 3")
+    assert t.version() == 3
+    assert t.current().filter("doc_id = 3").count() == 0
+
+
+def test_create_refuses_overwrite_and_missing_pointer(spark, tmp_path):
+    t = _seed(spark, tmp_path)
+    with pytest.raises(FileExistsError):
+        Table.create(spark, t.root, t.current())
+    t2 = Table(spark, str(tmp_path / "nope"))
+    assert not t2.exists()
+    with pytest.raises(FileNotFoundError, match="not a Table"):
+        t2.meta()
+
+
+def test_adapter_compatible_with_streaming_sink(spark, tmp_path):
+    """A table written by cow_upsert_sink opens as a Table, and a
+    Table seeded here is written to by the sink — one protocol."""
+    t = _seed(spark, tmp_path)
+    sink = t.upsert_sink(keys=["doc_id"], order_col="n")
+    batch = spark.createDataFrame(
+        [(7, "src7", 70000)], "doc_id long, source string, n long"
+    )
+    sink(batch, batch_id=0)
+    assert t.version() == 1
+    assert t.current().filter("doc_id = 7").first()["n"] == 70000
+    # replayed micro-batch is a no-op (effectively-once)
+    sink(batch, batch_id=0)
+    assert t.version() == 1
+    # facade verbs continue the same chain the sink advanced
+    t.delete("doc_id = 7")
+    assert t.version() == 2 and t.meta()["batch_id"] == 0
