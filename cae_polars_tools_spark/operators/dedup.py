@@ -2551,6 +2551,111 @@ def dedup_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cut_repeated_spans(d)
 
 
+def span_candidate_sink(
+    target_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SPAN_K,
+):
+    """``foreachBatch`` sink maintaining the streaming state for
+    repeated-span detection — the last dedup modality without a
+    streaming twin (exact, near-dup and per-domain cap have theirs in
+    streaming/events.py; the hh candidate sink covers heavy hitters).
+
+    What must be persisted is different from the heavy-hitter case: a
+    span can reach ``min_docs`` with ONE document per micro-batch, so
+    no per-batch threshold can pre-filter candidates — the pigeonhole
+    that bounds MG candidates does not transfer. What DOES transfer is
+    mergeability: per-document distinctness of a k-gram hash is
+    row-local (``array_distinct`` before the explode) and every doc
+    lives in exactly one batch, so per-batch ``(h, df)`` partial
+    doc-frequency counts SUM to the exact global doc frequency. Each
+    micro-batch writes its partial-count segment ``batch=<id>/``
+    (replays skip via the ``_SUCCESS`` protocol — a committed segment
+    re-summed would double-count, unlike the hh sink's idempotent
+    union, so the marker is load-bearing here); state is bounded by
+    distinct k-grams, the information-theoretic floor for cross-batch
+    substring detection.
+
+    The exact spans then come from :func:`finalize_repeated_spans`
+    over the accumulated corpus — equal to the batch
+    :func:`repeated_spans` by construction (equivalence-tested).
+
+    Returns the ``(batch_df, batch_id)`` callable."""
+    from cae_polars_tools_spark.operators.sketches import _begin_segment
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.columns or batch_df.isEmpty():
+            return
+        seg = _begin_segment(target_dir, batch_id)
+        if seg is None:
+            return  # committed replay: re-summing would double-count
+        (
+            batch_df.select(
+                kgram_hash_seq(F.col(text_col), k).alias("hs")
+            )
+            .select(F.explode(F.array_distinct("hs")).alias("h"))
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .write.mode("errorifexists")
+            .parquet(seg)
+        )
+
+    return sink
+
+
+def finalize_repeated_spans(
+    spark: SparkSession,
+    target_dir: str,
+    corpus: DataFrame,
+    min_docs: int = SPAN_MIN_DOCS,
+    k: int = SPAN_K,
+    min_len: int = SPAN_MIN_LEN,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_flagged: bool = True,
+) -> DataFrame:
+    """Exact repeated spans from the streaming state: sum the
+    accumulated per-batch ``(h, df)`` partials to global doc
+    frequencies, flag hashes at ``df ≥ min_docs``, and run the same
+    flagged-postings island merge as :func:`repeated_spans` over the
+    accumulated corpus — no re-counting, the text is hashed once
+    here and never shuffled (the flagged set broadcasts). Output
+    contract identical to :func:`repeated_spans`."""
+    from pyspark.sql import Window
+
+    flagged = (
+        spark.read.parquet(target_dir)
+        .groupBy("h")
+        .agg(F.sum("df").alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("h")
+    )
+    if broadcast_flagged:
+        flagged = F.broadcast(flagged)
+    idx = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(kgram_hash_seq(F.col(text_col), k)).alias(
+            "pos", "h"
+        ),
+    )
+    rep = idx.join(flagged, "h", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = rep.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") - F.min("pos") + F.lit(k))
+            .cast("long")
+            .alias("span_len"),
+            F.min("h").alias("cluster_id"),
+        )
+        .filter(F.col("span_len") >= min_len)
+        .drop("grp")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Edit-distance fuzzy join (PassJoin-style segment blocking) — the
 # entity-resolution primitive (near-identical names / titles / keys).

@@ -823,3 +823,61 @@ def test_time_travel_and_vacuum(spark, tmp_path):
     # current unaffected; vacuum again is a no-op
     assert read_current(spark, root).count() == 2
     assert vacuum_versions(root, keep_last=1) == []
+
+
+def test_span_candidate_sink_stream_equals_batch(spark, tmp_path):
+    """Streaming span state (per-batch mergeable (h, df) partials)
+    finalized over the accumulated corpus must equal the batch
+    repeated_spans — including a span whose min_docs occurrences
+    arrive ONE PER MICRO-BATCH (the case no per-batch threshold could
+    catch) — and a replayed batch must not double-count."""
+    import os
+
+    from cae_polars_tools_spark.io import read_table
+    from cae_polars_tools_spark.operators.dedup import (
+        finalize_repeated_spans,
+        repeated_spans,
+        span_candidate_sink,
+    )
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    # one boilerplate span spread across three different batches
+    boiler = "COMMON LICENSE BOILERPLATE PARAGRAPH X"
+    extra = spark.createDataFrame(
+        [(10_000 + b, f"batch {b} prefix {boiler} suffix {b}")
+         for b in range(3)],
+        "doc_id long, text string",
+    )
+    corpus = docs.unionByName(extra)
+    batches = [
+        corpus.filter((F.col("doc_id") % 3) == b).persist()
+        for b in range(3)
+    ]
+    target = str(tmp_path / "spans")
+    sink = span_candidate_sink(target)
+    for bid, bdf in enumerate(batches):
+        sink(bdf, bid)
+
+    got = {
+        tuple(r)
+        for r in finalize_repeated_spans(spark, target, corpus).collect()
+    }
+    want = {tuple(r) for r in repeated_spans(corpus).collect()}
+    assert got == want and got, "stream finalize must equal batch"
+    # the cross-batch-only span was detected
+    cross = {r for r in got if r[0] >= 10_000}
+    assert len(cross) == 3
+
+    # replay: segment skipped, finalize unchanged (no double count)
+    segs = set(os.listdir(target))
+    sink(batches[0], 0)
+    assert set(os.listdir(target)) == segs
+    got2 = {
+        tuple(r)
+        for r in finalize_repeated_spans(spark, target, corpus).collect()
+    }
+    assert got2 == want
+    for b in batches:
+        b.unpersist()
