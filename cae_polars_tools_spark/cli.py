@@ -414,6 +414,83 @@ def benchmark_command(args) -> int:
 # ---------------------------------------------------------------------------
 
 
+_MATRIX_BEGIN = "<!-- BEGIN GENERATED OPERATOR MATRIX -->"
+_MATRIX_END = "<!-- END GENERATED OPERATOR MATRIX -->"
+
+
+def generate_operator_matrix() -> str:
+    """The operator matrix, generated FROM the registry — one row per
+    corpus entry with its oracle class, driver-window membership,
+    plan-pin status (the entry's name appears quoted in
+    tests/test_plan_quality.py) and tags. Docs that are derived can't
+    drift from the 160+ entries the way hand-maintained prose can;
+    a test pins the committed README section to this output."""
+    import os
+
+    from cae_polars_tools_spark.plans.registry import (
+        DRIVER_WINDOW_ORDER,
+        load_all,
+    )
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pin_path = os.path.join(root, "tests", "test_plan_quality.py")
+    pin_src = ""
+    if os.path.isfile(pin_path):
+        with open(pin_path) as fh:
+            pin_src = fh.read()
+
+    corpus = load_all()
+    window = set(DRIVER_WINDOW_ORDER)
+    n_oracle = sum(1 for s in corpus.values() if s.oracle)
+    pinned = {n for n in corpus if f'"{n}"' in pin_src}
+    lines = [
+        f"{len(corpus)} entries — {n_oracle} with value-level DuckDB "
+        f"oracles, {len(corpus) - n_oracle} rows-only; "
+        f"{len(window)} in the pinned driver correctness window; "
+        f"{len(pinned)} with physical-plan regression pins. "
+        "Generated by `python -m cae_polars_tools_spark.cli docs` — "
+        "do not edit by hand.",
+        "",
+        "| entry | oracle | driver window | plan pin | tags |",
+        "|---|---|---|---|---|",
+    ]
+    for name, spec in corpus.items():
+        lines.append(
+            "| `{}` | {} | {} | {} | {} |".format(
+                name,
+                "value" if spec.oracle else "rows-only",
+                "yes" if name in window else "",
+                "yes" if name in pinned else "",
+                ", ".join(spec.tags),
+            )
+        )
+    return "\n".join(lines)
+
+
+def docs_command(args) -> int:
+    """Print the generated operator matrix, or splice it into a
+    markdown file between the BEGIN/END markers with ``--write``."""
+    matrix = generate_operator_matrix()
+    if not args.write:
+        print(matrix)
+        return 0
+    with open(args.write) as fh:
+        doc = fh.read()
+    if _MATRIX_BEGIN not in doc or _MATRIX_END not in doc:
+        raise SystemExit(
+            f"{args.write} has no {_MATRIX_BEGIN} / {_MATRIX_END} "
+            "marker pair to splice into"
+        )
+    head, rest = doc.split(_MATRIX_BEGIN, 1)
+    _, tail = rest.split(_MATRIX_END, 1)
+    with open(args.write, "w") as fh:
+        fh.write(
+            f"{head}{_MATRIX_BEGIN}\n{matrix}\n{_MATRIX_END}{tail}"
+        )
+    print(f"wrote operator matrix into {args.write}")
+    return 0
+
+
 def list_queries_command(args) -> int:
     """Print the registered corpus: one line per entry with its
     oracle status and tags — the engine's declared capability
@@ -566,6 +643,19 @@ def create_parser() -> argparse.ArgumentParser:
         help="list every registered corpus query (name, gate, tags)",
     )
     sp.set_defaults(func=list_queries_command)
+
+    sp = sub.add_parser(
+        "docs",
+        help="generate the operator matrix from the registry "
+        "(print, or --write README.md to splice between markers)",
+    )
+    sp.add_argument(
+        "--write",
+        default=None,
+        help="markdown file to splice the matrix into (between the "
+        "BEGIN/END GENERATED OPERATOR MATRIX markers)",
+    )
+    sp.set_defaults(func=docs_command)
 
     sp = sub.add_parser(
         "query", help="run a registered corpus query over a table dir"

@@ -303,3 +303,44 @@ def test_cli_explain_prints_physical_plan(capsys):
 
     with _pytest.raises(SystemExit, match="did you mean"):
         main(["explain", "q03_filter_predicate"])
+
+
+def test_docs_matrix_matches_committed_readme():
+    """The README operator-matrix section must be EXACTLY what the
+    registry generates — docs derived from code cannot drift from the
+    entry list the way hand-maintained prose can. Regenerate with
+    `python -m cae_polars_tools_spark.cli docs --write README.md`."""
+    import os
+
+    from cae_polars_tools_spark.cli import (
+        _MATRIX_BEGIN,
+        _MATRIX_END,
+        generate_operator_matrix,
+    )
+
+    readme = os.path.join(
+        os.path.dirname(__file__), "..", "README.md"
+    )
+    with open(readme) as fh:
+        doc = fh.read()
+    assert _MATRIX_BEGIN in doc and _MATRIX_END in doc
+    committed = doc.split(_MATRIX_BEGIN, 1)[1].split(_MATRIX_END, 1)[0]
+    assert committed.strip("\n") == generate_operator_matrix(), (
+        "README operator matrix is stale — regenerate with "
+        "`python -m cae_polars_tools_spark.cli docs --write README.md`"
+    )
+
+
+def test_docs_command_print_and_write(tmp_path, capsys):
+    from cae_polars_tools_spark.cli import main
+
+    assert main(["docs"]) == 0
+    out = capsys.readouterr().out
+    assert "| entry | oracle |" in out and "`q01_pricing_summary`" in out
+    # --write refuses a file without the marker pair
+    p = tmp_path / "no_markers.md"
+    p.write_text("# nothing here\n")
+    import pytest
+
+    with pytest.raises(SystemExit, match="marker pair"):
+        main(["docs", "--write", str(p)])
