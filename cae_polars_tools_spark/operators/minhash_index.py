@@ -211,6 +211,98 @@ def append_minhash_index(
     return {"rows_appended": n}
 
 
+def minhash_ingest_sink(
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """``writeStream.foreachBatch`` sink maintaining the persisted
+    band index from a document stream: each micro-batch signs under
+    the index's FROZEN hash family and appends sigs + band segments
+    (:func:`append_minhash_index` semantics). Replay safety is
+    ID-LEVEL, the ivfpq_ingest_sink rule: the batch dedups within
+    itself, then anti-joins ids already in the sigs table — a
+    redelivered batch (foreachBatch's at-least-once contract) or a
+    crash between segment write and checkpoint commit re-appends
+    nothing, making the sink effectively-once for stable doc_ids."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.columns or batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        bands_path, sigs_path, _ = _dirs(spark, path)
+        fresh = batch_df.dropDuplicates([id_col]).join(
+            spark.read.parquet(sigs_path).select(
+                F.col("doc_id").alias(id_col)
+            ),
+            id_col,
+            "left_anti",
+        )
+        # localCheckpoint, not persist: the plan anti-joins against
+        # the sigs table this sink is about to append to, and Spark
+        # invalidates cached plans that read a written path — a
+        # cache would silently recompute against the UPDATED table
+        # (seeing its own output, dropping every row) the moment the
+        # first append lands. Checkpointing severs the lineage.
+        new = _signed(fresh, id_col, text_col).localCheckpoint()
+        if new.count() == 0:
+            return
+        # bands BEFORE sigs: a crash between the writes leaves band
+        # rows whose doc is absent from sigs — invisible to probes
+        # (the verify join drops them) and HEALED on replay, because
+        # replay detection anti-joins on sigs. The opposite order
+        # would leave a doc permanently invisible instead.
+        (
+            _bands_of(new)
+            .sortWithinPartitions("bh", "band")
+            .write.mode("append")
+            .partitionBy("shard")
+            .parquet(bands_path)
+        )
+        new.write.mode("append").parquet(sigs_path)
+
+    return sink
+
+
+def compact_minhash_index(spark: SparkSession, path: str) -> dict:
+    """Restore the index's global clustering after a run of appends:
+    appended segments are only LOCALLY bh-clustered, so probe-side
+    row-group pruning degrades as segments accumulate. Rewrite both
+    tables into new versioned directories — bands range-clustered on
+    (shard, bh), sigs on doc_id — then flip the meta pointers LAST
+    (readers never observe a half-compacted index). Content is
+    unchanged (equivalence-tested); only layout improves."""
+    from cae_polars_tools_spark.sources.zarr_format import ByteStore
+
+    root = path.rstrip("/")
+    bands_path, sigs_path, meta = _dirs(spark, root)
+    nxt_bands = _next_dir(meta["bands_dir"], "bands")
+    nxt_sigs = _next_dir(meta["sigs_dir"], "sigs")
+    (
+        spark.read.parquet(sigs_path)
+        .repartitionByRange(F.col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("errorifexists")
+        .parquet(f"{root}/{nxt_sigs}")
+    )
+    (
+        spark.read.parquet(bands_path)
+        .repartitionByRange(F.col("shard"), F.col("bh"))
+        .sortWithinPartitions("bh", "band")
+        .write.mode("errorifexists")
+        .partitionBy("shard")
+        .parquet(f"{root}/{nxt_bands}")
+    )
+    meta = {**meta, "bands_dir": nxt_bands, "sigs_dir": nxt_sigs}
+    ByteStore.for_path(root).put(_INDEX_META, json.dumps(meta).encode())
+    return {"bands_dir": nxt_bands, "sigs_dir": nxt_sigs}
+
+
+def _next_dir(cur: str, stem: str) -> str:
+    m = re.fullmatch(rf"{stem}_v(\d+)", cur)
+    return f"{stem}_v{int(m.group(1)) + 1 if m else 1}"
+
+
 def delete_minhash_index(
     spark: SparkSession,
     path: str,
@@ -230,12 +322,8 @@ def delete_minhash_index(
     root = path.rstrip("/")
     bands_path, sigs_path, meta = _dirs(spark, root)
 
-    def _next(cur: str, stem: str) -> str:
-        m = re.fullmatch(rf"{stem}_v(\d+)", cur)
-        return f"{stem}_v{int(m.group(1)) + 1 if m else 1}"
-
-    nxt_bands = _next(meta["bands_dir"], "bands")
-    nxt_sigs = _next(meta["sigs_dir"], "sigs")
+    nxt_bands = _next_dir(meta["bands_dir"], "bands")
+    nxt_sigs = _next_dir(meta["sigs_dir"], "sigs")
     bands_stats = delete_parquet(
         spark, bands_path, predicate, f"{root}/{nxt_bands}"
     )

@@ -129,3 +129,34 @@ def test_query_missing_index_raises(spark, tmp_path):
         query_minhash_index(
             spark, str(tmp_path / "nope"), _docs(spark).limit(1)
         )
+
+
+def test_ingest_sink_effectively_once_and_compact_preserves(spark, tmp_path):
+    """Streaming ingest: a redelivered micro-batch (or one carrying a
+    duplicate) appends nothing twice; compaction rewrites layout into
+    new versioned dirs without changing probe answers."""
+    from cae_polars_tools_spark.operators.minhash_index import (
+        compact_minhash_index,
+    )
+    from cae_polars_tools_spark.operators.minhash_index import (
+        minhash_ingest_sink,
+    )
+
+    root = str(tmp_path / "idx")
+    hist = _docs(spark).filter(~F.expr(_PRED))
+    cut = hist.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+    build_minhash_index(hist.filter(F.col("doc_id") <= cut), root)
+    sink = minhash_ingest_sink(root)
+    tail = hist.filter(F.col("doc_id") > cut)
+    sink(tail, 0)
+    n_after = spark.read.parquet(f"{root}/sigs_v0").count()
+    sink(tail, 0)  # redelivery: id-level dedup makes it a no-op
+    assert spark.read.parquet(f"{root}/sigs_v0").count() == n_after
+    want = _query_set(spark, root)
+    assert want == _inline_cross_role_pairs(spark)
+
+    out = compact_minhash_index(spark, root)
+    meta = load_minhash_meta(root)
+    assert meta["bands_dir"] == out["bands_dir"] == "bands_v1"
+    assert meta["sigs_dir"] == out["sigs_dir"] == "sigs_v1"
+    assert _query_set(spark, root) == want
