@@ -107,6 +107,11 @@ SF01_SENSITIVE = (
     "q81_rolling_median",  # interpolated percentile window under volume
     "text_heavy_hitters",  # integer threshold boundary under volume
     "sketch_rollup_distinct",  # HLL estimate tolerance under volume
+    # round-11 additions hand-verified at sf0.01 during the build
+    "dedup_minhash_index",  # LSH recall + frozen-family probe at volume
+    "q78_profile_approx",  # HLL-vs-exact tolerance boolean under volume
+    "mm_flac_features",  # rice/predictor coverage widens with volume
+    "text_normalize",  # nfc_normalize twin over the full corpus
 )
 
 
