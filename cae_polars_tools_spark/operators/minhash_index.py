@@ -522,3 +522,169 @@ def dedup_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     if meta is None or meta.get("fingerprint") != fp:
         build_minhash_index(hist, root, fingerprint=fp)
     return query_minhash_index(spark, root, batch)
+
+
+# ---------------------------------------------------------------------------
+# The composition the index exists for: nightly incremental dedup
+# where history is the PERSISTED index — O(batch) per cycle.
+# ---------------------------------------------------------------------------
+
+
+def incremental_dedup_indexed(
+    spark: SparkSession,
+    index_path: str,
+    batch: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """Surviving batch documents after dedup against the PERSISTED
+    index and within the batch itself — ``incremental_dedup``'s drop
+    rules (dedup.py) with the history side served entirely from the
+    index artifacts, so a nightly cycle costs O(batch), never
+    O(history):
+
+    * exact — the doc's md5 fingerprint exists in the index's sigs
+      table (broadcast-batch anti-probe), or an earlier batch doc
+      shares it (min doc_id per fp wins);
+    * near-dup — a probe pair (:func:`query_minhash_index`) links the
+      doc to ANY indexed doc at Jaccard ≥ ``threshold``, or an
+      earlier batch doc does (within-batch pairs from the inline
+      banded path over the batch alone — O(batch), and a < b drops b).
+
+    The caller appends the survivors to the index afterwards
+    (:func:`append_minhash_index` / the ingest sink) to close the
+    loop. History text is never read; history signatures are never
+    recomputed — the two costs the inline ``incremental_dedup``
+    pays every cycle."""
+    from cae_polars_tools_spark.operators.dedup import minhash_lsh_pairs
+    from cae_polars_tools_spark.operators.text import fingerprint
+
+    _, sigs_path, _ = _dirs(spark, index_path)
+    b = batch.select(
+        F.col(id_col).alias("doc_id"),
+        *keep_cols,
+        fingerprint(text_col).alias("fp"),
+        F.col(text_col).alias("text"),
+    ).persist()
+    b.count()
+
+    # exact: history wins, then first-in-batch wins. A plain
+    # batch-LEFT-ANTI-history join can only broadcast the RIGHT side
+    # (the huge one), so invert it: semi-probe the sigs fp column with
+    # the BROADCAST batch fps (history scans map-side, never
+    # shuffles; the matches are ⊆ batch fps, so they broadcast back)
+    batch_fps = b.select("fp").distinct()
+    matched = (
+        spark.read.parquet(sigs_path)
+        .select("fp")
+        .join(F.broadcast(batch_fps), "fp", "left_semi")
+        .distinct()
+    )
+    no_hist = b.join(F.broadcast(matched), "fp", "left_anti")
+    first = no_hist.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    exact_kept = (
+        no_hist.join(F.broadcast(first), "fp")
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", *keep_cols)
+    )
+
+    # near-dup vs the index: probe pairs drop the batch side
+    probe = query_minhash_index(
+        spark, index_path, b, threshold=threshold,
+        id_col="doc_id", text_col="text",
+    ).select(F.col("doc_id_new").alias("doc_id"))
+    # near-dup within the batch: inline banded path, a < b drops b
+    within = minhash_lsh_pairs(
+        b.select("doc_id", "text"), threshold=threshold
+    ).select(F.col("doc_id_b").alias("doc_id"))
+    # bounded by the batch's near-dup degree — broadcast, so the
+    # final anti-join never shuffles the survivors
+    dropped = probe.unionByName(within).distinct()
+    return exact_kept.join(F.broadcast(dropped), "doc_id", "left_anti")
+
+
+_INDEXED_INCREMENTAL_ORACLE = f"""
+    WITH sh AS (
+        SELECT doc_id, {{shingles}} AS s FROM documents
+    ),
+    fps AS (
+        SELECT doc_id, source, {{fp}} AS fp FROM documents
+    ),
+    newb AS (SELECT * FROM fps WHERE {_NEW_BATCH_PRED}),
+    hist AS (SELECT * FROM fps WHERE NOT ({_NEW_BATCH_PRED})),
+    exact_kept AS (
+        SELECT n.doc_id, n.source FROM newb n
+        WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = n.fp)
+          AND n.doc_id = (SELECT MIN(m.doc_id) FROM newb m
+                          WHERE m.fp = n.fp)
+    ),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+    jp AS (
+        SELECT p.da, p.db
+        FROM pairs p
+        JOIN sizes sa ON p.da = sa.doc_id
+        JOIN sizes sb ON p.db = sb.doc_id
+        WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter)
+              >= {JACCARD_THRESHOLD}
+    ),
+    near_dropped AS (
+        SELECT db AS doc_id FROM jp
+        WHERE da IN (SELECT doc_id FROM hist)
+          AND db IN (SELECT doc_id FROM newb)
+        UNION
+        SELECT da FROM jp
+        WHERE db IN (SELECT doc_id FROM hist)
+          AND da IN (SELECT doc_id FROM newb)
+        UNION
+        SELECT db FROM jp
+        WHERE da IN (SELECT doc_id FROM newb)
+          AND db IN (SELECT doc_id FROM newb)
+    )
+    SELECT doc_id, source FROM exact_kept
+    WHERE doc_id NOT IN (SELECT doc_id FROM near_dropped)
+"""
+
+
+def _indexed_incremental_oracle() -> str:
+    from cae_polars_tools_spark.operators.dedup import SHINGLES_SQL
+    from cae_polars_tools_spark.operators.text import FINGERPRINT_SQL
+
+    return _INDEXED_INCREMENTAL_ORACLE.format(
+        shingles=SHINGLES_SQL, fp=FINGERPRINT_SQL
+    )
+
+
+@register(
+    "dedup_incremental_indexed",
+    # exact cross/within-role Jaccard + fingerprint recompute; LSH
+    # recall argument identical to dedup_minhash_index
+    oracle=_indexed_incremental_oracle(),
+    tags=("dedup", "extension", "lsh", "index", "incremental"),
+    window_rank=1,
+)
+def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The loop the index closes: tonight's batch deduped against the
+    PERSISTED history index — exact by fingerprint anti-probe,
+    near-dup by LSH probe pairs plus the within-batch banded path —
+    with history text never read and history signatures never
+    recomputed (the inline ``dedup_incremental``'s O(history) costs).
+    The oracle recomputes fingerprints and the exact uncapped Jaccard
+    cascade in SQL, so the composed drop rules are value-checked end
+    to end."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    hist = docs.filter(~F.expr(_NEW_BATCH_PRED))
+    batch = docs.filter(F.expr(_NEW_BATCH_PRED))
+    root = _index_root(sf_dir)
+    fp = _documents_fingerprint(sf_dir)
+    meta = load_minhash_meta(root)
+    if meta is None or meta.get("fingerprint") != fp:
+        build_minhash_index(hist, root, fingerprint=fp)
+    return incremental_dedup_indexed(spark, root, batch)

@@ -823,3 +823,13 @@ def test_minhash_index_probe_is_pruned_and_broadcast(spark):
     seg = bands_scan[0]
     assert "PartitionFilters: [shard" in seg and "INSET" in seg, seg
     assert "PushedFilters: [In(bh" in seg, seg
+
+
+def test_incremental_indexed_no_history_shuffle_joins(spark):
+    """dedup_incremental_indexed: every join on the index-probe and
+    drop paths must broadcast the (small) batch-derived side — no
+    SortMergeJoin anywhere, so history tables are scanned but never
+    shuffled."""
+    plan = _plan(spark, "dedup_incremental_indexed")
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
