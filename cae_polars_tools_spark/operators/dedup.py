@@ -2591,9 +2591,13 @@ def span_candidate_sink(
         if seg is None:
             return  # committed replay: re-summing would double-count
         (
-            batch_df.select(
-                kgram_hash_seq(F.col(text_col), k).alias("hs")
-            )
+            # one row per document: the partial df counts are exact
+            # only if each doc contributes once across the WHOLE
+            # stream — within-batch duplicates are dropped here;
+            # cross-batch uniqueness of ids is the caller's contract
+            # (the same stable-id premise every index sink has)
+            batch_df.dropDuplicates([id_col])
+            .select(kgram_hash_seq(F.col(text_col), k).alias("hs"))
             .select(F.explode(F.array_distinct("hs")).alias("h"))
             .groupBy("h")
             .agg(F.count(F.lit(1)).alias("df"))

@@ -331,10 +331,21 @@ def encode_flac(
     # ---- STREAMINFO
     import hashlib
 
-    raw = x.astype("<i8").astype(
-        f"<i{max(1, (bps + 7) // 8)}"
-    )  # interleaved little-endian, byte-aligned
-    md5 = hashlib.md5(raw.reshape(-1).tobytes()).digest()
+    # STREAMINFO md5 is over the interleaved little-endian samples at
+    # the byte-aligned width. numpy has no 3-byte dtype (20/24-bit →
+    # 3 bytes/sample), so pack via int32 and slice the low 3 bytes.
+    nbytes = max(1, (bps + 7) // 8)
+    if nbytes == 3:
+        raw_bytes = (
+            x.reshape(-1)
+            .astype("<i4")
+            .view(np.uint8)
+            .reshape(-1, 4)[:, :3]
+            .tobytes()
+        )
+    else:
+        raw_bytes = x.reshape(-1).astype(f"<i{nbytes}").tobytes()
+    md5 = hashlib.md5(raw_bytes).digest()
     head = _BitWriter()
     nblocks = -(-n // _BLOCKSIZE) if n else 0
     last_bn = n - (nblocks - 1) * _BLOCKSIZE if nblocks else 0
@@ -689,7 +700,14 @@ def _register_flac_entry() -> None:
         family uses. Losslessness makes the oracle sample-exact: the
         SQL twin rebuilds the raw samples with ``ascii()`` and must
         reproduce RMS/peak bit-for-bit — any decoder drift anywhere
-        (rice, predictors, CRC handling) breaks the hash."""
+        (rice, predictors, CRC handling) breaks the hash.
+
+        PRECONDITION (asserted by tests/test_corpus_oracle.py::
+        test_corpus_text_is_ascii — the winnow-oracle convention):
+        the fixture samples the first ``text.encode()`` BYTES while
+        the SQL twin walks CHARACTERS via ``ascii(substr(...))`` —
+        equivalent only for pure-ASCII text, which the synthetic
+        corpus is (the ``_text_to_wav`` fixture shares this)."""
         from cae_polars_tools_spark.operators.multimodal import (
             audio_features,
         )

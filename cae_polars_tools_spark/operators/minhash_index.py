@@ -48,6 +48,7 @@ from cae_polars_tools_spark.io import read_table, spread
 from cae_polars_tools_spark.operators.dedup import (
     JACCARD_THRESHOLD,
     SHINGLES_SQL,
+    _release_on_gc,
     hashed_shingles,
     minhash_band_hashes,
 )
@@ -68,23 +69,30 @@ PROBE_PUSHDOWN_MAX = 20_000
 
 
 def _signed(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(doc_id, fp, h64) under the frozen hash family; empty-shingle
-    docs drop here (they have no signature — same rule as the inline
-    path and the oracle, whose unnest emits nothing for them)."""
-    return (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            fingerprint(text_col).alias("fp"),
-            hashed_shingles(text_col).alias("h64"),
-        )
-        .filter(F.size("h64") > 0)
+    """(doc_id, fp, h64) under the frozen hash family. Docs too short
+    to shingle keep their row WITH AN EMPTY h64: they still carry a
+    fingerprint the exact-dedup anti-probe must see (the inline
+    ``incremental_dedup`` fingerprints ALL history docs — dropping
+    them here made short duplicates invisible to exact dedup), while
+    the band/near-dup paths ignore them for free (``posexplode`` of
+    an empty array emits no band rows, so they are never candidates
+    — the same net near-dup behavior as the inline path's filter)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        fingerprint(text_col).alias("fp"),
+        hashed_shingles(text_col).alias("h64"),
     )
 
 
 def _bands_of(sigs: DataFrame) -> DataFrame:
-    """(doc_id, band, bh, shard) — one row per (doc, band)."""
+    """(doc_id, band, bh, shard) — one row per (doc, band). Docs with
+    empty shingle sets are excluded HERE, not in :func:`_signed`: the
+    MinHash kernel maps an empty set to the sentinel signature, so
+    without this filter every too-short doc would share one band
+    bucket (and a 0/0 Jaccard) with every other."""
     return (
-        sigs.select(
+        sigs.filter(F.size("h64") > 0)
+        .select(
             "doc_id", F.posexplode(minhash_band_hashes(F.col("h64")))
         )
         .toDF("doc_id", "band", "bh")
@@ -198,7 +206,11 @@ def append_minhash_index(
     new = new.persist()
     try:
         n = new.count()
-        new.write.mode("append").parquet(sigs_path)
+        # bands BEFORE sigs (the ingest-sink rule): a crash between
+        # the writes leaves band orphans that probes ignore and a
+        # retry heals — the opposite order leaves the doc in sigs,
+        # bandless and invisible forever, with check_unique refusing
+        # the retry on top
         (
             _bands_of(new)
             .sortWithinPartitions("bh", "band")
@@ -206,6 +218,7 @@ def append_minhash_index(
             .partitionBy("shard")
             .parquet(bands_path)
         )
+        new.write.mode("append").parquet(sigs_path)
     finally:
         new.unpersist()
     return {"rows_appended": n}
@@ -422,8 +435,10 @@ def query_minhash_index(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    out._upstream_cache_handle = b_sigs  # keep the batch cache alive
-    return out
+    # unpersist the batch signatures when the returned plan handle is
+    # dropped — a nightly loop must not accumulate one cached batch
+    # per cycle (dedup.py's _release_on_gc convention)
+    return _release_on_gc(out, b_sigs)
 
 
 # ---------------------------------------------------------------------------
@@ -602,7 +617,8 @@ def incremental_dedup_indexed(
     # bounded by the batch's near-dup degree — broadcast, so the
     # final anti-join never shuffles the survivors
     dropped = probe.unionByName(within).distinct()
-    return exact_kept.join(F.broadcast(dropped), "doc_id", "left_anti")
+    out = exact_kept.join(F.broadcast(dropped), "doc_id", "left_anti")
+    return _release_on_gc(out, b)
 
 
 _INDEXED_INCREMENTAL_ORACLE = f"""

@@ -909,10 +909,20 @@ def decode_audio_bytes(payload: bytes) -> tuple[int, "np.ndarray"]:
         from cae_polars_tools_spark.operators.flac import decode_flac
 
         return decode_flac(payload)
-    if payload[:3] == b"ID3" or payload[:2] in (b"\xff\xfb", b"\xff\xf3"):
+    # MPEG audio frame sync is 11 set bits (0xFF then top 3 bits of
+    # the next byte) — covers MP3 with and without CRC protection and
+    # ADTS AAC, all lossy. Checked AFTER the fLaC/Ogg container sniff:
+    # a raw headerless FLAC frame also starts 0xFF 0xF8, but real
+    # .flac payloads always open with the container magic.
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 2
+        and payload[0] == 0xFF
+        and (payload[1] & 0xE0) == 0xE0
+    ):
         raise NotImplementedError(
-            "MP3 is a lossy codec — out of scope (no sample-exact "
-            "decode contract is possible); transcode to FLAC/WAV"
+            "MPEG audio (MP3/AAC) is a lossy codec — out of scope (no "
+            "sample-exact decode contract is possible); transcode to "
+            "FLAC/WAV"
         )
     return decode_wav(payload)
 

@@ -215,3 +215,28 @@ def test_dispatch_flac_equals_wav(spark):
     assert rows[0]["n_samples"] == rows[1]["n_samples"]
     with pytest.raises(NotImplementedError, match="MP3"):
         decode_audio_bytes(b"ID3\x04" + b"\x00" * 64)
+
+
+def test_roundtrip_20_and_24_bit():
+    """The advertised deep widths must encode (md5 packing has no
+    3-byte numpy dtype) and round-trip to int32 output."""
+    rng = np.random.default_rng(21)
+    for bps in (20, 24):
+        lim = 1 << (bps - 1)
+        x = np.clip(
+            np.cumsum(rng.integers(-9000, 9001, size=900)), -lim, lim - 1
+        )
+        rate, out = decode_flac(encode_flac(x, 48000, bits_per_sample=bps))
+        assert out.dtype == np.int32
+        assert (out[:, 0] == x).all()
+
+
+def test_mp3_sniff_covers_crc_variants():
+    from cae_polars_tools_spark.operators.multimodal import (
+        decode_audio_bytes,
+    )
+
+    for sync in (b"\xff\xfb", b"\xff\xfa", b"\xff\xf3", b"\xff\xf2",
+                 b"\xff\xf1"):  # MP3 ± CRC, MPEG-2, ADTS AAC
+        with pytest.raises(NotImplementedError, match="MPEG audio"):
+            decode_audio_bytes(sync + b"\x00" * 64)

@@ -160,3 +160,30 @@ def test_ingest_sink_effectively_once_and_compact_preserves(spark, tmp_path):
     assert meta["bands_dir"] == out["bands_dir"] == "bands_v1"
     assert meta["sigs_dir"] == out["sigs_dir"] == "sigs_v1"
     assert _query_set(spark, root) == want
+
+
+def test_short_docs_visible_to_indexed_exact_dedup(spark, tmp_path):
+    """A history doc too short to shingle must still block an exact
+    batch duplicate: the sigs table keeps its fingerprint row (empty
+    h64), the anti-probe sees it, and near-dup paths ignore it for
+    free (no band rows)."""
+    from cae_polars_tools_spark.operators.minhash_index import (
+        incremental_dedup_indexed,
+    )
+
+    hist = spark.createDataFrame(
+        [(1, "hi", "src0"), (2, "a much longer document " * 4, "src0")],
+        "doc_id long, text string, source string",
+    )
+    root = str(tmp_path / "idx")
+    build_minhash_index(hist, root)
+    batch = spark.createDataFrame(
+        [(10, "hi", "src10"),            # exact dup of the SHORT doc
+         (11, "fresh batch text " * 4, "src10")],
+        "doc_id long, text string, source string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in incremental_dedup_indexed(spark, root, batch).collect()
+    }
+    assert kept == {11}, kept
