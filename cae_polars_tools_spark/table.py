@@ -222,6 +222,22 @@ class Table:
         self._commit(v, vd, meta["batch_id"])
         return {"files": n_files, "version": v}
 
+    def restore(self, version: int) -> dict:
+        """Roll the table back to a retained ``version`` — as a NEW
+        version (the Delta RESTORE semantic): history stays linear
+        and append-only, the pointer never moves backwards (vacuum's
+        "strictly older than current" invariant survives), and the
+        bad intermediate versions remain retained for forensics until
+        vacuumed. The restored content is rewritten rather than
+        aliased so every version directory stays independently
+        vacuumable."""
+        meta = self.meta()
+        src = self.read_version(version)
+        v, vd = self._next_version_dir(meta)
+        src.write.mode("errorifexists").parquet(f"{self.root}/{vd}")
+        self._commit(v, vd, meta["batch_id"])
+        return {"version": v, "restored_from": version}
+
     # -- retention / streaming -------------------------------------
 
     def vacuum(self, keep_last: int = 2) -> list[str]:

@@ -123,3 +123,20 @@ def test_adapter_compatible_with_streaming_sink(spark, tmp_path):
     # facade verbs continue the same chain the sink advanced
     t.delete("doc_id = 7")
     assert t.version() == 2 and t.meta()["batch_id"] == 0
+
+
+def test_restore_is_a_new_version(spark, tmp_path):
+    """RESTORE semantics: rolling back re-publishes old content as a
+    NEW version — the pointer never moves backward, the bad versions
+    stay retained for forensics, and vacuum's 'strictly older than
+    current' invariant survives."""
+    t = _seed(spark, tmp_path)
+    before = {tuple(r) for r in t.current().collect()}
+    t.delete("doc_id < 15")  # v1: the "bad" takedown
+    assert t.current().count() == 15
+    out = t.restore(0)
+    assert out == {"version": 2, "restored_from": 0}
+    assert {tuple(r) for r in t.current().collect()} == before
+    assert t.history() == [0, 1, 2]  # bad v1 retained for forensics
+    assert t.vacuum(keep_last=2) == ["v0"]
+    assert {tuple(r) for r in t.current().collect()} == before
