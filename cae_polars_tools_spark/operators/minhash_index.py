@@ -360,6 +360,7 @@ def query_minhash_index(
     threshold: float = JACCARD_THRESHOLD,
     id_col: str = "doc_id",
     text_col: str = "text",
+    signed: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate (index-doc, batch-doc) pairs at Jaccard ≥
     ``threshold`` — the batch probed against the PERSISTED index, no
@@ -377,9 +378,18 @@ def query_minhash_index(
     matches the inline LSH path exactly (same 32-band geometry, same
     frozen permutations — equivalence-tested).
 
-    Output: ``(doc_id_hist, doc_id_new, jaccard)``."""
+    Output: ``(doc_id_hist, doc_id_new, jaccard)``. A caller that
+    already signed the batch (``incremental_dedup_indexed`` shares one
+    signing between the probe and its within-batch pass) passes the
+    persisted ``(doc_id, fp, h64)`` frame as ``signed`` and keeps
+    ownership of its cache; otherwise the batch signs here."""
     bands_path, sigs_path, _ = _dirs(spark, path)
-    b_sigs = _signed(batch, id_col, text_col).persist()
+    own_cache = signed is None
+    b_sigs = (
+        _signed(batch, id_col, text_col).persist()
+        if own_cache
+        else signed
+    )
     b_bands = _bands_of(b_sigs).select(
         F.col("doc_id").alias("doc_id_new"), "band", "bh", "shard"
     )
@@ -437,8 +447,9 @@ def query_minhash_index(
     )
     # unpersist the batch signatures when the returned plan handle is
     # dropped — a nightly loop must not accumulate one cached batch
-    # per cycle (dedup.py's _release_on_gc convention)
-    return _release_on_gc(out, b_sigs)
+    # per cycle (dedup.py's _release_on_gc convention); a caller-owned
+    # `signed` cache is the caller's to release
+    return _release_on_gc(out, b_sigs) if own_cache else out
 
 
 # ---------------------------------------------------------------------------
@@ -576,13 +587,15 @@ def incremental_dedup_indexed(
     from cae_polars_tools_spark.operators.dedup import minhash_lsh_pairs
     from cae_polars_tools_spark.operators.text import fingerprint
 
+    from cae_polars_tools_spark.operators.dedup import bucket_pairs
+
     _, sigs_path, _ = _dirs(spark, index_path)
-    b = batch.select(
-        F.col(id_col).alias("doc_id"),
-        *keep_cols,
-        fingerprint(text_col).alias("fp"),
-        F.col(text_col).alias("text"),
-    ).persist()
+    keep = batch.select(F.col(id_col).alias("doc_id"), *keep_cols)
+    # ONE signing of the batch (fp + shingle hashes), shared by the
+    # exact path, the index probe AND the within-batch pass — the
+    # expensive tokenize→shingle→hash pipeline runs once, not three
+    # times, and one cache serves every consumer
+    b = _signed(batch, id_col, text_col).persist()
     b.count()
 
     # exact: history wins, then first-in-batch wins. A plain
@@ -602,18 +615,32 @@ def incremental_dedup_indexed(
     exact_kept = (
         no_hist.join(F.broadcast(first), "fp")
         .filter(F.col("doc_id") == F.col("keep_id"))
+        .join(F.broadcast(keep), "doc_id")
         .select("doc_id", *keep_cols)
     )
 
     # near-dup vs the index: probe pairs drop the batch side
     probe = query_minhash_index(
-        spark, index_path, b, threshold=threshold,
-        id_col="doc_id", text_col="text",
+        spark, index_path, batch, threshold=threshold,
+        id_col=id_col, text_col=text_col, signed=b,
     ).select(F.col("doc_id_new").alias("doc_id"))
-    # near-dup within the batch: inline banded path, a < b drops b
-    within = minhash_lsh_pairs(
-        b.select("doc_id", "text"), threshold=threshold
-    ).select(F.col("doc_id_b").alias("doc_id"))
+    # near-dup within the batch: the inline banded path's candidate +
+    # verify stages, fed from the SAME signed cache (a < b drops b)
+    cands = bucket_pairs(
+        _bands_of(b).select("doc_id", "band", "bh"), ["band", "bh"]
+    )
+    sa = b.select(F.col("doc_id").alias("doc_id_a"), F.col("h64").alias("s_a"))
+    sb = b.select(F.col("doc_id").alias("doc_id_b"), F.col("h64").alias("s_b"))
+    within = (
+        cands.join(F.broadcast(sa), "doc_id_a")
+        .join(F.broadcast(sb), "doc_id_b")
+        .filter(
+            F.size(F.array_intersect("s_a", "s_b")).cast("double")
+            / F.size(F.array_union("s_a", "s_b"))
+            >= threshold
+        )
+        .select(F.col("doc_id_b").alias("doc_id"))
+    )
     # bounded by the batch's near-dup degree — broadcast, so the
     # final anti-join never shuffles the survivors
     dropped = probe.unionByName(within).distinct()
