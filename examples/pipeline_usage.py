@@ -78,6 +78,46 @@ def main() -> None:
     n2 = docs.count()
     print(f"after near-dup removal: {n2} (-{n1 - n2})")
 
+    # 2-ter. the NIGHTLY version of steps 1-2: persist the deduped
+    # corpus as a MinHash-LSH band index once, then dedup an arriving
+    # batch against it in O(batch) — history text never re-read,
+    # history signatures never recomputed — and append the survivors
+    # so tomorrow's cycle sees them
+    from cae_polars_tools_spark.operators.minhash_index import (
+        append_minhash_index,
+        build_minhash_index,
+        incremental_dedup_indexed,
+    )
+
+    idx_root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", ".tmp",
+        "pipeline_minhash_idx",
+    )
+    import shutil
+
+    shutil.rmtree(idx_root, ignore_errors=True)
+    build_minhash_index(docs, idx_root)
+    tonight = docs.limit(3).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "source",
+        "text",  # verbatim copies: every one must drop as a near-dup
+    ).unionByName(
+        spark.createDataFrame(
+            [(2_000_000, "srcZ", "a genuinely new document " * 6)],
+            "doc_id long, source string, text string",
+        )
+    )
+    survivors = incremental_dedup_indexed(spark, idx_root, tonight)
+    n_new = survivors.count()
+    append_minhash_index(
+        spark, idx_root,
+        tonight.join(survivors.select("doc_id"), "doc_id", "left_semi"),
+    )
+    print(
+        f"nightly ingest vs persisted index: {n_new}/4 batch docs "
+        "survive (3 verbatim copies dropped), survivors appended"
+    )
+
     # 2-bis. span-level boilerplate strip: cut every substring that
     # repeats verbatim across >= 3 surviving docs (the ExactSubstr
     # modality — document-level dedup can't see shared spans inside
