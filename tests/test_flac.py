@@ -240,3 +240,24 @@ def test_mp3_sniff_covers_crc_variants():
                  b"\xff\xf1"):  # MP3 ± CRC, MPEG-2, ADTS AAC
         with pytest.raises(NotImplementedError, match="MPEG audio"):
             decode_audio_bytes(sync + b"\x00" * 64)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_any_single_bitflip_in_frame_region_raises(data):
+    """CRC-16 covers every frame byte including subframe padding, so
+    NO single-bit corruption in the frame region may decode silently
+    — it must raise (CRC mismatch, or an earlier parse error when the
+    flip derails the rice stream first). Metadata (STREAMINFO) is
+    deliberately out of scope: FLAC defines no header checksum."""
+    x = np.clip(
+        np.cumsum(np.arange(200) % 17 - 8), -32768, 32767
+    )
+    good = encode_flac(x, 8000)
+    meta_end = 4 + 4 + 34  # magic + block header + STREAMINFO body
+    i = data.draw(st.integers(meta_end, len(good) - 1))
+    bit = data.draw(st.integers(0, 7))
+    corrupt = bytearray(good)
+    corrupt[i] ^= 1 << bit
+    with pytest.raises(ValueError):
+        decode_flac(bytes(corrupt))
