@@ -316,6 +316,29 @@ def _next_dir(cur: str, stem: str) -> str:
     return f"{stem}_v{int(m.group(1)) + 1 if m else 1}"
 
 
+def vacuum_minhash_index(path: str) -> list[str]:
+    """Retention for the index's CoW generation chain: delete every
+    ``bands_v*`` / ``sigs_v*`` directory the current meta pointer does
+    NOT reference. Explicit and never automatic (the repo's
+    vacuum_versions caveat: only vacuum past your longest reader).
+    Returns the removed directory names."""
+    from cae_polars_tools_spark.sources.zarr_format import ByteStore
+
+    root = path.rstrip("/")
+    meta = load_minhash_meta(root)
+    if meta is None:
+        raise FileNotFoundError(f"no MinHash index under {path}")
+    live = {meta["bands_dir"], meta["sigs_dir"]}
+    store = ByteStore.for_path(root)
+    removed = []
+    for name in store.list_prefix(""):
+        n = name.rstrip("/")
+        if re.fullmatch(r"(bands|sigs)_v\d+", n) and n not in live:
+            store.delete_prefix(n)
+            removed.append(n)
+    return sorted(removed)
+
+
 def delete_minhash_index(
     spark: SparkSession,
     path: str,

@@ -187,3 +187,19 @@ def test_short_docs_visible_to_indexed_exact_dedup(spark, tmp_path):
         for r in incremental_dedup_indexed(spark, root, batch).collect()
     }
     assert kept == {11}, kept
+
+
+def test_vacuum_removes_only_stale_generations(spark, tmp_path):
+    from cae_polars_tools_spark.operators.minhash_index import (
+        vacuum_minhash_index,
+    )
+
+    root = str(tmp_path / "idx")
+    hist = _docs(spark).filter(~F.expr(_PRED))
+    build_minhash_index(hist, root)
+    before = _query_set(spark, root)
+    delete_minhash_index(spark, root, "doc_id = -1")  # no-op delete → v1
+    removed = vacuum_minhash_index(root)
+    assert removed == ["bands_v0", "sigs_v0"]
+    assert not os.path.isdir(f"{root}/bands_v0")
+    assert _query_set(spark, root) == before  # live generation intact
