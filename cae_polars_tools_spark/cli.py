@@ -434,10 +434,16 @@ def generate_operator_matrix() -> str:
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     pin_path = os.path.join(root, "tests", "test_plan_quality.py")
-    pin_src = ""
-    if os.path.isfile(pin_path):
-        with open(pin_path) as fh:
-            pin_src = fh.read()
+    if not os.path.isfile(pin_path):
+        # refusing beats silently writing '0 plan pins' into the
+        # README from an installed package without the tests/ tree
+        raise FileNotFoundError(
+            "generate_operator_matrix: tests/test_plan_quality.py not "
+            "found next to the package — docs generation is a repo-"
+            "checkout operation (the plan-pin column reads that file)"
+        )
+    with open(pin_path) as fh:
+        pin_src = fh.read()
 
     corpus = load_all()
     window = set(DRIVER_WINDOW_ORDER)

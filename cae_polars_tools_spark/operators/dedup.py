@@ -2254,12 +2254,7 @@ def repeated_spans(
     partitioning for both steps. No pair join materializes anywhere:
     cost is linear in corpus size + output size, never quadratic in
     duplicates."""
-    if min_len < k:
-        raise ValueError(
-            f"min_len ({min_len}) must be >= k ({k}): a span shorter "
-            "than one window carries no flagged window at all"
-        )
-    from pyspark.sql import Window
+    _span_params_check(k, min_len)
 
     arrs = df.select(
         F.col(id_col).alias("doc_id"),
@@ -2280,10 +2275,33 @@ def repeated_spans(
     )
     if broadcast_flagged:
         flagged = F.broadcast(flagged)
+    runs = _merge_flagged_islands(idx, flagged, k, min_len)
+    return _release_on_gc(runs, arrs)
+
+
+def _span_params_check(k: int, min_len: int) -> None:
+    if min_len < k:
+        raise ValueError(
+            f"min_len ({min_len}) must be >= k ({k}): a span shorter "
+            "than one window carries no flagged window at all"
+        )
+
+
+def _merge_flagged_islands(
+    idx: DataFrame, flagged, k: int, min_len: int
+) -> DataFrame:
+    """The shared span kernel: semi-join the (doc_id, pos, h)
+    postings against the flagged-hash set and merge consecutive
+    flagged positions (gaps-and-islands) into maximal spans — ONE
+    definition so the batch path (:func:`repeated_spans`) and the
+    streaming finalize (:func:`finalize_repeated_spans`) cannot
+    silently diverge (their equivalence is test-pinned)."""
+    from pyspark.sql import Window
+
     rep = idx.join(flagged, "h", "left_semi")
     w = Window.partitionBy("doc_id").orderBy("pos")
     isl = rep.withColumn("grp", F.col("pos") - F.row_number().over(w))
-    runs = (
+    return (
         isl.groupBy("doc_id", "grp")
         .agg(
             F.min("pos").cast("long").alias("span_start"),
@@ -2295,7 +2313,6 @@ def repeated_spans(
         .filter(F.col("span_len") >= min_len)
         .drop("grp")
     )
-    return _release_on_gc(runs, arrs)
 
 
 def _repeated_spans_ctes(
@@ -2625,9 +2642,10 @@ def finalize_repeated_spans(
     flagged-postings island merge as :func:`repeated_spans` over the
     accumulated corpus — no re-counting, the text is hashed once
     here and never shuffled (the flagged set broadcasts). Output
-    contract identical to :func:`repeated_spans`."""
-    from pyspark.sql import Window
-
+    contract identical to :func:`repeated_spans` — both paths run the
+    SAME island-merge kernel (:func:`_merge_flagged_islands`) and the
+    same parameter validation, so they cannot silently diverge."""
+    _span_params_check(k, min_len)
     flagged = (
         spark.read.parquet(target_dir)
         .groupBy("h")
@@ -2643,21 +2661,7 @@ def finalize_repeated_spans(
             "pos", "h"
         ),
     )
-    rep = idx.join(flagged, "h", "left_semi")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    isl = rep.withColumn("grp", F.col("pos") - F.row_number().over(w))
-    return (
-        isl.groupBy("doc_id", "grp")
-        .agg(
-            F.min("pos").cast("long").alias("span_start"),
-            (F.max("pos") - F.min("pos") + F.lit(k))
-            .cast("long")
-            .alias("span_len"),
-            F.min("h").alias("cluster_id"),
-        )
-        .filter(F.col("span_len") >= min_len)
-        .drop("grp")
-    )
+    return _merge_flagged_islands(idx, flagged, k, min_len)
 
 
 # ---------------------------------------------------------------------------

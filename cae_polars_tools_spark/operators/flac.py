@@ -577,6 +577,8 @@ def decode_flac(payload: bytes) -> tuple[int, "np.ndarray"]:
         if _crc8(hdr_bytes) != payload[r.byte]:
             raise ValueError("flac: frame header CRC-8 mismatch")
         r.byte += 1
+        if bps_code == 3:
+            raise ValueError("flac: reserved sample-size code")
         fbps = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}.get(bps_code, bps)
 
         if chan_asgn < 8:

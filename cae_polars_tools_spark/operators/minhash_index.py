@@ -114,21 +114,27 @@ def build_minhash_index(
     from cae_polars_tools_spark.sources.zarr_format import ByteStore
 
     root = path.rstrip("/")
-    sigs = _signed(docs, id_col, text_col)
-    (
-        sigs.repartitionByRange(F.col("doc_id"))
-        .sortWithinPartitions("doc_id")
-        .write.mode("overwrite")
-        .parquet(f"{root}/sigs_v0")
-    )
-    (
-        _bands_of(sigs)
-        .repartitionByRange(F.col("shard"), F.col("bh"))
-        .sortWithinPartitions("bh", "band")
-        .write.mode("overwrite")
-        .partitionBy("shard")
-        .parquet(f"{root}/bands_v0")
-    )
+    # persist: the signing pipeline (tokenize→shingle→hash pandas UDF,
+    # the expensive pass) feeds BOTH table writes — without the cache
+    # it would run twice over the full corpus
+    sigs = _signed(docs, id_col, text_col).persist()
+    try:
+        (
+            sigs.repartitionByRange(F.col("doc_id"))
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(f"{root}/sigs_v0")
+        )
+        (
+            _bands_of(sigs)
+            .repartitionByRange(F.col("shard"), F.col("bh"))
+            .sortWithinPartitions("bh", "band")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(f"{root}/bands_v0")
+        )
+    finally:
+        sigs.unpersist()
     meta = {
         "format": "minhash-lsh-v1",
         "shards": BAND_SHARDS,
@@ -536,12 +542,19 @@ def _documents_fingerprint(sf_dir: str) -> str:
 
 
 def _index_root(sf_dir: str) -> str:
-    base = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    # key the cache on basename + a short hash of the ABSOLUTE path:
+    # two corpora named sf0.01 under different parents must not share
+    # (and perpetually rebuild) one cached index root
+    import hashlib
+
+    ap = os.path.abspath(sf_dir.rstrip("/"))
+    base = os.path.basename(ap) or "sf"
+    tag = hashlib.md5(ap.encode()).hexdigest()[:8]
     return os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
         ".tmp",
         "minhash_index",
-        base,
+        f"{base}-{tag}",
     )
 
 
@@ -607,9 +620,6 @@ def incremental_dedup_indexed(
     loop. History text is never read; history signatures are never
     recomputed — the two costs the inline ``incremental_dedup``
     pays every cycle."""
-    from cae_polars_tools_spark.operators.dedup import minhash_lsh_pairs
-    from cae_polars_tools_spark.operators.text import fingerprint
-
     from cae_polars_tools_spark.operators.dedup import bucket_pairs
 
     _, sigs_path, _ = _dirs(spark, index_path)

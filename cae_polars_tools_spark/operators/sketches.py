@@ -357,7 +357,18 @@ def heavy_hitters(
     broadcast semi-join; the confirm aggregation shuffles one partial
     per (partition × candidate) and cuts against the observed total
     as a literal. Nothing anywhere is proportional to value
-    cardinality."""
+    cardinality.
+
+    Snapshot semantics: the candidate pass executes EAGERLY here (the
+    observe metric needs an action), so the candidate set and the
+    total are a snapshot of ``df`` at build time — re-executing the
+    returned plan over a source that gained files since will count
+    occurrences against the stale total. For static inputs (the
+    batch-corpus contract) this is invisible; over a moving directory,
+    rebuild per run — or use the streaming pair
+    (:func:`hh_candidate_sink` + :func:`confirm_heavy_hitters`),
+    whose single-action confirm computes count and total in one
+    consistent snapshot."""
     from pyspark.sql import Observation
 
     obs = Observation()

@@ -146,6 +146,12 @@ class Table:
         t = cls(spark, root)
         if t.exists():
             raise FileExistsError(f"Table already exists at {root}")
+        # a v0 directory WITHOUT a pointer is a crash orphan from an
+        # earlier create (pointer flips last) — clear it, the same
+        # next-writer rule every other verb applies
+        store = t._store()
+        if store.list_prefix("v0"):
+            store.delete_prefix("v0")
         df.write.mode("errorifexists").parquet(f"{t.root}/v0")
         t._flip({"version": 0, "version_dir": "v0", "batch_id": -1})
         return t

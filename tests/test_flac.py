@@ -261,3 +261,31 @@ def test_any_single_bitflip_in_frame_region_raises(data):
     corrupt[i] ^= 1 << bit
     with pytest.raises(ValueError):
         decode_flac(bytes(corrupt))
+
+
+def test_reserved_sample_size_code_raises():
+    """bps code 3 is reserved (RFC 9639); a frame carrying it must
+    raise the specific reserved-code error, not silently fall back to
+    the STREAMINFO width."""
+    def sub(f):
+        f.write(0, 1)
+        f.write(0, 6)  # CONSTANT
+        f.write(0, 1)
+        f.write(42, 16)
+
+    good = _custom_stream(16, sub)
+    # patch the frame header's 3 bps bits (bits 32-34 of the frame,
+    # i.e. byte 4 bits 4-6 of the header) from 4 (16-bit) to 3, then
+    # re-stamp the CRC-8 so only the reserved-code check can object
+    meta_end = 4 + 4 + 34
+    frame = bytearray(good[meta_end:])
+    b = frame[3]
+    frame[3] = (b & 0b10000001) | (3 << 1)
+    hdr_len = 6  # sync..bs/rate/chan/bps + coded number (1 byte)
+    # header continues through the 16-bit blocksize; CRC byte follows
+    hdr_len = 4 + 1 + 2  # fixed 4 bytes + utf8 number + 16-bit size
+    from cae_polars_tools_spark.operators.flac import _crc8 as crc8
+
+    frame[hdr_len] = crc8(bytes(frame[:hdr_len]))
+    with pytest.raises(ValueError, match="reserved sample-size"):
+        decode_flac(good[:meta_end] + bytes(frame))

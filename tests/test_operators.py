@@ -1952,3 +1952,24 @@ def test_repeated_spans_character_offsets_past_non_ascii(spark):
     for i, t in texts.items():
         assert boiler not in cleaned[i]
         assert cleaned[i] == t.replace(boiler, "")
+
+
+def test_finalize_spans_validates_like_batch(spark, tmp_path):
+    """The streaming finalize must reject the same bad parameters the
+    batch path rejects — shared validation, shared kernel."""
+    import pytest
+
+    from cae_polars_tools_spark.operators.dedup import (
+        finalize_repeated_spans,
+        span_candidate_sink,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "some text " * 10)], "doc_id long, text string"
+    )
+    target = str(tmp_path / "st")
+    span_candidate_sink(target)(docs, 0)
+    with pytest.raises(ValueError, match="min_len"):
+        finalize_repeated_spans(
+            spark, target, docs, k=16, min_len=8
+        )

@@ -140,3 +140,13 @@ def test_restore_is_a_new_version(spark, tmp_path):
     assert t.history() == [0, 1, 2]  # bad v1 retained for forensics
     assert t.vacuum(keep_last=2) == ["v0"]
     assert {tuple(r) for r in t.current().collect()} == before
+
+
+def test_create_clears_crash_orphaned_v0(spark, tmp_path):
+    """A v0 directory without a pointer (crash between write and
+    flip) must be cleared by the next create, not wedge the table."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    df.write.parquet(f"{root}/v0")  # orphan: no _CURRENT.json
+    t = Table.create(spark, root, df)
+    assert t.version() == 0 and t.current().count() == 1
