@@ -203,3 +203,42 @@ def test_vacuum_removes_only_stale_generations(spark, tmp_path):
     assert removed == ["bands_v0", "sigs_v0"]
     assert not os.path.isdir(f"{root}/bands_v0")
     assert _query_set(spark, root) == before  # live generation intact
+
+
+def test_index_handles_non_ascii_text(spark, tmp_path):
+    """The ORACLE needs ASCII (ascii()/substr SQL twins), but the
+    OPERATOR must not: unicode history and batch docs probe the index
+    identically to the inline path (token hashing is over UTF-8
+    bytes on both paths, so offsets/hashes agree by construction)."""
+    hist = spark.createDataFrame(
+        [
+            (1, "café au lait — übermäßig gut " * 4, "h"),
+            (2, "日本語 の 文書 テスト データ " * 4, "h"),
+            (3, "plain ascii history document " * 4, "h"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "café au lait — übermäßig gut " * 4, "b"),  # dup of 1
+            (11, "日本語 の 文書 テスト データ x " * 4, "b"),  # near 2
+            (12, "entirely different new content here " * 4, "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    root = str(tmp_path / "idx")
+    build_minhash_index(hist, root)
+    got = {
+        (r["doc_id_hist"], r["doc_id_new"])
+        for r in query_minhash_index(spark, root, batch).collect()
+    }
+    # inline ground truth over hist ∪ batch, cross-role only
+    pairs = minhash_lsh_pairs(hist.unionByName(batch))
+    want = {
+        (min(r["doc_id_a"], r["doc_id_b"]),
+         max(r["doc_id_a"], r["doc_id_b"]))
+        for r in pairs.collect()
+        if (r["doc_id_a"] < 10) != (r["doc_id_b"] < 10)
+    }
+    assert got == want
+    assert (1, 10) in got  # the exact unicode duplicate pair
