@@ -159,6 +159,7 @@ def load_all() -> dict[str, QuerySpec]:
     import cae_polars_tools_spark.operators.incremental  # noqa: F401
     import cae_polars_tools_spark.operators.minhash_index  # noqa: F401
     import cae_polars_tools_spark.operators.flac  # noqa: F401
+    import cae_polars_tools_spark.table  # noqa: F401
     import cae_polars_tools_spark.plans.zarr_demo  # noqa: F401
 
     rank = {n: i for i, n in enumerate(DRIVER_WINDOW_ORDER)}

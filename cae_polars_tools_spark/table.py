@@ -265,3 +265,68 @@ class Table:
         )
 
         return cow_upsert_sink(self.root, keys, order_col, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Corpus entry: the facade's whole verb chain through the hash gate —
+# create → CoW merge (a correction batch) → CoW delete (a takedown) →
+# read current. The oracle recomputes the final state from the raw
+# table, so a lost update, a resurrected deleted row, or a pointer
+# pointing at the wrong generation all fail the value check.
+# ---------------------------------------------------------------------------
+
+
+def _register_table_entry() -> None:
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from cae_polars_tools_spark.io import read_table
+    from cae_polars_tools_spark.plans.registry import register
+
+    @register(
+        "storage_table_lifecycle",
+        oracle="""
+            SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_orderkey % 10 = 0
+                        THEN o_totalprice + 1
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders
+            WHERE o_custkey % 97 <> 0
+        """,
+        tags=("storage", "lakehouse", "extension"),
+        window_rank=1,
+    )
+    def storage_table_lifecycle(spark, sf_dir: str):
+        """The Table facade end to end, value-checked: seed a
+        versioned table from orders (v0), MERGE a correction batch
+        (every 10th order's price revised, v1 — only files holding a
+        matched key rewrite), DELETE a customer takedown (v2), then
+        read CURRENT through the pointer. The oracle recomputes the
+        final state from the raw table in SQL, so any drift anywhere
+        in the chain — a lost update, a resurrected deleted row, a
+        half-flipped pointer — fails the hash gate. Scratch follows
+        the agg_incremental_refresh convention (deterministic .tmp
+        path, rebuilt per run)."""
+        orders = read_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        scratch = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".tmp",
+            "table_lifecycle_demo",
+        )
+        shutil.rmtree(scratch, ignore_errors=True)
+        t = Table.create(spark, scratch, orders)
+        correction = orders.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1
+        )
+        t.merge(correction, keys=["o_orderkey"])
+        t.delete("o_custkey % 97 = 0")
+        return t.current().select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+
+
+_register_table_entry()
