@@ -112,6 +112,7 @@ SF01_SENSITIVE = (
     "q78_profile_approx",  # HLL-vs-exact tolerance boolean under volume
     "mm_flac_features",  # rice/predictor coverage widens with volume
     "text_normalize",  # nfc_normalize twin over the full corpus
+    "storage_table_lifecycle",  # CoW rewrite-selection under volume
 )
 
 
