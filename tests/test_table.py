@@ -150,3 +150,69 @@ def test_create_clears_crash_orphaned_v0(spark, tmp_path):
     df.write.parquet(f"{root}/v0")  # orphan: no _CURRENT.json
     t = Table.create(spark, root, df)
     assert t.version() == 0 and t.current().count() == 1
+
+
+def test_table_random_op_sequences_match_model(spark, tmp_path):
+    """Model-based check: a seeded random sequence of merge / delete /
+    restore verbs must keep the live table equal to a plain dict
+    model, every retained version must replay as its recorded
+    snapshot, and diff(i) must equal the model-level delta — the
+    invariants that make the pointer protocol a database."""
+    import random
+
+    rng = random.Random(20250815)
+    t = Table.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(20)], "k long, n long"
+        ),
+    )
+    model = {i: i * 10 for i in range(20)}
+    snapshots = {0: dict(model)}
+    next_key = 100
+    for _ in range(8):
+        op = rng.choice(["merge", "delete", "restore"])
+        if op == "merge":
+            upd = rng.sample(sorted(model) or [0], k=min(3, len(model)))
+            rows = [(k, rng.randrange(10_000)) for k in upd]
+            rows.append((next_key, rng.randrange(10_000)))
+            for k, v in rows:
+                model[k] = v
+            next_key += 1
+            t.merge(
+                spark.createDataFrame(rows, "k long, n long"),
+                keys=["k"],
+            )
+        elif op == "delete":
+            cut = rng.randrange(0, 10_000)
+            model = {k: v for k, v in model.items() if v < cut}
+            t.delete(f"n >= {cut}")
+        else:
+            v = rng.choice(sorted(snapshots))
+            model = dict(snapshots[v])
+            t.restore(v)
+        snapshots[t.version()] = dict(model)
+        live = {r["k"]: r["n"] for r in t.current().collect()}
+        assert live == model, (op, t.version())
+    # every retained version replays as its recorded snapshot
+    for v, snap in snapshots.items():
+        got = {r["k"]: r["n"] for r in t.read_version(v).collect()}
+        assert got == snap, v
+    # diff(0) equals the model delta vs the seed
+    seed = snapshots[0]
+    feed = {
+        (r["op"], r["k"]): r["n"]
+        for r in t.diff(0, keys=["k"]).collect()
+    }
+    want = {}
+    for k, v in model.items():
+        if k not in seed:
+            want[("insert", k)] = v
+        elif seed[k] != v:
+            want[("update", k)] = v
+    for k, v in seed.items():
+        if k not in model:
+            # deletes carry the OLD image (there is no new one)
+            want[("delete", k)] = v
+    assert feed == want
