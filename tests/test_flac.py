@@ -289,3 +289,68 @@ def test_reserved_sample_size_code_raises():
     frame[hdr_len] = crc8(bytes(frame[:hdr_len]))
     with pytest.raises(ValueError, match="reserved sample-size"):
         decode_flac(good[:meta_end] + bytes(frame))
+
+
+def test_decode_header_code_variants():
+    """Decoder-only frame-header paths the encoder never emits: 8-bit
+    blocksize-at-end (code 6), inline sample-rate codes 12 (8-bit
+    kHz), 13/14 (16-bit Hz / Hz*10), tabled blocksize codes, and an
+    8-bit-bps stream."""
+    def build(bn, bs_code, rate_code, rate_payload_bits, rate, bps=16,
+              bps_code=4, extra_bn_bits=0):
+        head = _BitWriter()
+        head.write(max(16, bn), 16)
+        head.write(max(16, bn), 16)
+        head.write(0, 24); head.write(0, 24)
+        head.write(rate, 20)
+        head.write(0, 3)
+        head.write(bps - 1, 5)
+        head.write(bn, 36)
+        info = head.bytes() + b"\x00" * 16
+        out = bytearray(b"fLaC")
+        out += bytes([0x80]) + len(info).to_bytes(3, "big") + info
+        f = _BitWriter()
+        f.write(0b11111111111110, 14)
+        f.write(0, 2)
+        f.write(bs_code, 4)
+        f.write(rate_code, 4)
+        f.write(0, 4)
+        f.write(bps_code, 3)
+        f.write(0, 1)
+        f.buf += _utf8_encode(0)
+        if extra_bn_bits:
+            f.write(bn - 1, extra_bn_bits)
+        if rate_payload_bits:
+            f.write(rate_payload_bits[0], rate_payload_bits[1])
+        f.align()
+        hdr = f.bytes()
+        f = _BitWriter(); f.buf = bytearray(hdr)
+        f.write(_crc8(hdr), 8)
+        # CONSTANT subframe, value 5
+        f.write(0, 1); f.write(0, 6); f.write(0, 1); f.write(5, bps)
+        f.align()
+        body = f.bytes()
+        return bytes(out + body + struct.pack(">H", _crc16(body)))
+
+    # code 6: 8-bit blocksize-1 at header end
+    rate, out = decode_flac(build(24, 6, 4, None, 8000, extra_bn_bits=8))
+    assert out.shape == (24, 1) and (out == 5).all()
+    # tabled blocksize 256 = code 8
+    rate, out = decode_flac(build(256, 8, 4, None, 8000))
+    assert out.shape == (256, 1)
+    # rate code 12: kHz byte follows (value ignored for samples)
+    _, out = decode_flac(build(192, 1, 12, (8, 8), 8000))
+    assert out.shape == (192, 1)
+    # rate codes 13/14: 16-bit payload follows
+    for rc in (13, 14):
+        _, out = decode_flac(build(192, 1, rc, (8000, 16), 8000))
+        assert out.shape == (192, 1)
+    # 8-bit stream (bps_code 1)
+    _, out = decode_flac(build(192, 1, 4, None, 8000, bps=8, bps_code=1))
+    assert (out[:, 0] == 5).all()
+    # reserved blocksize code 0 must refuse
+    with pytest.raises(ValueError, match="reserved block-size"):
+        decode_flac(build(192, 0, 4, None, 8000))
+    # invalid rate code 15 must refuse
+    with pytest.raises(ValueError, match="sample-rate"):
+        decode_flac(build(192, 1, 15, None, 8000))

@@ -242,3 +242,16 @@ def test_index_handles_non_ascii_text(spark, tmp_path):
     }
     assert got == want
     assert (1, 10) in got  # the exact unicode duplicate pair
+
+
+def test_probe_pushdown_cap_fallback_same_answers(spark, tmp_path, monkeypatch):
+    """Past PROBE_PUSHDOWN_MAX distinct probe keys the driver-side
+    isin pushdown is skipped (the broadcast join still filters) — the
+    results must be identical either way."""
+    import cae_polars_tools_spark.operators.minhash_index as mi
+
+    root = str(tmp_path / "idx")
+    build_minhash_index(_docs(spark).filter(~F.expr(_PRED)), root)
+    want = _query_set(spark, root)
+    monkeypatch.setattr(mi, "PROBE_PUSHDOWN_MAX", 1)
+    assert _query_set(spark, root) == want
