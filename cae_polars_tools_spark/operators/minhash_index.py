@@ -627,9 +627,11 @@ def incremental_dedup_indexed(
     # ONE signing of the batch (fp + shingle hashes), shared by the
     # exact path, the index probe AND the within-batch pass — the
     # expensive tokenize→shingle→hash pipeline runs once, not three
-    # times, and one cache serves every consumer
+    # times, and one cache serves every consumer. No explicit
+    # materialize-count: the probe's driver-side key collect below is
+    # the first action and consumes every partition (distinct needs a
+    # full scan), populating the cache for all later consumers.
     b = _signed(batch, id_col, text_col).persist()
-    b.count()
 
     # exact: history wins, then first-in-batch wins. A plain
     # batch-LEFT-ANTI-history join can only broadcast the RIGHT side

@@ -113,6 +113,7 @@ SF01_SENSITIVE = (
     "mm_flac_features",  # rice/predictor coverage widens with volume
     "text_normalize",  # nfc_normalize twin over the full corpus
     "storage_table_lifecycle",  # CoW rewrite-selection under volume
+    "dedup_incremental_indexed",  # composed drop rules at volume
 )
 
 
