@@ -259,6 +259,11 @@ def main() -> None:
         # "passed" when this run executed the sf1 quantizer markers
         # first (closing-artifact cadence); "not run" on driver runs
         "sf1_gate": sf1_status,
+        # which cadence produced this artifact: "closing" = the
+        # builder's sf1-gated quiet-host run (the committed record),
+        # "driver" = an unattended per-round run on whatever host
+        # state the driver had (r11's started at loadavg 5.78)
+        "role": "closing" if sf1_gate else "driver",
         "sf": sf,
         "loadavg_start": round(load_start, 2),
         "loadavg_end": round(os.getloadavg()[0], 2),
@@ -267,10 +272,17 @@ def main() -> None:
     # The repo-root details file is the round-over-round record for the
     # DEFAULT full-scale run only; a quick sf0.001 verify run must not
     # overwrite it (and then ride into a commit) — side scales land in
-    # gitignored .tmp/ instead.
+    # gitignored .tmp/ instead. Within full scale, only the sf1-gated
+    # CLOSING run may write BENCH_DETAILS.json: the driver's unattended
+    # per-round run (ungated by construction — it never sets the gate)
+    # lands in BENCH_DRIVER_DETAILS.json, so a contaminated driver run
+    # can never shadow the builder's committed closing artifact
+    # (round-11 verdict, "what's wrong" #4).
     repo = os.path.dirname(os.path.abspath(__file__))
-    if sf == 0.1:
+    if sf == 0.1 and sf1_gate:
         details_path = os.path.join(repo, "BENCH_DETAILS.json")
+    elif sf == 0.1:
+        details_path = os.path.join(repo, "BENCH_DRIVER_DETAILS.json")
     else:
         os.makedirs(os.path.join(repo, ".tmp"), exist_ok=True)
         details_path = os.path.join(

@@ -418,13 +418,85 @@ _MATRIX_BEGIN = "<!-- BEGIN GENERATED OPERATOR MATRIX -->"
 _MATRIX_END = "<!-- END GENERATED OPERATOR MATRIX -->"
 
 
+def _plan_pinned_names(pin_src: str) -> set:
+    """Entry names referenced at ACTUAL pin call sites in the plan-
+    quality suite — ``_plan(spark, "<name>")`` / ``_formatted(...)``
+    string args, ``load_all()["<name>"]`` subscripts, string literals
+    inside ``pytest.mark.parametrize`` value lists, and literal
+    tuples/lists a ``for`` loop feeds into ``_plan``/``_formatted`` —
+    resolved by AST walk, not whole-file substring search (a name
+    mentioned in a comment, docstring, or a sweep's exclusion list is
+    not a pin)."""
+    import ast
+
+    def _call_name(fn):
+        return (
+            fn.id
+            if isinstance(fn, ast.Name)
+            else fn.attr if isinstance(fn, ast.Attribute) else None
+        )
+
+    names: set = set()
+    for node in ast.walk(ast.parse(pin_src)):
+        if isinstance(node, ast.For):
+            # for name in ("a", "b"): ... _plan(spark, name) — a
+            # literal-iterated pin loop; a loop over load_all() (the
+            # whole-corpus sweeps) has no literal iter and adds nothing
+            if not (
+                isinstance(node.iter, (ast.Tuple, ast.List))
+                and isinstance(node.target, ast.Name)
+            ):
+                continue
+            uses_plan = any(
+                isinstance(sub, ast.Call)
+                and _call_name(sub.func) in ("_plan", "_formatted")
+                and any(
+                    isinstance(a, ast.Name) and a.id == node.target.id
+                    for a in sub.args
+                )
+                for stmt in node.body
+                for sub in ast.walk(stmt)
+            )
+            if uses_plan:
+                names.update(
+                    e.value
+                    for e in node.iter.elts
+                    if isinstance(e, ast.Constant) and isinstance(e.value, str)
+                )
+        elif isinstance(node, ast.Call):
+            fname = _call_name(node.func)
+            if fname in ("_plan", "_formatted"):
+                for a in node.args[1:]:
+                    if isinstance(a, ast.Constant) and isinstance(a.value, str):
+                        names.add(a.value)
+            elif fname == "parametrize":
+                for a in node.args[1:]:
+                    for sub in ast.walk(a):
+                        if isinstance(sub, ast.Constant) and isinstance(
+                            sub.value, str
+                        ):
+                            names.add(sub.value)
+        elif isinstance(node, ast.Subscript):
+            v = node.value
+            if (
+                isinstance(v, ast.Call)
+                and isinstance(v.func, ast.Name)
+                and v.func.id == "load_all"
+                and isinstance(node.slice, ast.Constant)
+                and isinstance(node.slice.value, str)
+            ):
+                names.add(node.slice.value)
+    return names
+
+
 def generate_operator_matrix() -> str:
     """The operator matrix, generated FROM the registry — one row per
     corpus entry with its oracle class, driver-window membership,
-    plan-pin status (the entry's name appears quoted in
-    tests/test_plan_quality.py) and tags. Docs that are derived can't
-    drift from the 160+ entries the way hand-maintained prose can;
-    a test pins the committed README section to this output."""
+    plan-pin status (the entry's name appears at a pin call site in
+    tests/test_plan_quality.py — see :func:`_plan_pinned_names`) and
+    tags. Docs that are derived can't drift from the 160+ entries the
+    way hand-maintained prose can; a test pins the committed README
+    section to this output."""
     import os
 
     from cae_polars_tools_spark.plans.registry import (
@@ -448,7 +520,8 @@ def generate_operator_matrix() -> str:
     corpus = load_all()
     window = set(DRIVER_WINDOW_ORDER)
     n_oracle = sum(1 for s in corpus.values() if s.oracle)
-    pinned = {n for n in corpus if f'"{n}"' in pin_src}
+    pin_names = _plan_pinned_names(pin_src)
+    pinned = {n for n in corpus if n in pin_names}
     lines = [
         f"{len(corpus)} entries — {n_oracle} with value-level DuckDB "
         f"oracles, {len(corpus) - n_oracle} rows-only; "

@@ -67,6 +67,15 @@ BAND_SHARDS = 64
 #: land in the scan as row-group-prunable pushed filters.
 PROBE_PUSHDOWN_MAX = 20_000
 
+#: Batches at or below this row count broadcast their signed frame
+#: (doc_id, fp, h64 — the shingle arrays are the wide part: ~1-2 KB a
+#: doc, so 1M docs ≈ low-GB, the sane ceiling for an explicit
+#: broadcast hint). Above it the "batch" has outgrown the nightly
+#: contract the hints encode, and every batch-derived broadcast hint
+#: is dropped: joins become plain shuffles over batch-sized sides and
+#: AQE re-broadcasts at runtime whatever actually turns out small.
+BATCH_BROADCAST_MAX = 1_000_000
+
 
 def _signed(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc_id, fp, h64) under the frozen hash family. Docs too short
@@ -184,13 +193,18 @@ def append_minhash_index(
     ``storage.compact_parquet``) restores the global clustering.
 
     ``check_unique`` anti-joins new ids against the sigs table — a
-    doc_id indexed twice answers every probe twice. Returns
+    doc_id indexed twice answers every probe twice. Both uniqueness
+    checks run on an IDS-ONLY projection of the incoming frame:
+    neither needs fingerprints or shingle hashes, so projecting before
+    checking keeps the expensive tokenize→shingle→hash signing
+    pipeline out of the check actions entirely (signing runs exactly
+    once, on the persisted frame below). Returns
     ``{rows_appended}``."""
     bands_path, sigs_path, _ = _dirs(spark, path)
-    new = _signed(docs, id_col, text_col)
     if check_unique:
+        ids = docs.select(F.col(id_col).alias("doc_id"))
         existing = spark.read.parquet(sigs_path).select("doc_id")
-        dup = new.join(existing, "doc_id", "left_semi").limit(1).count()
+        dup = ids.join(existing, "doc_id", "left_semi").limit(1).count()
         if dup:
             raise ValueError(
                 "append_minhash_index: new doc_ids collide with ids "
@@ -198,7 +212,7 @@ def append_minhash_index(
                 "if the caller guarantees disjointness)"
             )
         internal = (
-            new.groupBy("doc_id")
+            ids.groupBy("doc_id")
             .count()
             .where(F.col("count") > 1)
             .limit(1)
@@ -209,7 +223,7 @@ def append_minhash_index(
                 "append_minhash_index: the appended frame itself "
                 "carries duplicate doc_ids; dedup it first"
             )
-    new = new.persist()
+    new = _signed(docs, id_col, text_col).persist()
     try:
         n = new.count()
         # bands BEFORE sigs (the ingest-sink rule): a crash between
@@ -283,6 +297,106 @@ def minhash_ingest_sink(
     return sink
 
 
+def dedup_stream_indexed(
+    index_path: str,
+    survivors_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = ("source",),
+    threshold: float = JACCARD_THRESHOLD,
+):
+    """``writeStream.foreachBatch`` sink closing the continuous-
+    ingestion loop the index exists for: each micro-batch is deduped
+    against the PERSISTED index — exact by fingerprint, near-dup by
+    LSH probe, plus the within-batch pass
+    (:func:`incremental_dedup_indexed`) — survivors land in the
+    ``survivors_path`` parquet table AND are appended to the index
+    (:func:`append_minhash_index` semantics), so the next micro-batch
+    dedups against them too. History text is never read and history
+    signatures are never recomputed: each trigger costs O(micro-batch).
+
+    Replay safety is ID-LEVEL, the ingest-sink rule, applied at every
+    stage so a redelivered batch (foreachBatch's at-least-once
+    contract) converges to the exactly-once outcome for stable ids:
+
+    * already-INDEXED ids anti-join away up front — a doc that
+      survived last delivery is not re-deduped, re-emitted, or
+      re-appended;
+    * docs DROPPED last delivery are not in sigs, so they re-run the
+      dedup and drop again for the same (now-indexed) winner —
+      deterministic, no state needed;
+    * the survivors table appends behind its own id anti-join, and is
+      written BEFORE the index append: a crash between the two
+      re-runs the dedup on replay, skips the already-written survivor
+      rows, and completes the missing index append — the opposite
+      order would lose survivor rows forever (the index append makes
+      the replay guard drop them before they ever reach the table).
+
+    Equivalence with the batch twin (one ``incremental_dedup_indexed``
+    over the whole batch + one append) holds when micro-batches arrive
+    in ascending ``id_col`` order — the arrival-time order of a real
+    ingestion stream; out-of-order delivery keeps the same dedup
+    guarantees but may elect a different (earlier-arriving) canonical
+    representative, exactly like the inline incremental path run
+    nightly."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.columns or batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        _, sigs_path, _ = _dirs(spark, index_path)
+        fresh = batch_df.dropDuplicates([id_col]).join(
+            spark.read.parquet(sigs_path).select(
+                F.col("doc_id").alias(id_col)
+            ),
+            id_col,
+            "left_anti",
+        )
+        surv_ids = incremental_dedup_indexed(
+            spark,
+            index_path,
+            fresh,
+            threshold=threshold,
+            id_col=id_col,
+            text_col=text_col,
+            keep_cols=(),
+        ).select(F.col("doc_id").alias(id_col))
+        # localCheckpoint (the ingest-sink rule): the survivors plan
+        # reads the sigs table this sink is about to append to —
+        # checkpointing severs the lineage so the two writes below
+        # can never re-execute the dedup against their own output.
+        survivors = (
+            fresh.join(F.broadcast(surv_ids), id_col)
+            .select(id_col, text_col, *keep_cols)
+            .localCheckpoint()
+        )
+        if survivors.count() == 0:
+            return
+        # survivors table FIRST (behind its own id anti-join), index
+        # append second — see the replay-ordering note above.
+        try:
+            seen = spark.read.parquet(survivors_path).select(id_col)
+            to_write = survivors.join(
+                F.broadcast(seen), id_col, "left_anti"
+            )
+        except Exception:
+            to_write = survivors  # first batch: table doesn't exist yet
+        to_write.write.mode("append").parquet(survivors_path)
+        # check_unique=False: the up-front sigs anti-join already
+        # guarantees disjointness, and the strict check would refuse
+        # the partial-replay heal (bands written, sigs not).
+        append_minhash_index(
+            spark,
+            index_path,
+            survivors,
+            id_col=id_col,
+            text_col=text_col,
+            check_unique=False,
+        )
+
+    return sink
+
+
 def compact_minhash_index(spark: SparkSession, path: str) -> dict:
     """Restore the index's global clustering after a run of appends:
     appended segments are only LOCALLY bh-clustered, so probe-side
@@ -297,6 +411,16 @@ def compact_minhash_index(spark: SparkSession, path: str) -> dict:
     bands_path, sigs_path, meta = _dirs(spark, root)
     nxt_bands = _next_dir(meta["bands_dir"], "bands")
     nxt_sigs = _next_dir(meta["sigs_dir"], "sigs")
+    # Table._next_version_dir's rule (table.py): a target directory
+    # that already exists is a crash orphan from a run that died
+    # between version-write and pointer flip — the meta pointer never
+    # referenced it, so clear it rather than wedging every retry on
+    # errorifexists until a manual vacuum. Single-writer contract, as
+    # everywhere in the CoW family (see Table's docstring).
+    store = ByteStore.for_path(root)
+    for orphan in (nxt_bands, nxt_sigs):
+        if store.list_prefix(orphan):
+            store.delete_prefix(orphan)
     (
         spark.read.parquet(sigs_path)
         .repartitionByRange(F.col("doc_id"))
@@ -390,6 +514,7 @@ def query_minhash_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     signed: DataFrame | None = None,
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """Near-duplicate (index-doc, batch-doc) pairs at Jaccard ≥
     ``threshold`` — the batch probed against the PERSISTED index, no
@@ -411,8 +536,16 @@ def query_minhash_index(
     already signed the batch (``incremental_dedup_indexed`` shares one
     signing between the probe and its within-batch pass) passes the
     persisted ``(doc_id, fp, h64)`` frame as ``signed`` and keeps
-    ownership of its cache; otherwise the batch signs here."""
+    ownership of its cache; otherwise the batch signs here.
+
+    ``broadcast_batch=False`` drops every batch-side broadcast hint
+    (the :data:`BATCH_BROADCAST_MAX` regime — a "batch" too big to
+    ship to every executor): the joins run as plain shuffles over
+    batch-bounded sides and AQE broadcasts at runtime whatever is
+    actually small. The history tables still never shuffle more than
+    their pruned, candidate-matched slices."""
     bands_path, sigs_path, _ = _dirs(spark, path)
+    bc = F.broadcast if broadcast_batch else (lambda df: df)
     own_cache = signed is None
     b_sigs = (
         _signed(batch, id_col, text_col).persist()
@@ -436,8 +569,20 @@ def query_minhash_index(
         idx = idx.filter(F.col("shard").isin(shards)).filter(
             F.col("bh").isin(bhs)
         )
+    else:
+        # bh list too wide for a useful pushed filter, but the shard
+        # list is ≤ BAND_SHARDS values by construction — ALWAYS
+        # collectable, and it still prunes whole Hive partitions out
+        # of the scan (marginal when a huge probe touches all shards,
+        # free insurance when it doesn't — e.g. a wide probe of
+        # near-identical docs whose bands hash into few shards)
+        shards = sorted(
+            r["shard"]
+            for r in b_bands.select("shard").distinct().collect()
+        )
+        idx = idx.filter(F.col("shard").isin(shards))
     cand = (
-        idx.join(F.broadcast(b_bands), ["band", "bh"])
+        idx.join(bc(b_bands), ["band", "bh"])
         .select(
             F.col("doc_id").alias("doc_id_hist"),
             "doc_id_new",
@@ -447,7 +592,7 @@ def query_minhash_index(
 
     sigs = spark.read.parquet(sigs_path)
     touched = sigs.join(
-        F.broadcast(cand),
+        bc(cand),
         sigs["doc_id"] == cand["doc_id_hist"],
     ).select(
         "doc_id_hist",
@@ -456,7 +601,7 @@ def query_minhash_index(
     )
     out = (
         touched.join(
-            F.broadcast(
+            bc(
                 b_sigs.select(
                     F.col("doc_id").alias("doc_id_new"),
                     F.col("h64").alias("s_new"),
@@ -600,6 +745,7 @@ def incremental_dedup_indexed(
     id_col: str = "doc_id",
     text_col: str = "text",
     keep_cols: tuple[str, ...] = ("source",),
+    broadcast_max_rows: int | None = None,
 ) -> DataFrame:
     """Surviving batch documents after dedup against the PERSISTED
     index and within the batch itself — ``incremental_dedup``'s drop
@@ -619,7 +765,19 @@ def incremental_dedup_indexed(
     (:func:`append_minhash_index` / the ingest sink) to close the
     loop. History text is never read; history signatures are never
     recomputed — the two costs the inline ``incremental_dedup``
-    pays every cycle."""
+    pays every cycle.
+
+    The batch-side broadcast hints (the signed ``sa``/``sb`` frames
+    of the within-batch verify are the heavy ones: full shingle-hash
+    arrays) assume the nightly-batch contract. A caller can hand this
+    a 50M-doc "batch", so the hints are gated on ``broadcast_max_rows``
+    (default :data:`BATCH_BROADCAST_MAX`): above it, every
+    batch-derived hint is dropped — within-batch verification joins
+    its candidate pairs to the signed cache as plain shuffles (the
+    ``jaccard_pairs`` shape) and the probe runs with
+    ``broadcast_batch=False`` — leaving AQE to broadcast at runtime
+    whatever is actually small. Equivalence across the switch is
+    test-pinned; only the physical plan changes."""
     from cae_polars_tools_spark.operators.dedup import bucket_pairs
 
     _, sigs_path, _ = _dirs(spark, index_path)
@@ -627,11 +785,15 @@ def incremental_dedup_indexed(
     # ONE signing of the batch (fp + shingle hashes), shared by the
     # exact path, the index probe AND the within-batch pass — the
     # expensive tokenize→shingle→hash pipeline runs once, not three
-    # times, and one cache serves every consumer. No explicit
-    # materialize-count: the probe's driver-side key collect below is
-    # the first action and consumes every partition (distinct needs a
-    # full scan), populating the cache for all later consumers.
+    # times, and one cache serves every consumer.
     b = _signed(batch, id_col, text_col).persist()
+    # The size probe doubles as the cache materializer (it is the
+    # first action and scans every partition), so the regime check
+    # costs one cached count — the later probe-key collect and every
+    # other consumer read the populated cache.
+    cap = BATCH_BROADCAST_MAX if broadcast_max_rows is None else broadcast_max_rows
+    small_batch = b.count() <= cap
+    bc = F.broadcast if small_batch else (lambda df: df)
 
     # exact: history wins, then first-in-batch wins. A plain
     # batch-LEFT-ANTI-history join can only broadcast the RIGHT side
@@ -642,15 +804,15 @@ def incremental_dedup_indexed(
     matched = (
         spark.read.parquet(sigs_path)
         .select("fp")
-        .join(F.broadcast(batch_fps), "fp", "left_semi")
+        .join(bc(batch_fps), "fp", "left_semi")
         .distinct()
     )
-    no_hist = b.join(F.broadcast(matched), "fp", "left_anti")
+    no_hist = b.join(bc(matched), "fp", "left_anti")
     first = no_hist.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
     exact_kept = (
-        no_hist.join(F.broadcast(first), "fp")
+        no_hist.join(bc(first), "fp")
         .filter(F.col("doc_id") == F.col("keep_id"))
-        .join(F.broadcast(keep), "doc_id")
+        .join(bc(keep), "doc_id")
         .select("doc_id", *keep_cols)
     )
 
@@ -658,6 +820,7 @@ def incremental_dedup_indexed(
     probe = query_minhash_index(
         spark, index_path, batch, threshold=threshold,
         id_col=id_col, text_col=text_col, signed=b,
+        broadcast_batch=small_batch,
     ).select(F.col("doc_id_new").alias("doc_id"))
     # near-dup within the batch: the inline banded path's candidate +
     # verify stages, fed from the SAME signed cache (a < b drops b)
@@ -667,8 +830,8 @@ def incremental_dedup_indexed(
     sa = b.select(F.col("doc_id").alias("doc_id_a"), F.col("h64").alias("s_a"))
     sb = b.select(F.col("doc_id").alias("doc_id_b"), F.col("h64").alias("s_b"))
     within = (
-        cands.join(F.broadcast(sa), "doc_id_a")
-        .join(F.broadcast(sb), "doc_id_b")
+        cands.join(bc(sa), "doc_id_a")
+        .join(bc(sb), "doc_id_b")
         .filter(
             F.size(F.array_intersect("s_a", "s_b")).cast("double")
             / F.size(F.array_union("s_a", "s_b"))
@@ -679,7 +842,7 @@ def incremental_dedup_indexed(
     # bounded by the batch's near-dup degree — broadcast, so the
     # final anti-join never shuffles the survivors
     dropped = probe.unionByName(within).distinct()
-    out = exact_kept.join(F.broadcast(dropped), "doc_id", "left_anti")
+    out = exact_kept.join(bc(dropped), "doc_id", "left_anti")
     return _release_on_gc(out, b)
 
 

@@ -117,12 +117,24 @@ def dataset_file_sizes(spark: SparkSession, path: str) -> list[int]:
     return sizes
 
 
+def _reader(spark, read_schema):
+    """spark.read, optionally pinned to an explicit schema — the
+    schema-evolution seam: a Table that was widened via
+    ``Table.add_columns`` holds files of BOTH physical schemas
+    (old files byte-copied, new files written wide), so its CoW verbs
+    read with the declared schema and Spark null-fills the columns a
+    file lacks (``unionByName(allowMissingColumns=True)`` semantics,
+    without the footer-merge cost of ``mergeSchema``)."""
+    return spark.read if read_schema is None else spark.read.schema(read_schema)
+
+
 def compact_parquet(
     spark: SparkSession,
     src: str,
     dst: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_cols: list[str] | None = None,
+    read_schema=None,
 ) -> int:
     """Rewrite the parquet dataset at ``src`` into ``dst`` with files
     sized toward ``target_file_bytes``; returns the file count written.
@@ -161,7 +173,7 @@ def compact_parquet(
     # ONE relation for sizing and rewrite: on the many-small-files
     # datasets this function exists for, directory listing + footer
     # schema inference dominates planning — don't pay it twice
-    df = spark.read.parquet(src)
+    df = _reader(spark, read_schema).parquet(src)
     all_files, pcols = _dataset_layout(
         src, df.inputFiles(), "compact_parquet"
     )
@@ -210,6 +222,7 @@ def zorder_parquet(
     bits_per_col: int = 4,
     target_file_bytes: int = 128 * 1024 * 1024,
     rel_err: float = 0.01,
+    read_schema=None,
 ) -> int:
     """Rewrite the parquet dataset at ``src`` into ``dst`` clustered on
     a Z-order (Morton) curve over ``zorder_cols``; returns the file
@@ -267,7 +280,7 @@ def zorder_parquet(
         raise ValueError("target_file_bytes must be positive")
     from pyspark.sql import functions as F
 
-    df = spark.read.parquet(src)
+    df = _reader(spark, read_schema).parquet(src)
     numeric = {
         f.name
         for f in df.schema.fields
@@ -417,6 +430,7 @@ def merge_parquet(
     keys: list[str],
     dst: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    read_schema=None,
 ) -> dict:
     """Copy-on-write MERGE (upsert) into a parquet dataset: rows of
     ``updates`` replace target rows with matching ``keys``; everything
@@ -461,7 +475,7 @@ def merge_parquet(
 
     if not keys:
         raise ValueError("merge_parquet needs at least one key column")
-    t = spark.read.parquet(target)
+    t = _reader(spark, read_schema).parquet(target)
     if set(updates.columns) != set(t.columns):
         raise ValueError(
             f"updates columns {sorted(updates.columns)} must equal the "
@@ -536,10 +550,11 @@ def merge_parquet(
             # basePath re-derives the partition columns from the
             # key=value dirs — reading the leaf files bare would
             # silently drop them from the rewrite
+            rd = _reader(spark, read_schema)
             aff = (
-                spark.read.option("basePath", target).parquet(*affected)
+                rd.option("basePath", target).parquet(*affected)
                 if pcols
-                else spark.read.parquet(*affected)
+                else rd.parquet(*affected)
             )
             survivors = aff.join(key_set, keys, "left_anti")
             matched = updates.join(
@@ -581,6 +596,7 @@ def delete_parquet(
     predicate,
     dst: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    read_schema=None,
 ) -> dict:
     """Copy-on-write DELETE WHERE: rows where ``predicate`` (a Column
     or SQL string) evaluates to TRUE are removed; FALSE and NULL rows
@@ -611,7 +627,7 @@ def delete_parquet(
     if not isinstance(pred, Column):
         raise ValueError("predicate must be a Column or SQL string")
 
-    t = spark.read.parquet(target)
+    t = _reader(spark, read_schema).parquet(target)
     all_files, pcols = _dataset_layout(
         target, t.inputFiles(), "delete_parquet"
     )
@@ -633,10 +649,11 @@ def delete_parquet(
 
     rows_deleted = 0
     if affected:
+        rd = _reader(spark, read_schema)
         aff = (
-            spark.read.option("basePath", target).parquet(*affected)
+            rd.option("basePath", target).parquet(*affected)
             if pcols
-            else spark.read.parquet(*affected)
+            else rd.parquet(*affected)
         )
         rows_deleted = aff.filter(pred).count()
         # NULL-predicate rows SURVIVE: plain ~pred maps NULL→NULL and

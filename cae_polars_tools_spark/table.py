@@ -38,6 +38,11 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 _CURRENT = "_CURRENT.json"
+#: per-version schema sidecar written by :meth:`Table.add_columns` —
+#: an underscore-prefixed file inside the version directory (Spark's
+#: parquet reader ignores it), recording the DECLARED schema as Spark
+#: schema-JSON. Versions without one read with their physical schema.
+_SCHEMA_SIDECAR = "_SCHEMA.json"
 
 
 class Table:
@@ -50,6 +55,24 @@ class Table:
     >>> t.read_version(0)                    # time travel
     >>> t.diff(0, keys=["doc_id"])           # change feed since v0
     >>> t.vacuum(keep_last=2)                # retention
+
+    **Single-writer contract.** Exactly one mutating verb may run
+    against a table root at a time (readers are unlimited — they only
+    ever follow the pointer). This is the same contract Delta/Iceberg
+    place on a table without a coordinating catalog, and every CoW
+    artifact in this repo shares it (the MinHash band index, the
+    IVF-PQ index, zarr generations). Two concurrent writers race in
+    two ways: both compute the same next version number (last pointer
+    flip silently wins, the other's version dir becomes an orphan),
+    and the orphan-clear rule in :meth:`_next_version_dir` — which
+    exists to self-heal a CRASHED writer's leftovers — would let one
+    writer delete the other's in-progress directory before its flip,
+    leaving a flipped pointer referencing a dead directory. Serialize
+    writers externally (the streaming sink's single foreachBatch
+    thread, a nightly job scheduler, a queue); this facade
+    deliberately does not carry a lock protocol, because a lock file
+    without heartbeat/lease semantics only converts the race into a
+    stale-lock wedge.
     """
 
     def __init__(self, spark: SparkSession, root: str) -> None:
@@ -95,19 +118,88 @@ class Table:
     def _commit(self, v: int, vd: str, batch_id: int) -> None:
         self._flip({"version": v, "version_dir": vd, "batch_id": batch_id})
 
+    # -- declared schema (widen-only evolution) ----------------------
+
+    def _declared_schema(self, version_dir: str):
+        """The version's declared StructType from its ``_SCHEMA.json``
+        sidecar, or None for a never-evolved version (physical schema
+        is the declared schema)."""
+        from pyspark.sql.types import StructType
+
+        raw = self._store().get(f"{version_dir}/{_SCHEMA_SIDECAR}")
+        return None if raw is None else StructType.fromJson(json.loads(raw))
+
+    def _put_sidecar(self, version_dir: str, schema) -> None:
+        self._store().put(
+            f"{version_dir}/{_SCHEMA_SIDECAR}",
+            json.dumps(schema.jsonValue()).encode(),
+        )
+
+    def _propagate_schema(self, src_vd: str, dst_vd: str):
+        """Carry the declared schema forward onto a new version (every
+        mutating verb calls this BEFORE the pointer flip, so a reader
+        of the new version always sees the sidecar). Returns the
+        schema (for the verb's own read) or None."""
+        schema = self._declared_schema(src_vd)
+        if schema is not None:
+            self._put_sidecar(dst_vd, schema)
+        return schema
+
+    def _read_dir(self, version_dir: str) -> DataFrame:
+        """Read a version directory under its declared schema: files
+        lacking an evolved column null-fill it at read
+        (``unionByName(allowMissingColumns=True)`` semantics) — old
+        files are never rewritten just to add a column."""
+        schema = self._declared_schema(version_dir)
+        reader = (
+            self.spark.read
+            if schema is None
+            else self.spark.read.schema(schema)
+        )
+        return reader.parquet(f"{self.root}/{version_dir}")
+
+    def _normalize_batch(self, batch: DataFrame, schema) -> DataFrame:
+        """Align a merge batch to the declared schema: unknown columns
+        refuse loudly, declared-but-missing columns null-fill (a batch
+        produced before the widening stays mergeable), present columns
+        keep merge_parquet's strict dtype validation downstream."""
+        from pyspark.sql import functions as F
+
+        declared = {f.name for f in schema.fields}
+        unknown = sorted(set(batch.columns) - declared)
+        if unknown:
+            raise ValueError(
+                f"batch carries columns not in the table schema: "
+                f"{unknown} — evolve the table first (add_columns)"
+            )
+        return batch.select(
+            *[
+                F.col(f.name)
+                if f.name in batch.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+
     # -- reads ------------------------------------------------------
 
     def current(self) -> DataFrame:
-        """The live version (what the pointer references)."""
-        from cae_polars_tools_spark.streaming.events import read_current
-
-        return read_current(self.spark, self.root)
+        """The live version (what the pointer references), under its
+        declared schema when the table has been widened."""
+        return self._read_dir(self.meta()["version_dir"])
 
     def read_version(self, version: int) -> DataFrame:
-        """Time travel to an immutable retained version."""
-        from cae_polars_tools_spark.streaming.events import read_version
-
-        return read_version(self.spark, self.root, version)
+        """Time travel to an immutable retained version — read under
+        the schema DECLARED AT THAT VERSION (a pre-evolution version
+        keeps its narrower schema; that the schema changed is itself
+        part of history)."""
+        vd = f"v{version}"
+        if not self._store().list_prefix(vd):
+            raise FileNotFoundError(
+                f"version {version} not found under {self.root} "
+                "(never written, or removed by vacuum)"
+            )
+        return self._read_dir(vd)
 
     def history(self) -> list[int]:
         """Version numbers still present on storage (oldest first)."""
@@ -134,6 +226,12 @@ class Table:
         new = (
             self.current() if until is None else self.read_version(until)
         )
+        if set(old.columns) != set(new.columns):
+            # widen-only evolution between the two versions: null-fill
+            # the old side up to the new schema (an unchanged row then
+            # compares null==null on the evolved column and drops out;
+            # anything else is diff_tables' schema-drift refusal)
+            old = self._normalize_batch(old, new.schema)
         return diff_tables(old, new, keys)
 
     # -- writes (version dir first, pointer flip LAST) --------------
@@ -163,6 +261,9 @@ class Table:
         from cae_polars_tools_spark.storage import merge_parquet
 
         meta = self.meta()
+        schema = self._declared_schema(meta["version_dir"])
+        if schema is not None:
+            batch = self._normalize_batch(batch, schema)
         v, vd = self._next_version_dir(meta)
         stats = merge_parquet(
             self.spark,
@@ -170,7 +271,9 @@ class Table:
             batch,
             keys,
             f"{self.root}/{vd}",
+            read_schema=schema,
         )
+        self._propagate_schema(meta["version_dir"], vd)
         self._commit(v, vd, meta["batch_id"])
         stats["version"] = v
         return stats
@@ -187,7 +290,9 @@ class Table:
             f"{self.root}/{meta['version_dir']}",
             predicate,
             f"{self.root}/{vd}",
+            read_schema=self._declared_schema(meta["version_dir"]),
         )
+        self._propagate_schema(meta["version_dir"], vd)
         self._commit(v, vd, meta["batch_id"])
         stats["version"] = v
         return stats
@@ -205,8 +310,10 @@ class Table:
             self.spark,
             f"{self.root}/{meta['version_dir']}",
             f"{self.root}/{vd}",
+            read_schema=self._declared_schema(meta["version_dir"]),
             **kwargs,
         )
+        self._propagate_schema(meta["version_dir"], vd)
         self._commit(v, vd, meta["batch_id"])
         return {"files": n_files, "version": v}
 
@@ -223,10 +330,72 @@ class Table:
             f"{self.root}/{meta['version_dir']}",
             f"{self.root}/{vd}",
             cols,
+            read_schema=self._declared_schema(meta["version_dir"]),
             **kwargs,
         )
+        self._propagate_schema(meta["version_dir"], vd)
         self._commit(v, vd, meta["batch_id"])
         return {"files": n_files, "version": v}
+
+    def add_columns(self, cols: dict) -> dict:
+        """Widen-only schema evolution: add new NULLABLE columns
+        (``{name: spark_ddl_type}``) as a CoW version WITHOUT
+        rewriting a single data file — the current version's files
+        copy byte-for-byte into the new version directory and a
+        ``_SCHEMA.json`` sidecar declares the widened schema; every
+        read of the version null-fills the new columns lazily
+        (``unionByName(allowMissingColumns=True)`` semantics via an
+        explicit-schema parquet read). Later merges accept batches on
+        EITHER schema (old batches null-fill, see
+        :meth:`_normalize_batch`); ``merge_parquet``'s strict
+        validation — unknown columns, dtype drift, duplicate keys —
+        stays in force for everything else. Renames, drops, and type
+        changes are refused by construction: they would change the
+        meaning of bytes already written, which a pointer flip must
+        never do."""
+        import os
+        import shutil
+
+        from pyspark.sql.types import StructField, StructType
+
+        if not cols:
+            raise ValueError("add_columns needs at least one column")
+        meta = self.meta()
+        cur = self._declared_schema(meta["version_dir"])
+        if cur is None:
+            cur = self._read_dir(meta["version_dir"]).schema
+        existing = {f.name for f in cur.fields}
+        dup = sorted(set(cols) & existing)
+        if dup:
+            raise ValueError(
+                f"add_columns: columns already present: {dup}"
+            )
+        new_fields = []
+        for name, dtype in cols.items():
+            # parse the DDL type through the public expression path —
+            # an invalid type string fails loudly here, not at read
+            parsed = (
+                self.spark.range(0)
+                .selectExpr(f"cast(null as {dtype}) as `{name}`")
+                .schema.fields[0]
+            )
+            new_fields.append(StructField(name, parsed.dataType, True))
+        widened = StructType(list(cur.fields) + new_fields)
+        v, vd = self._next_version_dir(meta)
+        # byte-for-byte: the evolution itself costs one directory copy
+        # (server-side on object stores), never a data rewrite
+        shutil.copytree(
+            os.path.join(self.root, meta["version_dir"]),
+            os.path.join(self.root, vd),
+        )
+        self._put_sidecar(vd, widened)  # overwrites any copied sidecar
+        self._commit(v, vd, meta["batch_id"])
+        return {
+            "version": v,
+            "added": {
+                f.name: f.dataType.simpleString() for f in new_fields
+            },
+        }
 
     def restore(self, version: int) -> dict:
         """Roll the table back to a retained ``version`` — as a NEW
@@ -241,6 +410,7 @@ class Table:
         src = self.read_version(version)
         v, vd = self._next_version_dir(meta)
         src.write.mode("errorifexists").parquet(f"{self.root}/{vd}")
+        self._propagate_schema(f"v{version}", vd)
         self._commit(v, vd, meta["batch_id"])
         return {"version": v, "restored_from": version}
 
@@ -259,7 +429,11 @@ class Table:
         """The streaming write path into this same table: a
         ``foreachBatch`` callable (``streaming.events
         .cow_upsert_sink``) whose versions and pointer are exactly the
-        ones every verb above reads."""
+        ones every verb above reads. NOT evolution-aware: the sink
+        reads versions with their physical schema, so run
+        :meth:`compact` after :meth:`add_columns` (making the files
+        physically wide) before streaming upserts into a widened
+        table."""
         from cae_polars_tools_spark.streaming.events import (
             cow_upsert_sink,
         )

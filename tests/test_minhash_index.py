@@ -255,3 +255,165 @@ def test_probe_pushdown_cap_fallback_same_answers(spark, tmp_path, monkeypatch):
     want = _query_set(spark, root)
     monkeypatch.setattr(mi, "PROBE_PUSHDOWN_MAX", 1)
     assert _query_set(spark, root) == want
+
+
+def test_compact_retry_after_crash_orphan(spark, tmp_path):
+    """A crash between compact's version-write and pointer flip leaves
+    orphaned bands_v1/sigs_v1 dirs the meta never referenced; the
+    RETRY must clear them and succeed (Table._next_version_dir's rule)
+    instead of wedging on errorifexists until a manual vacuum."""
+    from cae_polars_tools_spark.operators.minhash_index import (
+        compact_minhash_index,
+    )
+
+    root = str(tmp_path / "idx")
+    build_minhash_index(_docs(spark).filter(~F.expr(_PRED)), root)
+    want = _query_set(spark, root)
+    for orphan in ("bands_v1", "sigs_v1"):
+        os.makedirs(f"{root}/{orphan}")
+        with open(f"{root}/{orphan}/junk.txt", "w") as fh:
+            fh.write("crash leftovers")
+    out = compact_minhash_index(spark, root)
+    assert out["bands_dir"] == "bands_v1"
+    assert out["sigs_dir"] == "sigs_v1"
+    # orphan content is GONE, not merged into the new generation
+    assert not os.path.exists(f"{root}/bands_v1/junk.txt")
+    assert not os.path.exists(f"{root}/sigs_v1/junk.txt")
+    assert _query_set(spark, root) == want
+
+
+def test_delete_retry_after_crash_orphan(spark, tmp_path):
+    """Same crash-then-retry contract for the CoW delete verb (heals
+    through delete_parquet's fresh-destination rule)."""
+    root = str(tmp_path / "idx")
+    build_minhash_index(_docs(spark).filter(~F.expr(_PRED)), root)
+    before = _query_set(spark, root)
+    victim = sorted(before)[0][0]
+    for orphan in ("bands_v1", "sigs_v1"):
+        os.makedirs(f"{root}/{orphan}")
+        with open(f"{root}/{orphan}/junk.txt", "w") as fh:
+            fh.write("crash leftovers")
+    stats = delete_minhash_index(spark, root, f"doc_id = {victim}")
+    assert stats["bands_dir"] == "bands_v1"
+    assert not os.path.exists(f"{root}/sigs_v1/junk.txt")
+    assert _query_set(spark, root) == {p for p in before if p[0] != victim}
+
+
+def test_over_cap_probe_keeps_shard_partition_pruning(spark, tmp_path, monkeypatch):
+    """Above PROBE_PUSHDOWN_MAX the bh isin pushdown is skipped, but
+    the ≤64-value shard list must STILL prune band-table partitions —
+    the plan carries a PartitionFilters INSET on shard."""
+    import io
+    from contextlib import redirect_stdout
+
+    import cae_polars_tools_spark.operators.minhash_index as mi
+
+    root = str(tmp_path / "idx")
+    build_minhash_index(_docs(spark).filter(~F.expr(_PRED)), root)
+    want = _query_set(spark, root)
+    monkeypatch.setattr(mi, "PROBE_PUSHDOWN_MAX", 1)
+    batch = _docs(spark).filter(F.expr(_PRED))
+    df = query_minhash_index(spark, root, batch)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    fmt = buf.getvalue()
+    bands_scan = [s for s in fmt.split("\n\n") if "/bands_v" in s]
+    assert bands_scan, fmt
+    seg = bands_scan[0]
+    assert "PartitionFilters: [shard" in seg and "INSET" in seg, seg
+    assert _query_set(spark, root) == want
+
+
+def test_large_batch_regime_drops_signed_broadcast(spark, tmp_path):
+    """Above broadcast_max_rows every batch-derived broadcast hint is
+    dropped: the plan carries NO BroadcastExchange when auto-broadcast
+    is off (proving no explicit hint survived), and the survivors are
+    identical across the switch."""
+    from cae_polars_tools_spark.operators.minhash_index import (
+        incremental_dedup_indexed,
+    )
+
+    root = str(tmp_path / "idx")
+    docs = _docs(spark)
+    build_minhash_index(docs.filter(~F.expr(_PRED)), root)
+    batch = docs.filter(F.expr(_PRED))
+    want = {
+        tuple(r)
+        for r in incremental_dedup_indexed(spark, root, batch).collect()
+    }
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = incremental_dedup_indexed(
+            spark, root, batch, broadcast_max_rows=0
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan, plan
+        assert {tuple(r) for r in out.collect()} == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+def test_stream_indexed_dedup_equals_batch_twin(spark, tmp_path):
+    """The continuous-ingestion loop: micro-batches (ascending doc_id,
+    arrival order) deduped against the persisted index via the
+    foreachBatch sink — WITH crafted redeliveries of two of them —
+    must land exactly the batch twin's survivors in the survivors
+    table, and the index must hold exactly history + survivors with
+    no duplicate ids."""
+    from cae_polars_tools_spark.operators.minhash_index import (
+        build_minhash_index as build,
+    )
+    from cae_polars_tools_spark.operators.minhash_index import (
+        dedup_stream_indexed,
+        incremental_dedup_indexed,
+    )
+
+    docs = _docs(spark)
+    hist = docs.filter(~F.expr(_PRED))
+    batch = docs.filter(F.expr(_PRED))
+
+    # batch twin: one dedup over the whole batch + one append
+    twin_root = str(tmp_path / "twin")
+    build(hist, twin_root)
+    twin_surv = {
+        (r["doc_id"], r["source"])
+        for r in incremental_dedup_indexed(spark, twin_root, batch).collect()
+    }
+    assert twin_surv, "batch must have survivors"
+
+    # streaming: 3 ascending-id micro-batches + redeliveries
+    stream_root = str(tmp_path / "stream")
+    surv_path = str(tmp_path / "survivors")
+    build(hist, stream_root)
+    cuts = batch.agg(
+        F.expr("percentile(doc_id, 0.34)"), F.expr("percentile(doc_id, 0.67)")
+    ).first()
+    b0 = batch.filter(F.col("doc_id") <= cuts[0])
+    b1 = batch.filter(
+        (F.col("doc_id") > cuts[0]) & (F.col("doc_id") <= cuts[1])
+    )
+    b2 = batch.filter(F.col("doc_id") > cuts[1])
+    sink = dedup_stream_indexed(stream_root, surv_path)
+    sink(b0, 0)
+    sink(b0, 0)  # immediate redelivery
+    sink(b1, 1)
+    sink(b2, 2)
+    sink(b1, 1)  # late redelivery after later batches landed
+    sink(batch.limit(0), 3)  # empty trigger is a no-op
+
+    got = {
+        (r["doc_id"], r["source"])
+        for r in spark.read.parquet(surv_path).collect()
+    }
+    assert got == twin_surv
+    # survivors table carries no duplicate rows despite redeliveries
+    assert spark.read.parquet(surv_path).count() == len(twin_surv)
+    # index = history + survivors exactly, no id indexed twice
+    sigs = spark.read.parquet(f"{stream_root}/sigs_v0")
+    assert sigs.count() == sigs.select("doc_id").distinct().count()
+    want_ids = {r["doc_id"] for r in hist.select("doc_id").collect()} | {
+        d for d, _ in twin_surv
+    }
+    assert {r["doc_id"] for r in sigs.collect()} == want_ids

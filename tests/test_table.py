@@ -216,3 +216,111 @@ def test_table_random_op_sequences_match_model(spark, tmp_path):
             # deletes carry the OLD image (there is no new one)
             want[("delete", k)] = v
     assert feed == want
+
+
+def test_add_columns_lifecycle(spark, tmp_path):
+    """Widen-only schema evolution end to end: add nullable columns
+    WITHOUT rewriting data files, merge batches on BOTH schemas, read
+    current/time-travel/diff correctly, and keep the strict refusals
+    (unknown column, duplicate add)."""
+    t = _seed(spark, tmp_path)
+    v0_files = sorted(os.listdir(str(tmp_path / "t" / "v0")))
+
+    out = t.add_columns({"score": "double", "lang": "string"})
+    assert out["version"] == 1
+    assert out["added"] == {"score": "double", "lang": "string"}
+    # data files copied byte-for-byte (plus the schema sidecar)
+    v1 = str(tmp_path / "t" / "v1")
+    assert sorted(
+        f for f in os.listdir(v1) if not f.startswith("_SCHEMA")
+    ) == v0_files
+    cur = t.current()
+    assert cur.columns == ["doc_id", "source", "n", "score", "lang"]
+    assert cur.count() == 30
+    assert cur.filter(F.col("score").isNotNull()).count() == 0
+    # time travel keeps the NARROW schema the version was written with
+    assert t.read_version(0).columns == ["doc_id", "source", "n"]
+
+    # merge a NEW-schema batch: evolved values land
+    wide = spark.createDataFrame(
+        [(0, "src0", 111, 0.9, "en"), (100, "srcX", 1, 0.5, "de")],
+        "doc_id long, source string, n long, score double, lang string",
+    )
+    stats = t.merge(wide, keys=["doc_id"])
+    assert stats["rows_updated"] == 1 and stats["rows_inserted"] == 1
+    cur = t.current()
+    assert cur.filter("doc_id = 0").first()["score"] == 0.9
+    assert cur.filter("doc_id = 3").first()["score"] is None
+
+    # merge an OLD-schema batch (produced before the widening):
+    # missing evolved columns null-fill, nothing refuses
+    narrow = spark.createDataFrame(
+        [(1, "src1", 222), (101, "srcY", 2)],
+        "doc_id long, source string, n long",
+    )
+    stats = t.merge(narrow, keys=["doc_id"])
+    assert stats["rows_updated"] == 1 and stats["rows_inserted"] == 1
+    cur = t.current()
+    assert cur.count() == 32
+    r = cur.filter("doc_id = 1").first()
+    assert r["n"] == 222 and r["score"] is None and r["lang"] is None
+    # doc 0's evolved value SURVIVED the later old-schema merge
+    assert cur.filter("doc_id = 0").first()["lang"] == "en"
+
+    # diff across the evolution boundary: old side null-fills, only
+    # genuinely-changed keys report
+    ops = {
+        (r["doc_id"], r["op"])
+        for r in t.diff(0, keys=["doc_id"]).collect()
+    }
+    assert ops == {
+        (0, "update"), (1, "update"), (100, "insert"), (101, "insert")
+    }
+
+    # refusals: unknown batch column; re-adding an existing column
+    with pytest.raises(ValueError, match="not in the table schema"):
+        t.merge(
+            spark.createDataFrame(
+                [(5, "s", 1, True)],
+                "doc_id long, source string, n long, extra boolean",
+            ),
+            keys=["doc_id"],
+        )
+    with pytest.raises(ValueError, match="already present"):
+        t.add_columns({"score": "double"})
+
+
+def test_evolved_table_delete_compact_restore(spark, tmp_path):
+    """The other verbs stay correct on a widened table: CoW delete
+    reads mixed-schema files under the declared schema, compact
+    rewrites them physically wide, restore across the evolution
+    boundary resurrects the narrow schema."""
+    t = _seed(spark, tmp_path)
+    t.add_columns({"score": "double"})                       # v1
+    wide = spark.createDataFrame(
+        [(0, "src0", 111, 0.9)],
+        "doc_id long, source string, n long, score double",
+    )
+    t.merge(wide, keys=["doc_id"])                           # v2
+    stats = t.delete("doc_id = 3")                           # v3
+    assert stats["rows_deleted"] == 1
+    cur = t.current()
+    assert cur.count() == 29
+    assert cur.filter("doc_id = 0").first()["score"] == 0.9
+
+    out = t.compact()                                        # v4
+    assert out["files"] >= 1
+    cur = t.current()
+    assert cur.columns == ["doc_id", "source", "n", "score"]
+    assert cur.count() == 29
+    # post-compact the files are PHYSICALLY wide: a raw read (no
+    # sidecar knowledge) now sees the evolved column too
+    raw = spark.read.parquet(str(tmp_path / "t" / "v4"))
+    assert "score" in raw.columns
+
+    # restore to the pre-evolution version: narrow schema returns,
+    # as a NEW version (history stays linear)
+    out = t.restore(0)                                       # v5
+    assert out["version"] == 5
+    assert t.current().columns == ["doc_id", "source", "n"]
+    assert t.current().count() == 30
