@@ -1,0 +1,154 @@
+"""``cascade_delete`` — the right-to-be-forgotten verb ACROSS
+artifacts: a takedown request names document ids, but the ids live in
+more than one place — the base corpus table AND every index derived
+from it (MinHash band/sigs tables, IVF-PQ codes). Each artifact
+already has its own copy-on-write delete (``Table.delete``,
+``delete_minhash_index``, ``delete_ivfpq_index``); this composes them
+under one call with one manifest, so a purge can be audited and — when
+an artifact fails mid-cascade — retried.
+
+Ordering and atomicity contract ("atomic-enough"):
+
+* the BASE TABLE purges first — it is the ground truth every index can
+  be rebuilt from, so after any partial failure the invariant "no
+  artifact contains a doc the base table lacks a reason to contain"
+  re-establishes by simply re-running the cascade;
+* derived indexes purge next, each as its own pointer-flip CoW delete
+  (readers of any single artifact never observe a torn state);
+* a failing artifact does NOT halt the cascade — the remaining
+  indexes still purge (one wedged index must not leave the others
+  serving the document) — and the error surfaces at the end with the
+  manifest of everything that DID purge;
+* re-running the same cascade is idempotent: deleting already-absent
+  ids is a zero-row CoW version per artifact.
+
+Old CoW generations still hold the purged bytes until retention runs —
+a complete takedown ends with ``Table.vacuum`` /
+``vacuum_minhash_index`` / the IVF-PQ generation GC, which the
+manifest's ``vacuum_pending`` list spells out per artifact.
+
+No reference counterpart (the reference engine has no mutation surface
+at all); this is the operational closure of the repo's own lakehouse +
+index lifecycle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+#: cascade_delete inlines the ids as one IN-list predicate per
+#: artifact (the takedown shape: a handful to a few thousand ids named
+#: by a legal/ops request). Larger purges are bulk data management,
+#: not takedown — run the per-artifact deletes with a real predicate
+#: (e.g. a partition-column filter) instead of a driver-side literal.
+MAX_TAKEDOWN_IDS = 100_000
+
+
+def cascade_delete(
+    spark: SparkSession,
+    doc_ids,
+    table_root: str | None = None,
+    minhash_index_paths: tuple = (),
+    ivfpq_index_paths: tuple = (),
+    table_id_col: str = "doc_id",
+) -> dict:
+    """Purge ``doc_ids`` from the base :class:`~cae_polars_tools_spark
+    .table.Table` at ``table_root`` (first) and from every listed
+    MinHash / IVF-PQ index (each a pointer-flip CoW delete). Returns a
+    manifest::
+
+        {"doc_ids": [...],
+         "table": {root, **delete stats} | None,
+         "minhash": [{path, **stats}, ...],
+         "ivfpq":   [{path, **stats}, ...],
+         "vacuum_pending": [...]}
+
+    Raises ``RuntimeError`` at the END if any artifact failed, with
+    the partial manifest in ``exc.args[1]`` — everything else was
+    still purged, and re-running the cascade is idempotent. The ids
+    are inlined as an ``IN`` predicate (≤ :data:`MAX_TAKEDOWN_IDS`,
+    checked) so each artifact's delete prunes files/partitions by
+    min/max stats on its id column."""
+    from cae_polars_tools_spark.operators.minhash_index import (
+        delete_minhash_index,
+    )
+    from cae_polars_tools_spark.operators.similarity import (
+        delete_ivfpq_index,
+    )
+    from cae_polars_tools_spark.table import Table
+
+    ids = sorted(set(doc_ids))
+    if not ids:
+        raise ValueError("cascade_delete: no doc_ids given")
+    if len(ids) > MAX_TAKEDOWN_IDS:
+        raise ValueError(
+            f"cascade_delete: {len(ids)} ids exceeds "
+            f"MAX_TAKEDOWN_IDS={MAX_TAKEDOWN_IDS} — a purge this large "
+            "is bulk data management; run the per-artifact deletes "
+            "with a real predicate instead of a literal id list"
+        )
+    if table_root is None and not minhash_index_paths and not ivfpq_index_paths:
+        raise ValueError("cascade_delete: nothing to purge from")
+
+    manifest: dict = {
+        "doc_ids": ids,
+        "table": None,
+        "minhash": [],
+        "ivfpq": [],
+        "vacuum_pending": [],
+    }
+    errors: list[str] = []
+
+    def _step(label: str, fn):
+        try:
+            return fn()
+        except Exception as exc:  # keep purging the other artifacts
+            errors.append(f"{label}: {exc}")
+            return None
+
+    # base table FIRST — ground truth, see the module contract
+    if table_root is not None:
+        stats = _step(
+            f"table {table_root}",
+            lambda: Table(spark, table_root).delete(
+                F.col(table_id_col).isin(ids)
+            ),
+        )
+        if stats is not None:
+            manifest["table"] = {"root": table_root, **stats}
+            manifest["vacuum_pending"].append(
+                f"Table({table_root}).vacuum()"
+            )
+    for p in minhash_index_paths:
+        stats = _step(
+            f"minhash index {p}",
+            lambda p=p: delete_minhash_index(
+                spark, p, F.col("doc_id").isin(ids)
+            ),
+        )
+        if stats is not None:
+            manifest["minhash"].append({"path": p, **stats})
+            manifest["vacuum_pending"].append(
+                f"vacuum_minhash_index({p!r})"
+            )
+    for p in ivfpq_index_paths:
+        stats = _step(
+            f"ivfpq index {p}",
+            lambda p=p: delete_ivfpq_index(
+                spark, p, F.col("vec_id").isin(ids)
+            ),
+        )
+        if stats is not None:
+            manifest["ivfpq"].append({"path": p, **stats})
+            manifest["vacuum_pending"].append(
+                f"stale codes_v* generations under {p}"
+            )
+    if errors:
+        raise RuntimeError(
+            "cascade_delete: some artifacts failed (the rest WERE "
+            "purged; re-run to retry — idempotent): "
+            + "; ".join(errors),
+            manifest,
+        )
+    return manifest

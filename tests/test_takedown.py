@@ -1,0 +1,153 @@
+"""cascade_delete: one takedown request purges the base Table AND
+every derived index, no read/probe/query path surfaces the doc
+afterwards, and a failing artifact doesn't stop the others."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cae_polars_tools_spark.operators.minhash_index import (
+    build_minhash_index,
+    query_minhash_index,
+)
+from cae_polars_tools_spark.operators.similarity import (
+    EMBED_DIM,
+    build_ivfpq_index,
+    query_ivfpq_index,
+)
+from cae_polars_tools_spark.table import Table
+from cae_polars_tools_spark.takedown import cascade_delete
+
+VICTIM = 7
+
+
+def _seed(spark, tmp_path):
+    """Base table + MinHash index + IVF-PQ index, all containing the
+    victim doc. Returns (table_root, mh_root, pq_root, docs, emb)."""
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                f"document number {i} with shared words " * 3
+                + f"unique tail {i}",
+                "corpus",
+            )
+            for i in range(40)
+        ],
+        "doc_id long, text string, source string",
+    )
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(64, EMBED_DIM))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(64)],
+        f"vec_id long, embedding array<double>",
+    )
+    table_root = str(tmp_path / "corpus")
+    mh_root = str(tmp_path / "mh")
+    pq_root = str(tmp_path / "pq")
+    Table.create(spark, table_root, docs)
+    build_minhash_index(docs, mh_root)
+    build_ivfpq_index(emb, pq_root)
+    return table_root, mh_root, pq_root, docs, emb
+
+
+def test_cascade_purges_every_surface(spark, tmp_path):
+    table_root, mh_root, pq_root, docs, emb = _seed(spark, tmp_path)
+
+    # pre-delete: every surface serves the victim
+    assert (
+        Table(spark, table_root)
+        .current()
+        .filter(F.col("doc_id") == VICTIM)
+        .count()
+        == 1
+    )
+    near_dup = docs.filter(F.col("doc_id") == VICTIM).select(
+        F.lit(999).alias("doc_id"), "text", "source"
+    )
+    probe = query_minhash_index(spark, mh_root, near_dup)
+    assert {r["doc_id_hist"] for r in probe.collect()} == {VICTIM}
+    q = emb.filter(F.col("vec_id") == VICTIM).select(
+        F.lit(999).cast("long").alias("vec_id"), "embedding"
+    )
+    ann = query_ivfpq_index(spark, pq_root, q, k=3)
+    assert VICTIM in {r["neighbor_id"] for r in ann.collect()}
+
+    manifest = cascade_delete(
+        spark,
+        [VICTIM],
+        table_root=table_root,
+        minhash_index_paths=(mh_root,),
+        ivfpq_index_paths=(pq_root,),
+    )
+    assert manifest["table"]["rows_deleted"] == 1
+    assert manifest["minhash"][0]["sigs"]["rows_deleted"] == 1
+    assert manifest["ivfpq"][0]["rows_deleted"] == 1
+    assert len(manifest["vacuum_pending"]) == 3
+
+    # post-delete: NO surface can produce the victim
+    assert (
+        Table(spark, table_root)
+        .current()
+        .filter(F.col("doc_id") == VICTIM)
+        .count()
+        == 0
+    )
+    assert (
+        query_minhash_index(spark, mh_root, near_dup)
+        .filter(F.col("doc_id_hist") == VICTIM)
+        .count()
+        == 0
+    )
+    ann = query_ivfpq_index(spark, pq_root, q, k=3)
+    assert VICTIM not in {r["neighbor_id"] for r in ann.collect()}
+    # the other docs still answer (the purge was surgical)
+    assert ann.count() == 3
+
+    # idempotent: re-running purges zero rows, raises nothing
+    again = cascade_delete(
+        spark,
+        [VICTIM],
+        table_root=table_root,
+        minhash_index_paths=(mh_root,),
+        ivfpq_index_paths=(pq_root,),
+    )
+    assert again["table"]["rows_deleted"] == 0
+    assert again["minhash"][0]["sigs"]["rows_deleted"] == 0
+    assert again["ivfpq"][0]["rows_deleted"] == 0
+
+
+def test_cascade_partial_failure_still_purges_the_rest(spark, tmp_path):
+    """A wedged artifact (here: a missing index path) must not leave
+    the OTHER indexes serving the doc — the cascade continues, then
+    raises with the partial manifest attached."""
+    table_root, mh_root, pq_root, _, _ = _seed(spark, tmp_path)
+    with pytest.raises(RuntimeError, match="some artifacts failed") as ei:
+        cascade_delete(
+            spark,
+            [VICTIM],
+            table_root=table_root,
+            minhash_index_paths=(str(tmp_path / "nope"), mh_root),
+            ivfpq_index_paths=(pq_root,),
+        )
+    manifest = ei.value.args[1]
+    assert manifest["table"]["rows_deleted"] == 1
+    # the GOOD minhash index and the ivfpq index were still purged
+    assert [m["path"] for m in manifest["minhash"]] == [mh_root]
+    assert manifest["minhash"][0]["sigs"]["rows_deleted"] == 1
+    assert manifest["ivfpq"][0]["rows_deleted"] == 1
+
+
+def test_cascade_refuses_empty_and_oversized(spark, tmp_path):
+    with pytest.raises(ValueError, match="no doc_ids"):
+        cascade_delete(spark, [], table_root=str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="MAX_TAKEDOWN_IDS"):
+        cascade_delete(
+            spark,
+            range(100_001),
+            table_root=str(tmp_path / "t"),
+        )
+    with pytest.raises(ValueError, match="nothing to purge"):
+        cascade_delete(spark, [1])
