@@ -12,8 +12,16 @@ verification (loud ValueError on mismatch — silent corruption is how
 a petabyte of audio rots), subframe types CONSTANT / VERBATIM / FIXED
 (orders 0-4) / LPC (any order), wasted-bits shifts, Rice residual
 methods 0 and 1 with escape partitions, and the left/side, right/side
-and mid/side stereo decorrelations (side channel at +1 bit). Ogg-FLAC
-and multi-track containers are out of scope and refuse loudly.
+and mid/side stereo decorrelations (side channel at +1 bit).
+
+Ogg-encapsulated FLAC (``OggS`` magic) demuxes through an RFC 3533
+page walk (:func:`ogg_flac_to_native`) — page CRC-32 verified,
+packets reassembled across pages/lacing boundaries, the xiph
+Ogg-FLAC mapping header validated — and feeds the SAME native frame
+decoder, so the sample-exact oracle survives the container. Chained
+and multiplexed Ogg streams (a second bitstream serial) remain loud
+``NotImplementedError`` seams, as do non-FLAC Ogg codecs (Vorbis,
+Opus — lossy, no sample-exact contract possible).
 
 Encoder (fixture generator + round-trip proof): fixed 4096-sample
 blocks, per-subframe best-of CONSTANT / FIXED 0-2 / VERBATIM with a
@@ -411,6 +419,121 @@ def encode_flac(
 
 
 # ---------------------------------------------------------------------------
+# Ogg demux (RFC 3533) — the one remaining LOSSLESS audio container:
+# walk pages, verify CRC-32, reassemble packets, strip the xiph
+# Ogg-FLAC mapping header, and hand the native stream to decode_flac.
+# ---------------------------------------------------------------------------
+
+# Ogg page CRC-32: poly 0x04C11DB7, init 0, MSB-first (non-reflected),
+# no final xor — NOT the zlib crc32 (which reflects and xors).
+_OGG_CRC_TAB = _crc_table(0x04C11DB7, 32)
+
+
+def _ogg_crc(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = ((c << 8) ^ int(_OGG_CRC_TAB[((c >> 24) ^ b) & 0xFF])) & 0xFFFFFFFF
+    return c
+
+
+def ogg_flac_to_native(payload: bytes) -> bytes:
+    """Demux an Ogg-FLAC stream to the native ``fLaC`` byte stream.
+
+    RFC 3533 page walk: every page's sync/version/CRC-32 is verified
+    (the CRC field participates zeroed), packets reassemble across
+    lacing values (a 255 lace continues, <255 ends) and across page
+    boundaries (header-type bit 0 = continued packet). The xiph
+    Ogg-FLAC mapping's first packet is ``0x7F 'FLAC' major minor
+    count16`` followed by the native ``fLaC`` magic + STREAMINFO;
+    every later packet is a metadata block or one audio frame, so the
+    native stream is first-packet-payload + concat(rest) by
+    construction.
+
+    Loud seams: a second BOS page (chained stream) or a second
+    bitstream serial (multiplexed, e.g. video+audio) refuse with
+    NotImplementedError; a first packet that is not the FLAC mapping
+    (Vorbis/Opus — lossy) likewise. Corruption (bad page CRC, broken
+    continuation, truncation) is ValueError, matching the native
+    decoder's contract."""
+    pos = 0
+    serial: int | None = None
+    packets: list[bytes] = []
+    cur = bytearray()
+    while pos < len(payload):
+        if payload[pos : pos + 4] != b"OggS":
+            raise ValueError("ogg: lost page sync")
+        if pos + 27 > len(payload):
+            raise ValueError("ogg: truncated page header")
+        version = payload[pos + 4]
+        if version != 0:
+            raise ValueError(f"ogg: unsupported stream version {version}")
+        htype = payload[pos + 5]
+        page_serial = int.from_bytes(payload[pos + 14 : pos + 18], "little")
+        crc = int.from_bytes(payload[pos + 22 : pos + 26], "little")
+        nseg = payload[pos + 26]
+        seg_end = pos + 27 + nseg
+        if seg_end > len(payload):
+            raise ValueError("ogg: truncated segment table")
+        laces = payload[pos + 27 : seg_end]
+        page_end = seg_end + sum(laces)
+        if page_end > len(payload):
+            raise ValueError("ogg: truncated page body")
+        probe = bytearray(payload[pos:page_end])
+        probe[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc(bytes(probe)) != crc:
+            raise ValueError("ogg: page CRC-32 mismatch")
+        if htype & 0x02:  # BOS
+            if serial is not None:
+                raise NotImplementedError(
+                    "ogg: chained/multiplexed streams (second BOS page) "
+                    "are out of scope — demux to a single logical "
+                    "Ogg-FLAC stream"
+                )
+            serial = page_serial
+        if serial is None:
+            raise ValueError("ogg: page before the BOS page")
+        if page_serial != serial:
+            raise NotImplementedError(
+                "ogg: multiplexed streams (multiple bitstream serials) "
+                "are out of scope"
+            )
+        if bool(htype & 0x01) != bool(cur):
+            raise ValueError(
+                "ogg: packet continuation flag inconsistent with "
+                "pending packet state"
+            )
+        off = seg_end
+        for lace in laces:
+            cur += payload[off : off + lace]
+            off += lace
+            if lace < 255:
+                packets.append(bytes(cur))
+                cur = bytearray()
+        pos = page_end
+    if cur:
+        raise ValueError("ogg: stream ends mid-packet")
+    if not packets:
+        raise ValueError("ogg: no packets in stream")
+    first = packets[0]
+    if len(first) < 13 or first[0] != 0x7F or first[1:5] != b"FLAC":
+        raise NotImplementedError(
+            "ogg: first packet is not the Ogg-FLAC mapping — other "
+            "Ogg codecs (Vorbis/Opus) are lossy and out of scope"
+        )
+    if first[5] != 1:
+        raise NotImplementedError(
+            f"ogg-flac: mapping major version {first[5]} (only 1 is "
+            "specified)"
+        )
+    native = bytearray(first[9:])
+    if native[:4] != FLAC_MAGIC:
+        raise ValueError("ogg-flac: mapping payload lacks fLaC magic")
+    for p in packets[1:]:
+        native += p
+    return bytes(native)
+
+
+# ---------------------------------------------------------------------------
 # Decoder
 # ---------------------------------------------------------------------------
 
@@ -502,12 +625,11 @@ def decode_flac(payload: bytes) -> tuple[int, "np.ndarray"]:
     into the same dispatch. int16 output for bps ≤ 16, int32 above.
     Loud ValueError on corruption (bad magic / CRC-8 / CRC-16 /
     reserved codes / truncation); NotImplementedError only for
-    documented out-of-scope containers."""
+    documented out-of-scope containers. ``OggS`` payloads demux
+    through :func:`ogg_flac_to_native` first (RFC 3533 page walk) and
+    decode identically — chained/multiplexed Ogg refuses there."""
     if payload[:4] == b"OggS":
-        raise NotImplementedError(
-            "flac: Ogg-encapsulated FLAC is out of scope — remux to "
-            "native .flac"
-        )
+        payload = ogg_flac_to_native(payload)
     if payload[:4] != FLAC_MAGIC:
         raise ValueError("flac: bad magic")
     pos = 4

@@ -11,11 +11,15 @@ when absent, plus ``value``), with the same partition-window execution
 model: one Spark partition per flat row window, each reading only its
 own byte ranges.
 
-Format support (the classic spec, CDF-1 and CDF-2/64-bit-offset):
-dimensions incl. the record (unlimited) dimension, attributes (parsed
-and exposed; values skipped correctly), fixed and record variables,
-all six external types. ``NotImplementedError`` for NetCDF-4/HDF5
-(magic ``\\x89HDF``).
+Format support (the classic spec family — CDF-1, CDF-2/64-bit-offset
+and CDF-5/64-bit-data as produced by pnetcdf): dimensions incl. the
+record (unlimited) dimension, attributes (parsed and exposed; values
+skipped correctly), fixed and record variables, the six classic
+external types plus CDF-5's NC_UBYTE/USHORT/UINT/INT64/UINT64 (the
+unsigned types widen through the zarr path's documented mapping;
+uint64 has no Spark type and refuses loudly at scan). The only
+refused container is NetCDF-4/HDF5 (magic ``\\x89HDF``) —
+``NotImplementedError``.
 
 Selection: ``select_dims`` with int (drops the dimension) / slice /
 list — resolved driver-side into per-dimension position arrays, so an
@@ -56,6 +60,12 @@ _NC_DTYPES = {
     4: np.dtype(">i4"),  # NC_INT
     5: np.dtype(">f4"),  # NC_FLOAT
     6: np.dtype(">f8"),  # NC_DOUBLE
+    # CDF-5 (64-bit-data) additions
+    7: np.dtype(">u1"),  # NC_UBYTE
+    8: np.dtype(">u2"),  # NC_USHORT
+    9: np.dtype(">u4"),  # NC_UINT
+    10: np.dtype(">i8"),  # NC_INT64
+    11: np.dtype(">u8"),  # NC_UINT64
 }
 
 
@@ -83,9 +93,13 @@ class NcMeta:
 
 
 class _Cursor:
-    def __init__(self, data: bytes) -> None:
+    def __init__(self, data: bytes, wide: bool = False) -> None:
         self.d = data
         self.p = 0
+        # CDF-5: every NON_NEG field (list/name/attr counts, dim
+        # sizes, ndims, vsize) widens to 64 bits; tags, type ids and
+        # dimension ids stay 32-bit per the pnetcdf spec
+        self.wide = wide
 
     def u32(self) -> int:
         (v,) = struct.unpack_from(">I", self.d, self.p)
@@ -97,8 +111,12 @@ class _Cursor:
         self.p += 8
         return v
 
+    def nn(self) -> int:
+        """One NON_NEG field at this format version's width."""
+        return self.u64() if self.wide else self.u32()
+
     def name(self) -> str:
-        n = self.u32()
+        n = self.nn()
         s = self.d[self.p : self.p + n].decode("utf-8")
         self.p += n + ((-n) % 4)  # names pad to 4-byte boundaries
         return s
@@ -119,7 +137,7 @@ class _Cursor:
 
 def _parse_attrs(c: _Cursor) -> dict:
     tag = c.u32()
-    n = c.u32()
+    n = c.nn()
     if tag == 0 and n == 0:
         return {}
     if tag != _NC_ATTRIBUTE:
@@ -128,7 +146,7 @@ def _parse_attrs(c: _Cursor) -> dict:
     for _ in range(n):
         name = c.name()
         nc_type = c.u32()
-        count = c.u32()
+        count = c.nn()
         out[name] = c.skip_values(nc_type, count)
     return out
 
@@ -161,23 +179,24 @@ def _parse_netcdf3_header(head: bytes, path: str) -> NcMeta:
             "NetCDF-4 files are HDF5 containers — out of hand-parse "
             "scope (convert to classic or zarr)"
         )
-    if head[:3] != b"CDF" or head[3] not in (1, 2):
+    if head[:3] != b"CDF" or head[3] not in (1, 2, 5):
         raise ValueError("not a netCDF classic payload")
     version = head[3]
-    c = _Cursor(head)
+    wide = version == 5
+    c = _Cursor(head, wide=wide)
     c.p = 4
-    numrecs = c.u32()
-    streaming = numrecs == 0xFFFFFFFF
+    numrecs = c.nn()
+    streaming = numrecs == (0xFFFFFFFFFFFFFFFF if wide else 0xFFFFFFFF)
 
     tag = c.u32()
-    n = c.u32()
+    n = c.nn()
     dim_names: list[str] = []
     dim_sizes: list[int] = []
     record_dim = None
     if tag == _NC_DIMENSION:
         for i in range(n):
             dim_names.append(c.name())
-            size = c.u32()
+            size = c.nn()
             if size == 0:
                 record_dim = i
             dim_sizes.append(size)
@@ -187,20 +206,20 @@ def _parse_netcdf3_header(head: bytes, path: str) -> NcMeta:
     gatts = _parse_attrs(c)
 
     tag = c.u32()
-    n = c.u32()
+    n = c.nn()
     vars_: dict[str, NcVar] = {}
     order: list[NcVar] = []
     if tag == _NC_VARIABLE:
         for _ in range(n):
             name = c.name()
-            ndims = c.u32()
+            ndims = c.nn()
             dids = tuple(c.u32() for _ in range(ndims))
             vatts = _parse_attrs(c)
             nc_type = c.u32()
             if nc_type not in _NC_DTYPES:
                 raise ValueError(f"bad netCDF type {nc_type} for {name!r}")
-            vsize = c.u32()
-            begin = c.u64() if version == 2 else c.u32()
+            vsize = c.nn()
+            begin = c.u64() if version in (2, 5) else c.u32()
             v = NcVar(name, dids, nc_type, vsize, begin, vatts)
             vars_[name] = v
             order.append(v)
@@ -761,14 +780,24 @@ _NC_TYPE_OF = {
     np.dtype("float64"): 6,
 }
 
+# CDF-5-only external types (rejected at version=1: a classic reader
+# has no representation for them)
+_NC_TYPE_OF_CDF5 = {
+    np.dtype("uint8"): 7,
+    np.dtype("uint16"): 8,
+    np.dtype("uint32"): 9,
+    np.dtype("int64"): 10,
+    np.dtype("uint64"): 11,
+}
+
 
 def _pad4(b: bytes) -> bytes:
     return b + b"\x00" * ((-len(b)) % 4)
 
 
-def _nc_name(s: str) -> bytes:
+def _nc_name(s: str, wide: bool = False) -> bytes:
     raw = s.encode("utf-8")
-    return struct.pack(">I", len(raw)) + _pad4(raw)
+    return struct.pack(">Q" if wide else ">I", len(raw)) + _pad4(raw)
 
 
 def write_netcdf3(
@@ -776,12 +805,23 @@ def write_netcdf3(
     dims: dict[str, int],
     variables: dict[str, tuple[tuple[str, ...], np.ndarray]],
     record_dim: str | None = None,
+    version: int = 1,
 ) -> str:
-    """Write a classic (CDF-1) netCDF file: ``dims`` name→size (the
+    """Write a classic netCDF file — CDF-1 by default, ``version=5``
+    for the pnetcdf 64-bit-data variant (every NON_NEG header field
+    widens to 64 bits, offsets are 64-bit, and the int64/unsigned
+    external types become writable): ``dims`` name→size (the
     ``record_dim`` entry's size is taken from the data), ``variables``
     name → (dim names, ndarray). 1-D variables named like a dimension
     act as CF coordinate variables on read. Big-endian on disk, per
     the spec; record variables must lead with the record dimension."""
+    if version not in (1, 5):
+        raise ValueError("write_netcdf3: version must be 1 or 5")
+    wide = version == 5
+    nnf = ">Q" if wide else ">I"
+    type_of = dict(_NC_TYPE_OF)
+    if wide:
+        type_of.update(_NC_TYPE_OF_CDF5)
     dim_names = list(dims)
     dim_idx = {d: i for i, d in enumerate(dim_names)}
     numrecs = 0
@@ -799,9 +839,13 @@ def write_netcdf3(
     entries = []
     for name, (vdims, data) in fixed + rec:
         arr = np.ascontiguousarray(data)
-        if arr.dtype not in _NC_TYPE_OF:
-            raise ValueError(f"unsupported dtype {arr.dtype} for {name!r}")
-        nc_type = _NC_TYPE_OF[arr.dtype]
+        if arr.dtype not in type_of:
+            raise ValueError(
+                f"unsupported dtype {arr.dtype} for {name!r}"
+                + (" (CDF-5-only type; pass version=5)"
+                   if arr.dtype in _NC_TYPE_OF_CDF5 else "")
+            )
+        nc_type = type_of[arr.dtype]
         item = _NC_DTYPES[nc_type].itemsize
         is_rec = record_dim is not None and vdims[:1] == (record_dim,)
         slab_shape = arr.shape[1:] if is_rec else arr.shape
@@ -809,27 +853,33 @@ def write_netcdf3(
         vsize = slab + ((-slab) % 4)
         entries.append((name, vdims, arr, nc_type, vsize, is_rec))
 
-    # header size with placeholder begins (u32 offsets, CDF-1)
+    # header size with placeholder begins (u32 offsets for CDF-1;
+    # CDF-5 widens every NON_NEG and the begin offsets to 64 bits,
+    # tags/type ids/dim ids staying 32-bit per the pnetcdf spec)
     def header(begins: list[int]) -> bytes:
-        out = bytearray(b"CDF\x01")
-        out += struct.pack(">I", numrecs)
-        out += struct.pack(">II", _NC_DIMENSION, len(dim_names))
+        out = bytearray(b"CDF" + bytes([version]))
+        out += struct.pack(nnf, numrecs)
+        out += struct.pack(">I", _NC_DIMENSION)
+        out += struct.pack(nnf, len(dim_names))
         for d in dim_names:
-            out += _nc_name(d)
+            out += _nc_name(d, wide)
             out += struct.pack(
-                ">I", 0 if d == record_dim else int(dims[d])
+                nnf, 0 if d == record_dim else int(dims[d])
             )
-        out += struct.pack(">II", 0, 0)  # no global attributes
-        out += struct.pack(">II", _NC_VARIABLE, len(entries))
+        out += struct.pack(">I", 0) + struct.pack(nnf, 0)  # no gatts
+        out += struct.pack(">I", _NC_VARIABLE)
+        out += struct.pack(nnf, len(entries))
         for (name, vdims, _arr, nc_type, vsize, _r), begin in zip(
             entries, begins
         ):
-            out += _nc_name(name)
-            out += struct.pack(">I", len(vdims))
+            out += _nc_name(name, wide)
+            out += struct.pack(nnf, len(vdims))
             for d in vdims:
                 out += struct.pack(">I", dim_idx[d])
-            out += struct.pack(">II", 0, 0)  # no variable attributes
-            out += struct.pack(">III", nc_type, vsize, begin)
+            out += struct.pack(">I", 0) + struct.pack(nnf, 0)  # no vatts
+            out += struct.pack(">I", nc_type)
+            out += struct.pack(nnf, vsize)
+            out += struct.pack(">Q" if wide else ">I", begin)
         return bytes(out)
 
     hlen = len(header([0] * len(entries)))

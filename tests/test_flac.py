@@ -179,7 +179,9 @@ def test_hostile_bytes_refuse_loudly():
     corrupt2[hdr_at + 3] ^= 0x01
     with pytest.raises(ValueError):
         decode_flac(bytes(corrupt2))
-    with pytest.raises(NotImplementedError, match="Ogg"):
+    # Ogg magic glued onto garbage is CORRUPTION (no valid page), not
+    # a supported-container refusal — the demuxer must say so loudly
+    with pytest.raises(ValueError, match="ogg"):
         decode_flac(b"OggS" + good)
     with pytest.raises(ValueError, match="exceed bits_per_sample"):
         encode_flac(np.array([40000]), 8000)
@@ -354,3 +356,222 @@ def test_decode_header_code_variants():
     # invalid rate code 15 must refuse
     with pytest.raises(ValueError, match="sample-rate"):
         decode_flac(build(192, 1, 15, None, 8000))
+
+
+# ---------------------------------------------------------------------------
+# Ogg-FLAC demux (RFC 3533 + the xiph Ogg-FLAC mapping)
+# ---------------------------------------------------------------------------
+
+
+def _ogg_pages(packets, serial=0x0D15EA5E, max_laces=255, version=0):
+    """Test-side Ogg muxer, written straight from RFC 3533 (NOT the
+    inverse of the demuxer's code paths): packets → lacing values
+    (255 continues, <255 terminates — a 255-multiple packet gets a
+    0 lace) → pages of at most ``max_laces`` segments with
+    continued/BOS/EOS flags and the Ogg CRC-32."""
+    from cae_polars_tools_spark.operators.flac import _ogg_crc
+
+    laces = []
+    for p in packets:
+        n_full = len(p) // 255
+        for i in range(n_full):
+            laces.append((255, p[i * 255 : (i + 1) * 255]))
+        laces.append((len(p) % 255, p[n_full * 255 :]))
+    out = b""
+    idx, seq, continued = 0, 0, False
+    while idx < len(laces) or seq == 0:
+        take = laces[idx : idx + max_laces]
+        idx += len(take)
+        htype = (
+            (0x01 if continued else 0)
+            | (0x02 if seq == 0 else 0)
+            | (0x04 if idx >= len(laces) else 0)
+        )
+        page = bytearray(
+            b"OggS"
+            + bytes([version, htype])
+            + (0).to_bytes(8, "little")       # granule (unused here)
+            + serial.to_bytes(4, "little")
+            + seq.to_bytes(4, "little")
+            + b"\x00\x00\x00\x00"             # CRC placeholder
+            + bytes([len(take)])
+            + bytes(l for l, _ in take)
+            + b"".join(d for _, d in take)
+        )
+        page[22:26] = _ogg_crc(bytes(page)).to_bytes(4, "little")
+        out += bytes(page)
+        seq += 1
+        continued = bool(take) and take[-1][0] == 255
+    return out
+
+
+def _ogg_wrap(native, max_laces=255, n_chunks=3, serial=0x0D15EA5E):
+    """Wrap a native fLaC stream per the Ogg-FLAC mapping: first
+    packet = 0x7F 'FLAC' 1 0 count16 + magic+STREAMINFO, remaining
+    bytes split across ``n_chunks`` packets (the demuxer concatenates,
+    so chunking is packet-boundary-agnostic by design)."""
+    si_end = 4 + 4 + 34  # magic + block header + STREAMINFO body
+    pk0 = (
+        bytes([0x7F]) + b"FLAC" + bytes([1, 0])
+        + (0).to_bytes(2, "big") + native[:si_end]
+    )
+    rest = native[si_end:]
+    step = max(1, -(-len(rest) // n_chunks))
+    packets = [pk0] + [
+        rest[i : i + step] for i in range(0, len(rest), step)
+    ]
+    return _ogg_pages(packets, serial=serial, max_laces=max_laces)
+
+
+def test_ogg_flac_roundtrip_equals_native():
+    """Ogg-wrapped FLAC must decode sample-identically to the native
+    stream — including packets that span PAGES (max_laces=2 forces
+    the continued-packet flag) and a packet of exactly 255 bytes
+    (zero-lace terminator)."""
+    rng = np.random.default_rng(7)
+    x = np.cumsum(rng.integers(-50, 50, size=9000)).astype(np.int64)
+    x = np.clip(x, -30000, 30000)
+    native = encode_flac(x, 22050)
+    want_rate, want = decode_flac(native)
+    for ml, nc in ((255, 3), (2, 5), (255, 1)):
+        rate, got = decode_flac(_ogg_wrap(native, max_laces=ml, n_chunks=nc))
+        assert rate == want_rate and (got == want).all()
+    # exact-255-byte packet → trailing 0 lace
+    si_end = 4 + 4 + 34
+    pk0 = (
+        bytes([0x7F]) + b"FLAC" + bytes([1, 0])
+        + (0).to_bytes(2, "big") + native[:si_end]
+    )
+    rest = native[si_end:]
+    packets = [pk0, rest[:255], rest[255:]]
+    rate, got = decode_flac(_ogg_pages(packets))
+    assert rate == want_rate and (got == want).all()
+
+
+def test_ogg_flac_through_audio_dispatch(spark):
+    """The OggS payload flows through decode_audio_bytes into the same
+    feature pass as native FLAC — container transparency end to end."""
+    from cae_polars_tools_spark.operators.multimodal import (
+        decode_audio_bytes,
+    )
+
+    x = np.arange(500, dtype=np.int64) % 97
+    native = encode_flac(x, 16000)
+    rate_n, out_n = decode_audio_bytes(native)
+    rate_o, out_o = decode_audio_bytes(_ogg_wrap(native))
+    assert rate_n == rate_o == 16000
+    assert (out_n == out_o).all()
+
+
+def test_ogg_hostile_bytes_refuse_loudly():
+    native = encode_flac(np.arange(300), 8000)
+    good = _ogg_wrap(native)
+
+    # corrupt one payload byte: the page CRC-32 must catch it
+    corrupt = bytearray(good)
+    corrupt[-1] ^= 0x01
+    with pytest.raises(ValueError, match="CRC-32"):
+        decode_flac(bytes(corrupt))
+    # unsupported Ogg version
+    vbad = bytearray(good)
+    vbad[4] = 1
+    with pytest.raises(ValueError, match="version"):
+        decode_flac(bytes(vbad))
+    # truncated page body
+    with pytest.raises(ValueError, match="truncated"):
+        decode_flac(good[: len(good) - 7])
+    # chained stream: a second BOS page after the first stream
+    with pytest.raises(NotImplementedError, match="chained"):
+        decode_flac(good + good)
+    # multiplexed: serial changes mid-stream (re-mux second half with
+    # a different serial, gluing whole pages together)
+    si_end = 4 + 4 + 34
+    pk0 = (
+        bytes([0x7F]) + b"FLAC" + bytes([1, 0])
+        + (0).to_bytes(2, "big") + native[:si_end]
+    )
+    first = _ogg_pages([pk0], serial=1)
+    # second page claims BOS too (serial 2) → chained/multiplexed
+    second = _ogg_pages([native[si_end:]], serial=2)
+    with pytest.raises(NotImplementedError, match="second BOS"):
+        decode_flac(first + second)
+    # a non-FLAC mapping (Vorbis-style first packet) is a loud seam
+    vorbis = _ogg_pages([b"\x01vorbis" + b"\x00" * 23])
+    with pytest.raises(NotImplementedError, match="Ogg-FLAC mapping"):
+        decode_flac(vorbis)
+    # continuation flag set with no pending packet
+    broken = bytearray(_ogg_pages([pk0, native[si_end:]], max_laces=1))
+    # find the second page and force its continued bit on
+    second_off = broken.index(b"OggS", 4)
+    assert broken[second_off + 5] & 0x01 == 0
+    broken[second_off + 5] |= 0x01
+    from cae_polars_tools_spark.operators.flac import _ogg_crc
+
+    # re-CRC so only the flag inconsistency can trip
+    nseg = broken[second_off + 26]
+    body_len = sum(broken[second_off + 27 : second_off + 27 + nseg])
+    page_end = second_off + 27 + nseg + body_len
+    page = bytearray(broken[second_off:page_end])
+    page[22:26] = b"\x00\x00\x00\x00"
+    broken[second_off + 22 : second_off + 26] = _ogg_crc(
+        bytes(page)
+    ).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="continuation"):
+        decode_flac(bytes(broken))
+
+
+def test_flac_external_tool_interop(tmp_path):
+    """CI-optional interop against a REAL implementation: when the
+    reference `flac` binary (or ffmpeg) is on PATH, (a) our encoder's
+    output must pass `flac -t` / decode in ffmpeg, and (b) a stream
+    produced BY the reference encoder must decode sample-exactly in
+    our decoder. Skips where neither tool exists — the symmetric
+    round-trip and hostile-bytes suites still run everywhere."""
+    import shutil as _sh
+    import subprocess
+    import wave
+
+    flac_bin = _sh.which("flac")
+    ffmpeg = _sh.which("ffmpeg")
+    if not flac_bin and not ffmpeg:
+        pytest.skip("no flac/ffmpeg binary on PATH")
+
+    rng = np.random.default_rng(3)
+    x = np.clip(
+        np.cumsum(rng.integers(-80, 80, size=5000)), -30000, 30000
+    ).astype(np.int64)
+    ours = tmp_path / "ours.flac"
+    ours.write_bytes(encode_flac(x, 16000))
+
+    if flac_bin:
+        # (a) reference decoder verifies our stream (CRCs, MD5, frames)
+        subprocess.run(
+            [flac_bin, "-t", "-s", str(ours)], check=True
+        )
+        # (b) reference encoder → our decoder, sample-exact
+        wav = tmp_path / "src.wav"
+        with wave.open(str(wav), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(x.astype("<i2").tobytes())
+        theirs = tmp_path / "theirs.flac"
+        subprocess.run(
+            [flac_bin, "-s", "-f", "-o", str(theirs), str(wav)],
+            check=True,
+        )
+        rate, got = decode_flac(theirs.read_bytes())
+        assert rate == 16000
+        assert (got[:, 0].astype(np.int64) == x).all()
+    if ffmpeg:
+        # ffmpeg decodes our stream back to the exact PCM
+        out_wav = tmp_path / "dec.wav"
+        subprocess.run(
+            [ffmpeg, "-v", "error", "-y", "-i", str(ours), str(out_wav)],
+            check=True,
+        )
+        with wave.open(str(out_wav), "rb") as w:
+            back = np.frombuffer(
+                w.readframes(w.getnframes()), dtype="<i2"
+            )
+        assert (back.astype(np.int64) == x).all()

@@ -1,8 +1,9 @@
 """NetCDF-3 source: hand-assembled files via an INDEPENDENT in-test
-writer (including CDF-2 64-bit offsets, record interleaving, padding
-of short/byte data), Spark scan parity, selection semantics, and
-guards. The package's own write_netcdf3 is cross-checked against the
-reader separately — the independent writer is the spec anchor."""
+writer (including CDF-2 64-bit offsets, CDF-5 64-bit-data headers,
+record interleaving, padding of short/byte data), Spark scan parity,
+selection semantics, and guards. The package's own write_netcdf3 is
+cross-checked against the reader separately — the independent writer
+is the spec anchor."""
 
 from __future__ import annotations
 
@@ -29,12 +30,23 @@ _TYPE_OF = {
     np.dtype("int32"): (4, ">i4"),
     np.dtype("float32"): (5, ">f4"),
     np.dtype("float64"): (6, ">f8"),
+    # CDF-5 external types (the in-test writer only emits these when
+    # asked for version=5, mirroring the pnetcdf rules)
+    np.dtype("uint8"): (7, ">u1"),
+    np.dtype("uint16"): (8, ">u2"),
+    np.dtype("uint32"): (9, ">u4"),
+    np.dtype("int64"): (10, ">i8"),
+    np.dtype("uint64"): (11, ">u8"),
 }
 
 
-def _name(s):
+def _name(s, wide=False):
     b = s.encode()
-    return struct.pack(">I", len(b)) + b + b"\x00" * ((-len(b)) % 4)
+    return (
+        struct.pack(">Q" if wide else ">I", len(b))
+        + b
+        + b"\x00" * ((-len(b)) % 4)
+    )
 
 
 def _pad(b):
@@ -52,6 +64,8 @@ def _write_nc(path, dims, variables, version=1, record_dim=None, numrecs=None):
             if record_dim is not None and vd[:1] == (record_dim,):
                 numrecs = max(numrecs, a.shape[0])
 
+    wide = version == 5
+    nnf = ">Q" if wide else ">I"
     items = list(variables.items())
     fixed = [
         (n, v)
@@ -67,23 +81,23 @@ def _write_nc(path, dims, variables, version=1, record_dim=None, numrecs=None):
         slab = a.shape[1:] if (n, (vd, a)) in recs else a.shape
         size = int(np.prod(slab)) * np.dtype(be).itemsize if slab else np.dtype(be).itemsize
         vsize = size + ((-size) % 4)
-        out = _name(n) + struct.pack(">I", len(vd))
+        out = _name(n, wide) + struct.pack(nnf, len(vd))
         for d in vd:
             out += struct.pack(">I", dix[d])
-        out += struct.pack(">II", 0, 0)  # no attrs
-        out += struct.pack(">II", t, vsize)
-        out += struct.pack(">Q" if version == 2 else ">I", begin)
+        out += struct.pack(">I", 0) + struct.pack(nnf, 0)  # no attrs
+        out += struct.pack(">I", t) + struct.pack(nnf, vsize)
+        out += struct.pack(">Q" if version in (2, 5) else ">I", begin)
         return out
 
     def header(begins):
-        h = b"CDF" + bytes([version]) + struct.pack(">I", numrecs)
-        h += struct.pack(">II", 0x0A, len(dim_names))
+        h = b"CDF" + bytes([version]) + struct.pack(nnf, numrecs)
+        h += struct.pack(">I", 0x0A) + struct.pack(nnf, len(dim_names))
         for d in dim_names:
-            h += _name(d) + struct.pack(
-                ">I", 0 if d == record_dim else dims[d]
+            h += _name(d, wide) + struct.pack(
+                nnf, 0 if d == record_dim else dims[d]
             )
-        h += struct.pack(">II", 0, 0)  # gatts ABSENT
-        h += struct.pack(">II", 0x0B, len(ordered))
+        h += struct.pack(">I", 0) + struct.pack(nnf, 0)  # gatts ABSENT
+        h += struct.pack(">I", 0x0B) + struct.pack(nnf, len(ordered))
         for (n, (vd, a)), b in zip(ordered, begins):
             h += var_entry(n, vd, a, b)
         return h
@@ -124,7 +138,7 @@ def _demo_arrays():
     return t, lat, lon, val
 
 
-@pytest.mark.parametrize("version", [1, 2])
+@pytest.mark.parametrize("version", [1, 2, 5])
 def test_parse_and_info_independent_writer(version):
     t, lat, lon, val = _demo_arrays()
     p = os.path.join(TMP, f"nc_fixed_v{version}.nc")
@@ -613,3 +627,103 @@ def test_hostile_bytes_fuzz_header(tmp_path):
 
     with _pytest.raises(ValueError, match="attribute type"):
         _Cursor(b"\x00" * 16).skip_values(99, 1)
+
+
+# ---------------------------------------------------------------------------
+# CDF-5 (64-bit data): pnetcdf's variant — wide NON_NEG header fields
+# plus the int64/unsigned external types.
+# ---------------------------------------------------------------------------
+
+
+def test_cdf5_int64_record_scan_and_selection(spark):
+    """A CDF-5 file (in-test spec writer) with an int64 record
+    variable and an unsigned fixed variable parses, scans to the
+    exact values, and honors selection — the full source path, not
+    just the header walk."""
+    t = np.arange(6, dtype=np.int64) * 10_000_000_000  # needs 64 bits
+    lat = np.arange(3, dtype=np.float32)
+    val = (np.arange(18, dtype=np.int64) * 3_000_000_000).reshape(6, 3)
+    flags = np.array([1, 2, 250], dtype=np.uint8)
+    p = os.path.join(TMP, "nc_cdf5.nc")
+    _write_nc(
+        p,
+        {"time": 0, "lat": 3},
+        {
+            "time": (("time",), t),
+            "lat": (("lat",), lat),
+            "metric": (("time", "lat"), val),
+            "flags": (("lat",), flags),
+        },
+        version=5,
+        record_dim="time",
+    )
+    info = netcdf3_info(p)
+    assert info["format"] == "netcdf3-cdf5"
+    assert info["variables"]["metric"]["dtype"] == "int64"
+    assert info["variables"]["flags"]["dtype"] == "uint8"
+    assert info["dimensions"] == {"time": 6, "lat": 3}
+
+    df = scan_netcdf3(spark, p, "metric")
+    rows = {(r["time"], r["lat"]): r["value"] for r in df.collect()}
+    for i in range(6):
+        for j in range(3):
+            assert rows[(t[i], float(lat[j]))] == val[i, j]
+    # selection: one record (int drops the dim), value parity
+    sel = scan_netcdf3(spark, p, "metric", select_dims={"time": 2})
+    got = {r["lat"]: r["value"] for r in sel.collect()}
+    assert got == {float(lat[j]): val[2, j] for j in range(3)}
+    # unsigned fixed variable widens per the documented mapping
+    fdf = scan_netcdf3(spark, p, "flags")
+    assert {r["value"] for r in fdf.collect()} == {1, 2, 250}
+
+
+def test_cdf5_product_writer_roundtrip():
+    """write_netcdf3(version=5) → independent parse: int64 data and
+    wide header fields round-trip; the CDF-5-only dtype refuses at
+    version=1 with a pointer to version=5."""
+    big = np.array([[2**40, -(2**41)], [3, 4]], dtype=np.int64)
+    p = os.path.join(TMP, "nc_cdf5_product.nc")
+    write_netcdf3(
+        p,
+        {"x": 2, "y": 2},
+        {"metric": (("x", "y"), big)},
+        version=5,
+    )
+    with open(p, "rb") as fh:
+        assert fh.read(4) == b"CDF\x05"
+    m = parse_netcdf3(p)
+    assert m.version == 5
+    info = netcdf3_info(p)
+    assert info["variables"]["metric"]["dtype"] == "int64"
+    with pytest.raises(ValueError, match="CDF-5-only"):
+        write_netcdf3(
+            p + ".bad", {"x": 2, "y": 2}, {"m": (("x", "y"), big)}
+        )
+    with pytest.raises(ValueError, match="version must be 1 or 5"):
+        write_netcdf3(
+            p + ".bad", {"x": 2}, {}, version=2
+        )
+
+
+def test_cdf5_streaming_numrecs_sentinel(spark):
+    """CDF-5's STREAMING sentinel is 8 bytes of 0xFF; numrecs must
+    derive from the file size exactly like the 32-bit variant."""
+    t = np.arange(4, dtype=np.float64)
+    val = np.arange(4, dtype=np.int64) * 7
+    p = os.path.join(TMP, "nc_cdf5_stream.nc")
+    _write_nc(
+        p,
+        {"time": 0},
+        {"time": (("time",), t), "metric": (("time",), val)},
+        version=5,
+        record_dim="time",
+    )
+    # patch the 8-byte numrecs field (offset 4) to the sentinel — a
+    # streaming writer leaves it unset and readers derive the count
+    with open(p, "r+b") as fh:
+        fh.seek(4)
+        fh.write(b"\xff" * 8)
+    m = parse_netcdf3(p)
+    assert m.numrecs == 4
+    df = scan_netcdf3(spark, p, "metric")
+    assert sorted(r["value"] for r in df.collect()) == [0, 7, 14, 21]
