@@ -318,6 +318,24 @@ def encode_flac(
     PCM as a FLAC stream (see module docstring for the emitted
     subset). Losslessness is the contract: ``decode_flac`` returns the
     input exactly (round-trip-tested, hypothesis-fuzzed)."""
+    header, frames = _encode_flac_parts(
+        samples, sample_rate, bits_per_sample, stereo_mode, force
+    )
+    return header + b"".join(f for f, _ in frames)
+
+
+def _encode_flac_parts(
+    samples: "np.ndarray",
+    sample_rate: int,
+    bits_per_sample: int = 16,
+    stereo_mode: str = "independent",
+    force: str | None = None,
+) -> tuple[bytes, list]:
+    """The encoder's structural output: ``(header_bytes, [(frame_bytes,
+    n_samples), ...])`` — header = magic + STREAMINFO block, one entry
+    per audio frame. ``encode_flac`` concatenates; ``encode_ogg_flac``
+    pages frames one-per-packet (the xiph mapping's rule) with real
+    granule positions, which needs the boundaries and sample counts."""
     x = np.asarray(samples, dtype=np.int64)
     if x.ndim == 1:
         x = x[:, None]
@@ -369,10 +387,15 @@ def encode_flac(
     head.write(bps - 1, 5)
     head.write(n, 36)
     info = head.bytes() + md5
-    out = bytearray(FLAC_MAGIC)
-    out += bytes([0x80]) + len(info).to_bytes(3, "big") + info
+    header_bytes = (
+        bytes(FLAC_MAGIC)
+        + bytes([0x80])
+        + len(info).to_bytes(3, "big")
+        + info
+    )
 
     # ---- frames
+    frames: list = []
     for fi in range(nblocks):
         blk = x[fi * _BLOCKSIZE : (fi + 1) * _BLOCKSIZE]
         bn = len(blk)
@@ -414,7 +437,76 @@ def encode_flac(
                 _encode_subframe(frame, blk[:, c], bps, force)
         frame.align()
         body = frame.bytes()
-        out += body + struct.pack(">H", _crc16(body))
+        frames.append((body + struct.pack(">H", _crc16(body)), bn))
+    return header_bytes, frames
+
+
+def encode_ogg_flac(
+    samples: "np.ndarray",
+    sample_rate: int,
+    bits_per_sample: int = 16,
+    stereo_mode: str = "independent",
+    force: str | None = None,
+    serial: int = 0x464C4143,
+) -> bytes:
+    """Encode PCM as an Ogg-FLAC stream per the xiph mapping: the
+    first packet carries ``0x7F 'FLAC' 1 0 count16`` + the native
+    magic/STREAMINFO, then exactly ONE audio frame per packet (the
+    mapping's rule — libflac's Ogg decoder requires frame-aligned
+    packets), granule position = last finished sample of the page,
+    BOS on the first page, EOS on the last. Packets longer than one
+    page's 255 lacing segments span pages with the continued flag.
+    ``decode_flac`` demuxes this back losslessly (round-trip-tested);
+    so does any conforming Ogg-FLAC reader."""
+    header, frames = _encode_flac_parts(
+        samples, sample_rate, bits_per_sample, stereo_mode, force
+    )
+    first = (
+        bytes([0x7F]) + b"FLAC" + bytes([1, 0])
+        + (0).to_bytes(2, "big") + header
+    )
+    # packets with their end-of-packet granule positions (-1: none)
+    packets = [(first, 0)]
+    done = 0
+    for body, bn in frames:
+        done += bn
+        packets.append((body, done))
+    # lacing: (lace, data, granule_at_end | None)
+    laces = []
+    for body, gran in packets:
+        n_full = len(body) // 255
+        for i in range(n_full):
+            laces.append((255, body[i * 255 : (i + 1) * 255], None))
+        laces.append((len(body) % 255, body[n_full * 255 :], gran))
+    out = bytearray()
+    idx, seq, continued = 0, 0, False
+    while idx < len(laces) or seq == 0:
+        take = laces[idx : idx + 255]
+        idx += len(take)
+        htype = (
+            (0x01 if continued else 0)
+            | (0x02 if seq == 0 else 0)
+            | (0x04 if idx >= len(laces) else 0)
+        )
+        # granule: last completed packet's sample count on this page;
+        # a page that finishes no packet carries -1 per RFC 3533
+        finished = [g for _, _, g in take if g is not None]
+        gran = finished[-1] if finished else -1
+        page = bytearray(
+            b"OggS"
+            + bytes([0, htype])
+            + (gran & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little")
+            + serial.to_bytes(4, "little")
+            + seq.to_bytes(4, "little")
+            + b"\x00\x00\x00\x00"
+            + bytes([len(take)])
+            + bytes(l for l, _, _ in take)
+            + b"".join(d for _, d, _ in take)
+        )
+        page[22:26] = _ogg_crc(bytes(page)).to_bytes(4, "little")
+        out += bytes(page)
+        seq += 1
+        continued = bool(take) and take[-1][0] == 255
     return bytes(out)
 
 
@@ -762,14 +854,19 @@ FLAC_N = 96
 FLAC_RATE = 16000
 
 
-def _text_to_flac(docs):
+def _text_to_flac(docs, container: str = "native"):
     """Per-document FLAC fixture: first ``FLAC_N`` payload bytes,
     zero-padded, as mono 16-bit samples — byte values are
     small-amplitude and locally correlated, so the FIXED-predictor +
-    Rice path (not just VERBATIM) is what actually encodes."""
+    Rice path (not just VERBATIM) is what actually encodes.
+    ``container="ogg"`` muxes each clip through
+    :func:`encode_ogg_flac` instead (the container-transparency
+    fixture)."""
     from collections.abc import Iterator
 
     import pandas as pd
+
+    enc = encode_ogg_flac if container == "ogg" else encode_flac
 
     def gen(batches: Iterator) -> Iterator:
         for pdf in batches:
@@ -780,7 +877,7 @@ def _text_to_flac(docs):
                     np.int64
                 )
                 out["doc_id"].append(int(doc_id))
-                out["payload"].append(encode_flac(samples, FLAC_RATE))
+                out["payload"].append(enc(samples, FLAC_RATE))
             yield pd.DataFrame(out)
 
     return docs.select("doc_id", "text").mapInPandas(
@@ -838,6 +935,46 @@ def _register_flac_entry() -> None:
 
         docs = spread(read_table(spark, sf_dir, "documents"))
         return audio_features(_text_to_flac(docs))
+
+    @register(
+        "mm_ogg_flac_features",
+        # identical oracle to mm_flac_features: the container must be
+        # TRANSPARENT — demux + decode returns the exact samples, so
+        # the same ascii() reconstruction checks the whole page walk
+        oracle=f"""
+            WITH s AS (
+                SELECT doc_id,
+                       ascii(substr(rpad(text, {FLAC_N}, chr(0)),
+                                    u.j + 1, 1)) AS v
+                FROM documents, unnest(range(0, {FLAC_N})) AS u(j)
+            )
+            SELECT doc_id,
+                   CAST({FLAC_RATE} AS INT) AS sample_rate,
+                   CAST({FLAC_N} AS BIGINT) AS n_samples,
+                   sqrt(SUM(CAST(v AS DOUBLE) * v) / {FLAC_N}) AS rms,
+                   CAST(MAX(v) AS BIGINT) AS peak
+            FROM s GROUP BY doc_id
+        """,
+        tags=("multimodal", "audio", "flac", "ogg", "extension"),
+        window_rank=1,
+    )
+    def mm_ogg_flac_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Container transparency through the hash gate: the same
+        per-document clips as ``mm_flac_features`` but muxed into
+        Ogg-FLAC (:func:`encode_ogg_flac` — real RFC 3533 pages, frame-
+        per-packet, CRC-32), decoded back through the UNCHANGED
+        ``decode_audio_bytes`` dispatch (``OggS`` sniff →
+        :func:`ogg_flac_to_native` → the native frame decoder). The
+        oracle is byte-identical to the native entry's: any drift in
+        the page walk — a mis-reassembled packet, a lacing bug, a
+        skipped CRC — breaks the sample-exact hash. Same ASCII-corpus
+        precondition as mm_flac_features."""
+        from cae_polars_tools_spark.operators.multimodal import (
+            audio_features,
+        )
+
+        docs = spread(read_table(spark, sf_dir, "documents"))
+        return audio_features(_text_to_flac(docs, container="ogg"))
 
 
 _register_flac_entry()

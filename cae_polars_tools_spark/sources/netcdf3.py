@@ -807,16 +807,17 @@ def write_netcdf3(
     record_dim: str | None = None,
     version: int = 1,
 ) -> str:
-    """Write a classic netCDF file — CDF-1 by default, ``version=5``
-    for the pnetcdf 64-bit-data variant (every NON_NEG header field
-    widens to 64 bits, offsets are 64-bit, and the int64/unsigned
-    external types become writable): ``dims`` name→size (the
+    """Write a classic netCDF file — CDF-1 by default, ``version=2``
+    for 64-bit offsets (datasets whose data region passes 2 GiB), or
+    ``version=5`` for the pnetcdf 64-bit-data variant (every NON_NEG
+    header field widens to 64 bits, offsets are 64-bit, and the
+    int64/unsigned external types become writable): ``dims`` name→size (the
     ``record_dim`` entry's size is taken from the data), ``variables``
     name → (dim names, ndarray). 1-D variables named like a dimension
     act as CF coordinate variables on read. Big-endian on disk, per
     the spec; record variables must lead with the record dimension."""
-    if version not in (1, 5):
-        raise ValueError("write_netcdf3: version must be 1 or 5")
+    if version not in (1, 2, 5):
+        raise ValueError("write_netcdf3: version must be 1, 2 or 5")
     wide = version == 5
     nnf = ">Q" if wide else ">I"
     type_of = dict(_NC_TYPE_OF)
@@ -879,7 +880,8 @@ def write_netcdf3(
             out += struct.pack(">I", 0) + struct.pack(nnf, 0)  # no vatts
             out += struct.pack(">I", nc_type)
             out += struct.pack(nnf, vsize)
-            out += struct.pack(">Q" if wide else ">I", begin)
+            # CDF-2 (64-bit-offset) and CDF-5 both widen begin
+            out += struct.pack(">Q" if version in (2, 5) else ">I", begin)
         return bytes(out)
 
     hlen = len(header([0] * len(entries)))

@@ -503,4 +503,67 @@ def _register_table_entry() -> None:
         )
 
 
+
+def _register_evolution_entry() -> None:
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from cae_polars_tools_spark.io import read_table
+    from cae_polars_tools_spark.plans.registry import register
+
+    @register(
+        "storage_schema_evolution",
+        oracle="""
+            SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_orderkey % 10 = 0
+                        THEN o_totalprice + 1
+                        ELSE o_totalprice END AS o_totalprice,
+                   CASE WHEN o_orderkey % 10 <> 0
+                         AND o_orderkey % 7 = 0
+                        THEN 'rush' END AS priority_class
+            FROM orders
+        """,
+        tags=("storage", "lakehouse", "schema-evolution", "extension"),
+        window_rank=1,
+    )
+    def storage_schema_evolution(spark, sf_dir: str):
+        """Widen-only schema evolution through the hash gate: seed a
+        versioned table from orders (v0, three columns), ADD a
+        nullable ``priority_class`` column without rewriting a data
+        file (v1 — sidecar + byte-copy), MERGE a WIDE batch (every
+        7th order flagged 'rush', v2), then MERGE a NARROW pre-
+        evolution batch (every 10th order's price revised — its
+        missing evolved column null-fills, v3), and read CURRENT.
+        The oracle recomputes the final state in SQL, including the
+        replacement rule (a narrow merge NULLs the evolved column on
+        the rows it replaces), so a wrong null-fill, a dropped
+        sidecar, or a mixed-schema read that silently narrows all
+        fail the value check."""
+        orders = read_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        scratch = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".tmp",
+            "table_evolution_demo",
+        )
+        shutil.rmtree(scratch, ignore_errors=True)
+        t = Table.create(spark, scratch, orders)
+        t.add_columns({"priority_class": "string"})
+        wide = orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+            "priority_class", F.lit("rush")
+        )
+        t.merge(wide, keys=["o_orderkey"])
+        narrow = orders.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1
+        )
+        t.merge(narrow, keys=["o_orderkey"])
+        return t.current().select(
+            "o_orderkey", "o_custkey", "o_totalprice", "priority_class"
+        )
+
+
 _register_table_entry()
+_register_evolution_entry()

@@ -114,6 +114,9 @@ SF01_SENSITIVE = (
     "text_normalize",  # nfc_normalize twin over the full corpus
     "storage_table_lifecycle",  # CoW rewrite-selection under volume
     "dedup_incremental_indexed",  # composed drop rules at volume
+    # round-12 additions hand-verified at sf0.01 during the build
+    "mm_ogg_flac_features",  # page walk / lacing coverage widens with volume
+    "storage_schema_evolution",  # mixed-schema CoW reads under volume
 )
 
 

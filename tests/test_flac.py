@@ -575,3 +575,75 @@ def test_flac_external_tool_interop(tmp_path):
                 w.readframes(w.getnframes()), dtype="<i2"
             )
         assert (back.astype(np.int64) == x).all()
+
+
+def test_encode_ogg_flac_structure_is_conforming():
+    """The PRODUCT muxer must emit mapping-conforming streams, not
+    just ones our own demuxer accepts: one audio frame per packet
+    (packet boundaries land exactly on frame boundaries), BOS on the
+    first page only, EOS on the last, and granule position = last
+    completed sample of each page."""
+    x = np.arange(10000, dtype=np.int64) % 1000 - 500
+    from cae_polars_tools_spark.operators.flac import (
+        _encode_flac_parts,
+        encode_ogg_flac,
+    )
+
+    header, frames = _encode_flac_parts(x, 16000)
+    ogg = encode_ogg_flac(x, 16000)
+
+    # independent page walk (mirror of the test muxer, not the demuxer)
+    pos, pages, packets, cur = 0, [], [], b""
+    while pos < len(ogg):
+        assert ogg[pos : pos + 4] == b"OggS"
+        htype = ogg[pos + 5]
+        gran = int.from_bytes(ogg[pos + 6 : pos + 14], "little", signed=True)
+        nseg = ogg[pos + 26]
+        laces = ogg[pos + 27 : pos + 27 + nseg]
+        body = ogg[pos + 27 + nseg : pos + 27 + nseg + sum(laces)]
+        pages.append((htype, gran))
+        off = 0
+        for lace in laces:
+            cur += body[off : off + lace]
+            off += lace
+            if lace < 255:
+                packets.append(cur)
+                cur = b""
+        pos += 27 + nseg + sum(laces)
+    assert not cur
+    # BOS exactly on page 0, EOS exactly on the last page
+    assert pages[0][0] & 0x02 and all(not (h & 0x02) for h, _ in pages[1:])
+    assert pages[-1][0] & 0x04 and all(
+        not (h & 0x04) for h, _ in pages[:-1]
+    )
+    # first packet: mapping header + native header bytes
+    assert packets[0][:5] == bytes([0x7F]) + b"FLAC"
+    assert packets[0][9:] == header
+    # ONE FRAME PER PACKET, byte-exact
+    assert packets[1:] == [f for f, _ in frames]
+    # final granule = total samples
+    assert pages[-1][1] == len(x)
+
+
+def test_encode_ogg_flac_large_frame_spans_pages():
+    """A verbatim-heavy frame larger than one page's 255 lacing
+    segments (65 KB) must span pages with the continued flag and
+    still decode exactly."""
+    rng = np.random.default_rng(11)
+    # white noise at 32 bits → verbatim subframes ≈ 16 KB per 4096
+    # block; force 3 channels to push one frame past 48KB... use
+    # int32 range and 8 channels for ~130 KB frames
+    x = rng.integers(-(2**30), 2**30, size=(8192, 8), dtype=np.int64)
+    from cae_polars_tools_spark.operators.flac import encode_ogg_flac
+
+    ogg = encode_ogg_flac(x, 48000, bits_per_sample=32)
+    # at least one page must carry the continued-packet flag
+    pos, continued_seen = 0, False
+    while pos < len(ogg):
+        nseg = ogg[pos + 26]
+        if ogg[pos + 5] & 0x01:
+            continued_seen = True
+        pos += 27 + nseg + sum(ogg[pos + 27 : pos + 27 + nseg])
+    assert continued_seen
+    rate, got = decode_flac(ogg)
+    assert rate == 48000 and (got.astype(np.int64) == x).all()

@@ -699,9 +699,9 @@ def test_cdf5_product_writer_roundtrip():
         write_netcdf3(
             p + ".bad", {"x": 2, "y": 2}, {"m": (("x", "y"), big)}
         )
-    with pytest.raises(ValueError, match="version must be 1 or 5"):
+    with pytest.raises(ValueError, match="version must be 1, 2 or 5"):
         write_netcdf3(
-            p + ".bad", {"x": 2}, {}, version=2
+            p + ".bad", {"x": 2}, {}, version=3
         )
 
 
@@ -727,3 +727,24 @@ def test_cdf5_streaming_numrecs_sentinel(spark):
     assert m.numrecs == 4
     df = scan_netcdf3(spark, p, "metric")
     assert sorted(r["value"] for r in df.collect()) == [0, 7, 14, 21]
+
+
+def test_cdf2_product_writer_roundtrip(spark):
+    """write_netcdf3(version=2): 64-bit begin offsets, classic types —
+    parsed and scanned back exactly."""
+    t = np.arange(4, dtype=np.float64)
+    val = np.arange(8, dtype=np.float32).reshape(4, 2)
+    p = os.path.join(TMP, "nc_cdf2_product.nc")
+    write_netcdf3(
+        p,
+        {"time": 4, "lat": 2},
+        {"time": (("time",), t), "metric": (("time", "lat"), val)},
+        version=2,
+    )
+    with open(p, "rb") as fh:
+        assert fh.read(4) == b"CDF\x02"
+    assert netcdf3_info(p)["format"] == "netcdf3-cdf2"
+    df = scan_netcdf3(spark, p, "metric")
+    got = {(r["time"], r["lat"]) : r["value"] for r in df.collect()}
+    assert len(got) == 8
+    assert got[(0.0, 0)] == 0.0 and got[(3.0, 1)] == 7.0

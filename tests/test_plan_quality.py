@@ -835,12 +835,14 @@ def test_incremental_indexed_no_history_shuffle_joins(spark):
     assert "CartesianProduct" not in plan, plan
 
 
-@pytest.mark.parametrize("name", ["text_normalize", "mm_flac_features"])
+@pytest.mark.parametrize(
+    "name", ["text_normalize", "mm_flac_features", "mm_ogg_flac_features"]
+)
 def test_per_document_round11_entries_zero_shuffle(spark, name):
-    """text_normalize and mm_flac_features are per-document maps: the
-    only allowed Exchange is spread()'s deliberate round-robin of the
-    single-file test corpus — never a hash/single partitioning, never
-    a join."""
+    """text_normalize, mm_flac_features and mm_ogg_flac_features are
+    per-document maps: the only allowed Exchange is spread()'s
+    deliberate round-robin of the single-file test corpus — never a
+    hash/single partitioning, never a join."""
     plan = _plan(spark, name)
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
