@@ -361,12 +361,179 @@ def decontaminate(
     return corpus.join(ids, id_col, "left_anti")
 
 
+def build_hash_bloom(
+    hashes: DataFrame,
+    n_items: int | None = None,
+    fpp: float = 0.01,
+    hash_col: str = "g",
+) -> tuple[bytes, int, int]:
+    """Bloom filter over a column of 64-bit hashes, built WITHOUT ever
+    collecting the hashes: the k bit positions per hash are computed
+    JVM-side (``pmod(xxhash64(g, i), m)`` — the same expression the
+    probe uses, so build/probe consistency is by construction, not by
+    re-implementing Spark's xxhash64 in Python), DISTINCT-ed (one
+    shuffle bounded by the bitmap size m, never by |hashes|), and the
+    set-bit positions stream to the driver where a numpy pass sets
+    them. Driver memory is O(set bits) ≤ m — the size YOU chose via
+    ``fpp`` — instead of O(|benchmark| · bytes-per-ngram) for an exact
+    broadcast set. Returns ``(bitmap_bytes, m_bits, k)``.
+
+    Standard sizing: m = ⌈-n·ln p / ln²2⌉, k = round(m/n · ln 2)
+    (Bloom 1970). No false negatives ever; callers that need exact
+    semantics verify survivors (see :func:`contamination_hits_bloom`).
+    """
+    import math
+
+    if n_items is None:
+        n_items = hashes.select(hash_col).distinct().count()
+    n = max(1, int(n_items))
+    m = math.ceil(-n * math.log(max(fpp, 1e-12)) / math.log(2) ** 2)
+    m = max(64, (m + 7) // 8 * 8)
+    k = max(1, round(m / n * math.log(2)))
+    pos = (
+        hashes.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.xxhash64(hash_col, F.lit(i)), F.lit(m))
+                        for i in range(k)
+                    ]
+                )
+            ).alias("p")
+        )
+        .distinct()
+    )
+    bitmap = np.zeros(m // 8, dtype=np.uint8)
+    # arrow-batched driver transfer: each batch is one vectorized
+    # numpy bit-set pass; total driver traffic ≤ m positions
+    for batch in pos.toArrow().to_batches():
+        p = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        np.bitwise_or.at(bitmap, p >> 3, (1 << (p & 7)).astype(np.uint8))
+    return bitmap.tobytes(), m, k
+
+
+def _bloom_member_udf(spark, bitmap: bytes):
+    """Vectorized membership test: positions (array<long>, computed
+    JVM-side) → all-bits-set boolean. The bitmap ships once per
+    executor as a Spark broadcast, not per task in the UDF closure."""
+    import pandas as pd
+    from pyspark.sql.types import BooleanType
+
+    bc = spark.sparkContext.broadcast(bitmap)
+
+    @F.pandas_udf(BooleanType())
+    def member(pos: pd.Series) -> pd.Series:
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
+        if not len(pos):
+            return pd.Series([], dtype=bool)
+        mat = np.array(pos.tolist(), dtype=np.int64)
+        hit = (bm[mat >> 3] & (1 << (mat & 7)).astype(np.uint8)) != 0
+        return pd.Series(hit.all(axis=1))
+
+    return member
+
+
+def contamination_hits_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    ngram: int = DECONTAM_NGRAM,
+    fpp: float = 0.001,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`contamination_hits` for the LARGE-benchmark regime —
+    the case ``broadcast_benchmark=True`` can't serve (an exact
+    distinct-hash broadcast of a 1B-window benchmark is ~8 GB per
+    executor) and ``broadcast_benchmark=False`` serves badly (the
+    full corpus n-gram stream shuffles against it). Three stages,
+    EXACT final semantics:
+
+    1. **Bloom build** (:func:`build_hash_bloom`): one pass over the
+       benchmark windows; the bitmap is ~10 bits per distinct window
+       at fpp=1e-3 — 60× smaller than the exact hash set.
+    2. **Map-side prune**: every corpus window probes the broadcast
+       bitmap in a vectorized Arrow UDF — NO shuffle of corpus data;
+       survivors are true hits plus an fpp fraction of false
+       positives.
+    3. **Exact verify**: only the pruned survivors join the true
+       benchmark hash set (Bloom has no false negatives, so the join
+       removes exactly the false positives) — the shuffle that
+       remains moves ~fpp·|corpus windows| + |true hits| rows
+       instead of the whole corpus stream.
+
+    Returns ``(id_col, n_hits)`` for contaminated docs only —
+    equivalence with :func:`contamination_hits` is test-pinned."""
+    from cae_polars_tools_spark.operators.dedup import hashed_shingles
+
+    spark = corpus.sparkSession
+    bh = (
+        benchmark.select(
+            F.explode(hashed_shingles(F.col(text_col), ngram)).alias("g")
+        )
+        .distinct()
+        .persist()
+    )
+    try:
+        n = bh.count()
+        bitmap, m, k = build_hash_bloom(bh, n_items=n, fpp=fpp)
+        member = _bloom_member_udf(spark, bitmap)
+        pos = F.array(
+            *[F.pmod(F.xxhash64("g", F.lit(i)), F.lit(m)) for i in range(k)]
+        )
+        cand = corpus.select(
+            F.col(id_col),
+            F.explode(hashed_shingles(F.col(text_col), ngram)).alias("g"),
+        ).filter(member(pos))
+        # exact verify; AQE broadcasts whichever side is small at
+        # runtime (at true scale both are modest: pruned corpus
+        # windows vs the benchmark hash table)
+        out = (
+            cand.join(bh, "g", "left_semi")
+            .groupBy(id_col)
+            .agg(F.count_distinct("g").alias("n_hits"))
+        )
+        # materialization fence is the caller's action; releasing the
+        # benchmark cache rides the returned plan handle
+        from cae_polars_tools_spark.operators.dedup import _release_on_gc
+
+        return _release_on_gc(out, bh)
+    except Exception:
+        bh.unpersist()
+        raise
+
+
+def decontaminate_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    ngram: int = DECONTAM_NGRAM,
+    min_hits: int = 1,
+    fpp: float = 0.001,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`decontaminate` with the Bloom-prefiltered hit stage —
+    identical output (exact verify removes every false positive),
+    built for the benchmark-too-big-to-broadcast regime."""
+    flagged = contamination_hits_bloom(
+        corpus, benchmark, ngram=ngram, fpp=fpp,
+        id_col=id_col, text_col=text_col,
+    ).filter(F.col("n_hits") >= min_hits)
+    # flagged ids are bounded by contaminated docs — broadcast keeps
+    # the payload anti-join shuffle-free
+    return corpus.join(
+        F.broadcast(flagged.select(id_col)), id_col, "left_anti"
+    )
+
+
 __all__ = [
     "split_by_hash",
     "stratified_sample",
     "pack_sequences",
     "contamination_hits",
     "decontaminate",
+    "build_hash_bloom",
+    "contamination_hits_bloom",
+    "decontaminate_bloom",
 ]
 
 
@@ -951,3 +1118,63 @@ def pipeline_chunk_documents(spark, sf_dir: str) -> DataFrame:
     neighbors, one chunk for short docs."""
     d = spread(read_table(spark, sf_dir, "documents"))
     return chunk_documents(d)
+
+
+_BENCH_PRED = "source = 'src19'"
+
+# 13-gram windows as strings in DuckDB: list slice [i:i+12] is
+# inclusive on both ends (13 tokens), series 1..len-12 — the exact
+# string twin of the rolling-hash window ids (same ' ' tokenization).
+_DECONTAM_BLOOM_ORACLE = f"""
+    WITH corp AS (
+        SELECT doc_id, source, text FROM documents
+        WHERE NOT ({_BENCH_PRED})
+    ),
+    bg AS (
+        SELECT DISTINCT array_to_string(
+                   (string_split(text, ' '))[i:i+12], ' ') AS g
+        FROM documents,
+             unnest(generate_series(
+                 1, greatest(len(string_split(text, ' ')) - 12, 0)
+             )) AS u(i)
+        WHERE {_BENCH_PRED}
+    ),
+    cg AS (
+        SELECT doc_id, array_to_string(
+                   (string_split(text, ' '))[i:i+12], ' ') AS g
+        FROM corp,
+             unnest(generate_series(
+                 1, greatest(len(string_split(text, ' ')) - 12, 0)
+             )) AS u(i)
+    ),
+    flagged AS (
+        SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (g)
+    )
+    SELECT doc_id, source FROM corp
+    WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+"""
+
+
+@register(
+    "pipeline_decontaminate_bloom",
+    oracle=_DECONTAM_BLOOM_ORACLE,
+    tags=("pipeline", "decontamination", "sketch", "scale-path",
+          "extension"),
+    window_rank=1,
+)
+def pipeline_decontaminate_bloom(spark, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination through the Bloom-prefiltered scale
+    path: src19 documents play the benchmark, the rest the corpus;
+    any corpus doc sharing a verbatim 13-token window with a
+    benchmark doc drops. The Bloom stage is a broadcast bitmap probed
+    map-side (no corpus shuffle); survivors verify EXACTLY against
+    the true hash set, so the oracle — the full string-level 13-gram
+    join in DuckDB — must match bit-for-bit despite the approximate
+    prefilter (false positives verified away, false negatives
+    impossible). Same ' '-tokenization contract as the dedup family."""
+    d = spread(read_table(spark, sf_dir, "documents"))
+    bench = d.filter(F.expr(_BENCH_PRED)).select("doc_id", "text")
+    corp = d.filter(~F.expr(_BENCH_PRED)).select(
+        "doc_id", "source", "text"
+    )
+    return decontaminate_bloom(corp, bench).select("doc_id", "source")

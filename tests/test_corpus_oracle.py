@@ -117,6 +117,7 @@ SF01_SENSITIVE = (
     # round-12 additions hand-verified at sf0.01 during the build
     "mm_ogg_flac_features",  # page walk / lacing coverage widens with volume
     "storage_schema_evolution",  # mixed-schema CoW reads under volume
+    "pipeline_decontaminate_bloom",  # FP-verify stage under volume
 )
 
 

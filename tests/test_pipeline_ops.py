@@ -410,3 +410,71 @@ def test_chunk_documents_coverage_and_overlap(spark):
     assert by_doc[2] == {0: "tiny"}
     with pytest.raises(ValueError, match="max_chars > overlap"):
         chunk_documents(docs, max_chars=20, overlap=20)
+
+
+def test_bloom_decontaminate_equals_exact(spark):
+    """The Bloom-prefiltered path must return EXACTLY the broadcast
+    path's hits and survivors (no false negatives by Bloom's
+    contract, false positives removed by the verify join) — at an
+    aggressive fpp so false positives actually occur and the verify
+    stage is exercised, not vacuous."""
+    from cae_polars_tools_spark.io import read_table
+    from cae_polars_tools_spark.operators.pipeline import (
+        contamination_hits,
+        contamination_hits_bloom,
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = docs.filter("source = 'src19'").select("doc_id", "text")
+    corp = docs.filter("source <> 'src19'")
+    want = {
+        (r["doc_id"], r["n_hits"])
+        for r in contamination_hits(corp, bench).collect()
+    }
+    assert want, "fixture must contain contamination"
+    for fpp in (0.5, 0.001):  # 0.5: floods the verify stage with FPs
+        got = {
+            (r["doc_id"], r["n_hits"])
+            for r in contamination_hits_bloom(corp, bench, fpp=fpp).collect()
+        }
+        assert got == want, fpp
+    a = {r["doc_id"] for r in decontaminate(corp, bench).collect()}
+    b = {r["doc_id"] for r in decontaminate_bloom(corp, bench).collect()}
+    assert a == b
+
+
+def test_build_hash_bloom_contract(spark):
+    """No false negatives ever (every built hash tests positive);
+    false-positive rate on fresh hashes lands near the requested fpp;
+    sizing follows the textbook formula."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cae_polars_tools_spark.operators.pipeline import (
+        _bloom_member_udf,
+        build_hash_bloom,
+    )
+
+    n = 2000
+    members = spark.range(n).select(
+        F.xxhash64(F.col("id")).alias("g")
+    )
+    bitmap, m, k = build_hash_bloom(members, n_items=n, fpp=0.01)
+    assert m >= math.ceil(-n * math.log(0.01) / math.log(2) ** 2)
+    assert 1 <= k <= 20
+    member = _bloom_member_udf(spark, bitmap)
+    pos = F.array(
+        *[F.pmod(F.xxhash64("g", F.lit(i)), F.lit(m)) for i in range(k)]
+    )
+    # zero false negatives
+    assert members.filter(~member(pos)).count() == 0
+    # false positives near fpp on disjoint fresh hashes
+    fresh = spark.range(n, n + 20000).select(
+        F.xxhash64(F.col("id")).alias("g")
+    )
+    fp = fresh.filter(member(pos)).count()
+    assert fp / 20000 < 0.05, fp

@@ -848,3 +848,14 @@ def test_per_document_round11_entries_zero_shuffle(spark, name):
     assert "Exchange SinglePartition" not in plan, plan
     assert "Join" not in plan, plan
     assert plan.count("Exchange") <= 1, plan
+
+
+def test_bloom_decontaminate_prunes_map_side(spark):
+    """pipeline_decontaminate_bloom: the Bloom probe must be an Arrow
+    UDF filter in the scan stage (corpus rows prune BEFORE any join
+    or exchange of the exploded window stream), no cartesian, no
+    single-partition funnel."""
+    plan = _plan(spark, "pipeline_decontaminate_bloom")
+    assert "ArrowEvalPython" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
