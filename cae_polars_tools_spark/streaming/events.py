@@ -564,6 +564,20 @@ def cow_upsert_sink(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
+        # widen-only schema evolution (Table.add_columns): honor the
+        # current version's declared-schema sidecar — pre-evolution
+        # batches null-fill their missing columns, unknown columns
+        # refuse, and the merge reads mixed-schema files under the
+        # declared schema
+        table = None
+        decl = None
+        if meta is not None:
+            from cae_polars_tools_spark.table import Table
+
+            table = Table(spark, root)
+            decl = table._declared_schema(meta["version_dir"])
+            if decl is not None:
+                latest = table._normalize_batch(latest, decl)
         version = 0 if meta is None else meta["version"] + 1
         version_dir = f"v{version}"
         if store.list_prefix(version_dir):
@@ -581,7 +595,10 @@ def cow_upsert_sink(
                 latest,
                 keys,
                 f"{root}/{version_dir}",
+                read_schema=decl,
             )
+        if decl is not None:
+            table._put_sidecar(version_dir, decl)
         payload = json.dumps(
             {
                 "version": version,

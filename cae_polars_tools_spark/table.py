@@ -429,11 +429,9 @@ class Table:
         """The streaming write path into this same table: a
         ``foreachBatch`` callable (``streaming.events
         .cow_upsert_sink``) whose versions and pointer are exactly the
-        ones every verb above reads. NOT evolution-aware: the sink
-        reads versions with their physical schema, so run
-        :meth:`compact` after :meth:`add_columns` (making the files
-        physically wide) before streaming upserts into a widened
-        table."""
+        ones every verb above reads — including the declared-schema
+        sidecar after :meth:`add_columns` (pre-evolution micro-batches
+        null-fill their missing columns, exactly like :meth:`merge`)."""
         from cae_polars_tools_spark.streaming.events import (
             cow_upsert_sink,
         )

@@ -324,3 +324,52 @@ def test_evolved_table_delete_compact_restore(spark, tmp_path):
     assert out["version"] == 5
     assert t.current().columns == ["doc_id", "source", "n"]
     assert t.current().count() == 30
+
+
+def test_upsert_sink_is_evolution_aware(spark, tmp_path):
+    """Streaming upserts into a WIDENED table: a pre-evolution
+    micro-batch null-fills the evolved column (instead of silently
+    narrowing the table or crashing on schema drift), a wide batch
+    lands its values, the sidecar propagates to sink-written versions,
+    and replay detection still works."""
+    t = _seed(spark, tmp_path)
+    t.add_columns({"score": "double"})                        # v1
+    sink = t.upsert_sink(keys=["doc_id"], order_col="n")
+
+    narrow = spark.createDataFrame(
+        [(0, "src0", 111), (100, "srcX", 1)],
+        "doc_id long, source string, n long",
+    )
+    sink(narrow, 7)                                           # v2
+    cur = t.current()
+    assert cur.columns == ["doc_id", "source", "n", "score"]
+    assert cur.count() == 31
+    r = cur.filter("doc_id = 0").first()
+    assert r["n"] == 111 and r["score"] is None
+
+    wide = spark.createDataFrame(
+        [(100, "srcX", 2, 0.75)],
+        "doc_id long, source string, n long, score double",
+    )
+    sink(wide, 8)                                             # v3
+    assert t.current().filter("doc_id = 100").first()["score"] == 0.75
+    # replayed batch id: skipped, version unchanged
+    sink(narrow, 8)
+    assert t.version() == 3
+    # the MERGE verb still works on top of sink-written versions
+    # (sidecar propagated), and an unknown column still refuses
+    t.merge(
+        spark.createDataFrame(
+            [(1, "src1", 222)], "doc_id long, source string, n long"
+        ),
+        keys=["doc_id"],
+    )
+    assert t.current().filter("doc_id = 1").first()["n"] == 222
+    with pytest.raises(ValueError, match="not in the table schema"):
+        sink(
+            spark.createDataFrame(
+                [(2, "s", 3, True)],
+                "doc_id long, source string, n long, zz boolean",
+            ),
+            9,
+        )
