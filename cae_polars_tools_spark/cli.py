@@ -773,7 +773,70 @@ def create_parser() -> argparse.ArgumentParser:
     )
     sp.set_defaults(func=explain_command)
 
+    sp = sub.add_parser(
+        "takedown",
+        help="purge doc ids from a Table and its derived indexes "
+        "(right-to-be-forgotten cascade)",
+    )
+    sp.add_argument(
+        "--ids",
+        required=True,
+        help="comma-separated doc ids to purge",
+    )
+    sp.add_argument("--table", default=None, help="Table root path")
+    sp.add_argument(
+        "--minhash-index",
+        action="append",
+        default=[],
+        metavar="PATH",
+        help="MinHash band index root (repeatable)",
+    )
+    sp.add_argument(
+        "--ivfpq-index",
+        action="append",
+        default=[],
+        metavar="PATH",
+        help="IVF-PQ index root (repeatable)",
+    )
+    sp.add_argument(
+        "--id-col",
+        default="doc_id",
+        help="the Table's id column (indexes use their own fixed ids)",
+    )
+    sp.set_defaults(func=takedown_command)
+
     return p
+
+
+def takedown_command(args) -> int:
+    """One takedown request across every artifact that serves the doc
+    (:func:`takedown.cascade_delete`): base table first, then each
+    index, manifest to stdout as JSON. Partial failures purge what
+    they can and exit 1 with the partial manifest — re-running is
+    idempotent."""
+    import json
+
+    from cae_polars_tools_spark.session import get_spark
+    from cae_polars_tools_spark.takedown import cascade_delete
+
+    ids = [int(s) for s in args.ids.split(",") if s.strip()]
+    spark = get_spark(app_name="cae-polars-tools-spark-takedown")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        manifest = cascade_delete(
+            spark,
+            ids,
+            table_root=args.table,
+            minhash_index_paths=tuple(args.minhash_index),
+            ivfpq_index_paths=tuple(args.ivfpq_index),
+            table_id_col=args.id_col,
+        )
+    except RuntimeError as e:
+        if len(e.args) > 1:
+            print(json.dumps(e.args[1], indent=1, sort_keys=True))
+        raise
+    print(json.dumps(manifest, indent=1, sort_keys=True))
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -14,7 +14,12 @@ table format):
 3. GDPR-style takedown: ``delete_parquet`` rewrites only the files
    containing matched rows, behind the same pointer-flip discipline
 4. serving layout: compaction toward target-sized files
-5. the round-9 relational additions, run as the corpus entries a
+5. widen-only schema evolution (``Table.add_columns``) + a
+   cross-artifact takedown (``takedown.cascade_delete``): the table
+   grows a column without rewriting a byte of data, old and new
+   batches both merge, and one purge request reaches the table AND
+   its MinHash near-dup index with an auditable manifest
+6. the round-9 relational additions, run as the corpus entries a
    reference user would call: transitive closure (q68), gap-fill +
    linear interpolation (q69), windowed COUNT DISTINCT (q70),
    schema-evolution unionByName (q72), MAP type + map HOFs (q73),
@@ -193,6 +198,64 @@ def relational_additions(spark, sf_dir: str) -> None:
         print(f"{label}: {n} rows")
 
 
+def evolution_and_cascade(spark, sf_dir: str, work: str) -> None:
+    """Round-12 governance verbs: widen the table's schema with a
+    zero-rewrite CoW version, merge batches on BOTH schemas, then
+    purge one document from the table and its derived MinHash index
+    in one cascade."""
+    from cae_polars_tools_spark.operators.minhash_index import (
+        build_minhash_index,
+        query_minhash_index,
+    )
+    from cae_polars_tools_spark.takedown import cascade_delete
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "source")
+        .limit(200)
+    )
+    root = os.path.join(work, "governed")
+    t = Table.create(spark, root, docs)
+    out = t.add_columns({"quality": "double"})
+    print(f"evolved to v{out['version']}: added {out['added']}")
+    # a NEW-schema batch and an OLD-schema batch both merge
+    t.merge(
+        docs.limit(20).withColumn("quality", F.lit(0.9)),
+        keys=["doc_id"],
+    )
+    t.merge(
+        docs.limit(5).withColumn("text", F.concat("text", F.lit(" v2"))),
+        keys=["doc_id"],
+    )
+    scored = t.current().filter("quality IS NOT NULL").count()
+    print(f"current schema {t.current().columns}, {scored} scored docs")
+
+    # derived index + one-request cascade
+    idx = os.path.join(work, "governed_mh")
+    build_minhash_index(docs, idx)
+    victim = docs.first()["doc_id"]
+    manifest = cascade_delete(
+        spark, [victim], table_root=root, minhash_index_paths=(idx,)
+    )
+    print(
+        "cascade purged:",
+        {
+            "table_rows": manifest["table"]["rows_deleted"],
+            "index_sigs": manifest["minhash"][0]["sigs"]["rows_deleted"],
+        },
+    )
+    probe = docs.filter(F.col("doc_id") == victim).select(
+        F.lit(10**9).alias("doc_id"), "text", "source"
+    )
+    hits = (
+        query_minhash_index(spark, idx, probe)
+        .filter(F.col("doc_id_hist") == victim)
+        .count()
+    )
+    assert hits == 0, "purged doc must not answer probes"
+    print("post-cascade probe of the purged doc: 0 hits")
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark(app_name="cae-polars-tools-spark-lakehouse")
@@ -201,6 +264,7 @@ def main() -> None:
         target = cdc_upsert_loop(spark, sf_dir, work)
         takedown_and_compact(spark, target, work)
         incremental_rollup(spark, sf_dir, work)
+        evolution_and_cascade(spark, sf_dir, work)
     relational_additions(spark, sf_dir)
     print("Lakehouse demo complete.")
 

@@ -344,3 +344,54 @@ def test_docs_command_print_and_write(tmp_path, capsys):
 
     with pytest.raises(SystemExit, match="marker pair"):
         main(["docs", "--write", str(p)])
+
+
+def test_takedown_command(spark, tmp_path, capsys):
+    """CLI cascade: one invocation purges the Table and a MinHash
+    index, prints the manifest; a bad index path exits 1 with the
+    partial manifest on stdout."""
+    from cae_polars_tools_spark.operators.minhash_index import (
+        build_minhash_index,
+    )
+    from cae_polars_tools_spark.table import Table
+
+    docs = spark.createDataFrame(
+        [(i, f"document body {i} words " * 5, "s") for i in range(20)],
+        "doc_id long, text string, source string",
+    )
+    troot = str(tmp_path / "t")
+    mroot = str(tmp_path / "m")
+    Table.create(spark, troot, docs)
+    build_minhash_index(docs, mroot)
+
+    assert (
+        main(
+            [
+                "takedown",
+                "--ids", "3,7",
+                "--table", troot,
+                "--minhash-index", mroot,
+            ]
+        )
+        == 0
+    )
+    manifest = json.loads(capsys.readouterr().out)
+    assert manifest["doc_ids"] == [3, 7]
+    assert manifest["table"]["rows_deleted"] == 2
+    assert manifest["minhash"][0]["sigs"]["rows_deleted"] == 2
+    assert Table(spark, troot).current().filter("doc_id IN (3,7)").count() == 0
+
+    # partial failure: bad index path → exit 1, partial manifest shown
+    rc = main(
+        [
+            "takedown",
+            "--ids", "5",
+            "--table", troot,
+            "--minhash-index", str(tmp_path / "missing"),
+        ]
+    )
+    assert rc == 1
+    out = capsys.readouterr()
+    partial = json.loads(out.out)
+    assert partial["table"]["rows_deleted"] == 1
+    assert "Error:" in out.err
