@@ -832,9 +832,14 @@ def takedown_command(args) -> int:
             table_id_col=args.id_col,
         )
     except RuntimeError as e:
+        # partial failure: manifest of what DID purge on stdout (the
+        # machine-readable channel), the failure summary on stderr,
+        # exit 1 — never re-raise (str(e) would repr the whole
+        # (message, manifest) tuple a second time)
         if len(e.args) > 1:
             print(json.dumps(e.args[1], indent=1, sort_keys=True))
-        raise
+        print(f"Error: {e.args[0]}", file=sys.stderr)
+        return 1
     print(json.dumps(manifest, indent=1, sort_keys=True))
     return 0
 

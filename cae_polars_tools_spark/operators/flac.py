@@ -465,33 +465,29 @@ def encode_ogg_flac(
         bytes([0x7F]) + b"FLAC" + bytes([1, 0])
         + (0).to_bytes(2, "big") + header
     )
-    # packets with their end-of-packet granule positions (-1: none)
-    packets = [(first, 0)]
-    done = 0
-    for body, bn in frames:
-        done += bn
-        packets.append((body, done))
-    # lacing: (lace, data, granule_at_end | None)
-    laces = []
-    for body, gran in packets:
+    def _laces_of(body, gran):
+        """(lace, bytes, granule-at-end|None) triples for one packet."""
+        triples = []
         n_full = len(body) // 255
         for i in range(n_full):
-            laces.append((255, body[i * 255 : (i + 1) * 255], None))
-        laces.append((len(body) % 255, body[n_full * 255 :], gran))
-    out = bytearray()
-    idx, seq, continued = 0, 0, False
-    while idx < len(laces) or seq == 0:
-        take = laces[idx : idx + 255]
-        idx += len(take)
+            triples.append((255, body[i * 255 : (i + 1) * 255], None))
+        triples.append((len(body) % 255, body[n_full * 255 :], gran))
+        return triples
+
+    pages: list[bytes] = []
+    seq = 0
+
+    def _emit(laces, bos, eos, continued):
+        nonlocal seq
+        # granule: last completed packet's granule on this page; a
+        # page that finishes no packet carries -1 per RFC 3533
+        finished = [g for _, _, g in laces if g is not None]
+        gran = finished[-1] if finished else -1
         htype = (
             (0x01 if continued else 0)
-            | (0x02 if seq == 0 else 0)
-            | (0x04 if idx >= len(laces) else 0)
+            | (0x02 if bos else 0)
+            | (0x04 if eos else 0)
         )
-        # granule: last completed packet's sample count on this page;
-        # a page that finishes no packet carries -1 per RFC 3533
-        finished = [g for _, _, g in take if g is not None]
-        gran = finished[-1] if finished else -1
         page = bytearray(
             b"OggS"
             + bytes([0, htype])
@@ -499,15 +495,36 @@ def encode_ogg_flac(
             + serial.to_bytes(4, "little")
             + seq.to_bytes(4, "little")
             + b"\x00\x00\x00\x00"
-            + bytes([len(take)])
-            + bytes(l for l, _, _ in take)
-            + b"".join(d for _, d, _ in take)
+            + bytes([len(laces)])
+            + bytes(l for l, _, _ in laces)
+            + b"".join(d for _, d, _ in laces)
         )
         page[22:26] = _ogg_crc(bytes(page)).to_bytes(4, "little")
-        out += bytes(page)
+        pages.append(bytes(page))
         seq += 1
+
+    # the mapping's first-page rule: the 0x7F'FLAC' identification
+    # packet sits ALONE on the BOS page with granule position 0 —
+    # libflac's Ogg decoder rejects streams that pack audio onto it
+    audio_laces = []
+    done = 0
+    for body, bn in frames:
+        done += bn
+        audio_laces.extend(_laces_of(body, done))
+    _emit(
+        _laces_of(first, 0), bos=True, eos=not audio_laces,
+        continued=False,
+    )
+    idx, continued = 0, False
+    while idx < len(audio_laces):
+        take = audio_laces[idx : idx + 255]
+        idx += len(take)
+        _emit(
+            take, bos=False, eos=idx >= len(audio_laces),
+            continued=continued,
+        )
         continued = bool(take) and take[-1][0] == 255
-    return bytes(out)
+    return b"".join(pages)
 
 
 # ---------------------------------------------------------------------------

@@ -41,6 +41,7 @@ import json
 import os
 import re
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -184,6 +185,7 @@ def append_minhash_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     check_unique: bool = True,
+    signed: DataFrame | None = None,
 ) -> dict:
     """Append new documents WITHOUT re-signing history: sign them
     under the frozen hash family and add parquet segments to the live
@@ -198,11 +200,18 @@ def append_minhash_index(
     neither needs fingerprints or shingle hashes, so projecting before
     checking keeps the expensive tokenize→shingle→hash signing
     pipeline out of the check actions entirely (signing runs exactly
-    once, on the persisted frame below). Returns
+    once, on the persisted frame below). A caller that already signed
+    the docs (``dedup_stream_indexed`` shares one signing between the
+    dedup and the append) passes the ``(doc_id, fp, h64)`` frame as
+    ``signed`` and no signing happens here at all. Returns
     ``{rows_appended}``."""
     bands_path, sigs_path, _ = _dirs(spark, path)
     if check_unique:
-        ids = docs.select(F.col(id_col).alias("doc_id"))
+        ids = (
+            signed.select("doc_id")
+            if signed is not None
+            else docs.select(F.col(id_col).alias("doc_id"))
+        )
         existing = spark.read.parquet(sigs_path).select("doc_id")
         dup = ids.join(existing, "doc_id", "left_semi").limit(1).count()
         if dup:
@@ -223,7 +232,9 @@ def append_minhash_index(
                 "append_minhash_index: the appended frame itself "
                 "carries duplicate doc_ids; dedup it first"
             )
-    new = _signed(docs, id_col, text_col).persist()
+    new = (
+        signed if signed is not None else _signed(docs, id_col, text_col)
+    ).persist()
     try:
         n = new.count()
         # bands BEFORE sigs (the ingest-sink rule): a crash between
@@ -352,24 +363,37 @@ def dedup_stream_indexed(
             id_col,
             "left_anti",
         )
-        surv_ids = incremental_dedup_indexed(
-            spark,
-            index_path,
-            fresh,
-            threshold=threshold,
-            id_col=id_col,
-            text_col=text_col,
-            keep_cols=(),
-        ).select(F.col("doc_id").alias(id_col))
-        # localCheckpoint (the ingest-sink rule): the survivors plan
-        # reads the sigs table this sink is about to append to —
-        # checkpointing severs the lineage so the two writes below
-        # can never re-execute the dedup against their own output.
-        survivors = (
-            fresh.join(F.broadcast(surv_ids), id_col)
-            .select(id_col, text_col, *keep_cols)
-            .localCheckpoint()
-        )
+        # ONE signing per trigger: the dedup consumes this cache AND
+        # the index append reuses the survivors' rows from it — the
+        # tokenize→shingle→hash pass never runs twice on a document.
+        b = _signed(fresh, id_col, text_col).persist()
+        try:
+            surv_ids = incremental_dedup_indexed(
+                spark,
+                index_path,
+                fresh,
+                threshold=threshold,
+                id_col=id_col,
+                text_col=text_col,
+                keep_cols=(),
+                signed=b,
+            ).select(F.col("doc_id").alias(id_col))
+            # localCheckpoint (the ingest-sink rule): both frames'
+            # plans read the sigs table this sink is about to append
+            # to — checkpointing severs the lineage so the writes
+            # below can never re-execute the dedup against their own
+            # output.
+            survivors = (
+                fresh.join(F.broadcast(surv_ids), id_col)
+                .select(id_col, text_col, *keep_cols)
+                .localCheckpoint()
+            )
+            b_surv = b.join(
+                F.broadcast(surv_ids.select(F.col(id_col).alias("doc_id"))),
+                "doc_id",
+            ).localCheckpoint()
+        finally:
+            b.unpersist()
         if survivors.count() == 0:
             return
         # survivors table FIRST (behind its own id anti-join), index
@@ -379,8 +403,14 @@ def dedup_stream_indexed(
             to_write = survivors.join(
                 F.broadcast(seen), id_col, "left_anti"
             )
-        except Exception:
-            to_write = survivors  # first batch: table doesn't exist yet
+        except AnalysisException as e:
+            # ONLY the missing-path case is "first batch"; any other
+            # read failure must propagate so foreachBatch retries —
+            # swallowing it would skip the replay anti-join and append
+            # duplicates forever.
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+            to_write = survivors
         to_write.write.mode("append").parquet(survivors_path)
         # check_unique=False: the up-front sigs anti-join already
         # guarantees disjointness, and the strict check would refuse
@@ -392,6 +422,7 @@ def dedup_stream_indexed(
             id_col=id_col,
             text_col=text_col,
             check_unique=False,
+            signed=b_surv,
         )
 
     return sink
@@ -746,6 +777,7 @@ def incremental_dedup_indexed(
     text_col: str = "text",
     keep_cols: tuple[str, ...] = ("source",),
     broadcast_max_rows: int | None = None,
+    signed: DataFrame | None = None,
 ) -> DataFrame:
     """Surviving batch documents after dedup against the PERSISTED
     index and within the batch itself — ``incremental_dedup``'s drop
@@ -785,8 +817,16 @@ def incremental_dedup_indexed(
     # ONE signing of the batch (fp + shingle hashes), shared by the
     # exact path, the index probe AND the within-batch pass — the
     # expensive tokenize→shingle→hash pipeline runs once, not three
-    # times, and one cache serves every consumer.
-    b = _signed(batch, id_col, text_col).persist()
+    # times, and one cache serves every consumer. A caller that needs
+    # the signatures AFTERWARDS (the streaming sink appends survivors
+    # to the index) passes its own persisted frame as ``signed`` and
+    # keeps ownership of the cache.
+    own_cache = signed is None
+    b = (
+        _signed(batch, id_col, text_col).persist()
+        if own_cache
+        else signed
+    )
     # The size probe doubles as the cache materializer (it is the
     # first action and scans every partition), so the regime check
     # costs one cached count — the later probe-key collect and every
@@ -843,7 +883,7 @@ def incremental_dedup_indexed(
     # final anti-join never shuffles the survivors
     dropped = probe.unionByName(within).distinct()
     out = exact_kept.join(bc(dropped), "doc_id", "left_anti")
-    return _release_on_gc(out, b)
+    return _release_on_gc(out, b) if own_cache else out
 
 
 _INDEXED_INCREMENTAL_ORACLE = f"""

@@ -518,11 +518,12 @@ def decontaminate_bloom(
         corpus, benchmark, ngram=ngram, fpp=fpp,
         id_col=id_col, text_col=text_col,
     ).filter(F.col("n_hits") >= min_hits)
-    # flagged ids are bounded by contaminated docs — broadcast keeps
-    # the payload anti-join shuffle-free
-    return corpus.join(
-        F.broadcast(flagged.select(id_col)), id_col, "left_anti"
-    )
+    # NO broadcast hint on the flagged ids: this function exists for
+    # the regime where the benchmark is huge, and a heavily mirrored
+    # benchmark can flag an unbounded share of the corpus (the same
+    # reason decontaminate()'s broadcast_benchmark=False path doesn't
+    # hint) — AQE broadcasts at runtime when the set is actually small
+    return corpus.join(flagged.select(id_col), id_col, "left_anti")
 
 
 __all__ = [

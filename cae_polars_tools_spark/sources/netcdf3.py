@@ -97,8 +97,9 @@ class _Cursor:
         self.d = data
         self.p = 0
         # CDF-5: every NON_NEG field (list/name/attr counts, dim
-        # sizes, ndims, vsize) widens to 64 bits; tags, type ids and
-        # dimension ids stay 32-bit per the pnetcdf spec
+        # sizes, ndims, DIMENSION IDS, vsize) widens to 64 bits —
+        # dimid is NON_NEG in the classic grammar, so it widens too;
+        # only tags and nc_type ids stay 32-bit per the pnetcdf spec
         self.wide = wide
 
     def u32(self) -> int:
@@ -213,7 +214,7 @@ def _parse_netcdf3_header(head: bytes, path: str) -> NcMeta:
         for _ in range(n):
             name = c.name()
             ndims = c.nn()
-            dids = tuple(c.u32() for _ in range(ndims))
+            dids = tuple(c.nn() for _ in range(ndims))
             vatts = _parse_attrs(c)
             nc_type = c.u32()
             if nc_type not in _NC_DTYPES:
@@ -876,7 +877,7 @@ def write_netcdf3(
             out += _nc_name(name, wide)
             out += struct.pack(nnf, len(vdims))
             for d in vdims:
-                out += struct.pack(">I", dim_idx[d])
+                out += struct.pack(nnf, dim_idx[d])
             out += struct.pack(">I", 0) + struct.pack(nnf, 0)  # no vatts
             out += struct.pack(">I", nc_type)
             out += struct.pack(nnf, vsize)

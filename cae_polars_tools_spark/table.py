@@ -226,11 +226,14 @@ class Table:
         new = (
             self.current() if until is None else self.read_version(until)
         )
-        if set(old.columns) != set(new.columns):
+        if set(old.columns) < set(new.columns):
             # widen-only evolution between the two versions: null-fill
             # the old side up to the new schema (an unchanged row then
-            # compares null==null on the evolved column and drops out;
-            # anything else is diff_tables' schema-drift refusal)
+            # compares null==null on the evolved column and drops out).
+            # Only the strict-subset direction normalizes — a diff
+            # whose OLD side is wider (e.g. across a restore() to a
+            # pre-evolution version) falls through to diff_tables'
+            # accurate schema-drift refusal.
             old = self._normalize_batch(old, new.schema)
         return diff_tables(old, new, keys)
 
@@ -382,12 +385,29 @@ class Table:
             new_fields.append(StructField(name, parsed.dataType, True))
         widened = StructType(list(cur.fields) + new_fields)
         v, vd = self._next_version_dir(meta)
-        # byte-for-byte: the evolution itself costs one directory copy
-        # (server-side on object stores), never a data rewrite
-        shutil.copytree(
-            os.path.join(self.root, meta["version_dir"]),
-            os.path.join(self.root, vd),
-        )
+        # byte-for-byte: the evolution itself costs one directory copy,
+        # never a data rewrite. Local roots take the fast filesystem
+        # path; any other root copies object-by-object through the
+        # ByteStore seam (the same local/http/fsspec ladder every other
+        # verb rides), so evolution works wherever the Table does.
+        src_dir = os.path.join(self.root, meta["version_dir"])
+        if os.path.isdir(src_dir):
+            shutil.copytree(src_dir, os.path.join(self.root, vd))
+        else:
+            store = self._store()
+
+            def _copy_tree(src_p: str, dst_p: str) -> None:
+                for name in store.list_prefix(src_p):
+                    child = f"{src_p}/{name.rstrip('/')}"
+                    data = store.get(child)
+                    if data is None:  # sub-directory
+                        _copy_tree(child, f"{dst_p}/{name.rstrip('/')}")
+                    else:
+                        store.put(
+                            f"{dst_p}/{name.rstrip('/')}", data
+                        )
+
+            _copy_tree(meta["version_dir"], vd)
         self._put_sidecar(vd, widened)  # overwrites any copied sidecar
         self._commit(v, vd, meta["batch_id"])
         return {

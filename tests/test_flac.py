@@ -647,3 +647,21 @@ def test_encode_ogg_flac_large_frame_spans_pages():
     assert continued_seen
     rate, got = decode_flac(ogg)
     assert rate == 48000 and (got.astype(np.int64) == x).all()
+
+
+def test_encode_ogg_flac_id_packet_alone_on_first_page():
+    """The xiph mapping's first-page rule: the BOS page carries ONLY
+    the 0x7F'FLAC' identification packet, granule position 0 —
+    libflac's Ogg decoder rejects streams that pack audio onto it."""
+    from cae_polars_tools_spark.operators.flac import encode_ogg_flac
+
+    ogg = encode_ogg_flac(np.arange(5000, dtype=np.int64) % 211, 16000)
+    nseg = ogg[26]
+    laces = ogg[27 : 27 + nseg]
+    body = ogg[27 + nseg : 27 + nseg + sum(laces)]
+    gran = int.from_bytes(ogg[6:14], "little", signed=True)
+    assert gran == 0
+    # exactly ONE packet on page 0: every lace but the last is a
+    # continuation (255) and the last terminates it
+    assert laces[-1] < 255 and all(l == 255 for l in laces[:-1])
+    assert body[:5] == bytes([0x7F]) + b"FLAC"

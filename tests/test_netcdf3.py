@@ -83,7 +83,7 @@ def _write_nc(path, dims, variables, version=1, record_dim=None, numrecs=None):
         vsize = size + ((-size) % 4)
         out = _name(n, wide) + struct.pack(nnf, len(vd))
         for d in vd:
-            out += struct.pack(">I", dix[d])
+            out += struct.pack(nnf, dix[d])
         out += struct.pack(">I", 0) + struct.pack(nnf, 0)  # no attrs
         out += struct.pack(">I", t) + struct.pack(nnf, vsize)
         out += struct.pack(">Q" if version in (2, 5) else ">I", begin)

@@ -373,3 +373,28 @@ def test_upsert_sink_is_evolution_aware(spark, tmp_path):
             ),
             9,
         )
+
+
+def test_add_columns_on_uri_root(spark, tmp_path):
+    """Schema evolution must work on a NON-plain-path root: a
+    file:// URI routes the version-dir copy through the ByteStore
+    object walk instead of shutil (the same seam an object-store root
+    would take), and every later verb still composes."""
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(10)], "doc_id long, n long"
+    )
+    root = "file://" + str(tmp_path / "uri_table")
+    t = Table.create(spark, root, df)
+    out = t.add_columns({"score": "double"})
+    assert out["version"] == 1
+    cur = t.current()
+    assert cur.columns == ["doc_id", "n", "score"]
+    assert cur.count() == 10
+    t.merge(
+        spark.createDataFrame(
+            [(1, 99, 0.5)], "doc_id long, n long, score double"
+        ),
+        keys=["doc_id"],
+    )
+    r = t.current().filter("doc_id = 1").first()
+    assert r["n"] == 99 and r["score"] == 0.5
