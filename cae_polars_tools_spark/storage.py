@@ -340,6 +340,16 @@ def _local_path(uri: str, op: str) -> str:
     return os.path.abspath(unquote(u.path if u.scheme else uri))
 
 
+def _norm_dataset_path(p: str, op: str) -> str:
+    """Normalize a dataset path for the copy-on-write FILE machinery:
+    ``file://`` URIs become plain local paths (Spark accepts either,
+    but shutil/os.path do not — an un-normalized URI dst used to send
+    the byte-copies into a literal ``file:`` directory under the cwd,
+    silently losing every untouched row); any other scheme raises the
+    loud not-local error instead of corrupting."""
+    return _local_path(p, op) if "://" in p or p.startswith("file:") else p
+
+
 def _fresh_cow_dst(target: str, dst: str) -> None:
     """Validate + reset a copy-on-write destination: it must not be,
     contain, or live inside the source dataset (rmtree there would
@@ -475,6 +485,8 @@ def merge_parquet(
 
     if not keys:
         raise ValueError("merge_parquet needs at least one key column")
+    target = _norm_dataset_path(target, "merge_parquet")
+    dst = _norm_dataset_path(dst, "merge_parquet")
     t = _reader(spark, read_schema).parquet(target)
     if set(updates.columns) != set(t.columns):
         raise ValueError(
@@ -627,6 +639,8 @@ def delete_parquet(
     if not isinstance(pred, Column):
         raise ValueError("predicate must be a Column or SQL string")
 
+    target = _norm_dataset_path(target, "delete_parquet")
+    dst = _norm_dataset_path(dst, "delete_parquet")
     t = _reader(spark, read_schema).parquet(target)
     all_files, pcols = _dataset_layout(
         target, t.inputFiles(), "delete_parquet"

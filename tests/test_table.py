@@ -396,5 +396,13 @@ def test_add_columns_on_uri_root(spark, tmp_path):
         ),
         keys=["doc_id"],
     )
-    r = t.current().filter("doc_id = 1").first()
+    cur = t.current()
+    # the byte-copied untouched files MUST land in the real version
+    # dir (an un-normalized URI dst once sent them to a junk `file:`
+    # directory under the cwd, silently dropping 9 of 10 rows here)
+    assert cur.count() == 10
+    assert sorted(r["doc_id"] for r in cur.collect()) == list(range(10))
+    r = cur.filter("doc_id = 1").first()
     assert r["n"] == 99 and r["score"] == 0.5
+    stats = t.delete("doc_id = 5")
+    assert stats["rows_deleted"] == 1 and t.current().count() == 9
