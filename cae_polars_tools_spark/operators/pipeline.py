@@ -314,15 +314,37 @@ def contamination_hits(
     """
     from cae_polars_tools_spark.operators.dedup import hashed_shingles
 
+    b = benchmark.select(
+        F.explode(hashed_shingles(F.col(text_col), ngram)).alias("g")
+    ).distinct()
+    return _hits_vs_hashes(
+        corpus, b, ngram, id_col, text_col, broadcast_benchmark
+    )
+
+
+def _hits_vs_hashes(
+    corpus: DataFrame,
+    benchmark_hashes: DataFrame,
+    ngram: int,
+    id_col: str,
+    text_col: str,
+    broadcast_benchmark: bool,
+) -> DataFrame:
+    """The contamination core against a PRE-HASHED benchmark window
+    set ``(g)`` — shared by the batch path (which derives the hashes
+    per call) and the streaming sink (which derives them ONCE and
+    caches across micro-batches)."""
+    from cae_polars_tools_spark.operators.dedup import hashed_shingles
+
     c = corpus.select(
         F.col(id_col),
         F.explode(hashed_shingles(F.col(text_col), ngram)).alias("g"),
     )
-    b = benchmark.select(
-        F.explode(hashed_shingles(F.col(text_col), ngram)).alias("g")
-    ).distinct()
-    if broadcast_benchmark:
-        b = F.broadcast(b)
+    b = (
+        F.broadcast(benchmark_hashes)
+        if broadcast_benchmark
+        else benchmark_hashes
+    )
     return (
         c.join(b, "g")
         .groupBy(id_col)
@@ -526,6 +548,70 @@ def decontaminate_bloom(
     return corpus.join(flagged.select(id_col), id_col, "left_anti")
 
 
+def decontaminate_sink(
+    benchmark: DataFrame,
+    clean_path: str,
+    ngram: int = DECONTAM_NGRAM,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """``writeStream.foreachBatch`` sink decontaminating a document
+    stream against a FIXED benchmark set: each micro-batch drops docs
+    sharing ≥ ``min_hits`` distinct ``ngram``-token windows with any
+    benchmark document, and survivors append to the ``clean_path``
+    parquet table — the streaming twin of :func:`decontaminate`, so
+    an ingestion pipeline never lands contaminated documents at all.
+
+    The benchmark's distinct window-hash set is derived ONCE at sink
+    construction and persisted across micro-batches (eval suites
+    change rarely; re-deriving per trigger would re-explode the
+    benchmark every few seconds). Replay safety is ID-LEVEL, the
+    ingest-sink rule: the batch dedups within itself and anti-joins
+    ids already in the clean table, so a redelivered micro-batch
+    (foreachBatch's at-least-once contract) appends nothing — the
+    sink is effectively-once for stable doc ids. A contaminated doc
+    is dropped deterministically on every delivery (the benchmark is
+    fixed), so replays converge."""
+    from pyspark.errors import AnalysisException
+
+    from cae_polars_tools_spark.operators.dedup import hashed_shingles
+
+    bh = (
+        benchmark.select(
+            F.explode(hashed_shingles(F.col(text_col), ngram)).alias("g")
+        )
+        .distinct()
+        .persist()
+    )
+    bh.count()  # materialize once, at construction
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.columns or batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.dropDuplicates([id_col])
+        try:
+            seen = spark.read.parquet(clean_path).select(id_col)
+            batch = batch.join(F.broadcast(seen), id_col, "left_anti")
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e):
+                raise  # transient read failure: retry, don't duplicate
+        flagged = _hits_vs_hashes(
+            batch, bh, ngram, id_col, text_col, broadcast_benchmark=True
+        ).filter(F.col("n_hits") >= min_hits)
+        survivors = batch.join(
+            F.broadcast(flagged.select(id_col)), id_col, "left_anti"
+        )
+        # the anti-join above reads the table this writes —
+        # localCheckpoint severs the lineage (the ingest-sink rule)
+        survivors.localCheckpoint().write.mode("append").parquet(
+            clean_path
+        )
+
+    return sink
+
+
 __all__ = [
     "split_by_hash",
     "stratified_sample",
@@ -535,6 +621,7 @@ __all__ = [
     "build_hash_bloom",
     "contamination_hits_bloom",
     "decontaminate_bloom",
+    "decontaminate_sink",
 ]
 
 

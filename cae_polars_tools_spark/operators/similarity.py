@@ -1793,6 +1793,35 @@ def delete_ivfpq_index(
     return stats
 
 
+def vacuum_ivfpq_index(path: str) -> list[str]:
+    """Retention for the IVF-PQ index's CoW generation chain: delete
+    every ``codes_v*`` directory the current ``_INDEX.json`` pointer
+    does NOT reference (compact/delete each leave their predecessor on
+    disk so readers of the old pointer finish safely). Explicit and
+    never automatic — the ``vacuum_minhash_index`` twin, same caveat:
+    only vacuum past your longest reader. Returns the removed
+    directory names."""
+    import re as _re
+
+    from cae_polars_tools_spark.sources.zarr_format import ByteStore
+
+    root = path.rstrip("/")
+    meta = load_ivfpq_meta(root)
+    if meta is None:
+        raise FileNotFoundError(f"no IVF-PQ index under {path}")
+    live = meta.get("codes_dir", "codes")
+    store = ByteStore.for_path(root)
+    removed = []
+    for name in store.list_prefix(""):
+        n = name.rstrip("/")
+        if n == live:
+            continue
+        if n == "codes" or _re.fullmatch(r"codes_v\d+", n):
+            store.delete_prefix(n)
+            removed.append(n)
+    return sorted(removed)
+
+
 def load_ivfpq_meta(path: str) -> dict | None:
     """The index's ``_INDEX.json`` metadata, or None when ``path``
     holds no (finished) index — builders use this for

@@ -142,7 +142,7 @@ def cascade_delete(
         if stats is not None:
             manifest["ivfpq"].append({"path": p, **stats})
             manifest["vacuum_pending"].append(
-                f"stale codes_v* generations under {p}"
+                f"vacuum_ivfpq_index({p!r})"
             )
     if errors:
         raise RuntimeError(

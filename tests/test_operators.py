@@ -1973,3 +1973,43 @@ def test_finalize_spans_validates_like_batch(spark, tmp_path):
         finalize_repeated_spans(
             spark, target, docs, k=16, min_len=8
         )
+
+
+def test_vacuum_ivfpq_index_removes_only_stale_generations(spark, tmp_path):
+    """After compact/delete create new codes generations, vacuum drops
+    every directory the pointer no longer references — and ONLY those
+    (the live generation and the model tables stay; probe answers are
+    unchanged)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cae_polars_tools_spark.io import read_table
+    from cae_polars_tools_spark.operators.similarity import (
+        N_QUERIES,
+        build_ivfpq_index,
+        compact_ivfpq_index,
+        delete_ivfpq_index,
+        load_ivfpq_meta,
+        query_ivfpq_index,
+        vacuum_ivfpq_index,
+    )
+
+    e = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    root = str(tmp_path / "idx")
+    build_ivfpq_index(e, root)
+    compact_ivfpq_index(spark, root)                  # codes -> codes_v1
+    delete_ivfpq_index(spark, root, "vec_id = -1")    # codes_v1 -> codes_v2
+    want = sorted(tuple(r) for r in query_ivfpq_index(spark, root, q).collect())
+
+    removed = vacuum_ivfpq_index(root)
+    assert removed == ["codes", "codes_v1"]
+    assert load_ivfpq_meta(root)["codes_dir"] == "codes_v2"
+    assert os.path.isdir(f"{root}/codes_v2")
+    assert os.path.isdir(f"{root}/model")
+    assert not os.path.isdir(f"{root}/codes")
+    got = sorted(tuple(r) for r in query_ivfpq_index(spark, root, q).collect())
+    assert got == want
+    # idempotent
+    assert vacuum_ivfpq_index(root) == []

@@ -881,3 +881,42 @@ def test_span_candidate_sink_stream_equals_batch(spark, tmp_path):
     assert got2 == want
     for b in batches:
         b.unpersist()
+
+
+def test_decontaminate_sink_stream_equals_batch(spark, tmp_path):
+    """Streaming decontamination: micro-batches through the sink —
+    with a redelivered batch — must land exactly the batch
+    decontaminate() survivors in the clean table, with no duplicate
+    rows."""
+    from cae_polars_tools_spark.io import read_table
+    from cae_polars_tools_spark.operators.pipeline import (
+        decontaminate,
+        decontaminate_sink,
+    )
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = docs.filter("source = 'src19'").select("doc_id", "text")
+    corp = docs.filter("source <> 'src19'").select(
+        "doc_id", "text", "source"
+    )
+    want = {
+        (r["doc_id"], r["source"])
+        for r in decontaminate(corp, bench).collect()
+    }
+    assert 0 < len(want) < corp.count(), "fixture must drop something"
+
+    clean = str(tmp_path / "clean")
+    sink = decontaminate_sink(bench, clean)
+    batches = [corp.filter((F.col("doc_id") % 3) == b) for b in range(3)]
+    sink(batches[0], 0)
+    sink(batches[1], 1)
+    sink(batches[0], 0)  # redelivery after later batches landed
+    sink(batches[2], 2)
+    sink(corp.limit(0), 3)  # empty trigger no-op
+
+    got = {
+        (r["doc_id"], r["source"])
+        for r in spark.read.parquet(clean).collect()
+    }
+    assert got == want
+    assert spark.read.parquet(clean).count() == len(want)
