@@ -749,6 +749,54 @@ def q22_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q84_quantile_approx",
+    oracle="""
+        SELECT
+            l_returnflag,
+            ROUND(quantile_cont(l_extendedprice, 0.05), 4) AS p05,
+            ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+            ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+            TRUE AS approx_within_tol
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("agg", "quantile", "approx", "scale-path", "extension"),
+    window_rank=1,
+)
+def q84_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB plan for q22's percentiles, itself verified — the
+    q78_profile_approx contract applied to quantiles: q22's exact
+    ``percentile`` buffers every group value on one reducer per group
+    (memory O(group size) — the cost that breaks first at scale),
+    while ``approx_percentile`` (Greenwald-Khanna sketch) holds
+    fixed-size mergeable state. This entry runs BOTH from one buffer
+    each, emits the exact values (hash-checked against quantile_cont)
+    plus ``approx_within_tol`` — every sketch estimate must land
+    within 2% relative error of its exact twin (far looser than GK's
+    configured 1e-4 rank accuracy, far tighter than any plausible
+    regression), so a drifting sketch flips the boolean and fails the
+    gate."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = F.array(F.lit(0.05), F.lit(0.50), F.lit(0.95))
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", ps).alias("p"),
+        F.percentile_approx("l_extendedprice", ps, 10_000).alias("a"),
+    )
+    within = F.lit(True)
+    for i in range(3):
+        within = within & (
+            F.abs(F.col("a")[i] - F.col("p")[i]) / F.col("p")[i] <= 0.02
+        )
+    return agg.select(
+        "l_returnflag",
+        F.round(F.col("p")[0], 4).alias("p05"),
+        F.round(F.col("p")[1], 4).alias("p50"),
+        F.round(F.col("p")[2], 4).alias("p95"),
+        within.alias("approx_within_tol"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Batch tumbling window on event time (Structured-Streaming-compatible
 # form; the streaming variant lives in streaming/events.py).

@@ -118,6 +118,7 @@ SF01_SENSITIVE = (
     "mm_ogg_flac_features",  # page walk / lacing coverage widens with volume
     "storage_schema_evolution",  # mixed-schema CoW reads under volume
     "pipeline_decontaminate_bloom",  # FP-verify stage under volume
+    "q84_quantile_approx",  # GK-sketch tolerance boolean under volume
 )
 
 
