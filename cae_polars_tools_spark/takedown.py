@@ -24,8 +24,19 @@ Ordering and atomicity contract ("atomic-enough"):
 
 Old CoW generations still hold the purged bytes until retention runs —
 a complete takedown ends with ``Table.vacuum`` /
-``vacuum_minhash_index`` / the IVF-PQ generation GC, which the
+``vacuum_minhash_index`` / ``vacuum_ivfpq_index``, which the
 manifest's ``vacuum_pending`` list spells out per artifact.
+
+Scope: the cascade covers every persisted artifact that serves
+PER-DOCUMENT rows — the base table's text, the MinHash index's
+fingerprints/shingle-hash sets/band rows, the IVF-PQ index's encoded
+vectors. The repo's other persisted artifacts are deliberately out of
+scope because they hold no per-document state to purge: span-candidate
+segments store ``(window-hash, document-frequency)`` partials (counts,
+not content — and their finalize pass joins the live corpus, so purged
+docs drop out of results automatically), and sketch segments store
+mergeable aggregate registers. If a future artifact persists doc-keyed
+rows, give it a CoW delete verb and register it here.
 
 No reference counterpart (the reference engine has no mutation surface
 at all); this is the operational closure of the repo's own lakehouse +
