@@ -214,9 +214,12 @@ def test_committed_closing_artifact_is_clean():
     if not os.path.exists(path):
         pytest.skip("no BENCH_DETAILS.json in checkout")
     details = json.load(open(path))
-    if "role" not in details:
-        pytest.skip("artifact predates the role stamp")
-    assert details["role"] == "closing"
+    # NO legacy skip: bench.py stamps every run now, so an artifact
+    # without the stamp is exactly the stale/contaminated state this
+    # test exists to catch (the r11 driver run it replaced carried
+    # sf1_gate "not run" at loadavg 5.78 and predated the stamp — a
+    # skip here made the guard vacuous on the very file it guarded)
+    assert details.get("role") == "closing", details.get("role")
     assert details["sf1_gate"] == "passed"
     # clean-calib tripwire: the builder host class probes 0.12-0.17 s
     # when quiet; a contaminated run reads high on BOTH signals
