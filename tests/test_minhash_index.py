@@ -417,3 +417,96 @@ def test_stream_indexed_dedup_equals_batch_twin(spark, tmp_path):
         d for d, _ in twin_surv
     }
     assert {r["doc_id"] for r in sigs.collect()} == want_ids
+
+
+def test_minhash_index_random_verb_sequences_match_rebuild(spark, tmp_path):
+    """Model-based lifecycle check: a seeded random sequence of
+    append / ingest-sink (with replay) / delete / compact / vacuum
+    verbs must keep the incremental index answer-equivalent to an
+    index REBUILT from scratch over the model's surviving documents —
+    the invariant that makes frozen-family incremental maintenance
+    sound (any drift between 'maintained' and 'rebuilt' state is a
+    corruption the pointwise tests can miss)."""
+    import random
+
+    from cae_polars_tools_spark.operators.minhash_index import (
+        compact_minhash_index,
+        minhash_ingest_sink,
+        vacuum_minhash_index,
+    )
+
+    rng = random.Random(20260816)
+
+    def mk_doc(i):
+        base = f"document number {i % 7} with shared phrasing " * 3
+        return (i, base + f"unique tail {i} " * (1 + i % 3), "s")
+
+    SCHEMA = "doc_id long, text string, source string"
+    model = {i: mk_doc(i) for i in range(20)}
+    root = str(tmp_path / "idx")
+    build_minhash_index(
+        spark.createDataFrame(list(model.values()), SCHEMA), root
+    )
+    probe = spark.createDataFrame(
+        [(10_000 + j, mk_doc(j * 3)[1], "probe") for j in range(5)],
+        SCHEMA,
+    )
+    next_id = 100
+    sink = minhash_ingest_sink(root)
+
+    def check(op):
+        # rebuild-from-scratch is the reference implementation
+        fresh = str(tmp_path / f"fresh_{op}_{next_id}")
+        build_minhash_index(
+            spark.createDataFrame(list(model.values()), SCHEMA), fresh
+        )
+        got = {
+            (r["doc_id_hist"], r["doc_id_new"], round(r["jaccard"], 9))
+            for r in query_minhash_index(spark, root, probe).collect()
+        }
+        want = {
+            (r["doc_id_hist"], r["doc_id_new"], round(r["jaccard"], 9))
+            for r in query_minhash_index(spark, fresh, probe).collect()
+        }
+        assert got == want, op
+        # sigs content: exactly the model's ids, no duplicates
+        bands_path, sigs_path, _ = _dirs_of(root)
+        sigs = spark.read.parquet(sigs_path)
+        ids = [r["doc_id"] for r in sigs.select("doc_id").collect()]
+        assert sorted(ids) == sorted(model), op
+
+    def _dirs_of(path):
+        from cae_polars_tools_spark.operators.minhash_index import _dirs
+
+        return _dirs(spark, path)
+
+    for step in range(7):
+        op = rng.choice(["append", "ingest", "delete", "compact", "vacuum"])
+        if op == "append":
+            docs = [mk_doc(next_id + j) for j in range(3)]
+            next_id += 3
+            for d in docs:
+                model[d[0]] = d
+            append_minhash_index(
+                spark, root, spark.createDataFrame(docs, SCHEMA)
+            )
+        elif op == "ingest":
+            docs = [mk_doc(next_id + j) for j in range(2)]
+            next_id += 2
+            for d in docs:
+                model[d[0]] = d
+            bdf = spark.createDataFrame(docs, SCHEMA)
+            sink(bdf, step)
+            sink(bdf, step)  # redelivery: must be a no-op
+        elif op == "delete":
+            victims = rng.sample(sorted(model), k=min(2, len(model)))
+            for v in victims:
+                model.pop(v)
+            delete_minhash_index(
+                spark, root, f"doc_id IN ({','.join(map(str, victims))})"
+            )
+        elif op == "compact":
+            compact_minhash_index(spark, root)
+        else:
+            vacuum_minhash_index(root)
+        check(op)

@@ -859,3 +859,13 @@ def test_bloom_decontaminate_prunes_map_side(spark):
     assert "ArrowEvalPython" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_q84_one_scan_one_agg_no_expand(spark):
+    """q84_quantile_approx: both the exact and the GK-sketch buffers
+    ride ONE aggregation over ONE scan — no second pass for the
+    approx twin, no distinct-rewrite Expand."""
+    plan = _plan(spark, "q84_quantile_approx")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
