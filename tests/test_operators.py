@@ -2013,3 +2013,56 @@ def test_vacuum_ivfpq_index_removes_only_stale_generations(spark, tmp_path):
     assert got == want
     # idempotent
     assert vacuum_ivfpq_index(root) == []
+
+
+def test_ivfpq_compact_and_delete_retry_after_crash_orphan(spark, tmp_path):
+    """A crash between an IVF-PQ verb's version-write and pointer flip
+    leaves an orphaned codes_v1 directory; the RETRY must clear it and
+    succeed (compact heals via overwrite mode, delete via the fresh-
+    destination rule) with probe answers unchanged."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cae_polars_tools_spark.io import read_table
+    from cae_polars_tools_spark.operators.similarity import (
+        N_QUERIES,
+        build_ivfpq_index,
+        compact_ivfpq_index,
+        delete_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    e = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+
+    def rows(root):
+        return sorted(
+            tuple(r) for r in query_ivfpq_index(spark, root, q).collect()
+        )
+
+    # compact retry
+    root = str(tmp_path / "c")
+    build_ivfpq_index(e, root)
+    want = rows(root)
+    os.makedirs(f"{root}/codes_v1")
+    with open(f"{root}/codes_v1/junk.txt", "w") as fh:
+        fh.write("crash leftovers")
+    out = compact_ivfpq_index(spark, root)
+    assert out["codes_dir"] == "codes_v1"
+    assert not os.path.exists(f"{root}/codes_v1/junk.txt")
+    assert rows(root) == want
+
+    # delete retry
+    root = str(tmp_path / "d")
+    build_ivfpq_index(e, root)
+    want = rows(root)
+    victim = want[0][1]  # an answering neighbor id
+    os.makedirs(f"{root}/codes_v1")
+    with open(f"{root}/codes_v1/junk.txt", "w") as fh:
+        fh.write("crash leftovers")
+    stats = delete_ivfpq_index(spark, root, f"vec_id = {victim}")
+    assert stats["codes_dir"] == "codes_v1"
+    assert stats["rows_deleted"] == 1
+    assert not os.path.exists(f"{root}/codes_v1/junk.txt")
+    assert victim not in {t[1] for t in rows(root)}
