@@ -838,7 +838,8 @@ def takedown_command(args) -> int:
         # (message, manifest) tuple a second time)
         if len(e.args) > 1:
             print(json.dumps(e.args[1], indent=1, sort_keys=True))
-        print(f"Error: {e.args[0]}", file=sys.stderr)
+        msg = e.args[0] if e.args else e
+        print(f"Error: {msg}", file=sys.stderr)
         return 1
     print(json.dumps(manifest, indent=1, sort_keys=True))
     return 0

@@ -368,21 +368,28 @@ def dedup_stream_indexed(
         # tokenize→shingle→hash pass never runs twice on a document.
         b = _signed(fresh, id_col, text_col).persist()
         try:
-            surv_ids = incremental_dedup_indexed(
-                spark,
-                index_path,
-                fresh,
-                threshold=threshold,
-                id_col=id_col,
-                text_col=text_col,
-                keep_cols=(),
-                signed=b,
-            ).select(F.col("doc_id").alias(id_col))
-            # localCheckpoint (the ingest-sink rule): both frames'
-            # plans read the sigs table this sink is about to append
-            # to — checkpointing severs the lineage so the writes
-            # below can never re-execute the dedup against their own
-            # output.
+            # checkpoint the SURVIVOR IDS first: the eager
+            # localCheckpoint runs the whole dedup DAG exactly once —
+            # the two derived frames below then join against the
+            # materialized ids instead of re-executing the probe +
+            # verify joins (checkpointing them directly ran the DAG
+            # twice). The checkpoints also sever every lineage into
+            # the sigs table this sink is about to append to (the
+            # ingest-sink rule).
+            surv_ids = (
+                incremental_dedup_indexed(
+                    spark,
+                    index_path,
+                    fresh,
+                    threshold=threshold,
+                    id_col=id_col,
+                    text_col=text_col,
+                    keep_cols=(),
+                    signed=b,
+                )
+                .select(F.col("doc_id").alias(id_col))
+                .localCheckpoint()
+            )
             survivors = (
                 fresh.join(F.broadcast(surv_ids), id_col)
                 .select(id_col, text_col, *keep_cols)

@@ -856,8 +856,8 @@ def write_netcdf3(
         entries.append((name, vdims, arr, nc_type, vsize, is_rec))
 
     # header size with placeholder begins (u32 offsets for CDF-1;
-    # CDF-5 widens every NON_NEG and the begin offsets to 64 bits,
-    # tags/type ids/dim ids staying 32-bit per the pnetcdf spec)
+    # CDF-5 widens every NON_NEG — including dimension ids — and the
+    # begin offsets to 64 bits; only tags and nc_type ids stay 32-bit)
     def header(begins: list[int]) -> bytes:
         out = bytearray(b"CDF" + bytes([version]))
         out += struct.pack(nnf, numrecs)

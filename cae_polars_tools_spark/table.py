@@ -45,6 +45,21 @@ _CURRENT = "_CURRENT.json"
 _SCHEMA_SIDECAR = "_SCHEMA.json"
 
 
+def _bytestore_copy_tree(store, src: str, dst: str) -> None:
+    """Object-by-object recursive copy inside one ByteStore — the
+    remote-store path of :meth:`Table.add_columns`'s version-dir copy.
+    Each object passes through driver memory (``get`` then ``put``),
+    which is the honest portable primitive when no server-side copy
+    API is abstracted; local roots take ``shutil`` instead."""
+    for name in store.list_prefix(src):
+        child = f"{src}/{name.rstrip('/')}"
+        data = store.get(child)
+        if data is None:  # sub-directory
+            _bytestore_copy_tree(store, child, f"{dst}/{name.rstrip('/')}")
+        else:
+            store.put(f"{dst}/{name.rstrip('/')}", data)
+
+
 class Table:
     """A versioned copy-on-write parquet table rooted at ``root``.
 
@@ -386,28 +401,24 @@ class Table:
         widened = StructType(list(cur.fields) + new_fields)
         v, vd = self._next_version_dir(meta)
         # byte-for-byte: the evolution itself costs one directory copy,
-        # never a data rewrite. Local roots take the fast filesystem
-        # path; any other root copies object-by-object through the
-        # ByteStore seam (the same local/http/fsspec ladder every other
-        # verb rides), so evolution works wherever the Table does.
-        src_dir = os.path.join(self.root, meta["version_dir"])
+        # never a data rewrite. Local roots — plain paths AND file://
+        # URIs — take the streaming filesystem path (the ByteStore
+        # walk reads each object fully into driver memory, fine for
+        # metadata, wrong for multi-GB parquet); any other root copies
+        # object-by-object through the ByteStore seam, so evolution
+        # works wherever the Table does.
+        local_root = (
+            self.root[len("file://"):]
+            if self.root.startswith("file://")
+            else self.root
+        )
+        src_dir = os.path.join(local_root, meta["version_dir"])
         if os.path.isdir(src_dir):
-            shutil.copytree(src_dir, os.path.join(self.root, vd))
+            shutil.copytree(src_dir, os.path.join(local_root, vd))
         else:
-            store = self._store()
-
-            def _copy_tree(src_p: str, dst_p: str) -> None:
-                for name in store.list_prefix(src_p):
-                    child = f"{src_p}/{name.rstrip('/')}"
-                    data = store.get(child)
-                    if data is None:  # sub-directory
-                        _copy_tree(child, f"{dst_p}/{name.rstrip('/')}")
-                    else:
-                        store.put(
-                            f"{dst_p}/{name.rstrip('/')}", data
-                        )
-
-            _copy_tree(meta["version_dir"], vd)
+            _bytestore_copy_tree(
+                self._store(), meta["version_dir"], vd
+            )
         self._put_sidecar(vd, widened)  # overwrites any copied sidecar
         self._commit(v, vd, meta["batch_id"])
         return {

@@ -406,3 +406,21 @@ def test_add_columns_on_uri_root(spark, tmp_path):
     assert r["n"] == 99 and r["score"] == 0.5
     stats = t.delete("doc_id = 5")
     assert stats["rows_deleted"] == 1 and t.current().count() == 9
+
+
+def test_bytestore_copy_tree_recursive(tmp_path):
+    """The remote-store version-dir copy helper: nested directories
+    and files replicate byte-for-byte through get/put."""
+    import os
+
+    from cae_polars_tools_spark.sources.zarr_format import ByteStore
+    from cae_polars_tools_spark.table import _bytestore_copy_tree
+
+    root = tmp_path / "store"
+    (root / "v0" / "sub").mkdir(parents=True)
+    (root / "v0" / "a.parquet").write_bytes(b"AAA")
+    (root / "v0" / "sub" / "b.bin").write_bytes(b"\x00\x01\x02")
+    store = ByteStore.for_path(str(root))
+    _bytestore_copy_tree(store, "v0", "v1")
+    assert (root / "v1" / "a.parquet").read_bytes() == b"AAA"
+    assert (root / "v1" / "sub" / "b.bin").read_bytes() == b"\x00\x01\x02"
