@@ -599,6 +599,20 @@ def cow_upsert_sink(
             )
         if decl is not None:
             table._put_sidecar(version_dir, decl)
+        # audit record into the immutable version dir BEFORE the
+        # flip (Table.describe_history reads these)
+        import time as _time
+
+        store.put(
+            f"{version_dir}/_COMMIT.json",
+            json.dumps(
+                {
+                    "op": "streaming-upsert",
+                    "ts": _time.time(),
+                    "stats": {"batch_id": batch_id},
+                }
+            ).encode(),
+        )
         payload = json.dumps(
             {
                 "version": version,

@@ -43,6 +43,10 @@ _CURRENT = "_CURRENT.json"
 #: parquet reader ignores it), recording the DECLARED schema as Spark
 #: schema-JSON. Versions without one read with their physical schema.
 _SCHEMA_SIDECAR = "_SCHEMA.json"
+#: per-version commit record written by every mutating verb BEFORE the
+#: pointer flip: {op, ts, stats} — the DESCRIBE HISTORY audit trail.
+#: Underscore-prefixed like the schema sidecar, invisible to readers.
+_COMMIT_SIDECAR = "_COMMIT.json"
 
 
 def _bytestore_copy_tree(store, src: str, dst: str) -> None:
@@ -130,8 +134,56 @@ class Table:
             store.delete_prefix(vd)
         return v, vd
 
-    def _commit(self, v: int, vd: str, batch_id: int) -> None:
+    def _commit(
+        self,
+        v: int,
+        vd: str,
+        batch_id: int,
+        op: str | None = None,
+        stats: dict | None = None,
+    ) -> None:
+        if op is not None:
+            self._put_commit(vd, op, stats)
         self._flip({"version": v, "version_dir": vd, "batch_id": batch_id})
+
+    def _put_commit(
+        self, version_dir: str, op: str, stats: dict | None
+    ) -> None:
+        """The version's audit record — written INTO the immutable
+        version directory before the flip, so history travels with
+        the data (vacuum drops a version's record with its bytes)."""
+        import time
+
+        self._store().put(
+            f"{version_dir}/{_COMMIT_SIDECAR}",
+            json.dumps(
+                {
+                    "op": op,
+                    "ts": time.time(),
+                    "stats": stats or {},
+                }
+            ).encode(),
+        )
+
+    def describe_history(self) -> list[dict]:
+        """One record per RETAINED version, oldest first: ``{version,
+        op, ts, stats}`` — the audit-trail read (Delta's DESCRIBE
+        HISTORY shape). Versions written before this facade recorded
+        commits (or by foreign writers) report ``op: "unknown"``.
+        History is exactly as durable as the versions themselves:
+        :meth:`vacuum` drops a version's record with its bytes, which
+        is the honest retention story (an audit log outliving its
+        data belongs in an external system)."""
+        out = []
+        for v in self.history():
+            raw = self._store().get(f"v{v}/{_COMMIT_SIDECAR}")
+            rec = (
+                json.loads(raw)
+                if raw is not None
+                else {"op": "unknown", "ts": None, "stats": {}}
+            )
+            out.append({"version": v, **rec})
+        return out
 
     # -- declared schema (widen-only evolution) ----------------------
 
@@ -269,6 +321,7 @@ class Table:
         if store.list_prefix("v0"):
             store.delete_prefix("v0")
         df.write.mode("errorifexists").parquet(f"{t.root}/v0")
+        t._put_commit("v0", "create", None)
         t._flip({"version": 0, "version_dir": "v0", "batch_id": -1})
         return t
 
@@ -292,7 +345,7 @@ class Table:
             read_schema=schema,
         )
         self._propagate_schema(meta["version_dir"], vd)
-        self._commit(v, vd, meta["batch_id"])
+        self._commit(v, vd, meta["batch_id"], op="merge", stats=stats)
         stats["version"] = v
         return stats
 
@@ -311,7 +364,7 @@ class Table:
             read_schema=self._declared_schema(meta["version_dir"]),
         )
         self._propagate_schema(meta["version_dir"], vd)
-        self._commit(v, vd, meta["batch_id"])
+        self._commit(v, vd, meta["batch_id"], op="delete", stats=stats)
         stats["version"] = v
         return stats
 
@@ -332,7 +385,10 @@ class Table:
             **kwargs,
         )
         self._propagate_schema(meta["version_dir"], vd)
-        self._commit(v, vd, meta["batch_id"])
+        self._commit(
+            v, vd, meta["batch_id"], op="compact",
+            stats={"files": n_files},
+        )
         return {"files": n_files, "version": v}
 
     def zorder(self, cols: list[str], **kwargs) -> dict:
@@ -352,7 +408,10 @@ class Table:
             **kwargs,
         )
         self._propagate_schema(meta["version_dir"], vd)
-        self._commit(v, vd, meta["batch_id"])
+        self._commit(
+            v, vd, meta["batch_id"], op="zorder",
+            stats={"files": n_files, "cols": cols},
+        )
         return {"files": n_files, "version": v}
 
     def add_columns(self, cols: dict) -> dict:
@@ -420,7 +479,15 @@ class Table:
                 self._store(), meta["version_dir"], vd
             )
         self._put_sidecar(vd, widened)  # overwrites any copied sidecar
-        self._commit(v, vd, meta["batch_id"])
+        self._commit(
+            v, vd, meta["batch_id"], op="add_columns",
+            stats={
+                "added": {
+                    f.name: f.dataType.simpleString()
+                    for f in new_fields
+                }
+            },
+        )
         return {
             "version": v,
             "added": {
@@ -442,7 +509,10 @@ class Table:
         v, vd = self._next_version_dir(meta)
         src.write.mode("errorifexists").parquet(f"{self.root}/{vd}")
         self._propagate_schema(f"v{version}", vd)
-        self._commit(v, vd, meta["batch_id"])
+        self._commit(
+            v, vd, meta["batch_id"], op="restore",
+            stats={"restored_from": version},
+        )
         return {"version": v, "restored_from": version}
 
     # -- retention / streaming -------------------------------------

@@ -424,3 +424,59 @@ def test_bytestore_copy_tree_recursive(tmp_path):
     _bytestore_copy_tree(store, "v0", "v1")
     assert (root / "v1" / "a.parquet").read_bytes() == b"AAA"
     assert (root / "v1" / "sub" / "b.bin").read_bytes() == b"\x00\x01\x02"
+
+
+def test_describe_history_audit_trail(spark, tmp_path):
+    """Every mutating verb leaves a commit record in its version dir;
+    describe_history replays the retained chain oldest-first, vacuum
+    drops records with their versions, and sink-written / foreign
+    versions report 'unknown' rather than lying."""
+    t = _seed(spark, tmp_path)
+    t.add_columns({"score": "double"})
+    t.merge(
+        spark.createDataFrame(
+            [(0, "src0", 1, 0.5)],
+            "doc_id long, source string, n long, score double",
+        ),
+        keys=["doc_id"],
+    )
+    t.delete("doc_id = 3")
+    t.compact()
+    t.restore(0)
+
+    hist = t.describe_history()
+    assert [h["version"] for h in hist] == [0, 1, 2, 3, 4, 5]
+    assert [h["op"] for h in hist] == [
+        "create", "add_columns", "merge", "delete", "compact", "restore",
+    ]
+    assert hist[1]["stats"]["added"] == {"score": "double"}
+    assert hist[2]["stats"]["rows_updated"] == 1
+    assert hist[3]["stats"]["rows_deleted"] == 1
+    assert hist[5]["stats"]["restored_from"] == 0
+    assert all(
+        h["ts"] is not None and h["ts"] > 0 for h in hist
+    )
+    # monotone timestamps across the chain
+    ts = [h["ts"] for h in hist]
+    assert ts == sorted(ts)
+
+    # vacuum drops history with the bytes
+    t.vacuum(keep_last=2)
+    hist = t.describe_history()
+    assert [h["version"] for h in hist] == [4, 5]
+
+    # streaming-sink-written versions carry their own audit record;
+    # a FOREIGN version directory (no sidecar) reports unknown
+    sink = t.upsert_sink(keys=["doc_id"], order_col="n")
+    sink(
+        spark.createDataFrame(
+            [(7, "srcX", 1)], "doc_id long, source string, n long"
+        ),
+        99,
+    )
+    hist = t.describe_history()
+    assert hist[-1]["version"] == 6
+    assert hist[-1]["op"] == "streaming-upsert"
+    assert hist[-1]["stats"]["batch_id"] == 99
+    os.remove(str(tmp_path / "t" / "v6" / "_COMMIT.json"))
+    assert t.describe_history()[-1]["op"] == "unknown"
