@@ -254,6 +254,11 @@ def evolution_and_cascade(spark, sf_dir: str, work: str) -> None:
     )
     assert hits == 0, "purged doc must not answer probes"
     print("post-cascade probe of the purged doc: 0 hits")
+    trail = [(h["version"], h["op"]) for h in t.describe_history()]
+    print("audit trail:", trail)
+    assert [op for _, op in trail] == [
+        "create", "add_columns", "merge", "merge", "delete",
+    ]
 
 
 def main() -> None:
