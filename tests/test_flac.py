@@ -665,3 +665,21 @@ def test_encode_ogg_flac_id_packet_alone_on_first_page():
     # continuation (255) and the last terminates it
     assert laces[-1] < 255 and all(l == 255 for l in laces[:-1])
     assert body[:5] == bytes([0x7F]) + b"FLAC"
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.integers(-32768, 32767), min_size=0, max_size=6000),
+    st.sampled_from([8000, 16000, 44100]),
+)
+def test_ogg_flac_roundtrip_fuzz(vals, rate):
+    """Property: decode(mux(encode(x))) == x for arbitrary PCM —
+    the Ogg layer must be transparent for every frame/page shape the
+    encoder can produce."""
+    from cae_polars_tools_spark.operators.flac import encode_ogg_flac
+
+    x = np.asarray(vals, dtype=np.int64)
+    got_rate, out = decode_flac(encode_ogg_flac(x, rate))
+    assert got_rate == rate
+    assert out.shape == (len(x), 1)
+    assert (out[:, 0].astype(np.int64) == x).all()

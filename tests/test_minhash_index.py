@@ -510,3 +510,28 @@ def test_minhash_index_random_verb_sequences_match_rebuild(spark, tmp_path):
         else:
             vacuum_minhash_index(root)
         check(op)
+
+
+def test_stream_indexed_all_duplicate_batch_is_noop(spark, tmp_path):
+    """A micro-batch whose every doc duplicates the index must write
+    nothing anywhere: no survivors-table rows, no index growth — the
+    zero-survivors early return after the dedup, not a crash."""
+    from cae_polars_tools_spark.operators.minhash_index import (
+        dedup_stream_indexed,
+    )
+
+    hist = _docs(spark).filter(~F.expr(_PRED))
+    root = str(tmp_path / "idx")
+    surv = str(tmp_path / "surv")
+    build_minhash_index(hist, root)
+    n0 = spark.read.parquet(f"{root}/sigs_v0").count()
+    # batch = exact copies of indexed docs under new ids
+    dup_batch = hist.limit(5).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "source"
+    )
+    sink = dedup_stream_indexed(root, surv)
+    sink(dup_batch, 0)
+    import os
+
+    assert not os.path.exists(surv)
+    assert spark.read.parquet(f"{root}/sigs_v0").count() == n0

@@ -748,3 +748,38 @@ def test_cdf2_product_writer_roundtrip(spark):
     got = {(r["time"], r["lat"]) : r["value"] for r in df.collect()}
     assert len(got) == 8
     assert got[(0.0, 0)] == 0.0 and got[(3.0, 1)] == 7.0
+
+
+def test_cdf5_hostile_bytes_refuse_loudly():
+    """Truncated 64-bit header fields and alien type ids in a CDF-5
+    header must surface as the parser's documented errors, never
+    silent misparses."""
+    t = np.arange(3, dtype=np.float64)
+    p = os.path.join(TMP, "nc_cdf5_hostile.nc")
+    _write_nc(p, {"x": 3}, {"x": (("x",), t)}, version=5)
+    good = open(p, "rb").read()
+
+    # truncated mid-64-bit-numrecs
+    with pytest.raises(ValueError):
+        q = p + ".t1"
+        open(q, "wb").write(good[:8])
+        parse_netcdf3(q)
+    # bogus external type id
+    bad = bytearray(good)
+    # find the nc_type field: it follows the var name; cheat by
+    # patching every 4-byte big-endian 6 (NC_DOUBLE) to 99
+    import struct as _s
+
+    for i in range(0, len(bad) - 4):
+        if bad[i:i+4] == _s.pack(">I", 6):
+            bad[i:i+4] = _s.pack(">I", 99)
+            break
+    q = p + ".t2"
+    open(q, "wb").write(bytes(bad))
+    with pytest.raises(ValueError, match="bad netCDF type"):
+        parse_netcdf3(q)
+    # a CDF-6 magic is not a classic payload
+    q = p + ".t3"
+    open(q, "wb").write(b"CDF\x06" + good[4:])
+    with pytest.raises(ValueError, match="not a netCDF classic"):
+        parse_netcdf3(q)
