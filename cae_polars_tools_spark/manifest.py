@@ -1,0 +1,361 @@
+"""Manifest-based dataset versions — metadata-only commits.
+
+The round-12 copy-on-write machinery made every version a
+SELF-CONTAINED directory: files the verb did not touch were copied
+byte-for-byte into the fresh version (``storage._copy_untouched``),
+so a one-key merge or an ADD COLUMN paid O(table) I/O through a
+driver-side loop — correct at bench scale, a scale-killer at 100 TB.
+
+This module is the Delta/Iceberg-class answer: a version is a
+**manifest of file references** plus whatever new files the verb
+actually wrote. Untouched files are *shared* across versions (they
+stay in the version directory that first wrote them), the pointer
+flip stays atomic, and vacuum becomes reference-counted — a file is
+deleted only when no retained version references it.
+
+Layout invariants:
+
+* every data file lives in the version directory that CREATED it and
+  never moves;
+* ``vN/_MANIFEST.json`` lists the version's files as POSIX paths
+  relative to the table root (``"v0/part-....parquet"``), plus the
+  schema the version commits to (Spark schema JSON) — so an empty
+  version and a schema-evolved version both read correctly;
+* a directory WITHOUT a manifest is a legacy self-contained version
+  (read the whole directory) — old tables keep working;
+* vacuum demotes a version whose files are still shared into a
+  **husk**: sidecars deleted, a ``_TOMBSTONE.json`` written (the
+  version is no longer readable), shared data files kept until the
+  last referencing version is itself vacuumed.
+
+Hive-partitioned layouts are supported: a reference like
+``bands_v0/shard=3/part-....parquet`` re-derives its partition
+columns at read time by grouping references by their birth directory
+and scanning each group under its own ``basePath`` (Spark refuses a
+single ``basePath`` across version directories —
+CONFLICTING_DIRECTORY_STRUCTURES — so the read is a union of
+per-birth-dir scans; filters and partition pruning push into every
+branch).
+
+Nothing here is a port of the reference (``/root/reference`` has no
+writers at all — its storage layer only reads zarr stores); the
+design follows the public Delta/Iceberg snapshot-manifest model.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import posixpath
+import re
+from urllib.parse import unquote, urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST = "_MANIFEST.json"
+TOMBSTONE = "_TOMBSTONE.json"
+
+_HIVE_SEG = re.compile(r"^[^=/]+=[^=/]*$")
+
+__all__ = [
+    "MANIFEST",
+    "TOMBSTONE",
+    "split_ref",
+    "group_refs",
+    "read_refs",
+    "data_file_refs",
+    "write_manifest",
+    "load_manifest",
+    "refs_of",
+    "ref_sizes",
+    "uri_to_ref",
+    "is_tombstoned",
+    "vacuum_refcount",
+]
+
+
+def split_ref(ref: str) -> tuple[str, list[str]]:
+    """``(birth_dir, partition_cols)`` of one root-relative file ref.
+
+    Partition directories are the contiguous run of ``key=value``
+    segments immediately above the file name (hive layout); everything
+    before that run is the birth directory — the directory the verb
+    that created the file wrote into, which is the ``basePath`` its
+    partition values resolve against."""
+    segs = ref.split("/")
+    if len(segs) < 1 or not segs[-1]:
+        raise ValueError(f"not a file reference: {ref!r}")
+    j = len(segs) - 1
+    while j - 1 >= 0 and _HIVE_SEG.match(segs[j - 1]):
+        j -= 1
+    return "/".join(segs[:j]), [s.split("=", 1)[0] for s in segs[j:-1]]
+
+
+def group_refs(refs: list[str]) -> tuple[dict[str, list[str]], list[str]]:
+    """Group refs by birth directory; validate one consistent
+    partition-column sequence across the whole set (a mixed layout
+    would mis-assign partition values on rewrite — refused, the
+    ``storage._dataset_layout`` rule)."""
+    groups: dict[str, list[str]] = {}
+    pcols: list[str] | None = None
+    for r in refs:
+        base, cols = split_ref(r)
+        if pcols is None:
+            pcols = cols
+        elif cols != pcols:
+            raise ValueError(
+                f"mixed partition layouts in manifest ({pcols} vs "
+                f"{cols} at {r!r}); repair the layout first"
+            )
+        groups.setdefault(base, []).append(r)
+    return groups, pcols or []
+
+
+def read_refs(
+    spark: SparkSession,
+    root: str,
+    refs: list[str],
+    read_schema=None,
+) -> DataFrame:
+    """One DataFrame over a manifest's file references.
+
+    Refs sharing a birth directory scan together (one relation, its
+    own ``basePath`` so hive partition columns re-materialize); birth
+    directories union by name. The union is a narrow plan node —
+    filters, column pruning, and partition pruning push into every
+    branch, and the branch count equals the number of verbs since the
+    last compaction (compaction resets it to 1)."""
+    if not refs:
+        raise ValueError("read_refs needs at least one file reference")
+    root = root.rstrip("/")
+    groups, pcols = group_refs(refs)
+    frames = []
+    for base in sorted(groups):
+        reader = (
+            spark.read if read_schema is None else spark.read.schema(read_schema)
+        )
+        if pcols:
+            reader = reader.option(
+                "basePath", f"{root}/{base}" if base else root
+            )
+        frames.append(
+            reader.parquet(*[f"{root}/{r}" for r in groups[base]])
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def data_file_refs(store, prefix: str = "") -> list[str]:
+    """Recursively list the parquet data files under ``prefix`` as
+    root-relative refs — the post-write inventory of a fresh version
+    directory (sidecars, ``_SUCCESS`` markers, and ``.crc`` shadows
+    are not data)."""
+    out: list[str] = []
+    for name in store.list_prefix(prefix):
+        n = name.rstrip("/")
+        if n.startswith(("_", ".")):
+            continue
+        child = f"{prefix}/{n}" if prefix else n
+        if n.endswith(".parquet"):
+            out.append(child)
+        elif store.list_prefix(child):
+            out.extend(data_file_refs(store, child))
+    return sorted(out)
+
+
+def write_manifest(
+    store,
+    version_dir: str,
+    refs: list[str],
+    schema_json: dict | None = None,
+    extra: dict | None = None,
+) -> None:
+    """Commit a version's file-reference manifest (atomic PUT through
+    the ByteStore seam — readers see the previous manifest or this
+    one, never a torn write)."""
+    doc = {"format": 1, "files": sorted(refs), "schema": schema_json}
+    if extra:
+        doc.update(extra)
+    store.put(f"{version_dir}/{MANIFEST}", json.dumps(doc).encode())
+
+
+def load_manifest(store, version_dir: str) -> dict | None:
+    raw = store.get(f"{version_dir}/{MANIFEST}")
+    return None if raw is None else json.loads(raw)
+
+
+def refs_of(store, version_dir: str) -> list[str]:
+    """A version's file references: its manifest when it has one,
+    else (legacy self-contained directory) every data file under it."""
+    m = load_manifest(store, version_dir)
+    if m is not None:
+        return list(m["files"])
+    return data_file_refs(store, version_dir)
+
+
+def ref_sizes(store, refs: list[str]) -> list[int]:
+    """Byte sizes of referenced files — a metadata call per file
+    (local stat / HEAD / HeadObject), never a data read."""
+    out = []
+    for r in refs:
+        s = store.size(r)
+        if s is None:
+            raise FileNotFoundError(
+                f"manifest references missing file {r!r} under "
+                f"{store.root!r}"
+            )
+        out.append(s)
+    return out
+
+
+def uri_to_ref(uri: str, root: str) -> str:
+    """Normalize an ``input_file_name()`` URI to a root-relative ref.
+
+    The classification that decides which files a CoW verb rewrites
+    compares THESE normalized refs, never raw URI strings —
+    ``input_file_name`` and manifest refs have historically differed
+    in scheme and percent-encoding, and a silent mismatch would both
+    reference AND rewrite a file, duplicating its rows."""
+    u = urlparse(uri)
+    path = unquote(u.path) if u.scheme else uri
+    root_norm = root
+    if root_norm.startswith("file://"):
+        root_norm = root_norm[len("file://"):]
+    rel = os.path.relpath(os.path.abspath(path), os.path.abspath(root_norm))
+    ref = rel.replace(os.sep, "/")
+    if ref.startswith("../"):
+        raise ValueError(f"file {uri!r} is outside the dataset root {root!r}")
+    return posixpath.normpath(ref)
+
+
+def read_artifact(spark: SparkSession, root: str, dirname: str) -> DataFrame:
+    """Manifest-resolved read of one versioned artifact table (a
+    Table version, an index's bands/sigs/codes dir): resolve the
+    directory's manifest when it has one, else read the whole
+    directory (legacy self-contained layout). An empty manifest reads
+    as an empty frame under the manifest's recorded schema."""
+    from pyspark.sql.types import StructType
+
+    from cae_polars_tools_spark.sources.zarr_format import ByteStore
+
+    root = root.rstrip("/")
+    store = ByteStore.for_path(root)
+    m = load_manifest(store, dirname)
+    if m is None:
+        return spark.read.parquet(f"{root}/{dirname}")
+    if not m["files"]:
+        if not m.get("schema"):
+            raise ValueError(
+                f"artifact {dirname} is empty and records no schema"
+            )
+        return spark.createDataFrame([], StructType.fromJson(m["schema"]))
+    return read_refs(spark, root, m["files"])
+
+
+def adopt_dir_files(store, dirname: str) -> int:
+    """Fold the data files physically present in a live artifact
+    directory into its manifest (atomic PUT) — the append-commit: an
+    index append writes its segment files first, then adopts them
+    here; a crash in between leaves unmanifested orphans that readers
+    never see and a later vacuum reclaims. Creates the manifest if
+    absent (a legacy index upgrades on its first append). Returns the
+    manifest's new file count."""
+    m = load_manifest(store, dirname)
+    phys = data_file_refs(store, dirname)
+    refs = sorted(set(m["files"] if m else []) | set(phys))
+    write_manifest(
+        store, dirname, refs, m.get("schema") if m else None
+    )
+    return len(refs)
+
+
+HISTORY_CAP = 256
+
+
+def meta_with_history(meta: dict, op: str, stats: dict | None) -> dict:
+    """A new index meta dict with ``generation`` advanced and an
+    ``{op, ts, generation, stats}`` record appended to ``history`` —
+    written with the SAME atomic pointer PUT that publishes the
+    mutation, so the audit trail can never disagree with the pointer.
+    History caps at :data:`HISTORY_CAP` records (oldest dropped,
+    ``history_truncated`` set): the pointer object must stay a small
+    metadata read even under a per-micro-batch append cadence."""
+    import time
+
+    gen = meta.get("generation", 0) + 1
+    rec = {
+        "op": op,
+        "ts": time.time(),
+        "generation": gen,
+        "stats": stats or {},
+    }
+    hist = list(meta.get("history", [])) + [rec]
+    out = {**meta, "generation": gen, "history": hist}
+    if len(hist) > HISTORY_CAP:
+        out["history"] = hist[-HISTORY_CAP:]
+        out["history_truncated"] = True
+    return out
+
+
+def is_tombstoned(store, version_dir: str) -> bool:
+    return store.get(f"{version_dir}/{TOMBSTONE}") is not None
+
+
+def vacuum_refcount(
+    store,
+    referenced: set[str],
+    candidate_dirs: list[str],
+    sidecars: tuple[str, ...] = (
+        MANIFEST,
+        "_COMMIT.json",
+        "_SCHEMA.json",
+        "_SUCCESS",
+    ),
+) -> dict:
+    """Reference-counted retention over shared-file versions.
+
+    For each candidate directory (no longer retained): delete every
+    data file no retained manifest references. If nothing survives,
+    the directory goes entirely; if shared files remain, the version
+    is demoted to a **husk** — sidecars deleted, ``_TOMBSTONE.json``
+    written (the version is unreadable and out of history), the
+    shared files parked until their last referencing version is
+    itself vacuumed (a later vacuum re-candidates husks and finishes
+    the job). Returns ``{"removed": [dirs], "demoted": [dirs],
+    "files_deleted": n}``."""
+    removed: list[str] = []
+    demoted: list[str] = []
+    files_deleted = 0
+    for vd in candidate_dirs:
+        already_husk = is_tombstoned(store, vd)
+        here = data_file_refs(store, vd)
+        kept = [r for r in here if r in referenced]
+        if not kept:
+            store.delete_prefix(vd)
+            removed.append(vd)
+            files_deleted += len(here)
+            continue
+        for r in here:
+            if r not in referenced:
+                store.delete_prefix(r)
+                files_deleted += 1
+        if already_husk:
+            # re-candidated husk: reclaim newly-unreferenced files
+            # above, but it was demoted long ago — idempotent runs
+            # must not re-report it
+            continue
+        for side in sidecars:
+            if store.get(f"{vd}/{side}") is not None:
+                store.delete_prefix(f"{vd}/{side}")
+        store.put(
+            f"{vd}/{TOMBSTONE}",
+            json.dumps({"kept_files": len(kept)}).encode(),
+        )
+        demoted.append(vd)
+    return {
+        "removed": removed,
+        "demoted": demoted,
+        "files_deleted": files_deleted,
+    }

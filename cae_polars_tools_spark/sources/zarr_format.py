@@ -117,6 +117,25 @@ class ByteStore:
         """Immediate child names under prefix (directories and files)."""
         raise NotImplementedError
 
+    def size(self, key: str) -> int | None:
+        """Object size in bytes, or None if absent. Default reads the
+        whole object — subclasses override with a metadata call
+        (stat / HEAD / S3 HeadObject) so manifest sizing never pulls
+        data bytes."""
+        data = self.get(key)
+        return None if data is None else len(data)
+
+    def copy(self, src: str, dst: str) -> None:
+        """Copy one object inside this store. Default streams through
+        the caller (get then put) — correct everywhere; subclasses
+        override with a server-side copy (S3 CopyObject, local
+        hardlink) so a copy-on-write rewrite never moves data through
+        the driver."""
+        data = self.get(src)
+        if data is None:
+            raise FileNotFoundError(f"{src!r} not found in {self.root!r}")
+        self.put(dst, data)
+
 
 class LocalByteStore(ByteStore):
     def get(self, key: str) -> bytes | None:
@@ -178,6 +197,27 @@ class LocalByteStore(ByteStore):
         if not os.path.isdir(p):
             return []
         return sorted(os.listdir(p))
+
+    def size(self, key: str) -> int | None:
+        p = os.path.join(self.root, key)
+        return os.path.getsize(p) if os.path.isfile(p) else None
+
+    def copy(self, src: str, dst: str) -> None:
+        # hardlink when the filesystem allows it: CoW version files
+        # are immutable after their pointer flip, so sharing inodes is
+        # safe and makes the copy zero-byte; cross-device or
+        # link-hostile filesystems fall back to a byte copy
+        import shutil
+
+        sp = os.path.join(self.root, src)
+        dp = os.path.join(self.root, dst)
+        if not os.path.isfile(sp):
+            raise FileNotFoundError(f"{src!r} not found in {self.root!r}")
+        os.makedirs(os.path.dirname(dp), exist_ok=True)
+        try:
+            os.link(sp, dp)
+        except OSError:
+            shutil.copyfile(sp, dp)
 
 
 class HttpByteStore(ByteStore):
@@ -335,6 +375,18 @@ class FsspecByteStore(ByteStore):
             )
         except FileNotFoundError:
             return []
+
+    def size(self, key: str) -> int | None:  # pragma: no cover - optional dep
+        try:
+            return self._fs.size(f"{self._root}/{key}")
+        except FileNotFoundError:
+            return None
+
+    def copy(self, src: str, dst: str) -> None:  # pragma: no cover - optional dep
+        # fsspec routes this to the filesystem's native copy — for
+        # s3fs that is S3 CopyObject, a true server-side copy: the
+        # bytes never transit the driver
+        self._fs.copy(f"{self._root}/{src}", f"{self._root}/{dst}")
 
 
 # --------------------------------------------------------------------------

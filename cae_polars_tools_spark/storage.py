@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import math
 import os
-import re
 from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
@@ -135,9 +134,13 @@ def compact_parquet(
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_cols: list[str] | None = None,
     read_schema=None,
+    source_refs: list[str] | None = None,
 ) -> int:
     """Rewrite the parquet dataset at ``src`` into ``dst`` with files
     sized toward ``target_file_bytes``; returns the file count written.
+    With ``source_refs`` (manifest mode), ``src`` is the table ROOT
+    and the dataset is the referenced file set, possibly spanning
+    several version directories (``Table.compact``).
 
     File count = ceil(total_bytes / target) from the source listing —
     parquet-to-parquet rewrites keep encoded size roughly stable, so
@@ -173,11 +176,10 @@ def compact_parquet(
     # ONE relation for sizing and rewrite: on the many-small-files
     # datasets this function exists for, directory listing + footer
     # schema inference dominates planning — don't pay it twice
-    df = _reader(spark, read_schema).parquet(src)
-    all_files, pcols = _dataset_layout(
-        src, df.inputFiles(), "compact_parquet"
+    root, refs, pcols, df = _cow_source(
+        spark, src, read_schema, source_refs, "compact_parquet"
     )
-    total = sum(os.path.getsize(f) for f in all_files)
+    total = sum(os.path.getsize(p) for p in _ref_paths(root, refs))
     n = max(1, math.ceil(total / target_file_bytes))
     if pcols:
         if sort_cols:
@@ -223,6 +225,7 @@ def zorder_parquet(
     target_file_bytes: int = 128 * 1024 * 1024,
     rel_err: float = 0.01,
     read_schema=None,
+    source_refs: list[str] | None = None,
 ) -> int:
     """Rewrite the parquet dataset at ``src`` into ``dst`` clustered on
     a Z-order (Morton) curve over ``zorder_cols``; returns the file
@@ -280,7 +283,14 @@ def zorder_parquet(
         raise ValueError("target_file_bytes must be positive")
     from pyspark.sql import functions as F
 
-    df = _reader(spark, read_schema).parquet(src)
+    if source_refs is None:
+        df = _reader(spark, read_schema).parquet(src)
+        total = sum(_relation_file_sizes(df))
+    else:
+        root, refs, _pcols, df = _cow_source(
+            spark, src, read_schema, source_refs, "zorder_parquet"
+        )
+        total = sum(os.path.getsize(p) for p in _ref_paths(root, refs))
     numeric = {
         f.name
         for f in df.schema.fields
@@ -311,7 +321,6 @@ def zorder_parquet(
                     b * (len(zorder_cols) - 1) + i,
                 )
             )
-    total = sum(_relation_file_sizes(df))
     n = max(1, math.ceil(total / target_file_bytes))
     (
         df.withColumn("__z", z)
@@ -350,87 +359,92 @@ def _norm_dataset_path(p: str, op: str) -> str:
     return _local_path(p, op) if "://" in p or p.startswith("file:") else p
 
 
-def _fresh_cow_dst(target: str, dst: str) -> None:
-    """Validate + reset a copy-on-write destination: it must not be,
-    contain, or live inside the source dataset (rmtree there would
-    destroy the data being merged), and overwrite semantics clear any
-    stale previous output."""
+def _copy_refs(root: str, refs: list[str], dst: str) -> None:
+    """Hardlink (fallback: byte copy) of root-relative file refs into
+    ``dst``, keeping each file's ``key=value`` partition subpath (the
+    partition-column values live in those directory names, not in the
+    files, so flattening would silently drop them). CoW version files
+    are immutable after their pointer flip, so sharing inodes is safe
+    — on one filesystem the "copy" costs zero data bytes; cross-device
+    falls back to a real copy. The scale path avoids even this:
+    ``copy_untouched=False`` + a manifest references the untouched
+    files instead (``cae_polars_tools_spark.manifest``)."""
     import shutil
 
-    t_abs, d_abs = os.path.abspath(target), os.path.abspath(dst)
-    if (
-        t_abs == d_abs
-        or t_abs.startswith(d_abs + os.sep)
-        or d_abs.startswith(t_abs + os.sep)
-    ):
-        raise ValueError(
-            f"copy-on-write destination {dst!r} overlaps the source "
-            f"{target!r}; write to a fresh path and swap afterwards"
+    from cae_polars_tools_spark.manifest import split_ref
+
+    for i, ref in enumerate(refs):
+        base, _cols = split_ref(ref)
+        sub = ref[len(base):].lstrip("/") if base else ref
+        rel_dir = os.path.dirname(sub)
+        out_dir = os.path.join(dst, rel_dir) if rel_dir else dst
+        os.makedirs(out_dir, exist_ok=True)
+        src_p = os.path.join(root, *ref.split("/"))
+        out_p = os.path.join(
+            out_dir, f"copied-{i:05d}-{os.path.basename(src_p)}"
         )
+        try:
+            os.link(src_p, out_p)
+        except OSError:
+            shutil.copyfile(src_p, out_p)
+
+
+def _cow_source(
+    spark, target, read_schema, source_refs, op
+) -> tuple[str, list[str], list[str], DataFrame]:
+    """The dataset a CoW verb operates on, as ``(root, refs, pcols,
+    df)`` with refs root-relative (``manifest.py`` conventions).
+
+    Directory mode (``source_refs is None``): ``target`` is a plain
+    parquet dataset directory — list it once, derive refs + hive
+    layout, exactly the round-12 behavior. Manifest mode: ``target``
+    is the table ROOT and ``source_refs`` the current version's file
+    references (possibly spanning several version directories); the
+    relation is the per-birth-dir union of :func:`manifest.read_refs`
+    and untouched files are never copied, only re-referenced."""
+    from cae_polars_tools_spark.manifest import (
+        group_refs,
+        read_refs,
+        uri_to_ref,
+    )
+
+    root = _norm_dataset_path(target, op)
+    if source_refs is None:
+        raw = _reader(spark, read_schema).parquet(root).inputFiles()
+        refs = sorted(uri_to_ref(f, root) for f in raw)
+    else:
+        refs = sorted(source_refs)
+    _groups, pcols = group_refs(refs)  # mixed layouts refused here
+    df = read_refs(spark, root, refs, read_schema)
+    return root, refs, pcols, df
+
+
+def _guard_cow_dst(root: str, refs: list[str], dst: str) -> None:
+    """Manifest-mode destination guard: the fresh version directory
+    must not be, contain, or live inside any birth directory of the
+    source refs (clearing it would destroy referenced data)."""
+    import shutil
+
+    d_abs = os.path.abspath(dst)
+    bases = {r.rsplit("/", 1)[0] if "/" in r else "" for r in refs}
+    for b in bases:
+        b_abs = os.path.abspath(os.path.join(root, b) if b else root)
+        if (
+            d_abs == b_abs
+            or b_abs.startswith(d_abs + os.sep)
+            or d_abs.startswith(b_abs + os.sep)
+        ):
+            raise ValueError(
+                f"copy-on-write destination {dst!r} overlaps source "
+                f"directory {b_abs!r}; write to a fresh path"
+            )
     if os.path.isdir(d_abs) and os.listdir(d_abs):
         shutil.rmtree(d_abs)
     os.makedirs(d_abs, exist_ok=True)
 
 
-def _copy_untouched(
-    files: list[str], dst: str, target: str | None = None
-) -> None:
-    """Byte-for-byte copy of already-normalized local file paths into
-    ``dst``. With ``target`` set, each file keeps its relative
-    ``key=value`` subpath under ``dst`` — the partition-column values
-    live in those directory names, not in the files, so flattening
-    would silently drop them."""
-    import shutil
-
-    t_abs = os.path.abspath(target) if target is not None else None
-    for i, src_p in enumerate(files):
-        if t_abs is not None:
-            rel_dir = os.path.dirname(os.path.relpath(src_p, t_abs))
-            out_dir = os.path.join(dst, rel_dir) if rel_dir else dst
-            os.makedirs(out_dir, exist_ok=True)
-        else:
-            out_dir = dst
-        shutil.copyfile(
-            src_p,
-            os.path.join(
-                out_dir, f"copied-{i:05d}-{os.path.basename(src_p)}"
-            ),
-        )
-
-
-_HIVE_DIR = re.compile(r"^[^=/]+=[^=/]*$")
-
-
-def _dataset_layout(
-    target: str, raw_files: list[str], op: str
-) -> tuple[list[str], list[str]]:
-    """Normalize the RAW ``inputFiles()`` URIs exactly once (a second
-    ``unquote`` pass would mangle literal ``%`` in paths) and derive
-    the dataset's hive-partition layout from the ``key=value``
-    directory components between ``target`` and each file. Returns
-    ``(sorted normalized paths, ordered partition column names)``;
-    an unpartitioned dataset yields ``pcols == []``. Files that
-    disagree on the key sequence are refused — a mixed layout would
-    mis-assign partition values on rewrite."""
-    t_abs = os.path.abspath(target)
-    files = sorted(_local_path(f, op) for f in raw_files)
-    pcols: list[str] | None = None
-    for f in files:
-        rel = os.path.relpath(f, t_abs)
-        keys = [
-            part.split("=", 1)[0]
-            for part in rel.split(os.sep)[:-1]
-            if _HIVE_DIR.match(part)
-        ]
-        if pcols is None:
-            pcols = keys
-        elif keys != pcols:
-            raise ValueError(
-                f"{op}: {target!r} mixes partition layouts "
-                f"({pcols} vs {keys} at {rel!r}); rewrite would "
-                "mis-assign partition values — repair the layout first"
-            )
-    return files, pcols or []
+def _ref_paths(root: str, refs: list[str]) -> list[str]:
+    return [os.path.join(root, *r.split("/")) for r in refs]
 
 
 def merge_parquet(
@@ -441,6 +455,8 @@ def merge_parquet(
     dst: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     read_schema=None,
+    source_refs: list[str] | None = None,
+    copy_untouched: bool = True,
 ) -> dict:
     """Copy-on-write MERGE (upsert) into a parquet dataset: rows of
     ``updates`` replace target rows with matching ``keys``; everything
@@ -480,22 +496,33 @@ def merge_parquet(
     replaced by the single update row. ``updates`` is persisted for
     the duration of the call: its lineage feeds the uniqueness check,
     the key broadcast, both counters, and the write.
+
+    **Manifest mode** (``source_refs=`` + ``copy_untouched=False``):
+    ``target`` is the table ROOT and ``source_refs`` the current
+    version's root-relative file references; untouched files are not
+    copied at all — their refs come back in
+    ``stats["untouched_refs"]`` for the caller's new-version manifest
+    (``Table.merge``), making the commit metadata-only outside the
+    genuinely rewritten files. This is the 100 TB path: a one-key
+    merge writes the affected files plus the update rows and copies
+    ZERO untouched bytes.
     """
     from pyspark.sql import functions as F
 
+    from cae_polars_tools_spark.manifest import read_refs, uri_to_ref
+
     if not keys:
         raise ValueError("merge_parquet needs at least one key column")
-    target = _norm_dataset_path(target, "merge_parquet")
     dst = _norm_dataset_path(dst, "merge_parquet")
-    t = _reader(spark, read_schema).parquet(target)
+    root, refs, pcols, t = _cow_source(
+        spark, target, read_schema, source_refs, "merge_parquet"
+    )
     if set(updates.columns) != set(t.columns):
         raise ValueError(
             f"updates columns {sorted(updates.columns)} must equal the "
             f"target's {sorted(t.columns)} (aligned by name)"
         )
-    all_files, pcols = _dataset_layout(
-        target, t.inputFiles(), "merge_parquet"
-    )
+    all_files = _ref_paths(root, refs)
     # name-AND-type alignment: a dtype drift (int updates vs long
     # target) would flow through unionByName into the rewritten files
     # and leave dst with a schema split across byte-copied vs
@@ -533,21 +560,22 @@ def merge_parquet(
 
         # distributed affected-file discovery; min/max row-group
         # pruning applies to the probe on a key-clustered target
-        affected = sorted(
-            _local_path(r["__f"], "merge_parquet")
-            for r in t.withColumn("__f", F.input_file_name())
-            .join(key_set, keys, "left_semi")
-            .select("__f")
-            .distinct()
-            .collect()
+        aff_refs = sorted(
+            {
+                uri_to_ref(r["__f"], root)
+                for r in t.withColumn("__f", F.input_file_name())
+                .join(key_set, keys, "left_semi")
+                .select("__f")
+                .distinct()
+                .collect()
+            }
         )
-        affected_set = set(affected)
-        untouched = [f for f in all_files if f not in affected_set]
+        affected_set = set(aff_refs)
+        untouched_refs = [r for r in refs if r not in affected_set]
 
-        _fresh_cow_dst(target, dst)
-        _copy_untouched(
-            untouched, dst, target=target if pcols else None
-        )
+        _guard_cow_dst(root, refs, dst)
+        if copy_untouched:
+            _copy_refs(root, untouched_refs, dst)
 
         # bytes-per-row from dataset statistics sizes the rewritten
         # files: the update volume counts too (a large insert batch
@@ -558,16 +586,11 @@ def merge_parquet(
         upd_rows = updates.count()
 
         stats = {"rows_updated": 0, "rows_inserted": 0}
-        if affected:
-            # basePath re-derives the partition columns from the
-            # key=value dirs — reading the leaf files bare would
-            # silently drop them from the rewrite
-            rd = _reader(spark, read_schema)
-            aff = (
-                rd.option("basePath", target).parquet(*affected)
-                if pcols
-                else rd.parquet(*affected)
-            )
+        if aff_refs:
+            # per-birth-dir basePath re-derives the partition columns
+            # from the key=value dirs — reading the leaf files bare
+            # would silently drop them from the rewrite
+            aff = read_refs(spark, root, aff_refs, read_schema)
             survivors = aff.join(key_set, keys, "left_anti")
             matched = updates.join(
                 F.broadcast(aff.select(*keys).distinct()),
@@ -577,7 +600,10 @@ def merge_parquet(
             stats["rows_updated"] = matched
             stats["rows_inserted"] = upd_rows - matched
             out = survivors.unionByName(updates)
-            est = sum(os.path.getsize(f) for f in affected) + upd_rows * bpr
+            est = (
+                sum(os.path.getsize(p) for p in _ref_paths(root, aff_refs))
+                + upd_rows * bpr
+            )
         else:
             stats["rows_inserted"] = upd_rows
             out = updates
@@ -595,11 +621,14 @@ def merge_parquet(
     finally:
         updates.unpersist()
 
-    return {
-        "files_rewritten": len(affected),
-        "files_copied": len(untouched),
-        **stats,
-    }
+    stats_out = {"files_rewritten": len(aff_refs), **stats}
+    if copy_untouched:
+        stats_out["files_copied"] = len(untouched_refs)
+    else:
+        stats_out["files_referenced"] = len(untouched_refs)
+        stats_out["untouched_refs"] = untouched_refs
+        stats_out["schema"] = t.schema.jsonValue()
+    return stats_out
 
 
 def delete_parquet(
@@ -609,6 +638,8 @@ def delete_parquet(
     dst: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     read_schema=None,
+    source_refs: list[str] | None = None,
+    copy_untouched: bool = True,
 ) -> dict:
     """Copy-on-write DELETE WHERE: rows where ``predicate`` (a Column
     or SQL string) evaluates to TRUE are removed; FALSE and NULL rows
@@ -639,41 +670,41 @@ def delete_parquet(
     if not isinstance(pred, Column):
         raise ValueError("predicate must be a Column or SQL string")
 
-    target = _norm_dataset_path(target, "delete_parquet")
+    from cae_polars_tools_spark.manifest import read_refs, uri_to_ref
+
     dst = _norm_dataset_path(dst, "delete_parquet")
-    t = _reader(spark, read_schema).parquet(target)
-    all_files, pcols = _dataset_layout(
-        target, t.inputFiles(), "delete_parquet"
+    root, refs, pcols, t = _cow_source(
+        spark, target, read_schema, source_refs, "delete_parquet"
     )
     # rows whose partition value is pruned by the predicate never even
     # list their files here — the discovery scan skips whole key=value
     # directories on a partition-column predicate
-    affected = sorted(
-        _local_path(r["__f"], "delete_parquet")
-        for r in t.filter(pred)
-        .select(F.input_file_name().alias("__f"))
-        .distinct()
-        .collect()
+    aff_refs = sorted(
+        {
+            uri_to_ref(r["__f"], root)
+            for r in t.filter(pred)
+            .select(F.input_file_name().alias("__f"))
+            .distinct()
+            .collect()
+        }
     )
-    affected_set = set(affected)
-    untouched = [f for f in all_files if f not in affected_set]
+    affected_set = set(aff_refs)
+    untouched_refs = [r for r in refs if r not in affected_set]
 
-    _fresh_cow_dst(target, dst)
-    _copy_untouched(untouched, dst, target=target if pcols else None)
+    _guard_cow_dst(root, refs, dst)
+    if copy_untouched:
+        _copy_refs(root, untouched_refs, dst)
 
     rows_deleted = 0
-    if affected:
-        rd = _reader(spark, read_schema)
-        aff = (
-            rd.option("basePath", target).parquet(*affected)
-            if pcols
-            else rd.parquet(*affected)
-        )
+    if aff_refs:
+        aff = read_refs(spark, root, aff_refs, read_schema)
         rows_deleted = aff.filter(pred).count()
         # NULL-predicate rows SURVIVE: plain ~pred maps NULL→NULL and
         # the filter would silently drop them uncounted
         survivors = aff.filter(pred.isNull() | ~pred)
-        total = sum(os.path.getsize(f) for f in affected)
+        total = sum(
+            os.path.getsize(p) for p in _ref_paths(root, aff_refs)
+        )
         n_files = max(1, math.ceil(total / target_file_bytes))
         writer = survivors.repartition(
             *([n_files] + pcols if pcols else [n_files])
@@ -682,11 +713,17 @@ def delete_parquet(
             writer = writer.partitionBy(*pcols)
         writer.parquet(dst)
 
-    return {
-        "files_rewritten": len(affected),
-        "files_copied": len(untouched),
+    stats = {
+        "files_rewritten": len(aff_refs),
         "rows_deleted": rows_deleted,
     }
+    if copy_untouched:
+        stats["files_copied"] = len(untouched_refs)
+    else:
+        stats["files_referenced"] = len(untouched_refs)
+        stats["untouched_refs"] = untouched_refs
+        stats["schema"] = t.schema.jsonValue()
+    return stats
 
 
 def parquet_rowgroup_stats(path: str) -> list[dict]:

@@ -430,46 +430,44 @@ def _pointer_store(target_root: str):
 
 
 def read_current(spark: SparkSession, target_root: str) -> DataFrame:
-    """Read the upsert target's CURRENT version (the pointer file's
-    directory). Readers never observe a half-merged state: versions
-    are immutable and the pointer flips only after a version is fully
-    written."""
-    import json
+    """Read the upsert target's CURRENT version (what the pointer
+    references, its manifest resolved). Readers never observe a
+    half-merged state: versions are immutable and the pointer flips
+    only after a version is fully written."""
+    from cae_polars_tools_spark.table import Table
 
-    raw = _pointer_store(target_root).get(_CURRENT)
-    if raw is None:
-        raise FileNotFoundError(
-            f"no {_CURRENT} pointer under {target_root}"
-        )
-    meta = json.loads(raw)
-    return spark.read.parquet(
-        f"{target_root.rstrip('/')}/{meta['version_dir']}"
-    )
+    return Table(spark, target_root).current()
 
 
 def read_version(
     spark: SparkSession, target_root: str, version: int
 ) -> DataFrame:
     """Time travel: read a SPECIFIC immutable version of the upsert
-    target (``v{n}`` directories never mutate after their pointer
-    flip, so any retained version is a consistent snapshot — the
-    audit/debug/reproduce-yesterday's-training-set read). Raises if
-    the version was never written or has been vacuumed."""
-    store = _pointer_store(target_root)
-    vd = f"v{version}"
-    if not store.list_prefix(vd):
+    target (versions never mutate after their pointer flip, so any
+    retained version is a consistent snapshot — the audit/debug/
+    reproduce-yesterday's-training-set read). Raises if the version
+    was never written or has been vacuumed."""
+    from cae_polars_tools_spark.table import Table
+
+    try:
+        return Table(spark, target_root).read_version(version)
+    except FileNotFoundError as e:
+        # keep this module's historical error text (tests + callers
+        # match on "vacuum_versions")
         raise FileNotFoundError(
             f"version {version} not found under {target_root} "
             "(never written, or removed by vacuum_versions)"
-        )
-    return spark.read.parquet(f"{target_root.rstrip('/')}/{vd}")
+        ) from e
 
 
 def vacuum_versions(target_root: str, keep_last: int = 2) -> list[str]:
-    """Retention for the CoW version chain: delete version
-    directories older than the newest ``keep_last`` (the current
-    version is always kept — ``keep_last`` is clamped to ≥1).
-    Returns the removed directory names.
+    """Retention for the CoW version chain — the reference-counted
+    :func:`cae_polars_tools_spark.table.vacuum_table`: versions older
+    than the newest ``keep_last`` stop being readable; their files
+    are deleted only when no retained manifest references them
+    (shared files park in a tombstoned husk until the last reader
+    version goes). Returns the names of the version directories that
+    no longer read (fully removed + demoted husks).
 
     Safe by construction: only versions STRICTLY OLDER than the
     pointer's current one are candidates, and the pointer itself is
@@ -477,23 +475,13 @@ def vacuum_versions(target_root: str, keep_last: int = 2) -> list[str]:
     version could still race its file reads (the standard lakehouse
     retention caveat: vacuum only past your longest reader), which is
     why retention is explicit and never automatic here."""
-    import json
+    from cae_polars_tools_spark.table import vacuum_table
 
-    store = _pointer_store(target_root)
-    raw = store.get(_CURRENT)
-    if raw is None:
-        raise FileNotFoundError(
-            f"no {_CURRENT} pointer under {target_root}"
-        )
-    current = json.loads(raw)["version"]
-    keep_last = max(1, keep_last)
-    removed = []
-    for v in range(0, current - keep_last + 1):
-        vd = f"v{v}"
-        if store.list_prefix(vd):
-            store.delete_prefix(vd)
-            removed.append(vd)
-    return removed
+    stats = vacuum_table(target_root, keep_last=keep_last)
+    return sorted(
+        set(stats["removed"]) | set(stats["demoted"]),
+        key=lambda d: int(d[1:]),
+    )
 
 
 def cow_upsert_sink(
@@ -535,9 +523,9 @@ def cow_upsert_sink(
 
     from pyspark.sql import Window as W
 
-    from cae_polars_tools_spark.storage import merge_parquet
-
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from cae_polars_tools_spark.table import Table
+
         spark = batch_df.sparkSession
         if not batch_df.columns or batch_df.isEmpty():
             return
@@ -564,62 +552,20 @@ def cow_upsert_sink(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        # widen-only schema evolution (Table.add_columns): honor the
-        # current version's declared-schema sidecar — pre-evolution
-        # batches null-fill their missing columns, unknown columns
-        # refuse, and the merge reads mixed-schema files under the
-        # declared schema
-        table = None
-        decl = None
-        if meta is not None:
-            from cae_polars_tools_spark.table import Table
-
-            table = Table(spark, root)
-            decl = table._declared_schema(meta["version_dir"])
-            if decl is not None:
-                latest = table._normalize_batch(latest, decl)
-        version = 0 if meta is None else meta["version"] + 1
-        version_dir = f"v{version}"
-        if store.list_prefix(version_dir):
-            # orphan from a crash between version-write and pointer
-            # flip: never referenced by the pointer, safe to clear
-            store.delete_prefix(version_dir)
+        # Table's verbs carry the whole CoW discipline: orphan-clear,
+        # manifest commit (untouched files re-referenced, never
+        # copied), declared-schema normalization for widen-only
+        # evolution (pre-evolution batches null-fill, unknown columns
+        # refuse), audit record, pointer flip LAST with this batch's
+        # id — the replay guard above completes effectively-once.
         if meta is None:
-            latest.write.mode("errorifexists").parquet(
-                f"{root}/{version_dir}"
+            Table.create(
+                spark, root, latest,
+                batch_id=batch_id, op="streaming-upsert",
             )
         else:
-            merge_parquet(
-                spark,
-                f"{root}/{meta['version_dir']}",
-                latest,
-                keys,
-                f"{root}/{version_dir}",
-                read_schema=decl,
+            Table(spark, root).merge(
+                latest, keys, batch_id=batch_id, op="streaming-upsert"
             )
-        if decl is not None:
-            table._put_sidecar(version_dir, decl)
-        # audit record into the immutable version dir BEFORE the
-        # flip (Table.describe_history reads these)
-        import time as _time
-
-        store.put(
-            f"{version_dir}/_COMMIT.json",
-            json.dumps(
-                {
-                    "op": "streaming-upsert",
-                    "ts": _time.time(),
-                    "stats": {"batch_id": batch_id},
-                }
-            ).encode(),
-        )
-        payload = json.dumps(
-            {
-                "version": version,
-                "version_dir": version_dir,
-                "batch_id": batch_id,
-            }
-        ).encode()
-        store.put(_CURRENT, payload)  # atomic pointer flip
 
     return sink

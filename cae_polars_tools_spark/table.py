@@ -3,21 +3,33 @@ protocol, so every lakehouse verb (read current / time travel / merge
 / delete / compact / zorder / diff / vacuum) goes through a single
 discipline instead of each call site re-implementing it.
 
-ADAPTERS ONLY — no format change. A ``Table`` is exactly the layout
-``streaming.events.cow_upsert_sink`` writes and
-``examples/lakehouse_usage.py`` demonstrated by hand:
+Versions are **manifest-based** (metadata-only commits, the
+Delta/Iceberg snapshot model — ``cae_polars_tools_spark.manifest``):
 
-* immutable version directories ``v0/ v1/ …`` (plain parquet — any
-  engine reads a version directly);
+* a version directory ``vN/`` holds the files the verb actually
+  WROTE plus a ``_MANIFEST.json`` listing every file the version
+  references — untouched files stay in the version directory that
+  created them and are shared across versions, never copied. A
+  one-key merge commits {affected rewrites + update rows + manifest};
+  ``add_columns`` and ``restore`` commit pure metadata (zero data
+  bytes move);
 * a ``_CURRENT.json`` pointer ``{version, version_dir, batch_id}``
-  that flips LAST through the ByteStore seam (local ``os.replace`` /
+  flips LAST through the ByteStore seam (local ``os.replace`` /
   object-store single-object PUT — readers see the old table or the
-  new one, never a torn state).
+  new one, never a torn state);
+* ``vacuum`` is reference-counted: a data file is deleted only when
+  no retained version references it; a no-longer-retained version
+  whose files are still shared is demoted to an unreadable husk
+  (``_TOMBSTONE.json``) until its last referencing version goes too;
+* a version directory WITHOUT a manifest is a legacy self-contained
+  version (round-12 layout, or a foreign writer's plain parquet
+  directory) — it reads whole-directory, so old tables keep working.
 
-Every mutating verb here follows the same two steps: write the new
-version directory fully, then flip the pointer. A crash between the
-two leaves an orphan directory the pointer never referenced — the
-next writer clears it (the ``cow_upsert_sink`` rule).
+Every mutating verb follows the same two steps: write the new
+version directory fully (files, manifest, sidecars), then flip the
+pointer. A crash between the two leaves an orphan directory the
+pointer never referenced — the next writer clears it (the
+``cow_upsert_sink`` rule).
 
 The two *index* manifests in this repo — IVF-PQ's and the MinHash
 band index's ``_INDEX.json`` — follow the same flip-last discipline
@@ -47,21 +59,6 @@ _SCHEMA_SIDECAR = "_SCHEMA.json"
 #: pointer flip: {op, ts, stats} — the DESCRIBE HISTORY audit trail.
 #: Underscore-prefixed like the schema sidecar, invisible to readers.
 _COMMIT_SIDECAR = "_COMMIT.json"
-
-
-def _bytestore_copy_tree(store, src: str, dst: str) -> None:
-    """Object-by-object recursive copy inside one ByteStore — the
-    remote-store path of :meth:`Table.add_columns`'s version-dir copy.
-    Each object passes through driver memory (``get`` then ``put``),
-    which is the honest portable primitive when no server-side copy
-    API is abstracted; local roots take ``shutil`` instead."""
-    for name in store.list_prefix(src):
-        child = f"{src}/{name.rstrip('/')}"
-        data = store.get(child)
-        if data is None:  # sub-directory
-            _bytestore_copy_tree(store, child, f"{dst}/{name.rstrip('/')}")
-        else:
-            store.put(f"{dst}/{name.rstrip('/')}", data)
 
 
 class Table:
@@ -130,9 +127,47 @@ class Table:
         store = self._store()
         if store.list_prefix(vd):
             # orphan from a crash between version-write and pointer
-            # flip — never referenced, safe to clear
+            # flip — never referenced, safe to clear. (A husk left by
+            # vacuum can never collide here: vacuum only demotes
+            # versions STRICTLY OLDER than the current pointer, and
+            # version numbers never reuse.)
             store.delete_prefix(vd)
         return v, vd
+
+    # -- manifest plumbing ------------------------------------------
+
+    def _version_refs(self, version_dir: str) -> list[str]:
+        """The version's file references (root-relative): manifest
+        when present, else every data file under the directory
+        (legacy self-contained version)."""
+        from cae_polars_tools_spark.manifest import refs_of
+
+        return refs_of(self._store(), version_dir)
+
+    def _manifest_schema(self, version_dir: str):
+        from pyspark.sql.types import StructType
+
+        from cae_polars_tools_spark.manifest import load_manifest
+
+        m = load_manifest(self._store(), version_dir)
+        if m is None or not m.get("schema"):
+            return None
+        return StructType.fromJson(m["schema"])
+
+    def _commit_manifest(
+        self, version_dir: str, refs: list[str], schema_json
+    ) -> None:
+        from cae_polars_tools_spark.manifest import write_manifest
+
+        write_manifest(self._store(), version_dir, refs, schema_json)
+
+    def _new_data_files(self, version_dir: str) -> list[str]:
+        """Data files physically written into a fresh version
+        directory (refs root-relative) — the verb's actual output,
+        inventoried after the Spark write, before the manifest."""
+        from cae_polars_tools_spark.manifest import data_file_refs
+
+        return data_file_refs(self._store(), version_dir)
 
     def _commit(
         self,
@@ -213,17 +248,37 @@ class Table:
         return schema
 
     def _read_dir(self, version_dir: str) -> DataFrame:
-        """Read a version directory under its declared schema: files
-        lacking an evolved column null-fill it at read
+        """Read a version under its declared schema: files lacking an
+        evolved column null-fill it at read
         (``unionByName(allowMissingColumns=True)`` semantics) — old
-        files are never rewritten just to add a column."""
+        files are never rewritten just to add a column. Manifest
+        versions resolve their file references (possibly spanning
+        several version directories); a version without a manifest
+        reads its whole directory (legacy self-contained layout)."""
+        from cae_polars_tools_spark.manifest import load_manifest, read_refs
+
         schema = self._declared_schema(version_dir)
-        reader = (
-            self.spark.read
-            if schema is None
-            else self.spark.read.schema(schema)
-        )
-        return reader.parquet(f"{self.root}/{version_dir}")
+        m = load_manifest(self._store(), version_dir)
+        if m is None:
+            reader = (
+                self.spark.read
+                if schema is None
+                else self.spark.read.schema(schema)
+            )
+            return reader.parquet(f"{self.root}/{version_dir}")
+        if schema is None:
+            schema = self._manifest_schema(version_dir)
+        if not m["files"]:
+            # a version may legitimately reference zero files (e.g. a
+            # delete that removed every row) — the manifest's schema
+            # keeps it readable
+            if schema is None:
+                raise ValueError(
+                    f"version {version_dir} is empty and records no "
+                    "schema — unreadable"
+                )
+            return self.spark.createDataFrame([], schema)
+        return read_refs(self.spark, self.root, m["files"], schema)
 
     def _normalize_batch(self, batch: DataFrame, schema) -> DataFrame:
         """Align a merge batch to the declared schema: unknown columns
@@ -260,8 +315,11 @@ class Table:
         the schema DECLARED AT THAT VERSION (a pre-evolution version
         keeps its narrower schema; that the schema changed is itself
         part of history)."""
+        from cae_polars_tools_spark.manifest import is_tombstoned
+
         vd = f"v{version}"
-        if not self._store().list_prefix(vd):
+        store = self._store()
+        if not store.list_prefix(vd) or is_tombstoned(store, vd):
             raise FileNotFoundError(
                 f"version {version} not found under {self.root} "
                 "(never written, or removed by vacuum)"
@@ -269,12 +327,17 @@ class Table:
         return self._read_dir(vd)
 
     def history(self) -> list[int]:
-        """Version numbers still present on storage (oldest first)."""
+        """Version numbers still readable on storage (oldest first).
+        Husk directories — vacuumed versions whose files survive only
+        because newer manifests still reference them — are not
+        versions and do not appear."""
+        from cae_polars_tools_spark.manifest import is_tombstoned
+
         store = self._store()
         out = set()
         for name in store.list_prefix(""):
             m = re.fullmatch(r"v(\d+)/?", name)
-            if m:
+            if m and not is_tombstoned(store, f"v{m.group(1)}"):
                 out.add(int(m.group(1)))
         return sorted(out)
 
@@ -308,9 +371,16 @@ class Table:
 
     @classmethod
     def create(
-        cls, spark: SparkSession, root: str, df: DataFrame
+        cls,
+        spark: SparkSession,
+        root: str,
+        df: DataFrame,
+        batch_id: int = -1,
+        op: str = "create",
     ) -> "Table":
-        """Seed ``v0`` and flip the initial pointer."""
+        """Seed ``v0`` (files + manifest) and flip the initial
+        pointer. ``batch_id``/``op`` let the streaming upsert sink
+        seed through the same path it merges through."""
         t = cls(spark, root)
         if t.exists():
             raise FileExistsError(f"Table already exists at {root}")
@@ -321,49 +391,79 @@ class Table:
         if store.list_prefix("v0"):
             store.delete_prefix("v0")
         df.write.mode("errorifexists").parquet(f"{t.root}/v0")
-        t._put_commit("v0", "create", None)
-        t._flip({"version": 0, "version_dir": "v0", "batch_id": -1})
+        t._commit_manifest("v0", t._new_data_files("v0"), df.schema.jsonValue())
+        t._put_commit("v0", op, None)
+        t._flip({"version": 0, "version_dir": "v0", "batch_id": batch_id})
         return t
 
-    def merge(self, batch: DataFrame, keys: list[str]) -> dict:
-        """CoW upsert: only current-version files containing a matched
-        key rewrite, the rest copy byte-for-byte
-        (``storage.merge_parquet``); then the pointer flips."""
+    def merge(
+        self,
+        batch: DataFrame,
+        keys: list[str],
+        batch_id: int | None = None,
+        op: str = "merge",
+    ) -> dict:
+        """CoW upsert as a metadata-only commit outside the genuinely
+        touched files: only current-version files containing a matched
+        key rewrite (plus the update rows); every other file is
+        RE-REFERENCED by the new version's manifest — zero untouched
+        bytes move (``storage.merge_parquet`` manifest mode). The
+        pointer flips last."""
         from cae_polars_tools_spark.storage import merge_parquet
 
         meta = self.meta()
-        schema = self._declared_schema(meta["version_dir"])
+        cur = meta["version_dir"]
+        schema = self._declared_schema(cur)
         if schema is not None:
             batch = self._normalize_batch(batch, schema)
         v, vd = self._next_version_dir(meta)
         stats = merge_parquet(
             self.spark,
-            f"{self.root}/{meta['version_dir']}",
+            self.root,
             batch,
             keys,
             f"{self.root}/{vd}",
             read_schema=schema,
+            source_refs=self._version_refs(cur),
+            copy_untouched=False,
         )
-        self._propagate_schema(meta["version_dir"], vd)
-        self._commit(v, vd, meta["batch_id"], op="merge", stats=stats)
+        refs = stats.pop("untouched_refs") + self._new_data_files(vd)
+        self._commit_manifest(vd, refs, stats.pop("schema"))
+        self._propagate_schema(cur, vd)
+        if batch_id is not None:
+            stats["batch_id"] = batch_id
+        self._commit(
+            v,
+            vd,
+            meta["batch_id"] if batch_id is None else batch_id,
+            op=op,
+            stats=stats,
+        )
         stats["version"] = v
         return stats
 
     def delete(self, predicate) -> dict:
-        """CoW DELETE WHERE (``storage.delete_parquet``): matched files
-        rewrite, others copy; pointer flips last. The takedown verb."""
+        """CoW DELETE WHERE (``storage.delete_parquet`` manifest
+        mode): matched files rewrite, the rest re-reference in the
+        new manifest — zero untouched bytes move; pointer flips last.
+        The takedown verb."""
         from cae_polars_tools_spark.storage import delete_parquet
 
         meta = self.meta()
+        cur = meta["version_dir"]
         v, vd = self._next_version_dir(meta)
         stats = delete_parquet(
             self.spark,
-            f"{self.root}/{meta['version_dir']}",
+            self.root,
             predicate,
             f"{self.root}/{vd}",
-            read_schema=self._declared_schema(meta["version_dir"]),
+            read_schema=self._declared_schema(cur),
+            source_refs=self._version_refs(cur),
+            copy_untouched=False,
         )
-        self._propagate_schema(meta["version_dir"], vd)
+        refs = stats.pop("untouched_refs") + self._new_data_files(vd)
+        self._commit_manifest(vd, refs, stats.pop("schema"))
+        self._propagate_schema(cur, vd)
         self._commit(v, vd, meta["batch_id"], op="delete", stats=stats)
         stats["version"] = v
         return stats
@@ -376,15 +476,27 @@ class Table:
         from cae_polars_tools_spark.storage import compact_parquet
 
         meta = self.meta()
+        cur = meta["version_dir"]
+        schema = self._declared_schema(cur) or self._manifest_schema(cur)
         v, vd = self._next_version_dir(meta)
         n_files = compact_parquet(
             self.spark,
-            f"{self.root}/{meta['version_dir']}",
+            self.root,
             f"{self.root}/{vd}",
-            read_schema=self._declared_schema(meta["version_dir"]),
+            read_schema=self._declared_schema(cur),
+            source_refs=self._version_refs(cur),
             **kwargs,
         )
-        self._propagate_schema(meta["version_dir"], vd)
+        # a compaction rewrites EVERYTHING: the new manifest references
+        # only the fresh files, so vacuuming past it reclaims every
+        # predecessor file — this is the verb that resets manifest
+        # sprawl (union branch count) to 1
+        self._commit_manifest(
+            vd,
+            self._new_data_files(vd),
+            schema.jsonValue() if schema is not None else None,
+        )
+        self._propagate_schema(cur, vd)
         self._commit(
             v, vd, meta["batch_id"], op="compact",
             stats={"files": n_files},
@@ -398,16 +510,24 @@ class Table:
         from cae_polars_tools_spark.storage import zorder_parquet
 
         meta = self.meta()
+        cur = meta["version_dir"]
+        schema = self._declared_schema(cur) or self._manifest_schema(cur)
         v, vd = self._next_version_dir(meta)
         n_files = zorder_parquet(
             self.spark,
-            f"{self.root}/{meta['version_dir']}",
+            self.root,
             f"{self.root}/{vd}",
             cols,
-            read_schema=self._declared_schema(meta["version_dir"]),
+            read_schema=self._declared_schema(cur),
+            source_refs=self._version_refs(cur),
             **kwargs,
         )
-        self._propagate_schema(meta["version_dir"], vd)
+        self._commit_manifest(
+            vd,
+            self._new_data_files(vd),
+            schema.jsonValue() if schema is not None else None,
+        )
+        self._propagate_schema(cur, vd)
         self._commit(
             v, vd, meta["batch_id"], op="zorder",
             stats={"files": n_files, "cols": cols},
@@ -415,32 +535,32 @@ class Table:
         return {"files": n_files, "version": v}
 
     def add_columns(self, cols: dict) -> dict:
-        """Widen-only schema evolution: add new NULLABLE columns
-        (``{name: spark_ddl_type}``) as a CoW version WITHOUT
-        rewriting a single data file — the current version's files
-        copy byte-for-byte into the new version directory and a
+        """Widen-only schema evolution as a PURE METADATA commit: add
+        new NULLABLE columns (``{name: spark_ddl_type}``) as a CoW
+        version that copies **zero bytes** — the new version's
+        manifest references exactly the current version's files and a
         ``_SCHEMA.json`` sidecar declares the widened schema; every
         read of the version null-fills the new columns lazily
         (``unionByName(allowMissingColumns=True)`` semantics via an
-        explicit-schema parquet read). Later merges accept batches on
-        EITHER schema (old batches null-fill, see
-        :meth:`_normalize_batch`); ``merge_parquet``'s strict
-        validation — unknown columns, dtype drift, duplicate keys —
-        stays in force for everything else. Renames, drops, and type
-        changes are refused by construction: they would change the
-        meaning of bytes already written, which a pointer flip must
-        never do."""
-        import os
-        import shutil
-
+        explicit-schema parquet read). This is the Delta/Iceberg ADD
+        COLUMN shape: at 100 TB the commit writes two small JSON
+        objects, never touches a data file, and works wherever the
+        ByteStore does. Later merges accept batches on EITHER schema
+        (old batches null-fill, see :meth:`_normalize_batch`);
+        ``merge_parquet``'s strict validation — unknown columns,
+        dtype drift, duplicate keys — stays in force for everything
+        else. Renames, drops, and type changes are refused by
+        construction: they would change the meaning of bytes already
+        written, which a pointer flip must never do."""
         from pyspark.sql.types import StructField, StructType
 
         if not cols:
             raise ValueError("add_columns needs at least one column")
         meta = self.meta()
-        cur = self._declared_schema(meta["version_dir"])
+        cur_vd = meta["version_dir"]
+        cur = self._declared_schema(cur_vd)
         if cur is None:
-            cur = self._read_dir(meta["version_dir"]).schema
+            cur = self._read_dir(cur_vd).schema
         existing = {f.name for f in cur.fields}
         dup = sorted(set(cols) & existing)
         if dup:
@@ -459,33 +579,18 @@ class Table:
             new_fields.append(StructField(name, parsed.dataType, True))
         widened = StructType(list(cur.fields) + new_fields)
         v, vd = self._next_version_dir(meta)
-        # byte-for-byte: the evolution itself costs one directory copy,
-        # never a data rewrite. Local roots — plain paths AND file://
-        # URIs — take the streaming filesystem path (the ByteStore
-        # walk reads each object fully into driver memory, fine for
-        # metadata, wrong for multi-GB parquet); any other root copies
-        # object-by-object through the ByteStore seam, so evolution
-        # works wherever the Table does.
-        local_root = (
-            self.root[len("file://"):]
-            if self.root.startswith("file://")
-            else self.root
-        )
-        src_dir = os.path.join(local_root, meta["version_dir"])
-        if os.path.isdir(src_dir):
-            shutil.copytree(src_dir, os.path.join(local_root, vd))
-        else:
-            _bytestore_copy_tree(
-                self._store(), meta["version_dir"], vd
-            )
-        self._put_sidecar(vd, widened)  # overwrites any copied sidecar
+        refs = self._version_refs(cur_vd)
+        self._commit_manifest(vd, refs, widened.jsonValue())
+        self._put_sidecar(vd, widened)
         self._commit(
             v, vd, meta["batch_id"], op="add_columns",
             stats={
                 "added": {
                     f.name: f.dataType.simpleString()
                     for f in new_fields
-                }
+                },
+                "files_referenced": len(refs),
+                "bytes_copied": 0,
             },
         )
         return {
@@ -501,14 +606,31 @@ class Table:
         and append-only, the pointer never moves backwards (vacuum's
         "strictly older than current" invariant survives), and the
         bad intermediate versions remain retained for forensics until
-        vacuumed. The restored content is rewritten rather than
-        aliased so every version directory stays independently
-        vacuumable."""
+        vacuumed. A PURE METADATA commit: the new version's manifest
+        references the restored version's files — zero data bytes
+        move, and reference-counted vacuum keeps every shared file
+        alive exactly as long as some retained version needs it."""
         meta = self.meta()
-        src = self.read_version(version)
+        src_vd = f"v{version}"
+        store = self._store()
+        from cae_polars_tools_spark.manifest import is_tombstoned
+
+        if not store.list_prefix(src_vd) or is_tombstoned(store, src_vd):
+            raise FileNotFoundError(
+                f"version {version} not found under {self.root} "
+                "(never written, or removed by vacuum)"
+            )
         v, vd = self._next_version_dir(meta)
-        src.write.mode("errorifexists").parquet(f"{self.root}/{vd}")
-        self._propagate_schema(f"v{version}", vd)
+        schema = (
+            self._declared_schema(src_vd)
+            or self._manifest_schema(src_vd)
+        )
+        self._commit_manifest(
+            vd,
+            self._version_refs(src_vd),
+            schema.jsonValue() if schema is not None else None,
+        )
+        self._propagate_schema(src_vd, vd)
         self._commit(
             v, vd, meta["batch_id"], op="restore",
             stats={"restored_from": version},
@@ -517,14 +639,16 @@ class Table:
 
     # -- retention / streaming -------------------------------------
 
-    def vacuum(self, keep_last: int = 2) -> list[str]:
-        """Drop version directories older than the newest
-        ``keep_last`` (``streaming.events.vacuum_versions``)."""
-        from cae_polars_tools_spark.streaming.events import (
-            vacuum_versions,
-        )
-
-        return vacuum_versions(self.root, keep_last=keep_last)
+    def vacuum(self, keep_last: int = 2) -> dict:
+        """Reference-counted retention: versions older than the
+        newest ``keep_last`` stop being readable, and their data
+        files are deleted **only if no retained version references
+        them** — a file shared with a newer manifest survives until
+        its last referencing version is vacuumed too (the version
+        directory stays behind as a tombstoned husk holding the
+        shared files). Returns ``{"removed": [dirs], "demoted":
+        [dirs], "files_deleted": n}``."""
+        return vacuum_table(self.root, keep_last=keep_last)
 
     def upsert_sink(self, keys: list[str], order_col: str, **kwargs):
         """The streaming write path into this same table: a
@@ -538,6 +662,54 @@ class Table:
         )
 
         return cow_upsert_sink(self.root, keys, order_col, **kwargs)
+
+
+def vacuum_table(root: str, keep_last: int = 2) -> dict:
+    """Reference-counted vacuum over a versioned table root — the
+    engine behind :meth:`Table.vacuum` and the streaming sink's
+    ``vacuum_versions``.
+
+    Retention rule (unchanged from round 12): only versions STRICTLY
+    older than the newest ``keep_last`` are candidates, the current
+    pointer's version is always kept (``keep_last`` clamps to ≥1),
+    and the pointer itself is untouched. New under manifests: a
+    candidate's files are deleted only when no retained version's
+    manifest references them; shared files park in a tombstoned husk
+    directory until the last referencing version is vacuumed (husks
+    re-candidate on every run, so retention converges). The standard
+    lakehouse caveat stands: a concurrent reader that already
+    resolved an old version can race its file reads — vacuum only
+    past your longest reader."""
+    from cae_polars_tools_spark.manifest import (
+        is_tombstoned,
+        refs_of,
+        vacuum_refcount,
+    )
+    from cae_polars_tools_spark.sources.zarr_format import ByteStore
+
+    store = ByteStore.for_path(root.rstrip("/"))
+    raw = store.get(_CURRENT)
+    if raw is None:
+        raise FileNotFoundError(f"no {_CURRENT} pointer under {root}")
+    current = json.loads(raw)["version"]
+    cutoff = current - max(1, keep_last)
+    retained, candidates = [], []
+    for name in store.list_prefix(""):
+        m = re.fullmatch(r"v(\d+)/?", name)
+        if not m:
+            continue
+        v = int(m.group(1))
+        vd = f"v{v}"
+        if v <= cutoff or is_tombstoned(store, vd):
+            candidates.append(vd)
+        else:
+            retained.append(vd)
+    referenced: set[str] = set()
+    for vd in retained:
+        referenced.update(refs_of(store, vd))
+    return vacuum_refcount(
+        store, referenced, sorted(candidates, key=lambda d: int(d[1:]))
+    )
 
 
 # ---------------------------------------------------------------------------

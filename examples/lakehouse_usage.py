@@ -108,7 +108,7 @@ def takedown_and_compact(spark, target: str, work: str) -> None:
         f"takedown: source {victim!r} removed copy-on-write → "
         f"v{stats['version']} ({stats['rows_deleted']} rows, "
         f"{stats['files_rewritten']} files rewritten, "
-        f"{stats['files_copied']} copied verbatim)"
+        f"{stats['files_referenced']} re-referenced — zero bytes copied)"
     )
 
     out = table.compact()
@@ -120,8 +120,12 @@ def takedown_and_compact(spark, target: str, work: str) -> None:
     ops = {r["op"]: r["n"] for r in feed.groupBy("op").agg(
         F.count(F.lit(1)).alias("n")).collect()}
     print(f"change feed since v{pre_takedown}: {ops}")
-    removed = table.vacuum(keep_last=2)
-    print(f"vacuum: removed {removed or 'nothing'} (keep_last=2)")
+    vac = table.vacuum(keep_last=2)
+    gone = vac["removed"] + vac["demoted"]
+    print(
+        f"vacuum: retired {gone or 'nothing'} "
+        f"({vac['files_deleted']} files reclaimed, keep_last=2)"
+    )
 
 
 def incremental_rollup(spark, sf_dir: str, work: str) -> None:

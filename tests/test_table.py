@@ -83,8 +83,11 @@ def test_vacuum_and_orphan_cleanup(spark, tmp_path):
     t = _seed(spark, tmp_path)
     t.delete("doc_id = 1")
     t.delete("doc_id = 2")
-    removed = t.vacuum(keep_last=2)
-    assert removed == ["v0"]
+    stats = t.vacuum(keep_last=2)
+    # v1/v2's manifests still reference v0 files, so v0 demotes to a
+    # husk (shared files parked) rather than vanishing — either way
+    # it stops being a readable version
+    assert stats["removed"] + stats["demoted"] == ["v0"]
     assert t.history() == [1, 2]
     with pytest.raises(FileNotFoundError):
         t.read_version(0)
@@ -138,7 +141,10 @@ def test_restore_is_a_new_version(spark, tmp_path):
     assert out == {"version": 2, "restored_from": 0}
     assert {tuple(r) for r in t.current().collect()} == before
     assert t.history() == [0, 1, 2]  # bad v1 retained for forensics
-    assert t.vacuum(keep_last=2) == ["v0"]
+    stats = t.vacuum(keep_last=2)
+    assert stats["removed"] + stats["demoted"] == ["v0"]
+    # v2 restored FROM v0 by reference — its shared files must
+    # survive v0's vacuum (refcount), so the restored content reads
     assert {tuple(r) for r in t.current().collect()} == before
 
 
@@ -224,16 +230,16 @@ def test_add_columns_lifecycle(spark, tmp_path):
     current/time-travel/diff correctly, and keep the strict refusals
     (unknown column, duplicate add)."""
     t = _seed(spark, tmp_path)
-    v0_files = sorted(os.listdir(str(tmp_path / "t" / "v0")))
 
     out = t.add_columns({"score": "double", "lang": "string"})
     assert out["version"] == 1
     assert out["added"] == {"score": "double", "lang": "string"}
-    # data files copied byte-for-byte (plus the schema sidecar)
+    # metadata-only commit: the new version holds ONLY sidecars (its
+    # manifest references v0's files), zero data bytes moved
     v1 = str(tmp_path / "t" / "v1")
-    assert sorted(
-        f for f in os.listdir(v1) if not f.startswith("_SCHEMA")
-    ) == v0_files
+    assert sorted(os.listdir(v1)) == [
+        "_COMMIT.json", "_MANIFEST.json", "_SCHEMA.json"
+    ]
     cur = t.current()
     assert cur.columns == ["doc_id", "source", "n", "score", "lang"]
     assert cur.count() == 30
@@ -408,22 +414,38 @@ def test_add_columns_on_uri_root(spark, tmp_path):
     assert stats["rows_deleted"] == 1 and t.current().count() == 9
 
 
-def test_bytestore_copy_tree_recursive(tmp_path):
-    """The remote-store version-dir copy helper: nested directories
-    and files replicate byte-for-byte through get/put."""
+def test_bytestore_copy_and_size_primitives(tmp_path):
+    """ByteStore.copy is the server-side-copy seam for object-store
+    CoW: local stores hardlink (zero data bytes), the base-class
+    fallback streams get→put, and size() is a metadata call. A
+    missing source refuses loudly on both paths."""
     import os
 
-    from cae_polars_tools_spark.sources.zarr_format import ByteStore
-    from cae_polars_tools_spark.table import _bytestore_copy_tree
+    from cae_polars_tools_spark.sources.zarr_format import (
+        ByteStore,
+        LocalByteStore,
+    )
 
     root = tmp_path / "store"
     (root / "v0" / "sub").mkdir(parents=True)
-    (root / "v0" / "a.parquet").write_bytes(b"AAA")
     (root / "v0" / "sub" / "b.bin").write_bytes(b"\x00\x01\x02")
     store = ByteStore.for_path(str(root))
-    _bytestore_copy_tree(store, "v0", "v1")
-    assert (root / "v1" / "a.parquet").read_bytes() == b"AAA"
+    assert isinstance(store, LocalByteStore)
+    store.copy("v0/sub/b.bin", "v1/sub/b.bin")
     assert (root / "v1" / "sub" / "b.bin").read_bytes() == b"\x00\x01\x02"
+    # local fast path shares the inode — a true zero-byte copy
+    assert os.stat(root / "v1" / "sub" / "b.bin").st_ino == os.stat(
+        root / "v0" / "sub" / "b.bin"
+    ).st_ino
+    assert store.size("v0/sub/b.bin") == 3 and store.size("nope") is None
+    with pytest.raises(FileNotFoundError):
+        store.copy("missing", "x")
+    # base-class fallback (get→put) — what a store without a native
+    # server-side copy inherits
+    ByteStore.copy(store, "v0/sub/b.bin", "v2/c.bin")
+    assert (root / "v2" / "c.bin").read_bytes() == b"\x00\x01\x02"
+    with pytest.raises(FileNotFoundError):
+        ByteStore.copy(store, "missing", "x")
 
 
 def test_describe_history_audit_trail(spark, tmp_path):
@@ -480,3 +502,150 @@ def test_describe_history_audit_trail(spark, tmp_path):
     assert hist[-1]["stats"]["batch_id"] == 99
     os.remove(str(tmp_path / "t" / "v6" / "_COMMIT.json"))
     assert t.describe_history()[-1]["op"] == "unknown"
+
+
+# ---------------------------------------------------------------------------
+# Manifest-based versioning: metadata-only commits + refcount vacuum
+# ---------------------------------------------------------------------------
+
+
+def _data_files(d):
+    """Physical parquet data files under a version directory."""
+    out = []
+    for root, _dirs, fs in os.walk(d):
+        out.extend(
+            os.path.join(root, f)
+            for f in fs
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+    return sorted(out)
+
+
+def test_one_key_merge_copies_zero_untouched_bytes(spark, tmp_path):
+    """The manifest pin the round-12 verdict asked for: a one-key
+    merge writes ONLY the affected file's rewrite plus the update
+    rows; every untouched file is re-referenced, never copied — the
+    new version directory holds no copy of them and the referenced
+    v0 inodes are untouched."""
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(1000)], "doc_id long, n long"
+    )
+    root = str(tmp_path / "t")
+    t = Table.create(
+        spark,
+        root,
+        df.repartitionByRange(8, "doc_id").sortWithinPartitions("doc_id"),
+    )
+    v0_files = _data_files(f"{root}/v0")
+    assert len(v0_files) == 8
+    v0_inodes = {f: os.stat(f).st_ino for f in v0_files}
+
+    stats = t.merge(
+        spark.createDataFrame([(500, 999)], "doc_id long, n long"),
+        keys=["doc_id"],
+    )
+    # exactly one file held doc_id 500 (range-clustered layout)
+    assert stats["files_rewritten"] == 1
+    assert stats["files_referenced"] == 7
+    v1_files = _data_files(f"{root}/v1")
+    # the new version wrote only the rewrite — no copied untouched
+    # files anywhere (neither byte copies nor 'copied-' hardlinks)
+    assert 1 <= len(v1_files) <= 2
+    assert not any("copied-" in f for f in v1_files)
+    # untouched v0 files: same inodes, still referenced by v1
+    for f, ino in v0_inodes.items():
+        assert os.stat(f).st_ino == ino
+    refs = t._version_refs("v1")
+    assert sum(r.startswith("v0/") for r in refs) == 7
+    assert sum(r.startswith("v1/") for r in refs) == len(v1_files)
+    # and the read is correct across the shared files
+    cur = t.current()
+    assert cur.count() == 1000
+    assert cur.filter("doc_id = 500").first()["n"] == 999
+    assert cur.filter("doc_id = 499").first()["n"] == 4990
+
+
+def test_vacuum_refcount_shared_file_survives(spark, tmp_path):
+    """A data file shared by a vacuumed version and a retained one
+    must survive the vacuum (refcount), then die when its last
+    referencing version is vacuumed too."""
+    df = spark.createDataFrame(
+        [(i, i) for i in range(100)], "doc_id long, n long"
+    )
+    root = str(tmp_path / "t")
+    t = Table.create(
+        spark, root, df.repartitionByRange(4, "doc_id")
+    )
+    t.merge(
+        spark.createDataFrame([(1, -1)], "doc_id long, n long"),
+        keys=["doc_id"],
+    )  # v1: references 3 untouched v0 files
+    t.merge(
+        spark.createDataFrame([(2, -2)], "doc_id long, n long"),
+        keys=["doc_id"],
+    )  # v2
+    shared_before = [
+        r for r in t._version_refs("v2") if r.startswith("v0/")
+    ]
+    assert shared_before  # v2 really does reference v0 files
+
+    stats = t.vacuum(keep_last=2)  # drops v0 from history
+    assert stats["demoted"] == ["v0"] and stats["removed"] == []
+    # v0 no longer reads, but its shared files are still on disk
+    with pytest.raises(FileNotFoundError):
+        t.read_version(0)
+    for r in shared_before:
+        assert os.path.isfile(os.path.join(root, r))
+    assert t.current().count() == 100  # reads fine through v0 husks
+
+    # rewrite everything (compact) then vacuum past the last
+    # referencing versions: the husk finally empties and disappears
+    t.compact()  # v3 references only its own files
+    stats = t.vacuum(keep_last=1)
+    assert "v0" in stats["removed"]  # husk fully reclaimed
+    assert not os.path.exists(os.path.join(root, "v0"))
+    assert t.current().count() == 100
+
+
+def test_restore_and_add_columns_are_metadata_only(spark, tmp_path):
+    """restore() and add_columns() commit pure metadata: the new
+    version directory contains sidecars only, zero data files."""
+    t = _seed(spark, tmp_path)
+    t.delete("doc_id < 5")  # v1
+    t.restore(0)  # v2
+    v2 = str(tmp_path / "t" / "v2")
+    assert _data_files(v2) == []
+    assert sorted(os.listdir(v2)) == ["_COMMIT.json", "_MANIFEST.json"]
+    assert t.current().count() == 30
+    # restored version shares v0's files byte-for-byte
+    assert t._version_refs("v2") == t._version_refs("v0")
+
+    t.add_columns({"extra": "int"})  # v3
+    assert _data_files(str(tmp_path / "t" / "v3")) == []
+    assert t.current().columns == ["doc_id", "source", "n", "extra"]
+
+
+def test_table_over_file_uri_root(spark, tmp_path):
+    """The whole verb chain through a file:// URI root — the
+    ByteStore seam every non-local deployment rides (the HTTP-store
+    test pattern; no writable object store exists in this sandbox,
+    so the URI form of the local store is the live stand-in)."""
+    df = spark.createDataFrame(
+        [(i, i * 2) for i in range(50)], "doc_id long, n long"
+    )
+    root = "file://" + str(tmp_path / "t")
+    t = Table.create(spark, root, df.repartitionByRange(4, "doc_id"))
+    t.merge(
+        spark.createDataFrame([(7, -7), (70, 700)], "doc_id long, n long"),
+        keys=["doc_id"],
+    )
+    t.add_columns({"tag": "string"})
+    t.delete("doc_id = 0")
+    assert t.version() == 3
+    cur = t.current()
+    assert cur.count() == 50  # 50 + 1 insert - 1 delete
+    assert cur.filter("doc_id = 7").first()["n"] == -7
+    assert t.read_version(0).count() == 50
+    stats = t.vacuum(keep_last=2)
+    assert set(stats["removed"]) | set(stats["demoted"]) == {"v0", "v1"}
+    assert t.current().count() == 50
