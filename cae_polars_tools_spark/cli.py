@@ -819,7 +819,15 @@ def takedown_command(args) -> int:
     from cae_polars_tools_spark.session import get_spark
     from cae_polars_tools_spark.takedown import cascade_delete
 
-    ids = [int(s) for s in args.ids.split(",") if s.strip()]
+    # ints when every id parses as one (isin() must match a numeric
+    # id column by value), otherwise pass through as strings — a
+    # Table/index keyed by string doc ids is just as purgeable
+    # (cascade_delete accepts arbitrary id values)
+    raw = [s.strip() for s in args.ids.split(",") if s.strip()]
+    try:
+        ids = [int(s) for s in raw]
+    except ValueError:
+        ids = raw
     spark = get_spark(app_name="cae-polars-tools-spark-takedown")
     spark.sparkContext.setLogLevel("ERROR")
     try:

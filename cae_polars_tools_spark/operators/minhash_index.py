@@ -145,14 +145,29 @@ def build_minhash_index(
         )
     finally:
         sigs.unpersist()
-    meta = {
-        "format": "minhash-lsh-v1",
-        "shards": BAND_SHARDS,
-        "bands_dir": "bands_v0",
-        "sigs_dir": "sigs_v0",
-        "fingerprint": fingerprint,
-    }
-    ByteStore.for_path(root).put(_INDEX_META, json.dumps(meta).encode())
+    # manifests make every later delete/compact a metadata-plus-
+    # rewritten-files commit (untouched segments re-referenced, never
+    # copied) and vacuum reference-counted — manifest.py's model
+    from cae_polars_tools_spark.manifest import (
+        adopt_dir_files,
+        meta_with_history,
+    )
+
+    store = ByteStore.for_path(root)
+    n_bands = adopt_dir_files(store, "bands_v0")
+    n_sigs = adopt_dir_files(store, "sigs_v0")
+    meta = meta_with_history(
+        {
+            "format": "minhash-lsh-v1",
+            "shards": BAND_SHARDS,
+            "bands_dir": "bands_v0",
+            "sigs_dir": "sigs_v0",
+            "fingerprint": fingerprint,
+        },
+        "build",
+        {"bands_files": n_bands, "sigs_files": n_sigs},
+    )
+    store.put(_INDEX_META, json.dumps(meta).encode())
     return meta
 
 
@@ -166,16 +181,105 @@ def load_minhash_meta(path: str) -> dict | None:
     return None if raw is None else json.loads(raw)
 
 
-def _dirs(spark: SparkSession, path: str) -> tuple[str, str, dict]:
+def _release_checkpoints(*frames: DataFrame) -> None:
+    """Unpersist the RDD blocks behind localCheckpoint()ed frames as
+    soon as their trigger's work lands — without this a long-lived
+    streaming sink pins one checkpointed batch per trigger until JVM
+    RDD GC gets around to it (dedup.py's ``_checkpoint_rdd`` note)."""
+    from cae_polars_tools_spark.operators.dedup import (
+        _checkpoint_rdd,
+        _unpersist_quietly,
+    )
+
+    handles = [
+        r for f in frames if (r := _checkpoint_rdd(f)) is not None
+    ]
+    if handles:
+        _unpersist_quietly(handles)
+
+
+def _record_index_op(root: str, op: str, stats: dict) -> None:
+    """Append an audit record to the index's meta history with a
+    fresh atomic PUT — for verbs that do NOT flip the artifact
+    pointers (append, vacuum). Pointer-flipping verbs (delete,
+    compact) fold their record into the same PUT as the flip instead,
+    so the audit trail can never disagree with the pointer. A crash
+    between an append's data commit and this record loses only the
+    audit line, never data."""
+    from cae_polars_tools_spark.manifest import meta_with_history
+    from cae_polars_tools_spark.sources.zarr_format import ByteStore
+
+    meta = load_minhash_meta(root)
+    if meta is None:
+        return
+    ByteStore.for_path(root).put(
+        _INDEX_META,
+        json.dumps(meta_with_history(meta, op, stats)).encode(),
+    )
+
+
+def describe_minhash_index_history(path: str) -> list[dict]:
+    """The index's audit trail, oldest first: one ``{op, ts,
+    generation, stats}`` record per lifecycle verb (build / append /
+    delete / compact / vacuum) — the ``Table.describe_history``
+    counterpart for the takedown-audit story the index's CoW deletes
+    exist for. Rides inside ``_INDEX.json`` (capped at
+    ``manifest.HISTORY_CAP`` records, oldest dropped), so reading it
+    is one metadata GET."""
+    meta = load_minhash_meta(path)
+    if meta is None:
+        raise FileNotFoundError(f"no MinHash index under {path}")
+    return list(meta.get("history", []))
+
+
+def _dirs(spark: SparkSession, path: str) -> tuple[str, dict]:
     root = path.rstrip("/")
     meta = load_minhash_meta(root)
     if meta is None:
         raise FileNotFoundError(f"no MinHash index under {path}")
-    return (
-        f"{root}/{meta['bands_dir']}",
-        f"{root}/{meta['sigs_dir']}",
-        meta,
+    return root, meta
+
+
+def _read_bands(spark: SparkSession, root: str, meta: dict):
+    """The live bands table, manifest-resolved (after a CoW delete
+    its files may span several ``bands_v*`` directories; a legacy
+    manifest-less index reads whole-directory)."""
+    from cae_polars_tools_spark.manifest import read_artifact
+
+    return read_artifact(spark, root, meta["bands_dir"])
+
+
+def _read_sigs(spark: SparkSession, root: str, meta: dict):
+    from cae_polars_tools_spark.manifest import read_artifact
+
+    return read_artifact(spark, root, meta["sigs_dir"])
+
+
+def _append_segments(
+    spark: SparkSession, root: str, meta: dict, signed: DataFrame
+) -> None:
+    """Append one signed batch to the live index: band segments first
+    (files, then the bands manifest adopts them), sigs second (same
+    two steps). The bands-before-sigs rule survives manifests: a
+    crash at any point leaves either unmanifested orphan files
+    (invisible to readers, reclaimed by vacuum) or manifested band
+    rows whose docs are absent from sigs (invisible to probes — the
+    verify join drops them) — and the ID-level replay guards heal
+    both on retry."""
+    from cae_polars_tools_spark.manifest import adopt_dir_files
+    from cae_polars_tools_spark.sources.zarr_format import ByteStore
+
+    store = ByteStore.for_path(root)
+    (
+        _bands_of(signed)
+        .sortWithinPartitions("bh", "band")
+        .write.mode("append")
+        .partitionBy("shard")
+        .parquet(f"{root}/{meta['bands_dir']}")
     )
+    adopt_dir_files(store, meta["bands_dir"])
+    signed.write.mode("append").parquet(f"{root}/{meta['sigs_dir']}")
+    adopt_dir_files(store, meta["sigs_dir"])
 
 
 def append_minhash_index(
@@ -203,16 +307,18 @@ def append_minhash_index(
     once, on the persisted frame below). A caller that already signed
     the docs (``dedup_stream_indexed`` shares one signing between the
     dedup and the append) passes the ``(doc_id, fp, h64)`` frame as
-    ``signed`` and no signing happens here at all. Returns
+    ``signed`` and no signing happens here at all (cache ownership
+    stays with the caller — this function persists only frames it
+    signed itself, the ``query_minhash_index`` convention). Returns
     ``{rows_appended}``."""
-    bands_path, sigs_path, _ = _dirs(spark, path)
+    root, meta = _dirs(spark, path)
     if check_unique:
         ids = (
             signed.select("doc_id")
             if signed is not None
             else docs.select(F.col(id_col).alias("doc_id"))
         )
-        existing = spark.read.parquet(sigs_path).select("doc_id")
+        existing = _read_sigs(spark, root, meta).select("doc_id")
         dup = ids.join(existing, "doc_id", "left_semi").limit(1).count()
         if dup:
             raise ValueError(
@@ -232,26 +338,17 @@ def append_minhash_index(
                 "append_minhash_index: the appended frame itself "
                 "carries duplicate doc_ids; dedup it first"
             )
+    own_cache = signed is None
     new = (
-        signed if signed is not None else _signed(docs, id_col, text_col)
-    ).persist()
+        _signed(docs, id_col, text_col).persist() if own_cache else signed
+    )
     try:
         n = new.count()
-        # bands BEFORE sigs (the ingest-sink rule): a crash between
-        # the writes leaves band orphans that probes ignore and a
-        # retry heals — the opposite order leaves the doc in sigs,
-        # bandless and invisible forever, with check_unique refusing
-        # the retry on top
-        (
-            _bands_of(new)
-            .sortWithinPartitions("bh", "band")
-            .write.mode("append")
-            .partitionBy("shard")
-            .parquet(bands_path)
-        )
-        new.write.mode("append").parquet(sigs_path)
+        _append_segments(spark, root, meta, new)
     finally:
-        new.unpersist()
+        if own_cache:
+            new.unpersist()
+    _record_index_op(root, "append", {"rows_appended": n})
     return {"rows_appended": n}
 
 
@@ -274,9 +371,9 @@ def minhash_ingest_sink(
         if not batch_df.columns or batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        bands_path, sigs_path, _ = _dirs(spark, path)
+        root, meta = _dirs(spark, path)
         fresh = batch_df.dropDuplicates([id_col]).join(
-            spark.read.parquet(sigs_path).select(
+            _read_sigs(spark, root, meta).select(
                 F.col("doc_id").alias(id_col)
             ),
             id_col,
@@ -287,23 +384,26 @@ def minhash_ingest_sink(
         # invalidates cached plans that read a written path — a
         # cache would silently recompute against the UPDATED table
         # (seeing its own output, dropping every row) the moment the
-        # first append lands. Checkpointing severs the lineage.
+        # first append lands. Checkpointing severs the lineage; its
+        # pinned RDD blocks release when the trigger's work is done
+        # (a long-lived stream must not accumulate one per trigger).
         new = _signed(fresh, id_col, text_col).localCheckpoint()
-        if new.count() == 0:
-            return
-        # bands BEFORE sigs: a crash between the writes leaves band
-        # rows whose doc is absent from sigs — invisible to probes
-        # (the verify join drops them) and HEALED on replay, because
-        # replay detection anti-joins on sigs. The opposite order
-        # would leave a doc permanently invisible instead.
-        (
-            _bands_of(new)
-            .sortWithinPartitions("bh", "band")
-            .write.mode("append")
-            .partitionBy("shard")
-            .parquet(bands_path)
-        )
-        new.write.mode("append").parquet(sigs_path)
+        try:
+            n = new.count()
+            if n == 0:
+                return
+            # bands BEFORE sigs (see _append_segments): a crash
+            # between the writes leaves band rows whose doc is absent
+            # from sigs — invisible to probes and HEALED on replay,
+            # because replay detection anti-joins on sigs.
+            _append_segments(spark, root, meta, new)
+            _record_index_op(
+                root,
+                "append",
+                {"rows_appended": n, "batch_id": batch_id},
+            )
+        finally:
+            _release_checkpoints(new)
 
     return sink
 
@@ -355,9 +455,9 @@ def dedup_stream_indexed(
         if not batch_df.columns or batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        _, sigs_path, _ = _dirs(spark, index_path)
+        root, meta = _dirs(spark, index_path)
         fresh = batch_df.dropDuplicates([id_col]).join(
-            spark.read.parquet(sigs_path).select(
+            _read_sigs(spark, root, meta).select(
                 F.col("doc_id").alias(id_col)
             ),
             id_col,
@@ -401,36 +501,47 @@ def dedup_stream_indexed(
             ).localCheckpoint()
         finally:
             b.unpersist()
-        if survivors.count() == 0:
-            return
-        # survivors table FIRST (behind its own id anti-join), index
-        # append second — see the replay-ordering note above.
         try:
-            seen = spark.read.parquet(survivors_path).select(id_col)
-            to_write = survivors.join(
-                F.broadcast(seen), id_col, "left_anti"
+            if survivors.count() == 0:
+                return
+            # survivors table FIRST (behind its own id anti-join),
+            # index append second — see the replay-ordering note
+            # above. The history-sized `seen` side carries NO
+            # broadcast hint (the BATCH_BROADCAST_MAX rule: only
+            # batch-bounded sides get hints) — the survivors table
+            # grows for the stream's lifetime, and a forced broadcast
+            # of it would eventually slow every trigger and OOM
+            # executors; AQE still broadcasts at runtime while it is
+            # actually small.
+            try:
+                seen = spark.read.parquet(survivors_path).select(id_col)
+                to_write = survivors.join(seen, id_col, "left_anti")
+            except AnalysisException as e:
+                # ONLY the missing-path case is "first batch"; any
+                # other read failure must propagate so foreachBatch
+                # retries — swallowing it would skip the replay
+                # anti-join and append duplicates forever.
+                if "PATH_NOT_FOUND" not in str(e):
+                    raise
+                to_write = survivors
+            to_write.write.mode("append").parquet(survivors_path)
+            # check_unique=False: the up-front sigs anti-join already
+            # guarantees disjointness, and the strict check would
+            # refuse the partial-replay heal (bands written, sigs
+            # not).
+            append_minhash_index(
+                spark,
+                index_path,
+                survivors,
+                id_col=id_col,
+                text_col=text_col,
+                check_unique=False,
+                signed=b_surv,
             )
-        except AnalysisException as e:
-            # ONLY the missing-path case is "first batch"; any other
-            # read failure must propagate so foreachBatch retries —
-            # swallowing it would skip the replay anti-join and append
-            # duplicates forever.
-            if "PATH_NOT_FOUND" not in str(e):
-                raise
-            to_write = survivors
-        to_write.write.mode("append").parquet(survivors_path)
-        # check_unique=False: the up-front sigs anti-join already
-        # guarantees disjointness, and the strict check would refuse
-        # the partial-replay heal (bands written, sigs not).
-        append_minhash_index(
-            spark,
-            index_path,
-            survivors,
-            id_col=id_col,
-            text_col=text_col,
-            check_unique=False,
-            signed=b_surv,
-        )
+        finally:
+            # the trigger's checkpointed frames are done — release
+            # their pinned RDD blocks now, not at some future JVM GC
+            _release_checkpoints(surv_ids, survivors, b_surv)
 
     return sink
 
@@ -443,10 +554,13 @@ def compact_minhash_index(spark: SparkSession, path: str) -> dict:
     (shard, bh), sigs on doc_id — then flip the meta pointers LAST
     (readers never observe a half-compacted index). Content is
     unchanged (equivalence-tested); only layout improves."""
+    from cae_polars_tools_spark.manifest import (
+        adopt_dir_files,
+        meta_with_history,
+    )
     from cae_polars_tools_spark.sources.zarr_format import ByteStore
 
-    root = path.rstrip("/")
-    bands_path, sigs_path, meta = _dirs(spark, root)
+    root, meta = _dirs(spark, path)
     nxt_bands = _next_dir(meta["bands_dir"], "bands")
     nxt_sigs = _next_dir(meta["sigs_dir"], "sigs")
     # Table._next_version_dir's rule (table.py): a target directory
@@ -460,22 +574,31 @@ def compact_minhash_index(spark: SparkSession, path: str) -> dict:
         if store.list_prefix(orphan):
             store.delete_prefix(orphan)
     (
-        spark.read.parquet(sigs_path)
+        _read_sigs(spark, root, meta)
         .repartitionByRange(F.col("doc_id"))
         .sortWithinPartitions("doc_id")
         .write.mode("errorifexists")
         .parquet(f"{root}/{nxt_sigs}")
     )
     (
-        spark.read.parquet(bands_path)
+        _read_bands(spark, root, meta)
         .repartitionByRange(F.col("shard"), F.col("bh"))
         .sortWithinPartitions("bh", "band")
         .write.mode("errorifexists")
         .partitionBy("shard")
         .parquet(f"{root}/{nxt_bands}")
     )
-    meta = {**meta, "bands_dir": nxt_bands, "sigs_dir": nxt_sigs}
-    ByteStore.for_path(root).put(_INDEX_META, json.dumps(meta).encode())
+    # a compaction rewrites everything: each new manifest references
+    # only its own fresh files, so a later vacuum reclaims every
+    # predecessor segment
+    n_bands = adopt_dir_files(store, nxt_bands)
+    n_sigs = adopt_dir_files(store, nxt_sigs)
+    meta = meta_with_history(
+        {**meta, "bands_dir": nxt_bands, "sigs_dir": nxt_sigs},
+        "compact",
+        {"bands_files": n_bands, "sigs_files": n_sigs},
+    )
+    store.put(_INDEX_META, json.dumps(meta).encode())
     return {"bands_dir": nxt_bands, "sigs_dir": nxt_sigs}
 
 
@@ -485,11 +608,17 @@ def _next_dir(cur: str, stem: str) -> str:
 
 
 def vacuum_minhash_index(path: str) -> list[str]:
-    """Retention for the index's CoW generation chain: delete every
-    ``bands_v*`` / ``sigs_v*`` directory the current meta pointer does
-    NOT reference. Explicit and never automatic (the repo's
-    vacuum_versions caveat: only vacuum past your longest reader).
-    Returns the removed directory names."""
+    """Reference-counted retention for the index's CoW generation
+    chain: every ``bands_v*`` / ``sigs_v*`` directory the current
+    meta pointer does not reference is a candidate — its files are
+    deleted only when the LIVE manifests no longer reference them (a
+    CoW delete's new generation shares its untouched segments with
+    the old directory, which then parks them as a tombstoned husk
+    until a compaction rewrites everything). Explicit and never
+    automatic (the repo's vacuum_versions caveat: only vacuum past
+    your longest reader). Returns the names of directories that no
+    longer serve (fully removed + demoted husks)."""
+    from cae_polars_tools_spark.manifest import refs_of, vacuum_refcount
     from cae_polars_tools_spark.sources.zarr_format import ByteStore
 
     root = path.rstrip("/")
@@ -498,13 +627,24 @@ def vacuum_minhash_index(path: str) -> list[str]:
         raise FileNotFoundError(f"no MinHash index under {path}")
     live = {meta["bands_dir"], meta["sigs_dir"]}
     store = ByteStore.for_path(root)
-    removed = []
-    for name in store.list_prefix(""):
-        n = name.rstrip("/")
-        if re.fullmatch(r"(bands|sigs)_v\d+", n) and n not in live:
-            store.delete_prefix(n)
-            removed.append(n)
-    return sorted(removed)
+    referenced: set[str] = set()
+    for d in live:
+        referenced.update(refs_of(store, d))
+    candidates = sorted(
+        n.rstrip("/")
+        for n in store.list_prefix("")
+        if re.fullmatch(r"(bands|sigs)_v\d+", n.rstrip("/"))
+        and n.rstrip("/") not in live
+    )
+    stats = vacuum_refcount(store, referenced, candidates)
+    gone = sorted(set(stats["removed"]) | set(stats["demoted"]))
+    if gone or stats["files_deleted"]:
+        _record_index_op(
+            root,
+            "vacuum",
+            {"retired": gone, "files_deleted": stats["files_deleted"]},
+        )
+    return gone
 
 
 def delete_minhash_index(
@@ -515,27 +655,71 @@ def delete_minhash_index(
     """Copy-on-write DELETE from the index: rows matching ``predicate``
     (a Column or SQL string over ``doc_id``, e.g. ``"doc_id IN (7)"``)
     are removed from BOTH tables into new versioned directories via
-    :func:`storage.delete_parquet` (only files containing a match
-    rewrite), then the meta pointers flip LAST. The takedown
-    primitive: removing a document from the corpus must remove it from
-    every derived index without re-signing either. Returns per-table
-    delete counters plus the new directory names."""
+    :func:`storage.delete_parquet` in MANIFEST mode (only files
+    containing a match rewrite; untouched segments are re-referenced
+    by the new generation's manifest — zero bytes copied), then the
+    meta pointer flips LAST with the audit record folded into the
+    same PUT. The takedown primitive: removing a document from the
+    corpus must remove it from every derived index without re-signing
+    either, and at 100 TB without re-copying the index either.
+    Returns per-table delete counters plus the new directory names."""
+    from cae_polars_tools_spark.manifest import (
+        data_file_refs,
+        meta_with_history,
+        refs_of,
+        write_manifest,
+    )
     from cae_polars_tools_spark.sources.zarr_format import ByteStore
     from cae_polars_tools_spark.storage import delete_parquet
 
-    root = path.rstrip("/")
-    bands_path, sigs_path, meta = _dirs(spark, root)
+    root, meta = _dirs(spark, path)
+    store = ByteStore.for_path(root)
 
     nxt_bands = _next_dir(meta["bands_dir"], "bands")
     nxt_sigs = _next_dir(meta["sigs_dir"], "sigs")
     bands_stats = delete_parquet(
-        spark, bands_path, predicate, f"{root}/{nxt_bands}"
+        spark,
+        root,
+        predicate,
+        f"{root}/{nxt_bands}",
+        source_refs=refs_of(store, meta["bands_dir"]),
+        copy_untouched=False,
+    )
+    write_manifest(
+        store,
+        nxt_bands,
+        bands_stats.pop("untouched_refs")
+        + data_file_refs(store, nxt_bands),
+        bands_stats.pop("schema"),
     )
     sigs_stats = delete_parquet(
-        spark, sigs_path, predicate, f"{root}/{nxt_sigs}"
+        spark,
+        root,
+        predicate,
+        f"{root}/{nxt_sigs}",
+        source_refs=refs_of(store, meta["sigs_dir"]),
+        copy_untouched=False,
     )
-    meta = {**meta, "bands_dir": nxt_bands, "sigs_dir": nxt_sigs}
-    ByteStore.for_path(root).put(_INDEX_META, json.dumps(meta).encode())
+    write_manifest(
+        store,
+        nxt_sigs,
+        sigs_stats.pop("untouched_refs")
+        + data_file_refs(store, nxt_sigs),
+        sigs_stats.pop("schema"),
+    )
+    meta = meta_with_history(
+        {**meta, "bands_dir": nxt_bands, "sigs_dir": nxt_sigs},
+        "delete",
+        {
+            "bands": {
+                k: v for k, v in bands_stats.items() if k != "schema"
+            },
+            "sigs": {
+                k: v for k, v in sigs_stats.items() if k != "schema"
+            },
+        },
+    )
+    store.put(_INDEX_META, json.dumps(meta).encode())
     return {
         "bands": bands_stats,
         "sigs": sigs_stats,
@@ -582,7 +766,7 @@ def query_minhash_index(
     batch-bounded sides and AQE broadcasts at runtime whatever is
     actually small. The history tables still never shuffle more than
     their pruned, candidate-matched slices."""
-    bands_path, sigs_path, _ = _dirs(spark, path)
+    root, meta = _dirs(spark, path)
     bc = F.broadcast if broadcast_batch else (lambda df: df)
     own_cache = signed is None
     b_sigs = (
@@ -594,7 +778,7 @@ def query_minhash_index(
         F.col("doc_id").alias("doc_id_new"), "band", "bh", "shard"
     )
 
-    idx = spark.read.parquet(bands_path)
+    idx = _read_bands(spark, root, meta)
     probe = (
         b_bands.select("shard", "bh")
         .distinct()
@@ -628,7 +812,7 @@ def query_minhash_index(
         .distinct()
     )
 
-    sigs = spark.read.parquet(sigs_path)
+    sigs = _read_sigs(spark, root, meta)
     touched = sigs.join(
         bc(cand),
         sigs["doc_id"] == cand["doc_id_hist"],
@@ -819,7 +1003,7 @@ def incremental_dedup_indexed(
     test-pinned; only the physical plan changes."""
     from cae_polars_tools_spark.operators.dedup import bucket_pairs
 
-    _, sigs_path, _ = _dirs(spark, index_path)
+    root, meta = _dirs(spark, index_path)
     keep = batch.select(F.col(id_col).alias("doc_id"), *keep_cols)
     # ONE signing of the batch (fp + shingle hashes), shared by the
     # exact path, the index probe AND the within-batch pass — the
@@ -849,7 +1033,7 @@ def incremental_dedup_indexed(
     # shuffles; the matches are ⊆ batch fps, so they broadcast back)
     batch_fps = b.select("fp").distinct()
     matched = (
-        spark.read.parquet(sigs_path)
+        _read_sigs(spark, root, meta)
         .select("fp")
         .join(bc(batch_fps), "fp", "left_semi")
         .distinct()

@@ -555,6 +555,8 @@ def decontaminate_sink(
     min_hits: int = 1,
     id_col: str = "doc_id",
     text_col: str = "text",
+    use_bloom: bool = False,
+    fpp: float = 0.001,
 ):
     """``writeStream.foreachBatch`` sink decontaminating a document
     stream against a FIXED benchmark set: each micro-batch drops docs
@@ -566,17 +568,35 @@ def decontaminate_sink(
     The benchmark's distinct window-hash set is derived ONCE at sink
     construction and persisted across micro-batches (eval suites
     change rarely; re-deriving per trigger would re-explode the
-    benchmark every few seconds). Replay safety is ID-LEVEL, the
+    benchmark every few seconds); the cache releases when the sink
+    callable itself is dropped. Replay safety is ID-LEVEL, the
     ingest-sink rule: the batch dedups within itself and anti-joins
     ids already in the clean table, so a redelivered micro-batch
     (foreachBatch's at-least-once contract) appends nothing — the
     sink is effectively-once for stable doc ids. A contaminated doc
     is dropped deterministically on every delivery (the benchmark is
-    fixed), so replays converge."""
+    fixed), so replays converge.
+
+    The clean-table id set carries NO broadcast hint: it grows for
+    the stream's lifetime, and a forced broadcast of it would
+    eventually slow every trigger and OOM executors (the
+    BATCH_BROADCAST_MAX rule — only batch-bounded sides get hints);
+    AQE still broadcasts it at runtime while it is actually small.
+
+    ``use_bloom=True`` is the benchmark-too-big-to-broadcast regime
+    (:func:`decontaminate_bloom`'s sink twin): the bitmap builds once
+    at construction (~10 bits per distinct benchmark window at
+    fpp=1e-3), ships once per executor as a Spark broadcast, prunes
+    each micro-batch's windows map-side, and the exact verify join
+    against the persisted hash set — unhinted, AQE decides — removes
+    every false positive. Output is identical across the switch
+    (stream≡batch equivalence is test-pinned); only the physical
+    plan changes."""
     from pyspark.errors import AnalysisException
 
     from cae_polars_tools_spark.operators.dedup import hashed_shingles
 
+    spark0 = benchmark.sparkSession
     bh = (
         benchmark.select(
             F.explode(hashed_shingles(F.col(text_col), ngram)).alias("g")
@@ -584,7 +604,13 @@ def decontaminate_sink(
         .distinct()
         .persist()
     )
-    bh.count()  # materialize once, at construction
+    n_windows = bh.count()  # materialize once, at construction
+    if use_bloom:
+        bitmap, m, k = build_hash_bloom(bh, n_items=n_windows, fpp=fpp)
+        member = _bloom_member_udf(spark0, bitmap)
+        probe_pos = F.array(
+            *[F.pmod(F.xxhash64("g", F.lit(i)), F.lit(m)) for i in range(k)]
+        )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.columns or batch_df.isEmpty():
@@ -593,22 +619,63 @@ def decontaminate_sink(
         batch = batch_df.dropDuplicates([id_col])
         try:
             seen = spark.read.parquet(clean_path).select(id_col)
-            batch = batch.join(F.broadcast(seen), id_col, "left_anti")
+            batch = batch.join(seen, id_col, "left_anti")
         except AnalysisException as e:
             if "PATH_NOT_FOUND" not in str(e):
                 raise  # transient read failure: retry, don't duplicate
-        flagged = _hits_vs_hashes(
-            batch, bh, ngram, id_col, text_col, broadcast_benchmark=True
-        ).filter(F.col("n_hits") >= min_hits)
+        if use_bloom:
+            # map-side bitmap prune, then exact verify (no false
+            # negatives → the semi-join removes exactly the false
+            # positives); neither side hinted — the benchmark hash
+            # set is the too-big-to-broadcast premise of this mode
+            cand = batch.select(
+                F.col(id_col),
+                F.explode(
+                    hashed_shingles(F.col(text_col), ngram)
+                ).alias("g"),
+            ).filter(member(probe_pos))
+            flagged = (
+                cand.join(bh, "g", "left_semi")
+                .groupBy(id_col)
+                .agg(F.count_distinct("g").alias("n_hits"))
+                .filter(F.col("n_hits") >= min_hits)
+            )
+        else:
+            flagged = _hits_vs_hashes(
+                batch, bh, ngram, id_col, text_col,
+                broadcast_benchmark=True,
+            ).filter(F.col("n_hits") >= min_hits)
         survivors = batch.join(
             F.broadcast(flagged.select(id_col)), id_col, "left_anti"
         )
         # the anti-join above reads the table this writes —
-        # localCheckpoint severs the lineage (the ingest-sink rule)
-        survivors.localCheckpoint().write.mode("append").parquet(
-            clean_path
+        # localCheckpoint severs the lineage (the ingest-sink rule);
+        # its RDD blocks release as soon as the write lands (a
+        # long-lived stream must not accumulate one pinned batch per
+        # trigger until JVM GC)
+        from cae_polars_tools_spark.operators.dedup import (
+            _checkpoint_rdd,
         )
 
+        ck = survivors.localCheckpoint()
+        try:
+            ck.write.mode("append").parquet(clean_path)
+        finally:
+            if (r := _checkpoint_rdd(ck)) is not None:
+                _unpersist_quietly([r])
+
+    # release the construction-time benchmark cache when the sink
+    # callable is dropped (the _release_on_gc convention, applied to
+    # a function handle): a session cycling decontamination sinks
+    # must not accumulate one cached hash set per sink
+    import weakref
+
+    from cae_polars_tools_spark.operators.dedup import (
+        _unpersist_quietly,
+    )
+
+    if (j := getattr(bh, "_jdf", None)) is not None:
+        weakref.finalize(sink, _unpersist_quietly, [j])
     return sink
 
 

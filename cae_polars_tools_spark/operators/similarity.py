@@ -1572,18 +1572,30 @@ def build_ivfpq_index(
     ).coalesce(1).write.mode("overwrite").parquet(
         f"{root}/model/codebooks"
     )
-    meta = {
-        "format": "ivfpq-v1",
-        "dim": int(centroids.shape[1]),
-        "n_centroids": int(n_centroids),
-        "m": int(m),
-        "n_codewords": int(n_codewords),
-        "codes_dir": "codes",
-        "fingerprint": fingerprint,
-    }
-    ByteStore.for_path(root).put(
-        _INDEX_META, json.dumps(meta).encode()
+    # manifest + history: later deletes/compactions commit only
+    # rewritten files (untouched segments re-referenced) and the
+    # audit trail rides the same pointer PUT — manifest.py's model
+    from cae_polars_tools_spark.manifest import (
+        adopt_dir_files,
+        meta_with_history,
     )
+
+    store = ByteStore.for_path(root)
+    n_files = adopt_dir_files(store, "codes")
+    meta = meta_with_history(
+        {
+            "format": "ivfpq-v1",
+            "dim": int(centroids.shape[1]),
+            "n_centroids": int(n_centroids),
+            "m": int(m),
+            "n_codewords": int(n_codewords),
+            "codes_dir": "codes",
+            "fingerprint": fingerprint,
+        },
+        "build",
+        {"codes_files": n_files},
+    )
+    store.put(_INDEX_META, json.dumps(meta).encode())
     return meta
 
 
@@ -1636,7 +1648,7 @@ def append_ivfpq_index(
         embeddings, centroids, codebooks, id_col, emb_col
     )
     if check_unique:
-        existing = spark.read.parquet(codes_path).select("vec_id")
+        existing = _read_codes(spark, root, meta).select("vec_id")
         dup = new.join(existing, "vec_id", "left_semi").limit(1).count()
         if dup:
             raise ValueError(
@@ -1660,6 +1672,16 @@ def append_ivfpq_index(
             )
     n = new.count()
     new.write.mode("append").partitionBy("cl").parquet(codes_path)
+    # adopt the fresh segment files into the codes manifest (atomic
+    # PUT; a crash in between leaves unmanifested orphans readers
+    # never see and vacuum reclaims), then the audit record
+    from cae_polars_tools_spark.manifest import adopt_dir_files
+    from cae_polars_tools_spark.sources.zarr_format import ByteStore
+
+    adopt_dir_files(
+        ByteStore.for_path(root), meta.get("codes_dir", "codes")
+    )
+    _record_ivfpq_op(root, "append", {"rows_appended": n})
     return {"rows_appended": n}
 
 
@@ -1689,7 +1711,7 @@ def ivfpq_ingest_sink(
         if meta is None:
             raise FileNotFoundError(f"no IVF-PQ index under {path}")
         codes_path = f"{root}/{meta.get('codes_dir', 'codes')}"
-        existing = spark.read.parquet(codes_path).select(
+        existing = _read_codes(spark, root, meta).select(
             F.col("vec_id")
         )
         # Dedup WITHIN the micro-batch first: the anti-join below only
@@ -1708,6 +1730,13 @@ def ivfpq_ingest_sink(
             fresh, centroids, codebooks, id_col, emb_col
         )
         new.write.mode("append").partitionBy("cl").parquet(codes_path)
+        from cae_polars_tools_spark.manifest import adopt_dir_files
+        from cae_polars_tools_spark.sources.zarr_format import ByteStore
+
+        adopt_dir_files(
+            ByteStore.for_path(root), meta.get("codes_dir", "codes")
+        )
+        _record_ivfpq_op(root, "append", {"batch_id": batch_id})
 
     return sink
 
@@ -1733,24 +1762,35 @@ def compact_ivfpq_index(
     from cae_polars_tools_spark.sources.zarr_format import ByteStore
     from cae_polars_tools_spark.storage import compact_parquet
 
+    from cae_polars_tools_spark.manifest import (
+        adopt_dir_files,
+        meta_with_history,
+        refs_of,
+    )
+
     root = path.rstrip("/")
     meta = load_ivfpq_meta(root)
     if meta is None:
         raise FileNotFoundError(f"no IVF-PQ index under {path}")
+    store = ByteStore.for_path(root)
     cur = meta.get("codes_dir", "codes")
     m_v = _re.fullmatch(r"codes_v(\d+)", cur)
     nxt = f"codes_v{int(m_v.group(1)) + 1 if m_v else 1}"
     n = compact_parquet(
         spark,
-        f"{root}/{cur}",
+        root,
         f"{root}/{nxt}",
         target_file_bytes=target_file_bytes,
         sort_cols=["vec_id"],
+        source_refs=refs_of(store, cur),
     )
-    meta = {**meta, "codes_dir": nxt}
-    ByteStore.for_path(root).put(
-        _INDEX_META, json.dumps(meta).encode()
+    # full rewrite → the new manifest references only fresh files;
+    # vacuum can then reclaim every predecessor segment
+    adopt_dir_files(store, nxt)
+    meta = meta_with_history(
+        {**meta, "codes_dir": nxt}, "compact", {"files": n}
     )
+    store.put(_INDEX_META, json.dumps(meta).encode())
     return {"files": n, "codes_dir": nxt}
 
 
@@ -1775,34 +1815,59 @@ def delete_ivfpq_index(
     from cae_polars_tools_spark.sources.zarr_format import ByteStore
     from cae_polars_tools_spark.storage import delete_parquet
 
+    from cae_polars_tools_spark.manifest import (
+        data_file_refs,
+        meta_with_history,
+        refs_of,
+        write_manifest,
+    )
+
     root = path.rstrip("/")
     meta = load_ivfpq_meta(root)
     if meta is None:
         raise FileNotFoundError(f"no IVF-PQ index under {path}")
+    store = ByteStore.for_path(root)
     cur = meta.get("codes_dir", "codes")
     m_v = _re.fullmatch(r"codes_v(\d+)", cur)
     nxt = f"codes_v{int(m_v.group(1)) + 1 if m_v else 1}"
     stats = delete_parquet(
-        spark, f"{root}/{cur}", predicate, f"{root}/{nxt}"
+        spark,
+        root,
+        predicate,
+        f"{root}/{nxt}",
+        source_refs=refs_of(store, cur),
+        copy_untouched=False,
     )
-    meta = {**meta, "codes_dir": nxt}
-    ByteStore.for_path(root).put(
-        _INDEX_META, json.dumps(meta).encode()
+    write_manifest(
+        store,
+        nxt,
+        stats.pop("untouched_refs") + data_file_refs(store, nxt),
+        stats.pop("schema"),
     )
+    meta = meta_with_history(
+        {**meta, "codes_dir": nxt},
+        "delete",
+        {k: v for k, v in stats.items()},
+    )
+    store.put(_INDEX_META, json.dumps(meta).encode())
     stats["codes_dir"] = nxt
     return stats
 
 
 def vacuum_ivfpq_index(path: str) -> list[str]:
-    """Retention for the IVF-PQ index's CoW generation chain: delete
-    every ``codes_v*`` directory the current ``_INDEX.json`` pointer
-    does NOT reference (compact/delete each leave their predecessor on
-    disk so readers of the old pointer finish safely). Explicit and
-    never automatic — the ``vacuum_minhash_index`` twin, same caveat:
-    only vacuum past your longest reader. Returns the removed
-    directory names."""
+    """Reference-counted retention for the IVF-PQ index's CoW
+    generation chain: every ``codes*`` directory the current
+    ``_INDEX.json`` pointer does not reference is a candidate — its
+    files are deleted only when the live manifest no longer
+    references them (a CoW delete's generation shares untouched
+    segments with its predecessor, which then parks them as a
+    tombstoned husk until a compaction rewrites everything). Explicit
+    and never automatic — the ``vacuum_minhash_index`` twin, same
+    caveat: only vacuum past your longest reader. Returns the names
+    of directories that no longer serve (removed + demoted husks)."""
     import re as _re
 
+    from cae_polars_tools_spark.manifest import refs_of, vacuum_refcount
     from cae_polars_tools_spark.sources.zarr_format import ByteStore
 
     root = path.rstrip("/")
@@ -1811,15 +1876,65 @@ def vacuum_ivfpq_index(path: str) -> list[str]:
         raise FileNotFoundError(f"no IVF-PQ index under {path}")
     live = meta.get("codes_dir", "codes")
     store = ByteStore.for_path(root)
-    removed = []
-    for name in store.list_prefix(""):
-        n = name.rstrip("/")
-        if n == live:
-            continue
-        if n == "codes" or _re.fullmatch(r"codes_v\d+", n):
-            store.delete_prefix(n)
-            removed.append(n)
-    return sorted(removed)
+    referenced = set(refs_of(store, live))
+    candidates = sorted(
+        n.rstrip("/")
+        for n in store.list_prefix("")
+        if n.rstrip("/") != live
+        and (
+            n.rstrip("/") == "codes"
+            or _re.fullmatch(r"codes_v\d+", n.rstrip("/"))
+        )
+    )
+    stats = vacuum_refcount(store, referenced, candidates)
+    gone = sorted(set(stats["removed"]) | set(stats["demoted"]))
+    if gone or stats["files_deleted"]:
+        _record_ivfpq_op(
+            root,
+            "vacuum",
+            {"retired": gone, "files_deleted": stats["files_deleted"]},
+        )
+    return gone
+
+
+def _read_codes(spark: SparkSession, root: str, meta: dict):
+    """The live codes table, manifest-resolved (after a CoW delete
+    its files may span several ``codes_v*`` directories; a legacy
+    manifest-less index reads whole-directory). Partition pruning on
+    ``cl`` pushes into every per-birth-dir scan branch."""
+    from cae_polars_tools_spark.manifest import read_artifact
+
+    return read_artifact(spark, root, meta.get("codes_dir", "codes"))
+
+
+def _record_ivfpq_op(root: str, op: str, stats: dict) -> None:
+    """Audit record for verbs that do not flip the codes pointer
+    (append, vacuum) — pointer-flipping verbs fold theirs into the
+    flip PUT (the minhash_index._record_index_op convention)."""
+    import json
+
+    from cae_polars_tools_spark.manifest import meta_with_history
+    from cae_polars_tools_spark.sources.zarr_format import ByteStore
+
+    meta = load_ivfpq_meta(root)
+    if meta is None:
+        return
+    ByteStore.for_path(root).put(
+        _INDEX_META,
+        json.dumps(meta_with_history(meta, op, stats)).encode(),
+    )
+
+
+def describe_ivfpq_index_history(path: str) -> list[dict]:
+    """The index's audit trail, oldest first: one ``{op, ts,
+    generation, stats}`` record per lifecycle verb (build / append /
+    delete / compact / vacuum) — ``Table.describe_history``'s
+    counterpart for the ANN index (capped at ``manifest.HISTORY_CAP``
+    records). One metadata GET."""
+    meta = load_ivfpq_meta(path)
+    if meta is None:
+        raise FileNotFoundError(f"no IVF-PQ index under {path}")
+    return list(meta.get("history", []))
 
 
 def load_ivfpq_meta(path: str) -> dict | None:
@@ -1881,8 +1996,7 @@ def query_ivfpq_index(
     # keep `cl` the raw partition column (no cast): the static isin
     # filter must land as a PartitionFilter on the scan, and the join
     # coerces int/long keys itself
-    codes_path = f"{root}/{meta.get('codes_dir', 'codes')}"
-    cand = spark.read.parquet(codes_path).select(
+    cand = _read_codes(spark, root, meta).select(
         F.col("vec_id").alias("neighbor_id"), "cl", "codes"
     )
     return _ivfpq_query(

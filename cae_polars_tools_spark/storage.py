@@ -179,7 +179,7 @@ def compact_parquet(
     root, refs, pcols, df = _cow_source(
         spark, src, read_schema, source_refs, "compact_parquet"
     )
-    total = sum(os.path.getsize(p) for p in _ref_paths(root, refs))
+    total = _ref_bytes(root, refs)
     n = max(1, math.ceil(total / target_file_bytes))
     if pcols:
         if sort_cols:
@@ -290,7 +290,7 @@ def zorder_parquet(
         root, refs, _pcols, df = _cow_source(
             spark, src, read_schema, source_refs, "zorder_parquet"
         )
-        total = sum(os.path.getsize(p) for p in _ref_paths(root, refs))
+        total = _ref_bytes(root, refs)
     numeric = {
         f.name
         for f in df.schema.fields
@@ -447,6 +447,17 @@ def _ref_paths(root: str, refs: list[str]) -> list[str]:
     return [os.path.join(root, *r.split("/")) for r in refs]
 
 
+def _ref_bytes(root: str, refs: list[str]) -> int:
+    """Total size of referenced files via the ByteStore seam — a
+    metadata call per file (local stat / HEAD / S3 HeadObject), so
+    CoW file-sizing works wherever the manifest does, not only on
+    local paths."""
+    from cae_polars_tools_spark.manifest import ref_sizes
+    from cae_polars_tools_spark.sources.zarr_format import ByteStore
+
+    return sum(ref_sizes(ByteStore.for_path(root), refs))
+
+
 def merge_parquet(
     spark: SparkSession,
     target: str,
@@ -522,7 +533,6 @@ def merge_parquet(
             f"updates columns {sorted(updates.columns)} must equal the "
             f"target's {sorted(t.columns)} (aligned by name)"
         )
-    all_files = _ref_paths(root, refs)
     # name-AND-type alignment: a dtype drift (int updates vs long
     # target) would flow through unionByName into the rewritten files
     # and leave dst with a schema split across byte-copied vs
@@ -580,7 +590,7 @@ def merge_parquet(
         # bytes-per-row from dataset statistics sizes the rewritten
         # files: the update volume counts too (a large insert batch
         # must not funnel into one giant single-task file)
-        total_bytes = sum(os.path.getsize(f) for f in all_files)
+        total_bytes = _ref_bytes(root, refs)
         t_rows = t.count()  # parquet metadata count — no data scan
         bpr = total_bytes / max(t_rows, 1)
         upd_rows = updates.count()
@@ -601,8 +611,7 @@ def merge_parquet(
             stats["rows_inserted"] = upd_rows - matched
             out = survivors.unionByName(updates)
             est = (
-                sum(os.path.getsize(p) for p in _ref_paths(root, aff_refs))
-                + upd_rows * bpr
+                _ref_bytes(root, aff_refs) + upd_rows * bpr
             )
         else:
             stats["rows_inserted"] = upd_rows
@@ -702,9 +711,7 @@ def delete_parquet(
         # NULL-predicate rows SURVIVE: plain ~pred maps NULL→NULL and
         # the filter would silently drop them uncounted
         survivors = aff.filter(pred.isNull() | ~pred)
-        total = sum(
-            os.path.getsize(p) for p in _ref_paths(root, aff_refs)
-        )
+        total = _ref_bytes(root, aff_refs)
         n_files = max(1, math.ceil(total / target_file_bytes))
         writer = survivors.repartition(
             *([n_files] + pcols if pcols else [n_files])

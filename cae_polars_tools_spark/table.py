@@ -836,5 +836,59 @@ def _register_evolution_entry() -> None:
         )
 
 
+def _register_restore_entry() -> None:
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from cae_polars_tools_spark.io import read_table
+    from cae_polars_tools_spark.plans.registry import register
+
+    @register(
+        "storage_restore_lifecycle",
+        oracle="""
+            SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_orderkey % 5 = 0
+                        THEN o_totalprice * 1.1
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders
+        """,
+        tags=("storage", "lakehouse", "restore", "extension"),
+        window_rank=1,
+    )
+    def storage_restore_lifecycle(spark, sf_dir: str):
+        """RESTORE as a metadata-only commit, value-checked: seed a
+        versioned table from orders (v0), DELETE a bad takedown that
+        removed too much (v1: every 3rd order gone), RESTORE v0 (v2 —
+        a pure manifest commit: zero data bytes move, the new version
+        references v0's files), then MERGE the correction that should
+        have happened instead (every 5th order's price +10%, v3), and
+        read CURRENT. The oracle recomputes the final state from the
+        raw table — a restore that aliased the wrong version, resur-
+        rected the deleted rows into the merge, or dropped rows
+        through the shared-file manifest fails the hash gate."""
+        orders = read_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        scratch = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".tmp",
+            "table_restore_demo",
+        )
+        shutil.rmtree(scratch, ignore_errors=True)
+        t = Table.create(spark, scratch, orders)
+        t.delete("o_orderkey % 3 = 0")  # the bad takedown
+        t.restore(0)  # metadata-only rollback
+        correction = orders.filter(
+            F.col("o_orderkey") % 5 == 0
+        ).withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+        t.merge(correction, keys=["o_orderkey"])
+        return t.current().select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+
+
 _register_table_entry()
 _register_evolution_entry()
+_register_restore_entry()

@@ -395,3 +395,31 @@ def test_takedown_command(spark, tmp_path, capsys):
     partial = json.loads(out.out)
     assert partial["table"]["rows_deleted"] == 1
     assert "Error:" in out.err
+
+
+def test_cli_takedown_string_ids(spark, tmp_path, capsys):
+    """A Table keyed by STRING doc ids purges through the CLI: ids
+    that don't all parse as ints pass through as strings (previously
+    int() raised before the cascade ever ran)."""
+    from cae_polars_tools_spark.table import Table
+
+    docs = spark.createDataFrame(
+        [(f"doc-{i}", f"document body {i} words " * 5) for i in range(10)],
+        "doc_id string, text string",
+    )
+    troot = str(tmp_path / "t")
+    Table.create(spark, troot, docs)
+    assert (
+        main(["takedown", "--ids", "doc-3,doc-7", "--table", troot])
+        == 0
+    )
+    manifest = json.loads(capsys.readouterr().out)
+    assert manifest["doc_ids"] == ["doc-3", "doc-7"]
+    assert manifest["table"]["rows_deleted"] == 2
+    assert (
+        Table(spark, troot)
+        .current()
+        .filter("doc_id IN ('doc-3','doc-7')")
+        .count()
+        == 0
+    )

@@ -119,6 +119,8 @@ SF01_SENSITIVE = (
     "storage_schema_evolution",  # mixed-schema CoW reads under volume
     "pipeline_decontaminate_bloom",  # FP-verify stage under volume
     "q84_quantile_approx",  # GK-sketch tolerance boolean under volume
+    # round-13 additions hand-verified at sf0.01 during the build
+    "storage_restore_lifecycle",  # manifest-aliased restore under volume
 )
 
 

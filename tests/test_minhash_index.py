@@ -194,15 +194,28 @@ def test_vacuum_removes_only_stale_generations(spark, tmp_path):
         vacuum_minhash_index,
     )
 
+    from cae_polars_tools_spark.operators.minhash_index import (
+        compact_minhash_index,
+    )
+
     root = str(tmp_path / "idx")
     hist = _docs(spark).filter(~F.expr(_PRED))
     build_minhash_index(hist, root)
     before = _query_set(spark, root)
     delete_minhash_index(spark, root, "doc_id = -1")  # no-op delete → v1
     removed = vacuum_minhash_index(root)
+    # the no-op delete's v1 manifests re-reference every v0 segment
+    # (zero bytes copied), so v0 demotes to a husk parking the shared
+    # files — retired from service, files refcount-protected
     assert removed == ["bands_v0", "sigs_v0"]
-    assert not os.path.isdir(f"{root}/bands_v0")
     assert _query_set(spark, root) == before  # live generation intact
+    # a compaction rewrites everything into fresh segments; the next
+    # vacuum finds the husk files unreferenced and reclaims them fully
+    compact_minhash_index(spark, root)
+    vacuum_minhash_index(root)
+    assert not os.path.isdir(f"{root}/bands_v0")
+    assert not os.path.isdir(f"{root}/sigs_v0")
+    assert _query_set(spark, root) == before
 
 
 def test_index_handles_non_ascii_text(spark, tmp_path):
@@ -469,16 +482,17 @@ def test_minhash_index_random_verb_sequences_match_rebuild(spark, tmp_path):
             for r in query_minhash_index(spark, fresh, probe).collect()
         }
         assert got == want, op
-        # sigs content: exactly the model's ids, no duplicates
-        bands_path, sigs_path, _ = _dirs_of(root)
-        sigs = spark.read.parquet(sigs_path)
+        # sigs content (manifest-resolved): exactly the model's ids,
+        # no duplicates
+        from cae_polars_tools_spark.operators.minhash_index import (
+            _dirs,
+            _read_sigs,
+        )
+
+        r_root, meta = _dirs(spark, root)
+        sigs = _read_sigs(spark, r_root, meta)
         ids = [r["doc_id"] for r in sigs.select("doc_id").collect()]
         assert sorted(ids) == sorted(model), op
-
-    def _dirs_of(path):
-        from cae_polars_tools_spark.operators.minhash_index import _dirs
-
-        return _dirs(spark, path)
 
     for step in range(7):
         op = rng.choice(["append", "ingest", "delete", "compact", "vacuum"])
@@ -535,3 +549,110 @@ def test_stream_indexed_all_duplicate_batch_is_noop(spark, tmp_path):
 
     assert not os.path.exists(surv)
     assert spark.read.parquet(f"{root}/sigs_v0").count() == n0
+
+
+def test_index_delete_commits_only_rewritten_files(spark, tmp_path):
+    """Manifest pin for the index CoW verbs (the round-12 verdict's
+    task #2): a takedown delete writes ONLY the files that contained
+    the victim; every untouched segment is re-referenced by the new
+    generation's manifest — zero copied files, original inodes
+    untouched — and probe answers still match a fresh rebuild."""
+    import os as _os
+
+    from cae_polars_tools_spark.manifest import load_manifest
+    from cae_polars_tools_spark.operators.minhash_index import (
+        describe_minhash_index_history,
+        load_minhash_meta,
+    )
+    from cae_polars_tools_spark.sources.zarr_format import ByteStore
+
+    from cae_polars_tools_spark.operators.minhash_index import (
+        append_minhash_index,
+    )
+
+    root = str(tmp_path / "idx")
+    hist = _docs(spark).filter(~F.expr(_PRED))
+    build_minhash_index(hist, root)
+    # a second sigs segment via append, then delete FROM that segment:
+    # the original build segment must come through by reference
+    append_minhash_index(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(900, "appended takedown victim content " * 4, "x")],
+            "doc_id long, text string, source string",
+        ),
+    )
+
+    def inodes(d):
+        return {
+            _os.path.join(r, f): _os.stat(_os.path.join(r, f)).st_ino
+            for r, _dd, fs in _os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        }
+
+    sigs_inodes = inodes(f"{root}/sigs_v0")
+    stats = delete_minhash_index(spark, root, "doc_id = 900")
+    # only the containing files rewrote; the rest re-referenced. The
+    # victim lives in the appended sigs segment only, so the build's
+    # segment is untouched; the victim's 32 band rows can touch many
+    # band files at this tiny scale, so only the no-copy contract is
+    # asserted there.
+    for part in ("bands", "sigs"):
+        s = stats[part]
+        assert s["files_rewritten"] >= 1
+        assert "files_copied" not in s
+    assert stats["sigs"]["files_rewritten"] == 1
+    assert stats["sigs"]["files_referenced"] >= 1
+    # no copied- files anywhere in the new generations
+    for d in (stats["bands_dir"], stats["sigs_dir"]):
+        for r, _dd, fs in _os.walk(f"{root}/{d}"):
+            assert not any(f.startswith("copied-") for f in fs)
+    # untouched sigs_v0 inodes intact and still referenced
+    for f, ino in sigs_inodes.items():
+        assert _os.stat(f).st_ino == ino
+    store = ByteStore.for_path(root)
+    m = load_manifest(store, stats["sigs_dir"])
+    assert any(r.startswith("sigs_v0/") for r in m["files"])
+    # correctness: probes equal a fresh rebuild without the victim
+    fresh = str(tmp_path / "fresh")
+    build_minhash_index(hist, fresh)
+    assert _query_set(spark, root) == _query_set(spark, fresh)
+
+    # audit trail: build → append → delete, generations advance
+    ops = [h["op"] for h in describe_minhash_index_history(root)]
+    assert ops == ["build", "append", "delete"]
+    gens = [h["generation"] for h in describe_minhash_index_history(root)]
+    assert gens == sorted(gens)
+    assert load_minhash_meta(root)["generation"] == gens[-1]
+
+
+def test_index_history_full_lifecycle_chain(spark, tmp_path):
+    """describe_minhash_index_history through the whole verb chain —
+    build → append → delete → compact → vacuum — with stats per op."""
+    from cae_polars_tools_spark.operators.minhash_index import (
+        append_minhash_index,
+        compact_minhash_index,
+        describe_minhash_index_history,
+        vacuum_minhash_index,
+    )
+
+    root = str(tmp_path / "idx")
+    hist = _docs(spark).filter(~F.expr(_PRED))
+    build_minhash_index(hist, root)
+    batch = spark.createDataFrame(
+        [(900, "fresh appended content entirely new " * 4, "x")],
+        "doc_id long, text string, source string",
+    )
+    append_minhash_index(spark, root, batch)
+    delete_minhash_index(spark, root, "doc_id = 900")
+    compact_minhash_index(spark, root)
+    vacuum_minhash_index(root)
+    h = describe_minhash_index_history(root)
+    assert [r["op"] for r in h] == [
+        "build", "append", "delete", "compact", "vacuum"
+    ]
+    assert h[1]["stats"]["rows_appended"] == 1
+    assert h[2]["stats"]["sigs"]["rows_deleted"] == 1
+    assert all(r["ts"] is not None for r in h)

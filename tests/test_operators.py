@@ -2066,3 +2066,77 @@ def test_ivfpq_compact_and_delete_retry_after_crash_orphan(spark, tmp_path):
     assert stats["rows_deleted"] == 1
     assert not os.path.exists(f"{root}/codes_v1/junk.txt")
     assert victim not in {t[1] for t in rows(root)}
+
+
+def test_ivfpq_delete_commits_only_rewritten_files(spark, tmp_path):
+    """Manifest pin for the IVF-PQ CoW verbs: a takedown delete of
+    one vector rewrites only its inverted list's file(s); every other
+    cell segment is re-referenced (zero copies, inodes untouched),
+    queries still answer bit-equal, and describe_ivfpq_index_history
+    replays the whole build → append → delete → compact → vacuum
+    chain."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from cae_polars_tools_spark.io import read_table
+    from cae_polars_tools_spark.manifest import load_manifest
+    from cae_polars_tools_spark.operators.similarity import (
+        N_QUERIES,
+        append_ivfpq_index,
+        build_ivfpq_index,
+        compact_ivfpq_index,
+        delete_ivfpq_index,
+        describe_ivfpq_index_history,
+        query_ivfpq_index,
+        vacuum_ivfpq_index,
+    )
+    from cae_polars_tools_spark.sources.zarr_format import ByteStore
+
+    e = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    root = str(tmp_path / "idx")
+    hold_out = (
+        e.orderBy(F.col("vec_id").desc()).first()["vec_id"]
+    )
+    build_ivfpq_index(e.filter(F.col("vec_id") != hold_out), root)
+    append_ivfpq_index(
+        spark, root, e.filter(F.col("vec_id") == hold_out)
+    )
+    want = sorted(
+        tuple(r) for r in query_ivfpq_index(spark, root, q).collect()
+        if r["neighbor_id"] != hold_out
+    )
+
+    def inodes(d):
+        return {
+            _os.path.join(r, f): _os.stat(_os.path.join(r, f)).st_ino
+            for r, _dd, fs in _os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        }
+
+    before = inodes(f"{root}/codes")
+    stats = delete_ivfpq_index(spark, root, f"vec_id = {hold_out}")
+    assert stats["files_rewritten"] >= 1
+    assert stats["files_referenced"] >= 1
+    assert "files_copied" not in stats
+    # zero copies in the new generation; untouched inodes intact
+    for r, _dd, fs in _os.walk(f"{root}/{stats['codes_dir']}"):
+        assert not any(f.startswith("copied-") for f in fs)
+    for f, ino in before.items():
+        assert _os.stat(f).st_ino == ino
+    m = load_manifest(ByteStore.for_path(root), stats["codes_dir"])
+    assert any(r.startswith("codes/") for r in m["files"])
+    got = sorted(
+        tuple(r) for r in query_ivfpq_index(spark, root, q).collect()
+    )
+    assert got == want
+
+    compact_ivfpq_index(spark, root)
+    vacuum_ivfpq_index(root)
+    assert sorted(
+        tuple(r) for r in query_ivfpq_index(spark, root, q).collect()
+    ) == want
+    ops = [h["op"] for h in describe_ivfpq_index_history(root)]
+    assert ops == ["build", "append", "delete", "compact", "vacuum"]

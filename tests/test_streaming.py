@@ -920,3 +920,53 @@ def test_decontaminate_sink_stream_equals_batch(spark, tmp_path):
     }
     assert got == want
     assert spark.read.parquet(clean).count() == len(want)
+
+
+def test_decontaminate_sink_bloom_equals_batch_bloom(spark, tmp_path):
+    """The Bloom-prefiltered sink regime (benchmark too big to
+    broadcast): micro-batches through use_bloom=True — with a
+    redelivered batch — must land exactly decontaminate_bloom()'s
+    survivors, identical to the exact sink's output (Bloom verify
+    removes every false positive), with no duplicate rows."""
+    import gc
+
+    from cae_polars_tools_spark.io import read_table
+    from cae_polars_tools_spark.operators.pipeline import (
+        decontaminate_bloom,
+        decontaminate_sink,
+    )
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = docs.filter("source = 'src19'").select("doc_id", "text")
+    corp = docs.filter("source <> 'src19'").select(
+        "doc_id", "text", "source"
+    )
+    want = {
+        (r["doc_id"], r["source"])
+        for r in decontaminate_bloom(corp, bench).collect()
+    }
+    assert 0 < len(want) < corp.count(), "fixture must drop something"
+
+    clean = str(tmp_path / "clean_bloom")
+    sink = decontaminate_sink(bench, clean, use_bloom=True)
+    batches = [corp.filter((F.col("doc_id") % 3) == b) for b in range(3)]
+    sink(batches[0], 0)
+    sink(batches[1], 1)
+    sink(batches[0], 0)  # redelivery after later batches landed
+    sink(batches[2], 2)
+
+    got = {
+        (r["doc_id"], r["source"])
+        for r in spark.read.parquet(clean).collect()
+    }
+    assert got == want
+    assert spark.read.parquet(clean).count() == len(want)
+
+    # sink-lifetime cache hygiene: dropping the sink releases the
+    # construction-time benchmark hash cache; per-trigger checkpoints
+    # were already released per batch
+    del sink
+    gc.collect()
+    assert (
+        spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
+    )
