@@ -805,6 +805,15 @@ def create_parser() -> argparse.ArgumentParser:
     )
     sp.set_defaults(func=takedown_command)
 
+    sp = sub.add_parser(
+        "history",
+        help="audit trail of a versioned artifact (Table, MinHash "
+        "index, or IVF-PQ index) as JSON — op/version/stats per "
+        "commit, no data read",
+    )
+    sp.add_argument("path", help="artifact root path")
+    sp.set_defaults(func=history_command)
+
     return p
 
 
@@ -851,6 +860,66 @@ def takedown_command(args) -> int:
         return 1
     print(json.dumps(manifest, indent=1, sort_keys=True))
     return 0
+
+
+def history_command(args) -> int:
+    """The takedown-audit read: print the artifact's commit history
+    as JSON. Auto-detects the artifact kind by its pointer object —
+    ``_CURRENT.json`` (Table) or ``_INDEX.json`` (MinHash / IVF-PQ
+    index, distinguished by the ``format`` field). Metadata GETs
+    only; for the Table the per-version ``_COMMIT.json`` sidecars are
+    read, no Spark session is started and no data file is opened."""
+    import json
+
+    from cae_polars_tools_spark.sources.zarr_format import ByteStore
+
+    root = args.path.rstrip("/")
+    store = ByteStore.for_path(root)
+    if store.get("_CURRENT.json") is not None:
+        # Table history without a SparkSession: replay the retained
+        # versions' commit sidecars exactly like Table.describe_history
+        import re as _re
+
+        from cae_polars_tools_spark.manifest import is_tombstoned
+
+        records = []
+        versions = sorted(
+            int(m.group(1))
+            for n in store.list_prefix("")
+            if (m := _re.fullmatch(r"v(\d+)/?", n))
+            and not is_tombstoned(store, f"v{m.group(1)}")
+        )
+        for v in versions:
+            raw = store.get(f"v{v}/_COMMIT.json")
+            rec = (
+                json.loads(raw)
+                if raw is not None
+                else {"op": "unknown", "ts": None, "stats": {}}
+            )
+            records.append({"version": v, **rec})
+        print(json.dumps({"kind": "table", "history": records}, indent=1))
+        return 0
+    raw = store.get("_INDEX.json")
+    if raw is not None:
+        meta = json.loads(raw)
+        kind = (
+            "ivfpq-index"
+            if str(meta.get("format", "")).startswith("ivfpq")
+            else "minhash-index"
+        )
+        print(
+            json.dumps(
+                {"kind": kind, "history": meta.get("history", [])},
+                indent=1,
+            )
+        )
+        return 0
+    print(
+        f"Error: no versioned artifact under {args.path!r} (neither "
+        "_CURRENT.json nor _INDEX.json found)",
+        file=sys.stderr,
+    )
+    return 1
 
 
 def main(argv: list[str] | None = None) -> int:

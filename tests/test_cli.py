@@ -423,3 +423,37 @@ def test_cli_takedown_string_ids(spark, tmp_path, capsys):
         .count()
         == 0
     )
+
+
+def test_cli_history_table_and_index(spark, tmp_path, capsys):
+    """`history` prints the audit trail of any versioned artifact —
+    Table commit sidecars (without starting a Spark session) or an
+    index's meta history — and refuses a non-artifact path."""
+    from cae_polars_tools_spark.operators.minhash_index import (
+        build_minhash_index,
+        delete_minhash_index,
+    )
+    from cae_polars_tools_spark.table import Table
+
+    docs = spark.createDataFrame(
+        [(i, f"document body {i} words " * 5, "s") for i in range(10)],
+        "doc_id long, text string, source string",
+    )
+    troot = str(tmp_path / "t")
+    t = Table.create(spark, troot, docs)
+    t.delete("doc_id = 3")
+    assert main(["history", troot]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["kind"] == "table"
+    assert [r["op"] for r in out["history"]] == ["create", "delete"]
+
+    mroot = str(tmp_path / "m")
+    build_minhash_index(docs, mroot)
+    delete_minhash_index(spark, mroot, "doc_id = 3")
+    assert main(["history", mroot]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["kind"] == "minhash-index"
+    assert [r["op"] for r in out["history"]] == ["build", "delete"]
+
+    assert main(["history", str(tmp_path / "nope")]) == 1
+    assert "no versioned artifact" in capsys.readouterr().err

@@ -947,6 +947,11 @@ def test_decontaminate_sink_bloom_equals_batch_bloom(spark, tmp_path):
     }
     assert 0 < len(want) < corp.count(), "fixture must drop something"
 
+    gc.collect()
+    # baseline-relative: earlier suites in a shared session may hold
+    # legitimately-lingering checkpoint RDDs until JVM GC — this test
+    # pins only that the SINK adds nothing to the baseline
+    rdds_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     clean = str(tmp_path / "clean_bloom")
     sink = decontaminate_sink(bench, clean, use_bloom=True)
     batches = [corp.filter((F.col("doc_id") % 3) == b) for b in range(3)]
@@ -968,5 +973,6 @@ def test_decontaminate_sink_bloom_equals_batch_bloom(spark, tmp_path):
     del sink
     gc.collect()
     assert (
-        spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
+        spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+        <= rdds_before
     )
