@@ -115,6 +115,7 @@ def stratified_sample(
     seed: int = 0,
     exact: bool = False,
     rank_cols: list[str] | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Per-stratum sampling for class-balanced corpora.
 
@@ -133,6 +134,13 @@ def stratified_sample(
     columns. Use exact quotas when a downstream contract needs them;
     the Bernoulli form at 100 TB avoids the stratum-keyed sort
     entirely.
+
+    ``hash_fn`` picks the exact-mode rank (the ``weighted_sample``
+    convention): ``"xxhash64"`` (default, JVM-native, fastest) or
+    ``"md5"`` — ENGINE-PORTABLE (any system with md5 ranks the same
+    rows), requiring exactly one ``rank_cols`` column; the DuckDB
+    oracle of ``q85_stratified_sample`` pins the portable form
+    value-for-value.
 
     Drop semantics (both modes): rows whose stratum is NOT a key of
     the ``fractions`` dict are dropped, and so are NULL-stratum rows —
@@ -163,10 +171,21 @@ def stratified_sample(
         [(k, float(f)) for k, f in fractions.items()],
         schema=f"{strata_col} {dict(df.dtypes)[strata_col]}, __frac double",
     )
-    hashed = F.struct(*(rank_cols if rank_cols else df.columns))
-    w = Window.partitionBy(strata_col).orderBy(
-        F.xxhash64(hashed, F.lit(seed))
-    )
+    if hash_fn == "md5":
+        if not rank_cols or len(rank_cols) != 1:
+            raise ValueError(
+                "hash_fn='md5' needs exactly one rank_cols column "
+                "(the portable rank hashes one key: md5('key:seed'))"
+            )
+        rank_expr = md5_rank(rank_cols[0], seed)
+    elif hash_fn == "xxhash64":
+        rank_expr = F.xxhash64(
+            F.struct(*(rank_cols if rank_cols else df.columns)),
+            F.lit(seed),
+        )
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    w = Window.partitionBy(strata_col).orderBy(rank_expr)
     counts = Window.partitionBy(strata_col)
     return (
         df.join(F.broadcast(frac), strata_col, "inner")
@@ -1196,6 +1215,51 @@ def pipeline_weighted_sample(spark, sf_dir: str) -> DataFrame:
     return weighted_sample(d, "n_chars", WEIGHTED_SAMPLE_K).select(
         "doc_id", "source", "sample_key"
     )
+
+
+STRATIFIED_FRACTION = 0.2
+STRATIFIED_SEED = 7
+
+
+@register(
+    "q85_stratified_sample",
+    oracle=f"""
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)
+                                    || ':{STRATIFIED_SEED}')
+                   ) AS rk,
+                   COUNT(*) OVER (PARTITION BY source) AS n
+            FROM documents
+        ) WHERE rk <= CEIL(n * {STRATIFIED_FRACTION})
+    """,
+    tags=("pipeline", "sampling", "extension"),
+    window_rank=1,
+)
+def q85_stratified_sample(spark, sf_dir: str) -> DataFrame:
+    """Exact per-stratum quota sampling, value-checked: keep exactly
+    ceil(20%) of each source's documents, chosen by the
+    engine-portable md5 rank (``stratified_sample(exact=True,
+    hash_fn='md5')``) — the class-balanced subset selection a
+    curation pipeline uses to build eval slices and ablation
+    corpora. The oracle replays the identical draw in SQL (same
+    md5('id:seed') ordering, same per-stratum ceil quota), so a
+    drifted rank, an off-by-one quota, or a dropped stratum fails
+    the hash gate. One shuffle on the stratum key; the Bernoulli
+    mode (zero shuffle) is the 100 TB default when exact quotas are
+    not contractually required."""
+    d = spread(read_table(spark, sf_dir, "documents"))
+    return stratified_sample(
+        d.select("doc_id", "source"),
+        "source",
+        STRATIFIED_FRACTION,
+        seed=STRATIFIED_SEED,
+        exact=True,
+        rank_cols=["doc_id"],
+        hash_fn="md5",
+    ).select("doc_id", "source")
 
 
 CHUNK_MAX_CHARS = 120

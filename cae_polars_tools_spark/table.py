@@ -61,6 +61,13 @@ _SCHEMA_SIDECAR = "_SCHEMA.json"
 _COMMIT_SIDECAR = "_COMMIT.json"
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer flipped the pointer while this verb was
+    running. The verb did NOT commit (its version directory is an
+    unreferenced orphan); re-read the table and retry against the new
+    current version."""
+
+
 class Table:
     """A versioned copy-on-write parquet table rooted at ``root``.
 
@@ -72,23 +79,32 @@ class Table:
     >>> t.diff(0, keys=["doc_id"])           # change feed since v0
     >>> t.vacuum(keep_last=2)                # retention
 
-    **Single-writer contract.** Exactly one mutating verb may run
-    against a table root at a time (readers are unlimited — they only
-    ever follow the pointer). This is the same contract Delta/Iceberg
-    place on a table without a coordinating catalog, and every CoW
-    artifact in this repo shares it (the MinHash band index, the
-    IVF-PQ index, zarr generations). Two concurrent writers race in
-    two ways: both compute the same next version number (last pointer
-    flip silently wins, the other's version dir becomes an orphan),
-    and the orphan-clear rule in :meth:`_next_version_dir` — which
-    exists to self-heal a CRASHED writer's leftovers — would let one
-    writer delete the other's in-progress directory before its flip,
-    leaving a flipped pointer referencing a dead directory. Serialize
-    writers externally (the streaming sink's single foreachBatch
-    thread, a nightly job scheduler, a queue); this facade
-    deliberately does not carry a lock protocol, because a lock file
-    without heartbeat/lease semantics only converts the race into a
-    stale-lock wedge.
+    **Single-writer contract, optimistically enforced.** Exactly one
+    mutating verb should run against a table root at a time (readers
+    are unlimited — they only ever follow the pointer). This is the
+    same contract Delta/Iceberg place on a table without a
+    coordinating catalog, and every CoW artifact in this repo shares
+    it (the MinHash band index, the IVF-PQ index, zarr generations).
+    The facade deliberately does not carry a lock protocol (a lock
+    file without heartbeat/lease semantics only converts a race into
+    a stale-lock wedge); instead every verb runs two optimistic
+    checks: at version reservation — before any write or orphan-clear,
+    so a verb holding a stale snapshot aborts with ZERO damage (the
+    case that previously let a resumed writer orphan-clear a
+    committed directory) — and immediately before the pointer flip (a
+    writer that committed during this verb's write phase wins; this
+    verb's directory becomes an unreferenced orphan reclaimed by the
+    next writer / vacuum). Both raise :class:`ConcurrentWriteError`;
+    the caller re-reads and retries against the new current version.
+    This turns the common race — a suspended or stale writer resuming
+    after someone else committed — into a loud retryable error
+    instead of a silent lost update. It is detection, not
+    coordination: two verbs running TRULY concurrently can still
+    reserve the same version number and interleave destructively in
+    one directory (check-and-put is not atomic without a store-level
+    compare-and-swap), so serialize writers externally (the streaming
+    sink's single foreachBatch thread, a nightly scheduler, a queue)
+    when overlap is expected rather than exceptional.
     """
 
     def __init__(self, spark: SparkSession, root: str) -> None:
@@ -122,6 +138,19 @@ class Table:
         self._store().put(_CURRENT, json.dumps(meta).encode())
 
     def _next_version_dir(self, meta: dict) -> tuple[int, str]:
+        # optimistic early check (see the class docstring): ``meta``
+        # is the snapshot the verb read its data from — if the
+        # pointer has already moved past it, committing would lose
+        # the other writer's update AND the orphan-clear below would
+        # delete their COMMITTED directory. Abort before touching
+        # anything; the caller re-reads and retries.
+        fresh = self.meta()["version"]
+        if fresh != meta["version"]:
+            raise ConcurrentWriteError(
+                f"pointer moved from v{meta['version']} to v{fresh} "
+                "since this verb read the table — another writer "
+                "committed; re-read and retry"
+            )
         v = meta["version"] + 1
         vd = f"v{v}"
         store = self._store()
@@ -177,6 +206,18 @@ class Table:
         op: str | None = None,
         stats: dict | None = None,
     ) -> None:
+        # optimistic pre-flip check (see the class docstring): the
+        # verb computed v against the pointer it read — if the
+        # pointer has moved since, another writer committed first and
+        # flipping now would silently drop their version. Refuse
+        # loudly; this verb's directory is an unreferenced orphan.
+        cur = self.meta()["version"]
+        if cur != v - 1:
+            raise ConcurrentWriteError(
+                f"pointer moved from v{v - 1} to v{cur} while this "
+                f"verb was writing {vd} — another writer committed "
+                "first; re-read the table and retry"
+            )
         if op is not None:
             self._put_commit(vd, op, stats)
         self._flip({"version": v, "version_dir": vd, "batch_id": batch_id})
@@ -393,6 +434,11 @@ class Table:
         df.write.mode("errorifexists").parquet(f"{t.root}/v0")
         t._commit_manifest("v0", t._new_data_files("v0"), df.schema.jsonValue())
         t._put_commit("v0", op, None)
+        if t.exists():  # optimistic check: a racing create won
+            raise ConcurrentWriteError(
+                f"another writer seeded {root} while this create was "
+                "writing v0"
+            )
         t._flip({"version": 0, "version_dir": "v0", "batch_id": batch_id})
         return t
 

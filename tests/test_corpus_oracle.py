@@ -121,6 +121,7 @@ SF01_SENSITIVE = (
     "q84_quantile_approx",  # GK-sketch tolerance boolean under volume
     # round-13 additions hand-verified at sf0.01 during the build
     "storage_restore_lifecycle",  # manifest-aliased restore under volume
+    "q85_stratified_sample",  # portable md5 rank + ceil quotas at volume
 )
 
 

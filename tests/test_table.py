@@ -649,3 +649,136 @@ def test_table_over_file_uri_root(spark, tmp_path):
     stats = t.vacuum(keep_last=2)
     assert set(stats["removed"]) | set(stats["demoted"]) == {"v0", "v1"}
     assert t.current().count() == 50
+
+
+def test_concurrent_writer_detected_and_loser_aborts(spark, tmp_path):
+    """Optimistic concurrency: a verb that loses the pointer race
+    raises ConcurrentWriteError WITHOUT flipping — the winner's
+    commit survives intact, the loser's work is an unreferenced
+    orphan, and a retry against the new current version succeeds."""
+    from cae_polars_tools_spark.table import ConcurrentWriteError
+
+    root = str(tmp_path / "t")
+    t = Table.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(i, i) for i in range(40)], "doc_id long, n long"
+        ),
+    )
+
+    # interleave a second writer between the slow verb's snapshot
+    # read and its version reservation (the stale/suspended-writer
+    # shape — the one that previously let the loser orphan-clear the
+    # winner's COMMITTED directory before failing)
+    class RacyTable(Table):
+        raced = False
+
+        def _declared_schema(self, version_dir):
+            if not RacyTable.raced:
+                RacyTable.raced = True
+                Table(self.spark, self.root).delete("doc_id = 7")
+            return super()._declared_schema(version_dir)
+
+    racy = RacyTable(spark, root)
+    with pytest.raises(ConcurrentWriteError, match="pointer moved"):
+        racy.merge(
+            spark.createDataFrame([(0, 999)], "doc_id long, n long"),
+            keys=["doc_id"],
+        )
+    # the winner's delete IS the table state; the loser left no trace
+    # in the committed chain
+    assert t.version() == 1
+    cur = t.current()
+    assert cur.count() == 39
+    assert cur.filter("doc_id = 0").first()["n"] == 0  # merge NOT applied
+    assert [h["op"] for h in t.describe_history()][-1] == "delete"
+    # retry from the new current version lands cleanly
+    stats = t.merge(
+        spark.createDataFrame([(0, 999)], "doc_id long, n long"),
+        keys=["doc_id"],
+    )
+    assert stats["version"] == 2
+    assert t.current().filter("doc_id = 0").first()["n"] == 999
+
+    # racing CREATE against an existing table also refuses pre-flip
+    class RacyCreate(Table):
+        seeded = False
+
+    with pytest.raises(FileExistsError):
+        Table.create(spark, root, t.current())
+
+
+def test_table_random_ops_with_vacuum_and_compact_match_model(
+    spark, tmp_path
+):
+    """The model-based sequence test extended over the verbs that
+    stress the MANIFEST machinery: compact (full rewrite, manifest
+    reset), restore (pure aliasing commit), and reference-counted
+    vacuum interleaved with merges/deletes. Invariants: the live
+    table always equals the dict model; every still-retained version
+    replays its recorded snapshot; vacuumed versions refuse to read;
+    restore of a vacuumed version refuses; history() is exactly the
+    retained set."""
+    import random
+
+    rng = random.Random(20250816)
+    t = Table.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(25)], "k long, n long"
+        ),
+    )
+    model = {i: i * 10 for i in range(25)}
+    snapshots = {0: dict(model)}
+    vacuumed: set[int] = set()
+    next_key = 1000
+    for step in range(12):
+        op = rng.choice(
+            ["merge", "delete", "restore", "compact", "vacuum"]
+        )
+        if op == "merge":
+            upd = rng.sample(sorted(model) or [0], k=min(4, len(model)))
+            rows = [(k, rng.randrange(10_000)) for k in upd]
+            rows.append((next_key, rng.randrange(10_000)))
+            for k, v in rows:
+                model[k] = v
+            next_key += 1
+            t.merge(
+                spark.createDataFrame(rows, "k long, n long"), keys=["k"]
+            )
+        elif op == "delete":
+            cut = rng.randrange(0, 10_000)
+            model = {k: v for k, v in model.items() if v < cut}
+            t.delete(f"n >= {cut}")
+        elif op == "restore":
+            retained = sorted(set(snapshots) - vacuumed)
+            v = rng.choice(retained)
+            model = dict(snapshots[v])
+            t.restore(v)
+        elif op == "compact":
+            t.compact(target_file_bytes=1 << 20)
+        else:
+            keep = rng.choice([2, 3])
+            stats = t.vacuum(keep_last=keep)
+            gone = {
+                int(d[1:])
+                for d in stats["removed"] + stats["demoted"]
+            }
+            vacuumed |= gone
+        if op in ("merge", "delete", "restore", "compact"):
+            snapshots[t.version()] = dict(model)
+        live = {r["k"]: r["n"] for r in t.current().collect()}
+        assert live == model, (step, op, t.version())
+        assert sorted(set(snapshots) - vacuumed) == t.history(), op
+    # retained versions replay; vacuumed ones refuse (read + restore)
+    for v, snap in snapshots.items():
+        if v in vacuumed:
+            with pytest.raises(FileNotFoundError):
+                t.read_version(v)
+            with pytest.raises(FileNotFoundError):
+                t.restore(v)
+        else:
+            got = {r["k"]: r["n"] for r in t.read_version(v).collect()}
+            assert got == snap, v
