@@ -131,6 +131,20 @@ def refresh_agg_parquet(
 
     batch_state = build_agg_state(batch, keys, measures)
     base = spark.read.parquet(state_path)
+    merged = _merged_affected_state(base, batch_state, keys, measures)
+    return merge_parquet(spark, state_path, merged, keys, dst)
+
+
+def _merged_affected_state(
+    base: DataFrame,
+    batch_state: DataFrame,
+    keys: list[str],
+    measures: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """The affected-keys merged state frame shared by the path-based
+    and Table-based refreshers: semi-join the persisted state down to
+    the batch's keys, merge the mergeable aggregates, and align the
+    result to the persisted schema with loud overflow refusal."""
     affected_base = base.join(
         F.broadcast(batch_state.select(*keys).distinct()),
         keys,
@@ -172,10 +186,39 @@ def refresh_agg_parquet(
                 "rebuild the state with a wider sum_precision instead "
                 "of persisting silently-NULLed sums"
             )
-        merged = casted.select(*keys, *measures)
-        return merge_parquet(spark, state_path, merged, keys, dst)
-    finally:
+    except BaseException:
         casted.unpersist()
+        raise
+    # the caller's merge writes this frame once, immediately — the
+    # overflow count above already materialized the cache, so the
+    # write reads it hot; the cache releases when the handle drops
+    # (the dedup._release_on_gc convention)
+    from cae_polars_tools_spark.operators.dedup import _release_on_gc
+
+    return _release_on_gc(casted.select(*keys, *measures), casted)
+
+
+def refresh_agg_table(
+    table,
+    batch: DataFrame,
+    keys: list[str],
+    measures: dict[str, tuple[str, str]],
+) -> dict:
+    """:func:`refresh_agg_parquet` for state kept in a
+    :class:`~cae_polars_tools_spark.table.Table` — the manifest-era
+    form: the refresh commits {rewritten affected files + merged
+    rows + manifest} and copies ZERO untouched state bytes (the
+    round-12 verdict's scale-killer for this operator was the
+    per-version copy of untouched state files; ``Table.merge``'s
+    manifest commit removes it). Same cost shape otherwise: the
+    batch aggregates once, the state table is touched only for
+    affected keys, nothing reads the raw corpus. Returns
+    ``Table.merge``'s counters (plus the new version)."""
+    batch_state = build_agg_state(batch, keys, measures)
+    merged = _merged_affected_state(
+        table.current(), batch_state, keys, measures
+    )
+    return table.merge(merged, keys, op="agg-refresh")
 
 
 # ---------------------------------------------------------------------------
@@ -284,14 +327,19 @@ def agg_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-customer order counts / exact decimal revenue / max price are
     built from orders BEFORE the cutoff and persisted as mergeable
     state; the post-cutoff half then arrives as an append batch and
-    the state is refreshed through :func:`refresh_agg_parquet` —
-    batch-only aggregation, affected-keys merge, copy-on-write file
-    rewrite. The returned frame is the refreshed STATE TABLE read back
-    from disk; the oracle recomputes the aggregate over ALL orders
-    from scratch, so any merge drift (a lost count, a double-counted
-    batch, a ulp in the sum) fails the hash gate."""
+    the state is refreshed through :func:`refresh_agg_table` — batch-
+    only aggregation, affected-keys merge, MANIFEST commit (only
+    state files containing an affected key rewrite; every untouched
+    state file is re-referenced, zero bytes copied — the round-12
+    scale finding for this operator, closed). The returned frame is
+    the refreshed STATE TABLE read back through the pointer; the
+    oracle recomputes the aggregate over ALL orders from scratch, so
+    any merge drift (a lost count, a double-counted batch, a ulp in
+    the sum) fails the hash gate."""
     import os
     import shutil
+
+    from cae_polars_tools_spark.table import Table
 
     orders = read_table(spark, sf_dir, "orders")
     cutoff = F.lit(_CUTOFF).cast("timestamp")
@@ -301,24 +349,25 @@ def agg_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         ".tmp",
-        "agg_state_demo",
+        "agg_state_table",
     )
-    state0, state1 = scratch + "_v0", scratch + "_v1"
-    shutil.rmtree(state1, ignore_errors=True)
-    build_agg_state(
-        orders.filter(F.col("o_orderdate") < cutoff),
-        ["o_custkey"],
-        _MEASURES,
-    ).write.mode("overwrite").parquet(state0)
-    refresh_agg_parquet(
+    shutil.rmtree(scratch, ignore_errors=True)
+    state = Table.create(
         spark,
-        state0,
+        scratch,
+        build_agg_state(
+            orders.filter(F.col("o_orderdate") < cutoff),
+            ["o_custkey"],
+            _MEASURES,
+        ),
+    )
+    refresh_agg_table(
+        state,
         orders.filter(F.col("o_orderdate") >= cutoff),
         ["o_custkey"],
         _MEASURES,
-        state1,
     )
-    return spark.read.parquet(state1).select(
+    return state.current().select(
         "o_custkey",
         "n_orders",
         F.col("sum_price").cast("double").alias("sum_price"),

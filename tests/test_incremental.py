@@ -198,3 +198,63 @@ def test_refresh_overflow_raises_not_nulls(spark, tmp_path):
     assert stats["rows_updated"] == 1
     got = _state_map(spark.read.parquet(state1))
     assert got["a"] == (2, 9050.0, 9000.0, 50.0)
+
+
+def test_refresh_agg_table_zero_copy_manifest(spark, tmp_path):
+    """The Table-backed refresher: only state files containing an
+    affected key rewrite; every other state file is re-referenced by
+    the new version's manifest (zero copies, inodes untouched), and
+    the refreshed state equals a from-scratch rebuild."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cae_polars_tools_spark.operators.incremental import (
+        build_agg_state,
+        refresh_agg_table,
+    )
+    from cae_polars_tools_spark.table import Table
+
+    measures = {
+        "n": ("k", "count"),
+        "s": ("v", "sum"),
+        "mx": ("v", "max"),
+    }
+    rows = [(i % 40, float(i)) for i in range(400)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    seed = df.filter("v < 300")
+    # narrow the batch to a few keys so most state files stay untouched
+    batch = df.filter("v >= 300 AND k < 4")
+
+    root = str(tmp_path / "state")
+    t = Table.create(
+        spark,
+        root,
+        build_agg_state(seed, ["k"], measures)
+        .repartitionByRange(8, "k")
+        .sortWithinPartitions("k"),
+    )
+    v0_inodes = {
+        os.path.join(r, f): os.stat(os.path.join(r, f)).st_ino
+        for r, _d, fs in os.walk(f"{root}/v0")
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    stats = refresh_agg_table(t, batch, ["k"], measures)
+    assert stats["files_rewritten"] >= 1
+    assert stats["files_referenced"] >= 1
+    for f, ino in v0_inodes.items():
+        assert os.stat(f).st_ino == ino
+    # correctness: refreshed state == rebuild over seed ∪ (batch k<4)
+    want = {
+        tuple(r)
+        for r in build_agg_state(
+            seed.unionByName(batch), ["k"], measures
+        ).collect()
+    }
+    got = {tuple(r) for r in t.current().collect()}
+    assert got == want
+    assert [h["op"] for h in t.describe_history()] == [
+        "create",
+        "agg-refresh",
+    ]
