@@ -254,20 +254,23 @@ def read_artifact(spark: SparkSession, root: str, dirname: str) -> DataFrame:
     return read_refs(spark, root, m["files"])
 
 
-def adopt_dir_files(store, dirname: str) -> int:
+def adopt_dir_files(store, dirname: str, schema_json=None) -> int:
     """Fold the data files physically present in a live artifact
     directory into its manifest (atomic PUT) — the append-commit: an
     index append writes its segment files first, then adopts them
     here; a crash in between leaves unmanifested orphans that readers
     never see and a later vacuum reclaims. Creates the manifest if
-    absent (a legacy index upgrades on its first append). Returns the
-    manifest's new file count."""
+    absent (a legacy index upgrades on its first append).
+    ``schema_json`` fills the manifest's schema when it has none —
+    builders pass the written frame's schema so an artifact that
+    legitimately holds zero rows (e.g. a band table over only
+    too-short docs) stays readable. Returns the manifest's new file
+    count."""
     m = load_manifest(store, dirname)
     phys = data_file_refs(store, dirname)
     refs = sorted(set(m["files"] if m else []) | set(phys))
-    write_manifest(
-        store, dirname, refs, m.get("schema") if m else None
-    )
+    schema = (m.get("schema") if m else None) or schema_json
+    write_manifest(store, dirname, refs, schema)
     return len(refs)
 
 

@@ -154,8 +154,10 @@ def build_minhash_index(
     )
 
     store = ByteStore.for_path(root)
-    n_bands = adopt_dir_files(store, "bands_v0")
-    n_sigs = adopt_dir_files(store, "sigs_v0")
+    n_bands = adopt_dir_files(
+        store, "bands_v0", _bands_of(sigs).schema.jsonValue()
+    )
+    n_sigs = adopt_dir_files(store, "sigs_v0", sigs.schema.jsonValue())
     meta = meta_with_history(
         {
             "format": "minhash-lsh-v1",
@@ -270,16 +272,18 @@ def _append_segments(
     from cae_polars_tools_spark.sources.zarr_format import ByteStore
 
     store = ByteStore.for_path(root)
+    bands = _bands_of(signed)
     (
-        _bands_of(signed)
-        .sortWithinPartitions("bh", "band")
+        bands.sortWithinPartitions("bh", "band")
         .write.mode("append")
         .partitionBy("shard")
         .parquet(f"{root}/{meta['bands_dir']}")
     )
-    adopt_dir_files(store, meta["bands_dir"])
+    adopt_dir_files(store, meta["bands_dir"], bands.schema.jsonValue())
     signed.write.mode("append").parquet(f"{root}/{meta['sigs_dir']}")
-    adopt_dir_files(store, meta["sigs_dir"])
+    adopt_dir_files(
+        store, meta["sigs_dir"], signed.schema.jsonValue()
+    )
 
 
 def append_minhash_index(
@@ -591,8 +595,12 @@ def compact_minhash_index(spark: SparkSession, path: str) -> dict:
     # a compaction rewrites everything: each new manifest references
     # only its own fresh files, so a later vacuum reclaims every
     # predecessor segment
-    n_bands = adopt_dir_files(store, nxt_bands)
-    n_sigs = adopt_dir_files(store, nxt_sigs)
+    n_bands = adopt_dir_files(
+        store, nxt_bands, _read_bands(spark, root, meta).schema.jsonValue()
+    )
+    n_sigs = adopt_dir_files(
+        store, nxt_sigs, _read_sigs(spark, root, meta).schema.jsonValue()
+    )
     meta = meta_with_history(
         {**meta, "bands_dir": nxt_bands, "sigs_dir": nxt_sigs},
         "compact",
@@ -675,38 +683,43 @@ def delete_minhash_index(
     root, meta = _dirs(spark, path)
     store = ByteStore.for_path(root)
 
-    nxt_bands = _next_dir(meta["bands_dir"], "bands")
-    nxt_sigs = _next_dir(meta["sigs_dir"], "sigs")
-    bands_stats = delete_parquet(
-        spark,
-        root,
-        predicate,
-        f"{root}/{nxt_bands}",
-        source_refs=refs_of(store, meta["bands_dir"]),
-        copy_untouched=False,
-    )
-    write_manifest(
-        store,
-        nxt_bands,
-        bands_stats.pop("untouched_refs")
-        + data_file_refs(store, nxt_bands),
-        bands_stats.pop("schema"),
-    )
-    sigs_stats = delete_parquet(
-        spark,
-        root,
-        predicate,
-        f"{root}/{nxt_sigs}",
-        source_refs=refs_of(store, meta["sigs_dir"]),
-        copy_untouched=False,
-    )
-    write_manifest(
-        store,
-        nxt_sigs,
-        sigs_stats.pop("untouched_refs")
-        + data_file_refs(store, nxt_sigs),
-        sigs_stats.pop("schema"),
-    )
+    def _delete_artifact(cur_dir: str, stem: str) -> tuple[dict, str]:
+        """Per-artifact CoW delete; an artifact whose manifest is
+        already EMPTY (a previous delete-everything — the bands table
+        goes empty before sigs, since partitionBy writes zero files
+        for an empty frame while the sigs write leaves a 0-row file)
+        is an idempotent no-op keeping its current directory:
+        takedown retries must never error (cascade_delete re-runs
+        after partial failure)."""
+        refs = refs_of(store, cur_dir)
+        if not refs:
+            return (
+                {
+                    "files_rewritten": 0,
+                    "files_referenced": 0,
+                    "rows_deleted": 0,
+                },
+                cur_dir,
+            )
+        nxt = _next_dir(cur_dir, stem)
+        stats = delete_parquet(
+            spark,
+            root,
+            predicate,
+            f"{root}/{nxt}",
+            source_refs=refs,
+            copy_untouched=False,
+        )
+        write_manifest(
+            store,
+            nxt,
+            stats.pop("untouched_refs") + data_file_refs(store, nxt),
+            stats.pop("schema"),
+        )
+        return stats, nxt
+
+    bands_stats, nxt_bands = _delete_artifact(meta["bands_dir"], "bands")
+    sigs_stats, nxt_sigs = _delete_artifact(meta["sigs_dir"], "sigs")
     meta = meta_with_history(
         {**meta, "bands_dir": nxt_bands, "sigs_dir": nxt_sigs},
         "delete",

@@ -1581,7 +1581,7 @@ def build_ivfpq_index(
     )
 
     store = ByteStore.for_path(root)
-    n_files = adopt_dir_files(store, "codes")
+    n_files = adopt_dir_files(store, "codes", codes.schema.jsonValue())
     meta = meta_with_history(
         {
             "format": "ivfpq-v1",
@@ -1786,7 +1786,9 @@ def compact_ivfpq_index(
     )
     # full rewrite → the new manifest references only fresh files;
     # vacuum can then reclaim every predecessor segment
-    adopt_dir_files(store, nxt)
+    adopt_dir_files(
+        store, nxt, _read_codes(spark, root, meta).schema.jsonValue()
+    )
     meta = meta_with_history(
         {**meta, "codes_dir": nxt}, "compact", {"files": n}
     )
@@ -1828,6 +1830,15 @@ def delete_ivfpq_index(
         raise FileNotFoundError(f"no IVF-PQ index under {path}")
     store = ByteStore.for_path(root)
     cur = meta.get("codes_dir", "codes")
+    if not refs_of(store, cur):
+        # an already-emptied index: takedowns are idempotent no-ops,
+        # not errors (cascade_delete may retry after partial failure)
+        return {
+            "files_rewritten": 0,
+            "files_referenced": 0,
+            "rows_deleted": 0,
+            "codes_dir": cur,
+        }
     m_v = _re.fullmatch(r"codes_v(\d+)", cur)
     nxt = f"codes_v{int(m_v.group(1)) + 1 if m_v else 1}"
     stats = delete_parquet(

@@ -462,6 +462,15 @@ class Table:
         schema = self._declared_schema(cur)
         if schema is not None:
             batch = self._normalize_batch(batch, schema)
+        cur_refs = self._version_refs(cur)
+        if not cur_refs:
+            # the current version is EMPTY (e.g. a delete removed
+            # every row): the merge is a pure insert — validate the
+            # batch against the recorded schema, dedup-check the
+            # keys, and seed the new version directly
+            return self._insert_into_empty(
+                meta, batch, keys, batch_id=batch_id, op=op
+            )
         v, vd = self._next_version_dir(meta)
         stats = merge_parquet(
             self.spark,
@@ -470,7 +479,7 @@ class Table:
             keys,
             f"{self.root}/{vd}",
             read_schema=schema,
-            source_refs=self._version_refs(cur),
+            source_refs=cur_refs,
             copy_untouched=False,
         )
         refs = stats.pop("untouched_refs") + self._new_data_files(vd)
@@ -488,15 +497,99 @@ class Table:
         stats["version"] = v
         return stats
 
+    def _insert_into_empty(
+        self,
+        meta: dict,
+        batch: DataFrame,
+        keys: list[str],
+        batch_id: int | None,
+        op: str,
+    ) -> dict:
+        """Merge into a version with zero files: a pure insert.
+        Keeps merge_parquet's contracts — schema validated by name,
+        batch unique on keys — then seeds the new version from the
+        batch alone."""
+        from pyspark.sql import functions as F
+
+        cur = meta["version_dir"]
+        schema = (
+            self._declared_schema(cur) or self._manifest_schema(cur)
+        )
+        if schema is not None:
+            want = {f.name for f in schema.fields}
+            if set(batch.columns) != want:
+                raise ValueError(
+                    f"batch columns {sorted(batch.columns)} must "
+                    f"equal the table's {sorted(want)}"
+                )
+            batch = batch.select(*[f.name for f in schema.fields])
+        dup = (
+            batch.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"updates are not unique on {keys}: e.g. "
+                f"{tuple(dup[0][k] for k in keys)}"
+            )
+        v, vd = self._next_version_dir(meta)
+        batch.write.mode("errorifexists").parquet(f"{self.root}/{vd}")
+        rows = self.spark.read.parquet(f"{self.root}/{vd}").count()
+        self._commit_manifest(
+            vd,
+            self._new_data_files(vd),
+            schema.jsonValue() if schema is not None else batch.schema.jsonValue(),
+        )
+        self._propagate_schema(cur, vd)
+        stats = {
+            "files_rewritten": 0,
+            "files_referenced": 0,
+            "rows_updated": 0,
+            "rows_inserted": rows,
+        }
+        if batch_id is not None:
+            stats["batch_id"] = batch_id
+        self._commit(
+            v,
+            vd,
+            meta["batch_id"] if batch_id is None else batch_id,
+            op=op,
+            stats=stats,
+        )
+        stats["version"] = v
+        return stats
+
     def delete(self, predicate) -> dict:
         """CoW DELETE WHERE (``storage.delete_parquet`` manifest
         mode): matched files rewrite, the rest re-reference in the
         new manifest — zero untouched bytes move; pointer flips last.
-        The takedown verb."""
+        The takedown verb. Deleting from an EMPTY version commits a
+        no-op version (idempotent takedowns must not error)."""
         from cae_polars_tools_spark.storage import delete_parquet
 
         meta = self.meta()
         cur = meta["version_dir"]
+        cur_refs = self._version_refs(cur)
+        if not cur_refs:
+            schema = (
+                self._declared_schema(cur) or self._manifest_schema(cur)
+            )
+            v, vd = self._next_version_dir(meta)
+            self._commit_manifest(
+                vd, [], schema.jsonValue() if schema is not None else None
+            )
+            self._propagate_schema(cur, vd)
+            stats = {
+                "files_rewritten": 0,
+                "files_referenced": 0,
+                "rows_deleted": 0,
+            }
+            self._commit(v, vd, meta["batch_id"], op="delete", stats=stats)
+            stats["version"] = v
+            return stats
         v, vd = self._next_version_dir(meta)
         stats = delete_parquet(
             self.spark,
@@ -504,7 +597,7 @@ class Table:
             predicate,
             f"{self.root}/{vd}",
             read_schema=self._declared_schema(cur),
-            source_refs=self._version_refs(cur),
+            source_refs=cur_refs,
             copy_untouched=False,
         )
         refs = stats.pop("untouched_refs") + self._new_data_files(vd)
@@ -524,13 +617,19 @@ class Table:
         meta = self.meta()
         cur = meta["version_dir"]
         schema = self._declared_schema(cur) or self._manifest_schema(cur)
+        cur_refs = self._version_refs(cur)
+        if not cur_refs:
+            raise ValueError(
+                "compact: the current version is empty — nothing to "
+                "rewrite (merge data first)"
+            )
         v, vd = self._next_version_dir(meta)
         n_files = compact_parquet(
             self.spark,
             self.root,
             f"{self.root}/{vd}",
             read_schema=self._declared_schema(cur),
-            source_refs=self._version_refs(cur),
+            source_refs=cur_refs,
             **kwargs,
         )
         # a compaction rewrites EVERYTHING: the new manifest references
@@ -558,6 +657,12 @@ class Table:
         meta = self.meta()
         cur = meta["version_dir"]
         schema = self._declared_schema(cur) or self._manifest_schema(cur)
+        cur_refs = self._version_refs(cur)
+        if not cur_refs:
+            raise ValueError(
+                "zorder: the current version is empty — nothing to "
+                "rewrite (merge data first)"
+            )
         v, vd = self._next_version_dir(meta)
         n_files = zorder_parquet(
             self.spark,
@@ -565,7 +670,7 @@ class Table:
             f"{self.root}/{vd}",
             cols,
             read_schema=self._declared_schema(cur),
-            source_refs=self._version_refs(cur),
+            source_refs=cur_refs,
             **kwargs,
         )
         self._commit_manifest(

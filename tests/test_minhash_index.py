@@ -656,3 +656,39 @@ def test_index_history_full_lifecycle_chain(spark, tmp_path):
     assert h[1]["stats"]["rows_appended"] == 1
     assert h[2]["stats"]["sigs"]["rows_deleted"] == 1
     assert all(r["ts"] is not None for r in h)
+
+
+def test_index_emptied_by_takedown_stays_operable(spark, tmp_path):
+    """Deleting EVERY document from the index must leave it operable:
+    a repeat takedown is an idempotent no-op (cascade_delete retries),
+    probes return empty instead of erroring, and appends re-populate
+    under the same frozen hash family."""
+    from cae_polars_tools_spark.operators.minhash_index import (
+        append_minhash_index,
+    )
+
+    hist = spark.createDataFrame(
+        [(1, "some document body text " * 4, "h"),
+         (2, "another document body text " * 4, "h")],
+        "doc_id long, text string, source string",
+    )
+    root = str(tmp_path / "idx")
+    build_minhash_index(hist, root)
+    delete_minhash_index(spark, root, "doc_id IN (1, 2)")
+
+    probe = spark.createDataFrame(
+        [(10, "some document body text " * 4, "b")],
+        "doc_id long, text string, source string",
+    )
+    assert query_minhash_index(spark, root, probe).count() == 0
+
+    again = delete_minhash_index(spark, root, "doc_id = 1")
+    assert again["sigs"]["rows_deleted"] == 0
+    assert again["bands"]["rows_deleted"] == 0
+
+    append_minhash_index(spark, root, hist.filter("doc_id = 1"))
+    got = {
+        (r["doc_id_hist"], r["doc_id_new"])
+        for r in query_minhash_index(spark, root, probe).collect()
+    }
+    assert got == {(1, 10)}

@@ -2140,3 +2140,30 @@ def test_ivfpq_delete_commits_only_rewritten_files(spark, tmp_path):
     ) == want
     ops = [h["op"] for h in describe_ivfpq_index_history(root)]
     assert ops == ["build", "append", "delete", "compact", "vacuum"]
+
+
+def test_ivfpq_emptied_by_takedown_stays_operable(spark, tmp_path):
+    """Deleting EVERY vector must leave the IVF-PQ index operable: a
+    repeat takedown is an idempotent no-op, probes return empty, and
+    frozen-model appends re-populate it."""
+    from pyspark.sql import functions as F
+
+    from cae_polars_tools_spark.io import read_table
+    from cae_polars_tools_spark.operators.similarity import (
+        N_QUERIES,
+        append_ivfpq_index,
+        build_ivfpq_index,
+        delete_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    e = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    root = str(tmp_path / "idx")
+    build_ivfpq_index(e, root)
+    delete_ivfpq_index(spark, root, "vec_id >= 0")
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    assert query_ivfpq_index(spark, root, q).count() == 0
+    again = delete_ivfpq_index(spark, root, "vec_id = 1")
+    assert again["rows_deleted"] == 0 and again["files_rewritten"] == 0
+    append_ivfpq_index(spark, root, e.filter("vec_id < 50"))
+    assert query_ivfpq_index(spark, root, q).count() > 0

@@ -782,3 +782,64 @@ def test_table_random_ops_with_vacuum_and_compact_match_model(
         else:
             got = {r["k"]: r["n"] for r in t.read_version(v).collect()}
             assert got == snap, v
+
+
+def test_empty_version_merge_delete_roundtrip(spark, tmp_path):
+    """Verbs against an EMPTIED version (a delete removed every row):
+    delete is an idempotent no-op version, merge is a pure insert
+    (schema + key-uniqueness still validated), compact/zorder refuse
+    with a clear message, and reads stay correct throughout."""
+    root = str(tmp_path / "t")
+    t = Table.create(
+        spark,
+        root,
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, n long"),
+    )
+    t.delete("n >= 0")  # v1: zero rows (Spark still writes a 0-row file)
+    assert t.current().count() == 0
+    assert t.current().columns == ["k", "n"]
+
+    # force the ZERO-FILES form too (a foreign writer / an engine
+    # that skips empty part files): commit v2 with an empty manifest
+    meta = t.meta()
+    v, vd = t._next_version_dir(meta)
+    t._commit_manifest(vd, [], t.current().schema.jsonValue())
+    t._commit(v, vd, meta["batch_id"], op="delete", stats={})
+    assert t._version_refs("v2") == []
+    assert t.current().count() == 0  # empty manifest reads via schema
+
+    stats = t.delete("k = 1")  # v3: no-op on zero-files, not an error
+    assert stats["rows_deleted"] == 0 and stats["version"] == 3
+    assert t.current().count() == 0
+
+    with pytest.raises(ValueError, match="empty"):
+        t.compact()
+    with pytest.raises(ValueError, match="empty"):
+        t.zorder(["k", "n"])
+
+    with pytest.raises(ValueError, match="not unique"):
+        t.merge(
+            spark.createDataFrame(
+                [(5, 1), (5, 2)], "k long, n long"
+            ),
+            keys=["k"],
+        )
+    with pytest.raises(ValueError, match="must equal"):
+        t.merge(
+            spark.createDataFrame([(5, 1, 2)], "k long, n long, x long"),
+            keys=["k"],
+        )
+    stats = t.merge(
+        spark.createDataFrame([(5, 50)], "k long, n long"), keys=["k"]
+    )
+    assert stats["rows_inserted"] == 1 and stats["rows_updated"] == 0
+    assert {tuple(r) for r in t.current().collect()} == {(5, 50)}
+    # and the chain continues normally from here
+    t.merge(
+        spark.createDataFrame([(5, 55), (6, 60)], "k long, n long"),
+        keys=["k"],
+    )
+    assert {tuple(r) for r in t.current().collect()} == {(5, 55), (6, 60)}
+    assert [h["op"] for h in t.describe_history()] == [
+        "create", "delete", "delete", "delete", "merge", "merge"
+    ]
