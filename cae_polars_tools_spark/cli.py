@@ -876,28 +876,16 @@ def history_command(args) -> int:
     root = args.path.rstrip("/")
     store = ByteStore.for_path(root)
     if store.get("_CURRENT.json") is not None:
-        # Table history without a SparkSession: replay the retained
-        # versions' commit sidecars exactly like Table.describe_history
-        import re as _re
+        # Table history without a SparkSession — the ONE store-level
+        # replay Table.describe_history also uses (table.py)
+        from cae_polars_tools_spark.table import history_records
 
-        from cae_polars_tools_spark.manifest import is_tombstoned
-
-        records = []
-        versions = sorted(
-            int(m.group(1))
-            for n in store.list_prefix("")
-            if (m := _re.fullmatch(r"v(\d+)/?", n))
-            and not is_tombstoned(store, f"v{m.group(1)}")
-        )
-        for v in versions:
-            raw = store.get(f"v{v}/_COMMIT.json")
-            rec = (
-                json.loads(raw)
-                if raw is not None
-                else {"op": "unknown", "ts": None, "stats": {}}
+        print(
+            json.dumps(
+                {"kind": "table", "history": history_records(store)},
+                indent=1,
             )
-            records.append({"version": v, **rec})
-        print(json.dumps({"kind": "table", "history": records}, indent=1))
+        )
         return 0
     raw = store.get("_INDEX.json")
     if raw is not None:

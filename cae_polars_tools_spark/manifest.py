@@ -340,23 +340,31 @@ def vacuum_refcount(
             removed.append(vd)
             files_deleted += len(here)
             continue
+        # TOMBSTONE FIRST: the moment the tombstone lands the version
+        # is unreadable, so a crash mid-demotion can never leave a
+        # half-stripped directory masquerading as a legacy
+        # self-contained version (whose whole-directory read would
+        # return only the shared-file subset as if it were the full
+        # snapshot). The next vacuum re-candidates husks and finishes
+        # the cleanup.
+        if not already_husk:
+            store.put(
+                f"{vd}/{TOMBSTONE}",
+                json.dumps({"kept_files": len(kept)}).encode(),
+            )
         for r in here:
             if r not in referenced:
                 store.delete_prefix(r)
                 files_deleted += 1
-        if already_husk:
-            # re-candidated husk: reclaim newly-unreferenced files
-            # above, but it was demoted long ago — idempotent runs
-            # must not re-report it
-            continue
+        # sidecars strip on EVERY pass (a vacuum that crashed between
+        # tombstone and strip leaves them behind; the re-candidate
+        # finishes the job), but an already-tombstoned husk was
+        # demoted long ago — idempotent runs must not re-report it
         for side in sidecars:
             if store.get(f"{vd}/{side}") is not None:
                 store.delete_prefix(f"{vd}/{side}")
-        store.put(
-            f"{vd}/{TOMBSTONE}",
-            json.dumps({"kept_files": len(kept)}).encode(),
-        )
-        demoted.append(vd)
+        if not already_husk:
+            demoted.append(vd)
     return {
         "removed": removed,
         "demoted": demoted,

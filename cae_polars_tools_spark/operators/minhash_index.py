@@ -577,16 +577,16 @@ def compact_minhash_index(spark: SparkSession, path: str) -> dict:
     for orphan in (nxt_bands, nxt_sigs):
         if store.list_prefix(orphan):
             store.delete_prefix(orphan)
+    sigs_rel = _read_sigs(spark, root, meta)
+    bands_rel = _read_bands(spark, root, meta)
     (
-        _read_sigs(spark, root, meta)
-        .repartitionByRange(F.col("doc_id"))
+        sigs_rel.repartitionByRange(F.col("doc_id"))
         .sortWithinPartitions("doc_id")
         .write.mode("errorifexists")
         .parquet(f"{root}/{nxt_sigs}")
     )
     (
-        _read_bands(spark, root, meta)
-        .repartitionByRange(F.col("shard"), F.col("bh"))
+        bands_rel.repartitionByRange(F.col("shard"), F.col("bh"))
         .sortWithinPartitions("bh", "band")
         .write.mode("errorifexists")
         .partitionBy("shard")
@@ -594,13 +594,12 @@ def compact_minhash_index(spark: SparkSession, path: str) -> dict:
     )
     # a compaction rewrites everything: each new manifest references
     # only its own fresh files, so a later vacuum reclaims every
-    # predecessor segment
+    # predecessor segment (schemas reuse the rewrite relations — no
+    # second manifest resolution/footer pass)
     n_bands = adopt_dir_files(
-        store, nxt_bands, _read_bands(spark, root, meta).schema.jsonValue()
+        store, nxt_bands, bands_rel.schema.jsonValue()
     )
-    n_sigs = adopt_dir_files(
-        store, nxt_sigs, _read_sigs(spark, root, meta).schema.jsonValue()
-    )
+    n_sigs = adopt_dir_files(store, nxt_sigs, sigs_rel.schema.jsonValue())
     meta = meta_with_history(
         {**meta, "bands_dir": nxt_bands, "sigs_dir": nxt_sigs},
         "compact",

@@ -471,7 +471,7 @@ def _bloom_member_udf(spark, bitmap: bytes):
         hit = (bm[mat >> 3] & (1 << (mat & 7)).astype(np.uint8)) != 0
         return pd.Series(hit.all(axis=1))
 
-    return member
+    return member, bc
 
 
 def contamination_hits_bloom(
@@ -517,7 +517,7 @@ def contamination_hits_bloom(
     try:
         n = bh.count()
         bitmap, m, k = build_hash_bloom(bh, n_items=n, fpp=fpp)
-        member = _bloom_member_udf(spark, bitmap)
+        member, _bc = _bloom_member_udf(spark, bitmap)
         pos = F.array(
             *[F.pmod(F.xxhash64("g", F.lit(i)), F.lit(m)) for i in range(k)]
         )
@@ -626,7 +626,7 @@ def decontaminate_sink(
     n_windows = bh.count()  # materialize once, at construction
     if use_bloom:
         bitmap, m, k = build_hash_bloom(bh, n_items=n_windows, fpp=fpp)
-        member = _bloom_member_udf(spark0, bitmap)
+        member, bloom_bc = _bloom_member_udf(spark0, bitmap)
         probe_pos = F.array(
             *[F.pmod(F.xxhash64("g", F.lit(i)), F.lit(m)) for i in range(k)]
         )
@@ -693,8 +693,22 @@ def decontaminate_sink(
         _unpersist_quietly,
     )
 
+    handles = []
     if (j := getattr(bh, "_jdf", None)) is not None:
-        weakref.finalize(sink, _unpersist_quietly, [j])
+        handles.append(j)
+    if handles:
+        weakref.finalize(sink, _unpersist_quietly, handles)
+    if use_bloom:
+        # the per-executor bitmap broadcast dies with the sink too —
+        # a session cycling bloom sinks must not accumulate one
+        # undestroyed bitmap per sink on every executor
+        def _drop_bitmap(b=bloom_bc):
+            try:
+                b.destroy()
+            except Exception:
+                pass  # session already stopped
+
+        weakref.finalize(sink, _drop_bitmap)
     return sink
 
 

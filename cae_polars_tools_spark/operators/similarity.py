@@ -1776,6 +1776,7 @@ def compact_ivfpq_index(
     cur = meta.get("codes_dir", "codes")
     m_v = _re.fullmatch(r"codes_v(\d+)", cur)
     nxt = f"codes_v{int(m_v.group(1)) + 1 if m_v else 1}"
+    codes_rel = _read_codes(spark, root, meta)
     n = compact_parquet(
         spark,
         root,
@@ -1785,10 +1786,9 @@ def compact_ivfpq_index(
         source_refs=refs_of(store, cur),
     )
     # full rewrite → the new manifest references only fresh files;
-    # vacuum can then reclaim every predecessor segment
-    adopt_dir_files(
-        store, nxt, _read_codes(spark, root, meta).schema.jsonValue()
-    )
+    # vacuum can then reclaim every predecessor segment (schema
+    # reuses the pre-built relation — no second manifest resolution)
+    adopt_dir_files(store, nxt, codes_rel.schema.jsonValue())
     meta = meta_with_history(
         {**meta, "codes_dir": nxt}, "compact", {"files": n}
     )

@@ -415,18 +415,37 @@ def _cow_source(
     else:
         refs = sorted(source_refs)
     _groups, pcols = group_refs(refs)  # mixed layouts refused here
+    if not refs:
+        # a zero-file dataset (a prior job wrote zero rows, or an
+        # empty-version manifest): a merge is then a pure insert and
+        # a delete a no-op — preserve that behavior instead of
+        # refusing. Only an explicit schema can type the empty
+        # relation (there are no footers to infer from).
+        if read_schema is None:
+            raise ValueError(
+                f"{op}: {target!r} holds no data files and no "
+                "read_schema was given — cannot type the empty "
+                "relation"
+            )
+        return root, refs, pcols, spark.createDataFrame([], read_schema)
     df = read_refs(spark, root, refs, read_schema)
     return root, refs, pcols, df
 
 
 def _guard_cow_dst(root: str, refs: list[str], dst: str) -> None:
-    """Manifest-mode destination guard: the fresh version directory
-    must not be, contain, or live inside any birth directory of the
-    source refs (clearing it would destroy referenced data)."""
+    """Copy-on-write destination guard: the fresh output directory
+    must not be, contain, or live inside any BIRTH directory of the
+    source refs (clearing it would destroy referenced data; writing
+    into one would corrupt the source dataset). Birth dirs come from
+    :func:`manifest.split_ref` — partition subdirectories collapse to
+    their dataset root, so a hive-partitioned directory-mode source
+    protects its whole root exactly like the unpartitioned form."""
     import shutil
 
+    from cae_polars_tools_spark.manifest import split_ref
+
     d_abs = os.path.abspath(dst)
-    bases = {r.rsplit("/", 1)[0] if "/" in r else "" for r in refs}
+    bases = {split_ref(r)[0] for r in refs} or {""}
     for b in bases:
         b_abs = os.path.abspath(os.path.join(root, b) if b else root)
         if (

@@ -250,16 +250,7 @@ class Table:
         :meth:`vacuum` drops a version's record with its bytes, which
         is the honest retention story (an audit log outliving its
         data belongs in an external system)."""
-        out = []
-        for v in self.history():
-            raw = self._store().get(f"v{v}/{_COMMIT_SIDECAR}")
-            rec = (
-                json.loads(raw)
-                if raw is not None
-                else {"op": "unknown", "ts": None, "stats": {}}
-            )
-            out.append({"version": v, **rec})
-        return out
+        return history_records(self._store())
 
     # -- declared schema (widen-only evolution) ----------------------
 
@@ -521,6 +512,27 @@ class Table:
                 raise ValueError(
                     f"batch columns {sorted(batch.columns)} must "
                     f"equal the table's {sorted(want)}"
+                )
+            # merge_parquet's dtype-drift refusal stays in force: a
+            # wrong-typed insert would commit files conflicting with
+            # the manifest's recorded schema and poison later reads
+            b_types = {f.name: f.dataType for f in batch.schema.fields}
+            drift = {
+                f.name: (
+                    b_types[f.name].simpleString(),
+                    f.dataType.simpleString(),
+                )
+                for f in schema.fields
+                if b_types[f.name] != f.dataType
+            }
+            if drift:
+                raise ValueError(
+                    "updates schema types differ from the target's: "
+                    + ", ".join(
+                        f"{c}: updates={u} target={t_}"
+                        for c, (u, t_) in drift.items()
+                    )
+                    + " — cast the updates to the target schema first"
                 )
             batch = batch.select(*[f.name for f in schema.fields])
         dup = (
@@ -813,6 +825,34 @@ class Table:
         )
 
         return cow_upsert_sink(self.root, keys, order_col, **kwargs)
+
+
+def history_records(store) -> list[dict]:
+    """Spark-free replay of a Table's commit history from a ByteStore:
+    one ``{version, op, ts, stats}`` per retained (non-tombstoned)
+    version, oldest first, ``op: "unknown"`` for versions without a
+    commit sidecar. The single implementation behind
+    :meth:`Table.describe_history` and the CLI ``history`` subcommand
+    — retention/tombstone semantics must never diverge between the
+    two views."""
+    from cae_polars_tools_spark.manifest import is_tombstoned
+
+    versions = sorted(
+        int(m.group(1))
+        for n in store.list_prefix("")
+        if (m := re.fullmatch(r"v(\d+)/?", n))
+        and not is_tombstoned(store, f"v{m.group(1)}")
+    )
+    out = []
+    for v in versions:
+        raw = store.get(f"v{v}/{_COMMIT_SIDECAR}")
+        rec = (
+            json.loads(raw)
+            if raw is not None
+            else {"op": "unknown", "ts": None, "stats": {}}
+        )
+        out.append({"version": v, **rec})
+    return out
 
 
 def vacuum_table(root: str, keep_last: int = 2) -> dict:

@@ -466,7 +466,7 @@ def test_build_hash_bloom_contract(spark):
     bitmap, m, k = build_hash_bloom(members, n_items=n, fpp=0.01)
     assert m >= math.ceil(-n * math.log(0.01) / math.log(2) ** 2)
     assert 1 <= k <= 20
-    member = _bloom_member_udf(spark, bitmap)
+    member, _bc = _bloom_member_udf(spark, bitmap)
     pos = F.array(
         *[F.pmod(F.xxhash64("g", F.lit(i)), F.lit(m)) for i in range(k)]
     )

@@ -843,3 +843,42 @@ def test_empty_version_merge_delete_roundtrip(spark, tmp_path):
     assert [h["op"] for h in t.describe_history()] == [
         "create", "delete", "delete", "delete", "merge", "merge"
     ]
+
+
+def test_vacuum_crash_mid_demotion_never_fakes_a_version(spark, tmp_path):
+    """Tombstone-first demotion: a vacuum that crashes after writing
+    the tombstone but before stripping sidecars/files must leave the
+    version UNREADABLE (not a legacy-looking directory whose
+    whole-directory read would return only the shared-file subset);
+    the next vacuum finishes the cleanup."""
+    root = str(tmp_path / "t")
+    t = Table.create(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(i, i) for i in range(100)], "k long, n long"
+        ).repartitionByRange(4, "k"),
+    )
+    t.merge(
+        spark.createDataFrame([(1, -1)], "k long, n long"), keys=["k"]
+    )
+    t.merge(
+        spark.createDataFrame([(2, -2)], "k long, n long"), keys=["k"]
+    )
+    # simulate the crash window: tombstone landed, nothing else did
+    import json as _json
+
+    t._store().put(
+        "v0/_TOMBSTONE.json", _json.dumps({"kept_files": 3}).encode()
+    )
+    assert os.path.exists(f"{root}/v0/_MANIFEST.json")  # half-demoted
+    assert t.history() == [1, 2]
+    with pytest.raises(FileNotFoundError):
+        t.read_version(0)
+    assert t.describe_history()[0]["version"] == 1
+    # reads through shared v0 files still work; the next vacuum
+    # re-candidates the husk and completes the strip
+    assert t.current().count() == 100
+    t.vacuum(keep_last=2)
+    assert not os.path.exists(f"{root}/v0/_MANIFEST.json")
+    assert t.current().count() == 100
