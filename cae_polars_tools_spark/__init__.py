@@ -44,6 +44,13 @@ _LAZY = {
     ),
     "ZarrDataReader": ("cae_polars_tools_spark.sources.zarr_reader", "ZarrDataReader"),
     "ZarrStore": ("cae_polars_tools_spark.sources.zarr_store", "ZarrStore"),
+    # Lakehouse facade (manifest-based versioned tables)
+    "Table": ("cae_polars_tools_spark.table", "Table"),
+    "ConcurrentWriteError": (
+        "cae_polars_tools_spark.table",
+        "ConcurrentWriteError",
+    ),
+    "vacuum_table": ("cae_polars_tools_spark.table", "vacuum_table"),
     # Reference-compatible legacy aliases
     # (reference src/data_access/__init__.py:86-98).
     "scan_zarr_s3": ("cae_polars_tools_spark.sources.zarr_scan", "scan_data"),
