@@ -1,0 +1,176 @@
+"""Property tests for the manifest primitives (pure Python — no
+Spark): ref splitting/grouping round-trips, URI normalization, and
+refcount-vacuum invariants over a model filesystem."""
+
+from __future__ import annotations
+
+import string
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cae_polars_tools_spark.manifest import (
+    group_refs,
+    split_ref,
+    uri_to_ref,
+)
+
+_name = st.text(
+    alphabet=string.ascii_lowercase + string.digits + "-_",
+    min_size=1,
+    max_size=8,
+).filter(lambda s: not s.startswith(("_", ".")) and "=" not in s)
+
+_pval = st.text(
+    alphabet=string.ascii_lowercase + string.digits, min_size=0, max_size=4
+)
+
+
+@st.composite
+def _ref(draw):
+    """A root-relative ref: [birth dirs…] [k=v partition dirs…] file.
+    Returns (ref, expected_base, expected_pcols)."""
+    birth = draw(st.lists(_name, min_size=0, max_size=2))
+    pcols = draw(st.lists(_name, min_size=0, max_size=2, unique=True))
+    pvals = [draw(_pval) for _ in pcols]
+    fname = draw(_name) + ".parquet"
+    segs = birth + [f"{k}={v}" for k, v in zip(pcols, pvals)] + [fname]
+    return "/".join(segs), "/".join(birth), pcols
+
+
+@given(_ref())
+@settings(max_examples=200)
+def test_split_ref_recovers_base_and_partition_cols(r):
+    ref, base, pcols = r
+    got_base, got_pcols = split_ref(ref)
+    assert got_base == base
+    assert got_pcols == pcols
+
+
+@given(st.lists(_ref(), min_size=1, max_size=6))
+@settings(max_examples=100)
+def test_group_refs_partitions_by_birth_dir_or_refuses(rs):
+    refs = [r[0] for r in rs]
+    layouts = {tuple(r[2]) for r in rs}
+    if len(layouts) > 1:
+        with pytest.raises(ValueError, match="mixed partition"):
+            group_refs(refs)
+        return
+    groups, pcols = group_refs(refs)
+    assert pcols == list(layouts.pop())
+    # every ref lands in exactly one group, keyed by its birth dir
+    assert sorted(x for g in groups.values() for x in g) == sorted(refs)
+    for base, members in groups.items():
+        assert all(split_ref(m)[0] == base for m in members)
+
+
+@given(_ref())
+@settings(max_examples=100)
+def test_uri_to_ref_round_trips_file_uris(r):
+    """input_file_name-style URIs (scheme, absolute path) normalize
+    back to the root-relative ref regardless of root spelling."""
+    ref, _base, _p = r
+    root = "/data/my table"  # space: exercises percent-encoding
+    from urllib.parse import quote
+
+    uri = "file:" + quote(f"{root}/{ref}")
+    assert uri_to_ref(uri, root) == ref
+    assert uri_to_ref(f"{root}/{ref}", root) == ref  # plain path form
+    assert uri_to_ref(uri, "file://" + root) == ref  # file:// root
+
+
+def test_uri_to_ref_refuses_escapes():
+    with pytest.raises(ValueError, match="outside"):
+        uri_to_ref("/data/other/f.parquet", "/data/table")
+
+
+class _MemStore:
+    """Minimal in-memory ByteStore implementing the five methods the
+    manifest machinery touches — lets the vacuum model test run
+    without a filesystem."""
+
+    def __init__(self):
+        self.objs: dict[str, bytes] = {}
+        self.root = "mem://"
+
+    def get(self, key):
+        return self.objs.get(key)
+
+    def put(self, key, data):
+        self.objs[key] = data
+
+    def delete_prefix(self, prefix=""):
+        if prefix in self.objs:
+            del self.objs[prefix]
+            return
+        for k in [k for k in self.objs if k.startswith(prefix + "/")]:
+            del self.objs[k]
+
+    def list_prefix(self, prefix=""):
+        names = set()
+        p = prefix + "/" if prefix else ""
+        for k in self.objs:
+            if k.startswith(p):
+                names.add(k[len(p):].split("/", 1)[0])
+        return sorted(names)
+
+    def size(self, key):
+        d = self.objs.get(key)
+        return None if d is None else len(d)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),  # version that owns each file
+            st.booleans(),  # referenced by a retained manifest?
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(0, 3),
+)
+@settings(max_examples=150)
+def test_vacuum_refcount_model(files, n_candidates):
+    """Model check: after vacuum_refcount, (a) every referenced file
+    survives, (b) no unreferenced file survives in a candidate dir,
+    (c) a candidate dir is fully removed iff it kept nothing, else it
+    is tombstoned, and (d) a second run is idempotent (no new
+    removals/demotions reported)."""
+    from cae_polars_tools_spark.manifest import (
+        is_tombstoned,
+        vacuum_refcount,
+    )
+
+    store = _MemStore()
+    referenced = set()
+    for i, (v, ref) in enumerate(files):
+        key = f"v{v}/part-{i:03d}.parquet"
+        store.put(key, b"x")
+        if ref:
+            referenced.add(key)
+    candidates = [f"v{v}" for v in range(n_candidates)]
+    for vd in candidates:
+        store.put(f"{vd}/_MANIFEST.json", b"{}")
+
+    stats = vacuum_refcount(store, referenced, candidates)
+    for key in referenced:
+        assert store.get(key) is not None, key  # (a)
+    for vd in candidates:
+        for key in [
+            k for k in list(store.objs) if k.startswith(vd + "/")
+        ]:
+            if key.endswith(".parquet"):
+                assert key in referenced  # (b)
+        still_there = bool(store.list_prefix(vd))
+        if vd in stats["removed"]:
+            assert not still_there  # (c) fully gone
+        elif still_there:
+            assert is_tombstoned(store, vd)
+            assert store.get(f"{vd}/_MANIFEST.json") is None
+    again = vacuum_refcount(store, referenced, candidates)
+    assert again["removed"] == [] or all(
+        not store.list_prefix(v) for v in again["removed"]
+    )
+    assert again["demoted"] == []  # (d)
