@@ -534,7 +534,14 @@ def contamination_hits_bloom(
             .agg(F.count_distinct("g").alias("n_hits"))
         )
         # materialization fence is the caller's action; releasing the
-        # benchmark cache rides the returned plan handle
+        # benchmark cache rides the returned plan handle. The bitmap
+        # broadcast deliberately does NOT: callers derive from this
+        # frame and drop the handle (decontaminate_bloom does), and a
+        # broadcast destroy() is HARD — executors fail mid-plan —
+        # where an unpersist merely recomputes. One transient bitmap
+        # per batch call is bounded; the long-lived form
+        # (decontaminate_sink) owns its bitmap via the sink closure
+        # and destroys it when the sink drops.
         from cae_polars_tools_spark.operators.dedup import _release_on_gc
 
         return _release_on_gc(out, bh)
