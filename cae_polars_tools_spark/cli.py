@@ -803,6 +803,24 @@ def create_parser() -> argparse.ArgumentParser:
         default="doc_id",
         help="the Table's id column (indexes use their own fixed ids)",
     )
+    sp.add_argument(
+        "--id-type",
+        choices=("auto", "int", "string"),
+        default="auto",
+        help="how to type the ids: 'int' requires every id to parse "
+        "as an integer (loud error otherwise), 'string' passes them "
+        "through verbatim (numeric-looking keys like '007' stay "
+        "strings), 'auto' (default) uses ints only when ALL ids "
+        "parse — a mixed list degrades to strings, so pick an "
+        "explicit type when the key column's type matters",
+    )
+    sp.add_argument(
+        "--takedown-id",
+        default=None,
+        help="correlation id stamped into every artifact's history "
+        "record (default: random); pass the original id when "
+        "retrying a partially failed cascade",
+    )
     sp.set_defaults(func=takedown_command)
 
     sp = sub.add_parser(
@@ -828,15 +846,28 @@ def takedown_command(args) -> int:
     from cae_polars_tools_spark.session import get_spark
     from cae_polars_tools_spark.takedown import cascade_delete
 
-    # ints when every id parses as one (isin() must match a numeric
-    # id column by value), otherwise pass through as strings — a
-    # Table/index keyed by string doc ids is just as purgeable
-    # (cascade_delete accepts arbitrary id values)
+    # --id-type decides how ids are typed (isin() must match the key
+    # column by VALUE, so int-vs-string matters): 'int' is strict and
+    # loud, 'string' verbatim, 'auto' keeps the historical inference
+    # (ints only when every id parses — a mixed list like '7,abc'
+    # degrades the whole list to strings, documented in --help)
     raw = [s.strip() for s in args.ids.split(",") if s.strip()]
-    try:
-        ids = [int(s) for s in raw]
-    except ValueError:
+    if args.id_type == "int":
+        try:
+            ids = [int(s) for s in raw]
+        except ValueError as e:
+            print(
+                f"Error: --id-type int but an id does not parse: {e}",
+                file=sys.stderr,
+            )
+            return 1
+    elif args.id_type == "string":
         ids = raw
+    else:
+        try:
+            ids = [int(s) for s in raw]
+        except ValueError:
+            ids = raw
     spark = get_spark(app_name="cae-polars-tools-spark-takedown")
     spark.sparkContext.setLogLevel("ERROR")
     try:
@@ -847,6 +878,7 @@ def takedown_command(args) -> int:
             minhash_index_paths=tuple(args.minhash_index),
             ivfpq_index_paths=tuple(args.ivfpq_index),
             table_id_col=args.id_col,
+            takedown_id=args.takedown_id,
         )
     except RuntimeError as e:
         # partial failure: manifest of what DID purge on stdout (the

@@ -55,18 +55,29 @@ from pyspark.sql import DataFrame, SparkSession
 MANIFEST = "_MANIFEST.json"
 TOMBSTONE = "_TOMBSTONE.json"
 
+#: Above this many file refs a manifest SHARDS: the pointer document
+#: stays a bounded metadata read (Delta checkpoint-parts shape) and
+#: the ref list splits into ``_MANIFEST-<token>-NNNNN.json`` side
+#: objects the main document names. Tests shrink this to exercise the
+#: path; production tables hit it around the million-file mark.
+MANIFEST_SHARD_REFS = 100_000
+
 _HIVE_SEG = re.compile(r"^[^=/]+=[^=/]*$")
 
 __all__ = [
     "MANIFEST",
     "TOMBSTONE",
+    "MANIFEST_SHARD_REFS",
     "split_ref",
     "group_refs",
     "read_refs",
     "data_file_refs",
+    "data_file_stats",
+    "snapshot_dir",
     "write_manifest",
     "load_manifest",
     "refs_of",
+    "sizes_of",
     "ref_sizes",
     "uri_to_ref",
     "is_tombstoned",
@@ -116,6 +127,7 @@ def read_refs(
     root: str,
     refs: list[str],
     read_schema=None,
+    store=None,
 ) -> DataFrame:
     """One DataFrame over a manifest's file references.
 
@@ -124,10 +136,20 @@ def read_refs(
     directories union by name. The union is a narrow plan node —
     filters, column pruning, and partition pruning push into every
     branch, and the branch count equals the number of verbs since the
-    last compaction (compaction resets it to 1)."""
+    last compaction (compaction resets it to 1).
+
+    With ``store`` the Spark-facing paths route through
+    ``store.spark_path`` (the s3://-metadata vs s3a://-Spark split);
+    without it the paths are plain ``root/ref`` joins — identical for
+    local roots, which keeps every historical caller byte-stable."""
     if not refs:
         raise ValueError("read_refs needs at least one file reference")
     root = root.rstrip("/")
+    spath = (
+        store.spark_path
+        if store is not None
+        else (lambda key="": f"{root}/{key}" if key else root)
+    )
     groups, pcols = group_refs(refs)
     frames = []
     for base in sorted(groups):
@@ -135,34 +157,53 @@ def read_refs(
             spark.read if read_schema is None else spark.read.schema(read_schema)
         )
         if pcols:
-            reader = reader.option(
-                "basePath", f"{root}/{base}" if base else root
-            )
-        frames.append(
-            reader.parquet(*[f"{root}/{r}" for r in groups[base]])
-        )
+            reader = reader.option("basePath", spath(base))
+        frames.append(reader.parquet(*[spath(r) for r in groups[base]]))
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
 
 
-def data_file_refs(store, prefix: str = "") -> list[str]:
+def data_file_stats(store, prefix: str = "") -> list[tuple[str, int]]:
     """Recursively list the parquet data files under ``prefix`` as
-    root-relative refs — the post-write inventory of a fresh version
-    directory (sidecars, ``_SUCCESS`` markers, and ``.crc`` shadows
-    are not data)."""
-    out: list[str] = []
-    for name in store.list_prefix(prefix):
+    ``(root-relative ref, byte size)`` — the post-write inventory of a
+    fresh version directory (sidecars, ``_SUCCESS`` markers, and
+    ``.crc`` shadows are not data). Sizes come from the directory
+    LISTING itself (``list_prefix_detail`` — one scandir / LIST page
+    per directory), never a per-file stat, so commit-time sizing adds
+    zero metadata round-trips over the listing the inventory already
+    pays."""
+    out: list[tuple[str, int]] = []
+    for name, size in store.list_prefix_detail(prefix):
         n = name.rstrip("/")
         if n.startswith(("_", ".")):
             continue
         child = f"{prefix}/{n}" if prefix else n
-        if n.endswith(".parquet"):
-            out.append(child)
-        elif store.list_prefix(child):
-            out.extend(data_file_refs(store, child))
+        if n.endswith(".parquet") and size is not None:
+            out.append((child, size))
+        elif size is None:
+            out.extend(data_file_stats(store, child))
     return sorted(out)
+
+
+def data_file_refs(store, prefix: str = "") -> list[str]:
+    """Ref-only view of :func:`data_file_stats`."""
+    return [r for r, _ in data_file_stats(store, prefix)]
+
+
+def snapshot_dir(store, prefix: str = "") -> set[str]:
+    """The physical data files present NOW — taken immediately before
+    an append write so the commit can adopt exactly the post-minus-pre
+    delta (crash orphans from an earlier attempt are in the snapshot,
+    so they are never silently adopted as fresh data)."""
+    return {r for r, _ in data_file_stats(store, prefix)}
+
+
+def _shard_token(refs: list[str]) -> str:
+    import hashlib
+
+    return hashlib.md5("\n".join(refs).encode()).hexdigest()[:12]
 
 
 def write_manifest(
@@ -171,19 +212,81 @@ def write_manifest(
     refs: list[str],
     schema_json: dict | None = None,
     extra: dict | None = None,
+    sizes: dict | None = None,
 ) -> None:
     """Commit a version's file-reference manifest (atomic PUT through
     the ByteStore seam — readers see the previous manifest or this
-    one, never a torn write)."""
-    doc = {"format": 1, "files": sorted(refs), "schema": schema_json}
+    one, never a torn write). ``sizes`` records per-file byte sizes
+    keyed by ref — CoW verbs then size rewrites from the manifest
+    instead of a stat/HEAD per referenced file (the Delta/Iceberg
+    per-file-stats convention); refs without a recorded size fall back
+    to a stat in :func:`ref_sizes`.
+
+    Past :data:`MANIFEST_SHARD_REFS` refs the list splits into side
+    shard objects written BEFORE the main document: shard names embed
+    a content token, so a crashed commit can never overwrite a shard
+    an OLDER manifest still references, and a retry rewrites the same
+    names idempotently. Readers resolve shards in
+    :func:`load_manifest`; stale shards from superseded commits are
+    ignored by name and stripped with the other sidecars at vacuum."""
+    refs = sorted(refs)
+    sizes = {r: sizes[r] for r in refs if sizes and r in sizes} or None
+    if len(refs) > MANIFEST_SHARD_REFS:
+        token = _shard_token(refs)
+        shard_names = []
+        for i in range(0, len(refs), MANIFEST_SHARD_REFS):
+            part = refs[i:i + MANIFEST_SHARD_REFS]
+            name = f"_MANIFEST-{token}-{i // MANIFEST_SHARD_REFS:05d}.json"
+            doc = {"files": part}
+            if sizes:
+                doc["sizes"] = {r: sizes[r] for r in part if r in sizes}
+            store.put(f"{version_dir}/{name}", json.dumps(doc).encode())
+            shard_names.append(name)
+        main = {
+            "format": 2,
+            "shards": shard_names,
+            "n_files": len(refs),
+            "schema": schema_json,
+        }
+        if extra:
+            main.update(extra)
+        store.put(f"{version_dir}/{MANIFEST}", json.dumps(main).encode())
+        return
+    doc = {"format": 1, "files": refs, "schema": schema_json}
+    if sizes:
+        doc["sizes"] = sizes
     if extra:
         doc.update(extra)
     store.put(f"{version_dir}/{MANIFEST}", json.dumps(doc).encode())
 
 
 def load_manifest(store, version_dir: str) -> dict | None:
+    """The version's manifest as one flat document — sharded manifests
+    (format 2) resolve their shard objects here, so every caller keeps
+    seeing ``{"files": [...], "sizes": {...}, "schema": ...}``."""
     raw = store.get(f"{version_dir}/{MANIFEST}")
-    return None if raw is None else json.loads(raw)
+    if raw is None:
+        return None
+    doc = json.loads(raw)
+    if "shards" not in doc:
+        return doc
+    files: list[str] = []
+    sizes: dict = {}
+    for name in doc["shards"]:
+        sraw = store.get(f"{version_dir}/{name}")
+        if sraw is None:
+            raise FileNotFoundError(
+                f"manifest shard {name!r} missing under {version_dir!r} "
+                f"in {store.root!r}"
+            )
+        sdoc = json.loads(sraw)
+        files.extend(sdoc["files"])
+        sizes.update(sdoc.get("sizes") or {})
+    out = {k: v for k, v in doc.items() if k != "shards"}
+    out["files"] = files
+    if sizes:
+        out["sizes"] = sizes
+    return out
 
 
 def refs_of(store, version_dir: str) -> list[str]:
@@ -195,12 +298,24 @@ def refs_of(store, version_dir: str) -> list[str]:
     return data_file_refs(store, version_dir)
 
 
-def ref_sizes(store, refs: list[str]) -> list[int]:
-    """Byte sizes of referenced files — a metadata call per file
-    (local stat / HEAD / HeadObject), never a data read."""
+def sizes_of(store, version_dir: str) -> dict:
+    """The version's recorded per-file sizes (``{ref: bytes}``) —
+    empty for legacy/pre-size manifests, whose callers fall back to
+    the stat path in :func:`ref_sizes`."""
+    m = load_manifest(store, version_dir)
+    return dict(m.get("sizes") or {}) if m is not None else {}
+
+
+def ref_sizes(store, refs: list[str], known: dict | None = None) -> list[int]:
+    """Byte sizes of referenced files. ``known`` (manifest-recorded
+    sizes) answers without any store call; only refs it lacks — legacy
+    manifests, foreign files — pay a metadata call (local stat / HEAD
+    / HeadObject). Never a data read."""
     out = []
     for r in refs:
-        s = store.size(r)
+        s = known.get(r) if known else None
+        if s is None:
+            s = store.size(r)
         if s is None:
             raise FileNotFoundError(
                 f"manifest references missing file {r!r} under "
@@ -244,33 +359,58 @@ def read_artifact(spark: SparkSession, root: str, dirname: str) -> DataFrame:
     store = ByteStore.for_path(root)
     m = load_manifest(store, dirname)
     if m is None:
-        return spark.read.parquet(f"{root}/{dirname}")
+        return spark.read.parquet(store.spark_path(dirname))
     if not m["files"]:
         if not m.get("schema"):
             raise ValueError(
                 f"artifact {dirname} is empty and records no schema"
             )
         return spark.createDataFrame([], StructType.fromJson(m["schema"]))
-    return read_refs(spark, root, m["files"])
+    return read_refs(spark, root, m["files"], store=store)
 
 
-def adopt_dir_files(store, dirname: str, schema_json=None) -> int:
-    """Fold the data files physically present in a live artifact
-    directory into its manifest (atomic PUT) — the append-commit: an
-    index append writes its segment files first, then adopts them
-    here; a crash in between leaves unmanifested orphans that readers
-    never see and a later vacuum reclaims. Creates the manifest if
-    absent (a legacy index upgrades on its first append).
-    ``schema_json`` fills the manifest's schema when it has none —
-    builders pass the written frame's schema so an artifact that
-    legitimately holds zero rows (e.g. a band table over only
-    too-short docs) stays readable. Returns the manifest's new file
-    count."""
+def adopt_dir_files(
+    store, dirname: str, schema_json=None, pre: set | None = None
+) -> int:
+    """Fold freshly written data files in a live artifact directory
+    into its manifest (atomic PUT) — the append-commit: an index
+    append snapshots the directory (:func:`snapshot_dir`), writes its
+    segment files, then adopts here. With ``pre`` (the pre-write
+    snapshot) adoption is EXACTLY the post-minus-pre delta: orphan
+    files from an append that crashed between segment write and adopt
+    are in ``pre`` but not in the manifest, so a retry never adopts
+    them as if they were fresh data (the duplicate-rows-on-replay
+    hazard) — they stay unmanifested, invisible to readers, and the
+    index vacuums reclaim them (live-dir orphan sweep). Without
+    ``pre`` every physical file folds in (fresh builds, compactions —
+    directories this verb just created). Creates the manifest if
+    absent; a legacy index upgrades on its first append (its
+    pre-existing physical files ARE its data, so they adopt even in
+    delta mode). ``schema_json`` fills the manifest's schema when it
+    has none — builders pass the written frame's schema so an
+    artifact that legitimately holds zero rows (e.g. a band table
+    over only too-short docs) stays readable. Per-file sizes come
+    from the inventory listing and ride in the manifest (the CoW
+    sizing path never re-stats them). Returns the manifest's new
+    file count."""
     m = load_manifest(store, dirname)
-    phys = data_file_refs(store, dirname)
-    refs = sorted(set(m["files"] if m else []) | set(phys))
+    phys = data_file_stats(store, dirname)
+    phys_sizes = dict(phys)
+    if pre is None or m is None:
+        # fresh build / compaction / legacy upgrade: everything
+        # physically present is (or becomes) the artifact's data
+        adopted = set(phys_sizes)
+    else:
+        adopted = {r for r in phys_sizes if r not in pre}
+    refs = sorted(set(m["files"] if m else []) | adopted)
+    old_sizes = dict(m.get("sizes") or {}) if m else {}
+    sizes = {
+        r: phys_sizes.get(r, old_sizes.get(r))
+        for r in refs
+        if r in phys_sizes or r in old_sizes
+    }
     schema = (m.get("schema") if m else None) or schema_json
-    write_manifest(store, dirname, refs, schema)
+    write_manifest(store, dirname, refs, schema, sizes=sizes)
     return len(refs)
 
 
@@ -363,6 +503,11 @@ def vacuum_refcount(
         for side in sidecars:
             if store.get(f"{vd}/{side}") is not None:
                 store.delete_prefix(f"{vd}/{side}")
+        # sharded-manifest side objects strip with the main document
+        # (they are sidecars too, just dynamically named)
+        for n in store.list_prefix(vd):
+            if n.startswith("_MANIFEST-"):
+                store.delete_prefix(f"{vd}/{n}")
         if not already_husk:
             demoted.append(vd)
     return {

@@ -261,28 +261,38 @@ def _append_segments(
     spark: SparkSession, root: str, meta: dict, signed: DataFrame
 ) -> None:
     """Append one signed batch to the live index: band segments first
-    (files, then the bands manifest adopts them), sigs second (same
-    two steps). The bands-before-sigs rule survives manifests: a
-    crash at any point leaves either unmanifested orphan files
-    (invisible to readers, reclaimed by vacuum) or manifested band
-    rows whose docs are absent from sigs (invisible to probes — the
-    verify join drops them) — and the ID-level replay guards heal
-    both on retry."""
-    from cae_polars_tools_spark.manifest import adopt_dir_files
+    (snapshot the directory, write files, adopt EXACTLY the new
+    delta), sigs second (same three steps). Delta adoption is the
+    crash-orphan discipline: files left by an append that died
+    between segment write and adopt are in the retry's PRE-snapshot
+    but not its manifest, so the retry never adopts them as fresh
+    data — the replay would otherwise commit the same rows twice
+    (once from the orphans, once from its own re-write). Orphans stay
+    unmanifested — invisible to every reader — until
+    :func:`vacuum_minhash_index`'s live-directory sweep reclaims
+    them. The bands-before-sigs rule survives manifests: manifested
+    band rows whose docs are absent from sigs are invisible to probes
+    (the verify join drops them) and the ID-level replay guards heal
+    the gap on retry."""
+    from cae_polars_tools_spark.manifest import adopt_dir_files, snapshot_dir
     from cae_polars_tools_spark.sources.zarr_format import ByteStore
 
     store = ByteStore.for_path(root)
     bands = _bands_of(signed)
+    pre_bands = snapshot_dir(store, meta["bands_dir"])
     (
         bands.sortWithinPartitions("bh", "band")
         .write.mode("append")
         .partitionBy("shard")
         .parquet(f"{root}/{meta['bands_dir']}")
     )
-    adopt_dir_files(store, meta["bands_dir"], bands.schema.jsonValue())
+    adopt_dir_files(
+        store, meta["bands_dir"], bands.schema.jsonValue(), pre=pre_bands
+    )
+    pre_sigs = snapshot_dir(store, meta["sigs_dir"])
     signed.write.mode("append").parquet(f"{root}/{meta['sigs_dir']}")
     adopt_dir_files(
-        store, meta["sigs_dir"], signed.schema.jsonValue()
+        store, meta["sigs_dir"], signed.schema.jsonValue(), pre=pre_sigs
     )
 
 
@@ -621,10 +631,15 @@ def vacuum_minhash_index(path: str) -> list[str]:
     deleted only when the LIVE manifests no longer reference them (a
     CoW delete's new generation shares its untouched segments with
     the old directory, which then parks them as a tombstoned husk
-    until a compaction rewrites everything). Explicit and never
-    automatic (the repo's vacuum_versions caveat: only vacuum past
-    your longest reader). Returns the names of directories that no
-    longer serve (fully removed + demoted husks)."""
+    until a compaction rewrites everything). LIVE directories get an
+    orphan sweep too: physical files a crashed append wrote but never
+    adopted into the manifest (delta adoption, ``_append_segments``)
+    are unreferenced by construction and deleted here — safe under
+    the index's single-writer contract (no append can be in flight
+    while vacuum runs). Explicit and never automatic (the repo's
+    vacuum_versions caveat: only vacuum past your longest reader).
+    Returns the names of directories that no longer serve (fully
+    removed + demoted husks)."""
     from cae_polars_tools_spark.manifest import refs_of, vacuum_refcount
     from cae_polars_tools_spark.sources.zarr_format import ByteStore
 
@@ -644,20 +659,47 @@ def vacuum_minhash_index(path: str) -> list[str]:
         and n.rstrip("/") not in live
     )
     stats = vacuum_refcount(store, referenced, candidates)
+    orphans = _sweep_live_orphans(store, live, referenced)
     gone = sorted(set(stats["removed"]) | set(stats["demoted"]))
-    if gone or stats["files_deleted"]:
+    if gone or stats["files_deleted"] or orphans:
         _record_index_op(
             root,
             "vacuum",
-            {"retired": gone, "files_deleted": stats["files_deleted"]},
+            {
+                "retired": gone,
+                "files_deleted": stats["files_deleted"],
+                "orphans_swept": orphans,
+            },
         )
     return gone
+
+
+def _sweep_live_orphans(store, live_dirs, referenced: set) -> int:
+    """Delete unmanifested physical files inside LIVE artifact
+    directories — crash leftovers from an append that died between
+    segment write and adopt (delta adoption keeps them out of the
+    manifest forever, so without this sweep they leak). Only
+    manifested directories sweep: in a legacy self-contained dir every
+    physical file IS the data. Shared by the MinHash and IVF-PQ
+    vacuums. Returns the number of files deleted."""
+    from cae_polars_tools_spark.manifest import data_file_stats, load_manifest
+
+    swept = 0
+    for d in sorted(live_dirs):
+        if load_manifest(store, d) is None:
+            continue
+        for ref, _sz in data_file_stats(store, d):
+            if ref not in referenced:
+                store.delete_prefix(ref)
+                swept += 1
+    return swept
 
 
 def delete_minhash_index(
     spark: SparkSession,
     path: str,
     predicate,
+    op_stats: dict | None = None,
 ) -> dict:
     """Copy-on-write DELETE from the index: rows matching ``predicate``
     (a Column or SQL string over ``doc_id``, e.g. ``"doc_id IN (7)"``)
@@ -729,6 +771,9 @@ def delete_minhash_index(
             "sigs": {
                 k: v for k, v in sigs_stats.items() if k != "schema"
             },
+            # caller context (cascade_delete's takedown_id correlation
+            # key) rides in the same audit record as the flip
+            **(op_stats or {}),
         },
     )
     store.put(_INDEX_META, json.dumps(meta).encode())

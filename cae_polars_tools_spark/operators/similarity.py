@@ -1671,16 +1671,17 @@ def append_ivfpq_index(
                 "check_unique=False if duplicates are intended)"
             )
     n = new.count()
-    new.write.mode("append").partitionBy("cl").parquet(codes_path)
-    # adopt the fresh segment files into the codes manifest (atomic
-    # PUT; a crash in between leaves unmanifested orphans readers
-    # never see and vacuum reclaims), then the audit record
-    from cae_polars_tools_spark.manifest import adopt_dir_files
+    # snapshot → write → adopt the exact delta: orphans from an append
+    # that crashed between segment write and adopt are in the
+    # snapshot, never adopted on retry (duplicate vec_id rows), and
+    # reclaimed by vacuum_ivfpq_index's live-dir sweep
+    from cae_polars_tools_spark.manifest import adopt_dir_files, snapshot_dir
     from cae_polars_tools_spark.sources.zarr_format import ByteStore
 
-    adopt_dir_files(
-        ByteStore.for_path(root), meta.get("codes_dir", "codes")
-    )
+    store = ByteStore.for_path(root)
+    pre = snapshot_dir(store, meta.get("codes_dir", "codes"))
+    new.write.mode("append").partitionBy("cl").parquet(codes_path)
+    adopt_dir_files(store, meta.get("codes_dir", "codes"), pre=pre)
     _record_ivfpq_op(root, "append", {"rows_appended": n})
     return {"rows_appended": n}
 
@@ -1729,13 +1730,22 @@ def ivfpq_ingest_sink(
         new = _encode_with_index_model(
             fresh, centroids, codebooks, id_col, emb_col
         )
-        new.write.mode("append").partitionBy("cl").parquet(codes_path)
-        from cae_polars_tools_spark.manifest import adopt_dir_files
+        # delta adoption (append_ivfpq_index rule): a replayed batch
+        # whose previous delivery crashed pre-adopt re-encodes the
+        # same vec_ids (the anti-join can't see unmanifested files),
+        # but only ITS OWN fresh files are adopted — the orphans stay
+        # out of the manifest and vacuum's live-dir sweep reclaims
+        # them, so the codes table never holds a vec_id twice
+        from cae_polars_tools_spark.manifest import (
+            adopt_dir_files,
+            snapshot_dir,
+        )
         from cae_polars_tools_spark.sources.zarr_format import ByteStore
 
-        adopt_dir_files(
-            ByteStore.for_path(root), meta.get("codes_dir", "codes")
-        )
+        store = ByteStore.for_path(root)
+        pre = snapshot_dir(store, meta.get("codes_dir", "codes"))
+        new.write.mode("append").partitionBy("cl").parquet(codes_path)
+        adopt_dir_files(store, meta.get("codes_dir", "codes"), pre=pre)
         _record_ivfpq_op(root, "append", {"batch_id": batch_id})
 
     return sink
@@ -1800,6 +1810,7 @@ def delete_ivfpq_index(
     spark: SparkSession,
     path: str,
     predicate,
+    op_stats: dict | None = None,
 ) -> dict:
     """Copy-on-write DELETE from a persisted IVF-PQ index: rows of
     the codes table matching ``predicate`` (a Column or SQL string,
@@ -1858,7 +1869,9 @@ def delete_ivfpq_index(
     meta = meta_with_history(
         {**meta, "codes_dir": nxt},
         "delete",
-        {k: v for k, v in stats.items()},
+        # caller context (cascade_delete's takedown_id correlation
+        # key) rides in the same audit record as the flip
+        {**stats, **(op_stats or {})},
     )
     store.put(_INDEX_META, json.dumps(meta).encode())
     stats["codes_dir"] = nxt
@@ -1872,13 +1885,20 @@ def vacuum_ivfpq_index(path: str) -> list[str]:
     files are deleted only when the live manifest no longer
     references them (a CoW delete's generation shares untouched
     segments with its predecessor, which then parks them as a
-    tombstoned husk until a compaction rewrites everything). Explicit
-    and never automatic — the ``vacuum_minhash_index`` twin, same
-    caveat: only vacuum past your longest reader. Returns the names
-    of directories that no longer serve (removed + demoted husks)."""
+    tombstoned husk until a compaction rewrites everything). The LIVE
+    codes directory gets an orphan sweep too: files a crashed append
+    wrote but never delta-adopted are unreferenced by construction
+    and deleted here (single-writer contract — no append in flight
+    while vacuum runs). Explicit and never automatic — the
+    ``vacuum_minhash_index`` twin, same caveat: only vacuum past your
+    longest reader. Returns the names of directories that no longer
+    serve (removed + demoted husks)."""
     import re as _re
 
     from cae_polars_tools_spark.manifest import refs_of, vacuum_refcount
+    from cae_polars_tools_spark.operators.minhash_index import (
+        _sweep_live_orphans,
+    )
     from cae_polars_tools_spark.sources.zarr_format import ByteStore
 
     root = path.rstrip("/")
@@ -1898,12 +1918,17 @@ def vacuum_ivfpq_index(path: str) -> list[str]:
         )
     )
     stats = vacuum_refcount(store, referenced, candidates)
+    orphans = _sweep_live_orphans(store, {live}, referenced)
     gone = sorted(set(stats["removed"]) | set(stats["demoted"]))
-    if gone or stats["files_deleted"]:
+    if gone or stats["files_deleted"] or orphans:
         _record_ivfpq_op(
             root,
             "vacuum",
-            {"retired": gone, "files_deleted": stats["files_deleted"]},
+            {
+                "retired": gone,
+                "files_deleted": stats["files_deleted"],
+                "orphans_swept": orphans,
+            },
         )
     return gone
 

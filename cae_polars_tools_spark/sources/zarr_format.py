@@ -49,13 +49,36 @@ import numpy as np
 class ByteStore:
     """Key-value view of a zarr store root ('a/b/.zarray' → bytes)."""
 
+    #: scheme → factory(path, storage_options) registry: deployments
+    #: (and tests) plug custom stores in by URI scheme without
+    #: patching this module — ``register_scheme("s3", ...)`` overrides
+    #: the fsspec default for that scheme everywhere ``for_path`` is
+    #: used (every manifest, pointer, CoW verb, and zarr read).
+    _SCHEME_FACTORIES: dict = {}
+
     def __init__(self, root: str, storage_options: dict | None = None):
         self.root = root.rstrip("/")
         self.storage_options = storage_options or {}
 
     # -- factory -----------------------------------------------------------
+    @classmethod
+    def register_scheme(cls, scheme: str, factory) -> None:
+        """Route ``scheme://...`` paths to ``factory(path,
+        storage_options)`` in :meth:`for_path`. Later registrations
+        replace earlier ones; ``unregister_scheme`` removes."""
+        cls._SCHEME_FACTORIES[scheme] = factory
+
+    @classmethod
+    def unregister_scheme(cls, scheme: str) -> None:
+        cls._SCHEME_FACTORIES.pop(scheme, None)
+
     @staticmethod
     def for_path(path: str, storage_options: dict | None = None) -> "ByteStore":
+        if "://" in path:
+            scheme = path.split("://", 1)[0]
+            factory = ByteStore._SCHEME_FACTORIES.get(scheme)
+            if factory is not None:
+                return factory(path, storage_options)
         if path.startswith(("http://", "https://")):
             # fsspec (when fully installed — its http filesystem also
             # needs aiohttp) keeps full storage_options semantics
@@ -135,6 +158,106 @@ class ByteStore:
         if data is None:
             raise FileNotFoundError(f"{src!r} not found in {self.root!r}")
         self.put(dst, data)
+
+    # -- Spark path translation ---------------------------------------
+    #
+    # A key has TWO addresses: the store's (metadata I/O through this
+    # class) and Spark's (the string the JVM reader/writer resolves).
+    # They usually coincide, but the split is load-bearing wherever the
+    # metadata client and the Hadoop connector spell the same location
+    # differently — s3:// (fsspec/s3fs) vs s3a:// (hadoop-aws) is the
+    # canonical production case. Every CoW verb builds its Spark reads
+    # and writes through spark_path() and normalizes what Spark reports
+    # back (input_file_name / inputFiles) through ref_from_spark_uri(),
+    # so a deployment only has to get the mapping right ONCE, here.
+
+    def spark_path(self, key: str = "") -> str:
+        """The path string Spark's reader/writer uses for ``key``
+        (default: the store address itself). ``spark_scheme`` in
+        ``storage_options`` rewrites the scheme — e.g. a store rooted
+        at ``s3://bucket/t`` with ``spark_scheme="s3a"`` hands Spark
+        ``s3a://bucket/t/...`` while metadata stays on s3fs."""
+        root = self.root
+        spark_scheme = self.storage_options.get("spark_scheme")
+        if spark_scheme and "://" in root:
+            root = f"{spark_scheme}://{root.split('://', 1)[1]}"
+        return f"{root}/{key}" if key else root
+
+    def ref_from_spark_uri(self, uri: str) -> str:
+        """Root-relative ref of a file URI Spark reported
+        (``input_file_name()`` / ``inputFiles()``) — the inverse of
+        :meth:`spark_path`. Affected-file classification in the CoW
+        verbs compares THESE normalized refs, never raw URI strings
+        (schemes and percent-encoding differ between what Spark
+        reports and what the manifest records; a silent mismatch would
+        both reference AND rewrite a file, duplicating its rows)."""
+        import posixpath
+        from urllib.parse import unquote, urlparse
+
+        u = urlparse(uri)
+        r = urlparse(self.root)
+        if u.scheme and r.netloc and u.netloc != r.netloc:
+            raise ValueError(
+                f"file {uri!r} is outside the store root {self.root!r}"
+            )
+        rel = posixpath.relpath(unquote(u.path) or "/", r.path or "/")
+        if rel.startswith(".."):
+            raise ValueError(
+                f"file {uri!r} is outside the store root {self.root!r}"
+            )
+        return posixpath.normpath(rel)
+
+    def canon(self) -> str:
+        """Canonical identity of the root for overlap/containment
+        checks (two stores whose canon strings nest address the same
+        bytes). Local stores canonicalize the filesystem path; URI
+        stores are already canonical."""
+        return self.root
+
+    # -- conditional / bulk primitives ---------------------------------
+
+    #: True when :meth:`put_if_absent` is a real store-level
+    #: compare-and-swap (exactly one concurrent caller wins). The base
+    #: check-then-put is detection-grade only — callers that need hard
+    #: exclusion (the Table commit protocol) consult this flag to know
+    #: whether losing a race is impossible or merely unlikely.
+    cas_atomic = False
+
+    def put_if_absent(self, key: str, data: bytes) -> bool:
+        """Write ``key`` only if absent; True when THIS call created
+        it. Base implementation is check-then-put (non-atomic —
+        ``cas_atomic`` False); stores with a conditional write
+        (local ``link()``, S3 ``If-None-Match:*``) override with the
+        real thing."""
+        if self.size(key) is not None:
+            return False
+        self.put(key, data)
+        return True
+
+    def list_prefix_detail(self, prefix: str = "") -> list[tuple[str, int | None]]:
+        """``(name, size)`` of immediate children under ``prefix``;
+        ``size`` is None for directories/prefixes. Object-store LIST
+        responses carry sizes for free, so manifest commits use this
+        to record per-file sizes WITHOUT a stat/HEAD per file; the
+        default composes ``list_prefix`` + ``size`` for stores without
+        a richer listing."""
+        out = []
+        for name in self.list_prefix(prefix):
+            key = f"{prefix}/{name}" if prefix else name
+            out.append((name, self.size(key)))
+        return out
+
+    def copy_to(self, src_key: str, dst_store: "ByteStore", dst_key: str) -> None:
+        """Copy one object into ``dst_store`` (possibly a different
+        root). Default streams get→put through the caller; same-class
+        subclasses override with server-side copies so the legacy
+        copy-untouched CoW path never moves data through the driver."""
+        data = self.get(src_key)
+        if data is None:
+            raise FileNotFoundError(
+                f"{src_key!r} not found in {self.root!r}"
+            )
+        dst_store.put(dst_key, data)
 
 
 class LocalByteStore(ByteStore):
@@ -218,6 +341,78 @@ class LocalByteStore(ByteStore):
             os.link(sp, dp)
         except OSError:
             shutil.copyfile(sp, dp)
+
+    def canon(self) -> str:
+        return os.path.abspath(self.root)
+
+    def ref_from_spark_uri(self, uri: str) -> str:
+        # local Spark reports file:/… or file:///… with percent-
+        # encoding, and the root may be relative — delegate to the
+        # abspath-normalizing uri_to_ref (manifest.py), the historical
+        # single implementation for local CoW classification
+        from cae_polars_tools_spark.manifest import uri_to_ref
+
+        return uri_to_ref(uri, self.root)
+
+    cas_atomic = True
+
+    def put_if_absent(self, key: str, data: bytes) -> bool:
+        # true compare-and-swap via link(2): the tmp file is written
+        # COMPLETELY first, then linked into place — link is atomic
+        # and fails with EEXIST when the key exists, so exactly one
+        # concurrent caller wins and no reader ever sees a torn value
+        # (a bare O_EXCL create would expose partially-written bytes)
+        import tempfile
+
+        p = os.path.join(self.root, key)
+        d = os.path.dirname(p)
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, prefix=".__cas__")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(data)
+            try:
+                os.link(tmp, p)
+                return True
+            except FileExistsError:
+                return False
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+
+    def list_prefix_detail(self, prefix: str = "") -> list[tuple[str, int | None]]:
+        # one scandir: names AND sizes from the same directory read,
+        # no per-file stat round-trips
+        p = os.path.join(self.root, prefix) if prefix else self.root
+        if not os.path.isdir(p):
+            return []
+        out = []
+        with os.scandir(p) as it:
+            for e in it:
+                out.append(
+                    (e.name, e.stat().st_size if e.is_file() else None)
+                )
+        return sorted(out)
+
+    def copy_to(self, src_key: str, dst_store: "ByteStore", dst_key: str) -> None:
+        if isinstance(dst_store, LocalByteStore):
+            # same-machine CoW: hardlink across roots (immutable-file
+            # rule, see copy()); cross-device falls back to a byte copy
+            import shutil
+
+            sp = os.path.join(self.root, src_key)
+            dp = os.path.join(dst_store.root, dst_key)
+            if not os.path.isfile(sp):
+                raise FileNotFoundError(
+                    f"{src_key!r} not found in {self.root!r}"
+                )
+            os.makedirs(os.path.dirname(dp), exist_ok=True)
+            try:
+                os.link(sp, dp)
+            except OSError:
+                shutil.copyfile(sp, dp)
+            return
+        super().copy_to(src_key, dst_store, dst_key)
 
 
 class HttpByteStore(ByteStore):
@@ -387,6 +582,34 @@ class FsspecByteStore(ByteStore):
         # s3fs that is S3 CopyObject, a true server-side copy: the
         # bytes never transit the driver
         self._fs.copy(f"{self._root}/{src}", f"{self._root}/{dst}")
+
+    def list_prefix_detail(self, prefix: str = "") -> list[tuple[str, int | None]]:  # pragma: no cover - optional dep
+        # one LIST call returns names AND sizes (S3 ListObjectsV2
+        # semantics) — the manifest-commit sizing path never HEADs
+        # per file
+        path = f"{self._root}/{prefix}" if prefix else self._root
+        try:
+            entries = self._fs.ls(path, detail=True)
+        except FileNotFoundError:
+            return []
+        out = []
+        for e in entries:
+            name = e["name"].rstrip("/").rsplit("/", 1)[-1]
+            size = e.get("size") if e.get("type") == "file" else None
+            out.append((name, size))
+        return sorted(out)
+
+    def copy_to(self, src_key: str, dst_store: "ByteStore", dst_key: str) -> None:  # pragma: no cover - optional dep
+        if isinstance(dst_store, FsspecByteStore) and type(
+            dst_store._fs
+        ) is type(self._fs):
+            # same filesystem class (e.g. both s3fs): server-side copy
+            self._fs.copy(
+                f"{self._root}/{src_key}",
+                f"{dst_store._root}/{dst_key}",
+            )
+            return
+        super().copy_to(src_key, dst_store, dst_key)
 
 
 # --------------------------------------------------------------------------

@@ -135,12 +135,15 @@ def compact_parquet(
     sort_cols: list[str] | None = None,
     read_schema=None,
     source_refs: list[str] | None = None,
+    source_sizes: dict | None = None,
 ) -> int:
     """Rewrite the parquet dataset at ``src`` into ``dst`` with files
     sized toward ``target_file_bytes``; returns the file count written.
     With ``source_refs`` (manifest mode), ``src`` is the table ROOT
     and the dataset is the referenced file set, possibly spanning
-    several version directories (``Table.compact``).
+    several version directories (``Table.compact``); ``source_sizes``
+    (the manifest's recorded per-file sizes) makes the sizing pass
+    zero store calls.
 
     File count = ceil(total_bytes / target) from the source listing —
     parquet-to-parquet rewrites keep encoded size roughly stable, so
@@ -176,10 +179,11 @@ def compact_parquet(
     # ONE relation for sizing and rewrite: on the many-small-files
     # datasets this function exists for, directory listing + footer
     # schema inference dominates planning — don't pay it twice
-    root, refs, pcols, df = _cow_source(
+    root, store, refs, pcols, df = _cow_source(
         spark, src, read_schema, source_refs, "compact_parquet"
     )
-    total = _ref_bytes(root, refs)
+    _dst_root, dst_store = _cow_store(dst, "compact_parquet")
+    total = _ref_bytes(store, refs, known=source_sizes)
     n = max(1, math.ceil(total / target_file_bytes))
     if pcols:
         if sort_cols:
@@ -192,7 +196,9 @@ def compact_parquet(
                 .repartitionByRange(n, *pcols, "__salt")
                 .drop("__salt")
             )
-        df.write.mode("overwrite").partitionBy(*pcols).parquet(dst)
+        df.write.mode("overwrite").partitionBy(*pcols).parquet(
+            dst_store.spark_path("")
+        )
     else:
         if sort_cols:
             df = df.repartitionByRange(n, *sort_cols).sortWithinPartitions(
@@ -200,20 +206,10 @@ def compact_parquet(
             )
         else:
             df = df.repartition(n)
-        df.write.mode("overwrite").parquet(dst)
-    return len(dataset_file_sizes(spark, dst))
+        df.write.mode("overwrite").parquet(dst_store.spark_path(""))
+    from cae_polars_tools_spark.manifest import data_file_refs
 
-
-def _relation_file_sizes(df) -> list[int]:
-    """File sizes of an already-planned parquet relation (no second
-    listing). Raises for non-local URIs, like dataset_file_sizes."""
-    sizes = []
-    for f in df.inputFiles():
-        u = urlparse(f)
-        if u.scheme not in ("file", ""):
-            raise ValueError(f"not a local file: {f}")
-        sizes.append(os.path.getsize(unquote(u.path)))
-    return sizes
+    return len(data_file_refs(dst_store))
 
 
 def zorder_parquet(
@@ -226,6 +222,7 @@ def zorder_parquet(
     rel_err: float = 0.01,
     read_schema=None,
     source_refs: list[str] | None = None,
+    source_sizes: dict | None = None,
 ) -> int:
     """Rewrite the parquet dataset at ``src`` into ``dst`` clustered on
     a Z-order (Morton) curve over ``zorder_cols``; returns the file
@@ -283,14 +280,11 @@ def zorder_parquet(
         raise ValueError("target_file_bytes must be positive")
     from pyspark.sql import functions as F
 
-    if source_refs is None:
-        df = _reader(spark, read_schema).parquet(src)
-        total = sum(_relation_file_sizes(df))
-    else:
-        root, refs, _pcols, df = _cow_source(
-            spark, src, read_schema, source_refs, "zorder_parquet"
-        )
-        total = _ref_bytes(root, refs)
+    _root, store, refs, _pcols, df = _cow_source(
+        spark, src, read_schema, source_refs, "zorder_parquet"
+    )
+    _dst_root, dst_store = _cow_store(dst, "zorder_parquet")
+    total = _ref_bytes(store, refs, known=source_sizes)
     numeric = {
         f.name
         for f in df.schema.fields
@@ -328,72 +322,80 @@ def zorder_parquet(
         .sortWithinPartitions("__z")
         .drop("__z")
         .write.mode("overwrite")
-        .parquet(dst)
+        .parquet(dst_store.spark_path(""))
     )
-    return len(dataset_file_sizes(spark, dst))
+    from cae_polars_tools_spark.manifest import data_file_refs
+
+    return len(data_file_refs(dst_store))
 
 def _local_path(uri: str, op: str) -> str:
-    """Normalized local filesystem path of a file URI; raises for
-    non-local schemes. ONE implementation for every copy-on-write
-    rewrite — the affected-file classification compares these
-    normalized paths, never raw URI strings (input_file_name and
-    inputFiles have historically differed in scheme/percent-encoding,
-    and a silent mismatch would both copy AND rewrite a file,
-    duplicating its rows)."""
+    """Normalized local filesystem path of a ``file://`` URI (Spark
+    accepts either form; os-level fast paths do not — an
+    un-normalized URI dst used to send byte-copies into a literal
+    ``file:`` directory under the cwd). Non-file schemes do NOT land
+    here anymore: :func:`_cow_store` keeps them as URIs and every
+    metadata/copy operation rides the ByteStore seam instead."""
     u = urlparse(uri)
     if u.scheme not in ("file", ""):
         raise ValueError(
-            f"{op} copies locally; non-local file {uri!r} needs an "
-            "object-store server-side copy instead"
+            f"{op}: {uri!r} is not a local path"
         )
     return os.path.abspath(unquote(u.path if u.scheme else uri))
 
 
-def _norm_dataset_path(p: str, op: str) -> str:
-    """Normalize a dataset path for the copy-on-write FILE machinery:
-    ``file://`` URIs become plain local paths (Spark accepts either,
-    but shutil/os.path do not — an un-normalized URI dst used to send
-    the byte-copies into a literal ``file:`` directory under the cwd,
-    silently losing every untouched row); any other scheme raises the
-    loud not-local error instead of corrupting."""
-    return _local_path(p, op) if "://" in p or p.startswith("file:") else p
+def _cow_store(path: str, op: str):
+    """``(root, store)`` for one copy-on-write dataset location. Local
+    paths (plain or ``file://``) keep their historical normalization;
+    any other scheme stays a URI and resolves through
+    ``ByteStore.for_path`` — the seam that makes every CoW verb run
+    against object stores (s3/http/registered schemes): Spark reads
+    and writes go through ``store.spark_path``, affected-file
+    classification through ``store.ref_from_spark_uri``, sizing
+    through manifest-recorded sizes + ``store.size``, and the legacy
+    copy-untouched path through ``store.copy_to`` (server-side where
+    the backend supports it)."""
+    from cae_polars_tools_spark.sources.zarr_format import ByteStore
+
+    if "://" in path and not path.startswith("file:"):
+        root = path.rstrip("/")
+    else:
+        root = (
+            _local_path(path, op)
+            if "://" in path or path.startswith("file:")
+            else path
+        )
+    return root, ByteStore.for_path(root)
 
 
-def _copy_refs(root: str, refs: list[str], dst: str) -> None:
-    """Hardlink (fallback: byte copy) of root-relative file refs into
-    ``dst``, keeping each file's ``key=value`` partition subpath (the
+def _copy_refs(store, refs: list[str], dst_store) -> None:
+    """Copy root-relative file refs into the destination store,
+    keeping each file's ``key=value`` partition subpath (the
     partition-column values live in those directory names, not in the
-    files, so flattening would silently drop them). CoW version files
-    are immutable after their pointer flip, so sharing inodes is safe
-    — on one filesystem the "copy" costs zero data bytes; cross-device
-    falls back to a real copy. The scale path avoids even this:
-    ``copy_untouched=False`` + a manifest references the untouched
-    files instead (``cae_polars_tools_spark.manifest``)."""
-    import shutil
-
+    files, so flattening would silently drop them). Rides
+    ``ByteStore.copy_to``: local→local hardlinks (CoW version files
+    are immutable after their pointer flip, so sharing inodes is
+    safe and the "copy" costs zero data bytes), same-backend object
+    stores use server-side copy, anything else streams. The scale
+    path avoids even this: ``copy_untouched=False`` + a manifest
+    references the untouched files instead
+    (``cae_polars_tools_spark.manifest``)."""
     from cae_polars_tools_spark.manifest import split_ref
 
     for i, ref in enumerate(refs):
         base, _cols = split_ref(ref)
         sub = ref[len(base):].lstrip("/") if base else ref
-        rel_dir = os.path.dirname(sub)
-        out_dir = os.path.join(dst, rel_dir) if rel_dir else dst
-        os.makedirs(out_dir, exist_ok=True)
-        src_p = os.path.join(root, *ref.split("/"))
-        out_p = os.path.join(
-            out_dir, f"copied-{i:05d}-{os.path.basename(src_p)}"
-        )
-        try:
-            os.link(src_p, out_p)
-        except OSError:
-            shutil.copyfile(src_p, out_p)
+        rel_dir, fname = os.path.split(sub)
+        out_name = f"copied-{i:05d}-{fname}"
+        dst_key = f"{rel_dir}/{out_name}" if rel_dir else out_name
+        store.copy_to(ref, dst_store, dst_key)
 
 
 def _cow_source(
     spark, target, read_schema, source_refs, op
-) -> tuple[str, list[str], list[str], DataFrame]:
-    """The dataset a CoW verb operates on, as ``(root, refs, pcols,
-    df)`` with refs root-relative (``manifest.py`` conventions).
+):
+    """The dataset a CoW verb operates on, as ``(root, store, refs,
+    pcols, df)`` with refs root-relative (``manifest.py``
+    conventions).
 
     Directory mode (``source_refs is None``): ``target`` is a plain
     parquet dataset directory — list it once, derive refs + hive
@@ -402,16 +404,16 @@ def _cow_source(
     references (possibly spanning several version directories); the
     relation is the per-birth-dir union of :func:`manifest.read_refs`
     and untouched files are never copied, only re-referenced."""
-    from cae_polars_tools_spark.manifest import (
-        group_refs,
-        read_refs,
-        uri_to_ref,
-    )
+    from cae_polars_tools_spark.manifest import group_refs, read_refs
 
-    root = _norm_dataset_path(target, op)
+    root, store = _cow_store(target, op)
     if source_refs is None:
-        raw = _reader(spark, read_schema).parquet(root).inputFiles()
-        refs = sorted(uri_to_ref(f, root) for f in raw)
+        raw = (
+            _reader(spark, read_schema)
+            .parquet(store.spark_path(""))
+            .inputFiles()
+        )
+        refs = sorted(store.ref_from_spark_uri(f) for f in raw)
     else:
         refs = sorted(source_refs)
     _groups, pcols = group_refs(refs)  # mixed layouts refused here
@@ -427,54 +429,51 @@ def _cow_source(
                 "read_schema was given — cannot type the empty "
                 "relation"
             )
-        return root, refs, pcols, spark.createDataFrame([], read_schema)
-    df = read_refs(spark, root, refs, read_schema)
-    return root, refs, pcols, df
+        return root, store, refs, pcols, spark.createDataFrame([], read_schema)
+    df = read_refs(spark, root, refs, read_schema, store=store)
+    return root, store, refs, pcols, df
 
 
-def _guard_cow_dst(root: str, refs: list[str], dst: str) -> None:
-    """Copy-on-write destination guard: the fresh output directory
+def _guard_cow_dst(store, refs: list[str], dst_store) -> None:
+    """Copy-on-write destination guard: the fresh output location
     must not be, contain, or live inside any BIRTH directory of the
     source refs (clearing it would destroy referenced data; writing
     into one would corrupt the source dataset). Birth dirs come from
     :func:`manifest.split_ref` — partition subdirectories collapse to
     their dataset root, so a hive-partitioned directory-mode source
-    protects its whole root exactly like the unpartitioned form."""
-    import shutil
-
+    protects its whole root exactly like the unpartitioned form.
+    Containment compares the stores' canonical identities
+    (``ByteStore.canon`` — local paths abspath-normalize, URI roots
+    compare as URIs), so the guard holds on object stores too."""
     from cae_polars_tools_spark.manifest import split_ref
 
-    d_abs = os.path.abspath(dst)
+    d_can = dst_store.canon().rstrip("/")
+    s_can = store.canon().rstrip("/")
     bases = {split_ref(r)[0] for r in refs} or {""}
     for b in bases:
-        b_abs = os.path.abspath(os.path.join(root, b) if b else root)
+        b_can = f"{s_can}/{b}" if b else s_can
         if (
-            d_abs == b_abs
-            or b_abs.startswith(d_abs + os.sep)
-            or d_abs.startswith(b_abs + os.sep)
+            d_can == b_can
+            or b_can.startswith(d_can + "/")
+            or d_can.startswith(b_can + "/")
         ):
             raise ValueError(
-                f"copy-on-write destination {dst!r} overlaps source "
-                f"directory {b_abs!r}; write to a fresh path"
+                f"copy-on-write destination {dst_store.root!r} overlaps "
+                f"source directory {b_can!r}; write to a fresh path"
             )
-    if os.path.isdir(d_abs) and os.listdir(d_abs):
-        shutil.rmtree(d_abs)
-    os.makedirs(d_abs, exist_ok=True)
+    if dst_store.list_prefix(""):
+        dst_store.delete_prefix("")
 
 
-def _ref_paths(root: str, refs: list[str]) -> list[str]:
-    return [os.path.join(root, *r.split("/")) for r in refs]
-
-
-def _ref_bytes(root: str, refs: list[str]) -> int:
-    """Total size of referenced files via the ByteStore seam — a
-    metadata call per file (local stat / HEAD / S3 HeadObject), so
-    CoW file-sizing works wherever the manifest does, not only on
-    local paths."""
+def _ref_bytes(store, refs: list[str], known: dict | None = None) -> int:
+    """Total size of referenced files via the ByteStore seam. With
+    ``known`` (the manifest's recorded per-file sizes) this is pure
+    arithmetic — zero store calls; refs the manifest predates fall
+    back to a metadata call each (local stat / HEAD / S3 HeadObject),
+    never a data read."""
     from cae_polars_tools_spark.manifest import ref_sizes
-    from cae_polars_tools_spark.sources.zarr_format import ByteStore
 
-    return sum(ref_sizes(ByteStore.for_path(root), refs))
+    return sum(ref_sizes(store, refs, known=known))
 
 
 def merge_parquet(
@@ -487,6 +486,7 @@ def merge_parquet(
     read_schema=None,
     source_refs: list[str] | None = None,
     copy_untouched: bool = True,
+    source_sizes: dict | None = None,
 ) -> dict:
     """Copy-on-write MERGE (upsert) into a parquet dataset: rows of
     ``updates`` replace target rows with matching ``keys``; everything
@@ -539,12 +539,12 @@ def merge_parquet(
     """
     from pyspark.sql import functions as F
 
-    from cae_polars_tools_spark.manifest import read_refs, uri_to_ref
+    from cae_polars_tools_spark.manifest import read_refs
 
     if not keys:
         raise ValueError("merge_parquet needs at least one key column")
-    dst = _norm_dataset_path(dst, "merge_parquet")
-    root, refs, pcols, t = _cow_source(
+    _dst_root, dst_store = _cow_store(dst, "merge_parquet")
+    root, store, refs, pcols, t = _cow_source(
         spark, target, read_schema, source_refs, "merge_parquet"
     )
     if set(updates.columns) != set(t.columns):
@@ -591,7 +591,7 @@ def merge_parquet(
         # pruning applies to the probe on a key-clustered target
         aff_refs = sorted(
             {
-                uri_to_ref(r["__f"], root)
+                store.ref_from_spark_uri(r["__f"])
                 for r in t.withColumn("__f", F.input_file_name())
                 .join(key_set, keys, "left_semi")
                 .select("__f")
@@ -602,14 +602,14 @@ def merge_parquet(
         affected_set = set(aff_refs)
         untouched_refs = [r for r in refs if r not in affected_set]
 
-        _guard_cow_dst(root, refs, dst)
+        _guard_cow_dst(store, refs, dst_store)
         if copy_untouched:
-            _copy_refs(root, untouched_refs, dst)
+            _copy_refs(store, untouched_refs, dst_store)
 
         # bytes-per-row from dataset statistics sizes the rewritten
         # files: the update volume counts too (a large insert batch
         # must not funnel into one giant single-task file)
-        total_bytes = _ref_bytes(root, refs)
+        total_bytes = _ref_bytes(store, refs, known=source_sizes)
         t_rows = t.count()  # parquet metadata count — no data scan
         bpr = total_bytes / max(t_rows, 1)
         upd_rows = updates.count()
@@ -619,7 +619,7 @@ def merge_parquet(
             # per-birth-dir basePath re-derives the partition columns
             # from the key=value dirs — reading the leaf files bare
             # would silently drop them from the rewrite
-            aff = read_refs(spark, root, aff_refs, read_schema)
+            aff = read_refs(spark, root, aff_refs, read_schema, store=store)
             survivors = aff.join(key_set, keys, "left_anti")
             matched = updates.join(
                 F.broadcast(aff.select(*keys).distinct()),
@@ -630,7 +630,8 @@ def merge_parquet(
             stats["rows_inserted"] = upd_rows - matched
             out = survivors.unionByName(updates)
             est = (
-                _ref_bytes(root, aff_refs) + upd_rows * bpr
+                _ref_bytes(store, aff_refs, known=source_sizes)
+                + upd_rows * bpr
             )
         else:
             stats["rows_inserted"] = upd_rows
@@ -645,7 +646,7 @@ def merge_parquet(
         ).write.mode("append")
         if pcols:
             writer = writer.partitionBy(*pcols)
-        writer.parquet(dst)
+        writer.parquet(dst_store.spark_path(""))
     finally:
         updates.unpersist()
 
@@ -668,6 +669,7 @@ def delete_parquet(
     read_schema=None,
     source_refs: list[str] | None = None,
     copy_untouched: bool = True,
+    source_sizes: dict | None = None,
 ) -> dict:
     """Copy-on-write DELETE WHERE: rows where ``predicate`` (a Column
     or SQL string) evaluates to TRUE are removed; FALSE and NULL rows
@@ -698,10 +700,10 @@ def delete_parquet(
     if not isinstance(pred, Column):
         raise ValueError("predicate must be a Column or SQL string")
 
-    from cae_polars_tools_spark.manifest import read_refs, uri_to_ref
+    from cae_polars_tools_spark.manifest import read_refs
 
-    dst = _norm_dataset_path(dst, "delete_parquet")
-    root, refs, pcols, t = _cow_source(
+    _dst_root, dst_store = _cow_store(dst, "delete_parquet")
+    root, store, refs, pcols, t = _cow_source(
         spark, target, read_schema, source_refs, "delete_parquet"
     )
     # rows whose partition value is pruned by the predicate never even
@@ -709,7 +711,7 @@ def delete_parquet(
     # directories on a partition-column predicate
     aff_refs = sorted(
         {
-            uri_to_ref(r["__f"], root)
+            store.ref_from_spark_uri(r["__f"])
             for r in t.filter(pred)
             .select(F.input_file_name().alias("__f"))
             .distinct()
@@ -719,25 +721,25 @@ def delete_parquet(
     affected_set = set(aff_refs)
     untouched_refs = [r for r in refs if r not in affected_set]
 
-    _guard_cow_dst(root, refs, dst)
+    _guard_cow_dst(store, refs, dst_store)
     if copy_untouched:
-        _copy_refs(root, untouched_refs, dst)
+        _copy_refs(store, untouched_refs, dst_store)
 
     rows_deleted = 0
     if aff_refs:
-        aff = read_refs(spark, root, aff_refs, read_schema)
+        aff = read_refs(spark, root, aff_refs, read_schema, store=store)
         rows_deleted = aff.filter(pred).count()
         # NULL-predicate rows SURVIVE: plain ~pred maps NULL→NULL and
         # the filter would silently drop them uncounted
         survivors = aff.filter(pred.isNull() | ~pred)
-        total = _ref_bytes(root, aff_refs)
+        total = _ref_bytes(store, aff_refs, known=source_sizes)
         n_files = max(1, math.ceil(total / target_file_bytes))
         writer = survivors.repartition(
             *([n_files] + pcols if pcols else [n_files])
         ).write.mode("append")
         if pcols:
             writer = writer.partitionBy(*pcols)
-        writer.parquet(dst)
+        writer.parquet(dst_store.spark_path(""))
 
     stats = {
         "files_rewritten": len(aff_refs),

@@ -50,6 +50,14 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 _CURRENT = "_CURRENT.json"
+#: per-version commit RECORD directory: ``_txn/vN.json`` is created
+#: with ``ByteStore.put_if_absent`` — on stores with a real
+#: conditional put (local link(2); S3 If-None-Match via a custom
+#: store) exactly ONE writer can commit version N, closing the
+#: check-and-put race the optimistic checks only detect. The record
+#: IS the commit; ``_CURRENT.json`` is a cache of the newest one,
+#: repaired on read when a writer crashed between the two writes.
+_TXN = "_txn"
 #: per-version schema sidecar written by :meth:`Table.add_columns` —
 #: an underscore-prefixed file inside the version directory (Spark's
 #: parquet reader ignores it), recording the DECLARED schema as Spark
@@ -88,23 +96,29 @@ class Table:
     The facade deliberately does not carry a lock protocol (a lock
     file without heartbeat/lease semantics only converts a race into
     a stale-lock wedge); instead every verb runs two optimistic
-    checks: at version reservation — before any write or orphan-clear,
-    so a verb holding a stale snapshot aborts with ZERO damage (the
-    case that previously let a resumed writer orphan-clear a
-    committed directory) — and immediately before the pointer flip (a
-    writer that committed during this verb's write phase wins; this
-    verb's directory becomes an unreferenced orphan reclaimed by the
-    next writer / vacuum). Both raise :class:`ConcurrentWriteError`;
-    the caller re-reads and retries against the new current version.
-    This turns the common race — a suspended or stale writer resuming
-    after someone else committed — into a loud retryable error
-    instead of a silent lost update. It is detection, not
-    coordination: two verbs running TRULY concurrently can still
-    reserve the same version number and interleave destructively in
-    one directory (check-and-put is not atomic without a store-level
-    compare-and-swap), so serialize writers externally (the streaming
-    sink's single foreachBatch thread, a nightly scheduler, a queue)
-    when overlap is expected rather than exceptional.
+    checks — at version reservation (before any write or orphan-clear,
+    so a verb holding a stale snapshot aborts with ZERO damage) and
+    immediately before publishing — and then COMMITS through a
+    store-level conditional create: the verb's ``_txn/vN.json``
+    record goes in with ``ByteStore.put_if_absent``. On CAS-capable
+    stores (``cas_atomic`` — local link(2) here; S3 conditional PUT
+    in a custom store) exactly one of two truly-concurrent writers
+    can commit version N; the loser raises
+    :class:`ConcurrentWriteError` with the pointer unmoved and its
+    directory left as an unreferenced orphan the next writer clears.
+    ``_CURRENT.json`` is a CACHE of the newest record — a crash
+    between commit-create and cache flip still committed, and the
+    next pointer read advances over the record and repairs the cache
+    (:func:`read_pointer`). What remains OUTSIDE the guarantee:
+    version-DIRECTORY reservation is still check-and-clear, so two
+    truly-concurrent writers can interleave their file writes inside
+    one ``vN`` directory before either reaches the commit — the
+    winner's post-write inventory can then adopt the loser's partial
+    files into its manifest (wrong rows, committed). Serialize
+    writers externally (the streaming sink's single
+    foreachBatch thread, a nightly scheduler, a queue) when overlap
+    is expected rather than exceptional; the CAS is the backstop that
+    makes the overlap loud and lossless, not a license for it.
     """
 
     def __init__(self, spark: SparkSession, root: str) -> None:
@@ -119,17 +133,22 @@ class Table:
         return ByteStore.for_path(self.root)
 
     def meta(self) -> dict:
-        """The current pointer ``{version, version_dir, batch_id}``."""
-        raw = self._store().get(_CURRENT)
-        if raw is None:
+        """The current pointer ``{version, version_dir, batch_id}``.
+
+        Truth is the COMMIT RECORDS (``_txn/vN.json``, created with a
+        store-level conditional put — see :meth:`_commit`); the
+        ``_CURRENT.json`` pointer is their cache, repaired here when a
+        writer crashed between commit-create and cache flip."""
+        meta = read_pointer(self._store())
+        if meta is None:
             raise FileNotFoundError(
                 f"no {_CURRENT} pointer under {self.root} — not a "
                 "Table (seed one with Table.create)"
             )
-        return json.loads(raw)
+        return meta
 
     def exists(self) -> bool:
-        return self._store().get(_CURRENT) is not None
+        return read_pointer(self._store()) is not None
 
     def version(self) -> int:
         return self.meta()["version"]
@@ -184,11 +203,13 @@ class Table:
         return StructType.fromJson(m["schema"])
 
     def _commit_manifest(
-        self, version_dir: str, refs: list[str], schema_json
+        self, version_dir: str, refs: list[str], schema_json, sizes=None
     ) -> None:
         from cae_polars_tools_spark.manifest import write_manifest
 
-        write_manifest(self._store(), version_dir, refs, schema_json)
+        write_manifest(
+            self._store(), version_dir, refs, schema_json, sizes=sizes
+        )
 
     def _new_data_files(self, version_dir: str) -> list[str]:
         """Data files physically written into a fresh version
@@ -197,6 +218,22 @@ class Table:
         from cae_polars_tools_spark.manifest import data_file_refs
 
         return data_file_refs(self._store(), version_dir)
+
+    def _new_data_stats(self, version_dir: str) -> list[tuple[str, int]]:
+        """``(ref, bytes)`` of the verb's freshly written files —
+        sizes come from the inventory LISTING (no per-file stat), and
+        ride into the new manifest so later verbs size their rewrites
+        without any store calls."""
+        from cae_polars_tools_spark.manifest import data_file_stats
+
+        return data_file_stats(self._store(), version_dir)
+
+    def _version_sizes(self, version_dir: str) -> dict:
+        """The version's manifest-recorded per-file sizes (empty for
+        legacy manifests — callers fall back to stat per ref)."""
+        from cae_polars_tools_spark.manifest import sizes_of
+
+        return sizes_of(self._store(), version_dir)
 
     def _commit(
         self,
@@ -220,7 +257,27 @@ class Table:
             )
         if op is not None:
             self._put_commit(vd, op, stats)
-        self._flip({"version": v, "version_dir": vd, "batch_id": batch_id})
+        meta = {"version": v, "version_dir": vd, "batch_id": batch_id}
+        # THE commit: a conditional create of the version's _txn
+        # record. On CAS-capable stores (ByteStore.cas_atomic) exactly
+        # one of two truly-concurrent writers creates it — the loser
+        # raises here with zero damage (its directory is an orphan the
+        # next writer clears), which closes the interleaving the
+        # optimistic checks above can only detect. On stores without a
+        # conditional put the create is check-then-put: still a
+        # tighter window than pointer-overwrite, honest in the class
+        # docstring. A crash AFTER this create is already committed —
+        # read_pointer() advances over the record and repairs the
+        # cache below.
+        if not self._store().put_if_absent(
+            f"{_TXN}/v{v}.json", json.dumps(meta).encode()
+        ):
+            raise ConcurrentWriteError(
+                f"version v{v} was committed by another writer while "
+                f"this verb was writing {vd}; re-read the table and "
+                "retry"
+            )
+        self._flip(meta)
 
     def _put_commit(
         self, version_dir: str, op: str, stats: dict | None
@@ -289,15 +346,16 @@ class Table:
         reads its whole directory (legacy self-contained layout)."""
         from cae_polars_tools_spark.manifest import load_manifest, read_refs
 
+        store = self._store()
         schema = self._declared_schema(version_dir)
-        m = load_manifest(self._store(), version_dir)
+        m = load_manifest(store, version_dir)
         if m is None:
             reader = (
                 self.spark.read
                 if schema is None
                 else self.spark.read.schema(schema)
             )
-            return reader.parquet(f"{self.root}/{version_dir}")
+            return reader.parquet(store.spark_path(version_dir))
         if schema is None:
             schema = self._manifest_schema(version_dir)
         if not m["files"]:
@@ -310,7 +368,9 @@ class Table:
                     "schema — unreadable"
                 )
             return self.spark.createDataFrame([], schema)
-        return read_refs(self.spark, self.root, m["files"], schema)
+        return read_refs(
+            self.spark, self.root, m["files"], schema, store=store
+        )
 
     def _normalize_batch(self, batch: DataFrame, schema) -> DataFrame:
         """Align a merge batch to the declared schema: unknown columns
@@ -422,15 +482,26 @@ class Table:
         store = t._store()
         if store.list_prefix("v0"):
             store.delete_prefix("v0")
-        df.write.mode("errorifexists").parquet(f"{t.root}/v0")
-        t._commit_manifest("v0", t._new_data_files("v0"), df.schema.jsonValue())
+        df.write.mode("errorifexists").parquet(store.spark_path("v0"))
+        t._commit_manifest(
+            "v0",
+            t._new_data_files("v0"),
+            df.schema.jsonValue(),
+            sizes=dict(t._new_data_stats("v0")),
+        )
         t._put_commit("v0", op, None)
-        if t.exists():  # optimistic check: a racing create won
+        meta = {"version": 0, "version_dir": "v0", "batch_id": batch_id}
+        # conditional create = the seed commit: two racing creates,
+        # exactly one wins (CAS-capable stores); the loser raises with
+        # its directory left as an orphan the winner's next verb clears
+        if not store.put_if_absent(
+            f"{_TXN}/v0.json", json.dumps(meta).encode()
+        ):
             raise ConcurrentWriteError(
                 f"another writer seeded {root} while this create was "
                 "writing v0"
             )
-        t._flip({"version": 0, "version_dir": "v0", "batch_id": batch_id})
+        t._flip(meta)
         return t
 
     def merge(
@@ -462,6 +533,7 @@ class Table:
             return self._insert_into_empty(
                 meta, batch, keys, batch_id=batch_id, op=op
             )
+        cur_sizes = self._version_sizes(cur)
         v, vd = self._next_version_dir(meta)
         stats = merge_parquet(
             self.spark,
@@ -472,9 +544,16 @@ class Table:
             read_schema=schema,
             source_refs=cur_refs,
             copy_untouched=False,
+            source_sizes=cur_sizes,
         )
-        refs = stats.pop("untouched_refs") + self._new_data_files(vd)
-        self._commit_manifest(vd, refs, stats.pop("schema"))
+        untouched = stats.pop("untouched_refs")
+        new_stats = self._new_data_stats(vd)
+        refs = untouched + [r for r, _ in new_stats]
+        sizes = {
+            **{r: cur_sizes[r] for r in untouched if r in cur_sizes},
+            **dict(new_stats),
+        }
+        self._commit_manifest(vd, refs, stats.pop("schema"), sizes=sizes)
         self._propagate_schema(cur, vd)
         if batch_id is not None:
             stats["batch_id"] = batch_id
@@ -548,12 +627,15 @@ class Table:
                 f"{tuple(dup[0][k] for k in keys)}"
             )
         v, vd = self._next_version_dir(meta)
-        batch.write.mode("errorifexists").parquet(f"{self.root}/{vd}")
-        rows = self.spark.read.parquet(f"{self.root}/{vd}").count()
+        store = self._store()
+        batch.write.mode("errorifexists").parquet(store.spark_path(vd))
+        rows = self.spark.read.parquet(store.spark_path(vd)).count()
+        new_stats = self._new_data_stats(vd)
         self._commit_manifest(
             vd,
-            self._new_data_files(vd),
+            [r for r, _ in new_stats],
             schema.jsonValue() if schema is not None else batch.schema.jsonValue(),
+            sizes=dict(new_stats),
         )
         self._propagate_schema(cur, vd)
         stats = {
@@ -574,12 +656,16 @@ class Table:
         stats["version"] = v
         return stats
 
-    def delete(self, predicate) -> dict:
+    def delete(self, predicate, op_stats: dict | None = None) -> dict:
         """CoW DELETE WHERE (``storage.delete_parquet`` manifest
         mode): matched files rewrite, the rest re-reference in the
         new manifest — zero untouched bytes move; pointer flips last.
         The takedown verb. Deleting from an EMPTY version commits a
-        no-op version (idempotent takedowns must not error)."""
+        no-op version (idempotent takedowns must not error).
+        ``op_stats`` folds caller context (e.g. ``cascade_delete``'s
+        ``takedown_id`` correlation key) into the version's commit
+        record, so one takedown is traceable across every artifact's
+        history."""
         from cae_polars_tools_spark.storage import delete_parquet
 
         meta = self.meta()
@@ -589,19 +675,32 @@ class Table:
             schema = (
                 self._declared_schema(cur) or self._manifest_schema(cur)
             )
+            if schema is None:
+                # an empty version with no recorded schema cannot seed
+                # another one — committing schema=None would create a
+                # version _read_dir later refuses as unreadable.
+                # Refuse HERE, where the caller can still act (a
+                # legacy empty dir has no footers to derive from).
+                raise ValueError(
+                    f"delete: current version {cur} is empty and "
+                    "records no schema — the no-op version it would "
+                    "commit would be unreadable; merge data first or "
+                    "recreate the table"
+                )
             v, vd = self._next_version_dir(meta)
-            self._commit_manifest(
-                vd, [], schema.jsonValue() if schema is not None else None
-            )
+            self._commit_manifest(vd, [], schema.jsonValue())
             self._propagate_schema(cur, vd)
             stats = {
                 "files_rewritten": 0,
                 "files_referenced": 0,
                 "rows_deleted": 0,
             }
+            if op_stats:
+                stats.update(op_stats)
             self._commit(v, vd, meta["batch_id"], op="delete", stats=stats)
             stats["version"] = v
             return stats
+        cur_sizes = self._version_sizes(cur)
         v, vd = self._next_version_dir(meta)
         stats = delete_parquet(
             self.spark,
@@ -611,10 +710,19 @@ class Table:
             read_schema=self._declared_schema(cur),
             source_refs=cur_refs,
             copy_untouched=False,
+            source_sizes=cur_sizes,
         )
-        refs = stats.pop("untouched_refs") + self._new_data_files(vd)
-        self._commit_manifest(vd, refs, stats.pop("schema"))
+        untouched = stats.pop("untouched_refs")
+        new_stats = self._new_data_stats(vd)
+        refs = untouched + [r for r, _ in new_stats]
+        sizes = {
+            **{r: cur_sizes[r] for r in untouched if r in cur_sizes},
+            **dict(new_stats),
+        }
+        self._commit_manifest(vd, refs, stats.pop("schema"), sizes=sizes)
         self._propagate_schema(cur, vd)
+        if op_stats:
+            stats.update(op_stats)
         self._commit(v, vd, meta["batch_id"], op="delete", stats=stats)
         stats["version"] = v
         return stats
@@ -635,6 +743,12 @@ class Table:
                 "compact: the current version is empty — nothing to "
                 "rewrite (merge data first)"
             )
+        if schema is None:
+            # legacy version (no sidecar, no manifest schema): derive
+            # from its parquet footers so the NEW version never
+            # commits schema=None (an empty delete on it later would
+            # otherwise be unreadable)
+            schema = self._read_dir(cur).schema
         v, vd = self._next_version_dir(meta)
         n_files = compact_parquet(
             self.spark,
@@ -642,16 +756,19 @@ class Table:
             f"{self.root}/{vd}",
             read_schema=self._declared_schema(cur),
             source_refs=cur_refs,
+            source_sizes=self._version_sizes(cur),
             **kwargs,
         )
         # a compaction rewrites EVERYTHING: the new manifest references
         # only the fresh files, so vacuuming past it reclaims every
         # predecessor file — this is the verb that resets manifest
         # sprawl (union branch count) to 1
+        new_stats = self._new_data_stats(vd)
         self._commit_manifest(
             vd,
-            self._new_data_files(vd),
-            schema.jsonValue() if schema is not None else None,
+            [r for r, _ in new_stats],
+            schema.jsonValue(),
+            sizes=dict(new_stats),
         )
         self._propagate_schema(cur, vd)
         self._commit(
@@ -675,6 +792,10 @@ class Table:
                 "zorder: the current version is empty — nothing to "
                 "rewrite (merge data first)"
             )
+        if schema is None:
+            # same legacy-schema derivation as compact(): never commit
+            # a schema-less version
+            schema = self._read_dir(cur).schema
         v, vd = self._next_version_dir(meta)
         n_files = zorder_parquet(
             self.spark,
@@ -683,12 +804,15 @@ class Table:
             cols,
             read_schema=self._declared_schema(cur),
             source_refs=cur_refs,
+            source_sizes=self._version_sizes(cur),
             **kwargs,
         )
+        new_stats = self._new_data_stats(vd)
         self._commit_manifest(
             vd,
-            self._new_data_files(vd),
-            schema.jsonValue() if schema is not None else None,
+            [r for r, _ in new_stats],
+            schema.jsonValue(),
+            sizes=dict(new_stats),
         )
         self._propagate_schema(cur, vd)
         self._commit(
@@ -743,7 +867,10 @@ class Table:
         widened = StructType(list(cur.fields) + new_fields)
         v, vd = self._next_version_dir(meta)
         refs = self._version_refs(cur_vd)
-        self._commit_manifest(vd, refs, widened.jsonValue())
+        self._commit_manifest(
+            vd, refs, widened.jsonValue(),
+            sizes=self._version_sizes(cur_vd),
+        )
         self._put_sidecar(vd, widened)
         self._commit(
             v, vd, meta["batch_id"], op="add_columns",
@@ -792,6 +919,7 @@ class Table:
             vd,
             self._version_refs(src_vd),
             schema.jsonValue() if schema is not None else None,
+            sizes=self._version_sizes(src_vd),
         )
         self._propagate_schema(src_vd, vd)
         self._commit(
@@ -813,6 +941,59 @@ class Table:
         [dirs], "files_deleted": n}``."""
         return vacuum_table(self.root, keep_last=keep_last)
 
+    def maintain(
+        self,
+        max_branches: int = 16,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        auto_compact: bool = False,
+    ) -> dict:
+        """Layout health check for the manifest-sprawl growth
+        ``read_refs`` documents: every verb since the last compaction
+        adds one birth directory to the current version's union plan,
+        so scan planning degrades linearly until a compaction resets
+        the branch count to 1. Returns ``{branches, files, bytes,
+        recommendation}``; with ``auto_compact=True`` and branches >
+        ``max_branches`` it RUNS :meth:`compact` (a new version under
+        the normal pointer discipline) and reports what it did —
+        the policy hook a nightly scheduler calls after its merge
+        batch. Pure metadata otherwise: one manifest read, zero data
+        I/O."""
+        from cae_polars_tools_spark.manifest import group_refs, ref_sizes
+
+        meta = self.meta()
+        cur = meta["version_dir"]
+        refs = self._version_refs(cur)
+        groups, _pcols = group_refs(refs)
+        branches = len(groups) if refs else 0
+        sizes = self._version_sizes(cur)
+        total = (
+            sum(ref_sizes(self._store(), refs, known=sizes)) if refs else 0
+        )
+        out = {
+            "branches": branches,
+            "files": len(refs),
+            "bytes": total,
+            "recommendation": None,
+            "compacted": False,
+        }
+        if branches > max_branches:
+            if auto_compact:
+                res = self.compact(target_file_bytes=target_file_bytes)
+                out["compacted"] = True
+                out["version"] = res["version"]
+                out["recommendation"] = (
+                    f"compacted: {branches} scan branches -> 1 "
+                    f"({res['files']} files)"
+                )
+            else:
+                out["recommendation"] = (
+                    f"compact(): the current version unions "
+                    f"{branches} birth directories (> {max_branches}) "
+                    "— scan planning degrades linearly until a "
+                    "compaction resets it"
+                )
+        return out
+
     def upsert_sink(self, keys: list[str], order_col: str, **kwargs):
         """The streaming write path into this same table: a
         ``foreachBatch`` callable (``streaming.events
@@ -825,6 +1006,39 @@ class Table:
         )
 
         return cow_upsert_sink(self.root, keys, order_col, **kwargs)
+
+
+def read_pointer(store) -> dict | None:
+    """The table's current ``{version, version_dir, batch_id}`` — the
+    single pointer-read implementation behind :meth:`Table.meta`,
+    :func:`vacuum_table`, and the streaming sink's replay guard.
+
+    Reads the ``_CURRENT.json`` cache, then advances over any NEWER
+    ``_txn/vN.json`` commit records (a writer that crashed between
+    commit-create and cache flip still committed — its version
+    directory was fully written before the record), repairing the
+    cache best-effort so later reads are one GET again. Stores that
+    cannot list (plain HTTP) skip the advance and serve the cache —
+    exactly the pre-CAS behavior."""
+    raw = store.get(_CURRENT)
+    meta = None if raw is None else json.loads(raw)
+    try:
+        names = store.list_prefix(_TXN)
+    except NotImplementedError:
+        return meta
+    newest = meta["version"] if meta else -1
+    advanced = None
+    for n in names:
+        m = re.fullmatch(r"v(\d+)\.json", n)
+        if m and int(m.group(1)) > newest:
+            newest = int(m.group(1))
+            advanced = n
+    if advanced is not None:
+        rec = store.get(f"{_TXN}/{advanced}")
+        if rec is not None:
+            meta = json.loads(rec)
+            store.put(_CURRENT, json.dumps(meta).encode())
+    return meta
 
 
 def history_records(store) -> list[dict]:
@@ -879,10 +1093,10 @@ def vacuum_table(root: str, keep_last: int = 2) -> dict:
     from cae_polars_tools_spark.sources.zarr_format import ByteStore
 
     store = ByteStore.for_path(root.rstrip("/"))
-    raw = store.get(_CURRENT)
-    if raw is None:
+    meta = read_pointer(store)
+    if meta is None:
         raise FileNotFoundError(f"no {_CURRENT} pointer under {root}")
-    current = json.loads(raw)["version"]
+    current = meta["version"]
     cutoff = current - max(1, keep_last)
     retained, candidates = [], []
     for name in store.list_prefix(""):
@@ -898,9 +1112,15 @@ def vacuum_table(root: str, keep_last: int = 2) -> dict:
     referenced: set[str] = set()
     for vd in retained:
         referenced.update(refs_of(store, vd))
-    return vacuum_refcount(
+    out = vacuum_refcount(
         store, referenced, sorted(candidates, key=lambda d: int(d[1:]))
     )
+    # commit records of fully vacuumed versions are history that no
+    # longer resolves — drop them so the _txn listing read_pointer
+    # scans stays bounded by retention, not table age
+    for vd in out["removed"] + out["demoted"]:
+        store.delete_prefix(f"{_TXN}/{vd}.json")
+    return out
 
 
 # ---------------------------------------------------------------------------

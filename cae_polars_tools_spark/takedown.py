@@ -63,6 +63,7 @@ def cascade_delete(
     minhash_index_paths: tuple = (),
     ivfpq_index_paths: tuple = (),
     table_id_col: str = "doc_id",
+    takedown_id: str | None = None,
 ) -> dict:
     """Purge ``doc_ids`` from the base :class:`~cae_polars_tools_spark
     .table.Table` at ``table_root`` (first) and from every listed
@@ -70,6 +71,7 @@ def cascade_delete(
     manifest::
 
         {"doc_ids": [...],
+         "takedown_id": "...",
          "table": {root, **delete stats} | None,
          "minhash": [{path, **stats}, ...],
          "ivfpq":   [{path, **stats}, ...],
@@ -80,7 +82,16 @@ def cascade_delete(
     still purged, and re-running the cascade is idempotent. The ids
     are inlined as an ``IN`` predicate (≤ :data:`MAX_TAKEDOWN_IDS`,
     checked) so each artifact's delete prunes files/partitions by
-    min/max stats on its id column."""
+    min/max stats on its id column.
+
+    ``takedown_id`` (default: a fresh random token) is stamped into
+    EVERY artifact's own commit history record — the Table version's
+    ``_COMMIT.json`` and each index's ``_INDEX.json`` history entry —
+    so one legal/ops request is traceable end-to-end: ``cli history
+    <artifact>`` on any of them shows which cascade deleted what, and
+    a retried cascade passes the SAME id so its per-artifact no-op
+    versions correlate with the original request."""
+    import uuid
     from cae_polars_tools_spark.operators.minhash_index import (
         delete_minhash_index,
     )
@@ -101,9 +112,12 @@ def cascade_delete(
         )
     if table_root is None and not minhash_index_paths and not ivfpq_index_paths:
         raise ValueError("cascade_delete: nothing to purge from")
+    tdid = takedown_id or uuid.uuid4().hex[:16]
+    correl = {"takedown_id": tdid, "takedown_ids_count": len(ids)}
 
     manifest: dict = {
         "doc_ids": ids,
+        "takedown_id": tdid,
         "table": None,
         "minhash": [],
         "ivfpq": [],
@@ -123,7 +137,7 @@ def cascade_delete(
         stats = _step(
             f"table {table_root}",
             lambda: Table(spark, table_root).delete(
-                F.col(table_id_col).isin(ids)
+                F.col(table_id_col).isin(ids), op_stats=correl
             ),
         )
         if stats is not None:
@@ -135,7 +149,7 @@ def cascade_delete(
         stats = _step(
             f"minhash index {p}",
             lambda p=p: delete_minhash_index(
-                spark, p, F.col("doc_id").isin(ids)
+                spark, p, F.col("doc_id").isin(ids), op_stats=correl
             ),
         )
         if stats is not None:
@@ -147,7 +161,7 @@ def cascade_delete(
         stats = _step(
             f"ivfpq index {p}",
             lambda p=p: delete_ivfpq_index(
-                spark, p, F.col("vec_id").isin(ids)
+                spark, p, F.col("vec_id").isin(ids), op_stats=correl
             ),
         )
         if stats is not None:

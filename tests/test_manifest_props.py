@@ -85,14 +85,18 @@ def test_uri_to_ref_refuses_escapes():
         uri_to_ref("/data/other/f.parquet", "/data/table")
 
 
-class _MemStore:
-    """Minimal in-memory ByteStore implementing the five methods the
-    manifest machinery touches — lets the vacuum model test run
-    without a filesystem."""
+from cae_polars_tools_spark.sources.zarr_format import ByteStore
+
+
+class _MemStore(ByteStore):
+    """Minimal in-memory ByteStore overriding the primitive methods
+    the manifest machinery touches (the base class derives the rest —
+    list_prefix_detail, put_if_absent, …) — lets the vacuum model
+    test run without a filesystem."""
 
     def __init__(self):
+        super().__init__("mem://x")
         self.objs: dict[str, bytes] = {}
-        self.root = "mem://"
 
     def get(self, key):
         return self.objs.get(key)

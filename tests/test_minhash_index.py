@@ -692,3 +692,88 @@ def test_index_emptied_by_takedown_stays_operable(spark, tmp_path):
         for r in query_minhash_index(spark, root, probe).collect()
     }
     assert got == {(1, 10)}
+
+
+def test_append_retry_after_crash_before_adopt(spark, tmp_path):
+    """An append that crashed BETWEEN segment write and manifest adopt
+    leaves unmanifested orphan files. The retry re-appends the same
+    docs (the replay guard reads the manifest-resolved sigs and cannot
+    see orphans) but delta adoption never folds the orphans in — no
+    duplicate band/sigs rows anywhere a reader looks — and the
+    vacuum's live-directory sweep reclaims the orphan bytes."""
+    from cae_polars_tools_spark.manifest import (
+        data_file_refs,
+        read_artifact,
+        refs_of,
+    )
+    from cae_polars_tools_spark.operators.minhash_index import (
+        minhash_ingest_sink,
+        vacuum_minhash_index,
+    )
+    from cae_polars_tools_spark.sources.zarr_format import ByteStore
+
+    hist = _docs(spark).filter(~F.expr(_PRED))
+    batch = _docs(spark).filter(F.expr(_PRED))
+
+    root = str(tmp_path / "idx")
+    build_minhash_index(hist, root)
+    store = ByteStore.for_path(root)
+    meta = load_minhash_meta(root)
+    dirs = (meta["bands_dir"], meta["sigs_dir"])
+    saved = {d: store.get(f"{d}/_MANIFEST.json") for d in dirs}
+
+    append_minhash_index(spark, root, batch)
+    # simulate the crash: segment files landed, the adopts did NOT —
+    # wind both manifests back to their pre-append state
+    for d, raw in saved.items():
+        store.put(f"{d}/_MANIFEST.json", raw)
+
+    # replay the trigger through the ingest sink's ID-level guard
+    minhash_ingest_sink(root)(batch, batch_id=1)
+
+    sigs = read_artifact(spark, root, meta["sigs_dir"])
+    assert (
+        sigs.groupBy("doc_id").count().filter("count > 1").count() == 0
+    )
+    bands = read_artifact(spark, root, meta["bands_dir"])
+    assert (
+        bands.groupBy("doc_id", "band").count()
+        .filter("count > 1").count() == 0
+    )
+
+    # results equal a clean build+append (no lost docs either)
+    clean = str(tmp_path / "clean")
+    build_minhash_index(hist, clean)
+    append_minhash_index(spark, clean, batch)
+    probe = _docs(spark).filter("doc_id % 3 = 0")
+    got = {
+        (r["doc_id_hist"], r["doc_id_new"])
+        for r in query_minhash_index(spark, root, probe).collect()
+    }
+    want = {
+        (r["doc_id_hist"], r["doc_id_new"])
+        for r in query_minhash_index(spark, clean, probe).collect()
+    }
+    assert got == want
+
+    # the orphans exist physically, are unreferenced, and vacuum's
+    # live-dir sweep reclaims them
+    orphans = {
+        d: set(data_file_refs(store, d)) - set(refs_of(store, d))
+        for d in dirs
+    }
+    assert any(orphans.values())
+    vacuum_minhash_index(root)
+    for d in dirs:
+        assert set(data_file_refs(store, d)) == set(refs_of(store, d))
+    # audit trail recorded the sweep
+    hist_rec = load_minhash_meta(root)["history"][-1]
+    assert hist_rec["op"] == "vacuum"
+    assert hist_rec["stats"]["orphans_swept"] == sum(
+        len(v) for v in orphans.values()
+    )
+    # and the healed index still answers correctly
+    assert {
+        (r["doc_id_hist"], r["doc_id_new"])
+        for r in query_minhash_index(spark, root, probe).collect()
+    } == want

@@ -2167,3 +2167,59 @@ def test_ivfpq_emptied_by_takedown_stays_operable(spark, tmp_path):
     assert again["rows_deleted"] == 0 and again["files_rewritten"] == 0
     append_ivfpq_index(spark, root, e.filter("vec_id < 50"))
     assert query_ivfpq_index(spark, root, q).count() > 0
+
+
+def test_ivfpq_append_retry_after_crash_before_adopt(spark, tmp_path):
+    """The IVF-PQ twin of the MinHash append-crash discipline: a crash
+    between the codes segment write and the manifest adopt leaves
+    unmanifested orphans; the ingest sink's replay re-encodes the same
+    vec_ids (the anti-join cannot see orphans) but delta adoption
+    keeps the orphans out — no duplicate vec_id rows — and the vacuum
+    live-dir sweep reclaims them."""
+    from pyspark.sql import functions as F
+
+    from cae_polars_tools_spark.io import read_table
+    from cae_polars_tools_spark.manifest import data_file_refs, refs_of
+    from cae_polars_tools_spark.operators.similarity import (
+        _read_codes,
+        build_ivfpq_index,
+        ivfpq_ingest_sink,
+        load_ivfpq_meta,
+        vacuum_ivfpq_index,
+    )
+    from cae_polars_tools_spark.sources.zarr_format import ByteStore
+
+    e = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    half1 = e.filter(F.col("vec_id") % 2 == 0)
+    half2 = e.filter(F.col("vec_id") % 2 == 1)
+    root = str(tmp_path / "idx")
+    build_ivfpq_index(half1, root, fingerprint="h1")
+    store = ByteStore.for_path(root)
+    meta = load_ivfpq_meta(root)
+    codes_dir = meta.get("codes_dir", "codes")
+    saved = store.get(f"{codes_dir}/_MANIFEST.json")
+
+    sink = ivfpq_ingest_sink(root)
+    sink(half2, batch_id=0)
+    # crash simulation: segments written, adopt lost
+    store.put(f"{codes_dir}/_MANIFEST.json", saved)
+    # redelivered trigger (foreachBatch at-least-once)
+    sink(half2, batch_id=0)
+
+    codes = _read_codes(spark, root, load_ivfpq_meta(root))
+    assert (
+        codes.groupBy("vec_id").count().filter("count > 1").count() == 0
+    )
+    assert codes.count() == e.count()
+
+    orphans = set(data_file_refs(store, codes_dir)) - set(
+        refs_of(store, codes_dir)
+    )
+    assert orphans
+    vacuum_ivfpq_index(root)
+    assert set(data_file_refs(store, codes_dir)) == set(
+        refs_of(store, codes_dir)
+    )
+    rec = load_ivfpq_meta(root)["history"][-1]
+    assert rec["op"] == "vacuum"
+    assert rec["stats"]["orphans_swept"] == len(orphans)

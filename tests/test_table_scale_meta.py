@@ -1,0 +1,129 @@
+"""Metadata scalability: sharded manifests keep the pointer read
+bounded at millions of files (Delta checkpoint-parts shape), and
+``Table.maintain`` is the policy hook that watches manifest sprawl
+(union branch count) and resets it via compaction."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+import cae_polars_tools_spark.manifest as mf
+from cae_polars_tools_spark.sources.zarr_format import LocalByteStore
+from cae_polars_tools_spark.table import Table
+
+
+def _df(spark, n=60):
+    return spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("val")
+    )
+
+
+def test_write_manifest_shards_roundtrip(tmp_path, monkeypatch):
+    """Past the shard cap the main document carries shard NAMES only
+    (bounded read); load_manifest resolves them back to the flat
+    files+sizes view byte-for-byte."""
+    monkeypatch.setattr(mf, "MANIFEST_SHARD_REFS", 3)
+    store = LocalByteStore(str(tmp_path))
+    refs = [f"v0/part-{i:05d}.parquet" for i in range(10)]
+    sizes = {r: 100 + i for i, r in enumerate(refs)}
+    mf.write_manifest(store, "v0", refs, {"type": "struct"}, sizes=sizes)
+
+    main = json.loads(store.get("v0/_MANIFEST.json"))
+    assert main["format"] == 2
+    assert "files" not in main
+    assert main["n_files"] == 10
+    assert len(main["shards"]) == 4  # ceil(10/3)
+    # the pointer-read object stays small no matter the ref count
+    assert len(store.get("v0/_MANIFEST.json")) < 1024
+
+    doc = mf.load_manifest(store, "v0")
+    assert doc["files"] == sorted(refs)
+    assert doc["sizes"] == sizes
+    assert doc["schema"] == {"type": "struct"}
+    # refs_of / sizes_of ride the same resolution
+    assert mf.refs_of(store, "v0") == sorted(refs)
+    assert mf.sizes_of(store, "v0") == sizes
+    # a retry (same content) rewrites the same shard names idempotently
+    mf.write_manifest(store, "v0", refs, {"type": "struct"}, sizes=sizes)
+    assert mf.load_manifest(store, "v0")["files"] == sorted(refs)
+
+
+def test_sharded_manifest_table_lifecycle(spark, tmp_path, monkeypatch):
+    """A Table whose versions shard their manifests stays fully
+    operable: reads resolve, merges commit, vacuum strips shard
+    sidecars with the main document."""
+    monkeypatch.setattr(mf, "MANIFEST_SHARD_REFS", 3)
+    root = str(tmp_path / "tbl")
+    t = Table.create(spark, root, _df(spark).repartition(8))
+    store = t._store()
+    assert "shards" in json.loads(store.get("v0/_MANIFEST.json"))
+    assert t.current().count() == 60
+
+    t.merge(
+        _df(spark).filter(F.col("k") % 5 == 0).withColumn(
+            "val", F.lit(-1.0)
+        ),
+        keys=["k"],
+    )
+    got = {r["k"]: r["val"] for r in t.current().collect()}
+    assert got[5] == -1.0 and got[1] == 2.0 and len(got) == 60
+
+    t.compact(target_file_bytes=1 << 20)
+    t.merge(
+        _df(spark).filter(F.col("k") == 1).withColumn("val", F.lit(9.0)),
+        keys=["k"],
+    )
+    t.vacuum(keep_last=1)
+    # demoted/removed version dirs keep no _MANIFEST-* shard litter
+    for vd in ("v0", "v1"):
+        assert not [
+            n
+            for n in store.list_prefix(vd)
+            if n.startswith("_MANIFEST")
+        ]
+    got = {r["k"]: r["val"] for r in t.current().collect()}
+    assert got[1] == 9.0 and got[5] == -1.0
+
+
+def test_maintain_watches_branch_sprawl_and_auto_compacts(spark, tmp_path):
+    """Each CoW verb adds one birth directory to the current version's
+    union plan; maintain() reports the count, recommends compaction
+    past the threshold, and (auto_compact) runs it — resetting the
+    branch count to 1 with values intact."""
+    root = str(tmp_path / "tbl")
+    # k-clustered files so each narrow merge rewrites ONE file and
+    # re-references the rest — the sprawl shape maintain() exists for
+    seed = (
+        _df(spark, 300)
+        .repartitionByRange(6, "k")
+        .sortWithinPartitions("k")
+    )
+    t = Table.create(spark, root, seed)
+    for i in range(3):
+        lo = 100 * i
+        t.merge(
+            _df(spark, 300)
+            .filter((F.col("k") >= lo) & (F.col("k") < lo + 3))
+            .withColumn("val", F.col("val") + 1000.0 * (i + 1)),
+            keys=["k"],
+        )
+    before = {r["k"]: r["val"] for r in t.current().collect()}
+
+    m = t.maintain(max_branches=2)
+    assert m["branches"] > 2
+    assert not m["compacted"]
+    assert "compact" in m["recommendation"]
+
+    m2 = t.maintain(max_branches=2, auto_compact=True)
+    assert m2["compacted"]
+    assert t.maintain(max_branches=2)["branches"] == 1
+    assert [h["op"] for h in t.describe_history()][-1] == "compact"
+    assert {r["k"]: r["val"] for r in t.current().collect()} == before
+
+    # healthy table: pure report, no recommendation, no new version
+    v = t.version()
+    m3 = t.maintain(max_branches=2, auto_compact=True)
+    assert not m3["compacted"] and t.version() == v

@@ -151,3 +151,54 @@ def test_cascade_refuses_empty_and_oversized(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="nothing to purge"):
         cascade_delete(spark, [1])
+
+
+def test_cascade_stamps_correlation_id_into_every_history(spark, tmp_path):
+    """One takedown request is traceable END-TO-END: the cascade's
+    ``takedown_id`` appears in the Table version's commit record AND
+    in both indexes' history entries — the audit walk ``cli history``
+    exposes — and a retry passing the same id correlates its no-op
+    versions with the original request."""
+    from cae_polars_tools_spark.operators.minhash_index import (
+        describe_minhash_index_history,
+    )
+    from cae_polars_tools_spark.operators.similarity import (
+        describe_ivfpq_index_history,
+    )
+
+    table_root, mh_root, pq_root, docs, emb = _seed(spark, tmp_path)
+    manifest = cascade_delete(
+        spark,
+        [VICTIM],
+        table_root=table_root,
+        minhash_index_paths=(mh_root,),
+        ivfpq_index_paths=(pq_root,),
+    )
+    tdid = manifest["takedown_id"]
+    assert tdid
+
+    def _delete_records(history):
+        return [h for h in history if h["op"] == "delete"]
+
+    t_rec = _delete_records(Table(spark, table_root).describe_history())
+    mh_rec = _delete_records(describe_minhash_index_history(mh_root))
+    pq_rec = _delete_records(describe_ivfpq_index_history(pq_root))
+    assert t_rec and mh_rec and pq_rec
+    for rec in (t_rec[-1], mh_rec[-1], pq_rec[-1]):
+        assert rec["stats"]["takedown_id"] == tdid
+        assert rec["stats"]["takedown_ids_count"] == 1
+
+    # retry with the SAME id (the partial-failure protocol): the
+    # idempotent no-op versions carry the original correlation key
+    again = cascade_delete(
+        spark,
+        [VICTIM],
+        table_root=table_root,
+        minhash_index_paths=(mh_root,),
+        ivfpq_index_paths=(pq_root,),
+        takedown_id=tdid,
+    )
+    assert again["takedown_id"] == tdid
+    t2 = _delete_records(Table(spark, table_root).describe_history())
+    assert len(t2) == len(t_rec) + 1
+    assert t2[-1]["stats"]["takedown_id"] == tdid
