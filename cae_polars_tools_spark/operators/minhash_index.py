@@ -124,6 +124,7 @@ def build_minhash_index(
     from cae_polars_tools_spark.sources.zarr_format import ByteStore
 
     root = path.rstrip("/")
+    store = ByteStore.for_path(root)
     # persist: the signing pipeline (tokenize→shingle→hash pandas UDF,
     # the expensive pass) feeds BOTH table writes — without the cache
     # it would run twice over the full corpus
@@ -133,7 +134,7 @@ def build_minhash_index(
             sigs.repartitionByRange(F.col("doc_id"))
             .sortWithinPartitions("doc_id")
             .write.mode("overwrite")
-            .parquet(f"{root}/sigs_v0")
+            .parquet(store.spark_path("sigs_v0"))
         )
         (
             _bands_of(sigs)
@@ -141,7 +142,7 @@ def build_minhash_index(
             .sortWithinPartitions("bh", "band")
             .write.mode("overwrite")
             .partitionBy("shard")
-            .parquet(f"{root}/bands_v0")
+            .parquet(store.spark_path("bands_v0"))
         )
     finally:
         sigs.unpersist()
@@ -153,7 +154,6 @@ def build_minhash_index(
         meta_with_history,
     )
 
-    store = ByteStore.for_path(root)
     n_bands = adopt_dir_files(
         store, "bands_v0", _bands_of(sigs).schema.jsonValue()
     )
@@ -284,13 +284,13 @@ def _append_segments(
         bands.sortWithinPartitions("bh", "band")
         .write.mode("append")
         .partitionBy("shard")
-        .parquet(f"{root}/{meta['bands_dir']}")
+        .parquet(store.spark_path(meta["bands_dir"]))
     )
     adopt_dir_files(
         store, meta["bands_dir"], bands.schema.jsonValue(), pre=pre_bands
     )
     pre_sigs = snapshot_dir(store, meta["sigs_dir"])
-    signed.write.mode("append").parquet(f"{root}/{meta['sigs_dir']}")
+    signed.write.mode("append").parquet(store.spark_path(meta["sigs_dir"]))
     adopt_dir_files(
         store, meta["sigs_dir"], signed.schema.jsonValue(), pre=pre_sigs
     )
@@ -593,14 +593,14 @@ def compact_minhash_index(spark: SparkSession, path: str) -> dict:
         sigs_rel.repartitionByRange(F.col("doc_id"))
         .sortWithinPartitions("doc_id")
         .write.mode("errorifexists")
-        .parquet(f"{root}/{nxt_sigs}")
+        .parquet(store.spark_path(nxt_sigs))
     )
     (
         bands_rel.repartitionByRange(F.col("shard"), F.col("bh"))
         .sortWithinPartitions("bh", "band")
         .write.mode("errorifexists")
         .partitionBy("shard")
-        .parquet(f"{root}/{nxt_bands}")
+        .parquet(store.spark_path(nxt_bands))
     )
     # a compaction rewrites everything: each new manifest references
     # only its own fresh files, so a later vacuum reclaims every

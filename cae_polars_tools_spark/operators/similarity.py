@@ -1541,6 +1541,7 @@ def build_ivfpq_index(
 
     spark = embeddings.sparkSession
     root = path.rstrip("/")
+    store = ByteStore.for_path(root)
     M = _parity_sample_matrix(
         embeddings,
         PARITY_TRAIN_SAMPLE,
@@ -1554,13 +1555,13 @@ def build_ivfpq_index(
         embeddings, centroids, codebooks, id_col, emb_col
     )
     codes.write.mode("overwrite").partitionBy("cl").parquet(
-        f"{root}/codes"
+        store.spark_path("codes")
     )
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cl long, c array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(
-        f"{root}/model/centroids"
+        store.spark_path("model/centroids")
     )
     spark.createDataFrame(
         [
@@ -1570,7 +1571,7 @@ def build_ivfpq_index(
         ],
         "j long, code long, c array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(
-        f"{root}/model/codebooks"
+        store.spark_path("model/codebooks")
     )
     # manifest + history: later deletes/compactions commit only
     # rewritten files (untouched segments re-referenced) and the
@@ -1580,7 +1581,6 @@ def build_ivfpq_index(
         meta_with_history,
     )
 
-    store = ByteStore.for_path(root)
     n_files = adopt_dir_files(store, "codes", codes.schema.jsonValue())
     meta = meta_with_history(
         {
@@ -1680,7 +1680,9 @@ def append_ivfpq_index(
 
     store = ByteStore.for_path(root)
     pre = snapshot_dir(store, meta.get("codes_dir", "codes"))
-    new.write.mode("append").partitionBy("cl").parquet(codes_path)
+    new.write.mode("append").partitionBy("cl").parquet(
+        store.spark_path(meta.get("codes_dir", "codes"))
+    )
     adopt_dir_files(store, meta.get("codes_dir", "codes"), pre=pre)
     _record_ivfpq_op(root, "append", {"rows_appended": n})
     return {"rows_appended": n}
@@ -1744,7 +1746,9 @@ def ivfpq_ingest_sink(
 
         store = ByteStore.for_path(root)
         pre = snapshot_dir(store, meta.get("codes_dir", "codes"))
-        new.write.mode("append").partitionBy("cl").parquet(codes_path)
+        new.write.mode("append").partitionBy("cl").parquet(
+            store.spark_path(meta.get("codes_dir", "codes"))
+        )
         adopt_dir_files(store, meta.get("codes_dir", "codes"), pre=pre)
         _record_ivfpq_op(root, "append", {"batch_id": batch_id})
 
@@ -1990,14 +1994,17 @@ def _load_ivfpq_model(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Centroids (n_centroids, dim) and codebooks (m, k, dsub) from
     the persisted model tables (tiny: one driver collect each)."""
+    from cae_polars_tools_spark.sources.zarr_format import ByteStore
+
+    store = ByteStore.for_path(root.rstrip("/"))
     cent_rows = (
-        spark.read.parquet(f"{root}/model/centroids")
+        spark.read.parquet(store.spark_path("model/centroids"))
         .orderBy("cl")
         .collect()
     )
     centroids = np.array([r["c"] for r in cent_rows], dtype=np.float64)
     cb_rows = (
-        spark.read.parquet(f"{root}/model/codebooks")
+        spark.read.parquet(store.spark_path("model/codebooks"))
         .orderBy("j", "code")
         .collect()
     )

@@ -415,6 +415,38 @@ class LocalByteStore(ByteStore):
         super().copy_to(src_key, dst_store, dst_key)
 
 
+class RoutedLocalByteStore(LocalByteStore):
+    """A scheme'd (URI-rooted) store backed by a local directory — the
+    reference implementation of the metadata/data path split the
+    ``spark_path`` seam exists for (s3:// metadata client vs s3a://
+    Hadoop connector in production). Register it for a scheme and
+    every ``ByteStore.for_path`` consumer — manifests, pointers, CoW
+    verbs, the ``Table`` facade — runs against the URI root while
+    Spark reads and writes the translated local location::
+
+        ByteStore.register_scheme(
+            "demo",
+            lambda p, so=None: RoutedLocalByteStore(p, base_dir, so),
+        )
+        Table.create(spark, "demo://tbl", df)
+
+    Used by the object-store lifecycle corpus entry and tests; a real
+    deployment replaces the local backing with its object-store
+    client and keeps the exact same interface."""
+
+    def __init__(
+        self,
+        uri_root: str,
+        base_dir: str,
+        storage_options: dict | None = None,
+    ):
+        self.uri_root = uri_root.rstrip("/")
+        rel = self.uri_root.split("://", 1)[1]
+        super().__init__(
+            os.path.join(base_dir, *rel.split("/")), storage_options
+        )
+
+
 class HttpByteStore(ByteStore):
     """Read-only store over plain HTTP(S) using only the standard
     library — no optional dependency, so the remote-store branch is
@@ -554,6 +586,24 @@ class FsspecByteStore(ByteStore):
 
     def put(self, key: str, data: bytes) -> None:  # pragma: no cover - optional dep
         self._fs.pipe_file(f"{self._root}/{key}", data)
+
+    def put_if_absent(self, key: str, data: bytes) -> bool:  # pragma: no cover - optional dep
+        # fsspec's mode="create" maps to a CONDITIONAL write on
+        # backends that have one (s3fs → S3 If-None-Match:* since the
+        # 2024 conditional-write API; raises FileExistsError on the
+        # 412) — a real CAS there. Backends/versions without the
+        # kwarg fall back to the base check-then-put; cas_atomic
+        # stays False because this class cannot promise the backend
+        # honors the condition (a deployment that knows its backend
+        # subclasses and sets it True).
+        path = f"{self._root}/{key}"
+        try:
+            self._fs.pipe_file(path, data, mode="create")
+            return True
+        except FileExistsError:
+            return False
+        except (TypeError, ValueError, NotImplementedError):
+            return super().put_if_absent(key, data)
 
     def delete_prefix(self, prefix: str = "") -> None:  # pragma: no cover
         path = f"{self._root}/{prefix}" if prefix else self._root

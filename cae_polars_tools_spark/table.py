@@ -1300,6 +1300,78 @@ def _register_restore_entry() -> None:
         )
 
 
+def _register_objectstore_entry() -> None:
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from cae_polars_tools_spark.io import read_table
+    from cae_polars_tools_spark.plans.registry import register
+
+    @register(
+        "storage_objectstore_lifecycle",
+        oracle="""
+            SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_orderkey % 8 = 0
+                        THEN o_totalprice * 0.5
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders
+            WHERE o_orderkey % 11 <> 0
+        """,
+        tags=("storage", "lakehouse", "objectstore", "extension"),
+        window_rank=1,
+    )
+    def storage_objectstore_lifecycle(spark, sf_dir: str):
+        """The Table verb chain against a NON-LOCAL ByteStore root,
+        value-checked: a ``mock://`` scheme (RoutedLocalByteStore —
+        URI-rooted metadata, Spark I/O through the spark_path
+        translation, the s3://-client vs s3a://-connector split)
+        carries create (v0) → CoW MERGE (every 8th order half-priced,
+        v1) → CoW DELETE (an 11-divisible takedown, v2) → COMPACT
+        (layout rewrite, v3) → read CURRENT through the pointer. The
+        oracle recomputes the final state from the raw table, so a
+        path-translation slip anywhere — a ref misclassified because
+        scheme'd URIs compared unequal, a manifest pointing at files
+        Spark wrote elsewhere, a stale pointer — fails the hash gate.
+        Scratch follows the table-lifecycle convention (deterministic
+        .tmp path, rebuilt per run); the scheme registration is
+        scoped to the build (the returned plan resolves its file
+        paths at build time)."""
+        from cae_polars_tools_spark.sources.zarr_format import (
+            ByteStore,
+            RoutedLocalByteStore,
+        )
+
+        orders = read_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        scratch = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".tmp",
+            "objectstore_lifecycle_demo",
+        )
+        shutil.rmtree(scratch, ignore_errors=True)
+        ByteStore.register_scheme(
+            "mock",
+            lambda p, so=None: RoutedLocalByteStore(p, scratch, so),
+        )
+        try:
+            t = Table.create(spark, "mock://orders_table", orders)
+            correction = orders.filter(
+                F.col("o_orderkey") % 8 == 0
+            ).withColumn("o_totalprice", F.col("o_totalprice") * 0.5)
+            t.merge(correction, keys=["o_orderkey"])
+            t.delete("o_orderkey % 11 = 0")
+            t.compact(target_file_bytes=32 * 1024 * 1024)
+            return t.current().select(
+                "o_orderkey", "o_custkey", "o_totalprice"
+            )
+        finally:
+            ByteStore.unregister_scheme("mock")
+
+
 _register_table_entry()
 _register_evolution_entry()
 _register_restore_entry()
+_register_objectstore_entry()

@@ -457,3 +457,50 @@ def test_cli_history_table_and_index(spark, tmp_path, capsys):
 
     assert main(["history", str(tmp_path / "nope")]) == 1
     assert "no versioned artifact" in capsys.readouterr().err
+
+
+def test_cli_takedown_id_type_flag(spark, tmp_path, capsys):
+    """--id-type makes id typing explicit: 'string' keeps
+    numeric-looking keys ('007') as strings, 'int' refuses a
+    non-parsing id loudly instead of silently degrading the whole
+    list, and the cascade's takedown_id lands in the manifest AND the
+    artifact's history (--takedown-id pins it for retries)."""
+    from cae_polars_tools_spark.table import Table
+
+    docs = spark.createDataFrame(
+        [(f"{i:03d}", f"document body {i} words " * 5) for i in range(10)],
+        "doc_id string, text string",
+    )
+    troot = str(tmp_path / "t")
+    Table.create(spark, troot, docs)
+
+    # 'auto' would coerce "007" to int 7 and match nothing on a
+    # string key column — --id-type string purges it
+    assert (
+        main(
+            [
+                "takedown", "--ids", "007",
+                "--table", troot,
+                "--id-type", "string",
+                "--takedown-id", "req-42",
+            ]
+        )
+        == 0
+    )
+    manifest = json.loads(capsys.readouterr().out)
+    assert manifest["doc_ids"] == ["007"]
+    assert manifest["takedown_id"] == "req-42"
+    assert manifest["table"]["rows_deleted"] == 1
+    hist = Table(spark, troot).describe_history()
+    assert hist[-1]["stats"]["takedown_id"] == "req-42"
+
+    # strict int typing refuses a mixed list loudly
+    rc = main(
+        [
+            "takedown", "--ids", "7,abc",
+            "--table", troot,
+            "--id-type", "int",
+        ]
+    )
+    assert rc == 1
+    assert "does not parse" in capsys.readouterr().err

@@ -122,6 +122,8 @@ SF01_SENSITIVE = (
     # round-13 additions hand-verified at sf0.01 during the build
     "storage_restore_lifecycle",  # manifest-aliased restore under volume
     "q85_stratified_sample",  # portable md5 rank + ceil quotas at volume
+    # round-14 additions hand-verified at sf0.01 during the build
+    "storage_objectstore_lifecycle",  # scheme-routed CoW chain at volume
 )
 
 

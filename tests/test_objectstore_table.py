@@ -145,6 +145,18 @@ def test_full_verb_chain_on_object_store(spark, mock_root):
         )
     )
     t.merge(wide, keys=["k"])
+    # restore() round-trip: roll back to the pre-wide version (a pure
+    # metadata commit on the mock store), verify, then re-apply
+    pre_wide = {
+        r["k"]: (r["grp"], r["val"], r["tag"])
+        for r in t.read_version(3).collect()
+    }
+    t.restore(3)
+    assert {
+        r["k"]: (r["grp"], r["val"], r["tag"])
+        for r in t.current().collect()
+    } == pre_wide
+    t.merge(wide, keys=["k"])
     t.compact(target_file_bytes=1 << 20)
     t.zorder(["k", "grp"], target_file_bytes=1 << 20)
 
@@ -172,7 +184,7 @@ def test_full_verb_chain_on_object_store(spark, mock_root):
     ops = [h["op"] for h in t.describe_history()]
     assert ops == [
         "create", "merge", "delete", "add_columns", "merge",
-        "compact", "zorder",
+        "restore", "merge", "compact", "zorder",
     ]
 
     t.vacuum(keep_last=2)
@@ -181,7 +193,7 @@ def test_full_verb_chain_on_object_store(spark, mock_root):
         r["k"]: (r["grp"], r["val"], r["tag"])
         for r in t.current().collect()
     } == exp
-    assert t.history()[-1] == 6
+    assert t.history()[-1] == 8
 
     # the metadata layer really ran through the mock store
     assert CALLS["put"] > 0 and CALLS["list_prefix_detail"] > 0
@@ -298,3 +310,47 @@ def test_pointer_repairs_after_crash_between_commit_and_flip(
         .select("val").distinct().collect()[0]["val"]
         == -5.0
     )
+
+
+def test_minhash_index_lifecycle_on_object_store(spark, mock_root):
+    """The persisted MinHash index rides the same seam: build, append,
+    query, CoW delete, and vacuum all run against a mock:// root —
+    index artifacts are CoW citizens of the object store too."""
+    from cae_polars_tools_spark.operators.minhash_index import (
+        append_minhash_index,
+        build_minhash_index,
+        delete_minhash_index,
+        query_minhash_index,
+        vacuum_minhash_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"shared words for everyone {i % 4} " * 6 + f"tail {i}", "s")
+            for i in range(24)
+        ],
+        "doc_id long, text string, source string",
+    )
+    root = "mock://mhidx"
+    build_minhash_index(docs.filter("doc_id < 16"), root)
+    append_minhash_index(spark, root, docs.filter("doc_id >= 16"))
+    probe = spark.createDataFrame(
+        [(100, "shared words for everyone 1 " * 6 + "tail 1", "b")],
+        "doc_id long, text string, source string",
+    )
+    before = {
+        r["doc_id_hist"]
+        for r in query_minhash_index(spark, root, probe).collect()
+    }
+    assert 1 in before
+    delete_minhash_index(spark, root, "doc_id = 1")
+    after = {
+        r["doc_id_hist"]
+        for r in query_minhash_index(spark, root, probe).collect()
+    }
+    assert after == before - {1}
+    vacuum_minhash_index(root)
+    assert {
+        r["doc_id_hist"]
+        for r in query_minhash_index(spark, root, probe).collect()
+    } == after

@@ -882,3 +882,54 @@ def test_vacuum_crash_mid_demotion_never_fakes_a_version(spark, tmp_path):
     t.vacuum(keep_last=2)
     assert not os.path.exists(f"{root}/v0/_MANIFEST.json")
     assert t.current().count() == 100
+
+
+def test_empty_schemaless_delete_refuses_loudly(spark, tmp_path):
+    """Deleting from an EMPTY current version that records no schema
+    (legacy dir: no manifest, no sidecar, no footers) must refuse
+    loudly instead of committing a schema=None version that later
+    reads refuse as unreadable."""
+    import json as _json
+    import os as _os
+
+    root = str(tmp_path / "tbl")
+    _os.makedirs(f"{root}/v0")
+    with open(f"{root}/_CURRENT.json", "w") as fh:
+        _json.dump(
+            {"version": 0, "version_dir": "v0", "batch_id": -1}, fh
+        )
+    t = Table(spark, root)
+    with pytest.raises(ValueError, match="records no schema"):
+        t.delete("x = 1")
+
+
+def test_compact_legacy_version_derives_schema(spark, tmp_path):
+    """Compacting a legacy (manifest-less, sidecar-less) version must
+    derive the schema from its parquet footers so the NEW version
+    never commits schema=None — a later delete-everything on it stays
+    readable."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "tbl")
+    df = spark.range(30).select(
+        F.col("id").alias("k"), (F.col("id") * 3.0).alias("val")
+    )
+    df.write.parquet(f"{root}/v0")  # foreign writer: files only
+    store_path = f"{root}/_CURRENT.json"
+    with open(store_path, "w") as fh:
+        _json.dump(
+            {"version": 0, "version_dir": "v0", "batch_id": -1}, fh
+        )
+    t = Table(spark, root)
+    t.compact(target_file_bytes=1 << 20)
+    from cae_polars_tools_spark.manifest import load_manifest
+
+    m = load_manifest(t._store(), "v1")
+    assert m["schema"] is not None
+    # and the chain stays readable even through delete-everything
+    t.delete("k >= 0")
+    assert t.current().count() == 0
+    t.delete("k < 0")  # idempotent no-op on the empty version
+    assert t.current().columns == ["k", "val"]
