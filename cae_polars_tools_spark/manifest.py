@@ -206,6 +206,31 @@ def _shard_token(refs: list[str]) -> str:
     return hashlib.md5("\n".join(refs).encode()).hexdigest()[:12]
 
 
+def parquet_footer_rows(store, ref: str, size: int | None = None) -> int:
+    """Row count of one parquet file from its FOOTER via ranged
+    reads — never a data scan, works on any ByteStore (two
+    ``get_range`` calls: the 8-byte tail for the footer length, then
+    the Thrift-encoded footer itself). Commit-time row accounting
+    uses this so later merges size themselves from the manifest
+    instead of running a count job over the whole table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if size is None:
+        size = store.size(ref)
+        if size is None:
+            raise FileNotFoundError(f"{ref!r} not found in {store.root!r}")
+    tail = store.get_range(ref, size - 8, 8)
+    if tail is None or len(tail) != 8 or tail[4:] != b"PAR1":
+        raise ValueError(f"{ref!r} is not a parquet file (bad tail)")
+    flen = int.from_bytes(tail[:4], "little")
+    foot = store.get_range(ref, size - 8 - flen, flen)
+    # pyarrow parses a standalone footer when wrapped back into the
+    # minimal container: PAR1 + footer + len + PAR1
+    buf = b"PAR1" + foot + tail
+    return pq.ParquetFile(pa.BufferReader(buf)).metadata.num_rows
+
+
 def write_manifest(
     store,
     version_dir: str,
@@ -213,6 +238,7 @@ def write_manifest(
     schema_json: dict | None = None,
     extra: dict | None = None,
     sizes: dict | None = None,
+    rows: dict | None = None,
 ) -> None:
     """Commit a version's file-reference manifest (atomic PUT through
     the ByteStore seam — readers see the previous manifest or this
@@ -221,6 +247,11 @@ def write_manifest(
     instead of a stat/HEAD per referenced file (the Delta/Iceberg
     per-file-stats convention); refs without a recorded size fall back
     to a stat in :func:`ref_sizes`.
+
+    ``rows`` records per-file ROW counts the same way (taken from
+    parquet footers at commit — :func:`parquet_footer_rows`), so a
+    merge sizes its bytes-per-row estimate by manifest arithmetic
+    instead of a count job over the whole table.
 
     Past :data:`MANIFEST_SHARD_REFS` refs the list splits into side
     shard objects written BEFORE the main document: shard names embed
@@ -231,6 +262,7 @@ def write_manifest(
     ignored by name and stripped with the other sidecars at vacuum."""
     refs = sorted(refs)
     sizes = {r: sizes[r] for r in refs if sizes and r in sizes} or None
+    rows = {r: rows[r] for r in refs if rows and r in rows} or None
     if len(refs) > MANIFEST_SHARD_REFS:
         token = _shard_token(refs)
         shard_names = []
@@ -240,6 +272,8 @@ def write_manifest(
             doc = {"files": part}
             if sizes:
                 doc["sizes"] = {r: sizes[r] for r in part if r in sizes}
+            if rows:
+                doc["rows"] = {r: rows[r] for r in part if r in rows}
             store.put(f"{version_dir}/{name}", json.dumps(doc).encode())
             shard_names.append(name)
         main = {
@@ -255,6 +289,8 @@ def write_manifest(
     doc = {"format": 1, "files": refs, "schema": schema_json}
     if sizes:
         doc["sizes"] = sizes
+    if rows:
+        doc["rows"] = rows
     if extra:
         doc.update(extra)
     store.put(f"{version_dir}/{MANIFEST}", json.dumps(doc).encode())
@@ -272,6 +308,7 @@ def load_manifest(store, version_dir: str) -> dict | None:
         return doc
     files: list[str] = []
     sizes: dict = {}
+    rows: dict = {}
     for name in doc["shards"]:
         sraw = store.get(f"{version_dir}/{name}")
         if sraw is None:
@@ -282,10 +319,13 @@ def load_manifest(store, version_dir: str) -> dict | None:
         sdoc = json.loads(sraw)
         files.extend(sdoc["files"])
         sizes.update(sdoc.get("sizes") or {})
+        rows.update(sdoc.get("rows") or {})
     out = {k: v for k, v in doc.items() if k != "shards"}
     out["files"] = files
     if sizes:
         out["sizes"] = sizes
+    if rows:
+        out["rows"] = rows
     return out
 
 
@@ -304,6 +344,14 @@ def sizes_of(store, version_dir: str) -> dict:
     the stat path in :func:`ref_sizes`."""
     m = load_manifest(store, version_dir)
     return dict(m.get("sizes") or {}) if m is not None else {}
+
+
+def rows_of(store, version_dir: str) -> dict:
+    """The version's recorded per-file row counts (``{ref: n}``) —
+    empty for legacy/pre-rows manifests, whose consumers fall back to
+    a Spark metadata count."""
+    m = load_manifest(store, version_dir)
+    return dict(m.get("rows") or {}) if m is not None else {}
 
 
 def ref_sizes(store, refs: list[str], known: dict | None = None) -> list[int]:

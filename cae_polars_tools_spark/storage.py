@@ -487,6 +487,7 @@ def merge_parquet(
     source_refs: list[str] | None = None,
     copy_untouched: bool = True,
     source_sizes: dict | None = None,
+    source_rows: dict | None = None,
 ) -> dict:
     """Copy-on-write MERGE (upsert) into a parquet dataset: rows of
     ``updates`` replace target rows with matching ``keys``; everything
@@ -608,9 +609,16 @@ def merge_parquet(
 
         # bytes-per-row from dataset statistics sizes the rewritten
         # files: the update volume counts too (a large insert batch
-        # must not funnel into one giant single-task file)
+        # must not funnel into one giant single-task file). With
+        # manifest-recorded row counts (``source_rows``) this is pure
+        # arithmetic; legacy manifests fall back to a parquet
+        # metadata count (footer reads, no data scan — but still a
+        # job over every file, which is why the manifest records rows)
         total_bytes = _ref_bytes(store, refs, known=source_sizes)
-        t_rows = t.count()  # parquet metadata count — no data scan
+        if source_rows is not None and all(r in source_rows for r in refs):
+            t_rows = sum(source_rows[r] for r in refs)
+        else:
+            t_rows = t.count()
         bpr = total_bytes / max(t_rows, 1)
         upd_rows = updates.count()
 

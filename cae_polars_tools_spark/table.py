@@ -203,12 +203,14 @@ class Table:
         return StructType.fromJson(m["schema"])
 
     def _commit_manifest(
-        self, version_dir: str, refs: list[str], schema_json, sizes=None
+        self, version_dir: str, refs: list[str], schema_json,
+        sizes=None, rows=None,
     ) -> None:
         from cae_polars_tools_spark.manifest import write_manifest
 
         write_manifest(
-            self._store(), version_dir, refs, schema_json, sizes=sizes
+            self._store(), version_dir, refs, schema_json,
+            sizes=sizes, rows=rows,
         )
 
     def _new_data_files(self, version_dir: str) -> list[str]:
@@ -234,6 +236,27 @@ class Table:
         from cae_polars_tools_spark.manifest import sizes_of
 
         return sizes_of(self._store(), version_dir)
+
+    def _version_rows(self, version_dir: str) -> dict:
+        """The version's manifest-recorded per-file row counts (empty
+        for legacy manifests — merge falls back to a metadata count)."""
+        from cae_polars_tools_spark.manifest import rows_of
+
+        return rows_of(self._store(), version_dir)
+
+    def _new_rows(self, new_stats: list[tuple[str, int]]) -> dict:
+        """Per-file row counts of the verb's fresh files, from their
+        parquet FOOTERS via ranged store reads (two ``get_range``
+        calls per new file, sizes reused from the inventory) — the
+        commit-time accounting that lets every later merge size
+        itself by manifest arithmetic instead of a count job."""
+        from cae_polars_tools_spark.manifest import parquet_footer_rows
+
+        store = self._store()
+        return {
+            r: parquet_footer_rows(store, r, size=sz)
+            for r, sz in new_stats
+        }
 
     def _commit(
         self,
@@ -483,11 +506,13 @@ class Table:
         if store.list_prefix("v0"):
             store.delete_prefix("v0")
         df.write.mode("errorifexists").parquet(store.spark_path("v0"))
+        v0_stats = t._new_data_stats("v0")
         t._commit_manifest(
             "v0",
-            t._new_data_files("v0"),
+            [r for r, _ in v0_stats],
             df.schema.jsonValue(),
-            sizes=dict(t._new_data_stats("v0")),
+            sizes=dict(v0_stats),
+            rows=t._new_rows(v0_stats),
         )
         t._put_commit("v0", op, None)
         meta = {"version": 0, "version_dir": "v0", "batch_id": batch_id}
@@ -534,6 +559,7 @@ class Table:
                 meta, batch, keys, batch_id=batch_id, op=op
             )
         cur_sizes = self._version_sizes(cur)
+        cur_rows = self._version_rows(cur)
         v, vd = self._next_version_dir(meta)
         stats = merge_parquet(
             self.spark,
@@ -545,6 +571,7 @@ class Table:
             source_refs=cur_refs,
             copy_untouched=False,
             source_sizes=cur_sizes,
+            source_rows=cur_rows,
         )
         untouched = stats.pop("untouched_refs")
         new_stats = self._new_data_stats(vd)
@@ -553,7 +580,13 @@ class Table:
             **{r: cur_sizes[r] for r in untouched if r in cur_sizes},
             **dict(new_stats),
         }
-        self._commit_manifest(vd, refs, stats.pop("schema"), sizes=sizes)
+        rows = {
+            **{r: cur_rows[r] for r in untouched if r in cur_rows},
+            **self._new_rows(new_stats),
+        }
+        self._commit_manifest(
+            vd, refs, stats.pop("schema"), sizes=sizes, rows=rows
+        )
         self._propagate_schema(cur, vd)
         if batch_id is not None:
             stats["batch_id"] = batch_id
@@ -629,13 +662,15 @@ class Table:
         v, vd = self._next_version_dir(meta)
         store = self._store()
         batch.write.mode("errorifexists").parquet(store.spark_path(vd))
-        rows = self.spark.read.parquet(store.spark_path(vd)).count()
         new_stats = self._new_data_stats(vd)
+        new_rows = self._new_rows(new_stats)
+        rows = sum(new_rows.values())  # footer arithmetic, no count job
         self._commit_manifest(
             vd,
             [r for r, _ in new_stats],
             schema.jsonValue() if schema is not None else batch.schema.jsonValue(),
             sizes=dict(new_stats),
+            rows=new_rows,
         )
         self._propagate_schema(cur, vd)
         stats = {
@@ -719,7 +754,14 @@ class Table:
             **{r: cur_sizes[r] for r in untouched if r in cur_sizes},
             **dict(new_stats),
         }
-        self._commit_manifest(vd, refs, stats.pop("schema"), sizes=sizes)
+        cur_rows = self._version_rows(cur)
+        rows = {
+            **{r: cur_rows[r] for r in untouched if r in cur_rows},
+            **self._new_rows(new_stats),
+        }
+        self._commit_manifest(
+            vd, refs, stats.pop("schema"), sizes=sizes, rows=rows
+        )
         self._propagate_schema(cur, vd)
         if op_stats:
             stats.update(op_stats)
@@ -769,6 +811,7 @@ class Table:
             [r for r, _ in new_stats],
             schema.jsonValue(),
             sizes=dict(new_stats),
+            rows=self._new_rows(new_stats),
         )
         self._propagate_schema(cur, vd)
         self._commit(
@@ -813,6 +856,7 @@ class Table:
             [r for r, _ in new_stats],
             schema.jsonValue(),
             sizes=dict(new_stats),
+            rows=self._new_rows(new_stats),
         )
         self._propagate_schema(cur, vd)
         self._commit(
@@ -870,6 +914,7 @@ class Table:
         self._commit_manifest(
             vd, refs, widened.jsonValue(),
             sizes=self._version_sizes(cur_vd),
+            rows=self._version_rows(cur_vd),
         )
         self._put_sidecar(vd, widened)
         self._commit(
@@ -920,6 +965,7 @@ class Table:
             self._version_refs(src_vd),
             schema.jsonValue() if schema is not None else None,
             sizes=self._version_sizes(src_vd),
+            rows=self._version_rows(src_vd),
         )
         self._propagate_schema(src_vd, vd)
         self._commit(
@@ -1017,27 +1063,29 @@ def read_pointer(store) -> dict | None:
     ``_txn/vN.json`` commit records (a writer that crashed between
     commit-create and cache flip still committed — its version
     directory was fully written before the record), repairing the
-    cache best-effort so later reads are one GET again. Stores that
-    cannot list (plain HTTP) skip the advance and serve the cache —
-    exactly the pre-CAS behavior."""
+    cache best-effort so later reads are one GET again. The advance
+    PROBES record keys upward from the cached version instead of
+    listing the directory — on the fresh-cache common case that is
+    one metadata miss (no LIST round-trip on object stores), and it
+    works on stores that cannot list at all (plain HTTP). Probing by
+    consecutive key is sound because staleness is bounded: the cache
+    is written immediately after each commit record, and vacuum (the
+    only record deleter) repairs the cache first and removes only
+    records OLDER than it — so any un-cached records sit at
+    version+1, version+2, … with no gaps."""
     raw = store.get(_CURRENT)
     meta = None if raw is None else json.loads(raw)
-    try:
-        names = store.list_prefix(_TXN)
-    except NotImplementedError:
-        return meta
-    newest = meta["version"] if meta else -1
+    v = (meta["version"] if meta else -1) + 1
     advanced = None
-    for n in names:
-        m = re.fullmatch(r"v(\d+)\.json", n)
-        if m and int(m.group(1)) > newest:
-            newest = int(m.group(1))
-            advanced = n
+    while True:
+        rec = store.get(f"{_TXN}/v{v}.json")
+        if rec is None:
+            break
+        advanced = rec
+        v += 1
     if advanced is not None:
-        rec = store.get(f"{_TXN}/{advanced}")
-        if rec is not None:
-            meta = json.loads(rec)
-            store.put(_CURRENT, json.dumps(meta).encode())
+        meta = json.loads(advanced)
+        store.put(_CURRENT, json.dumps(meta).encode())
     return meta
 
 

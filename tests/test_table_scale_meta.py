@@ -127,3 +127,43 @@ def test_maintain_watches_branch_sprawl_and_auto_compacts(spark, tmp_path):
     v = t.version()
     m3 = t.maintain(max_branches=2, auto_compact=True)
     assert not m3["compacted"] and t.version() == v
+
+
+def test_manifests_record_rows_and_reuse_them(spark, tmp_path):
+    """Commits record per-file ROW counts (parquet footers via ranged
+    store reads), untouched files carry their counts forward, and the
+    recorded total equals the table's actual row count at every
+    version — the accounting that lets merge size itself without a
+    count job over the table."""
+    from cae_polars_tools_spark.manifest import (
+        parquet_footer_rows,
+        rows_of,
+    )
+
+    root = str(tmp_path / "tbl")
+    t = Table.create(spark, root, _df(spark, 120).repartition(4))
+    store = t._store()
+    r0 = rows_of(store, "v0")
+    assert r0 and sum(r0.values()) == 120
+    # footer reader agrees with a real read per file
+    for ref, n in r0.items():
+        assert parquet_footer_rows(store, ref) == n
+
+    t.merge(
+        _df(spark, 130).filter(F.col("k") >= 100).withColumn(
+            "val", F.lit(7.0)
+        ),
+        keys=["k"],
+    )
+    r1 = rows_of(store, t.meta()["version_dir"])
+    assert set(r1) == set(t._version_refs(t.meta()["version_dir"]))
+    assert sum(r1.values()) == t.current().count() == 130
+
+    t.delete("k % 3 = 0")
+    r2 = rows_of(store, t.meta()["version_dir"])
+    assert sum(r2.values()) == t.current().count()
+    # metadata-only verbs carry the accounting verbatim
+    t.add_columns({"tag": "string"})
+    assert rows_of(store, t.meta()["version_dir"]) == r2
+    t.restore(2)
+    assert rows_of(store, t.meta()["version_dir"]) == r2
