@@ -78,6 +78,11 @@ __all__ = [
     "load_manifest",
     "refs_of",
     "sizes_of",
+    "rows_of",
+    "stats_of",
+    "parquet_footer_rows",
+    "parquet_footer_stats",
+    "refs_intersecting",
     "ref_sizes",
     "uri_to_ref",
     "is_tombstoned",
@@ -206,13 +211,12 @@ def _shard_token(refs: list[str]) -> str:
     return hashlib.md5("\n".join(refs).encode()).hexdigest()[:12]
 
 
-def parquet_footer_rows(store, ref: str, size: int | None = None) -> int:
-    """Row count of one parquet file from its FOOTER via ranged
-    reads — never a data scan, works on any ByteStore (two
+def _footer_metadata(store, ref: str, size: int | None = None):
+    """The parquet FOOTER of one store object as pyarrow FileMetaData,
+    via ranged reads — never a data scan, works on any ByteStore (two
     ``get_range`` calls: the 8-byte tail for the footer length, then
-    the Thrift-encoded footer itself). Commit-time row accounting
-    uses this so later merges size themselves from the manifest
-    instead of running a count job over the whole table."""
+    the Thrift-encoded footer itself, wrapped back into the minimal
+    ``PAR1 + footer + len + PAR1`` container pyarrow parses)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -225,10 +229,114 @@ def parquet_footer_rows(store, ref: str, size: int | None = None) -> int:
         raise ValueError(f"{ref!r} is not a parquet file (bad tail)")
     flen = int.from_bytes(tail[:4], "little")
     foot = store.get_range(ref, size - 8 - flen, flen)
-    # pyarrow parses a standalone footer when wrapped back into the
-    # minimal container: PAR1 + footer + len + PAR1
     buf = b"PAR1" + foot + tail
-    return pq.ParquetFile(pa.BufferReader(buf)).metadata.num_rows
+    return pq.ParquetFile(pa.BufferReader(buf)).metadata
+
+
+def parquet_footer_rows(store, ref: str, size: int | None = None) -> int:
+    """Row count of one parquet file from its footer
+    (:func:`_footer_metadata`). Commit-time row accounting uses this
+    so later merges size themselves from the manifest instead of
+    running a count job over the whole table."""
+    return _footer_metadata(store, ref, size).num_rows
+
+
+#: Stats values longer than this are DROPPED rather than truncated:
+#: a truncated string min stays a sound lower bound, but a truncated
+#: max is not a sound upper bound (parquet itself must increment the
+#: last byte), so the manifest simply records nothing — the file
+#: stays a candidate for every probe on that column.
+STATS_MAX_STRLEN = 64
+
+
+def parquet_footer_stats(
+    store, ref: str, size: int | None = None
+) -> tuple[int, dict]:
+    """``(num_rows, {column: [min, max]})`` of one parquet file from
+    its footer — the per-file pruning statistics a commit records so
+    later merges skip files whose key range cannot intersect the
+    batch (Delta/Iceberg file-skipping shape), without ever opening
+    them.
+
+    Soundness rules (a wrong bound would silently drop updates, so
+    every doubt resolves to "no stat → always a candidate"):
+
+    * only int/float/str leaf values are kept — timestamps, decimals,
+      binary, and nested paths are dropped (JSON round-trip and
+      cross-engine comparison semantics are not worth the risk);
+    * a column must carry min/max in EVERY row group, else it is
+      dropped for the whole file;
+    * NaN bounds are dropped (parquet NaN ordering is undefined);
+    * strings longer than :data:`STATS_MAX_STRLEN` drop the column
+      (see the constant's note on truncation)."""
+    import math
+
+    meta = _footer_metadata(store, ref, size)
+    stats: dict = {}
+    dropped: set = set()
+    for g in range(meta.num_row_groups):
+        rg = meta.row_group(g)
+        for c in range(rg.num_columns):
+            col = rg.column(c)
+            name = col.path_in_schema
+            if name in dropped or "." in name:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                dropped.add(name)
+                stats.pop(name, None)
+                continue
+            lo, hi = st.min, st.max
+            ok = True
+            for v in (lo, hi):
+                if isinstance(v, bool) or not isinstance(
+                    v, (int, float, str)
+                ):
+                    ok = False
+                elif isinstance(v, float) and math.isnan(v):
+                    ok = False
+                elif isinstance(v, str) and len(v) > STATS_MAX_STRLEN:
+                    ok = False
+            if not ok:
+                dropped.add(name)
+                stats.pop(name, None)
+                continue
+            if name in stats:
+                stats[name] = [min(stats[name][0], lo), max(stats[name][1], hi)]
+            else:
+                stats[name] = [lo, hi]
+    return meta.num_rows, stats
+
+
+def refs_intersecting(
+    file_stats: dict, refs: list[str], ranges: dict
+) -> list[str]:
+    """The refs that MAY contain a key inside ``ranges`` (``{col:
+    (lo, hi)}``) according to the manifest's per-file stats — the
+    merge-discovery pruning step. Conservative by construction: a ref
+    without stats, a column without a recorded range, or a type
+    mismatch all keep the ref a candidate; a ref is pruned only when
+    some probed column's recorded [min, max] is PROVABLY disjoint
+    from the batch range."""
+    out = []
+    for r in refs:
+        st = file_stats.get(r)
+        keep = True
+        if st:
+            for col, (lo, hi) in ranges.items():
+                rng = st.get(col)
+                if not rng or lo is None or hi is None:
+                    continue
+                fmin, fmax = rng
+                try:
+                    if fmax < lo or fmin > hi:
+                        keep = False
+                        break
+                except TypeError:
+                    continue  # incomparable types: stay a candidate
+        if keep:
+            out.append(r)
+    return out
 
 
 def write_manifest(
@@ -239,6 +347,7 @@ def write_manifest(
     extra: dict | None = None,
     sizes: dict | None = None,
     rows: dict | None = None,
+    col_stats: dict | None = None,
 ) -> None:
     """Commit a version's file-reference manifest (atomic PUT through
     the ByteStore seam — readers see the previous manifest or this
@@ -251,7 +360,11 @@ def write_manifest(
     ``rows`` records per-file ROW counts the same way (taken from
     parquet footers at commit — :func:`parquet_footer_rows`), so a
     merge sizes its bytes-per-row estimate by manifest arithmetic
-    instead of a count job over the whole table.
+    instead of a count job over the whole table. ``col_stats``
+    records per-file column min/max (``{ref: {col: [min, max]}}``,
+    :func:`parquet_footer_stats`) — the file-skipping statistics that
+    let a merge prune its affected-file discovery to the files whose
+    key range can intersect the batch.
 
     Past :data:`MANIFEST_SHARD_REFS` refs the list splits into side
     shard objects written BEFORE the main document: shard names embed
@@ -263,6 +376,9 @@ def write_manifest(
     refs = sorted(refs)
     sizes = {r: sizes[r] for r in refs if sizes and r in sizes} or None
     rows = {r: rows[r] for r in refs if rows and r in rows} or None
+    col_stats = {
+        r: col_stats[r] for r in refs if col_stats and r in col_stats
+    } or None
     if len(refs) > MANIFEST_SHARD_REFS:
         token = _shard_token(refs)
         shard_names = []
@@ -274,6 +390,10 @@ def write_manifest(
                 doc["sizes"] = {r: sizes[r] for r in part if r in sizes}
             if rows:
                 doc["rows"] = {r: rows[r] for r in part if r in rows}
+            if col_stats:
+                doc["stats"] = {
+                    r: col_stats[r] for r in part if r in col_stats
+                }
             store.put(f"{version_dir}/{name}", json.dumps(doc).encode())
             shard_names.append(name)
         main = {
@@ -291,6 +411,8 @@ def write_manifest(
         doc["sizes"] = sizes
     if rows:
         doc["rows"] = rows
+    if col_stats:
+        doc["stats"] = col_stats
     if extra:
         doc.update(extra)
     store.put(f"{version_dir}/{MANIFEST}", json.dumps(doc).encode())
@@ -309,6 +431,7 @@ def load_manifest(store, version_dir: str) -> dict | None:
     files: list[str] = []
     sizes: dict = {}
     rows: dict = {}
+    col_stats: dict = {}
     for name in doc["shards"]:
         sraw = store.get(f"{version_dir}/{name}")
         if sraw is None:
@@ -320,12 +443,15 @@ def load_manifest(store, version_dir: str) -> dict | None:
         files.extend(sdoc["files"])
         sizes.update(sdoc.get("sizes") or {})
         rows.update(sdoc.get("rows") or {})
+        col_stats.update(sdoc.get("stats") or {})
     out = {k: v for k, v in doc.items() if k != "shards"}
     out["files"] = files
     if sizes:
         out["sizes"] = sizes
     if rows:
         out["rows"] = rows
+    if col_stats:
+        out["stats"] = col_stats
     return out
 
 
@@ -352,6 +478,14 @@ def rows_of(store, version_dir: str) -> dict:
     a Spark metadata count."""
     m = load_manifest(store, version_dir)
     return dict(m.get("rows") or {}) if m is not None else {}
+
+
+def stats_of(store, version_dir: str) -> dict:
+    """The version's recorded per-file column min/max stats
+    (``{ref: {col: [min, max]}}``) — empty for legacy manifests,
+    whose merges simply skip file pruning."""
+    m = load_manifest(store, version_dir)
+    return dict(m.get("stats") or {}) if m is not None else {}
 
 
 def ref_sizes(store, refs: list[str], known: dict | None = None) -> list[int]:

@@ -391,7 +391,7 @@ def _copy_refs(store, refs: list[str], dst_store) -> None:
 
 
 def _cow_source(
-    spark, target, read_schema, source_refs, op
+    spark, target, read_schema, source_refs, op, relation_refs=None
 ):
     """The dataset a CoW verb operates on, as ``(root, store, refs,
     pcols, df)`` with refs root-relative (``manifest.py``
@@ -403,7 +403,16 @@ def _cow_source(
     is the table ROOT and ``source_refs`` the current version's file
     references (possibly spanning several version directories); the
     relation is the per-birth-dir union of :func:`manifest.read_refs`
-    and untouched files are never copied, only re-referenced."""
+    and untouched files are never copied, only re-referenced.
+
+    ``relation_refs`` (manifest mode only) builds ``df`` over a
+    SUBSET of the refs — merge's stats-pruned candidate files — while
+    ``refs`` stays the full set: at scale the expensive part of the
+    union is the driver-side file index over every path, so a pruned
+    relation makes planning O(candidates), not O(table files).
+    Requires ``read_schema`` (an empty candidate set still needs a
+    typed relation, and a subset's inferred schema must not drift
+    from the table's)."""
     from cae_polars_tools_spark.manifest import group_refs, read_refs
 
     root, store = _cow_store(target, op)
@@ -417,12 +426,19 @@ def _cow_source(
     else:
         refs = sorted(source_refs)
     _groups, pcols = group_refs(refs)  # mixed layouts refused here
-    if not refs:
-        # a zero-file dataset (a prior job wrote zero rows, or an
-        # empty-version manifest): a merge is then a pure insert and
-        # a delete a no-op — preserve that behavior instead of
-        # refusing. Only an explicit schema can type the empty
-        # relation (there are no footers to infer from).
+    rel = refs if relation_refs is None else sorted(relation_refs)
+    if relation_refs is not None and read_schema is None:
+        raise ValueError(
+            f"{op}: a pruned relation (relation_refs) requires an "
+            "explicit read_schema"
+        )
+    if not rel:
+        # a zero-file dataset (a prior job wrote zero rows, an
+        # empty-version manifest, or a fully pruned candidate set):
+        # a merge is then a pure insert and a delete a no-op —
+        # preserve that behavior instead of refusing. Only an
+        # explicit schema can type the empty relation (there are no
+        # footers to infer from).
         if read_schema is None:
             raise ValueError(
                 f"{op}: {target!r} holds no data files and no "
@@ -430,7 +446,7 @@ def _cow_source(
                 "relation"
             )
         return root, store, refs, pcols, spark.createDataFrame([], read_schema)
-    df = read_refs(spark, root, refs, read_schema, store=store)
+    df = read_refs(spark, root, rel, read_schema, store=store)
     return root, store, refs, pcols, df
 
 
@@ -488,6 +504,7 @@ def merge_parquet(
     copy_untouched: bool = True,
     source_sizes: dict | None = None,
     source_rows: dict | None = None,
+    candidate_refs: list[str] | None = None,
 ) -> dict:
     """Copy-on-write MERGE (upsert) into a parquet dataset: rows of
     ``updates`` replace target rows with matching ``keys``; everything
@@ -537,6 +554,15 @@ def merge_parquet(
     genuinely rewritten files. This is the 100 TB path: a one-key
     merge writes the affected files plus the update rows and copies
     ZERO untouched bytes.
+
+    ``candidate_refs`` (manifest mode) narrows the DISCOVERY relation
+    to the files whose manifest-recorded key min/max can intersect
+    the batch (``Table._merge_candidates`` computes them): at scale
+    the driver-side file index over every path dominates merge
+    planning, so a stats-pruned merge plans over O(candidates)
+    instead of O(table files). Requires ``read_schema`` and
+    ``source_rows`` covering every source ref (the subset relation
+    can answer neither the table's schema nor its row count).
     """
     from pyspark.sql import functions as F
 
@@ -544,9 +570,27 @@ def merge_parquet(
 
     if not keys:
         raise ValueError("merge_parquet needs at least one key column")
+    if candidate_refs is not None:
+        # pruned-discovery contract: the relation below is the
+        # CANDIDATE subset, so the table's schema and row count must
+        # come from the manifest, never from the subset (a count of
+        # the pruned relation would undercount; an inferred schema
+        # could drift)
+        if read_schema is None:
+            raise ValueError(
+                "merge_parquet: candidate_refs requires read_schema"
+            )
+        if source_rows is None or any(
+            r not in source_rows for r in (source_refs or [])
+        ):
+            raise ValueError(
+                "merge_parquet: candidate_refs requires source_rows "
+                "covering every source ref"
+            )
     _dst_root, dst_store = _cow_store(dst, "merge_parquet")
     root, store, refs, pcols, t = _cow_source(
-        spark, target, read_schema, source_refs, "merge_parquet"
+        spark, target, read_schema, source_refs, "merge_parquet",
+        relation_refs=candidate_refs,
     )
     if set(updates.columns) != set(t.columns):
         raise ValueError(
@@ -659,6 +703,8 @@ def merge_parquet(
         updates.unpersist()
 
     stats_out = {"files_rewritten": len(aff_refs), **stats}
+    if candidate_refs is not None:
+        stats_out["files_candidates"] = len(candidate_refs)
     if copy_untouched:
         stats_out["files_copied"] = len(untouched_refs)
     else:

@@ -204,13 +204,13 @@ class Table:
 
     def _commit_manifest(
         self, version_dir: str, refs: list[str], schema_json,
-        sizes=None, rows=None,
+        sizes=None, rows=None, col_stats=None,
     ) -> None:
         from cae_polars_tools_spark.manifest import write_manifest
 
         write_manifest(
             self._store(), version_dir, refs, schema_json,
-            sizes=sizes, rows=rows,
+            sizes=sizes, rows=rows, col_stats=col_stats,
         )
 
     def _new_data_files(self, version_dir: str) -> list[str]:
@@ -244,19 +244,76 @@ class Table:
 
         return rows_of(self._store(), version_dir)
 
-    def _new_rows(self, new_stats: list[tuple[str, int]]) -> dict:
-        """Per-file row counts of the verb's fresh files, from their
-        parquet FOOTERS via ranged store reads (two ``get_range``
-        calls per new file, sizes reused from the inventory) — the
-        commit-time accounting that lets every later merge size
-        itself by manifest arithmetic instead of a count job."""
-        from cae_polars_tools_spark.manifest import parquet_footer_rows
+    def _new_footer_accounting(
+        self, new_stats: list[tuple[str, int]]
+    ) -> tuple[dict, dict]:
+        """``(rows, col_stats)`` of the verb's fresh files, from
+        their parquet FOOTERS via ranged store reads (two
+        ``get_range`` calls per new file, sizes reused from the
+        inventory) — the commit-time accounting that lets every later
+        merge size itself by manifest arithmetic instead of a count
+        job, and prune its affected-file discovery to the files whose
+        key range can intersect the batch."""
+        from cae_polars_tools_spark.manifest import parquet_footer_stats
 
         store = self._store()
-        return {
-            r: parquet_footer_rows(store, r, size=sz)
-            for r, sz in new_stats
+        rows: dict = {}
+        col_stats: dict = {}
+        for r, sz in new_stats:
+            n, st = parquet_footer_stats(store, r, size=sz)
+            rows[r] = n
+            if st:
+                col_stats[r] = st
+        return rows, col_stats
+
+    def _version_stats(self, version_dir: str) -> dict:
+        from cae_polars_tools_spark.manifest import stats_of
+
+        return stats_of(self._store(), version_dir)
+
+    def _merge_candidates(
+        self, batch, keys, refs, rows, cstats, read_schema
+    ):
+        """File-skipping for merge's affected-file discovery: the
+        manifest's per-file key min/max against the batch's key range
+        — files provably outside it never even enter the discovery
+        scan's relation, so planning cost is O(candidate files), not
+        O(table files) (the Delta data-skipping shape). Returns None
+        (no pruning, full path) unless the manifest carries the
+        accounting merge needs to skip the full union entirely:
+        a recorded schema, row counts covering EVERY ref, and column
+        stats. Conservative everywhere — a key column that is not
+        int/float/string, an empty batch range, or a file without
+        stats falls back to candidacy, never to pruning."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import NumericType, StringType
+
+        if read_schema is None or not cstats:
+            return None
+        if any(r not in rows for r in refs):
+            return None
+        probed = [
+            f.name
+            for f in batch.schema.fields
+            if f.name in keys
+            and isinstance(f.dataType, (NumericType, StringType))
+        ]
+        if not probed:
+            return None
+        agg = batch.agg(
+            *[F.min(k).alias(f"lo_{k}") for k in probed],
+            *[F.max(k).alias(f"hi_{k}") for k in probed],
+        ).collect()[0]
+        ranges = {
+            k: (agg[f"lo_{k}"], agg[f"hi_{k}"])
+            for k in probed
+            if agg[f"lo_{k}"] is not None and agg[f"hi_{k}"] is not None
         }
+        if not ranges:
+            return None
+        from cae_polars_tools_spark.manifest import refs_intersecting
+
+        return refs_intersecting(cstats, refs, ranges)
 
     def _commit(
         self,
@@ -507,12 +564,14 @@ class Table:
             store.delete_prefix("v0")
         df.write.mode("errorifexists").parquet(store.spark_path("v0"))
         v0_stats = t._new_data_stats("v0")
+        v0_rows, v0_cstats = t._new_footer_accounting(v0_stats)
         t._commit_manifest(
             "v0",
             [r for r, _ in v0_stats],
             df.schema.jsonValue(),
             sizes=dict(v0_stats),
-            rows=t._new_rows(v0_stats),
+            rows=v0_rows,
+            col_stats=v0_cstats,
         )
         t._put_commit("v0", op, None)
         meta = {"version": 0, "version_dir": "v0", "batch_id": batch_id}
@@ -560,6 +619,11 @@ class Table:
             )
         cur_sizes = self._version_sizes(cur)
         cur_rows = self._version_rows(cur)
+        cur_cstats = self._version_stats(cur)
+        read_schema = schema or self._manifest_schema(cur)
+        candidates = self._merge_candidates(
+            batch, keys, cur_refs, cur_rows, cur_cstats, read_schema
+        )
         v, vd = self._next_version_dir(meta)
         stats = merge_parquet(
             self.spark,
@@ -567,11 +631,12 @@ class Table:
             batch,
             keys,
             f"{self.root}/{vd}",
-            read_schema=schema,
+            read_schema=read_schema,
             source_refs=cur_refs,
             copy_untouched=False,
             source_sizes=cur_sizes,
             source_rows=cur_rows,
+            candidate_refs=candidates,
         )
         untouched = stats.pop("untouched_refs")
         new_stats = self._new_data_stats(vd)
@@ -580,12 +645,18 @@ class Table:
             **{r: cur_sizes[r] for r in untouched if r in cur_sizes},
             **dict(new_stats),
         }
+        new_rows, new_cstats = self._new_footer_accounting(new_stats)
         rows = {
             **{r: cur_rows[r] for r in untouched if r in cur_rows},
-            **self._new_rows(new_stats),
+            **new_rows,
+        }
+        col_stats = {
+            **{r: cur_cstats[r] for r in untouched if r in cur_cstats},
+            **new_cstats,
         }
         self._commit_manifest(
-            vd, refs, stats.pop("schema"), sizes=sizes, rows=rows
+            vd, refs, stats.pop("schema"), sizes=sizes, rows=rows,
+            col_stats=col_stats,
         )
         self._propagate_schema(cur, vd)
         if batch_id is not None:
@@ -663,7 +734,7 @@ class Table:
         store = self._store()
         batch.write.mode("errorifexists").parquet(store.spark_path(vd))
         new_stats = self._new_data_stats(vd)
-        new_rows = self._new_rows(new_stats)
+        new_rows, new_cstats = self._new_footer_accounting(new_stats)
         rows = sum(new_rows.values())  # footer arithmetic, no count job
         self._commit_manifest(
             vd,
@@ -671,6 +742,7 @@ class Table:
             schema.jsonValue() if schema is not None else batch.schema.jsonValue(),
             sizes=dict(new_stats),
             rows=new_rows,
+            col_stats=new_cstats,
         )
         self._propagate_schema(cur, vd)
         stats = {
@@ -755,12 +827,19 @@ class Table:
             **dict(new_stats),
         }
         cur_rows = self._version_rows(cur)
+        cur_cstats = self._version_stats(cur)
+        new_rows, new_cstats = self._new_footer_accounting(new_stats)
         rows = {
             **{r: cur_rows[r] for r in untouched if r in cur_rows},
-            **self._new_rows(new_stats),
+            **new_rows,
+        }
+        col_stats = {
+            **{r: cur_cstats[r] for r in untouched if r in cur_cstats},
+            **new_cstats,
         }
         self._commit_manifest(
-            vd, refs, stats.pop("schema"), sizes=sizes, rows=rows
+            vd, refs, stats.pop("schema"), sizes=sizes, rows=rows,
+            col_stats=col_stats,
         )
         self._propagate_schema(cur, vd)
         if op_stats:
@@ -806,12 +885,14 @@ class Table:
         # predecessor file — this is the verb that resets manifest
         # sprawl (union branch count) to 1
         new_stats = self._new_data_stats(vd)
+        new_rows, new_cstats = self._new_footer_accounting(new_stats)
         self._commit_manifest(
             vd,
             [r for r, _ in new_stats],
             schema.jsonValue(),
             sizes=dict(new_stats),
-            rows=self._new_rows(new_stats),
+            rows=new_rows,
+            col_stats=new_cstats,
         )
         self._propagate_schema(cur, vd)
         self._commit(
@@ -851,12 +932,14 @@ class Table:
             **kwargs,
         )
         new_stats = self._new_data_stats(vd)
+        new_rows, new_cstats = self._new_footer_accounting(new_stats)
         self._commit_manifest(
             vd,
             [r for r, _ in new_stats],
             schema.jsonValue(),
             sizes=dict(new_stats),
-            rows=self._new_rows(new_stats),
+            rows=new_rows,
+            col_stats=new_cstats,
         )
         self._propagate_schema(cur, vd)
         self._commit(
@@ -915,6 +998,7 @@ class Table:
             vd, refs, widened.jsonValue(),
             sizes=self._version_sizes(cur_vd),
             rows=self._version_rows(cur_vd),
+            col_stats=self._version_stats(cur_vd),
         )
         self._put_sidecar(vd, widened)
         self._commit(
@@ -966,6 +1050,7 @@ class Table:
             schema.jsonValue() if schema is not None else None,
             sizes=self._version_sizes(src_vd),
             rows=self._version_rows(src_vd),
+            col_stats=self._version_stats(src_vd),
         )
         self._propagate_schema(src_vd, vd)
         self._commit(

@@ -167,3 +167,84 @@ def test_manifests_record_rows_and_reuse_them(spark, tmp_path):
     assert rows_of(store, t.meta()["version_dir"]) == r2
     t.restore(2)
     assert rows_of(store, t.meta()["version_dir"]) == r2
+
+
+def test_merge_discovery_prunes_files_by_manifest_stats(spark, tmp_path):
+    """Data skipping: commits record per-file column min/max; a merge
+    whose batch key range provably misses a file never even puts that
+    file in the discovery relation (files_candidates < table files on
+    a key-clustered layout), and the result is exactly the full-path
+    merge's."""
+    root = str(tmp_path / "tbl")
+    seed = (
+        _df(spark, 400)
+        .repartitionByRange(8, "k")
+        .sortWithinPartitions("k")
+    )
+    t = Table.create(spark, root, seed)
+    n_files = len(t._version_refs("v0"))
+    assert n_files >= 4
+    batch = (
+        _df(spark, 400)
+        .filter((F.col("k") >= 100) & (F.col("k") < 110))
+        .withColumn("val", F.lit(-9.0))
+    )
+    stats = t.merge(batch, keys=["k"])
+    assert stats["files_candidates"] < n_files
+    assert stats["files_rewritten"] <= stats["files_candidates"]
+    assert stats["rows_updated"] == 10
+    got = {r["k"]: r["val"] for r in t.current().collect()}
+    assert len(got) == 400
+    for k in range(400):
+        assert got[k] == (-9.0 if 100 <= k < 110 else k * 2.0)
+
+    # a fully-outside batch inserts without touching any file
+    stats2 = t.merge(
+        spark.createDataFrame([(10_000, 1.0)], "k long, val double"),
+        keys=["k"],
+    )
+    assert stats2["files_candidates"] == 0
+    assert stats2["files_rewritten"] == 0
+    assert stats2["rows_inserted"] == 1
+    assert t.current().count() == 401
+
+
+def test_merge_pruning_handles_strings_and_evolved_columns(spark, tmp_path):
+    """Conservative rules: string keys prune by byte-order ranges;
+    a key column added by schema evolution (old files have no stats
+    for it) keeps every old file a candidate — never a silent miss."""
+    root = str(tmp_path / "tbl")
+    seed = spark.createDataFrame(
+        [(f"doc-{i:04d}", float(i)) for i in range(100)],
+        "name string, val double",
+    ).repartitionByRange(4, "name").sortWithinPartitions("name")
+    t = Table.create(spark, root, seed)
+    n_files = len(t._version_refs("v0"))
+    stats = t.merge(
+        spark.createDataFrame(
+            [("doc-0007", -1.0)], "name string, val double"
+        ),
+        keys=["name"],
+    )
+    assert stats["files_candidates"] < n_files
+    got = {r["name"]: r["val"] for r in t.current().collect()}
+    assert got["doc-0007"] == -1.0 and got["doc-0099"] == 99.0
+
+    # evolve, then merge on the evolved column as a key: old files
+    # carry no stats for it — all stay candidates, values stay right
+    t.add_columns({"bucket": "bigint"})
+    wide = spark.createDataFrame(
+        [("doc-0001", 1.0, 7)], "name string, val double, bucket bigint"
+    )
+    stats3 = t.merge(wide, keys=["name", "bucket"])
+    got = {
+        r["name"]: (r["val"], r["bucket"])
+        for r in t.current().collect()
+    }
+    # the (doc-0001, 7) key matches nothing (old rows have NULL
+    # bucket, and NULL never equals 7) — the row inserts
+    assert got["doc-0001"] == (1.0, None) or t.current().count() == 101
+    assert (
+        t.current().filter("name = 'doc-0001' and bucket = 7").count()
+        == 1
+    )
