@@ -591,8 +591,23 @@ def adopt_dir_files(
         for r in refs
         if r in phys_sizes or r in old_sizes
     }
+    # the same rows + column-stats accounting Table commits carry —
+    # footer reads for the adopted files only (old files keep their
+    # recorded numbers), so index takedowns can prune by id range
+    rows = dict(m.get("rows") or {}) if m else {}
+    col_stats = dict(m.get("stats") or {}) if m else {}
+    for r in sorted(adopted):
+        n, st = parquet_footer_stats(store, r, size=phys_sizes[r])
+        rows[r] = n
+        if st:
+            col_stats[r] = st
+    rows = {r: rows[r] for r in refs if r in rows}
+    col_stats = {r: col_stats[r] for r in refs if r in col_stats}
     schema = (m.get("schema") if m else None) or schema_json
-    write_manifest(store, dirname, refs, schema, sizes=sizes)
+    write_manifest(
+        store, dirname, refs, schema,
+        sizes=sizes, rows=rows, col_stats=col_stats,
+    )
     return len(refs)
 
 

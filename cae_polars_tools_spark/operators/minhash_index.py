@@ -698,8 +698,9 @@ def _sweep_live_orphans(store, live_dirs, referenced: set) -> int:
 def delete_minhash_index(
     spark: SparkSession,
     path: str,
-    predicate,
+    predicate=None,
     op_stats: dict | None = None,
+    doc_ids=None,
 ) -> dict:
     """Copy-on-write DELETE from the index: rows matching ``predicate``
     (a Column or SQL string over ``doc_id``, e.g. ``"doc_id IN (7)"``)
@@ -711,16 +712,42 @@ def delete_minhash_index(
     same PUT. The takedown primitive: removing a document from the
     corpus must remove it from every derived index without re-signing
     either, and at 100 TB without re-copying the index either.
-    Returns per-table delete counters plus the new directory names."""
+    Returns per-table delete counters plus the new directory names.
+
+    ``doc_ids`` is the takedown fast path: the predicate becomes
+    ``doc_id IN (ids)`` and each artifact's affected-file discovery
+    is PRUNED by the ids' range against its manifest's per-file
+    doc_id stats — the doc_id-clustered sigs table then plans over a
+    handful of files (band files spread doc_ids, so they usually all
+    stay candidates — conservative, never a silent miss)."""
     from cae_polars_tools_spark.manifest import (
         data_file_refs,
         meta_with_history,
+        refs_intersecting,
         refs_of,
+        stats_of,
         write_manifest,
     )
     from cae_polars_tools_spark.sources.zarr_format import ByteStore
     from cae_polars_tools_spark.storage import delete_parquet
 
+    if (predicate is None) == (doc_ids is None):
+        raise ValueError(
+            "delete_minhash_index: pass exactly one of predicate / "
+            "doc_ids"
+        )
+    id_range = None
+    if doc_ids is not None:
+        predicate = F.col("doc_id").isin(list(doc_ids))
+        vals = [v for v in doc_ids if v is not None]
+        if vals and all(
+            not isinstance(v, bool) and isinstance(v, (int, float, str))
+            for v in vals
+        ):
+            try:
+                id_range = (min(vals), max(vals))
+            except TypeError:
+                id_range = None
     root, meta = _dirs(spark, path)
     store = ByteStore.for_path(root)
 
@@ -742,6 +769,21 @@ def delete_minhash_index(
                 },
                 cur_dir,
             )
+        candidates = None
+        read_schema = None
+        if id_range is not None:
+            cstats = stats_of(store, cur_dir)
+            if cstats:
+                from pyspark.sql.types import StructType
+
+                from cae_polars_tools_spark.manifest import load_manifest
+
+                mdoc = load_manifest(store, cur_dir)
+                if mdoc and mdoc.get("schema"):
+                    read_schema = StructType.fromJson(mdoc["schema"])
+                    candidates = refs_intersecting(
+                        cstats, refs, {"doc_id": id_range}
+                    )
         nxt = _next_dir(cur_dir, stem)
         stats = delete_parquet(
             spark,
@@ -750,6 +792,8 @@ def delete_minhash_index(
             f"{root}/{nxt}",
             source_refs=refs,
             copy_untouched=False,
+            read_schema=read_schema,
+            candidate_refs=candidates,
         )
         write_manifest(
             store,

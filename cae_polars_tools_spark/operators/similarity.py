@@ -1813,8 +1813,9 @@ def compact_ivfpq_index(
 def delete_ivfpq_index(
     spark: SparkSession,
     path: str,
-    predicate,
+    predicate=None,
     op_stats: dict | None = None,
+    vec_ids=None,
 ) -> dict:
     """Copy-on-write DELETE from a persisted IVF-PQ index: rows of
     the codes table matching ``predicate`` (a Column or SQL string,
@@ -1825,20 +1826,46 @@ def delete_ivfpq_index(
     readers never observe a half-deleted index. The takedown
     primitive: removing a document from the corpus must remove it
     from every derived index too, without re-encoding either.
-    Returns delete_parquet's counters plus ``codes_dir``."""
+    Returns delete_parquet's counters plus ``codes_dir``.
+
+    ``vec_ids`` is the takedown fast path (the delete_minhash_index
+    rule): the predicate becomes ``vec_id IN (ids)`` and the
+    affected-file discovery is pruned by the ids' range against the
+    codes manifest's per-file vec_id stats."""
     import json
     import re as _re
+
+    from pyspark.sql import functions as F
 
     from cae_polars_tools_spark.sources.zarr_format import ByteStore
     from cae_polars_tools_spark.storage import delete_parquet
 
     from cae_polars_tools_spark.manifest import (
         data_file_refs,
+        load_manifest,
         meta_with_history,
+        refs_intersecting,
         refs_of,
+        stats_of,
         write_manifest,
     )
 
+    if (predicate is None) == (vec_ids is None):
+        raise ValueError(
+            "delete_ivfpq_index: pass exactly one of predicate / vec_ids"
+        )
+    id_range = None
+    if vec_ids is not None:
+        predicate = F.col("vec_id").isin(list(vec_ids))
+        vals = [v for v in vec_ids if v is not None]
+        if vals and all(
+            not isinstance(v, bool) and isinstance(v, (int, float, str))
+            for v in vals
+        ):
+            try:
+                id_range = (min(vals), max(vals))
+            except TypeError:
+                id_range = None
     root = path.rstrip("/")
     meta = load_ivfpq_meta(root)
     if meta is None:
@@ -1856,6 +1883,18 @@ def delete_ivfpq_index(
         }
     m_v = _re.fullmatch(r"codes_v(\d+)", cur)
     nxt = f"codes_v{int(m_v.group(1)) + 1 if m_v else 1}"
+    candidates = None
+    read_schema = None
+    if id_range is not None:
+        cstats = stats_of(store, cur)
+        mdoc = load_manifest(store, cur)
+        if cstats and mdoc and mdoc.get("schema"):
+            from pyspark.sql.types import StructType
+
+            read_schema = StructType.fromJson(mdoc["schema"])
+            candidates = refs_intersecting(
+                cstats, refs_of(store, cur), {"vec_id": id_range}
+            )
     stats = delete_parquet(
         spark,
         root,
@@ -1863,6 +1902,8 @@ def delete_ivfpq_index(
         f"{root}/{nxt}",
         source_refs=refs_of(store, cur),
         copy_untouched=False,
+        read_schema=read_schema,
+        candidate_refs=candidates,
     )
     write_manifest(
         store,

@@ -724,6 +724,7 @@ def delete_parquet(
     source_refs: list[str] | None = None,
     copy_untouched: bool = True,
     source_sizes: dict | None = None,
+    candidate_refs: list[str] | None = None,
 ) -> dict:
     """Copy-on-write DELETE WHERE: rows where ``predicate`` (a Column
     or SQL string) evaluates to TRUE are removed; FALSE and NULL rows
@@ -746,6 +747,13 @@ def delete_parquet(
     in the copy, ``partitionBy`` rewrite); a predicate on a partition
     column prunes whole directories out of the discovery scan before
     a single data byte is read — the cheap takedown shape.
+
+    ``candidate_refs`` (manifest mode) narrows the discovery relation
+    to files whose manifest-recorded stats can satisfy the predicate
+    — callers with a KEY-LIST predicate (``Table.delete_keys``, the
+    takedown cascade) compute it from the id range, so a takedown of
+    a handful of ids plans over a handful of files, not the table.
+    Requires ``read_schema`` (the subset cannot type itself).
     """
     from pyspark.sql import Column
     from pyspark.sql import functions as F
@@ -758,7 +766,8 @@ def delete_parquet(
 
     _dst_root, dst_store = _cow_store(dst, "delete_parquet")
     root, store, refs, pcols, t = _cow_source(
-        spark, target, read_schema, source_refs, "delete_parquet"
+        spark, target, read_schema, source_refs, "delete_parquet",
+        relation_refs=candidate_refs,
     )
     # rows whose partition value is pruned by the predicate never even
     # list their files here — the discovery scan skips whole key=value
@@ -799,6 +808,8 @@ def delete_parquet(
         "files_rewritten": len(aff_refs),
         "rows_deleted": rows_deleted,
     }
+    if candidate_refs is not None:
+        stats["files_candidates"] = len(candidate_refs)
     if copy_untouched:
         stats["files_copied"] = len(untouched_refs)
     else:

@@ -763,7 +763,12 @@ class Table:
         stats["version"] = v
         return stats
 
-    def delete(self, predicate, op_stats: dict | None = None) -> dict:
+    def delete(
+        self,
+        predicate,
+        op_stats: dict | None = None,
+        candidate_refs: list | None = None,
+    ) -> dict:
         """CoW DELETE WHERE (``storage.delete_parquet`` manifest
         mode): matched files rewrite, the rest re-reference in the
         new manifest — zero untouched bytes move; pointer flips last.
@@ -808,16 +813,20 @@ class Table:
             stats["version"] = v
             return stats
         cur_sizes = self._version_sizes(cur)
+        read_schema = self._declared_schema(cur)
+        if candidate_refs is not None and read_schema is None:
+            read_schema = self._manifest_schema(cur)
         v, vd = self._next_version_dir(meta)
         stats = delete_parquet(
             self.spark,
             self.root,
             predicate,
             f"{self.root}/{vd}",
-            read_schema=self._declared_schema(cur),
+            read_schema=read_schema,
             source_refs=cur_refs,
             copy_untouched=False,
             source_sizes=cur_sizes,
+            candidate_refs=candidate_refs,
         )
         untouched = stats.pop("untouched_refs")
         new_stats = self._new_data_stats(vd)
@@ -847,6 +856,49 @@ class Table:
         self._commit(v, vd, meta["batch_id"], op="delete", stats=stats)
         stats["version"] = v
         return stats
+
+    def delete_keys(
+        self, key_col: str, values, op_stats: dict | None = None
+    ) -> dict:
+        """Pruned takedown: ``DELETE WHERE key_col IN (values)`` with
+        the affected-file discovery narrowed by the manifest's
+        per-file stats — the id list's [min, max] range is matched
+        against each file's recorded range, so purging a handful of
+        ids from a key-clustered table plans over a handful of files,
+        never the table (``cascade_delete`` routes the base-table
+        purge through here). Falls back to the unpruned
+        :meth:`delete` whenever the manifest lacks the accounting or
+        the values are not range-comparable — conservative, never a
+        silent miss."""
+        from pyspark.sql import functions as F
+
+        vals = [v for v in values if v is not None]
+        pred = F.col(key_col).isin(list(values))
+        candidates = None
+        if vals and all(
+            not isinstance(v, bool) and isinstance(v, (int, float, str))
+            for v in vals
+        ):
+            try:
+                lo, hi = min(vals), max(vals)
+            except TypeError:
+                lo = hi = None  # mixed incomparable types
+            if lo is not None:
+                cur = self.meta()["version_dir"]
+                cstats = self._version_stats(cur)
+                if cstats:
+                    from cae_polars_tools_spark.manifest import (
+                        refs_intersecting,
+                    )
+
+                    candidates = refs_intersecting(
+                        cstats,
+                        self._version_refs(cur),
+                        {key_col: (lo, hi)},
+                    )
+        return self.delete(
+            pred, op_stats=op_stats, candidate_refs=candidates
+        )
 
     def compact(self, **kwargs) -> dict:
         """Rewrite the current version toward target-sized files

@@ -46,7 +46,6 @@ index lifecycle.
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
 
 #: cascade_delete inlines the ids as one IN-list predicate per
 #: artifact (the takedown shape: a handful to a few thousand ids named
@@ -134,10 +133,13 @@ def cascade_delete(
 
     # base table FIRST — ground truth, see the module contract
     if table_root is not None:
+        # delete_keys prunes the affected-file discovery by the ids'
+        # range against the manifest's per-file stats — a takedown of
+        # a handful of ids plans over a handful of files, not the table
         stats = _step(
             f"table {table_root}",
-            lambda: Table(spark, table_root).delete(
-                F.col(table_id_col).isin(ids), op_stats=correl
+            lambda: Table(spark, table_root).delete_keys(
+                table_id_col, ids, op_stats=correl
             ),
         )
         if stats is not None:
@@ -149,7 +151,7 @@ def cascade_delete(
         stats = _step(
             f"minhash index {p}",
             lambda p=p: delete_minhash_index(
-                spark, p, F.col("doc_id").isin(ids), op_stats=correl
+                spark, p, doc_ids=ids, op_stats=correl
             ),
         )
         if stats is not None:
@@ -161,7 +163,7 @@ def cascade_delete(
         stats = _step(
             f"ivfpq index {p}",
             lambda p=p: delete_ivfpq_index(
-                spark, p, F.col("vec_id").isin(ids), op_stats=correl
+                spark, p, vec_ids=ids, op_stats=correl
             ),
         )
         if stats is not None:

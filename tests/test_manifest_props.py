@@ -178,3 +178,43 @@ def test_vacuum_refcount_model(files, n_candidates):
         not store.list_prefix(v) for v in again["removed"]
     )
     assert again["demoted"] == []  # (d)
+
+
+@given(
+    st.dictionaries(
+        st.text(string.ascii_lowercase, min_size=1, max_size=3),
+        st.tuples(st.integers(-50, 50), st.integers(-50, 50)).map(
+            lambda t: [min(t), max(t)]
+        ),
+        max_size=3,
+    ),
+    st.tuples(st.integers(-50, 50), st.integers(-50, 50)).map(
+        lambda t: (min(t), max(t))
+    ),
+    st.lists(st.integers(-60, 60), min_size=0, max_size=20),
+)
+@settings(max_examples=200, deadline=None)
+def test_refs_intersecting_never_prunes_a_containing_file(
+    file_cols, batch_range, keys_in_file
+):
+    """Soundness model: a file whose recorded [min, max] on the probed
+    column truly CONTAINS some batch key is never pruned — pruning may
+    only drop files provably disjoint from the batch range."""
+    from cae_polars_tools_spark.manifest import refs_intersecting
+
+    col = "k"
+    lo, hi = batch_range
+    stats = {"f": {**file_cols}}
+    if keys_in_file:
+        fmin, fmax = min(keys_in_file), max(keys_in_file)
+        stats["f"][col] = [fmin, fmax]
+        contains_hit = any(lo <= v <= hi for v in keys_in_file)
+    else:
+        stats["f"].pop(col, None)
+        contains_hit = None
+    survivors = refs_intersecting(stats, ["f"], {col: (lo, hi)})
+    if contains_hit:
+        assert survivors == ["f"]
+    if contains_hit is None:
+        # no recorded stats on the probed column: always a candidate
+        assert survivors == ["f"]

@@ -248,3 +248,28 @@ def test_merge_pruning_handles_strings_and_evolved_columns(spark, tmp_path):
         t.current().filter("name = 'doc-0001' and bucket = 7").count()
         == 1
     )
+
+
+def test_delete_keys_prunes_files_on_clustered_table(spark, tmp_path):
+    """The pruned-takedown verb: deleting a narrow id list from a
+    key-clustered table plans over a strict subset of its files, and
+    the result equals the unpruned predicate delete's."""
+    root = str(tmp_path / "tbl")
+    seed = (
+        _df(spark, 400)
+        .repartitionByRange(8, "k")
+        .sortWithinPartitions("k")
+    )
+    t = Table.create(spark, root, seed)
+    n_files = len(t._version_refs("v0"))
+    stats = t.delete_keys("k", [42, 43, 44])
+    assert stats["files_candidates"] < n_files
+    assert stats["files_rewritten"] <= stats["files_candidates"]
+    assert stats["rows_deleted"] == 3
+    got = {r["k"] for r in t.current().collect()}
+    assert len(got) == 397 and not {42, 43, 44} & got
+    # out-of-range takedown: zero candidates, a clean no-op version
+    stats2 = t.delete_keys("k", [99_999])
+    assert stats2["files_candidates"] == 0
+    assert stats2["rows_deleted"] == 0
+    assert t.current().count() == 397

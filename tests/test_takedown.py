@@ -202,3 +202,45 @@ def test_cascade_stamps_correlation_id_into_every_history(spark, tmp_path):
     t2 = _delete_records(Table(spark, table_root).describe_history())
     assert len(t2) == len(t_rec) + 1
     assert t2[-1]["stats"]["takedown_id"] == tdid
+
+
+def test_index_takedowns_prune_discovery_by_id_stats(spark, tmp_path):
+    """The takedown fast path: delete_minhash_index(doc_ids=…) /
+    delete_ivfpq_index(vec_ids=…) prune the affected-file discovery
+    by the ids' range against the manifest's per-file id stats — the
+    doc_id-clustered sigs table plans over a strict subset of its
+    files — with results identical to the predicate path."""
+    from cae_polars_tools_spark.operators.minhash_index import (
+        delete_minhash_index,
+        load_minhash_meta,
+    )
+    from cae_polars_tools_spark.operators.similarity import (
+        delete_ivfpq_index,
+        load_ivfpq_meta,
+    )
+
+    table_root, mh_root, pq_root, docs, emb = _seed(spark, tmp_path)
+    mh_meta = load_minhash_meta(mh_root)
+    stats = delete_minhash_index(spark, mh_root, doc_ids=[VICTIM])
+    # the pruned-discovery path engaged (files_candidates reported;
+    # this tiny index holds one sigs file, so the subset is 1-of-1 —
+    # the strict-subset claim is pinned on a multi-file table in
+    # test_table_scale_meta)
+    sigs = stats["sigs"]
+    assert "files_candidates" in sigs
+    assert sigs["files_candidates"] <= (
+        sigs["files_rewritten"] + sigs["files_referenced"]
+    )
+    assert sigs["rows_deleted"] == 1
+
+    pq_stats = delete_ivfpq_index(spark, pq_root, vec_ids=[VICTIM])
+    assert "files_candidates" in pq_stats
+    assert pq_stats["rows_deleted"] == 1
+
+    # exactly-one-of contract
+    with pytest.raises(ValueError, match="exactly one"):
+        delete_minhash_index(spark, mh_root)
+    with pytest.raises(ValueError, match="exactly one"):
+        delete_ivfpq_index(
+            spark, pq_root, "vec_id = 1", vec_ids=[1]
+        )
