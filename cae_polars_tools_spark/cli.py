@@ -832,7 +832,48 @@ def create_parser() -> argparse.ArgumentParser:
     sp.add_argument("path", help="artifact root path")
     sp.set_defaults(func=history_command)
 
+    sp = sub.add_parser(
+        "maintain",
+        help="layout health of a versioned Table (manifest branch "
+        "sprawl) as JSON; --compact runs the compaction when the "
+        "branch count exceeds --max-branches",
+    )
+    sp.add_argument("path", help="Table root path")
+    sp.add_argument(
+        "--max-branches",
+        type=int,
+        default=16,
+        help="recommend/run compaction past this many scan branches "
+        "(birth directories in the current version's union plan)",
+    )
+    sp.add_argument(
+        "--compact",
+        action="store_true",
+        help="actually run Table.compact() when over the threshold "
+        "(default: report and recommend only)",
+    )
+    sp.set_defaults(func=maintain_command)
+
     return p
+
+
+def maintain_command(args) -> int:
+    """The nightly-scheduler hook as a CLI verb: report the Table's
+    manifest sprawl (scan branches / files / bytes) and optionally
+    reset it via compaction — `cli maintain <root> --compact`."""
+    import json
+
+    from cae_polars_tools_spark.table import Table
+
+    from cae_polars_tools_spark.session import get_spark
+
+    spark = get_spark(app_name="cae-polars-tools-spark-maintain")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = Table(spark, args.path).maintain(
+        max_branches=args.max_branches, auto_compact=args.compact
+    )
+    print(json.dumps(out, indent=1, sort_keys=True))
+    return 0
 
 
 def takedown_command(args) -> int:

@@ -504,3 +504,38 @@ def test_cli_takedown_id_type_flag(spark, tmp_path, capsys):
     )
     assert rc == 1
     assert "does not parse" in capsys.readouterr().err
+
+
+def test_cli_maintain_reports_and_compacts(spark, tmp_path, capsys):
+    """`maintain` prints the Table's layout health; --compact resets
+    branch sprawl through the normal pointer discipline."""
+    from pyspark.sql import functions as F
+
+    from cae_polars_tools_spark.table import Table
+
+    root = str(tmp_path / "t")
+    seed = (
+        spark.range(300)
+        .select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+        .repartitionByRange(6, "k")
+        .sortWithinPartitions("k")
+    )
+    t = Table.create(spark, root, seed)
+    for i in range(3):
+        t.merge(
+            seed.filter(
+                (F.col("k") >= 100 * i) & (F.col("k") < 100 * i + 2)
+            ).withColumn("v", F.lit(-1.0)),
+            keys=["k"],
+        )
+    assert main(["maintain", root, "--max-branches", "2"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["branches"] > 2 and not rep["compacted"]
+    assert "compact" in rep["recommendation"]
+
+    assert (
+        main(["maintain", root, "--max-branches", "2", "--compact"]) == 0
+    )
+    rep2 = json.loads(capsys.readouterr().out)
+    assert rep2["compacted"]
+    assert Table(spark, root).maintain(max_branches=2)["branches"] == 1
