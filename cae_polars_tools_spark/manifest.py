@@ -83,6 +83,8 @@ __all__ = [
     "parquet_footer_rows",
     "parquet_footer_stats",
     "refs_intersecting",
+    "id_range_of",
+    "rewrite_accounting",
     "ref_sizes",
     "uri_to_ref",
     "is_tombstoned",
@@ -261,16 +263,18 @@ def parquet_footer_stats(
     Soundness rules (a wrong bound would silently drop updates, so
     every doubt resolves to "no stat → always a candidate"):
 
-    * only int/float/str leaf values are kept — timestamps, decimals,
-      binary, and nested paths are dropped (JSON round-trip and
-      cross-engine comparison semantics are not worth the risk);
+    * only int/str leaf values are kept. FLOATS ARE EXCLUDED on
+      purpose: parquet writers record finite min/max that silently
+      exclude NaN, while Spark's join semantics treat NaN = NaN as a
+      match — a file holding a NaN key would carry a range that
+      denies it, and a NaN-keyed merge would prune the very file it
+      must rewrite. Timestamps, decimals, binary, and nested paths
+      are likewise dropped (JSON round-trip and cross-engine
+      comparison semantics are not worth the risk);
     * a column must carry min/max in EVERY row group, else it is
       dropped for the whole file;
-    * NaN bounds are dropped (parquet NaN ordering is undefined);
     * strings longer than :data:`STATS_MAX_STRLEN` drop the column
       (see the constant's note on truncation)."""
-    import math
-
     meta = _footer_metadata(store, ref, size)
     stats: dict = {}
     dropped: set = set()
@@ -289,11 +293,7 @@ def parquet_footer_stats(
             lo, hi = st.min, st.max
             ok = True
             for v in (lo, hi):
-                if isinstance(v, bool) or not isinstance(
-                    v, (int, float, str)
-                ):
-                    ok = False
-                elif isinstance(v, float) and math.isnan(v):
+                if isinstance(v, bool) or not isinstance(v, (int, str)):
                     ok = False
                 elif isinstance(v, str) and len(v) > STATS_MAX_STRLEN:
                     ok = False
@@ -306,6 +306,28 @@ def parquet_footer_stats(
             else:
                 stats[name] = [lo, hi]
     return meta.num_rows, stats
+
+
+def id_range_of(values) -> tuple | None:
+    """``(lo, hi)`` of an id list for stats pruning, or None when the
+    list cannot prune soundly — the ONE implementation of the
+    range-derivation rules every pruned-delete caller shares
+    (``Table.delete_keys``, the index takedown fast paths): Nones
+    drop out (an equi-probe never matches NULL), only int/str values
+    qualify (floats excluded — the NaN-equality hole
+    :func:`parquet_footer_stats` documents; bool is an int subclass
+    and excluded explicitly), and mixed incomparable types return
+    None rather than guess."""
+    vals = [v for v in values if v is not None]
+    if not vals or any(
+        isinstance(v, bool) or not isinstance(v, (int, str))
+        for v in vals
+    ):
+        return None
+    try:
+        return min(vals), max(vals)
+    except TypeError:
+        return None
 
 
 def refs_intersecting(
@@ -609,6 +631,36 @@ def adopt_dir_files(
         sizes=sizes, rows=rows, col_stats=col_stats,
     )
     return len(refs)
+
+
+def rewrite_accounting(
+    store, new_dir: str, untouched_refs: list[str], src_dir: str
+) -> tuple[list[str], dict, dict, dict]:
+    """``(refs, sizes, rows, col_stats)`` for a CoW rewrite commit:
+    the untouched refs CARRY their accounting from the source
+    directory's manifest and the fresh files in ``new_dir`` get
+    footer-read numbers — without this an index takedown's new
+    generation would silently drop the stats every later pruned
+    takedown depends on (Table.delete composes the same thing
+    inline). Returns refs = untouched + new files."""
+    old = load_manifest(store, src_dir) or {}
+    old_sizes = old.get("sizes") or {}
+    old_rows = old.get("rows") or {}
+    old_stats = old.get("stats") or {}
+    new_stats = data_file_stats(store, new_dir)
+    refs = list(untouched_refs) + [r for r, _ in new_stats]
+    sizes = {r: old_sizes[r] for r in untouched_refs if r in old_sizes}
+    rows = {r: old_rows[r] for r in untouched_refs if r in old_rows}
+    col_stats = {
+        r: old_stats[r] for r in untouched_refs if r in old_stats
+    }
+    for r, sz in new_stats:
+        sizes[r] = sz
+        n, st = parquet_footer_stats(store, r, size=sz)
+        rows[r] = n
+        if st:
+            col_stats[r] = st
+    return refs, sizes, rows, col_stats
 
 
 HISTORY_CAP = 256

@@ -684,13 +684,27 @@ def _sweep_live_orphans(store, live_dirs, referenced: set) -> int:
     vacuums. Returns the number of files deleted."""
     from cae_polars_tools_spark.manifest import data_file_stats, load_manifest
 
+    import json as _json
+
     swept = 0
     for d in sorted(live_dirs):
-        if load_manifest(store, d) is None:
+        raw = store.get(f"{d}/_MANIFEST.json")
+        if raw is None:
             continue
         for ref, _sz in data_file_stats(store, d):
             if ref not in referenced:
                 store.delete_prefix(ref)
+                swept += 1
+        # superseded manifest SHARDS are sidecar litter too: every
+        # rewrite of a sharded live manifest names a fresh token'd
+        # shard set, so strip the shard files the current document
+        # does not name (readers holding the superseded document race
+        # this exactly like data-file vacuum — the same only-vacuum-
+        # past-your-longest-reader caveat applies)
+        current_shards = set(_json.loads(raw).get("shards") or [])
+        for n in store.list_prefix(d):
+            if n.startswith("_MANIFEST-") and n not in current_shards:
+                store.delete_prefix(f"{d}/{n}")
                 swept += 1
     return swept
 
@@ -721,7 +735,6 @@ def delete_minhash_index(
     handful of files (band files spread doc_ids, so they usually all
     stay candidates — conservative, never a silent miss)."""
     from cae_polars_tools_spark.manifest import (
-        data_file_refs,
         meta_with_history,
         refs_intersecting,
         refs_of,
@@ -738,16 +751,10 @@ def delete_minhash_index(
         )
     id_range = None
     if doc_ids is not None:
+        from cae_polars_tools_spark.manifest import id_range_of
+
         predicate = F.col("doc_id").isin(list(doc_ids))
-        vals = [v for v in doc_ids if v is not None]
-        if vals and all(
-            not isinstance(v, bool) and isinstance(v, (int, float, str))
-            for v in vals
-        ):
-            try:
-                id_range = (min(vals), max(vals))
-            except TypeError:
-                id_range = None
+        id_range = id_range_of(doc_ids)
     root, meta = _dirs(spark, path)
     store = ByteStore.for_path(root)
 
@@ -795,11 +802,22 @@ def delete_minhash_index(
             read_schema=read_schema,
             candidate_refs=candidates,
         )
+        from cae_polars_tools_spark.manifest import rewrite_accounting
+
+        # carry the untouched refs' accounting and footer-read the
+        # fresh files — a takedown must not discard the stats every
+        # LATER pruned takedown depends on
+        n_refs, n_sizes, n_rows, n_cstats = rewrite_accounting(
+            store, nxt, stats.pop("untouched_refs"), cur_dir
+        )
         write_manifest(
             store,
             nxt,
-            stats.pop("untouched_refs") + data_file_refs(store, nxt),
+            n_refs,
             stats.pop("schema"),
+            sizes=n_sizes,
+            rows=n_rows,
+            col_stats=n_cstats,
         )
         return stats, nxt
 

@@ -1643,7 +1643,6 @@ def append_ivfpq_index(
     if meta is None:
         raise FileNotFoundError(f"no IVF-PQ index under {path}")
     centroids, codebooks = _load_ivfpq_model(spark, root, meta)
-    codes_path = f"{root}/{meta.get('codes_dir', 'codes')}"
     new = _encode_with_index_model(
         embeddings, centroids, codebooks, id_col, emb_col
     )
@@ -1713,7 +1712,6 @@ def ivfpq_ingest_sink(
         meta = load_ivfpq_meta(root)
         if meta is None:
             raise FileNotFoundError(f"no IVF-PQ index under {path}")
-        codes_path = f"{root}/{meta.get('codes_dir', 'codes')}"
         existing = _read_codes(spark, root, meta).select(
             F.col("vec_id")
         )
@@ -1841,7 +1839,6 @@ def delete_ivfpq_index(
     from cae_polars_tools_spark.storage import delete_parquet
 
     from cae_polars_tools_spark.manifest import (
-        data_file_refs,
         load_manifest,
         meta_with_history,
         refs_intersecting,
@@ -1856,16 +1853,10 @@ def delete_ivfpq_index(
         )
     id_range = None
     if vec_ids is not None:
+        from cae_polars_tools_spark.manifest import id_range_of
+
         predicate = F.col("vec_id").isin(list(vec_ids))
-        vals = [v for v in vec_ids if v is not None]
-        if vals and all(
-            not isinstance(v, bool) and isinstance(v, (int, float, str))
-            for v in vals
-        ):
-            try:
-                id_range = (min(vals), max(vals))
-            except TypeError:
-                id_range = None
+        id_range = id_range_of(vec_ids)
     root = path.rstrip("/")
     meta = load_ivfpq_meta(root)
     if meta is None:
@@ -1905,11 +1896,19 @@ def delete_ivfpq_index(
         read_schema=read_schema,
         candidate_refs=candidates,
     )
+    from cae_polars_tools_spark.manifest import rewrite_accounting
+
+    n_refs, n_sizes, n_rows, n_cstats = rewrite_accounting(
+        store, nxt, stats.pop("untouched_refs"), cur
+    )
     write_manifest(
         store,
         nxt,
-        stats.pop("untouched_refs") + data_file_refs(store, nxt),
+        n_refs,
         stats.pop("schema"),
+        sizes=n_sizes,
+        rows=n_rows,
+        col_stats=n_cstats,
     )
     meta = meta_with_history(
         {**meta, "codes_dir": nxt},

@@ -572,16 +572,22 @@ def merge_parquet(
         raise ValueError("merge_parquet needs at least one key column")
     if candidate_refs is not None:
         # pruned-discovery contract: the relation below is the
-        # CANDIDATE subset, so the table's schema and row count must
-        # come from the manifest, never from the subset (a count of
-        # the pruned relation would undercount; an inferred schema
-        # could drift)
+        # CANDIDATE subset, so the table's refs, schema, and row
+        # count must all come from the manifest, never from the
+        # subset (directory mode has no manifest — a count of the
+        # pruned relation would undercount, an inferred schema could
+        # drift, and discovery would have no stats basis)
+        if source_refs is None:
+            raise ValueError(
+                "merge_parquet: candidate_refs requires manifest "
+                "mode (source_refs)"
+            )
         if read_schema is None:
             raise ValueError(
                 "merge_parquet: candidate_refs requires read_schema"
             )
         if source_rows is None or any(
-            r not in source_rows for r in (source_refs or [])
+            r not in source_rows for r in source_refs
         ):
             raise ValueError(
                 "merge_parquet: candidate_refs requires source_rows "

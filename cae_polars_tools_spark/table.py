@@ -556,11 +556,19 @@ class Table:
         t = cls(spark, root)
         if t.exists():
             raise FileExistsError(f"Table already exists at {root}")
-        # a v0 directory WITHOUT a pointer is a crash orphan from an
-        # earlier create (pointer flips last) — clear it, the same
-        # next-writer rule every other verb applies
+        # a v0 directory WITHOUT a commit record is a crash orphan
+        # from an earlier create (the record is the commit) — clear
+        # it, the same next-writer rule every other verb applies.
+        # Re-check the record IMMEDIATELY before clearing: a racing
+        # create may have committed since the exists() probe above,
+        # and clearing then would destroy committed data. The
+        # remaining window (check → clear → write) is the documented
+        # same-directory interleave; the CAS below still guarantees
+        # at most one create COMMITS.
         store = t._store()
         if store.list_prefix("v0"):
+            if store.size(f"{_TXN}/v0.json") is not None:
+                raise FileExistsError(f"Table already exists at {root}")
             store.delete_prefix("v0")
         df.write.mode("errorifexists").parquet(store.spark_path("v0"))
         v0_stats = t._new_data_stats("v0")
@@ -576,8 +584,11 @@ class Table:
         t._put_commit("v0", op, None)
         meta = {"version": 0, "version_dir": "v0", "batch_id": batch_id}
         # conditional create = the seed commit: two racing creates,
-        # exactly one wins (CAS-capable stores); the loser raises with
-        # its directory left as an orphan the winner's next verb clears
+        # exactly one COMMITS (CAS-capable stores); the loser raises.
+        # NB: if both raced past the orphan-clear above, their file
+        # writes interleaved in one v0 directory (the documented
+        # same-directory caveat in the class docstring) — the CAS
+        # bounds the damage to "one commit", not "clean directories"
         if not store.put_if_absent(
             f"{_TXN}/v0.json", json.dumps(meta).encode()
         ):
@@ -621,23 +632,31 @@ class Table:
         cur_rows = self._version_rows(cur)
         cur_cstats = self._version_stats(cur)
         read_schema = schema or self._manifest_schema(cur)
-        candidates = self._merge_candidates(
-            batch, keys, cur_refs, cur_rows, cur_cstats, read_schema
-        )
-        v, vd = self._next_version_dir(meta)
-        stats = merge_parquet(
-            self.spark,
-            self.root,
-            batch,
-            keys,
-            f"{self.root}/{vd}",
-            read_schema=read_schema,
-            source_refs=cur_refs,
-            copy_untouched=False,
-            source_sizes=cur_sizes,
-            source_rows=cur_rows,
-            candidate_refs=candidates,
-        )
+        # persist the batch across BOTH consumers: the candidate
+        # range-agg below and merge_parquet's own uniqueness check /
+        # key broadcast / write all read one materialization instead
+        # of recomputing an expensive update plan twice
+        batch = batch.persist()
+        try:
+            candidates = self._merge_candidates(
+                batch, keys, cur_refs, cur_rows, cur_cstats, read_schema
+            )
+            v, vd = self._next_version_dir(meta)
+            stats = merge_parquet(
+                self.spark,
+                self.root,
+                batch,
+                keys,
+                f"{self.root}/{vd}",
+                read_schema=read_schema,
+                source_refs=cur_refs,
+                copy_untouched=False,
+                source_sizes=cur_sizes,
+                source_rows=cur_rows,
+                candidate_refs=candidates,
+            )
+        finally:
+            batch.unpersist()
         untouched = stats.pop("untouched_refs")
         new_stats = self._new_data_stats(vd)
         refs = untouched + [r for r, _ in new_stats]
@@ -768,6 +787,7 @@ class Table:
         predicate,
         op_stats: dict | None = None,
         candidate_refs: list | None = None,
+        candidates_version: int | None = None,
     ) -> dict:
         """CoW DELETE WHERE (``storage.delete_parquet`` manifest
         mode): matched files rewrite, the rest re-reference in the
@@ -781,6 +801,17 @@ class Table:
         from cae_polars_tools_spark.storage import delete_parquet
 
         meta = self.meta()
+        if (
+            candidate_refs is not None
+            and candidates_version is not None
+            and meta["version"] != candidates_version
+        ):
+            # the candidates were computed against a version another
+            # writer has since superseded — their stats may EXCLUDE a
+            # file the new version added. Dropping them (unpruned
+            # path) is always correct; keeping them would be a silent
+            # missed delete.
+            candidate_refs = None
         cur = meta["version_dir"]
         cur_refs = self._version_refs(cur)
         if not cur_refs:
@@ -872,32 +903,31 @@ class Table:
         silent miss."""
         from pyspark.sql import functions as F
 
-        vals = [v for v in values if v is not None]
-        pred = F.col(key_col).isin(list(values))
-        candidates = None
-        if vals and all(
-            not isinstance(v, bool) and isinstance(v, (int, float, str))
-            for v in vals
-        ):
-            try:
-                lo, hi = min(vals), max(vals)
-            except TypeError:
-                lo = hi = None  # mixed incomparable types
-            if lo is not None:
-                cur = self.meta()["version_dir"]
-                cstats = self._version_stats(cur)
-                if cstats:
-                    from cae_polars_tools_spark.manifest import (
-                        refs_intersecting,
-                    )
+        from cae_polars_tools_spark.manifest import (
+            id_range_of,
+            refs_intersecting,
+        )
 
-                    candidates = refs_intersecting(
-                        cstats,
-                        self._version_refs(cur),
-                        {key_col: (lo, hi)},
-                    )
+        pred = F.col(key_col).isin(list(values))
+        rng = id_range_of(values)
+        candidates = None
+        cand_version = None
+        if rng is not None:
+            snap = self.meta()  # candidates stamped with THIS version
+            cur = snap["version_dir"]
+            cstats = self._version_stats(cur)
+            if cstats:
+                candidates = refs_intersecting(
+                    cstats,
+                    self._version_refs(cur),
+                    {key_col: rng},
+                )
+                cand_version = snap["version"]
         return self.delete(
-            pred, op_stats=op_stats, candidate_refs=candidates
+            pred,
+            op_stats=op_stats,
+            candidate_refs=candidates,
+            candidates_version=cand_version,
         )
 
     def compact(self, **kwargs) -> dict:
@@ -1222,7 +1252,13 @@ def read_pointer(store) -> dict | None:
         v += 1
     if advanced is not None:
         meta = json.loads(advanced)
-        store.put(_CURRENT, json.dumps(meta).encode())
+        try:
+            store.put(_CURRENT, json.dumps(meta).encode())
+        except Exception:
+            # best-effort cache repair, as promised: a read-only
+            # replica (http mirror, no write perms) must still be
+            # able to READ the advanced pointer
+            pass
     return meta
 
 
