@@ -82,6 +82,8 @@ __all__ = [
     "stats_of",
     "parquet_footer_rows",
     "parquet_footer_stats",
+    "footer_accounting",
+    "DISTRIBUTE_FOOTER_MIN",
     "refs_intersecting",
     "id_range_of",
     "rewrite_accounting",
@@ -187,7 +189,24 @@ def data_file_stats(store, prefix: str = "") -> list[tuple[str, int]]:
         if n.startswith(("_", ".")):
             continue
         child = f"{prefix}/{n}" if prefix else n
-        if n.endswith(".parquet") and size is not None:
+        if n.endswith(".parquet"):
+            if size is None:
+                # a backend whose LIST omits file sizes must not make
+                # a data file vanish from the inventory (it would be
+                # silently excluded from the manifest — invisible
+                # rows): fall back to a per-file stat, recurse only if
+                # the name really is a directory, and otherwise refuse
+                size = store.size(child)
+                if size is None:
+                    if store.list_prefix(child):
+                        out.extend(data_file_stats(store, child))
+                        continue
+                    raise FileNotFoundError(
+                        f"data file {child!r} appeared in the listing "
+                        f"of {store.root!r} but has no size and is "
+                        "not a directory — refusing to inventory a "
+                        "file the commit cannot account for"
+                    )
             out.append((child, size))
         elif size is None:
             out.extend(data_file_stats(store, child))
@@ -251,6 +270,49 @@ def parquet_footer_rows(store, ref: str, size: int | None = None) -> int:
 STATS_MAX_STRLEN = 64
 
 
+def _stat_bounds(col) -> tuple | None:
+    """Sound ``(lo, hi)`` bounds for one column CHUNK's statistics, or
+    None when the chunk cannot prune soundly. The single place the
+    per-type soundness rules live — :func:`parquet_footer_stats`
+    documents them."""
+    st = col.statistics
+    if st is None or not st.has_min_max:
+        return None
+    lt = st.logical_type
+    t = lt.type if lt is not None else None
+    if t == "TIMESTAMP" and col.physical_type == "INT64":
+        # record timestamps as EPOCH-MICROS ints — parquet stores them
+        # as int64, ordering on the int equals ordering on time, and
+        # there is no NaN hole. Only isAdjustedToUTC instants qualify:
+        # the probe side converts its batch range with unix_micros()
+        # (UTC-based, deterministic under any session timezone), so a
+        # wall-clock NTZ file would compare across semantics. Millis
+        # scale exactly; nanos floor the min and CEIL the max so the
+        # recorded box always contains the true values.
+        info = json.loads(lt.to_json())
+        if not info.get("isAdjustedToUTC"):
+            return None
+        unit = info.get("timeUnit")
+        if unit == "microseconds":
+            return st.min_raw, st.max_raw
+        if unit == "milliseconds":
+            return st.min_raw * 1000, st.max_raw * 1000
+        if unit == "nanoseconds":
+            return st.min_raw // 1000, -(-st.max_raw // 1000)
+        return None
+    if t == "DATE" and col.physical_type == "INT32":
+        # dates record as EPOCH-DAYS ints (the physical encoding);
+        # the probe side converts with unix_date()
+        return st.min_raw, st.max_raw
+    lo, hi = st.min, st.max
+    for v in (lo, hi):
+        if isinstance(v, bool) or not isinstance(v, (int, str)):
+            return None
+        if isinstance(v, str) and len(v) > STATS_MAX_STRLEN:
+            return None
+    return lo, hi
+
+
 def parquet_footer_stats(
     store, ref: str, size: int | None = None
 ) -> tuple[int, dict]:
@@ -263,14 +325,22 @@ def parquet_footer_stats(
     Soundness rules (a wrong bound would silently drop updates, so
     every doubt resolves to "no stat → always a candidate"):
 
-    * only int/str leaf values are kept. FLOATS ARE EXCLUDED on
+    * int/str leaf values are kept as-is. FLOATS ARE EXCLUDED on
       purpose: parquet writers record finite min/max that silently
       exclude NaN, while Spark's join semantics treat NaN = NaN as a
       match — a file holding a NaN key would carry a range that
       denies it, and a NaN-keyed merge would prune the very file it
-      must rewrite. Timestamps, decimals, binary, and nested paths
-      are likewise dropped (JSON round-trip and cross-engine
-      comparison semantics are not worth the risk);
+      must rewrite. Decimals, binary, and nested paths are likewise
+      dropped (JSON round-trip and cross-engine comparison semantics
+      are not worth the risk);
+    * TIMESTAMP columns (int64, ``isAdjustedToUTC`` only) record as
+      epoch-MICROS ints and DATE columns as epoch-DAYS ints — the
+      most common CDC/event clustering keys must prune
+      (``_stat_bounds`` carries the unit/semantics rules; the merge
+      probe converts with ``unix_micros``/``unix_date``). NB Spark
+      writes INT96 timestamps by default, which carry no statistics
+      at all — set ``spark.sql.parquet.outputTimestampType=
+      TIMESTAMP_MICROS`` on tables clustered by a timestamp key;
     * a column must carry min/max in EVERY row group, else it is
       dropped for the whole file;
     * strings longer than :data:`STATS_MAX_STRLEN` drop the column
@@ -285,22 +355,12 @@ def parquet_footer_stats(
             name = col.path_in_schema
             if name in dropped or "." in name:
                 continue
-            st = col.statistics
-            if st is None or not st.has_min_max:
+            bounds = _stat_bounds(col)
+            if bounds is None:
                 dropped.add(name)
                 stats.pop(name, None)
                 continue
-            lo, hi = st.min, st.max
-            ok = True
-            for v in (lo, hi):
-                if isinstance(v, bool) or not isinstance(v, (int, str)):
-                    ok = False
-                elif isinstance(v, str) and len(v) > STATS_MAX_STRLEN:
-                    ok = False
-            if not ok:
-                dropped.add(name)
-                stats.pop(name, None)
-                continue
+            lo, hi = bounds
             if name in stats:
                 stats[name] = [min(stats[name][0], lo), max(stats[name][1], hi)]
             else:
@@ -308,18 +368,96 @@ def parquet_footer_stats(
     return meta.num_rows, stats
 
 
+#: At or above this many fresh files, commit-time footer accounting
+#: runs as a SPARK JOB over the refs instead of a serial driver loop —
+#: below it, two ranged GETs per file from the driver are cheaper than
+#: a job launch. The threshold matters for the verbs that re-emit
+#: every file (``compact``/``zorder``): at 100 TB / 128 MB targets
+#: that is ~800k files, and a serial loop would add O(files)
+#: sequential object-store round-trips of commit latency; distributed,
+#: the driver's round-trips stay O(1) and the manifest still records
+#: full rows + column stats. Merges stay under the threshold by
+#: construction (fresh files = rewritten candidates).
+DISTRIBUTE_FOOTER_MIN = 64
+
+
+def footer_accounting(
+    store, items: list[tuple[str, int]], spark=None
+) -> tuple[dict, dict]:
+    """``(rows, col_stats)`` for ``(ref, size)`` items via parquet
+    footer reads (:func:`parquet_footer_stats` — two ranged GETs per
+    file, never a data scan).
+
+    With a SparkSession, :data:`DISTRIBUTE_FOOTER_MIN` or more items,
+    and a store whose ``executor_spec()`` says executors can rebuild
+    it, the reads fan out as a Spark job (``mapPartitions`` over the
+    refs, one store per partition) and only the resulting accounting
+    returns to the driver — the collect is bounded metadata (exactly
+    what the manifest is about to persist anyway). Everything else —
+    small commits, scheme-routed stores whose registry is
+    driver-local, opted-out deployments — takes the driver loop."""
+    items = list(items)
+    rows: dict = {}
+    col_stats: dict = {}
+    spec = store.executor_spec() if spark is not None else None
+    if spec is not None and len(items) >= DISTRIBUTE_FOOTER_MIN:
+        sc = spark.sparkContext
+        slices = min(len(items), max(1, sc.defaultParallelism))
+
+        def _part(it):
+            from cae_polars_tools_spark.manifest import (
+                parquet_footer_stats,
+            )
+            from cae_polars_tools_spark.sources.zarr_format import (
+                ByteStore,
+            )
+
+            st = ByteStore.from_spec(spec)
+            for ref, sz in it:
+                n, cst = parquet_footer_stats(st, ref, size=sz)
+                yield ref, n, cst
+
+        for ref, n, cst in (
+            sc.parallelize(items, slices).mapPartitions(_part).collect()
+        ):
+            rows[ref] = n
+            if cst:
+                col_stats[ref] = cst
+        return rows, col_stats
+    for ref, sz in items:
+        n, cst = parquet_footer_stats(store, ref, size=sz)
+        rows[ref] = n
+        if cst:
+            col_stats[ref] = cst
+    return rows, col_stats
+
+
 def id_range_of(values) -> tuple | None:
     """``(lo, hi)`` of an id list for stats pruning, or None when the
     list cannot prune soundly — the ONE implementation of the
     range-derivation rules every pruned-delete caller shares
     (``Table.delete_keys``, the index takedown fast paths): Nones
-    drop out (an equi-probe never matches NULL), only int/str values
-    qualify (floats excluded — the NaN-equality hole
+    drop out (an equi-probe never matches NULL), only int/str/date
+    values qualify (floats excluded — the NaN-equality hole
     :func:`parquet_footer_stats` documents; bool is an int subclass
-    and excluded explicitly), and mixed incomparable types return
-    None rather than guess."""
+    and excluded explicitly; ``datetime.datetime`` excluded because a
+    naive Python datetime's epoch conversion is session-timezone-
+    dependent — conservative, the file stays a candidate), and mixed
+    incomparable types return None rather than guess. Dates convert
+    to epoch-DAYS ints, matching the manifest's recorded encoding."""
+    import datetime as _dt
+
     vals = [v for v in values if v is not None]
-    if not vals or any(
+    if not vals:
+        return None
+    if all(
+        isinstance(v, _dt.date) and not isinstance(v, _dt.datetime)
+        for v in vals
+    ):
+        epoch = _dt.date(1970, 1, 1)
+        days = [(v - epoch).days for v in vals]
+        return min(days), max(days)
+    if any(
         isinstance(v, bool) or not isinstance(v, (int, str))
         for v in vals
     ):
@@ -574,7 +712,8 @@ def read_artifact(spark: SparkSession, root: str, dirname: str) -> DataFrame:
 
 
 def adopt_dir_files(
-    store, dirname: str, schema_json=None, pre: set | None = None
+    store, dirname: str, schema_json=None, pre: set | None = None,
+    spark=None,
 ) -> int:
     """Fold freshly written data files in a live artifact directory
     into its manifest (atomic PUT) — the append-commit: an index
@@ -618,11 +757,13 @@ def adopt_dir_files(
     # recorded numbers), so index takedowns can prune by id range
     rows = dict(m.get("rows") or {}) if m else {}
     col_stats = dict(m.get("stats") or {}) if m else {}
-    for r in sorted(adopted):
-        n, st = parquet_footer_stats(store, r, size=phys_sizes[r])
-        rows[r] = n
-        if st:
-            col_stats[r] = st
+    a_rows, a_stats = footer_accounting(
+        store,
+        [(r, phys_sizes[r]) for r in sorted(adopted)],
+        spark=spark,
+    )
+    rows.update(a_rows)
+    col_stats.update(a_stats)
     rows = {r: rows[r] for r in refs if r in rows}
     col_stats = {r: col_stats[r] for r in refs if r in col_stats}
     schema = (m.get("schema") if m else None) or schema_json
@@ -634,7 +775,8 @@ def adopt_dir_files(
 
 
 def rewrite_accounting(
-    store, new_dir: str, untouched_refs: list[str], src_dir: str
+    store, new_dir: str, untouched_refs: list[str], src_dir: str,
+    spark=None,
 ) -> tuple[list[str], dict, dict, dict]:
     """``(refs, sizes, rows, col_stats)`` for a CoW rewrite commit:
     the untouched refs CARRY their accounting from the source
@@ -654,12 +796,10 @@ def rewrite_accounting(
     col_stats = {
         r: old_stats[r] for r in untouched_refs if r in old_stats
     }
-    for r, sz in new_stats:
-        sizes[r] = sz
-        n, st = parquet_footer_stats(store, r, size=sz)
-        rows[r] = n
-        if st:
-            col_stats[r] = st
+    sizes.update(dict(new_stats))
+    n_rows, n_stats = footer_accounting(store, new_stats, spark=spark)
+    rows.update(n_rows)
+    col_stats.update(n_stats)
     return refs, sizes, rows, col_stats
 
 

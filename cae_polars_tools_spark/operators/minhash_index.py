@@ -154,10 +154,13 @@ def build_minhash_index(
         meta_with_history,
     )
 
+    spark = sigs.sparkSession
     n_bands = adopt_dir_files(
-        store, "bands_v0", _bands_of(sigs).schema.jsonValue()
+        store, "bands_v0", _bands_of(sigs).schema.jsonValue(), spark=spark
     )
-    n_sigs = adopt_dir_files(store, "sigs_v0", sigs.schema.jsonValue())
+    n_sigs = adopt_dir_files(
+        store, "sigs_v0", sigs.schema.jsonValue(), spark=spark
+    )
     meta = meta_with_history(
         {
             "format": "minhash-lsh-v1",
@@ -287,12 +290,14 @@ def _append_segments(
         .parquet(store.spark_path(meta["bands_dir"]))
     )
     adopt_dir_files(
-        store, meta["bands_dir"], bands.schema.jsonValue(), pre=pre_bands
+        store, meta["bands_dir"], bands.schema.jsonValue(), pre=pre_bands,
+        spark=signed.sparkSession,
     )
     pre_sigs = snapshot_dir(store, meta["sigs_dir"])
     signed.write.mode("append").parquet(store.spark_path(meta["sigs_dir"]))
     adopt_dir_files(
-        store, meta["sigs_dir"], signed.schema.jsonValue(), pre=pre_sigs
+        store, meta["sigs_dir"], signed.schema.jsonValue(), pre=pre_sigs,
+        spark=signed.sparkSession,
     )
 
 
@@ -607,9 +612,11 @@ def compact_minhash_index(spark: SparkSession, path: str) -> dict:
     # predecessor segment (schemas reuse the rewrite relations — no
     # second manifest resolution/footer pass)
     n_bands = adopt_dir_files(
-        store, nxt_bands, bands_rel.schema.jsonValue()
+        store, nxt_bands, bands_rel.schema.jsonValue(), spark=spark
     )
-    n_sigs = adopt_dir_files(store, nxt_sigs, sigs_rel.schema.jsonValue())
+    n_sigs = adopt_dir_files(
+        store, nxt_sigs, sigs_rel.schema.jsonValue(), spark=spark
+    )
     meta = meta_with_history(
         {**meta, "bands_dir": nxt_bands, "sigs_dir": nxt_sigs},
         "compact",
@@ -808,7 +815,7 @@ def delete_minhash_index(
         # fresh files — a takedown must not discard the stats every
         # LATER pruned takedown depends on
         n_refs, n_sizes, n_rows, n_cstats = rewrite_accounting(
-            store, nxt, stats.pop("untouched_refs"), cur_dir
+            store, nxt, stats.pop("untouched_refs"), cur_dir, spark=spark
         )
         write_manifest(
             store,

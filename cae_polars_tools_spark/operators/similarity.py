@@ -1581,7 +1581,10 @@ def build_ivfpq_index(
         meta_with_history,
     )
 
-    n_files = adopt_dir_files(store, "codes", codes.schema.jsonValue())
+    n_files = adopt_dir_files(
+        store, "codes", codes.schema.jsonValue(),
+        spark=codes.sparkSession,
+    )
     meta = meta_with_history(
         {
             "format": "ivfpq-v1",
@@ -1682,7 +1685,10 @@ def append_ivfpq_index(
     new.write.mode("append").partitionBy("cl").parquet(
         store.spark_path(meta.get("codes_dir", "codes"))
     )
-    adopt_dir_files(store, meta.get("codes_dir", "codes"), pre=pre)
+    adopt_dir_files(
+        store, meta.get("codes_dir", "codes"), pre=pre,
+        spark=new.sparkSession,
+    )
     _record_ivfpq_op(root, "append", {"rows_appended": n})
     return {"rows_appended": n}
 
@@ -1747,7 +1753,10 @@ def ivfpq_ingest_sink(
         new.write.mode("append").partitionBy("cl").parquet(
             store.spark_path(meta.get("codes_dir", "codes"))
         )
-        adopt_dir_files(store, meta.get("codes_dir", "codes"), pre=pre)
+        adopt_dir_files(
+            store, meta.get("codes_dir", "codes"), pre=pre,
+            spark=new.sparkSession,
+        )
         _record_ivfpq_op(root, "append", {"batch_id": batch_id})
 
     return sink
@@ -1800,7 +1809,9 @@ def compact_ivfpq_index(
     # full rewrite → the new manifest references only fresh files;
     # vacuum can then reclaim every predecessor segment (schema
     # reuses the pre-built relation — no second manifest resolution)
-    adopt_dir_files(store, nxt, codes_rel.schema.jsonValue())
+    adopt_dir_files(
+        store, nxt, codes_rel.schema.jsonValue(), spark=spark
+    )
     meta = meta_with_history(
         {**meta, "codes_dir": nxt}, "compact", {"files": n}
     )
@@ -1899,7 +1910,7 @@ def delete_ivfpq_index(
     from cae_polars_tools_spark.manifest import rewrite_accounting
 
     n_refs, n_sizes, n_rows, n_cstats = rewrite_accounting(
-        store, nxt, stats.pop("untouched_refs"), cur
+        store, nxt, stats.pop("untouched_refs"), cur, spark=spark
     )
     write_manifest(
         store,

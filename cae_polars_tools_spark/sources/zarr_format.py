@@ -259,6 +259,34 @@ class ByteStore:
             )
         dst_store.put(dst_key, data)
 
+    # -- executor reconstruction ----------------------------------------
+
+    def executor_spec(self) -> tuple | None:
+        """A picklable spec a Spark EXECUTOR can rebuild this store
+        from (:meth:`from_spec`), or None when it cannot — the seam
+        that lets commit-time footer accounting run as a distributed
+        job instead of a serial driver loop. None is the safe default:
+        ``register_scheme`` registrations are driver-process-local, so
+        a scheme-routed store reconstructed on an executor would
+        resolve to the WRONG backend. Local stores qualify always
+        (the path means the same thing in every local-mode worker and
+        on a shared filesystem); fsspec stores qualify when the
+        library is installed cluster-wide (their override).
+        ``storage_options={"distributed_footers": False}`` opts any
+        store out."""
+        return None
+
+    @staticmethod
+    def from_spec(spec: tuple) -> "ByteStore":
+        """Rebuild a store from :meth:`executor_spec`'s value — runs
+        INSIDE Spark tasks, so only stdlib/for_path machinery."""
+        kind = spec[0]
+        if kind == "local":
+            return LocalByteStore(spec[1])
+        if kind == "path":
+            return ByteStore.for_path(spec[1], spec[2])
+        raise ValueError(f"unknown ByteStore executor spec {spec!r}")
+
 
 class LocalByteStore(ByteStore):
     def get(self, key: str) -> bytes | None:
@@ -393,6 +421,16 @@ class LocalByteStore(ByteStore):
                     (e.name, e.stat().st_size if e.is_file() else None)
                 )
         return sorted(out)
+
+    def executor_spec(self) -> tuple | None:
+        # absolute path: executors may not share the driver's cwd.
+        # RoutedLocalByteStore inherits this — its ``root`` IS the
+        # local backing directory, so a plain LocalByteStore over it
+        # on the executor reads the same bytes the scheme'd driver
+        # store addresses.
+        if self.storage_options.get("distributed_footers") is False:
+            return None
+        return ("local", os.path.abspath(self.root))
 
     def copy_to(self, src_key: str, dst_store: "ByteStore", dst_key: str) -> None:
         if isinstance(dst_store, LocalByteStore):
@@ -648,6 +686,22 @@ class FsspecByteStore(ByteStore):
             size = e.get("size") if e.get("type") == "file" else None
             out.append((name, size))
         return sorted(out)
+
+    def executor_spec(self) -> tuple | None:
+        # fsspec stores rebuild on executors through the SAME
+        # for_path machinery (fsspec must be installed cluster-wide —
+        # it was importable on the driver to construct this instance,
+        # and a cluster shipping this package ships its deps).
+        # ``distributed_footers=False`` opts out for deployments where
+        # that assumption fails (e.g. driver-only credentials).
+        if self.storage_options.get("distributed_footers") is False:
+            return None
+        opts = {
+            k: v
+            for k, v in self.storage_options.items()
+            if k != "distributed_footers"
+        }
+        return ("path", self.root, opts or None)
 
     def copy_to(self, src_key: str, dst_store: "ByteStore", dst_key: str) -> None:  # pragma: no cover - optional dep
         if isinstance(dst_store, FsspecByteStore) and type(

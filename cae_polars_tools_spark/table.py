@@ -178,7 +178,19 @@ class Table:
             # flip — never referenced, safe to clear. (A husk left by
             # vacuum can never collide here: vacuum only demotes
             # versions STRICTLY OLDER than the current pointer, and
-            # version numbers never reuse.)
+            # version numbers never reuse.) Re-probe the COMMIT RECORD
+            # at the last instant (the Table.create rule): a racing
+            # writer can commit v between the fresh meta() probe above
+            # and this clear, and clearing then would delete a
+            # COMMITTED directory before our own CAS even gets to
+            # fail. The remaining probe→clear window is the documented
+            # same-directory interleave the class docstring carries.
+            if store.size(f"{_TXN}/v{v}.json") is not None:
+                raise ConcurrentWriteError(
+                    f"version v{v} was committed by another writer "
+                    f"while this verb was reserving {vd}; re-read the "
+                    "table and retry"
+                )
             store.delete_prefix(vd)
         return v, vd
 
@@ -253,18 +265,16 @@ class Table:
         inventory) — the commit-time accounting that lets every later
         merge size itself by manifest arithmetic instead of a count
         job, and prune its affected-file discovery to the files whose
-        key range can intersect the batch."""
-        from cae_polars_tools_spark.manifest import parquet_footer_stats
+        key range can intersect the batch. Past
+        ``manifest.DISTRIBUTE_FOOTER_MIN`` fresh files the reads run
+        as a Spark job (``manifest.footer_accounting``), so the verbs
+        that re-emit every file — compact/zorder of a million-file
+        table — commit with O(1) driver round-trips."""
+        from cae_polars_tools_spark.manifest import footer_accounting
 
-        store = self._store()
-        rows: dict = {}
-        col_stats: dict = {}
-        for r, sz in new_stats:
-            n, st = parquet_footer_stats(store, r, size=sz)
-            rows[r] = n
-            if st:
-                col_stats[r] = st
-        return rows, col_stats
+        return footer_accounting(
+            self._store(), new_stats, spark=self.spark
+        )
 
     def _version_stats(self, version_dir: str) -> dict:
         from cae_polars_tools_spark.manifest import stats_of
@@ -283,26 +293,44 @@ class Table:
         accounting merge needs to skip the full union entirely:
         a recorded schema, row counts covering EVERY ref, and column
         stats. Conservative everywhere — a key column that is not
-        int/float/string, an empty batch range, or a file without
-        stats falls back to candidacy, never to pruning."""
+        int/float/string/timestamp/date, an empty batch range, or a
+        file without stats falls back to candidacy, never to pruning.
+        Timestamp keys probe as epoch-MICROS and date keys as
+        epoch-DAYS (``unix_micros``/``unix_date`` — deterministic
+        under any session timezone), matching the int encoding the
+        manifest records for them (``manifest._stat_bounds``)."""
         from pyspark.sql import functions as F
-        from pyspark.sql.types import NumericType, StringType
+        from pyspark.sql.types import (
+            DateType,
+            NumericType,
+            StringType,
+            TimestampType,
+        )
 
         if read_schema is None or not cstats:
             return None
         if any(r not in rows for r in refs):
             return None
-        probed = [
-            f.name
+
+        def _probe_expr(f):
+            if isinstance(f.dataType, TimestampType):
+                return F.unix_micros(F.col(f.name))
+            if isinstance(f.dataType, DateType):
+                return F.unix_date(F.col(f.name))
+            if isinstance(f.dataType, (NumericType, StringType)):
+                return F.col(f.name)
+            return None
+
+        probed = {
+            f.name: e
             for f in batch.schema.fields
-            if f.name in keys
-            and isinstance(f.dataType, (NumericType, StringType))
-        ]
+            if f.name in keys and (e := _probe_expr(f)) is not None
+        }
         if not probed:
             return None
         agg = batch.agg(
-            *[F.min(k).alias(f"lo_{k}") for k in probed],
-            *[F.max(k).alias(f"hi_{k}") for k in probed],
+            *[F.min(e).alias(f"lo_{k}") for k, e in probed.items()],
+            *[F.max(e).alias(f"hi_{k}") for k, e in probed.items()],
         ).collect()[0]
         ranges = {
             k: (agg[f"lo_{k}"], agg[f"hi_{k}"])
@@ -1253,7 +1281,19 @@ def read_pointer(store) -> dict | None:
     if advanced is not None:
         meta = json.loads(advanced)
         try:
-            store.put(_CURRENT, json.dumps(meta).encode())
+            # re-read-and-compare before repairing: a writer can flip
+            # the cache to a NEWER version while this reader was
+            # probing records — blindly putting our advanced value
+            # would make the raw cache REGRESS for anything consuming
+            # _CURRENT.json without the record probe (external
+            # tooling, non-upgraded readers). Repair only while the
+            # cache is still strictly behind what we advanced to.
+            cur_raw = store.get(_CURRENT)
+            cur_v = (
+                json.loads(cur_raw)["version"] if cur_raw is not None else -1
+            )
+            if cur_v < meta["version"]:
+                store.put(_CURRENT, json.dumps(meta).encode())
         except Exception:
             # best-effort cache repair, as promised: a read-only
             # replica (http mirror, no write perms) must still be

@@ -218,3 +218,100 @@ def test_refs_intersecting_never_prunes_a_containing_file(
     if contains_hit is None:
         # no recorded stats on the probed column: always a candidate
         assert survivors == ["f"]
+
+
+# -- footer-stats typed-bounds soundness (round 15) --------------------------
+#
+# Timestamp/date keys record as epoch-micros / epoch-days INTS in the
+# manifest (parquet_footer_stats via _stat_bounds). The soundness
+# contract mirrors the float-exclusion rule: every value physically in
+# the file must fall inside the recorded [min, max] after the SAME
+# conversion the merge probe applies (unix_micros / unix_date), and
+# wall-clock (isAdjustedToUTC=false) timestamps must record NOTHING —
+# their probe conversion would be session-timezone-dependent.
+
+
+@given(
+    st.lists(
+        st.integers(-(2**52), 2**52),  # epoch micros, ±~142 years
+        min_size=1,
+        max_size=20,
+    ),
+    st.sampled_from(["us", "ms", "ns"]),
+    st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_footer_stats_timestamp_bounds_contain_all_values(
+    micros, unit, utc
+):
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cae_polars_tools_spark.manifest import parquet_footer_stats
+    from cae_polars_tools_spark.sources.zarr_format import LocalByteStore
+
+    scale = {"us": 1, "ms": 1000, "ns": 1}[unit]
+    raw = [m // scale for m in micros]
+    if unit == "ns":
+        raw = [m * 1000 for m in micros]
+    arr = pa.array(raw, pa.int64()).cast(
+        pa.timestamp(unit, tz="UTC" if utc else None)
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.table({"ts": arr}), f"{d}/f.parquet")
+        _, stats = parquet_footer_stats(LocalByteStore(d), "f.parquet")
+    if not utc:
+        # wall-clock semantics: no stat, always a candidate
+        assert "ts" not in stats
+        return
+    lo, hi = stats["ts"]
+    assert isinstance(lo, int) and isinstance(hi, int)
+    true_micros = [
+        r * {"us": 1, "ms": 1000}.get(unit, 1) if unit != "ns" else r // 1000
+        for r in raw
+    ]
+    if unit == "ns":
+        # nanos floor the min and ceil the max — the box still
+        # contains every truncated-to-micros value
+        assert lo <= min(true_micros) and hi >= max(true_micros)
+    else:
+        assert lo == min(true_micros) and hi == max(true_micros)
+    for v in true_micros:
+        assert lo <= v <= hi
+
+
+@given(st.lists(st.integers(-100_000, 100_000), min_size=1, max_size=20))
+@settings(max_examples=40, deadline=None)
+def test_footer_stats_date_bounds_contain_all_values(days):
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cae_polars_tools_spark.manifest import parquet_footer_stats
+    from cae_polars_tools_spark.sources.zarr_format import LocalByteStore
+
+    arr = pa.array(days, pa.int32()).cast(pa.date32())
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.table({"d": arr}), f"{d}/f.parquet")
+        _, stats = parquet_footer_stats(LocalByteStore(d), "f.parquet")
+    lo, hi = stats["d"]
+    assert lo == min(days) and hi == max(days)
+
+
+def test_id_range_of_dates_and_datetimes():
+    """Date id lists convert to epoch days (matching the manifest's
+    encoding); datetime lists return None — their epoch conversion is
+    session-timezone-dependent, so the takedown stays unpruned rather
+    than risking a silent miss."""
+    import datetime as dt
+
+    from cae_polars_tools_spark.manifest import id_range_of
+
+    assert id_range_of(
+        [dt.date(1970, 1, 3), dt.date(1969, 12, 31), None]
+    ) == (-1, 2)
+    assert id_range_of([dt.datetime(2024, 1, 1, 12)]) is None
+    assert id_range_of([dt.date(2024, 1, 1), 5]) is None  # mixed

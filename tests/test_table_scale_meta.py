@@ -273,3 +273,90 @@ def test_delete_keys_prunes_files_on_clustered_table(spark, tmp_path):
     assert stats2["files_candidates"] == 0
     assert stats2["rows_deleted"] == 0
     assert t.current().count() == 397
+
+
+def test_merge_discovery_prunes_on_timestamp_key(spark, tmp_path):
+    """Round-15: TIMESTAMP keys prune. A ts-clustered table (written
+    as TIMESTAMP_MICROS — INT96, Spark's default, carries no parquet
+    statistics at all) records epoch-micros int stats; a merge over a
+    narrow time window plans over a strict subset of the files, and
+    the result equals the full-path merge's. The most common CDC /
+    event-table layout must not fall back to full discovery."""
+    old = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    try:
+        root = str(tmp_path / "tbl")
+        seed = (
+            spark.range(400)
+            .select(
+                F.timestamp_seconds(F.col("id") * 3600).alias("ts"),
+                (F.col("id") * 2.0).alias("val"),
+            )
+            .repartitionByRange(8, "ts")
+            .sortWithinPartitions("ts")
+        )
+        t = Table.create(spark, root, seed)
+        n_files = len(t._version_refs("v0"))
+        assert n_files >= 4
+        # the manifest really recorded epoch-micros ints for ts
+        cstats = t._version_stats("v0")
+        assert any(
+            isinstance(st.get("ts", [None])[0], int)
+            for st in cstats.values()
+        )
+        batch = (
+            spark.range(400)
+            .select(
+                F.timestamp_seconds(F.col("id") * 3600).alias("ts"),
+                (F.col("id") * 2.0).alias("val"),
+            )
+            .filter((F.col("id") >= 100) & (F.col("id") < 110))
+            .withColumn("val", F.lit(-9.0))
+        )
+        stats = t.merge(batch, keys=["ts"])
+        assert stats["files_candidates"] < n_files
+        assert stats["rows_updated"] == 10
+        got = {r["ts"]: r["val"] for r in t.current().collect()}
+        assert len(got) == 400
+        assert sorted(v for v in got.values() if v == -9.0) == [-9.0] * 10
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", old)
+
+
+def test_merge_discovery_prunes_on_date_key(spark, tmp_path):
+    """DATE keys prune out of the box (parquet date stats are INT32
+    epoch days regardless of writer settings); delete_keys with a
+    Python date list rides the same epoch-days encoding."""
+    import datetime as dt
+
+    root = str(tmp_path / "tbl")
+    seed = (
+        spark.range(365)
+        .select(
+            F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias("d"),
+            (F.col("id") * 1.0).alias("val"),
+        )
+        .repartitionByRange(8, "d")
+        .sortWithinPartitions("d")
+    )
+    t = Table.create(spark, root, seed)
+    n_files = len(t._version_refs("v0"))
+    assert n_files >= 4
+    batch = (
+        seed.filter(
+            (F.col("d") >= F.lit("2024-06-01")) & (F.col("d") < F.lit("2024-06-08"))
+        ).withColumn("val", F.lit(-1.0))
+    )
+    stats = t.merge(batch, keys=["d"])
+    assert stats["files_candidates"] < n_files
+    assert stats["rows_updated"] == 7
+
+    # pruned takedown by a date id list
+    stats2 = t.delete_keys(
+        "d", [dt.date(2024, 6, 1), dt.date(2024, 6, 2)]
+    )
+    assert stats2["files_candidates"] < n_files
+    assert stats2["rows_deleted"] == 2
+    assert t.current().count() == 363
