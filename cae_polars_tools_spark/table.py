@@ -1632,7 +1632,86 @@ def _register_objectstore_entry() -> None:
             ByteStore.unregister_scheme("mock")
 
 
+def _register_ts_clustered_entry() -> None:
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from cae_polars_tools_spark.io import read_table
+    from cae_polars_tools_spark.plans.registry import register
+
+    @register(
+        "storage_ts_clustered_merge",
+        oracle="""
+            SELECT event_id, ts, event_type,
+                   value * CASE WHEN ts >= TIMESTAMP '2024-01-10'
+                                 AND ts <  TIMESTAMP '2024-01-12'
+                                THEN 2 ELSE 1 END AS value
+            FROM events
+            WHERE event_type <> 'error'
+        """,
+        tags=("storage", "lakehouse", "data-skipping", "extension"),
+        window_rank=1,
+    )
+    def storage_ts_clustered_merge(spark, sf_dir: str):
+        """Round-15 data skipping on TIME, the common CDC/event
+        layout, through the hash gate: seed a Table from events
+        range-clustered on ``ts`` (written as TIMESTAMP_MICROS so the
+        parquet footers carry int64 statistics — Spark's INT96
+        default records none), MERGE a two-day correction window
+        (values doubled, v1) keyed on (event_id, ts), then DELETE an
+        event-type takedown (v2) and read CURRENT. The merge's
+        affected-file discovery must PRUNE by the manifest's
+        epoch-micros ts stats — the entry refuses to return if the
+        candidate set wasn't a strict subset of the table's files, so
+        a silent fallback to full discovery fails the round, not just
+        a perf number. The oracle recomputes the final state from the
+        raw table; a pruning bug that drops an update (the soundness
+        direction) fails the value hash."""
+        ev = read_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type", "value"
+        )
+        scratch = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".tmp",
+            "table_ts_clustered_demo",
+        )
+        shutil.rmtree(scratch, ignore_errors=True)
+        old_tt = spark.conf.get("spark.sql.parquet.outputTimestampType")
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
+        try:
+            seed = ev.repartitionByRange(8, "ts").sortWithinPartitions(
+                "ts"
+            )
+            t = Table.create(spark, scratch, seed)
+            n_files = len(t._version_refs("v0"))
+            batch = ev.filter(
+                (F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+                & (F.col("ts") < F.lit("2024-01-12").cast("timestamp"))
+            ).withColumn("value", F.col("value") * 2)
+            stats = t.merge(batch, keys=["event_id", "ts"])
+            cand = stats.get("files_candidates")
+            if cand is None or not (0 < cand < n_files):
+                raise RuntimeError(
+                    "ts-clustered merge did not prune its discovery: "
+                    f"candidates={cand} of {n_files} files — the "
+                    "manifest's timestamp stats regressed"
+                )
+            t.delete("event_type = 'error'")
+            return t.current().select(
+                "event_id", "ts", "event_type", "value"
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.parquet.outputTimestampType", old_tt
+            )
+
+
 _register_table_entry()
 _register_evolution_entry()
 _register_restore_entry()
 _register_objectstore_entry()
+_register_ts_clustered_entry()

@@ -124,6 +124,8 @@ SF01_SENSITIVE = (
     "q85_stratified_sample",  # portable md5 rank + ceil quotas at volume
     # round-14 additions hand-verified at sf0.01 during the build
     "storage_objectstore_lifecycle",  # scheme-routed CoW chain at volume
+    # round-15 additions hand-verified at sf0.01 during the build
+    "storage_ts_clustered_merge",  # ts-stats pruning gate at volume
 )
 
 
