@@ -176,7 +176,16 @@ class ByteStore:
         (default: the store address itself). ``spark_scheme`` in
         ``storage_options`` rewrites the scheme — e.g. a store rooted
         at ``s3://bucket/t`` with ``spark_scheme="s3a"`` hands Spark
-        ``s3a://bucket/t/...`` while metadata stays on s3fs."""
+        ``s3a://bucket/t/...`` while metadata stays on s3fs.
+        ``spark_root`` replaces the WHOLE root — the general remap for
+        deployments where the metadata client and the JVM address the
+        same bytes through entirely different namespaces (a fuse
+        mount, a translated bucket alias, a test harness's memory://
+        twin)."""
+        root = self.storage_options.get("spark_root")
+        if root:
+            root = root.rstrip("/")
+            return f"{root}/{key}" if key else root
         root = self.root
         spark_scheme = self.storage_options.get("spark_scheme")
         if spark_scheme and "://" in root:
@@ -194,8 +203,15 @@ class ByteStore:
         import posixpath
         from urllib.parse import unquote, urlparse
 
+        spark_root = self.storage_options.get("spark_root")
+        if spark_root and "://" not in spark_root:
+            # whole-root remap to a LOCAL location: invert through the
+            # abspath-normalizing local rule (file:/ URIs, %-encoding)
+            from cae_polars_tools_spark.manifest import uri_to_ref
+
+            return uri_to_ref(uri, spark_root)
         u = urlparse(uri)
-        r = urlparse(self.root)
+        r = urlparse(spark_root) if spark_root else urlparse(self.root)
         if u.scheme and r.netloc and u.netloc != r.netloc:
             raise ValueError(
                 f"file {uri!r} is outside the store root {self.root!r}"
@@ -601,7 +617,7 @@ class FsspecByteStore(ByteStore):
         self._fs, self._root = fsspec.core.url_to_fs(root, **(storage_options or {}))
         self._root = self._root.rstrip("/")
 
-    def get(self, key: str) -> bytes | None:  # pragma: no cover - optional dep
+    def get(self, key: str) -> bytes | None:
         path = f"{self._root}/{key}"
         try:
             with self._fs.open(path, "rb") as f:
@@ -609,7 +625,7 @@ class FsspecByteStore(ByteStore):
         except FileNotFoundError:
             return None
 
-    def get_range(self, key: str, offset: int, length: int) -> bytes | None:  # pragma: no cover - optional dep
+    def get_range(self, key: str, offset: int, length: int) -> bytes | None:
         path = f"{self._root}/{key}"
         try:
             if offset < 0:
@@ -622,10 +638,10 @@ class FsspecByteStore(ByteStore):
         except Exception:
             return super().get_range(key, offset, length)
 
-    def put(self, key: str, data: bytes) -> None:  # pragma: no cover - optional dep
+    def put(self, key: str, data: bytes) -> None:
         self._fs.pipe_file(f"{self._root}/{key}", data)
 
-    def put_if_absent(self, key: str, data: bytes) -> bool:  # pragma: no cover - optional dep
+    def put_if_absent(self, key: str, data: bytes) -> bool:
         # fsspec's mode="create" maps to a CONDITIONAL write on
         # backends that have one (s3fs → S3 If-None-Match:* since the
         # 2024 conditional-write API; raises FileExistsError on the
@@ -643,14 +659,14 @@ class FsspecByteStore(ByteStore):
         except (TypeError, ValueError, NotImplementedError):
             return super().put_if_absent(key, data)
 
-    def delete_prefix(self, prefix: str = "") -> None:  # pragma: no cover
+    def delete_prefix(self, prefix: str = "") -> None:
         path = f"{self._root}/{prefix}" if prefix else self._root
         try:
             self._fs.rm(path, recursive=True)
         except FileNotFoundError:
             pass
 
-    def list_prefix(self, prefix: str = "") -> list[str]:  # pragma: no cover
+    def list_prefix(self, prefix: str = "") -> list[str]:
         path = f"{self._root}/{prefix}" if prefix else self._root
         try:
             return sorted(
@@ -659,19 +675,19 @@ class FsspecByteStore(ByteStore):
         except FileNotFoundError:
             return []
 
-    def size(self, key: str) -> int | None:  # pragma: no cover - optional dep
+    def size(self, key: str) -> int | None:
         try:
             return self._fs.size(f"{self._root}/{key}")
         except FileNotFoundError:
             return None
 
-    def copy(self, src: str, dst: str) -> None:  # pragma: no cover - optional dep
+    def copy(self, src: str, dst: str) -> None:
         # fsspec routes this to the filesystem's native copy — for
         # s3fs that is S3 CopyObject, a true server-side copy: the
         # bytes never transit the driver
         self._fs.copy(f"{self._root}/{src}", f"{self._root}/{dst}")
 
-    def list_prefix_detail(self, prefix: str = "") -> list[tuple[str, int | None]]:  # pragma: no cover - optional dep
+    def list_prefix_detail(self, prefix: str = "") -> list[tuple[str, int | None]]:
         # one LIST call returns names AND sizes (S3 ListObjectsV2
         # semantics) — the manifest-commit sizing path never HEADs
         # per file
@@ -703,7 +719,7 @@ class FsspecByteStore(ByteStore):
         }
         return ("path", self.root, opts or None)
 
-    def copy_to(self, src_key: str, dst_store: "ByteStore", dst_key: str) -> None:  # pragma: no cover - optional dep
+    def copy_to(self, src_key: str, dst_store: "ByteStore", dst_key: str) -> None:
         if isinstance(dst_store, FsspecByteStore) and type(
             dst_store._fs
         ) is type(self._fs):
