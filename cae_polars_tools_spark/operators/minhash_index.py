@@ -851,6 +851,9 @@ def delete_minhash_index(
         "sigs": sigs_stats,
         "bands_dir": nxt_bands,
         "sigs_dir": nxt_sigs,
+        # the generation this delete PUBLISHED (pre = generation - 1):
+        # cascade_delete stamps both into its cross-artifact manifest
+        "generation": meta["generation"],
     }
 
 

@@ -1930,6 +1930,9 @@ def delete_ivfpq_index(
     )
     store.put(_INDEX_META, json.dumps(meta).encode())
     stats["codes_dir"] = nxt
+    # the generation this delete PUBLISHED (pre = generation - 1):
+    # cascade_delete stamps both into its cross-artifact manifest
+    stats["generation"] = meta["generation"]
     return stats
 
 

@@ -489,6 +489,9 @@ def cow_upsert_sink(
     keys: list[str],
     order_col: str,
     tiebreak: list[str] | None = None,
+    maintain_every: int | None = None,
+    max_branches: int = 16,
+    target_file_bytes: int = 128 * 1024 * 1024,
 ):
     """``foreachBatch`` sink upserting each micro-batch into a
     versioned copy-on-write parquet target — the streaming CDC
@@ -517,11 +520,28 @@ def cow_upsert_sink(
     sink detects and clears it before rewriting — readers only ever
     followed the pointer, so the cleanup races nothing.
 
+    ``maintain_every`` (OFF by default) is the layout-health hook for
+    exactly this path: every merge since the last compaction adds one
+    birth directory to the current version's union plan, and a
+    per-micro-batch cadence is where that sprawl actually accrues.
+    Every N applied batches the sink runs ``Table.maintain(
+    max_branches=…, auto_compact=True)`` AFTER the batch commits —
+    a normal CoW version under the same pointer discipline, so branch
+    count stays bounded by policy instead of growing with stream age.
+    Left None, nothing changes: maintenance stays an explicit nightly
+    call, the honest default for a sink that cannot know the
+    deployment's reader latency.
+
     Returns the ``(batch_df, batch_id)`` callable for
     ``writeStream.foreachBatch``."""
     import json
 
     from pyspark.sql import Window as W
+
+    if maintain_every is not None and maintain_every < 1:
+        raise ValueError(
+            f"maintain_every must be >= 1 batches, got {maintain_every}"
+        )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         from cae_polars_tools_spark.table import Table
@@ -566,6 +586,22 @@ def cow_upsert_sink(
         else:
             Table(spark, root).merge(
                 latest, keys, batch_id=batch_id, op="streaming-upsert"
+            )
+        # layout health on the path where sprawl accrues: every N
+        # batches (cadence keyed to the monotone micro-batch id, so a
+        # restart keeps it without sink-local state), compact when the
+        # union plan exceeds the branch policy. Runs AFTER the commit:
+        # a maintenance failure must never lose the batch, and the
+        # compaction is its own CoW version (replay guard unaffected —
+        # the pointer's batch_id carries forward through compact()).
+        if (
+            maintain_every is not None
+            and (batch_id + 1) % maintain_every == 0
+        ):
+            Table(spark, root).maintain(
+                max_branches=max_branches,
+                target_file_bytes=target_file_bytes,
+                auto_compact=True,
             )
 
     return sink

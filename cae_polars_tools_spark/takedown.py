@@ -22,6 +22,26 @@ Ordering and atomicity contract ("atomic-enough"):
 * re-running the same cascade is idempotent: deleting already-absent
   ids is a zero-row CoW version per artifact.
 
+**Read-ordering contract (the documented intermediate state).** The
+cascade is NOT one cross-artifact transaction: each artifact flips its
+own pointer atomically, in the order above. Between the base table's
+flip and a derived index's flip, a reader that consults both can
+observe the document GONE from the table but still RETRIEVABLE from
+that index — that is the designed intermediate state, bounded by the
+cascade's runtime, and it is the safe direction: an index hit whose
+document the table no longer serves dereferences to nothing (every
+retrieval path in this repo joins index hits back to their source
+rows — ``query_minhash_index`` verifies against sigs+corpus,
+``ann_*`` re-ranks against stored vectors), whereas the opposite order
+could serve a purged document through a stale table from a fresh
+index. Consumers that require a consistent cross-artifact view must
+pin BOTH versions before reading: the returned manifest (and each
+artifact's own history, via the shared ``takedown_id``) records the
+``pre_version``/``post_version`` (Table) and ``pre_generation``/
+``generation`` (indexes) of every flip, so "read table ≥
+post_version with index ≥ generation" is checkable after the fact.
+``tests/test_takedown.py`` pins these semantics.
+
 Old CoW generations still hold the purged bytes until retention runs —
 a complete takedown ends with ``Table.vacuum`` /
 ``vacuum_minhash_index`` / ``vacuum_ivfpq_index``, which the
@@ -71,10 +91,18 @@ def cascade_delete(
 
         {"doc_ids": [...],
          "takedown_id": "...",
-         "table": {root, **delete stats} | None,
-         "minhash": [{path, **stats}, ...],
-         "ivfpq":   [{path, **stats}, ...],
+         "table": {root, pre_version, post_version, **delete stats}
+                  | None,
+         "minhash": [{path, pre_generation, generation, **stats}, ...],
+         "ivfpq":   [{path, pre_generation, generation, **stats}, ...],
          "vacuum_pending": [...]}
+
+    The per-artifact pre/post versions make the module-level
+    read-ordering contract auditable: they name exactly which flips
+    this cascade performed, so a consumer needing a consistent
+    cross-artifact view can check "table ≥ post_version AND index ≥
+    generation" (and the same numbers appear in each artifact's own
+    history under the shared ``takedown_id``).
 
     Raises ``RuntimeError`` at the END if any artifact failed, with
     the partial manifest in ``exc.args[1]`` — everything else was
@@ -143,7 +171,15 @@ def cascade_delete(
             ),
         )
         if stats is not None:
-            manifest["table"] = {"root": table_root, **stats}
+            manifest["table"] = {
+                "root": table_root,
+                # versions are linear: the delete committed version N
+                # against N-1 — the pair a consistent-view consumer
+                # checks against (module read-ordering contract)
+                "pre_version": stats["version"] - 1,
+                "post_version": stats["version"],
+                **stats,
+            }
             manifest["vacuum_pending"].append(
                 f"Table({table_root}).vacuum()"
             )
@@ -155,7 +191,11 @@ def cascade_delete(
             ),
         )
         if stats is not None:
-            manifest["minhash"].append({"path": p, **stats})
+            manifest["minhash"].append({
+                "path": p,
+                "pre_generation": stats["generation"] - 1,
+                **stats,
+            })
             manifest["vacuum_pending"].append(
                 f"vacuum_minhash_index({p!r})"
             )
@@ -167,7 +207,11 @@ def cascade_delete(
             ),
         )
         if stats is not None:
-            manifest["ivfpq"].append({"path": p, **stats})
+            manifest["ivfpq"].append({
+                "path": p,
+                "pre_generation": stats["generation"] - 1,
+                **stats,
+            })
             manifest["vacuum_pending"].append(
                 f"vacuum_ivfpq_index({p!r})"
             )

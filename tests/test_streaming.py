@@ -976,3 +976,73 @@ def test_decontaminate_sink_bloom_equals_batch_bloom(spark, tmp_path):
         spark.sparkContext._jsc.sc().getPersistentRDDs().size()
         <= rdds_before
     )
+
+
+def test_cow_upsert_auto_maintain_bounds_branch_sprawl(spark, tmp_path):
+    """Round-15: the sink's maintain_every hook keeps the union-plan
+    branch count bounded by policy across 3x that many micro-batches
+    — sprawl accrues exactly on this path, and nothing called
+    Table.maintain there before. Cadence keys to the monotone batch
+    id (restart-safe, no sink-local state); the compaction commits
+    AFTER the batch and carries the batch_id forward, so the replay
+    guard still skips a redelivered batch."""
+    from cae_polars_tools_spark.streaming.events import (
+        cow_upsert_sink,
+        read_current,
+    )
+    from cae_polars_tools_spark.table import Table
+
+    root = str(tmp_path / "tbl")
+    sink = cow_upsert_sink(
+        root,
+        keys=["k"],
+        order_col="seq",
+        maintain_every=4,
+        max_branches=3,
+        target_file_bytes=1 << 20,
+    )
+    n_batches = 12  # 3x the cadence
+    for b in range(n_batches):
+        batch = spark.createDataFrame(
+            [(k, b * 100 + k, f"v{b}") for k in range(b * 3, b * 3 + 3)],
+            "k long, seq long, val string",
+        )
+        sink(batch, b)
+        t = Table(spark, root)
+        m = t.maintain(max_branches=3)  # read-only probe
+        # the bound holds at every auto-maintain point, and in between
+        # can exceed it by at most the cadence
+        assert m["branches"] <= 3 + 4
+
+    t = Table(spark, root)
+    # after the final batch (id 11; (11+1) % 4 == 0 fired), the plan
+    # is compacted back under the policy bound
+    assert t.maintain(max_branches=3)["branches"] <= 3
+    ops = [h["op"] for h in t.describe_history()]
+    assert "compact" in ops
+
+    # replay guard survives the compactions: redelivering batch 11 is
+    # a no-op (the compact commit carried the batch id forward)
+    v_before = t.version()
+    sink(
+        spark.createDataFrame([(0, 99999, "dup")], "k long, seq long, val string"),
+        11,
+    )
+    assert Table(spark, root).version() == v_before
+
+    # values: latest write per key
+    got = {
+        r["k"]: r["val"] for r in read_current(spark, root).collect()
+    }
+    assert got[0] == "v0" and got[33] == "v11" and len(got) == 36
+
+
+def test_cow_upsert_maintain_every_validation(tmp_path):
+    import pytest
+
+    from cae_polars_tools_spark.streaming.events import cow_upsert_sink
+
+    with pytest.raises(ValueError):
+        cow_upsert_sink(
+            str(tmp_path), keys=["k"], order_col="seq", maintain_every=0
+        )

@@ -360,3 +360,64 @@ def test_merge_discovery_prunes_on_date_key(spark, tmp_path):
     assert stats2["files_candidates"] < n_files
     assert stats2["rows_deleted"] == 2
     assert t.current().count() == 363
+
+
+def test_txn_records_stay_bounded_under_long_lifecycle(spark, tmp_path):
+    """Round-15 retention-parity pin: 50 mutating verbs with periodic
+    vacuums keep the ``_txn/`` commit-record listing bounded by
+    RETENTION, not table age (vacuum drops records with their
+    versions), and a fresh pointer read stays O(1) — one cache GET
+    plus exactly one record-probe miss, never a listing scan.
+    The retention rule: a version's record lives exactly as long as
+    the version is readable; removed and demoted versions lose theirs
+    in the same vacuum pass (table.py:vacuum_table)."""
+    from cae_polars_tools_spark.sources.zarr_format import LocalByteStore
+    from cae_polars_tools_spark.table import read_pointer
+
+    root = str(tmp_path / "tbl")
+    small = _df(spark, 20)
+    t = Table.create(spark, root, small)
+    for i in range(1, 50):
+        if i % 10 == 0:
+            t.vacuum(keep_last=2)  # not a version; bounds the rest
+        elif i % 7 == 0:
+            t.delete(f"k = {1000 + i}")  # no-match: metadata version
+        else:
+            t.merge(
+                small.filter(F.col("k") == i % 20).withColumn(
+                    "val", F.lit(float(i))
+                ),
+                keys=["k"],
+            )
+        # the record listing never outgrows retention + verbs since
+        # the last vacuum (10 here), regardless of total table age
+        store = t._store()
+        assert len(store.list_prefix("_txn")) <= 2 + 1 + 10
+    t.vacuum(keep_last=2)
+    store = t._store()
+    # after the final vacuum: records for the retained versions only
+    assert len(store.list_prefix("_txn")) <= 3
+    # readable history and records agree (parity)
+    recs = {
+        int(n[1:-5]) for n in store.list_prefix("_txn")
+    }  # vN.json -> N
+    assert recs == set(t.history())
+
+    class _Counting(LocalByteStore):
+        def __init__(self, r):
+            super().__init__(r)
+            self.txn_gets = 0
+
+        def get(self, key):
+            if key.startswith("_txn/"):
+                self.txn_gets += 1
+            return super().get(key)
+
+    cst = _Counting(root)
+    meta = read_pointer(cst)
+    assert meta["version"] == t.version()
+    assert cst.txn_gets == 1  # one probe miss — O(1), no LIST
+
+    # values survived the whole lifecycle
+    got = {r["k"]: r["val"] for r in t.current().collect()}
+    assert len(got) == 20

@@ -244,3 +244,114 @@ def test_index_takedowns_prune_discovery_by_id_stats(spark, tmp_path):
         delete_ivfpq_index(
             spark, pq_root, "vec_id = 1", vec_ids=[1]
         )
+
+
+def test_cascade_manifest_records_pre_post_versions(spark, tmp_path):
+    """Round-15 read-ordering contract (takedown.py module docs): the
+    manifest names every flip the cascade performed — table
+    pre/post_version, index pre_generation/generation — and those
+    numbers agree with what the artifacts themselves report, so a
+    consistent-view consumer can verify 'table >= post_version AND
+    index >= generation' after the fact."""
+    from cae_polars_tools_spark.operators.minhash_index import (
+        load_minhash_meta,
+    )
+    from cae_polars_tools_spark.operators.similarity import (
+        load_ivfpq_meta,
+    )
+
+    table_root, mh_root, pq_root, docs, emb = _seed(spark, tmp_path)
+    t_pre = Table(spark, table_root).version()
+    mh_pre = load_minhash_meta(mh_root)["generation"]
+    pq_pre = load_ivfpq_meta(pq_root)["generation"]
+
+    man = cascade_delete(
+        spark,
+        [VICTIM],
+        table_root=table_root,
+        minhash_index_paths=(mh_root,),
+        ivfpq_index_paths=(pq_root,),
+        takedown_id="case-r15",
+    )
+    assert man["table"]["pre_version"] == t_pre
+    assert man["table"]["post_version"] == t_pre + 1
+    assert Table(spark, table_root).version() == man["table"]["post_version"]
+    (mh,) = man["minhash"]
+    assert mh["pre_generation"] == mh_pre
+    assert mh["generation"] == mh_pre + 1
+    assert load_minhash_meta(mh_root)["generation"] == mh["generation"]
+    (pq,) = man["ivfpq"]
+    assert pq["pre_generation"] == pq_pre
+    assert pq["generation"] == pq_pre + 1
+    assert load_ivfpq_meta(pq_root)["generation"] == pq["generation"]
+
+
+def test_cascade_intermediate_state_is_the_safe_direction(
+    spark, tmp_path, monkeypatch
+):
+    """Pin the documented intermediate state: with the base table
+    purged but the MinHash index NOT yet flipped (cascade interrupted
+    between the two), the index still returns the victim as a hit —
+    the designed, bounded inconsistency — and that hit dereferences
+    to NOTHING in the table (the safe direction: no text is
+    servable). A retried cascade with the same takedown_id then
+    converges every artifact."""
+    import cae_polars_tools_spark.takedown as td
+
+    table_root, mh_root, pq_root, docs, emb = _seed(spark, tmp_path)
+
+    # interrupt the cascade AFTER the table purge, BEFORE the index
+    def boom(*a, **k):
+        raise RuntimeError("index wedged")
+
+    monkeypatch.setattr(
+        "cae_polars_tools_spark.operators.minhash_index."
+        "delete_minhash_index",
+        boom,
+    )
+    with pytest.raises(RuntimeError) as exc:
+        cascade_delete(
+            spark,
+            [VICTIM],
+            table_root=table_root,
+            minhash_index_paths=(mh_root,),
+            takedown_id="case-interrupt",
+        )
+    partial = exc.value.args[1]
+    assert partial["table"] is not None  # the table DID purge
+    assert partial["minhash"] == []  # the index did not
+
+    # the documented intermediate state: index still hits the victim…
+    probe = docs.filter(F.col("doc_id") == VICTIM).withColumn(
+        "doc_id", F.lit(999).cast("long")
+    )
+    hits = {
+        r["doc_id_hist"]
+        for r in query_minhash_index(spark, mh_root, probe).collect()
+    }
+    assert VICTIM in hits
+    # …but the hit dereferences to nothing — no text is servable
+    assert (
+        Table(spark, table_root)
+        .current()
+        .filter(F.col("doc_id") == VICTIM)
+        .count()
+        == 0
+    )
+
+    # retry (same takedown_id) converges: idempotent on the table,
+    # effective on the index
+    monkeypatch.undo()
+    man = cascade_delete(
+        spark,
+        [VICTIM],
+        table_root=table_root,
+        minhash_index_paths=(mh_root,),
+        takedown_id="case-interrupt",
+    )
+    assert man["table"]["rows_deleted"] == 0  # already purged
+    hits_after = {
+        r["doc_id_hist"]
+        for r in query_minhash_index(spark, mh_root, probe).collect()
+    }
+    assert VICTIM not in hits_after
