@@ -304,7 +304,37 @@ def _stat_bounds(col) -> tuple | None:
         # dates record as EPOCH-DAYS ints (the physical encoding);
         # the probe side converts with unix_date()
         return st.min_raw, st.max_raw
-    lo, hi = st.min, st.max
+    if t == "DECIMAL":
+        # decimals record as UNSCALED ints TAGGED with their scale
+        # ([lo, hi, {"t": "dec", "s": N}]): exact integer ordering,
+        # no float round-trip. The tag makes the encoding explicit —
+        # refs_intersecting compares a range only against a probe
+        # carrying the IDENTICAL tag, so a scale drift between files
+        # (foreign writers) degrades to candidacy, never a wrong
+        # prune. Physical encodings per the parquet spec: INT32/INT64
+        # hold the unscaled value directly; (FIXED_LEN_)BYTE_ARRAY is
+        # big-endian two's-complement. NB pyarrow's converted st.min
+        # RAISES on int-physical decimals, so this branch must come
+        # before the generic path.
+        info = json.loads(lt.to_json())
+        s = info.get("scale")
+        if s is None:
+            return None
+        if col.physical_type in ("INT32", "INT64"):
+            lo, hi = st.min_raw, st.max_raw
+        elif col.physical_type in ("FIXED_LEN_BYTE_ARRAY", "BYTE_ARRAY"):
+            lo = int.from_bytes(st.min_raw, "big", signed=True)
+            hi = int.from_bytes(st.max_raw, "big", signed=True)
+        else:
+            return None
+        return lo, hi, {"t": "dec", "s": s}
+    try:
+        lo, hi = st.min, st.max
+    except Exception:
+        # pyarrow cannot convert every physical/logical combination
+        # (ArrowNotImplementedError on some) — an unconvertible stat
+        # is no stat, and a commit must never crash over one
+        return None
     for v in (lo, hi):
         if isinstance(v, bool) or not isinstance(v, (int, str)):
             return None
@@ -330,9 +360,9 @@ def parquet_footer_stats(
       exclude NaN, while Spark's join semantics treat NaN = NaN as a
       match — a file holding a NaN key would carry a range that
       denies it, and a NaN-keyed merge would prune the very file it
-      must rewrite. Decimals, binary, and nested paths are likewise
-      dropped (JSON round-trip and cross-engine comparison semantics
-      are not worth the risk);
+      must rewrite. Binary and nested paths are likewise dropped
+      (JSON round-trip and cross-engine comparison semantics are not
+      worth the risk);
     * TIMESTAMP columns (int64, ``isAdjustedToUTC`` only) record as
       epoch-MICROS ints and DATE columns as epoch-DAYS ints — the
       most common CDC/event clustering keys must prune
@@ -341,6 +371,10 @@ def parquet_footer_stats(
       writes INT96 timestamps by default, which carry no statistics
       at all — set ``spark.sql.parquet.outputTimestampType=
       TIMESTAMP_MICROS`` on tables clustered by a timestamp key;
+    * DECIMAL columns record as UNSCALED ints tagged with their scale
+      (``[lo, hi, {"t": "dec", "s": N}]``); tagged ranges compare
+      only against probes carrying the identical tag, so a scale
+      drift degrades to candidacy, never a wrong prune;
     * a column must carry min/max in EVERY row group, else it is
       dropped for the whole file;
     * strings longer than :data:`STATS_MAX_STRLEN` drop the column
@@ -360,11 +394,17 @@ def parquet_footer_stats(
                 dropped.add(name)
                 stats.pop(name, None)
                 continue
-            lo, hi = bounds
+            lo, hi = bounds[0], bounds[1]
+            tag = list(bounds[2:])  # encoding tag (e.g. decimal scale)
             if name in stats:
-                stats[name] = [min(stats[name][0], lo), max(stats[name][1], hi)]
+                prev = stats[name]
+                if prev[2:] != tag:  # inconsistent encodings: drop
+                    dropped.add(name)
+                    stats.pop(name, None)
+                    continue
+                stats[name] = [min(prev[0], lo), max(prev[1], hi)] + tag
             else:
-                stats[name] = [lo, hi]
+                stats[name] = [lo, hi] + tag
     return meta.num_rows, stats
 
 
@@ -477,17 +517,28 @@ def refs_intersecting(
     without stats, a column without a recorded range, or a type
     mismatch all keep the ref a candidate; a ref is pruned only when
     some probed column's recorded [min, max] is PROVABLY disjoint
-    from the batch range."""
+    from the batch range.
+
+    Ranges and recorded stats may carry an ENCODING TAG as a third
+    element (decimal scale: ``[lo, hi, {"t": "dec", "s": N}]``) —
+    a range compares against a recorded stat only when the tags are
+    IDENTICAL (both absent counts); any mismatch keeps the ref a
+    candidate, so two files whose writers scaled a decimal key
+    differently can never prune each other's updates."""
     out = []
     for r in refs:
         st = file_stats.get(r)
         keep = True
         if st:
-            for col, (lo, hi) in ranges.items():
+            for col, pr in ranges.items():
+                lo, hi = pr[0], pr[1]
+                ptag = list(pr[2:])
                 rng = st.get(col)
                 if not rng or lo is None or hi is None:
                     continue
-                fmin, fmax = rng
+                if list(rng[2:]) != ptag:
+                    continue  # different encodings: stay a candidate
+                fmin, fmax = rng[0], rng[1]
                 try:
                     if fmax < lo or fmin > hi:
                         keep = False

@@ -297,11 +297,14 @@ class Table:
         file without stats falls back to candidacy, never to pruning.
         Timestamp keys probe as epoch-MICROS and date keys as
         epoch-DAYS (``unix_micros``/``unix_date`` — deterministic
-        under any session timezone), matching the int encoding the
-        manifest records for them (``manifest._stat_bounds``)."""
+        under any session timezone), and decimal keys (precision ≤
+        18) as UNSCALED ints tagged with their scale — each matching
+        the int encoding the manifest records for them
+        (``manifest._stat_bounds``)."""
         from pyspark.sql import functions as F
         from pyspark.sql.types import (
             DateType,
+            DecimalType,
             NumericType,
             StringType,
             TimestampType,
@@ -313,28 +316,44 @@ class Table:
             return None
 
         def _probe_expr(f):
+            """(expr, encoding_tag) for a probe-able key column."""
             if isinstance(f.dataType, TimestampType):
-                return F.unix_micros(F.col(f.name))
+                return F.unix_micros(F.col(f.name)), None
             if isinstance(f.dataType, DateType):
-                return F.unix_date(F.col(f.name))
+                return F.unix_date(F.col(f.name)), None
+            if isinstance(f.dataType, DecimalType):
+                s = f.dataType.scale
+                if f.dataType.precision > 18:
+                    # unscaled value may not fit a long — no probe
+                    return None
+                # exact: a scale-s decimal times 10^s is integral and
+                # < 10^18, so the long cast never truncates
+                return (
+                    (F.col(f.name) * F.lit(10 ** s)).cast("long"),
+                    {"t": "dec", "s": s},
+                )
             if isinstance(f.dataType, (NumericType, StringType)):
-                return F.col(f.name)
+                return F.col(f.name), None
             return None
 
         probed = {
-            f.name: e
+            f.name: et
             for f in batch.schema.fields
-            if f.name in keys and (e := _probe_expr(f)) is not None
+            if f.name in keys and (et := _probe_expr(f)) is not None
         }
         if not probed:
             return None
         agg = batch.agg(
-            *[F.min(e).alias(f"lo_{k}") for k, e in probed.items()],
-            *[F.max(e).alias(f"hi_{k}") for k, e in probed.items()],
+            *[F.min(e).alias(f"lo_{k}") for k, (e, _) in probed.items()],
+            *[F.max(e).alias(f"hi_{k}") for k, (e, _) in probed.items()],
         ).collect()[0]
         ranges = {
-            k: (agg[f"lo_{k}"], agg[f"hi_{k}"])
-            for k in probed
+            k: (
+                (agg[f"lo_{k}"], agg[f"hi_{k}"])
+                if tag is None
+                else (agg[f"lo_{k}"], agg[f"hi_{k}"], tag)
+            )
+            for k, (_, tag) in probed.items()
             if agg[f"lo_{k}"] is not None and agg[f"hi_{k}"] is not None
         }
         if not ranges:

@@ -315,3 +315,72 @@ def test_id_range_of_dates_and_datetimes():
     ) == (-1, 2)
     assert id_range_of([dt.datetime(2024, 1, 1, 12)]) is None
     assert id_range_of([dt.date(2024, 1, 1), 5]) is None  # mixed
+
+
+@given(
+    st.lists(
+        st.integers(-(10**12), 10**12),  # unscaled values
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(0, 6),  # scale
+)
+@settings(max_examples=40, deadline=None)
+def test_footer_stats_decimal_bounds_contain_all_values(unscaled, scale):
+    """Decimal stats soundness: the recorded scale-tagged unscaled-int
+    box contains every value physically in the file (pyarrow writes
+    decimal128 as big-endian FLBA; the Spark-side INT32/INT64 physical
+    encodings are pinned in test_table_scale_meta)."""
+    import decimal
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cae_polars_tools_spark.manifest import parquet_footer_stats
+    from cae_polars_tools_spark.sources.zarr_format import LocalByteStore
+
+    vals = [
+        decimal.Decimal(u).scaleb(-scale).quantize(
+            decimal.Decimal(1).scaleb(-scale)
+        )
+        for u in unscaled
+    ]
+    arr = pa.array(vals, pa.decimal128(20, scale))
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.table({"amt": arr}), f"{d}/f.parquet")
+        _, stats = parquet_footer_stats(LocalByteStore(d), "f.parquet")
+    lo, hi, tag = stats["amt"]
+    assert tag == {"t": "dec", "s": scale}
+    assert lo == min(unscaled) and hi == max(unscaled)
+    for u in unscaled:
+        assert lo <= u <= hi
+
+
+def test_refs_intersecting_tag_mismatch_stays_candidate():
+    """A tagged recorded range never prunes against an untagged or
+    differently-tagged probe (and vice versa) — encoding drift
+    degrades to candidacy."""
+    from cae_polars_tools_spark.manifest import refs_intersecting
+
+    stats = {"f": {"amt": [100, 200, {"t": "dec", "s": 2}]}}
+    # identical tag, disjoint range: prunes
+    assert refs_intersecting(
+        stats, ["f"], {"amt": (300, 400, {"t": "dec", "s": 2})}
+    ) == []
+    # identical tag, overlapping: candidate
+    assert refs_intersecting(
+        stats, ["f"], {"amt": (150, 400, {"t": "dec", "s": 2})}
+    ) == ["f"]
+    # scale drift: candidate even though ints are disjoint
+    assert refs_intersecting(
+        stats, ["f"], {"amt": (300, 400, {"t": "dec", "s": 3})}
+    ) == ["f"]
+    # untagged probe vs tagged stat: candidate
+    assert refs_intersecting(stats, ["f"], {"amt": (300, 400)}) == ["f"]
+    # tagged probe vs untagged stat: candidate
+    assert refs_intersecting(
+        {"f": {"amt": [100, 200]}},
+        ["f"],
+        {"amt": (300, 400, {"t": "dec", "s": 2})},
+    ) == ["f"]

@@ -421,3 +421,69 @@ def test_txn_records_stay_bounded_under_long_lifecycle(spark, tmp_path):
     # values survived the whole lifecycle
     got = {r["k"]: r["val"] for r in t.current().collect()}
     assert len(got) == 20
+
+
+def test_merge_discovery_prunes_on_decimal_key(spark, tmp_path):
+    """DECIMAL keys prune via scale-tagged unscaled-int stats — and a
+    table merely CONTAINING decimal columns commits at all (pyarrow's
+    converted statistics raise on Spark's int-physical decimals, so
+    the accounting must read the raw values; this was a latent crash
+    before round 15)."""
+    root = str(tmp_path / "tbl")
+    seed = (
+        spark.range(300)
+        .select(
+            (F.col("id").cast("decimal(12,2)") / F.lit(4))
+            .cast("decimal(12,2)")
+            .alias("amt"),
+            (F.col("id") * 1.0).alias("val"),
+        )
+        .repartitionByRange(6, "amt")
+        .sortWithinPartitions("amt")
+    )
+    t = Table.create(spark, root, seed)
+    n_files = len(t._version_refs("v0"))
+    assert n_files >= 3
+    # the manifest really carries scale-tagged unscaled ints
+    cstats = t._version_stats("v0")
+    tagged = [
+        st["amt"] for st in cstats.values() if "amt" in st
+    ]
+    assert tagged and all(
+        len(x) == 3 and x[2] == {"t": "dec", "s": 2} for x in tagged
+    )
+    batch = seed.filter(
+        (F.col("amt") >= 10) & (F.col("amt") < 12)
+    ).withColumn("val", F.lit(-3.0))
+    stats = t.merge(batch, keys=["amt"])
+    assert stats["files_candidates"] < n_files
+    assert stats["rows_updated"] == 8  # 40..47 -> 10.00..11.75
+    got = {str(r["amt"]): r["val"] for r in t.current().collect()}
+    assert got["10.00"] == -3.0 and got["12.00"] == 48.0
+
+
+def test_high_precision_decimal_key_stays_unpruned(spark, tmp_path):
+    """precision > 18: the unscaled value may not fit a long, so the
+    probe abstains — full discovery, values still correct (the
+    conservative direction)."""
+    root = str(tmp_path / "tbl")
+    seed = (
+        spark.range(100)
+        .select(
+            F.col("id").cast("decimal(38,2)").alias("amt"),
+            (F.col("id") * 1.0).alias("val"),
+        )
+        .repartitionByRange(4, "amt")
+        .sortWithinPartitions("amt")
+    )
+    t = Table.create(spark, root, seed)
+    batch = seed.filter(F.col("amt") == 7).withColumn(
+        "val", F.lit(-1.0)
+    )
+    stats = t.merge(batch, keys=["amt"])
+    # no files_candidates stat — the pruned path abstained
+    assert "files_candidates" not in stats or stats[
+        "files_candidates"
+    ] == len(t._version_refs("v0"))
+    got = {str(r["amt"]): r["val"] for r in t.current().collect()}
+    assert got["7.00"] == -1.0 and len(got) == 100
