@@ -272,3 +272,51 @@ def test_unaccountable_data_file_refuses_loudly(tmp_path):
     store.put("v0/part-0.parquet", b"x")
     with pytest.raises(FileNotFoundError):
         mf.data_file_stats(store, "v0")
+
+
+def test_index_compaction_accounting_distributes(spark, tmp_path, monkeypatch):
+    """The index twins thread their SparkSession into the shared
+    footer_accounting: with the threshold forced to 1, a MinHash
+    index compaction records full rows/col_stats through the
+    DISTRIBUTED path and the index still answers probes identically."""
+    monkeypatch.setattr(mf, "DISTRIBUTE_FOOTER_MIN", 1)
+    from cae_polars_tools_spark.operators.minhash_index import (
+        build_minhash_index,
+        compact_minhash_index,
+        load_minhash_meta,
+        query_minhash_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"repeated base text {i % 3} " * 6 + f"suffix {i}", "s")
+            for i in range(15)
+        ],
+        "doc_id long, text string, source string",
+    )
+    root = str(tmp_path / "mh")
+    build_minhash_index(docs, root)
+    probe = spark.createDataFrame(
+        [(77, "repeated base text 2 " * 6 + "suffix 2", "b")],
+        "doc_id long, text string, source string",
+    )
+    before = {
+        r["doc_id_hist"]
+        for r in query_minhash_index(spark, root, probe).collect()
+    }
+    compact_minhash_index(spark, root)
+    meta = load_minhash_meta(root)
+    st = ByteStore.for_path(root)
+    for d in (meta["bands_dir"], meta["sigs_dir"]):
+        m = mf.load_manifest(st, d)
+        assert m["files"], d
+        assert set(m["rows"]) == set(m["files"])  # full accounting
+        for r in m["files"]:
+            n, cst = mf.parquet_footer_stats(st, r)
+            assert m["rows"][r] == n
+            assert (m.get("stats") or {}).get(r, {}) == cst
+    after = {
+        r["doc_id_hist"]
+        for r in query_minhash_index(spark, root, probe).collect()
+    }
+    assert after == before
