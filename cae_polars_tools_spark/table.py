@@ -297,10 +297,14 @@ class Table:
         file without stats falls back to candidacy, never to pruning.
         Timestamp keys probe as epoch-MICROS and date keys as
         epoch-DAYS (``unix_micros``/``unix_date`` — deterministic
-        under any session timezone), and decimal keys (precision ≤
-        18) as UNSCALED ints tagged with their scale — each matching
-        the int encoding the manifest records for them
-        (``manifest._stat_bounds``)."""
+        under any session timezone), and decimal keys as UNSCALED
+        ints tagged with their scale — each matching the int encoding
+        the manifest records for them (``manifest._stat_bounds``).
+        The decimal conversion happens DRIVER-SIDE on the collected
+        ``Decimal`` bounds (exact at any precision ≤ 38) rather than
+        as a Spark ``* 10^s`` expression, whose decimal-multiply
+        precision rules can overflow 38 digits and silently ROUND —
+        a rounded probe bound is an unsound prune."""
         from pyspark.sql import functions as F
         from pyspark.sql.types import (
             DateType,
@@ -315,25 +319,25 @@ class Table:
         if any(r not in rows for r in refs):
             return None
 
+        import decimal
+
         def _probe_expr(f):
-            """(expr, encoding_tag) for a probe-able key column."""
+            """(expr, encoding_tag, post) for a probe-able key column;
+            ``post`` converts the collected bound exactly."""
             if isinstance(f.dataType, TimestampType):
-                return F.unix_micros(F.col(f.name)), None
+                return F.unix_micros(F.col(f.name)), None, None
             if isinstance(f.dataType, DateType):
-                return F.unix_date(F.col(f.name)), None
+                return F.unix_date(F.col(f.name)), None, None
             if isinstance(f.dataType, DecimalType):
                 s = f.dataType.scale
-                if f.dataType.precision > 18:
-                    # unscaled value may not fit a long — no probe
-                    return None
-                # exact: a scale-s decimal times 10^s is integral and
-                # < 10^18, so the long cast never truncates
+                ctx = decimal.Context(prec=60)  # exact for <= 38 digits
                 return (
-                    (F.col(f.name) * F.lit(10 ** s)).cast("long"),
+                    F.col(f.name),
                     {"t": "dec", "s": s},
+                    lambda v, s=s, ctx=ctx: int(v.scaleb(s, ctx)),
                 )
             if isinstance(f.dataType, (NumericType, StringType)):
-                return F.col(f.name), None
+                return F.col(f.name), None, None
             return None
 
         probed = {
@@ -344,18 +348,17 @@ class Table:
         if not probed:
             return None
         agg = batch.agg(
-            *[F.min(e).alias(f"lo_{k}") for k, (e, _) in probed.items()],
-            *[F.max(e).alias(f"hi_{k}") for k, (e, _) in probed.items()],
+            *[F.min(e).alias(f"lo_{k}") for k, (e, _, _) in probed.items()],
+            *[F.max(e).alias(f"hi_{k}") for k, (e, _, _) in probed.items()],
         ).collect()[0]
-        ranges = {
-            k: (
-                (agg[f"lo_{k}"], agg[f"hi_{k}"])
-                if tag is None
-                else (agg[f"lo_{k}"], agg[f"hi_{k}"], tag)
-            )
-            for k, (_, tag) in probed.items()
-            if agg[f"lo_{k}"] is not None and agg[f"hi_{k}"] is not None
-        }
+        ranges = {}
+        for k, (_, tag, post) in probed.items():
+            lo, hi = agg[f"lo_{k}"], agg[f"hi_{k}"]
+            if lo is None or hi is None:
+                continue
+            if post is not None:
+                lo, hi = post(lo), post(hi)
+            ranges[k] = (lo, hi) if tag is None else (lo, hi, tag)
         if not ranges:
             return None
         from cae_polars_tools_spark.manifest import refs_intersecting

@@ -462,28 +462,34 @@ def test_merge_discovery_prunes_on_decimal_key(spark, tmp_path):
     assert got["10.00"] == -3.0 and got["12.00"] == 48.0
 
 
-def test_high_precision_decimal_key_stays_unpruned(spark, tmp_path):
-    """precision > 18: the unscaled value may not fit a long, so the
-    probe abstains — full discovery, values still correct (the
-    conservative direction)."""
+def test_high_precision_decimal_key_prunes_exactly(spark, tmp_path):
+    """precision 38 (FIXED_LEN_BYTE_ARRAY physical, unscaled values
+    beyond int64): the driver-side Decimal→unscaled conversion is
+    exact at any precision, so even decimal(38,2) keys prune — and
+    the probe bound can never round (a Spark *10^s expression would
+    overflow the 38-digit multiply rules and silently round, which is
+    why the conversion lives on the driver)."""
     root = str(tmp_path / "tbl")
     seed = (
         spark.range(100)
         .select(
-            F.col("id").cast("decimal(38,2)").alias("amt"),
+            # huge magnitudes: unscaled values ~1e20 exceed int64
+            (
+                F.col("id").cast("decimal(38,2)")
+                * F.lit(10).cast("decimal(20,0)") ** 18
+            ).cast("decimal(38,2)").alias("amt"),
             (F.col("id") * 1.0).alias("val"),
         )
         .repartitionByRange(4, "amt")
         .sortWithinPartitions("amt")
     )
     t = Table.create(spark, root, seed)
-    batch = seed.filter(F.col("amt") == 7).withColumn(
+    n_files = len(t._version_refs("v0"))
+    batch = seed.filter(F.col("val") == 7.0).withColumn(
         "val", F.lit(-1.0)
     )
     stats = t.merge(batch, keys=["amt"])
-    # no files_candidates stat — the pruned path abstained
-    assert "files_candidates" not in stats or stats[
-        "files_candidates"
-    ] == len(t._version_refs("v0"))
-    got = {str(r["amt"]): r["val"] for r in t.current().collect()}
-    assert got["7.00"] == -1.0 and len(got) == 100
+    assert stats["files_candidates"] < n_files
+    assert stats["rows_updated"] == 1
+    got = {r["val"] for r in t.current().collect()}
+    assert -1.0 in got and 7.0 not in got and len(got) == 100
