@@ -73,6 +73,7 @@ __all__ = [
     "read_refs",
     "data_file_refs",
     "data_file_stats",
+    "write_job_uuids",
     "snapshot_dir",
     "write_manifest",
     "load_manifest",
@@ -216,6 +217,32 @@ def data_file_stats(store, prefix: str = "") -> list[tuple[str, int]]:
 def data_file_refs(store, prefix: str = "") -> list[str]:
     """Ref-only view of :func:`data_file_stats`."""
     return [r for r, _ in data_file_stats(store, prefix)]
+
+
+#: Spark part-file naming: ``part-NNNNN-<job uuid>-c000[.codec].parquet``
+#: (the uuid is per WRITE JOB, shared by every task of one write) —
+#: the attribution handle :func:`write_job_uuids` parses.
+_PART_UUID = re.compile(
+    r"part-\d+-([0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-"
+    r"[0-9a-f]{12})[-.]"
+)
+
+
+def write_job_uuids(refs: list[str]) -> set[str] | None:
+    """The distinct Spark write-job UUIDs embedded in the part-file
+    names, or None when any name carries no parseable uuid (foreign
+    writer, custom committer — no attribution possible, callers skip
+    their check). One Spark write = one uuid across every task and
+    hive partition, so a fresh version directory inventoried after a
+    single-write verb must show EXACTLY one — a second uuid is
+    another writer's interleaved output."""
+    out: set[str] = set()
+    for r in refs:
+        m = _PART_UUID.search(r.rsplit("/", 1)[-1])
+        if m is None:
+            return None
+        out.add(m.group(1))
+    return out
 
 
 def snapshot_dir(store, prefix: str = "") -> set[str]:

@@ -109,16 +109,24 @@ class Table:
     ``_CURRENT.json`` is a CACHE of the newest record — a crash
     between commit-create and cache flip still committed, and the
     next pointer read advances over the record and repairs the cache
-    (:func:`read_pointer`). What remains OUTSIDE the guarantee:
-    version-DIRECTORY reservation is still check-and-clear, so two
-    truly-concurrent writers can interleave their file writes inside
-    one ``vN`` directory before either reaches the commit — the
-    winner's post-write inventory can then adopt the loser's partial
-    files into its manifest (wrong rows, committed). Serialize
-    writers externally (the streaming sink's single
-    foreachBatch thread, a nightly scheduler, a queue) when overlap
-    is expected rather than exceptional; the CAS is the backstop that
-    makes the overlap loud and lossless, not a license for it.
+    (:func:`read_pointer`). Version-DIRECTORY reservation is still
+    check-and-clear, so two truly-concurrent writers can interleave
+    their file writes inside one ``vN`` directory before either
+    reaches the commit — but the post-write inventory ATTRIBUTES
+    files by their Spark write-job uuid and refuses to commit a
+    directory holding a second job's output
+    (:meth:`_new_data_stats`), so the interleave is loud and
+    lossless rather than wrong-rows-committed. Two residues stay
+    outside the guarantee: files named by a foreign committer carry
+    no uuid to attribute (the check skips), and a loser's files
+    landing AFTER the winner's inventory become unreferenced orphans
+    inside a committed version directory — invisible to readers
+    (manifest-mode reads resolve refs, never the directory), at
+    worst a storage leak until the directory is vacuumed. Serialize
+    writers externally (the streaming sink's single foreachBatch
+    thread, a nightly scheduler, a queue) when overlap is expected
+    rather than exceptional; the CAS plus the uuid guard are the
+    backstop that makes the overlap loud, not a license for it.
     """
 
     def __init__(self, spark: SparkSession, root: str) -> None:
@@ -237,10 +245,37 @@ class Table:
         """``(ref, bytes)`` of the verb's freshly written files —
         sizes come from the inventory LISTING (no per-file stat), and
         ride into the new manifest so later verbs size their rewrites
-        without any store calls."""
-        from cae_polars_tools_spark.manifest import data_file_stats
+        without any store calls.
 
-        return data_file_stats(self._store(), version_dir)
+        **Interleave guard.** Every Table verb performs exactly ONE
+        Spark write job into its fresh version directory, and Spark
+        stamps one job uuid into every part-file name of a write —
+        so an inventory showing a SECOND uuid is another writer's
+        output interleaved into this directory (the same-directory
+        race the class docstring documents). Committing would adopt
+        the other writer's partial files as this verb's rows — wrong
+        data, silently. Refuse loudly instead: this verb's files stay
+        behind as unreferenced orphans the next writer clears, and
+        the caller re-reads and retries. Files without a parseable
+        uuid (foreign committers) skip the check — no attribution,
+        the documented caveat stands there."""
+        from cae_polars_tools_spark.manifest import (
+            data_file_stats,
+            write_job_uuids,
+        )
+
+        stats = data_file_stats(self._store(), version_dir)
+        uuids = write_job_uuids([r for r, _ in stats])
+        if uuids is not None and len(uuids) > 1:
+            raise ConcurrentWriteError(
+                f"{version_dir} contains part files from "
+                f"{len(uuids)} distinct Spark write jobs — another "
+                "writer interleaved its output into this version "
+                "directory while this verb was writing; committing "
+                "would adopt its partial files as rows. Re-read the "
+                "table and retry (the next verb clears the orphan)."
+            )
+        return stats
 
     def _version_sizes(self, version_dir: str) -> dict:
         """The version's manifest-recorded per-file sizes (empty for

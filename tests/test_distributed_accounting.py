@@ -320,3 +320,88 @@ def test_index_compaction_accounting_distributes(spark, tmp_path, monkeypatch):
         for r in query_minhash_index(spark, root, probe).collect()
     }
     assert after == before
+
+
+def test_interleaved_write_job_refuses_to_commit(spark, tmp_path):
+    """The same-directory race, made loud: a second Spark write job's
+    files landing in a fresh version directory are detected at
+    inventory by their part-name job uuid, and the verb refuses
+    instead of adopting the other writer's partial files as rows."""
+    root = str(tmp_path / "tbl")
+    t = Table.create(spark, root, _seed(spark, 50))
+    store = t._store()
+    # the verb's own write (job A)…
+    _seed(spark, 50).limit(5).write.mode("append").parquet(
+        store.spark_path("v1")
+    )
+    # …and a racing writer's interleaved output (job B)
+    _seed(spark, 50).limit(3).write.mode("append").parquet(
+        store.spark_path("v1")
+    )
+    with pytest.raises(ConcurrentWriteError, match="distinct Spark write jobs"):
+        t._new_data_stats("v1")
+    # single-job directories inventory normally
+    store.delete_prefix("v1")
+    _seed(spark, 50).limit(5).write.mode("append").parquet(
+        store.spark_path("v1")
+    )
+    assert len(t._new_data_stats("v1")) >= 1
+
+
+def test_foreign_part_names_skip_the_uuid_guard(tmp_path):
+    """Files without a parseable Spark job uuid (foreign committer)
+    cannot be attributed — the guard abstains, the documented caveat
+    stands there."""
+    assert mf.write_job_uuids(["v1/data_000.parquet"]) is None
+    assert mf.write_job_uuids([]) == set()
+    u = "d6cd9af1-20af-46b5-886a-d23cb80ab087"
+    assert mf.write_job_uuids(
+        [f"v1/part-00000-{u}-c000.snappy.parquet",
+         f"v1/shard=3/part-00017-{u}-c000.snappy.parquet"]
+    ) == {u}
+    # mixed parseable + foreign: no attribution claim at all
+    assert mf.write_job_uuids(
+        [f"v1/part-00000-{u}-c000.snappy.parquet", "v1/x.parquet"]
+    ) is None
+
+
+def test_two_writers_with_retry_converge_linearizably(spark, tmp_path):
+    """The documented writer contract end to end: two writers apply
+    disjoint key updates with a retry-on-ConcurrentWriteError loop
+    (sequentially interleaved at the verb level — the single-writer
+    contract's intended recovery). Every update lands exactly once,
+    history is linear, and the final state equals the serial
+    application."""
+    root = str(tmp_path / "tbl")
+    Table.create(spark, root, _seed(spark, 60))
+
+    def upsert(lo, hi, delta):
+        for _ in range(5):
+            try:
+                Table(spark, root).merge(
+                    _seed(spark, 60)
+                    .filter((F.col("k") >= lo) & (F.col("k") < hi))
+                    .withColumn("val", F.col("val") + delta),
+                    keys=["k"],
+                )
+                return
+            except ConcurrentWriteError:
+                continue
+        raise AssertionError("writer starved after 5 retries")
+
+    # interleave two writers' batches against a shared root
+    upsert(0, 10, 1000.0)
+    upsert(30, 40, 2000.0)
+    upsert(10, 20, 1000.0)
+    upsert(40, 50, 2000.0)
+
+    t = Table(spark, root)
+    got = {r["k"]: r["val"] for r in t.current().collect()}
+    for k in range(60):
+        want = k * 2.5
+        if k < 20:
+            want += 1000.0
+        elif 30 <= k < 50:
+            want += 2000.0
+        assert got[k] == want, k
+    assert [h["version"] for h in t.describe_history()] == [0, 1, 2, 3, 4]
