@@ -1876,13 +1876,25 @@ def delete_ivfpq_index(
     cur = meta.get("codes_dir", "codes")
     if not refs_of(store, cur):
         # an already-emptied index: takedowns are idempotent no-ops,
-        # not errors (cascade_delete may retry after partial failure)
-        return {
+        # not errors (cascade_delete may retry after partial failure).
+        # Still publish an audit record — the retry's takedown_id must
+        # land in history like every other artifact's (the minhash
+        # twin's empty path does the same through its outer flip), and
+        # the returned stats must carry the published generation the
+        # cascade manifest stamps (a KeyError here would abort the
+        # cascade OUTSIDE its per-artifact error wrapper).
+        stats = {
             "files_rewritten": 0,
             "files_referenced": 0,
             "rows_deleted": 0,
-            "codes_dir": cur,
         }
+        meta = meta_with_history(
+            meta, "delete", {**stats, **(op_stats or {})}
+        )
+        store.put(_INDEX_META, json.dumps(meta).encode())
+        stats["codes_dir"] = cur
+        stats["generation"] = meta["generation"]
+        return stats
     m_v = _re.fullmatch(r"codes_v(\d+)", cur)
     nxt = f"codes_v{int(m_v.group(1)) + 1 if m_v else 1}"
     candidates = None

@@ -210,16 +210,23 @@ class ByteStore:
             from cae_polars_tools_spark.manifest import uri_to_ref
 
             return uri_to_ref(uri, spark_root)
+        # the error must name the root the comparison actually RAN
+        # against — in a spark_root-remapped deployment that is the
+        # remap, and pointing the operator at the metadata root would
+        # send them debugging the wrong namespace
+        compared = spark_root or self.root
         u = urlparse(uri)
-        r = urlparse(spark_root) if spark_root else urlparse(self.root)
+        r = urlparse(compared)
         if u.scheme and r.netloc and u.netloc != r.netloc:
             raise ValueError(
-                f"file {uri!r} is outside the store root {self.root!r}"
+                f"file {uri!r} is outside the Spark-facing store "
+                f"root {compared!r}"
             )
         rel = posixpath.relpath(unquote(u.path) or "/", r.path or "/")
         if rel.startswith(".."):
             raise ValueError(
-                f"file {uri!r} is outside the store root {self.root!r}"
+                f"file {uri!r} is outside the Spark-facing store "
+                f"root {compared!r}"
             )
         return posixpath.normpath(rel)
 
@@ -703,14 +710,32 @@ class FsspecByteStore(ByteStore):
             out.append((name, size))
         return sorted(out)
 
+    #: fsspec protocols whose bytes live in the DRIVER PROCESS (or a
+    #: driver-local cache) — an executor rebuilding one would read an
+    #: empty/unrelated namespace, so they never distribute.
+    _PROCESS_LOCAL_SCHEMES = (
+        "memory",
+        "filecache",
+        "blockcache",
+        "simplecache",
+    )
+
     def executor_spec(self) -> tuple | None:
         # fsspec stores rebuild on executors through the SAME
         # for_path machinery (fsspec must be installed cluster-wide —
         # it was importable on the driver to construct this instance,
         # and a cluster shipping this package ships its deps).
-        # ``distributed_footers=False`` opts out for deployments where
-        # that assumption fails (e.g. driver-only credentials).
+        # Process-local protocols (memory://, cache wrappers) are
+        # excluded: their bytes exist only in the driver's process,
+        # and a rebuilt executor store would raise FileNotFoundError
+        # on every footer where the serial loop worked.
+        # ``distributed_footers=False`` opts out anything else the
+        # rule can't see — e.g. credentials that exist only on the
+        # driver.
         if self.storage_options.get("distributed_footers") is False:
+            return None
+        scheme = self.root.split("://", 1)[0] if "://" in self.root else ""
+        if scheme in self._PROCESS_LOCAL_SCHEMES:
             return None
         opts = {
             k: v

@@ -598,10 +598,29 @@ def cow_upsert_sink(
             maintain_every is not None
             and (batch_id + 1) % maintain_every == 0
         ):
-            Table(spark, root).maintain(
-                max_branches=max_branches,
-                target_file_bytes=target_file_bytes,
-                auto_compact=True,
-            )
+            try:
+                Table(spark, root).maintain(
+                    max_branches=max_branches,
+                    target_file_bytes=target_file_bytes,
+                    auto_compact=True,
+                )
+            except Exception:
+                # best-effort BY CONTRACT: the batch already
+                # committed, and layout health must never take the
+                # stream down with it — a failed compaction here
+                # would otherwise crash-loop the query at every
+                # cadence multiple while every data batch applies
+                # fine. The next cadence point retries; a persistent
+                # failure surfaces through the warning trail and the
+                # branch-count growth maintain() reports.
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "cow_upsert_sink: auto-maintain after batch %s "
+                    "failed (batch IS committed; retrying at the "
+                    "next cadence point)",
+                    batch_id,
+                    exc_info=True,
+                )
 
     return sink

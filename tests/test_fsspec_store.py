@@ -295,3 +295,21 @@ def test_real_fsspec_memory_lifecycle(spark, tmp_path):
     assert st.list_prefix_detail("v0") == [("x.parquet", 15)]
     st.delete_prefix("")
     mem.store.clear()
+
+
+def test_process_local_schemes_never_distribute(fake_fsspec, tmp_path):
+    """Review fix: memory:// (and cache-wrapper) fsspec stores hold
+    their bytes in the driver process — executor reconstruction would
+    read an empty namespace, so executor_spec refuses for them even
+    without the explicit opt-out."""
+    base, fs = fake_fsspec
+    st = FsspecByteStore("memory://tbl", {})
+    assert st.executor_spec() is None
+    st2 = FsspecByteStore("simplecache://bucket/t", {})
+    assert st2.executor_spec() is None
+    # a cluster-visible scheme still distributes…
+    st3 = FsspecByteStore("mem://tbl", {})
+    assert st3.executor_spec() == ("path", "mem://tbl", None)
+    # …and the opt-out still wins
+    st4 = FsspecByteStore("mem://tbl", {"distributed_footers": False})
+    assert st4.executor_spec() is None

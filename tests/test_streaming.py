@@ -1046,3 +1046,37 @@ def test_cow_upsert_maintain_every_validation(tmp_path):
         cow_upsert_sink(
             str(tmp_path), keys=["k"], order_col="seq", maintain_every=0
         )
+
+
+def test_cow_upsert_maintain_failure_never_kills_the_stream(
+    spark, tmp_path, monkeypatch
+):
+    """Review fix: auto-maintain is best-effort BY CONTRACT — a
+    failing compaction after a committed batch must not propagate out
+    of the foreachBatch sink (it would crash-loop the query at every
+    cadence multiple while every data batch applies fine)."""
+    from cae_polars_tools_spark.streaming.events import (
+        cow_upsert_sink,
+        read_current,
+    )
+    from cae_polars_tools_spark.table import Table
+
+    root = str(tmp_path / "tbl")
+    sink = cow_upsert_sink(
+        root, keys=["k"], order_col="seq", maintain_every=1
+    )
+
+    def boom(self, **kwargs):
+        raise RuntimeError("compaction wedged")
+
+    monkeypatch.setattr(Table, "maintain", boom)
+    for b in range(3):
+        sink(
+            spark.createDataFrame(
+                [(b, b, f"v{b}")], "k long, seq long, val string"
+            ),
+            b,
+        )  # must NOT raise
+    got = {r["k"]: r["val"] for r in read_current(spark, root).collect()}
+    assert got == {0: "v0", 1: "v1", 2: "v2"}
+    assert Table(spark, root).version() == 2  # all batches committed

@@ -355,3 +355,33 @@ def test_cascade_intermediate_state_is_the_safe_direction(
         for r in query_minhash_index(spark, mh_root, probe).collect()
     }
     assert VICTIM not in hits_after
+
+
+def test_cascade_retry_on_fully_emptied_index(spark, tmp_path):
+    """Review fix: a cascade retried against an IVF-PQ index a prior
+    delete fully EMPTIED must stay the documented idempotent no-op —
+    the empty-path return now carries the published generation (a
+    KeyError there aborted the cascade outside its per-artifact error
+    wrapper) and still lands the takedown_id in history."""
+    from cae_polars_tools_spark.operators.similarity import (
+        delete_ivfpq_index,
+        load_ivfpq_meta,
+    )
+
+    table_root, mh_root, pq_root, docs, emb = _seed(spark, tmp_path)
+    # empty the codes table completely
+    delete_ivfpq_index(spark, pq_root, predicate="vec_id >= 0")
+    gen_before = load_ivfpq_meta(pq_root)["generation"]
+
+    man = cascade_delete(
+        spark,
+        [VICTIM],
+        ivfpq_index_paths=(pq_root,),
+        takedown_id="case-empty-retry",
+    )
+    (pq,) = man["ivfpq"]
+    assert pq["rows_deleted"] == 0
+    assert pq["generation"] == gen_before + 1
+    assert pq["pre_generation"] == gen_before
+    hist = load_ivfpq_meta(pq_root)["history"]
+    assert hist[-1]["stats"]["takedown_id"] == "case-empty-retry"
