@@ -302,7 +302,17 @@ def count_triangles(
     join); no SinglePartition exchange, no cartesian anywhere. The
     orientation (and therefore the result) is provably identical to
     the rank formulation because ``row_number() OVER (ORDER BY deg,
-    node)`` is monotone in exactly this pair."""
+    node)`` is monotone in exactly this pair.
+
+    The canonical edge set feeds the degree aggregate AND the
+    orientation join, the degree frame feeds both attach joins plus
+    the final node roster, and the oriented list is referenced three
+    times (both wedge legs and the closing probe) — Catalyst inlines
+    each reference into an independent subtree (no ReusedExchange
+    across them), so an expensive upstream edge derivation would
+    execute once PER REFERENCE. All three are therefore persisted
+    (O(m), O(n), O(m) respectively — each no bigger than the input
+    edge list), released via the ``_release_on_gc`` finalizer chain."""
     e = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).filter(F.col("u") != F.col("v"))
@@ -311,12 +321,14 @@ def count_triangles(
             F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
         )
         .distinct()
+        .persist()
     )
     deg = (
         und.select(F.col("a").alias("node"))
         .unionAll(und.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .persist()
     )
     # (degree, id) is already a total order (ids distinct within an
     # edge list), so orientation is a DAG — compare the pair directly
@@ -340,7 +352,7 @@ def count_triangles(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
         F.when(a_first, F.col("kb")).otherwise(F.col("ka")).alias("khi"),
-    )
+    ).persist()
     o1 = oriented.select(
         F.col("lo").alias("apex"),
         F.col("hi").alias("x"),
@@ -361,13 +373,16 @@ def count_triangles(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
-    return (
+    return _release_on_gc(
         deg.select("node")
         .join(per_node, "node", "left")
         .select(
             "node",
             F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
-        )
+        ),
+        und,
+        deg,
+        oriented,
     )
 
 
