@@ -624,14 +624,23 @@ def merge_parquet(
         )
     updates = updates.select(*t.columns).persist()
     try:
-        dup = (
-            updates.groupBy(*keys)
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > 1)
-            .limit(1)
-            .collect()
+        # ONE aggregate job answers both precondition questions —
+        # "is the batch unique on keys?" and "how many update rows?" —
+        # instead of a dup-probe action plus a separate count action;
+        # each saved action is a full driver round-trip / cluster
+        # barrier (a scheduling constant locally, a real commit-latency
+        # term on a 100 TB cluster).
+        per_key = updates.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("__n")
         )
-        if dup:
+        pre = per_key.agg(
+            F.coalesce(F.sum("__n"), F.lit(0)).alias("__rows"),
+            F.coalesce(F.max("__n"), F.lit(0)).alias("__mx"),
+        ).collect()[0]
+        upd_rows = pre["__rows"]
+        if pre["__mx"] > 1:
+            # error path only: one extra job to name an example key
+            dup = per_key.filter(F.col("__n") > 1).limit(1).collect()
             raise ValueError(
                 f"updates are not unique on {keys}: e.g. "
                 f"{tuple(dup[0][k] for k in keys)}"
@@ -670,23 +679,37 @@ def merge_parquet(
         else:
             t_rows = t.count()
         bpr = total_bytes / max(t_rows, 1)
-        upd_rows = updates.count()
 
         stats = {"rows_updated": 0, "rows_inserted": 0}
+        obs = None
         if aff_refs:
+            from pyspark.sql import Observation
+
             # per-birth-dir basePath re-derives the partition columns
             # from the key=value dirs — reading the leaf files bare
             # would silently drop them from the rewrite
             aff = read_refs(spark, root, aff_refs, read_schema, store=store)
             survivors = aff.join(key_set, keys, "left_anti")
-            matched = updates.join(
-                F.broadcast(aff.select(*keys).distinct()),
-                keys,
-                "left_semi",
-            ).count()
-            stats["rows_updated"] = matched
-            stats["rows_inserted"] = upd_rows - matched
-            out = survivors.unionByName(updates)
+            # matched-row accounting rides the WRITE job as an
+            # observed metric on the updates branch (CollectMetrics)
+            # instead of a separate count action that re-scans aff and
+            # updates: flag each update row whose key exists among the
+            # affected files (left join against the distinct affected
+            # keys — cardinality-preserving by construction) and sum
+            # the flags as the rows stream into the writer.
+            aff_keys = (
+                aff.select(*keys).distinct().withColumn("__m", F.lit(1))
+            )
+            obs = Observation()
+            upd_flagged = (
+                updates.join(F.broadcast(aff_keys), keys, "left")
+                .observe(
+                    obs,
+                    F.coalesce(F.sum("__m"), F.lit(0)).alias("matched"),
+                )
+                .drop("__m")
+            )
+            out = survivors.unionByName(upd_flagged)
             est = (
                 _ref_bytes(store, aff_refs, known=source_sizes)
                 + upd_rows * bpr
@@ -705,6 +728,10 @@ def merge_parquet(
         if pcols:
             writer = writer.partitionBy(*pcols)
         writer.parquet(dst_store.spark_path(""))
+        if obs is not None:
+            matched = int(obs.get["matched"])
+            stats["rows_updated"] = matched
+            stats["rows_inserted"] = upd_rows - matched
     finally:
         updates.unpersist()
 
@@ -796,8 +823,23 @@ def delete_parquet(
 
     rows_deleted = 0
     if aff_refs:
+        from pyspark.sql import Observation
+
         aff = read_refs(spark, root, aff_refs, read_schema, store=store)
-        rows_deleted = aff.filter(pred).count()
+        # deleted-row accounting rides the WRITE job as an observed
+        # metric (CollectMetrics below the survivor filter — every aff
+        # row flows through it; Catalyst does not push filters through
+        # CollectMetrics) instead of a separate count action that
+        # scans the affected files a second time. A NULL predicate
+        # counts 0 (`when` otherwise-branch), matching the survival
+        # rule below.
+        obs = Observation()
+        aff = aff.observe(
+            obs,
+            F.coalesce(
+                F.sum(F.when(pred, 1).otherwise(0)), F.lit(0)
+            ).alias("deleted"),
+        )
         # NULL-predicate rows SURVIVE: plain ~pred maps NULL→NULL and
         # the filter would silently drop them uncounted
         survivors = aff.filter(pred.isNull() | ~pred)
@@ -809,6 +851,7 @@ def delete_parquet(
         if pcols:
             writer = writer.partitionBy(*pcols)
         writer.parquet(dst_store.spark_path(""))
+        rows_deleted = int(obs.get["deleted"])
 
     stats = {
         "files_rewritten": len(aff_refs),
