@@ -2927,23 +2927,37 @@ def q68_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("parent").alias("ancestor"),
         F.lit(1).cast("long").alias("depth"),
     )
-    for _ in range(4):  # depth ≤ 2^4 = 16; |part| ≤ 5^16 ≈ 152e9
-        left = paths.select(
-            F.col("node").alias("l_node"),
-            F.col("ancestor").alias("mid"),
-            F.col("depth").alias("l_depth"),
+    # ``jump`` holds each node's EXACT 2^r-th ancestor (≤ 1 row per
+    # node — the parent function makes this a forest, so the pointer
+    # is unique). Round r composes it with the closure-so-far: a new
+    # pair at depth d ∈ (2^r, 2^(r+1)] decomposes UNIQUELY as the
+    # fixed 2^r-step jump plus a ≤ 2^r-deep tail, so the union can
+    # never create a duplicate row and the per-round ``distinct`` —
+    # a full shuffle of the ENTIRE closure every round in the
+    # closure-squaring form this replaces — is unnecessary by
+    # construction. Per round the closure now crosses the wire once
+    # (join key) instead of three times (both join sides + the
+    # distinct), and the other join side is the 1-row-per-node jump
+    # table, not the closure itself.
+    jump = paths.select("node", F.col("ancestor").alias("mid"))
+    for r in range(4):  # depth ≤ 2^4 = 16; |part| ≤ 5^16 ≈ 152e9
+        composed = jump.join(
+            paths.select(
+                F.col("node").alias("mid"), "ancestor", "depth"
+            ),
+            "mid",
+        ).select(
+            "node",
+            "ancestor",
+            (F.col("depth") + F.lit(2 ** r).cast("long")).alias("depth"),
         )
-        right = paths.select(
-            F.col("node").alias("mid"),
-            F.col("ancestor").alias("r_anc"),
-            F.col("depth").alias("r_depth"),
-        )
-        composed = left.join(right, "mid").select(
-            F.col("l_node").alias("node"),
-            F.col("r_anc").alias("ancestor"),
-            (F.col("l_depth") + F.col("r_depth")).alias("depth"),
-        )
-        paths = paths.unionAll(composed).distinct()
+        paths = paths.unionAll(composed)
+        if r < 3:
+            jump = (
+                jump.select("node", F.col("mid").alias("m"))
+                .join(jump.select(F.col("node").alias("m"), "mid"), "m")
+                .select("node", "mid")
+            )
     return paths
 
 
