@@ -729,7 +729,21 @@ def merge_parquet(
             writer = writer.partitionBy(*pcols)
         writer.parquet(dst_store.spark_path(""))
         if obs is not None:
-            matched = int(obs.get["matched"])
+            try:
+                matched = int(obs.get["matched"])
+            except Exception:
+                # Defensive twin of delete_parquet's fallback: the
+                # observed branch carries every update row into the
+                # write (out ⊇ updates, and updates is non-empty
+                # whenever aff_refs is), so AQE's empty-relation
+                # propagation cannot excise this CollectMetrics — but
+                # if an optimizer change ever does, recount rather
+                # than mis-report merge stats.
+                matched = updates.join(
+                    F.broadcast(aff.select(*keys).distinct()),
+                    keys,
+                    "left_semi",
+                ).count()
             stats["rows_updated"] = matched
             stats["rows_inserted"] = upd_rows - matched
     finally:
@@ -825,7 +839,7 @@ def delete_parquet(
     if aff_refs:
         from pyspark.sql import Observation
 
-        aff = read_refs(spark, root, aff_refs, read_schema, store=store)
+        aff_raw = read_refs(spark, root, aff_refs, read_schema, store=store)
         # deleted-row accounting rides the WRITE job as an observed
         # metric (CollectMetrics below the survivor filter — every aff
         # row flows through it; Catalyst does not push filters through
@@ -834,7 +848,7 @@ def delete_parquet(
         # counts 0 (`when` otherwise-branch), matching the survival
         # rule below.
         obs = Observation()
-        aff = aff.observe(
+        aff = aff_raw.observe(
             obs,
             F.coalesce(
                 F.sum(F.when(pred, 1).otherwise(0)), F.lit(0)
@@ -851,7 +865,18 @@ def delete_parquet(
         if pcols:
             writer = writer.partitionBy(*pcols)
         writer.parquet(dst_store.spark_path(""))
-        rows_deleted = int(obs.get["deleted"])
+        try:
+            rows_deleted = int(obs.get["deleted"])
+        except Exception:
+            # When EVERY affected row is deleted, AQE's runtime
+            # empty-relation propagation collapses the write plan —
+            # including the CollectMetrics node — to an empty
+            # relation, and the observation never fires (reproduced:
+            # observe → filter-all-out → parquet write). Recount
+            # directly on the unobserved frame (an Observation is
+            # single-use); this edge re-scans only the affected
+            # files, and only when the write was empty.
+            rows_deleted = aff_raw.filter(pred).count()
 
     stats = {
         "files_rewritten": len(aff_refs),

@@ -484,6 +484,26 @@ def test_delete_parquet_null_predicate_rows_survive(spark):
     assert got == {(1, 5), (3, None)}
 
 
+def test_delete_parquet_counts_when_every_affected_row_deleted(spark):
+    """rows_deleted stays exact when the predicate wipes EVERY row of
+    every affected file: the survivor write is then empty and AQE's
+    runtime empty-relation propagation excises the CollectMetrics
+    observation the count normally rides on — the fallback recount
+    must cover that edge (regression pin for the observed-write
+    optimization)."""
+    from cae_polars_tools_spark.storage import delete_parquet
+
+    tgt = os.path.join(TMP, "del_all_tgt")
+    dst = os.path.join(TMP, "del_all_dst")
+    spark.createDataFrame(
+        [(1, 5), (2, 15)], "id long, v long"
+    ).coalesce(1).write.mode("overwrite").parquet(tgt)
+    summary = delete_parquet(spark, tgt, "v IS NOT NULL", dst)
+    assert summary["rows_deleted"] == 2
+    assert summary["files_rewritten"] == 1
+    assert spark.read.parquet(dst).count() == 0
+
+
 def _hive_tgt(spark, path):
     """Two-level hive-partitioned dataset: part=a|b / sub=x|y, two rows
     per leaf, one file per leaf directory."""
