@@ -449,6 +449,7 @@ def jaccard_pairs(
     threshold: float = JACCARD_THRESHOLD,
     max_df: int = JACCARD_MAX_DF,
     candidate_filter: Callable[[DataFrame], DataFrame] | None = None,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity join over word-shingle sets via a
     DF-capped inverted index: explode (doc, shingle), drop shingles
@@ -479,8 +480,21 @@ def jaccard_pairs(
     shuffle-map stages that race the still-empty cache and each re-run
     the tokenize→shingle→hash pipeline — measured 4× the CPU and ~2×
     the wall time at sf0.1 (with the former 4-consumer DAG)."""
-    sh = docs.select("doc_id", hashed_shingles("text").alias("h64")).persist()
-    sh.count()
+    # ``shingled``: a caller that ALREADY holds a persisted
+    # (doc_id, h64) frame (e.g. one enriched cache serving several
+    # stages of a composed pipeline) passes it here and keeps
+    # ownership of the cache — the tokenize→shingle→hash pipeline
+    # then runs exactly once across the whole composition instead of
+    # once per consumer subtree (the ``signed=`` seam of
+    # incremental_dedup_indexed, applied to this generator).
+    own_cache = shingled is None
+    if own_cache:
+        sh = docs.select(
+            "doc_id", hashed_shingles("text").alias("h64")
+        ).persist()
+        sh.count()
+    else:
+        sh = shingled.select("doc_id", "h64")
     ex = sh.select("doc_id", F.explode("h64").alias("g"))
     hot = (
         ex.groupBy("g")
@@ -521,7 +535,7 @@ def jaccard_pairs(
         .join(sb, "doc_id_b")
         .select("doc_id_a", "doc_id_b", *extra, jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold),
-        sh,
+        *([sh] if own_cache else []),
     )
 
 

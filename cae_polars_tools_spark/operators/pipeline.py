@@ -1052,14 +1052,32 @@ def pipeline_curate_e2e(spark, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == F.col("__m"))
         .drop("__m")
     )
-    pairs = jaccard_pairs(restricted)
+    # ONE materialization of the survivors subtree (scan → quality
+    # gate → fingerprint window): both downstream consumers — the
+    # Jaccard cascade and the final anti-join — read this narrow
+    # cache (doc_id, token count, shingle hashes: the 1-2%-of-corpus
+    # artifact the module's persist rule allows) instead of each
+    # re-running the window shuffle. Before, the subtree executed
+    # twice per run (plan-visible as two identical quality+window
+    # stages).
+    from cae_polars_tools_spark.operators.dedup import (
+        _release_on_gc,
+        hashed_shingles,
+    )
+
+    enriched = restricted.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+        hashed_shingles("text").alias("h64"),
+    ).persist()
+    enriched.count()
+    pairs = jaccard_pairs(restricted, shingled=enriched)
     dropped = pairs.select(F.col("doc_id_b").alias("doc_id")).distinct()
-    out = (
-        restricted.join(dropped, "doc_id", "left_anti")
-        .select(
-            "doc_id",
-            F.size(tokens("text")).cast("long").alias("n_tokens"),
-        )
+    out = _release_on_gc(
+        enriched.select("doc_id", "n_tokens").join(
+            dropped, "doc_id", "left_anti"
+        ),
+        enriched,
     )
     out._upstream_cache_handle = pairs
     return out
