@@ -866,6 +866,7 @@ def query_minhash_index(
     text_col: str = "text",
     signed: DataFrame | None = None,
     broadcast_batch: bool = True,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate (index-doc, batch-doc) pairs at Jaccard ≥
     ``threshold`` — the batch probed against the PERSISTED index, no
@@ -903,7 +904,18 @@ def query_minhash_index(
         if own_cache
         else signed
     )
-    b_bands = _bands_of(b_sigs).select(
+    # The band frame is read twice below (probe-key collect + the
+    # candidate join) and the MinHash kernel — K permutation minima
+    # over every shingle, the most expensive per-doc compute in this
+    # path — runs inside ``_bands_of``, NOT inside the signed cache.
+    # Persist the bands (4 longs × LSH_BANDS per doc — far narrower
+    # than the shingle cache) so the kernel runs once per batch; a
+    # caller that also bands the batch itself (the within-batch pass
+    # of ``incremental_dedup_indexed``) passes its own persisted
+    # frame as ``bands`` and keeps ownership.
+    own_bands = bands is None
+    b_bands_src = _bands_of(b_sigs).persist() if own_bands else bands
+    b_bands = b_bands_src.select(
         F.col("doc_id").alias("doc_id_new"), "band", "bh", "shard"
     )
 
@@ -970,11 +982,12 @@ def query_minhash_index(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    # unpersist the batch signatures when the returned plan handle is
-    # dropped — a nightly loop must not accumulate one cached batch
-    # per cycle (dedup.py's _release_on_gc convention); a caller-owned
-    # `signed` cache is the caller's to release
-    return _release_on_gc(out, b_sigs) if own_cache else out
+    # unpersist the batch signatures/bands when the returned plan
+    # handle is dropped — a nightly loop must not accumulate one
+    # cached batch per cycle (dedup.py's _release_on_gc convention);
+    # caller-owned `signed`/`bands` caches are the caller's to release
+    cached = [c for c, own in ((b_sigs, own_cache), (b_bands_src, own_bands)) if own]
+    return _release_on_gc(out, *cached) if cached else out
 
 
 # ---------------------------------------------------------------------------
@@ -1176,16 +1189,22 @@ def incremental_dedup_indexed(
         .select("doc_id", *keep_cols)
     )
 
+    # ONE banding of the batch (the MinHash kernel — K permutation
+    # minima per doc — lives in _bands_of, not in the signed cache),
+    # shared by the index probe's two band reads AND the within-batch
+    # candidate pass: three kernel runs become one. Narrow cache
+    # (4 longs × LSH_BANDS per doc); released with the output below.
+    b_bands = _bands_of(b).persist()
     # near-dup vs the index: probe pairs drop the batch side
     probe = query_minhash_index(
         spark, index_path, batch, threshold=threshold,
         id_col=id_col, text_col=text_col, signed=b,
-        broadcast_batch=small_batch,
+        broadcast_batch=small_batch, bands=b_bands,
     ).select(F.col("doc_id_new").alias("doc_id"))
     # near-dup within the batch: the inline banded path's candidate +
     # verify stages, fed from the SAME signed cache (a < b drops b)
     cands = bucket_pairs(
-        _bands_of(b).select("doc_id", "band", "bh"), ["band", "bh"]
+        b_bands.select("doc_id", "band", "bh"), ["band", "bh"]
     )
     sa = b.select(F.col("doc_id").alias("doc_id_a"), F.col("h64").alias("s_a"))
     sb = b.select(F.col("doc_id").alias("doc_id_b"), F.col("h64").alias("s_b"))
@@ -1203,7 +1222,11 @@ def incremental_dedup_indexed(
     # final anti-join never shuffles the survivors
     dropped = probe.unionByName(within).distinct()
     out = exact_kept.join(bc(dropped), "doc_id", "left_anti")
-    return _release_on_gc(out, b) if own_cache else out
+    return (
+        _release_on_gc(out, b, b_bands)
+        if own_cache
+        else _release_on_gc(out, b_bands)
+    )
 
 
 _INDEXED_INCREMENTAL_ORACLE = f"""
