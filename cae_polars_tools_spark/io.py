@@ -107,9 +107,31 @@ def _read_parquet_cached_schema(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+#: Compute-matched task sizing for ``spread()``: when a small scan is
+#: re-partitioned for CPU-heavy per-row work, aim for about this many
+#: INPUT bytes per task instead of blanketing every core. The kernels
+#: spread serves (tokenize/shingle/MinHash/pandas-UDF scoring) cost
+#: ~0.1-0.5 s of single-thread CPU per MB, so 256 KiB ≈ 25-130 ms of
+#: real work per task — enough to amortize the per-task Python-worker
+#: dispatch (~25 ms measured: a 32-task pandas-UDF job over a 1.5 MB
+#: corpus walls ~1.0 s vs 0.39 s at 4 tasks with identical output).
+#: Measured at sf0.1/local[32]: dedup_minhash_lsh 4.33→1.60 s,
+#: text_tfidf_topk 2.19→0.73, dedup_simhash 1.76→0.66 vs the old
+#: always-all-cores rule; 128 KiB and 512 KiB were both worse on the
+#: same interleaved sweep. At real scale this cap is irrelevant by
+#: construction — spread only fires when the scan yields fewer
+#: partitions than cores, and the cap only LOWERS the count below
+#: cores for sub-``cores × target`` inputs. Env-overridable for
+#: clusters whose per-task dispatch or kernel cost differs.
+SPREAD_TARGET_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SPREAD_TARGET_BYTES", str(256 * 1024))
+)
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition a scan up to the session's parallelism —
-    but ONLY if the scan yields fewer partitions than cores.
+    but ONLY if the scan yields fewer partitions than cores, and no
+    further than the input size warrants (``SPREAD_TARGET_BYTES``).
 
     Why: parquet splitting is row-group-granular, so a small input (one
     file, one row group — exactly the shape of a dim-table or a
@@ -117,7 +139,7 @@ def spread(df: DataFrame) -> DataFrame:
     exist, and every downstream narrow op (tokenize, shingle, pandas
     UDF) runs single-threaded. For CPU-heavy per-row operators the
     repartition shuffle (bytes ≈ input size, which is small precisely
-    when this fires) buys back full parallelism.
+    when this fires) buys back parallelism.
 
     At real scale this is a no-op by construction: a 100 TB table scans
     as ~10⁵ row-group splits ≥ parallelism, so no exchange is added to
@@ -126,13 +148,18 @@ def spread(df: DataFrame) -> DataFrame:
     pandas-UDF scoring, blocked self-joins; do NOT spread cheap-per-row
     plans — a 600k-row groupBy got 3× slower (the extra exchange costs
     more than the single-task map side), and md5-fingerprint /
-    persisted-LSH-bucket pipelines regressed ~2×.
+    persisted-LSH-bucket pipelines regressed ~2×. The partition count
+    is compute-matched, not core-matched: a tiny corpus split across
+    every core pays per-task Python-worker dispatch on every
+    downstream UDF stage for ~no added parallelism of real work (see
+    ``SPREAD_TARGET_BYTES``).
 
     The small-scan test computes the partition count from input file
     sizes with Spark's own split-sizing + packing rules
     (``_scan_task_estimate``) — file-listing metadata only, so
     planning stays lazy and no RDD lineage is built. Non-file plans
-    fall back to the exact (lineage-building) RDD partition count.
+    fall back to the exact (lineage-building) RDD partition count and
+    the plain all-cores rule (no size information to match against).
     """
     spark = df.sparkSession
     try:
@@ -141,7 +168,8 @@ def spread(df: DataFrame) -> DataFrame:
         # Spark Connect: no SparkContext client-side — the scan-size
         # heuristic can't run; leave the plan untouched
         return df
-    est = _scan_task_estimate(df)
+    sizes = _scan_file_sizes(df)
+    est = _scan_task_estimate(df, sizes=sizes)
     if est is None:
         try:
             est = df.rdd.getNumPartitions()
@@ -149,7 +177,14 @@ def spread(df: DataFrame) -> DataFrame:
             return df  # non-file plan on a Connect-like session
     if est >= n:
         return df
-    return df.repartition(n)
+    k = (
+        n
+        if sizes is None
+        else min(n, max(1, -(-sum(sizes) // SPREAD_TARGET_BYTES)))
+    )
+    if est >= k:
+        return df
+    return df.repartition(k)
 
 
 def _conf_int(conf, key: str) -> int | None:
@@ -169,7 +204,33 @@ def _parse_bytes_conf(raw: str) -> int:
     return int(s)
 
 
-def _scan_task_estimate(df: DataFrame) -> int | None:
+def _scan_file_sizes(df: DataFrame) -> list[int] | None:
+    """Byte sizes of a local-file scan's input files (``None`` when the
+    plan isn't a local-file scan). File-listing metadata only — no RDD
+    lineage is built."""
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    sizes = []
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("file", ""):
+            return None
+        try:
+            sizes.append(os.path.getsize(unquote(u.path)))
+        except OSError:
+            return None
+    return sizes
+
+
+def _scan_task_estimate(
+    df: DataFrame, sizes: list[int] | None = None
+) -> int | None:
     """File-scan partition count computed the way Spark itself does
     (``FilePartition.maxSplitBytes`` + ``getFilePartitions``): split
     size = ``min(maxPartitionBytes, max(openCostInBytes,
@@ -190,23 +251,10 @@ def _scan_task_estimate(df: DataFrame) -> int | None:
     interchangeable equal-length items yields the same partition
     count, so the estimate — and therefore ``spread()``'s decision —
     is unaffected."""
-    from urllib.parse import unquote, urlparse
-
-    try:
-        files = df.inputFiles()
-    except Exception:
+    if sizes is None:
+        sizes = _scan_file_sizes(df)
+    if sizes is None:
         return None
-    if not files:
-        return None
-    sizes = []
-    for f in files:
-        u = urlparse(f)
-        if u.scheme not in ("file", ""):
-            return None
-        try:
-            sizes.append(os.path.getsize(unquote(u.path)))
-        except OSError:
-            return None
     spark = df.sparkSession
     conf = spark.conf
     max_pb = _parse_bytes_conf(
