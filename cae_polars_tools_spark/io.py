@@ -128,10 +128,15 @@ SPREAD_TARGET_BYTES = int(
 )
 
 
-def spread(df: DataFrame) -> DataFrame:
+def spread(df: DataFrame, target_bytes: int | None = None) -> DataFrame:
     """Round-robin repartition a scan up to the session's parallelism —
     but ONLY if the scan yields fewer partitions than cores, and no
-    further than the input size warrants (``SPREAD_TARGET_BYTES``).
+    further than the input size warrants (``target_bytes``, default
+    ``SPREAD_TARGET_BYTES``). Callers whose downstream kernel is far
+    heavier per input byte than the text kernels the default is sized
+    for (codec round-trips run seconds per MB, not tenths) pass a
+    proportionally smaller ``target_bytes`` so each task still
+    carries tens-to-hundreds of ms of real work.
 
     Why: parquet splitting is row-group-granular, so a small input (one
     file, one row group — exactly the shape of a dim-table or a
@@ -177,10 +182,11 @@ def spread(df: DataFrame) -> DataFrame:
             return df  # non-file plan on a Connect-like session
     if est >= n:
         return df
+    per_task = SPREAD_TARGET_BYTES if target_bytes is None else target_bytes
     k = (
         n
         if sizes is None
-        else min(n, max(1, -(-sum(sizes) // SPREAD_TARGET_BYTES)))
+        else min(n, max(1, -(-sum(sizes) // per_task)))
     )
     if est >= k:
         return df

@@ -36,6 +36,36 @@ def test_estimate_matches_actual_decision(spark, sf_dir):
         assert est == actual
 
 
+def test_spread_target_bytes_override(spark, tmp_path):
+    """Callers with heavier-than-text kernels pass a smaller
+    ``target_bytes``; the repartition width must follow
+    ceil(input_bytes / target), capped at cores, and the default path
+    must stay on ``SPREAD_TARGET_BYTES``."""
+    from cae_polars_tools_spark.io import (
+        SPREAD_TARGET_BYTES,
+        _scan_file_sizes,
+        spread,
+    )
+
+    src = str(tmp_path / "one")
+    spark.range(20_000).selectExpr(
+        "id", "repeat(uuid(), 4) AS payload"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    df = spark.read.parquet(src)
+    assert df.rdd.getNumPartitions() == 1
+    size = sum(_scan_file_sizes(df))
+    n = spark.sparkContext.defaultParallelism
+    target = max(1, size // 7)  # → ceil gives 7 or 8 tasks
+    want = min(n, -(-size // target))
+    assert want > 1
+    assert spread(df, target_bytes=target).rdd.getNumPartitions() == want
+    # default path unchanged: sized by SPREAD_TARGET_BYTES
+    k_default = min(n, max(1, -(-size // SPREAD_TARGET_BYTES)))
+    out = spread(df)
+    got = out.rdd.getNumPartitions()
+    assert got == (1 if k_default <= 1 else k_default)
+
+
 def test_non_file_plan_falls_back_to_none(spark):
     rows = spark.range(10).selectExpr("id", "id * 2 AS v")
     assert _scan_task_estimate(rows) is None
