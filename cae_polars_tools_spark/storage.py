@@ -505,6 +505,7 @@ def merge_parquet(
     source_sizes: dict | None = None,
     source_rows: dict | None = None,
     candidate_refs: list[str] | None = None,
+    pre_rows: int | None = None,
 ) -> dict:
     """Copy-on-write MERGE (upsert) into a parquet dataset: rows of
     ``updates`` replace target rows with matching ``keys``; everything
@@ -563,6 +564,14 @@ def merge_parquet(
     instead of O(table files). Requires ``read_schema`` and
     ``source_rows`` covering every source ref (the subset relation
     can answer neither the table's schema nor its row count).
+
+    ``pre_rows`` asserts the caller ALREADY ran the batch
+    precondition — verified uniqueness on ``keys`` and counted the
+    batch rows — in its own aggregate (``Table._merge_candidates``
+    fuses it with the pruning range probe), so the precondition job
+    here is skipped: one fewer driver action / cluster barrier per
+    merge. Callers without such a fused aggregate leave it None and
+    get the full check.
     """
     from pyspark.sql import functions as F
 
@@ -624,27 +633,33 @@ def merge_parquet(
         )
     updates = updates.select(*t.columns).persist()
     try:
-        # ONE aggregate job answers both precondition questions —
-        # "is the batch unique on keys?" and "how many update rows?" —
-        # instead of a dup-probe action plus a separate count action;
-        # each saved action is a full driver round-trip / cluster
-        # barrier (a scheduling constant locally, a real commit-latency
-        # term on a 100 TB cluster).
-        per_key = updates.groupBy(*keys).agg(
-            F.count(F.lit(1)).alias("__n")
-        )
-        pre = per_key.agg(
-            F.coalesce(F.sum("__n"), F.lit(0)).alias("__rows"),
-            F.coalesce(F.max("__n"), F.lit(0)).alias("__mx"),
-        ).collect()[0]
-        upd_rows = pre["__rows"]
-        if pre["__mx"] > 1:
-            # error path only: one extra job to name an example key
-            dup = per_key.filter(F.col("__n") > 1).limit(1).collect()
-            raise ValueError(
-                f"updates are not unique on {keys}: e.g. "
-                f"{tuple(dup[0][k] for k in keys)}"
+        if pre_rows is not None:
+            # the caller's fused aggregate already verified key
+            # uniqueness and counted the batch (see docstring)
+            upd_rows = pre_rows
+        else:
+            # ONE aggregate job answers both precondition questions —
+            # "is the batch unique on keys?" and "how many update
+            # rows?" — instead of a dup-probe action plus a separate
+            # count action; each saved action is a full driver
+            # round-trip / cluster barrier (a scheduling constant
+            # locally, a real commit-latency term on a 100 TB
+            # cluster).
+            per_key = updates.groupBy(*keys).agg(
+                F.count(F.lit(1)).alias("__n")
             )
+            pre = per_key.agg(
+                F.coalesce(F.sum("__n"), F.lit(0)).alias("__rows"),
+                F.coalesce(F.max("__n"), F.lit(0)).alias("__mx"),
+            ).collect()[0]
+            upd_rows = pre["__rows"]
+            if pre["__mx"] > 1:
+                # error path only: one extra job to name an example key
+                dup = per_key.filter(F.col("__n") > 1).limit(1).collect()
+                raise ValueError(
+                    f"updates are not unique on {keys}: e.g. "
+                    f"{tuple(dup[0][k] for k in keys)}"
+                )
         key_set = F.broadcast(updates.select(*keys).distinct())
 
         # distributed affected-file discovery; min/max row-group

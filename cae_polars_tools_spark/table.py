@@ -323,11 +323,27 @@ class Table:
         manifest's per-file key min/max against the batch's key range
         — files provably outside it never even enter the discovery
         scan's relation, so planning cost is O(candidate files), not
-        O(table files) (the Delta data-skipping shape). Returns None
-        (no pruning, full path) unless the manifest carries the
-        accounting merge needs to skip the full union entirely:
-        a recorded schema, row counts covering EVERY ref, and column
-        stats. Conservative everywhere — a key column that is not
+        O(table files) (the Delta data-skipping shape).
+
+        Returns ``(candidate_refs | None, batch_rows | None)``. The
+        batch PRECONDITION ``merge_parquet`` needs ("unique on keys?
+        how many rows?") rides the SAME aggregate job: min/max of a
+        key expression over the DISTINCT keys equals min/max over the
+        batch, so one ``groupBy(keys)`` aggregate answers pruning and
+        precondition together and the verb saves a full driver
+        action / cluster barrier per merge (a scheduling constant
+        locally, a real commit-latency term on a cluster). A non-None
+        second element means the precondition already ran here —
+        ``Table.merge`` forwards it as ``merge_parquet(pre_rows=…)``;
+        ``(None, None)`` (a key column missing from the batch — let
+        merge_parquet's own validation name the problem) keeps the
+        un-fused path.
+
+        Candidate pruning itself stays None (no pruning, full
+        discovery) unless the manifest carries the accounting merge
+        needs to skip the full union entirely: a recorded schema, row
+        counts covering EVERY ref, and column stats. Conservative
+        everywhere — a key column that is not
         int/float/string/timestamp/date, an empty batch range, or a
         file without stats falls back to candidacy, never to pruning.
         Timestamp keys probe as epoch-MICROS and date keys as
@@ -349,10 +365,13 @@ class Table:
             TimestampType,
         )
 
-        if read_schema is None or not cstats:
-            return None
-        if any(r not in rows for r in refs):
-            return None
+        if any(k not in batch.columns for k in keys):
+            return None, None
+        prunable = (
+            read_schema is not None
+            and bool(cstats)
+            and all(r in rows for r in refs)
+        )
 
         import decimal
 
@@ -375,17 +394,33 @@ class Table:
                 return F.col(f.name), None, None
             return None
 
-        probed = {
-            f.name: et
-            for f in batch.schema.fields
-            if f.name in keys and (et := _probe_expr(f)) is not None
-        }
-        if not probed:
-            return None
-        agg = batch.agg(
+        probed = (
+            {
+                f.name: et
+                for f in batch.schema.fields
+                if f.name in keys and (et := _probe_expr(f)) is not None
+            }
+            if prunable
+            else {}
+        )
+        per_key = batch.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        agg = per_key.agg(
+            F.coalesce(F.sum("__n"), F.lit(0)).alias("__rows"),
+            F.coalesce(F.max("__n"), F.lit(0)).alias("__mx"),
             *[F.min(e).alias(f"lo_{k}") for k, (e, _, _) in probed.items()],
             *[F.max(e).alias(f"hi_{k}") for k, (e, _, _) in probed.items()],
         ).collect()[0]
+        if agg["__mx"] > 1:
+            # error path only: one extra job to name an example key
+            # (message kept identical to merge_parquet's own check)
+            dup = per_key.filter(F.col("__n") > 1).limit(1).collect()
+            raise ValueError(
+                f"updates are not unique on {keys}: e.g. "
+                f"{tuple(dup[0][k] for k in keys)}"
+            )
+        batch_rows = int(agg["__rows"])
         ranges = {}
         for k, (_, tag, post) in probed.items():
             lo, hi = agg[f"lo_{k}"], agg[f"hi_{k}"]
@@ -395,10 +430,10 @@ class Table:
                 lo, hi = post(lo), post(hi)
             ranges[k] = (lo, hi) if tag is None else (lo, hi, tag)
         if not ranges:
-            return None
+            return None, batch_rows
         from cae_polars_tools_spark.manifest import refs_intersecting
 
-        return refs_intersecting(cstats, refs, ranges)
+        return refs_intersecting(cstats, refs, ranges), batch_rows
 
     def _commit(
         self,
@@ -723,7 +758,7 @@ class Table:
         # of recomputing an expensive update plan twice
         batch = batch.persist()
         try:
-            candidates = self._merge_candidates(
+            candidates, pre_rows = self._merge_candidates(
                 batch, keys, cur_refs, cur_rows, cur_cstats, read_schema
             )
             v, vd = self._next_version_dir(meta)
@@ -739,6 +774,7 @@ class Table:
                 source_sizes=cur_sizes,
                 source_rows=cur_rows,
                 candidate_refs=candidates,
+                pre_rows=pre_rows,
             )
         finally:
             batch.unpersist()

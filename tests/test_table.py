@@ -933,3 +933,47 @@ def test_compact_legacy_version_derives_schema(spark, tmp_path):
     assert t.current().count() == 0
     t.delete("k < 0")  # idempotent no-op on the empty version
     assert t.current().columns == ["k", "val"]
+
+
+def test_merge_precondition_rides_the_candidate_aggregate(
+    spark, tmp_path, monkeypatch
+):
+    """Table.merge submits exactly TWO driver actions before its
+    write: the fused candidate-range + precondition aggregate and the
+    affected-file discovery. A third action (merge_parquet running its
+    own uniqueness/count probe despite the caller's fused aggregate —
+    the pre-fusion shape) shows up here immediately, as would a
+    count() fallback (manifest row accounting must keep the verb off
+    the t.count() path)."""
+    t = _seed(spark, tmp_path)
+    batch = spark.createDataFrame(
+        [(0, "src0", 999), (100, "srcX", 1)],
+        "doc_id long, source string, n long",
+    )
+    cls = type(batch)
+    calls = {"count": 0, "collect": 0}
+    orig_count, orig_collect = cls.count, cls.collect
+
+    def counting_count(self):
+        calls["count"] += 1
+        return orig_count(self)
+
+    def counting_collect(self):
+        calls["collect"] += 1
+        return orig_collect(self)
+
+    monkeypatch.setattr(cls, "count", counting_count)
+    monkeypatch.setattr(cls, "collect", counting_collect)
+    stats = t.merge(batch, keys=["doc_id"])
+    in_merge = dict(calls)
+    # the stats the fused precondition feeds must stay exact
+    assert stats["rows_updated"] == 1 and stats["rows_inserted"] == 1
+    assert in_merge == {"count": 0, "collect": 2}, in_merge
+
+    # the fused aggregate still enforces merge_parquet's uniqueness
+    # precondition, with the same error text
+    dup = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2)], "doc_id long, source string, n long"
+    )
+    with pytest.raises(ValueError, match="not unique"):
+        t.merge(dup, keys=["doc_id"])
