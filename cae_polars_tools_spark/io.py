@@ -127,6 +127,40 @@ SPREAD_TARGET_BYTES = int(
     os.environ.get("SPARK_GRAFT_SPREAD_TARGET_BYTES", str(256 * 1024))
 )
 
+#: Codec-family spread targets — the ``target_bytes`` overrides for
+#: kernels far heavier per input byte than the text default above.
+#: Tiered by measured single-thread kernel cost, each tier keeping a
+#: task at roughly the same tens-to-hundreds-of-ms of real work the
+#: 256 KiB text tier gives (round-15 interleaved A/B over the whole
+#: mm family at sf0.1, four targets × 3 rounds, same process;
+#: per-entry medians in OPTIMIZATION_r15.md):
+#:
+#: * HEAVY (~1-3 s/MB: full-image decode, sample-rate conversion) —
+#:   64 KiB. mm_png_features 0.75→0.55 s, mm_bmp 0.62→0.52,
+#:   mm_y4m 0.69→0.56, mm_audio_resample 0.68→0.63,
+#:   mm_resize_thumbnail 1.37→0.75.
+#: * CODEC (~3-8 s/MB: bit-level audio codec decode) — 32 KiB.
+#:   mm_flac_features 1.98→1.02 s, mm_ogg_flac 2.47→0.88.
+#: * ROUNDTRIP (~10+ s/MB: encode THEN decode, pixel-exact) —
+#:   16 KiB. mm_avi_mjpeg_roundtrip 8.40→1.65 s, mm_jpeg_roundtrip
+#:   3.90→0.82, mm_gif_features 0.81→0.57.
+#:
+#: Entries whose kernel is header-sniff/frame-sample cheap
+#: (mm_image_info, multimodal_frame_sample, multimodal_features,
+#: mm_audio_frame_energy) measured BEST at the text default — finer
+#: splits only add dispatch — and take no override. Same scale
+#: argument as the base target: a real corpus scans as more splits
+#: than cores and spread never fires.
+SPREAD_HEAVY_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SPREAD_HEAVY_BYTES", str(64 * 1024))
+)
+SPREAD_CODEC_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SPREAD_CODEC_BYTES", str(32 * 1024))
+)
+SPREAD_ROUNDTRIP_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SPREAD_ROUNDTRIP_BYTES", str(16 * 1024))
+)
+
 
 def spread(df: DataFrame, target_bytes: int | None = None) -> DataFrame:
     """Round-robin repartition a scan up to the session's parallelism —

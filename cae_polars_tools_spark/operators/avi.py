@@ -225,7 +225,11 @@ from collections.abc import Iterator  # noqa: E402
 
 from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
-from cae_polars_tools_spark.io import read_table, spread  # noqa: E402
+from cae_polars_tools_spark.io import (  # noqa: E402
+    SPREAD_ROUNDTRIP_BYTES,
+    read_table,
+    spread,
+)
 from cae_polars_tools_spark.plans.registry import register  # noqa: E402
 
 
@@ -316,7 +320,10 @@ def mm_avi_mjpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["within_tol"].append(err <= JPEG_TOL)
             yield pd.DataFrame(out)
 
-    docs = spread(read_table(spark, sf_dir, "documents"))
+    docs = spread(
+        read_table(spark, sf_dir, "documents"),
+        target_bytes=SPREAD_ROUNDTRIP_BYTES,
+    )
     return with_payload(docs).mapInPandas(
         gen,
         schema=(

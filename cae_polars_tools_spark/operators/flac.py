@@ -905,7 +905,11 @@ def _text_to_flac(docs, container: str = "native"):
 def _register_flac_entry() -> None:
     from pyspark.sql import DataFrame, SparkSession
 
-    from cae_polars_tools_spark.io import read_table, spread
+    from cae_polars_tools_spark.io import (
+        SPREAD_CODEC_BYTES,
+        read_table,
+        spread,
+    )
     from cae_polars_tools_spark.plans.registry import register
 
     @register(
@@ -950,7 +954,10 @@ def _register_flac_entry() -> None:
             audio_features,
         )
 
-        docs = spread(read_table(spark, sf_dir, "documents"))
+        docs = spread(
+            read_table(spark, sf_dir, "documents"),
+            target_bytes=SPREAD_CODEC_BYTES,
+        )
         return audio_features(_text_to_flac(docs))
 
     @register(
@@ -990,7 +997,10 @@ def _register_flac_entry() -> None:
             audio_features,
         )
 
-        docs = spread(read_table(spark, sf_dir, "documents"))
+        docs = spread(
+            read_table(spark, sf_dir, "documents"),
+            target_bytes=SPREAD_CODEC_BYTES,
+        )
         return audio_features(_text_to_flac(docs, container="ogg"))
 
 

@@ -393,7 +393,12 @@ def mm_gif_features(spark, sf_dir: str):
     oracles — asserted in tests/test_corpus_oracle.py.)"""
     from collections.abc import Iterator
 
-    from cae_polars_tools_spark.io import read_table, spread
+    from cae_polars_tools_spark.io import (
+        SPREAD_HEAVY_BYTES,
+        SPREAD_ROUNDTRIP_BYTES,
+        read_table,
+        spread,
+    )
     from cae_polars_tools_spark.operators.multimodal import with_payload
 
     n = GIF_W * GIF_H
@@ -422,7 +427,10 @@ def mm_gif_features(spark, sf_dir: str):
                 out["mean_b"].append(sums[2] / n)
             yield pd.DataFrame(out)
 
-    docs = spread(read_table(spark, sf_dir, "documents"))
+    docs = spread(
+        read_table(spark, sf_dir, "documents"),
+        target_bytes=SPREAD_ROUNDTRIP_BYTES,
+    )
     return with_payload(docs).mapInPandas(
         gen,
         schema=(
@@ -523,7 +531,12 @@ def mm_resize_thumbnail(spark, sf_dir: str):
     columns {0,2,4}, so the oracle recomputes every surviving pixel
     straight from the text bytes. Zero shuffle; payloads never leave
     their partition."""
-    from cae_polars_tools_spark.io import read_table, spread
+    from cae_polars_tools_spark.io import (
+        SPREAD_HEAVY_BYTES,
+        SPREAD_ROUNDTRIP_BYTES,
+        read_table,
+        spread,
+    )
     from cae_polars_tools_spark.operators.multimodal import (
         image_features,
         resize_assets,
@@ -531,7 +544,10 @@ def mm_resize_thumbnail(spark, sf_dir: str):
         with_payload,
     )
 
-    docs = spread(read_table(spark, sf_dir, "documents"))
+    docs = spread(
+        read_table(spark, sf_dir, "documents"),
+        target_bytes=SPREAD_HEAVY_BYTES,
+    )
     resized = resize_assets(
         text_to_gif_assets(with_payload(docs)),
         width=RESIZE_W,

@@ -51,7 +51,12 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cae_polars_tools_spark.io import read_table, spread
+from cae_polars_tools_spark.io import (
+    SPREAD_HEAVY_BYTES,
+    SPREAD_ROUNDTRIP_BYTES,
+    read_table,
+    spread,
+)
 from cae_polars_tools_spark.plans.registry import register
 
 
@@ -1308,7 +1313,10 @@ def mm_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     every pixel from the same text bytes in SQL, so the whole
     encode/decode/feature chain is verified value-for-value — not just
     plumbing. Zero shuffle; bytes never leave their partition."""
-    docs = spread(read_table(spark, sf_dir, "documents"))
+    docs = spread(
+        read_table(spark, sf_dir, "documents"),
+        target_bytes=SPREAD_HEAVY_BYTES,
+    )
     return image_features(_text_to_bmp(with_payload(docs)))
 
 
@@ -1364,7 +1372,10 @@ def mm_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     unfilter → per-channel means. Closes most of the media-codec seam
     without any external imaging library (video remains behind the
     documented NotImplementedError seam)."""
-    docs = spread(read_table(spark, sf_dir, "documents"))
+    docs = spread(
+        read_table(spark, sf_dir, "documents"),
+        target_bytes=SPREAD_HEAVY_BYTES,
+    )
     return image_features(_text_to_png(with_payload(docs)))
 
 
@@ -1429,7 +1440,10 @@ def mm_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["within_tol"].append(err <= JPEG_TOL)
             yield pd.DataFrame(out)
 
-    docs = spread(read_table(spark, sf_dir, "documents"))
+    docs = spread(
+        read_table(spark, sf_dir, "documents"),
+        target_bytes=SPREAD_ROUNDTRIP_BYTES,
+    )
     return with_payload(docs).mapInPandas(
         gen,
         schema="doc_id long, width int, height int, within_tol boolean",
@@ -1522,7 +1536,10 @@ def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["samples"].append(arr[:, 0].astype(np.int64))
             yield pd.DataFrame(out)
 
-    docs = spread(read_table(spark, sf_dir, "documents"))
+    docs = spread(
+        read_table(spark, sf_dir, "documents"),
+        target_bytes=SPREAD_HEAVY_BYTES,
+    )
     resampled = audio_resample(_text_to_wav(docs), WAV_RATE_OUT)
     decoded = resampled.mapInPandas(
         decode_gen, schema="doc_id long, samples array<long>"

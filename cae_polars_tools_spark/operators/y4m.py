@@ -32,7 +32,11 @@ import numpy as np
 
 from pyspark.sql import DataFrame, SparkSession
 
-from cae_polars_tools_spark.io import read_table, spread
+from cae_polars_tools_spark.io import (
+    SPREAD_HEAVY_BYTES,
+    read_table,
+    spread,
+)
 from cae_polars_tools_spark.operators.jpeg import _ycc_to_rgb
 from cae_polars_tools_spark.plans.registry import register
 
@@ -356,7 +360,10 @@ def mm_y4m_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted for the sampled corpus in tests/test_corpus_oracle.py."""
     from cae_polars_tools_spark.operators.multimodal import with_payload
 
-    docs = spread(read_table(spark, sf_dir, "documents"))
+    docs = spread(
+        read_table(spark, sf_dir, "documents"),
+        target_bytes=SPREAD_HEAVY_BYTES,
+    )
     assets = _text_to_y4m(with_payload(docs))
 
     def gen(batches: Iterator) -> Iterator:
