@@ -786,7 +786,14 @@ def read_artifact(spark: SparkSession, root: str, dirname: str) -> DataFrame:
                 f"artifact {dirname} is empty and records no schema"
             )
         return spark.createDataFrame([], StructType.fromJson(m["schema"]))
-    return read_refs(spark, root, m["files"], store=store)
+    # read under the manifest's recorded schema: schema inference over
+    # a many-file relation costs a driver round-trip (and, above the
+    # parallel-discovery threshold, a footer-read job) on EVERY read
+    # of the artifact — the manifest already knows the answer
+    schema = (
+        StructType.fromJson(m["schema"]) if m.get("schema") else None
+    )
+    return read_refs(spark, root, m["files"], schema, store=store)
 
 
 def adopt_dir_files(
