@@ -136,9 +136,16 @@ def build_minhash_index(
             .write.mode("overwrite")
             .parquet(store.spark_path("sigs_v0"))
         )
+        # ONE file per shard: hash-cluster on the partition column
+        # (a range partitioning over (shard, bh) splits each shard
+        # across several writer tasks — measured 64 files over 16
+        # shard dirs, and a >threshold file count makes every read
+        # pay a distributed listing job). The bh sort within each
+        # shard's single file keeps the probe's row-group bh stats
+        # exactly as selective as the ranged layout did.
         (
             _bands_of(sigs)
-            .repartitionByRange(F.col("shard"), F.col("bh"))
+            .repartition(F.col("shard"))
             .sortWithinPartitions("bh", "band")
             .write.mode("overwrite")
             .partitionBy("shard")
@@ -283,8 +290,12 @@ def _append_segments(
     store = ByteStore.for_path(root)
     bands = _bands_of(signed)
     pre_bands = snapshot_dir(store, meta["bands_dir"])
+    # one segment file per touched shard per append (not one per
+    # batch partition per shard): file-count growth is what decays
+    # scan planning between compactions
     (
-        bands.sortWithinPartitions("bh", "band")
+        bands.repartition(F.col("shard"))
+        .sortWithinPartitions("bh", "band")
         .write.mode("append")
         .partitionBy("shard")
         .parquet(store.spark_path(meta["bands_dir"]))

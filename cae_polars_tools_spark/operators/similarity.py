@@ -1554,8 +1554,19 @@ def build_ivfpq_index(
     codes = _encode_with_index_model(
         embeddings, centroids, codebooks, id_col, emb_col
     )
-    codes.write.mode("overwrite").partitionBy("cl").parquet(
-        store.spark_path("codes")
+    # ONE file per inverted list: hash-cluster on the partition column
+    # before partitionBy, or every encode partition writes its own
+    # sliver into every touched cell (measured: 32 partitions x 18
+    # cells = 506 files of ~8 KB — and a >threshold file count makes
+    # every subsequent read pay a distributed listing job). vec_id
+    # ordering within the file keeps row-group stats selective for
+    # the id fast paths (the compaction's sort_cols discipline).
+    (
+        codes.repartition(F.col("cl"))
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cl")
+        .parquet(store.spark_path("codes"))
     )
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
@@ -1682,7 +1693,7 @@ def append_ivfpq_index(
 
     store = ByteStore.for_path(root)
     pre = snapshot_dir(store, meta.get("codes_dir", "codes"))
-    new.write.mode("append").partitionBy("cl").parquet(
+    new.repartition(F.col("cl")).write.mode("append").partitionBy("cl").parquet(
         store.spark_path(meta.get("codes_dir", "codes"))
     )
     adopt_dir_files(
@@ -1750,7 +1761,7 @@ def ivfpq_ingest_sink(
 
         store = ByteStore.for_path(root)
         pre = snapshot_dir(store, meta.get("codes_dir", "codes"))
-        new.write.mode("append").partitionBy("cl").parquet(
+        new.repartition(F.col("cl")).write.mode("append").partitionBy("cl").parquet(
             store.spark_path(meta.get("codes_dir", "codes"))
         )
         adopt_dir_files(
