@@ -1732,10 +1732,27 @@ def incremental_dedup(
     their verification would be pure waste. History contributes its
     fingerprint column and its shingle index — both of which a real
     pipeline keeps materialized between cycles."""
-    fp = fingerprint("text")
-    new_docs = docs.filter(is_new)
-    hist_fps = docs.filter(~is_new).select(fp.alias("fp")).distinct()
-    batch = new_docs.select("doc_id", "source", fp.alias("fp"))
+    # ONE corpus pass computes everything every branch below needs —
+    # md5 fingerprint, role flag, and the shingle hashes — into a
+    # single persisted frame. The former shape scanned the corpus
+    # text three times (history fps, batch fps, and jaccard_pairs'
+    # own shingle cache), re-running the md5 kernel twice; at 100 TB
+    # each avoided pass is a full-corpus read. Width stays within the
+    # narrow-persist rule: this is jaccard_pairs' own (doc_id, h64)
+    # cache plus three scalar columns. Eager count for the same
+    # reason jaccard_pairs materializes its cache: concurrent AQE
+    # stage materializations otherwise race the empty cache and each
+    # re-run the tokenize→shingle→hash pipeline.
+    base = docs.select(
+        "doc_id",
+        "source",
+        is_new.alias("new"),
+        fingerprint("text").alias("fp"),
+        hashed_shingles("text").alias("h64"),
+    ).persist()
+    base.count()
+    hist_fps = base.filter(~F.col("new")).select("fp").distinct()
+    batch = base.filter(F.col("new")).select("doc_id", "source", "fp")
 
     # exact: history wins, then first-in-batch wins
     no_hist = batch.join(hist_fps, "fp", "left_anti")
@@ -1755,7 +1772,7 @@ def incremental_dedup(
     # contract), so the dropped id is one CASE over jp — no second
     # pair-of-joins (history partner drops the batch side; batch-batch
     # drops the larger id, consistent with a < b).
-    roles = docs.select("doc_id", is_new.alias("new"))
+    roles = base.select("doc_id", "new")
     ra = roles.select(
         F.col("doc_id").alias("doc_id_a"), F.col("new").alias("a_new")
     )
@@ -1774,22 +1791,21 @@ def incremental_dedup(
             .filter(F.col("a_new") | F.col("b_new"))
         )
 
-    jp = jaccard_pairs(docs, threshold=threshold, candidate_filter=touching_batch)
+    jp = jaccard_pairs(
+        docs,
+        threshold=threshold,
+        candidate_filter=touching_batch,
+        shingled=base,
+    )
     dropped = jp.select(
         F.when(F.col("b_new"), F.col("doc_id_b"))
         .when(F.col("a_new"), F.col("doc_id_a"))
         .alias("doc_id")
     ).distinct()
     result = exact_kept.join(dropped, "doc_id", "left_anti")
-    # _release_on_gc's chaining contract: a derived DataFrame keeps no
-    # Python reference to its parent, so dropping the jaccard handle
-    # here would fire its finalizer and unpersist the eagerly-
-    # materialized shingle cache BEFORE the caller ever runs an action
-    # (then all three cache consumers re-execute the shingle
-    # pipeline). Pin the handle to the returned frame so the cache
-    # lives exactly as long as this plan can still execute.
-    result._upstream_cache_handle = jp
-    return result
+    # the shared cache is ours (jaccard_pairs ran caller-owned):
+    # release it when the returned plan handle is garbage-collected
+    return _release_on_gc(result, base)
 
 
 @register(
