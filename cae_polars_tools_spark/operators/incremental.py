@@ -145,6 +145,13 @@ def _merged_affected_state(
     and Table-based refreshers: semi-join the persisted state down to
     the batch's keys, merge the mergeable aggregates, and align the
     result to the persisted schema with loud overflow refusal."""
+    # the batch aggregate feeds TWO consumers — the broadcast key set
+    # pruning the base, and the merge union itself. Unpersisted it
+    # computes twice (two full scans + aggregations of the batch —
+    # O(batch) each, the very cost this module exists to bound).
+    # Released right after the overflow probe below materializes the
+    # casted cache, which is what every downstream read serves from.
+    batch_state = batch_state.persist()
     affected_base = base.join(
         F.broadcast(batch_state.select(*keys).distinct()),
         keys,
@@ -189,6 +196,11 @@ def _merged_affected_state(
     except BaseException:
         casted.unpersist()
         raise
+    finally:
+        # the casted cache is materialized (or the refresh aborted) —
+        # every later read serves from it, so the batch aggregate's
+        # cache has done its job either way
+        batch_state.unpersist()
     # the caller's merge writes this frame once, immediately — the
     # overflow count above already materialized the cache, so the
     # write reads it hot; the cache releases when the handle drops
