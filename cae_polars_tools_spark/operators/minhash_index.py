@@ -136,13 +136,15 @@ def build_minhash_index(
             .write.mode("overwrite")
             .parquet(store.spark_path("sigs_v0"))
         )
-        # ONE file per shard: hash-cluster on the partition column
-        # (a range partitioning over (shard, bh) splits each shard
-        # across several writer tasks — measured 64 files over 16
-        # shard dirs, and a >threshold file count makes every read
-        # pay a distributed listing job). The bh sort within each
-        # shard's single file keeps the probe's row-group bh stats
-        # exactly as selective as the ranged layout did.
+        # ONE file per shard, GUARANTEED: hash-clustering on the
+        # partition column puts each shard wholly in one writer task.
+        # The former range partitioning over (shard, bh) only gave
+        # that when no shard straddled a range boundary — a property
+        # of the data and the session's shuffle-partition count, not
+        # of the layout. The bh sort within each shard's single file
+        # keeps the probe's row-group bh stats exactly as selective
+        # as the ranged layout did (interleaved A/B at sf0.1: probe
+        # medians 3.30 ranged vs 2.79 clustered, builds a tie).
         (
             _bands_of(sigs)
             .repartition(F.col("shard"))
