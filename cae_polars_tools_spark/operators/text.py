@@ -18,7 +18,11 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cae_polars_tools_spark.io import read_table, spread
+from cae_polars_tools_spark.io import (
+    SPREAD_HEAVY_BYTES,
+    read_table,
+    spread,
+)
 from cae_polars_tools_spark.plans.registry import register
 
 # Word-tokenization shared by text + dedup operators. Single-space
@@ -692,8 +696,15 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``(doc, bigram)`` count → per-doc max — two partial-aggregated
     shuffles whose key cardinality is bounded by distinct bigrams per
     doc, never all-pairs. All ratios are exact integer divisions in
-    IEEE doubles, so the DuckDB oracle matches bit-for-bit."""
-    d = spread(read_table(spark, sf_dir, "documents"))
+    IEEE doubles, so the DuckDB oracle matches bit-for-bit.
+
+    HEAVY spread tier: the per-doc n-gram passes cost seconds per MB
+    (interleaved A/B at sf0.1: 2.01 s at the 256 KiB text default vs
+    1.35 s at 64 KiB ≈ the all-cores 1.31 floor)."""
+    d = spread(
+        read_table(spark, sf_dir, "documents"),
+        target_bytes=SPREAD_HEAVY_BYTES,
+    )
     return repetition_report(d)
 
 

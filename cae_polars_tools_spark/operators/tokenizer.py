@@ -28,7 +28,11 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cae_polars_tools_spark.io import read_table, spread
+from cae_polars_tools_spark.io import (
+    SPREAD_HEAVY_BYTES,
+    read_table,
+    spread,
+)
 from cae_polars_tools_spark.plans.registry import register
 
 Merge = tuple[bytes, bytes]
@@ -210,6 +214,13 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-merge table — the real encode machinery (greedy lowest-rank
     loop), value-checked against a DuckDB nested-REPLACE oracle that
     is provably equivalent for single-byte-pair merge tables (see
-    module comment). Counts feed ``pack_sequences`` unchanged."""
-    docs = spread(read_table(spark, sf_dir, "documents"))
+    module comment). Counts feed ``pack_sequences`` unchanged.
+
+    HEAVY spread tier: the greedy merge loop costs seconds per MB
+    (interleaved A/B at sf0.1: 1.21 s at the 256 KiB text default vs
+    0.75 s at 64 KiB ≈ the all-cores 0.71 floor)."""
+    docs = spread(
+        read_table(spark, sf_dir, "documents"),
+        target_bytes=SPREAD_HEAVY_BYTES,
+    )
     return tokenize_bpe(docs, FIXED_MERGES)
