@@ -1650,6 +1650,29 @@ def test_count_triangles_known_graph_and_multi_edges(spark):
     assert set(got2.values()) == {0}
 
 
+def test_count_triangles_local_equals_distributed(spark):
+    """The AQE-style strategy pick must be invisible: the driver-side
+    pandas path (small graph) and the distributed orientation/wedge
+    pipeline (local_threshold=0) agree exactly — same (degree, id)
+    orientation, same closing join, integer-exact both ways."""
+    import random
+
+    from cae_polars_tools_spark.operators.graph import count_triangles
+
+    rng = random.Random(17)
+    edges = list({(rng.randrange(40), rng.randrange(40)) for _ in range(320)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    local = {
+        (r["node"], r["triangles"]) for r in count_triangles(df).collect()
+    }
+    dist = {
+        (r["node"], r["triangles"])
+        for r in count_triangles(df, local_threshold=0).collect()
+    }
+    assert local == dist and local
+    assert any(t > 0 for _, t in local)  # the graph actually has triangles
+
+
 def test_ivfpq_persisted_index_equals_inline(spark, tmp_path):
     """The persisted IVF-PQ index (build once, query from the codes
     table) must answer bit-equal to the inline cascade over the same

@@ -556,16 +556,36 @@ def test_q66_scd2_single_partitioning(spark):
 
 
 def test_triangles_has_no_single_partition_exchange(spark):
-    """graph_triangles: edge orientation must ride the lexicographic
-    (deg, node) struct comparison, never a row_number over an
-    unpartitioned window — that window is a SinglePartition exchange
-    that funnels every node of the graph through one task. The whole
-    pipeline must be key-partitioned shuffles and equi-joins only."""
-    plan = _plan(spark, "graph_triangles")
+    """count_triangles' DISTRIBUTED path (forced via local_threshold=0
+    — at test SFs the entry itself takes the driver-side strategy, a
+    LocalTableScan that would satisfy these assertions vacuously):
+    edge orientation must ride the lexicographic (deg, node) struct
+    comparison, never a row_number over an unpartitioned window —
+    that window is a SinglePartition exchange that funnels every node
+    of the graph through one task. The whole pipeline must be
+    key-partitioned shuffles and equi-joins only."""
+    from pyspark.sql import functions as F
+
+    from cae_polars_tools_spark.io import read_table, spread
+    from cae_polars_tools_spark.operators.graph import count_triangles
+
+    li = (
+        spread(read_table(spark, SF, "lineitem"))
+        .filter((F.col("l_orderkey") % 10) == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    x = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    y = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = x.join(y, "ok").filter(F.col("u") != F.col("v")).select("u", "v")
+    df = count_triangles(edges, src="u", dst="v", local_threshold=0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan, plan
+    # and the entry itself takes the local path at test scale
+    entry_plan = _plan(spark, "graph_triangles")
+    assert "LocalTableScan" in entry_plan, entry_plan
 
 
 def test_ivfpq_index_query_prunes_code_partitions(spark):
