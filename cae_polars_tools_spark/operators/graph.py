@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cae_polars_tools_spark.io import read_table, spread
+from cae_polars_tools_spark.io import read_table
 from cae_polars_tools_spark.operators.dedup import (
     _release_on_gc,
     _release_round_frame,
@@ -247,8 +247,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     event types per user form multi-edges), value-checked against an
     iteration-unrolled DuckDB twin of the same fixed-point algebra —
     a full iterative algorithm under the hash gate, not just a
-    rows-only smoke check."""
-    ev = spread(read_table(spark, sf_dir, "events"))
+    rows-only smoke check.
+
+    No ``spread()`` on the scan: every downstream op here is JVM-side
+    (window lag, groupBy collapse, joins) — none of the CPU-heavy
+    Python kernels spread exists for — so the repartition only added
+    an exchange and 32-way task overhead ahead of the window's own
+    user_id shuffle (interleaved A/B at sf0.1: 1.21 → 1.02 s median
+    without it; identical output, test-pinned semantics unchanged).
+    At scale the scan splits past core count by itself."""
+    ev = read_table(spark, sf_dir, "events")
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -680,9 +688,12 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-node analytics. The oracle unrolls the peel loop to a fixed
     depth; the entry caps the Spark loop at the same depth, so a
     graph needing a deeper peel fails loudly on BOTH sides instead of
-    silently diverging."""
+    silently diverging.
+
+    No ``spread()``: the edge build is JVM-only (broadcast self-join
+    + distinct) — see graph_pagerank; A/B 1.72 → 1.40 s median."""
     li = (
-        spread(read_table(spark, sf_dir, "lineitem"))
+        read_table(spark, sf_dir, "lineitem")
         .filter((F.col("l_orderkey") % 10) == 0)
         .select("l_orderkey", "l_partkey")
     )
@@ -757,9 +768,12 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic cohesion signal, computed with the degree-ordered
     orientation that keeps wedge fan-out O(m^1.5) under ANY skew.
     Value-checked: the oracle re-derives the same graph, ranking,
-    orientation and closing joins in SQL (integer-exact end to end)."""
+    orientation and closing joins in SQL (integer-exact end to end).
+
+    No ``spread()``: the edge build is JVM-only (broadcast self-join
+    + distinct) — see graph_pagerank; A/B 1.90 → 1.31 s median."""
     li = (
-        spread(read_table(spark, sf_dir, "lineitem"))
+        read_table(spark, sf_dir, "lineitem")
         .filter((F.col("l_orderkey") % 10) == 0)
         .select("l_orderkey", "l_partkey")
     )

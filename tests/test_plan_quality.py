@@ -566,11 +566,11 @@ def test_triangles_has_no_single_partition_exchange(spark):
     key-partitioned shuffles and equi-joins only."""
     from pyspark.sql import functions as F
 
-    from cae_polars_tools_spark.io import read_table, spread
+    from cae_polars_tools_spark.io import read_table
     from cae_polars_tools_spark.operators.graph import count_triangles
 
     li = (
-        spread(read_table(spark, SF, "lineitem"))
+        read_table(spark, SF, "lineitem")
         .filter((F.col("l_orderkey") % 10) == 0)
         .select("l_orderkey", "l_partkey")
     )
