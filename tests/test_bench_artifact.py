@@ -155,6 +155,51 @@ def test_resampling_recovers_clean_median():
     assert med <= 2 * contaminated[0]
 
 
+def test_resampler_iterates_until_median_clears():
+    # r15 failure mode: the single resample batch ran on a host still
+    # decaying from the main loop and came back contaminated
+    # (text_logprob [0.828, 2.656, 0.805] + [3.915, 5.424, 3.072] —
+    # median 2.86 vs a 0.83 s first sample). The iterative resampler
+    # must keep appending batches until the median clears the
+    # acceptance bar, and must call settle() before each pass.
+    from bench import median_drifted, resample_until_clean
+
+    samples = {
+        "text_logprob": [0.828, 2.656, 0.805],
+        "flat_entry": [0.58, 0.6, 0.57],
+    }
+    # first resample batch contaminated (as in r15), later ones clean
+    batches = iter([3.915, 5.424, 3.072, 0.81, 0.82, 0.80])
+    settles = []
+
+    def sample_one(name):
+        samples[name].append(next(batches))
+
+    resampled = resample_until_clean(
+        samples, sample_one, rounds=3, settle=lambda: settles.append(1)
+    )
+    assert resampled == ["text_logprob"]
+    assert not median_drifted(samples["text_logprob"])
+    assert len(samples["text_logprob"]) == 9  # two passes of 3
+    assert len(settles) == 2  # settle ran before each pass
+    assert samples["flat_entry"] == [0.58, 0.6, 0.57]  # untouched
+
+
+def test_resampler_bounded_on_permanently_throttled_host():
+    # A host that never recovers must not hang the harness: the pass
+    # count is bounded and the entry is still reported as resampled.
+    from bench import MAX_RESAMPLE_PASSES, resample_until_clean
+
+    samples = {"hot": [0.5, 3.0, 3.1]}
+
+    def sample_one(name):
+        samples[name].append(3.0)  # never recovers
+
+    resampled = resample_until_clean(samples, sample_one, rounds=3)
+    assert resampled == ["hot"]
+    assert len(samples["hot"]) == 3 + 3 * MAX_RESAMPLE_PASSES
+
+
 def test_bench_details_medians_within_2x_of_first_sample():
     # Tripwire over the actual artifact: once bench.py has run with
     # the resampling logic (details carry a 'resampled' key), no
