@@ -161,6 +161,22 @@ SPREAD_ROUNDTRIP_BYTES = int(
     os.environ.get("SPARK_GRAFT_SPREAD_ROUNDTRIP_BYTES", str(16 * 1024))
 )
 
+#: ``spread(df, target_bytes=SPREAD_NO_CAP)`` — no byte-matched task
+#: cap, fan out to every core whenever the scan yields fewer splits.
+#: For consumers whose downstream is PURE JVM expressions (regex /
+#: higher-order array functions / md5): they pay none of the ~25 ms
+#: Python-worker dispatch the byte cap exists to amortize (a JVM task
+#: launch is ~2 ms), so the cap only withholds parallelism. Round-16
+#: cold-process driver-methodology A/B (fresh JVM, median-of-3+,
+#: alternating configs): text_stats 0.47→0.29 s and text_language_id
+#: 0.46→0.37 s vs the 256 KiB cap, and both still beat the 64 KiB
+#: HEAVY tier (0.41/0.62) — while the heavier JVM regex kernels
+#: (bpe_token_counts 0.60 vs 0.77, text_repetition 0.96 vs 1.22) keep
+#: winning at HEAVY, so this is per-kernel, not a blanket revert. At
+#: scale identical no-op argument as every other tier: spread never
+#: fires when the scan yields >= cores splits.
+SPREAD_NO_CAP = 0
+
 
 def spread(df: DataFrame, target_bytes: int | None = None) -> DataFrame:
     """Round-robin repartition a scan up to the session's parallelism —
@@ -219,7 +235,7 @@ def spread(df: DataFrame, target_bytes: int | None = None) -> DataFrame:
     per_task = SPREAD_TARGET_BYTES if target_bytes is None else target_bytes
     k = (
         n
-        if sizes is None
+        if sizes is None or per_task <= 0  # SPREAD_NO_CAP: all cores
         else min(n, max(1, -(-sum(sizes) // per_task)))
     )
     if est >= k:

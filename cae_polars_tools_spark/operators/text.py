@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from cae_polars_tools_spark.io import (
     SPREAD_HEAVY_BYTES,
+    SPREAD_NO_CAP,
     read_table,
     spread,
 )
@@ -156,7 +157,12 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring statistics per document: length, whitespace and
     BPE-ish token counts, chars/token, stopword ratio. Pure per-row
     expressions — no shuffle at any scale."""
-    d = spread(read_table(spark, sf_dir, "documents"))
+    # JVM-only downstream (split/regex/HOF filters — no Python worker):
+    # no byte cap, full fan-out (SPREAD_NO_CAP rationale in io.py; cold
+    # driver-methodology A/B: 0.47 -> 0.29 s vs the 256 KiB cap)
+    d = spread(
+        read_table(spark, sf_dir, "documents"), target_bytes=SPREAD_NO_CAP
+    )
     toks = tokens("text")
     bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_REGEX), 0)
     n_toks = F.size(toks)
@@ -206,7 +212,11 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID (deterministic heuristic; precedence
     en>es>de>fr on ties, 'und' when no markers hit). The char-n-gram
     profile variant is `text_language_chargram`."""
-    d = spread(read_table(spark, sf_dir, "documents"))
+    # JVM-only downstream — same SPREAD_NO_CAP rationale as text_stats
+    # (cold A/B: 0.46 -> 0.37 s vs the 256 KiB cap)
+    d = spread(
+        read_table(spark, sf_dir, "documents"), target_bytes=SPREAD_NO_CAP
+    )
     toks = tokens("text")
     counts = {
         lang: _marker_count(toks, markers).alias(f"c_{lang}")

@@ -3712,37 +3712,54 @@ def q78_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash gate instead of staying prose (q29's invariant-frame
     contract).
 
-    The approx subtree is the plan you would actually run: ONE
-    map-side-combined aggregate keyed on col_name — fixed-memory HLL
-    register banks for the distinct, plain partials for rows / nulls /
-    min / max / decimal-exact mean — no value-keyed pre-aggregate, no
-    distinct-rewrite Expand, shuffle bounded by 4 columns × partition
-    count. The exact-distinct twin (q78's pre-aggregate shape) exists
-    only to judge the sketch: both 4-row profiles broadcast-join on
-    col_name and the entry emits the EXACT statistics (hash-checked
-    against SQL) plus ``approx_within_tol``, pinned TRUE — an HLL
-    drifting past ``APPROX_REL_TOL`` flips the boolean and fails the
-    gate."""
+    Because the exact-distinct twin must run anyway (it judges the
+    sketch), the whole profile rides the twin's (col_name, value, cnt)
+    pre-aggregate: one corpus scan, one Expand, one value-keyed
+    shuffle, then a single col_name aggregate computes the exact
+    statistics AND the HLL side by side — HLL registers are
+    duplicate-insensitive, so the sketch over distinct values is
+    byte-identical to the raw-row sketch, and counts/means weight by
+    cnt exactly as q78_profile_columns does. The entry emits the EXACT
+    statistics (hash-checked against SQL) plus ``approx_within_tol``,
+    pinned TRUE — an HLL drifting past ``APPROX_REL_TOL`` flips the
+    boolean and fails the gate. (Standalone, HLL-only profiling would
+    skip the value-keyed shuffle entirely; that one-aggregate shape is
+    what the docstring of q78_profile_columns already prescribes at
+    scale.)"""
     li = _t(spark, sf_dir, "lineitem")
     stack = li.unpivot([], list(_PROFILE_COLS), "col_name", "value")
     nn = F.col("value").isNotNull()
-    approx = stack.groupBy("col_name").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum((~nn).cast("long")).alias("n_null"),
+    # ONE (col_name, value, cnt) pre-aggregate feeds EVERY statistic —
+    # exact and approx — in a single second-stage aggregate: one corpus
+    # scan, one Expand, one value-keyed shuffle, no join (the old shape
+    # scanned and Expanded the corpus twice: once for the raw-row
+    # approx aggregate, once for the exact-distinct pre-aggregate, then
+    # broadcast-joined the two 4-row profiles). Every approx-side
+    # statistic is recoverable from the pre-aggregate without drift:
+    # HLL registers are duplicate-insensitive, so approx_count_distinct
+    # over the distinct values IS the raw-row sketch; counts weight by
+    # cnt; the mean multiplies exact decimals by exact longs. The
+    # weighted shape matches q78_profile_columns, whose oracle already
+    # pins its equivalence.
+    pre = stack.groupBy("col_name", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    approx = pre.groupBy("col_name").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.sum(F.when(~nn, F.col("cnt")).otherwise(F.lit(0))).alias(
+            "n_null"
+        ),
         F.approx_count_distinct("value").alias("approx_distinct"),
+        F.count(F.when(nn, F.lit(1))).alias("n_distinct"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
         F.round(
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
-            / F.count("value"),
+            F.sum(
+                F.col("value").cast("decimal(18,6)") * F.col("cnt")
+            ).cast("double")
+            / F.sum(F.when(nn, F.col("cnt"))),
             6,
         ).alias("mean_value"),
-    )
-    exact = (
-        stack.groupBy("col_name", "value")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("col_name")
-        .agg(F.count(F.when(nn, F.lit(1))).alias("n_distinct"))
     )
     within = (
         F.abs(
@@ -3752,7 +3769,7 @@ def q78_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.col("n_distinct")
         <= APPROX_REL_TOL
     )
-    return approx.join(F.broadcast(exact), "col_name").select(
+    return approx.select(
         "col_name",
         "n_rows",
         "n_null",

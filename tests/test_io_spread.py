@@ -66,6 +66,25 @@ def test_spread_target_bytes_override(spark, tmp_path):
     assert got == (1 if k_default <= 1 else k_default)
 
 
+def test_spread_no_cap_fans_out_to_all_cores(spark, tmp_path):
+    """``target_bytes=SPREAD_NO_CAP`` (0) disables the byte-matched
+    task cap: JVM-expression consumers (text_stats/text_language_id)
+    pay no Python-worker dispatch, so a single-split scan fans out to
+    the session's full parallelism regardless of input size."""
+    from cae_polars_tools_spark.io import SPREAD_NO_CAP, spread
+
+    src = str(tmp_path / "tiny")
+    spark.range(2_000).selectExpr(
+        "id", "repeat(uuid(), 2) AS payload"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    df = spark.read.parquet(src)
+    assert df.rdd.getNumPartitions() == 1
+    n = spark.sparkContext.defaultParallelism
+    assert (
+        spread(df, target_bytes=SPREAD_NO_CAP).rdd.getNumPartitions() == n
+    )
+
+
 def test_non_file_plan_falls_back_to_none(spark):
     rows = spark.range(10).selectExpr("id", "id * 2 AS v")
     assert _scan_task_estimate(rows) is None

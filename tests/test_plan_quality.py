@@ -808,17 +808,16 @@ def test_robust_outliers_models_broadcast(spark):
 
 
 def test_q78_profile_approx_scale_subtree(spark):
-    """q78_profile_approx: the approx subtree must aggregate the
-    unpivoted stream DIRECTLY on col_name (fixed-memory HLL partials)
-    — exactly 2 Expands in the whole plan (one unpivot per subtree; a
-    third would be Catalyst's distinct-agg rewrite resurfacing), two
-    parquet scans (approx pass + exact twin), and the 4-row profile
-    join staying broadcast."""
+    """q78_profile_approx (round-16 fused shape): exact and approx
+    statistics both ride ONE (col_name, value, cnt) pre-aggregate —
+    exactly one corpus scan, one Expand (the unpivot; a second would be
+    either the old duplicated subtree or Catalyst's distinct-agg
+    rewrite resurfacing), and no join anywhere (the old shape
+    broadcast-joined two separately-scanned 4-row profiles)."""
     plan = _plan(spark, "q78_profile_approx")
-    assert plan.count("Expand") == 2, plan
-    assert plan.count("Scan parquet") == 2, plan
-    assert "BroadcastHashJoin" in plan, plan
-    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Expand") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
 
 
 def test_minhash_index_probe_is_pruned_and_broadcast(spark):
