@@ -195,7 +195,11 @@ class _BitReader:
     def read(self, length: int) -> int:
         if length == 0:
             return 0
-        self._fill()
+        # reads are <= 16 bits, so the accumulator only needs topping
+        # up below that; _fill leaves > 24 bits when the stream has
+        # them, making the call skippable on ~2/3 of reads
+        if self.nbits < 16:
+            self._fill()
         if self.nbits < length:
             raise ValueError("JPEG entropy stream truncated")
         v = (self.acc >> (self.nbits - length)) & ((1 << length) - 1)
@@ -242,9 +246,24 @@ def _codes_from_spec(bits: list[int], huffval: list[int]) -> dict[int, tuple[int
     return codes
 
 
+class _HuffDecodeTable(dict):
+    """(code, length) → symbol dict, plus a fast path: when the DHT
+    spec assigns every symbol the SAME code length L (detectable from
+    the spec itself — ``bits`` has one nonzero entry), canonical codes
+    are simply 0..n-1 at length L, so a symbol decodes as ONE
+    ``read(L)`` + list index instead of up to 16 read(1)+dict probes.
+    ``fixed`` is ``(L, huffval_list)`` in that case, else None. This
+    engine's own encoder always emits single-length tables
+    (``_fixed_length_spec``), so its streams always take the fast
+    path; multi-length tables from foreign JPEGs keep the general
+    walk."""
+
+    fixed: tuple[int, list[int]] | None = None
+
+
 def _decoder_from_spec(bits: list[int], huffval: list[int]):
-    """(code, length) → symbol lookup dict for the decoder."""
-    table: dict[tuple[int, int], int] = {}
+    """(code, length) → symbol lookup for the decoder."""
+    table = _HuffDecodeTable()
     code = 0
     k = 0
     for length in range(1, 17):
@@ -253,6 +272,9 @@ def _decoder_from_spec(bits: list[int], huffval: list[int]):
             code += 1
             k += 1
         code <<= 1
+    nz = [i for i, b in enumerate(bits) if b]
+    if len(nz) == 1:
+        table.fixed = (nz[0] + 1, list(huffval[: bits[nz[0]]]))
     return table
 
 
@@ -270,6 +292,13 @@ def _fixed_length_spec(symbols: set[int]) -> tuple[list[int], list[int]]:
 
 
 def _read_huff_symbol(br: _BitReader, table) -> int:
+    fixed = getattr(table, "fixed", None)
+    if fixed is not None:
+        L, vals = fixed
+        code = br.read(L)
+        if code < len(vals):
+            return vals[code]
+        raise ValueError("invalid JPEG Huffman code")
     code = 0
     for length in range(1, 17):
         code = (code << 1) | br.read(1)
@@ -300,12 +329,14 @@ def _downsample(plane: np.ndarray, fh: int, fv: int) -> np.ndarray:
 
 def _tokenize_block(blk, prev_dc, dc_syms, ac_syms):
     """One block's (dc_diff, acs, needs_eob) tokens + symbol usage."""
-    dc_diff = int(blk[0]) - prev_dc
+    # one C-level tolist() instead of 64 numpy-scalar extractions —
+    # the per-element int(blk[i]) walk dominated encode on small rasters
+    vals = blk.tolist() if hasattr(blk, "tolist") else list(blk)
+    dc_diff = vals[0] - prev_dc
     dc_syms.add(_category(dc_diff))
     acs = []
     run = 0
-    for v in blk[1:]:
-        v = int(v)
+    for v in vals[1:]:
         if v == 0:
             run += 1
             continue
@@ -320,7 +351,36 @@ def _tokenize_block(blk, prev_dc, dc_syms, ac_syms):
     # EOB needed unless the block's LAST AC (k=63) was coded — i.e.
     # whenever trailing zeros remain (or the block is all-zero)
     needs_eob = run > 0 or not acs
-    return (dc_diff, acs, needs_eob), int(blk[0])
+    return (dc_diff, acs, needs_eob), vals[0]
+
+
+def _pack_entropy_bits(vals: list[int], lens: list[int]) -> bytes:
+    """Vectorized twin of the ``_BitWriter`` loop for one entropy
+    segment: MSB-first variable-length codes packed to bytes, 1-filled
+    to the byte boundary (spec padding), 0x00 stuffed after every
+    0xFF — byte-identical to writing each (value, length) pair through
+    ``_BitWriter`` and flushing. One numpy pass per segment instead of
+    a Python call per token."""
+    if not vals:
+        return b""
+    v = np.asarray(vals, dtype=np.int64)
+    ln = np.asarray(lens, dtype=np.int64)
+    total = int(ln.sum())
+    tok = np.repeat(np.arange(len(v)), ln)
+    starts = np.concatenate(([0], np.cumsum(ln)[:-1]))
+    j = np.arange(total) - np.repeat(starts, ln)
+    bits = ((v[tok] >> (ln[tok] - 1 - j)) & 1).astype(np.uint8)
+    pad = (-total) % 8
+    if pad:
+        bits = np.concatenate([bits, np.ones(pad, dtype=np.uint8)])
+    by = np.packbits(bits)
+    ff = by == 0xFF
+    if ff.any():
+        reps = np.where(ff, 2, 1)
+        out = np.repeat(by, reps)
+        out[np.cumsum(reps)[ff] - 1] = 0x00
+        by = out
+    return by.tobytes()
 
 
 def encode_jpeg(
@@ -428,35 +488,50 @@ def encode_jpeg(
     dc_codes = _codes_from_spec(dc_bits, dc_vals)
     ac_codes = _codes_from_spec(ac_bits, ac_vals)
 
-    bw = _BitWriter()
+    # token stream → (value, length) pairs, packed per restart segment
+    # by the vectorized twin of _BitWriter (byte-identical output; see
+    # _pack_entropy_bits) — restart markers sit between byte-aligned
+    # segments exactly as _BitWriter.restart_marker emitted them
+    eob_c, eob_ln = ac_codes[0x00]
+    parts: list[bytes] = []
+    vals: list[int] = []
+    lens: list[int] = []
     for mi, tokens in enumerate(mcus):
         if restart_interval and mi and mi % restart_interval == 0:
-            bw.restart_marker(mi // restart_interval - 1)
+            parts.append(_pack_entropy_bits(vals, lens))
+            parts.append(
+                bytes([0xFF, 0xD0 + ((mi // restart_interval - 1) % 8)])
+            )
+            vals, lens = [], []
         for dc_diff, acs, needs_eob in tokens:
             size = _category(dc_diff)
             c, ln = dc_codes[size]
-            bw.write(c, ln)
+            vals.append(c)
+            lens.append(ln)
             if size:
-                bw.write(
-                    dc_diff if dc_diff > 0 else dc_diff + (1 << size) - 1,
-                    size,
+                vals.append(
+                    dc_diff if dc_diff > 0 else dc_diff + (1 << size) - 1
                 )
+                lens.append(size)
             for sym, v in acs:
                 c, ln = ac_codes[sym]
-                bw.write(c, ln)
+                vals.append(c)
+                lens.append(ln)
                 size = sym & 0x0F
                 if size:
-                    bw.write(v if v > 0 else v + (1 << size) - 1, size)
+                    vals.append(v if v > 0 else v + (1 << size) - 1)
+                    lens.append(size)
             if needs_eob:
-                c, ln = ac_codes[0x00]
-                bw.write(c, ln)
-    entropy = bw.flush()
+                vals.append(eob_c)
+                lens.append(eob_ln)
+    parts.append(_pack_entropy_bits(vals, lens))
+    entropy = b"".join(parts)
 
     # segments
     out = bytearray(b"\xff\xd8")  # SOI
     qt_zz = qt.reshape(-1)[_ZIGZAG]
-    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
-        int(x) for x in qt_zz
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + (
+        qt_zz.astype(np.uint8).tobytes()
     )
     ncomp = len(planes)
     sof = struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
@@ -725,8 +800,8 @@ def _assemble_progressive(
 
     out = bytearray(b"\xff\xd8")
     qt_zz = qt.reshape(-1)[_ZIGZAG]
-    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
-        int(x) for x in qt_zz
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + (
+        qt_zz.astype(np.uint8).tobytes()
     )
     sof = struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
     for cid, (hi, vi) in zip(range(1, ncomp + 1), samps):

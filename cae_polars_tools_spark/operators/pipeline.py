@@ -454,22 +454,32 @@ def build_hash_bloom(
 
 
 def _bloom_member_udf(spark, bitmap: bytes):
-    """Vectorized membership test: positions (array<long>, computed
-    JVM-side) → all-bits-set boolean. The bitmap ships once per
-    executor as a Spark broadcast, not per task in the UDF closure."""
+    """Vectorized membership test: the k bit positions arrive as k
+    SEPARATE long columns (computed JVM-side), NOT one array<long> —
+    an array column reaches pandas as an object-dtype Series of
+    per-row numpy arrays, and the ``np.array(pos.tolist())``
+    flattening was a row-at-a-time Python loop over every corpus
+    window (profiled round 16: ~28 executor core-s of run-vs-CPU gap
+    on pipeline_decontaminate_bloom). Flat long columns stay int64
+    end to end: Arrow transfer is columnar and the kernel is k
+    zero-copy vector passes. The bitmap ships once per executor as a
+    Spark broadcast, not per task in the UDF closure."""
     import pandas as pd
     from pyspark.sql.types import BooleanType
 
     bc = spark.sparkContext.broadcast(bitmap)
 
     @F.pandas_udf(BooleanType())
-    def member(pos: pd.Series) -> pd.Series:
+    def member(*cols: pd.Series) -> pd.Series:
         bm = np.frombuffer(bc.value, dtype=np.uint8)
-        if not len(pos):
+        n = len(cols[0])
+        if not n:
             return pd.Series([], dtype=bool)
-        mat = np.array(pos.tolist(), dtype=np.int64)
-        hit = (bm[mat >> 3] & (1 << (mat & 7)).astype(np.uint8)) != 0
-        return pd.Series(hit.all(axis=1))
+        hit = np.ones(n, dtype=bool)
+        for c in cols:
+            p = c.to_numpy(dtype=np.int64, copy=False)
+            hit &= (bm[p >> 3] & (1 << (p & 7)).astype(np.uint8)) != 0
+        return pd.Series(hit)
 
     return member, bc
 
@@ -518,13 +528,13 @@ def contamination_hits_bloom(
         n = bh.count()
         bitmap, m, k = build_hash_bloom(bh, n_items=n, fpp=fpp)
         member, _bc = _bloom_member_udf(spark, bitmap)
-        pos = F.array(
-            *[F.pmod(F.xxhash64("g", F.lit(i)), F.lit(m)) for i in range(k)]
-        )
+        pos = [
+            F.pmod(F.xxhash64("g", F.lit(i)), F.lit(m)) for i in range(k)
+        ]
         cand = corpus.select(
             F.col(id_col),
             F.explode(hashed_shingles(F.col(text_col), ngram)).alias("g"),
-        ).filter(member(pos))
+        ).filter(member(*pos))
         # exact verify; AQE broadcasts whichever side is small at
         # runtime (at true scale both are modest: pruned corpus
         # windows vs the benchmark hash table)
@@ -634,9 +644,9 @@ def decontaminate_sink(
     if use_bloom:
         bitmap, m, k = build_hash_bloom(bh, n_items=n_windows, fpp=fpp)
         member, bloom_bc = _bloom_member_udf(spark0, bitmap)
-        probe_pos = F.array(
-            *[F.pmod(F.xxhash64("g", F.lit(i)), F.lit(m)) for i in range(k)]
-        )
+        probe_pos = [
+            F.pmod(F.xxhash64("g", F.lit(i)), F.lit(m)) for i in range(k)
+        ]
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.columns or batch_df.isEmpty():
@@ -659,7 +669,7 @@ def decontaminate_sink(
                 F.explode(
                     hashed_shingles(F.col(text_col), ngram)
                 ).alias("g"),
-            ).filter(member(probe_pos))
+            ).filter(member(*probe_pos))
             flagged = (
                 cand.join(bh, "g", "left_semi")
                 .groupBy(id_col)
