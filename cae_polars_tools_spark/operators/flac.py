@@ -231,12 +231,14 @@ def _rice_cost(zig: np.ndarray, k: int) -> int:
 
 def _best_rice_k(res: np.ndarray) -> int:
     zig = np.where(res >= 0, res * 2, -2 * res - 1).astype(np.uint64)
-    best_k, best_c = 0, _rice_cost(zig, 0)
-    for k in range(1, 15):
-        c = _rice_cost(zig, k)
-        if c < best_c:
-            best_k, best_c = k, c
-    return best_k
+    # all 15 candidate costs in one 2-D pass (cost(k) = sum(zig >> k)
+    # + n*(k+1)); argmin keeps the first minimum, matching the old
+    # strict-< scan exactly
+    ks = np.arange(15, dtype=np.uint64)
+    costs = (zig[:, None] >> ks[None, :]).sum(axis=0) + len(zig) * (
+        ks + 1
+    )
+    return int(np.argmin(costs))
 
 
 def _write_residual(w: _BitWriter, res: np.ndarray) -> None:
