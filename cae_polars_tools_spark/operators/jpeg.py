@@ -365,6 +365,9 @@ def _pack_entropy_bits(vals: list[int], lens: list[int]) -> bytes:
         return b""
     v = np.asarray(vals, dtype=np.int64)
     ln = np.asarray(lens, dtype=np.int64)
+    # mirror _BitWriter's `value & ((1 << length) - 1)` so negative or
+    # overwide values pack identically to the per-call writer
+    v = v & ((np.int64(1) << ln) - 1)
     total = int(ln.sum())
     tok = np.repeat(np.arange(len(v)), ln)
     starts = np.concatenate(([0], np.cumsum(ln)[:-1]))
@@ -583,27 +586,41 @@ class _CollectSink:
 
 
 class _WriteSink:
+    """Progressive-scan writer on the vectorized packer: per-symbol
+    calls append (value, length) pairs; restart/flush pack the pending
+    segment through ``_pack_entropy_bits`` — byte-identical to the old
+    per-call ``_BitWriter`` (same canonical packing, padding and
+    stuffing; differential-tested in the baseline rewrite)."""
+
     def __init__(self, dc_codes, ac_codes) -> None:
-        self.bw = _BitWriter()
         self.dc_codes = dc_codes
         self.ac_codes = ac_codes
+        self.parts: list[bytes] = []
+        self.vals: list[int] = []
+        self.lens: list[int] = []
 
     def dc(self, sym: int) -> None:
         c, ln = self.dc_codes[sym]
-        self.bw.write(c, ln)
+        self.vals.append(c)
+        self.lens.append(ln)
 
     def ac(self, sym: int) -> None:
         c, ln = self.ac_codes[sym]
-        self.bw.write(c, ln)
+        self.vals.append(c)
+        self.lens.append(ln)
 
     def bits(self, v: int, n: int) -> None:
-        self.bw.write(v, n)
+        self.vals.append(v)
+        self.lens.append(n)
 
     def restart(self, m: int) -> None:
-        self.bw.restart_marker(m)
+        self.parts.append(_pack_entropy_bits(self.vals, self.lens))
+        self.parts.append(bytes([0xFF, 0xD0 + (m % 8)]))
+        self.vals, self.lens = [], []
 
     def flush(self) -> bytes:
-        return self.bw.flush()
+        self.parts.append(_pack_entropy_bits(self.vals, self.lens))
+        return b"".join(self.parts)
 
 
 def _flush_eobrun(sink, state: dict) -> None:
