@@ -467,14 +467,16 @@ def test_build_hash_bloom_contract(spark):
     assert m >= math.ceil(-n * math.log(0.01) / math.log(2) ** 2)
     assert 1 <= k <= 20
     member, _bc = _bloom_member_udf(spark, bitmap)
-    pos = F.array(
-        *[F.pmod(F.xxhash64("g", F.lit(i)), F.lit(m)) for i in range(k)]
-    )
+    # round-16 contract: the k bit positions arrive as k FLAT long
+    # columns (columnar Arrow transfer), not one array<long>
+    pos = [
+        F.pmod(F.xxhash64("g", F.lit(i)), F.lit(m)) for i in range(k)
+    ]
     # zero false negatives
-    assert members.filter(~member(pos)).count() == 0
+    assert members.filter(~member(*pos)).count() == 0
     # false positives near fpp on disjoint fresh hashes
     fresh = spark.range(n, n + 20000).select(
         F.xxhash64(F.col("id")).alias("g")
     )
-    fp = fresh.filter(member(pos)).count()
+    fp = fresh.filter(member(*pos)).count()
     assert fp / 20000 < 0.05, fp
